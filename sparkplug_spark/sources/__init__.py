@@ -1,0 +1,67 @@
+"""Sources & sinks.
+
+The reference's only source is a JSON-lines rule file read via
+``spark.read.json(path).as[PlugRule].collect()``
+(``SparkPlugHelper.scala:8-12``).  Rules are tiny driver-side objects, so the
+local-path fast path parses without a Spark job; non-local paths (hdfs://,
+s3a://, ...) go through ``spark.read`` so any Hadoop-compatible filesystem
+works on a real cluster.
+
+Input/output tables are plain ``spark.read`` / ``df.write`` — thin helpers
+only (the reference takes/returns DataFrames, ``SparkPlug.scala:29-40``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+from ..models import PlugRule, rule_from_dict, rules_from_json_lines
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_plug_rules", "read_table", "write_table"]
+
+_LOCAL_SCHEMES = ("", "file")
+
+
+def read_plug_rules(spark: "SparkSession", path: str) -> list[PlugRule]:
+    """Load JSON-lines rules (reference ``SparkPlugHelper.scala:8-12``)."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in _LOCAL_SCHEMES and os.path.exists(path.removeprefix("file://")):
+        with open(path.removeprefix("file://"), encoding="utf-8") as f:
+            return rules_from_json_lines(f)
+    rows = spark.read.json(path).collect()
+    return [
+        rule_from_dict(
+            {
+                "name": r["name"],
+                "version": r["version"],
+                "condition": r["condition"],
+                "actions": [
+                    {"key": a["key"], "value": a["value"]} for a in (r["actions"] or [])
+                ],
+            }
+        )
+        for r in rows
+    ]
+
+
+def read_table(spark: "SparkSession", path: str, fmt: str = "parquet") -> "DataFrame":
+    """Scan helper.  Declarative reads keep Catalyst's pushdown/pruning —
+    filters and projections applied by callers reach the parquet scan."""
+    return spark.read.format(fmt).load(path)
+
+
+def write_table(
+    df: "DataFrame",
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
