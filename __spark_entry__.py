@@ -267,6 +267,458 @@ def q_delegated_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Extension operators: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import dedup_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "lang", "n_chars")
+
+
+def q_dedup_groups_tokenset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the order-insensitive token-set fingerprint."""
+    from sparkplug_spark.functions import token_fingerprint
+    from sparkplug_spark.operators import exact_duplicate_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicate_groups(docs, digest=token_fingerprint(F.col("text")))
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import jaccard_ngram_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return jaccard_ngram_pairs(docs, n=3, threshold=0.6, max_key_freq=100)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n=3, num_hashes=32, bands=8, threshold=0.5, max_key_freq=1000
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=6)
+
+
+def q_emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine pairs ≥ 0.4 (exact baseline)."""
+    from sparkplug_spark.operators import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4, brute_force=True)
+
+
+def q_emb_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed variant (scale path; approximate recall — rows-only
+    check, no SQL oracle: hyperplane sign bits are float-boundary
+    sensitive)."""
+    from sparkplug_spark.operators import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, num_planes=16, bands=8
+    )
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries_df, k=10)
+
+
+def q_simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k (LSH candidates; rows-only check)."""
+    from sparkplug_spark.operators import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(emb, queries_df, k=10, num_planes=16, bands=8)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import text_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_norm", "mean_token_len",
+        "punct_ratio", "quality_score",
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred", "lang_best")
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import text_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return text_fingerprints(docs).select(
+        "doc_id", "content_md5", "token_fingerprint", "simhash"
+    )
+
+
+def q_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkplug_spark.operators import rule_impact_report
+
+    part = _read(spark, sf_dir, "part")
+    plugged = (
+        SparkPlug.builder(spark).enable_plug_details().create().plug(part, PART_RULES)
+    )
+    return rule_impact_report(plugged)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: utf-8 payloads from text, Arrow-batched
+    mapInPandas fake decode, flattened (doc_id, pos, feat)."""
+    from sparkplug_spark.operators.multimodal import decode_image_features
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    feats = decode_image_features(docs, feature_dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "feat")
+    ).select("doc_id", "pos", F.col("feat").cast("double").alias("feat"))
+
+
+def q_delegated_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: each customer's highest-value order."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_delegated_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: (negative-balance ∪ low-balance) customers EXCEPT
+    the BUILDING segment, INTERSECTed with customers that have orders."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    negative = cust.filter("c_acctbal < 0").select(F.col("c_custkey").alias("custkey"))
+    low = cust.filter("c_acctbal < 100").select(F.col("c_custkey").alias("custkey"))
+    building = cust.filter("c_mktsegment = 'BUILDING'").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ordered = orders.select(F.col("o_custkey").alias("custkey"))
+    return (
+        negative.union(low)
+        .distinct()
+        .subtract(building.distinct())
+        .intersect(ordered.distinct())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (shared constants with the Spark implementations)
+# ---------------------------------------------------------------------------
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _sql_tokens(c: str) -> str:
+    return f"string_split({_SQL_NORM.format(c=c)}, ' ')"
+
+
+def _sql_shingles(tokens_expr: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({tokens_expr})-{n-1},1)),"
+        f" i -> array_to_string({tokens_expr}[i:i+{n-1}], ' ')))"
+    )
+
+
+def _sql_hash32(s: str) -> str:
+    return f"(('0x' || substr(md5({s}),1,8))::BIGINT)"
+
+
+def _sql_minhash_sig(num_hashes: int = 32) -> str:
+    """sig list over a column named ``hs`` (list of 32-bit hashes)."""
+    from sparkplug_spark.functions import MINHASH_PERMS, MINHASH_PRIME
+
+    terms = [
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in MINHASH_PERMS[:num_hashes]
+    ]
+    return "[" + ", ".join(terms) + "]"
+
+
+def _sql_simhash(tokens_expr: str) -> str:
+    hs = f"list_transform({tokens_expr}, s -> {_sql_hash32('s')})"
+    counts = (
+        f"list_transform(generate_series(0,31), j -> list_sum(list_transform({hs},"
+        f" h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)))"
+    )
+    return (
+        f"list_sum(list_transform(generate_series(0,31), j -> CASE WHEN"
+        f" ({counts})[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT"
+    )
+
+
+_SQL_COS = (
+    "round(CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) = 0"
+    " THEN 0.0 ELSE list_dot_product({a},{b}) /"
+    " (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END, 6)"
+)
+
+_SQL_STOPWORD_RATIO = (
+    "(len(list_filter({t}, x -> list_contains({sw}, x)))::DOUBLE"
+    " / greatest(len({t}), 1))"
+)
+
+
+def _sql_lang_list(lang: str) -> str:
+    from sparkplug_spark.functions import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+def _extension_oracles() -> dict[str, str]:
+    from sparkplug_spark.functions import STOPWORDS
+
+    toks = _sql_tokens("text")
+    shingles = _sql_shingles("t")
+
+    jaccard_cte = f"""
+        WITH d AS (
+          SELECT doc_id, {shingles} AS sh
+          FROM (SELECT doc_id, {toks} AS t FROM documents)
+        )"""
+
+    sw_ratios = {
+        lang: _SQL_STOPWORD_RATIO.format(t="t", sw=_sql_lang_list(lang))
+        for lang in sorted(STOPWORDS)
+    }
+    best = "greatest(" + ", ".join(f"s_{l}" for l in sorted(STOPWORDS)) + ")"
+    pred_cases = " ".join(
+        f"WHEN s_{l} = lang_best THEN '{l}'" for l in sorted(STOPWORDS)
+    )
+
+    return {
+        "dedup_exact": f"""
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY md5({_SQL_NORM.format(c='text')})
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "dedup_groups_tokenset": f"""
+            SELECT md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS digest,
+                   count(*) AS n_docs,
+                   min(doc_id) AS keeper_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_jaccard_pairs": f"""
+            {jaccard_cte},
+            e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+            keys AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 100),
+            e AS (SELECT e0.* FROM e0 JOIN keys USING (s)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   inter::DOUBLE / (sa.sz + sb.sz - inter) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
+        """,
+        "dedup_minhash_lsh": f"""
+            {jaccard_cte},
+            sig AS (
+              SELECT doc_id, sh, {_sql_minhash_sig(32)} AS sig
+              FROM (SELECT doc_id, sh, list_transform(sh, s -> {_sql_hash32('s')}) AS hs FROM d)
+            ),
+            bands AS (
+              SELECT doc_id, band,
+                     md5(array_to_string(sig[band*4+1 : band*4+4], '-')) AS bucket
+              FROM sig, range(0, 8) t(band)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   len(list_intersect(da.sh, db.sh))::DOUBLE
+                     / len(list_distinct(da.sh || db.sh)) AS jaccard
+            FROM cand
+            JOIN d da ON da.doc_id = id_a
+            JOIN d db ON db.doc_id = id_b
+            WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
+                    / len(list_distinct(da.sh || db.sh)) >= 0.5
+        """,
+        "dedup_simhash": f"""
+            WITH s AS (
+              SELECT doc_id, {_sql_simhash(toks)} AS sh FROM documents
+            ),
+            chunks AS (
+              SELECT doc_id, sh, c AS chunk_id, (sh >> (8*c)::INT) & 255 AS chunk
+              FROM s, range(0, 4) t(c)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                              a.sh AS sh_a, b.sh AS sh_b
+              FROM chunks a JOIN chunks b
+                ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
+                   AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+        """,
+        "emb_similar_pairs": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_SQL_COS.format(a='a.v', b='b.v')} AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_SQL_COS.format(a='a.v', b='b.v')} >= 0.4
+        """,
+        "simsearch_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     {_SQL_COS.format(a='qv', b='e.v')} AS cosine
+              FROM q CROSS JOIN e
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   length({_SQL_NORM.format(c='text')}) AS n_chars_norm,
+                   list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                     / greatest(len(t), 1) AS mean_token_len,
+                   length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1) AS punct_ratio,
+                   (least(len(t)::DOUBLE / 100.0, 1.0) * 0.4)
+                   + ((1.0 - least((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                                     / greatest(length(text), 1)) * 4.0, 1.0)) * 0.4)
+                   + (least({_SQL_STOPWORD_RATIO.format(t='t', sw=_sql_lang_list('en'))} * 5.0, 1.0) * 0.2)
+                     AS quality_score
+            FROM (SELECT doc_id, text, {toks} AS t FROM documents)
+        """,
+        "text_langid": f"""
+            SELECT doc_id,
+                   CASE WHEN lang_best <= 0.0 THEN 'und' {pred_cases} END AS lang_pred,
+                   lang_best
+            FROM (
+              SELECT doc_id, {best} AS lang_best,
+                     {', '.join(f's_{l}' for l in sorted(STOPWORDS))}
+              FROM (
+                SELECT doc_id,
+                       {', '.join(f"{sw_ratios[l]} AS s_{l}" for l in sorted(STOPWORDS))}
+                FROM (SELECT doc_id, {toks} AS t FROM documents)
+              )
+            )
+        """,
+        "text_fingerprints": f"""
+            SELECT doc_id,
+                   md5({_SQL_NORM.format(c='text')}) AS content_md5,
+                   md5(array_to_string(list_sort(list_distinct({toks})), ' ')) AS token_fingerprint,
+                   {_sql_simhash(toks)} AS simhash
+            FROM documents
+        """,
+        "impact_report": """
+            WITH r1 AS (
+              SELECT *, CASE WHEN p_brand = 'Brand#23' AND p_retailprice < 1000
+                              AND NOT (p_retailprice IS NOT DISTINCT FROM 999.99)
+                         THEN 1 END AS tag1,
+                     CASE WHEN p_brand = 'Brand#23' AND p_retailprice < 1000
+                          THEN 999.99 ELSE p_retailprice END AS new_price
+              FROM part
+            ), r2 AS (
+              SELECT *, CASE WHEN p_size >= 40
+                              AND NOT (p_name IS NOT DISTINCT FROM ('XL ' || p_name))
+                         THEN 1 END AS tag2,
+                     CASE WHEN p_size >= 40 THEN 'XL ' || p_name ELSE p_name END AS new_name
+              FROM r1
+            ), r3 AS (
+              SELECT *, CASE WHEN p_type LIKE '%BRASS%'
+                              AND NOT (p_type IS NOT DISTINCT FROM 'STANDARD BRASS')
+                         THEN 1 END AS tag3
+              FROM r2
+            ), stats AS (
+              SELECT 'fix_brand23' AS rule_name, 'v1' AS rule_version,
+                     count(tag1) AS rows_changed, count(tag1) AS field_writes FROM r3
+              UNION ALL
+              SELECT 'xl_parts', 'v1', count(tag2), count(tag2) FROM r3
+              UNION ALL
+              SELECT 'std_brass', 'v1', count(tag3), count(tag3) FROM r3
+            )
+            SELECT * FROM stats WHERE rows_changed > 0
+        """,
+        "multimodal_features": """
+            SELECT doc_id, j AS pos,
+                   (((((('0x' || substr(md5(text), 2*(j%16)::INT+1, 2))::INT) + j) % 256)
+                     / 255.0)::FLOAT)::DOUBLE AS feat
+            FROM documents, range(0, 8) t(j)
+            WHERE doc_id < 50
+        """,
+        "delegated_window": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "delegated_setops": """
+            (
+              (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+               UNION
+               SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 100)
+              EXCEPT
+              SELECT DISTINCT c_custkey AS custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'
+            )
+            INTERSECT
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -288,10 +740,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delegated_agg": q_delegated_agg,
         "delegated_join_topk": q_delegated_join_topk,
         "delegated_filter_agg": q_delegated_filter_agg,
+        "delegated_window": q_delegated_window,
+        "delegated_setops": q_delegated_setops,
+        "dedup_exact": q_dedup_exact,
+        "dedup_groups_tokenset": q_dedup_groups_tokenset,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "emb_similar_pairs": q_emb_similar_pairs,
+        "emb_similar_pairs_lsh": q_emb_similar_pairs_lsh,
+        "simsearch_topk": q_simsearch_topk,
+        "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "text_fingerprints": q_text_fingerprints,
+        "impact_report": q_impact_report,
+        "multimodal_features": q_multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _extension_oracles()
+    out.update(_core_oracles())
+    return out
+
+
+def _core_oracles() -> dict[str, str]:
     return {
         "plug_overrides": """
             WITH r1 AS (

@@ -1,0 +1,191 @@
+"""Text-analysis column functions (tokenize, shingle, hash, fingerprint,
+language-ID, quality) — all built-in Spark expressions, zero UDFs.
+
+Scale notes: every function here is a narrow per-row projection that
+whole-stage-codegen compiles; nothing shuffles.  Hashes are md5-derived so
+the DuckDB oracle reproduces them bit-for-bit (md5 is identical everywhere,
+unlike Spark's xxhash64 / DuckDB's hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "word_shingles",
+    "hash32",
+    "MINHASH_PRIME",
+    "MINHASH_PERMS",
+    "minhash_signature",
+    "simhash32",
+    "token_fingerprint",
+    "STOPWORDS",
+    "stopword_ratio",
+    "punct_ratio",
+    "mean_token_len",
+    "quality_score",
+    "lang_scores",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, strip non-alphanumerics, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>).  Documents shorter
+    than ``n`` tokens yield a single shingle of the whole text."""
+    toks = tokens(col)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(ngrams)
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit unsigned hash as bigint: first 8 hex digits of md5.
+    DuckDB equivalent: ``('0x' || substr(md5(x),1,8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+#: MinHash universal-hash family h_i(x) = (a_i * x + b_i) mod p over the
+#: 32-bit hash space.  Constants from a fixed LCG so the oracle SQL embeds
+#: the same family (deterministic, engine-independent).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _lcg_perms(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    state = seed
+    out = []
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        # a < 2^31 keeps a*h + b < 2^63 for 32-bit h: exact in Spark AND
+        # DuckDB (which errors on bigint overflow rather than wrapping)
+        a = 1 + state % ((1 << 31) - 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+        b = state % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
+MINHASH_PERMS: list[tuple[int, int]] = _lcg_perms(32)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint> of length ``num_hashes``) over a
+    shingle array.  a*h+b stays < 2^63 (a < 2^33, h < 2^32) so the same
+    arithmetic is exact in DuckDB (which errors on bigint overflow rather
+    than wrapping)."""
+    perms = MINHASH_PERMS[:num_hashes]
+    hashes = F.transform(shingles, hash32)
+
+    def perm_fn(a: int, b: int):
+        # factory: F.transform inspects the lambda arity, so default-arg
+        # closures (lambda h, a=a, b=b) would read as 3-arg lambdas
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm_fn(a, b))) for a, b in perms]
+    )
+
+
+def simhash32(col: Column) -> Column:
+    """32-bit SimHash over whitespace tokens (term frequency weighted).
+
+    Single-pass per row: token hashes -> per-bit ±1 contributions ->
+    elementwise fold -> sign bits packed into a bigint.  No shuffle."""
+    hs = F.transform(tokens(col), hash32)
+    contribs = F.transform(
+        hs,
+        lambda h: F.array(
+            *[
+                F.when(((h / F.lit(1 << j)).cast("long") % 2) == 1, 1).otherwise(-1)
+                for j in range(32)
+            ]
+        ),
+    )
+    counts = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, bits: F.zip_with(acc, bits, lambda x, y: x + y),
+    )
+    bit_terms = [
+        F.when(F.element_at(counts, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(32)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def token_fingerprint(col: Column) -> Column:
+    """OpenRefine-style fingerprint: md5 of the sorted distinct token set —
+    robust to word order / duplication."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+#: Tiny per-language function-word sets for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and deterministic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "se", "un", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "mit", "zu", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du", "une", "que"],
+}
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are function words of ``lang``."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lang_scores(col: Column) -> Column:
+    """Struct of per-language stopword-ratio scores; argmax is the
+    predicted language (documents with no function words score 0 for all)."""
+    return F.struct(
+        *[stopword_ratio(col, lang).alias(lang) for lang in sorted(STOPWORDS)]
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space
+    (over the RAW text)."""
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, "[a-zA-Z0-9 ]", ""))
+    return stripped.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document-quality score in [0,1]: rewards reasonable
+    length, low punctuation noise, and presence of function words.
+
+    The arithmetic uses a fixed operation order so the DuckDB oracle
+    reproduces identical doubles."""
+    n_tok = F.size(tokens(col)).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(col, "en") * F.lit(5.0), F.lit(1.0))
+    return (len_score * F.lit(0.4)) + (punct_score * F.lit(0.4)) + (sw_score * F.lit(0.2))

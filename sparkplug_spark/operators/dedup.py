@@ -1,0 +1,360 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (100 TB / 1000 executors):
+
+- **Exact**: one hash-partitioned shuffle on the content digest; md5 keys
+  are uniform so no skew.  ``row_number`` per digest group keeps the
+  smallest id (deterministic keeper).
+- **Jaccard / MinHash / SimHash pairs**: the classic explode → bucket-join
+  shape.  The self-join key (shingle / LSH band bucket / simhash chunk)
+  bounds the blow-up; ``max_key_freq`` drops degenerate hot keys (a shingle
+  shared by half the corpus produces O(n²) candidates — standard stop-key
+  trick), which also removes join skew.
+- Everything before the bucket shuffle is a narrow codegen'd projection
+  (hashing, signatures); only candidate pairs shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    hash32,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+
+__all__ = [
+    "dedup_exact",
+    "exact_duplicate_groups",
+    "jaccard_ngram_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+def _digest(col: Column, normalize: bool) -> Column:
+    return F.md5(normalize_text(col) if normalize else col)
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    digest: Column | None = None,
+) -> DataFrame:
+    """Keep one row (smallest id) per distinct content digest.
+
+    One shuffle on the digest; deterministic, unlike ``dropDuplicates``
+    (which keeps an arbitrary row per key).  Pass ``digest`` to dedup on a
+    custom key (e.g. ``token_fingerprint`` for word-order-insensitive)."""
+    if digest is None:
+        digest = _digest(F.col(text_col), normalize)
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_duplicate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    digest: Column | None = None,
+) -> DataFrame:
+    """Digest groups with >1 member: (digest, n_docs, keeper_id)."""
+    if digest is None:
+        digest = _digest(F.col(text_col), normalize)
+    return (
+        df.groupBy(digest.alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_ngram_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_key_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    shingle-inverted-index self-join: |A∩B| from the join, sizes from a
+    narrow pre-agg; J = inter / (|A| + |B| - inter).  Shingles occurring in
+    more than ``max_key_freq`` docs are dropped from the index (stop-key
+    de-skew); exactness holds for pairs whose overlap isn't exclusively
+    stop shingles — standard at-scale trade, disable with a large value."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    if max_key_freq:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_key_freq)
+        sh = sh.join(F.broadcast(freq.select("sh")), "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.0,
+    max_key_freq: int = 1000,
+) -> DataFrame:
+    """MinHash + banded-LSH candidate pairs with exact Jaccard verification.
+
+    signature (narrow, per-row) → explode ``bands`` band-buckets →
+    self-join on (band, bucket) → distinct candidate pairs → verify with
+    exact Jaccard on distinct shingles.  Sub-quadratic: only same-bucket
+    pairs shuffle.  ``threshold`` filters on the VERIFIED Jaccard
+    (candidate recall is governed by bands/rows: P(candidate) =
+    1-(1-J^r)^b)."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("shingles"),
+    )
+
+    # Signature via explode → hash-aggregate with num_hashes min() columns:
+    # fully codegen'd (the per-row HOF fold is interpreted and dominates
+    # runtime at scale).  min() is order-insensitive, so values are
+    # identical to a per-row fold — and to the SQL oracle.
+    exploded = base.select("id", F.explode("shingles").alias("s")).withColumn(
+        "h", hash32(F.col("s"))
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
+        ]
+    )
+
+    band_entries = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "-", *[F.col(f"mh{i * rows + j}") for j in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    if max_key_freq:
+        hot = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_key_freq)
+            .select("band", "bucket")
+        )
+        band_entries = band_entries.join(F.broadcast(hot), ["band", "bucket"])
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select("id", "shingles")
+    out = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_key_freq: int = 10000,
+) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit simhash, candidate generation by
+    matching any of ``chunks`` 8-bit chunks (pigeonhole: hamming ≤ 3 with
+    4 chunks guarantees ≥1 exact chunk match), verified by bit_count(xor)."""
+    bits_per = 32 // chunks
+    mask = (1 << bits_per) - 1
+    # SimHash via explode → 32 codegen'd sum() aggregates (equivalent to the
+    # per-row fold in functions.text.simhash32 — integer sums are
+    # order-insensitive — but ~30× faster on large corpora).
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = tok.withColumn("h", hash32(F.col("t")))
+    counts = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), j) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"c{j}")
+            for j in range(32)
+        ]
+    )
+    sh = counts.select(
+        "id",
+        sum(
+            [F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
+            start=F.lit(0),
+        ).cast("long").alias("sh"),
+    )
+    base = sh
+    entries = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        ((F.col("sh") / F.lit(1 << (bits_per * c))).cast("long") % F.lit(mask + 1)).alias("chunk"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk_id", "cc.chunk")
+    if max_key_freq:
+        ok = (
+            entries.groupBy("chunk_id", "chunk")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_key_freq)
+            .select("chunk_id", "chunk")
+        )
+        entries = entries.join(F.broadcast(ok), ["chunk_id", "chunk"])
+    a = entries.alias("a")
+    b = entries.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return out
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine ≥ threshold pairs.
+
+    Scale path (default): random-hyperplane LSH — ``num_planes`` seeded
+    sign bits, banded into ``bands`` buckets; only same-bucket pairs get
+    exact cosine verification.  ``brute_force=True`` compares all pairs
+    (exact recall; O(n²) shuffle — small tables / oracle checks only)."""
+    from ..functions.vectors import dot_fixed, infer_dim, l2_norm_fixed
+    from .similarity import _hyperplanes, banded_signature_entries
+
+    dim = infer_dim(df, vec_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm_fixed(F.col(vec_col), dim).alias("n"),
+    )
+    if brute_force:
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"), F.col("a.v").alias("v_a"), F.col("a.n").alias("n_a"),
+            F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"), F.col("b.n").alias("n_b"),
+        )
+    else:
+        assert num_planes % bands == 0
+        planes = _hyperplanes(num_planes, dim)
+        entries = banded_signature_entries(df, id_col, vec_col, "id", "v", planes, bands)
+        a, b = entries.alias("a"), entries.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("a.v").alias("v_a"), F.col("a.v_norm").alias("n_a"),
+                F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"), F.col("b.v_norm").alias("n_b"),
+            )
+            .distinct()
+        )
+    denom = F.col("n_a") * F.col("n_b")
+    cosine = F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        dot_fixed(F.col("v_a"), F.col("v_b"), dim) / denom
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,69 @@
+"""Text-analysis operators over a documents table: stats/quality,
+language-ID, fingerprints.  All narrow projections — zero shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    lang_scores,
+    mean_token_len,
+    punct_ratio,
+    quality_score,
+    simhash32,
+    token_fingerprint,
+    tokens,
+    normalize_text,
+)
+
+__all__ = ["text_stats", "language_id", "text_fingerprints"]
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token/char counts, mean token length, punctuation ratio, quality
+    score — the pre-filter columns of a training-data pipeline."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(tokens(c)),
+            "n_chars_norm": F.length(normalize_text(c)),
+            "mean_token_len": mean_token_len(c),
+            "punct_ratio": punct_ratio(c),
+            "quality_score": quality_score(c),
+        }
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: argmax over per-language scores, with
+    deterministic alphabetical tie-break; 'und' when all scores are 0."""
+    c = F.col(text_col)
+    scores = lang_scores(c)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col("lang_scores")[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties (checked last)
+        pred = F.when(
+            F.col("lang_scores")[lang] == F.col("lang_best"), F.lit(lang)
+        ).otherwise(pred)
+    pred = F.when(F.col("lang_best") <= 0.0, F.lit("und")).otherwise(pred)
+    return (
+        df.withColumn("lang_scores", scores)
+        .withColumn("lang_best", best)
+        .withColumn("lang_pred", pred)
+    )
+
+
+def text_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content digests: md5 of normalized text (exact), token-set
+    fingerprint (order-insensitive), 32-bit simhash (near-dup)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "content_md5": F.md5(normalize_text(c)),
+            "token_fingerprint": token_fingerprint(c),
+            "simhash": simhash32(c),
+        }
+    )
