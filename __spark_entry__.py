@@ -321,12 +321,14 @@ def q_emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed variant (scale path; approximate recall — rows-only
     check, no SQL oracle: hyperplane sign bits are float-boundary
-    sensitive)."""
+    sensitive).  64 planes / 8 bands = 8-bit band buckets: ~256 buckets
+    per band keeps candidate sets selective (2-bit buckets would put ~25%%
+    of the corpus in every bucket — a disguised cross join)."""
     from sparkplug_spark.operators import embedding_near_dup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, threshold=0.4, num_planes=16, bands=8
+        emb, threshold=0.4, num_planes=64, bands=8
     )
 
 
@@ -348,7 +350,7 @@ def q_simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_lsh(emb, queries_df, k=10, num_planes=16, bands=8)
+    return cosine_topk_lsh(emb, queries_df, k=10, num_planes=64, bands=8)
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,14 +1,27 @@
 """Vector column functions over ``array<float|double>`` embeddings.
 
-Built on higher-order functions (``zip_with`` + ``aggregate``): JVM-side,
-no UDF, no shuffle.  ``aggregate`` folds left-to-right, so results are
-deterministic per row.
+Three tiers, fastest first:
+
+- **Arrow-vectorized pandas UDFs** (:func:`vec_dot`, :func:`vec_norm`,
+  :func:`band_buckets`): numpy BLAS over whole Arrow batches — the hot
+  path for O(n·q) / O(n²) pair scoring.  ~10-100× the per-row JVM
+  expression tree on wide vectors, because the work is one GEMM/einsum per
+  batch instead of `dim` scalar ops per row.
+- **Unrolled fixed-dim expressions** (``*_fixed``): whole-stage-codegen'd
+  JVM scalar sums; fine for narrow vectors in simple projections, but the
+  generated method exceeds janino's 64 KB limit near dim≈64 and falls back
+  to interpretation — which is why the pandas tier exists.
+- **Higher-order functions** (``dot``/``l2_norm``): dimension-agnostic,
+  interpreted per row; kept for API completeness and tiny inputs.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "dot",
@@ -18,7 +31,62 @@ __all__ = [
     "l2_norm_fixed",
     "cosine_similarity_fixed",
     "infer_dim",
+    "vec_dot",
+    "vec_norm",
+    "band_buckets",
 ]
+
+
+def _mat(s: pd.Series) -> np.ndarray:
+    """Arrow batch of array<float|double> -> (n, dim) float64 matrix."""
+    return np.stack(s.to_numpy()).astype(np.float64, copy=False)
+
+
+def vec_dot(a: Column | str, b: Column | str) -> Column:
+    """Batch dot product via numpy einsum (Arrow-vectorized)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _dot(x: pd.Series, y: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(np.einsum("ij,ij->i", _mat(x), _mat(y)))
+
+    return _dot(a, b)
+
+
+def vec_norm(a: Column | str) -> Column:
+    """Batch L2 norm via numpy (Arrow-vectorized)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _norm(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        m = _mat(x)
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", m, m)))
+
+    return _norm(a)
+
+
+def band_buckets(vec: Column | str, planes: list[list[float]], bands: int) -> Column:
+    """Random-hyperplane LSH: per-band sign-bit bucket strings
+    (``array<string>`` of length ``bands``), computed as one matmul per
+    Arrow batch.  Bit ``p`` is '1' iff ``v · planes[p] >= 0``; band ``i``'s
+    bucket is the concatenation of its ``len(planes)//bands`` bits."""
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, num_planes)
+    per = P.shape[1] // bands
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _buckets(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        bits = _mat(x) @ P >= 0  # (n, num_planes)
+        out = []
+        for row in bits:
+            s = "".join("1" if b else "0" for b in row)
+            out.append([s[i * per : (i + 1) * per] for i in range(bands)])
+        return pd.Series(out)
+
+    return _buckets(vec)
 
 
 def dot(a: Column, b: Column) -> Column:

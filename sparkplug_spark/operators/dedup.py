@@ -25,9 +25,10 @@ from ..functions.text import (
     MINHASH_PRIME,
     hash32,
     normalize_text,
-    tokens,
-    word_shingles,
+    tokens_pd,
+    word_shingles_pd,
 )
+from ..partitioning import spread
 
 __all__ = [
     "dedup_exact",
@@ -59,7 +60,7 @@ def dedup_exact(
         digest = _digest(F.col(text_col), normalize)
     w = Window.partitionBy(digest).orderBy(F.col(id_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        spread(df).withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -76,7 +77,7 @@ def exact_duplicate_groups(
     if digest is None:
         digest = _digest(F.col(text_col), normalize)
     return (
-        df.groupBy(digest.alias("digest"))
+        spread(df).groupBy(digest.alias("digest"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("keeper_id"),
@@ -101,7 +102,8 @@ def jaccard_ngram_pairs(
     de-skew); exactness holds for pairs whose overlap isn't exclusively
     stop shingles — standard at-scale trade, disable with a large value."""
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        spread(df)
+        .select(F.col(id_col).alias("id"), F.explode(word_shingles_pd(F.col(text_col), n)).alias("sh"))
         .distinct()
     )
     if max_key_freq:
@@ -149,9 +151,9 @@ def minhash_lsh_pairs(
     1-(1-J^r)^b)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    base = df.select(
+    base = spread(df).select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("shingles"),
+        word_shingles_pd(F.col(text_col), n).alias("shingles"),
     )
 
     # Signature via explode → hash-aggregate with num_hashes min() columns:
@@ -238,7 +240,7 @@ def simhash_pairs(
     # SimHash via explode → 32 codegen'd sum() aggregates (equivalent to the
     # per-row fold in functions.text.simhash32 — integer sums are
     # order-insensitive — but ~30× faster on large corpora).
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = spread(df).select(F.col(id_col).alias("id"), F.explode(tokens_pd(F.col(text_col))).alias("t"))
     tok = tok.withColumn("h", hash32(F.col("t")))
     counts = tok.groupBy("id").agg(
         *[
@@ -315,44 +317,37 @@ def embedding_near_dup_pairs(
 
     Scale path (default): random-hyperplane LSH — ``num_planes`` seeded
     sign bits, banded into ``bands`` buckets; only same-bucket pairs get
-    exact cosine verification.  ``brute_force=True`` compares all pairs
-    (exact recall; O(n²) shuffle — small tables / oracle checks only)."""
-    from ..functions.vectors import dot_fixed, infer_dim, l2_norm_fixed
-    from .similarity import _hyperplanes, banded_signature_entries
+    exact cosine verification (Arrow-batched numpy dot).
+    ``brute_force=True`` compares all pairs exactly via the blocked-GEMM
+    plan (:func:`~.similarity.blocked_cosine_pairs`)."""
+    from ..functions.vectors import infer_dim, vec_dot
+    from .similarity import _hyperplanes, banded_signature_entries, blocked_cosine_pairs
 
-    dim = infer_dim(df, vec_col)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("n"),
-    )
     if brute_force:
-        a, b = base.alias("a"), base.alias("b")
-        cand = a.join(b, F.col("a.id") < F.col("b.id")).select(
-            F.col("a.id").alias("id_a"), F.col("a.v").alias("v_a"), F.col("a.n").alias("n_a"),
-            F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"), F.col("b.n").alias("n_b"),
+        return blocked_cosine_pairs(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold
         )
-    else:
-        assert num_planes % bands == 0
-        planes = _hyperplanes(num_planes, dim)
-        entries = banded_signature_entries(df, id_col, vec_col, "id", "v", planes, bands)
-        a, b = entries.alias("a"), entries.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(
-                F.col("a.id").alias("id_a"), F.col("a.v").alias("v_a"), F.col("a.v_norm").alias("n_a"),
-                F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"), F.col("b.v_norm").alias("n_b"),
-            )
-            .distinct()
+    assert num_planes % bands == 0
+    dim = infer_dim(df, vec_col)
+    planes = _hyperplanes(num_planes, dim)
+    entries = banded_signature_entries(df, id_col, vec_col, "id", "v", planes, bands)
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("a.v").alias("v_a"), F.col("a.v_norm").alias("n_a"),
+            F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"), F.col("b.v_norm").alias("n_b"),
+        )
+        .distinct()
+    )
     denom = F.col("n_a") * F.col("n_b")
     cosine = F.when(denom == 0.0, F.lit(0.0)).otherwise(
-        dot_fixed(F.col("v_a"), F.col("v_b"), dim) / denom
+        vec_dot("v_a", "v_b") / denom
     )
     return (
         cand.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))

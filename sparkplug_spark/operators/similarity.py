@@ -1,12 +1,14 @@
 """Similarity search over embedding columns (``array<float>``).
 
-- :func:`cosine_topk` — exact brute-force top-k per query.  The query side
-  is broadcast (queries ≪ corpus), so the corpus never shuffles for the
-  join; norms are precomputed per row (narrow) and the per-pair work is a
-  single unrolled dot product that whole-stage codegen compiles — the HOF
-  (``aggregate``) fold is interpreted and ~100× slower on O(n·q) pairs.
+- :func:`cosine_topk` — exact brute-force top-k per query: broadcast the
+  (small) query side so the corpus never shuffles for the join; score pairs
+  with an Arrow-batched numpy dot (:func:`~..functions.vectors.vec_dot`).
 - :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH buckets
   prune the corpus per query before exact scoring.
+- :func:`blocked_cosine_pairs` — exact all-pairs cosine ≥ threshold via
+  block-matrix GEMM: replicate each row across its block-pair groups, one
+  float64 matmul per group.  O(n²·d) FLOPs at BLAS speed instead of per-row
+  tuple interpretation; the shuffle moves n·B vector rows, not n² pairs.
 
 Hyperplanes are generated deterministically from md5 of (plane, dim) — no
 RNG, so results are reproducible across runs and engines.
@@ -15,13 +17,17 @@ RNG, so results are reproducible across runs and engines.
 from __future__ import annotations
 
 import hashlib
+import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import dot_fixed, infer_dim, l2_norm_fixed
+from ..functions.vectors import band_buckets, vec_dot, vec_norm
+from ..partitioning import spread
 
-__all__ = ["cosine_topk", "cosine_topk_lsh"]
+__all__ = ["cosine_topk", "cosine_topk_lsh", "blocked_cosine_pairs"]
 
 
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
@@ -36,25 +42,9 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def _plane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign bits ('0'/'1' strings) of the dot products with each plane
-    (unrolled element_at sums — codegen-friendly)."""
-    sigs = []
-    for plane in planes:
-        terms = [
-            F.element_at(vec, i + 1).cast("double") * F.lit(w)
-            for i, w in enumerate(plane)
-        ]
-        d = terms[0]
-        for t in terms[1:]:
-            d = d + t
-        sigs.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.array(*sigs)
-
-
-def _cosine_from_parts(d: Column, norm_a: Column, norm_b: Column) -> Column:
+def _cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     denom = norm_a * norm_b
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(d / denom)
+    return F.round(F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom), 6)
 
 
 def cosine_topk(
@@ -64,37 +54,27 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine per query row.  Ties and float-noise are made
     deterministic by ranking on (rounded cosine desc, id asc)."""
-    if dim is None:
-        dim = infer_dim(corpus, vec_col)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            l2_norm_fixed(F.col(vec_col), dim).alias("qn"),
+            vec_norm(F.col(vec_col)).alias("qn"),
         )
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm_fixed(F.col(vec_col), dim).alias("cn"),
+        vec_norm(F.col(vec_col)).alias("cn"),
     )
     scored = q.crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _cosine_from_parts(
-                dot_fixed(F.col("qv"), F.col("cv"), dim), F.col("qn"), F.col("cn")
-            ),
-            6,
-        ).alias("cosine"),
+        _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -112,34 +92,18 @@ def banded_signature_entries(
     bands: int,
 ) -> DataFrame:
     """(id, vec, norm, band, bucket) rows — one per band per input row."""
-    num_planes = len(planes)
-    per = num_planes // bands
-    dim = len(planes[0])
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col).alias(out_id),
         F.col(vec_col).alias(out_vec),
-        l2_norm_fixed(F.col(vec_col), dim).alias(f"{out_vec}_norm"),
-        _plane_signature(F.col(vec_col), planes).alias("bits"),
+        vec_norm(F.col(vec_col)).alias(f"{out_vec}_norm"),
+        band_buckets(F.col(vec_col), planes, bands).alias("buckets"),
     )
     return sig.select(
         out_id,
         out_vec,
         f"{out_vec}_norm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[F.element_at("bits", i * per + j + 1) for j in range(per)],
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(out_id, out_vec, f"{out_vec}_norm", "bb.band", "bb.bucket")
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
 
 
 def cosine_topk_lsh(
@@ -158,11 +122,15 @@ def cosine_topk_lsh(
     Same output schema as :func:`cosine_topk` (recall < 1 by design)."""
     assert num_planes % bands == 0
     if dim is None:
+        from ..functions.vectors import infer_dim
+
         dim = infer_dim(corpus, vec_col)
     planes = _hyperplanes(num_planes, dim)
 
     qb = F.broadcast(
-        banded_signature_entries(queries, query_id_col, vec_col, "query_id", "qv", planes, bands)
+        banded_signature_entries(
+            queries, query_id_col, vec_col, "query_id", "qv", planes, bands
+        )
     )
     cb = banded_signature_entries(corpus, id_col, vec_col, "neighbor_id", "cv", planes, bands)
     cand = (
@@ -173,18 +141,97 @@ def cosine_topk_lsh(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _cosine_from_parts(
-                dot_fixed(F.col("qv"), F.col("cv"), dim),
-                F.col("qv_norm"),
-                F.col("cv_norm"),
-            ),
-            6,
-        ).alias("cosine"),
+        _cosine(vec_dot("qv", "cv"), F.col("qv_norm"), F.col("cv_norm")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, as (id_a < id_b, cosine) rows.
+
+    Block-matrix plan: hash rows into ``blocks`` blocks; replicate each row
+    once per block-pair group it participates in (``blocks`` copies); one
+    ``applyInPandas`` GEMM per (bi, bj) group scores the whole cross
+    product.  Shuffle volume is n·B vector rows — the n² pair matrix only
+    ever exists as a numpy temporary inside a task.  For a 100 TB corpus
+    pick ``blocks`` so a block (~2n/B rows × dim floats) fits executor
+    memory; locally it defaults to ~B(B+1)/2 ≈ 3× parallelism groups."""
+    spark = df.sparkSession
+    if blocks is None:
+        blocks = max(2, math.isqrt(6 * spark.sparkContext.defaultParallelism))
+    thr = float(threshold)
+
+    entries = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    mates = entries.select(
+        "id",
+        "v",
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least("blk", F.lit(o)).alias("bi"),
+                        F.greatest("blk", F.lit(o)).alias("bj"),
+                    )
+                    for o in range(blocks)
+                ]
+            )
+        ).alias("g"),
+    ).select("id", "v", "blk", "g.bi", "g.bj")
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        ids = pdf["id"].to_numpy()
+        if bi == bj:
+            A, ia, B, ib = V, ids, V, ids
+        else:
+            ma = pdf["blk"].to_numpy() == bi
+            if ma.all() or not ma.any():
+                return empty
+            A, ia, B, ib = V[ma], ids[ma], V[~ma], ids[~ma]
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        dot = A @ B.T
+        denom = np.outer(na, nb)
+        cos = np.round(np.divide(dot, denom, out=np.zeros_like(dot), where=denom != 0), 6)
+        mask = cos >= thr
+        if bi == bj:
+            mask &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(mask)
+        if r.size == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia[r], ib[c]),
+                "id_b": np.maximum(ia[r], ib[c]),
+                "cosine": cos[r, c],
+            }
+        )
+
+    return mates.groupBy("bi", "bj").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
     )

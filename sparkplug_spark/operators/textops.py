@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import spread
 from ..functions.text import (
     STOPWORDS,
     lang_scores,
@@ -25,7 +26,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token/char counts, mean token length, punctuation ratio, quality
     score — the pre-filter columns of a training-data pipeline."""
     c = F.col(text_col)
-    return df.withColumns(
+    return spread(df).withColumns(
         {
             "n_tokens": F.size(tokens(c)),
             "n_chars_norm": F.length(normalize_text(c)),
@@ -41,6 +42,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     deterministic alphabetical tie-break; 'und' when all scores are 0."""
     c = F.col(text_col)
     scores = lang_scores(c)
+    df = spread(df)
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col("lang_scores")[lang] for lang in langs])
     pred = F.lit("und")
@@ -60,7 +62,7 @@ def text_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content digests: md5 of normalized text (exact), token-set
     fingerprint (order-insensitive), 32-bit simhash (near-dup)."""
     c = F.col(text_col)
-    return df.withColumns(
+    return spread(df).withColumns(
         {
             "content_md5": F.md5(normalize_text(c)),
             "token_fingerprint": token_fingerprint(c),
