@@ -188,6 +188,45 @@ def simhash32(col: Column) -> Column:
     return out.cast("long")
 
 
+def simhash32_pd(col: Column | str) -> Column:
+    """Arrow-batched pandas equivalent of :func:`simhash32` — identical
+    values (same md5-derived token hashes, ±1 bit votes, sign pack), but
+    tokenizes once per row and memoizes token hashes across the batch
+    (document vocabulary repeats heavily).  ~10× the interpreted JVM
+    higher-order-function fold."""
+    import hashlib
+
+    import numpy as np
+
+    strip = re.compile(r"[^a-z0-9 ]")
+    squash = re.compile(r" +")
+    bit_idx = np.arange(32)
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def h32(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                if len(cache) < 1_000_000:
+                    cache[tok] = v
+            return v
+
+        out = []
+        for text in s:
+            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            hs = np.fromiter(
+                (h32(t) for t in norm.split(" ")), dtype=np.int64
+            )
+            votes = (2 * ((hs[:, None] >> bit_idx) & 1) - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return _simhash(col)
+
+
 def token_fingerprint(col: Column) -> Column:
     """OpenRefine-style fingerprint: md5 of the sorted distinct token set —
     robust to word order / duplication."""

@@ -17,6 +17,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -25,7 +26,7 @@ from ..functions.text import (
     MINHASH_PRIME,
     hash32,
     normalize_text,
-    tokens_pd,
+    simhash32_pd,
     word_shingles_pd,
 )
 from ..partitioning import spread
@@ -105,6 +106,10 @@ def jaccard_ngram_pairs(
         spread(df)
         .select(F.col(id_col).alias("id"), F.explode(word_shingles_pd(F.col(text_col), n)).alias("sh"))
         .distinct()
+        # the inverted index feeds four consumers (stop-key filter, sizes,
+        # both self-join sides); without persist Spark recomputes the
+        # tokenize+explode+distinct subplan for each
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_key_freq:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_key_freq)
@@ -154,7 +159,7 @@ def minhash_lsh_pairs(
     base = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles_pd(F.col(text_col), n).alias("shingles"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by signature + both verify joins
 
     # Signature via explode → hash-aggregate with num_hashes min() columns:
     # fully codegen'd (the per-row HOF fold is interpreted and dominates
@@ -237,27 +242,11 @@ def simhash_pairs(
     4 chunks guarantees ≥1 exact chunk match), verified by bit_count(xor)."""
     bits_per = 32 // chunks
     mask = (1 << bits_per) - 1
-    # SimHash via explode → 32 codegen'd sum() aggregates (equivalent to the
-    # per-row fold in functions.text.simhash32 — integer sums are
-    # order-insensitive — but ~30× faster on large corpora).
-    tok = spread(df).select(F.col(id_col).alias("id"), F.explode(tokens_pd(F.col(text_col))).alias("t"))
-    tok = tok.withColumn("h", hash32(F.col("t")))
-    counts = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when((F.shiftright(F.col("h"), j) % 2) == 1, 1).otherwise(-1)
-            ).alias(f"c{j}")
-            for j in range(32)
-        ]
+    # SimHash per row via the Arrow-batched pandas kernel (one narrow
+    # projection, no token explode/shuffle).
+    base = spread(df).select(
+        F.col(id_col).alias("id"), simhash32_pd(F.col(text_col)).alias("sh")
     )
-    sh = counts.select(
-        "id",
-        sum(
-            [F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
-            start=F.lit(0),
-        ).cast("long").alias("sh"),
-    )
-    base = sh
     entries = base.select(
         "id",
         "sh",
@@ -320,7 +309,7 @@ def embedding_near_dup_pairs(
     exact cosine verification (Arrow-batched numpy dot).
     ``brute_force=True`` compares all pairs exactly via the blocked-GEMM
     plan (:func:`~.similarity.blocked_cosine_pairs`)."""
-    from ..functions.vectors import infer_dim, vec_dot
+    from ..functions.vectors import infer_dim, vec_dot, vec_norm
     from .similarity import _hyperplanes, banded_signature_entries, blocked_cosine_pairs
 
     if brute_force:
@@ -330,7 +319,7 @@ def embedding_near_dup_pairs(
     assert num_planes % bands == 0
     dim = infer_dim(df, vec_col)
     planes = _hyperplanes(num_planes, dim)
-    entries = banded_signature_entries(df, id_col, vec_col, "id", "v", planes, bands)
+    entries = banded_signature_entries(df, id_col, vec_col, "id", planes, bands)
     a, b = entries.alias("a"), entries.alias("b")
     cand = (
         a.join(
@@ -339,11 +328,27 @@ def embedding_near_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("a.v").alias("v_a"), F.col("a.v_norm").alias("n_a"),
-            F.col("b.id").alias("id_b"), F.col("b.v").alias("v_b"), F.col("b.v_norm").alias("n_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    vecs = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        vec_norm(F.col(vec_col)).alias("n"),
+    )
+    cand = (
+        cand.join(
+            vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("n").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("n").alias("n_b")
+            ),
+            "id_b",
+        )
     )
     denom = F.col("n_a") * F.col("n_b")
     cosine = F.when(denom == 0.0, F.lit(0.0)).otherwise(

@@ -87,23 +87,20 @@ def banded_signature_entries(
     id_col: str,
     vec_col: str,
     out_id: str,
-    out_vec: str,
     planes: list[list[float]],
     bands: int,
 ) -> DataFrame:
-    """(id, vec, norm, band, bucket) rows — one per band per input row."""
+    """(id, band, bucket) rows — one per band per input row.
+
+    Deliberately narrow: candidate generation and the distinct on candidate
+    pairs shuffle ONLY ids and bucket strings; vectors are joined back just
+    for the final verify, so the wide embedding column never rides through
+    the candidate shuffles."""
     sig = spread(df).select(
         F.col(id_col).alias(out_id),
-        F.col(vec_col).alias(out_vec),
-        vec_norm(F.col(vec_col)).alias(f"{out_vec}_norm"),
         band_buckets(F.col(vec_col), planes, bands).alias("buckets"),
     )
-    return sig.select(
-        out_id,
-        out_vec,
-        f"{out_vec}_norm",
-        F.posexplode("buckets").alias("band", "bucket"),
-    )
+    return sig.select(out_id, F.posexplode("buckets").alias("band", "bucket"))
 
 
 def cosine_topk_lsh(
@@ -128,20 +125,30 @@ def cosine_topk_lsh(
     planes = _hyperplanes(num_planes, dim)
 
     qb = F.broadcast(
-        banded_signature_entries(
-            queries, query_id_col, vec_col, "query_id", "qv", planes, bands
+        banded_signature_entries(queries, query_id_col, vec_col, "query_id", planes, bands)
+    )
+    cb = banded_signature_entries(corpus, id_col, vec_col, "neighbor_id", planes, bands)
+    cand = qb.join(cb, ["band", "bucket"]).select("query_id", "neighbor_id").distinct()
+    qv = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            vec_norm(F.col(vec_col)).alias("qn"),
         )
     )
-    cb = banded_signature_entries(corpus, id_col, vec_col, "neighbor_id", "cv", planes, bands)
-    cand = (
-        qb.join(cb, ["band", "bucket"])
-        .select("query_id", "qv", "qv_norm", "neighbor_id", "cv", "cv_norm")
-        .distinct()
+    cv = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("cn"),
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        _cosine(vec_dot("qv", "cv"), F.col("qv_norm"), F.col("cv_norm")).alias("cosine"),
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -13,7 +13,7 @@ from ..functions.text import (
     mean_token_len,
     punct_ratio,
     quality_score,
-    simhash32,
+    simhash32_pd,
     token_fingerprint,
     tokens,
     normalize_text,
@@ -66,6 +66,6 @@ def text_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "content_md5": F.md5(normalize_text(c)),
             "token_fingerprint": token_fingerprint(c),
-            "simhash": simhash32(c),
+            "simhash": simhash32_pd(c),
         }
     )
