@@ -175,7 +175,8 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (safe for whole-second predicate boundaries)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer `div`, NOT `/`: double division loses µs precision at 1.7e18 ns
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def q_plug_events_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +406,70 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pos", F.col("feat").cast("double").alias("feat"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent prior
+    purchase (union + keyed-window plan; no conditional-join explosion)."""
+    from sparkplug_spark.operators import asof_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["value"])
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment: clicks landing within 30 minutes after a
+    purchase by the same user (time-bucketed equi-join, exact filter)."""
+    from sparkplug_spark.operators import range_join
+
+    ev = read_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts")
+    )
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("win_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("interval 30 minutes")).alias("end"),
+        )
+    )
+    out = range_join(
+        clicks, windows, left_ts="ts", right_start="start", right_end="end",
+        by=["user_id"],
+    )
+    return out.select("click_id", "win_id")
+
+
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (min-label propagation to fixpoint) over the
+    MinHash near-dup pair list."""
+    from sparkplug_spark.operators import minhash_lsh_pairs, near_dup_groups
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=32, bands=8, threshold=0.5, max_key_freq=1000
+    )
+    return near_dup_groups(pairs)
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash pairs → components → keep the
+    highest-quality doc per component (ties → smallest id)."""
+    from sparkplug_spark.operators import dedup_keep_best, minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=32, bands=8, threshold=0.5, max_key_freq=1000
+    )
+    return dedup_keep_best(docs, pairs).select("doc_id", "lang")
+
+
 def q_delegated_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: each customer's highest-value order."""
     from pyspark.sql import Window
@@ -526,7 +591,85 @@ def _extension_oracles() -> dict[str, str]:
         f"WHEN s_{l} = lang_best THEN '{l}'" for l in sorted(STOPWORDS)
     )
 
+    minhash_sql = f"""
+            {jaccard_cte},
+            sig AS (
+              SELECT doc_id, sh, {_sql_minhash_sig(32)} AS sig
+              FROM (SELECT doc_id, sh, list_transform(sh, s -> {_sql_hash32('s')}) AS hs FROM d)
+            ),
+            bands AS (
+              SELECT doc_id, band,
+                     md5(array_to_string(sig[band*4+1 : band*4+4], '-')) AS bucket
+              FROM sig, range(0, 8) t(band)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   len(list_intersect(da.sh, db.sh))::DOUBLE
+                     / len(list_distinct(da.sh || db.sh)) AS jaccard
+            FROM cand
+            JOIN d da ON da.doc_id = id_a
+            JOIN d db ON db.doc_id = id_b
+            WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
+                    / len(list_distinct(da.sh || db.sh)) >= 0.5
+        """
+
+
+    cc_sql = f"""
+        WITH RECURSIVE pairs AS ({minhash_sql}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        walk(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+        )
+        SELECT id, min(label) AS group_id FROM walk GROUP BY id
+    """
+
+    quality_expr = f"""(least(len(t)::DOUBLE / 100.0, 1.0) * 0.4)
+                   + ((1.0 - least((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE
+                                     / greatest(length(text), 1)) * 4.0, 1.0)) * 0.4)
+                   + (least({_SQL_STOPWORD_RATIO.format(t='t', sw=_sql_lang_list('en'))} * 5.0, 1.0) * 0.2)"""
+
+    keep_best_sql = f"""
+        WITH RECURSIVE pairs AS ({minhash_sql}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        walk(id, label) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+        ),
+        grp AS (SELECT id, min(label) AS group_id FROM walk GROUP BY id),
+        q AS (
+          SELECT doc_id, lang, {quality_expr} AS q
+          FROM (SELECT doc_id, lang, text, {{toks}} AS t FROM documents)
+        ),
+        j AS (
+          SELECT q.doc_id, q.lang, q.q, coalesce(grp.group_id, q.doc_id) AS g
+          FROM q LEFT JOIN grp ON grp.id = q.doc_id
+        )
+        SELECT doc_id, lang FROM (
+          SELECT *, row_number() OVER (PARTITION BY g ORDER BY q DESC, doc_id) AS rn
+          FROM j
+        ) WHERE rn = 1
+    """.replace("{toks}", toks)
+
     return {
+        "near_dup_groups": cc_sql,
+        "dedup_keep_best": keep_best_sql,
         "dedup_exact": f"""
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,
@@ -560,31 +703,7 @@ def _extension_oracles() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
         """,
-        "dedup_minhash_lsh": f"""
-            {jaccard_cte},
-            sig AS (
-              SELECT doc_id, sh, {_sql_minhash_sig(32)} AS sig
-              FROM (SELECT doc_id, sh, list_transform(sh, s -> {_sql_hash32('s')}) AS hs FROM d)
-            ),
-            bands AS (
-              SELECT doc_id, band,
-                     md5(array_to_string(sig[band*4+1 : band*4+4], '-')) AS bucket
-              FROM sig, range(0, 8) t(band)
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-            )
-            SELECT id_a, id_b,
-                   len(list_intersect(da.sh, db.sh))::DOUBLE
-                     / len(list_distinct(da.sh || db.sh)) AS jaccard
-            FROM cand
-            JOIN d da ON da.doc_id = id_a
-            JOIN d db ON db.doc_id = id_b
-            WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
-                    / len(list_distinct(da.sh || db.sh)) >= 0.5
-        """,
+        "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": f"""
             WITH s AS (
               SELECT doc_id, {_sql_simhash(toks)} AS sh FROM documents
@@ -697,6 +816,20 @@ def _extension_oracles() -> dict[str, str]:
             FROM documents, range(0, 8) t(j)
             WHERE doc_id < 50
         """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS asof_ts, r.value AS asof_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join": """
+            SELECT l.event_id AS click_id, r.event_id AS win_id
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'click' AND r.event_type = 'purchase'
+             AND r.ts <= l.ts AND l.ts < r.ts + INTERVAL '30 minutes'
+        """,
         "delegated_window": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
@@ -744,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delegated_filter_agg": q_delegated_filter_agg,
         "delegated_window": q_delegated_window,
         "delegated_setops": q_delegated_setops,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "dedup_groups_tokenset": q_dedup_groups_tokenset,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -756,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
+        "near_dup_groups": q_near_dup_groups,
+        "dedup_keep_best": q_dedup_keep_best,
         "impact_report": q_impact_report,
         "multimodal_features": q_multimodal_features,
     }

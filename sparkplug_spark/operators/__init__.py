@@ -9,8 +9,10 @@ from .dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .groups import dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
-from .similarity import cosine_topk, cosine_topk_lsh
+from .joins import asof_join, range_join
+from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_lsh
 from .textops import language_id, text_fingerprints, text_stats
 
 __all__ = [
@@ -21,6 +23,11 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "rule_impact_report",
+    "asof_join",
+    "range_join",
+    "near_dup_groups",
+    "dedup_keep_best",
+    "blocked_cosine_pairs",
     "cosine_topk",
     "cosine_topk_lsh",
     "language_id",

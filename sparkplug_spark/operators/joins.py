@@ -1,0 +1,119 @@
+"""Join operators Spark lacks natively: as-of (nearest-predecessor) join
+and bucketed range join.
+
+Scale design: both avoid the O(n·m) conditional-join explosion a naive
+``l.ts >= r.ts`` join produces.  The as-of join is the union + window plan
+(one hash shuffle per side on the ``by`` keys, then a single ordered pass
+per key group); the range join buckets time so the equi-join prunes
+candidates to adjacent buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    right_cols: Sequence[str] = ("value",),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the LAST right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward as-of,
+    ties included — DuckDB ``ASOF LEFT JOIN ... ON l.on >= r.on``
+    semantics).  Right rows contribute ``{prefix}{on}`` plus
+    ``{prefix}{c}`` for each of ``right_cols``; left rows keep all columns.
+
+    Plan: tag sides, union, then one window pass per ``by`` group ordered
+    by (on, side) taking the running ``last(right_struct, ignorenulls)``.
+    At equal timestamps the right row sorts first, so it is visible to the
+    left row (>= semantics).  No join node at all: the only shuffle is the
+    window's hash partitioning on ``by`` — skew follows the key
+    distribution, same as any keyed window."""
+    by = list(by)
+    right_cols = list(right_cols)
+    lcols = left.columns
+
+    rv = F.struct(
+        F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols]
+    ).alias("__rv")
+    r = right.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(0).alias("__side"),
+        rv,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in lcols],
+    )
+    l = left.select(
+        *by,
+        F.col(on).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc("__ts"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return matched.select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.col(f"__match.{on}").alias(f"{prefix}{on}"),
+        *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str = "ts",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: Sequence[str] = (),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Inner join of left rows to right intervals containing them
+    (``right_start <= left_ts < right_end``), bucketed so the equi-join on
+    (by, time-bucket) prunes candidates instead of a full conditional
+    cross product.  Right intervals are exploded into the buckets they
+    overlap; intervals much longer than ``bucket`` replicate
+    proportionally — pick ``bucket`` near the typical interval length."""
+    by = list(by)
+    secs = F.unix_timestamp
+    bucket_s = F.lit(_duration_seconds(bucket))
+    lb = left.withColumn("__bucket", (secs(F.col(left_ts)) / bucket_s).cast("long"))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (secs(F.col(right_start)) / bucket_s).cast("long"),
+                (secs(F.col(right_end)) / bucket_s).cast("long"),
+            )
+        ),
+    )
+    cond = [lb["__bucket"] == rb["__bucket"]] + [lb[c] == rb[c] for c in by]
+    out = lb.join(rb, cond).filter(
+        (rb[right_start] <= lb[left_ts]) & (lb[left_ts] < rb[right_end])
+    )
+    return out.drop(rb["__bucket"]).drop(lb["__bucket"]).drop(*[rb[c] for c in by])
+
+
+def _duration_seconds(text: str) -> int:
+    qty, unit = text.split()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        unit.rstrip("s")
+    ]
+    return int(qty) * mult

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..engine import SparkPlug
 from ..models import DEFAULT_PLUG_DETAILS_COLUMN, PlugRule
 
-__all__ = ["plug_stream", "streaming_impact_counts"]
+__all__ = ["plug_stream", "streaming_impact_counts", "streaming_dedup_exact"]
 
 
 def plug_stream(
@@ -47,9 +47,13 @@ def streaming_impact_counts(
     details_column: str = DEFAULT_PLUG_DETAILS_COLUMN,
 ) -> DataFrame:
     """Per-window, per-rule changed-row counts over a plugged stream.
-    Watermarked tumbling window → safe state eviction with late data."""
+    Watermarked tumbling window → safe state eviction with late data.
+    Pass ``watermark_delay=None`` when the stream already carries a
+    watermark (Spark disallows redefining one)."""
+    if watermark_delay is not None:
+        plugged_stream = plugged_stream.withWatermark(time_col, watermark_delay)
     return (
-        plugged_stream.withWatermark(time_col, watermark_delay)
+        plugged_stream
         .select(F.col(time_col), F.explode(F.col(details_column)).alias("detail"))
         .groupBy(
             F.window(F.col(time_col), window_duration).alias("w"),
@@ -63,3 +67,25 @@ def streaming_impact_counts(
             "rows_changed",
         )
     )
+
+
+def streaming_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose normalized-content digest was
+    already seen within the watermark horizon.
+
+    Uses the built-in streaming state store via
+    ``dropDuplicatesWithinWatermark`` — state is evicted once the digest's
+    event time falls behind the watermark, so memory is bounded by the
+    dedup horizon, not the stream's lifetime (the unbounded-state variant
+    of ``dropDuplicates`` would OOM a 100 TB/day stream)."""
+    from ..functions.text import normalize_text
+
+    with_digest = stream_df.withColumn(
+        "__digest", F.md5(normalize_text(F.col(text_col)))
+    ).withWatermark(time_col, watermark_delay)
+    return with_digest.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")

@@ -1,0 +1,132 @@
+"""as-of join, range join, connected components, keep-best dedup,
+streaming dedup + windowed impact counts."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark import PlugAction, PlugRule
+from sparkplug_spark.operators import (
+    asof_join,
+    dedup_keep_best,
+    near_dup_groups,
+    range_join,
+)
+from sparkplug_spark.streaming import (
+    plug_stream,
+    streaming_dedup_exact,
+    streaming_impact_counts,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts("2024-01-01 10:00:00")),
+            (2, 100, ts("2024-01-01 12:00:00")),
+            (3, 200, ts("2024-01-01 09:00:00")),
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, ts("2024-01-01 09:30:00"), 5.0),
+            (100, ts("2024-01-01 11:00:00"), 7.0),
+            (200, ts("2024-01-01 09:00:00"), 9.0),  # tie: >= matches
+        ],
+        ["user_id", "ts", "value"],
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(left, right, on="ts", by=["user_id"], right_cols=["value"]).collect()
+    }
+    assert out[1]["asof_value"] == 5.0
+    assert out[2]["asof_value"] == 7.0
+    assert out[3]["asof_value"] == 9.0  # equal timestamps match
+    assert out[1]["asof_ts"] == ts("2024-01-01 09:30:00")
+
+
+def test_asof_join_no_match_is_null(spark):
+    left = spark.createDataFrame([(1, 100, ts("2024-01-01 08:00:00"))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame([(100, ts("2024-01-01 09:00:00"), 1.0)], ["user_id", "ts", "value"])
+    row = asof_join(left, right).collect()[0]
+    assert row["asof_value"] is None and row["asof_ts"] is None
+
+
+def test_range_join(spark):
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:30:00")), (2, ts("2024-01-01 13:30:00"))],
+        ["event_id", "ts"],
+    )
+    windows = spark.createDataFrame(
+        [
+            ("w1", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+            ("w2", ts("2024-01-01 11:00:00"), ts("2024-01-01 14:00:00")),
+        ],
+        ["win_id", "start", "end"],
+    )
+    out = {(r["event_id"], r["win_id"]) for r in range_join(events, windows).collect()}
+    assert out == {(1, "w1"), (2, "w2")}
+
+
+def test_near_dup_groups_chain(spark):
+    # chain 1-2-3-4 plus isolated pair (10,11): two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_best(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the quick brown fox jumps over the lazy dog and keeps running"),
+            (3, "unrelated survivor document"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    kept = {r["doc_id"] for r in dedup_keep_best(docs, pairs).collect()}
+    assert kept == {2, 3}  # 2 beats 1 on quality; 3 untouched
+
+
+def test_streaming_dedup_and_impact(spark, tmp_path):
+    src = str(tmp_path / "sd_src")
+    spark.createDataFrame(
+        [
+            (1, "same doc!", ts("2024-01-01 10:00:00"), 5.0),
+            (2, "Same doc", ts("2024-01-01 10:00:30"), 5.0),   # dup of 1 normalized
+            (3, "other doc", ts("2024-01-01 10:01:00"), -1.0),
+        ],
+        ["id", "text", "ts", "value"],
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id long, text string, ts timestamp, value double"
+    ).parquet(src)
+
+    deduped = streaming_dedup_exact(stream, text_col="text", time_col="ts")
+    plugged = plug_stream(
+        spark,
+        deduped,
+        [PlugRule("nonneg", "v1", "value < 0", (PlugAction("value", "0.0"),))],
+    )
+    counts = streaming_impact_counts(plugged, "ts", window_duration="1 minute", watermark_delay=None)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("sdi_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sdi_test").collect()
+    assert len(rows) == 1
+    assert rows[0]["rule_name"] == "nonneg" and rows[0]["rows_changed"] == 1
+    assert rows[0]["window_start"] == ts("2024-01-01 10:01:00")
