@@ -406,6 +406,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pos", F.col("feat").cast("double").alias("feat"))
 
 
+def q_delegated_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping-sets family): per-(flag,status) + per-flag + grand
+    totals in one pass."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def q_delegated_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins: customers flagged by order existence."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    cond = cust.c_custkey == orders.o_custkey
+    semi = cust.join(orders, cond, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_orders")
+    )
+    anti = cust.join(orders, cond, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_orders")
+    )
+    return semi.unionByName(anti)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched to the user's most recent prior
     purchase (union + keyed-window plan; no conditional-join explosion)."""
@@ -599,7 +627,7 @@ def _extension_oracles() -> dict[str, str]:
             ),
             bands AS (
               SELECT doc_id, band,
-                     md5(array_to_string(sig[band*4+1 : band*4+4], '-')) AS bucket
+                     ('0x' || substr(md5(array_to_string(sig[band*4+1 : band*4+4], '-')),1,15))::BIGINT AS bucket
               FROM sig, range(0, 8) t(band)
             ),
             cand AS (
@@ -687,7 +715,9 @@ def _extension_oracles() -> dict[str, str]:
         """,
         "dedup_jaccard_pairs": f"""
             {jaccard_cte},
-            e0 AS (SELECT doc_id, unnest(sh) AS s FROM d),
+            e0 AS (SELECT doc_id,
+                          unnest(list_transform(sh, x -> (('0x' || substr(md5(x),1,15))::BIGINT))) AS s
+                   FROM d),
             keys AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 100),
             e AS (SELECT e0.* FROM e0 JOIN keys USING (s)),
             sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
@@ -816,6 +846,18 @@ def _extension_oracles() -> dict[str, str]:
             FROM documents, range(0, 8) t(j)
             WHERE doc_id < 50
         """,
+        "delegated_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "delegated_semi_anti": """
+            SELECT c_custkey,
+                   c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
+            FROM customer
+        """,
         "asof_join": """
             SELECT l.event_id, l.user_id, l.ts, l.value,
                    r.ts AS asof_ts, r.value AS asof_value
@@ -877,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delegated_filter_agg": q_delegated_filter_agg,
         "delegated_window": q_delegated_window,
         "delegated_setops": q_delegated_setops,
+        "delegated_rollup": q_delegated_rollup,
+        "delegated_semi_anti": q_delegated_semi_anti,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,

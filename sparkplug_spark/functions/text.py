@@ -117,6 +117,16 @@ def hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def hash60(col: Column) -> Column:
+    """Portable 60-bit hash as bigint: first 15 hex digits of md5.  Used as
+    a join/shuffle key in place of the string it hashes — 8 bytes on the
+    wire instead of a 20-40 byte string, collision odds ~2^-60 per pair
+    (and the oracle applies the identical function, so results stay
+    bit-equal either way).  DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 #: MinHash universal-hash family h_i(x) = (a_i * x + b_i) mod p over the
 #: 32-bit hash space.  Constants from a fixed LCG so the oracle SQL embeds
 #: the same family (deterministic, engine-independent).

@@ -25,6 +25,7 @@ from ..functions.text import (
     MINHASH_PERMS,
     MINHASH_PRIME,
     hash32,
+    hash60,
     normalize_text,
     simhash32_pd,
     word_shingles_pd,
@@ -105,10 +106,13 @@ def jaccard_ngram_pairs(
     sh = (
         spread(df)
         .select(F.col(id_col).alias("id"), F.explode(word_shingles_pd(F.col(text_col), n)).alias("sh"))
-        .distinct()
+        # join/shuffle on a 60-bit hash of the shingle, not the string:
+        # 8-byte keys through the self-join (shingles are already distinct
+        # per doc, so no re-distinct)
+        .select("id", hash60(F.col("sh")).alias("sh"))
         # the inverted index feeds four consumers (stop-key filter, sizes,
         # both self-join sides); without persist Spark recomputes the
-        # tokenize+explode+distinct subplan for each
+        # tokenize+explode subplan for each
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_key_freq:
@@ -182,7 +186,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.md5(
+                        hash60(
                             F.concat_ws(
                                 "-", *[F.col(f"mh{i * rows + j}") for j in range(rows)]
                             )
