@@ -354,6 +354,20 @@ def q_simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries_df, k=10, num_planes=64, bands=8)
 
 
+def q_simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (KMeans coarse quantizer; rows-only check —
+    centroid training is data/partition dependent)."""
+    from sparkplug_spark.operators import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        emb, queries_df, k=10, num_centroids=16, n_probe=4
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import text_stats
 
@@ -932,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_similar_pairs_lsh": q_emb_similar_pairs_lsh,
         "simsearch_topk": q_simsearch_topk,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
+        "simsearch_topk_ivf": q_simsearch_topk_ivf,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,

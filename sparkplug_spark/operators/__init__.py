@@ -12,7 +12,7 @@ from .dedup import (
 from .groups import dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join
-from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_lsh
+from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .textops import language_id, text_fingerprints, text_stats
 
 __all__ = [
@@ -29,6 +29,7 @@ __all__ = [
     "dedup_keep_best",
     "blocked_cosine_pairs",
     "cosine_topk",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "language_id",
     "text_fingerprints",

@@ -130,3 +130,46 @@ def test_streaming_dedup_and_impact(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["rule_name"] == "nonneg" and rows[0]["rows_changed"] == 1
     assert rows[0]["window_start"] == ts("2024-01-01 10:01:00")
+
+
+def test_cosine_topk_ivf_full_probe_equals_exact(spark):
+    import random
+
+    from sparkplug_spark.operators import cosine_topk, cosine_topk_ivf
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_ivf(
+            corpus, queries, k=5, num_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert ivf == exact  # exhaustive probe == brute force
+
+
+def test_cosine_topk_ivf_partial_probe_recall(spark):
+    import random
+
+    from sparkplug_spark.operators import cosine_topk, cosine_topk_ivf
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(corpus, queries, k=5, num_centroids=8, n_probe=4).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5  # loose recall floor
