@@ -29,6 +29,7 @@ __all__ = [
     "attach_media_meta",
     "repartition_for_media",
     "decode_image_features",
+    "extract_audio_features",
     "sample_video_frames",
 ]
 
@@ -112,6 +113,57 @@ def decode_image_features(
             pdf["features"] = [
                 _fake_image_decode(p, feature_dim) for p in pdf[binary_col]
             ]
+            yield pdf[cols + ["features"]]
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    frame_ms: int = 25,
+    n_mels: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """payload audio → per-clip mel-style feature matrix
+    (``features array<array<float>>``, one row of ``n_mels`` floats per
+    ``frame_ms`` frame) via Arrow-batched ``mapInPandas``.
+
+    Fake decoder derives frame count from payload size (1 KB ≅ 1 s) and
+    fills deterministic md5-seeded values; ``decoder="real"`` raises at the
+    exact point a librosa/torchaudio call would slot in."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField("features", T.ArrayType(T.ArrayType(T.FloatType())))]
+    )
+    cols = df.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real audio decode requires librosa/torchaudio — not in "
+                    "this container; plug the mel-spectrogram call here"
+                )
+            feats = []
+            for p in pdf[binary_col]:
+                payload = p if p is not None else b""
+                duration_ms = max(len(payload), 1)
+                n_frames = max(1, duration_ms // frame_ms)
+                h = hashlib.md5(payload).digest()
+                feats.append(
+                    [
+                        [((h[(f + m) % len(h)] + f) % 256) / 255.0 for m in range(n_mels)]
+                        for f in range(min(n_frames, 1000))
+                    ]
+                )
+            pdf = pdf.copy()
+            pdf["features"] = feats
             yield pdf[cols + ["features"]]
 
     return df.mapInPandas(batches, schema=out_schema)

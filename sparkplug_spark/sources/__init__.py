@@ -21,7 +21,7 @@ from ..models import PlugRule, rule_from_dict, rules_from_json_lines
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_plug_rules", "read_table", "write_table"]
+__all__ = ["read_plug_rules", "read_table", "write_table", "write_bucketed"]
 
 _LOCAL_SCHEMES = ("", "file")
 
@@ -65,3 +65,23 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def write_bucketed(
+    df: "DataFrame",
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table (``bucketBy`` + ``saveAsTable``): both
+    sides of a repeated equi-join bucketed the same way join with ZERO
+    shuffle — the scan partitioning already satisfies the join's
+    distribution.  The knob that turns an every-run 100 TB shuffle into a
+    one-time write cost for fact-to-fact joins."""
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

@@ -173,3 +173,34 @@ def test_cosine_topk_ivf_partial_probe_recall(spark):
         for r in cosine_topk_ivf(corpus, queries, k=5, num_centroids=8, n_probe=4).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5  # loose recall floor
+
+
+def test_extract_audio_features(spark):
+    from sparkplug_spark.operators.multimodal import extract_audio_features
+
+    df = spark.createDataFrame([(1, b"x" * 100), (2, None)], ["id", "payload"])
+    rows = {r["id"]: r for r in extract_audio_features(df, frame_ms=25, n_mels=4).collect()}
+    assert len(rows[1]["features"]) == 4  # 100 "ms" / 25
+    assert len(rows[1]["features"][0]) == 4
+    assert len(rows[2]["features"]) == 1  # null payload -> 1 empty-derived frame
+    with pytest.raises(Exception):
+        extract_audio_features(df, decoder="real").collect()
+
+
+def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from sparkplug_spark.sources import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).withColumnRenamed("id", "k")
+        b = spark.range(0, 1000).withColumnRenamed("id", "k")
+        write_bucketed(a, "bk_a", ["k"], num_buckets=4)
+        write_bucketed(b, "bk_b", ["k"], num_buckets=4)
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing co-locates the join
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists bk_a")
+        spark.sql("drop table if exists bk_b")
