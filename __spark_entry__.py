@@ -394,6 +394,34 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition demo: text-analysis columns feed rule conditions — the
+    data-quality engine runs ON derived pipeline features (docs below a
+    quality floor or with unknown language get tagged for exclusion)."""
+    from sparkplug_spark.operators import language_id, text_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    enriched = language_id(text_stats(docs)).select(
+        "doc_id", "lang", "quality_score", "lang_pred", "n_tokens"
+    )
+    rules = [
+        PlugRule(
+            "reject_low_quality",
+            "v1",
+            "quality_score < 0.35 or n_tokens < 5",
+            (PlugAction("lang", "rejected"),),
+        ),
+        PlugRule(
+            "flag_langid_mismatch",
+            "v1",
+            "lang != 'rejected' and lang_pred != 'und' and lang_pred != lang",
+            (PlugAction("lang", "`concat(lang, '?')`"),),
+        ),
+    ]
+    out = SparkPlug.builder(spark).create().plug(enriched, rules)
+    return out.select("doc_id", "lang")
+
+
 def q_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import rule_impact_report
 
@@ -709,8 +737,38 @@ def _extension_oracles() -> dict[str, str]:
         ) WHERE rn = 1
     """.replace("{toks}", toks)
 
+    s_cols = ", ".join(f"s_{l}" for l in sorted(STOPWORDS))
+    s_defs = ", ".join(f"{sw_ratios[l]} AS s_{l}" for l in sorted(STOPWORDS))
+    pipeline_sql = f"""
+        WITH inner0 AS (
+          SELECT doc_id, lang, text, t, {s_defs}
+          FROM (SELECT doc_id, lang, text, {toks} AS t FROM documents)
+        ),
+        mid AS (
+          SELECT doc_id, lang, text, t, {s_cols}, {best} AS lang_best FROM inner0
+        ),
+        scored AS (
+          SELECT doc_id, lang,
+                 {quality_expr} AS quality_score,
+                 len(t) AS n_tokens,
+                 CASE WHEN lang_best <= 0.0 THEN 'und' {pred_cases} END AS lang_pred
+          FROM mid
+        ),
+        r1 AS (
+          SELECT doc_id, n_tokens, lang_pred,
+                 CASE WHEN quality_score < 0.35 OR n_tokens < 5
+                      THEN 'rejected' ELSE lang END AS lang
+          FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN lang != 'rejected' AND lang_pred != 'und' AND lang_pred != lang
+                    THEN lang || '?' ELSE lang END AS lang
+        FROM r1
+    """
+
     return {
         "near_dup_groups": cc_sql,
+        "pipeline_quality_rules": pipeline_sql,
         "dedup_keep_best": keep_best_sql,
         "dedup_exact": f"""
             SELECT doc_id, lang, n_chars FROM (
@@ -952,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "near_dup_groups": q_near_dup_groups,
         "dedup_keep_best": q_dedup_keep_best,
+        "pipeline_quality_rules": q_pipeline_quality_rules,
         "impact_report": q_impact_report,
         "multimodal_features": q_multimodal_features,
     }

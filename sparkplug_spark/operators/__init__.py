@@ -11,7 +11,7 @@ from .dedup import (
 )
 from .groups import dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
-from .joins import asof_join, range_join
+from .joins import asof_join, range_join, salted_join
 from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .textops import language_id, text_fingerprints, text_stats
 
@@ -25,6 +25,7 @@ __all__ = [
     "rule_impact_report",
     "asof_join",
     "range_join",
+    "salted_join",
     "near_dup_groups",
     "dedup_keep_best",
     "blocked_cosine_pairs",

@@ -15,7 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "salted_join"]
 
 
 def asof_join(
@@ -117,3 +117,31 @@ def _duration_seconds(text: str) -> int:
         unit.rstrip("s")
     ]
     return int(qty) * mult
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys: left rows get a random
+    salt in [0, salts); the (small-ish) right side is replicated once per
+    salt value; the join key becomes (on, salt), splitting each hot key's
+    rows across ``salts`` tasks instead of one straggler.
+
+    AQE's skew-join handles sort-merge skew automatically; salting remains
+    the tool when AQE can't help (hash aggregation downstream, or a single
+    key too hot for any split AQE chooses).  Result set is identical to the
+    unsalted join (salt is internal).  ``how`` limited to inner/left —
+    replicating the right side breaks semi/anti semantics."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    l = left.withColumn("__salt", (F.rand(seed) * salts).cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    out = l.join(r, [on, "__salt"], how)
+    return out.drop("__salt")

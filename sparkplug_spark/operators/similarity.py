@@ -197,7 +197,8 @@ def cosine_topk_ivf(
         F.col("cn") == 0.0, F.col("cv").cast("array<double>")
     ).otherwise(F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cn")))
     feats = c.select("neighbor_id", "cv", "cn", array_to_vector(unit).alias("__f"))
-    model = KMeans(k=num_centroids, seed=seed, featuresCol="__f").fit(feats)
+    # a coarse quantizer doesn't need convergence — cap iterations
+    model = KMeans(k=num_centroids, seed=seed, maxIter=8, featuresCol="__f").fit(feats)
     centers = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])
     norms = np.linalg.norm(centers, axis=1)
     norms[norms == 0] = 1.0

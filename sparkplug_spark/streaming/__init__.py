@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 from ..engine import SparkPlug
 from ..models import DEFAULT_PLUG_DETAILS_COLUMN, PlugRule
 
-__all__ = ["plug_stream", "streaming_impact_counts", "streaming_dedup_exact"]
+from .sessions import sessionize_stream
+
+__all__ = [
+    "plug_stream",
+    "streaming_impact_counts",
+    "streaming_dedup_exact",
+    "sessionize_stream",
+]
 
 
 def plug_stream(

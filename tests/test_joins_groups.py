@@ -204,3 +204,55 @@ def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("drop table if exists bk_a")
         spark.sql("drop table if exists bk_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sparkplug_spark.operators import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")], ["k", "lv"]
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "rv"])
+    plain = {tuple(r) for r in left.join(right, "k").select("k", "lv", "rv").collect()}
+    salted = {
+        tuple(r)
+        for r in salted_join(left, right, "k", salts=4).select("k", "lv", "rv").collect()
+    }
+    assert salted == plain
+    outer = {
+        tuple(r)
+        for r in salted_join(left, right, "k", salts=4, how="left")
+        .select("k", "lv", "rv")
+        .collect()
+    }
+    assert (3, "e", None) in outer
+
+
+def test_sessionize_stream(spark, tmp_path):
+    from sparkplug_spark.streaming import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        (100, ts("2024-01-01 10:00:00")),
+        (100, ts("2024-01-01 10:10:00")),   # same session (gap 10m < 30m)
+        (100, ts("2024-01-01 12:00:00")),   # new session after 110m gap
+        (200, ts("2024-01-01 10:00:00")),
+    ]
+    spark.createDataFrame(rows, ["user_id", "ts"]).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    # only user 100's FIRST session closes within this batch (the 12:00
+    # event is > gap after it); open sessions stay in state
+    assert (100, ts("2024-01-01 10:00:00"), 2) in got
