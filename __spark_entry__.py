@@ -304,6 +304,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH engine path (rows-only: ML hash seeds are not
+    reproducible in SQL)."""
+    from sparkplug_spark.operators import minhash_lsh_pairs_ml
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_ml(docs, n=3, num_hash_tables=8, max_jaccard_distance=0.5)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import simhash_pairs
 
@@ -999,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_tokenset": q_dedup_groups_tokenset,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_ml": q_dedup_minhash_ml,
         "dedup_simhash": q_dedup_simhash,
         "emb_similar_pairs": q_emb_similar_pairs,
         "emb_similar_pairs_lsh": q_emb_similar_pairs_lsh,

@@ -7,6 +7,7 @@ from .dedup import (
     embedding_near_dup_pairs,
     jaccard_ngram_pairs,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_ml,
     simhash_pairs,
 )
 from .groups import dedup_keep_best, near_dup_groups
@@ -21,6 +22,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "jaccard_ngram_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_ml",
     "simhash_pairs",
     "rule_impact_report",
     "asof_join",

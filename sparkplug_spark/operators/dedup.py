@@ -37,6 +37,7 @@ __all__ = [
     "exact_duplicate_groups",
     "jaccard_ngram_pairs",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_ml",
     "simhash_pairs",
     "embedding_near_dup_pairs",
 ]
@@ -361,4 +362,54 @@ def embedding_near_dup_pairs(
     return (
         cand.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_ml(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Alternative engine path: ``pyspark.ml.feature`` MinHashLSH +
+    ``approxSimilarityJoin`` over hashed shingle vocab vectors.
+
+    Same contract as :func:`minhash_lsh_pairs` (id_a < id_b, exact verified
+    jaccard) but candidate generation rides Spark ML's OR-amplified LSH.
+    Results are seed/partitioning dependent (rows-only check); prefer
+    :func:`minhash_lsh_pairs` when cross-engine reproducibility matters."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles_pd(F.col(text_col), n).alias("shingles"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="__features", binary=True
+    ).fit(base)
+    feats = cv.transform(base).filter(
+        # MinHashLSH requires at least one non-zero entry
+        F.size("shingles") > 0
+    )
+    lsh = MinHashLSH(
+        inputCol="__features", outputCol="__hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    ).fit(feats)
+    joined = lsh.approxSimilarityJoin(
+        feats, feats, max_jaccard_distance, distCol="__dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("datasetA.shingles", "datasetB.shingles")).cast("double")
+                / F.size(F.array_union("datasetA.shingles", "datasetB.shingles")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
     )

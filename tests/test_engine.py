@@ -372,3 +372,22 @@ def test_plug_on_driver_part_table(spark, sf_dir):
         (F.col("p_brand") == "Brand#23") & (F.col("p_retailprice") < 999.99)
     )
     assert bad.count() == 0
+
+
+def test_long_rule_chain_fuses(spark, sf_dir):
+    # 100 sequential rules must stay a narrow fused plan (no shuffle) and
+    # analyze in seconds, not minutes (SURVEY 7.3 scale risk)
+    from sparkplug_spark import PlugAction, PlugRule, SparkPlug
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rules = [
+        PlugRule(
+            f"r{i}", "v1", f"p_size = {i % 50}",
+            (PlugAction("p_retailprice", f"`p_retailprice + {i}.0`"),),
+        )
+        for i in range(100)
+    ]
+    out = SparkPlug.builder(spark).create().plug(part, rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert out.count() == part.count()

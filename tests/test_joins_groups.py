@@ -256,3 +256,20 @@ def test_sessionize_stream(spark, tmp_path):
     # only user 100's FIRST session closes within this batch (the 12:00
     # event is > gap after it); open sessions stay in state
     assert (100, ts("2024-01-01 10:00:00"), 2) in got
+
+
+def test_minhash_lsh_pairs_ml(spark):
+    from sparkplug_spark.operators import minhash_lsh_pairs_ml
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "the quick brown fox jumps over the lazy dog tonight also"),
+        (3, "completely unrelated text about spark physical plans and shuffles"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs_ml(docs, max_jaccard_distance=0.9).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert all(3 not in p for p in pairs)
