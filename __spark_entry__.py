@@ -431,6 +431,30 @@ def q_pipeline_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-style
+    pre-tokenizer count (word runs + single punctuation symbols)."""
+    from sparkplug_spark.functions.text import token_count_bpe, tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer et al.), exploded to
+    (doc_id, fingerprint) rows."""
+    from sparkplug_spark.functions.text import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(winnowing_fingerprints(F.col("text"), k=8, window=4)).alias("fp")
+    )
+
+
 def q_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import rule_impact_report
 
@@ -891,6 +915,36 @@ def _extension_oracles() -> dict[str, str]:
                    {_sql_simhash(toks)} AS simhash
             FROM documents
         """,
+        "text_token_counts": r"""
+            SELECT doc_id,
+                   len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "text_winnowing": """
+        WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nm FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN length(nm) < 8 THEN [nm]
+                      ELSE list_transform(generate_series(1, length(nm)-7), i -> substr(nm, i, 8))
+                 END AS grams
+          FROM n
+        ),
+        h AS (
+          SELECT doc_id,
+                 list_transform(grams, x -> (('0x' || substr(md5(x),1,15))::BIGINT)) AS hs
+          FROM g
+        ),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+                      ELSE list_transform(generate_series(1, len(hs)-3), j -> list_min(hs[j:j+3]))
+                 END AS mins
+          FROM h
+        )
+        SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m
+""",
         "impact_report": """
             WITH r1 AS (
               SELECT *, CASE WHEN p_brand = 'Brand#23' AND p_retailprice < 1000
@@ -1018,6 +1072,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "text_fingerprints": q_text_fingerprints,
+        "text_token_counts": q_text_token_counts,
+        "text_winnowing": q_text_winnowing,
         "near_dup_groups": q_near_dup_groups,
         "dedup_keep_best": q_dedup_keep_best,
         "pipeline_quality_rules": q_pipeline_quality_rules,

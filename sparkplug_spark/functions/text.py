@@ -26,6 +26,8 @@ __all__ = [
     "minhash_signature",
     "simhash32",
     "token_fingerprint",
+    "token_count_bpe",
+    "winnowing_fingerprints",
     "STOPWORDS",
     "stopword_ratio",
     "punct_ratio",
@@ -294,3 +296,52 @@ def quality_score(col: Column) -> Column:
     punct_score = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
     sw_score = F.least(stopword_ratio(col, "en") * F.lit(5.0), F.lit(1.0))
     return (len_score * F.lit(0.4)) + (punct_score * F.lit(0.4)) + (sw_score * F.lit(0.2))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-style pre-tokenizer count: runs of word chars OR single
+    non-word-non-space chars (the GPT-2 pre-tokenize shape, without the
+    merge table).  Whitespace-insensitive, punctuation counted per symbol.
+    DuckDB: ``len(regexp_extract_all(x, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))``."""
+    return F.size(
+        F.regexp_extract_all(col if not isinstance(col, str) else F.col(col),
+                             F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), F.lit(0))
+    )
+
+
+def winnowing_fingerprints(
+    col: Column | str, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling char k-gram hashes of the normalized text; keep the minimum of
+    each ``window`` consecutive hashes; distinct mins are the fingerprint
+    set (``array<bigint>``).  Robust to local edits — standard for
+    plagiarism/near-dup detection.  Hashes are md5-derived (hash60), so the
+    DuckDB oracle reproduces the exact set."""
+    import hashlib
+
+    strip = re.compile(r"[^a-z0-9 ]")
+    squash = re.compile(r" +")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(s: pd.Series) -> pd.Series:
+        out = []
+        for text in s:
+            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            if len(norm) < k:
+                grams = [norm]
+            else:
+                grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
+            hs = [
+                int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+            ]
+            if len(hs) <= window:
+                mins = [min(hs)]
+            else:
+                mins = [
+                    min(hs[j : j + window]) for j in range(len(hs) - window + 1)
+                ]
+            out.append(sorted(set(mins)))
+        return pd.Series(out)
+
+    return _fp(col)

@@ -273,3 +273,26 @@ def test_minhash_lsh_pairs_ml(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
     assert all(3 not in p for p in pairs)
+
+
+def test_token_count_bpe(spark):
+    from sparkplug_spark.functions.text import token_count_bpe
+
+    df = spark.createDataFrame([(1, "Hello, world! It's 2024.")], ["id", "text"])
+    # Hello , world ! It ' s 2024 .  -> 9
+    assert df.select(token_count_bpe("text").alias("n")).collect()[0]["n"] == 9
+
+
+def test_winnowing_fingerprints_edit_robust(spark):
+    from sparkplug_spark.functions.text import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    edited = base.replace("lazy", "hazy")
+    df = spark.createDataFrame([(1, base), (2, edited), (3, "zz")], ["id", "text"])
+    rows = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnowing_fingerprints("text").alias("fp")).collect()
+    }
+    overlap = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+    assert overlap > 0.5           # local edit keeps most fingerprints
+    assert len(rows[3]) == 1       # short doc -> single gram fingerprint
