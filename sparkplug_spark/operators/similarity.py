@@ -168,6 +168,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     over L2-normalized vectors partitions the corpus into ``num_centroids``
@@ -197,8 +198,11 @@ def cosine_topk_ivf(
         F.col("cn") == 0.0, F.col("cv").cast("array<double>")
     ).otherwise(F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cn")))
     feats = c.select("neighbor_id", "cv", "cn", array_to_vector(unit).alias("__f"))
-    # a coarse quantizer doesn't need convergence — cap iterations
-    model = KMeans(k=num_centroids, seed=seed, maxIter=8, featuresCol="__f").fit(feats)
+    # a coarse quantizer doesn't need convergence — cap iterations and
+    # (at 100 TB) train on a sample: centroids from 1% of the corpus are
+    # as good a partitioner as centroids from all of it
+    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
+    model = KMeans(k=num_centroids, seed=seed, maxIter=8, featuresCol="__f").fit(train)
     centers = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])
     norms = np.linalg.norm(centers, axis=1)
     norms[norms == 0] = 1.0
