@@ -200,6 +200,34 @@ def q_plug_events_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value", "props")
 
 
+def q_plug_rich_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY 2.2 delegated-surface probe INSIDE rule conditions: IN,
+    BETWEEN, regexp, CASE WHEN, date extraction, arithmetic."""
+    orders = _read(spark, sf_dir, "orders")
+    rules = [
+        PlugRule(
+            "prio_bump",
+            "v1",
+            "o_orderpriority in ('1-URGENT', '2-HIGH') and o_totalprice between 1000 and 50000",
+            (PlugAction("o_orderpriority", "0-ESCALATED"),),
+        ),
+        PlugRule(
+            "prio_digit_audit",
+            "v1",
+            "cast(regexp_extract(o_orderpriority, '^([0-9]+)', 1) as int) >= 4 and o_custkey % 97 = 0",
+            (PlugAction("o_orderstatus", "`concat('audited-', o_orderstatus)`"),),
+        ),
+        PlugRule(
+            "q4_discount",
+            "v1",
+            "month(o_orderdate) >= 10 and (case when o_orderstatus = 'F' then 1 else 0 end) = 1",
+            (PlugAction("o_totalprice", "`o_totalprice * 0.95`"),),
+        ),
+    ]
+    out = SparkPlug.builder(spark).create().plug(orders, rules)
+    return out.select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # Delegated Spark SQL surface (SURVEY §2.2) — TPC-H-style probes
 # ---------------------------------------------------------------------------
@@ -1049,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plug_struct": q_plug_struct,
         "plug_lenient": q_plug_lenient,
         "plug_events_time": q_plug_events_time,
+        "plug_rich_conditions": q_plug_rich_conditions,
         "delegated_agg": q_delegated_agg,
         "delegated_join_topk": q_delegated_join_topk,
         "delegated_filter_agg": q_delegated_filter_agg,
@@ -1186,6 +1215,28 @@ def _core_oracles() -> dict[str, str]:
               FROM r1
             )
             SELECT event_id, event_type, value, props FROM r2
+        """,
+        "plug_rich_conditions": """
+            WITH r1 AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice,
+                     CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               AND o_totalprice BETWEEN 1000 AND 50000
+                          THEN '0-ESCALATED' ELSE o_orderpriority END AS o_orderpriority
+              FROM orders
+            ), r2 AS (
+              SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice,
+                     CASE WHEN CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS INT) >= 4
+                               AND o_custkey % 97 = 0
+                          THEN 'audited-' || o_orderstatus ELSE o_orderstatus END AS o_orderstatus
+              FROM r1
+            ), r3 AS (
+              SELECT o_orderkey, o_orderpriority, o_orderstatus,
+                     CASE WHEN month(o_orderdate) >= 10
+                               AND (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) = 1
+                          THEN o_totalprice * 0.95 ELSE o_totalprice END AS o_totalprice
+              FROM r2
+            )
+            SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus FROM r3
         """,
         "delegated_agg": """
             SELECT l_returnflag, l_linestatus,
