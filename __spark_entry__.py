@@ -24,6 +24,10 @@ from sparkplug_spark import PlugAction, PlugRule, SparkPlug
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # parquet timestamps are tz-naive; DuckDB compares them naively.  Pin the
+    # session to UTC so Spark's literal parsing and datetime rendering agree
+    # with the oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -174,6 +178,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader rejects; read nanos as long and convert to a micros timestamp
     (safe for whole-second predicate boundaries)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # integer `div`, NOT `/`: double division loses µs precision at 1.7e18 ns
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
