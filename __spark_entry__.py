@@ -347,10 +347,12 @@ def q_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit simhash, hamming ≤ 3, 4×16-bit chunk candidate tables
+    (the Manku WWW'07 configuration)."""
     from sparkplug_spark.operators import simhash_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=6)
+    return simhash_pairs(docs, max_hamming=3, chunks=4)
 
 
 def q_emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,12 +875,35 @@ def _extension_oracles() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": f"""
-            WITH s AS (
-              SELECT doc_id, {_sql_simhash(toks)} AS sh FROM documents
+            -- 64-bit simhash: per-token hash = two md5 32-bit halves
+            -- (bit j<32 from hex[1:8], bit j>=32 from hex[9:16]); ±1 votes
+            -- over the token multiset; bit 63 packed as the negative
+            -- two's-complement term.  Mirrors simhash64_pd exactly.
+            WITH tok AS (SELECT doc_id, unnest({toks}) AS s FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(s),1,8))::BIGINT AS ha,
+                     ('0x' || substr(md5(s),9,8))::BIGINT AS hb
+              FROM tok
+            ),
+            v AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (CASE WHEN j < 32 THEN (ha >> j)
+                                        ELSE (hb >> (j - 32)) END) & 1 = 1
+                              THEN 1 ELSE -1 END) AS vote
+              FROM h, range(0, 64) r(j)
+              GROUP BY doc_id, j
+            ),
+            sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote <= 0 THEN 0::HUGEINT
+                              WHEN j = 63 THEN (-9223372036854775808)::HUGEINT
+                              ELSE (1::BIGINT << j)::HUGEINT END)::BIGINT AS sh
+              FROM v GROUP BY doc_id
             ),
             chunks AS (
-              SELECT doc_id, sh, c AS chunk_id, (sh >> (8*c)::INT) & 255 AS chunk
-              FROM s, range(0, 4) t(c)
+              SELECT doc_id, sh, c AS chunk_id, (sh >> (16*c)::INT) & 65535 AS chunk
+              FROM sim, range(0, 4) t(c)
             ),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -888,7 +913,7 @@ def _extension_oracles() -> dict[str, str]:
                    AND a.doc_id < b.doc_id
             )
             SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
-            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         """,
         "emb_similar_pairs": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -25,6 +25,7 @@ __all__ = [
     "MINHASH_PERMS",
     "minhash_signature",
     "simhash32",
+    "simhash64_pd",
     "token_fingerprint",
     "token_count_bpe",
     "winnowing_fingerprints",
@@ -234,6 +235,59 @@ def simhash32_pd(col: Column | str) -> Column:
             )
             votes = (2 * ((hs[:, None] >> bit_idx) & 1) - 1).sum(axis=0)
             out.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return _simhash(col)
+
+
+def simhash64_pd(col: Column | str) -> Column:
+    """64-bit SimHash (the Manku et al. WWW'07 shape) as a signed bigint.
+
+    Per-token 64-bit hash = two md5-derived 32-bit halves: bit j<32 comes
+    from hex[1:8] (low word), bit j>=32 from hex[9:16] (high word) — both
+    halves parse as non-negative BIGINTs in DuckDB, so the oracle never
+    touches an out-of-range 16-hex-digit literal.  ±1 bit votes over the
+    token multiset, sign bits packed; bit 63 makes the result negative
+    (two's complement), which both engines handle identically under
+    xor/bit_count/shift-and-mask.
+
+    Replaces 32-bit simhash for candidate generation: 64 bits give 4
+    chunk tables of 16 bits (65536 buckets each), so bucket population
+    stays ~n/2^16 as the corpus grows — the 32-bit/8-bit-chunk variant
+    saturated at 256 buckets per table.
+    """
+    import hashlib
+
+    import numpy as np
+
+    strip = re.compile(r"[^a-z0-9 ]")
+    squash = re.compile(r" +")
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def h64(tok: str) -> int:
+            v = cache.get(tok)
+            if v is None:
+                hx = hashlib.md5(tok.encode()).hexdigest()
+                v = (int(hx[8:16], 16) << 32) | int(hx[:8], 16)
+                if len(cache) < 1_000_000:
+                    cache[tok] = v
+            return v
+
+        out = []
+        for text in s:
+            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            hs = np.fromiter(
+                (h64(t) for t in norm.split(" ")), dtype=np.uint64
+            )
+            votes = (
+                2 * ((hs[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64) - 1
+            ).sum(axis=0)
+            packed = int(((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
+            out.append(packed - (1 << 64) if packed >= (1 << 63) else packed)
         return pd.Series(out, dtype="int64")
 
     return _simhash(col)

@@ -27,7 +27,7 @@ from ..functions.text import (
     hash32,
     hash60,
     normalize_text,
-    simhash32_pd,
+    simhash64_pd,
     word_shingles_pd,
 )
 from ..partitioning import spread
@@ -242,16 +242,32 @@ def simhash_pairs(
     chunks: int = 4,
     max_key_freq: int = 10000,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 32-bit simhash, candidate generation by
-    matching any of ``chunks`` 8-bit chunks (pigeonhole: hamming ≤ 3 with
-    4 chunks guarantees ≥1 exact chunk match), verified by bit_count(xor)."""
-    bits_per = 32 // chunks
+    """SimHash near-dup pairs: 64-bit simhash (Manku et al., WWW'07 shape),
+    candidate generation by matching any of ``chunks`` 16-bit chunks
+    (pigeonhole: hamming ≤ chunks-1 guarantees ≥1 exact chunk match),
+    verified by ``bit_count(xor)``.
+
+    Scale: each of the 4 chunk tables has 2^16 bucket values, so bucket
+    population grows as n/65536 — a billion-doc corpus averages ~15k docs
+    per bucket, right at ``max_key_freq``; widen ``chunks``→2 (32-bit
+    buckets, hamming ≤ 1 per pigeonhole) or raise the cap for looser
+    thresholds.  (The 32-bit/8-bit-chunk v1 saturated: 256 buckets per
+    table meant every bucket went hot at ~10M docs and the stop-key cap
+    silently dropped all candidates.)"""
+    assert 64 % chunks == 0 and chunks >= max_hamming + 1, (
+        "pigeonhole needs chunks >= max_hamming+1 and chunks | 64"
+    )
+    bits_per = 64 // chunks
     mask = (1 << bits_per) - 1
     # SimHash per row via the Arrow-batched pandas kernel (one narrow
     # projection, no token explode/shuffle).
     base = spread(df).select(
-        F.col(id_col).alias("id"), simhash32_pd(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"), simhash64_pd(F.col(text_col)).alias("sh")
     )
+    # Chunk c = bits [c*bits_per, (c+1)*bits_per).  Arithmetic shift + mask
+    # is fill-bit-safe for every c (fill bits land above the mask window),
+    # and identical in DuckDB, so negative (bit-63-set) hashes chunk the
+    # same way in both engines.
     entries = base.select(
         "id",
         "sh",
@@ -260,7 +276,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        ((F.col("sh") / F.lit(1 << (bits_per * c))).cast("long") % F.lit(mask + 1)).alias("chunk"),
+                        F.shiftright(F.col("sh"), bits_per * c)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
                     )
                     for c in range(chunks)
                 ]

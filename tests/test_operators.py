@@ -66,9 +66,61 @@ def test_minhash_lsh_finds_near_dups(spark):
 
 def test_simhash_pairs(spark):
     df = docs_df(spark)
-    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=4).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=3).collect()}
     assert (1, 3) in pairs and pairs[(1, 3)] == 0  # identical tokens
-    assert all(h <= 4 for h in pairs.values())
+    assert all(h <= 3 for h in pairs.values())
+
+
+def _seeded_near_dup_docs(spark, n_pairs=150, n_tokens=200, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(2000)]
+    rows, seeded = [], []
+    for i in range(n_pairs):
+        base = [rng.choice(vocab) for _ in range(n_tokens)]
+        mut = list(base)
+        mut[rng.randrange(n_tokens)] = rng.choice(vocab)  # 1-word edit
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(mut)))
+        seeded.append((2 * i, 2 * i + 1))
+    return spark.createDataFrame(rows, ["doc_id", "text"]), seeded
+
+
+def test_simhash64_candidate_exactness_and_recall(spark):
+    """The 4×16-bit chunk index must be LOSSLESS for hamming ≤ 3
+    (pigeonhole), and the 64-bit hash must actually catch 1-word edits.
+
+    Guards the round-1 regression: 8-bit chunks saturated at 256 buckets,
+    so at scale max_key_freq silently dropped every candidate."""
+    from sparkplug_spark.functions.text import simhash64_pd
+
+    df, seeded = _seeded_near_dup_docs(spark, n_pairs=400)
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", simhash64_pd("text").alias("sh")).collect()
+    }
+    # ground truth: all pairs with hamming <= 3, brute-forced locally
+    ids = sorted(sh)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert got == truth  # candidate generation drops nothing at hamming<=3
+    recall = sum(1 for p in seeded if p in got) / len(seeded)
+    assert recall >= 0.75  # empirically ~0.9 for 200-token docs, 1 edit
+    # bucket diversity: each 16-bit chunk table must hold more distinct
+    # bucket values than the 256 an 8-bit chunk could ever produce (near-dup
+    # pairs share chunks, so ~400 distinct sources per 65536-bucket table)
+    for c in range(4):
+        distinct = len({(sh[i] >> (16 * c)) & 0xFFFF for i in ids})
+        assert distinct > 256
 
 
 def emb_df(spark, n=30, dim=8):
