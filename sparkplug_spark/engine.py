@@ -239,6 +239,21 @@ class SparkPlug:
     keep_old_field_enabled: bool = False
     lenient: bool = False
 
+    def __post_init__(self) -> None:
+        # metrics need the details column to count changed rows; auto-enable
+        # it (as enable_metrics does) so direct construction / one-shot
+        # plug(..., metrics_observation=...) kwargs don't hit a None deref
+        if self.metrics_observation is not None and self.plug_details is None:
+            object.__setattr__(
+                self,
+                "plug_details",
+                PlugDetailsConfig(
+                    DEFAULT_PLUG_DETAILS_COLUMN,
+                    PLUG_DETAILS_SCHEMA_DDL,
+                    default_details_entry,
+                ),
+            )
+
     # -- builder -----------------------------------------------------------
     @staticmethod
     def builder(spark: SparkSession) -> "SparkPlug":

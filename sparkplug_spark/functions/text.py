@@ -309,20 +309,32 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def stopword_ratio(col: Column, lang: str = "en") -> Column:
-    """Fraction of tokens that are function words of ``lang``."""
-    toks = tokens(col)
+def stopword_ratio_t(toks: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are function words of ``lang``, over an
+    already-materialized token array (tokenize ONCE, derive many — a
+    tokens expression inlined here would be re-evaluated per consumer
+    after projection collapse)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are function words of ``lang``."""
+    return stopword_ratio_t(tokens(col), lang)
+
+
+def lang_scores_t(toks: Column) -> Column:
+    """Per-language stopword-ratio struct over a materialized token array."""
+    return F.struct(
+        *[stopword_ratio_t(toks, lang).alias(lang) for lang in sorted(STOPWORDS)]
+    )
+
+
 def lang_scores(col: Column) -> Column:
     """Struct of per-language stopword-ratio scores; argmax is the
     predicted language (documents with no function words score 0 for all)."""
-    return F.struct(
-        *[stopword_ratio(col, lang).alias(lang) for lang in sorted(STOPWORDS)]
-    )
+    return lang_scores_t(tokens(col))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -333,10 +345,24 @@ def punct_ratio(col: Column) -> Column:
     return stripped.cast("double") / F.greatest(n, F.lit(1)).cast("double")
 
 
-def mean_token_len(col: Column) -> Column:
-    toks = tokens(col)
+def mean_token_len_t(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def mean_token_len(col: Column) -> Column:
+    return mean_token_len_t(tokens(col))
+
+
+def quality_score_t(toks: Column, raw: Column) -> Column:
+    """Quality score over a materialized token array + the raw text
+    (punctuation is measured on the raw string).  Identical arithmetic
+    order to :func:`quality_score` so oracle doubles stay bit-equal."""
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(raw) * F.lit(4.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio_t(toks, "en") * F.lit(5.0), F.lit(1.0))
+    return (len_score * F.lit(0.4)) + (punct_score * F.lit(0.4)) + (sw_score * F.lit(0.2))
 
 
 def quality_score(col: Column) -> Column:
@@ -345,11 +371,7 @@ def quality_score(col: Column) -> Column:
 
     The arithmetic uses a fixed operation order so the DuckDB oracle
     reproduces identical doubles."""
-    n_tok = F.size(tokens(col)).cast("double")
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(4.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(col, "en") * F.lit(5.0), F.lit(1.0))
-    return (len_score * F.lit(0.4)) + (punct_score * F.lit(0.4)) + (sw_score * F.lit(0.2))
+    return quality_score_t(tokens(col), col)
 
 
 def token_count_bpe(col: Column | str) -> Column:

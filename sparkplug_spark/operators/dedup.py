@@ -117,8 +117,14 @@ def jaccard_ngram_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if max_key_freq:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_key_freq)
-        sh = sh.join(F.broadcast(freq.select("sh")), "sh")
+        # broadcast the HOT keys (freq > cap) and anti-join them away: the
+        # hot set stays tiny by definition, while the keep-set grows with
+        # the corpus and would be an unbounded broadcast at 100 TB
+        hot = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > max_key_freq)
+        )
+        sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -199,13 +205,16 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     if max_key_freq:
+        # anti-join on the (small) hot-bucket set — see jaccard_ngram_pairs
         hot = (
             band_entries.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("f"))
-            .filter(F.col("f") <= max_key_freq)
+            .filter(F.col("f") > max_key_freq)
             .select("band", "bucket")
         )
-        band_entries = band_entries.join(F.broadcast(hot), ["band", "bucket"])
+        band_entries = band_entries.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -286,13 +295,16 @@ def simhash_pairs(
         ).alias("cc"),
     ).select("id", "sh", "cc.chunk_id", "cc.chunk")
     if max_key_freq:
-        ok = (
+        # anti-join on the (small) hot-bucket set — see jaccard_ngram_pairs
+        hot = (
             entries.groupBy("chunk_id", "chunk")
             .agg(F.count(F.lit(1)).alias("f"))
-            .filter(F.col("f") <= max_key_freq)
+            .filter(F.col("f") > max_key_freq)
             .select("chunk_id", "chunk")
         )
-        entries = entries.join(F.broadcast(ok), ["chunk_id", "chunk"])
+        entries = entries.join(
+            F.broadcast(hot), ["chunk_id", "chunk"], "left_anti"
+        )
     a = entries.alias("a")
     b = entries.alias("b")
     out = (
@@ -391,24 +403,32 @@ def minhash_lsh_pairs_ml(
     num_hash_tables: int = 8,
     max_jaccard_distance: float = 0.5,
     seed: int = 42,
+    num_features: int = 1 << 20,
 ) -> DataFrame:
     """Alternative engine path: ``pyspark.ml.feature`` MinHashLSH +
-    ``approxSimilarityJoin`` over hashed shingle vocab vectors.
+    ``approxSimilarityJoin`` over hash-featurized shingle vectors.
 
     Same contract as :func:`minhash_lsh_pairs` (id_a < id_b, exact verified
     jaccard) but candidate generation rides Spark ML's OR-amplified LSH.
-    Results are seed/partitioning dependent (rows-only check); prefer
-    :func:`minhash_lsh_pairs` when cross-engine reproducibility matters."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    Shingles are featurized with ``HashingTF(binary=True)`` — vocab-free,
+    so no driver-side vocabulary is ever materialized (a
+    ``CountVectorizer.fit`` would collect billions of terms at corpus
+    scale); hash collisions in the 2^20 feature space only perturb
+    CANDIDATE generation, the emitted jaccard is exact on the shingle
+    arrays.  Results are seed/partitioning dependent (rows-only check);
+    prefer :func:`minhash_lsh_pairs` when cross-engine reproducibility
+    matters."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     base = spread(df).select(
         F.col(id_col).alias("id"),
         word_shingles_pd(F.col(text_col), n).alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    cv = CountVectorizer(
-        inputCol="shingles", outputCol="__features", binary=True
-    ).fit(base)
-    feats = cv.transform(base).filter(
+    tf = HashingTF(
+        inputCol="shingles", outputCol="__features",
+        binary=True, numFeatures=num_features,
+    )
+    feats = tf.transform(base).filter(
         # MinHashLSH requires at least one non-zero entry
         F.size("shingles") > 0
     )

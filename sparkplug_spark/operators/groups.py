@@ -25,20 +25,38 @@ def near_dup_groups(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(id, group_id) for every id appearing in ``pairs``; ``group_id`` is
-    the smallest id of the connected component."""
-    edges = (
+    the smallest id of the connected component.
+
+    ``reliable_checkpoint=True`` truncates lineage with HDFS-backed
+    ``checkpoint()`` instead of ``localCheckpoint()`` (the caller must
+    ``spark.sparkContext.setCheckpointDir(...)`` first).  Local checkpoints
+    live in executor block storage — losing one executor mid-computation
+    kills the job; on a 1000-node cluster use the reliable flavor.
+
+    Raises if the label propagation hasn't converged after
+    ``max_iterations`` rounds (returning silently would hand back WRONG
+    group labels for any component whose diameter exceeds the cap)."""
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__m"))
         .select(F.col("src").alias("id"), F.least("src", "__m").alias("label"))
     )
+    changed = -1
     for _ in range(max_iterations):
         # candidate labels: own label + each neighbor's label; adopt the min
         nbr = (
@@ -46,15 +64,15 @@ def near_dup_groups(
             .groupBy("src")
             .agg(F.min("nbr_label").alias("nbr_label"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.join(nbr.withColumnsRenamed({"src": "id"}), "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         changed = (
             new_labels.alias("n")
@@ -66,6 +84,12 @@ def near_dup_groups(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"near_dup_groups did not converge within {max_iterations} "
+            "iterations — component diameter exceeds the cap; raise "
+            "max_iterations"
+        )
     return labels.select("id", F.col("label").alias("group_id"))
 
 

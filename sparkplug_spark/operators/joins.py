@@ -94,13 +94,16 @@ def range_join(
     by = list(by)
     secs = F.unix_timestamp
     bucket_s = F.lit(_duration_seconds(bucket))
-    lb = left.withColumn("__bucket", (secs(F.col(left_ts)) / bucket_s).cast("long"))
+    # floor, not double-divide + cast: cast truncates toward zero, which
+    # disagrees with floor for pre-1970 (negative epoch) timestamps and
+    # would bucket such rows off-by-one (silently dropping matches)
+    lb = left.withColumn("__bucket", F.floor(secs(F.col(left_ts)) / bucket_s))
     rb = right.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (secs(F.col(right_start)) / bucket_s).cast("long"),
-                (secs(F.col(right_end)) / bucket_s).cast("long"),
+                F.floor(secs(F.col(right_start)) / bucket_s),
+                F.floor(secs(F.col(right_end)) / bucket_s),
             )
         ),
     )

@@ -168,7 +168,8 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
-    train_fraction: float = 1.0,
+    train_fraction: float | None = None,
+    train_points_per_centroid: int = 128,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     over L2-normalized vectors partitions the corpus into ``num_centroids``
@@ -176,32 +177,42 @@ def cosine_topk_ivf(
 
     Scale path: corpus assignment is one narrow Arrow-batched pass; the
     probe join touches ``n_probe/num_centroids`` of the corpus per query.
-    Training is a standard ``pyspark.ml`` KMeans fit (sampled job at build
-    time).  With ``n_probe == num_centroids`` the scan is exhaustive and
-    results equal :func:`cosine_topk` exactly (tested); smaller ``n_probe``
-    trades recall for speed."""
+    A coarse quantizer doesn't need the whole corpus: by default training
+    reads only ``num_centroids * train_points_per_centroid`` rows via
+    ``limit`` (short-circuits after the first partitions — NO full corpus
+    scan or count happens before candidate generation); pass
+    ``train_fraction`` to train on a uniform sample instead.  With
+    ``n_probe == num_centroids`` the scan is exhaustive and results equal
+    :func:`cosine_topk` exactly (tested); smaller ``n_probe`` trades
+    recall for speed."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     from ..functions.vectors import _mat
 
-    n_rows = corpus.count()
-    num_centroids = max(1, min(num_centroids, n_rows))
-    n_probe = max(1, min(n_probe, num_centroids))
-
+    unit = F.when(
+        F.col("cn") == 0.0, F.col("cv").cast("array<double>")
+    ).otherwise(F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cn")))
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         vec_norm(F.col(vec_col)).alias("cn"),
     )
-    unit = F.when(
-        F.col("cn") == 0.0, F.col("cv").cast("array<double>")
-    ).otherwise(F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cn")))
     feats = c.select("neighbor_id", "cv", "cn", array_to_vector(unit).alias("__f"))
-    # a coarse quantizer doesn't need convergence — cap iterations and
-    # (at 100 TB) train on a sample: centroids from 1% of the corpus are
-    # as good a partitioner as centroids from all of it
-    train = feats if train_fraction >= 1.0 else feats.sample(train_fraction, seed=seed)
+    # training sample comes from the RAW corpus (before spread's
+    # repartition — a limit above a shuffle would still run the full map
+    # side); limit short-circuits after the first partitions
+    raw = corpus.select(
+        F.col(vec_col).alias("cv"), vec_norm(F.col(vec_col)).alias("cn")
+    ).select(array_to_vector(unit).alias("__f"))
+    if train_fraction is None:
+        train = raw.limit(max(num_centroids, 1) * train_points_per_centroid)
+    else:
+        train = raw.sample(train_fraction, seed=seed)
+    # clamp k from the (bounded) training set, not a full-corpus count
+    n_train = train.count()
+    num_centroids = max(1, min(num_centroids, n_train))
+    n_probe = max(1, min(n_probe, num_centroids))
     model = KMeans(k=num_centroids, seed=seed, maxIter=8, featuresCol="__f").fit(train)
     centers = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])
     norms = np.linalg.norm(centers, axis=1)

@@ -9,13 +9,13 @@ from pyspark.sql import functions as F
 from ..partitioning import spread
 from ..functions.text import (
     STOPWORDS,
-    lang_scores,
-    mean_token_len,
+    lang_scores_t,
+    mean_token_len_t,
     punct_ratio,
-    quality_score,
+    quality_score_t,
     simhash32_pd,
     token_fingerprint,
-    tokens,
+    tokens_pd,
     normalize_text,
 )
 
@@ -24,25 +24,39 @@ __all__ = ["text_stats", "language_id", "text_fingerprints"]
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token/char counts, mean token length, punctuation ratio, quality
-    score — the pre-filter columns of a training-data pipeline."""
+    score — the pre-filter columns of a training-data pipeline.
+
+    Tokenizes ONCE per row (Arrow kernel materializes the token array;
+    every stat derives from that attribute).  Inlining the tokens
+    expression instead re-evaluates 2×regexp_replace+split per derived
+    column after projection collapse — the waste class CLAUDE.md bans."""
     c = F.col(text_col)
-    return spread(df).withColumns(
-        {
-            "n_tokens": F.size(tokens(c)),
-            "n_chars_norm": F.length(normalize_text(c)),
-            "mean_token_len": mean_token_len(c),
-            "punct_ratio": punct_ratio(c),
-            "quality_score": quality_score(c),
-        }
+    t = F.col("__toks")
+    return (
+        spread(df)
+        .withColumn("__toks", tokens_pd(c))
+        .withColumns(
+            {
+                "n_tokens": F.size(t),
+                # normalized text == tokens re-joined (normalize collapses
+                # whitespace, so the join is lossless)
+                "n_chars_norm": F.length(F.array_join(t, " ")),
+                "mean_token_len": mean_token_len_t(t),
+                "punct_ratio": punct_ratio(c),
+                "quality_score": quality_score_t(t, c),
+            }
+        )
+        .drop("__toks")
     )
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-ratio language ID: argmax over per-language scores, with
-    deterministic alphabetical tie-break; 'und' when all scores are 0."""
+    deterministic alphabetical tie-break; 'und' when all scores are 0.
+    Tokenizes once (see :func:`text_stats`)."""
     c = F.col(text_col)
-    scores = lang_scores(c)
-    df = spread(df)
+    df = spread(df).withColumn("__toks", tokens_pd(c))
+    scores = lang_scores_t(F.col("__toks"))
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col("lang_scores")[lang] for lang in langs])
     pred = F.lit("und")
@@ -55,6 +69,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("lang_scores", scores)
         .withColumn("lang_best", best)
         .withColumn("lang_pred", pred)
+        .drop("__toks")
     )
 
 

@@ -75,6 +75,10 @@ def sessionize_stream(
             if t - end > gap_ms:
                 closed.append((start, end, n))
                 start, n = t, 0
+            else:
+                # a late event (earlier micro-batch gap) can precede the
+                # open session's recorded start — report the true earliest
+                start = min(start, t)
             end = max(end, t)
             n += 1
         state.update((start, end, n))

@@ -296,6 +296,16 @@ def test_metrics_changed_count(spark):
     assert obs.get["total"] == 3
 
 
+def test_metrics_without_details_auto_enables(spark):
+    # direct construction with metrics but no details must not AttributeError
+    # (details are implied, as enable_metrics documents)
+    df = products_df(spark)
+    obs = Observation("sparkplug-direct")
+    out = SparkPlug(spark, metrics_observation=obs).plug(df, [RULE1, RULE2])
+    out.count()
+    assert obs.get["changed"] == 2
+
+
 def test_checkpointing_path(spark, tmp_path):
     # SparkPlugSpec.scala:255-280
     df = products_df(spark)

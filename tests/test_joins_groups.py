@@ -74,6 +74,20 @@ def test_range_join(spark):
     assert out == {(1, "w1"), (2, "w2")}
 
 
+def test_range_join_pre_epoch(spark):
+    # negative-epoch timestamps: truncation-toward-zero bucketing would
+    # disagree with floor and silently drop the containment match
+    events = spark.createDataFrame(
+        [(1, ts("1969-12-31 23:30:00"))], ["event_id", "ts"]
+    )
+    windows = spark.createDataFrame(
+        [("w0", ts("1969-12-31 23:00:00"), ts("1970-01-01 00:00:00"))],
+        ["win_id", "start", "end"],
+    )
+    out = {(r["event_id"], r["win_id"]) for r in range_join(events, windows).collect()}
+    assert out == {(1, "w0")}
+
+
 def test_near_dup_groups_chain(spark):
     # chain 1-2-3-4 plus isolated pair (10,11): two components
     pairs = spark.createDataFrame(
@@ -81,6 +95,28 @@ def test_near_dup_groups_chain(spark):
     )
     out = {r["id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_groups_reliable_checkpoint(spark, tmp_path):
+    # executor-loss-safe lineage truncation for 1000-node jobs
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    out = {
+        r["id"]: r["group_id"]
+        for r in near_dup_groups(pairs, reliable_checkpoint=True).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_groups_nonconvergence_raises(spark):
+    import pytest
+
+    # a long chain can't converge in one round; silent wrong labels are
+    # worse than an error
+    chain = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(pairs, max_iterations=1)
 
 
 def test_dedup_keep_best(spark):
@@ -256,6 +292,43 @@ def test_sessionize_stream(spark, tmp_path):
     # only user 100's FIRST session closes within this batch (the 12:00
     # event is > gap after it); open sessions stay in state
     assert (100, ts("2024-01-01 10:00:00"), 2) in got
+
+
+def test_sessionize_stream_late_event_moves_start(spark, tmp_path):
+    """A late event in a LATER micro-batch, earlier than the open session's
+    recorded start, must pull session_start back to the true earliest."""
+    from sparkplug_spark.streaming import sessionize_stream
+
+    src = tmp_path / "sess_late_src"
+    src.mkdir()
+    # batch 1: session opens at 10:10
+    spark.createDataFrame(
+        [(100, ts("2024-01-01 10:10:00"))], ["user_id", "ts"]
+    ).write.parquet(str(src / "f1.parquet"))
+    # batch 2: late 10:00 event (within gap+watermark) + 12:00 closer
+    spark.createDataFrame(
+        [(100, ts("2024-01-01 10:00:00")), (100, ts("2024-01-01 12:00:00"))],
+        ["user_id", "ts"],
+    ).write.parquet(str(src / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sess_late_test").collect()
+    }
+    assert (100, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2) in got
 
 
 def test_minhash_lsh_pairs_ml(spark):
