@@ -173,6 +173,79 @@ def q_plug_lenient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "p_size")
 
 
+def q_plug_custom_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: NON-DEFAULT details schema via the entry-builder extension
+    point (reference custom-UDF spec, ``SparkPlugSpec.scala:56-65``) —
+    struct<rule,ver,n_fields> instead of the default PlugDetail shape,
+    flattened to a string repr for the oracle."""
+
+    def custom_entry(rule: PlugRule):
+        return F.struct(
+            F.lit(rule.name).alias("rule"),
+            F.lit(rule.version).alias("ver"),
+            F.lit(len(rule.field_names)).alias("n_fields"),
+        )
+
+    part = _read(spark, sf_dir, "part")
+    out = (
+        SparkPlug.builder(spark)
+        .enable_plug_details(
+            column="audit",
+            entry_builder=custom_entry,
+            schema_ddl="array<struct<rule:string,ver:string,n_fields:int>>",
+        )
+        .create()
+        .plug(part, PART_RULES)
+    )
+    return out.select(
+        "p_partkey",
+        F.size("audit").alias("n_rules_applied"),
+        F.array_join(
+            F.transform(
+                "audit",
+                lambda d: F.concat_ws(
+                    "@", d["rule"], d["ver"], d["n_fields"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("audit_repr"),
+    )
+
+
+def q_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11/O12 as an oracle-checked query: validate a deliberately broken
+    rule set against the ``part`` schema and emit the error list as rows.
+    Error strings match the reference verbatim (``PlugRule.scala:23-44``,
+    ``SparkPlug.scala:67-86``); the SQL dry-run error is truncated to its
+    stable error class (the full message embeds engine-specific
+    suggestions)."""
+    from sparkplug_spark.validation import validate_rules
+
+    schema = _read(spark, sf_dir, "part").schema
+    cond = "p_size > 0"
+    broken = [
+        PlugRule("dup_rule", "v1", cond, (PlugAction("p_size", "1"),)),
+        PlugRule("dup_rule", "v2", cond, (PlugAction("p_size", "2"),)),
+        PlugRule("no_actions", "v1", cond, ()),
+        PlugRule("missing_field", "v1", cond, (PlugAction("nope_col", "1"),)),
+        PlugRule("bad_literal", "v1", cond, (PlugAction("p_size", "abc"),)),
+    ]
+    errors = validate_rules(schema, broken)
+    # the dry-run only fires when the structural pass is clean — probe it
+    # with a structurally-valid rule whose condition can't resolve
+    bad_sql = PlugRule("bad_sql", "v1", "no_such_col = 1", (PlugAction("p_size", "1"),))
+    errors += validate_rules(schema, [bad_sql], spark=spark)
+
+    def _stable(msg: str) -> str:
+        prefix = "[SQL Error] ["
+        if msg.startswith(prefix):
+            return msg[: msg.index("]", len(prefix)) + 1]
+        return msg
+
+    rows = [(e.name, _stable(e.error)) for e in errors]
+    return spark.createDataFrame(rows, "rule_name string, error string")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     reader rejects; read nanos as long and convert to a micros timestamp
@@ -1108,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plug_lenient": q_plug_lenient,
         "plug_events_time": q_plug_events_time,
         "plug_rich_conditions": q_plug_rich_conditions,
+        "plug_custom_details": q_plug_custom_details,
+        "validation_errors": q_validation_errors,
         "delegated_agg": q_delegated_agg,
         "delegated_join_topk": q_delegated_join_topk,
         "delegated_filter_agg": q_delegated_filter_agg,
@@ -1149,6 +1224,18 @@ def oracle_sql() -> dict[str, str]:
 
 def _core_oracles() -> dict[str, str]:
     return {
+        # validation is driver-side rule-metadata work; the oracle pins the
+        # exact reference error strings (PlugRule.scala:23-44,
+        # SparkPlug.scala:67-86) as constants
+        "validation_errors": """
+            SELECT * FROM (VALUES
+              ('dup_rule', 'Only one version per rule should be applied.'),
+              ('no_actions', 'At the least one action must be specified per rule.'),
+              ('missing_field', 'Field "nope_col" not found in the schema.'),
+              ('bad_literal', 'Value "abc" cannot be assigned to field p_size.'),
+              ('bad_sql', '[SQL Error] [UNRESOLVED_COLUMN.WITH_SUGGESTION]')
+            ) t(rule_name, error)
+        """,
         "plug_overrides": """
             WITH r1 AS (
               SELECT p_partkey, p_name, p_brand, p_type, p_size,
@@ -1207,6 +1294,32 @@ def _core_oracles() -> dict[str, str]:
             SELECT p_partkey,
                    ((tag1 IS NOT NULL)::int + (tag2 IS NOT NULL)::int + (tag3 IS NOT NULL)::int) AS n_rules_applied,
                    concat_ws(',', tag1, tag2, tag3) AS rules_applied
+            FROM r3
+        """,
+        "plug_custom_details": """
+            WITH r1 AS (
+              SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+                     CASE WHEN p_brand = 'Brand#23' AND p_retailprice < 1000
+                               AND NOT (p_retailprice IS NOT DISTINCT FROM 999.99)
+                          THEN 'fix_brand23@v1@1' END AS tag1
+              FROM part
+            ), r2 AS (
+              SELECT p_partkey, p_brand, p_type, p_size, p_retailprice, tag1,
+                     CASE WHEN p_size >= 40
+                               AND NOT (p_name IS NOT DISTINCT FROM ('XL ' || p_name))
+                          THEN 'xl_parts@v1@1' END AS tag2
+              FROM r1
+            ), r3 AS (
+              SELECT p_partkey, tag1, tag2,
+                     CASE WHEN p_type LIKE '%BRASS%'
+                               AND NOT (p_type IS NOT DISTINCT FROM 'STANDARD BRASS')
+                          THEN 'std_brass@v1@1' END AS tag3
+              FROM r2
+            )
+            SELECT p_partkey,
+                   ((tag1 IS NOT NULL)::int + (tag2 IS NOT NULL)::int
+                    + (tag3 IS NOT NULL)::int) AS n_rules_applied,
+                   concat_ws('|', tag1, tag2, tag3) AS audit_repr
             FROM r3
         """,
         "plug_keep_old": """
