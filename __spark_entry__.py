@@ -563,6 +563,70 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/IPv4/phone → typed placeholders).  The
+    synthetic corpus contains no PII, so the query deterministically
+    injects some first (same injection in the oracle) — the regex chain
+    does real work and the scrubbed text is hash-compared via md5."""
+    from sparkplug_spark.operators import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"), sid, F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7 logged")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.col("text"), F.lit(" call +1 555 01"), (F.col("doc_id") % 100).cast("string"), F.lit(" 22 33 ok")),
+        )
+        .otherwise(F.col("text")),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5("text_clean").alias("clean_md5"),
+    )
+
+
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape heuristics per document."""
+    from sparkplug_spark.operators import gopher_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "frac_dup_3gram", "flag_low_quality"
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap of the corpus against a
+    deterministic eval subset (doc_id % 50 == 0)."""
+    from sparkplug_spark.operators import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, eval_df, n=5).select(
+        "doc_id", "n_eval_grams_hit", "contaminated"
+    )
+
+
+def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language capped sample (corpus balancing)."""
+    from sparkplug_spark.operators import sample_per_key
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_per_key(docs, "lang", cap=50).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
 def q_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import rule_impact_report
 
@@ -783,9 +847,76 @@ def _sql_lang_list(lang: str) -> str:
 
 def _extension_oracles() -> dict[str, str]:
     from sparkplug_spark.functions import STOPWORDS
+    from sparkplug_spark.operators.cleaning import PII_PATTERNS
 
     toks = _sql_tokens("text")
     shingles = _sql_shingles("t")
+
+    # PII scrub: same injection + pattern chain as q_pii_scrub, patterns
+    # shared via PII_PATTERNS so both engines compile the identical regex
+    (p_email, r_email), (p_ipv4, r_ipv4), (p_phone, r_phone) = [
+        (p[1], p[2]) for p in PII_PATTERNS
+    ]
+    pii_sql = f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id::VARCHAR || '@example.com now'
+                      WHEN doc_id % 5 = 1 THEN text || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7 logged'
+                      WHEN doc_id % 5 = 2 THEN text || ' call +1 555 01' || (doc_id % 100)::VARCHAR || ' 22 33 ok'
+                      ELSE text END AS t
+          FROM documents
+        ),
+        s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{p_email}')) AS n_email,
+                      regexp_replace(t, '{p_email}', '{r_email}', 'g') AS t FROM inj),
+        s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{p_ipv4}')) AS n_ipv4,
+                      regexp_replace(t, '{p_ipv4}', '{r_ipv4}', 'g') AS t FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_ipv4, len(regexp_extract_all(t, '{p_phone}')) AS n_phone,
+                      regexp_replace(t, '{p_phone}', '{r_phone}', 'g') AS t FROM s2)
+        SELECT doc_id, n_email, n_ipv4, n_phone, md5(t) AS clean_md5 FROM s3
+    """
+
+    quality_sql = f"""
+        WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+        g AS (SELECT doc_id, t,
+                list_transform(generate_series(1, greatest(len(t)-2, 1)),
+                               i -> array_to_string(t[i:i+2], ' ')) AS grams
+              FROM tk),
+        m AS (SELECT doc_id,
+                len(t) AS n_tokens,
+                list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                  / greatest(len(t), 1) AS mean_token_len,
+                (greatest(len(t)-2, 1) - len(list_distinct(grams)))::DOUBLE
+                  / greatest(len(t)-2, 1) AS frac_dup_3gram
+              FROM g)
+        SELECT doc_id, n_tokens, mean_token_len, frac_dup_3gram,
+               (n_tokens < 50 OR frac_dup_3gram > 0.3
+                OR mean_token_len < 3.0 OR mean_token_len > 10.0) AS flag_low_quality
+        FROM m
+    """
+
+    decontaminate_sql = f"""
+        WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+        d AS (SELECT doc_id, {_sql_shingles('t', 5)} AS sh FROM tk),
+        dg AS (SELECT doc_id,
+                      unnest(list_transform(sh, x -> ('0x' || substr(md5(x),1,15))::BIGINT)) AS gh
+               FROM d),
+        eg AS (SELECT DISTINCT gh FROM dg WHERE doc_id % 50 = 0),
+        hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN eg USING (gh) GROUP BY doc_id)
+        SELECT d0.doc_id, coalesce(hits.n, 0) AS n_eval_grams_hit,
+               coalesce(hits.n, 0) > 0 AS contaminated
+        FROM documents d0 LEFT JOIN hits ON hits.doc_id = d0.doc_id
+    """
+
+    sample_sql = """
+        SELECT doc_id, lang, rn AS sample_rank FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 50
+    """
 
     jaccard_cte = f"""
         WITH d AS (
@@ -911,6 +1042,10 @@ def _extension_oracles() -> dict[str, str]:
         "near_dup_groups": cc_sql,
         "pipeline_quality_rules": pipeline_sql,
         "dedup_keep_best": keep_best_sql,
+        "pii_scrub": pii_sql,
+        "quality_flags": quality_sql,
+        "decontaminate": decontaminate_sql,
+        "sample_per_key": sample_sql,
         "dedup_exact": f"""
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,
@@ -1211,6 +1346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "dedup_keep_best": q_dedup_keep_best,
         "pipeline_quality_rules": q_pipeline_quality_rules,
+        "pii_scrub": q_pii_scrub,
+        "quality_flags": q_quality_flags,
+        "decontaminate": q_decontaminate,
+        "sample_per_key": q_sample_per_key,
         "impact_report": q_impact_report,
         "multimodal_features": q_multimodal_features,
     }

@@ -68,17 +68,26 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+
+    # regression check vs the locked previous-round baseline: flag any
+    # query >1.5x its recorded time (new queries have no baseline entry)
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)["queries"]
+        out["regressions"] = {
+            name: {"now": t, "baseline": base[name], "ratio": round(t / base[name], 2)}
+            for name, t in timings.items()
+            if name in base and base[name] > 0 and t > 1.5 * base[name]
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,13 @@
 """Large-scale pipeline operators: dedup, similarity search, text analysis,
-multimodal plumbing, rule-impact reporting."""
+corpus cleaning (PII/quality/decontamination/sampling), multimodal
+plumbing, rule-impact reporting."""
 
+from .cleaning import (
+    decontaminate,
+    gopher_quality_flags,
+    sample_per_key,
+    scrub_pii,
+)
 from .dedup import (
     dedup_exact,
     exact_duplicate_groups,
@@ -17,6 +24,10 @@ from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_ivf, cosi
 from .textops import language_id, text_fingerprints, text_stats
 
 __all__ = [
+    "decontaminate",
+    "gopher_quality_flags",
+    "sample_per_key",
+    "scrub_pii",
     "dedup_exact",
     "exact_duplicate_groups",
     "embedding_near_dup_pairs",

@@ -1,0 +1,180 @@
+"""Training-corpus cleaning operators: PII scrubbing, Gopher-style quality
+flags, benchmark decontamination, and per-key capped sampling.
+
+These are the standard pre-training hygiene passes (C4 / Gopher / GPT-3
+data pipelines describe the same shapes): regex scrubbing and per-document
+quality heuristics are narrow codegen'd projections; decontamination is a
+hash-keyed semi-join against the (small) eval-set n-gram index; capped
+sampling is one window over the key.  Zero Python in any hot path except
+the shared Arrow tokenizer.
+
+Scale notes (100 TB):
+- ``scrub_pii`` / ``gopher_quality_flags``: per-row projections, no
+  shuffle; whole-stage codegen handles the regex chains.
+- ``decontaminate``: the eval-set index is ``distinct`` 8-byte hashes of
+  benchmark n-grams — millions of rows at most, broadcastable; the corpus
+  side streams through one explode + broadcast-join + partial count, so
+  nothing but (doc_id, hit) pairs shuffles.
+- ``sample_per_key``: one shuffle on the key; the md5-derived order makes
+  the sample deterministic across engines, runs, and partitionings —
+  unlike ``sample()``/``rand()``, re-runs of a 1000-executor job pick the
+  same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60, tokens_pd, word_shingles_pd
+from ..partitioning import spread
+
+__all__ = [
+    "PII_PATTERNS",
+    "scrub_pii",
+    "gopher_quality_flags",
+    "decontaminate",
+    "sample_per_key",
+]
+
+#: (name, regex, replacement) — RE2/Java-compatible subset (no lookaround,
+#: no backreferences) so Spark and DuckDB match identically.  Applied in
+#: order; counts are taken on the progressively-scrubbed text so an email's
+#: digits can't double-count as a phone.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Replace emails / IPv4s / phone-number runs with typed placeholder
+    tokens and count each category (``n_email``, ``n_ipv4``, ``n_phone``).
+
+    One narrow projection; the regex chain stays inside whole-stage
+    codegen.  Counts reflect the scrub order (each pattern counts on the
+    text AFTER the previous replacements), matching what was actually
+    redacted."""
+    out = spread(df)
+    cur: Column = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out.withColumns({**counts, out_col: cur})
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_dup_3gram_frac: float = 0.3,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+) -> DataFrame:
+    """Gopher-style repetition/shape heuristics (Rae et al. 2021 §A1.1):
+    token count, mean token length, duplicate word-3-gram fraction, and a
+    combined ``flag_low_quality``.  Tokenizes once via the Arrow kernel;
+    every stat derives from the materialized array (no per-column
+    re-tokenize)."""
+    t = F.col("__toks")
+    n = F.size(t)
+    # full 3-gram multiset (duplicates INCLUDED — repetition is the point);
+    # docs shorter than 3 tokens count as one degenerate gram
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: F.array_join(F.slice(t, i, 3), " "),
+    )
+    # total gram count == the sequence length by construction; using the
+    # closed form keeps ``grams`` evaluated exactly once (inside
+    # array_distinct) even after projection collapse inlines it
+    total = F.greatest(n - 2, F.lit(1))
+    dup_frac = (total - F.size(F.array_distinct(grams))).cast("double") / total.cast(
+        "double"
+    )
+    mean_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast(
+        "double"
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    return (
+        spread(df)
+        .withColumn("__toks", tokens_pd(F.col(text_col)))
+        .withColumns(
+            {
+                "n_tokens": n,
+                "mean_token_len": mean_len,
+                "frac_dup_3gram": dup_frac,
+            }
+        )
+        .withColumn(
+            "flag_low_quality",
+            (F.col("n_tokens") < min_tokens)
+            | (F.col("frac_dup_3gram") > max_dup_3gram_frac)
+            | (F.col("mean_token_len") < min_mean_token_len)
+            | (F.col("mean_token_len") > max_mean_token_len),
+        )
+        .drop("__toks")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with the evaluation set (the GPT-3/PaLM 13-gram-overlap
+    recipe, ``n`` configurable downward for short texts).
+
+    The eval index is ``distinct`` 60-bit md5 hashes of eval n-grams —
+    small by construction (benchmarks are MBs, not TBs) and broadcast, so
+    the corpus side never shuffles its text: explode → broadcast semi-ish
+    join → per-doc distinct-hit count.  Returns every input row with
+    ``n_eval_grams_hit`` and ``contaminated``."""
+    eval_text = eval_text_col or text_col
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles_pd(F.col(eval_text), n)).alias("g")
+        )
+        .select(hash60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    doc_grams = spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles_pd(F.col(text_col), n)).alias("g"),
+    ).select("__id", hash60(F.col("g")).alias("gh"))
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_eval_grams_hit"))
+    )
+    return (
+        df.join(hits.withColumnRenamed("__id", id_col), id_col, "left")
+        .withColumn(
+            "n_eval_grams_hit", F.coalesce(F.col("n_eval_grams_hit"), F.lit(0))
+        )
+        .withColumn("contaminated", F.col("n_eval_grams_hit") > 0)
+    )
+
+
+def sample_per_key(
+    df: DataFrame, key: str, cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``key`` value, chosen by a
+    DETERMINISTIC md5-derived shuffle order (domain/language capping for
+    corpus balancing).  Unlike ``rand()``-based sampling the selection is
+    reproducible across engines, runs, and partitionings, and unlike
+    ``limit`` it is unbiased w.r.t. storage order.  One shuffle on the
+    key."""
+    order = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key).orderBy(order, F.col(id_col))
+    return (
+        spread(df)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+    )

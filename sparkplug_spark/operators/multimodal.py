@@ -72,6 +72,24 @@ def repartition_for_media(
     return df.repartition(parts)
 
 
+def _real_image_decode(payload: bytes, dim: int) -> list[float]:
+    """Actual pixel decode via Pillow: grayscale thumbnail grid, flattened
+    to ``dim`` [0,1] floats.  Import is deferred so the fake path never
+    needs the library."""
+    import io
+    import math
+
+    import numpy as np
+    from PIL import Image
+
+    g = max(1, math.isqrt(dim - 1) + 1)  # smallest grid covering dim
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((g, g))
+    arr = (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)[:dim]
+    if arr.size < dim:
+        arr = np.pad(arr, (0, dim - arr.size))
+    return [float(x) for x in arr]
+
+
 def _fake_image_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decode+embed: md5-seeded floats."""
     import hashlib
@@ -93,9 +111,23 @@ def decode_image_features(
 ) -> DataFrame:
     """payload binary → ``features array<float>`` via Arrow-batched
     ``mapInPandas``.  The UDF boundary, output schema, and batch iteration
-    are production-shaped; only the pixel decode is stubbed."""
+    are production-shaped; ``decoder="real"`` decodes pixels with Pillow
+    when it is installed (checked eagerly on the driver, so a missing
+    library fails fast with a clear error instead of mid-job), while
+    ``decoder="fake"`` runs the identical pipeline with a deterministic
+    md5-seeded stand-in — no image libraries required."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "real":
+        try:
+            import PIL  # noqa: F401  (driver-side availability probe)
+        except ImportError as e:
+            raise ImportError(
+                "decode_image_features(decoder='real') requires Pillow; "
+                "install it on driver and executors, or use "
+                "decoder='fake' for the deterministic stand-in"
+            ) from e
+    decode = _real_image_decode if decoder == "real" else _fake_image_decode
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
@@ -104,14 +136,9 @@ def decode_image_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image decode requires PIL/torchvision — not in this "
-                    "container; plug the decode call here"
-                )
             pdf = pdf.copy()
             pdf["features"] = [
-                _fake_image_decode(p, feature_dim) for p in pdf[binary_col]
+                decode(p, feature_dim) for p in pdf[binary_col]
             ]
             yield pdf[cols + ["features"]]
 

@@ -1,0 +1,72 @@
+"""Unit semantics for the corpus-cleaning operators (cleaning.py); the
+oracle queries (pii_scrub / quality_flags / decontaminate / sample_per_key)
+cover cross-engine value parity."""
+
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    decontaminate,
+    gopher_quality_flags,
+    sample_per_key,
+    scrub_pii,
+)
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob.smith+x@corp.example.org or 192.168.0.17 thanks"),
+            (2, "call +1 555 0123 4567 today"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_ipv4"] == 1
+    assert "<EMAIL>" in rows[1]["text_clean"] and "<IP>" in rows[1]["text_clean"]
+    assert "bob.smith" not in rows[1]["text_clean"]
+    assert "192.168" not in rows[1]["text_clean"]
+    assert rows[2]["n_phone"] == 1 and "<PHONE>" in rows[2]["text_clean"]
+    assert rows[3]["text_clean"] == rows[3]["text"]
+    assert rows[3]["n_email"] == rows[3]["n_ipv4"] == rows[3]["n_phone"] == 0
+
+
+def test_gopher_quality_flags(spark):
+    good = " ".join(f"word{i} item{i * 7 % 97} thing{i * 13 % 89}" for i in range(40))
+    repetitive = "spam ham eggs " * 40  # one 3-gram repeated
+    df = spark.createDataFrame(
+        [(1, good), (2, repetitive), (3, "too short")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert not rows[1]["flag_low_quality"]
+    assert rows[2]["frac_dup_3gram"] > 0.9 and rows[2]["flag_low_quality"]
+    assert rows[3]["n_tokens"] == 2 and rows[3]["flag_low_quality"]
+
+
+def test_decontaminate(spark):
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon suffix words"),  # shares a 5-gram
+            (2, "completely different content with no benchmark overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(df, eval_df, n=5).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_eval_grams_hit"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_eval_grams_hit"] == 0
+
+
+def test_sample_per_key_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)], ["doc_id", "lang"]
+    )
+    a = sample_per_key(df, "lang", cap=5, id_col="doc_id")
+    got = {(r["lang"], r["doc_id"], r["sample_rank"]) for r in a.collect()}
+    assert len(got) == 10  # 5 per language
+    assert all(rk <= 5 for _, _, rk in got)
+    # deterministic: same rows on re-run (no rand() involved)
+    b = {(r["lang"], r["doc_id"], r["sample_rank"]) for r in sample_per_key(df, "lang", cap=5, id_col="doc_id").collect()}
+    assert got == b

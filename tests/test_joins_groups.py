@@ -299,17 +299,22 @@ def test_sessionize_stream_late_event_moves_start(spark, tmp_path):
     recorded start, must pull session_start back to the true earliest."""
     from sparkplug_spark.streaming import sessionize_stream
 
+    import time
+
     src = tmp_path / "sess_late_src"
     src.mkdir()
-    # batch 1: session opens at 10:10
+    # single part-file per batch (coalesce) + mtime-ordered writes: the
+    # file source processes f1 strictly before f2, so batch content is
+    # deterministic
     spark.createDataFrame(
         [(100, ts("2024-01-01 10:10:00"))], ["user_id", "ts"]
-    ).write.parquet(str(src / "f1.parquet"))
+    ).coalesce(1).write.parquet(str(src / "f1.parquet"))
+    time.sleep(1.1)
     # batch 2: late 10:00 event (within gap+watermark) + 12:00 closer
     spark.createDataFrame(
         [(100, ts("2024-01-01 10:00:00")), (100, ts("2024-01-01 12:00:00"))],
         ["user_id", "ts"],
-    ).write.parquet(str(src / "f2.parquet"))
+    ).coalesce(1).write.parquet(str(src / "f2.parquet"))
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
         .option("maxFilesPerTrigger", 1)

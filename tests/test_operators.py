@@ -224,8 +224,20 @@ def test_multimodal_plumbing(spark):
     assert len(fr) == 3  # 21-byte payload → 21ms 'duration' → 3 samples
     assert [r["frame_idx"] for r in fr] == [0, 1, 2]
 
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        decode_image_features(df, decoder="real").collect()
+    # decoder="real": decodes via Pillow when installed; otherwise fails
+    # FAST on the driver with a clear install hint (no mid-job surprise)
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        real = {r["media_id"]: r["features"] for r in decode_image_features(df, decoder="real").collect()}
+        assert len(real[1]) == 16
+    else:
+        with pytest.raises(ImportError, match="requires Pillow"):
+            decode_image_features(df, decoder="real")
 
 
 def test_plug_stream(spark, tmp_path):
