@@ -52,12 +52,13 @@ def main() -> None:
 
     spark.range(10_000).select(_warm_py("id")).write.format("noop").mode("overwrite").save()
 
-    # two warm passes per query, report the min (steady-state; this box has
-    # multi-second run-to-run noise)
+    # three warm passes per query, report the min (steady-state; this box
+    # has multi-second run-to-run noise and the Arrow worker pool for a
+    # query's kernels may still be warming on the second pass)
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         best = None
-        for _ in range(2):
+        for _ in range(3):
             # time plan construction + execution together: iterative
             # operators (connected components) legitimately run jobs while
             # building
