@@ -627,6 +627,17 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget shard packing (dataloader-sized output
+    files), weighted by n_chars."""
+    from sparkplug_spark.operators import pack_token_budget
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_token_budget(
+        docs, budget=5000, weight_col="n_chars", num_groups=8
+    ).select("doc_id", "pack_group", "shard_id")
+
+
 def q_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import rule_impact_report
 
@@ -907,6 +918,21 @@ def _extension_oracles() -> dict[str, str]:
         FROM documents d0 LEFT JOIN hits ON hits.doc_id = d0.doc_id
     """
 
+    pack_sql = """
+        WITH b AS (
+          SELECT doc_id, n_chars,
+                 ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h
+          FROM documents
+        ), c AS (
+          SELECT doc_id, h % 8 AS pack_group,
+                 sum(n_chars) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS cb
+          FROM b
+        )
+        SELECT doc_id, pack_group, coalesce(cb, 0) // 5000 AS shard_id FROM c
+    """
+
     sample_sql = """
         SELECT doc_id, lang, rn AS sample_rank FROM (
           SELECT doc_id, lang,
@@ -1046,6 +1072,7 @@ def _extension_oracles() -> dict[str, str]:
         "quality_flags": quality_sql,
         "decontaminate": decontaminate_sql,
         "sample_per_key": sample_sql,
+        "pack_shards": pack_sql,
         "dedup_exact": f"""
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,
@@ -1350,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": q_quality_flags,
         "decontaminate": q_decontaminate,
         "sample_per_key": q_sample_per_key,
+        "pack_shards": q_pack_shards,
         "impact_report": q_impact_report,
         "multimodal_features": q_multimodal_features,
     }

@@ -5,6 +5,7 @@ plumbing, rule-impact reporting."""
 from .cleaning import (
     decontaminate,
     gopher_quality_flags,
+    pack_token_budget,
     sample_per_key,
     scrub_pii,
 )
@@ -26,6 +27,7 @@ from .textops import language_id, text_fingerprints, text_stats
 __all__ = [
     "decontaminate",
     "gopher_quality_flags",
+    "pack_token_budget",
     "sample_per_key",
     "scrub_pii",
     "dedup_exact",

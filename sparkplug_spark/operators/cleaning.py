@@ -35,6 +35,7 @@ __all__ = [
     "gopher_quality_flags",
     "decontaminate",
     "sample_per_key",
+    "pack_token_budget",
 ]
 
 #: (name, regex, replacement) — RE2/Java-compatible subset (no lookaround,
@@ -159,6 +160,43 @@ def decontaminate(
             "n_eval_grams_hit", F.coalesce(F.col("n_eval_grams_hit"), F.lit(0))
         )
         .withColumn("contaminated", F.col("n_eval_grams_hit") > 0)
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_groups: int = 64,
+) -> DataFrame:
+    """Assign rows to training shards by cumulative weight budget (token
+    packing for dataloader-sized output files).
+
+    Rows are first hashed into ``num_groups`` independent pack groups
+    (parallelism knob — a single global ordering would serialize 100 TB
+    through one window partition), then greedily packed in a DETERMINISTIC
+    md5-derived order: ``shard_id = cum_weight_before // budget``, so a
+    shard holds consecutive rows until the budget spills.  A row heavier
+    than ``budget`` occupies its shard alone (standard greedy semantics).
+    The (pack_group, shard_id) pair is the shard key; everything is
+    engine-reproducible — the same corpus packs identically on any run,
+    cluster size, or engine.  One shuffle on ``pack_group``."""
+    order = hash60(F.col(id_col).cast("string"))
+    grouped = spread(df).withColumn(
+        "pack_group", F.pmod(order, F.lit(num_groups))
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long")
+    # integer `div` (exact) — float division + floor would wobble near 2^53
+    return (
+        grouped.withColumn("__cum_before", cum_before)
+        .withColumn("shard_id", F.expr(f"__cum_before div {int(budget)}"))
+        .drop("__cum_before")
     )
 
 

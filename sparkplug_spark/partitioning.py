@@ -23,7 +23,11 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff ``df`` has fewer partitions than
     ``min_partitions`` (default: ``sparkContext.defaultParallelism``).
 
-    Inspects the physical plan's partitioning (no job is triggered)."""
+    Inspects the physical plan's partitioning (no job is triggered).
+    Streaming DataFrames pass through untouched (no ``.rdd`` there; a
+    micro-batch source's parallelism is governed by its own options)."""
+    if df.isStreaming:
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

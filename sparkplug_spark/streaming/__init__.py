@@ -23,6 +23,8 @@ __all__ = [
     "plug_stream",
     "streaming_impact_counts",
     "streaming_dedup_exact",
+    "streaming_quality_filter",
+    "streaming_decontaminate",
     "sessionize_stream",
 ]
 
@@ -73,6 +75,70 @@ def streaming_impact_counts(
             "rule_name",
             "rows_changed",
         )
+    )
+
+
+def streaming_quality_filter(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_dup_3gram_frac: float = 0.3,
+) -> DataFrame:
+    """Drop low-quality documents from a stream using the same
+    Gopher-style heuristics as the batch operator — the scoring is a
+    stateless narrow projection, so it runs unchanged per micro-batch (no
+    state store, no watermark).  Ingest-time filtering means junk never
+    reaches the corpus store at all."""
+    from ..operators.cleaning import gopher_quality_flags
+
+    flagged = gopher_quality_flags(
+        stream_df,
+        text_col=text_col,
+        min_tokens=min_tokens,
+        max_dup_3gram_frac=max_dup_3gram_frac,
+    )
+    return flagged.filter(~F.col("flag_low_quality")).drop(
+        "n_tokens", "mean_token_len", "frac_dup_3gram", "flag_low_quality"
+    )
+
+
+def streaming_decontaminate(
+    stream_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Drop streaming documents that share any word ``n``-gram with a
+    STATIC evaluation set — the stream-static join pattern: the eval-gram
+    index is a batch DataFrame broadcast to every micro-batch, the stream
+    side stays stateless (a left_anti join per batch, no state store).
+
+    Works at ingest: contaminated documents never land in the corpus.
+    ``eval_df`` follows the same size argument as batch
+    :func:`~..operators.cleaning.decontaminate` — benchmarks are MBs."""
+    from ..functions.text import hash60, word_shingles_pd
+
+    eval_grams = (
+        eval_df.select(
+            F.explode(word_shingles_pd(F.col(text_col), n)).alias("g")
+        )
+        .select(hash60(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    # per-row gram array stays attached (no explode on the stream side —
+    # an explode would multiply every row ~n_tokens×; instead the tiny
+    # broadcast index is aggregated into one array and checked per row)
+    with_grams = stream_df.withColumn(
+        "__grams",
+        F.transform(word_shingles_pd(F.col(text_col), n), hash60),
+    )
+    eval_arr = eval_grams.agg(F.collect_list("gh").alias("all")).select(
+        F.array_sort("all").alias("all")
+    )
+    joined = with_grams.crossJoin(F.broadcast(eval_arr))
+    return (
+        joined.filter(F.size(F.array_intersect("__grams", "all")) == 0)
+        .drop("__grams", "all")
     )
 
 

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from sparkplug_spark.operators import (
     decontaminate,
     gopher_quality_flags,
+    pack_token_budget,
     sample_per_key,
     scrub_pii,
 )
@@ -57,6 +58,35 @@ def test_decontaminate(spark):
     rows = {r["doc_id"]: r for r in decontaminate(df, eval_df, n=5).collect()}
     assert rows[1]["contaminated"] and rows[1]["n_eval_grams_hit"] >= 1
     assert not rows[2]["contaminated"] and rows[2]["n_eval_grams_hit"] == 0
+
+
+def test_pack_token_budget(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(50)], ["doc_id", "n_tokens"]
+    )
+    out = pack_token_budget(df, budget=300, num_groups=2).collect()
+    assert len(out) == 50
+    # greedy semantics: within a (group, shard), weights sum to <= budget
+    # except the spill row that crossed the boundary; shards are dense
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in out:
+        assert 0 <= r["pack_group"] < 2
+        shards[(r["pack_group"], r["shard_id"])].append(r["n_tokens"])
+    for (_, sid), weights in shards.items():
+        assert sid >= 0
+        # 300-budget, 100-weight rows → exactly 3 rows per full shard
+        assert len(weights) <= 3
+    # deterministic across runs
+    again = pack_token_budget(df, budget=300, num_groups=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # oversized row gets its own shard id (and doesn't break neighbors)
+    big = spark.createDataFrame(
+        [(1, 1000), (2, 50), (3, 50)], ["doc_id", "n_tokens"]
+    )
+    rows = pack_token_budget(big, budget=300, num_groups=1).collect()
+    assert len({(r["pack_group"], r["shard_id"], r["doc_id"]) for r in rows}) == 3
 
 
 def test_sample_per_key_deterministic(spark):

@@ -336,6 +336,41 @@ def test_sessionize_stream_late_event_moves_start(spark, tmp_path):
     assert (100, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2) in got
 
 
+def test_streaming_quality_filter_and_decontaminate(spark, tmp_path):
+    from sparkplug_spark.streaming import (
+        streaming_decontaminate,
+        streaming_quality_filter,
+    )
+
+    varied = " ".join(f"word{i} item{i * 7 % 97} thing{i * 13 % 89}" for i in range(40))
+    rows = [
+        (1, varied),                              # good
+        (2, "spam ham eggs " * 40),               # repetitive -> dropped
+        (3, varied + " alpha beta gamma delta epsilon tail"),  # contaminated
+    ]
+    src = str(tmp_path / "clean_src")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    cleaned = streaming_decontaminate(
+        streaming_quality_filter(stream), eval_df, n=5
+    )
+    assert cleaned.isStreaming
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("clean_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.sql("select * from clean_stream_test").collect()}
+    assert kept == {1}  # 2 fails quality, 3 is contaminated
+
+
 def test_minhash_lsh_pairs_ml(spark):
     from sparkplug_spark.operators import minhash_lsh_pairs_ml
 
