@@ -18,7 +18,7 @@ from .dedup import (
     minhash_lsh_pairs_ml,
     simhash_pairs,
 )
-from .groups import dedup_keep_best, near_dup_groups
+from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
 from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_ivf, cosine_topk_lsh
@@ -42,6 +42,7 @@ __all__ = [
     "range_join",
     "salted_join",
     "near_dup_groups",
+    "connected_components_star",
     "dedup_keep_best",
     "blocked_cosine_pairs",
     "cosine_topk",

@@ -269,10 +269,13 @@ def simhash_pairs(
     bits_per = 64 // chunks
     mask = (1 << bits_per) - 1
     # SimHash per row via the Arrow-batched pandas kernel (one narrow
-    # projection, no token explode/shuffle).
+    # projection, no token explode/shuffle).  Persisted: the (id, sh)
+    # pairs are 16 bytes/row and feed three consumers (hot-bucket agg +
+    # both self-join sides) — without persist each consumer re-runs the
+    # kernel over the full corpus.
     base = spread(df).select(
         F.col(id_col).alias("id"), simhash64_pd(F.col(text_col)).alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # Chunk c = bits [c*bits_per, (c+1)*bits_per).  Arithmetic shift + mask
     # is fill-bit-safe for every c (fill bits land above the mask window),
     # and identical in DuckDB, so negative (bit-63-set) hashes chunk the
@@ -354,7 +357,12 @@ def embedding_near_dup_pairs(
     assert num_planes % bands == 0
     dim = infer_dim(df, vec_col)
     planes = _hyperplanes(num_planes, dim)
-    entries = banded_signature_entries(df, id_col, vec_col, "id", planes, bands)
+    # (id, band, bucket) rows persist: both self-join sides consume them,
+    # and recomputing means re-running the sign-projection kernel over
+    # every vector twice
+    entries = banded_signature_entries(
+        df, id_col, vec_col, "id", planes, bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = entries.alias("a"), entries.alias("b")
     cand = (
         a.join(

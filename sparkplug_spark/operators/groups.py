@@ -17,7 +17,89 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["near_dup_groups", "dedup_keep_best"]
+__all__ = ["near_dup_groups", "connected_components_star", "dedup_keep_best"]
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log² n) ROUNDS regardless of graph
+    diameter, where min-label propagation needs diameter-many rounds — the
+    scale path for chain-shaped near-dup graphs (A≈B≈C≈…).
+
+    Each round is two groupBy-join phases over the edge list (same
+    per-round shuffle cost as one label-propagation round); at fixpoint
+    the edge list IS the component map {(node, component-min)}.  Output
+    schema matches :func:`near_dup_groups`: (id, group_id)."""
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    # undirected edge list, self-loops dropped
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    converged = False
+    for _ in range(max_iterations):
+        # large-star: every node x links its LARGER neighbors to
+        # min(N(x) ∪ {x})
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: direct edges at the larger endpoint x; link every
+        # smaller neighbor (and x itself) to min(N(x))
+        directed = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            directed.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("l"), F.greatest("u", "v").alias("g"))
+            .select(F.col("g").alias("u"), F.col("l").alias("v"))
+            .distinct()
+        )
+        new_e = _ckpt(ss)
+        same = (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        e = new_e
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} iterations"
+        )
+    # fixpoint: e = {(node, component-min)}; add the roots themselves
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("group_id"))
+        .union(
+            e.select(F.col("v").alias("id"), F.col("v").alias("group_id")).distinct()
+        )
+        .distinct()
+    )
 
 
 def near_dup_groups(

@@ -119,6 +119,36 @@ def test_near_dup_groups_nonconvergence_raises(spark):
         near_dup_groups(pairs, max_iterations=1)
 
 
+def test_connected_components_star_matches_label_prop(spark):
+    from sparkplug_spark.operators import connected_components_star
+
+    import random
+
+    rng = random.Random(5)
+    edges = {(rng.randrange(100), rng.randrange(100)) for _ in range(120)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    star = {r["id"]: r["group_id"] for r in connected_components_star(pairs).collect()}
+    label = {r["id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert star == label
+
+
+def test_connected_components_star_high_diameter(spark):
+    """An 80-node chain: min-label needs 80 rounds (raises at the 25 cap);
+    the alternating star algorithm converges in O(log² n)."""
+    from sparkplug_spark.operators import connected_components_star
+
+    import pytest
+
+    chain = [(i, i + 1) for i in range(1, 81)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_groups(pairs, max_iterations=10)
+    out = {r["id"]: r["group_id"] for r in connected_components_star(pairs, max_iterations=10).collect()}
+    assert set(out) == set(range(1, 82))
+    assert set(out.values()) == {1}
+
+
 def test_dedup_keep_best(spark):
     docs = spark.createDataFrame(
         [
