@@ -21,7 +21,13 @@ from ..models import PlugRule, rule_from_dict, rules_from_json_lines
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_plug_rules", "read_table", "write_table", "write_bucketed"]
+__all__ = [
+    "read_plug_rules",
+    "read_table",
+    "read_corpus",
+    "write_table",
+    "write_bucketed",
+]
 
 _LOCAL_SCHEMES = ("", "file")
 
@@ -52,6 +58,40 @@ def read_table(spark: "SparkSession", path: str, fmt: str = "parquet") -> "DataF
     """Scan helper.  Declarative reads keep Catalyst's pushdown/pruning —
     filters and projections applied by callers reach the parquet scan."""
     return spark.read.format(fmt).load(path)
+
+
+def read_corpus(
+    spark: "SparkSession",
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> "DataFrame":
+    """Document-corpus ingestion for the common raw formats.
+
+    - ``parquet``/``orc``: schema from the footer; predicate pushdown and
+      column pruning work as usual.
+    - ``jsonl``/``csv``: pass an explicit ``schema`` DDL — schema INFERENCE
+      runs an extra full scan of the input before the real read, which at
+      100 TB doubles ingest cost and (for JSON) silently widens types.
+      With a schema supplied, malformed lines land in ``corrupt_col``
+      (PERMISSIVE mode) instead of failing the job; filter on it to
+      quarantine bad records.
+    """
+    if fmt in ("parquet", "orc"):
+        return spark.read.format(fmt).load(path)
+    if fmt in ("jsonl", "json", "csv"):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(f"{schema}, {corrupt_col} string")
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+            return reader.csv(path)
+        return reader.json(path)
+    raise ValueError(f"unsupported corpus format {fmt!r}")
 
 
 def write_table(

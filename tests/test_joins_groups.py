@@ -253,6 +253,31 @@ def test_extract_audio_features(spark):
         extract_audio_features(df, decoder="real").collect()
 
 
+def test_read_corpus_jsonl_csv(spark, tmp_path):
+    from sparkplug_spark.sources import read_corpus
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "{this is not json at all}\n"
+        '{"doc_id": 2, "text": "second doc"}\n'
+    )
+    df = read_corpus(spark, str(jl), fmt="jsonl", schema="doc_id long, text string")
+    rows = df.collect()
+    good = {r["doc_id"]: r["text"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: "hello world", 2: "second doc"}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text("doc_id,text\n1,hello\n2,world\n")
+    cdf = read_corpus(spark, str(cv), fmt="csv", schema="doc_id long, text string")
+    assert {(r["doc_id"], r["text"]) for r in cdf.select("doc_id", "text").collect()} == {
+        (1, "hello"),
+        (2, "world"),
+    }
+
+
 def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
     from sparkplug_spark.sources import write_bucketed
 

@@ -1,0 +1,113 @@
+"""Property-based equivalence of the Arrow (pandas) kernels and their JVM
+expression twins.  Oracle parity rests on these pairs producing identical
+values — the DuckDB SQL mirrors the JVM form, while hot paths run the
+Arrow form, so any divergence would silently break hash-matching.
+
+Strings are drawn adversarially (unicode, control chars, repeated spaces,
+empty) by hypothesis; each batch round-trips through one Spark job."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sparkplug_spark.functions.text import (
+    simhash32,
+    simhash32_pd,
+    simhash64_pd,
+    tokens,
+    tokens_pd,
+    word_shingles,
+    word_shingles_pd,
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["i", "t"]
+    )
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_tokens_pd_equals_jvm(spark, docs):
+    rows = (
+        _df(spark, docs)
+        .select("i", tokens(F.col("t")).alias("a"), tokens_pd("t").alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert r["a"] == r["b"], docs[r["i"]]
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_shingles_pd_equals_jvm(spark, docs):
+    rows = (
+        _df(spark, docs)
+        .select(
+            "i",
+            word_shingles(F.col("t"), 3).alias("a"),
+            word_shingles_pd("t", 3).alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["a"] == r["b"], docs[r["i"]]
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_simhash32_pd_equals_jvm(spark, docs):
+    rows = (
+        _df(spark, docs)
+        .select(
+            "i",
+            simhash32(F.col("t")).alias("a"),
+            simhash32_pd("t").alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["a"] == r["b"], docs[r["i"]]
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_simhash64_matches_reference_fold(spark, docs):
+    """simhash64_pd against an independent pure-Python reimplementation
+    (no numpy, no caching) — guards the vectorized bit math."""
+    import hashlib
+    import re as _re
+
+    strip = _re.compile(r"[^a-z0-9 ]")
+    squash = _re.compile(r" +")
+
+    def ref(text):
+        norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+        votes = [0] * 64
+        for tok in norm.split(" "):
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            h = (int(hx[8:16], 16) << 32) | int(hx[:8], 16)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        packed = sum(1 << j for j in range(64) if votes[j] > 0)
+        return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+    rows = _df(spark, docs).select("i", simhash64_pd("t").alias("b")).collect()
+    for r in rows:
+        assert r["b"] == ref(docs[r["i"]]), docs[r["i"]]
