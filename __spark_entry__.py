@@ -678,6 +678,23 @@ def q_delegated_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_delegated_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: order totals per status × priority.  Fixed pivot
+    value list (a dynamic list would run an extra distinct job and make
+    column order data-dependent); decimal-sum → double for associative,
+    engine-stable aggregation."""
+    orders = _read(spark, sf_dir, "orders")
+    dec = "decimal(28,6)"
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(F.sum(F.col("o_totalprice").cast(dec)).cast("double"))
+    )
+
+
 def q_delegated_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins: customers flagged by order existence."""
     cust = _read(spark, sf_dir, "customer")
@@ -1281,6 +1298,16 @@ def _extension_oracles() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "delegated_pivot": (
+            "SELECT o_orderstatus, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN "
+                f"CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE) "
+                f'AS "{p}"'
+                for p in _PIVOT_PRIORITIES
+            )
+            + " FROM orders GROUP BY o_orderstatus"
+        ),
         "delegated_semi_anti": """
             SELECT c_custkey,
                    c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
@@ -1351,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delegated_window": q_delegated_window,
         "delegated_setops": q_delegated_setops,
         "delegated_rollup": q_delegated_rollup,
+        "delegated_pivot": q_delegated_pivot,
         "delegated_semi_anti": q_delegated_semi_anti,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
