@@ -627,6 +627,25 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization over the events table — the oracle-checked
+    twin of the streaming sessionizer (same gap semantics)."""
+    from sparkplug_spark.operators import sessionize
+
+    events = read_events(spark, sf_dir)
+    return sessionize(events, gap_seconds=1800).select(
+        "user_id", "session_idx", "session_start", "session_end", "n_events"
+    )
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel reach: view → click → purchase."""
+    from sparkplug_spark.operators import funnel_counts
+
+    events = read_events(spark, sf_dir)
+    return funnel_counts(events, ["view", "click", "purchase"])
+
+
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget shard packing (dataloader-sized output
     files), weighted by n_chars."""
@@ -935,6 +954,47 @@ def _extension_oracles() -> dict[str, str]:
         FROM documents d0 LEFT JOIN hits ON hits.doc_id = d0.doc_id
     """
 
+    sessionize_sql = """
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events
+        ), b AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev IS NULL
+                           OR (epoch_us(ts) // 1000000 - epoch_us(prev) // 1000000) > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM o
+        ), c AS (
+          -- default RANGE frame: timestamp ties share a session in both engines
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+          FROM b
+        )
+        SELECT user_id, session_idx,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM c GROUP BY user_id, session_idx
+    """
+
+    funnel_sql = """
+        WITH s1 AS (
+          SELECT user_id AS u, min(ts) AS rt FROM events
+          WHERE event_type = 'view' GROUP BY 1
+        ), s2 AS (
+          SELECT e.user_id AS u, min(e.ts) AS rt
+          FROM events e JOIN s1 ON e.user_id = s1.u
+          WHERE e.event_type = 'click' AND e.ts > s1.rt GROUP BY 1
+        ), s3 AS (
+          SELECT e.user_id AS u, min(e.ts) AS rt
+          FROM events e JOIN s2 ON e.user_id = s2.u
+          WHERE e.event_type = 'purchase' AND e.ts > s2.rt GROUP BY 1
+        )
+        SELECT 'view' AS step, 1 AS step_idx, (SELECT count(*) FROM s1) AS n_users
+        UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+        UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)
+    """
+
     pack_sql = """
         WITH b AS (
           SELECT doc_id, n_chars,
@@ -1090,6 +1150,8 @@ def _extension_oracles() -> dict[str, str]:
         "decontaminate": decontaminate_sql,
         "sample_per_key": sample_sql,
         "pack_shards": pack_sql,
+        "sessionize_events": sessionize_sql,
+        "funnel_events": funnel_sql,
         "dedup_exact": f"""
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,
@@ -1406,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_per_key": q_sample_per_key,
         "pack_shards": q_pack_shards,
+        "sessionize_events": q_sessionize_events,
+        "funnel_events": q_funnel_events,
         "impact_report": q_impact_report,
         "multimodal_features": q_multimodal_features,
     }

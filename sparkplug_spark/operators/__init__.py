@@ -18,6 +18,7 @@ from .dedup import (
     minhash_lsh_pairs_ml,
     simhash_pairs,
 )
+from .events import funnel_counts, sessionize
 from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
@@ -41,6 +42,8 @@ __all__ = [
     "asof_join",
     "range_join",
     "salted_join",
+    "sessionize",
+    "funnel_counts",
     "near_dup_groups",
     "connected_components_star",
     "dedup_keep_best",

@@ -1,0 +1,97 @@
+"""Event-log analytics: batch gap-sessionization and funnel analysis.
+
+Batch :func:`sessionize` is the oracle-checkable twin of the streaming
+``sessionize_stream`` operator (same gap semantics, no state store): one
+window over (user, time) + one aggregation — two shuffles on the user key.
+:func:`funnel_counts` is the ordered-sequence reach count (view → click →
+purchase): K-1 equi-joins on the user key, one per step, each carrying
+only (user, first-reach-time) pairs — no per-user event arrays are ever
+collected, so power users with millions of events cost nothing extra.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..partitioning import spread
+
+__all__ = ["sessionize", "funnel_counts"]
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions: (user_id, session_idx, session_start,
+    session_end, n_events).  A session breaks when consecutive events are
+    more than ``gap_seconds`` apart (second-precision diff, truncating —
+    identical in the SQL oracle).  ``session_idx`` numbers a user's
+    sessions in time order, so output is fully deterministic."""
+    # Tie-safety: equal timestamps make lag() order-dependent, but the
+    # RESULT isn't — tied rows diff to 0 (never a break), and the
+    # cumulative sum uses the default RANGE frame, which includes all
+    # peers of the current timestamp, so tied rows always land in the
+    # same session in both engines.
+    w = Window.partitionBy(user_col).orderBy(F.col(time_col))
+    prev = F.lag(F.col(time_col)).over(w)
+    breaks = F.when(
+        prev.isNull()
+        | ((F.col(time_col).cast("long") - prev.cast("long")) > gap_seconds),
+        1,
+    ).otherwise(0)
+    with_idx = spread(df).withColumn("__brk", breaks).withColumn(
+        "session_idx", F.sum("__brk").over(w)  # default RANGE frame
+    )
+    return (
+        with_idx.groupBy(user_col, "session_idx")
+        .agg(
+            F.min(time_col).alias("session_start"),
+            F.max(time_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel reach counts: for each step k, the number of users
+    who performed steps 1..k IN ORDER (each step strictly after their
+    first qualifying occurrence of the previous one).
+
+    Per step: filter to that event type, join the (user, prev-reach-time)
+    frontier, keep events after it, take the per-user min — the frontier
+    stays one row per reached user.  Returns (step, step_idx, n_users)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    base = spread(df).select(
+        F.col(user_col).alias("u"),
+        F.col(time_col).alias("t"),
+        F.col(type_col).alias("e"),
+    )
+    spark = df.sparkSession
+    frontier = (
+        base.filter(F.col("e") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("rt"))
+    )
+    counts = [(steps[0], 1, frontier.count())]
+    for i, step in enumerate(steps[1:], start=2):
+        frontier = (
+            base.filter(F.col("e") == step)
+            .join(frontier.select("u", F.col("rt").alias("prev_rt")), "u")
+            .filter(F.col("t") > F.col("prev_rt"))
+            .groupBy("u")
+            .agg(F.min("t").alias("rt"))
+        )
+        counts.append((step, i, frontier.count()))
+    return spark.createDataFrame(counts, "step string, step_idx int, n_users long")

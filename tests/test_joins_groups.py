@@ -391,6 +391,45 @@ def test_sessionize_stream_late_event_moves_start(spark, tmp_path):
     assert (100, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2) in got
 
 
+def test_sessionize_batch(spark):
+    from sparkplug_spark.operators import sessionize
+
+    rows = [
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-01 10:00:00")),   # timestamp tie — same session
+        (1, ts("2024-01-01 10:20:00")),
+        (1, ts("2024-01-01 12:00:00")),   # > 30 min gap — new session
+        (2, ts("2024-01-01 09:00:00")),
+    ]
+    out = {
+        (r["user_id"], r["session_idx"]): (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(spark.createDataFrame(rows, ["user_id", "ts"]), gap_seconds=1800).collect()
+    }
+    assert out[(1, 1)] == (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3)
+    assert out[(1, 2)] == (ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1)
+    assert out[(2, 1)][2] == 1
+
+
+def test_funnel_counts(spark):
+    from sparkplug_spark.operators import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts("2024-01-01 10:00:00"), "view"),
+        (1, ts("2024-01-01 10:01:00"), "click"),
+        (1, ts("2024-01-01 10:02:00"), "purchase"),
+        # user 2: view then click, no purchase
+        (2, ts("2024-01-01 10:00:00"), "view"),
+        (2, ts("2024-01-01 10:05:00"), "click"),
+        # user 3: purchase BEFORE view — order violated, counts only view
+        (3, ts("2024-01-01 09:00:00"), "purchase"),
+        (3, ts("2024-01-01 10:00:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["step"]: r["n_users"] for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
 def test_streaming_quality_filter_and_decontaminate(spark, tmp_path):
     from sparkplug_spark.streaming import (
         streaming_decontaminate,
