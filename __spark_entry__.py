@@ -627,6 +627,16 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy-hitter tokens (corpus vocabulary report)."""
+    from sparkplug_spark.operators import top_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_tokens(docs, group_col="lang", k=10).select(
+        "lang", "token", "n", "rank"
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization over the events table — the oracle-checked
     twin of the streaming sessionizer (same gap semantics)."""
@@ -954,6 +964,20 @@ def _extension_oracles() -> dict[str, str]:
         FROM documents d0 LEFT JOIN hits ON hits.doc_id = d0.doc_id
     """
 
+    top_tokens_sql = f"""
+        WITH e AS (
+          SELECT lang, unnest({toks}) AS token FROM documents
+        ), c AS (
+          SELECT lang, token, count(*) AS n FROM e
+          WHERE token != '' GROUP BY lang, token
+        )
+        SELECT lang, token, n, rank FROM (
+          SELECT lang, token, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+          FROM c
+        ) WHERE rank <= 10
+    """
+
     sessionize_sql = """
         WITH o AS (
           SELECT user_id, ts,
@@ -1150,6 +1174,7 @@ def _extension_oracles() -> dict[str, str]:
         "decontaminate": decontaminate_sql,
         "sample_per_key": sample_sql,
         "pack_shards": pack_sql,
+        "top_tokens": top_tokens_sql,
         "sessionize_events": sessionize_sql,
         "funnel_events": funnel_sql,
         "dedup_exact": f"""
@@ -1468,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_per_key": q_sample_per_key,
         "pack_shards": q_pack_shards,
+        "top_tokens": q_top_tokens,
         "sessionize_events": q_sessionize_events,
         "funnel_events": q_funnel_events,
         "impact_report": q_impact_report,

@@ -23,7 +23,7 @@ from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
 from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_ivf, cosine_topk_lsh
-from .textops import language_id, text_fingerprints, text_stats
+from .textops import language_id, text_fingerprints, text_stats, top_tokens
 
 __all__ = [
     "decontaminate",
@@ -54,4 +54,5 @@ __all__ = [
     "language_id",
     "text_fingerprints",
     "text_stats",
+    "top_tokens",
 ]

@@ -19,7 +19,35 @@ from ..functions.text import (
     normalize_text,
 )
 
-__all__ = ["text_stats", "language_id", "text_fingerprints"]
+__all__ = ["text_stats", "language_id", "text_fingerprints", "top_tokens"]
+
+
+def top_tokens(
+    df: DataFrame,
+    group_col: str | None = "lang",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` most frequent tokens per group (corpus vocabulary/heavy-
+    hitter report): explode the tokenize-once array → two-level count
+    (partial map-side combine comes free with groupBy) → windowed top-k.
+    Deterministic tie-break on the token string.  With ``group_col=None``
+    the report is corpus-global (single window partition — the per-group
+    form is the scale path)."""
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    exploded = (
+        spread(df)
+        .select(*keys, F.explode(tokens_pd(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = exploded.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -172,6 +172,24 @@ def test_text_stats_and_language_id(spark):
     assert langs[4] == "und"  # no function words
 
 
+def test_top_tokens(spark):
+    from sparkplug_spark.operators import top_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha alpha alpha beta beta gamma"),
+            (2, "en", "alpha beta delta"),
+            (3, "de", "zug zug bahn"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {(r["lang"], r["rank"]): (r["token"], r["n"]) for r in top_tokens(df, k=2).collect()}
+    assert out[("en", 1)] == ("alpha", 4)
+    assert out[("en", 2)] == ("beta", 3)
+    assert out[("de", 1)] == ("zug", 2)
+    assert out[("de", 2)] == ("bahn", 1)
+
+
 def test_text_fingerprints(spark):
     df = docs_df(spark)
     fp = {r["doc_id"]: r for r in text_fingerprints(df).collect()}
