@@ -627,6 +627,22 @@ def q_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of lineitem numerics."""
+    from sparkplug_spark.operators import column_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    return column_profile(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of l_extendedprice."""
+    from sparkplug_spark.operators import histogram
+
+    li = _read(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", lo=0.0, hi=100000.0, bins=20)
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language heavy-hitter tokens (corpus vocabulary report)."""
     from sparkplug_spark.operators import top_tokens
@@ -964,6 +980,38 @@ def _extension_oracles() -> dict[str, str]:
         FROM documents d0 LEFT JOIN hits ON hits.doc_id = d0.doc_id
     """
 
+    def _profile_col(c: str) -> str:
+        return f"""
+            SELECT '{c}' AS "column", count({c}) AS n_rows,
+                   sum(({c} IS NULL)::BIGINT) AS n_null,
+                   count(DISTINCT {c}) AS n_distinct,
+                   min({c})::DOUBLE AS min_v, max({c})::DOUBLE AS max_v,
+                   sum({c}::DECIMAL(28,6))::DOUBLE / count({c}) AS mean_v
+            FROM lineitem
+        """
+
+    profile_sql = " UNION ALL ".join(
+        _profile_col(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    hist_width = repr((100000.0 - 0.0) / 20)
+    hist_sql = f"""
+        WITH x AS (
+          SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+        ), b AS (
+          SELECT CASE WHEN v < 0.0 THEN -1
+                      WHEN v >= 100000.0 THEN 20
+                      ELSE floor((v - 0.0) / {hist_width})::INT END AS bucket
+          FROM x
+        )
+        SELECT bucket,
+               0.0 + bucket * {hist_width} AS bucket_lo,
+               (0.0 + bucket * {hist_width}) + {hist_width} AS bucket_hi,
+               count(*) AS n
+        FROM b GROUP BY bucket
+    """
+
     top_tokens_sql = f"""
         WITH e AS (
           SELECT lang, unnest({toks}) AS token FROM documents
@@ -1174,6 +1222,8 @@ def _extension_oracles() -> dict[str, str]:
         "decontaminate": decontaminate_sql,
         "sample_per_key": sample_sql,
         "pack_shards": pack_sql,
+        "column_profile": profile_sql,
+        "histogram": hist_sql,
         "top_tokens": top_tokens_sql,
         "sessionize_events": sessionize_sql,
         "funnel_events": funnel_sql,
@@ -1493,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_per_key": q_sample_per_key,
         "pack_shards": q_pack_shards,
+        "column_profile": q_column_profile,
+        "histogram": q_histogram,
         "top_tokens": q_top_tokens,
         "sessionize_events": q_sessionize_events,
         "funnel_events": q_funnel_events,

@@ -22,6 +22,7 @@ from .events import funnel_counts, sessionize
 from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
+from .profiling import column_profile, histogram
 from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from .textops import language_id, text_fingerprints, text_stats, top_tokens
 
@@ -42,6 +43,8 @@ __all__ = [
     "asof_join",
     "range_join",
     "salted_join",
+    "column_profile",
+    "histogram",
     "sessionize",
     "funnel_counts",
     "near_dup_groups",

@@ -1,0 +1,76 @@
+"""Dataset profiling: per-column statistics and fixed-bin histograms.
+
+The pre-flight checks of any 100 TB ingest: one pass over the data,
+all-JVM aggregation, deterministic outputs (decimal-summed means, no
+float-order-dependent reductions), so profiles are comparable across runs
+and engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..partitioning import spread
+
+__all__ = ["column_profile", "histogram"]
+
+
+def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One row per numeric column: count, nulls, exact distinct, min, max,
+    mean.  Single aggregation pass (count-distincts expand map-side);
+    mean sums in DECIMAL so the result doesn't depend on float reduction
+    order — a 1000-partition sum of doubles is otherwise
+    run-to-run-nondeterministic."""
+    dec = "decimal(28,6)"
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__cnt"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nnull"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            # decimal sum → double, THEN double division: decimal-division
+            # scale rules differ across engines, double division doesn't
+            (
+                F.sum(F.col(c).cast(dec)).cast("double") / F.count(F.col(c))
+            ).alias(f"{c}__mean"),
+        ]
+    row = spread(df).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__cnt, {c}__nnull, {c}__nd, {c}__min, {c}__max, {c}__mean"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 20
+) -> DataFrame:
+    """Fixed-bin histogram: (bucket, bucket_lo, bucket_hi, n).  Bucket -1
+    catches values below ``lo``, bucket ``bins`` values at/above ``hi``
+    (and nulls are dropped).  Fixed bins → one shuffle of at most
+    ``bins+2`` groups; both engines do the identical IEEE arithmetic, so
+    boundary values land in the same bucket everywhere."""
+    width = (float(hi) - float(lo)) / bins
+    x = F.col(col).cast("double")
+    bucket = (
+        F.when(x < float(lo), F.lit(-1))
+        .when(x >= float(hi), F.lit(bins))
+        .otherwise(F.floor((x - float(lo)) / F.lit(width)).cast("int"))
+    )
+    return (
+        spread(df)
+        .filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", F.lit(float(lo)) + F.col("bucket") * F.lit(width))
+        .withColumn("bucket_hi", F.col("bucket_lo") + F.lit(width))
+        .select("bucket", "bucket_lo", "bucket_hi", "n")
+    )

@@ -172,6 +172,21 @@ def test_text_stats_and_language_id(spark):
     assert langs[4] == "und"  # no function words
 
 
+def test_column_profile_and_histogram(spark):
+    from sparkplug_spark.operators import column_profile, histogram
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (None, 30), (3.0, 30)], ["a", "b"]
+    )
+    prof = {r["column"]: r for r in column_profile(df, ["a", "b"]).collect()}
+    assert prof["a"]["n_rows"] == 3 and prof["a"]["n_null"] == 1
+    assert prof["a"]["n_distinct"] == 3 and prof["a"]["mean_v"] == 2.0
+    assert prof["b"]["n_distinct"] == 3 and prof["b"]["max_v"] == 30.0
+
+    h = {r["bucket"]: r["n"] for r in histogram(df, "b", lo=0, hi=30, bins=3).collect()}
+    assert h == {1: 1, 2: 1, 3: 2}  # 10→[10,20), 20→[20,30), 30s → overflow
+
+
 def test_top_tokens(spark):
     from sparkplug_spark.operators import top_tokens
 
