@@ -27,6 +27,7 @@ __all__ = [
     "read_corpus",
     "write_table",
     "write_bucketed",
+    "overwrite_partitions",
 ]
 
 _LOCAL_SCHEMES = ("", "file")
@@ -105,6 +106,32 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+def overwrite_partitions(
+    df: "DataFrame",
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Incremental refresh on vanilla parquet: DYNAMIC partition
+    overwrite replaces only the partitions present in ``df`` and leaves
+    every other partition untouched — the day-N reprocess pattern without
+    a table format.  (Static mode, the default, would silently TRUNCATE
+    the whole table first; the conf is set per-write here and restored.)"""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.format(fmt)
+            .mode("overwrite")
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
 
 
 def write_bucketed(

@@ -253,6 +253,24 @@ def test_extract_audio_features(spark):
         extract_audio_features(df, decoder="real").collect()
 
 
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    from sparkplug_spark.sources import overwrite_partitions
+
+    path = str(tmp_path / "incr")
+    full = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "day", "v"]
+    )
+    overwrite_partitions(full, path, ["day"])
+    # reprocess ONLY day b with corrected values
+    fix = spark.createDataFrame([(2, "b", 99)], ["id", "day", "v"])
+    overwrite_partitions(fix, path, ["day"])
+    got = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # day a and c untouched, day b replaced (static mode would truncate all)
+    assert got == {(1, "a", 10), (2, "b", 99), (3, "c", 30)}
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
 def test_read_corpus_jsonl_csv(spark, tmp_path):
     from sparkplug_spark.sources import read_corpus
 
