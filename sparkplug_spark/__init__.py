@@ -31,6 +31,7 @@ from .validation import (
     coerce_action_value,
     validate_rules,
 )
+from .conf import recommended_conf
 
 __version__ = "0.1.0"
 
@@ -54,4 +55,5 @@ __all__ = [
     "build_fields_map",
     "coerce_action_value",
     "validate_rules",
+    "recommended_conf",
 ]

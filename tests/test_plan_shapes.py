@@ -1,0 +1,76 @@
+"""Physical-plan regression locks: the properties PLANS.md reports,
+asserted in CI so a refactor can't silently trade them away.
+
+These are the plan shapes that matter at 100 TB: the rule chain must stay
+one fused codegen'd projection (no shuffle, no Python), scrubbing must
+stay pure codegen, candidate-generation joins must broadcast their small
+sides, and single-tokenize operators must evaluate exactly one Arrow node.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from sparkplug_spark import PlugAction, PlugRule, SparkPlug
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+RULES = [
+    PlugRule("r1", "v1", "v < 10", (PlugAction("v", "99"),)),
+    PlugRule("r2", "v1", "s = 'x'", (PlugAction("s", "y"),)),
+    PlugRule("r3", "v1", "v >= 99", (PlugAction("s", "`concat(s, '!')`"),)),
+]
+
+
+def test_plug_chain_is_one_fused_projection(spark):
+    df = spark.createDataFrame([(1, "x"), (20, "z")], ["v", "s"])
+    out = SparkPlug.builder(spark).enable_plug_details().create().plug(df, RULES)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    # all three rules collapse into ONE whole-stage-codegen span
+    assert len(set(re.findall(r"\*\((\d+)\)", plan))) == 1
+
+
+def test_scrub_pii_is_pure_codegen(spark):
+    from sparkplug_spark.operators import scrub_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], ["id", "text"])
+    plan = _plan(scrub_pii(df))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_textops_single_arrow_node(spark):
+    from sparkplug_spark.operators import language_id, text_stats
+
+    df = spark.createDataFrame([(1, "some text here")], ["id", "text"])
+    plan = _plan(language_id(text_stats(df)))
+    # tokenize-once: one ArrowEvalPython per operator, two total max
+    assert plan.count("ArrowEvalPython") <= 2
+
+
+def test_decontaminate_broadcasts_eval_index(spark):
+    from sparkplug_spark.operators import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta gamma delta epsilon") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(0, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    plan = _plan(decontaminate(docs, ev, n=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plan = _plan(df.filter(F.col("p_size") > 40).select("p_partkey", "p_size"))
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan", plan)
+    # column pruning: only the two selected columns in ReadSchema
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "p_partkey",
+        "p_size",
+    }
