@@ -73,11 +73,16 @@ def funnel_counts(
     stays one row per reached user.  Returns (step, step_idx, n_users)."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    from pyspark import StorageLevel
+
+    # one narrow projection of the log, persisted: every step filters it
+    # again, and each count() is a separate action — without persist the
+    # source is re-scanned 2×K times
     base = spread(df).select(
         F.col(user_col).alias("u"),
         F.col(time_col).alias("t"),
         F.col(type_col).alias("e"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     spark = df.sparkSession
     frontier = (
         base.filter(F.col("e") == steps[0])
