@@ -183,9 +183,9 @@ def pack_token_budget(
     engine-reproducible — the same corpus packs identically on any run,
     cluster size, or engine.  One shuffle on ``pack_group``."""
     order = hash60(F.col(id_col).cast("string"))
-    grouped = spread(df).withColumn(
-        "pack_group", F.pmod(order, F.lit(num_groups))
-    )
+    # no spread(): the window's shuffle on pack_group redistributes, and
+    # the pre-shuffle work (one md5) doesn't justify a second exchange
+    grouped = df.withColumn("pack_group", F.pmod(order, F.lit(num_groups)))
     w = (
         Window.partitionBy("pack_group")
         .orderBy(order, F.col(id_col))
@@ -211,8 +211,8 @@ def sample_per_key(
     key."""
     order = hash60(F.col(id_col).cast("string"))
     w = Window.partitionBy(key).orderBy(order, F.col(id_col))
+    # no spread(): the window shuffles on the key already
     return (
-        spread(df)
-        .withColumn("sample_rank", F.row_number().over(w))
+        df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= cap)
     )

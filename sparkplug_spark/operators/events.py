@@ -44,7 +44,10 @@ def sessionize(
         | ((F.col(time_col).cast("long") - prev.cast("long")) > gap_seconds),
         1,
     ).otherwise(0)
-    with_idx = spread(df).withColumn("__brk", breaks).withColumn(
+    # no spread(): the window's hash shuffle on the user key already
+    # redistributes, and the pre-shuffle map work is trivial — a
+    # round-robin repartition first would just be a second exchange
+    with_idx = df.withColumn("__brk", breaks).withColumn(
         "session_idx", F.sum("__brk").over(w)  # default RANGE frame
     )
     return (
