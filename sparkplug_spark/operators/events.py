@@ -87,10 +87,14 @@ def funnel_counts(
         F.col(type_col).alias("e"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     spark = df.sparkSession
+    # each frontier is localCheckpoint'd before its count: the count
+    # materializes it, and step k+1 then reads the materialized rows
+    # instead of re-deriving frontiers 1..k (O(K) not O(K²) subplan runs)
     frontier = (
         base.filter(F.col("e") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("rt"))
+        .localCheckpoint(eager=False)
     )
     counts = [(steps[0], 1, frontier.count())]
     for i, step in enumerate(steps[1:], start=2):
@@ -100,6 +104,7 @@ def funnel_counts(
             .filter(F.col("t") > F.col("prev_rt"))
             .groupBy("u")
             .agg(F.min("t").alias("rt"))
+            .localCheckpoint(eager=False)
         )
         counts.append((step, i, frontier.count()))
     return spark.createDataFrame(counts, "step string, step_idx int, n_users long")
