@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -107,16 +109,29 @@ def streaming_decontaminate(
     eval_df: DataFrame,
     text_col: str = "text",
     n: int = 5,
+    method: str = "exact",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Drop streaming documents that share any word ``n``-gram with a
-    STATIC evaluation set — the stream-static join pattern: the eval-gram
-    index is a batch DataFrame broadcast to every micro-batch, the stream
-    side stays stateless (a left_anti join per batch, no state store).
+    STATIC evaluation set — the stream-static pattern: the eval-gram index
+    is built once from a batch DataFrame and shipped to every micro-batch;
+    the stream side stays stateless (no state store, no watermark).
 
-    Works at ingest: contaminated documents never land in the corpus.
-    ``eval_df`` follows the same size argument as batch
-    :func:`~..operators.cleaning.decontaminate` — benchmarks are MBs."""
+    ``method="exact"``: the distinct eval-gram hashes are aggregated into
+    one sorted array and each row checks ``array_intersect`` — exact, fine
+    for MB-scale benchmarks.  ``method="bloom"``: eval grams are folded
+    into a ``bloom_bits``-bit Bloom filter (built distributed, one
+    ``bit_or`` aggregation; only ``bloom_bits/8`` bytes ship to
+    executors) and an Arrow-batched kernel tests each document's grams —
+    the scale path for GB eval sets.  Bloom errs toward OVER-dropping
+    (false positives, no false negatives), the safe direction for
+    decontamination; size ``bloom_bits`` ≈ 10× the gram count for <1%
+    false-positive rate."""
     from ..functions.text import hash60, word_shingles_pd
+
+    if method not in ("exact", "bloom"):
+        raise ValueError(f"unknown method {method!r}")
 
     eval_grams = (
         eval_df.select(
@@ -126,20 +141,90 @@ def streaming_decontaminate(
         .distinct()
     )
     # per-row gram array stays attached (no explode on the stream side —
-    # an explode would multiply every row ~n_tokens×; instead the tiny
-    # broadcast index is aggregated into one array and checked per row)
+    # an explode would multiply every row ~n_tokens×)
     with_grams = stream_df.withColumn(
         "__grams",
         F.transform(word_shingles_pd(F.col(text_col), n), hash60),
     )
-    eval_arr = eval_grams.agg(F.collect_list("gh").alias("all")).select(
-        F.array_sort("all").alias("all")
-    )
-    joined = with_grams.crossJoin(F.broadcast(eval_arr))
+
+    if method == "exact":
+        eval_arr = eval_grams.agg(F.collect_list("gh").alias("all")).select(
+            F.array_sort("all").alias("all")
+        )
+        joined = with_grams.crossJoin(F.broadcast(eval_arr))
+        return (
+            joined.filter(F.size(F.array_intersect("__grams", "all")) == 0)
+            .drop("__grams", "all")
+        )
+
+    bloom = _build_bloom(eval_grams, "gh", bloom_bits, bloom_hashes)
+    from pyspark.sql import types as T
+
+    m = bloom_bits
+    k = bloom_hashes
+    blob = bloom  # numpy uint8 array, closure-captured → broadcast once
+
+    @F.pandas_udf(T.BooleanType())
+    def _hits_bloom(grams: pd.Series) -> pd.Series:
+        out = []
+        for gs in grams:
+            hit = False
+            for g in gs:
+                g = int(g)  # hash60 → always non-negative
+                # double hashing: pos_i = (h1 + i*h2) mod m (Kirsch-Mitzenmacher)
+                h1 = g % m
+                h2 = 1 + ((g >> 17) % (m - 1))
+                if all(
+                    blob[((h1 + i * h2) % m) >> 3] & (1 << (((h1 + i * h2) % m) & 7))
+                    for i in range(k)
+                ):
+                    hit = True
+                    break
+            out.append(hit)
+        return pd.Series(out)
+
     return (
-        joined.filter(F.size(F.array_intersect("__grams", "all")) == 0)
-        .drop("__grams", "all")
+        with_grams.filter(~_hits_bloom(F.col("__grams"))).drop("__grams")
     )
+
+
+def _build_bloom(grams_df: DataFrame, col: str, bits: int, hashes: int):
+    """Distributed Bloom build: explode each gram hash into its ``hashes``
+    bit positions, reduce with one group-less aggregation into byte-chunk
+    bitmaps, assemble the byte array on the driver (``bits/8`` bytes — the
+    only driver-side materialization, independent of eval-set size)."""
+    import numpy as np
+
+    m, k = bits, hashes
+    g = F.col(col).cast("long")
+    h1 = F.pmod(g, F.lit(m))
+    h2 = F.lit(1) + F.pmod(F.shiftrightunsigned(g, 17), F.lit(m - 1))
+    positions = grams_df.select(
+        F.explode(
+            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+        ).alias("pos")
+    ).distinct()
+    # chunk positions into byte indices; aggregate per 64-byte chunk via
+    # bit OR over a packed bigint lane (8 lanes of 8 bytes per chunk row)
+    rows = (
+        positions.select(
+            F.expr("pos div 64").alias("chunk"),
+            # SQL form: python F.shiftleft only takes a LITERAL bit count
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+                "lane"
+            ),
+        )
+        .groupBy("chunk")
+        .agg(F.bit_or("lane").alias("bits64"))
+        .collect()
+    )
+    blob = np.zeros(m // 8, dtype=np.uint8)
+    for r in rows:
+        word = r["bits64"] & 0xFFFFFFFFFFFFFFFF  # two's complement → unsigned
+        base = int(r["chunk"]) * 8
+        for b in range(8):
+            blob[base + b] = (word >> (8 * b)) & 0xFF
+    return blob
 
 
 def streaming_dedup_exact(

@@ -467,20 +467,23 @@ def test_streaming_quality_filter_and_decontaminate(spark, tmp_path):
     eval_df = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
     )
-    cleaned = streaming_decontaminate(
-        streaming_quality_filter(stream), eval_df, n=5
-    )
-    assert cleaned.isStreaming
-    q = (
-        cleaned.writeStream.format("memory")
-        .queryName("clean_stream_test")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    kept = {r["doc_id"] for r in spark.sql("select * from clean_stream_test").collect()}
-    assert kept == {1}  # 2 fails quality, 3 is contaminated
+    for method, qname in (("exact", "clean_stream_test"), ("bloom", "clean_stream_bloom")):
+        cleaned = streaming_decontaminate(
+            streaming_quality_filter(stream), eval_df, n=5, method=method
+        )
+        assert cleaned.isStreaming
+        q = (
+            cleaned.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = {r["doc_id"] for r in spark.sql(f"select * from {qname}").collect()}
+        # 2 fails quality, 3 is contaminated; bloom has no false negatives
+        # and (at 2^23 bits for ~40 grams) effectively no false positives
+        assert kept == {1}, method
 
 
 def test_minhash_lsh_pairs_ml(spark):
