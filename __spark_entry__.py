@@ -607,12 +607,14 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 5-gram overlap of the corpus against a
-    deterministic eval subset (doc_id % 50 == 0)."""
+    deterministic eval subset (doc_id % 50 == 0).  Runs the
+    bloom-PREFILTER tier — bloom has no false negatives, so results are
+    identical to exact and the unchanged exact-SQL oracle proves it."""
     from sparkplug_spark.operators import decontaminate
 
     docs = _read(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 50 == 0)
-    return decontaminate(docs, eval_df, n=5).select(
+    return decontaminate(docs, eval_df, n=5, bloom_prefilter=True).select(
         "doc_id", "n_eval_grams_hit", "contaminated"
     )
 

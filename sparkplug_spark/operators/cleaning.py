@@ -127,6 +127,9 @@ def decontaminate(
     id_col: str = "doc_id",
     eval_text_col: str | None = None,
     n: int = 5,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     ``n``-gram with the evaluation set (the GPT-3/PaLM 13-gram-overlap
@@ -136,7 +139,14 @@ def decontaminate(
     small by construction (benchmarks are MBs, not TBs) and broadcast, so
     the corpus side never shuffles its text: explode → broadcast semi-ish
     join → per-doc distinct-hit count.  Returns every input row with
-    ``n_eval_grams_hit`` and ``contaminated``."""
+    ``n_eval_grams_hit`` and ``contaminated``.
+
+    ``bloom_prefilter=True`` is the 100 TB tier with IDENTICAL results:
+    a distributed-built Bloom filter (no false negatives) screens each
+    document in one narrow Arrow pass, and only bloom-positive documents
+    — a sliver of the corpus in practice — pay the explode + join for
+    exact verification.  The ~50× gram-explode row multiplication thus
+    applies to almost nothing."""
     eval_text = eval_text_col or text_col
     eval_grams = (
         eval_df.select(
@@ -145,10 +155,27 @@ def decontaminate(
         .select(hash60(F.col("g")).alias("gh"))
         .distinct()
     )
-    doc_grams = spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles_pd(F.col(text_col), n)).alias("g"),
-    ).select("__id", hash60(F.col("g")).alias("gh"))
+
+    base = spread(df)
+    if bloom_prefilter:
+        from ..functions.bloom import bloom_contains_any, build_bloom
+
+        blob = build_bloom(eval_grams, "gh", bloom_bits, bloom_hashes)
+        with_grams = base.withColumn(
+            "__grams", F.transform(word_shingles_pd(F.col(text_col), n), hash60)
+        )
+        maybe = with_grams.filter(
+            bloom_contains_any(blob, bloom_bits, bloom_hashes, F.col("__grams"))
+        )
+        doc_grams = maybe.select(
+            F.col(id_col).alias("__id"), F.explode("__grams").alias("gh")
+        )
+    else:
+        doc_grams = base.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_shingles_pd(F.col(text_col), n)).alias("g"),
+        ).select("__id", hash60(F.col("g")).alias("gh"))
+
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "gh")
         .groupBy("__id")

@@ -157,74 +157,12 @@ def streaming_decontaminate(
             .drop("__grams", "all")
         )
 
-    bloom = _build_bloom(eval_grams, "gh", bloom_bits, bloom_hashes)
-    from pyspark.sql import types as T
+    from ..functions.bloom import bloom_contains_any, build_bloom
 
-    m = bloom_bits
-    k = bloom_hashes
-    blob = bloom  # numpy uint8 array, closure-captured → broadcast once
-
-    @F.pandas_udf(T.BooleanType())
-    def _hits_bloom(grams: pd.Series) -> pd.Series:
-        out = []
-        for gs in grams:
-            hit = False
-            for g in gs:
-                g = int(g)  # hash60 → always non-negative
-                # double hashing: pos_i = (h1 + i*h2) mod m (Kirsch-Mitzenmacher)
-                h1 = g % m
-                h2 = 1 + ((g >> 17) % (m - 1))
-                if all(
-                    blob[((h1 + i * h2) % m) >> 3] & (1 << (((h1 + i * h2) % m) & 7))
-                    for i in range(k)
-                ):
-                    hit = True
-                    break
-            out.append(hit)
-        return pd.Series(out)
-
-    return (
-        with_grams.filter(~_hits_bloom(F.col("__grams"))).drop("__grams")
-    )
-
-
-def _build_bloom(grams_df: DataFrame, col: str, bits: int, hashes: int):
-    """Distributed Bloom build: explode each gram hash into its ``hashes``
-    bit positions, reduce with one group-less aggregation into byte-chunk
-    bitmaps, assemble the byte array on the driver (``bits/8`` bytes — the
-    only driver-side materialization, independent of eval-set size)."""
-    import numpy as np
-
-    m, k = bits, hashes
-    g = F.col(col).cast("long")
-    h1 = F.pmod(g, F.lit(m))
-    h2 = F.lit(1) + F.pmod(F.shiftrightunsigned(g, 17), F.lit(m - 1))
-    positions = grams_df.select(
-        F.explode(
-            F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
-        ).alias("pos")
-    ).distinct()
-    # chunk positions into byte indices; aggregate per 64-byte chunk via
-    # bit OR over a packed bigint lane (8 lanes of 8 bytes per chunk row)
-    rows = (
-        positions.select(
-            F.expr("pos div 64").alias("chunk"),
-            # SQL form: python F.shiftleft only takes a LITERAL bit count
-            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
-                "lane"
-            ),
-        )
-        .groupBy("chunk")
-        .agg(F.bit_or("lane").alias("bits64"))
-        .collect()
-    )
-    blob = np.zeros(m // 8, dtype=np.uint8)
-    for r in rows:
-        word = r["bits64"] & 0xFFFFFFFFFFFFFFFF  # two's complement → unsigned
-        base = int(r["chunk"]) * 8
-        for b in range(8):
-            blob[base + b] = (word >> (8 * b)) & 0xFF
-    return blob
+    blob = build_bloom(eval_grams, "gh", bloom_bits, bloom_hashes)
+    return with_grams.filter(
+        ~bloom_contains_any(blob, bloom_bits, bloom_hashes, F.col("__grams"))
+    ).drop("__grams")
 
 
 def streaming_dedup_exact(

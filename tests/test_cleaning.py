@@ -58,6 +58,15 @@ def test_decontaminate(spark):
     rows = {r["doc_id"]: r for r in decontaminate(df, eval_df, n=5).collect()}
     assert rows[1]["contaminated"] and rows[1]["n_eval_grams_hit"] >= 1
     assert not rows[2]["contaminated"] and rows[2]["n_eval_grams_hit"] == 0
+    # bloom prefilter tier: IDENTICAL output (no false negatives; exact
+    # verify removes false positives)
+    bloom_rows = {
+        r["doc_id"]: r
+        for r in decontaminate(df, eval_df, n=5, bloom_prefilter=True).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in bloom_rows.items()
+    }
 
 
 def test_pack_token_budget(spark):
