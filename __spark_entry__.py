@@ -607,9 +607,22 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 5-gram overlap of the corpus against a
-    deterministic eval subset (doc_id % 50 == 0).  Runs the
-    bloom-PREFILTER tier — bloom has no false negatives, so results are
-    identical to exact and the unchanged exact-SQL oracle proves it."""
+    deterministic eval subset (doc_id % 50 == 0)."""
+    from sparkplug_spark.operators import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, eval_df, n=5).select(
+        "doc_id", "n_eval_grams_hit", "contaminated"
+    )
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of decontamination — Bloom PREFILTER so only
+    bloom-positive documents pay the gram explode + verify join.  Bloom
+    has no false negatives, so this hash-matches the SAME exact-SQL
+    oracle as ``decontaminate`` (at bench scale the filter build
+    overhead loses to exact; at corpus scale the explode volume wins)."""
     from sparkplug_spark.operators import decontaminate
 
     docs = _read(spark, sf_dir, "documents")
@@ -1222,6 +1235,7 @@ def _extension_oracles() -> dict[str, str]:
         "pii_scrub": pii_sql,
         "quality_flags": quality_sql,
         "decontaminate": decontaminate_sql,
+        "decontaminate_bloom": decontaminate_sql,
         "sample_per_key": sample_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
@@ -1543,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "quality_flags": q_quality_flags,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "sample_per_key": q_sample_per_key,
         "pack_shards": q_pack_shards,
         "column_profile": q_column_profile,
