@@ -28,6 +28,8 @@ def build_bloom(keys_df: DataFrame, col: str, bits: int, hashes: int):
     ``keys_df[col]`` (non-negative bigints, e.g. ``hash60`` output)."""
     import numpy as np
 
+    if bits % 64 != 0 or bits <= 0:
+        raise ValueError("bits must be a positive multiple of 64 (lane width)")
     m, k = bits, hashes
     g = F.col(col).cast("long")
     h1 = F.pmod(g, F.lit(m))
