@@ -647,7 +647,13 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import column_profile
 
     li = _read(spark, sf_dir, "lineitem")
-    return column_profile(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    # exact_distinct for the oracle; mean_v (a float division) is dropped
+    # from the checked output — sum_micros is the exact cross-engine value
+    return column_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], exact_distinct=True
+    ).select(
+        "column", "n_rows", "n_null", "n_distinct", "min_v", "max_v", "sum_micros"
+    )
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,8 +680,14 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import sessionize
 
     events = read_events(spark, sf_dir)
+    # session bounds as epoch-micros BIGINT, never raw timestamps: the
+    # parquet is TIMESTAMP(NANOS) and engines disagree on sub-µs rendering
     return sessionize(events, gap_seconds=1800).select(
-        "user_id", "session_idx", "session_start", "session_end", "n_events"
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
     )
 
 
@@ -781,7 +793,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
-    return asof_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["value"])
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"], right_cols=["value"])
+    # epoch-micros BIGINT output (see sessionize: ns-parquet timestamps are
+    # not canonicalization-stable across engines)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        "asof_value",
+    )
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,12 +1018,16 @@ def _extension_oracles() -> dict[str, str]:
     """
 
     def _profile_col(c: str) -> str:
+        # all-BIGINT/DOUBLE outputs: DuckDB integer sums are HUGEINT unless
+        # cast, and a final mean division is last-ulp fragile across engines —
+        # emit the exact scaled-integer sum instead and let consumers divide
         return f"""
             SELECT '{c}' AS "column", count({c}) AS n_rows,
-                   sum(({c} IS NULL)::BIGINT) AS n_null,
+                   sum(({c} IS NULL)::BIGINT)::BIGINT AS n_null,
                    count(DISTINCT {c}) AS n_distinct,
                    min({c})::DOUBLE AS min_v, max({c})::DOUBLE AS max_v,
-                   sum({c}::DECIMAL(28,6))::DOUBLE / count({c}) AS mean_v
+                   sum((({c}::DECIMAL(28,6)) * 1000000)::BIGINT)::BIGINT
+                     AS sum_micros
             FROM lineitem
         """
 
@@ -1009,7 +1035,10 @@ def _extension_oracles() -> dict[str, str]:
         _profile_col(c) for c in ["l_quantity", "l_extendedprice", "l_discount"]
     )
 
-    hist_width = repr((100000.0 - 0.0) / 20)
+    # width as an explicit DOUBLE: a bare 5000.0 literal parses as
+    # DECIMAL(5,1) in DuckDB and propagates DECIMAL into bucket_lo/hi,
+    # which canonicalizes differently from Spark's double
+    hist_width = f"CAST({(100000.0 - 0.0) / 20!r} AS DOUBLE)"
     hist_sql = f"""
         WITH x AS (
           SELECT l_extendedprice::DOUBLE AS v FROM lineitem
@@ -1041,41 +1070,50 @@ def _extension_oracles() -> dict[str, str]:
         ) WHERE rank <= 10
     """
 
+    # epoch_ns//1000 mirrors Spark's read_events (nanosAsLong + integer div):
+    # every downstream value is BIGINT micros, version-stable whether DuckDB
+    # truncates TIMESTAMP_NS on read or keeps it; sum(brk) is cast to BIGINT
+    # (DuckDB integer sum yields HUGEINT, which hash-diverges from Spark LONG)
     sessionize_sql = """
-        WITH o AS (
-          SELECT user_id, ts,
-                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-          FROM events
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS tsu FROM events
+        ), o AS (
+          SELECT user_id, tsu,
+                 lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS prev
+          FROM ev
         ), b AS (
-          SELECT user_id, ts,
+          SELECT user_id, tsu,
                  CASE WHEN prev IS NULL
-                           OR (epoch_us(ts) // 1000000 - epoch_us(prev) // 1000000) > 1800
+                           OR (tsu // 1000000 - prev // 1000000) > 1800
                       THEN 1 ELSE 0 END AS brk
           FROM o
         ), c AS (
           -- default RANGE frame: timestamp ties share a session in both engines
-          SELECT user_id, ts,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS session_idx
+          SELECT user_id, tsu,
+                 (sum(brk) OVER (PARTITION BY user_id ORDER BY tsu))::BIGINT
+                   AS session_idx
           FROM b
         )
         SELECT user_id, session_idx,
-               min(ts) AS session_start, max(ts) AS session_end,
+               min(tsu) AS session_start_us, max(tsu) AS session_end_us,
                count(*) AS n_events
         FROM c GROUP BY user_id, session_idx
     """
 
     funnel_sql = """
-        WITH s1 AS (
-          SELECT user_id AS u, min(ts) AS rt FROM events
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tsu FROM events
+        ), s1 AS (
+          SELECT user_id AS u, min(tsu) AS rt FROM ev
           WHERE event_type = 'view' GROUP BY 1
         ), s2 AS (
-          SELECT e.user_id AS u, min(e.ts) AS rt
-          FROM events e JOIN s1 ON e.user_id = s1.u
-          WHERE e.event_type = 'click' AND e.ts > s1.rt GROUP BY 1
+          SELECT e.user_id AS u, min(e.tsu) AS rt
+          FROM ev e JOIN s1 ON e.user_id = s1.u
+          WHERE e.event_type = 'click' AND e.tsu > s1.rt GROUP BY 1
         ), s3 AS (
-          SELECT e.user_id AS u, min(e.ts) AS rt
-          FROM events e JOIN s2 ON e.user_id = s2.u
-          WHERE e.event_type = 'purchase' AND e.ts > s2.rt GROUP BY 1
+          SELECT e.user_id AS u, min(e.tsu) AS rt
+          FROM ev e JOIN s2 ON e.user_id = s2.u
+          WHERE e.event_type = 'purchase' AND e.tsu > s2.rt GROUP BY 1
         )
         SELECT 'view' AS step, 1 AS step_idx, (SELECT count(*) FROM s1) AS n_users
         UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
@@ -1094,7 +1132,8 @@ def _extension_oracles() -> dict[str, str]:
                                     AND 1 PRECEDING) AS cb
           FROM b
         )
-        SELECT doc_id, pack_group, coalesce(cb, 0) // 5000 AS shard_id FROM c
+        SELECT doc_id, pack_group,
+               (coalesce(cb, 0) // 5000)::BIGINT AS shard_id FROM c
     """
 
     sample_sql = """
@@ -1466,19 +1505,32 @@ def _extension_oracles() -> dict[str, str]:
                    c_custkey IN (SELECT o_custkey FROM orders) AS has_orders
             FROM customer
         """,
+        # join/compare on BIGINT epoch-micros, not timestamps: epoch_ns//1000
+        # mirrors Spark's read_events truncation whether or not the DuckDB
+        # build keeps TIMESTAMP_NS sub-µs digits on read
         "asof_join": """
-            SELECT l.event_id, l.user_id, l.ts, l.value,
-                   r.ts AS asof_ts, r.value AS asof_value
-            FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
+            WITH ev AS (
+              SELECT event_id, user_id, event_type, value,
+                     epoch_ns(ts) // 1000 AS tsu
+              FROM events
+            )
+            SELECT l.event_id, l.user_id, l.tsu AS ts_us, l.value,
+                   r.tsu AS asof_ts_us, r.value AS asof_value
+            FROM (SELECT * FROM ev WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.tsu >= r.tsu
         """,
         "range_join": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_ns(ts) // 1000 AS tsu
+              FROM events
+            )
             SELECT l.event_id AS click_id, r.event_id AS win_id
-            FROM events l JOIN events r
+            FROM ev l JOIN ev r
               ON l.user_id = r.user_id
              AND l.event_type = 'click' AND r.event_type = 'purchase'
-             AND r.ts <= l.ts AND l.ts < r.ts + INTERVAL '30 minutes'
+             AND r.tsu <= l.tsu AND l.tsu < r.tsu + 1800000000
         """,
         "delegated_window": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -18,21 +18,39 @@ from ..partitioning import spread
 __all__ = ["column_profile", "histogram"]
 
 
-def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """One row per numeric column: count, nulls, exact distinct, min, max,
-    mean.  Single aggregation pass (count-distincts expand map-side);
-    mean sums in DECIMAL so the result doesn't depend on float reduction
-    order — a 1000-partition sum of doubles is otherwise
-    run-to-run-nondeterministic."""
+def column_profile(
+    df: DataFrame, cols: Sequence[str], exact_distinct: bool = False
+) -> DataFrame:
+    """One row per numeric column: count, nulls, distinct, min, max, exact
+    scaled sum, mean.  Single aggregation pass.
+
+    ``sum_micros`` is the DECIMAL-summed value scaled by 1e6 into an exact
+    BIGINT — engine-reproducible (no float reduction order, no division),
+    which is what cross-engine checks should compare; ``mean_v`` is the
+    convenience double for humans.
+
+    ``exact_distinct=False`` (the default) uses HyperLogLog++
+    ``approx_count_distinct`` — at 100 TB an exact distinct over
+    high-cardinality doubles triples the shuffled aggregate state, while the
+    sketch is constant-size per column.  Set ``exact_distinct=True`` only
+    when the profile feeds an exactness-sensitive consumer (e.g. the
+    cross-engine oracle)."""
     dec = "decimal(28,6)"
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__cnt"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nnull"),
-            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            nd(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("double").alias(f"{c}__min"),
             F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            # per-row decimal scale-up then integer sum: exact, and the
+            # result type is LONG in every engine (a DECIMAL grand sum would
+            # be HUGEINT/DECIMAL(38,6) depending on the engine)
+            F.sum((F.col(c).cast(dec) * F.lit(1000000)).cast("long")).alias(
+                f"{c}__summ"
+            ),
             # decimal sum → double, THEN double division: decimal-division
             # scale rules differ across engines, double division doesn't
             (
@@ -41,12 +59,13 @@ def column_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ]
     row = spread(df).agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__cnt, {c}__nnull, {c}__nd, {c}__min, {c}__max, {c}__mean"
+        f"'{c}', {c}__cnt, {c}__nnull, {c}__nd, {c}__min, {c}__max, "
+        f"{c}__summ, {c}__mean"
         for c in cols
     )
     return row.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
-        "(column, n_rows, n_null, n_distinct, min_v, max_v, mean_v)"
+        "(column, n_rows, n_null, n_distinct, min_v, max_v, sum_micros, mean_v)"
     )
 
 

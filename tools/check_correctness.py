@@ -44,6 +44,37 @@ def canon(v) -> str:
     return str(v)
 
 
+# Output types every known canonicalization renders identically.  Anything
+# else (HUGEINT from DuckDB integer sums, DECIMAL, TIMESTAMP against a
+# ns-precision parquet, FLOAT) has already produced driver-only hash
+# mismatches that fetchall() masks — so their mere presence is a failure,
+# even when the values happen to compare equal locally.
+_DUCK_TYPE_OK = ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                 "VARCHAR", "BOOLEAN", "DATE")
+_SPARK_TYPE_OK = ("bigint", "int", "smallint", "tinyint", "double", "string",
+                  "boolean", "date")
+
+
+def risky_duck_types(con, sql: str) -> list[tuple[str, str]]:
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        (c, ty) for c, ty, *_ in desc
+        if ty.upper().rstrip("[]") not in _DUCK_TYPE_OK
+    ]
+
+
+def risky_spark_types(sdf) -> list[tuple[str, str]]:
+    out = []
+    for f in sdf.schema.fields:
+        ty = f.dataType.simpleString()
+        base = ty
+        while base.startswith("array<") and base.endswith(">"):
+            base = base[6:-1]
+        if base not in _SPARK_TYPE_OK:
+            out.append((f.name, ty))
+    return out
+
+
 def table_digest(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -96,15 +127,27 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows (no oracle)")
             continue
         try:
+            bad_d = risky_duck_types(con, oracles[name])
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # Arrow fetch, like a driver would: preserves ns timestamps and
+            # HUGEINT/DECIMAL distinctions that fetchall() flattens to
+            # Python int/datetime
+            d_rows = [
+                tuple(r[c] for c in d_cols)
+                for r in cur.fetch_arrow_table().to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
 
         problems = []
+        bad_s = risky_spark_types(sdf)
+        if bad_d:
+            problems.append(f"oracle output types not canon-safe: {bad_d}")
+        if bad_s:
+            problems.append(f"spark output types not canon-safe: {bad_s}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
