@@ -38,6 +38,17 @@ __all__ = [
 ]
 
 
+#: compiled pieces of the canonical normalize, shared by every Python-side
+#: kernel so tokenization can never drift between operators
+_STRIP = re.compile(r"[^a-z0-9 ]")
+_SQUASH = re.compile(r" +")
+
+
+def norm_tokens_py(text: str | None) -> list[str]:
+    """Python twin of ``tokens``: normalize + whitespace-split one string."""
+    return _SQUASH.sub(" ", _STRIP.sub(" ", (text or "").lower())).strip().split(" ")
+
+
 def normalize_text(col: Column) -> Column:
     """lowercase, strip non-alphanumerics, collapse whitespace."""
     c = F.lower(col)

@@ -148,28 +148,34 @@ def decontaminate(
     exact verification.  The ~50× gram-explode row multiplication thus
     applies to almost nothing."""
     eval_text = eval_text_col or text_col
-    eval_grams = (
-        eval_df.select(
-            F.explode(word_shingles_pd(F.col(eval_text), n)).alias("g")
-        )
-        .select(hash60(F.col("g")).alias("gh"))
-        .distinct()
+    eval_g = eval_df.select(
+        F.explode(word_shingles_pd(F.col(eval_text), n)).alias("g")
     )
+    eval_grams = eval_g.select(hash60(F.col("g")).alias("gh")).distinct()
 
     base = spread(df)
     if bloom_prefilter:
-        from ..functions.bloom import bloom_contains_any, build_bloom
+        from ..functions.bloom import bloom_contains_text, build_bloom_from_texts
 
-        blob = build_bloom(eval_grams, "gh", bloom_bits, bloom_hashes)
-        with_grams = base.withColumn(
-            "__grams", F.transform(word_shingles_pd(F.col(text_col), n), hash60)
+        # The prefilter is a fused kernel: tokenize → batch token-hash →
+        # rolling n-gram hash → bitmap probe, ONE Arrow crossing with text
+        # in and bool out.  No gram strings and no md5 are materialized for
+        # the (vast) bloom-negative majority; the oracle-matching hash60 is
+        # only paid by the bloom-positive sliver in exact verification.
+        # The eval set is broadcast-small by contract (the exact tier
+        # broadcasts it whole), so the bitmap is built driver-side from one
+        # pure-JVM collect of the eval text — no Python-worker stage, no
+        # shuffle.
+        blob = build_bloom_from_texts(
+            eval_df, eval_text, n, bloom_bits, bloom_hashes
         )
-        maybe = with_grams.filter(
-            bloom_contains_any(blob, bloom_bits, bloom_hashes, F.col("__grams"))
+        maybe = base.filter(
+            bloom_contains_text(blob, bloom_bits, bloom_hashes, F.col(text_col), n)
         )
         doc_grams = maybe.select(
-            F.col(id_col).alias("__id"), F.explode("__grams").alias("gh")
-        )
+            F.col(id_col).alias("__id"),
+            F.explode(word_shingles_pd(F.col(text_col), n)).alias("g"),
+        ).select("__id", hash60(F.col("g")).alias("gh"))
     else:
         doc_grams = base.select(
             F.col(id_col).alias("__id"),
