@@ -49,6 +49,21 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    # convergence probe: one cheap scan per round instead of a shuffle join.
+    # (count, hash-sum, hash-xor) of the edge set changing ⟹ not converged;
+    # matching stats trigger ONE exact exceptAll confirmation, so a hash
+    # collision can never end the loop early with wrong components.
+    def _stats(df: DataFrame):
+        h = F.xxhash64("u", "v")
+        # decimal sum: a LONG sum of 64-bit hashes overflows under ANSI
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)), F.sum(h.cast("decimal(38,0)")), F.bit_xor(h)
+            ).first()
+        )
+
+    prev = _stats(e)
     converged = False
     for _ in range(max_iterations):
         # large-star: every node x links its LARGER neighbors to
@@ -79,11 +94,9 @@ def connected_components_star(
             .distinct()
         )
         new_e = _ckpt(ss)
-        same = (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
-        )
-        e = new_e
+        cur = _stats(new_e)
+        same = cur == prev and new_e.exceptAll(e).limit(1).count() == 0
+        e, prev = new_e, cur
         if same:
             converged = True
             break
@@ -146,10 +159,14 @@ def near_dup_groups(
             .groupBy("src")
             .agg(F.min("nbr_label").alias("nbr_label"))
         )
-        new_labels = _ckpt(
+        # carry the previous label through the checkpoint: convergence is
+        # then a scan-with-early-exit over the materialized partitions, not
+        # a second shuffle join of new vs old labels
+        staged = _ckpt(
             labels.join(nbr.withColumnsRenamed({"src": "id"}), "id", "left")
             .select(
                 "id",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -157,13 +174,9 @@ def near_dup_groups(
             eager=True,
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            staged.filter(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = staged.select("id", "label")
         if changed == 0:
             break
     if changed != 0:
