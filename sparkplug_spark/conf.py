@@ -48,7 +48,6 @@ def recommended_conf(
     if num_executors:
         # at least 2 waves of tasks per core so stragglers overlap
         shuffle_parts = max(shuffle_parts, 2 * executor_cores * num_executors)
-    shuffle_parts = min(shuffle_parts, 200_000)
 
     # a shuffle partition must fit comfortably in a task's share of the
     # executor heap (~60% usable / cores); warn-by-construction: widen
@@ -58,6 +57,10 @@ def recommended_conf(
         shuffle_parts = max(
             shuffle_parts, 1 + input_bytes // max(per_task_budget, 1)
         )
+    # hard cap LAST so the memory-pressure widening can never exceed it
+    shuffle_parts = min(shuffle_parts, 200_000)
+    # advisory size must not advertise more than a task can hold
+    advisory = min(target_shuffle_partition_bytes, per_task_budget)
 
     return {
         "spark.sql.shuffle.partitions": str(int(shuffle_parts)),
@@ -66,9 +69,7 @@ def recommended_conf(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
-            target_shuffle_partition_bytes
-        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
         "spark.sql.autoBroadcastJoinThreshold": str(64 * _MB),
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

@@ -215,6 +215,10 @@ def pack_token_budget(
     The (pack_group, shard_id) pair is the shard key; everything is
     engine-reproducible — the same corpus packs identically on any run,
     cluster size, or engine.  One shuffle on ``pack_group``."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_groups <= 0:
+        raise ValueError("num_groups must be positive")
     order = hash60(F.col(id_col).cast("string"))
     # no spread(): the window's shuffle on pack_group redistributes, and
     # the pre-shuffle work (one md5) doesn't justify a second exchange

@@ -23,12 +23,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff ``df`` has fewer partitions than
     ``min_partitions`` (default: ``sparkContext.defaultParallelism``).
 
-    Inspects the physical plan's partitioning (no job is triggered).
+    Inspects the physical plan's partitioning (no job is triggered), but
+    the ``.rdd`` probe does force an RDD conversion per call — measurable
+    on plans with thousands of nodes.  Production jobs whose inputs are
+    known to be well-split should disable the helper globally with
+    ``spark.conf.set("spark.sparkplug.spread.enabled", "false")``, making
+    every call a zero-cost pass-through.
+
     Streaming DataFrames pass through untouched (no ``.rdd`` there; a
     micro-batch source's parallelism is governed by its own options)."""
     if df.isStreaming:
         return df
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    sess = df.sparkSession
+    if sess.conf.get("spark.sparkplug.spread.enabled", "true") == "false":
+        return df
+    target = min_partitions or sess.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
