@@ -73,30 +73,39 @@ def funnel_counts(
 
     Per step: filter to that event type, join the (user, prev-reach-time)
     frontier, keep events after it, take the per-user min — the frontier
-    stays one row per reached user.  Returns (step, step_idx, n_users)."""
+    stays one row per reached user.  Returns (step, step_idx, n_users).
+
+    The whole funnel is ONE lazy plan and ONE job: each step's reach count
+    is an aggregate branch of a union, not a separate driver action.
+    Spark's exchange reuse dedups the shared frontier subplans, the
+    persisted base projection makes residual re-scans memory reads, and
+    the plan grows O(K²) in the (small — funnels are 3-10 steps) step
+    count rather than running K blocking jobs."""
     if not steps:
         raise ValueError("steps must be non-empty")
     from pyspark import StorageLevel
 
-    # one narrow projection of the log, persisted: every step filters it
-    # again, and each count() is a separate action — without persist the
-    # source is re-scanned 2×K times
+    # one narrow projection of the log, persisted: every step (and every
+    # count branch that re-derives a frontier) filters it again
     base = spread(df).select(
         F.col(user_col).alias("u"),
         F.col(time_col).alias("t"),
         F.col(type_col).alias("e"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    spark = df.sparkSession
-    # each frontier is localCheckpoint'd before its count: the count
-    # materializes it, and step k+1 then reads the materialized rows
-    # instead of re-deriving frontiers 1..k (O(K) not O(K²) subplan runs)
     frontier = (
         base.filter(F.col("e") == steps[0])
         .groupBy("u")
         .agg(F.min("t").alias("rt"))
-        .localCheckpoint(eager=False)
     )
-    counts = [(steps[0], 1, frontier.count())]
+
+    def _branch(f: DataFrame, step: str, idx: int) -> DataFrame:
+        return f.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(idx).cast("int").alias("step_idx"),
+            "n_users",
+        )
+
+    out = _branch(frontier, steps[0], 1)
     for i, step in enumerate(steps[1:], start=2):
         frontier = (
             base.filter(F.col("e") == step)
@@ -104,7 +113,6 @@ def funnel_counts(
             .filter(F.col("t") > F.col("prev_rt"))
             .groupBy("u")
             .agg(F.min("t").alias("rt"))
-            .localCheckpoint(eager=False)
         )
-        counts.append((step, i, frontier.count()))
-    return spark.createDataFrame(counts, "step string, step_idx int, n_users long")
+        out = out.unionAll(_branch(frontier, step, i))
+    return out
