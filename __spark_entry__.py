@@ -674,6 +674,38 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 distinctive tokens by tf·N/df (keyword
+    extraction; exact integer arithmetic + one final double division)."""
+    from sparkplug_spark.operators import distinctive_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return distinctive_tokens(docs, k=5).select(
+        "doc_id", "token", "tf", "df", "score", "rank"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fractional downsampling via the deterministic
+    md5-derived coin (corpus mixture re-weighting)."""
+    from sparkplug_spark.operators import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.25}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column pre-flight profile (dim / L2 norm / unit check)."""
+    from sparkplug_spark.operators import embedding_norms
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_norms(emb).select(
+        "vec_id", "dim", "l2_norm", "is_unit", "has_nan"
+    )
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization over the events table — the oracle-checked
     twin of the streaming sessionizer (same gap semantics)."""
@@ -1267,8 +1299,61 @@ def _extension_oracles() -> dict[str, str]:
         FROM r1
     """
 
+    # thresholds mirror stratified_sample's int(round(f * 2^20)) exactly
+    strat_sql = """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1048576
+                   AS coin
+          FROM documents
+        )
+        SELECT doc_id, lang FROM h
+        WHERE coin < CASE lang WHEN 'en' THEN 524288
+                               WHEN 'fr' THEN 262144
+                               ELSE 104858 END
+    """
+
+    distinctive_sql = f"""
+        WITH e AS (
+          SELECT doc_id, unnest({toks}) AS token FROM documents
+        ), tf0 AS (
+          SELECT doc_id, token, count(*) AS tf FROM e
+          WHERE token != '' GROUP BY doc_id, token
+        ), df0 AS (
+          SELECT token, count(*) AS df FROM tf0 GROUP BY token
+        ), nd AS (
+          SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf0.doc_id, tf0.token, tf0.tf, df0.df,
+                 (tf0.tf * nd.n_docs)::DOUBLE / df0.df AS score
+          FROM tf0 JOIN df0 USING (token) CROSS JOIN nd
+        )
+        SELECT doc_id, token, tf, df, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, token) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """
+
+    # is_unit tests the ROUNDED norm so both engines compare one double
+    emb_norms_sql = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (
+          SELECT vec_id, len(v) AS dim,
+                 round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+                 len(list_filter(v, x -> isnan(x))) > 0 AS has_nan
+          FROM e
+        )
+        SELECT vec_id, dim, l2_norm,
+               abs(l2_norm - 1.0) < 1e-6 AS is_unit, has_nan
+        FROM n
+    """
+
     return {
         "near_dup_groups": cc_sql,
+        "stratified_sample": strat_sql,
+        "distinctive_tokens": distinctive_sql,
+        "embedding_norms": emb_norms_sql,
         "pipeline_quality_rules": pipeline_sql,
         "dedup_keep_best": keep_best_sql,
         "pii_scrub": pii_sql,
@@ -1611,6 +1696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": q_column_profile,
         "histogram": q_histogram,
         "top_tokens": q_top_tokens,
+        "distinctive_tokens": q_distinctive_tokens,
+        "stratified_sample": q_stratified_sample,
+        "embedding_norms": q_embedding_norms,
         "sessionize_events": q_sessionize_events,
         "funnel_events": q_funnel_events,
         "impact_report": q_impact_report,

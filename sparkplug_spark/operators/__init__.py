@@ -8,6 +8,7 @@ from .cleaning import (
     pack_token_budget,
     sample_per_key,
     scrub_pii,
+    stratified_sample,
 )
 from .dedup import (
     dedup_exact,
@@ -23,8 +24,20 @@ from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
 from .profiling import column_profile, histogram
-from .similarity import blocked_cosine_pairs, cosine_topk, cosine_topk_ivf, cosine_topk_lsh
-from .textops import language_id, text_fingerprints, text_stats, top_tokens
+from .similarity import (
+    blocked_cosine_pairs,
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    embedding_norms,
+)
+from .textops import (
+    distinctive_tokens,
+    language_id,
+    text_fingerprints,
+    text_stats,
+    top_tokens,
+)
 
 __all__ = [
     "decontaminate",
@@ -32,6 +45,7 @@ __all__ = [
     "pack_token_budget",
     "sample_per_key",
     "scrub_pii",
+    "stratified_sample",
     "dedup_exact",
     "exact_duplicate_groups",
     "embedding_near_dup_pairs",
@@ -54,8 +68,10 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "embedding_norms",
     "language_id",
     "text_fingerprints",
     "text_stats",
+    "distinctive_tokens",
     "top_tokens",
 ]

@@ -35,6 +35,7 @@ __all__ = [
     "gopher_quality_flags",
     "decontaminate",
     "sample_per_key",
+    "stratified_sample",
     "pack_token_budget",
 ]
 
@@ -235,6 +236,36 @@ def pack_token_budget(
         .withColumn("shard_id", F.expr(f"__cum_before div {int(budget)}"))
         .drop("__cum_before")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    denom: int = 1 << 20,
+) -> DataFrame:
+    """Keep a per-key FRACTION of rows (corpus mixture re-weighting: "30%
+    of web, 100% of books"), selected by a deterministic md5-derived coin:
+    a row survives iff ``hash60(id) % denom < round(fraction * denom)``.
+
+    Unlike ``DataFrame.sampleBy`` the selection is reproducible across
+    engines, runs, and partitionings, and it composes: sampling at 0.5
+    then 0.5 again keeps exactly the 0.25 prefix of the same hash order.
+    A narrow codegen'd filter — no shuffle, no state; fraction resolution
+    is 1/denom.  Complement of :func:`sample_per_key` (which caps COUNTS
+    per key)."""
+    for k, f in {**fractions, "default": default_fraction}.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {f}")
+    thresh: Column = F.lit(int(round(default_fraction * denom)))
+    for k in sorted(fractions, reverse=True):
+        thresh = F.when(
+            F.col(key_col) == k, F.lit(int(round(fractions[k] * denom)))
+        ).otherwise(thresh)
+    coin = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(denom))
+    return df.filter(coin < thresh)
 
 
 def sample_per_key(

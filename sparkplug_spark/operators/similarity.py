@@ -27,7 +27,38 @@ from pyspark.sql import functions as F
 from ..functions.vectors import band_buckets, vec_dot, vec_norm
 from ..partitioning import spread
 
-__all__ = ["cosine_topk", "cosine_topk_lsh", "cosine_topk_ivf", "blocked_cosine_pairs"]
+__all__ = [
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "blocked_cosine_pairs",
+    "embedding_norms",
+]
+
+
+def embedding_norms(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector sanity profile: (id, dim, l2_norm, is_unit, has_nan) —
+    the pre-flight check before any similarity pass (un-normalized or NaN
+    vectors silently poison cosine top-k).
+
+    Narrow codegen'd projection, no shuffle.  The norm sums
+    strictly left-to-right via the fixed-dimension unrolled kernel (dim
+    probed once), so the value is bit-identical across engines; rounded to
+    6dp for canonical-text stability."""
+    from ..functions.vectors import infer_dim, l2_norm_fixed
+
+    dim = infer_dim(df, vec_col)
+    v = F.col(vec_col)
+    # is_unit compares the ROUNDED norm (the emitted value), so both
+    # engines test the exact same double — never the pre-round last ulp
+    norm6 = F.round(l2_norm_fixed(v, dim), 6)
+    return spread(df).select(
+        F.col(id_col),
+        F.size(v).alias("dim"),
+        norm6.alias("l2_norm"),
+        (F.abs(norm6 - F.lit(1.0)) < F.lit(1e-6)).alias("is_unit"),
+        F.exists(v, lambda x: F.isnan(x.cast("double"))).alias("has_nan"),
+    )
 
 
 def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:

@@ -19,7 +19,59 @@ from ..functions.text import (
     normalize_text,
 )
 
-__all__ = ["text_stats", "language_id", "text_fingerprints", "top_tokens"]
+__all__ = [
+    "text_stats",
+    "language_id",
+    "text_fingerprints",
+    "top_tokens",
+    "distinctive_tokens",
+]
+
+
+def distinctive_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` DISTINCTIVE tokens by tf·N/df (the tf-idf
+    shape without the engine-dependent log): tokens frequent in this doc
+    but rare in the corpus — keyword extraction / topic tagging for corpus
+    exploration.
+
+    Plan: tokenize once → (doc, token) counts → token document-frequency
+    (one more aggregate over the same exploded data, map-side combined) →
+    broadcast-scalar N → one shuffle join on the token key → per-doc
+    windowed top-k.  ``score = (tf * N) / df`` is exact integer arithmetic
+    with ONE final double division, so both engines produce bit-identical
+    doubles.  At scale the df table is vocabulary-sized; AQE handles the
+    stop-word skew the same way the dedup operators handle hot shingles."""
+    from pyspark.sql import Window
+
+    exploded = (
+        spread(df)
+        .select(F.col(id_col), F.explode(tokens_pd(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = exploded.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
 
 
 def top_tokens(

@@ -109,3 +109,29 @@ def test_sample_per_key_deterministic(spark):
     # deterministic: same rows on re-run (no rand() involved)
     b = {(r["lang"], r["doc_id"], r["sample_rank"]) for r in sample_per_key(df, "lang", cap=5, id_col="doc_id").collect()}
     assert got == b
+
+
+def test_stratified_sample(spark):
+    from sparkplug_spark.operators import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], ["doc_id", "lang"]
+    )
+    half = stratified_sample(df, "lang", {"en": 0.5}, default_fraction=1.0)
+    kept = {r["doc_id"] for r in half.collect()}
+    # all de rows survive (fraction 1.0), roughly half the en rows do
+    assert {i for i in range(300) if i % 3 == 0} <= kept
+    n_en = sum(1 for i in kept if i % 3)
+    assert 60 <= n_en <= 140
+    # composable: sampling at 0.5 twice == sampling at 0.25 once
+    quarter = stratified_sample(half, "lang", {"en": 0.25}, default_fraction=1.0)
+    direct = stratified_sample(df, "lang", {"en": 0.25}, default_fraction=1.0)
+    assert {r["doc_id"] for r in quarter.collect()} == {
+        r["doc_id"] for r in direct.collect()
+    }
+    # deterministic re-run
+    assert kept == {r["doc_id"] for r in half.collect()}
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5})

@@ -294,3 +294,46 @@ def test_plug_stream(spark, tmp_path):
     rows = {r["id"]: r for r in spark.sql("select * from plug_stream_test").collect()}
     assert rows[1]["price"] == 1000 and len(rows[1]["plugDetails"]) == 1
     assert rows[2]["price"] == 200 and rows[2]["plugDetails"] == []
+
+
+def test_embedding_norms(spark):
+    from sparkplug_spark.operators import embedding_norms
+
+    df = spark.createDataFrame(
+        [
+            (0, [3.0, 4.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.6, 0.8]),
+            (3, [float("nan"), 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r for r in embedding_norms(df).collect()}
+    assert rows[0]["dim"] == 2 and rows[0]["l2_norm"] == 5.0
+    assert not rows[0]["is_unit"]
+    assert rows[1]["is_unit"] and rows[2]["is_unit"]
+    assert rows[3]["has_nan"] and not rows[0]["has_nan"]
+
+
+def test_distinctive_tokens(spark):
+    from sparkplug_spark.operators import distinctive_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat zyzzyva zyzzyva"),
+            (2, "the dog ran to the park"),
+            (3, "the bird saw the dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["rank"]): r for r in distinctive_tokens(df, k=3).collect()}
+    # 'zyzzyva' appears twice in doc 1 only: score = 2*3/1 = 6 -> top
+    top1 = out[(1, 1)]
+    assert top1["token"] == "zyzzyva"
+    assert top1["tf"] == 2 and top1["df"] == 1 and top1["score"] == 6.0
+    # 'the' is in every doc: score = tf*3/3 = tf -> never beats unique tokens
+    assert out[(2, 1)]["token"] != "the"
+    # every doc gets at most k rows, ranks are 1..k contiguous
+    for doc in (1, 2, 3):
+        ranks = sorted(rk for (d, rk) in out if d == doc)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
