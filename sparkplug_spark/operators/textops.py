@@ -47,13 +47,20 @@ def distinctive_tokens(
     doubles.  At scale the df table is vocabulary-sized; AQE handles the
     stop-word skew the same way the dedup operators handle hot shingles."""
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     exploded = (
         spread(df)
         .select(F.col(id_col), F.explode(tokens_pd(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
     )
-    tf = exploded.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the output rows and the document-frequency aggregate —
+    # without persist the tokenizer UDF + explode + shuffle run twice
+    tf = (
+        exploded.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
     scored = (
