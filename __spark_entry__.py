@@ -247,14 +247,25 @@ def q_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and convert to a micros timestamp
-    (safe for whole-second predicate boundaries)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Normalize events.ts to a session-TZ (UTC) TIMESTAMP regardless of how
+    the parquet stores it. Generations of the testdata have used
+    TIMESTAMP(NANOS) (reads as BIGINT under legacy nanosAsLong, or truncated
+    timestamp_ntz on Spark >= 4.1) and TIMESTAMP(MICROS) isAdjustedToUTC=false
+    (reads as timestamp_ntz). All paths land on identical micros values."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:  # no-op on Spark >= 4.1 where the legacy conf was removed
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer `div`, NOT `/`: double division loses µs precision at 1.7e18 ns
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # integer `div`, NOT `/`: double division loses µs at 1.7e18 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # wall-clock-preserving under the UTC session timezone set above
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def q_plug_events_time(spark: SparkSession, sf_dir: str) -> DataFrame:

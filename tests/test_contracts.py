@@ -153,3 +153,39 @@ def test_spread_conf_kill_switch(spark):
         assert spread(df) is df
     finally:
         spark.conf.unset("spark.sparkplug.spread.enabled")
+
+
+class TestEventsTimestampContract:
+    """events.parquet's physical timestamp type has changed across driver
+    testdata generations (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS, ntz)) and
+    Spark 4.1 removed the legacy nanosAsLong conf. read_events must absorb
+    all of that: whatever the storage, ts comes back as a session-UTC
+    TIMESTAMP whose micros equal the parquet's floor-truncated-to-micros
+    values."""
+
+    def test_read_events_matches_parquet_micros(self, spark, sf_dir):
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        sys.path.insert(0, os.path.dirname(_TOOLS))
+        import __spark_entry__ as entry
+
+        df = entry.read_events(spark, sf_dir)
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        got = {
+            r.event_id: r.us
+            for r in df.select(
+                "event_id", F.unix_micros("ts").alias("us")
+            ).collect()
+        }
+        t = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+        )
+        unit = t.schema.field("ts").type.unit
+        raw = t.column("ts").cast("int64").to_numpy()
+        div = {"s": 1, "ms": 1, "us": 1, "ns": 1000}[unit]
+        mult = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[unit]
+        exp = dict(
+            zip(t.column("event_id").to_numpy().tolist(), (raw * mult // div).tolist())
+        )
+        assert got == exp
