@@ -30,6 +30,7 @@ from ..functions.text import (
     simhash64_pd,
     word_shingles_pd,
 )
+from ..caching import materialize_release
 from ..partitioning import spread
 
 __all__ = [
@@ -96,6 +97,7 @@ def jaccard_ngram_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_key_freq: int = 100,
+    release: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -144,7 +146,9 @@ def jaccard_ngram_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    # pair lists are orders smaller than the exploded shingle index; trade
+    # block storage of the output for releasing the index cache
+    return materialize_release(out, sh, release=release)
 
 
 def minhash_lsh_pairs(
@@ -156,6 +160,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.0,
     max_key_freq: int = 1000,
+    release: bool = True,
 ) -> DataFrame:
     """MinHash + banded-LSH candidate pairs with exact Jaccard verification.
 
@@ -240,7 +245,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return materialize_release(out, base, release=release)
 
 
 def simhash_pairs(
@@ -250,6 +255,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_key_freq: int = 10000,
+    release: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash (Manku et al., WWW'07 shape),
     candidate generation by matching any of ``chunks`` 16-bit chunks
@@ -328,7 +334,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return out
+    return materialize_release(out, base, release=release)
 
 
 def embedding_near_dup_pairs(
@@ -339,6 +345,7 @@ def embedding_near_dup_pairs(
     num_planes: int = 16,
     bands: int = 4,
     brute_force: bool = False,
+    release: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine ≥ threshold pairs.
 
@@ -397,10 +404,11 @@ def embedding_near_dup_pairs(
     cosine = F.when(denom == 0.0, F.lit(0.0)).otherwise(
         vec_dot("v_a", "v_b") / denom
     )
-    return (
+    out = (
         cand.select("id_a", "id_b", F.round(cosine, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    return materialize_release(out, entries, release=release)
 
 
 def minhash_lsh_pairs_ml(
@@ -412,6 +420,7 @@ def minhash_lsh_pairs_ml(
     max_jaccard_distance: float = 0.5,
     seed: int = 42,
     num_features: int = 1 << 20,
+    release: bool = True,
 ) -> DataFrame:
     """Alternative engine path: ``pyspark.ml.feature`` MinHashLSH +
     ``approxSimilarityJoin`` over hash-featurized shingle vectors.
@@ -447,7 +456,7 @@ def minhash_lsh_pairs_ml(
     joined = lsh.approxSimilarityJoin(
         feats, feats, max_jaccard_distance, distCol="__dist"
     )
-    return (
+    out = (
         joined.filter(F.col("datasetA.id") < F.col("datasetB.id"))
         .select(
             F.col("datasetA.id").alias("id_a"),
@@ -459,3 +468,4 @@ def minhash_lsh_pairs_ml(
             ).alias("jaccard"),
         )
     )
+    return materialize_release(out, base, release=release)

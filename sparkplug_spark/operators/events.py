@@ -16,6 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import materialize_release
 from ..partitioning import spread
 
 __all__ = ["sessionize", "funnel_counts"]
@@ -66,6 +67,7 @@ def funnel_counts(
     user_col: str = "user_id",
     time_col: str = "ts",
     type_col: str = "event_type",
+    release: bool = True,
 ) -> DataFrame:
     """Ordered-funnel reach counts: for each step k, the number of users
     who performed steps 1..k IN ORDER (each step strictly after their
@@ -115,4 +117,5 @@ def funnel_counts(
             .agg(F.min("t").alias("rt"))
         )
         out = out.unionAll(_branch(frontier, step, i))
-    return out
+    # K result rows vs a persisted full-log projection
+    return materialize_release(out, base, release=release)

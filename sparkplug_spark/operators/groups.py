@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import checkpoint_tracked, unpersist_ids
+
 __all__ = ["near_dup_groups", "connected_components_star", "dedup_keep_best"]
 
 
@@ -38,17 +40,16 @@ def connected_components_star(
     the edge list IS the component map {(node, component-min)}.  Output
     schema matches :func:`near_dup_groups`: (id, group_id)."""
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        if reliable_checkpoint:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    # undirected edge list, self-loops dropped
-    e = (
+    # undirected edge list, self-loops dropped — eagerly checkpointed so the
+    # (possibly expensive) upstream pair pipeline runs exactly once, not
+    # once per consumer in round 0
+    e, e_ids = checkpoint_tracked(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .distinct(),
+        reliable=reliable_checkpoint,
     )
+    spark = pairs.sparkSession
 
     # convergence probe: one cheap scan per round instead of a shuffle join.
     # (count, hash-sum, hash-xor) of the edge set changing ⟹ not converged;
@@ -64,6 +65,7 @@ def connected_components_star(
         )
 
     prev = _stats(e)
+    prev_ids = e_ids
     converged = False
     for _ in range(max_iterations):
         # large-star: every node x links its LARGER neighbors to
@@ -93,10 +95,14 @@ def connected_components_star(
             .select(F.col("g").alias("u"), F.col("l").alias("v"))
             .distinct()
         )
-        new_e = _ckpt(ss)
+        new_e, new_ids = checkpoint_tracked(ss, reliable=reliable_checkpoint)
         cur = _stats(new_e)
         same = cur == prev and new_e.exceptAll(e).limit(1).count() == 0
-        e, prev = new_e, cur
+        # round N-1's blocks are dead once round N is materialized and the
+        # exceptAll probe above has consumed them (the final round's blocks
+        # back the returned DataFrame and must stay)
+        unpersist_ids(spark, prev_ids)
+        e, prev, prev_ids = new_e, cur, new_ids
         if same:
             converged = True
             break
@@ -135,16 +141,13 @@ def near_dup_groups(
     ``max_iterations`` rounds (returning silently would hand back WRONG
     group labels for any component whose diameter exceeds the cap)."""
 
-    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
-        if reliable_checkpoint:
-            return df.checkpoint(eager=eager)
-        return df.localCheckpoint(eager=eager)
-
-    edges = _ckpt(
+    spark = pairs.sparkSession
+    # eager: the upstream pair pipeline runs exactly once, before the loop
+    edges, edge_ids = checkpoint_tracked(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct(),
-        eager=False,
+        reliable=reliable_checkpoint,
     )
     labels = (
         edges.groupBy("src")
@@ -152,6 +155,7 @@ def near_dup_groups(
         .select(F.col("src").alias("id"), F.least("src", "__m").alias("label"))
     )
     changed = -1
+    prev_ids: set[int] = set()
     for _ in range(max_iterations):
         # candidate labels: own label + each neighbor's label; adopt the min
         nbr = (
@@ -162,7 +166,7 @@ def near_dup_groups(
         # carry the previous label through the checkpoint: convergence is
         # then a scan-with-early-exit over the materialized partitions, not
         # a second shuffle join of new vs old labels
-        staged = _ckpt(
+        staged, new_ids = checkpoint_tracked(
             labels.join(nbr.withColumnsRenamed({"src": "id"}), "id", "left")
             .select(
                 "id",
@@ -171,14 +175,21 @@ def near_dup_groups(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             ),
-            eager=True,
+            reliable=reliable_checkpoint,
         )
         changed = (
             staged.filter(F.col("label") != F.col("__old")).limit(1).count()
         )
+        # free round N-1's label blocks (the current round's blocks back
+        # `staged`, which the next round — or the returned DataFrame — reads)
+        unpersist_ids(spark, prev_ids)
+        prev_ids = new_ids
         labels = staged.select("id", "label")
         if changed == 0:
             break
+    # the edge blocks are dead once the loop has converged: the returned
+    # DataFrame reads only the final round's checkpoint
+    unpersist_ids(spark, edge_ids)
     if changed != 0:
         raise RuntimeError(
             f"near_dup_groups did not converge within {max_iterations} "

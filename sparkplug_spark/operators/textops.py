@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import materialize_release
 from ..partitioning import spread
 from ..functions.text import (
     STOPWORDS,
@@ -33,6 +34,7 @@ def distinctive_tokens(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    release: bool = True,
 ) -> DataFrame:
     """Per-document top-``k`` DISTINCTIVE tokens by tf·N/df (the tf-idf
     shape without the engine-dependent log): tokens frequent in this doc
@@ -74,11 +76,13 @@ def distinctive_tokens(
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("token")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "score", "rank")
     )
+    # top-k rows per doc ≪ the persisted (doc, token) tf table
+    return materialize_release(out, tf, release=release)
 
 
 def top_tokens(
