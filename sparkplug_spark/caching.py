@@ -75,6 +75,14 @@ def materialize_release(
     (composing into a larger pipeline that manages its own caching)."""
     if not release:
         return out
+    # conf kill-switch (mirrors spark.sparkplug.spread.enabled): plan
+    # audits need the full lazy pipeline plan, not a post-materialization
+    # ExistingRDD scan
+    if (
+        out.sparkSession.conf.get("spark.sparkplug.release.enabled", "true")
+        == "false"
+    ):
+        return out
     out = out.localCheckpoint(eager=True)
     for df in intermediates:
         df.unpersist()

@@ -189,3 +189,23 @@ class TestEventsTimestampContract:
             zip(t.column("event_id").to_numpy().tolist(), (raw * mult // div).tolist())
         )
         assert got == exp
+
+
+def test_release_conf_kill_switch(spark):
+    from sparkplug_spark.caching import materialize_release
+
+    df = spark.range(10)
+    out = materialize_release(df.select((F_col_id() * 2).alias("x")))
+    assert out.rdd.getNumPartitions() >= 1  # materialized path works
+    spark.conf.set("spark.sparkplug.release.enabled", "false")
+    try:
+        lazy_in = df.select((F_col_id() * 3).alias("x"))
+        assert materialize_release(lazy_in) is lazy_in
+    finally:
+        spark.conf.unset("spark.sparkplug.release.enabled")
+
+
+def F_col_id():
+    from pyspark.sql import functions as F
+
+    return F.col("id")
