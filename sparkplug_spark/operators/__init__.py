@@ -3,6 +3,7 @@ corpus cleaning (PII/quality/decontamination/sampling), multimodal
 plumbing, rule-impact reporting."""
 
 from .cleaning import (
+    chunk_documents,
     decontaminate,
     gopher_quality_flags,
     pack_token_budget,
@@ -15,15 +16,17 @@ from .dedup import (
     exact_duplicate_groups,
     embedding_near_dup_pairs,
     jaccard_ngram_pairs,
+    minhash_lsh_join,
     minhash_lsh_pairs,
     minhash_lsh_pairs_ml,
+    minhash_signatures,
     simhash_pairs,
 )
 from .events import funnel_counts, sessionize
 from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
-from .profiling import column_profile, histogram
+from .profiling import column_profile, histogram, length_quartiles_by_source
 from .similarity import (
     blocked_cosine_pairs,
     cosine_topk,
@@ -40,6 +43,7 @@ from .textops import (
 )
 
 __all__ = [
+    "chunk_documents",
     "decontaminate",
     "gopher_quality_flags",
     "pack_token_budget",
@@ -50,14 +54,17 @@ __all__ = [
     "exact_duplicate_groups",
     "embedding_near_dup_pairs",
     "jaccard_ngram_pairs",
+    "minhash_lsh_join",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_ml",
+    "minhash_signatures",
     "simhash_pairs",
     "rule_impact_report",
     "asof_join",
     "range_join",
     "salted_join",
     "column_profile",
+    "length_quartiles_by_source",
     "histogram",
     "sessionize",
     "funnel_counts",

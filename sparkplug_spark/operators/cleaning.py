@@ -37,6 +37,7 @@ __all__ = [
     "sample_per_key",
     "stratified_sample",
     "pack_token_budget",
+    "chunk_documents",
 ]
 
 #: (name, regex, replacement) — RE2/Java-compatible subset (no lookaround,
@@ -194,6 +195,58 @@ def decontaminate(
             "n_eval_grams_hit", F.coalesce(F.col("n_eval_grams_hit"), F.lit(0))
         )
         .withColumn("contaminated", F.col("n_eval_grams_hit") > 0)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    context-window preparation for training dataloaders.
+
+    Stride = ``chunk_tokens - overlap``; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens).  ceil((n - overlap) / stride)
+    chunks per doc (minimum 1 — short docs yield one short chunk).  A
+    purely narrow per-row transform: tokenize once, emit all windows in
+    one explode; NO shuffle, so it scales linearly with input splits and
+    composes with downstream repartitioning.  All arithmetic is integer
+    (identical in the SQL oracle).
+
+    Returns (id, chunk_idx, chunk_text, n_chunk_tokens)."""
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.col("__toks")
+    n = F.size(t)
+    # integer ceil((n - overlap)/stride), clamped to >= 1; `div` keeps the
+    # arithmetic in longs (token counts fit; no double rounding anywhere)
+    n_chunks = F.greatest(
+        F.expr(
+            f"(size(__toks) - {overlap} + {stride - 1}) div {stride}"
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice(t, (i * stride + 1).cast("int"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(t, (i * stride + 1).cast("int"), chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        spread(df)
+        .withColumn("__toks", tokens_pd(F.col(text_col)))
+        .select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.n_chunk_tokens")
     )
 
 

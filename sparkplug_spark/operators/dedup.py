@@ -39,6 +39,8 @@ __all__ = [
     "jaccard_ngram_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_ml",
+    "minhash_signatures",
+    "minhash_lsh_join",
     "simhash_pairs",
     "embedding_near_dup_pairs",
 ]
@@ -149,6 +151,116 @@ def jaccard_ngram_pairs(
     # pair lists are orders smaller than the exploded shingle index; trade
     # block storage of the output for releasing the index cache
     return materialize_release(out, sh, release=release)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, mh0..mh{num_hashes-1}) MinHash signature table — the durable
+    artifact of incremental dedup: compute once per ingestion batch, store
+    alongside the corpus, and join NEW batches against it with
+    :func:`minhash_lsh_join` instead of re-shingling 100 TB of history.
+
+    Signature via explode → hash-aggregate with ``num_hashes`` codegen'd
+    ``min()`` columns; min() is order-insensitive so values are identical
+    to a per-row fold — and to the SQL oracle."""
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        word_shingles_pd(F.col(text_col), n).alias("shingles"),
+    )
+    exploded = base.select("id", F.explode("shingles").alias("s")).withColumn(
+        "h", hash32(F.col("s"))
+    )
+    return exploded.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
+        ]
+    )
+
+
+def _band_entries(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band entries from a signature table; bucket
+    is the 60-bit hash of the band's row-concatenated minhashes."""
+    rows = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        hash60(
+                            F.concat_ws(
+                                "-", *[F.col(f"mh{i * rows + j}") for j in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_join(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.0,
+    max_key_freq: int = 1000,
+) -> DataFrame:
+    """Incremental near-dup check: candidate pairs between a NEW batch's
+    signatures and an existing corpus signature table (both from
+    :func:`minhash_signatures`), with the signature-agreement Jaccard
+    estimate.  This is the 100 TB ingestion path — only the new batch is
+    shingled; the corpus contributes a stored signature scan, and only
+    same-bucket (band-colliding) rows shuffle.
+
+    Returns (id_new, id_corpus, est_jaccard) where ``est_jaccard`` is the
+    fraction of agreeing minhashes (unbiased estimator of Jaccard;
+    E[mh_a==mh_b] = J).  Hot buckets beyond ``max_key_freq`` on the corpus
+    side are anti-joined away, as in :func:`minhash_lsh_pairs`."""
+    assert num_hashes % bands == 0
+    a = _band_entries(new_sigs, num_hashes, bands).alias("a")
+    bent = _band_entries(corpus_sigs, num_hashes, bands)
+    if max_key_freq:
+        hot = (
+            bent.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") > max_key_freq)
+            .select("band", "bucket")
+        )
+        bent = bent.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    b = bent.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_corpus"))
+        .distinct()
+    )
+    est = sum(
+        F.when(F.col(f"n.mh{i}") == F.col(f"c.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.join(new_sigs.alias("n"), cand["id_new"] == F.col("n.id"))
+        .join(corpus_sigs.alias("c"), cand["id_corpus"] == F.col("c.id"))
+        .select(
+            "id_new",
+            "id_corpus",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
 
 
 def minhash_lsh_pairs(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["column_profile", "histogram"]
+__all__ = ["column_profile", "histogram", "length_quartiles_by_source"]
 
 
 def column_profile(
@@ -92,4 +92,47 @@ def histogram(
         .withColumn("bucket_lo", F.lit(float(lo)) + F.col("bucket") * F.lit(width))
         .withColumn("bucket_hi", F.col("bucket_lo") + F.lit(width))
         .select("bucket", "bucket_lo", "bucket_hi", "n")
+    )
+
+
+def length_quartiles_by_source(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact rank-based five-number summary of ``value_col`` per group —
+    the corpus-shape report (is one source full of stubs? one full of
+    megadocs?) that decides per-source filter thresholds.
+
+    Quartile q is the ceil(q*n)-th smallest value (lower-rank convention,
+    ties broken by ``id_col``): an INTEGER pick, not an interpolation, so
+    every engine returns the identical row — interpolated percentiles are
+    float-divide-order territory.  One shuffle on the group key for the
+    rank window, then a partial-aggregated groupBy; group count stays
+    executor-side throughout.  At 100 TB the window partitions by source
+    (dozens of keys): fine for a report over O(10) sources; for
+    high-cardinality grouping use :func:`column_profile` per partition
+    instead."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    ranked = (
+        spread(df)
+        .select(group_col, value_col, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+    v = F.col(value_col).cast("long")
+
+    def _at(k):  # value at rank k (exactly one row matches per group)
+        return F.max(F.when(F.col("__rn") == k, v)).cast("long")
+
+    return ranked.groupBy(group_col).agg(
+        F.max("__n").cast("long").alias("n_docs"),
+        F.min(v).alias("min_v"),
+        _at(F.expr("(__n + 3) div 4")).alias("q1"),
+        _at(F.expr("(__n + 1) div 2")).alias("median"),
+        _at(F.expr("(3 * __n + 3) div 4")).alias("q3"),
+        F.max(v).alias("max_v"),
     )

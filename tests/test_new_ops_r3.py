@@ -1,0 +1,93 @@
+"""Round-3 additions: context-window chunking, incremental signature
+dedup, rank-based quartiles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    chunk_documents,
+    length_quartiles_by_source,
+    minhash_lsh_join,
+    minhash_signatures,
+)
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+        # stride 3: ceil((10-1)/3) = 3 chunks
+        assert [r.chunk_idx for r in out] == [0, 1, 2]
+        assert out[0].chunk_text == "t0 t1 t2 t3"
+        assert out[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+        assert out[2].chunk_text == "t6 t7 t8 t9"
+        assert [r.n_chunk_tokens for r in out] == [4, 4, 4]
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=128, overlap=16).collect()
+        assert len(out) == 1
+        assert out[0].chunk_text == "a b"
+        assert out[0].n_chunk_tokens == 2
+
+    def test_ragged_tail(self, spark):
+        text = " ".join(f"t{i}" for i in range(5))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=4, overlap=0).collect()
+        assert [r.n_chunk_tokens for r in out] == [4, 1]
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap=4)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=4, overlap=-1)
+
+
+class TestIncrementalMinhash:
+    def test_planted_duplicate_found(self, spark):
+        dup = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(0, dup), (2, "completely different corpus content here entirely"),
+                (1, dup), (3, "nothing shared with anything else at all truly")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        corpus = df.filter(F.col("doc_id") % 2 == 0)
+        new = df.filter(F.col("doc_id") % 2 == 1)
+        out = minhash_lsh_join(
+            minhash_signatures(new), minhash_signatures(corpus)
+        ).collect()
+        hits = {(r.id_new, r.id_corpus): r.est_jaccard for r in out}
+        assert hits.get((1, 0)) == 1.0  # identical doc: all minhashes agree
+        assert (3, 2) not in hits
+
+    def test_threshold_filters(self, spark):
+        dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [(0, dup), (1, dup)], "doc_id long, text string"
+        )
+        out = minhash_lsh_join(
+            minhash_signatures(df.filter("doc_id = 1")),
+            minhash_signatures(df.filter("doc_id = 0")),
+            min_est_jaccard=1.01,
+        )
+        assert out.count() == 0
+
+
+class TestLengthQuartiles:
+    def test_known_quartiles(self, spark):
+        rows = [(i, "s", v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80])]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        r = length_quartiles_by_source(df).collect()[0]
+        # n=8: q1 at rank ceil(8/4)=2, median rank ceil(8/2)=4, q3 rank 6
+        assert (r.n_docs, r.min_v, r.q1, r.median, r.q3, r.max_v) == (
+            8, 10, 20, 40, 60, 80
+        )
+
+    def test_single_row_group(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 7)], "doc_id long, source string, n_chars long"
+        )
+        r = length_quartiles_by_source(df).collect()[0]
+        assert (r.n_docs, r.min_v, r.q1, r.median, r.q3, r.max_v) == (
+            1, 7, 7, 7, 7, 7
+        )
