@@ -909,14 +909,17 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingestion dedup: odd-id docs are the NEW batch, even-id
     docs the existing corpus; candidates via stored-signature LSH join."""
+    from sparkplug_spark.caching import materialize_release
     from sparkplug_spark.operators import minhash_lsh_join, minhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    new = docs.filter(F.col("doc_id") % 2 == 1)
-    return minhash_lsh_join(
-        minhash_signatures(new), minhash_signatures(corpus), min_est_jaccard=0.25
-    )
+    # signatures are the stored artifact of incremental dedup: one shingle
+    # pass, materialized — the join's four consumers read blocks, exactly
+    # like the production flow reads a signatures table
+    sigs = materialize_release(minhash_signatures(docs))
+    corpus = sigs.filter(F.col("id") % 2 == 0)
+    new = sigs.filter(F.col("id") % 2 == 1)
+    return minhash_lsh_join(new, corpus, min_est_jaccard=0.25)
 
 
 def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
