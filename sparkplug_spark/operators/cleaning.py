@@ -132,6 +132,7 @@ def decontaminate(
     bloom_prefilter: bool = False,
     bloom_bits: int = 1 << 23,
     bloom_hashes: int = 5,
+    bloom_blob: bytes | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     ``n``-gram with the evaluation set (the GPT-3/PaLM 13-gram-overlap
@@ -168,8 +169,13 @@ def decontaminate(
         # broadcasts it whole), so the bitmap is built driver-side from one
         # pure-JVM collect of the eval text — no Python-worker stage, no
         # shuffle.
-        blob = build_bloom_from_texts(
-            eval_df, eval_text, n, bloom_bits, bloom_hashes
+        # the bitmap is a storable artifact: build once per eval-set
+        # release, pass ``bloom_blob`` on every subsequent corpus pass
+        # (same bloom_bits/bloom_hashes) to skip the build job entirely
+        blob = (
+            bloom_blob
+            if bloom_blob is not None
+            else build_bloom_from_texts(eval_df, eval_text, n, bloom_bits, bloom_hashes)
         )
         maybe = base.filter(
             bloom_contains_text(blob, bloom_bits, bloom_hashes, F.col(text_col), n)

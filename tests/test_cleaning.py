@@ -67,6 +67,19 @@ def test_decontaminate(spark):
     assert {k: tuple(v) for k, v in rows.items()} == {
         k: tuple(v) for k, v in bloom_rows.items()
     }
+    # pre-built-bitmap path (stored-artifact reuse): identical again
+    from sparkplug_spark.functions.bloom import build_bloom_from_texts
+
+    blob = build_bloom_from_texts(eval_df, "text", 5, 1 << 23, 5)
+    reused = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            df, eval_df, n=5, bloom_prefilter=True, bloom_blob=blob
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in reused.items()
+    }
 
 
 def test_pack_token_budget(spark):
