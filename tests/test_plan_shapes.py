@@ -74,3 +74,27 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
         "p_partkey",
         "p_size",
     }
+
+
+def test_column_profile_approx_is_single_exchange(spark):
+    """The at-scale default (HLL approx_count_distinct) must keep the whole
+    profile to ONE aggregation exchange; exact_distinct=True is allowed to
+    expand (it exists for the cross-engine oracle only)."""
+    from sparkplug_spark.operators import column_profile
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), float(i % 7)) for i in range(100)],
+        ["a", "b", "c"],
+    )
+    approx_plan = _plan(column_profile(df, ["a", "b", "c"]))
+    assert approx_plan.count("Exchange") == 1
+    exact_plan = _plan(column_profile(df, ["a", "b", "c"], exact_distinct=True))
+    assert exact_plan.count("Exchange") >= approx_plan.count("Exchange")
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from sparkplug_spark.operators import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = _plan(chunk_documents(df, chunk_tokens=4, overlap=1))
+    assert "Exchange" not in plan
