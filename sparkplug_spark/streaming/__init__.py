@@ -27,6 +27,8 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_quality_filter",
     "streaming_decontaminate",
+    "near_dup_flags",
+    "streaming_near_dup_flags",
     "sessionize_stream",
 ]
 
@@ -185,3 +187,83 @@ def streaming_dedup_exact(
         "__digest", F.md5(normalize_text(F.col(text_col)))
     ).withWatermark(time_col, watermark_delay)
     return with_digest.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
+
+
+def near_dup_flags(
+    batch_df: DataFrame,
+    corpus_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Flag a (micro-)batch's near-duplicates of a stored corpus: every
+    input row comes back with ``near_dup_of`` (smallest corpus id whose
+    signature agreement >= ``min_est_jaccard``, else null) and
+    ``is_near_dup``.  The corpus contributes only its signature table from
+    :func:`~..operators.dedup.minhash_signatures` — no re-shingling of
+    history; only band-colliding rows compare signatures."""
+    from ..operators.dedup import minhash_lsh_join, minhash_signatures
+
+    sigs = minhash_signatures(
+        batch_df, text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes
+    )
+    matches = (
+        minhash_lsh_join(
+            sigs,
+            corpus_sigs,
+            num_hashes=num_hashes,
+            bands=bands,
+            min_est_jaccard=min_est_jaccard,
+        )
+        .groupBy("id_new")
+        .agg(F.min("id_corpus").alias("near_dup_of"))
+        .withColumnRenamed("id_new", id_col)
+    )
+    return batch_df.join(matches, id_col, "left").withColumn(
+        "is_near_dup", F.col("near_dup_of").isNotNull()
+    )
+
+
+def streaming_near_dup_flags(
+    stream_df: DataFrame,
+    corpus_sigs: DataFrame,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.5,
+):
+    """Incremental ingestion dedup as a stream: run :func:`near_dup_flags`
+    on every micro-batch against the STATIC corpus signature table and
+    hand the flagged batch to ``sink(df, batch_id)``.
+
+    ``foreachBatch`` is the idiomatic Structured-Streaming shape here: the
+    per-batch pipeline needs a distinct + aggregation over the LSH join,
+    which as a plain stream transformation would demand unbounded state
+    (or an illegal stream-stream self-join).  Inside foreachBatch the
+    batch is a normal DataFrame, so the exact batch operator — identical
+    semantics, identical plan — runs per micro-batch, and the 100 TB
+    corpus participates only as a signature scan.  Returns the
+    ``DataStreamWriter`` (caller picks trigger/checkpoint and starts it)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            near_dup_flags(
+                batch_df,
+                corpus_sigs,
+                text_col=text_col,
+                id_col=id_col,
+                n=n,
+                num_hashes=num_hashes,
+                bands=bands,
+                min_est_jaccard=min_est_jaccard,
+            ),
+            batch_id,
+        )
+
+    return stream_df.writeStream.foreachBatch(_process)

@@ -91,3 +91,58 @@ class TestLengthQuartiles:
         assert (r.n_docs, r.min_v, r.q1, r.median, r.q3, r.max_v) == (
             1, 7, 7, 7, 7, 7
         )
+
+
+class TestStreamingNearDup:
+    def test_batch_flags(self, spark):
+        from sparkplug_spark.operators import minhash_signatures
+        from sparkplug_spark.streaming import near_dup_flags
+
+        dup = "one two three four five six seven eight nine ten"
+        corpus = spark.createDataFrame(
+            [(100, dup), (102, "unrelated corpus content entirely different words")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(1, dup), (3, "totally novel text nothing in common whatsoever")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in near_dup_flags(
+                batch, minhash_signatures(corpus)
+            ).collect()
+        }
+        assert out[1].is_near_dup and out[1].near_dup_of == 100
+        assert not out[3].is_near_dup and out[3].near_dup_of is None
+
+    def test_stream_foreachbatch(self, spark, tmp_path):
+        from sparkplug_spark.caching import materialize_release
+        from sparkplug_spark.operators import minhash_signatures
+        from sparkplug_spark.streaming import streaming_near_dup_flags
+
+        dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        corpus = spark.createDataFrame(
+            [(100, dup)], "doc_id long, text string"
+        )
+        corpus_sigs = materialize_release(minhash_signatures(corpus))
+        src = str(tmp_path / "nd_src")
+        spark.createDataFrame(
+            [(1, dup), (2, "fresh unseen content with zero overlap here")],
+            "doc_id long, text string",
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        got = {}
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                got[r.doc_id] = (r.is_near_dup, r.near_dup_of)
+
+        q = (
+            streaming_near_dup_flags(stream, corpus_sigs, sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert got[1] == (True, 100)
+        assert got[2] == (False, None)
