@@ -146,3 +146,22 @@ class TestStreamingNearDup:
         q.awaitTermination(120)
         assert got[1] == (True, 100)
         assert got[2] == (False, None)
+
+
+def test_signature_table_parquet_round_trip(spark, tmp_path):
+    """The incremental-dedup contract: signatures written in one session
+    are a faithful join input later — stored artifact, not a cache."""
+    from sparkplug_spark.operators import minhash_lsh_join, minhash_signatures
+
+    dup = "red orange yellow green blue indigo violet colors of the bow"
+    corpus = spark.createDataFrame(
+        [(10, dup), (11, "some other corpus document with different text")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sigs")
+    minhash_signatures(corpus).write.parquet(path)
+
+    stored = spark.read.parquet(path)
+    new = spark.createDataFrame([(21, dup)], "doc_id long, text string")
+    out = minhash_lsh_join(minhash_signatures(new), stored).collect()
+    assert {(r.id_new, r.id_corpus, r.est_jaccard) for r in out} == {(21, 10, 1.0)}
