@@ -66,6 +66,15 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # each timed query stands alone: drop the blocks its
+            # materialized outputs left behind (operators release their
+            # own intermediates, but the RESULT checkpoint of each pass
+            # survives by design) so block-manager state can't accumulate
+            # across 58 queries x 3 passes and tax later queries
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in jmap.keySet().toArray():
+                jmap.get(rid).unpersist(False)
+            spark.catalog.clearCache()
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
