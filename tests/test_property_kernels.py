@@ -111,3 +111,65 @@ def test_simhash64_matches_reference_fold(spark, docs):
     rows = _df(spark, docs).select("i", simhash64_pd("t").alias("b")).collect()
     for r in rows:
         assert r["b"] == ref(docs[r["i"]]), docs[r["i"]]
+
+
+class TestChunkingProperties:
+    """chunk_documents invariants: coverage (every token appears), stride
+    positioning, and exact reconstruction with zero overlap."""
+
+    def test_zero_overlap_reconstructs_token_stream(self, spark):
+        from sparkplug_spark.operators import chunk_documents
+        from sparkplug_spark.functions.text import tokens_pd
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        chunks = chunk_documents(docs, chunk_tokens=32, overlap=0)
+        rebuilt = (
+            chunks.groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("chunk_idx", "chunk_text")
+                                )
+                            ),
+                            lambda s: F.split(s.chunk_text, " "),
+                        )
+                    ),
+                    " ",
+                ).alias("rebuilt")
+            )
+        )
+        orig = docs.select(
+            "doc_id", F.array_join(tokens_pd(F.col("text")), " ").alias("orig")
+        )
+        diff = rebuilt.join(orig, "doc_id").filter(
+            F.col("rebuilt") != F.col("orig")
+        )
+        assert diff.count() == 0
+
+    def test_chunk_count_and_sizes(self, spark):
+        from sparkplug_spark.operators import chunk_documents
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        agg = (
+            chunk_documents(docs, chunk_tokens=64, overlap=16)
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.max("n_chunk_tokens").alias("mx"),
+                F.min("n_chunk_tokens").alias("mn"),
+            )
+            .agg(
+                F.max("mx").alias("mx"),
+                F.min("mn").alias("mn"),
+                F.min("k").alias("min_k"),
+            )
+            .first()
+        )
+        assert agg.mx <= 64  # never over the window
+        assert agg.mn >= 1
+        assert agg.min_k >= 1  # every doc yields at least one chunk
