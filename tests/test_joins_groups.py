@@ -524,3 +524,24 @@ def test_winnowing_fingerprints_edit_robust(spark):
     overlap = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
     assert overlap > 0.5           # local edit keeps most fingerprints
     assert len(rows[3]) == 1       # short doc -> single gram fingerprint
+
+
+def test_cc_long_chain_many_rounds(spark):
+    """A 64-node path graph needs many label-propagation rounds — stresses
+    the per-round checkpoint-block freeing added in r3 (a wrongly freed
+    block would crash or corrupt labels mid-loop)."""
+    from sparkplug_spark.operators import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    lp = {
+        r["id"]: r["group_id"]
+        for r in near_dup_groups(pairs, max_iterations=80).collect()
+    }
+    assert set(lp.values()) == {0} and len(lp) == 64
+    star = {
+        r["id"]: r["group_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert star == lp
