@@ -107,6 +107,86 @@ def word_shingles_pd(col: Column | str, n: int = 3) -> Column:
     return _shingles(col)
 
 
+def shingles_minhash_pd(
+    col: Column | str, n: int = 3, num_hashes: int = 32
+) -> Column:
+    """(shingles, sig) struct in ONE Arrow crossing: normalize → shingle →
+    md5-hash each DISTINCT gram once per batch → all ``num_hashes``
+    permuted minima via one vectorized ``np.minimum.reduceat``.
+
+    Bit-identical to the explode → ``hash32`` → groupBy-min aggregation
+    path (and therefore to the SQL oracle): same shingling as
+    :func:`word_shingles_pd`, same ``int(md5[:8], 16)`` hash, same
+    ``(a*h + b) % MINHASH_PRIME`` permutations — coefficients keep
+    ``a*h+b`` under 2^63, so uint64 arithmetic is exact (twin-tested in
+    ``tests/test_property_kernels.py``).  Replacing the aggregation kills
+    the gram explode AND the signature shuffle: the whole signature stage
+    becomes a narrow per-row projection."""
+    import hashlib
+
+    import numpy as np
+
+    perms = MINHASH_PERMS[:num_hashes]
+    A = np.array([a for a, _ in perms], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in perms], dtype=np.uint64)[:, None]
+    P = np.uint64(MINHASH_PRIME)
+    strip = re.compile(r"[^a-z0-9 ]")
+    squash = re.compile(r" +")
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("shingles", T.ArrayType(T.StringType())),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def _k(s: pd.Series) -> pd.DataFrame:
+        sh_lists = []
+        for text in s:
+            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            toks = norm.split(" ")
+            if len(toks) <= n:
+                sh_lists.append([" ".join(toks)])
+            else:
+                sh_lists.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                    )
+                )
+        counts = np.fromiter((len(x) for x in sh_lists), dtype=np.int64,
+                             count=len(sh_lists))
+        total = int(counts.sum())
+        hvals = np.empty(total, dtype=np.uint64)
+        cache: dict[str, int] = {}
+        pos = 0
+        for sh in sh_lists:
+            for g in sh:
+                v = cache.get(g)
+                if v is None:
+                    v = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    cache[g] = v
+                hvals[pos] = v
+                pos += 1
+        if total == 0:
+            return pd.DataFrame({"shingles": sh_lists,
+                                 "sig": [None] * len(sh_lists)})
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        vals = (A * hvals[None, :] + B) % P  # num_hashes x total, exact
+        nz = counts > 0  # every doc shingles to >=1 gram, but stay safe
+        mins = np.minimum.reduceat(vals, starts[nz], axis=1).astype(np.int64)
+        sigs: list = [None] * len(sh_lists)
+        for out_i, row_i in enumerate(np.flatnonzero(nz)):
+            sigs[row_i] = mins[:, out_i].tolist()
+        return pd.DataFrame({"shingles": sh_lists, "sig": sigs})
+
+    return _k(col)
+
+
 def tokens_pd(col: Column | str) -> Column:
     """Arrow-batched pandas equivalent of :func:`tokens` (same normalize +
     split), tokenizing once per row."""

@@ -27,6 +27,7 @@ from ..functions.text import (
     hash32,
     hash60,
     normalize_text,
+    shingles_minhash_pd,
     simhash64_pd,
     word_shingles_pd,
 )
@@ -165,21 +166,16 @@ def minhash_signatures(
     alongside the corpus, and join NEW batches against it with
     :func:`minhash_lsh_join` instead of re-shingling 100 TB of history.
 
-    Signature via explode → hash-aggregate with ``num_hashes`` codegen'd
-    ``min()`` columns; min() is order-insensitive so values are identical
-    to a per-row fold — and to the SQL oracle."""
-    base = spread(df).select(
+    Signature via the fused Arrow kernel (one narrow projection — no gram
+    explode, no shuffle); bit-identical to the explode → hash-aggregate
+    formulation and to the SQL oracle (twin-tested in
+    ``tests/test_property_kernels.py``)."""
+    return spread(df).select(
         F.col(id_col).alias("id"),
-        word_shingles_pd(F.col(text_col), n).alias("shingles"),
-    )
-    exploded = base.select("id", F.explode("shingles").alias("s")).withColumn(
-        "h", hash32(F.col("s"))
-    )
-    return exploded.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
-        ]
+        shingles_minhash_pd(F.col(text_col), n, num_hashes).alias("__sm"),
+    ).select(
+        "id",
+        *[F.col("__sm.sig")[i].alias(f"mh{i}") for i in range(num_hashes)],
     )
 
 
@@ -284,23 +280,20 @@ def minhash_lsh_pairs(
     1-(1-J^r)^b)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
+    # ONE fused Arrow crossing yields shingles (for exact verification)
+    # AND the minhash signature (no gram explode, no signature shuffle);
+    # persisted: band entries + both verify joins consume it
     base = spread(df).select(
         F.col(id_col).alias("id"),
-        word_shingles_pd(F.col(text_col), n).alias("shingles"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by signature + both verify joins
+        shingles_minhash_pd(F.col(text_col), n, num_hashes).alias("__sm"),
+    ).select(
+        "id",
+        F.col("__sm.shingles").alias("shingles"),
+        F.col("__sm.sig").alias("__sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # Signature via explode → hash-aggregate with num_hashes min() columns:
-    # fully codegen'd (the per-row HOF fold is interpreted and dominates
-    # runtime at scale).  min() is order-insensitive, so values are
-    # identical to a per-row fold — and to the SQL oracle.
-    exploded = base.select("id", F.explode("shingles").alias("s")).withColumn(
-        "h", hash32(F.col("s"))
-    )
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_PERMS[:num_hashes])
-        ]
+    sig = base.select(
+        "id", *[F.col("__sig")[i].alias(f"mh{i}") for i in range(num_hashes)]
     )
 
     band_entries = sig.select(

@@ -173,3 +173,45 @@ class TestChunkingProperties:
         assert agg.mx <= 64  # never over the window
         assert agg.mn >= 1
         assert agg.min_k >= 1  # every doc yields at least one chunk
+
+
+@settings(**_SETTINGS)
+@given(texts)
+def test_shingles_minhash_pd_equals_agg_path(spark, docs):
+    """The fused kernel must be bit-identical to the explode→hash32→
+    groupBy-min aggregation formulation (which is what the SQL oracle
+    mirrors)."""
+    from pyspark.sql import functions as F
+
+    from sparkplug_spark.functions.text import (
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        hash32,
+        shingles_minhash_pd,
+        word_shingles_pd,
+    )
+
+    df = _df(spark, docs)
+    agg = (
+        df.select("i", F.explode(word_shingles_pd(F.col("t"), 3)).alias("s"))
+        .withColumn("h", hash32(F.col("s")))
+        .groupBy("i")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_PERMS[:32])
+            ]
+        )
+    )
+    expected = {
+        r["i"]: [r[f"mh{j}"] for j in range(32)] for r in agg.collect()
+    }
+    got = {
+        r["i"]: list(r["sm"]["sig"])
+        for r in df.select(
+            "i", shingles_minhash_pd(F.col("t"), 3, 32).alias("sm")
+        ).collect()
+    }
+    assert got == expected
