@@ -487,11 +487,18 @@ def winnowing_fingerprints(
     DuckDB oracle reproduces the exact set."""
     import hashlib
 
+    import numpy as np
+
     strip = re.compile(r"[^a-z0-9 ]")
     squash = re.compile(r" +")
+    swv = np.lib.stride_tricks.sliding_window_view
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _fp(s: pd.Series) -> pd.Series:
+        # char k-grams repeat heavily across a batch (common words,
+        # whitespace runs): hash each distinct gram once
+        cache: dict[str, int] = {}
+        md5 = hashlib.md5
         out = []
         for text in s:
             norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
@@ -499,16 +506,19 @@ def winnowing_fingerprints(
                 grams = [norm]
             else:
                 grams = [norm[i : i + k] for i in range(len(norm) - k + 1)]
-            hs = [
-                int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
-            ]
+            hs = np.empty(len(grams), dtype=np.int64)
+            for i, g in enumerate(grams):
+                v = cache.get(g)
+                if v is None:
+                    v = int(md5(g.encode()).hexdigest()[:15], 16)
+                    cache[g] = v
+                hs[i] = v
             if len(hs) <= window:
-                mins = [min(hs)]
+                mins = hs.min(keepdims=True)
             else:
-                mins = [
-                    min(hs[j : j + window]) for j in range(len(hs) - window + 1)
-                ]
-            out.append(sorted(set(mins)))
+                # vectorized rolling minimum over the hash sequence
+                mins = swv(hs, window).min(axis=1)
+            out.append(np.unique(mins).tolist())
         return pd.Series(out)
 
     return _fp(col)
