@@ -27,6 +27,7 @@ from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
 from .profiling import column_profile, histogram, length_quartiles_by_source
+from .scoring import fake_quality_scorer, score_with_model
 from .similarity import (
     blocked_cosine_pairs,
     cosine_topk,
@@ -65,6 +66,8 @@ __all__ = [
     "salted_join",
     "column_profile",
     "length_quartiles_by_source",
+    "score_with_model",
+    "fake_quality_scorer",
     "histogram",
     "sessionize",
     "funnel_counts",

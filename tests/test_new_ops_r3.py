@@ -165,3 +165,74 @@ def test_signature_table_parquet_round_trip(spark, tmp_path):
     new = spark.createDataFrame([(21, dup)], "doc_id long, text string")
     out = minhash_lsh_join(minhash_signatures(new), stored).collect()
     assert {(r.id_new, r.id_corpus, r.est_jaccard) for r in out} == {(21, 10, 1.0)}
+
+
+class TestScoreWithModel:
+    def test_fake_scorer_deterministic(self, spark):
+        from sparkplug_spark.operators import score_with_model
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "another doc"), (3, None)],
+            "doc_id long, text string",
+        )
+        a = {r.doc_id: r.model_score for r in score_with_model(df).collect()}
+        b = {
+            r.doc_id: r.model_score
+            for r in score_with_model(df.repartition(3)).collect()
+        }
+        assert a == b  # partitioning-independent
+        assert all(0.0 <= v < 1.0 for v in a.values())
+
+    def test_model_loader_once_per_worker(self, spark):
+        from sparkplug_spark.operators import score_with_model
+
+        def loader():
+            # the count visible per task proves the loader ran once there
+            import pandas as pd
+
+            state = {"n": 0}
+
+            def fn(s):
+                state["n"] += 1
+                return pd.Series([float(state["n"])] * len(s))
+
+            return fn
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+        ).coalesce(1)
+        spark.conf.set("spark.sparkplug.spread.enabled", "false")
+        try:
+            scores = [
+                r.model_score
+                for r in score_with_model(
+                    df, model_loader=loader, batch_rows=4
+                ).collect()
+            ]
+        finally:
+            spark.conf.unset("spark.sparkplug.spread.enabled")
+        # 10 rows, batch_rows=4 -> batches scored 1.0, 2.0, 3.0 by the SAME
+        # model instance (a per-batch loader would yield all 1.0)
+        assert sorted(set(scores)) == [1.0, 2.0, 3.0]
+
+    def test_batch_rows_bounds_model_input(self, spark):
+        from sparkplug_spark.operators import score_with_model
+        import pandas as pd
+
+        def probe(s: pd.Series) -> pd.Series:
+            assert len(s) <= 4
+            return pd.Series([float(len(s))] * len(s))
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(11)], "doc_id long, text string"
+        ).coalesce(1)
+        out = score_with_model(df, scorer=probe, batch_rows=4).collect()
+        assert len(out) == 11
+
+    def test_exclusive_args(self, spark):
+        import pytest as _pytest
+        from sparkplug_spark.operators import score_with_model
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            score_with_model(df, scorer=lambda s: s, model_loader=lambda: None)
