@@ -187,6 +187,48 @@ def shingles_minhash_pd(
     return _k(col)
 
 
+def hashed_shingles_pd(col: Column | str, n: int = 3) -> Column:
+    """``array<bigint>`` of :func:`hash60`-hashed distinct word n-grams in
+    ONE Arrow crossing — same shingling as :func:`word_shingles_pd`, same
+    ``int(md5[:15], 16)`` as the JVM/SQL ``hash60``, with each distinct
+    gram hashed once per batch.  For consumers that only ever use the
+    hash (inverted indexes, decontamination): no gram STRINGS cross the
+    UDF boundary or the downstream explode."""
+    import hashlib
+
+    strip = re.compile(r"[^a-z0-9 ]")
+    squash = re.compile(r" +")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _hs(s: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        md5 = hashlib.md5
+        out = []
+        for text in s:
+            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            toks = norm.split(" ")
+            if len(toks) <= n:
+                grams = [" ".join(toks)]
+            else:
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
+            row = []
+            for g in grams:
+                v = cache.get(g)
+                if v is None:
+                    v = int(md5(g.encode()).hexdigest()[:15], 16)
+                    cache[g] = v
+                row.append(v)
+            out.append(row)
+        return pd.Series(out)
+
+    return _hs(col)
+
+
 def tokens_pd(col: Column | str) -> Column:
     """Arrow-batched pandas equivalent of :func:`tokens` (same normalize +
     split), tokenizing once per row."""

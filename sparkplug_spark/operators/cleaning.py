@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import hash60, tokens_pd, word_shingles_pd
+from ..functions.text import hash60, hashed_shingles_pd, tokens_pd, word_shingles_pd
 from ..partitioning import spread
 
 __all__ = [
@@ -151,10 +151,10 @@ def decontaminate(
     exact verification.  The ~50× gram-explode row multiplication thus
     applies to almost nothing."""
     eval_text = eval_text_col or text_col
-    eval_g = eval_df.select(
-        F.explode(word_shingles_pd(F.col(eval_text), n)).alias("g")
+    eval_grams = (
+        eval_df.select(F.explode(hashed_shingles_pd(F.col(eval_text), n)).alias("gh"))
+        .distinct()
     )
-    eval_grams = eval_g.select(hash60(F.col("g")).alias("gh")).distinct()
 
     base = spread(df)
     if bloom_prefilter:
@@ -182,13 +182,13 @@ def decontaminate(
         )
         doc_grams = maybe.select(
             F.col(id_col).alias("__id"),
-            F.explode(word_shingles_pd(F.col(text_col), n)).alias("g"),
-        ).select("__id", hash60(F.col("g")).alias("gh"))
+            F.explode(hashed_shingles_pd(F.col(text_col), n)).alias("gh"),
+        )
     else:
         doc_grams = base.select(
             F.col(id_col).alias("__id"),
-            F.explode(word_shingles_pd(F.col(text_col), n)).alias("g"),
-        ).select("__id", hash60(F.col("g")).alias("gh"))
+            F.explode(hashed_shingles_pd(F.col(text_col), n)).alias("gh"),
+        )
 
     hits = (
         doc_grams.join(F.broadcast(eval_grams), "gh")

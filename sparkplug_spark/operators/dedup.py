@@ -26,6 +26,7 @@ from ..functions.text import (
     MINHASH_PRIME,
     hash32,
     hash60,
+    hashed_shingles_pd,
     normalize_text,
     shingles_minhash_pd,
     simhash64_pd,
@@ -111,11 +112,14 @@ def jaccard_ngram_pairs(
     stop shingles — standard at-scale trade, disable with a large value."""
     sh = (
         spread(df)
-        .select(F.col(id_col).alias("id"), F.explode(word_shingles_pd(F.col(text_col), n)).alias("sh"))
         # join/shuffle on a 60-bit hash of the shingle, not the string:
         # 8-byte keys through the self-join (shingles are already distinct
-        # per doc, so no re-distinct)
-        .select("id", hash60(F.col("sh")).alias("sh"))
+        # per doc, so no re-distinct); the kernel hashes each distinct
+        # gram once per batch, so no gram strings cross the UDF boundary
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(hashed_shingles_pd(F.col(text_col), n)).alias("sh"),
+        )
         # the inverted index feeds four consumers (stop-key filter, sizes,
         # both self-join sides); without persist Spark recomputes the
         # tokenize+explode subplan for each
