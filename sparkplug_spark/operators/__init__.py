@@ -12,7 +12,9 @@ from .cleaning import (
     stratified_sample,
 )
 from .dedup import (
+    content_digests,
     dedup_exact,
+    dedup_exact_against,
     exact_duplicate_groups,
     embedding_near_dup_pairs,
     jaccard_ngram_pairs,
@@ -51,7 +53,9 @@ __all__ = [
     "sample_per_key",
     "scrub_pii",
     "stratified_sample",
+    "content_digests",
     "dedup_exact",
+    "dedup_exact_against",
     "exact_duplicate_groups",
     "embedding_near_dup_pairs",
     "jaccard_ngram_pairs",

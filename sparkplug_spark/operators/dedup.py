@@ -38,6 +38,8 @@ from ..partitioning import spread
 __all__ = [
     "dedup_exact",
     "exact_duplicate_groups",
+    "content_digests",
+    "dedup_exact_against",
     "jaccard_ngram_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_ml",
@@ -91,6 +93,51 @@ def exact_duplicate_groups(
             F.min(id_col).alias("keeper_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def content_digests(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, digest) content-digest table — the exact-dedup counterpart of
+    :func:`minhash_signatures`: compute per ingestion batch, store with
+    the corpus, and screen NEW batches with :func:`dedup_exact_against`
+    instead of re-reading 100 TB of history."""
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        _digest(F.col(text_col), normalize).alias("digest"),
+    )
+
+
+def dedup_exact_against(
+    df: DataFrame,
+    corpus_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Drop rows of a NEW batch whose content digest already exists in a
+    stored corpus digest table (from :func:`content_digests`), then exact-
+    dedup the batch against itself (smallest id wins).
+
+    One left-anti join on the 16-byte digest plus the batch-local window;
+    the corpus contributes a two-column scan, never its text.  Incremental
+    ingestion: history is append-only digest tables, each new batch joins
+    against them."""
+    digest = _digest(F.col(text_col), normalize)
+    fresh = spread(df).withColumn("__digest", digest).join(
+        corpus_digests.select(F.col("digest").alias("__digest")),
+        "__digest",
+        "left_anti",
+    )
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__digest")
     )
 
 

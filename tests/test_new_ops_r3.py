@@ -236,3 +236,30 @@ class TestScoreWithModel:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with _pytest.raises(ValueError):
             score_with_model(df, scorer=lambda s: s, model_loader=lambda: None)
+
+
+def test_incremental_exact_dedup(spark, tmp_path):
+    from sparkplug_spark.operators import content_digests, dedup_exact_against
+
+    corpus = spark.createDataFrame(
+        [(1, "Seen Before!"), (2, "also in corpus")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "digests")
+    content_digests(corpus).write.parquet(path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),        # normalized dup of corpus doc 1
+            (11, "brand new content"),
+            (12, "brand new content"),  # intra-batch dup of 11
+            (13, "also unseen"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        r.doc_id
+        for r in dedup_exact_against(
+            batch, spark.read.parquet(path)
+        ).collect()
+    )
+    assert out == [11, 13]
