@@ -19,18 +19,25 @@ N-1's blocks once round N is materialized (freeing the *final* round would
 destroy the result — local checkpoints truncate lineage, so the blocks are
 the only copy).
 
-Caveat: id capture diffs the persistent-RDD registry around the checkpoint
-call, which can misattribute ids if other threads checkpoint concurrently;
-drivers running concurrent jobs should serialize iterative operators or
-accept retaining (never wrongly freeing — ids are only ever *released*
-when this module created them) a stale block set.
+Id capture diffs the persistent-RDD registry around the checkpoint call
+under a module lock, so concurrent driver threads using THIS module can't
+misattribute each other's ids; checkpoints made directly (outside
+``checkpoint_tracked``) during that window would still be swept into the
+diff — rare, and the cost is early release of a cache another thread just
+created, never corruption of this module's own tracking.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 
 __all__ = ["checkpoint_tracked", "unpersist_ids", "materialize_release"]
+
+# serializes the registry-diff around a checkpoint call so concurrent
+# driver threads can't misattribute each other's RDD ids
+_TRACK_LOCK = threading.Lock()
 
 
 def _persistent_ids(spark: SparkSession) -> set[int]:
@@ -46,9 +53,12 @@ def checkpoint_tracked(
     register no persistent RDDs — the returned set is empty and cleanup is
     ``spark.cleaner.referenceTracking.cleanCheckpoints``'s job."""
     spark = df.sparkSession
-    before = _persistent_ids(spark)
-    out = df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
-    return out, _persistent_ids(spark) - before
+    with _TRACK_LOCK:
+        before = _persistent_ids(spark)
+        out = (
+            df.checkpoint(eager=eager) if reliable else df.localCheckpoint(eager=eager)
+        )
+        return out, _persistent_ids(spark) - before
 
 
 def unpersist_ids(spark: SparkSession, ids: set[int], blocking: bool = False) -> None:
