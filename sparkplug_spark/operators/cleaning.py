@@ -172,6 +172,13 @@ def decontaminate(
         # the bitmap is a storable artifact: build once per eval-set
         # release, pass ``bloom_blob`` on every subsequent corpus pass
         # (same bloom_bits/bloom_hashes) to skip the build job entirely
+        if bloom_blob is not None and len(bloom_blob) * 8 != bloom_bits:
+            raise ValueError(
+                f"bloom_blob holds {len(bloom_blob) * 8} bits but "
+                f"bloom_bits={bloom_bits}; pass the bloom_bits the blob "
+                "was built with (a mismatched probe would index out of "
+                "bounds or silently miss)"
+            )
         blob = (
             bloom_blob
             if bloom_blob is not None

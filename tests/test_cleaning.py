@@ -148,3 +148,16 @@ def test_stratified_sample(spark):
 
     with pytest.raises(ValueError):
         stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_bloom_blob_size_mismatch_raises(spark):
+    from sparkplug_spark.functions.bloom import build_bloom_from_texts
+    from sparkplug_spark.operators import decontaminate
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    blob = build_bloom_from_texts(df, "text", 5, 1 << 10, 5)
+    with _pytest.raises(ValueError, match="bloom_bits"):
+        decontaminate(
+            df, df, n=5, bloom_prefilter=True, bloom_bits=1 << 23, bloom_blob=blob
+        )
