@@ -216,39 +216,47 @@ def cosine_topk_ivf(
     ``n_probe == num_centroids`` the scan is exhaustive and results equal
     :func:`cosine_topk` exactly (tested); smaller ``n_probe`` trades
     recall for speed."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from ..functions.vectors import _mat
 
-    unit = F.when(
-        F.col("cn") == 0.0, F.col("cv").cast("array<double>")
-    ).otherwise(F.transform(F.col("cv"), lambda x: x.cast("double") / F.col("cn")))
     c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         vec_norm(F.col(vec_col)).alias("cn"),
     )
-    feats = c.select("neighbor_id", "cv", "cn", array_to_vector(unit).alias("__f"))
     # training sample comes from the RAW corpus (before spread's
     # repartition — a limit above a shuffle would still run the full map
-    # side); limit short-circuits after the first partitions
-    raw = corpus.select(
-        F.col(vec_col).alias("cv"), vec_norm(F.col(vec_col)).alias("cn")
-    ).select(array_to_vector(unit).alias("__f"))
+    # side); limit short-circuits after the first partitions.  The sample
+    # is bounded (num_centroids * train_points_per_centroid rows ≈
+    # megabytes), so the coarse quantizer trains DRIVER-SIDE with
+    # spherical Lloyd — the FAISS-style shape — instead of ~10 JVM ML
+    # jobs plus a Vector-UDT conversion of the corpus.
+    raw = corpus.select(F.col(vec_col).alias("cv"))
     if train_fraction is None:
         train = raw.limit(max(num_centroids, 1) * train_points_per_centroid)
     else:
         train = raw.sample(train_fraction, seed=seed)
+    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("cosine_topk_ivf: empty corpus (no training rows)")
     # clamp k from the (bounded) training set, not a full-corpus count
-    n_train = train.count()
+    n_train = len(X)
     num_centroids = max(1, min(num_centroids, n_train))
     n_probe = max(1, min(n_probe, num_centroids))
-    model = KMeans(k=num_centroids, seed=seed, maxIter=8, featuresCol="__f").fit(train)
-    centers = np.stack([np.asarray(ctr) for ctr in model.clusterCenters()])
-    norms = np.linalg.norm(centers, axis=1)
-    norms[norms == 0] = 1.0
-    C = (centers / norms[:, None]).T  # (dim, num_centroids), unit rows
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    X = X / nrm[:, None]
+    rng = np.random.RandomState(seed)
+    centers = X[rng.choice(n_train, num_centroids, replace=False)]
+    for _ in range(8):
+        lab = np.argmax(X @ centers.T, axis=1)
+        for j in range(num_centroids):
+            pts = X[lab == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+        cnorm = np.linalg.norm(centers, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        centers = centers / cnorm[:, None]
+    C = centers.T  # (dim, num_centroids), unit columns
 
     def _centroid_scores(x: pd.Series) -> np.ndarray:
         m = _mat(x)
@@ -272,7 +280,7 @@ def cosine_topk_ivf(
         top = np.argsort(-s, axis=1)[:, :probe].astype("int32")
         return pd.Series(list(top))
 
-    assigned = feats.select("neighbor_id", "cv", "cn", assign("cv").alias("__cent"))
+    assigned = c.select("neighbor_id", "cv", "cn", assign("cv").alias("__cent"))
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
