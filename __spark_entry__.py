@@ -1444,6 +1444,7 @@ def _extension_oracles() -> dict[str, str]:
                  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
                  count(*) OVER (PARTITION BY source) AS n
           FROM documents
+          WHERE n_chars IS NOT NULL
         )
         SELECT source,
                max(n)::BIGINT AS n_docs,

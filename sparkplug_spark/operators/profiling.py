@@ -120,6 +120,10 @@ def length_quartiles_by_source(
     ranked = (
         spread(df)
         .select(group_col, value_col, id_col)
+        # drop NULL values explicitly: engines disagree on NULL sort order
+        # (Spark ASC puts nulls first, DuckDB last), so ranks over nulls
+        # would be engine-dependent; n_docs therefore counts non-null rows
+        .filter(F.col(value_col).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
     )

@@ -263,3 +263,12 @@ def test_incremental_exact_dedup(spark, tmp_path):
         ).collect()
     )
     assert out == [11, 13]
+
+
+def test_length_quartiles_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", None), (3, "s", 30)],
+        "doc_id long, source string, n_chars long",
+    )
+    r = length_quartiles_by_source(df).collect()[0]
+    assert (r.n_docs, r.min_v, r.median, r.max_v) == (2, 10, 10, 30)
