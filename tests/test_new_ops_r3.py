@@ -272,3 +272,41 @@ def test_length_quartiles_ignores_nulls(spark):
     )
     r = length_quartiles_by_source(df).collect()[0]
     assert (r.n_docs, r.min_v, r.median, r.max_v) == (2, 10, 10, 30)
+
+
+def test_stateless_ops_compose_with_streams(spark, tmp_path):
+    """chunk_documents, scrub_pii, gopher_quality_flags, and
+    score_with_model are narrow per-row transforms — they must apply to a
+    readStream unchanged (no state store, no watermark)."""
+    from sparkplug_spark.operators import (
+        chunk_documents,
+        gopher_quality_flags,
+        score_with_model,
+        scrub_pii,
+    )
+
+    src = str(tmp_path / "stateless_src")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta contact a@b.co"), (2, "tiny")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    piped = score_with_model(
+        gopher_quality_flags(scrub_pii(stream, out_col="text"))
+    )
+    chunks = chunk_documents(stream, chunk_tokens=3, overlap=1)
+    assert piped.isStreaming and chunks.isStreaming
+
+    for name, df in [("pipe_q", piped), ("chunk_q", chunks)]:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("select * from pipe_q").collect()}
+    assert got[1].n_email == 1 and 0.0 <= got[1].model_score < 1.0
+    assert spark.sql("select * from chunk_q").count() >= 3
