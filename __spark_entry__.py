@@ -922,6 +922,17 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_join(new, corpus, min_est_jaccard=0.25)
 
 
+def q_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixture upsampling: 2.5 epochs of src0, 0.5 of src1, 1 of the
+    rest — deterministic fractional repeats."""
+    from sparkplug_spark.operators import oversample_by_key
+
+    docs = _read(spark, sf_dir, "documents")
+    return oversample_by_key(
+        docs, "source", {"src0": 2.5, "src1": 0.5}
+    ).select("doc_id", "source", "copy_idx")
+
+
 def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact five-number summary of document length."""
     from sparkplug_spark.operators import length_quartiles_by_source
@@ -1438,6 +1449,24 @@ def _extension_oracles() -> dict[str, str]:
               >= 0.25
     """
 
+    oversample_sql = """
+        WITH c AS (
+          SELECT doc_id, source,
+                 CASE WHEN source = 'src0' THEN 2
+                      WHEN source = 'src1' THEN 0
+                      ELSE 1 END
+                 + CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1048576
+                          < (CASE WHEN source = 'src0' THEN 524288
+                                  WHEN source = 'src1' THEN 524288
+                                  ELSE 0 END)
+                        THEN 1 ELSE 0 END AS n
+          FROM documents
+        ),
+        e AS (SELECT doc_id, source, unnest(generate_series(1, n)) AS copy_idx
+              FROM c WHERE n > 0)
+        SELECT doc_id, source, copy_idx::INT AS copy_idx FROM e
+    """
+
     quartiles_sql = """
         WITH ranked AS (
           SELECT source, n_chars, doc_id,
@@ -1464,6 +1493,7 @@ def _extension_oracles() -> dict[str, str]:
         "chunk_documents": chunk_sql,
         "minhash_incremental": incremental_sql,
         "length_quartiles": quartiles_sql,
+        "oversample_sources": oversample_sql,
         "pipeline_quality_rules": pipeline_sql,
         "dedup_keep_best": keep_best_sql,
         "pii_scrub": pii_sql,
@@ -1822,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "minhash_incremental": q_minhash_incremental,
         "length_quartiles": q_length_quartiles,
+        "oversample_sources": q_oversample,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

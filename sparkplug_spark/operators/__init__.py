@@ -5,6 +5,7 @@ plumbing, rule-impact reporting."""
 from .cleaning import (
     chunk_documents,
     decontaminate,
+    oversample_by_key,
     gopher_quality_flags,
     pack_token_budget,
     sample_per_key,
@@ -48,6 +49,7 @@ from .textops import (
 __all__ = [
     "chunk_documents",
     "decontaminate",
+    "oversample_by_key",
     "gopher_quality_flags",
     "pack_token_budget",
     "sample_per_key",

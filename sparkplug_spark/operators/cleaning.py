@@ -36,6 +36,7 @@ __all__ = [
     "decontaminate",
     "sample_per_key",
     "stratified_sample",
+    "oversample_by_key",
     "pack_token_budget",
     "chunk_documents",
 ]
@@ -349,4 +350,51 @@ def sample_per_key(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= cap)
+    )
+
+
+def oversample_by_key(
+    df: DataFrame,
+    key_col: str,
+    repeats: dict[str, float],
+    default_repeat: float = 1.0,
+    id_col: str = "doc_id",
+    denom: int = 1 << 20,
+) -> DataFrame:
+    """Repeat rows per key by a FRACTIONAL epoch factor (training-mixture
+    upsampling: "2.5 epochs of wiki, 1 epoch of web"): every row gets
+    ``floor(r)`` copies plus one more iff its deterministic md5 coin
+    ``hash60(id) % denom < round(frac(r) * denom)`` — so a key's expected
+    multiplicity is exactly ``r`` and the SAME rows carry the extra copy
+    on every engine, run, and partitioning.
+
+    Output adds ``copy_idx`` (1..n_copies) so downstream shuffles/packing
+    treat copies as distinct rows.  Upsampling companion of
+    :func:`stratified_sample` (which down-weights); ``r < 1`` keys are
+    valid too (0 or 1 copies — equivalent to stratified sampling).  One
+    narrow projection + explode, no shuffle."""
+    for k, r in {**repeats, "default": default_repeat}.items():
+        if r < 0:
+            raise ValueError(f"repeat for {k!r} must be >= 0, got {r}")
+
+    def _parts(r: float) -> tuple[int, int]:
+        base = int(r)
+        return base, int(round((r - base) * denom))
+
+    db, dt = _parts(default_repeat)
+    base_c: Column = F.lit(db)
+    thresh_c: Column = F.lit(dt)
+    for k in sorted(repeats, reverse=True):
+        b, t = _parts(repeats[k])
+        cond = F.col(key_col) == k
+        base_c = F.when(cond, F.lit(b)).otherwise(base_c)
+        thresh_c = F.when(cond, F.lit(t)).otherwise(thresh_c)
+    coin = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(denom))
+    n_copies = base_c + (coin < thresh_c).cast("int")
+    return (
+        spread(df)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
     )

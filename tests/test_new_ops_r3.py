@@ -310,3 +310,39 @@ def test_stateless_ops_compose_with_streams(spark, tmp_path):
     got = {r.doc_id: r for r in spark.sql("select * from pipe_q").collect()}
     assert got[1].n_email == 1 and 0.0 <= got[1].model_score < 1.0
     assert spark.sql("select * from chunk_q").count() >= 3
+
+
+class TestOversampleByKey:
+    def test_expected_multiplicities(self, spark):
+        from sparkplug_spark.operators import oversample_by_key
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 100 else "b") for i in range(200)],
+            "doc_id long, source string",
+        )
+        out = oversample_by_key(df, "source", {"a": 2.0, "b": 0.0})
+        rows = out.groupBy("source").count().collect()
+        counts = {r.source: r["count"] for r in rows}
+        assert counts.get("a") == 200  # exactly 2 copies each
+        assert "b" not in counts       # dropped entirely
+
+    def test_fractional_deterministic_and_composable(self, spark):
+        from sparkplug_spark.operators import oversample_by_key
+
+        df = spark.createDataFrame(
+            [(i, "s") for i in range(1000)], "doc_id long, source string"
+        )
+        a = oversample_by_key(df, "source", {"s": 1.5}).collect()
+        b = oversample_by_key(df.repartition(7), "source", {"s": 1.5}).collect()
+        assert sorted((r.doc_id, r.copy_idx) for r in a) == sorted(
+            (r.doc_id, r.copy_idx) for r in b
+        )
+        n = len(a)
+        assert 1400 <= n <= 1600  # ~1.5x in expectation, deterministic rows
+
+    def test_negative_repeat_raises(self, spark):
+        from sparkplug_spark.operators import oversample_by_key
+
+        df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+        with pytest.raises(ValueError):
+            oversample_by_key(df, "source", {"s": -0.5})
