@@ -941,6 +941,42 @@ def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_quartiles_by_source(docs)
 
 
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style inter-document boilerplate removal: 8-token spans repeated
+    in >= 2 distinct documents are deleted, text rebuilt from the rest."""
+    from sparkplug_spark.operators import remove_boilerplate_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_boilerplate_spans(docs, span_tokens=8, min_docs=2)
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture construction: per-source char budgets, deterministic
+    md5-order greedy take."""
+    from sparkplug_spark.operators import sample_to_token_budget
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_to_token_budget(
+        docs,
+        {"src0": 4000, "src1": 2000},
+        key_col="source",
+        weight_col="n_chars",
+        default_budget=1000,
+    ).select("doc_id", "source", "n_chars", "w_before")
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: MinHash-LSH near-match of the corpus
+    against the eval subset (doc_id % 50 == 0) at est-Jaccard >= 0.25."""
+    from sparkplug_spark.operators import decontaminate_fuzzy
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_fuzzy(docs, eval_df, min_est_jaccard=0.25).select(
+        "doc_id", "n_fuzzy_matches", "max_est_jaccard", "fuzzy_contaminated"
+    )
+
+
 def q_delegated_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: each customer's highest-value order."""
     from pyspark.sql import Window
@@ -1467,6 +1503,102 @@ def _extension_oracles() -> dict[str, str]:
         SELECT doc_id, source, copy_idx::INT AS copy_idx FROM e
     """
 
+    # spans are non-overlapping 8-token windows; hash60 twin of the Spark
+    # side; HUGEINT-producing aggregates are cast to BIGINT per the driver
+    # canonicalization contract
+    boilerplate_sql = f"""
+        WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+        base AS (SELECT doc_id, t, (len(t) + 7) // 8 AS n_spans FROM tk),
+        expl AS (
+          SELECT doc_id, n_spans, t, unnest(generate_series(0, n_spans - 1)) AS i
+          FROM base
+        ),
+        sp AS (
+          SELECT doc_id, i AS span_idx,
+                 array_to_string(t[(i*8 + 1):(i*8 + 8)], ' ') AS span_text
+          FROM expl
+        ),
+        sh AS (
+          SELECT doc_id, span_idx, span_text,
+                 ('0x' || substr(md5(span_text),1,15))::BIGINT AS h
+          FROM sp
+        ),
+        freq AS (
+          SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c FROM sh GROUP BY h)
+          WHERE c >= 2
+        ),
+        kept AS (
+          SELECT doc_id,
+                 string_agg(span_text, ' ' ORDER BY span_idx) AS text_clean,
+                 count(*) AS n_kept
+          FROM sh WHERE h NOT IN (SELECT h FROM freq)
+          GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(k.text_clean, '') AS text_clean,
+               b.n_spans::BIGINT AS n_spans,
+               (b.n_spans - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+        FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+    """
+
+    # same md5 order + window frame as sample_to_token_budget; the windowed
+    # sum is HUGEINT in DuckDB -> explicit BIGINT
+    budget_sql = """
+        WITH w AS (
+          SELECT doc_id, source, n_chars,
+                 coalesce(sum(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS w_before
+          FROM documents
+        )
+        SELECT doc_id, source, n_chars, w_before FROM w
+        WHERE w_before < CASE source WHEN 'src0' THEN 4000
+                                     WHEN 'src1' THEN 2000
+                                     ELSE 1000 END
+    """
+
+    # twin of decontaminate_fuzzy: corpus signatures LSH-joined against the
+    # eval subset (doc_id % 50 == 0), est filtered on the ROUNDED value
+    fuzzy_sql = f"""
+        {jaccard_cte},
+        sig AS (
+          SELECT doc_id, {_sql_minhash_sig(32)} AS sig
+          FROM (SELECT doc_id, list_transform(sh, s -> {_sql_hash32('s')}) AS hs FROM d)
+        ),
+        bands AS (
+          SELECT doc_id, band,
+                 ('0x' || substr(md5(array_to_string(sig[band*4+1 : band*4+4], '-')),1,15))::BIGINT AS bucket
+          FROM sig, range(0, 8) t(band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_eval
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE b.doc_id % 50 = 0
+        ),
+        pairs AS (
+          SELECT id_new, id_eval,
+                 round(list_sum(list_transform(generate_series(1, 32),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE / 32.0,
+                       6) AS ej
+          FROM cand
+          JOIN sig sa ON sa.doc_id = id_new
+          JOIN sig sb ON sb.doc_id = id_eval
+        ),
+        hits AS (
+          SELECT id_new AS doc_id, count(*)::BIGINT AS n_fuzzy_matches,
+                 max(ej) AS max_est_jaccard
+          FROM pairs WHERE ej >= 0.25 GROUP BY id_new
+        )
+        SELECT d0.doc_id,
+               coalesce(h.n_fuzzy_matches, 0)::BIGINT AS n_fuzzy_matches,
+               h.max_est_jaccard,
+               coalesce(h.n_fuzzy_matches, 0) > 0 AS fuzzy_contaminated
+        FROM documents d0 LEFT JOIN hits h ON d0.doc_id = h.doc_id
+    """
+
     quartiles_sql = """
         WITH ranked AS (
           SELECT source, n_chars, doc_id,
@@ -1494,6 +1626,9 @@ def _extension_oracles() -> dict[str, str]:
         "minhash_incremental": incremental_sql,
         "length_quartiles": quartiles_sql,
         "oversample_sources": oversample_sql,
+        "boilerplate_spans": boilerplate_sql,
+        "token_budget_sample": budget_sql,
+        "decontaminate_fuzzy": fuzzy_sql,
         "pipeline_quality_rules": pipeline_sql,
         "dedup_keep_best": keep_best_sql,
         "pii_scrub": pii_sql,
@@ -1853,6 +1988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "length_quartiles": q_length_quartiles,
         "oversample_sources": q_oversample,
+        "boilerplate_spans": q_boilerplate_spans,
+        "token_budget_sample": q_token_budget_sample,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

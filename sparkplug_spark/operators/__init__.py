@@ -5,10 +5,13 @@ plumbing, rule-impact reporting."""
 from .cleaning import (
     chunk_documents,
     decontaminate,
+    decontaminate_fuzzy,
     oversample_by_key,
     gopher_quality_flags,
     pack_token_budget,
+    remove_boilerplate_spans,
     sample_per_key,
+    sample_to_token_budget,
     scrub_pii,
     stratified_sample,
 )
@@ -49,10 +52,13 @@ from .textops import (
 __all__ = [
     "chunk_documents",
     "decontaminate",
+    "decontaminate_fuzzy",
     "oversample_by_key",
     "gopher_quality_flags",
     "pack_token_budget",
+    "remove_boilerplate_spans",
     "sample_per_key",
+    "sample_to_token_budget",
     "scrub_pii",
     "stratified_sample",
     "content_digests",

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import materialize_release
 from ..functions.text import hash60, hashed_shingles_pd, tokens_pd, word_shingles_pd
 from ..partitioning import spread
 
@@ -34,11 +35,14 @@ __all__ = [
     "scrub_pii",
     "gopher_quality_flags",
     "decontaminate",
+    "decontaminate_fuzzy",
     "sample_per_key",
     "stratified_sample",
     "oversample_by_key",
     "pack_token_budget",
+    "sample_to_token_budget",
     "chunk_documents",
+    "remove_boilerplate_spans",
 ]
 
 #: (name, regex, replacement) — RE2/Java-compatible subset (no lookaround,
@@ -353,6 +357,50 @@ def sample_per_key(
     )
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    key_col: str = "source",
+    weight_col: str = "n_tokens",
+    default_budget: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select a per-key token-budgeted subset (mixture construction: "50 B
+    tokens of web, 5 B of code"): rows are taken in a DETERMINISTIC
+    md5-derived order until the key's budget is exhausted.  A row is kept
+    iff the cumulative weight of the rows BEFORE it (same order) is still
+    under the key's budget — so each key overshoots by at most one row and
+    yields at least one row when its budget is positive.
+
+    Complements :func:`stratified_sample` (fraction-based, needs no
+    weights) and :func:`pack_token_budget` (assigns shards, drops
+    nothing).  Reproducible across engines, runs, and partitionings; one
+    shuffle on the key.  Output adds ``w_before`` (BIGINT cumulative
+    weight preceding the row) for audit."""
+    for k, b in {**budgets, "default": default_budget}.items():
+        if b < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {b}")
+    order = hash60(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget_c: Column = F.lit(int(default_budget))
+    for k in sorted(budgets, reverse=True):
+        budget_c = F.when(F.col(key_col) == k, F.lit(int(budgets[k]))).otherwise(
+            budget_c
+        )
+    # no spread(): the window's shuffle on the key redistributes anyway
+    return (
+        df.withColumn(
+            "w_before",
+            F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("w_before") < budget_c)
+    )
+
+
 def oversample_by_key(
     df: DataFrame,
     key_col: str,
@@ -398,3 +446,159 @@ def oversample_by_key(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def remove_boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    release: bool = True,
+) -> DataFrame:
+    """Remove inter-document repeated spans (C4-style boilerplate
+    removal): split each document into non-overlapping ``span_tokens``-token
+    spans, and delete every span whose 60-bit hash occurs in at least
+    ``min_docs`` DISTINCT documents — headers, footers, license blurbs and
+    navigation chrome repeat across pages, body text doesn't.
+
+    Returns (id, text_clean, n_spans, n_removed) with ``text_clean`` the
+    surviving spans rejoined in order ('' when everything was
+    boilerplate).
+
+    Scale shape (100 TB): the tokenized span array is computed ONCE per
+    row (persisted, released on return); only 8-byte (hash, id, idx)
+    triples ever shuffle.  Distinct-doc counts use a two-level aggregation
+    (map-side partial on (hash, id)); the frequent-span set is by
+    construction the corpus's repeated content — orders of magnitude
+    smaller than the span stream — and AQE broadcasts the probe join when
+    it fits.  Per-doc removal lists come back as a tiny (id, idx-list)
+    table joined once against the persisted base."""
+    if span_tokens <= 0:
+        raise ValueError("span_tokens must be positive")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would remove everything)")
+    k = span_tokens
+    n_spans = F.expr(f"(size(__toks) + {k - 1}) div {k}").cast("long")
+    t = F.col("__toks")
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("__n_spans") - 1),
+        lambda i: F.struct(
+            i.alias("span_idx"),
+            F.array_join(F.slice(t, (i * k + 1).cast("int"), k), " ").alias(
+                "span_text"
+            ),
+        ),
+    )
+    base = (
+        spread(df)
+        .withColumn("__toks", tokens_pd(F.col(text_col)))
+        .withColumn("__n_spans", n_spans)
+        .withColumn("__spans", spans)
+        .select(id_col, "__n_spans", "__spans")
+        .persist()
+    )
+    sh = (
+        base.select(
+            F.col(id_col).alias("__id"), F.explode("__spans").alias("__s")
+        )
+        .select(
+            "__id",
+            F.col("__s.span_idx").alias("__idx"),
+            hash60(F.col("__s.span_text")).alias("__h"),
+        )
+        .persist()
+    )
+    freq = (
+        sh.select("__h", "__id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_docs)
+        .select("__h")
+    )
+    removed = (
+        sh.join(freq, "__h")
+        .groupBy("__id")
+        .agg(F.collect_set("__idx").alias("__removed"))
+        .withColumnRenamed("__id", id_col)
+    )
+    out = (
+        base.join(removed, id_col, "left")
+        .withColumn(
+            "__removed", F.coalesce("__removed", F.array().cast("array<bigint>"))
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        "__spans",
+                        lambda s: ~F.array_contains(
+                            F.col("__removed"), s["span_idx"]
+                        ),
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.col("__n_spans").alias("n_spans"),
+            F.size("__removed").cast("long").alias("n_removed"),
+        )
+    )
+    return materialize_release(out, base, sh, release=release)
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_est_jaccard: float = 0.25,
+    max_key_freq: int = 1000,
+    release: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents that are
+    near-duplicates of an eval-set document by MinHash estimate — catches
+    paraphrased/reformatted leakage that exact n-gram overlap
+    (:func:`decontaminate`) misses when the contamination is a lightly
+    edited copy rather than a verbatim quote.
+
+    Banded-LSH join of the corpus signatures against the eval signatures
+    (only same-bucket pairs shuffle, both sides signature-only — text
+    never leaves its scan), then per-doc aggregation.  Returns every
+    input row with ``n_fuzzy_matches``, ``max_est_jaccard``, and
+    ``fuzzy_contaminated`` (any eval match with signature-agreement
+    Jaccard >= ``min_est_jaccard``).  Deterministic md5-derived MinHash:
+    identical across engines, runs, and partitionings."""
+    from .dedup import minhash_lsh_join, minhash_signatures
+
+    doc_sigs = minhash_signatures(df, text_col, id_col, n, num_hashes).persist()
+    eval_sigs = minhash_signatures(
+        eval_df, eval_text_col or text_col, eval_id_col or id_col, n, num_hashes
+    ).persist()
+    pairs = minhash_lsh_join(
+        doc_sigs, eval_sigs, num_hashes, bands, min_est_jaccard, max_key_freq
+    )
+    hits = (
+        pairs.groupBy("id_new")
+        .agg(
+            F.count(F.lit(1)).alias("n_fuzzy_matches"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+        )
+        .withColumnRenamed("id_new", id_col)
+    )
+    out = (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_fuzzy_matches",
+            F.coalesce(F.col("n_fuzzy_matches"), F.lit(0)).cast("long"),
+        )
+        .withColumn("fuzzy_contaminated", F.col("n_fuzzy_matches") > 0)
+    )
+    return materialize_release(out, doc_sigs, eval_sigs, release=release)

@@ -1,0 +1,136 @@
+"""Corpus-mixing round additions: inter-document boilerplate span
+removal, per-key token-budget selection, fuzzy (MinHash) benchmark
+decontamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    decontaminate_fuzzy,
+    remove_boilerplate_spans,
+    sample_to_token_budget,
+)
+
+HEADER = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+class TestRemoveBoilerplateSpans:
+    def test_shared_header_removed_bodies_kept(self, spark):
+        body1 = "one two three four five six seven eight"
+        body2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+        unique = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16"
+        df = spark.createDataFrame(
+            [(1, f"{HEADER} {body1}"), (2, f"{HEADER} {body2}"), (3, unique)],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_spans(
+                df, span_tokens=8, min_docs=2
+            ).collect()
+        }
+        assert out[1].text_clean == body1
+        assert out[2].text_clean == body2
+        assert out[1].n_removed == 1 and out[1].n_spans == 2
+        assert out[3].text_clean == unique
+        assert out[3].n_removed == 0 and out[3].n_spans == 2
+
+    def test_all_boilerplate_doc_empties(self, spark):
+        df = spark.createDataFrame(
+            [(1, HEADER), (2, HEADER)], "doc_id long, text string"
+        )
+        out = remove_boilerplate_spans(df, span_tokens=8, min_docs=2).collect()
+        for r in out:
+            assert r.text_clean == ""
+            assert r.n_spans == 1 and r.n_removed == 1
+
+    def test_within_doc_repetition_not_boilerplate(self, spark):
+        # the same span twice in ONE doc is repetition, not boilerplate:
+        # distinct-doc count is 1, below min_docs=2
+        df = spark.createDataFrame(
+            [(1, f"{HEADER} {HEADER}"), (2, "totally different words here now")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in remove_boilerplate_spans(
+                df, span_tokens=8, min_docs=2
+            ).collect()
+        }
+        assert out[1].n_removed == 0
+        assert out[1].text_clean == f"{HEADER} {HEADER}"
+
+    def test_bad_args(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            remove_boilerplate_spans(df, span_tokens=0)
+        with pytest.raises(ValueError):
+            remove_boilerplate_spans(df, min_docs=1)
+
+
+class TestSampleToTokenBudget:
+    def _df(self, spark):
+        rows = [(i, "a" if i < 6 else "b", 10) for i in range(10)]
+        return spark.createDataFrame(rows, "doc_id long, source string, w int")
+
+    def test_budget_prefix_semantics(self, spark):
+        out = sample_to_token_budget(
+            self._df(spark), {"a": 25}, key_col="source", weight_col="w",
+            default_budget=0,
+        ).collect()
+        # each kept row started under budget; overshoot is at most one row
+        assert all(r.w_before < 25 for r in out)
+        assert {r.source for r in out} == {"a"}
+        assert len(out) == 3  # w_before 0, 10, 20 < 25; 30 is out
+
+    def test_positive_budget_keeps_at_least_one(self, spark):
+        out = sample_to_token_budget(
+            self._df(spark), {"a": 1, "b": 1}, key_col="source",
+            weight_col="w",
+        ).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r.source, []).append(r)
+        assert len(by_key["a"]) == 1 and len(by_key["b"]) == 1
+
+    def test_deterministic(self, spark):
+        a = sample_to_token_budget(
+            self._df(spark), {"a": 30, "b": 15}, key_col="source",
+            weight_col="w",
+        ).collect()
+        b = sample_to_token_budget(
+            self._df(spark), {"a": 30, "b": 15}, key_col="source",
+            weight_col="w",
+        ).collect()
+        assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+    def test_negative_budget_raises(self, spark):
+        with pytest.raises(ValueError):
+            sample_to_token_budget(
+                self._df(spark), {"a": -1}, key_col="source", weight_col="w"
+            )
+
+
+class TestDecontaminateFuzzy:
+    def test_near_copy_flagged_unrelated_not(self, spark):
+        leaked = (
+            "the quick brown fox jumps over the lazy dog near the old river bank"
+        )
+        rows = [
+            (0, leaked),  # in eval subset (doc_id % 2 == 0 below)
+            (1, leaked),  # training near-copy -> must flag
+            (3, "completely unrelated content about spark shuffles and joins"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        eval_df = df.filter(F.col("doc_id") % 2 == 0)
+        out = {
+            r.doc_id: r
+            for r in decontaminate_fuzzy(
+                df, eval_df, min_est_jaccard=0.5
+            ).collect()
+        }
+        assert len(out) == 3  # every input row comes back
+        assert out[1].fuzzy_contaminated and out[1].max_est_jaccard == 1.0
+        assert out[0].fuzzy_contaminated  # eval member matches itself
+        assert not out[3].fuzzy_contaminated
+        assert out[3].n_fuzzy_matches == 0 and out[3].max_est_jaccard is None
