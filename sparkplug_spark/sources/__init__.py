@@ -27,6 +27,7 @@ __all__ = [
     "read_corpus",
     "write_table",
     "write_bucketed",
+    "write_sharded",
     "overwrite_partitions",
 ]
 
@@ -152,3 +153,91 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def write_sharded(
+    df: "DataFrame",
+    path: str,
+    target_weight: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    num_groups: int = 64,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> "DataFrame":
+    """Write ``df`` as weight-targeted shards (dataloader-sized output
+    files) and return a MANIFEST DataFrame describing every file written.
+
+    Rows are packed into shards of ~``target_weight`` cumulative
+    ``weight_col`` (tokens, chars, bytes) by
+    :func:`~sparkplug_spark.operators.pack_token_budget` — deterministic
+    md5 order, so the same corpus shards identically on any run, cluster
+    size, or engine.  One directory per shard (``shard=<group>-<id>``),
+    exactly one data file per shard: the pre-write ``repartition`` on the
+    shard key means every shard's rows land in a single task.
+
+    Manifest columns: (shard, file, n_rows, total_weight, bytes).  Rows
+    and weights are aggregated distributively from a read-back of the
+    written files; byte sizes come from one recursive filesystem listing
+    (one row per OUTPUT FILE — bounded by corpus_weight/target_weight,
+    driver-safe by construction: ~200k entries for 100 TB at 512 MB
+    shards).
+
+    The training-serving hand-off: the manifest is what a dataloader
+    consumes (file list + sizes for deterministic epoch scheduling), and
+    re-running the pipeline reproduces both files and manifest
+    bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from ..operators.cleaning import pack_token_budget
+
+    packed = pack_token_budget(
+        df, budget=target_weight, weight_col=weight_col, id_col=id_col,
+        num_groups=num_groups,
+    ).withColumn(
+        "shard", F.format_string("%04d-%06d", "pack_group", "shard_id")
+    ).drop("pack_group", "shard_id")
+    (
+        packed.repartition("shard")
+        .write.format(fmt)
+        .mode(mode)
+        .partitionBy("shard")
+        .save(path)
+    )
+
+    spark = df.sparkSession
+    # one recursive listing for byte sizes (works on any Hadoop FS)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    # keyed by (shard, basename): basenames repeat across shard dirs
+    # (every partition dir gets a part-00000-<job-uuid> file)
+    sizes: dict[tuple[str, str], int] = {}
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if "/shard=" in name and not name.endswith("_SUCCESS"):
+            shard = name.split("/shard=", 1)[1].split("/", 1)[0]
+            sizes[(shard, name.rsplit("/", 1)[-1])] = int(st.getLen())
+
+    per_file = (
+        read_table(spark, path, fmt)
+        .withColumn(
+            "file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .groupBy("shard", "file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(weight_col).cast("long").alias("total_weight"),
+        )
+        .collect()
+    )
+    manifest = [
+        (r["shard"], r["file"], r["n_rows"], r["total_weight"],
+         sizes.get((r["shard"], r["file"]), 0))
+        for r in per_file
+    ]
+    return spark.createDataFrame(
+        manifest,
+        "shard string, file string, n_rows long, total_weight long, bytes long",
+    )
