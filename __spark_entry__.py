@@ -950,6 +950,15 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_spans(docs, span_tokens=8, min_docs=2)
 
 
+def q_dedup_spans_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal: drop later repeats of each
+    2-token span, keep first occurrence — zero-shuffle narrow op."""
+    from sparkplug_spark.operators import dedup_spans_within_doc
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_spans_within_doc(docs, span_tokens=2)
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture construction: per-source char budgets, deterministic
     md5-order greedy take."""
@@ -1541,6 +1550,38 @@ def _extension_oracles() -> dict[str, str]:
         FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
     """
 
+    # within-doc span dedup: first occurrence per (doc, span_text) kept
+    dedup_spans_sql = f"""
+        WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+        base AS (SELECT doc_id, t, (len(t) + 1) // 2 AS n_spans FROM tk),
+        expl AS (
+          SELECT doc_id, n_spans, t, unnest(generate_series(0, n_spans - 1)) AS i
+          FROM base
+        ),
+        sp AS (
+          SELECT doc_id, i AS span_idx,
+                 array_to_string(t[(i*2 + 1):(i*2 + 2)], ' ') AS span_text
+          FROM expl
+        ),
+        occ AS (
+          SELECT doc_id, span_idx, span_text,
+                 row_number() OVER (PARTITION BY doc_id, span_text
+                                    ORDER BY span_idx) AS k
+          FROM sp
+        ),
+        kept AS (
+          SELECT doc_id,
+                 string_agg(span_text, ' ' ORDER BY span_idx) AS text_clean,
+                 count(*) AS n_kept
+          FROM occ WHERE k = 1 GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               coalesce(kp.text_clean, '') AS text_clean,
+               b.n_spans::BIGINT AS n_spans,
+               (b.n_spans - coalesce(kp.n_kept, 0))::BIGINT AS n_removed
+        FROM base b LEFT JOIN kept kp ON b.doc_id = kp.doc_id
+    """
+
     # same md5 order + window frame as sample_to_token_budget; the windowed
     # sum is HUGEINT in DuckDB -> explicit BIGINT
     budget_sql = """
@@ -1627,6 +1668,7 @@ def _extension_oracles() -> dict[str, str]:
         "length_quartiles": quartiles_sql,
         "oversample_sources": oversample_sql,
         "boilerplate_spans": boilerplate_sql,
+        "dedup_spans_doc": dedup_spans_sql,
         "token_budget_sample": budget_sql,
         "decontaminate_fuzzy": fuzzy_sql,
         "pipeline_quality_rules": pipeline_sql,
@@ -1989,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quartiles": q_length_quartiles,
         "oversample_sources": q_oversample,
         "boilerplate_spans": q_boilerplate_spans,
+        "dedup_spans_doc": q_dedup_spans_doc,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         # rows-only (recall-gated) queries LAST: if the driver's check ever

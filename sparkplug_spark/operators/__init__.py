@@ -6,6 +6,7 @@ from .cleaning import (
     chunk_documents,
     decontaminate,
     decontaminate_fuzzy,
+    dedup_spans_within_doc,
     oversample_by_key,
     gopher_quality_flags,
     pack_token_budget,
@@ -53,6 +54,7 @@ __all__ = [
     "chunk_documents",
     "decontaminate",
     "decontaminate_fuzzy",
+    "dedup_spans_within_doc",
     "oversample_by_key",
     "gopher_quality_flags",
     "pack_token_budget",

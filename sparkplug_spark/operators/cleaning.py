@@ -43,6 +43,7 @@ __all__ = [
     "sample_to_token_budget",
     "chunk_documents",
     "remove_boilerplate_spans",
+    "dedup_spans_within_doc",
 ]
 
 #: (name, regex, replacement) — RE2/Java-compatible subset (no lookaround,
@@ -448,6 +449,71 @@ def oversample_by_key(
     )
 
 
+def _with_spans(df: DataFrame, text_col: str, span_tokens: int) -> DataFrame:
+    """Adds ``__toks``/``__n_spans``/``__spans`` (array of (span_idx,
+    span_text) structs over non-overlapping ``span_tokens``-token windows)
+    — one narrow projection, tokenized once via the Arrow kernel."""
+    k = span_tokens
+    n_spans = F.expr(f"(size(__toks) + {k - 1}) div {k}").cast("long")
+    t = F.col("__toks")
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("__n_spans") - 1),
+        lambda i: F.struct(
+            i.alias("span_idx"),
+            F.array_join(F.slice(t, (i * k + 1).cast("int"), k), " ").alias(
+                "span_text"
+            ),
+        ),
+    )
+    return (
+        spread(df)
+        .withColumn("__toks", tokens_pd(F.col(text_col)))
+        .withColumn("__n_spans", n_spans)
+        .withColumn("__spans", spans)
+    )
+
+
+def dedup_spans_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 2,
+) -> DataFrame:
+    """WITHIN-document repetition removal (the Rae et al. 2021 repetition
+    that :func:`gopher_quality_flags` only *measures*): split the text
+    into non-overlapping ``span_tokens``-token spans and keep only the
+    FIRST occurrence of each span text, dropping later repeats.
+
+    Returns (id, text_clean, n_spans, n_removed).  Completes the
+    repetition trio: within-doc (this), inter-doc boilerplate
+    (:func:`remove_boilerplate_spans`), near-duplicate docs
+    (:func:`decontaminate_fuzzy` / the dedup family).
+
+    Scale shape: a PURELY NARROW per-row transform — no shuffle, no
+    state, no join; first-occurrence testing is an ``array_position``
+    probe against the row's own materialized span-text array (spans per
+    doc is small by construction, so the per-row quadratic probe is
+    bounded)."""
+    if span_tokens <= 0:
+        raise ValueError("span_tokens must be positive")
+    base = _with_spans(df, text_col, span_tokens).withColumn(
+        "__texts", F.transform(F.col("__spans"), lambda s: s["span_text"])
+    )
+    kept = F.filter(
+        F.col("__spans"),
+        lambda s: F.array_position(F.col("__texts"), s["span_text"])
+        == s["span_idx"] + 1,
+    )
+    return base.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda s: s["span_text"]), " "
+        ).alias("text_clean"),
+        F.col("__n_spans").alias("n_spans"),
+        (F.col("__n_spans") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def remove_boilerplate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -478,23 +544,8 @@ def remove_boilerplate_spans(
         raise ValueError("span_tokens must be positive")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would remove everything)")
-    k = span_tokens
-    n_spans = F.expr(f"(size(__toks) + {k - 1}) div {k}").cast("long")
-    t = F.col("__toks")
-    spans = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.col("__n_spans") - 1),
-        lambda i: F.struct(
-            i.alias("span_idx"),
-            F.array_join(F.slice(t, (i * k + 1).cast("int"), k), " ").alias(
-                "span_text"
-            ),
-        ),
-    )
     base = (
-        spread(df)
-        .withColumn("__toks", tokens_pd(F.col(text_col)))
-        .withColumn("__n_spans", n_spans)
-        .withColumn("__spans", spans)
+        _with_spans(df, text_col, span_tokens)
         .select(id_col, "__n_spans", "__spans")
         .persist()
     )

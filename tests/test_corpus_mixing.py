@@ -175,3 +175,54 @@ class TestWriteSharded:
             weight_col="n_chars", num_groups=2,
         ).select("shard", "n_rows", "total_weight").collect()
         assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+
+
+class TestDedupSpansWithinDoc:
+    def test_repeats_dropped_first_kept(self, spark):
+        from sparkplug_spark.operators import dedup_spans_within_doc
+
+        # spans of 2: "a b" "c d" "a b" "e f" -> second "a b" dropped
+        df = spark.createDataFrame(
+            [(1, "a b c d a b e f"), (2, "x y z w")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_spans_within_doc(df, span_tokens=2).collect()
+        }
+        assert out[1].text_clean == "a b c d e f"
+        assert out[1].n_spans == 4 and out[1].n_removed == 1
+        assert out[2].text_clean == "x y z w"
+        assert out[2].n_removed == 0
+
+    def test_ragged_tail_span_distinct(self, spark):
+        from sparkplug_spark.operators import dedup_spans_within_doc
+
+        # tail span "a" (1 token) differs from "a b": both kept
+        df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+        out = dedup_spans_within_doc(df, span_tokens=2).collect()[0]
+        assert out.text_clean == "a b a"
+        assert out.n_spans == 2 and out.n_removed == 0
+
+    def test_zero_shuffle_plan(self, spark):
+        from sparkplug_spark.operators import dedup_spans_within_doc
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            dedup_spans_within_doc(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the only Exchange is spread()'s round-robin rebalance of the
+        # single-row-group testdata scan; the operator itself never
+        # shuffles on a key
+        import re
+
+        assert not re.search(r"Exchange hashpartitioning", plan)
+        assert not re.search(r"Exchange rangepartitioning", plan)
+
+    def test_bad_args(self, spark):
+        from sparkplug_spark.operators import dedup_spans_within_doc
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dedup_spans_within_doc(df, span_tokens=0)
