@@ -1,0 +1,133 @@
+"""Pre-training corpus pipeline — raw documents to dataloader shards.
+
+The standard cleaning recipe (C4 / Gopher / GPT-3 lineage) composed from
+this repo's operators, in the order a production pipeline runs them:
+
+  1. quality gate        gopher_quality_flags   (drop junk early: every
+                                                 later stage reads less)
+  2. PII scrub           scrub_pii
+  3. within-doc dedup    dedup_spans_within_doc (repetition removal)
+  4. boilerplate         remove_boilerplate_spans (inter-doc spans)
+  5. exact dedup         dedup_exact
+  6. near dedup          dedup_keep_best        (MinHash clusters -> best)
+  7. decontamination     decontaminate (exact) + decontaminate_fuzzy
+  8. mixture             sample_to_token_budget (per-source budgets)
+  9. upsampling          oversample_by_key      (fractional epochs)
+ 10. shards + manifest   write_sharded
+
+Every step is deterministic (md5-derived orders/coins), so the whole
+pipeline reproduces bit-identically on any run, cluster size, or engine.
+
+Run:  python examples/pretraining_pipeline.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from sparkplug_spark.operators import (
+    decontaminate,
+    decontaminate_fuzzy,
+    dedup_exact,
+    dedup_keep_best,
+    dedup_spans_within_doc,
+    gopher_quality_flags,
+    minhash_lsh_pairs,
+    oversample_by_key,
+    remove_boilerplate_spans,
+    sample_to_token_budget,
+    scrub_pii,
+)
+from sparkplug_spark.sources import write_sharded
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality gate — relaxed thresholds for the short synthetic docs
+    flagged = gopher_quality_flags(docs, min_tokens=10)
+    kept = flagged.filter(~F.col("flag_low_quality")).select(
+        "doc_id", "text", "lang", "source", "n_chars", "n_tokens"
+    )
+
+    # 2. PII scrub (placeholder tokens; counts kept for audit)
+    scrubbed = scrub_pii(kept).drop("text").withColumnRenamed("text_clean", "text")
+
+    # 3. within-doc repetition removal (zero-shuffle narrow pass)
+    span_clean = dedup_spans_within_doc(scrubbed, span_tokens=2).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    meta = scrubbed.select("doc_id", "lang", "source", "n_tokens")
+    docs2 = span_clean.join(meta, "doc_id")
+
+    # 4. inter-doc boilerplate spans
+    bp = remove_boilerplate_spans(docs2, span_tokens=8, min_docs=2).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    docs3 = bp.join(meta, "doc_id")
+
+    # 5+6. exact dedup then near-dup clusters -> keep best per cluster
+    exact = dedup_exact(docs3, text_col="text", id_col="doc_id")
+    pairs = minhash_lsh_pairs(exact, threshold=0.6)
+    best = dedup_keep_best(exact, pairs, quality=F.col("n_tokens"))
+
+    # 7. decontamination: exact n-gram overlap OR fuzzy near-match
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    exact_flags = decontaminate(best, eval_set, n=5).select(
+        "doc_id", "contaminated"
+    )
+    fuzzy_flags = decontaminate_fuzzy(best, eval_set, min_est_jaccard=0.5).select(
+        "doc_id", "fuzzy_contaminated"
+    )
+    clean = (
+        best.join(exact_flags, "doc_id")
+        .join(fuzzy_flags, "doc_id")
+        .filter(~F.col("contaminated") & ~F.col("fuzzy_contaminated"))
+        .drop("contaminated", "fuzzy_contaminated")
+    )
+
+    # 8. mixture: per-source token budgets (deterministic greedy take)
+    mixed = sample_to_token_budget(
+        clean, {"src0": 3000, "src1": 1500}, key_col="source",
+        weight_col="n_tokens", default_budget=800,
+    )
+
+    # 9. fractional-epoch upsampling of the scarcest source
+    epochs = oversample_by_key(mixed, "source", {"src1": 2.0})
+
+    # 10. weight-targeted shards + manifest
+    manifest = write_sharded(
+        epochs.withColumn(
+            # copies must shard as distinct rows -> composite id
+            "pack_id", F.concat_ws("#", "doc_id", "copy_idx")
+        ),
+        "/tmp/sparkplug_demo_shards",
+        target_weight=2000,
+        weight_col="n_tokens",
+        id_col="pack_id",
+        num_groups=4,
+    )
+
+    print(f"input docs:        {n0}")
+    print(f"after quality:     {kept.count()}")
+    print(f"after dedup:       {best.count()}")
+    print(f"after decontam:    {clean.count()}")
+    print(f"after mixture:     {mixed.count()}")
+    print(f"rows to pack:      {epochs.count()}")
+    manifest.orderBy("shard").show(20, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
