@@ -280,6 +280,7 @@ def test_stateless_ops_compose_with_streams(spark, tmp_path):
     readStream unchanged (no state store, no watermark)."""
     from sparkplug_spark.operators import (
         chunk_documents,
+        dedup_spans_within_doc,
         gopher_quality_flags,
         score_with_model,
         scrub_pii,
@@ -296,9 +297,10 @@ def test_stateless_ops_compose_with_streams(spark, tmp_path):
         gopher_quality_flags(scrub_pii(stream, out_col="text"))
     )
     chunks = chunk_documents(stream, chunk_tokens=3, overlap=1)
-    assert piped.isStreaming and chunks.isStreaming
+    spans = dedup_spans_within_doc(stream, span_tokens=2)
+    assert piped.isStreaming and chunks.isStreaming and spans.isStreaming
 
-    for name, df in [("pipe_q", piped), ("chunk_q", chunks)]:
+    for name, df in [("pipe_q", piped), ("chunk_q", chunks), ("span_q", spans)]:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -310,6 +312,8 @@ def test_stateless_ops_compose_with_streams(spark, tmp_path):
     got = {r.doc_id: r for r in spark.sql("select * from pipe_q").collect()}
     assert got[1].n_email == 1 and 0.0 <= got[1].model_score < 1.0
     assert spark.sql("select * from chunk_q").count() >= 3
+    spans_got = {r.doc_id: r for r in spark.sql("select * from span_q").collect()}
+    assert spans_got[1].n_removed == 0 and spans_got[2].text_clean == "tiny"
 
 
 class TestOversampleByKey:
