@@ -25,25 +25,40 @@ def asof_join(
     by: Sequence[str] = ("user_id",),
     right_cols: Sequence[str] = ("value",),
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the LAST right row with
-    ``right.on <= left.on`` within the same ``by`` group (backward as-of,
-    ties included — DuckDB ``ASOF LEFT JOIN ... ON l.on >= r.on``
-    semantics).  Right rows contribute ``{prefix}{on}`` plus
-    ``{prefix}{c}`` for each of ``right_cols``; left rows keep all columns.
+    """For each left row, attach one right row from the same ``by`` group:
 
-    Plan: tag sides, union, then one window pass per ``by`` group ordered
-    by (on, side) taking the running ``last(right_struct, ignorenulls)``.
-    At equal timestamps the right row sorts first, so it is visible to the
-    left row (>= semantics).  No join node at all: the only shuffle is the
-    window's hash partitioning on ``by`` — skew follows the key
-    distribution, same as any keyed window."""
+    - ``backward`` (default): the LAST right row with ``right.on <=
+      left.on`` (ties included — DuckDB ``ASOF LEFT JOIN ... ON l.on >=
+      r.on`` semantics).
+    - ``forward``: the FIRST right row with ``right.on >= left.on``.
+    - ``nearest``: whichever of the two is closer in time; exact-distance
+      ties resolve backward.  Requires ``on`` castable to double
+      (timestamp or numeric).
+
+    Right rows contribute ``{prefix}{on}`` plus ``{prefix}{c}`` for each
+    of ``right_cols``; left rows keep all columns.
+
+    Plan: tag sides, union, then window passes per ``by`` group ordered
+    by (on, side) taking the running ``last``/``first`` right struct with
+    ``ignorenulls``.  Side ordering at equal timestamps makes the tie
+    visible to the left row in the direction's frame.  No join node at
+    all: the only shuffle is the window's hash partitioning on ``by``
+    (``nearest`` adds a second sort, not a second shuffle) — skew follows
+    the key distribution, same as any keyed window."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward, forward or nearest")
     by = list(by)
     right_cols = list(right_cols)
     lcols = left.columns
 
+    # __tsn rides inside the struct so `nearest` can compare distances
+    # without re-joining the match back to the right side
     rv = F.struct(
-        F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols]
+        F.col(on).alias(on),
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(on).cast("double").alias("__tsn"),
     ).alias("__rv")
     r = right.select(
         *by,
@@ -59,16 +74,40 @@ def asof_join(
         F.lit(None).cast(r.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
-    w = (
+    # backward frame: right rows sort BEFORE left at equal ts (side asc)
+    # so `last` over the preceding frame sees the tie (>= semantics);
+    # forward frame mirrors it (side desc, `first` over the following frame)
+    wb = (
         Window.partitionBy(*by)
         .orderBy(F.asc("__ts"), F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        r.unionByName(l)
-        .withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.asc("__ts"), F.desc("__side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    u = r.unionByName(l)
+    if direction == "backward":
+        u = u.withColumn("__match", F.last("__rv", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        u = u.withColumn("__match", F.first("__rv", ignorenulls=True).over(wf))
+    else:
+        b = F.last("__rv", ignorenulls=True).over(wb)
+        f = F.first("__rv", ignorenulls=True).over(wf)
+        u = u.withColumn("__b", b).withColumn("__f", f)
+        ltsn = F.col("__ts").cast("double")
+        u = u.withColumn(
+            "__match",
+            F.when(F.col("__f").isNull(), F.col("__b"))
+            .when(F.col("__b").isNull(), F.col("__f"))
+            .when(
+                (ltsn - F.col("__b.__tsn")) <= (F.col("__f.__tsn") - ltsn),
+                F.col("__b"),
+            )
+            .otherwise(F.col("__f")),
+        )
+    matched = u.filter(F.col("__side") == 1)
     return matched.select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         F.col(f"__match.{on}").alias(f"{prefix}{on}"),

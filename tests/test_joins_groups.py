@@ -51,6 +51,54 @@ def test_asof_join_backward(spark):
     assert out[1]["asof_ts"] == ts("2024-01-01 09:30:00")
 
 
+def test_asof_join_forward_and_nearest(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts("2024-01-01 10:00:00")),  # fwd 11:00; nearest 09:30
+            (2, 100, ts("2024-01-01 12:00:00")),  # fwd none; nearest 11:00
+            (3, 200, ts("2024-01-01 09:00:00")),  # tie both dirs → itself
+            (4, 100, ts("2024-01-01 10:30:00")),  # equidistant → backward
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, ts("2024-01-01 09:30:00"), 5.0),
+            (100, ts("2024-01-01 11:30:00"), 7.0),
+            (200, ts("2024-01-01 09:00:00"), 9.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    fwd = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"], right_cols=["value"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[1]["asof_value"] == 7.0
+    assert fwd[2]["asof_value"] is None  # nothing at/after 12:00
+    assert fwd[3]["asof_value"] == 9.0  # equal timestamps match
+    near = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, on="ts", by=["user_id"], right_cols=["value"],
+            direction="nearest",
+        ).collect()
+    }
+    assert near[1]["asof_value"] == 5.0  # 30 min back vs 90 min fwd
+    assert near[2]["asof_value"] == 7.0  # only backward exists
+    assert near[3]["asof_value"] == 9.0
+    assert near[4]["asof_value"] == 5.0  # 60 min both ways → backward wins
+    assert near[4]["asof_ts"] == ts("2024-01-01 09:30:00")
+
+
+def test_asof_join_bad_direction(spark):
+    left = spark.createDataFrame([(1, 100, 1.0)], ["event_id", "user_id", "ts"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, direction="sideways")
+
+
 def test_asof_join_no_match_is_null(spark):
     left = spark.createDataFrame([(1, 100, ts("2024-01-01 08:00:00"))], ["event_id", "user_id", "ts"])
     right = spark.createDataFrame([(100, ts("2024-01-01 09:00:00"), 1.0)], ["user_id", "ts", "value"])
