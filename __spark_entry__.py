@@ -1013,6 +1013,35 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders: six invariant kinds
+    checked in ONE aggregation pass (not_null / unique / in_set /
+    in_range / regex / SQL predicate)."""
+    from sparkplug_spark.operators import Expectation, check_expectations
+
+    orders = _read(spark, sf_dir, "orders")
+    exps = [
+        Expectation("custkey_not_null", "not_null", column="o_custkey"),
+        Expectation("orderkey_unique", "unique", column="o_orderkey"),
+        Expectation(
+            "status_known", "in_set", column="o_orderstatus", values=("O", "F")
+        ),
+        Expectation(
+            "price_in_range", "in_range", column="o_totalprice",
+            lo=0.0, hi=200000.0,
+        ),
+        Expectation(
+            "priority_shape", "matches", column="o_orderpriority",
+            pattern="^[1-5]-[A-Z ]+$",
+        ),
+        Expectation(
+            "urgent_over_5k", "expr",
+            predicate="o_orderpriority <> '1-URGENT' OR o_totalprice > 5000",
+        ),
+    ]
+    return check_expectations(orders, exps)
+
+
 def q_delegated_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: each customer's highest-value order."""
     from pyspark.sql import Window
@@ -1949,6 +1978,35 @@ def _extension_oracles() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.tsu >= r.tsu
         """,
+        "expectations_report": """
+            WITH a AS (
+              SELECT count(*)::BIGINT AS n_rows,
+                coalesce(sum((o_custkey IS NULL)::BIGINT), 0)::BIGINT AS v0,
+                (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT AS v1,
+                coalesce(sum((o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('O','F'))::BIGINT), 0)::BIGINT AS v2,
+                coalesce(sum((o_totalprice IS NOT NULL
+                    AND (o_totalprice < 0.0 OR o_totalprice > 200000.0))::BIGINT), 0)::BIGINT AS v3,
+                coalesce(sum((o_orderpriority IS NOT NULL
+                    AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'))::BIGINT), 0)::BIGINT AS v4,
+                coalesce(sum((NOT coalesce(
+                    o_orderpriority <> '1-URGENT' OR o_totalprice > 5000,
+                    FALSE))::BIGINT), 0)::BIGINT AS v5
+              FROM orders
+            )
+            SELECT 'custkey_not_null' AS expectation, 'o_custkey' AS col_name,
+                   'not_null' AS kind, n_rows, v0 AS n_violations, v0 = 0 AS passed FROM a
+            UNION ALL SELECT 'orderkey_unique', 'o_orderkey', 'unique',
+                   n_rows, v1, v1 = 0 FROM a
+            UNION ALL SELECT 'status_known', 'o_orderstatus', 'in_set',
+                   n_rows, v2, v2 = 0 FROM a
+            UNION ALL SELECT 'price_in_range', 'o_totalprice', 'in_range',
+                   n_rows, v3, v3 = 0 FROM a
+            UNION ALL SELECT 'priority_shape', 'o_orderpriority', 'matches',
+                   n_rows, v4, v4 = 0 FROM a
+            UNION ALL SELECT 'urgent_over_5k', NULL, 'expr',
+                   n_rows, v5, v5 = 0 FROM a
+        """,
         "asof_join_nearest": """
             WITH ev AS (
               SELECT event_id, user_id, event_type, value,
@@ -2093,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,
+        "expectations_report": q_expectations_report,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

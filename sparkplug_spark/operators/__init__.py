@@ -30,6 +30,7 @@ from .dedup import (
     simhash_pairs,
 )
 from .events import funnel_counts, sessionize
+from .expectations import Expectation, check_expectations, flag_violations
 from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
@@ -85,6 +86,9 @@ __all__ = [
     "histogram",
     "sessionize",
     "funnel_counts",
+    "Expectation",
+    "check_expectations",
+    "flag_violations",
     "near_dup_groups",
     "connected_components_star",
     "dedup_keep_best",
