@@ -1042,6 +1042,42 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return check_expectations(orders, exps)
 
 
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: typed field pulled out of the JSON
+    ``props`` payload (JVM-side ``get_json_object``, zero shuffle), then
+    a per-type aggregate."""
+    from sparkplug_spark.operators import extract_json_fields
+
+    ev = read_events(spark, sf_dir)
+    ex = extract_json_fields(ev, "props", {"k": ("$.k", "bigint")})
+    return ex.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: added/removed/changed doc_ids between two derived
+    corpus versions (digest-reduced sides, one full-outer join)."""
+    from sparkplug_spark.operators import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 9).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text"])
+
+
 def q_delegated_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: each customer's highest-value order."""
     from pyspark.sql import Window
@@ -1978,6 +2014,39 @@ def _extension_oracles() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.tsu >= r.tsu
         """,
+        "events_props_extract": """
+            WITH e AS (
+              SELECT event_type,
+                     try_cast(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                              AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM e GROUP BY event_type
+        """,
+        "snapshot_diff": """
+            WITH oldv AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+            ),
+            newv AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+            WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                        ELSE 'unchanged' END) <> 'unchanged'
+        """,
         "expectations_report": """
             WITH a AS (
               SELECT count(*)::BIGINT AS n_rows,
@@ -2152,6 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,
         "expectations_report": q_expectations_report,
+        "events_props_extract": q_events_props_extract,
+        "snapshot_diff": q_snapshot_diff,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -31,6 +31,8 @@ from .dedup import (
 )
 from .events import funnel_counts, sessionize
 from .expectations import Expectation, check_expectations, flag_violations
+from .semistructured import extract_json_fields, flatten_json
+from .snapshot import snapshot_diff
 from .groups import connected_components_star, dedup_keep_best, near_dup_groups
 from .impact import rule_impact_report
 from .joins import asof_join, range_join, salted_join
@@ -89,6 +91,9 @@ __all__ = [
     "Expectation",
     "check_expectations",
     "flag_violations",
+    "extract_json_fields",
+    "flatten_json",
+    "snapshot_diff",
     "near_dup_groups",
     "connected_components_star",
     "dedup_keep_best",

@@ -1,0 +1,88 @@
+"""JSON extraction/flattening and snapshot diff."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    extract_json_fields,
+    flatten_json,
+    snapshot_diff,
+)
+
+
+@pytest.fixture()
+def jdf(spark):
+    return spark.createDataFrame(
+        [
+            (1, '{"k": 7, "meta": {"tag": "a"}, "score": 0.5}'),
+            (2, '{"k": "not-an-int", "meta": {}}'),
+            (3, "{broken"),
+            (4, None),
+        ],
+        ["id", "props"],
+    )
+
+
+def test_extract_json_fields(jdf):
+    out = {
+        r["id"]: r
+        for r in extract_json_fields(
+            jdf,
+            "props",
+            {
+                "k": ("$.k", "bigint"),
+                "tag": ("$.meta.tag", "string"),
+                "score": ("$.score", "double"),
+            },
+        ).collect()
+    }
+    assert out[1]["k"] == 7 and out[1]["tag"] == "a" and out[1]["score"] == 0.5
+    assert out[2]["k"] is None  # uncastable -> null
+    assert out[3]["k"] is None  # malformed -> null
+    assert out[4]["k"] is None
+    with pytest.raises(ValueError, match="non-empty"):
+        extract_json_fields(jdf, "props", {})
+
+
+def test_flatten_json(jdf):
+    out = {
+        r["id"]: r
+        for r in flatten_json(
+            jdf, "props", "k BIGINT, score DOUBLE", prefix="p_"
+        ).collect()
+    }
+    assert out[1]["p_k"] == 7 and out[1]["p_score"] == 0.5
+    assert out[3]["p_k"] is None
+    assert "props" not in flatten_json(jdf, "props", "k BIGINT").columns
+    kept = flatten_json(jdf, "props", "k BIGINT", drop=False)
+    assert "props" in kept.columns
+
+
+def test_snapshot_diff(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], ["id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, ""), (5, "e")], ["id", "text"]
+    )
+    out = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, ["id"], ["text"]).collect()
+    }
+    assert out == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    # null vs empty string is a change (4); unchanged row 2 excluded
+    full = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            old, new, ["id"], ["text"], include_unchanged=True
+        ).collect()
+    }
+    assert full[2] == "unchanged"
+    with pytest.raises(ValueError, match="non-empty"):
+        snapshot_diff(old, new, [], ["text"])
+
+
+def test_snapshot_diff_duplicate_keys_collapse(spark):
+    old = spark.createDataFrame([(1, "a"), (1, "a")], ["id", "text"])
+    new = spark.createDataFrame([(1, "a")], ["id", "text"])
+    assert snapshot_diff(old, new, ["id"], ["text"]).count() == 0
