@@ -496,6 +496,19 @@ def q_simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (rows-only check — codebook
+    training is sample dependent; gated by planted-NN recall and the
+    full-rerank==exact test)."""
+    from sparkplug_spark.operators import cosine_topk_pq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_pq(emb, queries_df, k=10, m=8, ks=16, rerank=50)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import text_stats
 
@@ -2230,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_similar_pairs_lsh": q_emb_similar_pairs_lsh,
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
+        "simsearch_topk_pq": q_simsearch_topk_pq,
     }
 
 

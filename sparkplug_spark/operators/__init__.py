@@ -43,6 +43,7 @@ from .similarity import (
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_pq,
     embedding_norms,
 )
 from .textops import (
@@ -101,6 +102,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "cosine_topk_pq",
     "embedding_norms",
     "language_id",
     "text_fingerprints",

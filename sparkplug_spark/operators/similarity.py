@@ -31,6 +31,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
+    "cosine_topk_pq",
     "blocked_cosine_pairs",
     "embedding_norms",
 ]
@@ -293,6 +294,162 @@ def cosine_topk_ivf(
         "query_id",
         "neighbor_id",
         _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    train_points_per_code: int = 64,
+    dim: int | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al., TPAMI 2011):
+    the memory-compression ANN tier.
+
+    The corpus is encoded once into ``m`` one-byte codes per vector
+    (``ks`` centroids per subspace, trained driver-side on a bounded
+    ``limit()`` sample of the NORMALIZED vectors).  Queries score the
+    code table by ADC — per-query lookup tables ``T[s][j] = <q_s,
+    c_{s,j}>`` so an approximate cosine is ``m`` table lookups instead of
+    a ``dim``-float dot — then only the top ``rerank`` candidates per
+    query are exactly re-ranked against their true vectors.
+
+    Why it matters at 100 TB: a dim-64 float32 corpus is 256 bytes/vector;
+    its PQ codes are ``m`` bytes (32× smaller at m=8).  The full-corpus
+    traversal reads ONLY the code column, and the wide vector column is
+    fetched for ``rerank`` rows per query.  Compose with
+    :func:`cosine_topk_ivf` lists when FLOPs (not bandwidth) dominate.
+    Same output schema as :func:`cosine_topk`; recall < 1 by design
+    (recall gate in tests)."""
+    if dim is None:
+        from ..functions.vectors import infer_dim
+
+        dim = infer_dim(corpus, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if not 2 <= ks <= 256:
+        raise ValueError("ks must be in [2, 256]")
+    dsub = dim // m
+
+    raw = corpus.select(F.col(vec_col).alias("cv"))
+    train = raw.limit(ks * train_points_per_code)
+    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("cosine_topk_pq: empty corpus (no training rows)")
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    X = X / nrm[:, None]
+    ks_eff = min(ks, len(X))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks_eff, dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        centers = Xs[rng.choice(len(Xs), ks_eff, replace=False)]
+        for _ in range(8):
+            d2 = ((Xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            lab = np.argmin(d2, axis=1)
+            for j in range(ks_eff):
+                pts = Xs[lab == j]
+                if len(pts):
+                    centers[j] = pts.mean(axis=0)
+        books[s] = centers
+    from ..functions.vectors import _mat
+
+    def _normalized(x: pd.Series) -> np.ndarray:
+        mat = _mat(x).astype(np.float64, copy=False)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        return mat / n[:, None]
+
+    @F.pandas_udf("array<int>")
+    def encode(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        mat = _normalized(x)
+        codes = np.empty((len(mat), m), dtype="int32")
+        for s in range(m):
+            Xs = mat[:, s * dsub : (s + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2<x,c> + ||c||^2; argmin drops ||x||^2
+            d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    # query side is small by the same contract as cosine_topk's broadcast:
+    # collect it once, ship the ADC tables inside the scoring kernel
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("cosine_topk_pq: empty query set")
+    qids = np.array([r["query_id"] for r in qrows])
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    # tables: (n_queries, m, ks_eff) dot contributions
+    T = np.stack(
+        [Qn[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+
+    @F.pandas_udf("array<double>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.stack(codes.to_numpy()).astype("int64")  # (rows, m)
+        # gather per-subspace contributions for every query at once
+        scores = np.zeros((len(C), len(qids)), dtype=np.float64)
+        for s in range(m):
+            scores += T[:, s, :][:, C[:, s]].T  # (rows, n_queries)
+        return pd.Series(list(scores))
+
+    coded = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), encode(F.col(vec_col)).alias("__codes")
+    )
+    approx = coded.select(
+        "neighbor_id", F.posexplode(adc_scores("__codes")).alias("__qi", "__approx")
+    )
+    wa = Window.partitionBy("__qi").orderBy(
+        F.desc("__approx"), F.asc("neighbor_id")
+    )
+    cand = (
+        approx.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= int(rerank))
+        .select("__qi", "neighbor_id")
+    )
+    qdf = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(int(i), r["query_id"], r["qv"]) for i, r in enumerate(qrows)],
+            f"__qi int, query_id {'long' if qids.dtype.kind == 'i' else 'string'}, qv array<float>",
+        ).select("__qi", "query_id", "qv", vec_norm(F.col("qv")).alias("qn"))
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        cand.join(qdf, "__qi")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -68,6 +68,35 @@ def test_simsearch_ivf_recall(spark, sf_dir):
     assert _rank1_recall(rows, n_plant, offset) >= 0.9
 
 
+def test_simsearch_pq_recall(spark, sf_dir):
+    from sparkplug_spark.operators import cosine_topk_pq
+
+    corpus, planted_df, n_plant, offset = _planted(spark, sf_dir)
+    q = planted_df.select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = cosine_topk_pq(corpus, q, k=10, m=8, ks=16, rerank=50).collect()
+    assert _rank1_recall(rows, n_plant, offset) >= 0.9
+
+
+def test_simsearch_pq_full_rerank_equals_exact(spark, sf_dir):
+    """With rerank >= corpus size every row is re-ranked exactly, so PQ
+    quantization error cannot change the result — must equal brute force
+    (the PQ analog of IVF's exhaustive-probe gate)."""
+    from sparkplug_spark.operators import cosine_topk, cosine_topk_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = corpus.count()
+    exact = {tuple(r) for r in cosine_topk(corpus, q, k=10).collect()}
+    pq = {
+        tuple(r)
+        for r in cosine_topk_pq(corpus, q, k=10, m=8, ks=16, rerank=n).collect()
+    }
+    assert pq == exact
+
+
 def test_emb_similar_pairs_lsh_recall(spark, sf_dir):
     from sparkplug_spark.operators import embedding_near_dup_pairs
 
