@@ -1091,6 +1091,30 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["doc_id"], ["text"])
 
 
+def q_trim_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 5–95% quantile trim of document lengths (exact
+    rank-based mode; the approx sketch mode is the ungrouped-at-scale
+    tier, pytest-verified)."""
+    from sparkplug_spark.operators import trim_by_quantile
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return trim_by_quantile(
+        docs, "n_chars", lo=0.05, hi=0.95, by=("source",), id_col="doc_id"
+    )
+
+
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture audit: actual vs target share per source in exact
+    ppm integers plus the resampling factor."""
+    from sparkplug_spark.operators import mixture_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_report(docs, _MIX_TARGETS, key="source", weight_col="n_chars")
+
+
 def q_delegated_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: each customer's highest-value order."""
     from pyspark.sql import Window
@@ -2027,6 +2051,47 @@ def _extension_oracles() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.tsu >= r.tsu
         """,
+        "trim_lengths": """
+            WITH nn AS (
+              SELECT doc_id, source, n_chars FROM documents
+              WHERE n_chars IS NOT NULL
+            ),
+            r AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM nn
+            )
+            SELECT doc_id, source, n_chars FROM r
+            WHERE rn > floor(0.05 * n) AND rn <= ceil(0.95 * n)
+        """,
+        "mixture_report": (
+            """
+            WITH a AS (
+              SELECT source, sum(n_chars)::BIGINT AS actual_weight
+              FROM documents GROUP BY source
+            ),
+            t AS (
+              SELECT a.*, sum(actual_weight) OVER () AS tot,
+                     ({tgt})::BIGINT AS target_ppm,
+                     floor(actual_weight * 1000000.0 / tot)::BIGINT AS actual_ppm
+              FROM a
+            )
+            SELECT source, actual_weight, actual_ppm, target_ppm,
+                   CASE WHEN actual_ppm > 0 THEN
+                     floor(target_ppm * 1000000.0 / actual_ppm)::BIGINT
+                   END AS factor_ppm
+            FROM t
+            """.format(
+                tgt="CASE source "
+                + " ".join(
+                    f"WHEN '{k}' THEN {int(round(v / sum(_MIX_TARGETS.values()) * 1_000_000))}"
+                    for k, v in _MIX_TARGETS.items()
+                )
+                + " ELSE 0 END"
+            )
+        ),
         "events_props_extract": """
             WITH e AS (
               SELECT event_type,
@@ -2236,6 +2301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_report": q_expectations_report,
         "events_props_extract": q_events_props_extract,
         "snapshot_diff": q_snapshot_diff,
+        "trim_lengths": q_trim_lengths,
+        "mixture_report": q_mixture_report,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -7,6 +7,7 @@ from .cleaning import (
     decontaminate,
     decontaminate_fuzzy,
     dedup_spans_within_doc,
+    mixture_report,
     oversample_by_key,
     gopher_quality_flags,
     pack_token_budget,
@@ -15,6 +16,7 @@ from .cleaning import (
     sample_to_token_budget,
     scrub_pii,
     stratified_sample,
+    trim_by_quantile,
 )
 from .dedup import (
     content_digests,
@@ -67,6 +69,8 @@ __all__ = [
     "sample_to_token_budget",
     "scrub_pii",
     "stratified_sample",
+    "trim_by_quantile",
+    "mixture_report",
     "content_digests",
     "dedup_exact",
     "dedup_exact_against",

@@ -44,6 +44,8 @@ __all__ = [
     "chunk_documents",
     "remove_boilerplate_spans",
     "dedup_spans_within_doc",
+    "trim_by_quantile",
+    "mixture_report",
 ]
 
 #: (name, regex, replacement) — RE2/Java-compatible subset (no lookaround,
@@ -653,3 +655,112 @@ def decontaminate_fuzzy(
         .withColumn("fuzzy_contaminated", F.col("n_fuzzy_matches") > 0)
     )
     return materialize_release(out, doc_sigs, eval_sigs, release=release)
+
+
+def trim_by_quantile(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    by: tuple[str, ...] = (),
+    id_col: str = "doc_id",
+    mode: str = "exact",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Drop rows outside the [lo, hi] quantile band of ``col`` (per
+    ``by`` group when given) — winsor-style outlier trimming for length/
+    quality distributions before mixing a corpus.  Null values are
+    dropped (they have no quantile; engines also disagree on null sort
+    order).
+
+    ``mode='exact'``: rank-based — keep rows with ``floor(lo*n) <
+    row_number <= ceil(hi*n)`` ordered by (col, id_col), so the kept set
+    is deterministic across engines and safe to oracle-check.  One window
+    shuffle on the group key; an UNGROUPED exact trim funnels the table
+    through a single sorted partition, so at 100 TB group it or use:
+
+    ``mode='approx'``: per-group ``percentile_approx`` cut values
+    (distributed sketch, no sort), broadcast back, narrow filter.  The
+    at-scale default for ungrouped tables; band edges are approximate
+    (ties at the cut value are all kept)."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError("need 0 <= lo < hi <= 1")
+    by = list(by)
+    base = df.filter(F.col(col).isNotNull())
+    if mode == "exact":
+        w = Window.partitionBy(*by).orderBy(F.asc(col), F.asc(id_col))
+        cw = Window.partitionBy(*by)
+        out = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(cw))
+            .filter(
+                (F.col("__rn") > F.floor(F.lit(float(lo)) * F.col("__n")))
+                & (F.col("__rn") <= F.ceil(F.lit(float(hi)) * F.col("__n")))
+            )
+        )
+        return out.drop("__rn", "__n")
+    if mode == "approx":
+        cuts = base.groupBy(*by).agg(
+            F.percentile_approx(col, float(lo), accuracy).alias("__lo"),
+            F.percentile_approx(col, float(hi), accuracy).alias("__hi"),
+        )
+        j = (
+            base.join(F.broadcast(cuts), by)
+            if by
+            else base.crossJoin(F.broadcast(cuts))
+        )
+        return j.filter(
+            (F.col(col) >= F.col("__lo")) & (F.col(col) <= F.col("__hi"))
+        ).drop("__lo", "__hi")
+    raise ValueError("mode must be 'exact' or 'approx'")
+
+
+def mixture_report(
+    df: DataFrame,
+    targets: dict[str, float],
+    key: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Corpus-mixture audit: per ``key``, the actual weight share vs the
+    declared target share, and the resampling factor that would close the
+    gap — the planning step in front of :func:`oversample_by_key` /
+    :func:`sample_to_token_budget`.
+
+    Output per key: ``actual_weight`` (BIGINT sum of ``weight_col``),
+    ``actual_ppm`` / ``target_ppm`` (shares in parts-per-million), and
+    ``factor_ppm`` (``target/actual`` in ppm; 1_000_000 = already on
+    target, null when the key has zero actual weight).  Shares are
+    floor'd ppm integers — identical in any IEEE engine — rather than
+    raw double divisions, which are canonicalization-fragile.  Keys
+    absent from ``targets`` get target 0; targets are normalized to sum
+    to 1.  One aggregation on the key plus a single-partition window over
+    the (tiny, one-row-per-key) aggregate."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    total_t = float(sum(targets.values()))
+    if total_t <= 0:
+        raise ValueError("targets must sum to a positive weight")
+    target_ppm = {k: int(round(v / total_t * 1_000_000)) for k, v in targets.items()}
+    tmap = F.create_map(
+        *[F.lit(x) for kv in target_ppm.items() for x in kv]
+    )
+    agg = df.groupBy(key).agg(
+        F.sum(weight_col).cast("long").alias("actual_weight")
+    )
+    out = agg.withColumn(
+        "__tot", F.sum("actual_weight").over(Window.partitionBy())
+    )
+    actual_ppm = F.floor(
+        F.col("actual_weight") * F.lit(1000000.0) / F.col("__tot")
+    ).cast("long")
+    tgt = F.coalesce(tmap[F.col(key)], F.lit(0)).cast("long")
+    return out.select(
+        F.col(key),
+        "actual_weight",
+        actual_ppm.alias("actual_ppm"),
+        tgt.alias("target_ppm"),
+        F.when(
+            actual_ppm > 0,
+            F.floor(tgt * F.lit(1000000.0) / actual_ppm).cast("long"),
+        ).alias("factor_ppm"),
+    )

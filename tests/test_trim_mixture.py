@@ -1,0 +1,75 @@
+"""Quantile trimming and corpus-mixture reporting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import mixture_report, trim_by_quantile
+
+
+@pytest.fixture()
+def lengths(spark):
+    # group "a": values 1..100; group "b": 1..10 plus a null
+    rows = [(i, "a", float(i)) for i in range(1, 101)]
+    rows += [(100 + i, "b", float(i)) for i in range(1, 11)]
+    rows += [(999, "b", None)]
+    return spark.createDataFrame(rows, "doc_id long, source string, v double")
+
+
+def test_trim_exact_grouped(lengths):
+    out = trim_by_quantile(
+        lengths, "v", lo=0.05, hi=0.95, by=("source",), id_col="doc_id"
+    )
+    a = sorted(r["v"] for r in out.filter("source = 'a'").collect())
+    # n=100: keep rn in (5, 95] -> values 6..95
+    assert a[0] == 6.0 and a[-1] == 95.0 and len(a) == 90
+    b = sorted(r["v"] for r in out.filter("source = 'b'").collect())
+    # n=10 (null dropped): keep rn in (0, ceil(9.5)=10] -> all 10
+    assert len(b) == 10
+    assert out.filter("v is null").count() == 0
+
+
+def test_trim_exact_ungrouped(lengths):
+    out = trim_by_quantile(lengths, "v", lo=0.0, hi=0.5, id_col="doc_id")
+    # 110 non-null rows, keep rn <= 55
+    assert out.count() == 55
+
+
+def test_trim_approx_within_band(lengths):
+    out = trim_by_quantile(
+        lengths, "v", lo=0.05, hi=0.95, by=("source",), mode="approx"
+    )
+    a = sorted(r["v"] for r in out.filter("source = 'a'").collect())
+    # sketch cuts are near the exact ones; band must cover the bulk
+    assert 80 <= len(a) <= 100 and a[0] >= 1.0 and a[-1] <= 100.0
+    assert out.filter("v is null").count() == 0
+
+
+def test_trim_validation(lengths):
+    with pytest.raises(ValueError, match="lo < hi"):
+        trim_by_quantile(lengths, "v", lo=0.9, hi=0.1)
+    with pytest.raises(ValueError, match="mode"):
+        trim_by_quantile(lengths, "v", mode="sorta")
+
+
+def test_mixture_report(spark):
+    df = spark.createDataFrame(
+        [(1, "web", 600), (2, "web", 150), (3, "wiki", 200), (4, "code", 50)],
+        "doc_id long, source string, n_tokens long",
+    )
+    rep = {
+        r["source"]: r
+        for r in mixture_report(
+            df, {"web": 0.5, "wiki": 0.5}, key="source", weight_col="n_tokens"
+        ).collect()
+    }
+    assert rep["web"]["actual_weight"] == 750
+    assert rep["web"]["actual_ppm"] == 750000
+    assert rep["web"]["target_ppm"] == 500000
+    # factor = 0.5 / 0.75
+    assert rep["web"]["factor_ppm"] == 666666
+    assert rep["wiki"]["factor_ppm"] == 2500000
+    assert rep["code"]["target_ppm"] == 0 and rep["code"]["factor_ppm"] == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_report(df, {})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_report(df, {"web": 0.0})
