@@ -82,6 +82,39 @@ def test_snapshot_diff(spark):
         snapshot_diff(old, new, [], ["text"])
 
 
+def test_stateless_new_ops_compose_with_streams(spark, tmp_path):
+    """extract_json_fields, flatten_json, and flag_violations are narrow
+    per-row transforms — they must apply to a readStream unchanged."""
+    from sparkplug_spark.operators import Expectation, flag_violations
+
+    src = str(tmp_path / "json_stream_src")
+    spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "{broken"), (3, None)],
+        "id long, props string",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("id long, props string").parquet(src)
+
+    ex = extract_json_fields(stream, "props", {"k": ("$.k", "bigint")})
+    flagged = flag_violations(
+        ex, [Expectation("k_present", "not_null", column="k")]
+    )
+    flat = flatten_json(stream, "props", "k BIGINT", prefix="j_")
+    assert flagged.isStreaming and flat.isStreaming
+
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("json_flag_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r for r in spark.sql("select * from json_flag_q").collect()}
+    assert got[1]["k"] == 5 and got[1]["failed_expectations"] == []
+    assert got[2]["failed_expectations"] == ["k_present"]
+    assert got[3]["failed_expectations"] == ["k_present"]
+
+
 def test_snapshot_diff_duplicate_keys_collapse(spark):
     old = spark.createDataFrame([(1, "a"), (1, "a")], ["id", "text"])
     new = spark.createDataFrame([(1, "a")], ["id", "text"])

@@ -1,0 +1,49 @@
+"""write_sorted: file-level min/max slices must be narrow and
+non-overlapping so parquet footer stats prune selective scans."""
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from sparkplug_spark.sources import write_sorted
+
+
+def _file_ranges(path, col):
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    return sorted(ranges)
+
+
+def test_write_sorted_slices_do_not_overlap(spark, tmp_path, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "sorted_docs")
+    write_sorted(docs, out, ["doc_id"], num_files=4)
+
+    ranges = _file_ranges(out, "doc_id")
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # consecutive slices don't interleave
+    # a point-range filter overlaps exactly one file's slice
+    probe_lo, probe_hi = ranges[0][0], ranges[0][1]
+    overlapping = [r for r in ranges if r[0] <= probe_hi and r[1] >= probe_lo]
+    assert len(overlapping) == 1
+
+    # the filtered read returns the right rows and pushes the predicate
+    got = spark.read.parquet(out).filter(f"doc_id <= {probe_hi}")
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThanOrEqual(doc_id" in plan
+    assert got.count() == docs.filter(f"doc_id <= {probe_hi}").count()
+
+
+def test_write_sorted_validates(spark, tmp_path):
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="non-empty"):
+        write_sorted(df, str(tmp_path / "x"), [])
