@@ -1115,6 +1115,23 @@ def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_report(docs, _MIX_TARGETS, key="source", weight_col="n_chars")
 
 
+def q_plug_change_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: rules engine + snapshot_diff — which part rows did
+    this rule set actually change (the pre-deploy audit for a rule
+    rollout, digest-level, no column enumeration downstream)."""
+    from sparkplug_spark.operators import snapshot_diff
+
+    part = _read(spark, sf_dir, "part")
+    cols = ["p_partkey", "p_name", "p_type", "p_retailprice"]
+    plugged = SparkPlug.builder(spark).create().plug(part, PART_RULES)
+    return snapshot_diff(
+        part.select(*cols),
+        plugged.select(*cols),
+        keys=["p_partkey"],
+        compare_cols=["p_name", "p_type", "p_retailprice"],
+    )
+
+
 def q_delegated_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: each customer's highest-value order."""
     from pyspark.sql import Window
@@ -2051,6 +2068,23 @@ def _extension_oracles() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.tsu >= r.tsu
         """,
+        "plug_change_diff": """
+            WITH plugged AS (
+              SELECT p_partkey,
+                     CASE WHEN p_size >= 40 THEN 'XL ' || p_name
+                          ELSE p_name END AS p_name,
+                     CASE WHEN p_type LIKE '%BRASS%' THEN 'STANDARD BRASS'
+                          ELSE p_type END AS p_type,
+                     CASE WHEN p_brand = 'Brand#23' AND p_retailprice < 1000
+                          THEN 999.99 ELSE p_retailprice END AS p_retailprice
+              FROM part
+            )
+            SELECT o.p_partkey, 'changed' AS status
+            FROM part o JOIN plugged n ON o.p_partkey = n.p_partkey
+            WHERE o.p_name IS DISTINCT FROM n.p_name
+               OR o.p_type IS DISTINCT FROM n.p_type
+               OR o.p_retailprice IS DISTINCT FROM n.p_retailprice
+        """,
         "trim_lengths": """
             WITH nn AS (
               SELECT doc_id, source, n_chars FROM documents
@@ -2303,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "trim_lengths": q_trim_lengths,
         "mixture_report": q_mixture_report,
+        "plug_change_diff": q_plug_change_diff,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

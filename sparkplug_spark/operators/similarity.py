@@ -32,6 +32,8 @@ __all__ = [
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_pq",
+    "build_ivf_index",
+    "search_ivf_index",
     "blocked_cosine_pairs",
     "embedding_norms",
 ]
@@ -190,6 +192,27 @@ def cosine_topk_lsh(
     )
 
 
+def _spherical_lloyd(X: np.ndarray, k: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Driver-side spherical k-means (FAISS-style coarse quantizer
+    training) on an already-bounded sample: rows L2-normalized, centers
+    re-normalized each round.  Deterministic for a given (sample, seed)."""
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    X = X / nrm[:, None]
+    rng = np.random.RandomState(seed)
+    centers = X[rng.choice(len(X), k, replace=False)]
+    for _ in range(iters):
+        lab = np.argmax(X @ centers.T, axis=1)
+        for j in range(k):
+            pts = X[lab == j]
+            if len(pts):
+                centers[j] = pts.mean(axis=0)
+        cnorm = np.linalg.norm(centers, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        centers = centers / cnorm[:, None]
+    return centers
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,23 +263,9 @@ def cosine_topk_ivf(
     if len(X) == 0:
         raise ValueError("cosine_topk_ivf: empty corpus (no training rows)")
     # clamp k from the (bounded) training set, not a full-corpus count
-    n_train = len(X)
-    num_centroids = max(1, min(num_centroids, n_train))
+    num_centroids = max(1, min(num_centroids, len(X)))
     n_probe = max(1, min(n_probe, num_centroids))
-    nrm = np.linalg.norm(X, axis=1)
-    nrm[nrm == 0] = 1.0
-    X = X / nrm[:, None]
-    rng = np.random.RandomState(seed)
-    centers = X[rng.choice(n_train, num_centroids, replace=False)]
-    for _ in range(8):
-        lab = np.argmax(X @ centers.T, axis=1)
-        for j in range(num_centroids):
-            pts = X[lab == j]
-            if len(pts):
-                centers[j] = pts.mean(axis=0)
-        cnorm = np.linalg.norm(centers, axis=1)
-        cnorm[cnorm == 0] = 1.0
-        centers = centers / cnorm[:, None]
+    centers = _spherical_lloyd(X, num_centroids, seed)
     C = centers.T  # (dim, num_centroids), unit columns
 
     def _centroid_scores(x: pd.Series) -> np.ndarray:
@@ -450,6 +459,130 @@ def cosine_topk_pq(
             "neighbor_id",
             _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_points_per_centroid: int = 128,
+) -> None:
+    """Persist an IVF index: ``{path}/centroids`` (tiny parquet of unit
+    centers) + ``{path}/lists`` (the corpus partitioned BY centroid
+    directory).  Train once, search many times —
+    :func:`search_ivf_index` reads only the probed centroid directories
+    (Hive partition pruning), so each search touches
+    ``n_probe/num_centroids`` of the stored bytes without any runtime
+    assignment pass.  The 100 TB serving shape: index build is one
+    bounded-sample train + one narrow assign + one partitioned write."""
+    from ..functions.vectors import _mat
+
+    spark = corpus.sparkSession
+    train = corpus.select(F.col(vec_col).alias("cv")).limit(
+        max(num_centroids, 1) * train_points_per_centroid
+    )
+    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("build_ivf_index: empty corpus")
+    num_centroids = max(1, min(num_centroids, len(X)))
+    centers = _spherical_lloyd(X, num_centroids, seed)
+    C = centers.T
+
+    spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(num_centroids)],
+        "centroid int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    @F.pandas_udf("int")
+    def assign(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        mat = _mat(x).astype(np.float64, copy=False)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((mat / n[:, None]) @ C, axis=1).astype("int32"))
+
+    (
+        spread(corpus)
+        .select(id_col, vec_col, assign(F.col(vec_col)).alias("centroid"))
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine search against a stored :func:`build_ivf_index`.
+
+    Centroids load driver-side (num_centroids × dim doubles); each query
+    picks its ``n_probe`` nearest lists; the list scan filters on the
+    PARTITION column, so only the probed ``centroid=`` directories are
+    read.  Exact re-rank within the probed lists; same output schema as
+    :func:`cosine_topk`."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    centers = np.zeros((len(crows), len(crows[0]["center"])))
+    for r in crows:
+        centers[r["centroid"]] = r["center"]
+    n_probe = max(1, min(n_probe, len(crows)))
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("search_ivf_index: empty query set")
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    sims = (Q / qn[:, None]) @ centers.T
+    probes = np.argsort(-sims, axis=1)[:, :n_probe]
+    probe_pairs = [
+        (r["query_id"], r["qv"], int(c))
+        for r, row in zip(qrows, probes)
+        for c in row
+    ]
+    probed_set = sorted({c for _, _, c in probe_pairs})
+
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            probe_pairs, "query_id long, qv array<float>, centroid int"
+        ).select(
+            "query_id", "centroid", "qv", vec_norm(F.col("qv")).alias("qn")
+        )
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid").isin(probed_set)  # partition pruning
+    )
+    scored = qdf.join(
+        lists.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("cn"),
+            "centroid",
+        ),
+        "centroid",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

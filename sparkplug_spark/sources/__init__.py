@@ -29,6 +29,8 @@ __all__ = [
     "write_bucketed",
     "write_sharded",
     "write_sorted",
+    "write_zordered",
+    "zorder_value",
     "overwrite_partitions",
 ]
 
@@ -184,6 +186,69 @@ def write_sorted(
     (
         df.repartitionByRange(n, *sort_cols)
         .sortWithinPartitions(*sort_cols)
+        .write.format(fmt)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def zorder_value(df: "DataFrame", cols: list[str], bits: int = 16):
+    """Column expression: Z-order (Morton) key over numeric columns.
+
+    Each column is scaled to a ``bits``-bit bucket id using its observed
+    min/max (ONE small agg job, driver-side constants), then the bucket
+    bits are interleaved.  Sorting by the result gives files whose
+    min/max footer stats are narrow in EVERY interleaved dimension at
+    once — the multi-column data-skipping layout a single-column sort
+    can't provide.  All-integer arithmetic (exact, engine-reproducible).
+    Returns ``(column, zcol_name)``; 2 cols × 16 bits = 32-bit keys."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(cols) * bits <= 62:
+        raise ValueError("need 1 <= len(cols) * bits <= 62")
+    bounds = df.agg(
+        *[F.min(c).cast("long").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("long").alias(f"max_{c}") for c in cols],
+    ).collect()[0]
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo = bounds[f"min_{c}"]
+        span = max((bounds[f"max_{c}"] or 0) - (lo or 0) + 1, 1)
+        bucket = ((F.col(c).cast("long") - F.lit(lo)) * n_buckets) / F.lit(span)
+        bucket = F.floor(bucket).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + ci,
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: "DataFrame",
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """:func:`write_sorted` on a :func:`zorder_value` key: one layout
+    rewrite that lets selective filters on ANY of ``cols`` prune files
+    from parquet footer stats.  Use when queries filter on several
+    independent columns; prefer plain :func:`write_sorted` when one
+    column dominates (Z-order dilutes per-column locality ~√ per added
+    dimension)."""
+    z = zorder_value(df, cols, bits)
+    tmp = df.withColumn("__z", z)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        tmp.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.format(fmt)
         .mode(mode)
         .save(path)

@@ -43,6 +43,49 @@ def test_write_sorted_slices_do_not_overlap(spark, tmp_path, sf_dir):
     assert got.count() == docs.filter(f"doc_id <= {probe_hi}").count()
 
 
+def test_write_zordered_prunes_both_dims(spark, tmp_path, sf_dir):
+    from sparkplug_spark.sources import write_zordered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    out = str(tmp_path / "zorders")
+    write_zordered(orders, out, ["o_custkey", "o_orderkey"], bits=8, num_files=16)
+
+    assert spark.read.parquet(out).count() == orders.count()
+    for col, domain_hi in [("o_custkey", 149), ("o_orderkey", 1499)]:
+        ranges = _file_ranges(out, col)
+        assert len(ranges) >= 8
+        # a probe over the lowest 1/8 of the domain must overlap only a
+        # minority of files — the point of interleaving: BOTH columns
+        # keep file-level locality, which a single-column sort can't do
+        probe_hi = domain_hi // 8
+        overlapping = [r for r in ranges if r[0] <= probe_hi]
+        assert len(overlapping) <= len(ranges) // 2, (col, ranges)
+
+
+def test_zorder_value_math(spark):
+    from sparkplug_spark.sources import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3)], ["a", "b"]
+    )
+    z = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", zorder_value(df, ["a", "b"], bits=2)).collect()
+    }
+    # 2-bit buckets over domain [0,3]: value == bucket; interleave a into
+    # even bit positions, b into odd
+    assert z[(0, 0)] == 0
+    assert z[(3, 0)] == 0b0101
+    assert z[(0, 3)] == 0b1010
+    assert z[(3, 3)] == 0b1111
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bits"):
+        zorder_value(df, ["a", "b"], bits=40)
+
+
 def test_write_sorted_validates(spark, tmp_path):
     df = spark.range(10)
     with pytest.raises(ValueError, match="non-empty"):
