@@ -1115,6 +1115,41 @@ def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_report(docs, _MIX_TARGETS, key="source", weight_col="n_chars")
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-vs-interval overlap join: purchase windows × error
+    windows for the same user (bucketed equi-join, first-shared-bucket
+    dedup, exact half-open filter)."""
+    from sparkplug_spark.operators import interval_overlap_join
+
+    ev = read_events(spark, sf_dir)
+    half_hour = F.expr("interval 30 minutes")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("pstart"),
+        (F.col("ts") + half_hour).alias("pend"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        "user_id",
+        F.col("ts").alias("estart"),
+        (F.col("ts") + half_hour).alias("eend"),
+    )
+    out = interval_overlap_join(
+        p, e, "pstart", "pend", "estart", "eend", by=["user_id"]
+    )
+    return out.select("p_id", "e_id")
+
+
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over the event log (epoch-period
+    integers — calendar-free, engine-identical)."""
+    from sparkplug_spark.operators import retention_cohorts
+
+    ev = read_events(spark, sf_dir)
+    return retention_cohorts(ev, period_seconds=7 * 86400)
+
+
 def q_plug_change_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: rules engine + snapshot_diff — which part rows did
     this rule set actually change (the pre-deploy audit for a rule
@@ -2068,6 +2103,33 @@ def _extension_oracles() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.tsu >= r.tsu
         """,
+        "interval_overlap": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     epoch_ns(ts) // 1000 AS tsu
+              FROM events
+            )
+            SELECT p.event_id AS p_id, e.event_id AS e_id
+            FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM ev WHERE event_type = 'error') e
+              ON p.user_id = e.user_id
+             AND p.tsu < e.tsu + 1800000000
+             AND e.tsu < p.tsu + 1800000000
+        """,
+        "retention_weekly": """
+            WITH e AS (
+              SELECT user_id,
+                     ((epoch_ns(ts) // 1000) // 1000000) // 604800 AS p
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, min(p) AS cohort_period FROM e GROUP BY user_id
+            )
+            SELECT f.cohort_period, (e.p - f.cohort_period)::BIGINT AS period_offset,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM e JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
         "plug_change_diff": """
             WITH plugged AS (
               SELECT p_partkey,
@@ -2338,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_lengths": q_trim_lengths,
         "mixture_report": q_mixture_report,
         "plug_change_diff": q_plug_change_diff,
+        "interval_overlap": q_interval_overlap,
+        "retention_weekly": q_retention_weekly,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

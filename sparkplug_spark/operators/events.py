@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..caching import materialize_release
 from ..partitioning import spread
 
-__all__ = ["sessionize", "funnel_counts"]
+__all__ = ["sessionize", "funnel_counts", "retention_cohorts"]
 
 
 def sessionize(
@@ -119,3 +119,41 @@ def funnel_counts(
         out = out.unionAll(_branch(frontier, step, i))
     # K result rows vs a persisted full-log projection
     return materialize_release(out, base, release=release)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by the period of their
+    FIRST event, counted in every later period they return.
+
+    Output: (cohort_period, period_offset, n_users) where
+    ``cohort_period`` is the epoch-period index (``epoch_seconds //
+    period_seconds`` — integer arithmetic, identical in any engine, no
+    calendar-week ambiguity) and ``period_offset`` 0 is the cohort's own
+    period.  ``max_offset`` truncates the triangle.
+
+    Plan: per-user min period (one agg on the user key), broadcast-less
+    re-join by the same key (AQE picks the strategy), then one distinct
+    count per (cohort, offset) cell — shuffles carry only
+    (user, period-int) pairs."""
+    period = F.floor(F.col(time_col).cast("long") / F.lit(period_seconds)).cast(
+        "long"
+    )
+    ev = df.select(F.col(user_col).alias("u"), period.alias("p"))
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    joined = ev.join(first, "u").select(
+        "u",
+        "cohort_period",
+        (F.col("p") - F.col("cohort_period")).alias("period_offset"),
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("period_offset") <= max_offset)
+    return (
+        joined.groupBy("cohort_period", "period_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+    )

@@ -15,7 +15,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "salted_join"]
+__all__ = ["asof_join", "range_join", "interval_overlap_join", "salted_join"]
 
 
 def asof_join(
@@ -149,6 +149,60 @@ def range_join(
     cond = [lb["__bucket"] == rb["__bucket"]] + [lb[c] == rb[c] for c in by]
     out = lb.join(rb, cond).filter(
         (rb[right_start] <= lb[left_ts]) & (lb[left_ts] < rb[right_end])
+    )
+    return out.drop(rb["__bucket"]).drop(lb["__bucket"]).drop(*[rb[c] for c in by])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    by: Sequence[str] = (),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Inner join of overlapping intervals (half-open:
+    ``l_start < r_end AND r_start < l_end``) — session-vs-session,
+    outage-vs-job style matching — without the O(n·m) conditional-join
+    cross product.
+
+    Both sides explode into the time buckets they cover and equi-join on
+    (by, bucket).  A pair overlapping several shared buckets would
+    duplicate, so the join keeps only the FIRST shared bucket
+    (``bucket == floor(greatest(l_start, r_start))``) — an equality
+    predicate, no distinct pass needed.  Pick ``bucket`` near the typical
+    interval length; longer intervals replicate proportionally."""
+    by = list(by)
+    secs = F.unix_timestamp
+    bucket_s = F.lit(_duration_seconds(bucket))
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(secs(F.col(left_start)) / bucket_s),
+                F.floor(secs(F.col(left_end)) / bucket_s),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(secs(F.col(right_start)) / bucket_s),
+                F.floor(secs(F.col(right_end)) / bucket_s),
+            )
+        ),
+    )
+    first_shared = F.floor(
+        F.greatest(secs(lb[left_start]), secs(rb[right_start])) / bucket_s
+    )
+    cond = [lb["__bucket"] == rb["__bucket"]] + [lb[c] == rb[c] for c in by]
+    out = lb.join(rb, cond).filter(
+        (lb[left_start] < rb[right_end])
+        & (rb[right_start] < lb[left_end])
+        & (lb["__bucket"] == first_shared)
     )
     return out.drop(rb["__bucket"]).drop(lb["__bucket"]).drop(*[rb[c] for c in by])
 

@@ -99,6 +99,65 @@ def test_asof_join_bad_direction(spark):
         asof_join(left, left, direction="sideways")
 
 
+def test_interval_overlap_join(spark):
+    from sparkplug_spark.operators import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+            (2, 100, ts("2024-01-01 15:00:00"), ts("2024-01-01 16:00:00")),
+            (3, 200, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+        ],
+        ["l_id", "user_id", "start", "end"],
+    )
+    right = spark.createDataFrame(
+        [
+            # overlaps l1 across several shared hourly buckets -> one row
+            (10, 100, ts("2024-01-01 09:00:00"), ts("2024-01-01 13:00:00")),
+            # touches l1's end only (half-open: no overlap)
+            (11, 100, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")),
+            # overlaps l2 by one minute
+            (12, 100, ts("2024-01-01 15:59:00"), ts("2024-01-01 17:00:00")),
+            # right user differs -> no match for l3
+            (13, 999, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+        ],
+        ["r_id", "user_id", "rstart", "rend"],
+    )
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            left, right, "start", "end", "rstart", "rend", by=["user_id"]
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 12)]
+
+
+def test_retention_cohorts(spark):
+    from sparkplug_spark.operators import retention_cohorts
+
+    day = 86400
+    base = 1_700_000_000 - (1_700_000_000 % (7 * day))  # period boundary
+    rows = [
+        # user 1: first week 0, returns week 1 and 2
+        (1, base + 1 * day), (1, base + 8 * day), (1, base + 15 * day),
+        # user 2: first week 0 only (two events same week count once)
+        (2, base + 2 * day), (2, base + 3 * day),
+        # user 3: first week 1, returns week 2
+        (3, base + 8 * day), (3, base + 14 * day),
+    ]
+    df = spark.createDataFrame(
+        [(u, dt.datetime.utcfromtimestamp(t)) for u, t in rows],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r["cohort_period"] - base // (7 * day), r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df).collect()
+    }
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+    capped = retention_cohorts(df, max_offset=1)
+    assert capped.agg(F.max("period_offset")).collect()[0][0] == 1
+
+
 def test_asof_join_no_match_is_null(spark):
     left = spark.createDataFrame([(1, 100, ts("2024-01-01 08:00:00"))], ["event_id", "user_id", "ts"])
     right = spark.createDataFrame([(100, ts("2024-01-01 09:00:00"), 1.0)], ["user_id", "ts", "value"])
