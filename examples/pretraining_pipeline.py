@@ -3,15 +3,18 @@
 The standard cleaning recipe (C4 / Gopher / GPT-3 lineage) composed from
 this repo's operators, in the order a production pipeline runs them:
 
+  0. expectations gate   check_expectations     (fail fast on a broken
+                                                 ingest before paying for it)
   1. quality gate        gopher_quality_flags   (drop junk early: every
                                                  later stage reads less)
   2. PII scrub           scrub_pii
   3. within-doc dedup    dedup_spans_within_doc (repetition removal)
   4. boilerplate         remove_boilerplate_spans (inter-doc spans)
+  4b. length trim        trim_by_quantile       (winsor outlier lengths)
   5. exact dedup         dedup_exact
   6. near dedup          dedup_keep_best        (MinHash clusters -> best)
   7. decontamination     decontaminate (exact) + decontaminate_fuzzy
-  8. mixture             sample_to_token_budget (per-source budgets)
+  8. mixture             mixture_report -> sample_to_token_budget
   9. upsampling          oversample_by_key      (fractional epochs)
  10. shards + manifest   write_sharded
 
@@ -29,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 from sparkplug_spark.operators import (
+    Expectation,
+    check_expectations,
     decontaminate,
     decontaminate_fuzzy,
     dedup_exact,
@@ -36,10 +41,12 @@ from sparkplug_spark.operators import (
     dedup_spans_within_doc,
     gopher_quality_flags,
     minhash_lsh_pairs,
+    mixture_report,
     oversample_by_key,
     remove_boilerplate_spans,
     sample_to_token_budget,
     scrub_pii,
+    trim_by_quantile,
 )
 from sparkplug_spark.sources import write_sharded
 
@@ -55,6 +62,19 @@ def main() -> None:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n0 = docs.count()
+
+    # 0. expectations gate: refuse to process a structurally broken drop
+    report = check_expectations(
+        docs,
+        [
+            Expectation("doc_id_unique", "unique", column="doc_id"),
+            Expectation("text_not_null", "not_null", column="text"),
+            Expectation("source_shape", "matches", column="source",
+                        pattern=r"^src\d+$"),
+        ],
+    )
+    gate = {r["expectation"]: r["passed"] for r in report.collect()}
+    assert all(gate.values()), f"ingest failed expectations: {gate}"
 
     # 1. quality gate — relaxed thresholds for the short synthetic docs
     flagged = gopher_quality_flags(docs, min_tokens=10)
@@ -78,6 +98,12 @@ def main() -> None:
     )
     docs3 = bp.join(meta, "doc_id")
 
+    # 4b. winsor the length outliers per source (exact rank tier; use
+    # mode="approx" when the table is ungrouped at scale)
+    docs3 = trim_by_quantile(
+        docs3, "n_tokens", lo=0.02, hi=0.98, by=("source",), id_col="doc_id"
+    )
+
     # 5+6. exact dedup then near-dup clusters -> keep best per cluster
     exact = dedup_exact(docs3, text_col="text", id_col="doc_id")
     pairs = minhash_lsh_pairs(exact, threshold=0.6)
@@ -98,7 +124,9 @@ def main() -> None:
         .drop("contaminated", "fuzzy_contaminated")
     )
 
-    # 8. mixture: per-source token budgets (deterministic greedy take)
+    # 8. mixture: audit actual-vs-target shares, then budgeted take
+    mixture_report(clean, {"src0": 0.6, "src1": 0.4},
+                   weight_col="n_tokens").orderBy("source").show(5)
     mixed = sample_to_token_budget(
         clean, {"src0": 3000, "src1": 1500}, key_col="source",
         weight_col="n_tokens", default_budget=800,

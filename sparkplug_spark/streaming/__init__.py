@@ -24,6 +24,7 @@ from .sessions import sessionize_stream
 __all__ = [
     "plug_stream",
     "streaming_impact_counts",
+    "streaming_violation_counts",
     "streaming_dedup_exact",
     "streaming_quality_filter",
     "streaming_decontaminate",
@@ -78,6 +79,58 @@ def streaming_impact_counts(
             F.col("w.end").alias("window_end"),
             "rule_name",
             "rows_changed",
+        )
+    )
+
+
+def streaming_violation_counts(
+    stream_df: DataFrame,
+    expectations,
+    time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Per-window, per-expectation violation counts over a stream — the
+    live data-quality monitor twin of the batch
+    :func:`~sparkplug_spark.operators.check_expectations` report (alert
+    when an upstream schema/quality break starts flooding violations).
+
+    Row-level expectations only (``unique`` needs the whole table).  The
+    violation flags are a stateless narrow projection; the only state is
+    the watermarked tumbling-window count, evicted as the watermark
+    advances.  Output per (window, expectation): ``n_rows`` (window
+    volume) and ``n_violations``."""
+    from ..operators.expectations import flag_violations
+
+    flagged = flag_violations(stream_df, expectations)
+    if watermark_delay is not None:
+        flagged = flagged.withWatermark(time_col, watermark_delay)
+    names = F.array(*[F.lit(e.name) for e in expectations])
+    # one output row per (window, expectation) including zero-violation
+    # windows: explode the declared names, count matches per name
+    exploded = flagged.select(
+        F.col(time_col),
+        F.explode(names).alias("expectation"),
+        F.col("failed_expectations"),
+    )
+    return (
+        exploded.groupBy(
+            F.window(F.col(time_col), window_duration).alias("w"),
+            "expectation",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.array_contains("failed_expectations", F.col("expectation"))
+                .cast("long")
+            ).alias("n_violations"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "expectation",
+            "n_rows",
+            "n_violations",
         )
     )
 

@@ -106,6 +106,54 @@ def test_expectation_validation():
         check_expectations(None, [])
 
 
+def test_streaming_violation_counts(spark, tmp_path):
+    import datetime as dt
+
+    from sparkplug_spark.streaming import streaming_violation_counts
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    src = str(tmp_path / "viol_src")
+    spark.createDataFrame(
+        [
+            (1, 10.0, ts("2024-01-01 10:00:00")),
+            (2, None, ts("2024-01-01 10:00:20")),   # not_null violation
+            (3, -4.0, ts("2024-01-01 10:00:40")),   # range violation
+            (4, 5.0, ts("2024-01-01 10:01:10")),    # next window, clean
+        ],
+        "id long, v double, ts timestamp",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("id long, v double, ts timestamp").parquet(src)
+    counts = streaming_violation_counts(
+        stream,
+        [
+            Expectation("v_not_null", "not_null", column="v"),
+            Expectation("v_range", "in_range", column="v", lo=0.0, hi=100.0),
+        ],
+        time_col="ts",
+        window_duration="1 minute",
+        watermark_delay=None,
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("viol_q")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["window_start"].minute, r["expectation"]): r
+        for r in spark.sql("select * from viol_q").collect()
+    }
+    assert rows[(0, "v_not_null")]["n_violations"] == 1
+    assert rows[(0, "v_not_null")]["n_rows"] == 3
+    assert rows[(0, "v_range")]["n_violations"] == 1
+    assert rows[(1, "v_not_null")]["n_violations"] == 0
+    assert rows[(1, "v_range")]["n_violations"] == 0  # zero-violation row kept
+
+
 def test_one_sided_range(spark):
     d = spark.createDataFrame([(1, -1.0), (2, 5.0)], ["id", "v"])
     rep = check_expectations(
