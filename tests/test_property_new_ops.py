@@ -1,0 +1,110 @@
+"""Randomized invariants for the round-3 additions: trim band math vs
+numpy, z-order round-trip, mixture ppm accounting, snapshot diff
+reconstruction.  Seeded RNG (not hypothesis) — each case is one Spark
+job over a few hundred rows."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    mixture_report,
+    snapshot_diff,
+    trim_by_quantile,
+)
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_trim_exact_matches_rank_model(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.choice("ab"), float(rng.randint(0, 50)))  # heavy ties
+        for i in range(200)
+    ]
+    lo, hi = 0.1, 0.9
+    out = trim_by_quantile(
+        spark.createDataFrame(rows, "doc_id long, g string, v double"),
+        "v", lo=lo, hi=hi, by=("g",), id_col="doc_id",
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    # reference model: rank by (v, doc_id), keep floor(lo*n) < rn <= ceil(hi*n)
+    import math
+
+    expect = set()
+    for g in "ab":
+        grp = sorted((v, i) for i, gg, v in rows if gg == g)
+        n = len(grp)
+        for rn, (_, i) in enumerate(grp, start=1):
+            if math.floor(lo * n) < rn <= math.ceil(hi * n):
+                expect.add(i)
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_zorder_roundtrip(spark, seed):
+    from sparkplug_spark.sources import zorder_value
+
+    rng = random.Random(seed)
+    bits = 6
+    rows = [(rng.randint(0, 63), rng.randint(0, 63)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.withColumn("z", zorder_value(df, ["a", "b"], bits=bits)).collect()
+    # domain exactly [0, 2^bits): bucket == value, so de-interleaving the
+    # even/odd bits of z must reproduce (a, b)
+    lo_a = min(a for a, _ in rows)
+    lo_b = min(b for _, b in rows)
+    span_a = max(a for a, _ in rows) - lo_a + 1
+    span_b = max(b for _, b in rows) - lo_b + 1
+    for r in got:
+        ba = ((r["a"] - lo_a) * (1 << bits)) // span_a
+        bb = ((r["b"] - lo_b) * (1 << bits)) // span_b
+        da = db = 0
+        for i in range(bits):
+            da |= ((r["z"] >> (2 * i)) & 1) << i
+            db |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (da, db) == (ba, bb)
+
+
+def test_mixture_ppm_accounting(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, f"s{rng.randint(0, 4)}", rng.randint(1, 1000)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    rep = mixture_report(
+        df, {"s0": 1.0, "s1": 1.0}, key="source", weight_col="w"
+    ).collect()
+    total = sum(r["actual_weight"] for r in rep)
+    assert total == sum(w for _, _, w in rows)
+    # floor'd shares: sum within n_keys of 1e6, never above
+    s = sum(r["actual_ppm"] for r in rep)
+    assert 1_000_000 - len(rep) <= s <= 1_000_000
+    assert sum(r["target_ppm"] for r in rep) == 1_000_000
+
+
+def test_snapshot_diff_reconstructs_mutations(spark):
+    rng = random.Random(13)
+    base = {i: f"text-{rng.randint(0, 9)}" for i in range(150)}
+    removed = set(rng.sample(sorted(base), 20))
+    added = {1000 + i: "new" for i in range(15)}
+    changed = set(rng.sample(sorted(set(base) - removed), 25))
+    new = {
+        **{k: (v + "!" if k in changed else v) for k, v in base.items() if k not in removed},
+        **added,
+    }
+    old_df = spark.createDataFrame(list(base.items()), "id long, t string")
+    new_df = spark.createDataFrame(list(new.items()), "id long, t string")
+    got = {
+        s: {r["id"] for r in rows}
+        for s, rows in __import__("itertools").groupby(
+            sorted(
+                snapshot_diff(old_df, new_df, ["id"], ["t"]).collect(),
+                key=lambda r: r["status"],
+            ),
+            key=lambda r: r["status"],
+        )
+    }
+    assert got.get("added", set()) == set(added)
+    assert got.get("removed", set()) == removed
+    assert got.get("changed", set()) == changed
