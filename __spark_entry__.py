@@ -1150,6 +1150,32 @@ def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev, period_seconds=7 * 86400)
 
 
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history merge: fold a mutated corpus snapshot into a
+    versioned history at as_of=100 (close changed/removed, open
+    added/changed, pass the rest through)."""
+    from sparkplug_spark.operators import scd2_merge
+
+    docs = _read(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        "text",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    snap = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = scd2_merge(history, snap, ["doc_id"], ["text"], as_of=100)
+    return out.select("doc_id", "valid_from", "valid_to")
+
+
 def q_plug_change_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: rules engine + snapshot_diff — which part rows did
     this rule set actually change (the pre-deploy audit for a rule
@@ -2130,6 +2156,33 @@ def _extension_oracles() -> dict[str, str]:
             FROM e JOIN f USING (user_id)
             GROUP BY 1, 2
         """,
+        "scd2_merge": """
+            WITH oldv AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+            ),
+            newv AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 <> 0
+            ),
+            st AS (
+              SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id, 0::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+              FROM st WHERE status = 'unchanged'
+            UNION ALL
+            SELECT doc_id, 0::BIGINT, 100::BIGINT
+              FROM st WHERE status IN ('removed', 'changed')
+            UNION ALL
+            SELECT doc_id, 100::BIGINT, NULL::BIGINT
+              FROM st WHERE status IN ('added', 'changed')
+        """,
         "plug_change_diff": """
             WITH plugged AS (
               SELECT p_partkey,
@@ -2402,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plug_change_diff": q_plug_change_diff,
         "interval_overlap": q_interval_overlap,
         "retention_weekly": q_retention_weekly,
+        "scd2_merge": q_scd2_merge,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

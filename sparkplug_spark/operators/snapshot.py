@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff"]
+__all__ = ["snapshot_diff", "scd2_merge"]
 
 # unit/field separators make the digest injective over column boundaries;
 # NUL marks null (distinct from empty string)
@@ -77,3 +77,66 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def scd2_merge(
+    history: DataFrame,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    as_of: int,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) merge: fold a new full
+    ``snapshot`` into a versioned ``history`` table at time ``as_of``.
+
+    ``history`` carries ``keys + compare_cols + valid_from + valid_to``
+    (null ``valid_to`` = currently open).  The merge closes open rows
+    whose key disappeared or whose compared values changed
+    (``valid_to = as_of``), opens rows for new and changed keys
+    (``valid_from = as_of``), and passes unchanged open rows and all
+    already-closed rows through untouched.  ``as_of`` is caller-supplied
+    (epoch integer recommended) so re-runs are deterministic.
+
+    Plan: one :func:`snapshot_diff` (digest-reduced, one full-outer
+    join) classifies every key, then three key-joins route the
+    open/snapshot rows — all on the same key partitioning, so AQE reuses
+    exchanges; history stored bucketed by the key makes the whole merge
+    shuffle-free."""
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    closed = history.filter(F.col(valid_to).isNotNull())
+    open_ = history.filter(F.col(valid_to).isNull())
+    snap_cols = keys + compare_cols
+    status = snapshot_diff(
+        open_.select(*snap_cols),
+        snapshot.select(*snap_cols),
+        keys,
+        compare_cols,
+        include_unchanged=True,
+    )
+    keep = open_.join(
+        status.filter(F.col("status") == "unchanged").select(*keys), keys, "left_semi"
+    )
+    close = open_.join(
+        status.filter(F.col("status").isin("removed", "changed")).select(*keys),
+        keys,
+        "left_semi",
+    ).withColumn(valid_to, F.lit(as_of).cast(history.schema[valid_to].dataType))
+    opened = snapshot.select(*snap_cols).join(
+        status.filter(F.col("status").isin("added", "changed")).select(*keys),
+        keys,
+        "left_semi",
+    ).select(
+        *snap_cols,
+        F.lit(as_of).cast(history.schema[valid_from].dataType).alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+    )
+    cols = history.columns
+    return (
+        closed.select(*cols)
+        .unionByName(keep.select(*cols))
+        .unionByName(close.select(*cols))
+        .unionByName(opened.select(*cols))
+    )

@@ -115,6 +115,45 @@ def test_stateless_new_ops_compose_with_streams(spark, tmp_path):
     assert got[3]["failed_expectations"] == ["k_present"]
 
 
+def test_scd2_merge(spark):
+    from sparkplug_spark.operators import scd2_merge
+
+    history = spark.createDataFrame(
+        [
+            # key 1: closed v0 + open v1
+            (1, "a0", 0, 10),
+            (1, "a1", 10, None),
+            # key 2: open, will change
+            (2, "b0", 0, None),
+            # key 3: open, will disappear
+            (3, "c0", 0, None),
+        ],
+        "id long, t string, valid_from long, valid_to long",
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "a1"), (2, "b1"), (4, "d0")], "id long, t string"
+    )
+    out = scd2_merge(history, snapshot, ["id"], ["t"], as_of=20)
+    rows = sorted(
+        (r["id"], r["t"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a0", 0, 10),      # closed row untouched
+        (1, "a1", 10, None),   # unchanged open row stays open
+        (2, "b0", 0, 20),      # changed: closed at as_of...
+        (2, "b1", 20, None),   # ...and reopened with the new value
+        (3, "c0", 0, 20),      # removed: closed
+        (4, "d0", 20, None),   # added: opened
+    ]
+    # idempotence: merging the same snapshot again changes nothing
+    again = scd2_merge(out, snapshot, ["id"], ["t"], as_of=30)
+    assert sorted(
+        (r["id"], r["t"], r["valid_from"], r["valid_to"])
+        for r in again.collect()
+    ) == rows
+
+
 def test_snapshot_diff_duplicate_keys_collapse(spark):
     old = spark.createDataFrame([(1, "a"), (1, "a")], ["id", "text"])
     new = spark.createDataFrame([(1, "a")], ["id", "text"])
