@@ -1150,6 +1150,15 @@ def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev, period_seconds=7 * 86400)
 
 
+def q_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 tokens with deterministic rank
+    (count desc, token asc), min corpus count 2."""
+    from sparkplug_spark.operators import build_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    return build_vocab(docs, max_size=200, min_count=2)
+
+
 def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history merge: fold a mutated corpus snapshot into a
     versioned history at as_of=100 (close changed/removed, open
@@ -2156,6 +2165,19 @@ def _extension_oracles() -> dict[str, str]:
             FROM e JOIN f USING (user_id)
             GROUP BY 1, 2
         """,
+        "vocab_top": f"""
+            WITH e AS (
+              SELECT unnest({{toks}}) AS token FROM documents
+            ), c AS (
+              SELECT token, count(*) AS n FROM e
+              WHERE token != '' GROUP BY token HAVING count(*) >= 2
+            )
+            SELECT token, n, rank FROM (
+              SELECT token, n,
+                     row_number() OVER (ORDER BY n DESC, token) AS rank
+              FROM c
+            ) WHERE rank <= 200
+        """.format(toks=_sql_tokens("text")),
         "scd2_merge": """
             WITH oldv AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
@@ -2456,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "retention_weekly": q_retention_weekly,
         "scd2_merge": q_scd2_merge,
+        "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

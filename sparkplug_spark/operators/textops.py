@@ -22,6 +22,7 @@ from ..functions.text import (
 
 __all__ = [
     "text_stats",
+    "build_vocab",
     "language_id",
     "text_fingerprints",
     "top_tokens",
@@ -174,4 +175,40 @@ def text_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             "token_fingerprint": token_fingerprint(c),
             "simhash": simhash32_pd(c),
         }
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_size: int = 10000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_size`` most frequent tokens with
+    counts and a deterministic rank (count desc, token asc) — the input
+    a tokenizer-training / stopword-discovery step consumes.
+
+    Plan: tokenize (shared Arrow kernel) → explode → two-level count
+    with map-side combine → global top-N.  The top-N is a
+    ``TakeOrdered``-style limit (per-partition heaps, no full sort
+    shuffle); the rank window then runs over only ``max_size`` rows —
+    bounded driver-side-safe state, never a whole-vocabulary single
+    partition."""
+    from pyspark.sql import Window
+
+    if max_size <= 0 or min_count <= 0:
+        raise ValueError("max_size and min_count must be positive")
+    counts = (
+        spread(df)
+        .select(F.explode(tokens_pd(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(max_size)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n", "rank"
     )

@@ -73,3 +73,20 @@ def test_mixture_report(spark):
         mixture_report(df, {})
     with pytest.raises(ValueError, match="positive"):
         mixture_report(df, {"web": 0.0})
+
+
+def test_build_vocab(spark):
+    from sparkplug_spark.operators import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "beta gamma gamma? delta")],
+        "doc_id long, text string",
+    )
+    rows = build_vocab(df, max_size=3, min_count=2).collect()
+    got = [(r["token"], r["n"], r["rank"]) for r in rows]
+    # beta=3, gamma=3 (tie -> beta first alphabetically); delta/alpha cut
+    assert got == [("beta", 3, 1), ("gamma", 3, 2)]
+    import pytest as _p
+
+    with _p.raises(ValueError, match="positive"):
+        build_vocab(df, max_size=0)
