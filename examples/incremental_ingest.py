@@ -4,7 +4,9 @@ Day 0 builds the stored artifacts (content digests, MinHash signatures, a
 decontamination bloom bitmap); every later day screens ONLY its new batch
 against them: exact dups anti-join 16-byte digests, near-dups LSH-join
 stored signatures, contamination probes the stored bitmap.  Corpus text is
-never re-read.
+never re-read.  The run ends with the change-tracking layer: snapshot_diff
+says what the day actually changed, scd2_merge folds it into a versioned
+history table.
 
 Run:  python examples/incremental_ingest.py
 """
@@ -69,6 +71,22 @@ def main() -> None:
     print("near-dup pairs:    ", near.count())
     print("after decontam:    ", clean.count())
     print("after quality:     ", kept.count())
+
+    # ---- change tracking: what did day N change, and version it --------
+    from sparkplug_spark.operators import scd2_merge, snapshot_diff
+
+    day0 = corpus.select("doc_id", "text")
+    dayn = day0.unionByName(kept.select("doc_id", "text"))
+    diff = snapshot_diff(day0, dayn, ["doc_id"], ["text"])
+    diff.groupBy("status").count().show()
+    history = day0.select(
+        "doc_id", "text",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    history = scd2_merge(history, dayn, ["doc_id"], ["text"], as_of=1)
+    print("history rows:      ", history.count())
+    print("open rows:         ", history.filter("valid_to is null").count())
     spark.stop()
 
 
