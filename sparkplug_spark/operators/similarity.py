@@ -34,6 +34,8 @@ __all__ = [
     "cosine_topk_pq",
     "build_ivf_index",
     "search_ivf_index",
+    "build_ivfpq_index",
+    "search_ivfpq_index",
     "blocked_cosine_pairs",
     "embedding_norms",
 ]
@@ -583,6 +585,230 @@ def search_ivf_index(
         "query_id",
         "neighbor_id",
         _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _train_pq_books(X: np.ndarray, m: int, ks: int, seed: int) -> np.ndarray:
+    """Per-subspace Lloyd codebooks on normalized sample rows:
+    (m, ks_eff, dim/m)."""
+    dim = X.shape[1]
+    dsub = dim // m
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0] = 1.0
+    X = X / nrm[:, None]
+    ks_eff = min(ks, len(X))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks_eff, dsub))
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        centers = Xs[rng.choice(len(Xs), ks_eff, replace=False)]
+        for _ in range(8):
+            d2 = ((Xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            lab = np.argmin(d2, axis=1)
+            for j in range(ks_eff):
+                pts = Xs[lab == j]
+                if len(pts):
+                    centers[j] = pts.mean(axis=0)
+        books[s] = centers
+    return books
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_points_per_centroid: int = 128,
+) -> None:
+    """Persist a FAISS-style IVF+PQ index: coarse lists for partition
+    pruning AND per-vector PQ codes for a bandwidth-light traversal.
+
+    Layout: ``{path}/centroids`` (coarse centers), ``{path}/books``
+    (PQ codebooks as (subspace, code, center) rows), ``{path}/lists``
+    (id, codes, raw vector — PARTITIONED BY centroid).  A search reads
+    the probed ``centroid=`` directories ONLY (partition pruning) and its
+    ADC pass projects ONLY (id, codes) — parquet column pruning keeps the
+    raw vector column on disk until the final ``rerank`` candidates fetch
+    it.  Both prunings compound: ``n_probe/num_centroids`` of the rows ×
+    ``m`` bytes of the columns."""
+    from ..functions.vectors import _mat
+
+    spark = corpus.sparkSession
+    if not 1 <= m:
+        raise ValueError("m must be positive")
+    train = corpus.select(F.col(vec_col).alias("cv")).limit(
+        max(num_centroids, 1) * train_points_per_centroid
+    )
+    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("build_ivfpq_index: empty corpus")
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    num_centroids = max(1, min(num_centroids, len(X)))
+    centers = _spherical_lloyd(X, num_centroids, seed)
+    C = centers.T
+    books = _train_pq_books(X, m, ks, seed)
+
+    spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(num_centroids)],
+        "centroid int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (s, j, [float(v) for v in books[s, j]])
+            for s in range(m)
+            for j in range(books.shape[1])
+        ],
+        "subspace int, code int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+
+    @F.pandas_udf("struct<centroid: int, codes: array<int>>")
+    def encode(x: pd.Series) -> pd.DataFrame:
+        if len(x) == 0:
+            return pd.DataFrame({"centroid": [], "codes": []})
+        mat = _mat(x).astype(np.float64, copy=False)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mat = mat / n[:, None]
+        cent = np.argmax(mat @ C, axis=1).astype("int32")
+        codes = np.empty((len(mat), m), dtype="int32")
+        for s in range(m):
+            Xs = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"centroid": cent, "codes": list(codes)})
+
+    (
+        spread(corpus)
+        .select(id_col, vec_col, encode(F.col(vec_col)).alias("__e"))
+        .select(id_col, vec_col, "__e.centroid", "__e.codes")
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine search against a stored :func:`build_ivfpq_index`:
+    probed-list scan (partition pruning) → ADC approximate scores over
+    the code column only (column pruning) → per-query top-``rerank``
+    map-side-limited window → exact re-rank fetching raw vectors for the
+    survivors.  Same output schema as :func:`cosine_topk`."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    centers = np.zeros((len(crows), len(crows[0]["center"])))
+    for r in crows:
+        centers[r["centroid"]] = r["center"]
+    brows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    ks_eff = 1 + max(r["code"] for r in brows)
+    dsub = len(brows[0]["center"])
+    books = np.zeros((m, ks_eff, dsub))
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["center"]
+    n_probe = max(1, min(n_probe, len(crows)))
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("search_ivfpq_index: empty query set")
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    probes = np.argsort(-(Qn @ centers.T), axis=1)[:, :n_probe]
+    # ADC tables (n_queries, m, ks)
+    T = np.stack(
+        [Qn[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+    by_cent: dict[int, list[int]] = {}
+    for qi, row in enumerate(probes):
+        for c in row:
+            by_cent.setdefault(int(c), []).append(qi)
+    probed_set = sorted(by_cent)
+
+    @F.pandas_udf("array<struct<qi: int, approx: double>>")
+    def adc(codes: pd.Series, cent: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        Cd = np.stack(codes.to_numpy()).astype("int64")
+        cvals = cent.to_numpy()
+        out = np.empty(len(Cd), dtype=object)
+        for i in range(len(Cd)):
+            out[i] = []
+        ar = np.arange(m)
+        # vectorized per (probed centroid, probing query): one fancy-index
+        # gather + row sum scores every corpus row of that list at once
+        for c, qis in by_cent.items():
+            idx = np.nonzero(cvals == c)[0]
+            if idx.size == 0:
+                continue
+            sub = Cd[idx]
+            for qi in qis:
+                s = T[qi][ar[None, :], sub].sum(axis=1)
+                for j, i in enumerate(idx):
+                    out[i].append({"qi": qi, "approx": float(s[j])})
+        return pd.Series(list(out))
+
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid").isin(probed_set)
+    )
+    approx = (
+        lists.select(
+            F.col(id_col).alias("neighbor_id"),
+            adc("codes", "centroid").alias("__s"),
+        )
+        .select("neighbor_id", F.explode("__s").alias("e"))
+        .select("neighbor_id", F.col("e.qi").alias("__qi"), F.col("e.approx").alias("__approx"))
+    )
+    wa = Window.partitionBy("__qi").orderBy(F.desc("__approx"), F.asc("neighbor_id"))
+    cand = (
+        approx.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= int(rerank))
+        .select("__qi", "neighbor_id")
+    )
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), r["query_id"], r["qv"]) for i, r in enumerate(qrows)],
+            "__qi int, query_id long, qv array<float>",
+        ).select("__qi", "query_id", "qv", vec_norm(F.col("qv")).alias("qn"))
+    )
+    cv = spark.read.parquet(f"{path}/lists").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        cand.join(qdf, "__qi")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
