@@ -29,6 +29,7 @@ __all__ = [
     "attach_media_meta",
     "repartition_for_media",
     "decode_image_features",
+    "resize_images",
     "extract_audio_features",
     "sample_video_frames",
 ]
@@ -141,6 +142,79 @@ def decode_image_features(
                 decode(p, feature_dim) for p in pdf[binary_col]
             ]
             yield pdf[cols + ["features"]]
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def _real_image_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Actual resize via Pillow, re-encoded as PNG bytes."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).resize((w, h))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _fake_image_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in: md5-keyed bytes sized like a tiny grayscale
+    (w*h) buffer — same shape/nullability as the real path, no library."""
+    import hashlib
+
+    seed = payload if payload is not None else b""
+    h0 = hashlib.md5(seed).digest()
+    n = max(1, (w * h) // 16)
+    return (h0 * (n // len(h0) + 1))[:n]
+
+
+def resize_images(
+    df: DataFrame,
+    size: tuple[int, int] = (64, 64),
+    binary_col: str = "payload",
+    out_col: str = "payload_resized",
+    decoder: str = "fake",
+) -> DataFrame:
+    """payload binary → resized payload binary + declared (width, height)
+    columns, via the same Arrow-batched ``mapInPandas`` plumbing as
+    :func:`decode_image_features` — the preprocessing step in front of a
+    vision-model featurizer.  ``decoder="real"`` resizes pixels with
+    Pillow (probed eagerly driver-side); ``decoder="fake"`` runs the
+    identical batch pipeline with a deterministic md5-keyed byte stub.
+    Pair with :func:`repartition_for_media` so tasks stay byte-bounded."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "real":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "resize_images(decoder='real') requires Pillow; use "
+                "decoder='fake' for the deterministic stand-in"
+            ) from e
+    resize = _real_image_resize if decoder == "real" else _fake_image_resize
+    w, h = int(size[0]), int(size[1])
+    if w <= 0 or h <= 0:
+        raise ValueError("size must be positive")
+
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(out_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    cols = df.columns
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [resize(p, w, h) for p in pdf[binary_col]]
+            pdf["width"] = w
+            pdf["height"] = h
+            yield pdf[cols + [out_col, "width", "height"]]
 
     return df.mapInPandas(batches, schema=out_schema)
 

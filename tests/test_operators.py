@@ -337,3 +337,36 @@ def test_distinctive_tokens(spark):
     for doc in (1, 2, 3):
         ranks = sorted(rk for (d, rk) in out if d == doc)
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+def test_resize_images_plumbing(spark):
+    from sparkplug_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"fake-image-bytes-aaaa"), (2, b"fake-image-bytes-bbbb")],
+        T.StructType(
+            [
+                T.StructField("media_id", T.IntegerType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    out = resize_images(df, size=(16, 16))
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert rows[1]["width"] == 16 and rows[1]["height"] == 16
+    assert isinstance(rows[1]["payload_resized"], (bytes, bytearray))
+    assert rows[1]["payload_resized"] != rows[2]["payload_resized"]
+    # deterministic fake path
+    again = {r["media_id"]: r["payload_resized"] for r in resize_images(df, size=(16, 16)).collect()}
+    assert again[1] == rows[1]["payload_resized"]
+    with pytest.raises(ValueError, match="positive"):
+        resize_images(df, size=(0, 16))
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(ImportError, match="requires Pillow"):
+            resize_images(df, decoder="real")
