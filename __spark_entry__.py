@@ -1974,7 +1974,7 @@ def _extension_oracles() -> dict[str, str]:
                 ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk
                    AND a.doc_id < b.doc_id
             )
-            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+            SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
             FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
         """,
         "emb_similar_pairs": f"""

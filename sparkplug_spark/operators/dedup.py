@@ -486,7 +486,12 @@ def simhash_pairs(
             F.col("b.sh").alias("sh_b"),
         )
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        # LONG, not Spark's INT/DuckDB's TINYINT — canonicalization-stable
+        # across engines (the r2 hash-FAIL class was implicit int widths)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

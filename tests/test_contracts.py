@@ -209,3 +209,28 @@ def F_col_id():
     from pyspark.sql import functions as F
 
     return F.col("id")
+
+
+def test_oracle_output_types_are_canonicalization_stable():
+    """Every DuckDB oracle must emit only types whose canonical text is
+    engine-stable (the r2 hash-FAILs were implicit HUGEINT/TINYINT
+    widths).  DESCRIBE is driver-side DuckDB only — no Spark job."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.01/{t}.parquet'"
+        )
+    allowed = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "INTEGER", "FLOAT", "DATE"}
+    bad = []
+    for name, sql in e.oracle_sql().items():
+        for col, typ, *_ in con.sql(f"DESCRIBE {sql}").fetchall():
+            if typ.split("(")[0] not in allowed:
+                bad.append((name, col, typ))
+    assert not bad, f"fragile oracle output types: {bad}"
