@@ -747,6 +747,16 @@ def mixture_report(
     agg = df.groupBy(key).agg(
         F.sum(weight_col).cast("long").alias("actual_weight")
     )
+    # a declared target key with NO rows is the worst mixture violation —
+    # it must appear in the report (actual 0, factor null), not vanish
+    # because groupBy only emits observed keys
+    declared = df.sparkSession.createDataFrame(
+        [(k,) for k in targets], f"{key} string"
+    )
+    agg = (
+        declared.join(agg, key, "full_outer")
+        .withColumn("actual_weight", F.coalesce("actual_weight", F.lit(0)))
+    )
     out = agg.withColumn(
         "__tot", F.sum("actual_weight").over(Window.partitionBy())
     )

@@ -53,12 +53,25 @@ def asof_join(
     right_cols = list(right_cols)
     lcols = left.columns
 
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    def numeric_key(col: Column, dt) -> Column:
+        # timestamps compare as EXACT integer micros — a double-seconds
+        # cast has ~0.25µs ulps near current epochs, which can flip an
+        # exact-distance tie away from the documented backward resolution
+        if isinstance(dt, TimestampNTZType):
+            col = col.cast("timestamp")
+            dt = TimestampType()
+        if isinstance(dt, TimestampType):
+            return F.unix_micros(col).cast("double")
+        return col.cast("double")
+
     # __tsn rides inside the struct so `nearest` can compare distances
     # without re-joining the match back to the right side
     rv = F.struct(
         F.col(on).alias(on),
         *[F.col(c).alias(c) for c in right_cols],
-        F.col(on).cast("double").alias("__tsn"),
+        numeric_key(F.col(on), right.schema[on].dataType).alias("__tsn"),
     ).alias("__rv")
     r = right.select(
         *by,
@@ -96,7 +109,7 @@ def asof_join(
         b = F.last("__rv", ignorenulls=True).over(wb)
         f = F.first("__rv", ignorenulls=True).over(wf)
         u = u.withColumn("__b", b).withColumn("__f", f)
-        ltsn = F.col("__ts").cast("double")
+        ltsn = numeric_key(F.col("__ts"), left.schema[on].dataType)
         u = u.withColumn(
             "__match",
             F.when(F.col("__f").isNull(), F.col("__b"))

@@ -194,6 +194,18 @@ def cosine_topk_lsh(
     )
 
 
+def _query_side_schema(
+    queries: DataFrame, query_id_col: str, vec_col: str, with_qi: bool = True
+) -> str:
+    """DDL for the collected-and-rebroadcast query side: preserves the
+    caller's id and vector element types instead of hardcoding
+    ``long``/``float`` (string doc ids and double vectors are valid)."""
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    vec_t = queries.schema[vec_col].dataType.simpleString()
+    base = f"query_id {qid_t}, qv {vec_t}"
+    return f"__qi int, {base}" if with_qi else base
+
+
 def _spherical_lloyd(X: np.ndarray, k: int, seed: int, iters: int = 8) -> np.ndarray:
     """Driver-side spherical k-means (FAISS-style coarse quantizer
     training) on an already-bounded sample: rows L2-normalized, centers
@@ -361,23 +373,8 @@ def cosine_topk_pq(
     X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
     if len(X) == 0:
         raise ValueError("cosine_topk_pq: empty corpus (no training rows)")
-    nrm = np.linalg.norm(X, axis=1)
-    nrm[nrm == 0] = 1.0
-    X = X / nrm[:, None]
-    ks_eff = min(ks, len(X))
-    rng = np.random.RandomState(seed)
-    books = np.empty((m, ks_eff, dsub), dtype=np.float64)
-    for s in range(m):
-        Xs = X[:, s * dsub : (s + 1) * dsub]
-        centers = Xs[rng.choice(len(Xs), ks_eff, replace=False)]
-        for _ in range(8):
-            d2 = ((Xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            lab = np.argmin(d2, axis=1)
-            for j in range(ks_eff):
-                pts = Xs[lab == j]
-                if len(pts):
-                    centers[j] = pts.mean(axis=0)
-        books[s] = centers
+    books = _train_pq_books(X, m, ks, seed)
+    ks_eff = books.shape[1]
     from ..functions.vectors import _mat
 
     def _normalized(x: pd.Series) -> np.ndarray:
@@ -445,7 +442,7 @@ def cosine_topk_pq(
     qdf = F.broadcast(
         queries.sparkSession.createDataFrame(
             [(int(i), r["query_id"], r["qv"]) for i, r in enumerate(qrows)],
-            f"__qi int, query_id {'long' if qids.dtype.kind == 'i' else 'string'}, qv array<float>",
+            _query_side_schema(queries, query_id_col, vec_col),
         ).select("__qi", "query_id", "qv", vec_norm(F.col("qv")).alias("qn"))
     )
     cv = corpus.select(
@@ -565,7 +562,9 @@ def search_ivf_index(
 
     qdf = F.broadcast(
         spark.createDataFrame(
-            probe_pairs, "query_id long, qv array<float>, centroid int"
+            probe_pairs,
+            _query_side_schema(queries, query_id_col, vec_col, with_qi=False)
+            + ", centroid int",
         ).select(
             "query_id", "centroid", "qv", vec_norm(F.col("qv")).alias("qn")
         )
@@ -793,13 +792,20 @@ def search_ivfpq_index(
     qdf = F.broadcast(
         spark.createDataFrame(
             [(int(i), r["query_id"], r["qv"]) for i, r in enumerate(qrows)],
-            "__qi int, query_id long, qv array<float>",
+            _query_side_schema(queries, query_id_col, vec_col),
         ).select("__qi", "query_id", "qv", vec_norm(F.col("qv")).alias("qn"))
     )
-    cv = spark.read.parquet(f"{path}/lists").select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        vec_norm(F.col(vec_col)).alias("cn"),
+    # rerank candidates can only come from probed lists: keep the
+    # partition filter here too, or this scan re-reads EVERY centroid
+    # directory's wide vector column and defeats the index
+    cv = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("centroid").isin(probed_set))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("cn"),
+        )
     )
     scored = (
         cand.join(qdf, "__qi")

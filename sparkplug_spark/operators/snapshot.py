@@ -87,6 +87,7 @@ def scd2_merge(
     as_of: int,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    release: bool = True,
 ) -> DataFrame:
     """Slowly-changing-dimension (type 2) merge: fold a new full
     ``snapshot`` into a versioned ``history`` table at time ``as_of``.
@@ -103,7 +104,12 @@ def scd2_merge(
     join) classifies every key, then three key-joins route the
     open/snapshot rows — all on the same key partitioning, so AQE reuses
     exchanges; history stored bucketed by the key makes the whole merge
-    shuffle-free."""
+    shuffle-free.  The status table feeds three consumers, so it is
+    ``persist()``-ed and released once the result materializes
+    (``release=False`` keeps the lazy plan for composition — callers
+    then manage the triple re-evaluation themselves)."""
+    from ..caching import materialize_release
+
     keys = list(keys)
     compare_cols = list(compare_cols)
     closed = history.filter(F.col(valid_to).isNotNull())
@@ -116,6 +122,8 @@ def scd2_merge(
         compare_cols,
         include_unchanged=True,
     )
+    if release:
+        status = status.persist()
     keep = open_.join(
         status.filter(F.col("status") == "unchanged").select(*keys), keys, "left_semi"
     )
@@ -134,9 +142,12 @@ def scd2_merge(
         F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
     )
     cols = history.columns
-    return (
+    out = (
         closed.select(*cols)
         .unionByName(keep.select(*cols))
         .unionByName(close.select(*cols))
         .unionByName(opened.select(*cols))
     )
+    if not release:
+        return out
+    return materialize_release(out, status)

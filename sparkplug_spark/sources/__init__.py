@@ -200,8 +200,10 @@ def zorder_value(df: "DataFrame", cols: list[str], bits: int = 16):
     bits are interleaved.  Sorting by the result gives files whose
     min/max footer stats are narrow in EVERY interleaved dimension at
     once — the multi-column data-skipping layout a single-column sort
-    can't provide.  All-integer arithmetic (exact, engine-reproducible).
-    Returns ``(column, zcol_name)``; 2 cols × 16 bits = 32-bit keys."""
+    can't provide.  All-integer arithmetic (exact, engine-reproducible;
+    bucket = (value - min) div ceil(span / 2^bits), so wide domains like
+    epoch-micros never overflow a long).  Returns the key Column; 2 cols
+    × 16 bits = 32-bit keys."""
     from pyspark.sql import functions as F
 
     if not 1 <= len(cols) * bits <= 62:
@@ -213,10 +215,10 @@ def zorder_value(df: "DataFrame", cols: list[str], bits: int = 16):
     n_buckets = 1 << bits
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        lo = bounds[f"min_{c}"]
-        span = max((bounds[f"max_{c}"] or 0) - (lo or 0) + 1, 1)
-        bucket = ((F.col(c).cast("long") - F.lit(lo)) * n_buckets) / F.lit(span)
-        bucket = F.floor(bucket).cast("long")
+        lo = bounds[f"min_{c}"] or 0
+        span = max((bounds[f"max_{c}"] or 0) - lo + 1, 1)
+        chunk = max(1, -(-span // n_buckets))  # ceil; bucket < n_buckets
+        bucket = F.expr(f"(cast(`{c}` as bigint) - ({lo})) div {chunk}")
         for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(

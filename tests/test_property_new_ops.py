@@ -54,11 +54,11 @@ def test_zorder_roundtrip(spark, seed):
     # even/odd bits of z must reproduce (a, b)
     lo_a = min(a for a, _ in rows)
     lo_b = min(b for _, b in rows)
-    span_a = max(a for a, _ in rows) - lo_a + 1
-    span_b = max(b for _, b in rows) - lo_b + 1
+    chunk_a = max(1, -(-(max(a for a, _ in rows) - lo_a + 1) // (1 << bits)))
+    chunk_b = max(1, -(-(max(b for _, b in rows) - lo_b + 1) // (1 << bits)))
     for r in got:
-        ba = ((r["a"] - lo_a) * (1 << bits)) // span_a
-        bb = ((r["b"] - lo_b) * (1 << bits)) // span_b
+        ba = (r["a"] - lo_a) // chunk_a
+        bb = (r["b"] - lo_b) // chunk_b
         da = db = 0
         for i in range(bits):
             da |= ((r["z"] >> (2 * i)) & 1) << i

@@ -69,6 +69,17 @@ def test_mixture_report(spark):
     assert rep["web"]["factor_ppm"] == 666666
     assert rep["wiki"]["factor_ppm"] == 2500000
     assert rep["code"]["target_ppm"] == 0 and rep["code"]["factor_ppm"] == 0
+    # a declared source with zero rows still shows up in the audit
+    rep2 = {
+        r["source"]: r
+        for r in mixture_report(
+            df, {"web": 0.5, "books": 0.5}, key="source", weight_col="n_tokens"
+        ).collect()
+    }
+    assert rep2["books"]["actual_weight"] == 0
+    assert rep2["books"]["actual_ppm"] == 0
+    assert rep2["books"]["target_ppm"] == 500000
+    assert rep2["books"]["factor_ppm"] is None
     with pytest.raises(ValueError, match="non-empty"):
         mixture_report(df, {})
     with pytest.raises(ValueError, match="positive"):

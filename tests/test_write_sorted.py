@@ -86,6 +86,24 @@ def test_zorder_value_math(spark):
         zorder_value(df, ["a", "b"], bits=40)
 
 
+def test_zorder_wide_domain_no_overflow(spark):
+    from sparkplug_spark.sources import zorder_value
+
+    # epoch-micros-scale spans (~2^50) overflowed the old (v-lo)*2^bits
+    # formulation; the chunk-div form must stay exact and in-range
+    lo, hi = 1_600_000_000_000_000, 1_600_000_000_000_000 + (1 << 50)
+    df = spark.createDataFrame(
+        [(lo, 0), (lo + (1 << 49), 500), (hi, 1000)], ["t", "v"]
+    )
+    got = sorted(
+        r["z"] for r in df.withColumn(
+            "z", zorder_value(df, ["t", "v"], bits=16)
+        ).collect()
+    )
+    assert all(z >= 0 for z in got)
+    assert got[0] < got[1] < got[2]  # larger (t, v) -> larger z here
+
+
 def test_write_sorted_validates(spark, tmp_path):
     df = spark.range(10)
     with pytest.raises(ValueError, match="non-empty"):
