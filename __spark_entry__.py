@@ -1185,6 +1185,28 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "valid_from", "valid_to")
 
 
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delta apply at as_of=100: edited docs close-and-reopen, new
+    keys open, keys absent from the batch stay open untouched."""
+    from sparkplug_spark.operators import scd2_apply_changes
+
+    docs = _read(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        "text",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    edited = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 9)
+    ).select("doc_id", F.concat("text", F.lit(" [edited]")).alias("text"))
+    new_keys = docs.filter(F.col("doc_id") % 10 == 9).select("doc_id", "text")
+    out = scd2_apply_changes(
+        history, edited.unionByName(new_keys), ["doc_id"], ["text"], as_of=100
+    )
+    return out.select("doc_id", "valid_from", "valid_to")
+
+
 def q_plug_change_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: rules engine + snapshot_diff — which part rows did
     this rule set actually change (the pre-deploy audit for a rule
@@ -2205,6 +2227,33 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "scd2_apply": """
+            WITH hist AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
+            ),
+            chg AS (
+              SELECT doc_id, text || ' [edited]' AS text FROM documents
+              WHERE doc_id % 7 = 0 AND doc_id % 10 <> 9
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9
+            ),
+            st AS (
+              SELECT h.doc_id,
+                     CASE WHEN c.doc_id IS NULL THEN 'untouched'
+                          WHEN h.text IS DISTINCT FROM c.text THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM hist h LEFT JOIN chg c ON h.doc_id = c.doc_id
+            )
+            SELECT doc_id, 0::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+              FROM st WHERE status IN ('untouched', 'unchanged')
+            UNION ALL
+            SELECT doc_id, 0::BIGINT, 100::BIGINT FROM st WHERE status = 'changed'
+            UNION ALL
+            SELECT doc_id, 100::BIGINT, NULL::BIGINT FROM st WHERE status = 'changed'
+            UNION ALL
+            SELECT doc_id, 100::BIGINT, NULL::BIGINT FROM chg
+             WHERE doc_id NOT IN (SELECT doc_id FROM hist)
+        """,
         "plug_change_diff": """
             WITH plugged AS (
               SELECT p_partkey,
@@ -2478,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "retention_weekly": q_retention_weekly,
         "scd2_merge": q_scd2_merge,
+        "scd2_apply": q_scd2_apply,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

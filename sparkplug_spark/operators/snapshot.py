@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "scd2_merge"]
+__all__ = ["snapshot_diff", "scd2_merge", "scd2_apply_changes"]
 
 # unit/field separators make the digest injective over column boundaries;
 # NUL marks null (distinct from empty string)
@@ -133,6 +133,71 @@ def scd2_merge(
         "left_semi",
     ).withColumn(valid_to, F.lit(as_of).cast(history.schema[valid_to].dataType))
     opened = snapshot.select(*snap_cols).join(
+        status.filter(F.col("status").isin("added", "changed")).select(*keys),
+        keys,
+        "left_semi",
+    ).select(
+        *snap_cols,
+        F.lit(as_of).cast(history.schema[valid_from].dataType).alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+    )
+    cols = history.columns
+    out = (
+        closed.select(*cols)
+        .unionByName(keep.select(*cols))
+        .unionByName(close.select(*cols))
+        .unionByName(opened.select(*cols))
+    )
+    if not release:
+        return out
+    return materialize_release(out, status)
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    as_of: int,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    release: bool = True,
+) -> DataFrame:
+    """CDC-style SCD2 delta apply: fold a PARTIAL batch of upserts into a
+    versioned history at ``as_of``.
+
+    Unlike :func:`scd2_merge` (which needs a FULL snapshot and closes
+    keys absent from it), keys absent from ``changes`` stay untouched —
+    the semantics of applying a change feed, where absence means "no
+    news", not "deleted".  Deletions must arrive as explicit tombstones
+    handled upstream, or use a full-snapshot merge.
+
+    New keys open; changed keys close-and-reopen; changes identical to
+    the open row are no-ops (re-delivered events don't churn history).
+    One digest classification + key-routed left-semi/anti joins, same
+    exchange-reuse shape as :func:`scd2_merge`."""
+    from ..caching import materialize_release
+
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    closed = history.filter(F.col(valid_to).isNotNull())
+    open_ = history.filter(F.col(valid_to).isNull())
+    snap_cols = keys + compare_cols
+    status = snapshot_diff(
+        open_.select(*snap_cols),
+        changes.select(*snap_cols),
+        keys,
+        compare_cols,
+        include_unchanged=True,
+    )
+    if release:
+        status = status.persist()
+    touched = status.filter(F.col("status") == "changed").select(*keys)
+    keep = open_.join(touched, keys, "left_anti")
+    close = open_.join(touched, keys, "left_semi").withColumn(
+        valid_to, F.lit(as_of).cast(history.schema[valid_to].dataType)
+    )
+    opened = changes.select(*snap_cols).join(
         status.filter(F.col("status").isin("added", "changed")).select(*keys),
         keys,
         "left_semi",

@@ -154,6 +154,93 @@ def test_scd2_merge(spark):
     ) == rows
 
 
+def test_scd2_apply_changes_delta_semantics(spark):
+    from sparkplug_spark.operators import scd2_apply_changes
+
+    history = spark.createDataFrame(
+        [
+            (1, "a0", 0, None),
+            (2, "b0", 0, None),
+            (3, "c0", 0, None),
+        ],
+        "id long, t string, valid_from long, valid_to long",
+    )
+    # partial batch: touches 1 (no-op redelivery) and 2 (change), adds 4;
+    # key 3 absent -> MUST stay open (delta, not full-snapshot, semantics)
+    changes = spark.createDataFrame(
+        [(1, "a0"), (2, "b1"), (4, "d0")], "id long, t string"
+    )
+    out = scd2_apply_changes(history, changes, ["id"], ["t"], as_of=20)
+    rows = sorted(
+        (r["id"], r["t"], r["valid_from"], r["valid_to"])
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a0", 0, None),
+        (2, "b0", 0, 20),
+        (2, "b1", 20, None),
+        (3, "c0", 0, None),   # untouched despite absence from the batch
+        (4, "d0", 20, None),
+    ]
+
+
+def test_scd2_streaming_foreachbatch_history(spark, tmp_path):
+    """Micro-batch history maintenance: each arriving file is a change
+    batch folded into a stored history table via foreachBatch."""
+    import time
+
+    from sparkplug_spark.operators import scd2_apply_changes
+
+    src = str(tmp_path / "cdc_src")
+    hist_dir = str(tmp_path / "cdc_history")
+    spark.createDataFrame([(1, "a0"), (2, "b0")], "id long, t string").coalesce(
+        1
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [], "id long, t string, valid_from long, valid_to long"
+    ).write.parquet(hist_dir)
+
+    def fold(batch, epoch_id):
+        hist = batch.sparkSession.read.parquet(hist_dir)
+        merged = scd2_apply_changes(
+            hist, batch, ["id"], ["t"], as_of=int(epoch_id) + 1
+        )
+        # materialized by scd2's localCheckpoint -> safe to overwrite source
+        merged.write.mode("overwrite").parquet(hist_dir)
+
+    ckpt = str(tmp_path / "cdc_ckpt")
+    stream = spark.readStream.schema("id long, t string").parquet(src)
+    # shared checkpointLocation: the second run resumes source progress
+    # and folds ONLY the new file, not a re-read of everything
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(1)
+    spark.createDataFrame([(2, "b1"), (3, "c0")], "id long, t string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    hist = {
+        (r["id"], r["t"]): (r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(hist_dir).collect()
+    }
+    assert hist[(1, "a0")][1] is None          # untouched by batch 2
+    assert hist[(2, "b0")][1] is not None      # closed
+    assert hist[(2, "b1")][1] is None          # reopened
+    assert hist[(3, "c0")][1] is None          # added
+
+
 def test_snapshot_diff_duplicate_keys_collapse(spark):
     old = spark.createDataFrame([(1, "a"), (1, "a")], ["id", "text"])
     new = spark.createDataFrame([(1, "a")], ["id", "text"])
