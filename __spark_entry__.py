@@ -1207,6 +1207,23 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "valid_from", "valid_to")
 
 
+def q_plug_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegated-surface probe: a rule condition containing a SCALAR
+    SUBQUERY over a registered view — the reference's temp-view SQL
+    executor supports this implicitly (SparkPlug.scala:104-107), and the
+    rebuild's F.expr path must too (full predicate-language parity)."""
+    part = _read(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_subq_v")
+    rule = PlugRule(
+        "above_avg",
+        "v1",
+        "p_retailprice > (select avg(p_retailprice) from part_subq_v)",
+        (PlugAction("p_type", "ABOVE AVG"),),
+    )
+    out = SparkPlug.builder(spark).create().plug(part, [rule])
+    return out.select("p_partkey", "p_type")
+
+
 def q_plug_change_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: rules engine + snapshot_diff — which part rows did
     this rule set actually change (the pre-deploy audit for a rule
@@ -2227,6 +2244,13 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "plug_subquery": """
+            SELECT p_partkey,
+                   CASE WHEN p_retailprice >
+                             (SELECT avg(p_retailprice) FROM part)
+                        THEN 'ABOVE AVG' ELSE p_type END AS p_type
+            FROM part
+        """,
         "scd2_apply": """
             WITH hist AS (
               SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9
@@ -2528,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_weekly": q_retention_weekly,
         "scd2_merge": q_scd2_merge,
         "scd2_apply": q_scd2_apply,
+        "plug_subquery": q_plug_subquery,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

@@ -401,3 +401,22 @@ def test_long_rule_chain_fuses(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert out.count() == part.count()
+
+
+def test_rule_condition_scalar_subquery(spark):
+    """Conditions may contain scalar subqueries over registered views —
+    the reference's temp-view executor (SparkPlug.scala:104-107) gets
+    this implicitly; the F.expr path must preserve it."""
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 60.0, "c")],
+        ["id", "price", "tag"],
+    )
+    df.createOrReplaceTempView("subq_probe_v")
+    rule = PlugRule(
+        "above_avg", "v1",
+        "price > (select avg(price) from subq_probe_v)",
+        (PlugAction("tag", "HI"),),
+    )
+    out = {r["id"]: r["tag"] for r in
+           SparkPlug.builder(spark).create().plug(df, [rule]).collect()}
+    assert out == {1: "a", 2: "b", 3: "HI"}  # avg = 30
