@@ -1224,6 +1224,28 @@ def q_plug_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "p_type")
 
 
+def q_plug_window_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegated-surface probe: a WINDOW FUNCTION inside a backtick
+    value (the reference's generated SELECT hosts window exprs the same
+    way; deterministic (price, key) ordering)."""
+    part = _read(spark, sf_dir, "part")
+    rule = PlugRule(
+        "brand_rank",
+        "v1",
+        "p_size >= 25",
+        (
+            PlugAction(
+                "p_type",
+                "`concat('RANK-', cast(row_number() over "
+                "(partition by p_brand order by p_retailprice, p_partkey)"
+                " as string))`",
+            ),
+        ),
+    )
+    out = SparkPlug.builder(spark).create().plug(part, [rule])
+    return out.select("p_partkey", "p_type")
+
+
 def q_plug_change_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: rules engine + snapshot_diff — which part rows did
     this rule set actually change (the pre-deploy audit for a rule
@@ -2244,6 +2266,15 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "plug_window_value": """
+            SELECT p_partkey,
+                   CASE WHEN p_size >= 25
+                        THEN 'RANK-' || (row_number() OVER
+                             (PARTITION BY p_brand
+                              ORDER BY p_retailprice, p_partkey))::VARCHAR
+                        ELSE p_type END AS p_type
+            FROM part
+        """,
         "plug_subquery": """
             SELECT p_partkey,
                    CASE WHEN p_retailprice >
@@ -2553,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_merge": q_scd2_merge,
         "scd2_apply": q_scd2_apply,
         "plug_subquery": q_plug_subquery,
+        "plug_window_value": q_plug_window_value,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

@@ -420,3 +420,24 @@ def test_rule_condition_scalar_subquery(spark):
     out = {r["id"]: r["tag"] for r in
            SparkPlug.builder(spark).create().plug(df, [rule]).collect()}
     assert out == {1: "a", 2: "b", 3: "HI"}  # avg = 30
+
+
+def test_rule_value_window_function(spark):
+    """Backtick values may contain window functions — the reference's
+    generated SELECT (PlugRule.scala:123) hosts them the same way."""
+    df = spark.createDataFrame(
+        [(1, "x", 10.0, "t"), (2, "x", 20.0, "t"), (3, "y", 5.0, "t")],
+        ["id", "brand", "price", "tag"],
+    )
+    rule = PlugRule(
+        "rank_tag", "v1", "true",
+        (PlugAction(
+            "tag",
+            "`cast(row_number() over (partition by brand order by price, id)"
+            " as string)`",
+        ),),
+    )
+    out = SparkPlug.builder(spark).create().plug(df, [rule])
+    assert sorted((r["id"], r["tag"]) for r in out.collect()) == [
+        (1, "1"), (2, "2"), (3, "1"),
+    ]
