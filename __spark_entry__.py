@@ -1207,6 +1207,36 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "valid_from", "valid_to")
 
 
+def q_expectations_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quarantine routing: each violating order row with the
+    comma-joined names of the expectations it fails (declaration
+    order — deterministic)."""
+    from sparkplug_spark.operators import Expectation, flag_violations
+
+    orders = _read(spark, sf_dir, "orders")
+    exps = [
+        Expectation(
+            "status_known", "in_set", column="o_orderstatus", values=("O", "F")
+        ),
+        Expectation(
+            "price_in_range", "in_range", column="o_totalprice",
+            lo=0.0, hi=200000.0,
+        ),
+        Expectation(
+            "urgent_over_5k", "expr",
+            predicate="o_orderpriority <> '1-URGENT' OR o_totalprice > 5000",
+        ),
+    ]
+    out = flag_violations(orders, exps)
+    return (
+        out.filter(F.size("failed_expectations") > 0)
+        .select(
+            "o_orderkey",
+            F.array_join("failed_expectations", ",").alias("failed"),
+        )
+    )
+
+
 def q_plug_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delegated-surface probe: a rule condition containing a SCALAR
     SUBQUERY over a registered view — the reference's temp-view SQL
@@ -2266,6 +2296,24 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "expectations_flags": """
+            WITH f AS (
+              SELECT o_orderkey,
+                     concat_ws(',',
+                       CASE WHEN o_orderstatus IS NOT NULL
+                                 AND o_orderstatus NOT IN ('O','F')
+                            THEN 'status_known' END,
+                       CASE WHEN o_totalprice IS NOT NULL
+                                 AND (o_totalprice < 0.0 OR o_totalprice > 200000.0)
+                            THEN 'price_in_range' END,
+                       CASE WHEN NOT coalesce(
+                                 o_orderpriority <> '1-URGENT'
+                                 OR o_totalprice > 5000, FALSE)
+                            THEN 'urgent_over_5k' END) AS failed
+              FROM orders
+            )
+            SELECT o_orderkey, failed FROM f WHERE failed <> ''
+        """,
         "plug_window_value": """
             SELECT p_partkey,
                    CASE WHEN p_size >= 25
@@ -2585,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply": q_scd2_apply,
         "plug_subquery": q_plug_subquery,
         "plug_window_value": q_plug_window_value,
+        "expectations_flags": q_expectations_flags,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
