@@ -1207,6 +1207,27 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "valid_from", "valid_to")
 
 
+def q_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical hole-filling (the north-star imputation shape): nulls
+    injected deterministically, then n_chars ← per-source exact median,
+    lang ← per-source mode (ties → smallest)."""
+    from sparkplug_spark.operators import impute_nulls
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 9 == 0, None)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+        F.when(F.col("doc_id") % 11 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    return impute_nulls(
+        docs, {"n_chars": "median", "lang": "mode"}, by=("source",)
+    )
+
+
 def q_expectations_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing: each violating order row with the
     comma-joined names of the expectations it fails (declaration
@@ -2296,6 +2317,39 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "impute_nulls": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 9 = 0 THEN NULL
+                          ELSE n_chars END AS n_chars,
+                     CASE WHEN doc_id % 11 = 0 THEN NULL
+                          ELSE lang END AS lang
+              FROM documents
+            ),
+            med AS (
+              SELECT source, n_chars AS fill_n FROM (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS rn,
+                       count(*) OVER (PARTITION BY source) AS n
+                FROM base WHERE n_chars IS NOT NULL
+              ) WHERE rn = ceil(n / 2.0)
+            ),
+            md AS (
+              SELECT source, lang AS fill_l FROM (
+                SELECT source, lang,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY count(*) DESC, lang) AS rn
+                FROM base WHERE lang IS NOT NULL GROUP BY source, lang
+              ) WHERE rn = 1
+            )
+            SELECT b.doc_id, b.source,
+                   coalesce(b.n_chars, med.fill_n) AS n_chars,
+                   coalesce(b.lang, md.fill_l) AS lang
+            FROM base b
+            LEFT JOIN med ON b.source = med.source
+            LEFT JOIN md ON b.source = md.source
+        """,
         "expectations_flags": """
             WITH f AS (
               SELECT o_orderkey,
@@ -2634,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plug_subquery": q_plug_subquery,
         "plug_window_value": q_plug_window_value,
         "expectations_flags": q_expectations_flags,
+        "impute_nulls": q_impute_nulls,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

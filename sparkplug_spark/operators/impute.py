@@ -1,0 +1,107 @@
+"""Null imputation — the statistical complement of the rules engine.
+
+The reference fills data holes with explicit SQL rules (its README's
+stated purpose); this operator fills them from the DATA: per-column
+strategies computed per group and joined back.  Use rules when the fix
+is knowable ("brand X implies category Y"), impute_nulls when it is
+statistical ("missing price → group median").
+
+Strategies (all deterministic, engine-reproducible):
+
+- ``("const", v)`` — literal fill.
+- ``"median"`` — exact rank-pick lower median of the non-null values
+  (``ceil(n/2)``-th in (value, ascending) order — never interpolation,
+  so the filled value is a value that exists and both engines agree).
+- ``"mode"`` — most frequent non-null value; ties resolve to the
+  smallest value.
+- ``"mean"`` — arithmetic mean (float; NOT oracle-hash-stable across
+  engines because double summation order differs — fine inside Spark,
+  avoid when results must reproduce bit-exactly elsewhere).
+
+Plan shape: one aggregation per (strategy) over the group key builds a
+tiny fill table (one row per group), broadcast-joined back, then a
+narrow ``coalesce`` projection.  Shuffles touch only (group, value)
+pairs; the input scans once per distinct strategy kind plus once for the
+output join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["impute_nulls"]
+
+
+def _fill_table(
+    df: DataFrame, by: list[str], col: str, strategy
+) -> DataFrame | None:
+    """(by..., __fill_<col>) one row per group; None for const."""
+    nn = df.filter(F.col(col).isNotNull())
+    out_col = f"__fill_{col}"
+    if strategy == "median":
+        w = Window.partitionBy(*by).orderBy(F.asc(col))
+        cw = Window.partitionBy(*by)
+        ranked = nn.select(
+            *by,
+            F.col(col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(cw).alias("__n"),
+        )
+        return ranked.filter(
+            F.col("__rn") == F.ceil(F.col("__n") / 2)
+        ).select(*by, F.col(col).alias(out_col))
+    if strategy == "mode":
+        counts = nn.groupBy(*by, col).agg(F.count(F.lit(1)).alias("__c"))
+        w = Window.partitionBy(*by).orderBy(F.desc("__c"), F.asc(col))
+        return (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*by, F.col(col).alias(out_col))
+        )
+    if strategy == "mean":
+        return nn.groupBy(*by).agg(F.avg(col).alias(out_col))
+    raise ValueError(f"unknown strategy {strategy!r} for column {col}")
+
+
+def impute_nulls(
+    df: DataFrame,
+    strategies: Mapping[str, object],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Fill nulls per column: ``strategies`` maps column → ``"median"`` |
+    ``"mode"`` | ``"mean"`` | ``("const", value)``; ``by`` computes the
+    statistic per group (a group whose values are ALL null keeps its
+    nulls — there is nothing to learn from; chain a const fill after
+    when a hard default is required)."""
+    if not strategies:
+        raise ValueError("strategies must be non-empty")
+    by = list(by)
+    out = df
+    for col, strat in strategies.items():
+        if isinstance(strat, tuple):
+            kind, value = strat
+            if kind != "const":
+                raise ValueError(f"unknown strategy {strat!r} for column {col}")
+            out = out.withColumn(
+                col,
+                F.coalesce(
+                    F.col(col), F.lit(value).cast(df.schema[col].dataType)
+                ),
+            )
+            continue
+        fills = _fill_table(df, by, col, strat)
+        if by:
+            joined = out.join(F.broadcast(fills), by, "left")
+        else:
+            joined = out.crossJoin(F.broadcast(fills))
+        out = joined.withColumn(
+            col,
+            F.coalesce(
+                F.col(col),
+                F.col(f"__fill_{col}").cast(df.schema[col].dataType),
+            ),
+        ).drop(f"__fill_{col}")
+    return out

@@ -1,0 +1,67 @@
+"""Null imputation: median/mode/mean/const strategies, per group."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import impute_nulls
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0, "red"),
+            (2, "a", 20.0, "red"),
+            (3, "a", 30.0, "blue"),
+            (4, "a", None, None),
+            (5, "b", 100.0, "green"),
+            (6, "b", None, None),
+            (7, "c", None, None),  # all-null group stays null
+        ],
+        "id long, g string, v double, color string",
+    )
+
+
+def test_median_and_mode_per_group(df):
+    out = {
+        r["id"]: r
+        for r in impute_nulls(
+            df, {"v": "median", "color": "mode"}, by=("g",)
+        ).collect()
+    }
+    # group a: medians of (10,20,30) -> 20; mode of (red,red,blue) -> red
+    assert out[4]["v"] == 20.0 and out[4]["color"] == "red"
+    assert out[6]["v"] == 100.0 and out[6]["color"] == "green"
+    assert out[7]["v"] is None and out[7]["color"] is None  # nothing to learn
+    # non-null rows untouched
+    assert out[3]["v"] == 30.0 and out[3]["color"] == "blue"
+
+
+def test_median_even_count_picks_lower(spark):
+    d = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["v"] for r in impute_nulls(d, {"v": "median"}).collect()}
+    assert out[5] == 20.0  # ceil(4/2)=2nd of (10,20,30,40)
+
+
+def test_mean_and_const(df):
+    out = {
+        r["id"]: r
+        for r in impute_nulls(
+            df, {"v": "mean", "color": ("const", "unknown")}, by=("g",)
+        ).collect()
+    }
+    assert out[4]["v"] == 20.0  # mean(10,20,30)
+    assert out[4]["color"] == "unknown"
+    assert out[7]["color"] == "unknown"  # const fills even all-null groups
+
+
+def test_impute_validation(df):
+    with pytest.raises(ValueError, match="non-empty"):
+        impute_nulls(df, {})
+    with pytest.raises(ValueError, match="unknown strategy"):
+        impute_nulls(df, {"v": "vibes"})
+    with pytest.raises(ValueError, match="unknown strategy"):
+        impute_nulls(df, {"v": ("fancy", 1)})
