@@ -70,6 +70,31 @@ def main() -> None:
     out = plug.plug(df, rules)
     out.show(truncate=False)
     out.explain("formatted")
+
+    # the condition/value language is the FULL Spark SQL surface — the
+    # same delegation the reference got from its temp-view executor:
+    # scalar subqueries in conditions, window functions in values
+    df.createOrReplaceTempView("orders_v")
+    from sparkplug_spark import PlugAction, PlugRule
+
+    rich = [
+        PlugRule(
+            "above_avg_price", "v1",
+            "price > (select avg(price) from orders_v)",
+            (PlugAction("status", "pricey"),),
+        ),
+        PlugRule(
+            "qty_rank", "v1", "true",
+            (PlugAction(
+                "status",
+                "`concat(status, '#', cast(row_number() over "
+                "(order by qty desc, id) as string))`",
+            ),),
+        ),
+    ]
+    SparkPlug.builder(spark).create().plug(df, rich).select(
+        "id", "price", "qty", "status"
+    ).show()
     spark.stop()
 
 
