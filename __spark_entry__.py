@@ -1265,10 +1265,18 @@ def q_plug_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild's F.expr path must too (full predicate-language parity)."""
     part = _read(spark, sf_dir, "part")
     part.createOrReplaceTempView("part_subq_v")
+    # mean compared in exact CENTS integers: a raw double avg() is
+    # summation-order dependent across engines, so a price within an ulp
+    # of the mean could flip the predicate between Spark and the oracle
+    # floor() before the int cast: Spark's double->bigint cast truncates
+    # while DuckDB's rounds; floor is the same IEEE op in both
     rule = PlugRule(
         "above_avg",
         "v1",
-        "p_retailprice > (select avg(p_retailprice) from part_subq_v)",
+        "cast(floor(p_retailprice * 100) as bigint)"
+        " * (select count(*) from part_subq_v)"
+        " > (select sum(cast(floor(p_retailprice * 100) as bigint))"
+        "    from part_subq_v)",
         (PlugAction("p_type", "ABOVE AVG"),),
     )
     out = SparkPlug.builder(spark).create().plug(part, [rule])
@@ -2379,8 +2387,10 @@ def _extension_oracles() -> dict[str, str]:
         """,
         "plug_subquery": """
             SELECT p_partkey,
-                   CASE WHEN p_retailprice >
-                             (SELECT avg(p_retailprice) FROM part)
+                   CASE WHEN floor(p_retailprice * 100)::BIGINT
+                             * (SELECT count(*) FROM part)
+                             > (SELECT sum(floor(p_retailprice * 100)::BIGINT)::BIGINT
+                                FROM part)
                         THEN 'ABOVE AVG' ELSE p_type END AS p_type
             FROM part
         """,

@@ -37,8 +37,8 @@ __all__ = ["impute_nulls"]
 
 def _fill_table(
     df: DataFrame, by: list[str], col: str, strategy
-) -> DataFrame | None:
-    """(by..., __fill_<col>) one row per group; None for const."""
+) -> DataFrame:
+    """(by..., __fill_<col>) one row per group with non-null values."""
     nn = df.filter(F.col(col).isNotNull())
     out_col = f"__fill_{col}"
     if strategy == "median":
@@ -94,9 +94,23 @@ def impute_nulls(
             continue
         fills = _fill_table(df, by, col, strat)
         if by:
-            joined = out.join(F.broadcast(fills), by, "left")
+            # null-safe join: a NULL group key is still a group and must
+            # receive the fill computed for it; fill keys renamed so the
+            # join keeps unambiguous names to drop afterwards
+            fills = fills.select(
+                *[F.col(c).alias(f"__by_{c}") for c in by], f"__fill_{col}"
+            )
+            cond = [
+                F.col(c).eqNullSafe(F.col(f"__by_{c}")) for c in by
+            ]
+            joined = out.join(F.broadcast(fills), cond, "left").drop(
+                *[f"__by_{c}" for c in by]
+            )
         else:
-            joined = out.crossJoin(F.broadcast(fills))
+            # LEFT join on true, never crossJoin: an all-null column
+            # yields a 0-row fill table, and a cross join would silently
+            # drop every output row instead of keeping the nulls
+            joined = out.join(F.broadcast(fills), F.lit(True), "left")
         out = joined.withColumn(
             col,
             F.coalesce(

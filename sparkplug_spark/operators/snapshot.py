@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["snapshot_diff", "scd2_merge", "scd2_apply_changes"]
@@ -161,6 +161,7 @@ def scd2_apply_changes(
     as_of: int,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    order_col: str | None = None,
     release: bool = True,
 ) -> DataFrame:
     """CDC-style SCD2 delta apply: fold a PARTIAL batch of upserts into a
@@ -172,10 +173,21 @@ def scd2_apply_changes(
     news", not "deleted".  Deletions must arrive as explicit tombstones
     handled upstream, or use a full-snapshot merge.
 
+    A change feed legitimately carries several events per key per batch,
+    so ``changes`` is first reduced to ONE row per key: last-wins by
+    ``order_col`` descending when given (pass the event-time/sequence
+    column), else by the largest value digest — deterministic either
+    way, never the max-digest coin-flip of feeding duplicates straight
+    into the diff.
+
     New keys open; changed keys close-and-reopen; changes identical to
     the open row are no-ops (re-delivered events don't churn history).
     One digest classification + key-routed left-semi/anti joins, same
-    exchange-reuse shape as :func:`scd2_merge`."""
+    exchange-reuse shape as :func:`scd2_merge`.  For per-epoch loops
+    (foreachBatch history maintenance) prefer ``release=False`` plus
+    ``caching.checkpoint_tracked``/``unpersist_ids`` so epoch N-1's
+    materialization blocks are freed — tested recipe in
+    ``tests/test_semistructured_snapshot.py``."""
     from ..caching import materialize_release
 
     keys = list(keys)
@@ -183,6 +195,15 @@ def scd2_apply_changes(
     closed = history.filter(F.col(valid_to).isNotNull())
     open_ = history.filter(F.col(valid_to).isNull())
     snap_cols = keys + compare_cols
+    order_by = (
+        [F.desc(order_col)] if order_col else [F.desc(_digest(compare_cols))]
+    )
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     status = snapshot_diff(
         open_.select(*snap_cols),
         changes.select(*snap_cols),

@@ -58,6 +58,27 @@ def test_mean_and_const(df):
     assert out[7]["color"] == "unknown"  # const fills even all-null groups
 
 
+def test_all_null_column_ungrouped_keeps_rows(spark):
+    d = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v double"
+    )
+    out = impute_nulls(d, {"v": "median"})
+    rows = out.collect()
+    assert len(rows) == 2 and all(r["v"] is None for r in rows)
+    out2 = impute_nulls(d, {"v": "mode"})
+    assert out2.count() == 2
+
+
+def test_null_group_key_gets_its_fill(spark):
+    d = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 30.0), (3, None, None), (4, "g", None)],
+        "id long, g string, v double",
+    )
+    out = {r["id"]: r["v"] for r in impute_nulls(d, {"v": "median"}, by=("g",)).collect()}
+    assert out[3] == 10.0  # NULL group computed and joined null-safely
+    assert out[4] is None  # group g all-null -> stays null
+
+
 def test_impute_validation(df):
     with pytest.raises(ValueError, match="non-empty"):
         impute_nulls(df, {})

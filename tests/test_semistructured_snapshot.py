@@ -184,6 +184,31 @@ def test_scd2_apply_changes_delta_semantics(spark):
     ]
 
 
+def test_scd2_apply_duplicate_keys_in_batch(spark):
+    """A change feed may deliver several events per key per batch: the
+    apply must reduce to one row per key (last-wins by order_col), never
+    lose the update or open two concurrent rows."""
+    from sparkplug_spark.operators import scd2_apply_changes
+
+    history = spark.createDataFrame(
+        [(1, "a0", 0, None)], "id long, t string, valid_from long, valid_to long"
+    )
+    changes = spark.createDataFrame(
+        [(1, "a0", 10), (1, "b1", 11), (1, "a9", 9)],
+        "id long, t string, seq long",
+    )
+    out = scd2_apply_changes(
+        history, changes, ["id"], ["t"], as_of=20, order_col="seq"
+    )
+    rows = sorted(
+        (r["id"], r["t"], r["valid_from"], r["valid_to"]) for r in out.collect()
+    )
+    # seq=11 wins: old closed, exactly one open row with 'b1'
+    assert rows == [(1, "a0", 0, 20), (1, "b1", 20, None)]
+    open_rows = [r for r in rows if r[3] is None]
+    assert len(open_rows) == 1
+
+
 def test_scd2_streaming_foreachbatch_history(spark, tmp_path):
     """Micro-batch history maintenance: each arriving file is a change
     batch folded into a stored history table via foreachBatch."""
@@ -201,12 +226,19 @@ def test_scd2_streaming_foreachbatch_history(spark, tmp_path):
     ).write.parquet(hist_dir)
 
     def fold(batch, epoch_id):
+        # the leak-free per-epoch recipe: release=False (no session-lifetime
+        # localCheckpoint inside the operator), checkpoint_tracked to
+        # materialize BEFORE overwriting the directory being read, then
+        # free this epoch's blocks once the write is durable
+        from sparkplug_spark.caching import checkpoint_tracked, unpersist_ids
+
         hist = batch.sparkSession.read.parquet(hist_dir)
         merged = scd2_apply_changes(
-            hist, batch, ["id"], ["t"], as_of=int(epoch_id) + 1
+            hist, batch, ["id"], ["t"], as_of=int(epoch_id) + 1, release=False
         )
-        # materialized by scd2's localCheckpoint -> safe to overwrite source
+        merged, ids = checkpoint_tracked(merged)
         merged.write.mode("overwrite").parquet(hist_dir)
+        unpersist_ids(batch.sparkSession, ids)
 
     ckpt = str(tmp_path / "cdc_ckpt")
     stream = spark.readStream.schema("id long, t string").parquet(src)
