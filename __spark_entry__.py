@@ -1228,6 +1228,26 @@ def q_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_plug_hof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegated-surface probe: HIGHER-ORDER FUNCTIONS (lambda
+    aggregate over a generated sequence) inside a backtick value; the
+    oracle checks the closed form of the same triangle number."""
+    part = _read(spark, sf_dir, "part")
+    rule = PlugRule(
+        "triangle_size",
+        "v1",
+        "p_size >= 10",
+        (
+            PlugAction(
+                "p_size",
+                "`aggregate(sequence(1, p_size), 0, (acc, x) -> acc + x)`",
+            ),
+        ),
+    )
+    out = SparkPlug.builder(spark).create().plug(part, [rule])
+    return out.select("p_partkey", F.col("p_size").cast("long").alias("p_size"))
+
+
 def q_expectations_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing: each violating order row with the
     comma-joined names of the expectations it fails (declaration
@@ -2325,6 +2345,13 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "plug_hof_value": """
+            SELECT p_partkey,
+                   CASE WHEN p_size >= 10
+                        THEN (p_size::BIGINT * (p_size + 1)) // 2
+                        ELSE p_size::BIGINT END AS p_size
+            FROM part
+        """,
         "impute_nulls": """
             WITH base AS (
               SELECT doc_id, source,
@@ -2699,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "plug_window_value": q_plug_window_value,
         "expectations_flags": q_expectations_flags,
         "impute_nulls": q_impute_nulls,
+        "plug_hof_value": q_plug_hof_value,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
