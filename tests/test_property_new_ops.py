@@ -108,3 +108,42 @@ def test_snapshot_diff_reconstructs_mutations(spark):
     assert got.get("added", set()) == set(added)
     assert got.get("removed", set()) == removed
     assert got.get("changed", set()) == changed
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_impute_median_mode_match_python_model(spark, seed):
+    from sparkplug_spark.operators import impute_nulls
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(200):
+        g = rng.choice("abc")
+        v = None if rng.random() < 0.2 else float(rng.randint(0, 20))
+        s = None if rng.random() < 0.2 else rng.choice("xyz")
+        rows.append((i, g, v, s))
+    df = spark.createDataFrame(rows, "id long, g string, v double, s string")
+    out = {
+        r["id"]: r
+        for r in impute_nulls(df, {"v": "median", "s": "mode"}, by=("g",)).collect()
+    }
+    # python model: lower median (ceil(n/2)-th sorted), mode w/ min-value tie
+    import math
+    from collections import Counter
+
+    fills = {}
+    for g in "abc":
+        vals = sorted(v for i, gg, v, s in rows if gg == g and v is not None)
+        med = vals[math.ceil(len(vals) / 2) - 1] if vals else None
+        ss = [s for i, gg, v, s in rows if gg == g and s is not None]
+        mode = (
+            min(
+                (t for t in Counter(ss).items()),
+                key=lambda t: (-t[1], t[0]),
+            )[0]
+            if ss
+            else None
+        )
+        fills[g] = (med, mode)
+    for i, g, v, s in rows:
+        assert out[i]["v"] == (v if v is not None else fills[g][0])
+        assert out[i]["s"] == (s if s is not None else fills[g][1])
