@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import materialize_release
-from ..functions.text import hash60, hashed_shingles_pd, tokens_pd, word_shingles_pd
+from ..functions.text import hash60, hashed_shingles_pd, tokens_pd
 from ..partitioning import spread
 
 __all__ = [

@@ -14,7 +14,6 @@ state size and lateness.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
 from typing import Any, Iterator, Tuple
 
 import pandas as pd
