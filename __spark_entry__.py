@@ -1248,6 +1248,17 @@ def q_plug_hof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", F.col("p_size").cast("long").alias("p_size"))
 
 
+def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance components between the event value and
+    the JSON props field — correlation that reproduces bit-identically in
+    any engine (no raw double corr())."""
+    from sparkplug_spark.operators import covariance_components, extract_json_fields
+
+    ev = read_events(spark, sf_dir)
+    ex = extract_json_fields(ev, "props", {"k": ("$.k", "bigint")})
+    return covariance_components(ex, [("value", "k")], scale=100)
+
+
 def q_expectations_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing: each violating order row with the
     comma-joined names of the expectations it fails (declaration
@@ -2345,6 +2356,25 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "covariance": """
+            WITH e AS (
+              SELECT value,
+                     try_cast(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                              AS BIGINT) AS k
+              FROM events
+            ),
+            s AS (
+              SELECT floor(value * 100)::BIGINT AS xi,
+                     floor(k * 100)::BIGINT AS yi
+              FROM e WHERE value IS NOT NULL AND k IS NOT NULL
+            )
+            SELECT 'value' AS x_col, 'k' AS y_col, count(*)::BIGINT AS n,
+                   sum(xi)::BIGINT AS sum_x, sum(yi)::BIGINT AS sum_y,
+                   sum(xi * xi)::BIGINT AS sum_xx,
+                   sum(yi * yi)::BIGINT AS sum_yy,
+                   sum(xi * yi)::BIGINT AS sum_xy
+            FROM s
+        """,
         "plug_hof_value": """
             SELECT p_partkey,
                    CASE WHEN p_size >= 10
@@ -2727,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_flags": q_expectations_flags,
         "impute_nulls": q_impute_nulls,
         "plug_hof_value": q_plug_hof_value,
+        "covariance": q_covariance,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["column_profile", "histogram", "length_quartiles_by_source"]
+__all__ = ["column_profile", "histogram", "length_quartiles_by_source", "covariance_components"]
 
 
 def column_profile(
@@ -140,3 +140,56 @@ def length_quartiles_by_source(
         _at(F.expr("(3 * __n + 3) div 4")).alias("q3"),
         F.max(v).alias("max_v"),
     )
+
+
+def covariance_components(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    scale: int = 100,
+) -> DataFrame:
+    """Exact integer moment components for column pairs — the
+    engine-reproducible way to ship correlation/covariance out of a
+    profile (a raw ``corr()`` double depends on each engine's summation
+    order; these BIGINT sums do not).
+
+    Each column is scaled to integers (``floor(col * scale)`` — the same
+    IEEE floor everywhere) and, per pair, rows where BOTH are non-null
+    contribute to ``(n, sum_x, sum_y, sum_xx, sum_yy, sum_xy)``.
+    Consumers derive ``cov = (sum_xy - sum_x*sum_y/n) / n`` and
+    ``corr`` from the components with one division at the end.
+
+    ONE aggregation job for all pairs (map-side partials); overflow
+    bound: ``|col*scale|`` must stay under ``sqrt(2^63 / n_rows)`` —
+    raise ``scale`` only as far as the domain allows."""
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    aggs = []
+    for i, (x, y) in enumerate(pairs):
+        xi = F.floor(F.col(x) * scale).cast("long")
+        yi = F.floor(F.col(y) * scale).cast("long")
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        gx = F.when(both, xi)
+        gy = F.when(both, yi)
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"__n{i}"),
+            F.coalesce(F.sum(gx), F.lit(0)).alias(f"__sx{i}"),
+            F.coalesce(F.sum(gy), F.lit(0)).alias(f"__sy{i}"),
+            F.coalesce(F.sum(gx * gx), F.lit(0)).alias(f"__sxx{i}"),
+            F.coalesce(F.sum(gy * gy), F.lit(0)).alias(f"__syy{i}"),
+            F.coalesce(F.sum(gx * gy), F.lit(0)).alias(f"__sxy{i}"),
+        ]
+    row = df.agg(*aggs)
+    items = [
+        F.struct(
+            F.lit(x).alias("x_col"),
+            F.lit(y).alias("y_col"),
+            F.col(f"__n{i}").alias("n"),
+            F.col(f"__sx{i}").alias("sum_x"),
+            F.col(f"__sy{i}").alias("sum_y"),
+            F.col(f"__sxx{i}").alias("sum_xx"),
+            F.col(f"__syy{i}").alias("sum_yy"),
+            F.col(f"__sxy{i}").alias("sum_xy"),
+        )
+        for i, (x, y) in enumerate(pairs)
+    ]
+    return row.select(F.explode(F.array(*items)).alias("__e")).select("__e.*")

@@ -101,3 +101,35 @@ def test_build_vocab(spark):
 
     with _p.raises(ValueError, match="positive"):
         build_vocab(df, max_size=0)
+
+
+def test_covariance_components(spark):
+    import math
+
+    from sparkplug_spark.operators import covariance_components
+
+    rows = [(1.25, 2.0), (-0.5, 4.0), (3.0, None), (None, 1.0), (2.5, -1.5)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = covariance_components(df, [("x", "y"), ("x", "x")], scale=100).collect()
+    out = {(t["x_col"], t["y_col"]): t for t in r}
+    both = [(x, y) for x, y in rows if x is not None and y is not None]
+    xi = [math.floor(x * 100) for x, _ in both]
+    yi = [math.floor(y * 100) for _, y in both]
+    c = out[("x", "y")]
+    assert c["n"] == 3
+    assert c["sum_x"] == sum(xi) and c["sum_y"] == sum(yi)
+    assert c["sum_xy"] == sum(a * b for a, b in zip(xi, yi))
+    assert c["sum_xx"] == sum(a * a for a in xi)
+    # derived corr matches numpy on the scaled ints
+    import numpy as np
+
+    corr = np.corrcoef(xi, yi)[0, 1]
+    n, sx, sy = c["n"], c["sum_x"], c["sum_y"]
+    num = c["sum_xy"] - sx * sy / n
+    den = math.sqrt((c["sum_xx"] - sx * sx / n) * (c["sum_yy"] - sy * sy / n))
+    assert abs(num / den - corr) < 1e-12
+    assert out[("x", "x")]["n"] == 4
+    import pytest as _p
+
+    with _p.raises(ValueError, match="non-empty"):
+        covariance_components(df, [])
