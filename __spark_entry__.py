@@ -1248,6 +1248,15 @@ def q_plug_hof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", F.col("p_size").cast("long").alias("p_size"))
 
 
+def q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-N global sample by md5 order (eval-subset
+    carving; TakeOrdered plan, no global sort shuffle)."""
+    from sparkplug_spark.operators import sample_exact_n
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_exact_n(docs, 100).select("doc_id", "source", "n_chars")
+
+
 def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer covariance components between the event value and
     the JSON props field — correlation that reproduces bit-identically in
@@ -2356,6 +2365,11 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, 100::BIGINT, NULL::BIGINT
               FROM st WHERE status IN ('added', 'changed')
         """,
+        "sample_exact": """
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY md5(doc_id::VARCHAR), doc_id
+            LIMIT 100
+        """,
         "covariance": """
             WITH e AS (
               SELECT value,
@@ -2758,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_nulls": q_impute_nulls,
         "plug_hof_value": q_plug_hof_value,
         "covariance": q_covariance,
+        "sample_exact": q_sample_exact,
         "vocab_top": q_vocab_top,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

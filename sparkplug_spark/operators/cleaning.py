@@ -37,6 +37,7 @@ __all__ = [
     "decontaminate",
     "decontaminate_fuzzy",
     "sample_per_key",
+    "sample_exact_n",
     "stratified_sample",
     "oversample_by_key",
     "pack_token_budget",
@@ -773,4 +774,32 @@ def mixture_report(
             actual_ppm > 0,
             F.floor(tgt * F.lit(1000000.0) / actual_ppm).cast("long"),
         ).alias("factor_ppm"),
+    )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global sample of EXACTLY ``n`` rows: the n smallest
+    md5(salt ‖ id) values — eval-subset carving where "10k docs, same
+    ones every run, any cluster size, any engine" matters and a
+    fractional ``sample()`` can't deliver either exactness or
+    reproducibility.
+
+    The md5 order is uniform-pseudorandom but a pure function of the id,
+    so re-runs and other engines pick the identical set; vary ``salt``
+    to draw a different (still deterministic) sample.  Plan: Spark turns
+    the orderBy+limit into TakeOrdered — per-partition top-n heaps, no
+    global sort shuffle."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__smp", key)
+        .orderBy(F.asc("__smp"), F.asc(id_col))
+        .limit(n)
+        .drop("__smp")
     )

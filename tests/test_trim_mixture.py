@@ -133,3 +133,19 @@ def test_covariance_components(spark):
 
     with _p.raises(ValueError, match="non-empty"):
         covariance_components(df, [])
+
+
+def test_sample_exact_n(spark):
+    from sparkplug_spark.operators import sample_exact_n
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(100)], "doc_id long, t string")
+    a = {r["doc_id"] for r in sample_exact_n(df, 10).collect()}
+    b = {r["doc_id"] for r in sample_exact_n(df, 10).collect()}
+    assert len(a) == 10 and a == b  # exact and reproducible
+    c = {r["doc_id"] for r in sample_exact_n(df, 10, salt="v2").collect()}
+    assert c != a  # salted redraw
+    assert len({r["doc_id"] for r in sample_exact_n(df, 200).collect()}) == 100
+    import pytest as _p
+
+    with _p.raises(ValueError, match="positive"):
+        sample_exact_n(df, 0)
