@@ -90,6 +90,12 @@ def main() -> None:
             for rid in jmap.keySet().toArray():
                 jmap.get(rid).unpersist(False)
             spark.catalog.clearCache()
+            # force a JVM GC so the ContextCleaner actually reaps stale
+            # broadcasts/shuffles between passes: across 80+ queries x 3
+            # passes the un-collected state inflates late queries 2-3x
+            # (observed: tail LSH queries at 4.9s in the full run vs 2.0s
+            # in a fresh session).  Runs OUTSIDE the timed region.
+            spark.sparkContext._jvm.System.gc()
             done += 1
             if (
                 done == passes
