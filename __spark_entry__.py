@@ -1268,6 +1268,61 @@ def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_components(ex, [("value", "k")], scale=100)
 
 
+def q_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event-rate outliers, flagged with the exact
+    integer z-test ((n*c-s)^2 > k^2*(n*ssq-s^2)) — no float stddev."""
+    from sparkplug_spark.operators import rate_anomalies
+
+    ev = read_events(spark, sf_dir)
+    return rate_anomalies(ev, window_seconds=3600, k=2)
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: counts, exact distinct types/days,
+    epoch-second first/last seen, decimal-exact value_micros."""
+    from sparkplug_spark.operators import user_activity_profile
+
+    ev = read_events(spark, sf_dir)
+    return user_activity_profile(ev, value_col="value", exact_distinct=True)
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix on the order-insensitive token
+    fingerprint: which corpus slices share planted near-dup content."""
+    from sparkplug_spark.functions import token_fingerprint
+    from sparkplug_spark.operators import cross_source_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    return cross_source_overlap(docs, digest=token_fingerprint(F.col("text")))
+
+
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token quality ratio per document (corpus count < 5):
+    OOV-heavy docs score high; integer ppm output."""
+    from sparkplug_spark.operators import rare_token_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    return rare_token_ratio(docs, min_count=5)
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 tokens by ppm-share drift between two corpus slices —
+    the crawl-over-crawl distribution-shift monitor."""
+    from sparkplug_spark.operators import token_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_drift(docs, "src0", "src1", top_n=100)
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest join keys on lineitem.l_suppkey with integer share/skew
+    multiples — the pre-flight that picks plain vs salted joins."""
+    from sparkplug_spark.operators import key_skew_report
+
+    li = _read(spark, sf_dir, "lineitem")
+    return key_skew_report(li, ["l_suppkey"], top_n=25)
+
+
 def q_expectations_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing: each violating order row with the
     comma-joined names of the expectations it fails (declaration
@@ -2396,6 +2451,126 @@ def _extension_oracles() -> dict[str, str]:
                         ELSE p_size::BIGINT END AS p_size
             FROM part
         """,
+        "rate_anomalies": """
+            WITH c AS (
+              SELECT event_type,
+                     ((((epoch_ns(ts) // 1000) // 1000000) // 3600) * 3600)::BIGINT
+                       AS window_start,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(n_events)::BIGINT AS s,
+                     sum(n_events * n_events)::BIGINT AS ssq
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, c.window_start, c.n_events,
+                   ((m.n * c.n_events - m.s) * (m.n * c.n_events - m.s)
+                    > 4 * (m.n * m.ssq - m.s * m.s)) AS is_anomaly
+            FROM c JOIN m USING (event_type)
+        """,
+        "user_activity": """
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   count(DISTINCT event_type)::BIGINT AS n_event_types,
+                   count(DISTINCT ((epoch_ns(ts) // 1000) // 1000000) // 86400
+                        )::BIGINT AS n_active_days,
+                   min((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS first_seen,
+                   max((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS last_seen,
+                   sum((value::DECIMAL(28,6) * 1000000)::BIGINT)::BIGINT
+                     AS value_micros
+            FROM events GROUP BY user_id
+        """,
+        "rare_tokens": f"""
+            WITH ne AS (
+              SELECT doc_id, token FROM (
+                SELECT doc_id, unnest({{toks}}) AS token FROM documents
+              ) WHERE token != ''
+            ),
+            fr AS (
+              SELECT token FROM ne GROUP BY token HAVING count(*) >= 5
+            ),
+            pd AS (
+              SELECT ne.doc_id, count(*)::BIGINT AS n_tokens,
+                     sum((fr.token IS NULL)::BIGINT)::BIGINT AS n_rare
+              FROM ne LEFT JOIN fr USING (token) GROUP BY ne.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(pd.n_rare, 0)::BIGINT AS n_rare,
+                   (CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0
+                         ELSE (1000000 * pd.n_rare) // pd.n_tokens
+                    END)::BIGINT AS rare_ppm
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """.format(toks=_sql_tokens("text")),
+        "token_drift": f"""
+            WITH c AS (
+              SELECT g, token, count(*)::BIGINT AS n FROM (
+                SELECT source AS g, unnest({{toks}}) AS token
+                FROM documents WHERE source IN ('src0', 'src1')
+              ) WHERE token != '' GROUP BY 1, 2
+            ),
+            p AS (
+              SELECT token,
+                     sum(CASE WHEN g = 'src0' THEN n ELSE 0 END)::BIGINT AS cnt_a,
+                     sum(CASE WHEN g = 'src1' THEN n ELSE 0 END)::BIGINT AS cnt_b
+              FROM c GROUP BY token
+            ),
+            t AS (
+              SELECT sum(cnt_a)::BIGINT AS tot_a, sum(cnt_b)::BIGINT AS tot_b
+              FROM p
+            ),
+            s AS (
+              SELECT token, cnt_a, cnt_b,
+                     ((1000000 * cnt_a) // tot_a)::BIGINT AS ppm_a,
+                     ((1000000 * cnt_b) // tot_b)::BIGINT AS ppm_b
+              FROM p CROSS JOIN t
+            )
+            SELECT token, cnt_a, cnt_b, ppm_a, ppm_b,
+                   (ppm_a - ppm_b)::BIGINT AS delta_ppm,
+                   (row_number() OVER (ORDER BY abs(ppm_a - ppm_b) DESC, token)
+                   )::BIGINT AS rank
+            FROM s
+            QUALIFY rank <= 100
+        """.format(toks=_sql_tokens("text")),
+        "cross_source_overlap": f"""
+            WITH d AS (
+              SELECT DISTINCT
+                md5(array_to_string(list_sort(list_distinct({{toks}})), ' ')) AS dg,
+                source AS g
+              FROM documents
+            ),
+            t AS (SELECT g, count(*)::BIGINT AS n FROM d GROUP BY g),
+            s AS (
+              SELECT a.g AS source_a, b.g AS source_b, count(*)::BIGINT AS n_shared
+              FROM d a JOIN d b ON a.dg = b.dg AND a.g < b.g
+              GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+                   ((1000000 * n_shared) // (ta.n + tb.n - n_shared))::BIGINT
+                     AS jaccard_ppm
+            FROM s
+            JOIN t ta ON ta.g = s.source_a
+            JOIN t tb ON tb.g = s.source_b
+        """.format(toks=_sql_tokens("text")),
+        "skew_report": """
+            WITH c AS (
+              SELECT coalesce(l_suppkey::VARCHAR, '<NULL>') AS key,
+                     count(*)::BIGINT AS n_rows
+              FROM lineitem GROUP BY 1
+            ),
+            t AS (
+              SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS n_keys
+              FROM c
+            )
+            SELECT key, n_rows,
+                   ((1000000 * n_rows) // total)::BIGINT AS share_ppm,
+                   ((1000 * n_rows * n_keys) // total)::BIGINT AS avg_multiple_ppk,
+                   (row_number() OVER (ORDER BY n_rows DESC, key))::BIGINT AS rank
+            FROM c CROSS JOIN t
+            QUALIFY rank <= 25
+        """,
         "impute_nulls": """
             WITH base AS (
               SELECT doc_id, source,
@@ -2774,6 +2949,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariance": q_covariance,
         "sample_exact": q_sample_exact,
         "vocab_top": q_vocab_top,
+        "rate_anomalies": q_rate_anomalies,
+        "user_activity": q_user_activity,
+        "cross_source_overlap": q_cross_source_overlap,
+        "rare_tokens": q_rare_tokens,
+        "token_drift": q_token_drift,
+        "skew_report": q_skew_report,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -47,6 +47,7 @@ __all__ = [
     "minhash_lsh_join",
     "simhash_pairs",
     "embedding_near_dup_pairs",
+    "cross_source_overlap",
 ]
 
 
@@ -630,3 +631,80 @@ def minhash_lsh_pairs_ml(
         )
     )
     return materialize_release(out, base, release=release)
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    normalize: bool = True,
+    digest: Column | None = None,
+) -> DataFrame:
+    """Cross-slice duplication matrix: for every pair of corpus slices
+    (sources, crawls, snapshots), how much exact-duplicate content they
+    share - the provenance audit run before mixing corpora (double-counted
+    content silently over-weights itself at training time).
+
+    Output: (source_a, source_b, n_shared, n_a, n_b, jaccard_ppm), one row
+    per unordered slice pair that shares at least one digest, with
+    ``source_a < source_b`` lexicographically.  ``n_a``/``n_b`` are each
+    slice's distinct-content counts and ``jaccard_ppm = 1e6*n_shared //
+    (n_a + n_b - n_shared)`` - exact integer division, BIGINT everywhere.
+
+    Plan: rows reduce to DISTINCT (digest, slice) pairs - 16-byte keys,
+    never text - before the digest self-join; distinct slices per digest
+    is tiny (bounded by the slice count), so the join fans out per shared
+    digest, not per row.  Slice totals are a second aggregate over the
+    same distinct table, broadcast back onto the (small) pair matrix.
+
+    Pass ``digest`` for a custom content key (e.g.
+    :func:`~..functions.token_fingerprint` for word-order-insensitive
+    overlap — the right key when slices hold near-identical boilerplate
+    with shuffled phrasing)."""
+    if digest is None:
+        digest = _digest(F.col(text_col), normalize)
+    # three consumers (both self-join sides + the totals aggregate) read
+    # the distinct table: persist it so the digest kernel and the distinct
+    # shuffle run once, and release it once the tiny matrix materializes
+    pairs = (
+        spread(df)
+        .select(digest.alias("digest"), F.col(group_col).alias("g"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        shared.join(
+            F.broadcast(
+                totals.select(F.col("g").alias("source_a"), F.col("n").alias("n_a"))
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                totals.select(F.col("g").alias("source_b"), F.col("n").alias("n_b"))
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * n_shared) DIV (n_a + n_b - n_shared)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    return materialize_release(out, pairs)

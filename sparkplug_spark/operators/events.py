@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from ..caching import materialize_release
 from ..partitioning import spread
 
-__all__ = ["sessionize", "funnel_counts", "retention_cohorts"]
+__all__ = [
+    "sessionize",
+    "funnel_counts",
+    "retention_cohorts",
+    "rate_anomalies",
+    "user_activity_profile",
+]
 
 
 def sessionize(
@@ -157,3 +163,96 @@ def retention_cohorts(
         joined.groupBy("cohort_period", "period_offset")
         .agg(F.countDistinct("u").alias("n_users"))
     )
+
+
+def rate_anomalies(
+    df: DataFrame,
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    window_seconds: int = 3600,
+    k: int = 3,
+) -> DataFrame:
+    """Tumbling-window event-rate outliers per type: (event_type,
+    window_start, n_events, is_anomaly), flagging windows whose count is
+    more than ``k`` standard deviations from that type's mean rate.
+
+    The test is evaluated in EXACT integer arithmetic so the boolean is
+    bit-identical in any engine: with per-type window-count moments
+    ``n = #windows``, ``s = Σc``, ``ssq = Σc²``,
+
+        |c − s/n| > k·σ   ⇔   (n·c − s)² > k²·(n·ssq − s²)
+
+    (both sides BIGINT — no float mean/stddev whose summation order could
+    flip a borderline flag).  Empty windows are absent from the input and
+    therefore from the baseline: the moments describe ACTIVE windows only.
+
+    Plan shape: one map-side-combined aggregation reduces the raw log to
+    the (type, window) count table — tiny even at 100 TB (types ×
+    windows) — then an unbounded per-type window computes the moments over
+    that reduced table, never over raw events."""
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    wstart = (
+        F.expr(f"CAST({time_col} AS LONG) DIV {window_seconds}")
+        * F.lit(window_seconds)
+    ).cast("long")
+    counts = (
+        df.select(F.col(type_col).alias("event_type"), wstart.alias("window_start"))
+        .groupBy("event_type", "window_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("n_events").over(w)
+    ssq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    c = F.col("n_events")
+    lhs = (n * c - s) * (n * c - s)
+    rhs = F.lit(int(k) * int(k)) * (n * ssq - s * s)
+    return counts.select(
+        "event_type",
+        "window_start",
+        "n_events",
+        (lhs > rhs).alias("is_anomaly"),
+    )
+
+
+def user_activity_profile(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str | None = None,
+    exact_distinct: bool = False,
+    day_seconds: int = 86400,
+) -> DataFrame:
+    """Per-entity activity profile — the feature-extraction pass of an
+    event log: (user_id, n_events, n_event_types, n_active_days,
+    first_seen, last_seen[, value_micros]).
+
+    ``first_seen``/``last_seen`` are epoch-second BIGINTs (never raw
+    timestamps: sub-second storage precision differs across engines) and
+    ``value_micros`` is the DECIMAL-summed value scaled to an exact
+    BIGINT, per the cross-engine output-type contract.
+
+    ``exact_distinct=False`` (default) profiles with HyperLogL++
+    sketches: two exact distincts over different columns would expand
+    every input row once per distinct aggregate at 100 TB.  The exact
+    knob exists for oracle-grade consumers."""
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
+    day = F.expr(f"CAST({time_col} AS LONG) DIV {day_seconds}")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        nd(F.col(type_col)).alias("n_event_types"),
+        nd(day).alias("n_active_days"),
+        F.min(F.col(time_col).cast("long")).alias("first_seen"),
+        F.max(F.col(time_col).cast("long")).alias("last_seen"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(
+                (F.col(value_col).cast("decimal(28,6)") * F.lit(1000000)).cast("long")
+            ).alias("value_micros")
+        )
+    return spread(df).groupBy(F.col(user_col).alias("user_id")).agg(*aggs)

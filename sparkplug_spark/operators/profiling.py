@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["column_profile", "histogram", "length_quartiles_by_source", "covariance_components"]
+__all__ = [
+    "column_profile",
+    "histogram",
+    "length_quartiles_by_source",
+    "covariance_components",
+    "key_skew_report",
+]
 
 
 def column_profile(
@@ -193,3 +199,63 @@ def covariance_components(
         for i, (x, y) in enumerate(pairs)
     ]
     return row.select(F.explode(F.array(*items)).alias("__e")).select("__e.*")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Join/aggregation pre-flight skew diagnostic: the ``top_n`` heaviest
+    key values with their row share and their multiple of the average key
+    load - the numbers that decide between a plain shuffle join, AQE skew
+    handling, and an explicit salt (:func:`~.joins.salted_join`).
+
+    Output: (key, n_rows, share_ppm, avg_multiple_ppk, rank) where ``key``
+    is the concatenated string form of ``key_cols`` (NULLs rendered as a
+    literal marker - NULL keys are the classic skew culprit and must stay
+    visible), ``share_ppm = 1e6*n // total`` and ``avg_multiple_ppk =
+    1000*n*n_keys // total`` (1000 = exactly average load) - all exact
+    integer arithmetic, BIGINT in every engine.
+
+    Plan: one map-side-combined count per key, scalar (total, n_keys) via
+    a second tiny aggregate cross-joined back (broadcast of one row), and
+    a TakeOrdered top-N - per-partition heaps, no global sort shuffle; the
+    rank window touches only the ``top_n`` survivors."""
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    key = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in key_cols]
+    )
+    counts = (
+        spread(df)
+        .select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.expr("(1000000 * n_rows) DIV __total").alias("share_ppm"),
+            F.expr("(1000 * n_rows * __n_keys) DIV __total").alias(
+                "avg_multiple_ppk"
+            ),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_n)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_rows").desc(), F.col("key")))
+            .cast("long"),
+        )
+    )

@@ -27,6 +27,8 @@ __all__ = [
     "text_fingerprints",
     "top_tokens",
     "distinctive_tokens",
+    "rare_token_ratio",
+    "token_drift",
 ]
 
 
@@ -212,3 +214,142 @@ def build_vocab(
     return counts.withColumn("rank", F.row_number().over(w)).select(
         "token", "n", "rank"
     )
+
+
+def rare_token_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    release: bool = True,
+) -> DataFrame:
+    """Rare-token quality signal: per document, the fraction of token
+    INSTANCES whose corpus-wide count is below ``min_count`` —
+    OOV-heavy/gibberish documents score high, natural text low (the
+    vocabulary-coverage quality filter of CCNet-style pipelines, without
+    the engine-dependent LM perplexity).
+
+    Output: (doc_id, n_tokens, n_rare, rare_ppm) — ``rare_ppm`` is
+    ``1e6·n_rare // n_tokens`` (exact integer division; BIGINT in every
+    engine).  Empty documents report 0/0/0.
+
+    Plan: tokenize once (persisted — both the corpus-count aggregate and
+    the per-doc join consume it), reduce to the FREQUENT vocabulary
+    (count ≥ min_count — the head of the Zipf curve, far smaller than the
+    full vocab), left-join exploded tokens against it on the token key:
+    unmatched = rare.  AQE broadcasts the frequent table when it fits;
+    otherwise it's a plain shuffled equi-join on the token key — never a
+    driver-side vocabulary collect."""
+    from pyspark.storagelevel import StorageLevel
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    exploded = (
+        spread(df)
+        .select(F.col(id_col), F.explode(tokens_pd(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frequent = (
+        exploded.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("token", F.lit(True).alias("__freq"))
+    )
+    per_doc = (
+        exploded.join(frequent, "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__freq").isNull().cast("long")).alias("n_rare"),
+        )
+    )
+    # docs whose tokenization is empty never reach the explode: restore
+    # them with zero counts so the operator is total over the input.
+    # integer DIV, never double-divide-then-cast: a quotient just below an
+    # integer can round UP to it as a double, truncating differently than
+    # an engine's exact floor division
+    out = (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+        )
+        .withColumn(
+            "rare_ppm",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("(1000000 * n_rare) DIV n_tokens")
+            ),
+        )
+    )
+    return materialize_release(out, exploded, release=release)
+
+
+def token_drift(
+    df: DataFrame,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 100,
+    release: bool = True,
+) -> DataFrame:
+    """Token-distribution drift between two corpus slices (sources,
+    snapshots, time windows): the ``top_n`` tokens whose parts-per-million
+    share moved the most between slice ``group_a`` and slice ``group_b`` —
+    the monitoring pass that catches topic/pipeline shift between crawls
+    before a model trains on it.
+
+    Output: (token, cnt_a, cnt_b, ppm_a, ppm_b, delta_ppm, rank), ranked
+    by |delta_ppm| descending with the token string as the deterministic
+    tiebreak.  Shares are exact integer ppm (1e6·cnt // total), so both
+    engines rank identically.
+
+    Plan: one map-side-combined (slice, token) count over the two slices
+    only (filter pushed to the scan), conditional-sum pivot to one row per
+    token, scalar totals via a 1-row cross join (broadcast), then a
+    TakeOrdered top-N — per-partition heaps, no global sort shuffle; the
+    rank window runs over the ``top_n`` collected rows only."""
+    from pyspark.sql import Window
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    sliced = spread(df).filter(F.col(group_col).isin([group_a, group_b]))
+    counts = (
+        sliced.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens_pd(F.col(text_col))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("g", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_token = counts.groupBy("token").agg(
+        F.sum(F.when(F.col("g") == group_a, F.col("n")).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("g") == group_b, F.col("n")).otherwise(0)).alias("cnt_b"),
+    )
+    totals = per_token.agg(
+        F.sum("cnt_a").alias("__tot_a"), F.sum("cnt_b").alias("__tot_b")
+    )
+    # integer DIV (exact floor) — see rare_token_ratio for why not a
+    # double division.  Totals are per-slice token instances: the 1e6
+    # product stays far inside LONG range for any real corpus slice.
+    ppm_a = F.expr("(1000000 * cnt_a) DIV __tot_a")
+    ppm_b = F.expr("(1000000 * cnt_b) DIV __tot_b")
+    scored = (
+        per_token.crossJoin(F.broadcast(totals))
+        .select(
+            "token",
+            "cnt_a",
+            "cnt_b",
+            ppm_a.alias("ppm_a"),
+            ppm_b.alias("ppm_b"),
+            (ppm_a - ppm_b).alias("delta_ppm"),
+        )
+        .orderBy(F.abs(F.col("delta_ppm")).desc(), F.col("token"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.abs(F.col("delta_ppm")).desc(), F.col("token"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
