@@ -23,12 +23,25 @@ from pyspark.sql import functions as F
 from sparkplug_spark import PlugAction, PlugRule, SparkPlug
 
 
+# DataFrame-plan cache: re-reading the same parquet path re-lists files and
+# re-reads footers on every call (~0.1 s/table driver-side).  A real cluster
+# amortizes this through the catalog/metastore; keying on the session object
+# itself both prevents cross-session reuse and avoids id() collisions after a
+# session is stopped and garbage-collected.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # parquet timestamps are tz-naive; DuckDB compares them naively.  Pin the
     # session to UTC so Spark's literal parsing and datetime rendering agree
     # with the oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    key = (spark, sf_dir, table)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +266,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp_ntz on Spark >= 4.1) and TIMESTAMP(MICROS) isAdjustedToUTC=false
     (reads as timestamp_ntz). All paths land on identical micros values."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark, sf_dir, "events:normalized")
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     try:  # no-op on Spark >= 4.1 where the legacy conf was removed
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -261,10 +278,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
         # integer `div`, NOT `/`: double division loses µs at 1.7e18 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
         # wall-clock-preserving under the UTC session timezone set above
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -131,6 +131,7 @@ def apply_rule(
     details_entry_builder: Callable[[PlugRule], Column] = default_details_entry,
     keep_old_field: bool = False,
     lenient: bool = False,
+    fields: dict[str, T.DataType] | None = None,
 ) -> DataFrame:
     """Apply ONE rule as a single projection over ``df``.
 
@@ -140,8 +141,14 @@ def apply_rule(
     but expressed directly with ``withColumns`` so every expression reads the
     rule's input row and Catalyst collapses consecutive rules into one
     projection.
+
+    ``fields`` is the dotted-path -> DataType map of ``df``'s schema; pass it
+    when folding many rules so each step skips the ``df.schema`` analysis
+    round-trip (rule writes never change column types, so the map stays valid
+    across the fold).
     """
-    fields = build_fields_map(df.schema)
+    if fields is None:
+        fields = build_fields_map(df.schema)
     cond = F.expr(rule.condition)
     updates: dict[str, Column] = {}
 
@@ -315,6 +322,11 @@ class SparkPlug:
             self.spark.sparkContext.setCheckpointDir(self.checkpoint.checkpoint_dir)
 
         out = self._pre_process(df)
+        # ONE schema analysis for the whole fold: rule writes never change
+        # column types, so the dotted-path -> type map stays valid across
+        # rules (per-rule df.schema calls re-analyze the growing plan — a
+        # driver-side O(rules^2) py4j tax on long chains).
+        fields = build_fields_map(out.schema)
         for i, rule in enumerate(rules):
             out = apply_rule(
                 out,
@@ -327,7 +339,13 @@ class SparkPlug:
                 ),
                 keep_old_field=self.keep_old_field_enabled,
                 lenient=self.lenient,
+                fields=fields,
             )
+            if self.keep_old_field_enabled:
+                # keep-old copies add real columns mid-fold; keep the map in
+                # sync so later rules may reference them.
+                for parent in {a.update_key for a in rule.actions}:
+                    fields[f"{parent}_{rule.name}_old"] = fields[parent]
             out = self._repartition_and_checkpoint(out, i)
 
         if self.metrics_observation is not None and not df.isStreaming:
