@@ -16,7 +16,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import materialize_release
 from ..partitioning import spread
 
 __all__ = [
@@ -79,52 +78,77 @@ def funnel_counts(
     who performed steps 1..k IN ORDER (each step strictly after their
     first qualifying occurrence of the previous one).
 
-    Per step: filter to that event type, join the (user, prev-reach-time)
-    frontier, keep events after it, take the per-user min — the frontier
-    stays one row per reached user.  Returns (step, step_idx, n_users).
+    The frontier recursion runs as K chained running-min window
+    expressions over ONE (user, time) partitioning: ``r_k(row) = min(t of
+    rows ≤ row where e = step_k AND t > r_{k-1})``.  Because the running
+    min of an eligible set equals the user's global first-reach time
+    whenever it is non-null (the earliest eligible event is always in the
+    prefix that contains any eligible event), each row's ``r_{k-1}``
+    already IS the frontier value the k-th step must beat — no per-step
+    self-joins.  Equal timestamps are tie-safe: the default RANGE frame
+    includes all peers of the current timestamp and the comparison is
+    strict, so a step-k event tied with the step-(k-1) reach never counts,
+    deterministically, in any engine.
 
-    The whole funnel is ONE lazy plan and ONE job: each step's reach count
-    is an aggregate branch of a union, not a separate driver action.
-    Spark's exchange reuse dedups the shared frontier subplans, the
-    persisted base projection makes residual re-scans memory reads, and
-    the plan grows O(K²) in the (small — funnels are 3-10 steps) step
-    count rather than running K blocking jobs."""
+    Plan shape: ONE hash exchange on the user key + one sort feeds every
+    window pass; the per-user flag aggregation reuses the same
+    partitioning (no second exchange), and only the K-row count table
+    crosses the final single-partition boundary.  Returns (step,
+    step_idx, n_users).
+
+    ``release`` is accepted for API compatibility; the one-pass plan
+    persists nothing, so there is nothing to release."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    from pyspark import StorageLevel
-
-    # one narrow projection of the log, persisted: every step (and every
-    # count branch that re-derives a frontier) filters it again
-    base = spread(df).select(
+    for s in steps:
+        if "'" in s or "\\" in s:
+            raise ValueError(f"step names may not contain quotes/backslashes: {s!r}")
+    w = Window.partitionBy("u").orderBy("t")  # default RANGE frame: peers included
+    # no spread(): the window's hash shuffle on the user key already
+    # redistributes, and the pre-shuffle projection is trivial
+    cur = df.select(
         F.col(user_col).alias("u"),
         F.col(time_col).alias("t"),
         F.col(type_col).alias("e"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    frontier = (
-        base.filter(F.col("e") == steps[0])
-        .groupBy("u")
-        .agg(F.min("t").alias("rt"))
     )
-
-    def _branch(f: DataFrame, step: str, idx: int) -> DataFrame:
-        return f.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(step).alias("step"),
-            F.lit(idx).cast("int").alias("step_idx"),
-            "n_users",
+    elig_cols: list[str] = []
+    prev_reach = None
+    for i, step in enumerate(steps, start=1):
+        elig = F.col("e") == step
+        if prev_reach is not None:
+            # strictly after the previous step's first reach; null prev
+            # (step k-1 never reached yet) disqualifies via null compare
+            elig = elig & (F.col("t") > F.col(prev_reach))
+        cur = cur.withColumn(f"__e{i}", elig)
+        # chained selects: each window reads the previous window's output
+        # column; same spec throughout, so no new exchange or sort
+        cur = cur.withColumn(
+            f"__r{i}", F.min(F.when(F.col(f"__e{i}"), F.col("t"))).over(w)
         )
-
-    out = _branch(frontier, steps[0], 1)
-    for i, step in enumerate(steps[1:], start=2):
-        frontier = (
-            base.filter(F.col("e") == step)
-            .join(frontier.select("u", F.col("rt").alias("prev_rt")), "u")
-            .filter(F.col("t") > F.col("prev_rt"))
-            .groupBy("u")
-            .agg(F.min("t").alias("rt"))
-        )
-        out = out.unionAll(_branch(frontier, step, i))
-    # K result rows vs a persisted full-log projection
-    return materialize_release(out, base, release=release)
+        prev_reach = f"__r{i}"
+        elig_cols.append(f"__e{i}")
+    # per-user reached-step flags: same key as the window partitioning —
+    # Catalyst reuses the exchange, this aggregation adds no shuffle
+    per_user = cur.groupBy("u").agg(
+        *[
+            F.max(F.col(c).cast("int")).alias(f"s{i}")
+            for i, c in enumerate(elig_cols, start=1)
+        ]
+    )
+    totals = per_user.agg(
+        *[
+            F.sum(f"s{i}").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{s}', {i}, n{i}" for i, s in enumerate(steps, start=1)
+    )
+    return totals.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_idx, n_users)"
+    ).select(
+        "step", F.col("step_idx").cast("int").alias("step_idx"), "n_users"
+    )
 
 
 def retention_cohorts(
