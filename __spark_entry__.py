@@ -1341,6 +1341,85 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(li, ["l_suppkey"], top_n=25)
 
 
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup stripping (C4-style web-crawl cleanup).  The synthetic
+    corpus has no markup, so the query deterministically wraps some docs
+    in tags/entities first (same injection in the oracle); cleaned text is
+    hash-compared via md5."""
+    from sparkplug_spark.operators import strip_markup
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>\n<br>")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("x &amp; y &lt;tag&gt; "), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('<a href="http://e.com">link</a>&nbsp;'), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    return strip_markup(injected).select(
+        "doc_id", "n_tags", "n_entities", F.md5("text_clean").alias("clean_md5")
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + casefold + whitespace squash.  The
+    corpus is ASCII, so the query appends accented suffixes — doc_id%3==0
+    gets the COMPOSED form (é), %3==1 the DECOMPOSED form (e + U+0301);
+    after NFC both families normalize to identical bytes (the oracle
+    builds the same suffixes with chr())."""
+    from sparkplug_spark.operators import normalize_unicode
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("  Caf\u00e9 NA\u00cfVE")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit("  Cafe\u0301 NAI\u0308VE")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return normalize_unicode(injected).select(
+        "doc_id",
+        F.md5("text_norm").alias("norm_md5"),
+        F.length("text_norm").alias("norm_len"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS sampling by document length: longer docs
+    proportionally likelier, md5-coin reproducible across engines."""
+    from sparkplug_spark.operators import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 0.2).select(
+        "doc_id", "n_chars", "p_ppm"
+    )
+
+
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent corpus digest: one row of commutative folds over
+    per-doc content hashes — the replication/migration equality check."""
+    from sparkplug_spark.operators import dataset_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return dataset_fingerprint(docs)
+
+
 def q_expectations_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level quarantine routing: each violating order row with the
     comma-joined names of the expectations it fails (declaration
@@ -2868,6 +2947,86 @@ def _extension_oracles() -> dict[str, str]:
             INTERSECT
             SELECT DISTINCT o_custkey AS custkey FROM orders
         """,
+        "strip_markup": """
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                            THEN '<p>' || text || '</p>' || chr(10) || '<br>'
+                          WHEN doc_id % 4 = 1
+                            THEN 'x &amp; y &lt;tag&gt; ' || text
+                          WHEN doc_id % 4 = 2
+                            THEN '<a href="http://e.com">link</a>&nbsp;' || text
+                          ELSE text END AS t
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '<[^>]*>')) AS n_tags,
+                     regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+              FROM inj
+            ),
+            s2 AS (
+              SELECT doc_id, n_tags,
+                     len(regexp_extract_all(
+                       t, '&amp;|&lt;|&gt;|&quot;|&#39;|&nbsp;')) AS n_entities,
+                     replace(replace(replace(replace(replace(replace(t,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_tags, n_entities,
+                   md5(trim(regexp_replace(
+                     t, '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))) AS clean_md5
+            FROM s2
+        """,
+        "normalize_text": """
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                            THEN text || '  Caf' || chr(233) || ' NA'
+                                 || chr(207) || 'VE'
+                          WHEN doc_id % 3 = 1
+                            THEN text || '  Cafe' || chr(769) || ' NAI'
+                                 || chr(776) || 'VE'
+                          ELSE text END AS t
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(nfc_normalize(t)),
+                       '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS tn
+              FROM inj
+            )
+            SELECT doc_id, md5(tn) AS norm_md5, length(tn) AS norm_len FROM n
+        """,
+        "weighted_sample": """
+            WITH t AS (
+              SELECT sum(n_chars)::DOUBLE AS sw, count(*)::DOUBLE AS n
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, n_chars,
+                     least(1.0, 0.2 * n_chars::DOUBLE * n / sw) AS p,
+                     ('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 15))
+                       ::BIGINT::DOUBLE / 1152921504606846976.0 AS u
+              FROM documents CROSS JOIN t
+            )
+            SELECT doc_id, n_chars, floor(p * 1000000.0)::BIGINT AS p_ppm
+            FROM p WHERE u < p
+        """,
+        "dataset_fingerprint": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || text),
+                      1, 15))::BIGINT AS hh,
+                     length(text)::BIGINT AS lc
+              FROM documents
+            )
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(lc)::BIGINT AS total_chars,
+                   bit_xor(hh)::BIGINT AS xor_hash,
+                   (sum(hh) % 2305843009213693951)::BIGINT AS sum_hash_mod
+            FROM h
+        """,
     }
 
 
@@ -2973,6 +3132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_tokens": q_rare_tokens,
         "token_drift": q_token_drift,
         "skew_report": q_skew_report,
+        "strip_markup": q_strip_markup,
+        "normalize_text": q_normalize_text,
+        "weighted_sample": q_weighted_sample,
+        "dataset_fingerprint": q_dataset_fingerprint,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

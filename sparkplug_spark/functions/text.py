@@ -28,6 +28,7 @@ __all__ = [
     "simhash64_pd",
     "token_fingerprint",
     "token_count_bpe",
+    "unicode_normalize_pd",
     "winnowing_fingerprints",
     "STOPWORDS",
     "stopword_ratio",
@@ -227,6 +228,42 @@ def hashed_shingles_pd(col: Column | str, n: int = 3) -> Column:
         return pd.Series(out)
 
     return _hs(col)
+
+
+def unicode_normalize_pd(
+    col: Column | str,
+    form: str = "NFC",
+    lowercase: bool = True,
+    squash_whitespace: bool = True,
+) -> Column:
+    """Unicode-normalized text (Arrow kernel — Spark has no built-in UAX#15
+    normalizer).  ``form`` is NFC/NFKC/NFD/NFKD; lowercasing uses Python's
+    Unicode default case conversion, which matches DuckDB ``lower()``;
+    whitespace squashing uses the explicit ASCII class ``[ \\t\\n\\r\\f\\v]``
+    (NOT ``\\s``, whose Unicode coverage differs between regex engines) so
+    the DuckDB oracle ``trim(regexp_replace(lower(nfc_normalize(x)),
+    '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))`` is bit-identical."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(form, t)
+            if lowercase:
+                t = t.lower()
+            if squash_whitespace:
+                t = ws.sub(" ", t).strip()
+            return t
+
+        return s.map(one)
+
+    return _norm(col)
 
 
 def tokens_pd(col: Column | str) -> Column:

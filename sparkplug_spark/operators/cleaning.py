@@ -39,6 +39,10 @@ __all__ = [
     "sample_per_key",
     "sample_exact_n",
     "stratified_sample",
+    "weighted_sample",
+    "strip_markup",
+    "normalize_unicode",
+    "MARKUP_ENTITIES",
     "oversample_by_key",
     "pack_token_budget",
     "sample_to_token_budget",
@@ -802,4 +806,120 @@ def sample_exact_n(
         .orderBy(F.asc("__smp"), F.asc(id_col))
         .limit(n)
         .drop("__smp")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic Poisson probability-proportional-to-size sample:
+    row i survives iff ``u_i < fraction · w_i / mean(w)`` with
+    ``u_i = hash60(salt ‖ id) / 2^60`` — high-weight (e.g. high-quality
+    or long) rows are proportionally more likely to be kept, expected
+    sample size ≈ ``fraction · n`` (exact when no per-row probability
+    clips at 1).  The md5 coin makes the selection reproducible across
+    engines, runs, and cluster sizes, unlike ``rand()``.
+
+    Appends ``p_ppm`` (inclusion probability, floor'd parts-per-million —
+    integer-rendered so any IEEE engine agrees) for Horvitz-Thompson
+    re-weighting downstream.
+
+    Plan: one tiny aggregate reduces the corpus to a 1-row (sum, count)
+    table broadcast back via cross join; the filter itself is a narrow
+    codegen'd projection — no shuffle of the data."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    totals = df.agg(
+        F.sum(F.col(weight_col)).cast("double").alias("__sw"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+    )
+    u = hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    p = F.least(
+        F.lit(1.0),
+        F.lit(fraction) * F.col(weight_col).cast("double") * F.col("__n") / F.col("__sw"),
+    )
+    return (
+        df.join(F.broadcast(totals))
+        .withColumn("__p", p)
+        .filter(u < F.col("__p"))
+        .withColumn("p_ppm", F.floor(F.col("__p") * F.lit(1_000_000.0)).cast("long"))
+        .drop("__sw", "__n", "__p")
+    )
+
+
+#: entity -> character decode table for :func:`strip_markup`; ``&amp;`` is
+#: applied LAST so ampersands produced by other decodes can't re-decode
+#: (``&amp;lt;`` must yield the four characters ``&lt;``... decoded once).
+MARKUP_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Remove HTML/XML tags and decode the common entities (the C4-style
+    markup-stripping pass for web-crawled corpora): tags ``<...>`` are
+    replaced by a space (so ``a<br>b`` stays two words), the entity table
+    is decoded in fixed order, runs of ASCII whitespace collapse to one
+    space.  Adds ``n_tags`` / ``n_entities`` counts (measured before
+    decoding) for crawl-quality monitoring.
+
+    One narrow projection; the regexp/replace chain stays inside
+    whole-stage codegen — patterns are RE2/Java-compatible so the DuckDB
+    oracle matches byte-for-byte."""
+    out = spread(df)
+    tag_pat = r"<[^>]*>"
+    n_tags = F.regexp_count(F.col(text_col), F.lit(tag_pat))
+    cur: Column = F.regexp_replace(F.col(text_col), tag_pat, " ")
+    n_entities = F.regexp_count(
+        cur, F.lit("|".join(e for e, _ in MARKUP_ENTITIES))
+    )
+    for ent, ch in MARKUP_ENTITIES:
+        cur = F.replace(cur, F.lit(ent), F.lit(ch))
+    cur = F.trim(F.regexp_replace(cur, r"[ \t\n\r\f\v]+", " "))
+    return out.withColumns(
+        {"n_tags": n_tags, "n_entities": n_entities, out_col: cur}
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+    lowercase: bool = True,
+    squash_whitespace: bool = True,
+) -> DataFrame:
+    """Unicode normalization pass (UAX#15): canonicalizes composed vs
+    decomposed accent encodings (``é`` vs ``e + U+0301``) so that exact
+    dedup, shingling, and decontamination see one byte representation —
+    crawled corpora mix both freely and every hash-based operator would
+    otherwise treat them as different text.
+
+    Arrow-batched kernel (Spark has no built-in normalizer); order is
+    normalize → lowercase → whitespace-squash, matching the DuckDB oracle
+    ``trim(regexp_replace(lower(nfc_normalize(x)), '[ \\t\\n\\r\\f\\v]+',
+    ' ', 'g'))`` exactly.  Narrow per-row transform — no shuffle."""
+    from ..functions.text import unicode_normalize_pd
+
+    return spread(df).withColumn(
+        out_col,
+        unicode_normalize_pd(
+            F.col(text_col),
+            form=form,
+            lowercase=lowercase,
+            squash_whitespace=squash_whitespace,
+        ),
     )

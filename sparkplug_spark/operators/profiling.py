@@ -21,6 +21,7 @@ __all__ = [
     "length_quartiles_by_source",
     "covariance_components",
     "key_skew_report",
+    "dataset_fingerprint",
 ]
 
 
@@ -258,4 +259,41 @@ def key_skew_report(
             .over(Window.orderBy(F.col("n_rows").desc(), F.col("key")))
             .cast("long"),
         )
+    )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-independent corpus content digest — ONE row:
+    (n_rows, total_chars, xor_hash, sum_hash_mod).
+
+    Verifies that two copies of a dataset are byte-identical (replication,
+    re-partitioning, engine migration, post-restore audit) without sorting
+    or moving the data: each row reduces to a 60-bit md5 content hash of
+    ``id ‖ 0x1f ‖ text``; XOR and a modular sum fold them commutatively,
+    so any partitioning and any row order give the same digest.  Two
+    independent folds make silent collision (a swap that preserves XOR
+    also preserving the modular sum) astronomically unlikely.
+
+    ``sum_hash_mod`` reduces mod 2^61-1 AFTER a decimal-exact sum so the
+    BIGINT output can't overflow at any corpus size.  One partial-agg
+    pass (map-side combine), nothing but per-partition digests shuffle."""
+    from ..functions.text import hash60
+
+    h = hash60(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("\x1f"), F.col(text_col)
+        )
+    )
+    mod = (1 << 61) - 1
+    return spread(df).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("total_chars"),
+        F.bit_xor(h).alias("xor_hash"),
+        (F.sum(h.cast("decimal(38,0)")) % F.lit(mod))
+        .cast("long")
+        .alias("sum_hash_mod"),
     )

@@ -1,0 +1,142 @@
+"""Round-3 continuation batch 3: markup stripping, unicode
+normalization, weighted PPS sampling, corpus fingerprinting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    dataset_fingerprint,
+    normalize_unicode,
+    strip_markup,
+    weighted_sample,
+)
+
+
+class TestStripMarkup:
+    def test_tags_entities_whitespace(self, spark):
+        rows = [
+            (1, "plain text stays"),
+            (2, "a <b>bold</b> move"),
+            (3, "x &amp; y &lt;z&gt;"),
+            (4, "<p>one</p>\n\n<p>two&nbsp;three</p>"),
+            (5, "&amp;lt; decodes once"),
+        ]
+        out = {
+            r["doc_id"]: (r["text_clean"], r["n_tags"], r["n_entities"])
+            for r in strip_markup(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        assert out[1] == ("plain text stays", 0, 0)
+        assert out[2] == ("a bold move", 2, 0)
+        assert out[3] == ("x & y <z>", 0, 3)
+        assert out[4] == ("one two three", 4, 1)
+        # &amp;lt; -> "&lt;" literally, never double-decoded to "<"
+        assert out[5] == ("&lt; decodes once", 0, 1)
+
+    def test_tag_becomes_word_boundary(self, spark):
+        out = strip_markup(
+            spark.createDataFrame([(1, "a<br>b")], ["doc_id", "text"])
+        ).collect()[0]
+        assert out["text_clean"] == "a b"
+
+
+class TestNormalizeUnicode:
+    def test_composed_and_decomposed_agree(self, spark):
+        composed = "café"          # é as one code point
+        decomposed = "café"       # e + combining acute
+        rows = [(1, composed), (2, decomposed)]
+        out = {
+            r["doc_id"]: r["text_norm"]
+            for r in normalize_unicode(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        assert out[1] == out[2] == "café"
+
+    def test_lowercase_and_squash(self, spark):
+        out = normalize_unicode(
+            spark.createDataFrame([(1, "  Mixed\t CASE \n text ")], ["doc_id", "text"])
+        ).collect()[0]["text_norm"]
+        assert out == "mixed case text"
+
+    def test_nfkc_folds_compatibility_chars(self, spark):
+        # the 'ﬁ' ligature decomposes under NFKC, survives NFC
+        out = {
+            form: normalize_unicode(
+                spark.createDataFrame([(1, "ﬁn")], ["doc_id", "text"]),
+                form=form,
+            ).collect()[0]["text_norm"]
+            for form in ("NFC", "NFKC")
+        }
+        assert out["NFC"] == "ﬁn"
+        assert out["NFKC"] == "fin"
+
+    def test_null_passthrough_and_bad_form(self, spark):
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        assert normalize_unicode(df).collect()[0]["text_norm"] is None
+        with pytest.raises(ValueError, match="normalization form"):
+            normalize_unicode(df, form="NFX").collect()
+
+
+class TestWeightedSample:
+    def test_deterministic_and_sized(self, spark):
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 100 + 1).alias("w")
+        )
+        a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 0.3).collect())
+        b = sorted(r["doc_id"] for r in weighted_sample(df, "w", 0.3).collect())
+        assert a == b
+        # expected size = fraction * n (PPS: E[sum p_i] = f*n when no clip);
+        # md5 coins are uniform, allow a generous tolerance
+        assert 200 <= len(a) <= 400
+
+    def test_weight_proportionality(self, spark):
+        # two strata, weight 1 vs 9: inclusion rates must scale ~9x
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, 1).otherwise(9).alias("w"),
+        )
+        got = weighted_sample(df, "w", 0.2).groupBy("w").count().collect()
+        by_w = {r["w"]: r["count"] for r in got}
+        # p(w=1) = .2*1*2000/10000 = .04 -> ~40; p(w=9) = .36 -> ~360
+        assert 15 <= by_w.get(1, 0) <= 80
+        assert 280 <= by_w.get(9, 0) <= 440
+
+    def test_p_ppm_and_validation(self, spark):
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit(5).alias("w")
+        )
+        rows = weighted_sample(df, "w", 1.0).collect()
+        # uniform weights at fraction 1.0: every p clips/lands at 1.0
+        assert all(r["p_ppm"] == 1_000_000 for r in rows)
+        assert len(rows) == 10
+        with pytest.raises(ValueError, match="fraction"):
+            weighted_sample(df, "w", 0.0)
+
+    def test_salt_changes_selection(self, spark):
+        df = spark.range(500).select(F.col("id").alias("doc_id"), F.lit(1).alias("w"))
+        a = {r["doc_id"] for r in weighted_sample(df, "w", 0.5, salt="a").collect()}
+        b = {r["doc_id"] for r in weighted_sample(df, "w", 0.5, salt="b").collect()}
+        assert a != b
+
+
+class TestDatasetFingerprint:
+    def test_order_and_partitioning_independent(self, spark):
+        rows = [(i, f"text number {i}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        base = dataset_fingerprint(df).collect()[0]
+        shuffled = dataset_fingerprint(
+            df.orderBy(F.md5(F.col("doc_id").cast("string"))).repartition(7)
+        ).collect()[0]
+        assert base.asDict() == shuffled.asDict()
+        assert base["n_rows"] == 200
+        assert base["total_chars"] == sum(len(t) for _, t in rows)
+
+    def test_detects_single_char_change(self, spark):
+        rows = [(i, f"text number {i}") for i in range(50)]
+        a = dataset_fingerprint(spark.createDataFrame(rows, ["doc_id", "text"])).collect()[0]
+        rows[25] = (25, "text number 25!")
+        b = dataset_fingerprint(spark.createDataFrame(rows, ["doc_id", "text"])).collect()[0]
+        assert a["xor_hash"] != b["xor_hash"]
+        assert a["sum_hash_mod"] != b["sum_hash_mod"]
