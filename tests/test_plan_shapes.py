@@ -98,3 +98,36 @@ def test_chunk_documents_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     plan = _plan(chunk_documents(df, chunk_tokens=4, overlap=1))
     assert "Exchange" not in plan
+
+
+def test_funnel_is_two_exchanges(spark):
+    from sparkplug_spark.operators import funnel_counts
+
+    df = spark.createDataFrame(
+        [(i % 7, float(i), ["view", "click", "purchase"][i % 3]) for i in range(60)],
+        ["user_id", "ts", "event_type"],
+    )
+    plan = _plan(funnel_counts(df, ["view", "click", "purchase"]))
+    # the frontier recursion must stay window-chained: one hash exchange on
+    # the user key + the final K-row single-partition aggregate — NOT the
+    # O(K^2) union-of-frontier-joins shape (17 exchanges for 3 steps)
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan
+
+
+def test_strip_markup_is_pure_codegen(spark):
+    from sparkplug_spark.operators import strip_markup
+
+    df = spark.createDataFrame([(1, "<b>x</b> &amp; y")], ["id", "text"])
+    plan = _plan(strip_markup(df))
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_dataset_fingerprint_partial_aggregates(spark):
+    from sparkplug_spark.operators import dataset_fingerprint
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(10)], ["doc_id", "text"])
+    plan = _plan(dataset_fingerprint(df))
+    # commutative folds must combine map-side: only per-partition digests
+    # may cross the single-partition boundary
+    assert "partial_bit_xor" in plan and "partial_sum" in plan
