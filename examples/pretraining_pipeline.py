@@ -5,6 +5,10 @@ this repo's operators, in the order a production pipeline runs them:
 
   0. expectations gate   check_expectations     (fail fast on a broken
                                                  ingest before paying for it)
+  0a. markup strip       strip_markup           (tags/entities out before
+                                                 anything tokenizes)
+  0b. unicode normalize  normalize_unicode      (one byte representation
+                                                 before any hashing)
   1. quality gate        gopher_quality_flags   (drop junk early: every
                                                  later stage reads less)
   2. PII scrub           scrub_pii
@@ -17,6 +21,8 @@ this repo's operators, in the order a production pipeline runs them:
   8. mixture             mixture_report -> sample_to_token_budget
   9. upsampling          oversample_by_key      (fractional epochs)
  10. shards + manifest   write_sharded
+ 11. release audit       dataset_fingerprint    (order-independent digest
+                                                 pinning exactly what shipped)
 
 Every step is deterministic (md5-derived orders/coins), so the whole
 pipeline reproduces bit-identically on any run, cluster size, or engine.
@@ -34,6 +40,7 @@ from pyspark.sql import SparkSession, functions as F
 from sparkplug_spark.operators import (
     Expectation,
     check_expectations,
+    dataset_fingerprint,
     decontaminate,
     decontaminate_fuzzy,
     dedup_exact,
@@ -42,10 +49,12 @@ from sparkplug_spark.operators import (
     gopher_quality_flags,
     minhash_lsh_pairs,
     mixture_report,
+    normalize_unicode,
     oversample_by_key,
     remove_boilerplate_spans,
     sample_to_token_budget,
     scrub_pii,
+    strip_markup,
     trim_by_quantile,
 )
 from sparkplug_spark.sources import write_sharded
@@ -75,6 +84,14 @@ def main() -> None:
     )
     gate = {r["expectation"]: r["passed"] for r in report.collect()}
     assert all(gate.values()), f"ingest failed expectations: {gate}"
+
+    # 0a+0b. raw-text canonicalization FIRST: strip markup, then pin one
+    # unicode byte representation — every hash-based stage downstream
+    # (dedup, shingles, decontamination) depends on it
+    docs = strip_markup(docs).drop("text").withColumnRenamed("text_clean", "text")
+    docs = normalize_unicode(docs, lowercase=False).drop("text").withColumnRenamed(
+        "text_norm", "text"
+    )
 
     # 1. quality gate — relaxed thresholds for the short synthetic docs
     flagged = gopher_quality_flags(docs, min_tokens=10)
@@ -155,6 +172,11 @@ def main() -> None:
     print(f"after mixture:     {mixed.count()}")
     print(f"rows to pack:      {epochs.count()}")
     manifest.orderBy("shard").show(20, truncate=False)
+
+    # 11. release audit: the digest that pins EXACTLY what shipped — any
+    # re-run, replica, or engine migration must reproduce these 4 numbers
+    shipped = spark.read.parquet("/tmp/sparkplug_demo_shards")
+    dataset_fingerprint(shipped, id_col="pack_id").show(truncate=False)
 
 
 if __name__ == "__main__":
