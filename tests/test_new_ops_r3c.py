@@ -140,3 +140,36 @@ class TestDatasetFingerprint:
         b = dataset_fingerprint(spark.createDataFrame(rows, ["doc_id", "text"])).collect()[0]
         assert a["xor_hash"] != b["xor_hash"]
         assert a["sum_hash_mod"] != b["sum_hash_mod"]
+
+
+def test_new_stateless_ops_compose_with_streams(spark, tmp_path):
+    """strip_markup, normalize_unicode, and weighted_sample's narrow
+    filter shape don't hold state — strip/normalize must apply to a
+    readStream unchanged.  (weighted_sample needs a corpus total, so its
+    streaming use is the stored-scalar variant — excluded here by
+    design; dataset_fingerprint is an aggregation and belongs in
+    foreachBatch.)"""
+    from sparkplug_spark.operators import normalize_unicode, strip_markup
+
+    src = str(tmp_path / "markup_src")
+    spark.createDataFrame(
+        [(1, "<b>Café</b> &amp; more"), (2, "plain")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    piped = normalize_unicode(
+        strip_markup(stream).drop("text").withColumnRenamed("text_clean", "text")
+    )
+    assert piped.isStreaming
+    q = (
+        piped.writeStream.format("memory")
+        .queryName("markup_q")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.sql("select * from markup_q").collect()}
+    assert got[1].n_tags == 2 and got[1].text_norm == "café & more"
+    assert got[2].text_norm == "plain"
