@@ -1341,6 +1341,35 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(li, ["l_suppkey"], top_n=25)
 
 
+def q_delegated_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/LATERAL-VIEW surface: posexplode part names into
+    (pos, word) and aggregate — the table-generating half of the SQL
+    dialect the reference delegates (O15 made it implicit; the rebuild
+    keeps it through the DataFrame generator API)."""
+    part = _read(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+        )
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n_leading"),
+        )
+    )
+
+
+def q_delegated_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets surface: all four (flag, status) slices in one
+    pass — completes the rollup/pivot/grouping-sets family."""
+    li = _read(spark, sf_dir, "lineitem")
+    dec = "decimal(28,6)"
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+    )
+
+
 def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML/markup stripping (C4-style web-crawl cleanup).  The synthetic
     corpus has no markup, so the query deterministically wraps some docs
@@ -2947,6 +2976,24 @@ def _extension_oracles() -> dict[str, str]:
             INTERSECT
             SELECT DISTINCT o_custkey AS custkey FROM orders
         """,
+        "delegated_explode": """
+            WITH t AS (
+              SELECT string_split(p_name, ' ') AS ws FROM part
+            ),
+            e AS (
+              SELECT unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM t
+            )
+            SELECT word, count(*) AS n,
+                   sum(CASE WHEN pos = 0 THEN 1 ELSE 0 END)::BIGINT AS n_leading
+            FROM e GROUP BY word
+        """,
+        "delegated_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "strip_markup": """
             WITH inj AS (
               SELECT doc_id,
@@ -3133,6 +3180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": q_token_drift,
         "skew_report": q_skew_report,
         "strip_markup": q_strip_markup,
+        "delegated_explode": q_delegated_explode,
+        "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,
         "weighted_sample": q_weighted_sample,
         "dataset_fingerprint": q_dataset_fingerprint,
