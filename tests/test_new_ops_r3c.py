@@ -173,3 +173,76 @@ def test_new_stateless_ops_compose_with_streams(spark, tmp_path):
     got = {r.doc_id: r for r in spark.sql("select * from markup_q").collect()}
     assert got[1].n_tags == 2 and got[1].text_norm == "café & more"
     assert got[2].text_norm == "plain"
+
+
+import random
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_strip_markup_idempotent_and_models_python(spark, seed):
+    """Stripping twice == stripping once, and the operator matches a
+    pure-Python reference model on random tag/entity soup."""
+    import re as _re
+
+    rng = random.Random(seed)
+    frag = ["<b>", "</b>", "<p class='x'>", "&amp;", "&lt;", "&nbsp;",
+            "word", "two words", " ", "\n", "mid<br>dle"]
+    rows = [
+        (i, "".join(rng.choice(frag) for _ in range(rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = strip_markup(df).select("doc_id", F.col("text_clean").alias("text"))
+    twice = strip_markup(once)
+    got1 = {r["doc_id"]: r["text"] for r in once.collect()}
+    got2 = {r["doc_id"]: r["text_clean"] for r in twice.collect()}
+
+    def model(t):
+        t = _re.sub(r"<[^>]*>", " ", t)
+        for e, c in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+            t = t.replace(e, c)
+        return _re.sub(r"[ \t\n\r\f\v]+", " ", t).strip()
+
+    for i, raw in rows:
+        assert got1[i] == model(raw), (i, raw)
+    # idempotence can only break via re-decoding (&amp;lt; -> &lt; -> '<'):
+    # rows whose ONCE output contains no residual entity/tag must be fixed
+    for i in got1:
+        if "<" not in got1[i] and "&" not in got1[i]:
+            assert got2[i] == got1[i]
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_normalize_unicode_idempotent(spark, seed):
+    import unicodedata
+
+    rng = random.Random(seed)
+    pool = ["é", "é", "Ä", "Ä", "ﬁ", "x", " ", "Z"]
+    rows = [
+        (i, "".join(rng.choice(pool) for _ in range(rng.randint(1, 20))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = normalize_unicode(df).select("doc_id", F.col("text_norm").alias("text"))
+    twice = normalize_unicode(once)
+    got1 = {r["doc_id"]: r["text"] for r in once.collect()}
+    got2 = {r["doc_id"]: r["text_norm"] for r in twice.collect()}
+    assert got1 == got2  # NFC + lower + squash is a projection (idempotent)
+    for i, raw in rows:
+        assert got1[i] == unicodedata.normalize("NFC", got1[i])
+
+
+def test_fingerprint_xor_composes_over_union(spark):
+    """digest(A ∪ B).xor == digest(A).xor ^ digest(B).xor for disjoint
+    halves — the property that lets shard-level digests roll up to a
+    corpus digest without re-reading anything."""
+    rows = [(i, f"doc {i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = dataset_fingerprint(df.filter("doc_id < 50")).collect()[0]
+    b = dataset_fingerprint(df.filter("doc_id >= 50")).collect()[0]
+    both = dataset_fingerprint(df).collect()[0]
+    assert both["xor_hash"] == a["xor_hash"] ^ b["xor_hash"]
+    assert both["n_rows"] == a["n_rows"] + b["n_rows"]
+    mod = (1 << 61) - 1
+    assert both["sum_hash_mod"] == (a["sum_hash_mod"] + b["sum_hash_mod"]) % mod
