@@ -246,3 +246,69 @@ def test_fingerprint_xor_composes_over_union(spark):
     assert both["n_rows"] == a["n_rows"] + b["n_rows"]
     mod = (1 << 61) - 1
     assert both["sum_hash_mod"] == (a["sum_hash_mod"] + b["sum_hash_mod"]) % mod
+
+
+def test_sessionize_stream_state_survives_restart(spark, tmp_path):
+    """State-store recovery contract: a stopped sessionization query
+    restarted from the same checkpointLocation must resume the OPEN
+    session from the state store — the second run's closing event yields
+    one session spanning both runs' events, not a fresh session."""
+    import datetime as dt
+    import time
+
+    from sparkplug_spark.streaming import sessionize_stream
+
+    def ts(s):
+        return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    src = tmp_path / "sess_restart_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "sess_restart_ckpt")
+    sink = str(tmp_path / "sess_restart_sink")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint — a fault-tolerant
+        # FILE sink is required for the restart contract.  The /* glob
+        # reaches the per-batch parquet SUBDIRS (a bare directory path
+        # does not recurse into them).
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+            str(src / "*")
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two events of an open session — nothing closes
+    spark.createDataFrame(
+        [(7, ts("2024-01-01 10:00:00")), (7, ts("2024-01-01 10:10:00"))],
+        ["user_id", "ts"],
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    run_once()
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    # empty sink: no part-files yet, so supply the schema explicitly
+    assert spark.read.schema(out_schema).parquet(sink).count() == 0
+
+    # run 2 (fresh query object, same checkpoint): one more in-gap event,
+    # then a far event that CLOSES the session
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(7, ts("2024-01-01 10:20:00")), (7, ts("2024-01-01 13:00:00"))],
+        ["user_id", "ts"],
+    ).coalesce(1).write.parquet(str(src / "b2.parquet"))
+    run_once()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.schema(out_schema).parquet(sink).collect()
+    }
+    # 3 events across the restart boundary = ONE recovered session
+    assert (7, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3) in got
