@@ -1440,6 +1440,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space topic-balance audit: per-cluster size/share/
+    tightness from the bounded-sample spherical-kmeans quantizer.
+    KMeans-seeded (not SQL-expressible) — rows-only check; invariants
+    pinned by tests/test_new_ops_r3c.py::TestClusterProfile."""
+    from sparkplug_spark.operators import cluster_profile
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cluster_profile(emb, num_clusters=8)
+
+
 def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent corpus digest: one row of commutative folds over
     per-doc content hashes — the replication/migration equality check."""
@@ -3193,6 +3204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
         "simsearch_topk_pq": q_simsearch_topk_pq,
+        "cluster_balance": q_cluster_balance,
     }
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "search_ivfpq_index",
     "blocked_cosine_pairs",
     "embedding_norms",
+    "cluster_profile",
 ]
 
 
@@ -907,4 +908,82 @@ def blocked_cosine_pairs(
 
     return mates.groupBy("bi", "bj").applyInPandas(
         score, "id_a long, id_b long, cosine double"
+    )
+
+
+def cluster_profile(
+    df: DataFrame,
+    num_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_points_per_centroid: int = 128,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """Corpus topic-balance audit: every vector assigned to a spherical
+    k-means cluster (the same bounded-sample driver-side quantizer the IVF
+    tiers use), reported as one row per cluster —
+    (cluster_id, n_vecs, share_ppm, mean_sim_ppm).
+
+    ``share_ppm`` is the cluster's corpus share in floor'd parts-per-
+    million; ``mean_sim_ppm`` the mean cosine of members to their center —
+    low values flag a diffuse catch-all cluster, extreme shares flag a
+    topic dominating the mix (the embedding-space analog of
+    :func:`~.cleaning.mixture_report`'s source-label audit).
+
+    Scale: training reads ``num_clusters · train_points_per_centroid``
+    rows via ``limit`` (no full scan before assignment); assignment is one
+    narrow Arrow pass; the aggregate is map-side combined on a key with at
+    most ``num_clusters`` values.  Deterministic for a fixed (data order,
+    seed) — but k-means-SEEDED, so the driver records a rows-only check
+    (pytest pins the partition/determinism invariants instead)."""
+    from ..functions.vectors import _mat
+
+    if num_clusters < 1:
+        raise ValueError(f"num_clusters must be >= 1, got {num_clusters}")
+    raw = df.select(F.col(vec_col).alias("cv"))
+    if train_fraction is None:
+        train = raw.limit(num_clusters * train_points_per_centroid)
+    else:
+        train = raw.sample(train_fraction, seed=seed)
+    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("cluster_profile: empty corpus (no training rows)")
+    num_clusters = max(1, min(num_clusters, len(X)))
+    centers = _spherical_lloyd(X, num_clusters, seed)
+    C = centers.T  # (dim, k), unit columns
+
+    @F.pandas_udf("struct<cid: int, sim: double>")
+    def assign(x: pd.Series) -> pd.DataFrame:
+        if len(x) == 0:
+            return pd.DataFrame({"cid": pd.Series([], dtype="int32"),
+                                 "sim": pd.Series([], dtype="float64")})
+        m = _mat(x)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        scores = (m / n[:, None]) @ C
+        cid = np.argmax(scores, axis=1)
+        return pd.DataFrame(
+            {"cid": cid.astype("int32"), "sim": scores[np.arange(len(cid)), cid]}
+        )
+
+    assigned = spread(df).select(assign(F.col(vec_col)).alias("a"))
+    counts = assigned.groupBy(F.col("a.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("a.sim").alias("__sim_sum"),
+    )
+    totals = counts.agg(F.sum("n_vecs").cast("double").alias("__n"))
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "cluster_id",
+            "n_vecs",
+            F.floor(F.col("n_vecs").cast("double") / F.col("__n") * 1_000_000.0)
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(F.col("__sim_sum") / F.col("n_vecs").cast("double") * 1_000_000.0)
+            .cast("long")
+            .alias("mean_sim_ppm"),
+        )
+        .orderBy("cluster_id")
     )

@@ -312,3 +312,39 @@ def test_sessionize_stream_state_survives_restart(spark, tmp_path):
     }
     # 3 events across the restart boundary = ONE recovered session
     assert (7, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:20:00"), 3) in got
+
+
+class TestClusterProfile:
+    def _emb(self, spark, n=120, dim=8, clusters=3):
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        centers = rng.randn(clusters, dim)
+        rows = []
+        for i in range(n):
+            c = i % clusters
+            v = centers[c] + 0.05 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_partition_and_determinism(self, spark):
+        from sparkplug_spark.operators import cluster_profile
+
+        df = self._emb(spark)
+        a = cluster_profile(df, num_clusters=3).collect()
+        b = cluster_profile(df, num_clusters=3).collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+        assert sum(r["n_vecs"] for r in a) == 120  # exact partition of corpus
+        assert 999_990 <= sum(r["share_ppm"] for r in a) <= 1_000_000
+        # well-separated planted clusters -> tight members
+        assert all(r["mean_sim_ppm"] > 900_000 for r in a)
+
+    def test_validation_and_clamp(self, spark):
+        from sparkplug_spark.operators import cluster_profile
+
+        df = self._emb(spark, n=5)
+        with pytest.raises(ValueError, match="num_clusters"):
+            cluster_profile(df, num_clusters=0)
+        # k clamps to the training-sample size
+        out = cluster_profile(df, num_clusters=50).collect()
+        assert sum(r["n_vecs"] for r in out) == 5
