@@ -1,12 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decoder="fake"`` produces a deterministic pseudo-decode derived from the
-payload's md5 so the full Spark pipeline — schema, partition sizing, Arrow
-batch shape, UDF signature — is real and testable; ``decoder="real"``
-raises ``NotImplementedError`` at the exact point a PIL/ffmpeg call would
-slot in.
+Decoder tiers:
+
+- ``decoder="fake"`` — deterministic md5-seeded pseudo-decode: the full
+  Spark pipeline (schema, partition sizing, Arrow batch shape, UDF
+  signature) is real and testable with zero media libraries.
+- ``decoder="real"`` — actual decode where the container allows it:
+  images via Pillow when installed; audio via a LIBRARY-FREE PCM WAV
+  parser (stdlib ``wave`` + numpy FFT band energies) — compressed codecs
+  (mp3/ogg/flac) still raise ``NotImplementedError`` at the exact point a
+  librosa/torchaudio call would slot in, as does video frame demux
+  (ffmpeg).
+- ``decoder="native"`` (images) — library-free pixel decode for
+  uncompressed formats (netpbm P5/P6, 24-bit BMP) via pure numpy.
 
 Scale notes: media payloads are large, so batch size is controlled by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` and partitions should be
@@ -91,6 +98,82 @@ def _real_image_decode(payload: bytes, dim: int) -> list[float]:
     return [float(x) for x in arr]
 
 
+def _native_pixels(payload: bytes):
+    """Library-free pixel decode for uncompressed formats: netpbm P5/P6
+    (binary gray/RGB) and 24-bit uncompressed BMP.  Returns a 2-D float
+    grayscale array in [0,1]; raises ``NotImplementedError`` for any
+    other format (that is the Pillow/ffmpeg boundary)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 4:
+        raise NotImplementedError("payload too short to be a supported image")
+    if payload[:2] in (b"P5", b"P6"):
+        # netpbm: magic, whitespace/comment-separated width height maxval,
+        # ONE whitespace byte, then the raw raster
+        toks: list[bytes] = []
+        i = 2
+        while len(toks) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":  # comment to end of line
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = (int(t) for t in toks)
+        ch = 1 if payload[:2] == b"P5" else 3
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+        arr = raster.reshape(h, w, ch).astype(np.float64) / float(maxval)
+        return arr.mean(axis=2) if ch == 3 else arr[:, :, 0] if arr.ndim == 3 else arr
+    if payload[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                "native BMP decode supports 24-bit uncompressed only"
+            )
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows.astype(np.float64).mean(axis=2) / 255.0
+    raise NotImplementedError(
+        "native image decode supports netpbm P5/P6 and 24-bit BMP; other "
+        "formats need Pillow (decoder='real')"
+    )
+
+
+def _native_image_decode(payload: bytes, dim: int) -> list[float]:
+    """Pixel decode without any imaging library: grayscale grid sampled
+    from the native-decoded array, flattened to ``dim`` [0,1] floats —
+    same output contract as :func:`_real_image_decode`."""
+    import math
+
+    import numpy as np
+
+    arr = _native_pixels(payload)
+    g = max(1, math.isqrt(dim - 1) + 1)
+    ys = (np.arange(g) * arr.shape[0]) // g
+    xs = (np.arange(g) * arr.shape[1]) // g
+    grid = arr[np.ix_(ys, xs)].reshape(-1)[:dim]
+    if grid.size < dim:
+        grid = np.pad(grid, (0, dim - grid.size))
+    return [float(x) for x in grid]
+
+
 def _fake_image_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real decode+embed: md5-seeded floats."""
     import hashlib
@@ -114,10 +197,13 @@ def decode_image_features(
     ``mapInPandas``.  The UDF boundary, output schema, and batch iteration
     are production-shaped; ``decoder="real"`` decodes pixels with Pillow
     when it is installed (checked eagerly on the driver, so a missing
-    library fails fast with a clear error instead of mid-job), while
-    ``decoder="fake"`` runs the identical pipeline with a deterministic
-    md5-seeded stand-in — no image libraries required."""
-    if decoder not in ("fake", "real"):
+    library fails fast with a clear error instead of mid-job);
+    ``decoder="native"`` decodes uncompressed formats (netpbm P5/P6,
+    24-bit BMP) with pure numpy — REAL pixels, zero libraries — raising
+    ``NotImplementedError`` for compressed formats; ``decoder="fake"``
+    runs the identical pipeline with a deterministic md5-seeded
+    stand-in."""
+    if decoder not in ("fake", "real", "native"):
         raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "real":
         try:
@@ -125,10 +211,15 @@ def decode_image_features(
         except ImportError as e:
             raise ImportError(
                 "decode_image_features(decoder='real') requires Pillow; "
-                "install it on driver and executors, or use "
-                "decoder='fake' for the deterministic stand-in"
+                "install it on driver and executors, use decoder='native' "
+                "for library-free netpbm/BMP decode, or decoder='fake' "
+                "for the deterministic stand-in"
             ) from e
-    decode = _real_image_decode if decoder == "real" else _fake_image_decode
+    decode = {
+        "real": _real_image_decode,
+        "native": _native_image_decode,
+        "fake": _fake_image_decode,
+    }[decoder]
 
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
@@ -219,6 +310,69 @@ def resize_images(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def _real_audio_features(
+    payload: bytes, frame_ms: int, n_mels: int, max_frames: int = 1000
+) -> list[list[float]]:
+    """REAL audio feature extraction, zero external libraries: parse PCM
+    WAV with stdlib ``wave``, mix to mono, frame at ``frame_ms``, and
+    reduce each frame's power spectrum (numpy rFFT) to ``n_mels``
+    log-spaced band log-energies — a mel-style spectrogram shape.
+
+    Compressed codecs (mp3/ogg/flac/aac) are the genuine library
+    boundary: ``wave`` refuses them and this raises
+    ``NotImplementedError`` where a librosa/torchaudio call would slot
+    in."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        wf = wave.open(io.BytesIO(payload if payload is not None else b""))
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "real audio decode handles PCM WAV natively; compressed codecs "
+            "need librosa/torchaudio — plug the decode call here"
+        ) from e
+    if sw not in (1, 2, 4) or sr <= 0 or nch <= 0:
+        raise NotImplementedError(
+            "unsupported WAV shape (sample width/rate); compressed or "
+            "exotic encodings need librosa/torchaudio"
+        )
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        x -= 128.0  # 8-bit WAV is unsigned
+    if len(x) == 0:
+        return [[0.0] * n_mels]
+    x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    peak = np.abs(x).max()
+    if peak > 0:
+        x /= peak
+    spf = max(1, int(sr * frame_ms / 1000))
+    n_frames = min(max(1, len(x) // spf), max_frames)
+    frames = np.zeros((n_frames, spf))
+    usable = x[: n_frames * spf]
+    frames.reshape(-1)[: usable.size] = usable
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nbins = power.shape[1]
+    edges = np.unique(
+        np.round(np.geomspace(1, nbins, n_mels + 1)).astype(int)
+    )
+    sums = np.stack(
+        [power[:, a:b].sum(axis=1) for a, b in zip(edges[:-1], edges[1:])],
+        axis=1,
+    )  # (n_frames, bands); short clips can collapse geomspace edges
+    logs = np.log1p(sums)
+    if logs.shape[1] < n_mels:
+        logs = np.pad(logs, ((0, 0), (0, n_mels - logs.shape[1])))
+    return [[float(v) for v in row[:n_mels]] for row in logs]
+
+
 def extract_audio_features(
     df: DataFrame,
     binary_col: str = "payload",
@@ -230,9 +384,12 @@ def extract_audio_features(
     (``features array<array<float>>``, one row of ``n_mels`` floats per
     ``frame_ms`` frame) via Arrow-batched ``mapInPandas``.
 
-    Fake decoder derives frame count from payload size (1 KB ≅ 1 s) and
-    fills deterministic md5-seeded values; ``decoder="real"`` raises at the
-    exact point a librosa/torchaudio call would slot in."""
+    ``decoder="real"`` DECODES PCM WAV natively (stdlib ``wave`` + numpy
+    FFT band energies — no audio library needed) and raises
+    ``NotImplementedError`` for compressed codecs at the exact point a
+    librosa/torchaudio call would slot in.  Fake decoder derives frame
+    count from payload size (1 KB ≅ 1 s) and fills deterministic
+    md5-seeded values."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
@@ -246,13 +403,11 @@ def extract_audio_features(
         import hashlib
 
         for pdf in it:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real audio decode requires librosa/torchaudio — not in "
-                    "this container; plug the mel-spectrogram call here"
-                )
             feats = []
             for p in pdf[binary_col]:
+                if decoder == "real":
+                    feats.append(_real_audio_features(p, frame_ms, n_mels))
+                    continue
                 payload = p if p is not None else b""
                 duration_ms = max(len(payload), 1)
                 n_frames = max(1, duration_ms // frame_ms)

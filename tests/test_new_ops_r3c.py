@@ -348,3 +348,71 @@ class TestClusterProfile:
         # k clamps to the training-sample size
         out = cluster_profile(df, num_clusters=50).collect()
         assert sum(r["n_vecs"] for r in out) == 5
+
+
+class TestRealMediaDecoders:
+    """The library-free REAL decode tiers: PCM WAV audio (stdlib wave +
+    numpy FFT) and netpbm/BMP images (pure numpy)."""
+
+    @staticmethod
+    def _wav(freq=440.0, seconds=0.2, sr=8000):
+        import io
+        import wave
+
+        import numpy as np
+
+        t = np.arange(int(sr * seconds))
+        sig = (np.sin(2 * np.pi * freq * t / sr) * 30000).astype("<i2")
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(sig.tobytes())
+        w.close()
+        return buf.getvalue()
+
+    def test_wav_decode_through_spark(self, spark):
+        import numpy as np
+
+        from sparkplug_spark.operators.multimodal import extract_audio_features
+
+        df = spark.createDataFrame(
+            [(1, self._wav(440.0)), (2, self._wav(2000.0))],
+            "id long, payload binary",
+        )
+        out = {
+            r["id"]: r["features"]
+            for r in extract_audio_features(df, decoder="real").collect()
+        }
+        # 0.2 s at 25 ms frames = 8 frames of 8 band log-energies
+        assert len(out[1]) == 8 and len(out[1][0]) == 8
+        # higher frequency -> energy in a higher log-spaced band
+        b440 = int(np.argmax(np.array(out[1]).mean(axis=0)))
+        b2000 = int(np.argmax(np.array(out[2]).mean(axis=0)))
+        assert b2000 > b440
+
+    def test_wav_codec_boundary_still_raises(self, spark):
+        from sparkplug_spark.operators.multimodal import extract_audio_features
+
+        df = spark.createDataFrame([(1, b"ID3\x03mp3ish")], "id long, payload binary")
+        with pytest.raises(Exception, match="librosa|torchaudio"):
+            extract_audio_features(df, decoder="real").collect()
+
+    def test_native_image_decode_through_spark(self, spark):
+        from sparkplug_spark.operators.multimodal import decode_image_features
+
+        # 2x2 P6: black, white / white, black
+        ppm = b"P6\n2 2\n255\n" + bytes([0, 0, 0, 255, 255, 255, 255, 255, 255, 0, 0, 0])
+        df = spark.createDataFrame([(1, ppm)], "id long, payload binary")
+        feats = decode_image_features(df, feature_dim=4, decoder="native").collect()[0][
+            "features"
+        ]
+        assert [round(f, 3) for f in feats] == [0.0, 1.0, 1.0, 0.0]
+
+    def test_native_rejects_compressed(self, spark):
+        from sparkplug_spark.operators.multimodal import decode_image_features
+
+        df = spark.createDataFrame([(1, b"\x89PNG\r\n\x1a\n")], "id long, payload binary")
+        with pytest.raises(Exception, match="Pillow"):
+            decode_image_features(df, feature_dim=4, decoder="native").collect()
