@@ -416,3 +416,35 @@ class TestRealMediaDecoders:
         df = spark.createDataFrame([(1, b"\x89PNG\r\n\x1a\n")], "id long, payload binary")
         with pytest.raises(Exception, match="Pillow"):
             decode_image_features(df, feature_dim=4, decoder="native").collect()
+
+
+def test_avi_frame_sampling_through_spark(spark):
+    """Real AVI demux tier: a synthetic 25fps MJPEG-shaped AVI sampled at
+    1 fps yields the stored frame bytes at the right timestamps; non-RIFF
+    payloads still raise at the ffmpeg boundary."""
+    import struct
+
+    from sparkplug_spark.operators.multimodal import sample_video_frames
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(form, body):
+        return chunk(b"LIST", form + body)
+
+    avih = chunk(b"avih", struct.pack("<I", 40000) + b"\x00" * 52)  # 25 fps
+    frames = b"".join(chunk(b"00dc", b"JPEG%02d" % i) for i in range(50))
+    body = b"AVI " + lst(b"hdrl", avih) + lst(b"movi", frames)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame([(1, avi)], "id long, payload binary")
+    got = sample_video_frames(df, every_ms=1000, decoder="real").collect()
+    assert [(r["frame_idx"], r["frame_ts_ms"], bytes(r["frame"])) for r in got] == [
+        (0, 0, b"JPEG00"),
+        (1, 1000, b"JPEG25"),
+    ]
+
+    mp4 = spark.createDataFrame([(1, b"\x00\x00\x00 ftypmp42")], "id long, payload binary")
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_video_frames(mp4, decoder="real").collect()
