@@ -441,3 +441,31 @@ def test_rule_value_window_function(spark):
     assert sorted((r["id"], r["tag"]) for r in out.collect()) == [
         (1, "1"), (2, "2"), (3, "1"),
     ]
+
+
+def test_long_rule_chain_fuses_and_computes(spark):
+    """60 sequential rules: the fold must stay ONE codegen'd projection
+    (CollapseProject at depth), apply in order (rule k+1 sees rule k's
+    write), and finish plan construction fast (the one-schema-analysis
+    fold — per-rule analysis would be O(rules^2) py4j round-trips)."""
+    import re as _re
+    import time
+
+    from sparkplug_spark.engine import SparkPlug
+    from sparkplug_spark.models import PlugAction, PlugRule
+
+    rules = [
+        PlugRule(f"inc{i}", "v1", "v >= 0", (PlugAction("v", f"`v + 1`"),))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame([(0,), (100,), (-5,)], ["v"])
+    t0 = time.perf_counter()
+    out = SparkPlug.builder(spark).create().plug(df, rules)
+    build_s = time.perf_counter() - t0
+    got = sorted(r["v"] for r in out.collect())
+    # -5 never matches; 0 and 100 gain 60 each
+    assert got == [-5, 60, 160]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert len(set(_re.findall(r"\*\((\d+)\)", plan))) == 1  # one codegen span
+    assert build_s < 20.0  # O(rules), not O(rules^2) plan analysis
