@@ -25,10 +25,18 @@ from sparkplug_spark import PlugAction, PlugRule, SparkPlug
 
 # DataFrame-plan cache: re-reading the same parquet path re-lists files and
 # re-reads footers on every call (~0.1 s/table driver-side).  A real cluster
-# amortizes this through the catalog/metastore; keying on the session object
-# itself both prevents cross-session reuse and avoids id() collisions after a
-# session is stopped and garbage-collected.
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+# amortizes this through the catalog/metastore.  The cache dict lives ON the
+# session object, so it can't serve plans across sessions and it dies with
+# the session — a module-level dict would pin every stopped session (and its
+# py4j-backed plans) for the process lifetime.
+
+
+def _table_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, "_sparkplug_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._sparkplug_table_cache = cache
+    return cache
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -36,11 +44,12 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # session to UTC so Spark's literal parsing and datetime rendering agree
     # with the oracle regardless of host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark, sf_dir, table)
-    df = _TABLE_CACHE.get(key)
+    cache = _table_cache(spark)
+    key = (sf_dir, table)
+    df = cache.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        _TABLE_CACHE[key] = df
+        cache[key] = df
     return df
 
 
@@ -266,8 +275,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp_ntz on Spark >= 4.1) and TIMESTAMP(MICROS) isAdjustedToUTC=false
     (reads as timestamp_ntz). All paths land on identical micros values."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark, sf_dir, "events:normalized")
-    cached = _TABLE_CACHE.get(key)
+    cache = _table_cache(spark)
+    key = (sf_dir, "events:normalized")
+    cached = cache.get(key)
     if cached is not None:
         return cached
     try:  # no-op on Spark >= 4.1 where the legacy conf was removed
@@ -282,7 +292,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         # wall-clock-preserving under the UTC session timezone set above
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _TABLE_CACHE[key] = df
+    cache[key] = df
     return df
 
 

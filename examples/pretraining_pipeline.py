@@ -113,7 +113,14 @@ def main() -> None:
     bp = remove_boilerplate_spans(docs2, span_tokens=8, min_docs=2).select(
         "doc_id", F.col("text_clean").alias("text")
     )
-    docs3 = bp.join(meta, "doc_id")
+    docs3 = bp.join(meta.drop("n_tokens"), "doc_id")
+
+    # RE-COUNT after every text-mutating step: trim bands, mixture
+    # budgets, and shard weights must describe the text that SHIPS, not
+    # the ingest-time counts (scrub/span/boilerplate all shrank it)
+    from sparkplug_spark.functions.text import tokens
+
+    docs3 = docs3.withColumn("n_tokens", F.size(tokens(F.col("text"))))
 
     # 4b. winsor the length outliers per source (exact rank tier; use
     # mode="approx" when the table is ungrouped at scale)

@@ -322,12 +322,22 @@ class SparkPlug:
             self.spark.sparkContext.setCheckpointDir(self.checkpoint.checkpoint_dir)
 
         out = self._pre_process(df)
-        # ONE schema analysis for the whole fold: rule writes never change
-        # column types, so the dotted-path -> type map stays valid across
-        # rules (per-rule df.schema calls re-analyze the growing plan — a
-        # driver-side O(rules^2) py4j tax on long chains).
+        # ONE schema analysis for the whole fold: LITERAL rule writes never
+        # change column types, so the dotted-path -> type map stays valid
+        # across rules (per-rule df.schema calls re-analyze the growing
+        # plan — a driver-side O(rules^2) py4j tax on long chains).
+        # EXPRESSION actions (backtick values) CAN retype a column, so
+        # every path under such an action's top-level column is marked
+        # stale and the map is re-analyzed only when a later rule actually
+        # touches a stale path — the common all-literal chain stays O(rules).
         fields = build_fields_map(out.schema)
+        stale: set[str] = set()
         for i, rule in enumerate(rules):
+            if stale and any(
+                a.key in stale or a.update_key in stale for a in rule.actions
+            ):
+                fields = build_fields_map(out.schema)
+                stale.clear()
             out = apply_rule(
                 out,
                 rule,
@@ -341,11 +351,27 @@ class SparkPlug:
                 lenient=self.lenient,
                 fields=fields,
             )
+            for a in rule.actions:
+                if a.is_expression:
+                    # the expression's result type is unknown without
+                    # analysis; poison the whole top-level column subtree
+                    stale.update(
+                        p for p in fields if p == a.update_key
+                        or p.startswith(a.update_key + ".")
+                    )
             if self.keep_old_field_enabled:
-                # keep-old copies add real columns mid-fold; keep the map in
-                # sync so later rules may reference them.
+                # keep-old copies add real columns mid-fold; keep the map
+                # (including nested struct paths) in sync so later rules
+                # may reference them.
                 for parent in {a.update_key for a in rule.actions}:
-                    fields[f"{parent}_{rule.name}_old"] = fields[parent]
+                    old = f"{parent}_{rule.name}_old"
+                    fields[old] = fields[parent]
+                    if isinstance(fields[parent], T.StructType):
+                        fields.update(
+                            build_fields_map(fields[parent], prefix=f"{old}.")
+                        )
+                    if parent in stale:
+                        stale.add(old)
             out = self._repartition_and_checkpoint(out, i)
 
         if self.metrics_observation is not None and not df.isStreaming:

@@ -888,7 +888,11 @@ def strip_markup(
     )
     for ent, ch in MARKUP_ENTITIES:
         cur = F.replace(cur, F.lit(ent), F.lit(ch))
-    cur = F.trim(F.regexp_replace(cur, r"[ \t\n\r\f\v]+", " "))
+    # literal control chars, NOT the \v escape: Java's \v is a vertical-
+    # whitespace CLASS (incl. U+0085/U+2028/U+2029) while RE2/Python \v is
+    # VT only — the escape would silently break DuckDB bit-parity on any
+    # document containing NEL/LS/PS
+    cur = F.trim(F.regexp_replace(cur, "[ \t\n\r\f\x0b]+", " "))
     return out.withColumns(
         {"n_tags": n_tags, "n_entities": n_entities, out_col: cur}
     )

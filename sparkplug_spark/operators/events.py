@@ -100,9 +100,6 @@ def funnel_counts(
     persists nothing, so there is nothing to release."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    for s in steps:
-        if "'" in s or "\\" in s:
-            raise ValueError(f"step names may not contain quotes/backslashes: {s!r}")
     w = Window.partitionBy("u").orderBy("t")  # default RANGE frame: peers included
     # no spread(): the window's hash shuffle on the user key already
     # redistributes, and the pre-shuffle projection is trivial
@@ -135,20 +132,28 @@ def funnel_counts(
             for i, c in enumerate(elig_cols, start=1)
         ]
     )
+    # coalesce: an empty log must report 0 reached, not a NULL sum
     totals = per_user.agg(
         *[
-            F.sum(f"s{i}").alias(f"n{i}")
+            F.coalesce(F.sum(f"s{i}"), F.lit(0)).cast("long").alias(f"n{i}")
             for i in range(1, len(steps) + 1)
         ]
     )
-    stack_args = ", ".join(
-        f"'{s}', {i}, n{i}" for i, s in enumerate(steps, start=1)
-    )
-    return totals.selectExpr(
-        f"stack({len(steps)}, {stack_args}) AS (step, step_idx, n_users)"
-    ).select(
-        "step", F.col("step_idx").cast("int").alias("step_idx"), "n_users"
-    )
+    # unpivot via array-of-structs (no SQL-string interpolation, so step
+    # names may contain any characters)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("step"),
+                    F.lit(i).cast("int").alias("step_idx"),
+                    F.col(f"n{i}").alias("n_users"),
+                )
+                for i, s in enumerate(steps, start=1)
+            ]
+        )
+    ).alias("r")
+    return totals.select(rows).select("r.step", "r.step_idx", "r.n_users")
 
 
 def retention_cohorts(

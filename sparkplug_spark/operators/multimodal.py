@@ -112,7 +112,7 @@ def _native_pixels(payload: bytes):
         # ONE whitespace byte, then the raw raster
         toks: list[bytes] = []
         i = 2
-        while len(toks) < 3:
+        while len(toks) < 3 and i < len(payload):
             while i < len(payload) and payload[i : i + 1].isspace():
                 i += 1
             if payload[i : i + 1] == b"#":  # comment to end of line
@@ -122,21 +122,38 @@ def _native_pixels(payload: bytes):
             j = i
             while j < len(payload) and not payload[j : j + 1].isspace():
                 j += 1
-            toks.append(payload[i:j])
+            if j > i:
+                toks.append(payload[i:j])
             i = j
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError as e:
+            raise NotImplementedError(
+                "malformed netpbm header (truncated or non-numeric)"
+            ) from e
+        if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+            # maxval > 255 means 2-byte big-endian samples per the spec —
+            # raise at the boundary rather than mis-decode as uint8
+            raise NotImplementedError(
+                "native netpbm decode supports 8-bit samples (maxval <= 255)"
+            )
         i += 1  # the single whitespace after maxval
-        w, h, maxval = (int(t) for t in toks)
         ch = 1 if payload[:2] == b"P5" else 3
+        if len(payload) - i < w * h * ch:
+            raise NotImplementedError("netpbm raster shorter than header claims")
         raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
         arr = raster.reshape(h, w, ch).astype(np.float64) / float(maxval)
         return arr.mean(axis=2) if ch == 3 else arr[:, :, 0] if arr.ndim == 3 else arr
     if payload[:2] == b"BM":
         import struct
 
-        data_off = struct.unpack_from("<I", payload, 10)[0]
-        w, h = struct.unpack_from("<ii", payload, 18)
-        planes, bpp = struct.unpack_from("<HH", payload, 26)
-        compression = struct.unpack_from("<I", payload, 30)[0]
+        try:
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            w, h = struct.unpack_from("<ii", payload, 18)
+            planes, bpp = struct.unpack_from("<HH", payload, 26)
+            compression = struct.unpack_from("<I", payload, 30)[0]
+        except struct.error as e:
+            raise NotImplementedError("truncated BMP header") from e
         if bpp != 24 or compression != 0:
             raise NotImplementedError(
                 "native BMP decode supports 24-bit uncompressed only"
@@ -144,6 +161,8 @@ def _native_pixels(payload: bytes):
         bottom_up = h > 0
         h = abs(h)
         row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if w <= 0 or h == 0 or len(payload) - data_off < row_bytes * h:
+            raise NotImplementedError("BMP raster shorter than header claims")
         rows = np.frombuffer(
             payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
         ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)

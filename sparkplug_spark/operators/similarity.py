@@ -915,7 +915,6 @@ def cluster_profile(
     df: DataFrame,
     num_clusters: int = 16,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     seed: int = 42,
     train_points_per_centroid: int = 128,
     train_fraction: float | None = None,

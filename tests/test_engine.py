@@ -469,3 +469,53 @@ def test_long_rule_chain_fuses_and_computes(spark):
     assert "Exchange" not in plan
     assert len(set(_re.findall(r"\*\((\d+)\)", plan))) == 1  # one codegen span
     assert build_s < 20.0  # O(rules), not O(rules^2) plan analysis
+
+
+def test_expression_action_retype_then_literal_write(spark):
+    """A backtick expression may RETYPE a column (bigint -> double); a
+    later literal write must coerce against the NEW type, not the stale
+    pre-fold map (regression: the one-analysis fold poisoned this)."""
+    from sparkplug_spark.engine import SparkPlug
+    from sparkplug_spark.models import PlugAction, PlugRule
+
+    rules = [
+        PlugRule("retype", "v1", "true", (PlugAction("v", "`cast(v as double) + 0.25`"),)),
+        PlugRule("write", "v1", "v > 0", (PlugAction("v", "1.5"),)),
+    ]
+    df = spark.createDataFrame([(1,), (-3,)], ["v"])
+    got = sorted(
+        r["v"]
+        for r in SparkPlug.builder(spark).create().plug(df, rules).collect()
+    )
+    assert got == [-2.75, 1.5]
+
+
+def test_keep_old_struct_field_referencable_by_later_rule(spark):
+    """keep_old of a struct column registers its NESTED paths too, so a
+    later rule may read/write <parent>_<rule>_old.x."""
+    from pyspark.sql import types as T
+
+    from sparkplug_spark.engine import SparkPlug
+    from sparkplug_spark.models import PlugAction, PlugRule
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "s", T.StructType([T.StructField("x", T.LongType())])
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, (10,))], schema)
+    rules = [
+        PlugRule("rA", "v1", "true", (PlugAction("s.x", "99"),)),
+        PlugRule("rB", "v1", "s_rA_old.x = 10", (PlugAction("id", "7"),)),
+    ]
+    out = (
+        SparkPlug.builder(spark)
+        .keep_old_field()
+        .create()
+        .plug(df, rules)
+        .collect()[0]
+    )
+    assert out["id"] == 7 and out["s"]["x"] == 99 and out["s_rA_old"]["x"] == 10

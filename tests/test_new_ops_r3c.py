@@ -448,3 +448,37 @@ def test_avi_frame_sampling_through_spark(spark):
     mp4 = spark.createDataFrame([(1, b"\x00\x00\x00 ftypmp42")], "id long, payload binary")
     with pytest.raises(Exception, match="ffmpeg"):
         sample_video_frames(mp4, decoder="real").collect()
+
+
+def test_funnel_empty_input_reports_zero(spark):
+    from sparkplug_spark.operators import funnel_counts
+
+    df = spark.createDataFrame([], "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: r["n_users"] for r in funnel_counts(df, ["view", "click"]).collect()}
+    assert got == {"view": 0, "click": 0}
+
+
+def test_funnel_step_names_with_quotes(spark):
+    import datetime as dt
+
+    from sparkplug_spark.operators import funnel_counts
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "o'clock promo")],
+        ["user_id", "ts", "event_type"],
+    )
+    got = funnel_counts(df, ["o'clock promo"]).collect()
+    assert got[0]["step"] == "o'clock promo" and got[0]["n_users"] == 1
+
+
+def test_netpbm_rejects_16bit_and_truncated(spark):
+    from sparkplug_spark.operators.multimodal import _native_pixels
+
+    with pytest.raises(NotImplementedError, match="maxval"):
+        _native_pixels(b"P5\n2 2\n65535\n" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="malformed|truncated"):
+        _native_pixels(b"P6\n2")
+    with pytest.raises(NotImplementedError, match="shorter"):
+        _native_pixels(b"P6\n4 4\n255\n" + b"\x00" * 5)
+    with pytest.raises(NotImplementedError, match="truncated"):
+        _native_pixels(b"BM\x00\x00")
