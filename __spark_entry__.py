@@ -1256,6 +1256,29 @@ def q_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impute_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-suggestion bridge: learn per-source median/mode fills from
+    the data, emit them as declarative PlugRules, and apply those rules
+    with the ENGINE — must reproduce impute_nulls exactly (same oracle
+    SQL), proving the statistical and declarative paths agree."""
+    from sparkplug_spark.operators import suggest_fill_rules
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 9 == 0, None)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+        F.when(F.col("doc_id") % 11 == 0, None)
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    rules = suggest_fill_rules(
+        docs, {"n_chars": "median", "lang": "mode"}, by=("source",)
+    )
+    return SparkPlug.builder(spark).create().plug(docs, rules)
+
+
 def q_plug_hof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delegated-surface probe: HIGHER-ORDER FUNCTIONS (lambda
     aggregate over a generated sequence) inside a backtick value; the
@@ -3244,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dataset_fingerprint": q_dataset_fingerprint,
         "multimodal_native": q_multimodal_native,
+        "impute_rules": q_impute_rules,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -3259,6 +3283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = _extension_oracles()
     out.update(_core_oracles())
+    # the rule-suggestion bridge must reproduce impute_nulls EXACTLY —
+    # same oracle by construction
+    out["impute_rules"] = out["impute_nulls"]
     return out
 
 

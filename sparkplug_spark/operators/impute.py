@@ -32,7 +32,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["impute_nulls"]
+__all__ = ["impute_nulls", "suggest_fill_rules"]
 
 
 def _fill_table(
@@ -119,3 +119,96 @@ def impute_nulls(
             ),
         ).drop(f"__fill_{col}")
     return out
+
+
+def _sql_literal(v, col: str) -> str:
+    """Render a Python value as a Spark SQL literal for a rule condition."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    s = str(v)
+    if "\\" in s or "\n" in s:
+        raise ValueError(
+            f"group value for {col!r} contains characters a rule condition "
+            f"literal cannot carry safely: {s!r}"
+        )
+    return "'" + s.replace("'", "''") + "'"
+
+
+def suggest_fill_rules(
+    df: DataFrame,
+    strategies: Mapping[str, object],
+    by: Sequence[str] = (),
+    name_prefix: str = "fill",
+    version: str = "v1",
+):
+    """Turn per-group statistical fills into DECLARATIVE rules — the
+    bridge from :func:`impute_nulls` (learn the fill from data) to the
+    rules engine (ship the fill as a reviewable, versioned rule set, the
+    reference's native currency).
+
+    For every target column and group, emits one ``PlugRule`` whose
+    condition is ``<col> IS NULL AND <by> = <group>`` and whose single
+    action writes the group's median/mode/const as a literal.  Applying
+    the returned rules with ``SparkPlug.plug`` reproduces
+    ``impute_nulls(df, strategies, by)`` exactly (oracle-checked by the
+    ``impute_rules`` query) — but the fills become inspectable, diffable
+    artifacts that survive the dataset they were learned from.
+
+    The fill tables are tiny (one row per group) — collecting them to the
+    driver is the point: rules are driver-side objects.  ``"mean"`` is
+    rejected (float literals round-trip through rule text; medians and
+    modes are values that exist in the data)."""
+    from ..models import PlugAction, PlugRule
+
+    if not strategies:
+        raise ValueError("strategies must be non-empty")
+    by = list(by)
+    rules = []
+    for col, strat in strategies.items():
+        if isinstance(strat, tuple):
+            kind, value = strat
+            if kind != "const":
+                raise ValueError(f"unknown strategy {strat!r} for column {col}")
+            rules.append(
+                PlugRule(
+                    f"{name_prefix}_{col}_const",
+                    version,
+                    f"{col} IS NULL",
+                    (PlugAction(col, str(value)),),
+                )
+            )
+            continue
+        if strat == "mean":
+            raise ValueError(
+                "mean fills are float-valued and do not round-trip through "
+                "rule literals exactly; use 'median' or ('const', v)"
+            )
+        fills = _fill_table(df, by, col, strat)
+        rows = sorted(
+            fills.collect(), key=lambda r: tuple(str(r[c]) for c in by)
+        )
+        for i, r in enumerate(rows):
+            conds = [f"{col} IS NULL"] + [
+                f"{c} IS NULL" if r[c] is None else f"{c} = {_sql_literal(r[c], c)}"
+                for c in by
+            ]
+            fill = r[f"__fill_{col}"]
+            value = str(fill)
+            if "`" in value:
+                raise ValueError(
+                    f"fill value for {col!r} contains a backtick, which the "
+                    f"rule language reserves for expressions: {value!r}"
+                )
+            rules.append(
+                PlugRule(
+                    f"{name_prefix}_{col}_{i}",
+                    version,
+                    " AND ".join(conds),
+                    (PlugAction(col, value),),
+                )
+            )
+    return rules

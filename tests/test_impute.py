@@ -86,3 +86,54 @@ def test_impute_validation(df):
         impute_nulls(df, {"v": "vibes"})
     with pytest.raises(ValueError, match="unknown strategy"):
         impute_nulls(df, {"v": ("fancy", 1)})
+
+
+class TestSuggestFillRules:
+    def test_rules_reproduce_impute(self, spark):
+        from sparkplug_spark import SparkPlug
+        from sparkplug_spark.operators import impute_nulls, suggest_fill_rules
+
+        rows = [
+            (1, "a", 10, "en"), (2, "a", 20, "en"), (3, "a", None, None),
+            (4, "b", 7, "de"), (5, "b", None, "de"), (6, "b", 9, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, g string, v long, lang string"
+        )
+        strategies = {"v": "median", "lang": "mode"}
+        rules = suggest_fill_rules(df, strategies, by=("g",))
+        via_rules = SparkPlug.builder(spark).create().plug(df, rules)
+        via_impute = impute_nulls(df, strategies, by=("g",))
+        assert sorted(map(tuple, via_rules.collect())) == sorted(
+            map(tuple, via_impute.collect())
+        )
+        # rules are inspectable artifacts with the expected shape
+        assert all(r.condition.startswith(("v IS NULL", "lang IS NULL")) for r in rules)
+
+    def test_group_values_with_quotes_and_null_groups(self, spark):
+        from sparkplug_spark import SparkPlug
+        from sparkplug_spark.operators import impute_nulls, suggest_fill_rules
+
+        rows = [
+            (1, "o'brien", 5), (2, "o'brien", None),
+            (3, None, 8), (4, None, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v long")
+        rules = suggest_fill_rules(df, {"v": "median"}, by=("g",))
+        got = {r["id"]: r["v"] for r in
+               SparkPlug.builder(spark).create().plug(df, rules).collect()}
+        want = {r["id"]: r["v"] for r in
+                impute_nulls(df, {"v": "median"}, by=("g",)).collect()}
+        assert got == want == {1: 5, 2: 5, 3: 8, 4: 8}
+
+    def test_mean_rejected_and_const(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import suggest_fill_rules
+
+        df = spark.createDataFrame([(1, None)], "id long, v long")
+        with _pytest.raises(ValueError, match="mean"):
+            suggest_fill_rules(df, {"v": "mean"})
+        rules = suggest_fill_rules(df, {"v": ("const", 42)})
+        assert rules[0].condition == "v IS NULL"
+        assert rules[0].actions[0].value == "42"
