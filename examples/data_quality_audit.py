@@ -77,6 +77,17 @@ def main() -> None:
     print("--- after repair ---")
     check_expectations(repaired, exps).show(truncate=False)
 
+    # alternative: ship the learned fills AS rules — reviewable, versioned
+    # artifacts that apply through the same engine and survive the data
+    # they were learned from (suggest_fill_rules output == impute_nulls)
+    from sparkplug_spark.operators import suggest_fill_rules
+
+    suggested = suggest_fill_rules(docs, {"n_chars": "median"}, by=("source",))
+    print("suggested rules (first 3):")
+    for r in suggested[:3]:
+        print(f"  {r.name}: WHEN {r.condition} SET "
+              f"{r.actions[0].key} = {r.actions[0].value}")
+
     column_profile(repaired, ["n_chars"]).show(truncate=False)
     spark.stop()
 
