@@ -815,6 +815,7 @@ def weighted_sample(
     fraction: float,
     id_col: str = "doc_id",
     salt: str = "ws",
+    mean_weight: float | None = None,
 ) -> DataFrame:
     """Deterministic Poisson probability-proportional-to-size sample:
     row i survives iff ``u_i < fraction · w_i / mean(w)`` with
@@ -830,27 +831,46 @@ def weighted_sample(
 
     Plan: one tiny aggregate reduces the corpus to a 1-row (sum, count)
     table broadcast back via cross join; the filter itself is a narrow
-    codegen'd projection — no shuffle of the data."""
+    codegen'd projection — no shuffle of the data.  Pass ``mean_weight``
+    (a known/stored corpus statistic) to skip the aggregate entirely —
+    the stateless tier that also works on STREAMING DataFrames, where a
+    global mean cannot be computed inline."""
     if not (0.0 < fraction <= 1.0):
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    totals = df.agg(
-        F.sum(F.col(weight_col)).cast("double").alias("__sw"),
-        F.count(F.lit(1)).cast("double").alias("__n"),
-    )
     u = hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))).cast(
         "double"
     ) / F.lit(float(1 << 60))
-    p = F.least(
-        F.lit(1.0),
-        F.lit(fraction) * F.col(weight_col).cast("double") * F.col("__n") / F.col("__sw"),
-    )
-    return (
-        df.join(F.broadcast(totals))
-        .withColumn("__p", p)
+    if mean_weight is not None:
+        if mean_weight <= 0:
+            raise ValueError(f"mean_weight must be > 0, got {mean_weight}")
+        p = F.least(
+            F.lit(1.0),
+            F.lit(fraction) * F.col(weight_col).cast("double") / F.lit(float(mean_weight)),
+        )
+        joined = df
+    else:
+        if df.isStreaming:
+            raise ValueError(
+                "weighted_sample on a streaming DataFrame needs an explicit "
+                "mean_weight (a stored corpus statistic); a global mean "
+                "cannot be aggregated inline on a stream"
+            )
+        totals = df.agg(
+            F.sum(F.col(weight_col)).cast("double").alias("__sw"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
+        p = F.least(
+            F.lit(1.0),
+            F.lit(fraction) * F.col(weight_col).cast("double") * F.col("__n") / F.col("__sw"),
+        )
+        joined = df.join(F.broadcast(totals))
+    out = (
+        joined.withColumn("__p", p)
         .filter(u < F.col("__p"))
         .withColumn("p_ppm", F.floor(F.col("__p") * F.lit(1_000_000.0)).cast("long"))
-        .drop("__sw", "__n", "__p")
+        .drop("__p")
     )
+    return out if mean_weight is not None else out.drop("__sw", "__n")
 
 
 #: entity -> character decode table for :func:`strip_markup`; ``&amp;`` is

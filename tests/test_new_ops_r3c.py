@@ -482,3 +482,52 @@ def test_netpbm_rejects_16bit_and_truncated(spark):
         _native_pixels(b"P6\n4 4\n255\n" + b"\x00" * 5)
     with pytest.raises(NotImplementedError, match="truncated"):
         _native_pixels(b"BM\x00\x00")
+
+
+class TestWeightedSampleStoredMean:
+    def test_mean_tier_matches_model(self, spark):
+        from sparkplug_spark.operators import weighted_sample
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 10 + 1).alias("w")
+        )
+        # stored statistic == true mean -> selection matches the model
+        got = {r["doc_id"]: r["p_ppm"]
+               for r in weighted_sample(df, "w", 0.3, mean_weight=5.5).collect()}
+        import hashlib
+
+        for i, p in got.items():
+            w = i % 10 + 1
+            assert p == int(min(1.0, 0.3 * w / 5.5) * 1_000_000)
+            h = int(hashlib.md5(f"ws{i}".encode()).hexdigest()[:15], 16)
+            assert h / float(1 << 60) < min(1.0, 0.3 * w / 5.5)
+        with pytest.raises(ValueError, match="mean_weight"):
+            weighted_sample(df, "w", 0.3, mean_weight=0.0)
+
+    def test_streaming_requires_stored_mean_then_works(self, spark, tmp_path):
+        from sparkplug_spark.operators import weighted_sample
+
+        src = str(tmp_path / "ws_src")
+        spark.range(200).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 10 + 1).alias("w")
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, w long").parquet(src)
+        with pytest.raises(ValueError, match="mean_weight"):
+            weighted_sample(stream, "w", 0.3)
+        q = (
+            weighted_sample(stream, "w", 0.3, mean_weight=5.5)
+            .writeStream.format("memory")
+            .queryName("ws_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {r["doc_id"] for r in spark.sql("select * from ws_stream").collect()}
+        batch = {
+            r["doc_id"]
+            for r in weighted_sample(
+                spark.read.parquet(src), "w", 0.3, mean_weight=5.5
+            ).collect()
+        }
+        assert streamed == batch and len(streamed) > 0
