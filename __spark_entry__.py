@@ -1235,13 +1235,11 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "valid_from", "valid_to")
 
 
-def q_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical hole-filling (the north-star imputation shape): nulls
-    injected deterministically, then n_chars ← per-source exact median,
-    lang ← per-source mode (ties → smallest)."""
-    from sparkplug_spark.operators import impute_nulls
-
-    docs = _read(spark, sf_dir, "documents").select(
+def _nulled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic null injection shared by q_impute_nulls and
+    q_impute_rules — the two queries share ONE oracle, so their input
+    construction must stay byte-identical."""
+    return _read(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
         F.when(F.col("doc_id") % 9 == 0, None)
@@ -1251,6 +1249,15 @@ def q_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("lang"))
         .alias("lang"),
     )
+
+
+def q_impute_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical hole-filling (the north-star imputation shape): nulls
+    injected deterministically, then n_chars ← per-source exact median,
+    lang ← per-source mode (ties → smallest)."""
+    from sparkplug_spark.operators import impute_nulls
+
+    docs = _nulled_docs(spark, sf_dir)
     return impute_nulls(
         docs, {"n_chars": "median", "lang": "mode"}, by=("source",)
     )
@@ -1263,16 +1270,7 @@ def q_impute_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL), proving the statistical and declarative paths agree."""
     from sparkplug_spark.operators import suggest_fill_rules
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.when(F.col("doc_id") % 9 == 0, None)
-        .otherwise(F.col("n_chars"))
-        .alias("n_chars"),
-        F.when(F.col("doc_id") % 11 == 0, None)
-        .otherwise(F.col("lang"))
-        .alias("lang"),
-    )
+    docs = _nulled_docs(spark, sf_dir)
     rules = suggest_fill_rules(
         docs, {"n_chars": "median", "lang": "mode"}, by=("source",)
     )

@@ -144,8 +144,11 @@ def apply_rule(
 
     ``fields`` is the dotted-path -> DataType map of ``df``'s schema; pass it
     when folding many rules so each step skips the ``df.schema`` analysis
-    round-trip (rule writes never change column types, so the map stays valid
-    across the fold).
+    round-trip.  Caveat: only LITERAL writes preserve column types — a
+    backtick EXPRESSION action can retype its column, after which a cached
+    map is stale for that column's subtree and must be rebuilt from the
+    current schema before coercing later literal writes to it
+    (``SparkPlug.plug`` tracks this automatically).
     """
     if fields is None:
         fields = build_fields_map(df.schema)
@@ -309,6 +312,13 @@ class SparkPlug:
     def validate(
         self, schema: T.StructType, rules: Sequence[PlugRule]
     ) -> list[PlugRuleValidationError]:
+        """Validate against the INPUT schema (reference contract,
+        ``PlugRule.scala:46-47``): a literal write to a column that an
+        earlier backtick expression retypes mid-fold is reported as a
+        coercion error here even though the unvalidated engine path
+        handles the retype — the reference validated the same way, and a
+        rule set that only type-checks against a mid-fold schema is
+        fragile by construction."""
         return validate_rules(schema, list(rules), spark=self.spark)
 
     def plug(self, df: DataFrame, rules: Iterable[PlugRule]) -> DataFrame:

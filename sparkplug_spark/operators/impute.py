@@ -121,21 +121,39 @@ def impute_nulls(
     return out
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for use inside a rule condition, so
+    non-plain identifiers (dashes, spaces) parse as column references."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _sql_literal(v, col: str) -> str:
-    """Render a Python value as a Spark SQL literal for a rule condition."""
+    """Render a Python value as a Spark SQL literal for a rule condition.
+    Only types that round-trip exactly through SQL text are accepted."""
+    import math
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        raise ValueError(
+            f"group value for {col!r} is non-finite ({v!r}); NaN/inf cannot "
+            "be carried in a rule condition literal"
+        )
     if isinstance(v, (int, float)):
         return repr(v)
-    s = str(v)
-    if "\\" in s or "\n" in s:
+    if not isinstance(v, str):
+        raise ValueError(
+            f"group value for {col!r} has type {type(v).__name__}, which "
+            "does not round-trip through a rule condition literal"
+        )
+    if "\\" in v or "\n" in v:
         raise ValueError(
             f"group value for {col!r} contains characters a rule condition "
-            f"literal cannot carry safely: {s!r}"
+            f"literal cannot carry safely: {v!r}"
         )
-    return "'" + s.replace("'", "''") + "'"
+    return "'" + v.replace("'", "''") + "'"
 
 
 def suggest_fill_rules(
@@ -173,11 +191,16 @@ def suggest_fill_rules(
             kind, value = strat
             if kind != "const":
                 raise ValueError(f"unknown strategy {strat!r} for column {col}")
+            if "`" in str(value):
+                raise ValueError(
+                    f"const fill for {col!r} contains a backtick, which the "
+                    f"rule language reserves for expressions: {value!r}"
+                )
             rules.append(
                 PlugRule(
                     f"{name_prefix}_{col}_const",
                     version,
-                    f"{col} IS NULL",
+                    f"{_quote_ident(col)} IS NULL",
                     (PlugAction(col, str(value)),),
                 )
             )
@@ -192,8 +215,10 @@ def suggest_fill_rules(
             fills.collect(), key=lambda r: tuple(str(r[c]) for c in by)
         )
         for i, r in enumerate(rows):
-            conds = [f"{col} IS NULL"] + [
-                f"{c} IS NULL" if r[c] is None else f"{c} = {_sql_literal(r[c], c)}"
+            conds = [f"{_quote_ident(col)} IS NULL"] + [
+                f"{_quote_ident(c)} IS NULL"
+                if r[c] is None
+                else f"{_quote_ident(c)} = {_sql_literal(r[c], c)}"
                 for c in by
             ]
             fill = r[f"__fill_{col}"]

@@ -107,8 +107,12 @@ class TestSuggestFillRules:
         assert sorted(map(tuple, via_rules.collect())) == sorted(
             map(tuple, via_impute.collect())
         )
-        # rules are inspectable artifacts with the expected shape
-        assert all(r.condition.startswith(("v IS NULL", "lang IS NULL")) for r in rules)
+        # rules are inspectable artifacts with the expected shape (column
+        # names backtick-quoted so non-plain identifiers parse)
+        assert all(
+            r.condition.startswith(("`v` IS NULL", "`lang` IS NULL"))
+            for r in rules
+        )
 
     def test_group_values_with_quotes_and_null_groups(self, spark):
         from sparkplug_spark import SparkPlug
@@ -135,5 +139,7 @@ class TestSuggestFillRules:
         with _pytest.raises(ValueError, match="mean"):
             suggest_fill_rules(df, {"v": "mean"})
         rules = suggest_fill_rules(df, {"v": ("const", 42)})
-        assert rules[0].condition == "v IS NULL"
+        assert rules[0].condition == "`v` IS NULL"
         assert rules[0].actions[0].value == "42"
+        with _pytest.raises(ValueError, match="backtick"):
+            suggest_fill_rules(df, {"v": ("const", "has ` tick")})
