@@ -97,9 +97,13 @@ def main() -> None:
             # in a fresh session).  Runs OUTSIDE the timed region.
             spark.sparkContext._jvm.System.gc()
             done += 1
+            # sub-second queries are dominated by fixed stage-launch/GC
+            # costs that scale with host load, so their relative noise is
+            # the largest — give them one more chance than big queries
+            cap = 6 if 0 < base.get(name, 0) < 1.0 else 5
             if (
                 done == passes
-                and passes < 5
+                and passes < cap
                 and base.get(name, 0) > 0
                 and best > 1.5 * base[name]
             ):

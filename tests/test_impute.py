@@ -143,3 +143,14 @@ class TestSuggestFillRules:
         assert rules[0].actions[0].value == "42"
         with _pytest.raises(ValueError, match="backtick"):
             suggest_fill_rules(df, {"v": ("const", "has ` tick")})
+
+    def test_suggested_rules_pass_engine_validation(self, spark):
+        from sparkplug_spark.operators import suggest_fill_rules
+        from sparkplug_spark.validation import validate_rules
+
+        df = spark.createDataFrame(
+            [(1, "a", 10, "en"), (2, "a", None, None), (3, "b", 7, "de")],
+            "id long, g string, v long, lang string",
+        )
+        rules = suggest_fill_rules(df, {"v": "median", "lang": "mode"}, by=("g",))
+        assert validate_rules(df.schema, rules, spark=spark) == []
