@@ -1500,6 +1500,18 @@ def q_multimodal_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global corpus shuffle: consecutive md5-order ranks
+    computed per hash-prefix bucket + broadcast offsets — NO global sort;
+    the oracle ranks the same order with one window."""
+    from sparkplug_spark.operators import deterministic_shuffle
+
+    docs = _read(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, salt="epoch1").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space topic-balance audit: per-cluster size/share/
     tightness from the bounded-sample spherical-kmeans quantizer.
@@ -3140,6 +3152,13 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, pos, v::BIGINT AS gray_level
             FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS pos)
         """,
+        "shuffle_order": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5('epoch1' || doc_id::VARCHAR), doc_id
+                   )::BIGINT AS shuffle_rank
+            FROM documents
+        """,
         "dataset_fingerprint": """
             WITH h AS (
               SELECT ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || text),
@@ -3266,6 +3285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_fingerprint": q_dataset_fingerprint,
         "multimodal_native": q_multimodal_native,
         "impute_rules": q_impute_rules,
+        "shuffle_order": q_shuffle_order,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

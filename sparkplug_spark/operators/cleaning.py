@@ -40,6 +40,7 @@ __all__ = [
     "sample_exact_n",
     "stratified_sample",
     "weighted_sample",
+    "deterministic_shuffle",
     "strip_markup",
     "normalize_unicode",
     "MARKUP_ENTITIES",
@@ -946,4 +947,55 @@ def normalize_unicode(
             lowercase=lowercase,
             squash_whitespace=squash_whitespace,
         ),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Reproducible global shuffle order for training: every row gets a
+    consecutive ``shuffle_rank`` 1..N in md5(salt ‖ id) order — the
+    "shuffle the corpus once, identically, on any cluster and any engine"
+    primitive that ``orderBy(rand())`` can never be.  Vary ``salt`` per
+    epoch for a fresh-but-reproducible order.
+
+    Scale plan — global ranking WITHOUT a global sort: rows hash into 256
+    buckets keyed by the first md5 byte (bucket order == md5 lexicographic
+    order, so bucket-local ranks concatenate into the global order).  One
+    map-side-combined count per bucket (256 rows to the driver), offsets
+    come back as a literal map, and each bucket ranks independently in
+    parallel — no single-partition sort of the corpus, no zipWithIndex
+    barrier.  Two passes over the data: the count and the rank."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    counts = {
+        r["__b"]: r["__c"]
+        for r in df.select(bucket.alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for b in sorted(counts):
+        offsets[b] = running
+        running += counts[b]
+    offset_map = F.create_map(
+        *[F.lit(x) for b in offsets for x in (b, offsets[b])]
+    )
+    w = Window.partitionBy("__b").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__b", bucket)
+        .withColumn(
+            rank_col,
+            (
+                F.coalesce(offset_map[F.col("__b")], F.lit(0))
+                + F.row_number().over(w)
+            ).cast("long"),
+        )
+        .drop("__h", "__b")
     )

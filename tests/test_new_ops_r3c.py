@@ -531,3 +531,43 @@ class TestWeightedSampleStoredMean:
             ).collect()
         }
         assert streamed == batch and len(streamed) > 0
+
+
+class TestDeterministicShuffle:
+    def test_rank_is_global_md5_order(self, spark):
+        import hashlib
+
+        from sparkplug_spark.operators import deterministic_shuffle
+
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        got = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in deterministic_shuffle(df, salt="e1").collect()
+        }
+        order = sorted(range(500), key=lambda i: (hashlib.md5(f"e1{i}".encode()).hexdigest(), i))
+        want = {i: rank for rank, i in enumerate(order, start=1)}
+        assert got == want  # exact global rank, no global sort in the plan
+        # permutation: consecutive 1..N
+        assert sorted(got.values()) == list(range(1, 501))
+
+    def test_partitioning_invariant_and_salt(self, spark):
+        from sparkplug_spark.operators import deterministic_shuffle
+
+        df = spark.range(300).select(F.col("id").alias("doc_id"))
+        a = {r["doc_id"]: r["shuffle_rank"]
+             for r in deterministic_shuffle(df.repartition(7), salt="s").collect()}
+        b = {r["doc_id"]: r["shuffle_rank"]
+             for r in deterministic_shuffle(df.coalesce(1), salt="s").collect()}
+        assert a == b
+        c = {r["doc_id"]: r["shuffle_rank"]
+             for r in deterministic_shuffle(df, salt="other").collect()}
+        assert c != a
+
+    def test_no_global_single_partition_sort(self, spark):
+        from sparkplug_spark.operators import deterministic_shuffle
+
+        df = spark.range(100).select(F.col("id").alias("doc_id"))
+        plan = deterministic_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+        # ranking must run per md5-prefix bucket, never as one global
+        # total-order window (Exchange SinglePartition before a Sort)
+        assert "SinglePartition" not in plan
