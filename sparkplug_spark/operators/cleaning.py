@@ -842,8 +842,14 @@ def weighted_sample(
         "double"
     ) / F.lit(float(1 << 60))
     if mean_weight is not None:
-        if mean_weight <= 0:
-            raise ValueError(f"mean_weight must be > 0, got {mean_weight}")
+        import math
+
+        if not (math.isfinite(mean_weight) and mean_weight > 0):
+            # NaN slips through a <=0 check and makes least() pick 1.0 for
+            # every row (NaN compares greater): the whole corpus "sampled"
+            raise ValueError(
+                f"mean_weight must be a finite positive number, got {mean_weight}"
+            )
         p = F.least(
             F.lit(1.0),
             F.lit(fraction) * F.col(weight_col).cast("double") / F.lit(float(mean_weight)),
@@ -969,6 +975,7 @@ def deterministic_shuffle(
     come back as a literal map, and each bucket ranks independently in
     parallel — no single-partition sort of the corpus, no zipWithIndex
     barrier.  Two passes over the data: the count and the rank."""
+    df = spread(df)  # the count pass md5-hashes every row pre-exchange
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     counts = {
@@ -978,6 +985,14 @@ def deterministic_shuffle(
         .agg(F.count(F.lit(1)).alias("__c"))
         .collect()
     }
+    if None in counts:
+        # a NULL id hashes to NULL: its rows have no deterministic place
+        # in the order (ties among NULL ids are partition-order-dependent)
+        raise ValueError(
+            f"{id_col!r} contains NULLs ({counts[None]} rows); a NULL id "
+            "has no deterministic shuffle position — filter or fill ids "
+            "first"
+        )
     offsets: dict[int, int] = {}
     running = 0
     for b in sorted(counts):
@@ -987,15 +1002,25 @@ def deterministic_shuffle(
         *[F.lit(x) for b in offsets for x in (b, offsets[b])]
     )
     w = Window.partitionBy("__b").orderBy(F.col("__h"), F.col(id_col))
+    off = offset_map[F.col("__b")]
     return (
         df.withColumn("__h", h)
         .withColumn("__b", bucket)
         .withColumn(
             rank_col,
-            (
-                F.coalesce(offset_map[F.col("__b")], F.lit(0))
-                + F.row_number().over(w)
-            ).cast("long"),
+            # a bucket unseen by the count pass means the input changed
+            # between the two passes (nondeterministic upstream) — fail
+            # loudly instead of silently emitting colliding ranks
+            F.when(
+                off.isNotNull(), (off + F.row_number().over(w)).cast("long")
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "deterministic_shuffle: input changed between the "
+                        "count and rank passes (nondeterministic source?)"
+                    )
+                ).cast("long")
+            ),
         )
         .drop("__h", "__b")
     )

@@ -143,6 +143,17 @@ def _sql_literal(v, col: str) -> str:
         )
     if isinstance(v, (int, float)):
         return repr(v)
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, decimal.Decimal):
+        if not v.is_finite():
+            raise ValueError(f"group value for {col!r} is non-finite: {v!r}")
+        return str(v)
     if not isinstance(v, str):
         raise ValueError(
             f"group value for {col!r} has type {type(v).__name__}, which "

@@ -154,3 +154,21 @@ class TestSuggestFillRules:
         )
         rules = suggest_fill_rules(df, {"v": "median", "lang": "mode"}, by=("g",))
         assert validate_rules(df.schema, rules, spark=spark) == []
+
+    def test_date_group_keys_round_trip(self, spark):
+        import datetime as dt
+
+        from sparkplug_spark import SparkPlug
+        from sparkplug_spark.operators import impute_nulls, suggest_fill_rules
+
+        rows = [
+            (1, dt.date(2024, 1, 1), 10), (2, dt.date(2024, 1, 1), None),
+            (3, dt.date(2024, 2, 2), 7), (4, dt.date(2024, 2, 2), None),
+        ]
+        df = spark.createDataFrame(rows, "id long, d date, v long")
+        rules = suggest_fill_rules(df, {"v": "median"}, by=("d",))
+        got = {r["id"]: r["v"] for r in
+               SparkPlug.builder(spark).create().plug(df, rules).collect()}
+        want = {r["id"]: r["v"] for r in
+                impute_nulls(df, {"v": "median"}, by=("d",)).collect()}
+        assert got == want == {1: 10, 2: 10, 3: 7, 4: 7}

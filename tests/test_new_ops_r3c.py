@@ -571,3 +571,15 @@ class TestDeterministicShuffle:
         # ranking must run per md5-prefix bucket, never as one global
         # total-order window (Exchange SinglePartition before a Sort)
         assert "SinglePartition" not in plan
+
+
+def test_shuffle_null_id_rejected_and_nan_mean_rejected(spark):
+    from sparkplug_spark.operators import deterministic_shuffle, weighted_sample
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(ValueError, match="NULL"):
+        deterministic_shuffle(df)
+    wdf = spark.range(5).select(F.col("id").alias("doc_id"), F.lit(1).alias("w"))
+    for bad in (float("nan"), float("inf"), -1.0):
+        with pytest.raises(ValueError, match="finite positive"):
+            weighted_sample(wdf, "w", 0.5, mean_weight=bad)
