@@ -1512,6 +1512,52 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-type event features: one keyed window with an
+    integer RANGE frame — count + decimal-exact value micros per event."""
+    from sparkplug_spark.operators import rolling_window_features
+
+    ev = read_events(spark, sf_dir)
+    return rolling_window_features(ev, window_seconds=3600)
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each user's first purchase
+    credited to the latest prior touch (second-strict, id tie-break)."""
+    from sparkplug_spark.operators import attribution_counts
+
+    ev = read_events(spark, sf_dir)
+    return attribution_counts(
+        ev, conversion="purchase", touch_types=("view", "click", "signup")
+    )
+
+
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table: top-200 full word bigrams with
+    deterministic rank (count desc, gram asc), min count 2."""
+    from sparkplug_spark.operators import ngram_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_counts(docs, n=2, max_size=200, min_count=2)
+
+
+SEARCH_QUERIES = {
+    "q_hash_join": ["hash", "join"],
+    "q_window_agg": ["window", "agg", "sort"],
+    "q_stream_filter": ["stream", "filter"],
+}
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text keyword search: inverted-index postings + engine-exact
+    integer tf·idf (saturated tf × N DIV df, length-normalized ppk),
+    top-10 per query."""
+    from sparkplug_spark.operators import keyword_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return keyword_search(docs, SEARCH_QUERIES, k=10)
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space topic-balance audit: per-cluster size/share/
     tightness from the bounded-sample spherical-kmeans quantizer.
@@ -3172,6 +3218,117 @@ def _extension_oracles() -> dict[str, str]:
                    (sum(hh) % 2305843009213693951)::BIGINT AS sum_hash_mod
             FROM h
         """,
+        "rolling_features": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s,
+                     (value::DECIMAL(28,6) * 1000000)::BIGINT AS vmicros
+              FROM events
+            )
+            SELECT event_id, event_type, ts_s,
+                   (count(*) OVER w)::BIGINT AS n_trailing,
+                   (sum(vmicros) OVER w)::BIGINT AS value_micros_trailing
+            FROM ev
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "attribution": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ),
+            conv AS (
+              SELECT user_id, min(ts_s) AS tc FROM ev
+              WHERE event_type = 'purchase' GROUP BY user_id
+            ),
+            cand AS (
+              SELECT t.user_id, t.event_type AS touch_type,
+                     row_number() OVER (
+                       PARTITION BY t.user_id
+                       ORDER BY t.ts_s DESC, t.event_id DESC
+                     ) AS rn
+              FROM ev t JOIN conv c
+                ON t.user_id = c.user_id AND t.ts_s < c.tc
+              WHERE t.event_type IN ('view', 'click', 'signup')
+            ),
+            credited AS (
+              SELECT user_id, touch_type FROM cand WHERE rn = 1
+            ),
+            uncred AS (
+              SELECT c.user_id, '(none)' AS touch_type
+              FROM conv c LEFT JOIN credited cr ON c.user_id = cr.user_id
+              WHERE cr.user_id IS NULL
+            )
+            SELECT touch_type, count(*)::BIGINT AS n_conversions
+            FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
+            GROUP BY touch_type
+        """,
+        "bigram_counts": f"""
+            WITH t AS (
+              SELECT list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+              FROM t WHERE len(toks) >= 2
+            ), c AS (
+              SELECT ngram, count(*)::BIGINT AS n FROM g
+              GROUP BY ngram HAVING count(*) >= 2
+            )
+            SELECT ngram, n, rank FROM (
+              SELECT ngram, n,
+                     row_number() OVER (ORDER BY n DESC, ngram) AS rank
+              FROM c
+            ) WHERE rank <= 200
+        """,
+        "keyword_search": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+              FROM documents
+            ), d AS (
+              SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+              FROM t
+            ), post AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf,
+                     min(dl)::BIGINT AS dl
+              FROM d GROUP BY term, doc_id
+            ), q(query_id, term) AS (VALUES {{qvals}}),
+            m AS (
+              SELECT q.query_id, p.term, p.doc_id, p.tf, p.dl
+              FROM q JOIN post p USING (term)
+            ), dfq AS (
+              SELECT term, count(*)::BIGINT AS df
+              FROM post
+              WHERE term IN (SELECT DISTINCT term FROM q)
+              GROUP BY term
+            ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            sc AS (
+              SELECT m.query_id, m.doc_id,
+                     sum(LEAST(m.tf, 10) * (n.n_docs // dfq.df))::BIGINT
+                       AS score,
+                     min(m.dl) AS dl
+              FROM m JOIN dfq USING (term) CROSS JOIN n
+              GROUP BY m.query_id, m.doc_id
+            )
+            SELECT query_id, doc_id, score_ppk, rank FROM (
+              SELECT query_id, doc_id,
+                     ((score * 1000) // (100 + dl))::BIGINT AS score_ppk,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY (score * 1000) // (100 + dl) DESC, doc_id
+                     ) AS rank
+              FROM sc
+            ) WHERE rank <= 10
+        """.format(
+            qvals=", ".join(
+                f"('{qid}', '{t}')"
+                for qid, terms in SEARCH_QUERIES.items()
+                for t in terms
+            )
+        ),
     }
 
 
@@ -3286,6 +3443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_native": q_multimodal_native,
         "impute_rules": q_impute_rules,
         "shuffle_order": q_shuffle_order,
+        "rolling_features": q_rolling_features,
+        "attribution": q_attribution,
+        "bigram_counts": q_ngram_counts,
+        "keyword_search": q_keyword_search,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -24,7 +24,22 @@ __all__ = [
     "retention_cohorts",
     "rate_anomalies",
     "user_activity_profile",
+    "rolling_window_features",
+    "attribution_counts",
 ]
+
+
+def _epoch_s(df: DataFrame, time_col: str):
+    """Epoch-second BIGINT for a timestamp column, tolerant of
+    TIMESTAMP_NTZ storage (raw parquet reads; Spark 4 refuses a direct
+    NTZ→long cast).  NTZ values are interpreted in the session timezone —
+    same contract as ``sources.read_events`` and the as-of join."""
+    from pyspark.sql.types import TimestampNTZType
+
+    col = F.col(time_col)
+    if isinstance(df.schema[time_col].dataType, TimestampNTZType):
+        col = col.cast("timestamp")
+    return col.cast("long")
 
 
 def sessionize(
@@ -43,11 +58,11 @@ def sessionize(
     # cumulative sum uses the default RANGE frame, which includes all
     # peers of the current timestamp, so tied rows always land in the
     # same session in both engines.
+    df = df.withColumn("__ts_s", _epoch_s(df, time_col))
     w = Window.partitionBy(user_col).orderBy(F.col(time_col))
-    prev = F.lag(F.col(time_col)).over(w)
+    prev = F.lag(F.col("__ts_s")).over(w)
     breaks = F.when(
-        prev.isNull()
-        | ((F.col(time_col).cast("long") - prev.cast("long")) > gap_seconds),
+        prev.isNull() | ((F.col("__ts_s") - prev) > gap_seconds),
         1,
     ).otherwise(0)
     # no spread(): the window's hash shuffle on the user key already
@@ -176,7 +191,7 @@ def retention_cohorts(
     re-join by the same key (AQE picks the strategy), then one distinct
     count per (cohort, offset) cell — shuffles carry only
     (user, period-int) pairs."""
-    period = F.floor(F.col(time_col).cast("long") / F.lit(period_seconds)).cast(
+    period = F.floor(_epoch_s(df, time_col) / F.lit(period_seconds)).cast(
         "long"
     )
     ev = df.select(F.col(user_col).alias("u"), period.alias("p"))
@@ -224,7 +239,7 @@ def rate_anomalies(
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     wstart = (
-        F.expr(f"CAST({time_col} AS LONG) DIV {window_seconds}")
+        F.floor(_epoch_s(df, time_col) / F.lit(window_seconds))
         * F.lit(window_seconds)
     ).cast("long")
     counts = (
@@ -244,6 +259,129 @@ def rate_anomalies(
         "window_start",
         "n_events",
         (lhs > rhs).alias("is_anomaly"),
+    )
+
+
+def rolling_window_features(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str | None = "value",
+    id_col: str = "event_id",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing-window features per event — the time-series feature
+    extraction pass an online-ML / anomaly pipeline consumes: for every
+    event, the count and exact value sum of the same key's events in the
+    trailing ``window_seconds`` (inclusive of the current second).
+
+    Output: (id_col, key_col, ts_s, n_trailing[, value_micros_trailing])
+    with ``ts_s`` epoch-second BIGINT and the value sum DECIMAL-summed and
+    scaled to exact BIGINT micros, per the cross-engine output contract.
+
+    Plan: ONE keyed window with an integer RANGE frame
+    (``[ts_s - window_seconds, ts_s]``) — a single hash exchange on the
+    key plus a per-key ordered pass; no self-join against the trailing
+    window, no per-row explode.  The RANGE frame includes all peers of a
+    timestamp, so tied events see identical frames in any engine."""
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    ts_s = _epoch_s(df, time_col)
+    ev = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(key_col).alias(key_col),
+        ts_s.alias("ts_s"),
+        *(
+            [
+                (F.col(value_col).cast("decimal(28,6)") * F.lit(1000000))
+                .cast("long")
+                .alias("__vmicros")
+            ]
+            if value_col is not None
+            else []
+        ),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("ts_s")
+        .rangeBetween(-int(window_seconds), Window.currentRow)
+    )
+    out = ev.withColumn("n_trailing", F.count(F.lit(1)).over(w))
+    cols = [id_col, key_col, "ts_s", "n_trailing"]
+    if value_col is not None:
+        out = out.withColumn(
+            "value_micros_trailing", F.sum("__vmicros").over(w)
+        )
+        cols.append("value_micros_trailing")
+    return out.select(*cols)
+
+
+def attribution_counts(
+    df: DataFrame,
+    conversion: str,
+    touch_types: Sequence[str],
+    model: str = "last",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Single-touch conversion attribution: credit each converting user's
+    FIRST conversion event to one touch event strictly before it
+    (``model='last'`` = last-touch, ``'first'`` = first-touch), then count
+    conversions per touch type.
+
+    Determinism contract: "strictly before" compares epoch SECONDS (a
+    touch in the conversion's same second never gets credit), and touches
+    tied at the same second break on the event id (max id for last-touch,
+    min for first-touch) — both engines rank identically.  Users whose
+    first conversion has no prior touch are reported under touch_type
+    ``'(none)'`` so credited counts always sum to converting users.
+
+    Output: (touch_type, n_conversions), one row per touch type that
+    received credit (plus the ``'(none)'`` row when applicable).
+
+    Plan: conversions reduce to one (user, first-conversion-second) row
+    via a map-side-combined agg; touches join on the user key and the
+    per-user argmax runs as a window over the SAME key partitioning (AQE
+    exchange reuse) — shuffles carry (user, second, id, type) tuples
+    only, never the raw log's payload columns."""
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    ts_s = _epoch_s(df, time_col)
+    conv = (
+        df.filter(F.col(type_col) == conversion)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(ts_s).alias("tc"))
+    )
+    touches = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("u"),
+        ts_s.alias("tt"),
+        F.col(id_col).alias("tid"),
+        F.col(type_col).alias("touch_type"),
+    )
+    cand = touches.join(conv, "u").filter(F.col("tt") < F.col("tc"))
+    order = (
+        [F.desc("tt"), F.desc("tid")]
+        if model == "last"
+        else [F.asc("tt"), F.asc("tid")]
+    )
+    w = Window.partitionBy("u").orderBy(*order)
+    credited = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("u", "touch_type")
+    )
+    # converting users with no prior touch: anti-join, credited to '(none)'
+    uncredited = conv.join(credited, "u", "left_anti").select(
+        "u", F.lit("(none)").alias("touch_type")
+    )
+    return (
+        credited.unionByName(uncredited)
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
     )
 
 
@@ -270,13 +408,14 @@ def user_activity_profile(
     every input row once per distinct aggregate at 100 TB.  The exact
     knob exists for oracle-grade consumers."""
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
-    day = F.expr(f"CAST({time_col} AS LONG) DIV {day_seconds}")
+    ts_s = _epoch_s(df, time_col)
+    day = F.floor(ts_s / F.lit(day_seconds)).cast("long")
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         nd(F.col(type_col)).alias("n_event_types"),
         nd(day).alias("n_active_days"),
-        F.min(F.col(time_col).cast("long")).alias("first_seen"),
-        F.max(F.col(time_col).cast("long")).alias("last_seen"),
+        F.min(ts_s).alias("first_seen"),
+        F.max(ts_s).alias("last_seen"),
     ]
     if value_col is not None:
         aggs.append(

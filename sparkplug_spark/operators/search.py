@@ -1,0 +1,165 @@
+"""Full-text keyword search: inverted index + engine-exact tf·idf top-k.
+
+The reference engine delegates all scalar work to Spark SQL and has no
+search capability (see SURVEY §2.3); this module adds the retrieval
+operator a corpus pipeline needs for eval-set mining, targeted corpus
+audits ("show me the top docs about X"), and labeling-queue construction.
+
+Scoring is a BM25-family tf·idf made **cross-engine exact**: every factor
+is integer arithmetic (`LEAST(tf, tf_cap)` saturation, `N DIV df` integer
+idf, `* 1000 DIV (len_smooth + dl)` length normalization), so a DuckDB
+oracle reproduces scores and ranks bit-for-bit — no `ln()`/double division
+whose last-ulp behavior differs between engines.  The classic logarithmic
+idf damping is deliberately traded for the integer-exact `N DIV df`
+(rarer terms still dominate; the saturation cap bounds tf runaway).
+
+Scale plan: postings are built once per corpus (store them — the index IS
+a table); a query batch broadcast-joins its tiny term set against the
+postings scan, so only matching-term postings ever shuffle.  The idf join
+also broadcasts (bounded by query-term count).  Top-k per query is a
+window over per-(query, doc) aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..caching import materialize_release
+from ..functions.text import tokens_pd
+from ..partitioning import spread
+
+__all__ = ["build_term_index", "keyword_search"]
+
+
+def build_term_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index postings: one row per (term, doc) with the term
+    frequency and the document's token length — (term, doc_id, tf, dl).
+
+    Tokenization is the shared Arrow kernel (same normalization as every
+    other text operator, so stored indexes stay consistent with dedup /
+    vocab outputs).  Plan: tokenize once → explode → map-side-combined
+    count per (term, doc); ``dl`` rides the groupBy as a `first` (it is
+    constant within the doc's group).  Persist the RESULT with
+    ``write_bucketed`` on ``term`` for repeated query batches — the
+    search-side join then skips the postings shuffle entirely."""
+    toks = F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+    with_toks = spread(df).select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    return (
+        with_toks.select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+    )
+
+
+def keyword_search(
+    df: DataFrame,
+    queries: Mapping[str, Sequence[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tf_cap: int = 10,
+    len_smooth: int = 100,
+    index: DataFrame | None = None,
+    release: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents per query by engine-exact integer tf·idf.
+
+    ``queries`` maps a query id to its PRE-TOKENIZED term list (callers
+    tokenize with the same normalization as the corpus; passing terms
+    keeps the query side trivially engine-portable).  Per (query, doc):
+
+        score     = Σ_t  LEAST(tf(t,d), tf_cap) * (N DIV df(t))
+        score_ppk = score * 1000 DIV (len_smooth + dl)
+
+    with ``N`` = corpus doc count and ``df(t)`` = docs containing ``t`` —
+    all BIGINT, so both engines rank identically; ties break on doc_id.
+    Overflow headroom: with N ≤ 1e11 docs, tf_cap ≤ 10 and ≤ 100 query
+    terms, score ≤ 1e14 and score*1000 ≤ 1e17 < 2^63.
+
+    Returns (query_id, doc_id, score_ppk, rank), rank 1..k.
+
+    Plan: the postings scan is semi-joined against the BROADCAST query
+    term set first, so only matching postings survive; df(t) aggregates
+    over those survivors (never the full index) and broadcasts back; N is
+    a 1-row broadcast cross join.  One shuffle on (query, doc) for the
+    score aggregate, then a per-query window over ≤ |terms|·df rows."""
+    if k <= 0 or tf_cap <= 0 or len_smooth < 0:
+        raise ValueError("k and tf_cap must be positive, len_smooth >= 0")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark: SparkSession = df.sparkSession
+    qrows = [
+        (str(qid), str(t))
+        for qid, terms in queries.items()
+        for t in dict.fromkeys(terms)  # dedup, keep order
+    ]
+    if not qrows:
+        raise ValueError("queries must contain at least one term")
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+
+    postings = index if index is not None else build_term_index(
+        df, id_col=id_col, text_col=text_col
+    )
+    # broadcast the tiny term set: only matching-term postings continue
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    matched = matched.persist()
+
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )  # 1 row
+    # df(t) over the matched postings only (each doc counted once per term)
+    dfreq = (
+        matched.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.expr("__n div __df").cast("long").alias("__idf"),
+        )
+    )
+    scored = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.least(F.col("tf"), F.lit(int(tf_cap))) * F.col("__idf")
+            ).alias("__score"),
+            F.first("dl").alias("__dl"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(f"(__score * 1000) div ({int(len_smooth)} + __dl)")
+            .cast("long")
+            .alias("score_ppk"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppk"), F.asc("doc_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    if release:
+        return materialize_release(out, matched)
+    return out

@@ -29,6 +29,7 @@ __all__ = [
     "distinctive_tokens",
     "rare_token_ratio",
     "token_drift",
+    "ngram_counts",
 ]
 
 
@@ -213,6 +214,53 @@ def build_vocab(
     w = Window.orderBy(F.desc("n"), F.asc("token"))
     return counts.withColumn("rank", F.row_number().over(w)).select(
         "token", "n", "rank"
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    max_size: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus word n-gram counts (language-model count table / collocation
+    report): the ``max_size`` most frequent n-grams with a deterministic
+    rank (count desc, gram asc).  Only FULL n-grams count — documents
+    shorter than ``n`` tokens contribute nothing (unlike the shingle
+    kernel's min-1 padding, which exists for set semantics).
+
+    Plan: tokenize once (shared Arrow kernel) → n-grams as a narrow
+    ``transform`` over materialized token arrays → explode → two-level
+    count with map-side combine → ``TakeOrdered`` limit (per-partition
+    heaps, no full-sort shuffle); the rank window touches only the
+    bounded ``max_size`` rows."""
+    from pyspark.sql import Window
+
+    if n <= 0 or max_size <= 0 or min_count <= 0:
+        raise ValueError("n, max_size and min_count must be positive")
+    toks = F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+    # materialize the token array first: transform lambdas re-evaluate
+    # their input expression per element
+    with_toks = spread(df).select(toks.alias("__toks"))
+    grams = with_toks.filter(F.size("__toks") >= n).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+            )
+        ).alias("ngram")
+    )
+    counts = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(max_size)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("ngram"))
+    return counts.withColumn("rank", F.row_number().over(w)).select(
+        "ngram", "n", "rank"
     )
 
 

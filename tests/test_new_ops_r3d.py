@@ -1,0 +1,252 @@
+"""Round-3 continuation batch 4: rolling window features, conversion
+attribution, n-gram counts, keyword search."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    attribution_counts,
+    build_term_index,
+    keyword_search,
+    ngram_counts,
+    rolling_window_features,
+)
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+class TestRollingWindowFeatures:
+    def test_trailing_counts_and_sums(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 1.0),
+            (2, _ts(50), 1, "view", 2.0),
+            (3, _ts(100), 1, "view", 4.0),
+            (4, _ts(300), 1, "view", 8.0),
+            (5, _ts(0), 1, "click", 100.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            r["event_id"]: (r["n_trailing"], r["value_micros_trailing"])
+            for r in rolling_window_features(ev, window_seconds=100).collect()
+        }
+        assert out[1] == (1, 1_000_000)
+        assert out[2] == (2, 3_000_000)
+        # window [0, 100] inclusive: events 1,2,3
+        assert out[3] == (3, 7_000_000)
+        # 300 - 100 = 200 > 100: only itself
+        assert out[4] == (1, 8_000_000)
+        # other key unaffected
+        assert out[5] == (1, 100_000_000)
+
+    def test_ties_share_frame(self, spark):
+        rows = [
+            (1, _ts(10), 1, "view", 1.0),
+            (2, _ts(10), 1, "view", 2.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = rolling_window_features(ev, window_seconds=5).collect()
+        # RANGE frame includes peers: both rows see both events
+        assert {r["n_trailing"] for r in out} == {2}
+
+    def test_no_value_col(self, spark):
+        ev = spark.createDataFrame([(1, _ts(0), 1, "view", 1.0)], EVENT_SCHEMA)
+        out = rolling_window_features(ev, value_col=None).columns
+        assert out == ["event_id", "event_type", "ts_s", "n_trailing"]
+
+    def test_rejects_bad_window(self, spark):
+        ev = spark.createDataFrame([(1, _ts(0), 1, "view", 1.0)], EVENT_SCHEMA)
+        with pytest.raises(ValueError):
+            rolling_window_features(ev, window_seconds=0)
+
+
+class TestAttributionCounts:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def test_last_touch(self, spark):
+        rows = [
+            # user 1: view@0, click@10, purchase@20 -> click credited
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(10), 1, "click", 0.0),
+            (3, _ts(20), 1, "purchase", 0.0),
+            # user 2: purchase with no prior touch -> (none)
+            (4, _ts(5), 2, "purchase", 0.0),
+            (5, _ts(9), 2, "view", 0.0),  # after conversion: no credit
+            # user 3: touch at the SAME second as conversion -> (none)
+            (6, _ts(30), 3, "view", 0.0),
+            (7, _ts(30), 3, "purchase", 0.0),
+        ]
+        out = {
+            r["touch_type"]: r["n_conversions"]
+            for r in attribution_counts(
+                self._ev(spark, rows), "purchase", ("view", "click")
+            ).collect()
+        }
+        assert out == {"click": 1, "(none)": 2}
+
+    def test_first_touch_and_id_tiebreak(self, spark):
+        rows = [
+            # user 1: click@0 and view@0 tie -> first model takes MIN id
+            (1, _ts(0), 1, "click", 0.0),
+            (2, _ts(0), 1, "view", 0.0),
+            (3, _ts(50), 1, "purchase", 0.0),
+        ]
+        first = attribution_counts(
+            self._ev(spark, rows), "purchase", ("view", "click"), model="first"
+        ).collect()
+        assert {(r["touch_type"], r["n_conversions"]) for r in first} == {
+            ("click", 1)
+        }
+        last = attribution_counts(
+            self._ev(spark, rows), "purchase", ("view", "click"), model="last"
+        ).collect()
+        assert {(r["touch_type"], r["n_conversions"]) for r in last} == {
+            ("view", 1)
+        }
+
+    def test_only_first_conversion_counts(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(10), 1, "purchase", 0.0),
+            (3, _ts(20), 1, "click", 0.0),
+            (4, _ts(30), 1, "purchase", 0.0),  # second conversion ignored
+        ]
+        out = {
+            r["touch_type"]: r["n_conversions"]
+            for r in attribution_counts(
+                self._ev(spark, rows), "purchase", ("view", "click")
+            ).collect()
+        }
+        assert out == {"view": 1}
+
+    def test_rejects_bad_args(self, spark):
+        ev = self._ev(spark, [(1, _ts(0), 1, "view", 0.0)])
+        with pytest.raises(ValueError):
+            attribution_counts(ev, "purchase", ())
+        with pytest.raises(ValueError):
+            attribution_counts(ev, "purchase", ("view",), model="linear")
+
+
+class TestNgramCounts:
+    def test_bigrams(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c a b"), (2, "a b"), (3, "x")],
+            ["doc_id", "text"],
+        )
+        out = [
+            (r["ngram"], r["n"], r["rank"])
+            for r in ngram_counts(docs, n=2).orderBy("rank").collect()
+        ]
+        # "a b": doc1 twice + doc2 once = 3; "b c"/"c a": 1 each; doc3 too short
+        assert out == [("a b", 3, 1), ("b c", 1, 2), ("c a", 1, 3)]
+
+    def test_trigram_and_min_count(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c")], ["doc_id", "text"]
+        )
+        out = [
+            (r["ngram"], r["n"])
+            for r in ngram_counts(docs, n=3, min_count=2).collect()
+        ]
+        assert out == [("a b c", 2)]
+
+    def test_normalization_matches_tokenizer(self, spark):
+        docs = spark.createDataFrame([(1, "Héllo,  World! hello world")], ["doc_id", "text"])
+        out = {r["ngram"]: r["n"] for r in ngram_counts(docs, n=2).collect()}
+        # "Héllo," -> "h llo" after non-alnum strip+squash; exact kernel parity
+        assert "hello world" in out
+
+    def test_rejects_bad_args(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            ngram_counts(docs, n=0)
+
+
+class TestNTZTolerance:
+    def test_event_ops_accept_raw_ntz_timestamps(self, spark):
+        """Raw parquet reads give TIMESTAMP_NTZ (no read_events
+        normalization); every events operator must still resolve — Spark 4
+        refuses a direct NTZ->long cast, so _epoch_s routes through a
+        session-UTC timestamp cast."""
+        from sparkplug_spark.operators import (
+            rate_anomalies,
+            retention_cohorts,
+            sessionize,
+            user_activity_profile,
+        )
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1, "view", 1.0)],
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+        )
+        assert rolling_window_features(ev).count() == 1
+        assert sessionize(ev).count() == 1
+        assert retention_cohorts(ev).count() == 1
+        assert rate_anomalies(ev).count() == 1
+        assert user_activity_profile(ev).count() == 1
+        assert attribution_counts(ev, "purchase", ("view",)).count() == 0
+
+
+class TestKeywordSearch:
+    DOCS = [
+        (1, "spark join join join spark"),
+        (2, "join"),
+        (3, "window sort window"),
+        (4, "spark window"),
+    ]
+
+    def test_index_shape(self, spark):
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        idx = {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in build_term_index(docs).collect()
+        }
+        assert idx[("join", 1)] == (3, 5)
+        assert idx[("join", 2)] == (1, 1)
+        assert idx[("window", 3)] == (2, 3)
+
+    def test_scoring_exact(self, spark):
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        out = keyword_search(
+            docs, {"q": ["join"]}, k=10, len_smooth=0
+        ).collect()
+        # N=4, df(join)=2 -> idf=2. doc1: min(3,10)*2=6, dl=5 -> 6*1000//5=1200
+        # doc2: 1*2=2, dl=1 -> 2000 -> rank 1
+        ranked = [(r["doc_id"], r["score_ppk"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+        assert ranked == [(2, 2000, 1), (1, 1200, 2)]
+
+    def test_multi_term_and_tiebreak(self, spark):
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        out = keyword_search(
+            docs, {"q": ["spark", "window"]}, k=10, len_smooth=0
+        ).collect()
+        # idf(spark)=4//2=2, idf(window)=4//2=2
+        # doc1: 2*2=4, dl=5 -> 800; doc3: 2*2=4, dl=3 -> 1333
+        # doc4: (1*2 + 1*2)=4, dl=2 -> 2000
+        got = {r["doc_id"]: (r["score_ppk"], r["rank"]) for r in out}
+        assert got[4] == (2000, 1)
+        assert got[3] == (1333, 2)
+        assert got[1] == (800, 3)
+
+    def test_k_truncates_and_prebuilt_index(self, spark):
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        idx = build_term_index(docs)
+        out = keyword_search(
+            docs, {"q": ["spark", "window", "join"]}, k=2, index=idx
+        ).collect()
+        assert len(out) == 2
+        assert {r["rank"] for r in out} == {1, 2}
+
+    def test_rejects_bad_args(self, spark):
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            keyword_search(docs, {})
+        with pytest.raises(ValueError):
+            keyword_search(docs, {"q": ["a"]}, k=0)
