@@ -1558,6 +1558,36 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, SEARCH_QUERIES, k=10)
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment: md5-coin ppm
+    boundaries (98/1/1), engine/run/cluster reproducible."""
+    from sparkplug_spark.operators import assign_splits
+
+    docs = _read(spark, sf_dir, "documents")
+    return assign_splits(docs, salt="r3d").select("doc_id", "split")
+
+
+def q_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining block construction: token-budget packing + md5-ordered
+    concatenation into ~5000-char blocks (bounded collect_list by
+    construction)."""
+    from sparkplug_spark.operators import build_training_blocks
+
+    docs = _read(spark, sf_dir, "documents")
+    return build_training_blocks(
+        docs, budget=5000, weight_col="n_chars", num_groups=8
+    )
+
+
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles (curriculum/batching strata):
+    SQL-standard ntile with deterministic (n_chars, doc_id) ordering."""
+    from sparkplug_spark.operators import group_ntiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return group_ntiles(docs, n=10, order_col="n_chars", group_col="lang")
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space topic-balance audit: per-cluster size/share/
     tightness from the bounded-sample spherical-kmeans quantizer.
@@ -3329,6 +3359,45 @@ def _extension_oracles() -> dict[str, str]:
                 for t in terms
             )
         ),
+        "split_assign": """
+            SELECT doc_id,
+                   CASE WHEN coin < 980000 THEN 'train'
+                        WHEN coin < 990000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     (('0x' || substr(md5('r3d' || chr(31) || doc_id::VARCHAR),
+                       1, 15))::BIGINT % 1000000) AS coin
+              FROM documents
+            )
+        """,
+        "training_blocks": """
+            WITH b AS (
+              SELECT doc_id, n_chars, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, text, n_chars, h, h % 8 AS pack_group,
+                     sum(n_chars) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS cb
+              FROM b
+            )
+            SELECT pack_group::BIGINT AS pack_group,
+                   (coalesce(cb, 0) // 5000)::BIGINT AS shard_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS block_weight,
+                   string_agg(text, chr(10) || chr(10)
+                              ORDER BY h, doc_id) AS block_text
+            FROM c GROUP BY 1, 2
+        """,
+        "length_deciles": """
+            SELECT doc_id, lang, n_chars,
+                   ntile(10) OVER (
+                     PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS tile
+            FROM documents
+        """,
     }
 
 
@@ -3447,6 +3516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "bigram_counts": q_ngram_counts,
         "keyword_search": q_keyword_search,
+        "split_assign": q_split_assign,
+        "training_blocks": q_training_blocks,
+        "length_deciles": q_length_deciles,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -52,6 +52,8 @@ __all__ = [
     "dedup_spans_within_doc",
     "trim_by_quantile",
     "mixture_report",
+    "assign_splits",
+    "build_training_blocks",
 ]
 
 #: (name, regex, replacement) — RE2/Java-compatible subset (no lookaround,
@@ -1023,4 +1025,96 @@ def deterministic_shuffle(
             ),
         )
         .drop("__h", "__b")
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: append a ``split``
+    column chosen by an md5-derived coin, so the same corpus splits
+    identically on any run, cluster, or engine (``rand()`` is none of
+    those).  ``weights`` are integer proportions (default
+    ``{"train": 98, "val": 1, "test": 1}``); boundaries are exact ppm
+    integers with the remainder absorbed by the last split.
+
+    **Leak safety:** pass ``group_col`` (e.g. a near-dup group id from
+    ``near_dup_groups``) to key the coin on the GROUP instead of the row —
+    every member of a duplicate cluster lands in the same split, so
+    train/test contamination through near-duplicates is structurally
+    impossible.  Null group ids fall back to the row's own ``id_col``.
+
+    Purely narrow (one md5 per row, zero shuffle); composes with any
+    downstream filter — ``df.filter("split = 'train'")`` prunes before
+    the write."""
+    if weights is None:
+        weights = {"train": 98, "val": 1, "test": 1}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    total = sum(weights.values())
+    names = list(weights)
+    # exact integer ppm boundaries; last split takes the remainder
+    bounds: list[int] = []
+    acc = 0
+    for name in names[:-1]:
+        acc += weights[name] * 1_000_000 // total
+        bounds.append(acc)
+    key = F.col(id_col).cast("string")
+    if group_col is not None:
+        key = F.coalesce(F.col(group_col).cast("string"), key)
+    coin = F.pmod(hash60(F.concat(F.lit(salt), F.lit(chr(31)), key)),
+                  F.lit(1_000_000))
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(coin < b, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def build_training_blocks(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    weight_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_groups: int = 64,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Concatenate documents into pretraining blocks of ~``budget`` total
+    weight: :func:`pack_token_budget` assigns deterministic (pack_group,
+    shard_id) bins, then each bin's documents are joined with ``sep`` in
+    the SAME md5 order the packing used — (pack_group, shard_id, n_docs,
+    block_weight, block_text), fully engine-reproducible.
+
+    Scale: the aggregation state per bin is bounded by ``budget`` (a bin
+    holds consecutive docs until the weight budget spills), so
+    ``collect_list`` here is the rare SAFE use — its size is capped by
+    construction, not by key popularity.  One shuffle on pack_group (from
+    the packing window); the block aggregation reuses that partitioning."""
+    packed = pack_token_budget(
+        df, budget, weight_col=weight_col, id_col=id_col,
+        num_groups=num_groups,
+    )
+    ordk = hash60(F.col(id_col).cast("string"))
+    member = F.struct(
+        ordk.alias("h"),
+        F.col(id_col).cast("long").alias("i"),
+        F.col(text_col).alias("t"),
+    )
+    return (
+        packed.withColumn("__m", member)
+        .groupBy("pack_group", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(weight_col).cast("long").alias("block_weight"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__m")), lambda m: m["t"]
+                ),
+                sep,
+            ).alias("block_text"),
+        )
     )

@@ -22,6 +22,7 @@ __all__ = [
     "covariance_components",
     "key_skew_report",
     "dataset_fingerprint",
+    "group_ntiles",
 ]
 
 
@@ -296,4 +297,37 @@ def dataset_fingerprint(
         (F.sum(h.cast("decimal(38,0)")) % F.lit(mod))
         .cast("long")
         .alias("sum_hash_mod"),
+    )
+
+
+def group_ntiles(
+    df: DataFrame,
+    n: int = 10,
+    order_col: str = "n_chars",
+    group_col: str | None = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group ntile bucketing (curriculum tiers / balanced-mixing
+    strata): assign each row a 1..``n`` tile of ``order_col`` within its
+    group.  The ordering is (order_col, id_col) so ties are deterministic
+    and both engines produce identical tiles (SQL-standard ntile: equal
+    buckets, remainder spread over the leading tiles).
+
+    Typical uses: length deciles for bucketed batching, quality quartiles
+    for curriculum schedules, per-language strata for balanced sampling.
+
+    Plan: one window shuffle on the group key (grouped form is the scale
+    path; ``group_col=None`` is a single global partition — audit-sized
+    inputs only)."""
+    from pyspark.sql import Window
+
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    keys = [group_col] if group_col else []
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col), F.col(id_col))
+    return df.select(
+        id_col,
+        *keys,
+        order_col,
+        F.ntile(n).over(w).alias("tile"),
     )

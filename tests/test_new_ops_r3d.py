@@ -7,8 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from sparkplug_spark.operators import (
+    assign_splits,
     attribution_counts,
     build_term_index,
+    build_training_blocks,
+    group_ntiles,
     keyword_search,
     ngram_counts,
     rolling_window_features,
@@ -250,3 +253,121 @@ class TestKeywordSearch:
             keyword_search(docs, {})
         with pytest.raises(ValueError):
             keyword_search(docs, {"q": ["a"]}, k=0)
+
+
+class TestAssignSplits:
+    def test_deterministic_and_total(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(200)], ["doc_id", "text"]
+        )
+        a = assign_splits(docs, salt="s").select("doc_id", "split").collect()
+        b = assign_splits(docs, salt="s").select("doc_id", "split").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        got = {r["split"] for r in a}
+        assert got <= {"train", "val", "test"}
+        # 98/1/1: train strongly dominates
+        n_train = sum(1 for r in a if r["split"] == "train")
+        assert n_train > 180
+
+    def test_group_coherence(self, spark):
+        rows = [(1, 10), (2, 10), (3, 10), (4, None), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, grp long")
+        out = assign_splits(
+            df, weights={"a": 1, "b": 1}, group_col="grp"
+        ).collect()
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r["grp"], set()).add(r["split"])
+        # same group -> same split
+        assert len(by_grp[10]) == 1
+
+    def test_salt_changes_assignment(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t") for i in range(500)], ["doc_id", "text"]
+        )
+        a = {r["doc_id"]: r["split"] for r in assign_splits(docs, salt="x").collect()}
+        b = {r["doc_id"]: r["split"] for r in assign_splits(docs, salt="y").collect()}
+        assert a != b
+
+    def test_rejects_bad_weights(self, spark):
+        docs = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            assign_splits(docs, weights={})
+        with pytest.raises(ValueError):
+            assign_splits(docs, weights={"a": 0})
+
+
+class TestBuildTrainingBlocks:
+    def test_blocks_concat_in_pack_order(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"doc{i}", 10) for i in range(20)],
+            "doc_id long, text string, n_tokens long",
+        )
+        blocks = build_training_blocks(
+            docs, budget=30, num_groups=1, sep=" | "
+        ).collect()
+        # every doc appears exactly once across blocks
+        alltext = " | ".join(b["block_text"] for b in blocks)
+        for i in range(20):
+            assert f"doc{i}" in alltext
+        assert sum(b["n_docs"] for b in blocks) == 20
+        # budget 30 at weight 10 -> 3 docs per full block
+        assert {b["n_docs"] for b in blocks} <= {3, 2, 1}
+        for b in blocks:
+            assert b["block_weight"] == 10 * b["n_docs"]
+            assert b["block_text"].count(" | ") == b["n_docs"] - 1
+
+    def test_reproducible(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"d{i}", 7) for i in range(50)],
+            "doc_id long, text string, n_tokens long",
+        )
+        a = sorted(
+            (r["pack_group"], r["shard_id"], r["block_text"])
+            for r in build_training_blocks(docs, budget=20).collect()
+        )
+        b = sorted(
+            (r["pack_group"], r["shard_id"], r["block_text"])
+            for r in build_training_blocks(docs, budget=20).collect()
+        )
+        assert a == b
+
+
+class TestGroupNtiles:
+    def test_tiles_are_balanced_and_ordered(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en", i * 10) for i in range(20)],
+            "doc_id long, lang string, n_chars long",
+        )
+        out = sorted(
+            group_ntiles(docs, n=4).collect(), key=lambda r: r["doc_id"]
+        )
+        tiles = [r["tile"] for r in out]
+        # 20 rows / 4 tiles = 5 each, monotone with n_chars
+        assert tiles == [1] * 5 + [2] * 5 + [3] * 5 + [4] * 5
+
+    def test_remainder_to_leading_tiles(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en", i) for i in range(5)],
+            "doc_id long, lang string, n_chars long",
+        )
+        out = sorted(
+            group_ntiles(docs, n=3).collect(), key=lambda r: r["doc_id"]
+        )
+        assert [r["tile"] for r in out] == [1, 1, 2, 2, 3]
+
+    def test_global_when_no_group(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "en", i) for i in range(4)],
+            "doc_id long, lang string, n_chars long",
+        )
+        out = group_ntiles(docs, n=2, group_col=None)
+        assert out.columns == ["doc_id", "n_chars", "tile"]
+        assert out.count() == 4
+
+    def test_rejects_bad_n(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "en", 1)], "doc_id long, lang string, n_chars long"
+        )
+        with pytest.raises(ValueError):
+            group_ntiles(docs, n=0)
