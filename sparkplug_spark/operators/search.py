@@ -112,14 +112,44 @@ def keyword_search(
     if not qrows:
         raise ValueError("queries must contain at least one term")
     qterms = spark.createDataFrame(qrows, "query_id string, term string")
+    term_set = F.broadcast(qterms.select("term").distinct())
 
-    postings = index if index is not None else build_term_index(
-        df, id_col=id_col, text_col=text_col
-    )
-    # broadcast the tiny term set: only matching-term postings continue
-    matched = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
+    if index is not None:
+        # stored-index path: semi-join the postings scan against the tiny
+        # term set (with a bucketed-on-term index this is shuffle-free)
+        matched = index.join(term_set, "term")
+    else:
+        # inline path: per-term tf via narrow array kernels — the corpus
+        # token stream is never exploded or shuffled.  Each doc emits only
+        # its nonzero (term, tf) pairs (≤ |terms| rows/doc), so the one
+        # scoring shuffle downstream carries a bounded sliver.  Suited to
+        # interactive batches (≤ ~100 distinct terms — each term is one
+        # JVM array scan per doc); larger batches should use a stored
+        # index.
+        all_terms = sorted({t for _, t in qrows})
+        toks = F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+        tf_pairs = F.filter(
+            F.transform(
+                F.array(*[F.lit(t) for t in all_terms]),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(F.col("__toks"), lambda x: x == t))
+                    .cast("long")
+                    .alias("tf"),
+                ),
+            ),
+            lambda s: s["tf"] > 0,
+        )
+        matched = (
+            spread(df)
+            .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+            .select(
+                "doc_id",
+                F.size("__toks").cast("long").alias("dl"),
+                F.explode(tf_pairs).alias("__p"),
+            )
+            .select("doc_id", "dl", "__p.term", "__p.tf")
+        )
     matched = matched.persist()
 
     n_docs = df.select(
