@@ -1513,12 +1513,15 @@ def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-hour per-type event features: one keyed window with an
-    integer RANGE frame — count + decimal-exact value micros per event."""
+    """Trailing-hour per-type event features via the day-bucketed overlap
+    plan (parallelism = types × days, not types) — the oracle computes the
+    GLOBAL per-type window, pinning that bucketing changes nothing."""
     from sparkplug_spark.operators import rolling_window_features
 
     ev = read_events(spark, sf_dir)
-    return rolling_window_features(ev, window_seconds=3600)
+    return rolling_window_features(
+        ev, window_seconds=3600, bucket_seconds=86400
+    )
 
 
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3353,10 +3356,12 @@ def _extension_oracles() -> dict[str, str]:
               FROM sc
             ) WHERE rank <= 10
         """.format(
+            # per-query term dedup mirrors the operator's dict.fromkeys —
+            # a repeated term must not double-count its contribution
             qvals=", ".join(
                 f"('{qid}', '{t}')"
                 for qid, terms in SEARCH_QUERIES.items()
-                for t in terms
+                for t in dict.fromkeys(terms)
             )
         ),
         "split_assign": """

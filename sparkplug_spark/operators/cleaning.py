@@ -285,6 +285,7 @@ def pack_token_budget(
     weight_col: str = "n_tokens",
     id_col: str = "doc_id",
     num_groups: int = 64,
+    order_hash_col: str | None = None,
 ) -> DataFrame:
     """Assign rows to training shards by cumulative weight budget (token
     packing for dataloader-sized output files).
@@ -297,27 +298,36 @@ def pack_token_budget(
     than ``budget`` occupies its shard alone (standard greedy semantics).
     The (pack_group, shard_id) pair is the shard key; everything is
     engine-reproducible — the same corpus packs identically on any run,
-    cluster size, or engine.  One shuffle on ``pack_group``."""
+    cluster size, or engine.  One shuffle on ``pack_group``.
+
+    ``order_hash_col`` retains the md5 ordering hash under that name so
+    downstream consumers (e.g. :func:`build_training_blocks`) can reuse
+    the packing order without re-hashing every id."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     if num_groups <= 0:
         raise ValueError("num_groups must be positive")
-    order = hash60(F.col(id_col).cast("string"))
+    hcol = order_hash_col or "__oh"
     # no spread(): the window's shuffle on pack_group redistributes, and
-    # the pre-shuffle work (one md5) doesn't justify a second exchange
-    grouped = df.withColumn("pack_group", F.pmod(order, F.lit(num_groups)))
+    # the pre-shuffle work (one md5) doesn't justify a second exchange.
+    # The hash is materialized as a column so pack_group, the window order,
+    # and any order_hash_col consumer share ONE md5 per row
+    grouped = df.withColumn(
+        hcol, hash60(F.col(id_col).cast("string"))
+    ).withColumn("pack_group", F.pmod(F.col(hcol), F.lit(num_groups)))
     w = (
         Window.partitionBy("pack_group")
-        .orderBy(order, F.col(id_col))
+        .orderBy(F.col(hcol), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long")
     # integer `div` (exact) — float division + floor would wobble near 2^53
-    return (
+    out = (
         grouped.withColumn("__cum_before", cum_before)
         .withColumn("shard_id", F.expr(f"__cum_before div {int(budget)}"))
         .drop("__cum_before")
     )
+    return out if order_hash_col else out.drop(hcol)
 
 
 def stratified_sample(
@@ -1096,11 +1106,11 @@ def build_training_blocks(
     the packing window); the block aggregation reuses that partitioning."""
     packed = pack_token_budget(
         df, budget, weight_col=weight_col, id_col=id_col,
-        num_groups=num_groups,
+        num_groups=num_groups, order_hash_col="__oh",
     )
-    ordk = hash60(F.col(id_col).cast("string"))
+    # reuse the packing's md5 order hash — no second hash pass per row
     member = F.struct(
-        ordk.alias("h"),
+        F.col("__oh").alias("h"),
         F.col(id_col).cast("long").alias("i"),
         F.col(text_col).alias("t"),
     )

@@ -269,6 +269,7 @@ def rolling_window_features(
     value_col: str | None = "value",
     id_col: str = "event_id",
     window_seconds: int = 3600,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Trailing-window features per event — the time-series feature
     extraction pass an online-ML / anomaly pipeline consumes: for every
@@ -283,9 +284,25 @@ def rolling_window_features(
     (``[ts_s - window_seconds, ts_s]``) — a single hash exchange on the
     key plus a per-key ordered pass; no self-join against the trailing
     window, no per-row explode.  The RANGE frame includes all peers of a
-    timestamp, so tied events see identical frames in any engine."""
+    timestamp, so tied events see identical frames in any engine.
+
+    **Low-cardinality keys** (a handful of event types over years of log)
+    would funnel each key through one window partition.  Pass
+    ``bucket_seconds`` (>= ``window_seconds``; e.g. a day) to re-key the
+    window on (key, time-bucket): each row is additionally copied into the
+    NEXT bucket when its trailing window spills across the boundary, the
+    copies contribute to frames but are dropped from output, and results
+    are IDENTICAL to the global form (pytest-pinned) — parallelism becomes
+    keys × active buckets instead of keys.  Overhead: ≤
+    ``window_seconds/bucket_seconds`` of rows duplicated.  Requires
+    non-negative epochs (integer ``div`` bucketing)."""
     if window_seconds <= 0:
         raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    if bucket_seconds is not None and bucket_seconds < window_seconds:
+        raise ValueError(
+            "bucket_seconds must be >= window_seconds "
+            f"(got {bucket_seconds} < {window_seconds})"
+        )
     ts_s = _epoch_s(df, time_col)
     ev = df.select(
         F.col(id_col).alias(id_col),
@@ -301,18 +318,44 @@ def rolling_window_features(
             else []
         ),
     )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("ts_s")
-        .rangeBetween(-int(window_seconds), Window.currentRow)
-    )
-    out = ev.withColumn("n_trailing", F.count(F.lit(1)).over(w))
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("ts_s")
+            .rangeBetween(-int(window_seconds), Window.currentRow)
+        )
+        out = ev
+    else:
+        b = int(bucket_seconds)
+        bucket = F.expr(f"ts_s div {b}")
+        # ghost copy into the next bucket iff this row's trailing window
+        # can reach a target there: ts_s >= (bucket+1)*b - window_seconds
+        copies = F.filter(
+            F.array(
+                F.struct(bucket.alias("bk"), F.lit(False).alias("g")),
+                F.struct((bucket + 1).alias("bk"), F.lit(True).alias("g")),
+            ),
+            lambda s: (~s["g"])
+            | (F.col("ts_s") + F.lit(int(window_seconds)) >= s["bk"] * b),
+        )
+        ev = ev.withColumn("__c", F.explode(copies)).select(
+            "*", F.col("__c.bk").alias("__bk"), F.col("__c.g").alias("__g")
+        ).drop("__c")
+        w = (
+            Window.partitionBy(key_col, "__bk")
+            .orderBy("ts_s")
+            .rangeBetween(-int(window_seconds), Window.currentRow)
+        )
+        out = ev
+    out = out.withColumn("n_trailing", F.count(F.lit(1)).over(w))
     cols = [id_col, key_col, "ts_s", "n_trailing"]
     if value_col is not None:
         out = out.withColumn(
             "value_micros_trailing", F.sum("__vmicros").over(w)
         )
         cols.append("value_micros_trailing")
+    if bucket_seconds is not None:
+        out = out.filter(~F.col("__g"))
     return out.select(*cols)
 
 

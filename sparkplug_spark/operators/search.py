@@ -150,7 +150,12 @@ def keyword_search(
             )
             .select("doc_id", "dl", "__p.term", "__p.tf")
         )
-    matched = matched.persist()
+    # persist only when we will also release it on return; release=False
+    # keeps the fully lazy plan (composition/audit mode) — an unreleased
+    # internal persist would leak a session-lifetime cache the caller has
+    # no handle to (same guard as snapshot_diff)
+    if release:
+        matched = matched.persist()
 
     n_docs = df.select(
         F.count(F.lit(1)).cast("long").alias("__n")
@@ -190,6 +195,4 @@ def keyword_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    if release:
-        return materialize_release(out, matched)
-    return out
+    return materialize_release(out, matched, release=release)

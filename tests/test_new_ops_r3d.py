@@ -67,6 +67,44 @@ class TestRollingWindowFeatures:
         ev = spark.createDataFrame([(1, _ts(0), 1, "view", 1.0)], EVENT_SCHEMA)
         with pytest.raises(ValueError):
             rolling_window_features(ev, window_seconds=0)
+        with pytest.raises(ValueError):
+            rolling_window_features(ev, window_seconds=100, bucket_seconds=99)
+
+    def test_bucketed_equals_global(self, spark):
+        # boundary-heavy layout: events exactly on bucket edges, just
+        # inside/outside the spill margin, and tied timestamps
+        rows = []
+        eid = 0
+        for k in ("a", "b"):
+            for s in [0, 1, 95, 99, 100, 100, 101, 105, 199, 200, 201, 299, 300]:
+                eid += 1
+                rows.append((eid, _ts(s), 1, k, float(eid)))
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        plain = sorted(
+            map(tuple, rolling_window_features(ev, window_seconds=10).collect())
+        )
+        bucketed = sorted(
+            map(
+                tuple,
+                rolling_window_features(
+                    ev, window_seconds=10, bucket_seconds=100
+                ).collect(),
+            )
+        )
+        assert plain == bucketed
+        # window == bucket width (worst legal case: every row ghosts)
+        wide = sorted(
+            map(
+                tuple,
+                rolling_window_features(
+                    ev, window_seconds=100, bucket_seconds=100
+                ).collect(),
+            )
+        )
+        wide_plain = sorted(
+            map(tuple, rolling_window_features(ev, window_seconds=100).collect())
+        )
+        assert wide == wide_plain
 
 
 class TestAttributionCounts:
