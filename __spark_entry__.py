@@ -1561,6 +1561,34 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, SEARCH_QUERIES, k=10)
 
 
+#: one SQL string, valid in BOTH engines (ANSI CAST / year / month):
+#: a recursive month spine densifies the order series so ZERO-order
+#: months appear — the gap-filling shape plain GROUP BY can't produce.
+RECURSIVE_MONTHS_SQL = """
+WITH RECURSIVE m(mi) AS (
+  SELECT (SELECT min(year(o_orderdate)*12 + month(o_orderdate))
+          FROM {orders}) AS mi
+  UNION ALL
+  SELECT mi + 1 FROM m
+  WHERE mi < (SELECT max(year(o_orderdate)*12 + month(o_orderdate))
+              FROM {orders})
+)
+SELECT CAST(mi AS BIGINT) AS month_idx,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM m LEFT JOIN {orders}
+  ON year(o_orderdate)*12 + month(o_orderdate) = mi
+GROUP BY mi
+"""
+
+
+def q_delegated_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegated-surface probe: WITH RECURSIVE (Spark 4.0+) generating a
+    dense month spine over orders — recursive-CTE parity with the
+    temp-view SQL executor the reference delegates to."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec_v")
+    return spark.sql(RECURSIVE_MONTHS_SQL.format(orders="orders_rec_v"))
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment: md5-coin ppm
     boundaries (98/1/1), engine/run/cluster reproducible."""
@@ -3403,6 +3431,7 @@ def _extension_oracles() -> dict[str, str]:
                    ) AS tile
             FROM documents
         """,
+        "delegated_recursive": RECURSIVE_MONTHS_SQL.format(orders="orders"),
     }
 
 
@@ -3524,6 +3553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,
+        "delegated_recursive": q_delegated_recursive,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
