@@ -18,11 +18,18 @@ this repo's operators, in the order a production pipeline runs them:
   5. exact dedup         dedup_exact
   6. near dedup          dedup_keep_best        (MinHash clusters -> best)
   7. decontamination     decontaminate (exact) + decontaminate_fuzzy
+  7b. leak-safe splits   assign_splits          (coin keyed on the near-dup
+                                                 GROUP: clusters never
+                                                 straddle train/test)
   8. mixture             mixture_report -> sample_to_token_budget
   9. upsampling          oversample_by_key      (fractional epochs)
  10. shards + manifest   write_sharded
+ 10b. training blocks    build_training_blocks  (budgeted md5-ordered
+                                                 concatenation)
  11. release audit       dataset_fingerprint    (order-independent digest
                                                  pinning exactly what shipped)
+ 12. targeted audit      keyword_search         ("show me the top docs
+                                                 about X" spot check)
 
 Every step is deterministic (md5-derived orders/coins), so the whole
 pipeline reproduces bit-identically on any run, cluster size, or engine.
@@ -39,8 +46,12 @@ from pyspark.sql import SparkSession, functions as F
 
 from sparkplug_spark.operators import (
     Expectation,
+    assign_splits,
+    build_training_blocks,
     check_expectations,
     dataset_fingerprint,
+    keyword_search,
+    near_dup_groups,
     decontaminate,
     decontaminate_fuzzy,
     dedup_exact,
@@ -148,11 +159,22 @@ def main() -> None:
         .drop("contaminated", "fuzzy_contaminated")
     )
 
+    # 7b. leak-safe train/val/test: the split coin is keyed on the
+    # near-dup GROUP id, so the cluster a kept doc represents can never
+    # have members on both sides of the train/test boundary
+    groups = near_dup_groups(pairs).withColumnRenamed("id", "doc_id")
+    clean = assign_splits(
+        clean.join(groups.withColumnRenamed("group_id", "dup_group"),
+                   "doc_id", "left"),
+        salt="release1", group_col="dup_group",
+    ).drop("dup_group")
+    train = clean.filter(F.col("split") == "train")
+
     # 8. mixture: audit actual-vs-target shares, then budgeted take
-    mixture_report(clean, {"src0": 0.6, "src1": 0.4},
+    mixture_report(train, {"src0": 0.6, "src1": 0.4},
                    weight_col="n_tokens").orderBy("source").show(5)
     mixed = sample_to_token_budget(
-        clean, {"src0": 3000, "src1": 1500}, key_col="source",
+        train, {"src0": 3000, "src1": 1500}, key_col="source",
         weight_col="n_tokens", default_budget=800,
     )
 
@@ -180,10 +202,23 @@ def main() -> None:
     print(f"rows to pack:      {epochs.count()}")
     manifest.orderBy("shard").show(20, truncate=False)
 
+    # 10b. dataloader blocks: budgeted md5-ordered concatenation (the
+    # aggregation state per block is bounded by the budget, not key skew)
+    blocks = build_training_blocks(
+        epochs.withColumn("pack_id", F.concat_ws("#", "doc_id", "copy_idx")),
+        budget=2000, weight_col="n_tokens", id_col="pack_id", num_groups=4,
+    )
+    blocks.select("pack_group", "shard_id", "n_docs", "block_weight").show(5)
+
     # 11. release audit: the digest that pins EXACTLY what shipped — any
     # re-run, replica, or engine migration must reproduce these 4 numbers
     shipped = spark.read.parquet("/tmp/sparkplug_demo_shards")
     dataset_fingerprint(shipped, id_col="pack_id").show(truncate=False)
+
+    # 12. targeted audit: "what are the top shipped docs about X?"
+    keyword_search(
+        shipped, {"audit": ["table", "join"]}, k=5, id_col="pack_id"
+    ).show(truncate=False)
 
 
 if __name__ == "__main__":

@@ -76,6 +76,7 @@ def keyword_search(
     tf_cap: int = 10,
     len_smooth: int = 100,
     index: DataFrame | None = None,
+    require_all: bool = False,
     release: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents per query by engine-exact integer tf·idf.
@@ -93,6 +94,11 @@ def keyword_search(
     terms, score ≤ 1e14 and score*1000 ≤ 1e17 < 2^63.
 
     Returns (query_id, doc_id, score_ppk, rank), rank 1..k.
+
+    ``require_all=True`` switches from OR to AND semantics: only documents
+    containing EVERY term of the query rank (conjunctive retrieval — the
+    per-(query, doc) matched-term count must equal the query's distinct
+    term count; one extra broadcast of the tiny per-query term counts).
 
     Plan: the postings scan is semi-joined against the BROADCAST query
     term set first, so only matching postings survive; df(t) aggregates
@@ -112,7 +118,13 @@ def keyword_search(
     if not qrows:
         raise ValueError("queries must contain at least one term")
     qterms = spark.createDataFrame(qrows, "query_id string, term string")
-    term_set = F.broadcast(qterms.select("term").distinct())
+    # distinct terms computed driver-side (queries are tiny by contract):
+    # a .distinct() here would add a shuffle stage per consumer plan
+    term_set = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in sorted({t for _, t in qrows})], "term string"
+        )
+    )
 
     if index is not None:
         # stored-index path: semi-join the postings scan against the tiny
@@ -170,7 +182,7 @@ def keyword_search(
             F.expr("__n div __df").cast("long").alias("__idf"),
         )
     )
-    scored = (
+    per_doc = (
         matched.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
         .groupBy("query_id", "doc_id")
@@ -179,14 +191,22 @@ def keyword_search(
                 F.least(F.col("tf"), F.lit(int(tf_cap))) * F.col("__idf")
             ).alias("__score"),
             F.first("dl").alias("__dl"),
+            F.count(F.lit(1)).alias("__nterms"),  # matched is unique per (term, doc)
         )
-        .select(
-            "query_id",
-            "doc_id",
-            F.expr(f"(__score * 1000) div ({int(len_smooth)} + __dl)")
-            .cast("long")
-            .alias("score_ppk"),
+    )
+    if require_all:
+        want = qterms.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("__want")
         )
+        per_doc = per_doc.join(F.broadcast(want), "query_id").filter(
+            F.col("__nterms") == F.col("__want")
+        )
+    scored = per_doc.select(
+        "query_id",
+        "doc_id",
+        F.expr(f"(__score * 1000) div ({int(len_smooth)} + __dl)")
+        .cast("long")
+        .alias("score_ppk"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_ppk"), F.asc("doc_id")

@@ -32,6 +32,8 @@ __all__ = [
     "write_zordered",
     "zorder_value",
     "overwrite_partitions",
+    "compact_table",
+    "schema_drift",
 ]
 
 _LOCAL_SCHEMES = ("", "file")
@@ -343,3 +345,88 @@ def write_sharded(
         manifest,
         "shard string, file string, n_rows long, total_weight long, bytes long",
     )
+
+
+def compact_table(
+    spark: "SparkSession",
+    path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+    fmt: str = "parquet",
+    shuffle: bool = False,
+) -> dict:
+    """Rewrite a directory-backed table into ~``target_file_bytes`` files
+    — the small-files maintenance pass a long-running ingest needs (every
+    micro-batch/append leaves part-files; thousands of tiny files tax
+    listing, footers, and task scheduling at 100 TB).
+
+    ``shuffle=False`` (default) uses ``coalesce`` — a NARROW rewrite, no
+    exchange, file sizes approximate; ``shuffle=True`` uses
+    ``repartition`` for even output at the cost of shuffling the data.
+
+    The swap is rename-based (tmp → old → live) and therefore NOT atomic
+    for concurrent readers — that guarantee needs a table format
+    (Delta/Iceberg); run compaction in a maintenance window.  Returns
+    {files_before, files_after, bytes}."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def data_files(p):
+        out = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append((st.getPath().toString(), st.getLen()))
+        return out
+
+    before = data_files(jpath)
+    total = sum(b for _, b in before)
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = read_table(spark, path, fmt)
+    df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    df.write.format(fmt).mode("overwrite").save(tmp.toString())
+    if not fs.rename(jpath, old):
+        raise IOError(f"compact_table: could not move {path} aside")
+    if not fs.rename(tmp, jpath):
+        fs.rename(old, jpath)  # roll back
+        raise IOError(f"compact_table: could not move compacted data into {path}")
+    fs.delete(old, True)
+    after = data_files(jpath)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": sum(b for _, b in after),
+    }
+
+
+def schema_drift(old: "DataFrame", new: "DataFrame") -> list[dict]:
+    """Column-level schema drift between two snapshots/tables: a list of
+    {column, status, old_type, new_type} with status in
+    added / removed / type_changed — the metadata companion of
+    :func:`sparkplug_spark.operators.snapshot_diff` (which compares rows).
+    Pure driver-side metadata; order follows the NEW schema, removed
+    columns last."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for name, ty in n.items():
+        if name not in o:
+            out.append({"column": name, "status": "added",
+                        "old_type": None, "new_type": ty})
+        elif o[name] != ty:
+            out.append({"column": name, "status": "type_changed",
+                        "old_type": o[name], "new_type": ty})
+    for name, ty in o.items():
+        if name not in n:
+            out.append({"column": name, "status": "removed",
+                        "old_type": ty, "new_type": None})
+    return out

@@ -409,3 +409,60 @@ class TestGroupNtiles:
         )
         with pytest.raises(ValueError):
             group_ntiles(docs, n=0)
+
+
+class TestKeywordSearchModes:
+    DOCS = [
+        (1, "spark join join"),
+        (2, "spark window"),
+        (3, "join window"),
+        (4, "spark join window"),
+    ]
+
+    def test_require_all_conjunctive(self, spark):
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        got_or = {
+            r["doc_id"]
+            for r in keyword_search(docs, {"q": ["spark", "join"]}, k=10).collect()
+        }
+        got_and = {
+            r["doc_id"]
+            for r in keyword_search(
+                docs, {"q": ["spark", "join"]}, k=10, require_all=True
+            ).collect()
+        }
+        assert got_or == {1, 2, 3, 4}
+        assert got_and == {1, 4}
+
+    def test_require_all_scores_match_or_mode(self, spark):
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        or_scores = {
+            (r["query_id"], r["doc_id"]): r["score_ppk"]
+            for r in keyword_search(docs, {"q": ["spark", "join"]}, k=10).collect()
+        }
+        for r in keyword_search(
+            docs, {"q": ["spark", "join"]}, k=10, require_all=True
+        ).collect():
+            assert or_scores[(r["query_id"], r["doc_id"])] == r["score_ppk"]
+
+    def test_stored_index_search_is_shuffle_free_to_match(self, spark):
+        """The stored-index scale path: postings bucketed on term join the
+        broadcast query term set with no Exchange before the match."""
+        from sparkplug_spark.sources import write_bucketed
+
+        docs = spark.createDataFrame(self.DOCS, ["doc_id", "text"])
+        try:
+            write_bucketed(
+                build_term_index(docs), "kw_idx_test", ["term"], num_buckets=4
+            )
+            idx = spark.table("kw_idx_test")
+            out = keyword_search(
+                docs, {"q": ["spark", "join"]}, k=10, index=idx, release=False
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # the matched side is scan -> broadcast join; the only
+            # Exchanges are the scoring aggregation + final window
+            assert plan.count("Exchange hashpartitioning") <= 2
+            assert {r["doc_id"] for r in out.collect()} == {1, 2, 3, 4}
+        finally:
+            spark.sql("drop table if exists kw_idx_test")

@@ -147,3 +147,86 @@ def test_impute_median_mode_match_python_model(spark, seed):
     for i, g, v, s in rows:
         assert out[i]["v"] == (v if v is not None else fills[g][0])
         assert out[i]["s"] == (s if s is not None else fills[g][1])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_assign_splits_matches_python_md5_model(spark, seed):
+    """The split coin is pure md5 arithmetic — a python twin must agree
+    row for row (engine-reproducibility is the operator's whole point)."""
+    import hashlib
+
+    from sparkplug_spark.operators import assign_splits
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(100_000), 300)
+    weights = {"train": 8, "val": 1, "test": 1}
+    salt = f"s{seed}"
+
+    def py_split(doc_id: int) -> str:
+        h = hashlib.md5(f"{salt}\x1f{doc_id}".encode()).hexdigest()
+        coin = int(h[:15], 16) % 1_000_000
+        total = sum(weights.values())
+        acc = 0
+        for name in list(weights)[:-1]:
+            acc += weights[name] * 1_000_000 // total
+            if coin < acc:
+                return name
+        return list(weights)[-1]
+
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs, weights=weights, salt=salt).collect()
+    }
+    assert got == {i: py_split(i) for i in ids}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_keyword_search_matches_python_scoring_model(spark, seed):
+    """Integer tf-idf twin: brute-force python scoring over random tiny
+    corpora reproduces scores, ranks, and require_all filtering."""
+    from sparkplug_spark.operators import keyword_search
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+        for i in range(40)
+    ]
+    terms = rng.sample(vocab, 2)
+    tf_cap, smooth, k = 3, 10, 7
+
+    toks = {i: t.split() for i, t in docs}
+    n_docs = len(docs)
+    dfreq = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in terms
+    }
+    expected = []
+    for i, ts in toks.items():
+        matched = [t for t in terms if t in ts]
+        if not matched:
+            continue
+        score = sum(
+            min(ts.count(t), tf_cap) * (n_docs // dfreq[t]) for t in matched
+        )
+        expected.append((i, score * 1000 // (smooth + len(ts)), len(matched)))
+    for require_all in (False, True):
+        want = [
+            (i, s)
+            for i, s, m in expected
+            if not require_all or m == len(terms)
+        ]
+        want.sort(key=lambda x: (-x[1], x[0]))
+        want = [(i, s, r + 1) for r, (i, s) in enumerate(want[:k])]
+        got = sorted(
+            (r["doc_id"], r["score_ppk"], r["rank"])
+            for r in keyword_search(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                {"q": terms},
+                k=k,
+                tf_cap=tf_cap,
+                len_smooth=smooth,
+                require_all=require_all,
+            ).collect()
+        )
+        assert got == sorted(want), f"require_all={require_all}"

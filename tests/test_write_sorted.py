@@ -108,3 +108,74 @@ def test_write_sorted_validates(spark, tmp_path):
     df = spark.range(10)
     with pytest.raises(ValueError, match="non-empty"):
         write_sorted(df, str(tmp_path / "x"), [])
+
+
+class TestCompactTable:
+    def test_compacts_small_files(self, spark, tmp_path):
+        from sparkplug_spark.sources import compact_table
+
+        path = str(tmp_path / "frag")
+        # 16 tiny files
+        spark.range(0, 1600).repartition(16).write.parquet(path)
+        before = {
+            tuple(r) for r in spark.read.parquet(path).collect()
+        }
+        stats = compact_table(spark, path, target_file_bytes=1 << 30)
+        assert stats["files_before"] == 16
+        assert stats["files_after"] == 1
+        after = {tuple(r) for r in spark.read.parquet(path).collect()}
+        assert after == before
+        # no leftover tmp/old dirs
+        import os
+        assert not os.path.exists(path + ".compact_tmp")
+        assert not os.path.exists(path + ".compact_old")
+
+    def test_respects_target_size(self, spark, tmp_path):
+        from sparkplug_spark.sources import compact_table
+
+        path = str(tmp_path / "frag2")
+        spark.range(0, 20_000).repartition(20).write.parquet(path)
+        import glob
+        total = sum(
+            __import__("os").path.getsize(f)
+            for f in glob.glob(path + "/*.parquet")
+        )
+        stats = compact_table(spark, path, target_file_bytes=total // 3)
+        assert 2 <= stats["files_after"] <= 5
+        assert spark.read.parquet(path).count() == 20_000
+
+    def test_rejects_bad_target(self, spark, tmp_path):
+        from sparkplug_spark.sources import compact_table
+
+        with pytest.raises(ValueError):
+            compact_table(spark, str(tmp_path), target_file_bytes=0)
+
+
+class TestSchemaDrift:
+    def test_reports_added_removed_changed(self, spark):
+        from sparkplug_spark.sources import schema_drift
+
+        old = spark.createDataFrame(
+            [(1, "a", 1.0)], "id long, name string, score double"
+        )
+        new = spark.createDataFrame(
+            [(1, "a", 2, True)], "id long, name string, score int, ok boolean"
+        )
+        drift = schema_drift(old, new)
+        by_col = {d["column"]: d for d in drift}
+        assert by_col["score"]["status"] == "type_changed"
+        assert by_col["score"]["old_type"] == "double"
+        assert by_col["score"]["new_type"] == "int"
+        assert by_col["ok"]["status"] == "added"
+        assert len(drift) == 2
+
+    def test_removed_and_identical(self, spark):
+        from sparkplug_spark.sources import schema_drift
+
+        old = spark.createDataFrame([(1, "a")], "id long, name string")
+        new = spark.createDataFrame([(1,)], "id long")
+        assert schema_drift(old, new) == [
+            {"column": "name", "status": "removed",
+             "old_type": "string", "new_type": None}
+        ]
+        assert schema_drift(old, old) == []
