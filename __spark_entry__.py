@@ -1561,17 +1561,24 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, SEARCH_QUERIES, k=10)
 
 
-#: one SQL string, valid in BOTH engines (ANSI CAST / year / month):
-#: a recursive month spine densifies the order series so ZERO-order
-#: months appear — the gap-filling shape plain GROUP BY can't produce.
+#: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
+#: VALUES): a recursive month spine densifies the order series so
+#: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
+#: produce.  Recursion hygiene for Spark's iterative execution: the max
+#: bound rides IN the recursion state (a scalar subquery in the guard
+#: would re-scan orders every iteration), and the anchor seeds 12 offsets
+#: so each iteration advances a year, not a month (80 driver-side steps
+#: of ~100ms → 7).
 RECURSIVE_MONTHS_SQL = """
-WITH RECURSIVE m(mi) AS (
-  SELECT (SELECT min(year(o_orderdate)*12 + month(o_orderdate))
-          FROM {orders}) AS mi
+WITH RECURSIVE m(mi, mx) AS (
+  SELECT b.mn + s.d, b.mx
+  FROM (SELECT min(year(o_orderdate)*12 + month(o_orderdate)) AS mn,
+               max(year(o_orderdate)*12 + month(o_orderdate)) AS mx
+        FROM {orders}) AS b,
+       (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11)) AS s(d)
+  WHERE b.mn + s.d <= b.mx
   UNION ALL
-  SELECT mi + 1 FROM m
-  WHERE mi < (SELECT max(year(o_orderdate)*12 + month(o_orderdate))
-              FROM {orders})
+  SELECT mi + 12, mx FROM m WHERE mi + 12 <= mx
 )
 SELECT CAST(mi AS BIGINT) AS month_idx,
        CAST(count(o_orderkey) AS BIGINT) AS n_orders

@@ -243,12 +243,18 @@ def ngram_counts(
     # materialize the token array first: transform lambdas re-evaluate
     # their input expression per element
     with_toks = spread(df).select(toks.alias("__toks"))
-    grams = with_toks.filter(F.size("__toks") >= n).select(
+    # short docs drop via explode-of-empty, NOT a Filter row-predicate — a
+    # pushed-down filter would duplicate the tokenizer UDF into the Filter
+    # condition (two ArrowEvalPython nodes; plan-shape lock pins one)
+    grams = with_toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
-                lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
-            )
+            F.when(
+                F.size("__toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("ngram")
     )
     counts = (

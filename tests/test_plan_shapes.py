@@ -131,3 +131,54 @@ def test_dataset_fingerprint_partial_aggregates(spark):
     # commutative folds must combine map-side: only per-partition digests
     # may cross the single-partition boundary
     assert "partial_bit_xor" in plan and "partial_sum" in plan
+
+
+def test_assign_splits_is_zero_shuffle_codegen(spark):
+    from sparkplug_spark.operators import assign_splits
+
+    df = spark.createDataFrame([(1, "t")], ["doc_id", "text"])
+    plan = _plan(assign_splits(df))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_rolling_features_single_window_exchange(spark):
+    import datetime as dt
+
+    from sparkplug_spark.operators import rolling_window_features
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, "view", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    # plain: exactly one hash exchange (the keyed window); bucketed: same
+    for kwargs in ({}, {"bucket_seconds": 86400}):
+        plan = _plan(rolling_window_features(ev, window_seconds=3600, **kwargs))
+        assert plan.count("Exchange hashpartitioning") == 1, kwargs
+        assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ngram_counts_single_arrow_node_no_global_sort(spark):
+    from sparkplug_spark.operators import ngram_counts
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = _plan(ngram_counts(docs, n=2, max_size=10))
+    assert plan.count("ArrowEvalPython") == 1  # tokenize once
+    # top-N via TakeOrdered (per-partition heaps), not a full sort shuffle
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_keyword_search_inline_no_token_explode_shuffle(spark):
+    from sparkplug_spark.operators import keyword_search
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "b d")], ["doc_id", "text"])
+    out = keyword_search(docs, {"q": ["b"]}, k=5, release=False)
+    plan = _plan(out)
+    # matched side: tokenize (1 Arrow node per consumer) -> narrow
+    # per-term tf; hash exchanges = dfreq-by-term + scoring agg +
+    # per-query window, all over the bounded match sliver
+    assert plan.count("ArrowEvalPython") <= 2  # matched + dfreq reuse
+    assert plan.count("Exchange hashpartitioning") <= 3
+    # the corpus token stream itself never shuffles: no explode feeding
+    # an exchange
+    assert "Generate explode(filter(pythonUDF" not in plan
