@@ -1626,6 +1626,26 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_ntiles(docs, n=10, order_col="n_chars", group_col="lang")
 
 
+def q_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per type: native sequence() spine over
+    each key's (min, max) bucket, zero-count buckets included."""
+    from sparkplug_spark.operators import densify_time_series
+
+    ev = read_events(spark, sf_dir)
+    return densify_time_series(ev, bucket_seconds=3600)
+
+
+def q_throttle_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse: each (user, type) burst chain (gap 120s) keeps its
+    first event — deterministic (time, id) tie-break."""
+    from sparkplug_spark.operators import throttle_events
+
+    ev = read_events(spark, sf_dir)
+    return throttle_events(ev, gap_seconds=120).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space topic-balance audit: per-cluster size/share/
     tightness from the bounded-sample spherical-kmeans quantizer.
@@ -3439,6 +3459,52 @@ def _extension_oracles() -> dict[str, str]:
             FROM documents
         """,
         "delegated_recursive": RECURSIVE_MONTHS_SQL.format(orders="orders"),
+        "dense_series": """
+            WITH c AS (
+              SELECT event_type,
+                     ((((epoch_ns(ts) // 1000) // 1000000) // 3600) * 3600)::BIGINT
+                       AS bucket_start,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type,
+                     unnest(generate_series(min(bucket_start),
+                                            max(bucket_start), 3600))::BIGINT
+                       AS bucket_start
+              FROM c GROUP BY event_type
+            )
+            SELECT s.event_type, s.bucket_start,
+                   coalesce(c.n_events, 0)::BIGINT AS n_events
+            FROM s LEFT JOIN c USING (event_type, bucket_start)
+        """,
+        "throttle_events": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ), b AS (
+              SELECT *,
+                     CASE WHEN lag(ts_s) OVER w IS NULL
+                            OR ts_s - lag(ts_s) OVER w > 120
+                          THEN 1 ELSE 0 END AS brk
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY ts_s, event_id)
+            ), c AS (
+              SELECT *, sum(brk) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts_s
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS burst
+              FROM b
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY user_id, event_type, burst
+                       ORDER BY ts_s, event_id
+                     ) AS rn
+              FROM c
+            )
+            SELECT event_id, user_id, event_type FROM r WHERE rn = 1
+        """,
     }
 
 
@@ -3561,6 +3627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,
         "delegated_recursive": q_delegated_recursive,
+        "dense_series": q_dense_series,
+        "throttle_events": q_throttle_events,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

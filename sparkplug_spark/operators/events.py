@@ -16,6 +16,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import materialize_release
 from ..partitioning import spread
 
 __all__ = [
@@ -26,6 +27,8 @@ __all__ = [
     "user_activity_profile",
     "rolling_window_features",
     "attribution_counts",
+    "densify_time_series",
+    "throttle_events",
 ]
 
 
@@ -425,6 +428,109 @@ def attribution_counts(
         credited.unionByName(uncredited)
         .groupBy("touch_type")
         .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+def densify_time_series(
+    df: DataFrame,
+    key_col: str | None = "event_type",
+    time_col: str = "ts",
+    bucket_seconds: int = 3600,
+    release: bool = True,
+) -> DataFrame:
+    """Tumbling-bucket counts INCLUDING empty buckets — the gap-filled
+    series a dashboard/anomaly consumer needs (a plain GROUP BY silently
+    drops zero-activity buckets; rate math over it is biased).
+
+    Output: (key_col, bucket_start, n_events) for EVERY bucket between
+    the key's first and last event (``key_col=None`` = one global
+    series over the corpus min/max).  ``bucket_start`` is epoch-second
+    BIGINT; all arithmetic integer.
+
+    Plan: one map-side-combined agg reduces the log to (key, bucket)
+    counts — persisted, since BOTH the spine (its per-key min/max) and the
+    join read it; without the persist each consumer re-scans the raw log.
+    The spine is a native ``sequence()`` explode over each key's 1-row
+    (min, max) — spine size = buckets, never raw rows — left-joined back
+    to the counts.  No recursion, no driver loop.
+
+    ``release=True`` (default) eagerly materializes the (tiny) result and
+    drops the counts cache, per the operator cache-lifecycle contract."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    keys = [key_col] if key_col else []
+    bucket = (
+        F.floor(_epoch_s(df, time_col) / F.lit(bucket_seconds))
+        * F.lit(bucket_seconds)
+    ).cast("long")
+    counts = (
+        df.select(*keys, bucket.alias("bucket_start"))
+        .groupBy(*keys, "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    if release:
+        counts = counts.persist()
+    spine = (
+        counts.groupBy(*keys)
+        .agg(F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(int(bucket_seconds)))
+            ).alias("bucket_start"),
+        )
+    )
+    out = spine.join(counts, [*keys, "bucket_start"], "left").select(
+        *keys,
+        "bucket_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+    return materialize_release(out, counts, release=release)
+
+
+def throttle_events(
+    df: DataFrame,
+    by: Sequence[str] = ("user_id", "event_type"),
+    time_col: str = "ts",
+    gap_seconds: int = 60,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Burst collapse — one event per burst CHAIN: within each ``by``
+    group, consecutive events ≤ ``gap_seconds`` apart belong to the same
+    burst (the :func:`sessionize` recursion with a small gap), and only
+    each burst's first event survives.  Retry storms, double-clicks, and
+    sensor chatter collapse to their first occurrence; note chain
+    semantics — a long run of closely-spaced events is ONE burst however
+    long it lasts, exactly like a session.
+
+    Deterministic: the kept row is min(time) with ties broken on
+    ``id_col``, and tied timestamps always share a burst (diff 0 never
+    breaks), so output is engine/run/partitioning-independent.
+
+    One shuffle on the ``by`` keys (both windows share the partitioning);
+    returns the kept rows with all input columns."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    by = list(by)
+    out = df.withColumn("__ts_s", _epoch_s(df, time_col))
+    w = Window.partitionBy(*by).orderBy("__ts_s")  # RANGE: peers share frames
+    prev = F.lag("__ts_s").over(
+        Window.partitionBy(*by).orderBy("__ts_s", F.col(id_col))
+    )
+    brk = F.when(
+        prev.isNull() | ((F.col("__ts_s") - prev) > gap_seconds), 1
+    ).otherwise(0)
+    # cumulative sum over the default RANGE frame: tied rows land in the
+    # same burst whatever order the lag() saw them in, because their
+    # diffs are 0 (never a break) and RANGE includes all peers
+    burst = F.sum(brk).over(w)
+    wb = Window.partitionBy(*by, "__burst").orderBy("__ts_s", F.col(id_col))
+    return (
+        out.withColumn("__brk", brk)
+        .withColumn("__burst", burst)
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__ts_s", "__brk", "__burst", "__rn")
     )
 
 

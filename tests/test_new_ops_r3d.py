@@ -11,10 +11,12 @@ from sparkplug_spark.operators import (
     attribution_counts,
     build_term_index,
     build_training_blocks,
+    densify_time_series,
     group_ntiles,
     keyword_search,
     ngram_counts,
     rolling_window_features,
+    throttle_events,
 )
 
 
@@ -466,3 +468,74 @@ class TestKeywordSearchModes:
             assert {r["doc_id"] for r in out.collect()} == {1, 2, 3, 4}
         finally:
             spark.sql("drop table if exists kw_idx_test")
+
+
+class TestDensifyTimeSeries:
+    def test_fills_gaps_with_zeros(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(50), 1, "view", 0.0),
+            # gap: bucket [100,200) empty
+            (3, _ts(250), 1, "view", 0.0),
+            (4, _ts(0), 1, "click", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            (r["event_type"], r["bucket_start"] % 1000): r["n_events"]
+            for r in densify_time_series(ev, bucket_seconds=100).collect()
+        }
+        base = _ts(0).replace(tzinfo=dt.timezone.utc).timestamp() % 1000
+        assert out[("view", base % 1000)] == 2
+        assert out[("view", (base + 100) % 1000)] == 0  # gap filled
+        assert out[("view", (base + 200) % 1000)] == 1
+        assert out[("click", base % 1000)] == 1
+        assert len(out) == 4
+
+    def test_global_series(self, spark):
+        ev = spark.createDataFrame(
+            [(1, _ts(0), 1, "a", 0.0), (2, _ts(250), 1, "b", 0.0)], EVENT_SCHEMA
+        )
+        out = densify_time_series(ev, key_col=None, bucket_seconds=100)
+        assert out.count() == 3  # buckets 0,100,200
+        assert out.filter("n_events = 0").count() == 1
+
+    def test_rejects_bad_bucket(self, spark):
+        ev = spark.createDataFrame([(1, _ts(0), 1, "a", 0.0)], EVENT_SCHEMA)
+        with pytest.raises(ValueError):
+            densify_time_series(ev, bucket_seconds=0)
+
+
+class TestThrottleEvents:
+    def test_burst_chain_collapses_to_first(self, spark):
+        rows = [
+            # chain: 0, 30, 60 (each diff <= 60) -> ONE kept (id 1)
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(30), 1, "view", 0.0),
+            (3, _ts(60), 1, "view", 0.0),
+            # 61s after previous -> new burst
+            (4, _ts(121), 1, "view", 0.0),
+            # other type independent
+            (5, _ts(10), 1, "click", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        kept = {r["event_id"] for r in throttle_events(ev, gap_seconds=60).collect()}
+        assert kept == {1, 4, 5}
+
+    def test_tied_timestamps_keep_min_id(self, spark):
+        rows = [
+            (7, _ts(0), 1, "view", 0.0),
+            (3, _ts(0), 1, "view", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        kept = {r["event_id"] for r in throttle_events(ev, gap_seconds=60).collect()}
+        assert kept == {3}
+
+    def test_keeps_all_columns(self, spark):
+        ev = spark.createDataFrame([(1, _ts(0), 1, "view", 2.5)], EVENT_SCHEMA)
+        out = throttle_events(ev).collect()[0]
+        assert out["value"] == 2.5 and out["ts"] is not None
+
+    def test_rejects_bad_gap(self, spark):
+        ev = spark.createDataFrame([(1, _ts(0), 1, "view", 0.0)], EVENT_SCHEMA)
+        with pytest.raises(ValueError):
+            throttle_events(ev, gap_seconds=0)
