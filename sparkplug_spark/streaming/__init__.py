@@ -31,6 +31,7 @@ __all__ = [
     "near_dup_flags",
     "streaming_near_dup_flags",
     "sessionize_stream",
+    "stream_stream_join",
 ]
 
 
@@ -320,3 +321,55 @@ def streaming_near_dup_flags(
         )
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time_col: str,
+    right_time_col: str,
+    within_seconds: int,
+    watermark_delay: str = "10 minutes",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time window: a right
+    event matches a left event when ``right_time ∈ [left_time,
+    left_time + within_seconds]`` (e.g. purchases within an hour of the
+    view that preceded them).
+
+    State hygiene — the part that makes this runnable forever: BOTH sides
+    get a watermark, and the time-range predicate rides in the join
+    condition, so Spark derives a state watermark and EVICTS buffered rows
+    once they can no longer match (without the range bound the state store
+    grows without limit).  ``how`` may be ``inner`` / ``leftOuter``
+    (outer emits unmatched lefts only after the watermark closes their
+    window — expect them late by ``watermark_delay``).
+
+    Right columns are prefixed to avoid collisions; the join key keeps the
+    left name."""
+    if within_seconds <= 0:
+        raise ValueError(f"within_seconds must be > 0, got {within_seconds}")
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("how must be 'inner' or 'leftOuter'")
+    lw = left.withWatermark(left_time_col, watermark_delay)
+    rw = right.withWatermark(right_time_col, watermark_delay)
+    rw = rw.select(
+        F.col(on).alias("__rk"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c != on
+        ],
+    )
+    rtime = f"{right_prefix}{right_time_col}"
+    cond = (
+        (F.col(on) == F.col("__rk"))
+        & (F.col(rtime) >= F.col(left_time_col))
+        & (
+            F.col(rtime)
+            <= F.col(left_time_col) + F.expr(f"INTERVAL {int(within_seconds)} SECOND")
+        )
+    )
+    return lw.join(rw, cond, how).drop("__rk")

@@ -652,3 +652,57 @@ def test_cc_long_chain_many_rounds(spark):
         for r in connected_components_star(pairs).collect()
     }
     assert star == lp
+
+
+def test_stream_stream_join_within_window(spark, tmp_path):
+    """Stream-stream equi-join with an event-time range bound: purchases
+    match a view only within the hour after it; both sides watermarked so
+    join state is evictable."""
+    from sparkplug_spark.streaming import stream_stream_join
+
+    vsrc = str(tmp_path / "views_src")
+    psrc = str(tmp_path / "buys_src")
+    views = [
+        (1, ts("2024-01-01 10:00:00")),
+        (2, ts("2024-01-01 10:00:00")),
+    ]
+    buys = [
+        (1, ts("2024-01-01 10:30:00"), 9.99),   # within the hour -> match
+        (2, ts("2024-01-01 12:00:00"), 5.00),   # 2h later -> no match
+    ]
+    spark.createDataFrame(views, ["user_id", "ts"]).write.parquet(vsrc)
+    spark.createDataFrame(buys, ["user_id", "ts", "amount"]).write.parquet(psrc)
+    vstream = spark.readStream.schema("user_id long, ts timestamp").parquet(vsrc)
+    bstream = spark.readStream.schema(
+        "user_id long, ts timestamp, amount double"
+    ).parquet(psrc)
+    joined = stream_stream_join(
+        vstream, bstream, on="user_id",
+        left_time_col="ts", right_time_col="ts", within_seconds=3600,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["r_amount"])
+        for r in spark.sql("select * from ssj_test").collect()
+    }
+    assert got == {(1, 9.99)}
+
+
+def test_stream_stream_join_rejects_bad_args(spark, tmp_path):
+    from sparkplug_spark.streaming import stream_stream_join
+
+    src = str(tmp_path / "ssj_bad")
+    spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], ["user_id", "ts"]).write.parquet(src)
+    s = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stream_stream_join(s, s, "user_id", "ts", "ts", within_seconds=0)
+    with _pytest.raises(ValueError):
+        stream_stream_join(s, s, "user_id", "ts", "ts", 10, how="full")
