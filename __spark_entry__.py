@@ -1535,6 +1535,21 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution: each conversion's credit split
+    equally over prior touches in EXACT integer ppm (remainder to the
+    tie-broken last touch, so per-user credit sums to 1,000,000)."""
+    from sparkplug_spark.operators import attribution_counts
+
+    ev = read_events(spark, sf_dir)
+    return attribution_counts(
+        ev,
+        conversion="purchase",
+        touch_types=("view", "click", "signup"),
+        model="linear",
+    )
+
+
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram count table: top-200 full word bigrams with
     deterministic rank (count desc, gram asc), min count 2."""
@@ -3505,6 +3520,43 @@ def _extension_oracles() -> dict[str, str]:
             )
             SELECT event_id, user_id, event_type FROM r WHERE rn = 1
         """,
+        "attribution_linear": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ),
+            conv AS (
+              SELECT user_id, min(ts_s) AS tc FROM ev
+              WHERE event_type = 'purchase' GROUP BY user_id
+            ),
+            cand AS (
+              SELECT t.user_id, t.event_type AS touch_type,
+                     row_number() OVER (
+                       PARTITION BY t.user_id
+                       ORDER BY t.ts_s DESC, t.event_id DESC
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY t.user_id) AS k
+              FROM ev t JOIN conv c
+                ON t.user_id = c.user_id AND t.ts_s < c.tc
+              WHERE t.event_type IN ('view', 'click', 'signup')
+            ),
+            credited AS (
+              SELECT user_id, touch_type,
+                     CASE WHEN rn = 1
+                          THEN (1000000 // k) + 1000000 - (1000000 // k) * k
+                          ELSE 1000000 // k END AS credit_ppm
+              FROM cand
+            ),
+            uncred AS (
+              SELECT c.user_id, '(none)' AS touch_type, 1000000 AS credit_ppm
+              FROM conv c LEFT JOIN credited cr ON c.user_id = cr.user_id
+              WHERE cr.user_id IS NULL
+            )
+            SELECT touch_type, sum(credit_ppm)::BIGINT AS credit_ppm
+            FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
+            GROUP BY touch_type
+        """,
     }
 
 
@@ -3629,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delegated_recursive": q_delegated_recursive,
         "dense_series": q_dense_series,
         "throttle_events": q_throttle_events,
+        "attribution_linear": q_attribution_linear,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

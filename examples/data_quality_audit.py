@@ -89,6 +89,18 @@ def main() -> None:
               f"{r.actions[0].key} = {r.actions[0].value}")
 
     column_profile(repaired, ["n_chars"]).show(truncate=False)
+
+    # 6. drift gate: schema changes between feed drops are caught at
+    # metadata level before any row-level check pays for a scan
+    from sparkplug_spark.sources import schema_drift
+
+    next_drop = docs.withColumn("crawl_ts", F.lit(0).cast("long")).withColumn(
+        "n_chars", F.col("n_chars").cast("int")
+    )
+    print("schema drift vs next drop:")
+    for d in schema_drift(docs, next_drop):
+        print(f"  {d['column']}: {d['status']} "
+              f"({d['old_type']} -> {d['new_type']})")
     spark.stop()
 
 

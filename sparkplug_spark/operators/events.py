@@ -384,16 +384,23 @@ def attribution_counts(
     first conversion has no prior touch are reported under touch_type
     ``'(none)'`` so credited counts always sum to converting users.
 
+    ``model='linear'`` splits each conversion's credit EQUALLY across all
+    prior touches in exact integer ppm (each of a user's k touches gets
+    ``1_000_000 div k``; the division remainder goes to the (tie-broken)
+    LAST touch so per-user credit always sums to exactly 1_000_000).
+    Output then is (touch_type, credit_ppm) — BIGINT, engine-exact.
+
     Output: (touch_type, n_conversions), one row per touch type that
-    received credit (plus the ``'(none)'`` row when applicable).
+    received credit (plus the ``'(none)'`` row when applicable); linear
+    model returns (touch_type, credit_ppm).
 
     Plan: conversions reduce to one (user, first-conversion-second) row
     via a map-side-combined agg; touches join on the user key and the
     per-user argmax runs as a window over the SAME key partitioning (AQE
     exchange reuse) — shuffles carry (user, second, id, type) tuples
     only, never the raw log's payload columns."""
-    if model not in ("last", "first"):
-        raise ValueError("model must be 'last' or 'first'")
+    if model not in ("last", "first", "linear"):
+        raise ValueError("model must be 'last', 'first' or 'linear'")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
     ts_s = _epoch_s(df, time_col)
@@ -409,6 +416,33 @@ def attribution_counts(
         F.col(type_col).alias("touch_type"),
     )
     cand = touches.join(conv, "u").filter(F.col("tt") < F.col("tc"))
+    if model == "linear":
+        # rn=1 is the tie-broken LAST touch: it takes the ppm remainder
+        w = Window.partitionBy("u").orderBy(F.desc("tt"), F.desc("tid"))
+        k = F.count(F.lit(1)).over(Window.partitionBy("u"))
+        share = F.expr("1000000 div __k")
+        credited = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__k", k)
+            .withColumn(
+                "credit_ppm",
+                F.when(
+                    F.col("__rn") == 1,
+                    share + F.lit(1000000) - share * F.col("__k"),
+                ).otherwise(share).cast("long"),
+            )
+            .select("u", "touch_type", "credit_ppm")
+        )
+        uncredited = conv.join(credited, "u", "left_anti").select(
+            "u",
+            F.lit("(none)").alias("touch_type"),
+            F.lit(1000000).cast("long").alias("credit_ppm"),
+        )
+        return (
+            credited.unionByName(uncredited)
+            .groupBy("touch_type")
+            .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"))
+        )
     order = (
         [F.desc("tt"), F.desc("tid")]
         if model == "last"

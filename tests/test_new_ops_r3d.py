@@ -174,7 +174,7 @@ class TestAttributionCounts:
         with pytest.raises(ValueError):
             attribution_counts(ev, "purchase", ())
         with pytest.raises(ValueError):
-            attribution_counts(ev, "purchase", ("view",), model="linear")
+            attribution_counts(ev, "purchase", ("view",), model="time_decay")
 
 
 class TestNgramCounts:
@@ -539,3 +539,47 @@ class TestThrottleEvents:
         ev = spark.createDataFrame([(1, _ts(0), 1, "view", 0.0)], EVENT_SCHEMA)
         with pytest.raises(ValueError):
             throttle_events(ev, gap_seconds=0)
+
+
+class TestAttributionLinear:
+    def test_equal_split_with_remainder_to_last(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(10), 1, "click", 0.0),
+            (3, _ts(20), 1, "view", 0.0),
+            (4, _ts(30), 1, "purchase", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            r["touch_type"]: r["credit_ppm"]
+            for r in attribution_counts(
+                ev, "purchase", ("view", "click"), model="linear"
+            ).collect()
+        }
+        # k=3: share 333333 each, last touch (view id 3) takes +1 remainder
+        assert out == {"view": 333333 + 333334, "click": 333333}
+        assert sum(out.values()) == 1_000_000
+
+    def test_no_touch_gets_full_none_credit(self, spark):
+        ev = spark.createDataFrame(
+            [(1, _ts(0), 1, "purchase", 0.0)], EVENT_SCHEMA
+        )
+        out = attribution_counts(
+            ev, "purchase", ("view",), model="linear"
+        ).collect()
+        assert [(r["touch_type"], r["credit_ppm"]) for r in out] == [
+            ("(none)", 1_000_000)
+        ]
+
+    def test_total_credit_equals_converting_users(self, spark):
+        rows = []
+        eid = 0
+        for u in range(5):
+            for s, t in [(0, "view"), (5, "click"), (9, "view"), (20, "purchase")]:
+                eid += 1
+                rows.append((eid, _ts(s + u), u, t, 0.0))
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = attribution_counts(
+            ev, "purchase", ("view", "click"), model="linear"
+        ).collect()
+        assert sum(r["credit_ppm"] for r in out) == 5_000_000

@@ -230,3 +230,100 @@ def test_keyword_search_matches_python_scoring_model(spark, seed):
             ).collect()
         )
         assert got == sorted(want), f"require_all={require_all}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_throttle_matches_python_fold(spark, seed):
+    """Burst-chain collapse twin: a sequential python fold over the sorted
+    log reproduces the window implementation exactly, including tied
+    timestamps and multi-key logs."""
+    import datetime as dtm
+
+    from sparkplug_spark.operators import throttle_events
+
+    rng = random.Random(seed)
+    base = dtm.datetime(2024, 1, 1)
+    rows = []
+    for eid in range(120):
+        rows.append(
+            (
+                eid,
+                base + dtm.timedelta(seconds=rng.randint(0, 400)),
+                rng.randint(1, 3),
+                rng.choice(["a", "b"]),
+                0.0,
+            )
+        )
+    gap = 30
+
+    def fold():
+        kept = []
+        by = {}
+        for eid, t, u, e, _ in sorted(
+            rows, key=lambda r: (r[2], r[3], r[1], r[0])
+        ):
+            ts = int(t.replace(tzinfo=dtm.timezone.utc).timestamp())
+            prev = by.get((u, e))
+            if prev is None or ts - prev > gap:
+                kept.append(eid)
+            by[(u, e)] = ts  # chain semantics: clock resets on EVERY event
+        return set(kept)
+
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r["event_id"] for r in throttle_events(ev, gap_seconds=gap).collect()
+    }
+    assert got == fold()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_rolling_features_match_python_quadratic(spark, seed):
+    """Trailing-window twin: brute-force O(n^2) python over random logs
+    reproduces counts and micros sums for both the global and the
+    bucketed-overlap plan."""
+    import datetime as dtm
+
+    from sparkplug_spark.operators import rolling_window_features
+
+    rng = random.Random(seed)
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (
+            eid,
+            base + dtm.timedelta(seconds=rng.randint(0, 500)),
+            1,
+            rng.choice(["a", "b"]),
+            round(rng.uniform(-5, 5), 3),
+        )
+        for eid in range(80)
+    ]
+    win = 60
+
+    def epoch(t):
+        return int(t.replace(tzinfo=dtm.timezone.utc).timestamp())
+
+    expected = {}
+    for eid, t, _, e, _v in rows:
+        ts = epoch(t)
+        n = 0
+        micros = 0
+        for _eid2, t2, _, e2, v2 in rows:
+            ts2 = epoch(t2)
+            if e2 == e and ts - win <= ts2 <= ts:
+                n += 1
+                micros += int(round(v2 * 1_000_000))
+        expected[eid] = (n, micros)
+
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    for kwargs in ({}, {"bucket_seconds": 120}):
+        got = {
+            r["event_id"]: (r["n_trailing"], r["value_micros_trailing"])
+            for r in rolling_window_features(
+                ev, window_seconds=win, **kwargs
+            ).collect()
+        }
+        assert got == expected, kwargs
