@@ -1603,6 +1603,35 @@ GROUP BY mi
 """
 
 
+#: one SQL string valid in both engines: per-customer correlated LATERAL
+#: aggregate (count + cents-exact max price) — the "for each row, run a
+#: subquery" shape; Catalyst decorrelates it into a join+agg.
+LATERAL_SQL = """
+SELECT c.c_custkey,
+       CAST(t.n AS BIGINT) AS n_orders,
+       t.top_price_cents AS top_price_cents
+FROM {customer} c,
+LATERAL (
+  SELECT count(*) AS n,
+         CAST(max(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS top_price_cents
+  FROM {orders} o WHERE o.o_custkey = c.c_custkey
+) AS t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def q_delegated_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delegated-surface probe: correlated LATERAL subquery (per-customer
+    aggregate over orders) — Catalyst decorrelates to a join; floor-cents
+    BIGINT keeps the max engine-exact."""
+    _read(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat_v")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        LATERAL_SQL.format(customer="cust_lat_v", orders="orders_lat_v")
+    )
+
+
 def q_delegated_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delegated-surface probe: WITH RECURSIVE (Spark 4.0+) generating a
     dense month spine over orders — recursive-CTE parity with the
@@ -3474,6 +3503,9 @@ def _extension_oracles() -> dict[str, str]:
             FROM documents
         """,
         "delegated_recursive": RECURSIVE_MONTHS_SQL.format(orders="orders"),
+        "delegated_lateral": LATERAL_SQL.format(
+            customer="customer", orders="orders"
+        ),
         "dense_series": """
             WITH c AS (
               SELECT event_type,
@@ -3682,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_series": q_dense_series,
         "throttle_events": q_throttle_events,
         "attribution_linear": q_attribution_linear,
+        "delegated_lateral": q_delegated_lateral,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
