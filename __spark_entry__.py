@@ -3492,7 +3492,7 @@ def _extension_oracles() -> dict[str, str]:
                    count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS block_weight,
                    string_agg(text, chr(10) || chr(10)
-                              ORDER BY h, doc_id) AS block_text
+                              ORDER BY h, doc_id::VARCHAR) AS block_text
             FROM c GROUP BY 1, 2
         """,
         "length_deciles": """

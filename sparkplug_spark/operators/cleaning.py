@@ -307,7 +307,15 @@ def pack_token_budget(
         raise ValueError("budget must be positive")
     if num_groups <= 0:
         raise ValueError("num_groups must be positive")
+    if order_hash_col is not None and order_hash_col in df.columns:
+        raise ValueError(
+            f"order_hash_col {order_hash_col!r} already exists in the input"
+        )
     hcol = order_hash_col or "__oh"
+    # internal scratch name must not clobber (then silently drop) a
+    # caller's column
+    while order_hash_col is None and hcol in df.columns:
+        hcol = "_" + hcol
     # no spread(): the window's shuffle on pack_group redistributes, and
     # the pre-shuffle work (one md5) doesn't justify a second exchange.
     # The hash is materialized as a column so pack_group, the window order,
@@ -1104,14 +1112,20 @@ def build_training_blocks(
     ``collect_list`` here is the rare SAFE use — its size is capped by
     construction, not by key popularity.  One shuffle on pack_group (from
     the packing window); the block aggregation reuses that partitioning."""
+    hcol = "__oh"
+    while hcol in df.columns:
+        hcol = "_" + hcol
     packed = pack_token_budget(
         df, budget, weight_col=weight_col, id_col=id_col,
-        num_groups=num_groups, order_hash_col="__oh",
+        num_groups=num_groups, order_hash_col=hcol,
     )
-    # reuse the packing's md5 order hash — no second hash pass per row
+    # reuse the packing's md5 order hash — no second hash pass per row.
+    # The id tie-break compares as STRING (a long cast would crash under
+    # ANSI mode for composite ids like "doc#copy"); the tie only matters
+    # on 60-bit md5 collisions, and the oracle orders the same way
     member = F.struct(
-        F.col("__oh").alias("h"),
-        F.col(id_col).cast("long").alias("i"),
+        F.col(hcol).alias("h"),
+        F.col(id_col).cast("string").alias("i"),
         F.col(text_col).alias("t"),
     )
     return (

@@ -165,7 +165,11 @@ def keyword_search(
     # persist only when we will also release it on return; release=False
     # keeps the fully lazy plan (composition/audit mode) — an unreleased
     # internal persist would leak a session-lifetime cache the caller has
-    # no handle to (same guard as snapshot_diff)
+    # no handle to (same guard as snapshot_diff).  Trade-off: lazy mode
+    # recomputes `matched` (incl. the corpus tokenize) once per consumer
+    # subtree — callers composing repeated searches should pass a stored,
+    # ideally term-bucketed `index=` instead, which skips tokenize
+    # entirely
     if release:
         matched = matched.persist()
 

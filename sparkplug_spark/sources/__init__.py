@@ -366,7 +366,12 @@ def compact_table(
     The swap is rename-based (tmp → old → live) and therefore NOT atomic
     for concurrent readers — that guarantee needs a table format
     (Delta/Iceberg); run compaction in a maintenance window.  Returns
-    {files_before, files_after, bytes}."""
+    {files_before, files_after, bytes}.
+
+    Hive-partitioned layouts (``col=value`` directories) are refused: a
+    flat rewrite would silently demote partition columns to data columns
+    and destroy pruning — point this at each partition directory instead
+    (their layouts are flat)."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     jvm = spark._jvm
@@ -384,6 +389,19 @@ def compact_table(
         return out
 
     before = data_files(jpath)
+    # qualified root (scheme included) so the relative slice lines up with
+    # listFiles' fully-qualified paths
+    root = fs.makeQualified(jpath).toString().rstrip("/")
+    partitioned = [
+        f for f, _ in before
+        if "=" in f[len(root):].rsplit("/", 1)[0]
+    ]
+    if partitioned:
+        raise ValueError(
+            "compact_table: hive-partitioned layout detected "
+            f"(e.g. {partitioned[0]!r}); compact each partition directory "
+            "individually to preserve the layout"
+        )
     total = sum(b for _, b in before)
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     df = read_table(spark, path, fmt)

@@ -583,3 +583,30 @@ class TestAttributionLinear:
             ev, "purchase", ("view", "click"), model="linear"
         ).collect()
         assert sum(r["credit_ppm"] for r in out) == 5_000_000
+
+
+class TestTrainingBlocksStringIds:
+    def test_composite_string_ids_under_ansi(self, spark):
+        docs = spark.createDataFrame(
+            [(f"doc#{i}", f"text {i}", 10) for i in range(12)],
+            "pack_id string, text string, n_tokens long",
+        )
+        blocks = build_training_blocks(
+            docs, budget=30, id_col="pack_id", num_groups=2, sep=" | "
+        )
+        rows = blocks.collect()  # materializes block_text (the ANSI cast path)
+        assert sum(r["n_docs"] for r in rows) == 12
+        assert all("text" in r["block_text"] for r in rows)
+
+    def test_existing_scratch_column_survives(self, spark):
+        from sparkplug_spark.operators import pack_token_budget
+
+        docs = spark.createDataFrame(
+            [(1, "t", 5, "keep")], "doc_id long, text string, n_tokens long, __oh string"
+        )
+        out = pack_token_budget(docs, budget=10)
+        assert out.filter("__oh = 'keep'").count() == 1
+        with pytest.raises(ValueError):
+            pack_token_budget(docs, budget=10, order_hash_col="__oh")
+        blocks = build_training_blocks(docs, budget=10)
+        assert blocks.count() == 1

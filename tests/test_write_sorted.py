@@ -5,6 +5,7 @@ import glob
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from sparkplug_spark.sources import write_sorted
 
@@ -179,3 +180,16 @@ class TestSchemaDrift:
              "old_type": "string", "new_type": None}
         ]
         assert schema_drift(old, old) == []
+
+    def test_refuses_partitioned_layout(self, spark, tmp_path):
+        from sparkplug_spark.sources import compact_table
+
+        path = str(tmp_path / "parted")
+        spark.range(0, 100).withColumn(
+            "dt", (F.col("id") % 2).cast("string")
+        ).write.partitionBy("dt").parquet(path)
+        with pytest.raises(ValueError, match="partitioned"):
+            compact_table(spark, path)
+        # each partition dir is flat -> compactable individually
+        stats = compact_table(spark, path + "/dt=0", target_file_bytes=1 << 30)
+        assert stats["files_after"] == 1
