@@ -1670,6 +1670,15 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_ntiles(docs, n=10, order_col="n_chars", group_col="lang")
 
 
+def q_rate_anomalies_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate anomalies with EMPTY windows in the baseline (outage-aware
+    tier): densified series + the same exact integer z-test."""
+    from sparkplug_spark.operators import rate_anomalies
+
+    ev = read_events(spark, sf_dir)
+    return rate_anomalies(ev, window_seconds=3600, k=2, include_empty=True)
+
+
 def q_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly series per type: native sequence() spine over
     each key's (min, max) bucket, zero-count buckets included."""
@@ -3506,6 +3515,35 @@ def _extension_oracles() -> dict[str, str]:
         "delegated_lateral": LATERAL_SQL.format(
             customer="customer", orders="orders"
         ),
+        "rate_anomalies_dense": """
+            WITH c0 AS (
+              SELECT event_type,
+                     ((((epoch_ns(ts) // 1000) // 1000000) // 3600) * 3600)::BIGINT
+                       AS window_start,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type,
+                     unnest(generate_series(min(window_start),
+                                            max(window_start), 3600))::BIGINT
+                       AS window_start
+              FROM c0 GROUP BY event_type
+            ), c AS (
+              SELECT s.event_type, s.window_start,
+                     coalesce(c0.n_events, 0)::BIGINT AS n_events
+              FROM s LEFT JOIN c0 USING (event_type, window_start)
+            ),
+            m AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(n_events)::BIGINT AS sm,
+                     sum(n_events * n_events)::BIGINT AS ssq
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, c.window_start, c.n_events,
+                   ((m.n * c.n_events - m.sm) * (m.n * c.n_events - m.sm)
+                    > 4 * (m.n * m.ssq - m.sm * m.sm)) AS is_anomaly
+            FROM c JOIN m USING (event_type)
+        """,
         "dense_series": """
             WITH c AS (
               SELECT event_type,
@@ -3715,6 +3753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "throttle_events": q_throttle_events,
         "attribution_linear": q_attribution_linear,
         "delegated_lateral": q_delegated_lateral,
+        "rate_anomalies_dense": q_rate_anomalies_dense,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -218,6 +218,7 @@ def rate_anomalies(
     time_col: str = "ts",
     window_seconds: int = 3600,
     k: int = 3,
+    include_empty: bool = False,
 ) -> DataFrame:
     """Tumbling-window event-rate outliers per type: (event_type,
     window_start, n_events, is_anomaly), flagging windows whose count is
@@ -230,8 +231,12 @@ def rate_anomalies(
         |c − s/n| > k·σ   ⇔   (n·c − s)² > k²·(n·ssq − s²)
 
     (both sides BIGINT — no float mean/stddev whose summation order could
-    flip a borderline flag).  Empty windows are absent from the input and
-    therefore from the baseline: the moments describe ACTIVE windows only.
+    flip a borderline flag).  By default empty windows are absent from the
+    input and therefore from the baseline: the moments describe ACTIVE
+    windows only — which biases the mean UP for bursty types.
+    ``include_empty=True`` densifies first (:func:`densify_time_series`),
+    so zero-count windows between a type's first and last event join the
+    baseline AND can be flagged themselves (outage detection).
 
     Plan shape: one map-side-combined aggregation reduces the raw log to
     the (type, window) count table — tiny even at 100 TB (types ×
@@ -241,15 +246,27 @@ def rate_anomalies(
         raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
-    wstart = (
-        F.floor(_epoch_s(df, time_col) / F.lit(window_seconds))
-        * F.lit(window_seconds)
-    ).cast("long")
-    counts = (
-        df.select(F.col(type_col).alias("event_type"), wstart.alias("window_start"))
-        .groupBy("event_type", "window_start")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    if include_empty:
+        counts = densify_time_series(
+            df, key_col=type_col, time_col=time_col,
+            bucket_seconds=window_seconds,
+        ).select(
+            F.col(type_col).alias("event_type"),
+            F.col("bucket_start").alias("window_start"),
+            "n_events",
+        )
+    else:
+        wstart = (
+            F.floor(_epoch_s(df, time_col) / F.lit(window_seconds))
+            * F.lit(window_seconds)
+        ).cast("long")
+        counts = (
+            df.select(
+                F.col(type_col).alias("event_type"), wstart.alias("window_start")
+            )
+            .groupBy("event_type", "window_start")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
     w = Window.partitionBy("event_type")
     n = F.count(F.lit(1)).over(w)
     s = F.sum("n_events").over(w)

@@ -233,8 +233,11 @@ class TestNTZTolerance:
         assert sessionize(ev).count() == 1
         assert retention_cohorts(ev).count() == 1
         assert rate_anomalies(ev).count() == 1
+        assert rate_anomalies(ev, include_empty=True).count() == 1
         assert user_activity_profile(ev).count() == 1
         assert attribution_counts(ev, "purchase", ("view",)).count() == 0
+        assert densify_time_series(ev).count() == 1
+        assert throttle_events(ev).count() == 1
 
 
 class TestKeywordSearch:
@@ -610,3 +613,38 @@ class TestTrainingBlocksStringIds:
             pack_token_budget(docs, budget=10, order_hash_col="__oh")
         blocks = build_training_blocks(docs, budget=10)
         assert blocks.count() == 1
+
+
+class TestRateAnomaliesDense:
+    def test_empty_windows_join_baseline_and_flag(self, spark):
+        # type "a": 10 events in window 0, then silence for 8 windows,
+        # then 10 again -- with empty windows in the baseline, the silent
+        # stretch drags the mean down and the bursts flag
+        rows = []
+        eid = 0
+        for s in list(range(10)) + [900 + i for i in range(10)]:
+            eid += 1
+            rows.append((eid, _ts(s), 1, "a", 0.0))
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        from sparkplug_spark.operators import rate_anomalies
+
+        dense = rate_anomalies(ev, window_seconds=100, k=1, include_empty=True)
+        rows_out = dense.collect()
+        base = min(r["window_start"] for r in rows_out)
+        got = {
+            (r["window_start"] - base) // 100: (r["n_events"], r["is_anomaly"])
+            for r in rows_out
+        }
+        assert sorted(got) == list(range(10))  # windows 0..9 all present
+        zero_windows = [v for v in got.values() if v[0] == 0]
+        assert len(zero_windows) == 8
+        assert got[2][0] == 0  # a silent window materialized
+        # the two 10-event bursts are > 1 sigma above the dense mean (2.0)
+        burst = [v for v in got.values() if v[0] == 10]
+        assert len(burst) == 2 and all(flag for _, flag in burst)
+
+    def test_sparse_mode_unchanged(self, spark):
+        ev = spark.createDataFrame([(1, _ts(0), 1, "a", 0.0)], EVENT_SCHEMA)
+        from sparkplug_spark.operators import rate_anomalies
+
+        assert rate_anomalies(ev).count() == 1
