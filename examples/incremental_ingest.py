@@ -87,6 +87,15 @@ def main() -> None:
     history = scd2_merge(history, dayn, ["doc_id"], ["text"], as_of=1)
     print("history rows:      ", history.count())
     print("open rows:         ", history.filter("valid_to is null").count())
+
+    # ---- maintenance: per-batch appends accumulate small files ---------
+    # (every micro-batch leaves part-files; compact the artifact stores on
+    # a maintenance cadence so listings/footers stay cheap)
+    from sparkplug_spark.sources import compact_table
+
+    content_digests(kept).write.mode("append").parquet(f"{store}/digests")
+    stats = compact_table(spark, f"{store}/digests")
+    print("digest store compacted:", stats)
     spark.stop()
 
 
