@@ -1550,6 +1550,26 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table of the event log: per
+    (src, dst) consecutive-event pair, count, row-stochastic probability
+    in exact integer ppm, and mean dwell micros (exact integer)."""
+    from sparkplug_spark.operators import event_transitions
+
+    ev = read_events(spark, sf_dir)
+    return event_transitions(ev)
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session journeys: 30-min-gap sessions rendered as the
+    '>'-joined sequence of their first 8 event types, counted across
+    sessions (support >= 3)."""
+    from sparkplug_spark.operators import session_paths
+
+    ev = read_events(spark, sf_dir)
+    return session_paths(ev, gap_seconds=1800, max_steps=8, min_sessions=3)
+
+
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram count table: top-200 full word bigrams with
     deterministic rank (count desc, gram asc), min count 2."""
@@ -3544,6 +3564,62 @@ def _extension_oracles() -> dict[str, str]:
                     > 4 * (m.n * m.ssq - m.sm * m.sm)) AS is_anomaly
             FROM c JOIN m USING (event_type)
         """,
+        "event_transitions": """
+            WITH ev AS (
+              SELECT user_id, event_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ), nxt AS (
+              SELECT event_type AS src_type,
+                     lead(event_type) OVER w AS dst_type,
+                     (lead(ts_s) OVER w - ts_s)::BIGINT AS gap
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+            ), agg AS (
+              SELECT src_type, dst_type,
+                     count(*)::BIGINT AS n_transitions,
+                     sum(gap)::BIGINT AS gap_sum
+              FROM nxt WHERE dst_type IS NOT NULL
+              GROUP BY src_type, dst_type
+            )
+            SELECT src_type, dst_type, n_transitions,
+                   (n_transitions * 1000000 //
+                    sum(n_transitions) OVER (PARTITION BY src_type))::BIGINT
+                     AS p_ppm,
+                   (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
+            FROM agg
+        """,
+        "session_paths": """
+            WITH ev AS (
+              SELECT user_id, event_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ), brk AS (
+              SELECT user_id, event_id, event_type, ts_s,
+                     CASE WHEN lag(ts_s) OVER w IS NULL
+                            OR ts_s - lag(ts_s) OVER w > 1800
+                          THEN 1 ELSE 0 END AS b
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+            ), sess AS (
+              SELECT user_id, event_id, event_type, ts_s,
+                     sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+              FROM brk
+            ), steps AS (
+              SELECT user_id, sid, event_type,
+                     row_number() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts_s, event_id) AS rn
+              FROM sess
+            ), p AS (
+              SELECT array_to_string(
+                       list(event_type ORDER BY rn), '>') AS path
+              FROM steps WHERE rn <= 8 GROUP BY user_id, sid
+            )
+            SELECT path, count(*)::BIGINT AS n_sessions
+            FROM p GROUP BY path HAVING count(*) >= 3
+        """,
         "dense_series": """
             WITH c AS (
               SELECT event_type,
@@ -3754,6 +3830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear": q_attribution_linear,
         "delegated_lateral": q_delegated_lateral,
         "rate_anomalies_dense": q_rate_anomalies_dense,
+        "event_transitions": q_event_transitions,
+        "session_paths": q_session_paths,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

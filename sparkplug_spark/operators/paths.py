@@ -1,0 +1,155 @@
+"""User-journey path analytics: Markov transition matrices and
+top session paths.
+
+:func:`event_transitions` builds the first-order Markov transition table
+of an event log — for every ordered pair of consecutive events of one
+user, count transitions, the per-source probability (exact integer ppm),
+and the mean dwell time between the two events.  :func:`session_paths`
+sessionizes the log (same gap contract as ``events.sessionize``) and
+counts the distinct journeys (ordered event-type sequences, truncated to
+the first ``max_steps`` steps) across sessions.
+
+Both operators are deliberately window-shaped rather than
+collect-list-shaped: per-user event streams are consumed by ``lag``/
+``row_number`` windows over the (user, time, id) total order, so a bot
+user with millions of events never materializes a million-element array
+on one executor.  Transition output is bounded by |event types|² and the
+path output by the ``min_sessions`` support floor, so both results stay
+driver-safe at any input scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .events import _epoch_s
+
+__all__ = ["event_transitions", "session_paths"]
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream.
+
+    For every user, events are totally ordered by (epoch second, event
+    id) — the id tiebreak makes ``lead`` deterministic across engines —
+    and every consecutive pair contributes one (src_type, dst_type)
+    transition.  Output, one row per observed pair:
+
+    - ``n_transitions`` BIGINT — pair count
+    - ``p_ppm`` BIGINT — ``n * 1_000_000 div (total transitions out of
+      src_type)``: the row-stochastic transition probability in exact
+      integer ppm (truncating div, engine-exact)
+    - ``avg_gap_us`` BIGINT — mean microseconds between the two events'
+      epoch seconds, as the exact truncating ``gap_sum * 1_000_000 div
+      n`` (integer math, engine-exact — a 6dp DOUBLE mean could tie at
+      the rounding digit for small-denominator rationals)
+
+    Plan: one hash shuffle on the user key feeds the lead window; the
+    pair aggregation is map-side combined; the per-source total is a
+    second window over the *aggregated* result (|types|² rows — tiny at
+    any scale, so its exchange is negligible)."""
+    ts_s = _epoch_s(df, time_col)
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        ts_s.alias("__ts_s"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("src_type"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts_s", "__id")
+    nxt = ev.select(
+        "src_type",
+        F.lead("src_type").over(w).alias("dst_type"),
+        (F.lead("__ts_s").over(w) - F.col("__ts_s")).alias("__gap"),
+    ).filter(F.col("dst_type").isNotNull())
+    agg = nxt.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("__gap").alias("__gap_sum"),
+    )
+    src_total = F.sum("n_transitions").over(Window.partitionBy("src_type"))
+    return agg.withColumn("__src_total", src_total).select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000 div __src_total")
+        .cast("long")
+        .alias("p_ppm"),
+        F.expr("__gap_sum * 1000000 div n_transitions")
+        .cast("long")
+        .alias("avg_gap_us"),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    max_steps: int = 8,
+    min_sessions: int = 2,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top session journeys: sessionize by inactivity gap (same
+    second-precision break rule as ``events.sessionize``), render each
+    session's first ``max_steps`` event types as a ``>``-joined path
+    string, and count sessions per path, keeping paths with at least
+    ``min_sessions`` support.
+
+    Output: (path VARCHAR, n_sessions BIGINT).
+
+    Determinism: events order by (epoch second, event id) — a total
+    order, so the step sequence and the session break structure are
+    engine-exact (ties at the same second diff to 0 and never break a
+    session; the id tiebreak fixes their relative path order).
+
+    Scale: the step filter (``rn <= max_steps``) runs BEFORE any
+    aggregation, so a runaway session contributes at most ``max_steps``
+    narrow rows to the path build; the support floor bounds the result.
+    Two window passes share the (user) / (user, session) key family and
+    the path count is a map-side-combined agg on the path string."""
+    if max_steps < 1:
+        raise ValueError("max_steps must be >= 1")
+    ts_s = _epoch_s(df, time_col)
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        ts_s.alias("__ts_s"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__t"),
+    )
+    wu = Window.partitionBy("__u").orderBy("__ts_s", "__id")
+    prev = F.lag("__ts_s").over(wu)
+    brk = F.when(prev.isNull() | ((F.col("__ts_s") - prev) > gap_seconds), 1).otherwise(0)
+    # session_idx via the default RANGE frame is tie-safe in sessionize's
+    # aggregate output, but the PER-ROW step index here needs the ROWS
+    # frame over the (ts, id) total order so each row sees one session id
+    sess = ev.withColumn("__brk", brk).withColumn(
+        "__sid",
+        F.sum("__brk").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("__u", "__sid").orderBy("__ts_s", "__id")
+    steps = sess.withColumn("__rn", F.row_number().over(ws)).filter(
+        F.col("__rn") <= max_steps
+    )
+    paths = steps.groupBy("__u", "__sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "__t"))),
+                lambda s: s["__t"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_sessions)
+    )

@@ -1,0 +1,103 @@
+"""Path analytics: Markov event transitions and top session paths."""
+
+import datetime as dt
+
+from sparkplug_spark.operators import event_transitions, session_paths
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+class TestEventTransitions:
+    def test_counts_ppm_and_gap(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(10), 1, "click", 0.0),
+            (3, _ts(40), 1, "view", 0.0),
+            (4, _ts(41), 1, "click", 0.0),
+            (5, _ts(100), 2, "view", 0.0),
+            (6, _ts(103), 2, "purchase", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            (r["src_type"], r["dst_type"]): (
+                r["n_transitions"],
+                r["p_ppm"],
+                r["avg_gap_us"],
+            )
+            for r in event_transitions(ev).collect()
+        }
+        # view -> click twice (gaps 10, 1), view -> purchase once (gap 3)
+        assert out[("view", "click")] == (2, 666666, 5_500_000)
+        assert out[("view", "purchase")] == (1, 333333, 3_000_000)
+        # click -> view once out of one click transition
+        assert out[("click", "view")] == (1, 1_000_000, 30_000_000)
+        assert len(out) == 3
+
+    def test_users_never_cross(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(1), 2, "click", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        assert event_transitions(ev).count() == 0
+
+    def test_same_second_orders_by_id(self, spark):
+        rows = [
+            (5, _ts(0), 1, "b", 0.0),
+            (2, _ts(0), 1, "a", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        [r] = event_transitions(ev).collect()
+        assert (r["src_type"], r["dst_type"]) == ("a", "b")
+        assert r["avg_gap_us"] == 0
+
+
+class TestSessionPaths:
+    def test_gap_splits_sessions(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(10), 1, "click", 0.0),
+            (3, _ts(5000), 1, "view", 0.0),
+            (4, _ts(5010), 1, "click", 0.0),
+            (5, _ts(0), 2, "view", 0.0),
+            (6, _ts(20), 2, "click", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            r["path"]: r["n_sessions"]
+            for r in session_paths(ev, min_sessions=1).collect()
+        }
+        # user 1 has two view>click sessions (30-min gap), user 2 one
+        assert out == {"view>click": 3}
+
+    def test_max_steps_truncates(self, spark):
+        rows = [
+            (i, _ts(i), 1, t, 0.0)
+            for i, t in enumerate(["a", "b", "c", "d"])
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = session_paths(ev, max_steps=2, min_sessions=1).collect()
+        assert [(r["path"], r["n_sessions"]) for r in out] == [("a>b", 1)]
+
+    def test_support_floor(self, spark):
+        rows = [
+            (1, _ts(0), 1, "view", 0.0),
+            (2, _ts(0), 2, "view", 0.0),
+            (3, _ts(0), 3, "click", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = session_paths(ev, min_sessions=2).collect()
+        assert [(r["path"], r["n_sessions"]) for r in out] == [("view", 2)]
+
+    def test_rejects_bad_max_steps(self, spark):
+        import pytest as _pytest
+
+        ev = spark.createDataFrame([], EVENT_SCHEMA)
+        with _pytest.raises(ValueError):
+            session_paths(ev, max_steps=0)
