@@ -1570,6 +1570,34 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_paths(ev, gap_seconds=1800, max_steps=8, min_sessions=3)
 
 
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (basket pairs as
+    undirected edges): which parts sit centrally in co-purchase
+    structure.  Float ranks are partition-order-dependent in the last
+    ulps -> rows-only; semantics pinned by the NumPy twin in
+    tests/test_graphs_scoring.py."""
+    from sparkplug_spark.operators import basket_pairs, pagerank
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    edges = pairs.selectExpr("item_a as src", "item_b as dst").unionAll(
+        pairs.selectExpr("item_b as src", "item_a as dst")
+    )
+    return pagerank(edges, iterations=8)
+
+
+def q_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (exact integer ppm ratio) — the
+    cheap redundancy/quality signal; no deflate in DuckDB -> rows-only;
+    exact-value twin vs direct zlib in tests/test_graphs_scoring.py."""
+    from sparkplug_spark.operators import compression_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return compression_signals(docs).select(
+        "doc_id", "n_bytes", "n_bytes_zlib", "compress_ppm"
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence over lineitem: part pairs bought
     together in >= 2 orders, with association lift in exact integer
@@ -3903,6 +3931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
         "simsearch_topk_pq": q_simsearch_topk_pq,
         "cluster_balance": q_cluster_balance,
+        "pagerank_parts": q_pagerank_parts,
+        "compress_quality": q_compress_quality,
     }
 
 

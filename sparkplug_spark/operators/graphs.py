@@ -1,0 +1,122 @@
+"""Graph centrality: distributed PageRank by power iteration.
+
+Complements the star-contraction connected components in ``groups.py``:
+CC answers "which items form one cluster", PageRank answers "which nodes
+matter most inside it" — the standard importance prior for co-purchase
+recommendation graphs, citation/link corpora, and crawl frontier
+prioritization (Page et al., 1999; the DataFrame formulation follows the
+classic iterative join-aggregate shape every Spark-native graph library
+uses).
+
+Scale plan: the edge list (annotated once with 1/out-degree weights) is
+checkpointed and hash-partitioned on ``src`` up front, so every
+iteration's rank join reshuffles only the node-sized rank table against a
+STABLE edge partitioning; contributions aggregate map-side before the one
+``dst`` shuffle per iteration.  Dangling-node mass is folded in through a
+1-row broadcast (never a driver collect), and each iteration's rank
+checkpoint frees the previous one (``checkpoint_tracked`` /
+``unpersist_ids`` — the same lineage-truncation-plus-release discipline
+as the CC loops, without which 20 iterations of lazy lineage would both
+blow up the plan and leak 20 generations of shuffle blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..caching import checkpoint_tracked, unpersist_ids
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """PageRank over a directed edge list; returns (node, rank) with
+    ranks summing to 1 over the graph's nodes (union of endpoints).
+
+    Semantics: the classic damped power iteration —
+
+        rank(v) = (1-d)/N + d · (Σ_{u→v} rank(u)/deg(u)  +  dangling/N)
+
+    where ``dangling`` is the total rank mass sitting on nodes without
+    out-edges, redistributed uniformly (mass conservation: ranks sum to 1
+    after every iteration, up to float associativity).  Duplicate edges
+    are collapsed; self-loops count like any edge.
+
+    Rank values are IEEE doubles whose partition-order summation makes
+    the last ulps run-dependent — this operator is therefore rows-only
+    territory for cross-engine checks; tests pin small graphs against a
+    dense NumPy power-iteration twin at 1e-9."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # weight each edge once; partition by src so every iteration's rank
+    # join lands on a stable edge partitioning
+    weighted = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
+        .repartition("src")
+    )
+    weighted, w_ids = checkpoint_tracked(weighted, reliable=reliable_checkpoint)
+    n_df = nodes.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    base = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("__n")).alias("rank"), "__n")
+    )
+    ranks, prev_ids = checkpoint_tracked(base, reliable=reliable_checkpoint)
+    d = float(damping)
+    for _ in range(iterations):
+        contribs = (
+            weighted.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
+        )
+        # rank mass on dangling nodes (no out-edges): 1 - mass that flowed
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))).alias(
+                "__dangling"
+            )
+        )
+        stepped = (
+            ranks.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    (1.0 - d) / F.col("__n")
+                    + d
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dangling") / F.col("__n")
+                    )
+                ).alias("rank"),
+                "__n",
+            )
+        )
+        ranks, new_ids = checkpoint_tracked(
+            stepped, reliable=reliable_checkpoint
+        )
+        unpersist_ids(spark, prev_ids)
+        prev_ids = new_ids
+    unpersist_ids(spark, w_ids)
+    return ranks.select("node", "rank")

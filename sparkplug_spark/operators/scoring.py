@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 
 from ..partitioning import spread
 
-__all__ = ["score_with_model", "fake_quality_scorer"]
+__all__ = ["score_with_model", "fake_quality_scorer", "compression_signals"]
 
 
 def fake_quality_scorer(texts: pd.Series) -> pd.Series:
@@ -81,3 +81,51 @@ def score_with_model(
                 yield chunk.assign(**{score_col: scores.to_numpy()})
 
     return spread(df).mapInPandas(_score, schema=out_schema)
+
+
+def compression_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Append zlib-compressibility columns — the classic cheap quality
+    signal for pretraining corpora (boilerplate, repeated spans and
+    machine-generated filler compress far better than natural prose;
+    near-incompressible text flags binary junk or ciphertext):
+
+    - ``n_bytes`` BIGINT — UTF-8 byte length
+    - ``n_bytes_zlib`` BIGINT — ``zlib.compress(..., level)`` byte length
+    - ``compress_ppm`` BIGINT — ``n_bytes_zlib * 1_000_000 div
+      max(n_bytes, 1)``: compressed/raw ratio in exact integer ppm
+      (lower = more redundant)
+
+    The ratio is deterministic for a fixed zlib version/level (tests pin
+    it against direct ``zlib`` calls), but NOT portable across engines —
+    DuckDB exposes no deflate — so queries built on it are rows-only.
+
+    Plan: one Arrow-vectorized pandas UDF (CPU-bound; ``spread`` first so
+    single-file test inputs use every core); everything downstream of the
+    two byte counts is JVM-side integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("n_bytes long, n_bytes_zlib long")
+    def _z(texts: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        raw = [(t or "").encode("utf-8") for t in texts]
+        return pd.DataFrame(
+            {
+                "n_bytes": [len(b) for b in raw],
+                "n_bytes_zlib": [len(zlib.compress(b, level)) for b in raw],
+            }
+        )
+
+    with_sig = spread(df).withColumn("__sig", _z(F.col(text_col)))
+    return with_sig.select(
+        *df.columns,
+        F.col("__sig.n_bytes").alias("n_bytes"),
+        F.col("__sig.n_bytes_zlib").alias("n_bytes_zlib"),
+        F.expr("__sig.n_bytes_zlib * 1000000 div greatest(__sig.n_bytes, 1)")
+        .cast("long")
+        .alias("compress_ppm"),
+    )

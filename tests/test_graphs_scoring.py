@@ -1,0 +1,104 @@
+"""PageRank power iteration and zlib compressibility signals."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from sparkplug_spark.operators import compression_signals, pagerank
+
+
+def _numpy_pagerank(edges, damping=0.85, iterations=10):
+    """Dense power-iteration twin with uniform dangling redistribution."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = {}
+    eset = sorted(set(edges))
+    for u, _ in eset:
+        deg[u] = deg.get(u, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.zeros(n)
+        for u, v in eset:
+            nxt[idx[v]] += r[idx[u]] / deg[u]
+        dangling = 1.0 - nxt.sum()
+        r = (1 - damping) / n + damping * (nxt + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+class TestPageRank:
+    def test_two_node_cycle_is_uniform(self, spark):
+        out = _run(spark, [(1, 2), (2, 1)])
+        assert out[1] == pytest.approx(0.5, abs=1e-12)
+        assert out[2] == pytest.approx(0.5, abs=1e-12)
+
+    def test_matches_numpy_twin_with_dangling(self, spark):
+        edges = [(1, 2), (1, 3), (2, 3), (3, 4), (5, 3), (4, 5), (6, 1)]
+        # node 6 has no in-links; chain includes a cycle and fan-in
+        out = _run(spark, edges, iterations=12)
+        want = _numpy_pagerank(edges, iterations=12)
+        assert set(out) == set(want)
+        for n in want:
+            assert out[n] == pytest.approx(want[n], abs=1e-9)
+
+    def test_mass_conserved(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4)]  # 4 is dangling
+        out = _run(spark, edges, iterations=7)
+        assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_duplicate_edges_collapse(self, spark):
+        out_dup = _run(spark, [(1, 2), (1, 2), (2, 1)])
+        out = _run(spark, [(1, 2), (2, 1)])
+        for n in out:
+            assert out_dup[n] == pytest.approx(out[n], abs=1e-12)
+
+    def test_authority_ranks_highest(self, spark):
+        # star: everyone links to 1
+        out = _run(spark, [(2, 1), (3, 1), (4, 1)])
+        assert out[1] == max(out.values())
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            pagerank(df, damping=1.0)
+        with pytest.raises(ValueError):
+            pagerank(df, iterations=0)
+
+
+class TestCompressionSignals:
+    def test_matches_direct_zlib(self, spark):
+        texts = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+            (3, ""),
+            (4, None),
+            (5, "納豆と味噌汁"),  # multi-byte utf-8
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in compression_signals(df).collect()}
+        for doc_id, t in texts:
+            raw = (t or "").encode("utf-8")
+            z = len(zlib.compress(raw, 6))
+            r = out[doc_id]
+            assert r["n_bytes"] == len(raw)
+            assert r["n_bytes_zlib"] == z
+            assert r["compress_ppm"] == z * 1_000_000 // max(len(raw), 1)
+
+    def test_redundant_text_compresses_better(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam " * 200), (2, "x7Qz9 kLm3p Wv8Rt b2Nc4 jH6fY " * 7)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["compress_ppm"] for r in compression_signals(df).collect()}
+        assert out[1] < out[2]
+
+    def test_keeps_input_columns(self, spark):
+        df = spark.createDataFrame([(1, "abc", "web")], "doc_id long, text string, source string")
+        row = compression_signals(df).collect()[0]
+        assert row["source"] == "web"
