@@ -1570,6 +1570,41 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_paths(ev, gap_seconds=1800, max_steps=8, min_sessions=3)
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout over orders (order priority as the arm, total price as
+    the metric): per-arm exact integer sufficient statistics + mean diff
+    vs the urgent arm."""
+    from sparkplug_spark.operators import ab_test_report
+
+    orders = _read(spark, sf_dir, "orders")
+    return ab_test_report(
+        orders,
+        variant_col="o_orderpriority",
+        metric_col="o_totalprice",
+        control="1-URGENT",
+        scale=1,
+    )
+
+
+def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup: per-(event_type, day) sketches merged
+    up to per-type distinct users WITHOUT rescanning the raw log.
+    Estimates are DataSketches-specific -> rows-only; the error gate vs
+    exact counts is tests/test_sketches_experiments.py."""
+    from sparkplug_spark.operators import (
+        build_distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = build_distinct_sketches(
+        ev, ["event_type", "day"], "user_id", lg_k=14
+    )
+    return rollup_distinct_sketches(daily, ["event_type"])
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (basket pairs as
     undirected edges): which parts sit centrally in co-purchase
@@ -3642,6 +3677,27 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "ab_test": """
+            WITH per AS (
+              SELECT o_orderpriority AS variant,
+                     count(*)::BIGINT AS n,
+                     sum((o_totalprice::DECIMAL(28,6) * 1000000)::BIGINT)::BIGINT
+                       AS sum_micros,
+                     sum(floor(o_totalprice::DECIMAL(28,6))::BIGINT
+                         * floor(o_totalprice::DECIMAL(28,6))::BIGINT)::BIGINT
+                       AS ssq_scaled
+              FROM orders GROUP BY 1
+            ), m AS (
+              SELECT variant, n, sum_micros,
+                     (sum_micros // n)::BIGINT AS mean_micros, ssq_scaled
+              FROM per
+            )
+            SELECT variant, n, sum_micros, mean_micros, ssq_scaled,
+                   (mean_micros - (SELECT mean_micros FROM m
+                                   WHERE variant = '1-URGENT'))::BIGINT
+                     AS diff_vs_control_micros
+            FROM m
+        """,
         "basket_pairs": """
             WITH bi AS (
               SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
@@ -3922,6 +3978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": q_session_paths,
         "basket_pairs": q_basket_pairs,
         "blocked_link": q_blocked_link,
+        "ab_test": q_ab_test,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -3933,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balance": q_cluster_balance,
         "pagerank_parts": q_pagerank_parts,
         "compress_quality": q_compress_quality,
+        "distinct_rollup": q_distinct_rollup,
     }
 
 
