@@ -393,6 +393,48 @@ def q_delegated_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_delegated_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table star join (region→nation→customer/supplier
+    over the orders⋈lineitem fact) with local-supplier restriction.  All
+    four dimension sides broadcast; the only shuffle joins the two fact
+    tables on the order key with the date filter pushed to the scan."""
+    dec = "decimal(28,6)"
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp'1998-01-01 00:00:00'"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    out = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast(dec)
+                    * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out
+
+
 def q_delegated_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style: tight filter + single aggregate."""
     li = _read(spark, sf_dir, "lineitem")
@@ -3677,6 +3719,24 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "delegated_star": """
+            SELECT n.n_name,
+                   sum((l.l_extendedprice::DECIMAL(28,6)
+                        * (1::DECIMAL(28,6) - l.l_discount::DECIMAL(28,6))
+                       )::DECIMAL(28,6))::DOUBLE AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n.n_name
+        """,
         "ab_test": """
             WITH per AS (
               SELECT o_orderpriority AS variant,
@@ -3979,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "blocked_link": q_blocked_link,
         "ab_test": q_ab_test,
+        "delegated_star": q_delegated_star,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

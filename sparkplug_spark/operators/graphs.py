@@ -53,7 +53,14 @@ def pagerank(
     Rank values are IEEE doubles whose partition-order summation makes
     the last ulps run-dependent — this operator is therefore rows-only
     territory for cross-engine checks; tests pin small graphs against a
-    dense NumPy power-iteration twin at 1e-9."""
+    dense NumPy power-iteration twin at 1e-9.
+
+    Every iteration checkpoints (not every Nth): the dangling-mass scalar
+    is an aggregate OVER the iteration's own contributions, so a lazily
+    chained iteration embeds the previous subtree twice (once under the
+    broadcast agg, once under the join) — k lazy steps cost 2^k subtree
+    evaluations, measurably slower by k=3.  One eager action per
+    iteration keeps the work linear."""
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if iterations < 1:

@@ -320,12 +320,21 @@ def blocked_link(
     out = (
         left.join(right, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        # length pre-filter: |len(a)-len(b)| > d makes edit distance > d,
+        # so the O(len²) levenshtein DP never runs on hopeless pairs
+        .filter(
+            F.abs(F.length("__na") - F.length("__nb")) <= max_distance
+        )
+        # bounded levenshtein (threshold arg): the DP early-exits once a
+        # row of the band exceeds d and returns -1 — O(d·len) not O(len²)
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("__na", "__nb").cast("long").alias("distance"),
+            F.levenshtein(F.col("__na"), F.col("__nb"), int(max_distance))
+            .cast("long")
+            .alias("distance"),
         )
-        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") >= 0)
     )
     # linked pairs are orders smaller than the blocked candidate set
     return materialize_release(out, base, release=release)
