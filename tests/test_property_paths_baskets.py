@@ -1,0 +1,165 @@
+"""Randomized twins for the path/basket/linkage batch: each Spark result
+is replayed against a direct pure-Python model on the same seeded rows.
+Seeded RNG (not hypothesis) — each case is one Spark job over a few
+hundred rows."""
+
+import datetime as dt
+import random
+from collections import Counter, defaultdict
+
+import pytest
+
+from sparkplug_spark.operators import (
+    basket_pairs,
+    blocked_link,
+    event_transitions,
+    session_paths,
+)
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _events(rng, n_users=12, n_events=250, max_gap=4000):
+    rows = []
+    t0 = dt.datetime(2024, 3, 1)
+    clocks = {u: 0 for u in range(n_users)}
+    for i in range(n_events):
+        u = rng.randrange(n_users)
+        clocks[u] += rng.randrange(max_gap)
+        rows.append(
+            (i, t0 + dt.timedelta(seconds=clocks[u]), u,
+             rng.choice("abcde"), 0.0)
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [2, 19])
+def test_event_transitions_twin(spark, seed):
+    rng = random.Random(seed)
+    rows = _events(rng)
+    got = {
+        (r["src_type"], r["dst_type"]): (
+            r["n_transitions"], r["p_ppm"], r["avg_gap_us"]
+        )
+        for r in event_transitions(
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    # pure-python model over the (epoch_s, id) total order
+    per_user = defaultdict(list)
+    for i, ts, u, t, _ in rows:
+        per_user[u].append((int(ts.timestamp()), i, t))
+    counts, gaps = Counter(), Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (s1, _, t1), (s2, _, t2) in zip(seq, seq[1:]):
+            counts[(t1, t2)] += 1
+            gaps[(t1, t2)] += s2 - s1
+    src_tot = Counter()
+    for (s, _), n in counts.items():
+        src_tot[s] += n
+    want = {
+        k: (n, n * 1_000_000 // src_tot[k[0]], gaps[k] * 1_000_000 // n)
+        for k, n in counts.items()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_session_paths_twin(spark, seed):
+    rng = random.Random(seed)
+    rows = _events(rng, max_gap=3000)
+    gap, max_steps, min_sessions = 1800, 3, 1
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(
+            spark.createDataFrame(rows, EVENT_SCHEMA),
+            gap_seconds=gap, max_steps=max_steps, min_sessions=min_sessions,
+        ).collect()
+    }
+    per_user = defaultdict(list)
+    for i, ts, u, t, _ in rows:
+        per_user[u].append((int(ts.timestamp()), i, t))
+    paths = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        sessions, cur, prev = [], [], None
+        for s, _, t in seq:
+            if prev is None or s - prev > gap:
+                cur = []
+                sessions.append(cur)
+            cur.append(t)
+            prev = s
+        for sess in sessions:
+            paths[">".join(sess[:max_steps])] += 1
+    want = {p: n for p, n in paths.items() if n >= min_sessions}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [13, 41])
+def test_basket_pairs_twin(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(60), rng.randrange(25)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_baskets"], r["lift_ppm"])
+        for r in basket_pairs(df, "b", "i", min_count=1).collect()
+    }
+    baskets = defaultdict(set)
+    for b, i in rows:
+        baskets[b].add(i)
+    n_total = len(baskets)
+    item_n = Counter(i for s in baskets.values() for i in s)
+    pair_n = Counter()
+    for s in baskets.values():
+        items = sorted(s)
+        for x in range(len(items)):
+            for y in range(x + 1, len(items)):
+                pair_n[(items[x], items[y])] += 1
+    want = {
+        p: (n, n * n_total * 1_000_000 // (item_n[p[0]] * item_n[p[1]]))
+        for p, n in pair_n.items()
+    }
+    assert got == want
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("seed", [8, 27])
+def test_blocked_link_twin(spark, seed):
+    rng = random.Random(seed)
+    alphabet = "abcd"
+    rows = [
+        (
+            i,
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 7))),
+            rng.choice("xy"),
+        )
+        for i in range(120)
+    ]
+    d = 2
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in blocked_link(df, "id", "name", ["blk"], max_distance=d).collect()
+    }
+    want = {}
+    for ia, na, ba in rows:
+        for ib, nb, bb in rows:
+            if ia < ib and ba == bb:
+                dist = _lev(na, nb)
+                if dist <= d:
+                    want[(ia, ib)] = dist
+    assert got == want
