@@ -1592,6 +1592,18 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeout funnel: view → click → purchase where each step must land
+    within 24h of SOME valid previous-step event (validity chains;
+    running-max window plan, one user-key exchange)."""
+    from sparkplug_spark.operators import funnel_counts
+
+    events = read_events(spark, sf_dir)
+    return funnel_counts(
+        events, ["view", "click", "purchase"], within_seconds=86400
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition table of the event log: per
     (src, dst) consecutive-event pair, count, row-stochastic probability
@@ -3719,6 +3731,30 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "funnel_windowed": """
+            WITH ev AS (
+              SELECT user_id AS u, event_type AS e,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS t
+              FROM events
+            ),
+            v1 AS (SELECT u, t FROM ev WHERE e = 'view'),
+            v2 AS (
+              SELECT c.u, c.t FROM ev c WHERE c.e = 'click' AND EXISTS (
+                SELECT 1 FROM v1 p WHERE p.u = c.u
+                 AND p.t < c.t AND p.t >= c.t - 86400)
+            ),
+            v3 AS (
+              SELECT c.u, c.t FROM ev c WHERE c.e = 'purchase' AND EXISTS (
+                SELECT 1 FROM v2 p WHERE p.u = c.u
+                 AND p.t < c.t AND p.t >= c.t - 86400)
+            )
+            SELECT 'view' AS step, 1::INTEGER AS step_idx,
+                   count(DISTINCT u)::BIGINT AS n_users FROM v1
+            UNION ALL
+            SELECT 'click', 2::INTEGER, count(DISTINCT u)::BIGINT FROM v2
+            UNION ALL
+            SELECT 'purchase', 3::INTEGER, count(DISTINCT u)::BIGINT FROM v3
+        """,
         "delegated_star": """
             SELECT n.n_name,
                    sum((l.l_extendedprice::DECIMAL(28,6)
@@ -4040,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_link": q_blocked_link,
         "ab_test": q_ab_test,
         "delegated_star": q_delegated_star,
+        "funnel_windowed": q_funnel_windowed,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

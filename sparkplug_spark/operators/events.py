@@ -90,6 +90,7 @@ def funnel_counts(
     user_col: str = "user_id",
     time_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
     release: bool = True,
 ) -> DataFrame:
     """Ordered-funnel reach counts: for each step k, the number of users
@@ -114,10 +115,27 @@ def funnel_counts(
     crosses the final single-partition boundary.  Returns (step,
     step_idx, n_users).
 
+    ``within_seconds`` switches to the TIMEOUT funnel: step k counts only
+    when performed within ``within_seconds`` of SOME valid step-(k-1)
+    event (validity chains recursively down to step 1).  The first-reach
+    frontier is wrong here — a user whose earliest step-1 misses the
+    window but whose later step-1 fits must still convert — so each pass
+    instead carries the RUNNING MAX time of the previous step's valid
+    events over the frame ``RANGE (unbounded, -1]`` (strictly-earlier
+    seconds, so same-second events never chain, matching the strict
+    ordering of the unwindowed mode), and validity is ``m >= t - w``.
+    Same single user-key exchange; only the window expressions differ.
+
     ``release`` is accepted for API compatibility; the one-pass plan
     persists nothing, so there is nothing to release."""
     if not steps:
         raise ValueError("steps must be non-empty")
+    if within_seconds is not None and within_seconds < 1:
+        raise ValueError("within_seconds must be >= 1")
+    if within_seconds is not None:
+        return _windowed_funnel(
+            df, steps, user_col, time_col, type_col, int(within_seconds)
+        )
     w = Window.partitionBy("u").orderBy("t")  # default RANGE frame: peers included
     # no spread(): the window's hash shuffle on the user key already
     # redistributes, and the pre-shuffle projection is trivial
@@ -142,8 +160,15 @@ def funnel_counts(
         )
         prev_reach = f"__r{i}"
         elig_cols.append(f"__e{i}")
-    # per-user reached-step flags: same key as the window partitioning —
-    # Catalyst reuses the exchange, this aggregation adds no shuffle
+    return _funnel_totals(cur, elig_cols, steps)
+
+
+def _funnel_totals(
+    cur: DataFrame, elig_cols: Sequence[str], steps: Sequence[str]
+) -> DataFrame:
+    """Shared funnel tail: per-user reached-step flags → per-step user
+    counts → (step, step_idx, n_users) unpivot.  The groupBy key equals
+    the window partitioning upstream, so Catalyst reuses the exchange."""
     per_user = cur.groupBy("u").agg(
         *[
             F.max(F.col(c).cast("int")).alias(f"s{i}")
@@ -172,6 +197,43 @@ def funnel_counts(
         )
     ).alias("r")
     return totals.select(rows).select("r.step", "r.step_idx", "r.n_users")
+
+
+def _windowed_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    within_seconds: int,
+) -> DataFrame:
+    """Timeout-funnel body (see :func:`funnel_counts`): validity chains
+    through a running max of the previous step's valid-event SECONDS over
+    ``RANGE (unbounded, -1]`` — strictly-earlier seconds only — so step k
+    is valid iff that max is within ``within_seconds``.  One user-key
+    exchange feeds every pass, exactly like the unwindowed plan."""
+    ts_s = _epoch_s(df, time_col)
+    cur = df.select(
+        F.col(user_col).alias("u"),
+        ts_s.alias("t"),
+        F.col(type_col).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("u")
+        .orderBy("t")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    elig_cols: list[str] = []
+    prev_valid = None
+    for i, step in enumerate(steps, start=1):
+        elig = F.col("e") == step
+        if prev_valid is not None:
+            m = F.max(F.when(F.col(prev_valid), F.col("t"))).over(w_prev)
+            elig = elig & m.isNotNull() & (m >= F.col("t") - within_seconds)
+        cur = cur.withColumn(f"__e{i}", elig)
+        prev_valid = f"__e{i}"
+        elig_cols.append(f"__e{i}")
+    return _funnel_totals(cur, elig_cols, steps)
 
 
 def retention_cohorts(

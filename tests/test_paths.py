@@ -101,3 +101,59 @@ class TestSessionPaths:
         ev = spark.createDataFrame([], EVENT_SCHEMA)
         with _pytest.raises(ValueError):
             session_paths(ev, max_steps=0)
+
+
+class TestWindowedFunnel:
+    def _run(self, spark, rows, w):
+        from sparkplug_spark.operators import funnel_counts
+
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = funnel_counts(
+            ev, ["a", "b", "c"], within_seconds=w
+        ).collect()
+        return {r["step"]: r["n_users"] for r in out}
+
+    def test_later_first_step_still_converts(self, spark):
+        # earliest 'a' (t=0) misses the window for b@110, but a@100 fits:
+        # the greedy first-reach frontier would miss this user
+        rows = [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(100), 1, "a", 0.0),
+            (3, _ts(110), 1, "b", 0.0),
+        ]
+        assert self._run(spark, rows, w=50) == {"a": 1, "b": 1, "c": 0}
+
+    def test_window_expiry_blocks_step(self, spark):
+        rows = [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(100), 1, "b", 0.0),
+        ]
+        assert self._run(spark, rows, w=50) == {"a": 1, "b": 0, "c": 0}
+        assert self._run(spark, rows, w=100) == {"a": 1, "b": 1, "c": 0}
+
+    def test_validity_chains_not_just_presence(self, spark):
+        # b@200 is NOT valid (a@0 out of window), so c@210 must not count
+        # even though it is within window of the (invalid) b
+        rows = [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(200), 1, "b", 0.0),
+            (3, _ts(210), 1, "c", 0.0),
+        ]
+        assert self._run(spark, rows, w=50) == {"a": 1, "b": 0, "c": 0}
+
+    def test_same_second_never_chains(self, spark):
+        rows = [
+            (1, _ts(5), 1, "a", 0.0),
+            (2, _ts(5), 1, "b", 0.0),
+            (3, _ts(6), 2, "a", 0.0),
+            (4, _ts(7), 2, "b", 0.0),
+        ]
+        assert self._run(spark, rows, w=10) == {"a": 2, "b": 1, "c": 0}
+
+    def test_rejects_bad_window(self, spark):
+        import pytest as _pytest
+        from sparkplug_spark.operators import funnel_counts
+
+        ev = spark.createDataFrame([], EVENT_SCHEMA)
+        with _pytest.raises(ValueError):
+            funnel_counts(ev, ["a"], within_seconds=0)
