@@ -1659,6 +1659,20 @@ def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_distinct_sketches(daily, ["event_type"])
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: cluster
+    with the bounded-sample spherical-kmeans quantizer, then greedily
+    drop near-identical-meaning vectors (cosine >= 0.93) within each
+    cluster. K-means-seeded -> rows-only; greedy-contract twin in
+    tests/test_semantic_dedup.py.  Threshold 0.45 sits in the synthetic
+    table's near-dup band (same corpus contract as emb_similar_pairs'
+    0.4): production prose corpora use ~0.93-0.97."""
+    from sparkplug_spark.operators import semantic_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, num_clusters=16)
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (basket pairs as
     undirected edges): which parts sit centrally in co-purchase
@@ -4089,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_parts": q_pagerank_parts,
         "compress_quality": q_compress_quality,
         "distinct_rollup": q_distinct_rollup,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

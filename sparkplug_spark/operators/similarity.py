@@ -39,6 +39,7 @@ __all__ = [
     "blocked_cosine_pairs",
     "embedding_norms",
     "cluster_profile",
+    "semantic_dedup",
 ]
 
 
@@ -985,4 +986,96 @@ def cluster_profile(
             .alias("mean_sim_ppm"),
         )
         .orderBy("cluster_id")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_points_per_centroid: int = 128,
+    train_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): assign
+    every embedding to a spherical k-means cluster (the same bounded-
+    sample driver-side quantizer the IVF tiers use), then WITHIN each
+    cluster greedily drop vectors whose cosine to an already-kept vector
+    is ``>= threshold``.  Near-duplicate *meaning* — paraphrases, template
+    rewrites — that exact/MinHash text dedup can't see.
+
+    Keep rule (deterministic): cluster members are visited in ascending
+    ``id_col`` order; a member is kept iff its cosine against every
+    EARLIER KEPT member stays below ``threshold`` (greedy prefix rule —
+    the canonical maximal-independent-set order used by text-side
+    ``dedup_exact``'s keep-smallest-id contract).
+
+    Output: (id, cluster INT, kept BOOLEAN) — the full decision table, so
+    callers can either ``filter(kept)`` or audit drop rates per cluster.
+
+    Scale: clustering makes the O(n²) similarity test O(Σ n_c²); pick
+    ``num_clusters ≈ corpus/10⁴`` so clusters stay ~10⁴ rows.  Per-cluster
+    work runs in ``applyInPandas`` as incremental numpy GEMV against the
+    kept prefix (O(n_c · kept · dim) flops, vectorized); only (id, vector)
+    pairs shuffle, once, on the cluster key.  Cross-cluster near-dups are
+    missed by construction — the recall/cost trade every IVF-family
+    method makes.  K-means-seeded → rows-only for cross-engine checks;
+    pytest pins the greedy contract against a dense NumPy twin."""
+    from ..functions.vectors import _mat
+
+    if not -1.0 <= threshold <= 1.0 + 1e-9:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    if num_clusters < 1:
+        raise ValueError(f"num_clusters must be >= 1, got {num_clusters}")
+    raw = df.select(F.col(vec_col).alias("cv"))
+    if train_fraction is None:
+        train = raw.limit(num_clusters * train_points_per_centroid)
+    else:
+        train = raw.sample(train_fraction, seed=seed)
+    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("semantic_dedup: empty corpus (no training rows)")
+    num_clusters = max(1, min(num_clusters, len(X)))
+    centers = _spherical_lloyd(X, num_clusters, seed)
+    C = centers.T  # (dim, k), unit columns
+    thr = float(threshold)
+
+    @F.pandas_udf("int")
+    def assign(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        m = _mat(x)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(np.argmax((m / n[:, None]) @ C, axis=1).astype("int32"))
+
+    assigned = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cv"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    id_field = df.schema[id_col].dataType.simpleString()
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        m = _mat(pdf["cv"])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        kept_rows = np.zeros((len(pdf), m.shape[1]), dtype=np.float64)
+        kept_flags = np.zeros(len(pdf), dtype=bool)
+        k = 0
+        for i in range(len(pdf)):
+            if k == 0 or float(np.max(kept_rows[:k] @ m[i])) < thr:
+                kept_rows[k] = m[i]
+                kept_flags[i] = True
+                k += 1
+        return pd.DataFrame(
+            {"id": pdf["id"], "cluster": pdf["cluster"], "kept": kept_flags}
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        _prune, schema=f"id {id_field}, cluster int, kept boolean"
     )

@@ -1,0 +1,94 @@
+"""SemDeDup-style semantic dedup: greedy prefix contract vs NumPy twin."""
+
+import random
+
+import numpy as np
+import pytest
+
+from sparkplug_spark.operators import semantic_dedup
+
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _twin(rows, centers, thr):
+    """Assign by max cosine to centers, then greedy prefix prune by id."""
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    n = np.linalg.norm(X, axis=1)
+    n[n == 0] = 1.0
+    Xn = X / n[:, None]
+    lab = np.argmax(Xn @ centers.T, axis=1)
+    kept = {}
+    for cid in sorted(set(lab)):
+        idxs = sorted(
+            (i for i in range(len(rows)) if lab[i] == cid),
+            key=lambda i: rows[i][0],
+        )
+        chosen = []
+        for i in idxs:
+            if all(float(Xn[i] @ Xn[j]) < thr for j in chosen):
+                chosen.append(i)
+                kept[rows[i][0]] = True
+            else:
+                kept[rows[i][0]] = False
+    return kept
+
+
+class TestSemanticDedup:
+    def test_exact_duplicates_collapse(self, spark):
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows = [(3, base), (1, base), (2, [0.0, 1.0, 0.0, 0.0])]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = {r["id"]: r["kept"] for r in semantic_dedup(df, threshold=0.99, num_clusters=1).collect()}
+        # smallest id of the duplicate pair survives; orthogonal row survives
+        assert out == {1: True, 2: True, 3: False}
+
+    def test_threshold_above_one_keeps_all(self, spark):
+        rows = [(i, [1.0, 0.0]) for i in range(5)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = semantic_dedup(df, threshold=1.0 + 1e-9, num_clusters=1).collect()
+        assert all(r["kept"] for r in out)
+
+    def test_threshold_minus_one_keeps_one_per_cluster(self, spark):
+        rows = [(i, [float(i + 1), 1.0]) for i in range(6)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = semantic_dedup(df, threshold=-1.0, num_clusters=1).collect()
+        assert sum(r["kept"] for r in out) == 1
+        assert {r["id"] for r in out if r["kept"]} == {0}
+
+    @pytest.mark.parametrize("seed", [4, 17])
+    def test_matches_numpy_twin(self, spark, seed):
+        rng = random.Random(seed)
+        # clumpy data: a few base directions plus small jitter
+        bases = [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]]
+        rows = []
+        for i in range(120):
+            b = rng.choice(bases)
+            rows.append(
+                (i, [c + rng.uniform(-0.15, 0.15) for c in b])
+            )
+        df = spark.createDataFrame(rows, SCHEMA)
+        thr, k = 0.97, 3
+        got = {
+            r["id"]: r["kept"]
+            for r in semantic_dedup(df, threshold=thr, num_clusters=k, seed=7).collect()
+        }
+        # rebuild the operator's own centers deterministically
+        from sparkplug_spark.operators.similarity import _spherical_lloyd
+
+        X = np.array([v for _, v in rows], dtype=np.float64)
+        centers = _spherical_lloyd(X[: k * 128], k, seed=7)
+        want = _twin(rows, centers, thr)
+        assert got == want
+
+    def test_decision_table_covers_all_rows(self, spark):
+        rows = [(i, [float(i % 7), 1.0, 0.5]) for i in range(40)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        out = semantic_dedup(df, threshold=0.999, num_clusters=4).collect()
+        assert len(out) == 40 and len({r["id"] for r in out}) == 40
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1, [1.0, 0.0])], SCHEMA)
+        with pytest.raises(ValueError):
+            semantic_dedup(df, threshold=-2.0)
+        with pytest.raises(ValueError):
+            semantic_dedup(df, num_clusters=0)
