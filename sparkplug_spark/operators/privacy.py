@@ -1,0 +1,72 @@
+"""Privacy risk audits: k-anonymity and l-diversity over quasi-identifiers.
+
+The governance sibling of ``cleaning.scrub_pii``: scrubbing removes
+direct identifiers, but a release is still re-identifiable when a
+quasi-identifier combination (zip + birth year + segment…) isolates
+fewer than ``k`` rows (Sweeney, 2002), or when a small group shares one
+sensitive value (l-diversity, Machanavajjhala et al., 2007).  This
+report is the pre-release gate: every risky group, with its size and
+sensitive-value diversity, as exact integers.
+
+Scale plan: one map-side-combined groupBy on the quasi-identifier tuple;
+the optional distinct-sensitive count rides the same aggregate as an
+exact ``count(DISTINCT)`` (one extra shuffle Spark plans as a partial
+distinct).  Output is bounded by the number of RISKY groups — release it
+to a dashboard, not the raw table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["k_anonymity_report"]
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    sensitive_col: str | None = None,
+    min_l: int | None = None,
+) -> DataFrame:
+    """Groups that violate k-anonymity (size < ``k``) and, when
+    ``sensitive_col`` is given, l-diversity (distinct sensitive values <
+    ``min_l``; defaults to ``min_l = 2``).
+
+    Output, one row per violating quasi-identifier group:
+
+    - the quasi-identifier columns themselves
+    - ``group_size`` BIGINT
+    - ``k_violation`` BOOLEAN — ``group_size < k``
+    - with ``sensitive_col``: ``n_sensitive`` BIGINT (exact distinct)
+      and ``l_violation`` BOOLEAN
+
+    NULL quasi-identifier values form their own group (SQL GROUP BY
+    semantics — NULLs group together), which is exactly what a privacy
+    audit wants: "unknown zip" is itself a bucket an attacker can match.
+
+    A compliant table returns an EMPTY frame — the natural expectation
+    gate (`expectations.check_expectations` on the output row count)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    want_l = min_l if min_l is not None else 2
+    if sensitive_col is not None and want_l < 1:
+        raise ValueError("min_l must be >= 1")
+    aggs = [F.count(F.lit(1)).cast("long").alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col))
+            .cast("long")
+            .alias("n_sensitive")
+        )
+    grouped = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out = grouped.withColumn("k_violation", F.col("group_size") < k)
+    if sensitive_col is not None:
+        out = out.withColumn("l_violation", F.col("n_sensitive") < want_l)
+        return out.filter(F.col("k_violation") | F.col("l_violation"))
+    return out.filter(F.col("k_violation"))
