@@ -1659,6 +1659,26 @@ def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_distinct_sketches(daily, ["event_type"])
 
 
+def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketch: per-(returnflag, linestatus)
+    equi-width histograms over l_extendedprice, merged up to returnflag
+    and read at p50/p95/p99 - exact integer rank math, bin bounds
+    bracket the true percentile to one bin width."""
+    from sparkplug_spark.operators import (
+        build_histogram_sketch,
+        rollup_histogram_percentiles,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    sk = build_histogram_sketch(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice",
+        lo=0.0, hi=105000.0, bins=128,
+    )
+    return rollup_histogram_percentiles(
+        sk, ["l_returnflag"], [50, 95, 99], lo=0.0, hi=105000.0, bins=128
+    )
+
+
 def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-release privacy audit over customer: (nation, segment)
     quasi-identifier groups smaller than k=15, with account-balance
@@ -3761,6 +3781,36 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "histogram_rollup": """
+            WITH sk AS (
+              SELECT l_returnflag, l_linestatus,
+                     least(greatest(
+                       floor((l_extendedprice - 0.0) / 105000.0 * 128),
+                       0), 127)::INT AS bin,
+                     count(*)::BIGINT AS n
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1, 2, 3
+            ), m AS (
+              SELECT l_returnflag, bin, sum(n)::BIGINT AS n
+              FROM sk GROUP BY 1, 2
+            ), c AS (
+              SELECT l_returnflag, bin,
+                     sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cum,
+                     sum(n) OVER (PARTITION BY l_returnflag)::BIGINT AS tot
+              FROM m
+            ), x AS (
+              SELECT l_returnflag, p.pct, min(bin) AS bin
+              FROM c CROSS JOIN (VALUES (50), (95), (99)) p(pct)
+              WHERE cum >= (p.pct * tot + 99) // 100
+              GROUP BY 1, 2
+            )
+            SELECT l_returnflag, pct::INT AS pct, bin::INT AS bin,
+                   (0.0 + bin * 820.3125)::DOUBLE AS value_low,
+                   (0.0 + (bin + 1) * 820.3125)::DOUBLE AS value_high
+            FROM x
+        """,
         "k_anonymity": """
             SELECT c_nationkey, c_mktsegment,
                    count(*)::BIGINT AS group_size,
@@ -4117,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delegated_star": q_delegated_star,
         "funnel_windowed": q_funnel_windowed,
         "k_anonymity": q_k_anonymity,
+        "histogram_rollup": q_histogram_rollup,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

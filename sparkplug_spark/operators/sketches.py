@@ -22,7 +22,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_distinct_sketches", "rollup_distinct_sketches"]
+__all__ = [
+    "build_distinct_sketches",
+    "rollup_distinct_sketches",
+    "build_histogram_sketch",
+    "rollup_histogram_percentiles",
+]
 
 
 def build_distinct_sketches(
@@ -67,4 +72,113 @@ def rollup_distinct_sketches(
         out = sketches.agg(merged.alias("__m"))
     return out.select(
         *group_cols, F.hll_sketch_estimate("__m").cast("long").alias("n_est")
+    )
+
+
+def build_histogram_sketch(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-key equi-width histogram table — the mergeable-PERCENTILE
+    sibling of :func:`build_distinct_sketches`.  Unlike t-digest/GK
+    sketches, fixed bins merge by plain integer addition, so rollups stay
+    engine-exact and oracle-checkable; the price is a fixed value domain
+    and ±1-bin-width rank error.
+
+    One row per (key, occupied bin): (key_cols..., bin INT, n BIGINT)
+    with ``bin = clamp(floor((v - lo) / (hi - lo) * bins), 0, bins-1)``
+    — out-of-domain values land in the edge bins (a release audit wants
+    them counted, not dropped); NULL values are dropped.  Long form, not
+    an array column: a coarser rollup is then just a narrower groupBy.
+
+    Plan: one map-side-combined aggregate; the shuffle carries at most
+    ``|keys| · bins`` rows regardless of input size."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    v = F.col(value_col).cast("double")
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * bins)
+    bin_ = F.least(
+        F.greatest(raw_bin, F.lit(0)), F.lit(int(bins - 1))
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*[F.col(c) for c in key_cols], bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def rollup_histogram_percentiles(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    percentiles: Sequence[int],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Merge a stored histogram table to a coarser grain and read
+    percentiles off the merged bins: for each group and percentile p, the
+    first bin whose cumulative count reaches ``ceil(p/100 · n)``, reported
+    as (group_cols..., pct INT, bin INT, value_low DOUBLE, value_high
+    DOUBLE) — the bin's bounds bracket the true percentile to one bin
+    width.  All rank math is exact integers; the bounds are the same two
+    float ops in any engine.
+
+    The input is the KB-scale sketch table, so every coarser percentile
+    question is answered without rescanning raw data — the operational
+    win of mergeable sketches (same contract as
+    :func:`rollup_distinct_sketches`)."""
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    if not percentiles:
+        raise ValueError("percentiles must be non-empty")
+    for p in percentiles:
+        if not 0 < p <= 100:
+            raise ValueError(f"percentiles must be in (0, 100], got {p}")
+    from pyspark.sql import Window
+
+    gcols = [F.col(c) for c in group_cols]
+    merged = sketch.groupBy(*gcols, F.col("bin")).agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*[F.col(c) for c in group_cols])
+    cum = merged.withColumn("__cum", F.sum("n").over(w)).withColumn(
+        "__tot", F.sum("n").over(wt)
+    )
+    width = (hi - lo) / bins
+    pct_rows = F.explode(
+        F.array(*[F.lit(int(p)) for p in percentiles])
+    ).alias("pct")
+    hit = (
+        cum.select(*[F.col(c) for c in group_cols], "bin", "__cum", "__tot", pct_rows)
+        # rank threshold ceil(p/100 * n) as exact integers:
+        # (p*n + 99) div 100 == ceil(p*n/100) for positive ints
+        .filter(F.col("__cum") >= F.expr("(pct * __tot + 99) div 100"))
+        .groupBy(*[F.col(c) for c in group_cols], "pct")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        *[F.col(c) for c in group_cols],
+        "pct",
+        "bin",
+        (F.lit(float(lo)) + F.col("bin") * F.lit(float(width))).alias(
+            "value_low"
+        ),
+        (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(float(width))).alias(
+            "value_high"
+        ),
     )

@@ -86,3 +86,82 @@ class TestAbTestReport:
     def test_missing_control_yields_empty(self, spark):
         df = spark.createDataFrame([("a", 1.0)], self.SCHEMA)
         assert ab_test_report(df, "variant", "metric", control="zz").count() == 0
+
+
+class TestHistogramSketch:
+    def test_bins_and_clamp(self, spark):
+        from sparkplug_spark.operators import build_histogram_sketch
+
+        rows = [("a", -5.0), ("a", 0.0), ("a", 9.99), ("a", 55.0), ("a", 999.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {
+            r["bin"]: r["n"]
+            for r in build_histogram_sketch(df, ["g"], "v", lo=0.0, hi=100.0, bins=10).collect()
+        }
+        # -5 clamps into bin 0; 999 clamps into bin 9
+        assert out == {0: 3, 5: 1, 9: 1}
+
+    def test_rollup_equals_coarse_build(self, spark):
+        from sparkplug_spark.operators import (
+            build_histogram_sketch,
+            rollup_histogram_percentiles,
+        )
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (rng.choice("ab"), rng.choice("xy"), rng.uniform(0, 100))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "g string, h string, v double")
+        fine = build_histogram_sketch(df, ["g", "h"], "v", 0.0, 100.0, bins=20)
+        coarse = build_histogram_sketch(df, ["g"], "v", 0.0, 100.0, bins=20)
+        a = rollup_histogram_percentiles(fine, ["g"], [50, 90], 0.0, 100.0, 20)
+        b = rollup_histogram_percentiles(coarse, ["g"], [50, 90], 0.0, 100.0, 20)
+        key = lambda r: (r["g"], r["pct"])
+        assert sorted(map(tuple, a.collect()), key=lambda t: (t[0], t[1])) == \
+               sorted(map(tuple, b.collect()), key=lambda t: (t[0], t[1]))
+
+    def test_percentile_brackets_true_value(self, spark):
+        from sparkplug_spark.operators import (
+            build_histogram_sketch,
+            rollup_histogram_percentiles,
+        )
+        import random
+
+        rng = random.Random(11)
+        vals = [rng.uniform(0, 1000) for _ in range(800)]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        sk = build_histogram_sketch(df, ["g"], "v", 0.0, 1000.0, bins=100)
+        out = {
+            r["pct"]: (r["value_low"], r["value_high"])
+            for r in rollup_histogram_percentiles(
+                sk, ["g"], [50, 95], 0.0, 1000.0, 100
+            ).collect()
+        }
+        import math
+
+        svals = sorted(vals)
+        for p in (50, 95):
+            true = svals[math.ceil(p / 100 * len(svals)) - 1]
+            lo, hi = out[p]
+            assert lo <= true < hi + 1e-9
+
+    def test_guards(self, spark):
+        from sparkplug_spark.operators import (
+            build_histogram_sketch,
+            rollup_histogram_percentiles,
+        )
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            build_histogram_sketch(df, ["g"], "v", 5.0, 5.0)
+        with _pytest.raises(ValueError):
+            build_histogram_sketch(df, [], "v", 0.0, 1.0)
+        sk = build_histogram_sketch(df, ["g"], "v", 0.0, 2.0)
+        with _pytest.raises(ValueError):
+            rollup_histogram_percentiles(sk, ["g"], [], 0.0, 2.0)
+        with _pytest.raises(ValueError):
+            rollup_histogram_percentiles(sk, ["g"], [0], 0.0, 2.0)
