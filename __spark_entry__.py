@@ -1604,6 +1604,23 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: touch weight halves per
+    elapsed day at conversion (integer shift quantized to whole
+    half-lives - no cross-engine pow floats); per-user credit is exact
+    ppm with remainder to the most recent touch."""
+    from sparkplug_spark.operators import attribution_counts
+
+    ev = read_events(spark, sf_dir)
+    return attribution_counts(
+        ev,
+        conversion="purchase",
+        touch_types=("view", "click", "signup"),
+        model="decay",
+        half_life_seconds=86400,
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition table of the event log: per
     (src, dst) consecutive-event pair, count, row-stochastic probability
@@ -3781,6 +3798,52 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "attribution_decay": """
+            WITH ev AS (
+              SELECT event_id, user_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ),
+            conv AS (
+              SELECT user_id, min(ts_s) AS tc FROM ev
+              WHERE event_type = 'purchase' GROUP BY user_id
+            ),
+            cand AS (
+              SELECT t.user_id, t.event_type AS touch_type,
+                     (1000000 // (1 << least((c.tc - t.ts_s) // 86400, 30)))::BIGINT AS w,
+                     row_number() OVER (
+                       PARTITION BY t.user_id
+                       ORDER BY t.ts_s DESC, t.event_id DESC
+                     ) AS rn
+              FROM ev t JOIN conv c
+                ON t.user_id = c.user_id AND t.ts_s < c.tc
+              WHERE t.event_type IN ('view', 'click', 'signup')
+            ),
+            shared AS (
+              SELECT user_id, touch_type, rn,
+                     coalesce(w * 1000000 //
+                              nullif(sum(w) OVER (PARTITION BY user_id), 0),
+                              0)::BIGINT AS share
+              FROM cand
+            ),
+            credited AS (
+              SELECT user_id, touch_type,
+                     CASE WHEN rn = 1
+                          THEN share + 1000000
+                               - sum(share) OVER (PARTITION BY user_id)
+                          ELSE share END::BIGINT AS credit_ppm
+              FROM shared
+            ),
+            uncred AS (
+              SELECT c.user_id, '(none)' AS touch_type,
+                     1000000::BIGINT AS credit_ppm
+              FROM conv c LEFT JOIN credited cr ON c.user_id = cr.user_id
+              WHERE cr.user_id IS NULL
+            )
+            SELECT touch_type, sum(credit_ppm)::BIGINT AS credit_ppm
+            FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
+            GROUP BY touch_type
+        """,
         "histogram_rollup": """
             WITH sk AS (
               SELECT l_returnflag, l_linestatus,
@@ -4168,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": q_funnel_windowed,
         "k_anonymity": q_k_anonymity,
         "histogram_rollup": q_histogram_rollup,
+        "attribution_decay": q_attribution_decay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

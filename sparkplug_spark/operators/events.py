@@ -450,6 +450,7 @@ def attribution_counts(
     time_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    half_life_seconds: int = 86400,
 ) -> DataFrame:
     """Single-touch conversion attribution: credit each converting user's
     FIRST conversion event to one touch event strictly before it
@@ -469,6 +470,15 @@ def attribution_counts(
     LAST touch so per-user credit always sums to exactly 1_000_000).
     Output then is (touch_type, credit_ppm) — BIGINT, engine-exact.
 
+    ``model='decay'`` weights each touch by its age at conversion with a
+    half-life, ENTIRELY in integers: raw weight ``w = 1_000_000 >>
+    min(age div half_life_seconds, 30)`` (halving per elapsed half-life,
+    quantized to whole half-lives — the determinism trade that avoids
+    cross-engine ``pow()`` floats), per-user credit ``w·1_000_000 div
+    Σw`` with the remainder to the tie-broken last touch.  When every
+    weight underflows to 0 (all touches older than 30 half-lives) the
+    last touch takes the full credit.  Output (touch_type, credit_ppm).
+
     Output: (touch_type, n_conversions), one row per touch type that
     received credit (plus the ``'(none)'`` row when applicable); linear
     model returns (touch_type, credit_ppm).
@@ -478,10 +488,12 @@ def attribution_counts(
     per-user argmax runs as a window over the SAME key partitioning (AQE
     exchange reuse) — shuffles carry (user, second, id, type) tuples
     only, never the raw log's payload columns."""
-    if model not in ("last", "first", "linear"):
-        raise ValueError("model must be 'last', 'first' or 'linear'")
+    if model not in ("last", "first", "linear", "decay"):
+        raise ValueError("model must be 'last', 'first', 'linear' or 'decay'")
     if not touch_types:
         raise ValueError("touch_types must be non-empty")
+    if model == "decay" and half_life_seconds < 1:
+        raise ValueError("half_life_seconds must be >= 1")
     ts_s = _epoch_s(df, time_col)
     conv = (
         df.filter(F.col(type_col) == conversion)
@@ -495,6 +507,42 @@ def attribution_counts(
         F.col(type_col).alias("touch_type"),
     )
     cand = touches.join(conv, "u").filter(F.col("tt") < F.col("tc"))
+    if model == "decay":
+        # rn=1 is the tie-broken LAST touch: remainder (or, on total
+        # weight underflow, the whole 1e6) lands there
+        w = Window.partitionBy("u").orderBy(F.desc("tt"), F.desc("tid"))
+        hl = int(half_life_seconds)
+        weight = F.expr(
+            f"1000000 div shiftleft(1L,"
+            f" cast(least((tc - tt) div {hl}, 30) as int))"
+        )
+        wsum = F.sum("__w").over(Window.partitionBy("u"))
+        share = F.expr("__w * 1000000 div nullif(__wsum, 0)")
+        credited = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__w", weight)
+            .withColumn("__wsum", wsum)
+            .withColumn("__share", F.coalesce(share, F.lit(0)))
+            .withColumn("__sharesum", F.sum("__share").over(Window.partitionBy("u")))
+            .withColumn(
+                "credit_ppm",
+                F.when(
+                    F.col("__rn") == 1,
+                    F.col("__share") + F.lit(1000000) - F.col("__sharesum"),
+                ).otherwise(F.col("__share")).cast("long"),
+            )
+            .select("u", "touch_type", "credit_ppm")
+        )
+        uncredited = conv.join(credited, "u", "left_anti").select(
+            "u",
+            F.lit("(none)").alias("touch_type"),
+            F.lit(1000000).cast("long").alias("credit_ppm"),
+        )
+        return (
+            credited.unionByName(uncredited)
+            .groupBy("touch_type")
+            .agg(F.sum("credit_ppm").cast("long").alias("credit_ppm"))
+        )
     if model == "linear":
         # rn=1 is the tie-broken LAST touch: it takes the ppm remainder
         w = Window.partitionBy("u").orderBy(F.desc("tt"), F.desc("tid"))

@@ -157,3 +157,56 @@ class TestWindowedFunnel:
         ev = spark.createDataFrame([], EVENT_SCHEMA)
         with _pytest.raises(ValueError):
             funnel_counts(ev, ["a"], within_seconds=0)
+
+
+class TestDecayAttribution:
+    def _run(self, spark, rows, hl=100):
+        from sparkplug_spark.operators import attribution_counts
+
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = attribution_counts(
+            ev, conversion="buy", touch_types=("ad", "email"),
+            model="decay", half_life_seconds=hl,
+        ).collect()
+        return {r["touch_type"]: r["credit_ppm"] for r in out}
+
+    def test_halving_per_half_life(self, spark):
+        # ad at age 150s (1 half-life elapsed -> w=500000),
+        # email at age 50s (0 half-lives -> w=1000000)
+        rows = [
+            (1, _ts(0), 1, "ad", 0.0),
+            (2, _ts(100), 1, "email", 0.0),
+            (3, _ts(150), 1, "buy", 0.0),
+        ]
+        out = self._run(spark, rows, hl=100)
+        # shares: email 1e6*1e6//1.5e6=666666, ad 333333; +1 remainder to
+        # the most recent (email)
+        assert out == {"email": 666667, "ad": 333333}
+
+    def test_total_weight_underflow_goes_to_last(self, spark):
+        rows = [
+            (1, _ts(0), 1, "ad", 0.0),
+            (2, _ts(40 * 100), 1, "buy", 0.0),  # 40 half-lives old
+        ]
+        out = self._run(spark, rows, hl=100)
+        assert out == {"ad": 1_000_000}
+
+    def test_per_user_credit_sums_to_one(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows, eid = [], 0
+        for u in range(8):
+            t = 0
+            for _ in range(rng.randint(1, 6)):
+                t += rng.randint(1, 400)
+                rows.append((eid, _ts(t), u, rng.choice(["ad", "email"]), 0.0))
+                eid += 1
+            rows.append((eid, _ts(t + rng.randint(1, 300)), u, "buy", 0.0))
+            eid += 1
+        out = self._run(spark, rows, hl=120)
+        assert sum(out.values()) == 8 * 1_000_000
+
+    def test_no_touch_user_credited_none(self, spark):
+        rows = [(1, _ts(10), 1, "buy", 0.0)]
+        assert self._run(spark, rows) == {"(none)": 1_000_000}
