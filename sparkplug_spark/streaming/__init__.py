@@ -9,6 +9,7 @@ entry point and a windowed rule-impact aggregation for monitoring
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Iterable
 
 import pandas as pd
@@ -32,6 +33,7 @@ __all__ = [
     "streaming_near_dup_flags",
     "sessionize_stream",
     "stream_stream_join",
+    "streaming_distinct_sketches",
 ]
 
 
@@ -373,3 +375,69 @@ def stream_stream_join(
         )
     )
     return lw.join(rw, cond, how).drop("__rk")
+
+
+def streaming_distinct_sketches(
+    stream_df: DataFrame,
+    store_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lg_k: int = 14,
+):
+    """Maintain a stored HLL distinct-count sketch table from a stream:
+    every micro-batch's sketches are UNION-MERGED into the parquet store
+    at ``store_path`` (created on the first batch), so the store always
+    answers "distinct values per key so far" — and any coarser rollup via
+    :func:`~..operators.sketches.rollup_distinct_sketches` — without a
+    raw-data rescan.  The streaming tier of the batch sketch pair, in the
+    same foreachBatch merge-on-write shape as the incremental dedup
+    stores.
+
+    All writers of one store must share ``lg_k`` (DataSketches unions are
+    strict about mismatched configs).  The store swap is rename-based
+    (same caveat as ``sources.compact_table``): not atomic for concurrent
+    readers — pause readers or use a table format for that guarantee.
+    Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint and
+    starts it)."""
+    from ..operators.sketches import build_distinct_sketches
+
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = build_distinct_sketches(
+            batch_df, keys, value_col, lg_k=lg_k
+        ).select(*keys, "sketch")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            existing = spark.read.parquet(store_path).select(*keys, "sketch")
+            merged = (
+                existing.unionByName(batch_sk)
+                .groupBy(*[F.col(c) for c in keys])
+                .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+            )
+        else:
+            merged = batch_sk
+        out = merged.withColumn(
+            "n_est", F.hll_sketch_estimate("sketch").cast("long")
+        )
+        # can't overwrite the path we are reading: write aside, then the
+        # compact_table-style rename swap (tmp -> old -> live)
+        tmp = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".sketch_tmp")
+        old = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".sketch_old")
+        fs.delete(tmp, True)
+        fs.delete(old, True)
+        out.write.mode("overwrite").parquet(tmp.toString())
+        if fs.exists(jpath) and not fs.rename(jpath, old):
+            raise IOError(f"could not move {store_path} aside")
+        if not fs.rename(tmp, jpath):
+            if fs.exists(old):
+                fs.rename(old, jpath)  # roll back
+            raise IOError(f"could not publish sketch store {store_path}")
+        fs.delete(old, True)
+
+    return stream_df.writeStream.foreachBatch(_process)

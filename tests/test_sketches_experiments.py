@@ -165,3 +165,56 @@ class TestHistogramSketch:
             rollup_histogram_percentiles(sk, ["g"], [], 0.0, 2.0)
         with _pytest.raises(ValueError):
             rollup_histogram_percentiles(sk, ["g"], [0], 0.0, 2.0)
+
+
+class TestStreamingDistinctSketches:
+    def test_store_merges_across_batches(self, spark, tmp_path):
+        import time
+
+        from sparkplug_spark.operators import rollup_distinct_sketches
+        from sparkplug_spark.streaming import streaming_distinct_sketches
+
+        src = str(tmp_path / "sk_src")
+        store = str(tmp_path / "sk_store")
+        # batch 1: keys a:{1..40}, b:{1..20}
+        spark.createDataFrame(
+            [("a", i) for i in range(40)]
+            + [("b", 1000 + i) for i in range(20)],
+            "g string, v long",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("g string, v long").parquet(src)
+        q = (
+            streaming_distinct_sketches(stream, store, ["g"], "v")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        est1 = {
+            r["g"]: r["n_est"] for r in spark.read.parquet(store).collect()
+        }
+        assert abs(est1["a"] - 40) <= 2 and abs(est1["b"] - 20) <= 2
+
+        # batch 2 overlaps batch 1: a gains 20..59 (union = 60, not 80)
+        time.sleep(1)
+        spark.createDataFrame(
+            [("a", i) for i in range(20, 60)], "g string, v long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = (
+            streaming_distinct_sketches(stream, store, ["g"], "v")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+        est2 = {
+            r["g"]: r["n_est"] for r in spark.read.parquet(store).collect()
+        }
+        assert abs(est2["a"] - 60) <= 3   # merged, not summed (80)
+        assert abs(est2["b"] - 20) <= 2   # untouched key survives the swap
+
+        # the stored table feeds the batch rollup directly
+        [total] = rollup_distinct_sketches(
+            spark.read.parquet(store), []
+        ).collect()
+        assert abs(total["n_est"] - 80) <= 4
