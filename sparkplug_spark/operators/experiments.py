@@ -19,8 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import materialize_release
-
 __all__ = ["ab_test_report"]
 
 
@@ -30,7 +28,6 @@ def ab_test_report(
     metric_col: str,
     control: str,
     scale: int = 1,
-    release: bool = True,
 ) -> DataFrame:
     """Per-variant sufficient statistics for a two-sample readout.
 
@@ -49,16 +46,18 @@ def ab_test_report(
     - ``diff_vs_control_micros`` — ``mean_micros - control's
       mean_micros`` (0 for the control row)
 
-    A ``control`` value with no rows yields an EMPTY result (the control
-    row broadcast-joins every arm; no control, no rows) — checked lazily
-    so validation never costs a second scan of the input.  Callers who
-    want a loud failure pin it with an expectation
-    (``expectations.check_expectations``) on the output."""
+    A ``control`` value with no rows yields NULL
+    ``diff_vs_control_micros`` on every arm — checked lazily so
+    validation never costs a second scan of the input.  Callers who want
+    a loud failure pin it with an expectation
+    (``expectations.check_expectations``) on the output.
+
+    Plan note: the control mean is lifted out of the SAME arms-count
+    aggregate by an unpartitioned window (arms-count rows — trivially
+    single-partition), so the input is scanned exactly once and nothing
+    needs persisting or releasing."""
     v = F.col(metric_col).cast("decimal(28,6)")
     q = F.floor(v * F.lit(int(scale))).cast("long")
-    # the per-arm aggregate feeds both the output and the control-row
-    # branch: persist its arms-count rows or the control branch re-runs
-    # the FULL input scan a second time
     per = (
         df.groupBy(F.col(variant_col).alias("variant"))
         .agg(
@@ -70,19 +69,18 @@ def ab_test_report(
         )
         .withColumn("mean_micros", F.expr("sum_micros div n").cast("long"))
     )
-    if release:
-        per = per.persist()
-    ctrl = per.filter(F.col("variant") == control).select(
-        F.col("mean_micros").alias("__ctrl_mean")
-    )
-    out = per.crossJoin(F.broadcast(ctrl)).select(
+    from pyspark.sql import Window
+
+    ctrl_mean = F.max(
+        F.when(F.col("variant") == control, F.col("mean_micros"))
+    ).over(Window.partitionBy())
+    return per.select(
         "variant",
         "n",
         "sum_micros",
         "mean_micros",
         "ssq_scaled",
-        (F.col("mean_micros") - F.col("__ctrl_mean"))
+        (F.col("mean_micros") - ctrl_mean)
         .cast("long")
         .alias("diff_vs_control_micros"),
     )
-    return materialize_release(out, per, release=release)

@@ -83,9 +83,11 @@ class TestAbTestReport:
         # 5_000_000 div 3 truncates
         assert r["mean_micros"] == 1_666_666
 
-    def test_missing_control_yields_empty(self, spark):
+    def test_missing_control_yields_null_diff(self, spark):
         df = spark.createDataFrame([("a", 1.0)], self.SCHEMA)
-        assert ab_test_report(df, "variant", "metric", control="zz").count() == 0
+        [r] = ab_test_report(df, "variant", "metric", control="zz").collect()
+        assert r["diff_vs_control_micros"] is None
+        assert r["n"] == 1  # arms still reported
 
 
 class TestHistogramSketch:
