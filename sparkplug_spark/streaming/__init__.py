@@ -34,6 +34,7 @@ __all__ = [
     "sessionize_stream",
     "stream_stream_join",
     "streaming_distinct_sketches",
+    "streaming_histogram_sketches",
 ]
 
 
@@ -377,6 +378,35 @@ def stream_stream_join(
     return lw.join(rw, cond, how).drop("__rk")
 
 
+def _swap_publish(out: DataFrame, spark: SparkSession, store_path: str) -> None:
+    """Publish ``out`` over a parquet store the plan may be READING:
+    write aside, then the ``compact_table``-style rename swap (tmp → old
+    → live, rollback on failure).  Not atomic for concurrent readers —
+    that guarantee needs a table format."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".store_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".store_old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    out.write.mode("overwrite").parquet(tmp.toString())
+    if fs.exists(jpath) and not fs.rename(jpath, old):
+        raise IOError(f"could not move {store_path} aside")
+    if not fs.rename(tmp, jpath):
+        if fs.exists(old):
+            fs.rename(old, jpath)  # roll back
+        raise IOError(f"could not publish store {store_path}")
+    fs.delete(old, True)
+
+
+def _store_exists(spark: SparkSession, store_path: str) -> bool:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def streaming_distinct_sketches(
     stream_df: DataFrame,
     store_path: str,
@@ -410,10 +440,7 @@ def streaming_distinct_sketches(
         batch_sk = build_distinct_sketches(
             batch_df, keys, value_col, lg_k=lg_k
         ).select(*keys, "sketch")
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(store_path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
+        if _store_exists(spark, store_path):
             existing = spark.read.parquet(store_path).select(*keys, "sketch")
             merged = (
                 existing.unionByName(batch_sk)
@@ -425,19 +452,48 @@ def streaming_distinct_sketches(
         out = merged.withColumn(
             "n_est", F.hll_sketch_estimate("sketch").cast("long")
         )
-        # can't overwrite the path we are reading: write aside, then the
-        # compact_table-style rename swap (tmp -> old -> live)
-        tmp = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".sketch_tmp")
-        old = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".sketch_old")
-        fs.delete(tmp, True)
-        fs.delete(old, True)
-        out.write.mode("overwrite").parquet(tmp.toString())
-        if fs.exists(jpath) and not fs.rename(jpath, old):
-            raise IOError(f"could not move {store_path} aside")
-        if not fs.rename(tmp, jpath):
-            if fs.exists(old):
-                fs.rename(old, jpath)  # roll back
-            raise IOError(f"could not publish sketch store {store_path}")
-        fs.delete(old, True)
+        _swap_publish(out, spark, store_path)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_histogram_sketches(
+    stream_df: DataFrame,
+    store_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+):
+    """The percentile sibling of :func:`streaming_distinct_sketches`:
+    maintain a stored equi-width histogram table
+    (:func:`~..operators.sketches.build_histogram_sketch` long form) from
+    a stream — each micro-batch's bin counts ADD into the store, so
+    :func:`~..operators.sketches.rollup_histogram_percentiles` reads
+    all-time percentiles at any grain with no raw rescan.  All writers of
+    one store must share (lo, hi, bins); same rename-swap publishing
+    caveat."""
+    from ..operators.sketches import build_histogram_sketch
+
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sk = build_histogram_sketch(
+            batch_df, keys, value_col, lo=lo, hi=hi, bins=bins
+        )
+        if _store_exists(spark, store_path):
+            existing = spark.read.parquet(store_path)
+            merged = (
+                existing.unionByName(batch_sk)
+                .groupBy(*[F.col(c) for c in keys], F.col("bin"))
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            merged = batch_sk
+        _swap_publish(merged, spark, store_path)
 
     return stream_df.writeStream.foreachBatch(_process)

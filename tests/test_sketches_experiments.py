@@ -220,3 +220,48 @@ class TestStreamingDistinctSketches:
             spark.read.parquet(store), []
         ).collect()
         assert abs(total["n_est"] - 80) <= 4
+
+
+class TestStreamingHistogramSketches:
+    def test_bins_accumulate_across_batches(self, spark, tmp_path):
+        import time
+
+        from sparkplug_spark.operators import rollup_histogram_percentiles
+        from sparkplug_spark.streaming import streaming_histogram_sketches
+
+        src = str(tmp_path / "h_src")
+        store = str(tmp_path / "h_store")
+        spark.createDataFrame(
+            [("a", float(v)) for v in range(50)], "g string, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("g string, v double").parquet(src)
+
+        def run():
+            q = (
+                streaming_histogram_sketches(
+                    stream, store, ["g"], "v", lo=0.0, hi=100.0, bins=10
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "h_ck"))
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        time.sleep(1)
+        spark.createDataFrame(
+            [("a", float(v)) for v in range(50, 100)], "g string, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        run()
+        store_df = spark.read.parquet(store)
+        # 100 values uniform over [0,100) into 10 bins: each bin n=10
+        assert {r["bin"]: r["n"] for r in store_df.collect()} == {
+            b: 10 for b in range(10)
+        }
+        out = {
+            r["pct"]: r["value_low"]
+            for r in rollup_histogram_percentiles(
+                store_df, ["g"], [50, 90], 0.0, 100.0, 10
+            ).collect()
+        }
+        assert out[50] == 40.0 and out[90] == 80.0
