@@ -1604,6 +1604,16 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring over the event log: exact integer metrics,
+    1..5 quantile scores from range-distributed exact global ranks (no
+    single-partition ntile window)."""
+    from sparkplug_spark.operators import rfm_scores
+
+    ev = read_events(spark, sf_dir)
+    return rfm_scores(ev, asof="2026-01-01 00:00:00")
+
+
 def q_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-decay multi-touch attribution: touch weight halves per
     elapsed day at conversion (integer shift quantized to whole
@@ -3798,6 +3808,34 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "rfm_scores": """
+            WITH ev AS (
+              SELECT user_id AS u, value,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ), per AS (
+              SELECT u AS "user",
+                     (1767225600 - max(ts_s))::BIGINT AS recency_s,
+                     count(*)::BIGINT AS frequency,
+                     sum((value::DECIMAL(28,6) * 1000000)::BIGINT)::BIGINT
+                       AS monetary_micros
+              FROM ev GROUP BY u
+            ), scored AS (
+              SELECT "user", recency_s, frequency, monetary_micros,
+                     (6 - ntile(5) OVER (ORDER BY recency_s, "user"))::INT
+                       AS r_score,
+                     ntile(5) OVER (ORDER BY frequency, "user")::INT
+                       AS f_score,
+                     ntile(5) OVER (ORDER BY monetary_micros, "user")::INT
+                       AS m_score
+              FROM per
+            )
+            SELECT "user", recency_s, frequency, monetary_micros,
+                   r_score, f_score, m_score,
+                   (r_score::VARCHAR || '-' || f_score::VARCHAR || '-'
+                    || m_score::VARCHAR) AS segment
+            FROM scored
+        """,
         "attribution_decay": """
             WITH ev AS (
               SELECT event_id, user_id, event_type,
@@ -4232,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "histogram_rollup": q_histogram_rollup,
         "attribution_decay": q_attribution_decay,
+        "rfm_scores": q_rfm_scores,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

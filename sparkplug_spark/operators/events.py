@@ -29,6 +29,7 @@ __all__ = [
     "attribution_counts",
     "densify_time_series",
     "throttle_events",
+    "rfm_scores",
 ]
 
 
@@ -734,3 +735,100 @@ def user_activity_profile(
             ).alias("value_micros")
         )
     return spread(df).groupBy(F.col(user_col).alias("user_id")).agg(*aggs)
+
+
+def rfm_scores(
+    df: DataFrame,
+    asof: str,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring: one row per
+    user with the three raw metrics as exact integers and each scored
+    1..``n_tiles`` by exact global quantile rank (5 = best under the
+    default 5 tiles):
+
+    - ``recency_s`` BIGINT — seconds from the user's last event to
+      ``asof`` (an ISO timestamp literal; passing it explicitly keeps the
+      result reproducible — "now" is not a deterministic input)
+    - ``frequency`` BIGINT — event count
+    - ``monetary_micros`` BIGINT — Σ value in exact micros
+      (``DECIMAL(28,6)`` path, engine-lossless)
+    - ``r_score``/``f_score``/``m_score`` INT, ``segment`` VARCHAR (e.g.
+      ``'5-4-5'``)
+
+    Tiles follow SQL-standard ``ntile`` semantics exactly (first ``N mod
+    n`` tiles take the extra rows) but are computed from
+    :func:`~..partitioning.global_row_numbers` — the range-distributed
+    exact rank — NOT a single-partition ``ntile()`` window, so the scoring
+    holds at any user count.  Tie-breaks: every ordering ends on the user
+    id, so both engines rank identically.
+
+    Plan: one map-side-combined per-user aggregate, then three
+    range-partitioned rank passes over the USER table (users ≪ events);
+    each pass pins its sort with the caching contract and releases it."""
+    from ..partitioning import global_row_numbers
+
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    ts_s = _epoch_s(df, time_col)
+    asof_s = F.unix_timestamp(F.lit(asof).cast("timestamp"))
+    per = df.groupBy(F.col(user_col).alias("user")).agg(
+        (F.max(asof_s) - F.max(ts_s)).cast("long").alias("recency_s"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            (F.col(value_col).cast("decimal(28,6)") * F.lit(1000000)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("monetary_micros"),
+    )
+
+    def tile_of(rn: str, n_total: str) -> F.Column:
+        # SQL-standard ntile from an exact rank: q = N div n, r = N mod n;
+        # the first r tiles hold q+1 rows
+        n = F.lit(int(n_tiles))
+        q = F.expr(f"{n_total} div {int(n_tiles)}")
+        r = F.col(n_total) % n
+        boundary = r * (q + 1)
+        return (
+            F.when(q == 0, F.col(rn))
+            .when(
+                F.col(rn) <= boundary,
+                (F.col(rn) - 1) / (q + 1) + 1,
+            )
+            .otherwise(r + (F.col(rn) - boundary - 1) / q + 1)
+        )
+
+    out = per
+    specs = [
+        # (metric asc-order column, rank name, score name, invert?)
+        (["recency_s", "user"], "__rn_r", "r_score", True),
+        (["frequency", "user"], "__rn_f", "f_score", False),
+        (["monetary_micros", "user"], "__rn_m", "m_score", False),
+    ]
+    for order, rn, _, _ in specs:
+        out = global_row_numbers(out, order, rn_col=rn)
+    n_total = out.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+    out = out.crossJoin(F.broadcast(n_total))
+    for _, rn, score, invert in specs:
+        tile = F.floor(tile_of(rn, "__N")).cast("int")
+        out = out.withColumn(
+            score,
+            (F.lit(int(n_tiles)) + 1 - tile) if invert else tile,
+        )
+    return out.select(
+        "user",
+        "recency_s",
+        "frequency",
+        "monetary_micros",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread"]
+__all__ = ["spread", "global_row_numbers"]
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -41,3 +41,65 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols,
+    rn_col: str = "row_num",
+    release: bool = True,
+) -> DataFrame:
+    """Exact 1-based global row numbers in ``order_cols`` order WITHOUT a
+    single-partition window: range-repartition on the order key, number
+    rows within each sorted partition, and add per-partition offsets
+    computed from a partition-count side job (#partitions rows on the
+    driver — bounded by cluster size, never by data).
+
+    The caller must make ``order_cols`` a TOTAL order (append a unique id
+    as tiebreak) — equal keys can straddle a range boundary, making their
+    relative numbering partition-dependent otherwise.
+
+    This is the scalable twin of ``row_number() OVER (ORDER BY ...)``
+    (which Spark executes on ONE partition): same result, but the sort
+    stays range-distributed, so it holds at any row count.  Costs one
+    extra count job over the sorted data; the sorted frame is persisted
+    for the two passes and released on return (``caching`` contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .caching import materialize_release
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    spark = df.sparkSession
+    parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    sorted_df = (
+        df.repartitionByRange(int(parts), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    # side job: rows per range partition -> driver (#partitions rows)
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in sorted_df.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    out = (
+        sorted_df.join(off_df, "__pid")
+        .withColumn(
+            rn_col, (F.row_number().over(w) + F.col("__off")).cast("long")
+        )
+        .drop("__pid", "__off")
+    )
+    return materialize_release(out, sorted_df, release=release)

@@ -210,3 +210,93 @@ class TestDecayAttribution:
     def test_no_touch_user_credited_none(self, spark):
         rows = [(1, _ts(10), 1, "buy", 0.0)]
         assert self._run(spark, rows) == {"(none)": 1_000_000}
+
+
+class TestRfmScores:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def test_metrics_exact(self, spark):
+        rows = [
+            (1, _ts(0), 1, "x", 2.5),
+            (2, _ts(100), 1, "x", 1.5),
+            (3, _ts(50), 2, "x", 10.0),
+        ]
+        from sparkplug_spark.operators import rfm_scores
+
+        out = {
+            r["user"]: r
+            for r in rfm_scores(
+                self._df(spark, rows), asof="2024-01-01 00:10:00"
+            ).collect()
+        }
+        # asof = t+600s
+        assert out[1]["recency_s"] == 500 and out[2]["recency_s"] == 550
+        assert out[1]["frequency"] == 2 and out[2]["frequency"] == 1
+        assert out[1]["monetary_micros"] == 4_000_000
+        assert out[2]["monetary_micros"] == 10_000_000
+        assert out[1]["segment"] == "-".join(
+            map(str, (out[1]["r_score"], out[1]["f_score"], out[1]["m_score"]))
+        )
+
+    def test_tiles_match_spark_ntile(self, spark):
+        import random
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from sparkplug_spark.operators import rfm_scores
+
+        rng = random.Random(23)
+        rows, eid = [], 0
+        for u in range(23):  # N not divisible by 5: remainder rule matters
+            for _ in range(rng.randint(1, 5)):
+                rows.append(
+                    (eid, _ts(rng.randint(0, 10**6)), u, "x", rng.uniform(0, 9))
+                )
+                eid += 1
+        df = self._df(spark, rows)
+        out = {
+            r["user"]: (r["r_score"], r["f_score"], r["m_score"])
+            for r in rfm_scores(df, asof="2024-03-01 00:00:00").collect()
+        }
+        per = df.groupBy("user_id").agg(
+            (
+                F.unix_timestamp(F.lit("2024-03-01 00:00:00").cast("timestamp"))
+                - F.max(F.col("ts").cast("long"))
+            ).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                (F.col("value").cast("decimal(28,6)") * 1000000).cast("long")
+            ).alias("m"),
+        )
+        twin = {
+            r["user_id"]: (r["rs"], r["fs"], r["ms"])
+            for r in per.select(
+                "user_id",
+                (6 - F.ntile(5).over(Window.orderBy("r", "user_id"))).alias("rs"),
+                F.ntile(5).over(Window.orderBy("f", "user_id")).alias("fs"),
+                F.ntile(5).over(Window.orderBy("m", "user_id")).alias("ms"),
+            ).collect()
+        }
+        assert out == twin
+
+    def test_fewer_users_than_tiles(self, spark):
+        from sparkplug_spark.operators import rfm_scores
+
+        rows = [(1, _ts(0), 1, "x", 1.0), (2, _ts(10), 2, "x", 2.0)]
+        out = {
+            r["user"]: r["m_score"]
+            for r in rfm_scores(
+                self._df(spark, rows), asof="2024-01-02 00:00:00"
+            ).collect()
+        }
+        # N=2 < 5 tiles: tile == rank
+        assert out == {1: 1, 2: 2}
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import rfm_scores
+
+        with _pytest.raises(ValueError):
+            rfm_scores(self._df(spark, []), asof="2024-01-01 00:00:00", n_tiles=0)
