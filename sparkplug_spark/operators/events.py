@@ -30,6 +30,7 @@ __all__ = [
     "densify_time_series",
     "throttle_events",
     "rfm_scores",
+    "cohort_ltv",
 ]
 
 
@@ -831,4 +832,80 @@ def rfm_scores(
         F.concat_ws(
             "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    period_seconds: int = 7 * 86400,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort lifetime-value curves: revenue per (acquisition cohort,
+    period offset), cumulative, and per-acquired-user — the monetary
+    companion of :func:`retention_cohorts` (same epoch-period integer
+    cohorting, no calendar ambiguity).
+
+    Output, one row per observed (cohort_period, period_offset):
+
+    - ``revenue_micros`` BIGINT — Σ value that cohort spent in that
+      period (exact DECIMAL(28,6)→micros path)
+    - ``cum_revenue_micros`` BIGINT — running total over the cohort's
+      offsets so far
+    - ``n_users`` BIGINT — cohort size (users acquired in the cohort
+      period; constant per cohort)
+    - ``cum_ltv_per_user_micros`` BIGINT — ``cum_revenue div n_users``:
+      the LTV curve value marketers chart
+
+    Plan: per-user first period (one user-key agg), re-join on the same
+    key, map-side-combined (cohort, offset) revenue cells, then the
+    cumulative window runs over the CELL table (cohorts × offsets rows —
+    tiny at any scale); cohort sizes ride a broadcast join."""
+    period = F.floor(_epoch_s(df, time_col) / F.lit(period_seconds)).cast(
+        "long"
+    )
+    micros = (F.col(value_col).cast("decimal(28,6)") * F.lit(1000000)).cast(
+        "long"
+    )
+    ev = df.select(
+        F.col(user_col).alias("u"), period.alias("p"), micros.alias("m")
+    )
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    joined = ev.join(first, "u").select(
+        "u",
+        "cohort_period",
+        (F.col("p") - F.col("cohort_period")).alias("period_offset"),
+        "m",
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("period_offset") <= max_offset)
+    cells = joined.groupBy("cohort_period", "period_offset").agg(
+        F.sum("m").cast("long").alias("revenue_micros")
+    )
+    sizes = first.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    wc = (
+        Window.partitionBy("cohort_period")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn(
+            "cum_revenue_micros",
+            F.sum("revenue_micros").over(wc).cast("long"),
+        )
+        .join(F.broadcast(sizes), "cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "revenue_micros",
+            "cum_revenue_micros",
+            "n_users",
+            F.expr("cum_revenue_micros div n_users")
+            .cast("long")
+            .alias("cum_ltv_per_user_micros"),
+        )
     )

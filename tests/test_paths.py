@@ -300,3 +300,48 @@ class TestRfmScores:
 
         with _pytest.raises(ValueError):
             rfm_scores(self._df(spark, []), asof="2024-01-01 00:00:00", n_tiles=0)
+
+
+class TestCohortLtv:
+    def test_curve_math(self, spark):
+        from sparkplug_spark.operators import cohort_ltv
+
+        P = 100  # period seconds
+        rows = [
+            # cohort 0: users 1,2 acquired in period 0
+            (1, _ts(10), 1, "x", 2.0),     # p0, rev 2
+            (2, _ts(150), 1, "x", 4.0),    # p1, rev 4
+            (3, _ts(20), 2, "x", 6.0),     # p0, rev 6
+            # cohort 2: user 3 acquired in period 2
+            (4, _ts(250), 3, "x", 10.0),   # p2 offset 0
+            (5, _ts(460), 3, "x", 1.0),    # p4 offset 2
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            (r["cohort_period"], r["period_offset"]): (
+                r["revenue_micros"],
+                r["cum_revenue_micros"],
+                r["n_users"],
+                r["cum_ltv_per_user_micros"],
+            )
+            for r in cohort_ltv(ev, period_seconds=P).collect()
+        }
+        base = _ts(0).timestamp() // P  # epoch-period of the fixture day
+        c0, c2 = base, base + 2
+        assert out[(c0, 0)] == (8_000_000, 8_000_000, 2, 4_000_000)
+        assert out[(c0, 1)] == (4_000_000, 12_000_000, 2, 6_000_000)
+        assert out[(c2, 0)] == (10_000_000, 10_000_000, 1, 10_000_000)
+        # gap at offset 1: cumulative carries over observed offsets
+        assert out[(c2, 2)] == (1_000_000, 11_000_000, 1, 11_000_000)
+        assert len(out) == 4
+
+    def test_max_offset_truncates(self, spark):
+        from sparkplug_spark.operators import cohort_ltv
+
+        rows = [
+            (1, _ts(0), 1, "x", 1.0),
+            (2, _ts(1000), 1, "x", 1.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = cohort_ltv(ev, period_seconds=100, max_offset=5).collect()
+        assert {r["period_offset"] for r in out} == {0}

@@ -163,3 +163,44 @@ def test_blocked_link_twin(spark, seed):
                 if dist <= d:
                     want[(ia, ib)] = dist
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [6, 37])
+def test_windowed_funnel_twin(spark, seed):
+    from sparkplug_spark.operators import funnel_counts
+
+    rng = random.Random(seed)
+    steps, w = ["a", "b", "c"], 900
+    rows = _events(rng, n_users=10, n_events=200, max_gap=1500)
+    # restrict types to the funnel alphabet + noise
+    rows = [
+        (i, ts, u, rng.choice(["a", "b", "c", "z"]), v)
+        for (i, ts, u, _, v) in rows
+    ]
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            spark.createDataFrame(rows, EVENT_SCHEMA),
+            steps,
+            within_seconds=w,
+        ).collect()
+    }
+    # brute-force model: valid_k = step-k events with SOME valid step-(k-1)
+    # event in [t-w, t)
+    per_user = defaultdict(list)
+    for i, ts, u, t, _ in rows:
+        per_user[u].append((int(ts.timestamp()), t))
+    want = {s: 0 for s in steps}
+    for seq in per_user.values():
+        valid = {0: [t for t, e in seq if e == steps[0]]}
+        for k in range(1, len(steps)):
+            valid[k] = [
+                t
+                for t, e in seq
+                if e == steps[k]
+                and any(t - w <= p < t for p in valid[k - 1])
+            ]
+        for k, s in enumerate(steps):
+            if valid[k]:
+                want[s] += 1
+    assert got == want
