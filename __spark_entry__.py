@@ -1604,6 +1604,17 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paths to purchase: per 30-min session containing a purchase, the
+    up-to-5 steps ENDING at its first purchase, counted (support >= 2)."""
+    from sparkplug_spark.operators import session_paths
+
+    ev = read_events(spark, sf_dir)
+    return session_paths(
+        ev, gap_seconds=1800, max_steps=5, min_sessions=2, end_at="purchase"
+    )
+
+
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cohort LTV curves over the event log: revenue per
     (acquisition cohort, day offset), cumulative, and per acquired
@@ -3818,6 +3829,45 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "conversion_paths": """
+            WITH ev AS (
+              SELECT user_id, event_id, event_type,
+                     ((epoch_ns(ts) // 1000) // 1000000)::BIGINT AS ts_s
+              FROM events
+            ), brk AS (
+              SELECT user_id, event_id, event_type, ts_s,
+                     CASE WHEN lag(ts_s) OVER w IS NULL
+                            OR ts_s - lag(ts_s) OVER w > 1800
+                          THEN 1 ELSE 0 END AS b
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+            ), sess AS (
+              SELECT user_id, event_id, event_type, ts_s,
+                     sum(b) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sid
+              FROM brk
+            ), numbered AS (
+              SELECT user_id, sid, event_type,
+                     row_number() OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts_s, event_id) AS rn
+              FROM sess
+            ), anchored AS (
+              SELECT *,
+                     min(CASE WHEN event_type = 'purchase' THEN rn END)
+                       OVER (PARTITION BY user_id, sid) AS end_rn
+              FROM numbered
+            ), p AS (
+              SELECT array_to_string(
+                       list(event_type ORDER BY rn), '>') AS path
+              FROM anchored
+              WHERE end_rn IS NOT NULL
+                AND rn <= end_rn AND rn > end_rn - 5
+              GROUP BY user_id, sid
+            )
+            SELECT path, count(*)::BIGINT AS n_sessions
+            FROM p GROUP BY path HAVING count(*) >= 2
+        """,
         "cohort_ltv": """
             WITH ev AS (
               SELECT user_id AS u,
@@ -4317,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_decay": q_attribution_decay,
         "rfm_scores": q_rfm_scores,
         "cohort_ltv": q_cohort_ltv,
+        "conversion_paths": q_conversion_paths,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

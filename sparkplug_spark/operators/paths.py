@@ -95,6 +95,7 @@ def session_paths(
     time_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    end_at: str | None = None,
 ) -> DataFrame:
     """Top session journeys: sessionize by inactivity gap (same
     second-precision break rule as ``events.sessionize``), render each
@@ -109,11 +110,19 @@ def session_paths(
     engine-exact (ties at the same second diff to 0 and never break a
     session; the id tiebreak fixes their relative path order).
 
-    Scale: the step filter (``rn <= max_steps``) runs BEFORE any
-    aggregation, so a runaway session contributes at most ``max_steps``
-    narrow rows to the path build; the support floor bounds the result.
-    Two window passes share the (user) / (user, session) key family and
-    the path count is a map-side-combined agg on the path string."""
+    ``end_at`` switches to CONVERSION-PATH mode: only sessions
+    containing that event type count, and each contributes the (up to
+    ``max_steps``) steps ENDING at its first ``end_at`` occurrence — the
+    immediate prefix marketers read as "the path to purchase" (a
+    first-k-steps cap would drop the conversion terminal whenever it
+    falls late in a long session).
+
+    Scale: the step filter (``rn <= max_steps``, or the end-anchored
+    band) runs BEFORE any aggregation, so a runaway session contributes
+    at most ``max_steps`` narrow rows to the path build; the support
+    floor bounds the result.  Two window passes share the (user) /
+    (user, session) key family and the path count is a map-side-combined
+    agg on the path string."""
     if max_steps < 1:
         raise ValueError("max_steps must be >= 1")
     ts_s = _epoch_s(df, time_col)
@@ -136,9 +145,23 @@ def session_paths(
         ),
     )
     ws = Window.partitionBy("__u", "__sid").orderBy("__ts_s", "__id")
-    steps = sess.withColumn("__rn", F.row_number().over(ws)).filter(
-        F.col("__rn") <= max_steps
-    )
+    numbered = sess.withColumn("__rn", F.row_number().over(ws))
+    if end_at is None:
+        steps = numbered.filter(F.col("__rn") <= max_steps)
+    else:
+        w_sess = Window.partitionBy("__u", "__sid")
+        end_rn = F.min(
+            F.when(F.col("__t") == end_at, F.col("__rn"))
+        ).over(w_sess)
+        steps = (
+            numbered.withColumn("__end_rn", end_rn)
+            .filter(
+                F.col("__end_rn").isNotNull()
+                & (F.col("__rn") <= F.col("__end_rn"))
+                & (F.col("__rn") > F.col("__end_rn") - max_steps)
+            )
+            .drop("__end_rn")
+        )
     paths = steps.groupBy("__u", "__sid").agg(
         F.concat_ws(
             ">",

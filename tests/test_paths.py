@@ -345,3 +345,37 @@ class TestCohortLtv:
         ev = spark.createDataFrame(rows, EVENT_SCHEMA)
         out = cohort_ltv(ev, period_seconds=100, max_offset=5).collect()
         assert {r["period_offset"] for r in out} == {0}
+
+
+class TestConversionPaths:
+    def test_end_anchored_band(self, spark):
+        from sparkplug_spark.operators import session_paths
+
+        rows = [
+            (i, _ts(i * 10), 1, t, 0.0)
+            for i, t in enumerate(["a", "b", "c", "buy", "d", "buy"])
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            r["path"]: r["n_sessions"]
+            for r in session_paths(
+                ev, min_sessions=1, max_steps=3, end_at="buy"
+            ).collect()
+        }
+        # first 'buy' at step 4: band is steps 2..4; later steps ignored
+        assert out == {"b>c>buy": 1}
+
+    def test_sessions_without_conversion_dropped(self, spark):
+        from sparkplug_spark.operators import session_paths
+
+        rows = [
+            (1, _ts(0), 1, "a", 0.0),
+            (2, _ts(10), 1, "buy", 0.0),
+            (3, _ts(0), 2, "a", 0.0),
+        ]
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            r["path"]: r["n_sessions"]
+            for r in session_paths(ev, min_sessions=1, end_at="buy").collect()
+        }
+        assert out == {"a>buy": 1}
