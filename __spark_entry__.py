@@ -1604,6 +1604,21 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence radius on the co-purchase graph: minimum hops from seed
+    parts {260, 625} within 3 hops - integer-exact iterative BFS,
+    oracle-checked against a recursive SQL CTE."""
+    from sparkplug_spark.operators import basket_pairs, bfs_distances
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    edges = pairs.selectExpr("item_a AS src", "item_b AS dst").unionAll(
+        pairs.selectExpr("item_b AS src", "item_a AS dst")
+    )
+    seeds = spark.createDataFrame([(260,), (625,)], "node long")
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
 def q_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paths to purchase: per 30-min session containing a purchase, the
     up-to-5 steps ENDING at its first purchase, counted (support >= 2)."""
@@ -3829,6 +3844,32 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "bfs_reach": """
+            WITH RECURSIVE bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ), small AS (
+              SELECT * FROM bi
+              WHERE b NOT IN (
+                SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)
+            ), pairs AS (
+              SELECT l.i AS item_a, r.i AS item_b
+              FROM small l JOIN small r USING (b)
+              WHERE l.i < r.i
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ), edges AS (
+              SELECT item_a AS src, item_b AS dst FROM pairs
+              UNION ALL
+              SELECT item_b AS src, item_a AS dst FROM pairs
+            ), walk(node, distance) AS (
+              SELECT x::BIGINT, 0::BIGINT FROM (VALUES (260), (625)) s(x)
+              UNION
+              SELECT e.dst, w.distance + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.distance < 3
+            )
+            SELECT node, min(distance)::BIGINT AS distance
+            FROM walk GROUP BY node
+        """,
         "conversion_paths": """
             WITH ev AS (
               SELECT user_id, event_id, event_type,
@@ -4368,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_scores": q_rfm_scores,
         "cohort_ltv": q_cohort_ltv,
         "conversion_paths": q_conversion_paths,
+        "bfs_reach": q_bfs_reach,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..caching import checkpoint_tracked, unpersist_ids
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "bfs_distances"]
 
 
 def pagerank(
@@ -127,3 +127,67 @@ def pagerank(
         prev_ids = new_ids
     unpersist_ids(spark, w_ids)
     return ranks.select("node", "rank")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from ANY source node to every
+    reachable node within ``max_hops`` — the influence-radius /
+    blast-impact query ("everything within k links of these seeds") that
+    pairs with :func:`pagerank`'s global importance.
+
+    Output: (node, distance BIGINT), distance 0 for the sources
+    themselves.  Hop counts are INTEGER-exact, so unlike PageRank this
+    iterative operator is fully oracle-checkable (a recursive SQL CTE
+    reproduces it bit-for-bit).
+
+    Plan: classic frontier iteration — join the (shrinking) frontier to
+    the src-partitioned checkpointed edge list, anti-join out nodes
+    already visited, checkpoint the new frontier and release the old one
+    (the CC/PageRank lineage discipline).  Each round shuffles only
+    frontier-sized data; the loop exits EARLY via a cheap ``isEmpty`` on
+    the checkpointed frontier when the graph is exhausted before
+    ``max_hops``."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().repartition("src")
+    e, e_ids = checkpoint_tracked(e, reliable=reliable_checkpoint)
+    frontier = sources.select(F.col(node_col).alias("node")).distinct()
+    frontier, f_ids = checkpoint_tracked(
+        frontier, reliable=reliable_checkpoint
+    )
+    visited = frontier.withColumn("distance", F.lit(0).cast("long"))
+    visited, v_ids = checkpoint_tracked(visited, reliable=reliable_checkpoint)
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt, n_ids = checkpoint_tracked(nxt, reliable=reliable_checkpoint)
+        unpersist_ids(spark, f_ids)
+        frontier, f_ids = nxt, n_ids
+        new_visited = visited.unionByName(
+            frontier.withColumn("distance", F.lit(hop).cast("long"))
+        )
+        new_visited, nv_ids = checkpoint_tracked(
+            new_visited, reliable=reliable_checkpoint
+        )
+        unpersist_ids(spark, v_ids)
+        visited, v_ids = new_visited, nv_ids
+    unpersist_ids(spark, e_ids)
+    unpersist_ids(spark, f_ids)
+    return visited

@@ -102,3 +102,46 @@ class TestCompressionSignals:
         df = spark.createDataFrame([(1, "abc", "web")], "doc_id long, text string, source string")
         row = compression_signals(df).collect()[0]
         assert row["source"] == "web"
+
+
+class TestBfsDistances:
+    def _run(self, spark, edges, seeds, **kw):
+        from sparkplug_spark.operators import bfs_distances
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r["node"]: r["distance"]
+            for r in bfs_distances(e, s, **kw).collect()
+        }
+
+    def test_min_hops_from_any_source(self, spark):
+        edges = [(1, 2), (2, 3), (3, 4), (10, 3)]
+        out = self._run(spark, edges, [1, 10], max_hops=5)
+        # 3 is 1 hop from 10 (not 2 hops via 1->2->3)
+        assert out == {1: 0, 10: 0, 2: 1, 3: 1, 4: 2}
+
+    def test_max_hops_truncates(self, spark):
+        edges = [(1, 2), (2, 3), (3, 4)]
+        out = self._run(spark, edges, [1], max_hops=2)
+        assert out == {1: 0, 2: 1, 3: 2}
+
+    def test_directed(self, spark):
+        edges = [(2, 1)]
+        out = self._run(spark, edges, [1], max_hops=3)
+        assert out == {1: 0}  # no out-edge from 1
+
+    def test_cycle_terminates_early(self, spark):
+        edges = [(1, 2), (2, 1)]
+        out = self._run(spark, edges, [1], max_hops=50)
+        assert out == {1: 0, 2: 1}
+
+    def test_isolated_source_kept(self, spark):
+        out = self._run(spark, [(5, 6)], [99], max_hops=3)
+        assert out == {99: 0}
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(spark, [(1, 2)], [1], max_hops=-1)
