@@ -1758,6 +1758,23 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-tokenizer budget counts: BPE merges trained driver-side on
+    a bounded corpus sample (deterministic, lexicographic tie-break),
+    applied distributed via one Arrow pass. No BPE in SQL -> rows-only;
+    independent-reference twin in tests/test_bpe.py."""
+    from sparkplug_spark.operators import apply_bpe, train_bpe_merges
+
+    docs = _read(spark, sf_dir, "documents")
+    cache = _table_cache(spark)
+    key = (sf_dir, "bpe:merges")
+    merges = cache.get(key)
+    if merges is None:
+        merges = train_bpe_merges(docs, n_merges=200, sample_docs=500)
+        cache[key] = merges
+    return apply_bpe(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table: cluster
     with the bounded-sample spherical-kmeans quantizer, then greedily
@@ -4423,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_quality": q_compress_quality,
         "distinct_rollup": q_distinct_rollup,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
