@@ -42,7 +42,10 @@ def basket_pairs(
     - ``lift_ppm`` BIGINT — ``n_ab · N_baskets · 1_000_000 div
       (n_a · n_b)``: the observed-vs-independent co-occurrence ratio in
       exact truncating integer ppm (1_000_000 = independent); engine-
-      exact, no float division
+      exact, no float division.  Overflow headroom: the numerator needs
+      ``n_ab · N_baskets < 9.2·10¹²`` (then ·10⁶ < 2⁶³) — ample for
+      retail-shaped data (a pair in 10³ baskets of a 10⁹-basket corpus);
+      corpora beyond that should rescale to per-mille before calling
 
     Duplicate (basket, item) rows count once.  Baskets with more than
     ``max_basket_size`` distinct items are excluded from PAIR generation

@@ -49,7 +49,11 @@ def event_transitions(
     - ``avg_gap_us`` BIGINT — mean microseconds between the two events'
       epoch seconds, as the exact truncating ``gap_sum * 1_000_000 div
       n`` (integer math, engine-exact — a 6dp DOUBLE mean could tie at
-      the rounding digit for small-denominator rationals)
+      the rounding digit for small-denominator rationals).  Computed in
+      the decomposed form ``(s div n)·10⁶ + (s mod n)·10⁶ div n`` —
+      algebraically identical, but the intermediate never exceeds
+      ``n·10⁶`` instead of ``gap_sum·10⁶``, so it stays overflow-free to
+      ~9·10¹² transitions per pair at ANY gap magnitude
 
     Plan: one hash shuffle on the user key feeds the lead window; the
     pair aggregation is map-side combined; the per-source total is a
@@ -80,7 +84,10 @@ def event_transitions(
         F.expr("n_transitions * 1000000 div __src_total")
         .cast("long")
         .alias("p_ppm"),
-        F.expr("__gap_sum * 1000000 div n_transitions")
+        F.expr(
+            "(__gap_sum div n_transitions) * 1000000"
+            " + ((__gap_sum % n_transitions) * 1000000) div n_transitions"
+        )
         .cast("long")
         .alias("avg_gap_us"),
     )
