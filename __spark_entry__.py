@@ -1758,6 +1758,25 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic screening: day-0 store (centroids + kept
+    reps) from the first 400 embeddings, then the remaining 100 screened
+    against it - the semantic tier of the incremental-ingestion family.
+    K-means-seeded -> rows-only; contracts in tests/test_semantic_dedup.py."""
+    from sparkplug_spark.operators import (
+        build_semantic_store,
+        semantic_dedup_against,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    centroids, kept = build_semantic_store(
+        corpus, threshold=0.45, num_clusters=8
+    )
+    return semantic_dedup_against(batch, centroids, kept, threshold=0.45)
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-tokenizer budget counts: BPE merges trained driver-side on
     a bounded corpus sample (deterministic, lexicographic tie-break),
@@ -4441,6 +4460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup": q_distinct_rollup,
         "semantic_dedup": q_semantic_dedup,
         "bpe_token_counts": q_bpe_token_counts,
+        "semantic_dedup_incr": q_semantic_dedup_incr,
     }
 
 

@@ -72,6 +72,31 @@ def main() -> None:
     print("after decontam:    ", clean.count())
     print("after quality:     ", kept.count())
 
+    # ---- semantic tier: embeddings screened vs stored representatives --
+    from sparkplug_spark.operators import (
+        build_semantic_store,
+        semantic_dedup_against,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    centroids, reps = build_semantic_store(
+        emb.filter(F.col("vec_id") % 2 == 0), threshold=0.45, num_clusters=8
+    )
+    centroids.write.mode("overwrite").parquet(f"{store}/sem_centroids")
+    reps.write.mode("overwrite").parquet(f"{store}/sem_reps")
+    sem = semantic_dedup_against(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        spark.read.parquet(f"{store}/sem_centroids"),
+        spark.read.parquet(f"{store}/sem_reps"),
+        threshold=0.45,
+    )
+    print(
+        "semantic near-dups:",
+        sem.filter(F.col("is_near_dup")).count(),
+        "of",
+        sem.count(),
+    )
+
     # ---- change tracking: what did day N change, and version it --------
     from sparkplug_spark.operators import scd2_merge, snapshot_diff
 

@@ -40,6 +40,8 @@ __all__ = [
     "embedding_norms",
     "cluster_profile",
     "semantic_dedup",
+    "build_semantic_store",
+    "semantic_dedup_against",
 ]
 
 
@@ -1078,4 +1080,178 @@ def semantic_dedup(
 
     return assigned.groupBy("cluster").applyInPandas(
         _prune, schema=f"id {id_field}, cluster int, kept boolean"
+    )
+
+
+def build_semantic_store(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_points_per_centroid: int = 128,
+) -> tuple[DataFrame, DataFrame]:
+    """Day-0 artifacts for INCREMENTAL semantic dedup: returns
+    ``(centroids, kept)`` where ``centroids`` is (cluster INT, centroid
+    ARRAY<DOUBLE>) — the trained quantizer, num_clusters rows — and
+    ``kept`` is (cluster, id, vec) for the corpus representatives that
+    survived :func:`semantic_dedup` under the same threshold.  Write both
+    (partition ``kept`` by cluster); later batches screen against them
+    via :func:`semantic_dedup_against` without re-reading corpus
+    vectors."""
+    raw = df.select(F.col(vec_col).alias("cv"))
+    train = raw.limit(max(num_clusters, 1) * train_points_per_centroid)
+    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("build_semantic_store: empty corpus")
+    num_clusters = max(1, min(num_clusters, len(X)))
+    centers = _spherical_lloyd(X, num_clusters, seed)
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in centers[i]]) for i in range(num_clusters)],
+        "cluster int, centroid array<double>",
+    )
+    decisions = semantic_dedup(
+        df,
+        threshold=threshold,
+        num_clusters=num_clusters,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        train_points_per_centroid=train_points_per_centroid,
+    )
+    kept = (
+        decisions.filter(F.col("kept"))
+        .select("id", "cluster")
+        .join(
+            df.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            ),
+            "id",
+        )
+        .select("cluster", "id", "vec")
+    )
+    return centroids, kept
+
+
+def semantic_dedup_against(
+    batch: DataFrame,
+    centroids: DataFrame,
+    kept: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Screen a NEW batch against a stored semantic-dedup state (the
+    semantic tier of the incremental-ingestion family, alongside
+    ``dedup_exact_against`` and ``minhash_lsh_join``): each batch vector
+    is assigned to its stored cluster and flagged when its cosine to ANY
+    stored representative of that cluster reaches ``threshold``.
+
+    Output: (id, cluster INT, is_near_dup BOOLEAN, near_dup_of) —
+    ``near_dup_of`` is the matching stored id with the HIGHEST cosine
+    (ties break on smallest id; NULL when not a near-dup).
+
+    Determinism note: the comparison set is the STORE (fixed), so unlike
+    the batch operator no greedy order is involved — each batch row is
+    judged independently; batch rows are NOT compared to each other
+    (run :func:`semantic_dedup` on the deduped union when intra-batch
+    dups matter).
+
+    Plan: centroids collect driver-side (num_clusters rows) for the
+    Arrow assignment pass; the screen is one cluster-key join feeding a
+    per-cluster ``applyInPandas`` GEMM of batch rows × stored reps —
+    only same-cluster pairs are ever scored."""
+    from ..functions.vectors import _mat
+
+    crows = sorted(
+        ((r["cluster"], r["centroid"]) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    if not crows:
+        raise ValueError("semantic_dedup_against: empty centroid table")
+    C = np.array([c for _, c in crows], dtype=np.float64).T
+    cluster_ids = np.array([i for i, _ in crows], dtype=np.int32)
+    thr = float(threshold)
+
+    @F.pandas_udf("int")
+    def assign(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        m = _mat(x)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(cluster_ids[np.argmax((m / n[:, None]) @ C, axis=1)])
+
+    b = spread(batch).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("cv"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    reps = kept.select(
+        "cluster",
+        F.col("id").alias("__rep_id"),
+        F.col("vec").alias("__rep_vec"),
+        F.lit(False).alias("__is_batch"),
+    )
+    both = b.select(
+        "cluster",
+        F.col("id").alias("__rep_id"),
+        F.col("cv").alias("__rep_vec"),
+        F.lit(True).alias("__is_batch"),
+    ).unionByName(reps)
+    id_field = batch.schema[id_col].dataType.simpleString()
+
+    def _screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        bat = pdf[pdf["__is_batch"]]
+        rep = pdf[~pdf["__is_batch"]]
+        if len(bat) == 0:
+            return pd.DataFrame(
+                {"id": [], "cluster": [], "is_near_dup": [], "near_dup_of": []}
+            ).astype({"cluster": "int32", "is_near_dup": "bool"})
+        if len(rep) == 0:
+            return pd.DataFrame(
+                {
+                    "id": bat["__rep_id"],
+                    "cluster": bat["cluster"],
+                    "is_near_dup": False,
+                    "near_dup_of": None,
+                }
+            )
+        B = _mat(bat["__rep_vec"])
+        R = _mat(rep["__rep_vec"])
+
+        def _norm(m):
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            return m / n[:, None]
+
+        # ties on max cosine break to the smallest rep id: sort reps by id
+        # and use the FIRST argmax
+        order = np.argsort(rep["__rep_id"].to_numpy(), kind="mergesort")
+        R = R[order]
+        rep_ids = rep["__rep_id"].to_numpy()[order]
+        S = _norm(B) @ _norm(R).T
+        best = np.argmax(S, axis=1)
+        best_cos = S[np.arange(len(B)), best]
+        hit = best_cos >= thr
+        return pd.DataFrame(
+            {
+                "id": bat["__rep_id"].to_numpy(),
+                "cluster": bat["cluster"].to_numpy(),
+                "is_near_dup": hit,
+                "near_dup_of": [
+                    rep_ids[b_] if h else None
+                    for b_, h in zip(best, hit)
+                ],
+            }
+        )
+
+    return both.groupBy("cluster").applyInPandas(
+        _screen,
+        schema=(
+            f"id {id_field}, cluster int, is_near_dup boolean,"
+            f" near_dup_of {id_field}"
+        ),
     )

@@ -92,3 +92,81 @@ class TestSemanticDedup:
             semantic_dedup(df, threshold=-2.0)
         with pytest.raises(ValueError):
             semantic_dedup(df, num_clusters=0)
+
+
+class TestIncrementalSemanticDedup:
+    def test_store_roundtrip_and_screen(self, spark, tmp_path):
+        import numpy as np
+
+        from sparkplug_spark.operators import (
+            build_semantic_store,
+            semantic_dedup_against,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.0, 1.0, 0.0]),
+                (3, [0.99, 0.1, 0.0]),  # near-dup of 1, dropped from kept
+            ],
+            SCHEMA,
+        )
+        centroids, kept = build_semantic_store(
+            corpus, threshold=0.95, num_clusters=2, seed=3
+        )
+        cpath, kpath = str(tmp_path / "cent"), str(tmp_path / "kept")
+        centroids.write.parquet(cpath)
+        kept.write.parquet(kpath)
+        centroids2 = spark.read.parquet(cpath)
+        kept2 = spark.read.parquet(kpath)
+        # batch: one near-dup of vector 1, one novel direction
+        batch = spark.createDataFrame(
+            [(10, [0.995, 0.05, 0.0]), (11, [0.0, 0.0, 1.0])], SCHEMA
+        )
+        out = {
+            r["id"]: (r["is_near_dup"], r["near_dup_of"])
+            for r in semantic_dedup_against(
+                batch, centroids2, kept2, threshold=0.95
+            ).collect()
+        }
+        assert out[10] == (True, 1)
+        assert out[11] == (False, None)
+
+    def test_batch_rows_not_compared_to_each_other(self, spark):
+        from sparkplug_spark.operators import (
+            build_semantic_store,
+            semantic_dedup_against,
+        )
+
+        corpus = spark.createDataFrame([(1, [0.0, 1.0])], SCHEMA)
+        centroids, kept = build_semantic_store(corpus, num_clusters=1)
+        batch = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [1.0, 0.0])], SCHEMA  # mutual dups
+        )
+        out = semantic_dedup_against(batch, centroids, kept, threshold=0.9)
+        assert all(not r["is_near_dup"] for r in out.collect())
+
+    def test_tie_breaks_to_smallest_rep_id(self, spark):
+        from sparkplug_spark.operators import semantic_dedup_against
+
+        centroids = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "cluster int, centroid array<double>"
+        )
+        kept = spark.createDataFrame(
+            [(0, 7, [1.0, 0.0]), (0, 3, [1.0, 0.0])],
+            "cluster int, id long, vec array<float>",
+        )
+        batch = spark.createDataFrame([(99, [1.0, 0.0])], SCHEMA)
+        [r] = semantic_dedup_against(batch, centroids, kept, threshold=0.9).collect()
+        assert (r["is_near_dup"], r["near_dup_of"]) == (True, 3)
+
+    def test_empty_centroids_rejected(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import semantic_dedup_against
+
+        empty_c = spark.createDataFrame([], "cluster int, centroid array<double>")
+        kept = spark.createDataFrame([], "cluster int, id long, vec array<float>")
+        batch = spark.createDataFrame([(1, [1.0])], SCHEMA)
+        with _pytest.raises(ValueError):
+            semantic_dedup_against(batch, empty_c, kept)
