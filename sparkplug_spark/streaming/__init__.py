@@ -35,6 +35,7 @@ __all__ = [
     "stream_stream_join",
     "streaming_distinct_sketches",
     "streaming_histogram_sketches",
+    "streaming_semantic_flags",
 ]
 
 
@@ -495,5 +496,40 @@ def streaming_histogram_sketches(
         else:
             merged = batch_sk
         _swap_publish(merged, spark, store_path)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_semantic_flags(
+    stream_df: DataFrame,
+    centroids: DataFrame,
+    kept: DataFrame,
+    sink,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Semantic near-dup screening as a stream: run
+    :func:`~..operators.similarity.semantic_dedup_against` on every
+    micro-batch against the STATIC stored centroid/representative tables
+    and hand the flagged batch to ``sink(df, batch_id)`` — the embedding
+    sibling of :func:`streaming_near_dup_flags`, same foreachBatch
+    rationale (the per-batch pipeline needs a grouped applyInPandas the
+    streaming planner can't express statefully, and the store must stay
+    a static scan).  Returns the ``DataStreamWriter``."""
+    from ..operators.similarity import semantic_dedup_against
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            semantic_dedup_against(
+                batch_df,
+                centroids,
+                kept,
+                threshold=threshold,
+                vec_col=vec_col,
+                id_col=id_col,
+            ),
+            batch_id,
+        )
 
     return stream_df.writeStream.foreachBatch(_process)

@@ -170,3 +170,37 @@ class TestIncrementalSemanticDedup:
         batch = spark.createDataFrame([(1, [1.0])], SCHEMA)
         with _pytest.raises(ValueError):
             semantic_dedup_against(batch, empty_c, kept)
+
+
+class TestStreamingSemanticFlags:
+    def test_stream_foreachbatch(self, spark, tmp_path):
+        from sparkplug_spark.operators import build_semantic_store
+        from sparkplug_spark.streaming import streaming_semantic_flags
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], SCHEMA
+        )
+        centroids, kept = build_semantic_store(
+            corpus, threshold=0.95, num_clusters=2
+        )
+        src = str(tmp_path / "sem_src")
+        spark.createDataFrame(
+            [(10, [0.999, 0.01]), (11, [0.7, -0.7])], SCHEMA
+        ).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        got = {}
+
+        def sink(df, batch_id):
+            for r in df.collect():
+                got[r["id"]] = (r["is_near_dup"], r["near_dup_of"])
+
+        q = (
+            streaming_semantic_flags(stream, centroids, kept, sink, threshold=0.95)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert got[10] == (True, 1)
+        assert got[11] == (False, None)
