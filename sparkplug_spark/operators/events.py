@@ -92,6 +92,7 @@ def funnel_counts(
     user_col: str = "user_id",
     time_col: str = "ts",
     type_col: str = "event_type",
+    *,
     within_seconds: int | None = None,
     release: bool = True,
 ) -> DataFrame:
@@ -811,8 +812,20 @@ def rfm_scores(
         (["frequency", "user"], "__rn_f", "f_score", False),
         (["monetary_micros", "user"], "__rn_m", "m_score", False),
     ]
+    # each rank pass localCheckpoints its output; once pass N+1 has
+    # materialized, pass N's blocks are dead weight — free them (the
+    # caching invariant: never leak intermediate checkpoint generations;
+    # the LAST pass's blocks back the returned DataFrame and stay)
+    from ..caching import _persistent_ids, unpersist_ids
+
+    spark = df.sparkSession
+    prev_ids: set[int] = set()
     for order, rn, _, _ in specs:
+        before = _persistent_ids(spark)
         out = global_row_numbers(out, order, rn_col=rn)
+        new_ids = _persistent_ids(spark) - before
+        unpersist_ids(spark, prev_ids)
+        prev_ids = new_ids
     n_total = out.agg(F.count(F.lit(1)).cast("long").alias("__N"))
     out = out.crossJoin(F.broadcast(n_total))
     for _, rn, score, invert in specs:

@@ -91,13 +91,16 @@ def pagerank(
     ranks, prev_ids = checkpoint_tracked(base, reliable=reliable_checkpoint)
     d = float(damping)
     for _ in range(iterations):
+        # persist: BOTH the dangling aggregate and the stepped join read
+        # contribs — unpersisted, the edge join (the dominant cost) would
+        # run twice per iteration
         contribs = (
             weighted.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
-        )
+        ).persist()
         # rank mass on dangling nodes (no out-edges): 1 - mass that flowed
         dangling = contribs.agg(
             (F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))).alias(
@@ -123,6 +126,7 @@ def pagerank(
         ranks, new_ids = checkpoint_tracked(
             stepped, reliable=reliable_checkpoint
         )
+        contribs.unpersist()  # checkpoint materialized; cache done
         unpersist_ids(spark, prev_ids)
         prev_ids = new_ids
     unpersist_ids(spark, w_ids)

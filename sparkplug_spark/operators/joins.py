@@ -290,14 +290,15 @@ def blocked_link(
     dropped block is a recall trade recorded by the caller's choice of
     key, never an OOM).  Levenshtein runs JVM-side inside codegen on the
     already-filtered candidates."""
+    if not block_cols:
+        raise ValueError("block_cols must be non-empty")
     blocks = [F.col(c) for c in block_cols]
     # struct-keyed join treats NULL fields as equal; SQL equality must not
     # — rows with any NULL block key can never link, so drop them first
-    null_free = df.filter(
-        ~F.array_contains(
-            F.array(*[b.isNull() for b in blocks]), F.lit(True)
-        )
-    )
+    null_free_cond = blocks[0].isNotNull()
+    for b in blocks[1:]:
+        null_free_cond = null_free_cond & b.isNotNull()
+    null_free = df.filter(null_free_cond)
     # three consumers (sizes + join left/right): persist the narrow
     # projection once instead of re-scanning the input per consumer
     base = null_free.select(

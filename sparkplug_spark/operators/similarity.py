@@ -1000,6 +1000,7 @@ def semantic_dedup(
     seed: int = 42,
     train_points_per_centroid: int = 128,
     train_fraction: float | None = None,
+    _centers: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023): assign
     every embedding to a spherical k-means cluster (the same bounded-
@@ -1031,16 +1032,22 @@ def semantic_dedup(
         raise ValueError("threshold must be a cosine in [-1, 1]")
     if num_clusters < 1:
         raise ValueError(f"num_clusters must be >= 1, got {num_clusters}")
-    raw = df.select(F.col(vec_col).alias("cv"))
-    if train_fraction is None:
-        train = raw.limit(num_clusters * train_points_per_centroid)
+    if _centers is not None:
+        # caller (build_semantic_store) already trained the quantizer;
+        # re-training here would both double the cost and risk label/
+        # centroid disagreement if the two samples ever differed
+        centers = _centers
     else:
-        train = raw.sample(train_fraction, seed=seed)
-    X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
-    if len(X) == 0:
-        raise ValueError("semantic_dedup: empty corpus (no training rows)")
-    num_clusters = max(1, min(num_clusters, len(X)))
-    centers = _spherical_lloyd(X, num_clusters, seed)
+        raw = df.select(F.col(vec_col).alias("cv"))
+        if train_fraction is None:
+            train = raw.limit(num_clusters * train_points_per_centroid)
+        else:
+            train = raw.sample(train_fraction, seed=seed)
+        X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
+        if len(X) == 0:
+            raise ValueError("semantic_dedup: empty corpus (no training rows)")
+        num_clusters = max(1, min(num_clusters, len(X)))
+        centers = _spherical_lloyd(X, num_clusters, seed)
     C = centers.T  # (dim, k), unit columns
     thr = float(threshold)
 
@@ -1120,6 +1127,7 @@ def build_semantic_store(
         id_col=id_col,
         seed=seed,
         train_points_per_centroid=train_points_per_centroid,
+        _centers=centers,  # single training: labels match stored geometry
     )
     kept = (
         decisions.filter(F.col("kept"))
@@ -1135,6 +1143,22 @@ def build_semantic_store(
     return centroids, kept
 
 
+def _centroid_matrix(centroids: DataFrame):
+    """Collect a stored centroid table into the (dim×k matrix, cluster-id
+    vector) pair the Arrow assignment pass closes over.  Hoist this when
+    screening MANY batches against one store (the streaming tier does) —
+    the collect and matrix build then happen once, not per micro-batch."""
+    crows = sorted(
+        ((r["cluster"], r["centroid"]) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    if not crows:
+        raise ValueError("semantic_dedup_against: empty centroid table")
+    C = np.array([c for _, c in crows], dtype=np.float64).T
+    cluster_ids = np.array([i for i, _ in crows], dtype=np.int32)
+    return C, cluster_ids
+
+
 def semantic_dedup_against(
     batch: DataFrame,
     centroids: DataFrame,
@@ -1142,6 +1166,7 @@ def semantic_dedup_against(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _prepared=None,
 ) -> DataFrame:
     """Screen a NEW batch against a stored semantic-dedup state (the
     semantic tier of the incremental-ingestion family, alongside
@@ -1165,14 +1190,9 @@ def semantic_dedup_against(
     only same-cluster pairs are ever scored."""
     from ..functions.vectors import _mat
 
-    crows = sorted(
-        ((r["cluster"], r["centroid"]) for r in centroids.collect()),
-        key=lambda t: t[0],
+    C, cluster_ids = (
+        _prepared if _prepared is not None else _centroid_matrix(centroids)
     )
-    if not crows:
-        raise ValueError("semantic_dedup_against: empty centroid table")
-    C = np.array([c for _, c in crows], dtype=np.float64).T
-    cluster_ids = np.array([i for i, _ in crows], dtype=np.int32)
     thr = float(threshold)
 
     @F.pandas_udf("int")

@@ -347,6 +347,54 @@ def write_sharded(
     )
 
 
+def _fs_for(spark: "SparkSession", path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def recover_swap(spark: "SparkSession", path: str) -> bool:
+    """Repair a half-finished :func:`publish_over` swap: if the live path
+    is missing but its ``.swap_old`` backup exists (crash landed between
+    the two renames), restore the backup.  Returns True when the live
+    path exists afterwards.  Callers that CHECK for a store before
+    merging into it must call this first, or a crash window would make
+    them silently restart from empty while the next publish deletes the
+    only backup."""
+    jvm, jpath, fs = _fs_for(spark, path)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".swap_old")
+    if not fs.exists(jpath) and fs.exists(old):
+        if not fs.rename(old, jpath):
+            raise IOError(f"recover_swap: could not restore {path}")
+    return bool(fs.exists(jpath))
+
+
+def publish_over(spark: "SparkSession", path: str, write_fn) -> None:
+    """Atomically-as-renames-allow publish over a directory a plan may be
+    READING: ``write_fn(tmp_path)`` writes the new contents aside, then
+    the swap runs tmp → live with the previous live kept as ``.swap_old``
+    until the new live lands (rollback on failure).  A half-finished
+    previous swap is recovered first.  NOT atomic for concurrent readers
+    — that guarantee needs a table format; run maintenance swaps in a
+    window.  Shared by ``compact_table`` and the streaming sketch stores
+    so durability fixes land in one place."""
+    jvm, jpath, fs = _fs_for(spark, path)
+    recover_swap(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".swap_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".swap_old")
+    fs.delete(tmp, True)
+    write_fn(tmp.toString())
+    if fs.exists(jpath):
+        fs.delete(old, True)
+        if not fs.rename(jpath, old):
+            raise IOError(f"publish_over: could not move {path} aside")
+    if not fs.rename(tmp, jpath):
+        if fs.exists(old):
+            fs.rename(old, jpath)  # roll back
+        raise IOError(f"publish_over: could not publish {path}")
+    fs.delete(old, True)
+
+
 def compact_table(
     spark: "SparkSession",
     path: str,
@@ -407,17 +455,11 @@ def compact_table(
     df = read_table(spark, path, fmt)
     df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
 
-    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact_old")
-    fs.delete(tmp, True)
-    fs.delete(old, True)
-    df.write.format(fmt).mode("overwrite").save(tmp.toString())
-    if not fs.rename(jpath, old):
-        raise IOError(f"compact_table: could not move {path} aside")
-    if not fs.rename(tmp, jpath):
-        fs.rename(old, jpath)  # roll back
-        raise IOError(f"compact_table: could not move compacted data into {path}")
-    fs.delete(old, True)
+    publish_over(
+        spark,
+        path,
+        lambda tmp: df.write.format(fmt).mode("overwrite").save(tmp),
+    )
     after = data_files(jpath)
     return {
         "files_before": len(before),

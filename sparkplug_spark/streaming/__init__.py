@@ -380,32 +380,27 @@ def stream_stream_join(
 
 
 def _swap_publish(out: DataFrame, spark: SparkSession, store_path: str) -> None:
-    """Publish ``out`` over a parquet store the plan may be READING:
-    write aside, then the ``compact_table``-style rename swap (tmp → old
-    → live, rollback on failure).  Not atomic for concurrent readers —
-    that guarantee needs a table format."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".store_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(store_path.rstrip("/") + ".store_old")
-    fs.delete(tmp, True)
-    fs.delete(old, True)
-    out.write.mode("overwrite").parquet(tmp.toString())
-    if fs.exists(jpath) and not fs.rename(jpath, old):
-        raise IOError(f"could not move {store_path} aside")
-    if not fs.rename(tmp, jpath):
-        if fs.exists(old):
-            fs.rename(old, jpath)  # roll back
-        raise IOError(f"could not publish store {store_path}")
-    fs.delete(old, True)
+    """Publish ``out`` over a parquet store the plan may be READING —
+    delegates to ``sources.publish_over`` (shared with ``compact_table``,
+    incl. half-finished-swap recovery) so durability behavior has ONE
+    implementation."""
+    from ..sources import publish_over
+
+    publish_over(
+        spark,
+        store_path,
+        lambda tmp: out.write.mode("overwrite").parquet(tmp),
+    )
 
 
 def _store_exists(spark: SparkSession, store_path: str) -> bool:
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    """True when the store exists — after RECOVERING a half-finished
+    swap first: without recovery, a crash between publish_over's two
+    renames would make the next batch silently restart from an empty
+    store while deleting the only backup."""
+    from ..sources import recover_swap
+
+    return recover_swap(spark, store_path)
 
 
 def streaming_distinct_sketches(
@@ -474,7 +469,16 @@ def streaming_histogram_sketches(
     :func:`~..operators.sketches.rollup_histogram_percentiles` reads
     all-time percentiles at any grain with no raw rescan.  All writers of
     one store must share (lo, hi, bins); same rename-swap publishing
-    caveat."""
+    caveat.
+
+    REPLAY SAFETY: foreachBatch is at-least-once, and unlike the HLL
+    store (whose union merge is idempotent) histogram ADDITION is not —
+    a replayed batch would double its bins.  The store therefore carries
+    the last applied batch id as a constant ``__last_batch`` column
+    (atomic with the data through the swap), and batches at or below it
+    are skipped.  Consequence: one streaming-checkpoint lineage per
+    store — a fresh checkpoint directory restarts batch ids at 0, which
+    the guard would skip against an old store."""
     from ..operators.sketches import build_histogram_sketch
 
     keys = list(key_cols)
@@ -482,22 +486,48 @@ def streaming_histogram_sketches(
         raise ValueError("key_cols must be non-empty")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_sk = build_histogram_sketch(
-            batch_df, keys, value_col, lo=lo, hi=hi, bins=bins
+        _merge_histogram_batch(
+            batch_df, batch_id, store_path, keys, value_col, lo, hi, bins
         )
-        if _store_exists(spark, store_path):
-            existing = spark.read.parquet(store_path)
-            merged = (
-                existing.unionByName(batch_sk)
-                .groupBy(*[F.col(c) for c in keys], F.col("bin"))
-                .agg(F.sum("n").cast("long").alias("n"))
-            )
-        else:
-            merged = batch_sk
-        _swap_publish(merged, spark, store_path)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def _merge_histogram_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    keys: "Sequence[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> None:
+    """One micro-batch merge of :func:`streaming_histogram_sketches`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.sketches import build_histogram_sketch
+
+    spark = batch_df.sparkSession
+    batch_sk = build_histogram_sketch(
+        batch_df, list(keys), value_col, lo=lo, hi=hi, bins=bins
+    )
+    if _store_exists(spark, store_path):
+        existing = spark.read.parquet(store_path)
+        applied = existing.select(F.max("__last_batch")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-merged batch
+        merged = (
+            existing.drop("__last_batch")
+            .unionByName(batch_sk)
+            .groupBy(*[F.col(c) for c in keys], F.col("bin"))
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    else:
+        merged = batch_sk
+    out = merged.withColumn(
+        "__last_batch", F.lit(int(batch_id)).cast("long")
+    )
+    _swap_publish(out, spark, store_path)
 
 
 def streaming_semantic_flags(
@@ -516,8 +546,14 @@ def streaming_semantic_flags(
     sibling of :func:`streaming_near_dup_flags`, same foreachBatch
     rationale (the per-batch pipeline needs a grouped applyInPandas the
     streaming planner can't express statefully, and the store must stay
-    a static scan).  Returns the ``DataStreamWriter``."""
-    from ..operators.similarity import semantic_dedup_against
+    a static scan).  Returns the ``DataStreamWriter``.
+
+    The centroid collect + matrix build happen ONCE here (not per
+    micro-batch): the store is fixed for the query's lifetime, so each
+    batch reuses the prepared assignment state."""
+    from ..operators.similarity import _centroid_matrix, semantic_dedup_against
+
+    prepared = _centroid_matrix(centroids)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         sink(
@@ -528,6 +564,7 @@ def streaming_semantic_flags(
                 threshold=threshold,
                 vec_col=vec_col,
                 id_col=id_col,
+                _prepared=prepared,
             ),
             batch_id,
         )

@@ -265,3 +265,53 @@ class TestStreamingHistogramSketches:
             ).collect()
         }
         assert out[50] == 40.0 and out[90] == 80.0
+
+
+class TestHistogramStoreReplaySafety:
+    def test_replayed_batch_id_is_skipped(self, spark, tmp_path):
+        from sparkplug_spark.streaming import _merge_histogram_batch
+
+        store = str(tmp_path / "replay_store")
+        b0 = spark.createDataFrame(
+            [("a", float(v)) for v in range(10)], "g string, v double"
+        )
+        _merge_histogram_batch(b0, 0, store, ["g"], "v", 0.0, 10.0, 5)
+        first = {
+            (r["bin"]): r["n"]
+            for r in spark.read.parquet(store).collect()
+        }
+        # at-least-once replay of batch 0 must be a no-op
+        _merge_histogram_batch(b0, 0, store, ["g"], "v", 0.0, 10.0, 5)
+        assert {
+            r["bin"]: r["n"] for r in spark.read.parquet(store).collect()
+        } == first
+        # the NEXT batch id still merges
+        _merge_histogram_batch(b0, 1, store, ["g"], "v", 0.0, 10.0, 5)
+        doubled = {
+            r["bin"]: r["n"] for r in spark.read.parquet(store).collect()
+        }
+        assert doubled == {b: n * 2 for b, n in first.items()}
+
+    def test_half_finished_swap_recovers(self, spark, tmp_path):
+        from sparkplug_spark.sources import recover_swap
+        from sparkplug_spark.streaming import _merge_histogram_batch
+
+        store = str(tmp_path / "crash_store")
+        b0 = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "g string, v double"
+        )
+        _merge_histogram_batch(b0, 0, store, ["g"], "v", 0.0, 10.0, 5)
+        want = spark.read.parquet(store).collect()
+        # simulate a crash between publish_over's two renames: live moved
+        # aside to .swap_old, new live never landed
+        import os
+
+        os.rename(store, store + ".swap_old")
+        assert recover_swap(spark, store)
+        got = spark.read.parquet(store).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        # and the next merge sees the recovered store, not an empty one
+        _merge_histogram_batch(b0, 1, store, ["g"], "v", 0.0, 10.0, 5)
+        out = {r["bin"]: r["n"] for r in spark.read.parquet(store).collect()}
+        # 1.0 -> bin 0, 2.0 -> bin 1; each doubled by the second batch
+        assert out == {0: 2, 1: 2}
