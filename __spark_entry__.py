@@ -1604,6 +1604,26 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type activity drift: OLS slope of daily counts as exact
+    integer components + truncating ppm (slope is shift-invariant, so
+    raw epoch-day indexes are safe t values at this magnitude)."""
+    from sparkplug_spark.operators import trend_components
+
+    ev = read_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "cast(cast(ts as timestamp) as long) div 86400"
+            ).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    return trend_components(daily, ["event_type"], "day", "n_events")
+
+
 def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Influence radius on the co-purchase graph: minimum hops from seed
     parts {260, 625} within 3 hops - integer-exact iterative BFS,
@@ -3880,6 +3900,33 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "activity_trend": """
+            WITH daily AS (
+              SELECT event_type,
+                     (((epoch_ns(ts) // 1000) // 1000000) // 86400)::BIGINT
+                       AS day,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ), agg AS (
+              SELECT event_type,
+                     count(*)::BIGINT AS n,
+                     sum(day)::BIGINT AS sum_t,
+                     sum(n_events)::BIGINT AS sum_y,
+                     sum(day * n_events)::BIGINT AS sum_ty,
+                     sum(day * day)::BIGINT AS sum_t2
+              FROM daily GROUP BY 1
+            ), r AS (
+              SELECT *,
+                     (n * sum_ty - sum_t * sum_y)::BIGINT AS slope_num,
+                     (n * sum_t2 - sum_t * sum_t)::BIGINT AS slope_den
+              FROM agg
+            )
+            SELECT event_type, n, sum_t, sum_y, sum_ty, sum_t2,
+                   slope_num, slope_den,
+                   (slope_num * 1000000 // nullif(slope_den, 0))::BIGINT
+                     AS slope_ppm
+            FROM r
+        """,
         "bfs_reach": """
             WITH RECURSIVE bi AS (
               SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
@@ -4446,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "conversion_paths": q_conversion_paths,
         "bfs_reach": q_bfs_reach,
+        "activity_trend": q_activity_trend,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

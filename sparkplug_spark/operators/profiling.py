@@ -23,6 +23,7 @@ __all__ = [
     "key_skew_report",
     "dataset_fingerprint",
     "group_ntiles",
+    "trend_components",
 ]
 
 
@@ -330,4 +331,52 @@ def group_ntiles(
         *keys,
         order_col,
         F.ntile(n).over(w).alias("tile"),
+    )
+
+
+def trend_components(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend as EXACT integer components:
+    the "is this metric trending and how fast" primitive behind activity
+    monitoring (pair with ``rate_anomalies``: that flags level outliers,
+    this measures drift).
+
+    For integer observations (t, y) per key, one map-side-combined
+    aggregate emits the sufficient statistics and the closed-form slope
+
+        slope = (n·Σty − Σt·Σy) / (n·Σt² − (Σt)²)
+
+    as exact ``slope_num``/``slope_den`` BIGINTs plus the truncating
+    ``slope_ppm = slope_num · 1_000_000 div slope_den`` (NULL when the
+    denominator is 0 — fewer than two distinct t values).  Emitting the
+    rational instead of a DOUBLE keeps the result engine-exact, same
+    policy as ``covariance_components``.
+
+    Overflow headroom: needs ``n · t_max · Σ|y| < 2⁶³`` (and the ·10⁶ on
+    the num for ppm) — index t from 0 per key (day/period numbers, not
+    raw epochs) to keep magnitudes small."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    t = F.col(t_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(t).cast("long").alias("sum_t"),
+        F.sum(y).cast("long").alias("sum_y"),
+        F.sum(t * y).cast("long").alias("sum_ty"),
+        F.sum(t * t).cast("long").alias("sum_t2"),
+    )
+    with_rational = agg.withColumns(
+        {
+            "slope_num": F.expr("n * sum_ty - sum_t * sum_y").cast("long"),
+            "slope_den": F.expr("n * sum_t2 - sum_t * sum_t").cast("long"),
+        }
+    )
+    return with_rational.withColumn(
+        "slope_ppm",
+        F.expr("slope_num * 1000000 div nullif(slope_den, 0)").cast("long"),
     )

@@ -379,3 +379,55 @@ class TestConversionPaths:
             for r in session_paths(ev, min_sessions=1, end_at="buy").collect()
         }
         assert out == {"a>buy": 1}
+
+
+class TestTrendComponents:
+    def test_exact_slope(self, spark):
+        from sparkplug_spark.operators import trend_components
+
+        # y = 3t + 1 exactly: slope_ppm = 3_000_000
+        rows = [("a", t, 3 * t + 1) for t in range(5)]
+        df = spark.createDataFrame(rows, "g string, t long, y long")
+        [r] = trend_components(df, ["g"], "t", "y").collect()
+        assert r["slope_num"] * 1 == 3 * r["slope_den"]
+        assert r["slope_ppm"] == 3_000_000
+        assert (r["n"], r["sum_t"], r["sum_y"]) == (5, 10, 35)
+
+    def test_flat_series(self, spark):
+        from sparkplug_spark.operators import trend_components
+
+        rows = [("a", t, 7) for t in range(4)]
+        df = spark.createDataFrame(rows, "g string, t long, y long")
+        [r] = trend_components(df, ["g"], "t", "y").collect()
+        assert r["slope_num"] == 0 and r["slope_ppm"] == 0
+
+    def test_degenerate_t_null_slope(self, spark):
+        from sparkplug_spark.operators import trend_components
+
+        rows = [("a", 5, 1), ("a", 5, 9)]
+        df = spark.createDataFrame(rows, "g string, t long, y long")
+        [r] = trend_components(df, ["g"], "t", "y").collect()
+        assert r["slope_den"] == 0 and r["slope_ppm"] is None
+
+    def test_matches_numpy_polyfit(self, spark):
+        import random
+
+        import numpy as np
+
+        from sparkplug_spark.operators import trend_components
+
+        rng = random.Random(13)
+        rows = [("g", t, rng.randint(0, 100)) for t in range(30)]
+        df = spark.createDataFrame(rows, "g string, t long, y long")
+        [r] = trend_components(df, ["g"], "t", "y").collect()
+        want = np.polyfit([t for _, t, _ in rows], [y for _, _, y in rows], 1)[0]
+        assert abs(r["slope_num"] / r["slope_den"] - want) < 1e-9
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import trend_components
+
+        df = spark.createDataFrame([("a", 1, 1)], "g string, t long, y long")
+        with _pytest.raises(ValueError):
+            trend_components(df, [], "t", "y")

@@ -204,3 +204,58 @@ def test_windowed_funnel_twin(spark, seed):
             if valid[k]:
                 want[s] += 1
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [9, 44])
+def test_decay_attribution_twin(spark, seed):
+    from sparkplug_spark.operators import attribution_counts
+
+    rng = random.Random(seed)
+    hl = 300
+    rows, eid = [], 0
+    for u in range(15):
+        t = 0
+        for _ in range(rng.randint(0, 7)):
+            t += rng.randint(1, 2000)
+            rows.append((eid, dt.datetime(2024, 3, 1) + dt.timedelta(seconds=t), u,
+                         rng.choice(["ad", "email", "social"]), 0.0))
+            eid += 1
+        if rng.random() < 0.8:
+            t += rng.randint(1, 2000)
+            rows.append((eid, dt.datetime(2024, 3, 1) + dt.timedelta(seconds=t), u, "buy", 0.0))
+            eid += 1
+    got = {
+        r["touch_type"]: r["credit_ppm"]
+        for r in attribution_counts(
+            spark.createDataFrame(rows, EVENT_SCHEMA),
+            conversion="buy",
+            touch_types=("ad", "email", "social"),
+            model="decay",
+            half_life_seconds=hl,
+        ).collect()
+    }
+    # pure-python model
+    per_user = defaultdict(list)
+    conv = {}
+    for i, ts, u, t, _ in rows:
+        s = int(ts.timestamp())
+        if t == "buy":
+            conv[u] = min(conv.get(u, s), s)
+        else:
+            per_user[u].append((s, i, t))
+    want = Counter()
+    for u, tc in conv.items():
+        touches = sorted(
+            [(s, i, t) for s, i, t in per_user.get(u, []) if s < tc],
+            key=lambda x: (-x[0], -x[1]),
+        )
+        if not touches:
+            want["(none)"] += 1_000_000
+            continue
+        ws = [1_000_000 // (1 << min((tc - s) // hl, 30)) for s, _, _ in touches]
+        W = sum(ws)
+        shares = [w * 1_000_000 // W if W else 0 for w in ws]
+        shares[0] += 1_000_000 - sum(shares)  # remainder to rn=1 (last touch)
+        for (s_, i_, t_), c in zip(touches, shares):
+            want[t_] += c
+    assert got == dict(want)
