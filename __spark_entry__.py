@@ -2010,6 +2010,23 @@ def q_rate_anomalies_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_anomalies(ev, window_seconds=3600, k=2, include_empty=True)
 
 
+def q_rate_anomalies_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline rate anomalies: each hourly window tested only
+    against the SAME hour-of-day population of its type (phase = window
+    index mod 24), over the densified series - a nightly batch spike no
+    longer drowns the daytime baseline."""
+    from sparkplug_spark.operators import rate_anomalies
+
+    ev = read_events(spark, sf_dir)
+    return rate_anomalies(
+        ev,
+        window_seconds=3600,
+        k=2,
+        include_empty=True,
+        seasonal_period_windows=24,
+    )
+
+
 def q_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly series per type: native sequence() spine over
     each key's (min, max) bucket, zero-count buckets included."""
@@ -3900,6 +3917,36 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "rate_anomalies_seasonal": """
+            WITH c0 AS (
+              SELECT event_type,
+                     ((((epoch_ns(ts) // 1000) // 1000000) // 3600) * 3600)::BIGINT
+                       AS window_start,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type,
+                     unnest(generate_series(min(window_start),
+                                            max(window_start), 3600))::BIGINT
+                       AS window_start
+              FROM c0 GROUP BY event_type
+            ), c AS (
+              SELECT s.event_type, s.window_start,
+                     coalesce(c0.n_events, 0)::BIGINT AS n_events,
+                     ((s.window_start // 3600) % 24)::BIGINT AS phase
+              FROM s LEFT JOIN c0 USING (event_type, window_start)
+            ),
+            m AS (
+              SELECT event_type, phase, count(*)::BIGINT AS n,
+                     sum(n_events)::BIGINT AS sm,
+                     sum(n_events * n_events)::BIGINT AS ssq
+              FROM c GROUP BY 1, 2
+            )
+            SELECT c.event_type, c.window_start, c.n_events, c.phase,
+                   ((m.n * c.n_events - m.sm) * (m.n * c.n_events - m.sm)
+                    > 4 * (m.n * m.ssq - m.sm * m.sm)) AS is_anomaly
+            FROM c JOIN m USING (event_type, phase)
+        """,
         "activity_trend": """
             WITH daily AS (
               SELECT event_type,
@@ -4494,6 +4541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_paths": q_conversion_paths,
         "bfs_reach": q_bfs_reach,
         "activity_trend": q_activity_trend,
+        "rate_anomalies_seasonal": q_rate_anomalies_seasonal,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -284,6 +284,7 @@ def rate_anomalies(
     window_seconds: int = 3600,
     k: int = 3,
     include_empty: bool = False,
+    seasonal_period_windows: int | None = None,
 ) -> DataFrame:
     """Tumbling-window event-rate outliers per type: (event_type,
     window_start, n_events, is_anomaly), flagging windows whose count is
@@ -303,14 +304,26 @@ def rate_anomalies(
     so zero-count windows between a type's first and last event join the
     baseline AND can be flagged themselves (outage detection).
 
+    ``seasonal_period_windows=p`` switches to a SEASONAL baseline: each
+    window is compared only against windows at the same phase
+    ``(window_start div window_seconds) mod p`` of its type — e.g.
+    hourly windows with ``p=24`` test 3am against other 3ams, so a
+    nightly batch spike stops drowning the daytime baseline (and a quiet
+    3am no longer looks anomalous against the daily mean).  Output then
+    carries the ``phase`` column.  Combine with ``include_empty`` so
+    all-quiet phases keep honest moments.
+
     Plan shape: one map-side-combined aggregation reduces the raw log to
     the (type, window) count table — tiny even at 100 TB (types ×
-    windows) — then an unbounded per-type window computes the moments over
-    that reduced table, never over raw events."""
+    windows) — then an unbounded per-type (and per-phase, when seasonal)
+    window computes the moments over that reduced table, never over raw
+    events."""
     if window_seconds <= 0:
         raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    if seasonal_period_windows is not None and seasonal_period_windows < 2:
+        raise ValueError("seasonal_period_windows must be >= 2")
     if include_empty:
         counts = densify_time_series(
             df, key_col=type_col, time_col=time_col,
@@ -332,7 +345,19 @@ def rate_anomalies(
             .groupBy("event_type", "window_start")
             .agg(F.count(F.lit(1)).alias("n_events"))
         )
-    w = Window.partitionBy("event_type")
+    out_cols = ["event_type", "window_start", "n_events"]
+    if seasonal_period_windows is not None:
+        p = int(seasonal_period_windows)
+        counts = counts.withColumn(
+            "phase",
+            F.expr(f"(window_start div {int(window_seconds)}) % {p}").cast(
+                "long"
+            ),
+        )
+        w = Window.partitionBy("event_type", "phase")
+        out_cols.append("phase")
+    else:
+        w = Window.partitionBy("event_type")
     n = F.count(F.lit(1)).over(w)
     s = F.sum("n_events").over(w)
     ssq = F.sum(F.col("n_events") * F.col("n_events")).over(w)
@@ -340,9 +365,7 @@ def rate_anomalies(
     lhs = (n * c - s) * (n * c - s)
     rhs = F.lit(int(k) * int(k)) * (n * ssq - s * s)
     return counts.select(
-        "event_type",
-        "window_start",
-        "n_events",
+        *out_cols,
         (lhs > rhs).alias("is_anomaly"),
     )
 

@@ -431,3 +431,49 @@ class TestTrendComponents:
         df = spark.createDataFrame([("a", 1, 1)], "g string, t long, y long")
         with _pytest.raises(ValueError):
             trend_components(df, [], "t", "y")
+
+
+class TestSeasonalRateAnomalies:
+    def test_same_phase_population(self, spark):
+        from sparkplug_spark.operators import rate_anomalies
+
+        # two phases (period 2, window 100s): phase 0 counts {5,5,5,50},
+        # phase 1 counts {5,5,5,5}.  Against the GLOBAL baseline the 50
+        # dominates; against the per-phase baseline it is the outlier.
+        rows, eid = [], 0
+        for w, n in enumerate([5, 5, 5, 5, 5, 5, 50, 5]):
+            for j in range(n):
+                rows.append((eid, _ts(w * 100 + j), 1, "x", 0.0))
+                eid += 1
+        ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = {
+            (r["window_start"] - rows[0][1].timestamp() // 100 * 100, r["phase"]): r["is_anomaly"]
+            for r in rate_anomalies(
+                ev, window_seconds=100, k=1, seasonal_period_windows=2
+            ).collect()
+        }
+        # the 50-count window sits at offset 600 (phase 0)
+        assert out[(600, 0)] is True
+        assert sum(v for v in out.values()) == 1
+
+    def test_phase_column_present_only_in_seasonal_mode(self, spark):
+        from sparkplug_spark.operators import rate_anomalies
+
+        ev = spark.createDataFrame(
+            [(1, _ts(0), 1, "x", 0.0)], EVENT_SCHEMA
+        )
+        plain = rate_anomalies(ev, window_seconds=100)
+        assert "phase" not in plain.columns
+        seasonal = rate_anomalies(
+            ev, window_seconds=100, seasonal_period_windows=4
+        )
+        assert "phase" in seasonal.columns
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import rate_anomalies
+
+        ev = spark.createDataFrame([], EVENT_SCHEMA)
+        with _pytest.raises(ValueError):
+            rate_anomalies(ev, seasonal_period_windows=1)
