@@ -2010,6 +2010,18 @@ def q_rate_anomalies_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_anomalies(ev, window_seconds=3600, k=2, include_empty=True)
 
 
+def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-shift detection: one-sided integer CUSUM per type over
+    the densified hourly series (Page's statistic, engine-exact) - the
+    drift detector the per-window z-tests can't replace."""
+    from sparkplug_spark.operators import cusum_changepoints
+
+    ev = read_events(spark, sf_dir)
+    return cusum_changepoints(
+        ev, window_seconds=3600, slack=1, threshold=30
+    )
+
+
 def q_rate_anomalies_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline rate anomalies: each hourly window tested only
     against the SAME hour-of-day population of its type (phase = window
@@ -3917,6 +3929,46 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "cusum_shifts": """
+            WITH RECURSIVE c0 AS (
+              SELECT event_type,
+                     ((((epoch_ns(ts) // 1000) // 1000000) // 3600) * 3600)::BIGINT
+                       AS window_start,
+                     count(*)::BIGINT AS n_events
+              FROM events GROUP BY 1, 2
+            ), sp AS (
+              SELECT event_type,
+                     unnest(generate_series(min(window_start),
+                                            max(window_start), 3600))::BIGINT
+                       AS window_start
+              FROM c0 GROUP BY event_type
+            ), ser AS (
+              SELECT sp.event_type, sp.window_start,
+                     coalesce(c0.n_events, 0)::BIGINT AS n_events,
+                     row_number() OVER (PARTITION BY sp.event_type
+                                        ORDER BY sp.window_start) AS rn
+              FROM sp LEFT JOIN c0 USING (event_type, window_start)
+            ), mu AS (
+              SELECT event_type,
+                     (sum(n_events) // count(*))::BIGINT AS mu
+              FROM ser GROUP BY 1
+            ), walk(event_type, rn, s) AS (
+              SELECT ser.event_type, ser.rn,
+                     greatest(0, ser.n_events - mu.mu - 1)::BIGINT
+              FROM ser JOIN mu USING (event_type) WHERE ser.rn = 1
+              UNION ALL
+              SELECT ser.event_type, ser.rn,
+                     greatest(0, w.s + ser.n_events - mu.mu - 1)::BIGINT
+              FROM walk w
+              JOIN ser ON ser.event_type = w.event_type
+                      AND ser.rn = w.rn + 1
+              JOIN mu ON mu.event_type = ser.event_type
+            )
+            SELECT ser.event_type, ser.window_start, ser.n_events,
+                   w.s::BIGINT AS cusum, (w.s > 30) AS is_shift
+            FROM ser JOIN walk w
+              ON ser.event_type = w.event_type AND ser.rn = w.rn
+        """,
         "rate_anomalies_seasonal": """
             WITH c0 AS (
               SELECT event_type,
@@ -4542,6 +4594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reach": q_bfs_reach,
         "activity_trend": q_activity_trend,
         "rate_anomalies_seasonal": q_rate_anomalies_seasonal,
+        "cusum_shifts": q_cusum_shifts,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -31,6 +31,7 @@ __all__ = [
     "throttle_events",
     "rfm_scores",
     "cohort_ltv",
+    "cusum_changepoints",
 ]
 
 
@@ -944,4 +945,84 @@ def cohort_ltv(
             .cast("long")
             .alias("cum_ltv_per_user_micros"),
         )
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    window_seconds: int = 3600,
+    slack: int = 0,
+    threshold: int = 20,
+) -> DataFrame:
+    """One-sided integer CUSUM over per-type windowed counts: detects
+    SUSTAINED level shifts that per-window z-tests miss (ten windows each
+    1σ high never trip :func:`rate_anomalies`; their accumulated drift
+    trips CUSUM).  Page's classic statistic, all integers:
+
+        S_t = max(0, S_{t-1} + (c_t − μ − slack)),   flag when S_t > threshold
+
+    with ``μ = Σc div n`` (the type's truncating integer mean over the
+    DENSIFIED series — empty windows count, else an outage would reset
+    the statistic invisibly) and ``slack`` the per-window drift allowance
+    (κ).  Everything is BIGINT arithmetic, so the statistic and flags are
+    engine-exact (a recursive SQL CTE reproduces them bit-for-bit).
+
+    Output: (event_type, window_start, n_events, cusum BIGINT, is_shift
+    BOOLEAN).
+
+    Plan: the raw log reduces to the (type, window) cell table (one
+    map-side-combined agg + the densify spine); the inherently sequential
+    recurrence then runs per type in ``applyInPandas`` over that CELL
+    series — thousands of rows per type regardless of raw volume, so the
+    python loop costs microseconds while everything data-sized stays
+    JVM-side."""
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    counts = densify_time_series(
+        df, key_col=type_col, time_col=time_col, bucket_seconds=window_seconds
+    ).select(
+        F.col(type_col).alias("event_type"),
+        F.col("bucket_start").alias("window_start"),
+        "n_events",
+    )
+    wk = Window.partitionBy("event_type")
+    with_mu = (
+        counts.withColumn("__s", F.sum("n_events").over(wk))
+        .withColumn("__n", F.count(F.lit(1)).over(wk))
+        .withColumn("__mu", F.expr("__s div __n").cast("long"))
+        .drop("__s", "__n")
+    )
+    kappa, h = int(slack), int(threshold)
+
+    def _cusum(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        s, out = 0, []
+        mu_v = int(pdf["__mu"].iloc[0]) if len(pdf) else 0
+        for c in pdf["n_events"]:
+            s = max(0, s + int(c) - mu_v - kappa)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "window_start": pdf["window_start"],
+                "n_events": pdf["n_events"],
+                "cusum": pd.Series(out, dtype="int64"),
+                "is_shift": [v > h for v in out],
+            }
+        )
+
+    return with_mu.groupBy("event_type").applyInPandas(
+        _cusum,
+        schema=(
+            "event_type string, window_start long, n_events long,"
+            " cusum long, is_shift boolean"
+        ),
     )

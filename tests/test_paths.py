@@ -477,3 +477,62 @@ class TestSeasonalRateAnomalies:
         ev = spark.createDataFrame([], EVENT_SCHEMA)
         with _pytest.raises(ValueError):
             rate_anomalies(ev, seasonal_period_windows=1)
+
+
+class TestCusumChangepoints:
+    def _ev(self, spark, window_counts, w=100):
+        rows, eid = [], 0
+        for wi, n in enumerate(window_counts):
+            for j in range(n):
+                rows.append((eid, _ts(wi * w + j), 1, "x", 0.0))
+                eid += 1
+        return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    def test_sustained_shift_detected_spike_ignored(self, spark):
+        from sparkplug_spark.operators import cusum_changepoints
+
+        # baseline 10/window, then a sustained shift to 14
+        counts = [10] * 10 + [14] * 6
+        ev = self._ev(spark, counts)
+        out = sorted(
+            cusum_changepoints(
+                ev, window_seconds=100, slack=1, threshold=8
+            ).collect(),
+            key=lambda r: r["window_start"],
+        )
+        # mu = floor((100+84)/16) = 11; drift per shifted window = 14-11-1 = 2
+        flags = [r["is_shift"] for r in out]
+        assert not any(flags[:10])
+        assert flags[-1]  # accumulated drift tripped by the end
+        # cusum recurrence matches a direct model
+        s, want = 0, []
+        for c in counts:
+            s = max(0, s + c - 11 - 1)
+            want.append(s)
+        assert [r["cusum"] for r in out] == want
+
+    def test_outage_resets_statistic_visibly(self, spark):
+        from sparkplug_spark.operators import cusum_changepoints
+
+        # empty middle windows enter the series as zeros (densified)
+        counts = [5, 5, 0, 0, 5, 5]
+        ev = self._ev(spark, counts)
+        out = sorted(
+            cusum_changepoints(
+                ev, window_seconds=100, slack=0, threshold=100
+            ).collect(),
+            key=lambda r: r["window_start"],
+        )
+        assert len(out) == 6  # zeros present
+        assert [r["n_events"] for r in out] == counts
+
+    def test_guards(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import cusum_changepoints
+
+        ev = spark.createDataFrame([], EVENT_SCHEMA)
+        with _pytest.raises(ValueError):
+            cusum_changepoints(ev, threshold=0)
+        with _pytest.raises(ValueError):
+            cusum_changepoints(ev, slack=-1)
