@@ -2010,6 +2010,17 @@ def q_rate_anomalies_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_anomalies(ev, window_seconds=3600, k=2, include_empty=True)
 
 
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume concentration over parts: which parts carry 80% of shipped
+    quantity - exact-ppm shares and the vital-few flag, with the
+    cumulative computed by range-distributed prefix sums (no
+    single-partition window)."""
+    from sparkplug_spark.operators import pareto_report
+
+    li = _read(spark, sf_dir, "lineitem")
+    return pareto_report(li, "l_partkey", weight_col="l_quantity")
+
+
 def q_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sustained-shift detection: one-sided integer CUSUM per type over
     the densified hourly series (Page's statistic, engine-exact) - the
@@ -3929,6 +3940,25 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "pareto_parts": """
+            WITH per AS (
+              SELECT l_partkey AS key,
+                     sum(l_quantity)::BIGINT AS volume
+              FROM lineitem GROUP BY 1
+            ), c AS (
+              SELECT key, volume,
+                     sum(volume) OVER (ORDER BY volume DESC, key ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)::BIGINT AS cum,
+                     sum(volume) OVER ()::BIGINT AS total
+              FROM per
+            )
+            SELECT key, volume,
+                   (volume * 1000000 // total)::BIGINT AS share_ppm,
+                   (cum * 1000000 // total)::BIGINT AS cum_share_ppm,
+                   ((cum - volume) * 1000000 < 800000 * total) AS is_vital
+            FROM c
+        """,
         "cusum_shifts": """
             WITH RECURSIVE c0 AS (
               SELECT event_type,
@@ -4595,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_trend": q_activity_trend,
         "rate_anomalies_seasonal": q_rate_anomalies_seasonal,
         "cusum_shifts": q_cusum_shifts,
+        "pareto_parts": q_pareto_parts,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

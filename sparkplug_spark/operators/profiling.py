@@ -24,6 +24,7 @@ __all__ = [
     "dataset_fingerprint",
     "group_ntiles",
     "trend_components",
+    "pareto_report",
 ]
 
 
@@ -379,4 +380,63 @@ def trend_components(
     return with_rational.withColumn(
         "slope_ppm",
         F.expr("slope_num * 1000000 div nullif(slope_den, 0)").cast("long"),
+    )
+
+
+def pareto_report(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    vital_ppm: int = 800_000,
+) -> DataFrame:
+    """Contribution concentration ("80/20") report: per key, its volume,
+    exact-ppm share, running cumulative share in descending-volume order,
+    and whether the key belongs to the VITAL FEW — the smallest
+    descending-volume prefix covering ``vital_ppm`` (default 80%) of
+    total volume.  The pre-flight for storage tiering, cache sizing, and
+    skew triage ("which 2% of sources are 80% of the corpus").
+
+    ``weight_col=None`` counts rows; otherwise volumes are Σweight
+    (BIGINT).  Determinism: ordering is (volume DESC, key ASC) — total —
+    and the vital predicate is the exact integer comparison
+    ``(cum − volume)·10⁶ < vital_ppm·total`` (the key that CROSSES the
+    threshold is included; headroom: total ≤ 2⁶³/10⁶).
+
+    Output: (key, volume, share_ppm, cum_share_ppm, is_vital), all
+    engine-exact.
+
+    Plan: one map-side-combined key aggregate, then the cumulative runs
+    through :func:`~..partitioning.global_prefix_sums` — range-
+    distributed, never a single-partition window, so the report holds at
+    any key cardinality."""
+    from ..partitioning import global_prefix_sums
+
+    if not 0 < vital_ppm <= 1_000_000:
+        raise ValueError("vital_ppm must be in (0, 1_000_000]")
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        w.cast("long").alias("volume")
+    )
+    cum = global_prefix_sums(
+        per,
+        [F.col("volume").desc(), F.col("key").asc()],
+        "volume",
+        cum_col="__cum",
+    )
+    total = cum.agg(F.sum("volume").cast("long").alias("__total"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "volume",
+            F.expr("volume * 1000000 div __total").cast("long").alias(
+                "share_ppm"
+            ),
+            F.expr("__cum * 1000000 div __total").cast("long").alias(
+                "cum_share_ppm"
+            ),
+            F.expr(
+                f"(__cum - volume) * 1000000 < {int(vital_ppm)} * __total"
+            ).alias("is_vital"),
+        )
     )

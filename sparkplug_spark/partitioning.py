@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread", "global_row_numbers"]
+__all__ = ["spread", "global_row_numbers", "global_prefix_sums"]
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -99,6 +99,65 @@ def global_row_numbers(
         sorted_df.join(off_df, "__pid")
         .withColumn(
             rn_col, (F.row_number().over(w) + F.col("__off")).cast("long")
+        )
+        .drop("__pid", "__off")
+    )
+    return materialize_release(out, sorted_df, release=release)
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols,
+    weight_col: str,
+    cum_col: str = "cum_weight",
+    release: bool = True,
+) -> DataFrame:
+    """Exact running totals of ``weight_col`` in ``order_cols`` order
+    WITHOUT a single-partition window — the weighted sibling of
+    :func:`global_row_numbers` (same range-repartition + per-partition
+    pass + driver-side offsets, except the offsets are partition SUM
+    prefixes).  Same total-order requirement on ``order_cols``; same
+    persisted-sort correctness note (the side job and the output pass
+    must see identical range boundaries)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .caching import materialize_release
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    spark = df.sparkSession
+    parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    sorted_df = (
+        df.repartitionByRange(int(parts), *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+    ).persist()
+    sums = {
+        r["__pid"]: r["s"]
+        for r in sorted_df.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()],
+            "__pid int, __off long",
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        sorted_df.join(off_df, "__pid")
+        .withColumn(
+            cum_col,
+            (F.sum(weight_col).over(w) + F.col("__off")).cast("long"),
         )
         .drop("__pid", "__off")
     )

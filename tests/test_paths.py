@@ -536,3 +536,49 @@ class TestCusumChangepoints:
             cusum_changepoints(ev, threshold=0)
         with _pytest.raises(ValueError):
             cusum_changepoints(ev, slack=-1)
+
+
+class TestParetoReport:
+    def test_shares_and_vital_prefix(self, spark):
+        from sparkplug_spark.operators import pareto_report
+
+        rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        out = {
+            r["key"]: r
+            for r in pareto_report(df, "k", vital_ppm=800_000).collect()
+        }
+        assert out["a"]["share_ppm"] == 600_000
+        assert out["a"]["cum_share_ppm"] == 600_000
+        assert out["b"]["cum_share_ppm"] == 900_000
+        assert out["c"]["cum_share_ppm"] == 1_000_000
+        # a (cum_before 0) and b (cum_before 60%) are vital; c (90%) is not
+        assert (out["a"]["is_vital"], out["b"]["is_vital"], out["c"]["is_vital"]) == (
+            True,
+            True,
+            False,
+        )
+
+    def test_weighted_and_tiebreak(self, spark):
+        from sparkplug_spark.operators import pareto_report
+
+        rows = [("x", 5), ("y", 5), ("z", 10)]
+        df = spark.createDataFrame(rows, "k string, w long")
+        out = sorted(
+            pareto_report(df, "k", weight_col="w", vital_ppm=500_000).collect(),
+            key=lambda r: -r["cum_share_ppm"],
+        )
+        # order: z (10), then x before y (tie on 5, key asc)
+        cums = {r["key"]: r["cum_share_ppm"] for r in out}
+        assert cums == {"z": 500_000, "x": 750_000, "y": 1_000_000}
+        vit = {r["key"]: r["is_vital"] for r in out}
+        assert vit == {"z": True, "x": False, "y": False}
+
+    def test_guard(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import pareto_report
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError):
+            pareto_report(df, "k", vital_ppm=0)
