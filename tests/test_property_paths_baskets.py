@@ -259,3 +259,52 @@ def test_decay_attribution_twin(spark, seed):
         for (s_, i_, t_), c in zip(touches, shares):
             want[t_] += c
     assert got == dict(want)
+
+
+@pytest.mark.parametrize("seed", [14, 52])
+def test_cohort_ltv_twin(spark, seed):
+    from sparkplug_spark.operators import cohort_ltv
+
+    rng = random.Random(seed)
+    P = 500
+    rows, eid = [], 0
+    for u in range(12):
+        t = rng.randint(0, 3 * P)
+        for _ in range(rng.randint(1, 8)):
+            rows.append((eid, dt.datetime(2024, 3, 1) + dt.timedelta(seconds=t), u,
+                         "x", round(rng.uniform(0, 20), 3)))
+            eid += 1
+            t += rng.randint(1, 2 * P)
+    got = {
+        (r["cohort_period"], r["period_offset"]): (
+            r["revenue_micros"], r["cum_revenue_micros"],
+            r["n_users"], r["cum_ltv_per_user_micros"],
+        )
+        for r in cohort_ltv(
+            spark.createDataFrame(rows, EVENT_SCHEMA), period_seconds=P
+        ).collect()
+    }
+    # pure-python model
+    from decimal import Decimal
+
+    first, cells, sizes = {}, Counter(), Counter()
+    for _, ts, u, _, v in rows:
+        p = int(ts.timestamp()) // P
+        first[u] = min(first.get(u, p), p)
+    for u, c in first.items():
+        sizes[c] += 1
+    for _, ts, u, _, v in rows:
+        p = int(ts.timestamp()) // P
+        micros = int(Decimal(str(v)).scaleb(6))
+        cells[(first[u], p - first[u])] += micros
+    want = {}
+    for (c, o) in sorted(cells):
+        prev = sum(m for (cc, oo), m in cells.items() if cc == c and oo <= o)
+        want[(c, o)] = (
+            cells[(c, o)], prev, sizes[c], prev * 1_000_000 // (sizes[c] * 1_000_000),
+        )
+    # fix ltv: prev // n_users directly (micros)
+    want = {
+        k: (rev, cum, n, cum // n) for k, (rev, cum, n, _) in want.items()
+    }
+    assert got == want
