@@ -2010,6 +2010,19 @@ def q_rate_anomalies_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_anomalies(ev, window_seconds=3600, k=2, include_empty=True)
 
 
+def q_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-size pre-flight: lineitem x orders on the order key
+    WITHOUT executing the join - output rows, matching keys, and the
+    hottest key's contribution, from key-sized aggregates only."""
+    from sparkplug_spark.operators import join_size_estimate
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    return join_size_estimate(
+        li, orders, on="", left_on="l_orderkey", right_on="o_orderkey"
+    )
+
+
 def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume concentration over parts: which parts carry 80% of shipped
     quantity - exact-ppm shares and the vital-few flag, with the
@@ -3940,6 +3953,33 @@ def _extension_oracles() -> dict[str, str]:
                    (gap_sum * 1000000 // n_transitions)::BIGINT AS avg_gap_us
             FROM agg
         """,
+        "join_preflight": """
+            WITH cl AS (
+              SELECT l_orderkey AS k, count(*)::BIGINT AS c
+              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+            ), cr AS (
+              SELECT o_orderkey AS k, count(*)::BIGINT AS c
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+            ), j AS (
+              SELECT cl.k, (cl.c * cr.c)::BIGINT AS rows_
+              FROM cl JOIN cr USING (k)
+            ), t AS (
+              SELECT count(*)::BIGINT AS n_matching_keys,
+                     coalesce(sum(rows_), 0)::BIGINT AS n_join_rows,
+                     coalesce(max(rows_), 0)::BIGINT AS max_key_rows
+              FROM j
+            ), mk AS (
+              SELECT min(j.k) AS max_key
+              FROM j CROSS JOIN t WHERE j.rows_ = t.max_key_rows
+            )
+            SELECT (SELECT count(*) FROM lineitem
+                     WHERE l_orderkey IS NOT NULL)::BIGINT AS n_left,
+                   (SELECT count(*) FROM orders
+                     WHERE o_orderkey IS NOT NULL)::BIGINT AS n_right,
+                   t.n_matching_keys, t.n_join_rows, t.max_key_rows,
+                   mk.max_key
+            FROM t CROSS JOIN mk
+        """,
         "pareto_parts": """
             WITH per AS (
               SELECT l_partkey AS key,
@@ -4626,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomalies_seasonal": q_rate_anomalies_seasonal,
         "cusum_shifts": q_cusum_shifts,
         "pareto_parts": q_pareto_parts,
+        "join_preflight": q_join_preflight,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -25,6 +25,7 @@ __all__ = [
     "group_ntiles",
     "trend_components",
     "pareto_report",
+    "join_size_estimate",
 ]
 
 
@@ -440,3 +441,79 @@ def pareto_report(
             ).alias("is_vital"),
         )
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_on: str | None = None,
+    right_on: str | None = None,
+) -> DataFrame:
+    """EXACT inner-equi-join output size WITHOUT executing the join: the
+    pre-flight that catches a key-explosion (unintended many-to-many)
+    before it melts a cluster.  Per-key counts on both sides join and the
+    output size is ``Σ_k cl(k)·cr(k)`` — the aggregates are key-sized, so
+    this costs two map-side-combined counts and a key join instead of
+    materializing a possibly-quadratic result.
+
+    One row: (n_left, n_right, n_matching_keys, n_join_rows,
+    max_key_rows, max_key) — ``max_key_rows`` is the single hottest key's
+    output contribution (the skew/straggler predictor; pair with
+    :func:`key_skew_report` for the full distribution, then
+    ``joins.salted_join`` if it's ugly).  All BIGINT.  NULL keys never
+    match (SQL semantics) and are excluded from both side counts.
+
+    Overflow: per-key ``cl·cr`` and their sum must stay < 2⁶³ — if this
+    OVERFLOWS, the join you were about to run was ~10¹⁹ rows; the
+    pre-flight failing loudly is the feature."""
+    lk = left_on or on
+    rk = right_on or on
+    cl = (
+        left.filter(F.col(lk).isNotNull())
+        .groupBy(F.col(lk).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cl"))
+    )
+    cr = (
+        right.filter(F.col(rk).isNotNull())
+        .groupBy(F.col(rk).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cr"))
+    )
+    # two consumers (totals + deterministic argmax): persist the
+    # key-count-sized table once, release after the 1-row result lands
+    joined = cl.join(cr, "__k").select(
+        "__k", (F.col("__cl") * F.col("__cr")).alias("__rows")
+    ).persist()
+    totals = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matching_keys"),
+        F.coalesce(F.sum("__rows"), F.lit(0)).cast("long").alias("n_join_rows"),
+        F.coalesce(F.max("__rows"), F.lit(0)).cast("long").alias("max_key_rows"),
+    )
+    # deterministic argmax: smallest key among ties with the max
+    mk = (
+        joined.crossJoin(F.broadcast(totals.select("max_key_rows")))
+        .filter(F.col("__rows") == F.col("max_key_rows"))
+        .agg(F.min("__k").alias("max_key"))
+    )
+    n_l = left.filter(F.col(lk).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_left")
+    )
+    n_r = right.filter(F.col(rk).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_right")
+    )
+    out = (
+        n_l.crossJoin(n_r)
+        .crossJoin(totals)
+        .crossJoin(mk)
+        .select(
+            "n_left",
+            "n_right",
+            "n_matching_keys",
+            "n_join_rows",
+            "max_key_rows",
+            "max_key",
+        )
+    )
+    from ..caching import materialize_release
+
+    return materialize_release(out, joined)

@@ -582,3 +582,46 @@ class TestParetoReport:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError):
             pareto_report(df, "k", vital_ppm=0)
+
+
+class TestJoinSizeEstimate:
+    def test_exact_counts_and_hot_key(self, spark):
+        from sparkplug_spark.operators import join_size_estimate
+
+        left = spark.createDataFrame(
+            [(1,), (1,), (2,), (3,), (None,)], "k long"
+        )
+        right = spark.createDataFrame(
+            [(1,), (1,), (1,), (2,), (9,)], "k long"
+        )
+        [r] = join_size_estimate(left, right, on="k").collect()
+        # key 1: 2*3=6, key 2: 1*1=1; keys 3/9 unmatched; NULL excluded
+        assert (r["n_left"], r["n_right"]) == (4, 5)
+        assert (r["n_matching_keys"], r["n_join_rows"]) == (2, 7)
+        assert (r["max_key_rows"], r["max_key"]) == (6, 1)
+        # ground truth
+        assert left.join(right, "k").count() == 7
+
+    def test_tie_breaks_to_smallest_key(self, spark):
+        from sparkplug_spark.operators import join_size_estimate
+
+        left = spark.createDataFrame([(5,), (2,)], "k long")
+        right = spark.createDataFrame([(5,), (2,)], "k long")
+        [r] = join_size_estimate(left, right, on="k").collect()
+        assert (r["max_key_rows"], r["max_key"]) == (1, 2)
+
+    def test_disjoint_keys(self, spark):
+        from sparkplug_spark.operators import join_size_estimate
+
+        left = spark.createDataFrame([(1,)], "k long")
+        right = spark.createDataFrame([(2,)], "k long")
+        [r] = join_size_estimate(left, right, on="k").collect()
+        assert (r["n_matching_keys"], r["n_join_rows"], r["max_key"]) == (0, 0, None)
+
+    def test_different_key_names(self, spark):
+        from sparkplug_spark.operators import join_size_estimate
+
+        left = spark.createDataFrame([(1,)], "a long")
+        right = spark.createDataFrame([(1,)], "b long")
+        [r] = join_size_estimate(left, right, on="", left_on="a", right_on="b").collect()
+        assert r["n_join_rows"] == 1
