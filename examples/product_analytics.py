@@ -10,6 +10,9 @@ suite checks one by one:
   5. which items are central  pagerank         (checkpointed power iteration)
   6. how many distinct users  build/rollup_distinct_sketches
                               (mergeable HLL — rollups never rescan raw)
+  7. who are the customers    rfm_scores          (exact global-rank tiles)
+  8. did they convert in time funnel_counts(within_seconds=)
+  9. what carries the volume  pareto_report       (vital-few, exact ppm)
 
 Every step is DataFrame-declarative: one user-key shuffle feeds both the
 transition and the path analyses, the experiment readout is a single
@@ -31,7 +34,10 @@ from sparkplug_spark.operators import (
     basket_pairs,
     build_distinct_sketches,
     event_transitions,
+    funnel_counts,
     pagerank,
+    pareto_report,
+    rfm_scores,
     rollup_distinct_sketches,
     session_paths,
 )
@@ -96,6 +102,24 @@ def main() -> None:
     rollup_distinct_sketches(daily, ["event_type"]).orderBy("event_type").show()
     rollup_distinct_sketches(daily, []).show()
     daily.unpersist()
+
+    # 7. RFM segments: quantile scores from range-distributed exact ranks
+    print("== RFM top segments ==")
+    rfm = rfm_scores(events, asof="2026-01-01 00:00:00")
+    rfm.groupBy("segment").count().orderBy(F.desc("count")).show(5)
+
+    # 8. Timeout funnel: conversion must land within a day of each step
+    print("== 24h-window funnel ==")
+    funnel_counts(
+        events, ["view", "click", "purchase"], within_seconds=86400
+    ).show()
+
+    # 9. Volume concentration: which parts carry 80% of shipped quantity
+    print("== Pareto vital few ==")
+    par = pareto_report(lineitem, "l_partkey", weight_col="l_quantity")
+    par.groupBy("is_vital").agg(
+        F.count("*").alias("n_parts"), F.sum("volume").alias("quantity")
+    ).show()
     spark.stop()
 
 
