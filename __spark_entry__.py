@@ -2019,7 +2019,7 @@ def q_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     orders = _read(spark, sf_dir, "orders")
     return join_size_estimate(
-        li, orders, on="", left_on="l_orderkey", right_on="o_orderkey"
+        li, orders, left_on="l_orderkey", right_on="o_orderkey"
     )
 
 

@@ -430,12 +430,14 @@ def pareto_report(
         .select(
             "key",
             "volume",
-            F.expr("volume * 1000000 div __total").cast("long").alias(
-                "share_ppm"
-            ),
-            F.expr("__cum * 1000000 div __total").cast("long").alias(
-                "cum_share_ppm"
-            ),
+            # nullif: an all-zero (or net-zero) volume total must yield
+            # NULL shares, not an ANSI DIVIDE_BY_ZERO
+            F.expr("volume * 1000000 div nullif(__total, 0)")
+            .cast("long")
+            .alias("share_ppm"),
+            F.expr("__cum * 1000000 div nullif(__total, 0)")
+            .cast("long")
+            .alias("cum_share_ppm"),
             F.expr(
                 f"(__cum - volume) * 1000000 < {int(vital_ppm)} * __total"
             ).alias("is_vital"),
@@ -446,7 +448,7 @@ def pareto_report(
 def join_size_estimate(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | None = None,
     left_on: str | None = None,
     right_on: str | None = None,
 ) -> DataFrame:
@@ -469,6 +471,10 @@ def join_size_estimate(
     pre-flight failing loudly is the feature."""
     lk = left_on or on
     rk = right_on or on
+    if not lk or not rk:
+        raise ValueError(
+            "join_size_estimate: pass on=, or both left_on= and right_on="
+        )
     cl = (
         left.filter(F.col(lk).isNotNull())
         .groupBy(F.col(lk).alias("__k"))
@@ -479,8 +485,10 @@ def join_size_estimate(
         .groupBy(F.col(rk).alias("__k"))
         .agg(F.count(F.lit(1)).cast("long").alias("__cr"))
     )
-    # two consumers (totals + deterministic argmax): persist the
-    # key-count-sized table once, release after the 1-row result lands
+    # key-count-sized tables each feed two consumers (the join + the
+    # side totals): persist them so each RAW input is scanned exactly
+    # once — n_left/n_right derive from the aggregates, not a rescan
+    cl, cr = cl.persist(), cr.persist()
     joined = cl.join(cr, "__k").select(
         "__k", (F.col("__cl") * F.col("__cr")).alias("__rows")
     ).persist()
@@ -495,12 +503,8 @@ def join_size_estimate(
         .filter(F.col("__rows") == F.col("max_key_rows"))
         .agg(F.min("__k").alias("max_key"))
     )
-    n_l = left.filter(F.col(lk).isNotNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("n_left")
-    )
-    n_r = right.filter(F.col(rk).isNotNull()).agg(
-        F.count(F.lit(1)).cast("long").alias("n_right")
-    )
+    n_l = cl.agg(F.coalesce(F.sum("__cl"), F.lit(0)).cast("long").alias("n_left"))
+    n_r = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("n_right"))
     out = (
         n_l.crossJoin(n_r)
         .crossJoin(totals)
@@ -516,4 +520,4 @@ def join_size_estimate(
     )
     from ..caching import materialize_release
 
-    return materialize_release(out, joined)
+    return materialize_release(out, cl, cr, joined)

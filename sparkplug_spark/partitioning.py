@@ -43,27 +43,24 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
-def global_row_numbers(
+def _global_running(
     df: DataFrame,
     order_cols,
-    rn_col: str = "row_num",
-    release: bool = True,
+    weight,  # Column: per-row contribution (integer-typed)
+    out_col: str,
+    release: bool,
 ) -> DataFrame:
-    """Exact 1-based global row numbers in ``order_cols`` order WITHOUT a
-    single-partition window: range-repartition on the order key, number
-    rows within each sorted partition, and add per-partition offsets
-    computed from a partition-count side job (#partitions rows on the
-    driver — bounded by cluster size, never by data).
+    """Shared core of :func:`global_row_numbers` /
+    :func:`global_prefix_sums`: range-repartition on the order key,
+    running-sum ``weight`` within each sorted partition, and add
+    per-partition SUM offsets from a driver side job (#partitions rows —
+    bounded by cluster size, never by data).
 
     The caller must make ``order_cols`` a TOTAL order (append a unique id
     as tiebreak) — equal keys can straddle a range boundary, making their
-    relative numbering partition-dependent otherwise.
-
-    This is the scalable twin of ``row_number() OVER (ORDER BY ...)``
-    (which Spark executes on ONE partition): same result, but the sort
-    stays range-distributed, so it holds at any row count.  Costs one
-    extra count job over the sorted data; the sorted frame is persisted
-    for the two passes and released on return (``caching`` contract)."""
+    relative order partition-dependent otherwise.  The persisted sort is
+    load-bearing: the side job and the output pass must see IDENTICAL
+    range boundaries, which only holds while the sorted frame is pinned."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -75,67 +72,13 @@ def global_row_numbers(
     sorted_df = (
         df.repartitionByRange(int(parts), *cols)
         .sortWithinPartitions(*cols)
-        .withColumn("__pid", F.spark_partition_id())
-    ).persist()
-    # side job: rows per range partition -> driver (#partitions rows)
-    sizes = {
-        r["__pid"]: r["n"]
-        for r in sorted_df.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()],
-            "__pid int, __off long",
-        )
-    )
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    out = (
-        sorted_df.join(off_df, "__pid")
-        .withColumn(
-            rn_col, (F.row_number().over(w) + F.col("__off")).cast("long")
-        )
-        .drop("__pid", "__off")
-    )
-    return materialize_release(out, sorted_df, release=release)
-
-
-def global_prefix_sums(
-    df: DataFrame,
-    order_cols,
-    weight_col: str,
-    cum_col: str = "cum_weight",
-    release: bool = True,
-) -> DataFrame:
-    """Exact running totals of ``weight_col`` in ``order_cols`` order
-    WITHOUT a single-partition window — the weighted sibling of
-    :func:`global_row_numbers` (same range-repartition + per-partition
-    pass + driver-side offsets, except the offsets are partition SUM
-    prefixes).  Same total-order requirement on ``order_cols``; same
-    persisted-sort correctness note (the side job and the output pass
-    must see identical range boundaries)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from .caching import materialize_release
-
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    spark = df.sparkSession
-    parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    sorted_df = (
-        df.repartitionByRange(int(parts), *cols)
-        .sortWithinPartitions(*cols)
+        .withColumn("__w", weight.cast("long"))
         .withColumn("__pid", F.spark_partition_id())
     ).persist()
     sums = {
         r["__pid"]: r["s"]
         for r in sorted_df.groupBy("__pid")
-        .agg(F.sum(weight_col).alias("s"))
+        .agg(F.sum("__w").alias("s"))
         .collect()
     }
     offsets, acc = {}, 0
@@ -156,9 +99,53 @@ def global_prefix_sums(
     out = (
         sorted_df.join(off_df, "__pid")
         .withColumn(
-            cum_col,
-            (F.sum(weight_col).over(w) + F.col("__off")).cast("long"),
+            out_col, (F.sum("__w").over(w) + F.col("__off")).cast("long")
         )
-        .drop("__pid", "__off")
+        .drop("__pid", "__off", "__w")
     )
     return materialize_release(out, sorted_df, release=release)
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols,
+    rn_col: str = "row_num",
+    release: bool = True,
+) -> DataFrame:
+    """Exact 1-based global row numbers in ``order_cols`` order WITHOUT a
+    single-partition window — row numbers ARE weight-1 prefix sums, so
+    this is :func:`_global_running` with a unit weight.  The scalable
+    twin of ``row_number() OVER (ORDER BY ...)`` (which Spark executes on
+    ONE partition): same result at any row count, for one extra side job
+    over the pinned sort (see the core's correctness note)."""
+    from pyspark.sql import functions as F
+
+    return _global_running(df, order_cols, F.lit(1), rn_col, release)
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols,
+    weight_col: str,
+    cum_col: str = "cum_weight",
+    release: bool = True,
+) -> DataFrame:
+    """Exact running totals of ``weight_col`` in ``order_cols`` order
+    WITHOUT a single-partition window — the weighted sibling of
+    :func:`global_row_numbers` (same shared core; offsets are partition
+    SUM prefixes).
+
+    ``weight_col`` must be INTEGER-typed: the running total is exact
+    BIGINT arithmetic, and silently truncating fractional weights would
+    betray the "exact" contract — rescale (e.g. to micros) first."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[weight_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"global_prefix_sums: weight_col {weight_col!r} must be an "
+            f"integer type for exact totals, got {dt.simpleString()} — "
+            "rescale to integer units (e.g. micros) first"
+        )
+    return _global_running(df, order_cols, F.col(weight_col), cum_col, release)

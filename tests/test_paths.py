@@ -623,5 +623,32 @@ class TestJoinSizeEstimate:
 
         left = spark.createDataFrame([(1,)], "a long")
         right = spark.createDataFrame([(1,)], "b long")
-        [r] = join_size_estimate(left, right, on="", left_on="a", right_on="b").collect()
+        [r] = join_size_estimate(left, right, left_on="a", right_on="b").collect()
         assert r["n_join_rows"] == 1
+
+
+class TestReview2Guards:
+    def test_pareto_zero_total_yields_null_shares(self, spark):
+        from sparkplug_spark.operators import pareto_report
+
+        df = spark.createDataFrame([("a", 0), ("b", 0)], "k string, w long")
+        out = pareto_report(df, "k", weight_col="w").collect()
+        assert all(r["share_ppm"] is None for r in out)
+
+    def test_prefix_sums_reject_fractional_weights(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.partitioning import global_prefix_sums
+
+        df = spark.createDataFrame([("a", 0.5)], "k string, w double")
+        with _pytest.raises(ValueError):
+            global_prefix_sums(df, ["k"], "w")
+
+    def test_join_estimate_requires_keys(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import join_size_estimate
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError):
+            join_size_estimate(df, df, left_on="k")  # right_on missing
