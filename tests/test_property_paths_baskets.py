@@ -308,3 +308,44 @@ def test_cohort_ltv_twin(spark, seed):
         k: (rev, cum, n, cum // n) for k, (rev, cum, n, _) in want.items()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [21, 58])
+def test_conversion_paths_twin(spark, seed):
+    from sparkplug_spark.operators import session_paths
+
+    rng = random.Random(seed)
+    rows = _events(rng, n_users=10, n_events=220, max_gap=2500)
+    rows = [
+        (i, ts, u, rng.choice(["a", "b", "buy"]), v)
+        for (i, ts, u, _, v) in rows
+    ]
+    gap, max_steps = 1800, 3
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(
+            spark.createDataFrame(rows, EVENT_SCHEMA),
+            gap_seconds=gap, max_steps=max_steps, min_sessions=1,
+            end_at="buy",
+        ).collect()
+    }
+    per_user = defaultdict(list)
+    for i, ts, u, t, _ in rows:
+        per_user[u].append((int(ts.timestamp()), i, t))
+    paths = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        sessions, cur, prev = [], [], None
+        for s, _, t in seq:
+            if prev is None or s - prev > gap:
+                cur = []
+                sessions.append(cur)
+            cur.append(t)
+            prev = s
+        for sess in sessions:
+            if "buy" not in sess:
+                continue
+            end = sess.index("buy") + 1  # first occurrence, 1-based
+            band = sess[max(0, end - max_steps):end]
+            paths[">".join(band)] += 1
+    assert got == dict(paths)
