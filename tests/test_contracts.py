@@ -234,3 +234,25 @@ def test_oracle_output_types_are_canonicalization_stable():
             if typ.split("(")[0] not in allowed:
                 bad.append((name, col, typ))
     assert not bad, f"fragile oracle output types: {bad}"
+
+
+def test_grading_window_ordering_contract():
+    """The driver grades ONLY the first 50 queries() entries and records
+    weaker rows-only checks for oracle-less entries: every first-50 entry
+    must have an oracle, and every rows-only entry must sit at the TAIL
+    (after all oracle-checked ones) so it can never displace a graded
+    query.  This pins the ordering invariant documented in SURVEY §2.4."""
+    import __spark_entry__ as e
+
+    qs = list(e.queries().keys())
+    oracles = e.oracle_sql()
+    missing = [q for q in qs[:50] if q not in oracles]
+    assert not missing, f"first-50 entries without an oracle: {missing}"
+    rows_only_idx = [i for i, q in enumerate(qs) if q not in oracles]
+    first_rows_only = min(rows_only_idx, default=len(qs))
+    stragglers = [qs[i] for i in range(first_rows_only, len(qs)) if qs[i] in oracles]
+    assert not stragglers, (
+        f"oracle-checked entries AFTER the rows-only tail began: {stragglers}"
+    )
+    # every oracle key corresponds to a registered query and vice versa
+    assert set(oracles) <= set(qs)
