@@ -57,3 +57,39 @@ class TestKAnonymity:
             k_anonymity_report(df, ["zip"], k=0)
         with pytest.raises(ValueError):
             k_anonymity_report(df, ["zip"], k=2, sensitive_col="diag", min_l=0)
+
+
+import random
+from collections import Counter, defaultdict
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [4, 29])
+def test_k_anonymity_twin(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (rng.choice("wxyz"), rng.choice("ab"), rng.choice("pqr"))
+        for _ in range(150)
+    ]
+    k, min_l = 12, 3
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["zip"], r["seg"]): (
+            r["group_size"], r["n_sensitive"],
+            r["k_violation"], r["l_violation"],
+        )
+        for r in k_anonymity_report(
+            df, ["zip", "seg"], k=k, sensitive_col="diag", min_l=min_l
+        ).collect()
+    }
+    sizes, sens = Counter(), defaultdict(set)
+    for z, s, d in rows:
+        sizes[(z, s)] += 1
+        sens[(z, s)].add(d)
+    want = {}
+    for g, n in sizes.items():
+        kv, lv = n < k, len(sens[g]) < min_l
+        if kv or lv:
+            want[g] = (n, len(sens[g]), kv, lv)
+    assert got == want
