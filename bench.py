@@ -2,6 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
+The printed line is kept under 1500 chars (the driver captures only the
+tail of stdout): `queries` holds the slowest entries and `queries_n` /
+`queries_omitted` say what was trimmed.  Full per-query timings are always
+written to BENCH_FULL.json next to this file.
+
 Each query materializes via the "noop" sink so every output column is
 actually computed (a bare count() would let Catalyst prune the projections
 under test).
@@ -127,7 +132,38 @@ def main() -> None:
             for name, t in timings.items()
             if name in base and base[name] > 0 and t > 1.5 * base[name]
         }
-    print(json.dumps(out))
+
+    # full per-query detail goes to a file: the driver's artifact keeps only
+    # the last ~2000 chars of stdout, which silently truncated 69/137
+    # per-query timings in round 3.  BENCH_FULL.json is committed in-repo so
+    # every timing stays judgeable; stdout gets ONE compact JSON line
+    # (same contract keys, `queries` trimmed to the slowest entries)
+    # guaranteed to survive a 2000-char tail capture.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    for top_n in (10, 5, 3):
+        compact = dict(out)
+        compact["queries"] = dict(sorted(slowest[:top_n]))
+        compact["queries_n"] = len(timings)
+        compact["queries_omitted"] = max(0, len(timings) - top_n)
+        compact["detail"] = "BENCH_FULL.json"
+        if "regressions" in out:
+            compact["regressions"] = {
+                name: round(r["ratio"], 2)
+                for name, r in sorted(
+                    out["regressions"].items(), key=lambda kv: -kv[1]["ratio"]
+                )[:8]
+            }
+        line = json.dumps(compact)
+        if len(line) < 1500:
+            break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -12,8 +12,11 @@ Decoder tiers:
   (mp3/ogg/flac) still raise ``NotImplementedError`` at the exact point a
   librosa/torchaudio call would slot in, as does video frame demux
   (ffmpeg).
-- ``decoder="native"`` (images) — library-free pixel decode for
-  uncompressed formats (netpbm P5/P6, 24-bit BMP) via pure numpy.
+- ``decoder="native"`` (images) — library-free pixel decode via pure
+  numpy: uncompressed formats (netpbm P5/P6, 24-bit BMP) AND compressed
+  PNG (stdlib ``zlib`` inflate + full scanline unfiltering — 8-bit
+  gray/RGB/RGBA/gray-alpha/palette, all five filter types).  Interlaced
+  (Adam7) and 16-bit PNGs, plus JPEG/WebP, remain the Pillow boundary.
 
 Scale notes: media payloads are large, so batch size is controlled by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` and partitions should be
@@ -35,6 +38,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_media_meta",
     "repartition_for_media",
+    "encode_png_rgb8",
     "decode_image_features",
     "resize_images",
     "extract_audio_features",
@@ -98,15 +102,197 @@ def _real_image_decode(payload: bytes, dim: int) -> list[float]:
     return [float(x) for x in arr]
 
 
+#: PNG color type → samples per pixel (before palette expansion).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png_rgb8(arr, filters=None) -> bytes:
+    """Minimal PNG encoder (8-bit RGB, non-interlaced) used to build
+    deterministic compressed-image fixtures for tests and oracle queries.
+    ``arr`` is a (h, w, 3) uint8 array; ``filters`` optionally cycles
+    scanline filter types 0-4 so decode tests exercise real unfiltering
+    (Sub/Up/Average/Paeth), not just filter-None streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_png_rgb8 expects a (h, w, 3) uint8 array")
+    h, w, ch = a.shape
+    filters = list(filters) if filters else [0]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = a[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        line = np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            left = int(cur[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                )
+            else:
+                raise ValueError(f"unknown PNG filter type {f}")
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(line.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(payload: bytes):
+    """REAL compressed-image decode with zero imaging libraries: parse the
+    PNG chunk stream, inflate IDAT with stdlib ``zlib``, and undo the five
+    scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA), non-interlaced.  16-bit samples, sub-byte
+    palette depths, and Adam7 interlacing raise ``NotImplementedError`` —
+    that is the genuine Pillow boundary.  Returns a 2-D float grayscale
+    array in [0,1] (RGB channels averaged; alpha ignored), the same
+    contract as :func:`_native_pixels`.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG byte stream")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise NotImplementedError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            "native PNG decode supports bit depth 8 / standard compression; "
+            "16-bit or exotic streams need Pillow (decoder='real')"
+        )
+    if interlace != 0:
+        raise NotImplementedError(
+            "Adam7-interlaced PNG needs Pillow (decoder='real')"
+        )
+    if color not in _PNG_CHANNELS or w <= 0 or h <= 0:
+        raise NotImplementedError(f"unsupported PNG color type {color}")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise NotImplementedError("corrupt PNG IDAT stream") from e
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("PNG raster shorter than IHDR claims")
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = lines[:, 0]
+    # unfilter per spec (a=left, b=up, c=upper-left, distance = one pixel
+    # = ch bytes).  Up/None rows vectorize; Sub/Average/Paeth carry a
+    # left-to-right dependency, so those walk pixels — test images are
+    # small and at scale each file decodes independently inside an Arrow
+    # batch, so the per-file loop is bounded by image width.
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = lines[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            row = cur
+        elif f == 2:
+            row = (cur + up) & 0xFF
+        elif f in (1, 3, 4):
+            row = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = int(out[y - 1, x - ch]) if (x >= ch and y > 0) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {f}")
+        out[y] = row.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG missing PLTE chunk")
+        idx = px[:, :, 0]
+        if idx.max(initial=0) >= len(plte):
+            raise NotImplementedError("PNG palette index out of range")
+        px = plte[idx]  # (h, w, 3)
+        ch = 3
+    arr = px.astype(np.float64) / 255.0
+    if color in (0, 4) and ch >= 1:
+        return arr[:, :, 0]  # gray (alpha ignored)
+    return arr[:, :, :3].mean(axis=2)  # RGB / RGBA / palette-expanded
+
+
 def _native_pixels(payload: bytes):
-    """Library-free pixel decode for uncompressed formats: netpbm P5/P6
-    (binary gray/RGB) and 24-bit uncompressed BMP.  Returns a 2-D float
-    grayscale array in [0,1]; raises ``NotImplementedError`` for any
-    other format (that is the Pillow/ffmpeg boundary)."""
+    """Library-free pixel decode: netpbm P5/P6 (binary gray/RGB), 24-bit
+    uncompressed BMP, and compressed PNG (:func:`_png_pixels` — stdlib
+    zlib inflate + scanline unfiltering).  Returns a 2-D float grayscale
+    array in [0,1]; raises ``NotImplementedError`` for any other format
+    (that is the Pillow/ffmpeg boundary)."""
     import numpy as np
 
     if payload is None or len(payload) < 4:
         raise NotImplementedError("payload too short to be a supported image")
+    if payload[:4] == b"\x89PNG":
+        return _png_pixels(payload)
     if payload[:2] in (b"P5", b"P6"):
         # netpbm: magic, whitespace/comment-separated width height maxval,
         # ONE whitespace byte, then the raw raster
@@ -170,8 +356,8 @@ def _native_pixels(payload: bytes):
             rows = rows[::-1]
         return rows.astype(np.float64).mean(axis=2) / 255.0
     raise NotImplementedError(
-        "native image decode supports netpbm P5/P6 and 24-bit BMP; other "
-        "formats need Pillow (decoder='real')"
+        "native image decode supports netpbm P5/P6, 24-bit BMP, and 8-bit "
+        "non-interlaced PNG; other formats need Pillow (decoder='real')"
     )
 
 

@@ -411,11 +411,20 @@ class TestRealMediaDecoders:
         assert [round(f, 3) for f in feats] == [0.0, 1.0, 1.0, 0.0]
 
     def test_native_rejects_compressed(self, spark):
+        # PNG moved inside the native tier in round 4; JPEG is now the
+        # genuine Pillow boundary (and a bare PNG signature with no chunks
+        # still raises — at the PNG layer, as a truncated stream)
         from sparkplug_spark.operators.multimodal import decode_image_features
 
-        df = spark.createDataFrame([(1, b"\x89PNG\r\n\x1a\n")], "id long, payload binary")
+        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+        df = spark.createDataFrame([(1, jpeg)], "id long, payload binary")
         with pytest.raises(Exception, match="Pillow"):
             decode_image_features(df, feature_dim=4, decoder="native").collect()
+        df2 = spark.createDataFrame(
+            [(1, b"\x89PNG\r\n\x1a\n")], "id long, payload binary"
+        )
+        with pytest.raises(Exception, match="PNG"):
+            decode_image_features(df2, feature_dim=4, decoder="native").collect()
 
 
 def test_avi_frame_sampling_through_spark(spark):

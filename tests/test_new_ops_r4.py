@@ -1,0 +1,178 @@
+"""Round-4 additions: native PNG decode tier (zlib inflate + scanline
+unfiltering), its Spark plumbing, and format boundaries."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sparkplug_spark.operators.multimodal import (
+    _native_pixels,
+    _png_pixels,
+    encode_png_rgb8,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png_any(arr, color, filters=None, plte=None) -> bytes:
+    """Full-surface PNG encoder for tests: any color type / filter mix;
+    ``arr`` is (h, w, ch) uint8 (palette indices for color type 3)."""
+    h, w, ch = arr.shape
+    filters = list(filters) if filters else [0]
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        line = np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(line.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(b"IEND", b"")
+    return out
+
+
+class TestPngDecode:
+    @pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+    def test_rgb_roundtrip_every_filter(self, filters):
+        rng = np.random.default_rng(42)
+        a = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        dec = _png_pixels(_encode_png_any(a, 2, filters))
+        exp = a.astype(np.float64).mean(axis=2) / 255.0
+        assert np.allclose(dec, exp)
+
+    def test_gray_and_gray_alpha(self):
+        rng = np.random.default_rng(1)
+        g = rng.integers(0, 256, (4, 6, 1), dtype=np.uint8)
+        assert np.allclose(
+            _png_pixels(_encode_png_any(g, 0, [0, 1, 2, 3, 4])), g[:, :, 0] / 255.0
+        )
+        ga = rng.integers(0, 256, (3, 3, 2), dtype=np.uint8)
+        # alpha channel must be ignored in the grayscale contract
+        assert np.allclose(
+            _png_pixels(_encode_png_any(ga, 4, [2, 4])), ga[:, :, 0] / 255.0
+        )
+
+    def test_rgba_alpha_ignored(self):
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+        exp = a[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
+        assert np.allclose(_png_pixels(_encode_png_any(a, 6, [4, 3, 2, 1, 0])), exp)
+
+    def test_palette_expansion(self):
+        rng = np.random.default_rng(3)
+        plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (4, 4, 1), dtype=np.uint8)
+        exp = plte[idx[:, :, 0]].astype(np.float64).mean(axis=2) / 255.0
+        assert np.allclose(_png_pixels(_encode_png_any(idx, 3, [0, 1, 4], plte)), exp)
+
+    def test_multi_idat_chunks(self):
+        # encoders may split the deflate stream across several IDATs;
+        # the decoder must concatenate before inflating
+        a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        png = _encode_png_any(a, 2, [0])
+        # split the single IDAT into two
+        i = png.index(b"IDAT") - 4
+        (clen,) = struct.unpack_from(">I", png, i)
+        body = png[i + 8 : i + 8 + clen]
+        head, tail = png[:i], png[i + 12 + clen :]
+        split = head + _chunk(b"IDAT", body[:5]) + _chunk(b"IDAT", body[5:]) + tail
+        assert np.allclose(_png_pixels(split), _png_pixels(png))
+
+    def test_helper_encoder_matches_reference_encoder(self):
+        a = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+        assert np.allclose(
+            _png_pixels(encode_png_rgb8(a, filters=[0, 4])),
+            _png_pixels(_encode_png_any(a, 2, [0, 4])),
+        )
+
+    def test_boundaries_raise_not_implemented(self):
+        a = np.zeros((2, 2, 3), dtype=np.uint8)
+        ok = _encode_png_any(a, 2, [0])
+        # interlaced
+        ih = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ih)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="Adam7"):
+            _png_pixels(bad)
+        # 16-bit
+        ih = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ih)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="bit depth 8"):
+            _png_pixels(bad)
+        # truncated raster (IHDR claims more rows than the stream holds)
+        ih = struct.pack(">IIBBBBB", 2, 4, 8, 2, 0, 0, 0)
+        bad = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ih)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="shorter"):
+            _png_pixels(bad)
+        # corrupt deflate stream
+        i = ok.index(b"IDAT") - 4
+        (clen,) = struct.unpack_from(">I", ok, i)
+        corrupt = (
+            ok[: i + 8]
+            + bytes([b ^ 0xFF for b in ok[i + 8 : i + 8 + clen]])
+            + ok[i + 8 + clen :]
+        )
+        with pytest.raises(NotImplementedError):
+            _png_pixels(corrupt)
+        # JPEG stays outside the native tier
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _native_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+    def test_png_decode_through_spark(self, spark):
+        from sparkplug_spark.operators.multimodal import decode_image_features
+
+        # 2x2 uniform-channel image: gray level is exact per pixel
+        arr = np.array(
+            [[[10] * 3, [20] * 3], [[30] * 3, [40] * 3]], dtype=np.uint8
+        )
+        png = encode_png_rgb8(arr, filters=[0, 4])
+        df = spark.createDataFrame([(1, png)], "id long, payload binary")
+        feats = decode_image_features(df, feature_dim=4, decoder="native").collect()[
+            0
+        ]["features"]
+        assert [round(f * 255.0) for f in feats] == [10, 20, 30, 40]
