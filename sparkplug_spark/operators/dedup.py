@@ -18,7 +18,7 @@ Scale design (100 TB / 1000 executors):
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -33,6 +33,7 @@ from ..functions.text import (
     word_shingles_pd,
 )
 from ..caching import materialize_release
+from ..metrics import observe_dropped
 from ..partitioning import spread
 
 __all__ = [
@@ -150,6 +151,7 @@ def jaccard_ngram_pairs(
     threshold: float = 0.5,
     max_key_freq: int = 100,
     release: bool = True,
+    metrics: Observation | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -157,7 +159,14 @@ def jaccard_ngram_pairs(
     narrow pre-agg; J = inter / (|A| + |B| - inter).  Shingles occurring in
     more than ``max_key_freq`` docs are dropped from the index (stop-key
     de-skew); exactness holds for pairs whose overlap isn't exclusively
-    stop shingles — standard at-scale trade, disable with a large value."""
+    stop shingles — standard at-scale trade, disable with a large value.
+
+    No silent caps: pass an ``Observation`` as ``metrics`` to get exact
+    ``dropped_keys`` (stop shingles removed) and ``dropped_entries``
+    (index postings they covered), available as soon as this returns.
+    Implemented as a dedicated tiny query over the cached index (see
+    ``sparkplug_spark.metrics``) because an observe node inside the
+    anti-join's broadcast build side is prunable by AQE."""
     sh = (
         spread(df)
         # join/shuffle on a 60-bit hash of the shingle, not the string:
@@ -181,7 +190,18 @@ def jaccard_ngram_pairs(
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
             .filter(F.col("f") > max_key_freq)
         )
+        if metrics is not None:
+            observe_dropped(
+                hot,
+                metrics,
+                dropped_keys=F.count(F.lit(1)),
+                dropped_entries=F.sum("f"),
+            )
         sh = sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+    elif metrics is not None:
+        raise ValueError(
+            "metrics requires an active stop-key cap (max_key_freq > 0)"
+        )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -321,6 +341,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.0,
     max_key_freq: int = 1000,
     release: bool = True,
+    metrics: Observation | None = None,
 ) -> DataFrame:
     """MinHash + banded-LSH candidate pairs with exact Jaccard verification.
 
@@ -329,7 +350,12 @@ def minhash_lsh_pairs(
     exact Jaccard on distinct shingles.  Sub-quadratic: only same-bucket
     pairs shuffle.  ``threshold`` filters on the VERIFIED Jaccard
     (candidate recall is governed by bands/rows: P(candidate) =
-    1-(1-J^r)^b)."""
+    1-(1-J^r)^b).
+
+    No silent caps: pass an ``Observation`` as ``metrics`` for exact
+    ``dropped_keys`` / ``dropped_entries`` counts of the hot (band,
+    bucket) groups the ``max_key_freq`` de-skew cap removed — same
+    dedicated-metrics-query shape as :func:`jaccard_ngram_pairs`."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     # ONE fused Arrow crossing yields shingles (for exact verification)
@@ -368,14 +394,27 @@ def minhash_lsh_pairs(
     ).select("id", "bb.band", "bb.bucket")
     if max_key_freq:
         # anti-join on the (small) hot-bucket set — see jaccard_ngram_pairs
-        hot = (
+        # (incl. the dropped-work metrics query on the hot set)
+        hot_f = (
             band_entries.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("f"))
             .filter(F.col("f") > max_key_freq)
-            .select("band", "bucket")
         )
+        if metrics is not None:
+            observe_dropped(
+                hot_f,
+                metrics,
+                dropped_keys=F.count(F.lit(1)),
+                dropped_entries=F.sum("f"),
+            )
         band_entries = band_entries.join(
-            F.broadcast(hot), ["band", "bucket"], "left_anti"
+            F.broadcast(hot_f.select("band", "bucket")),
+            ["band", "bucket"],
+            "left_anti",
+        )
+    elif metrics is not None:
+        raise ValueError(
+            "metrics requires an active stop-key cap (max_key_freq > 0)"
         )
 
     a = band_entries.alias("a")

@@ -12,10 +12,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..caching import materialize_release
+from ..metrics import observe_dropped
 
 __all__ = [
     "asof_join",
@@ -272,6 +273,7 @@ def blocked_link(
     max_distance: int = 2,
     max_block_size: int = 10_000,
     release: bool = True,
+    metrics: Observation | None = None,
 ) -> DataFrame:
     """Record linkage by blocking + edit distance: candidate pairs are
     generated only WITHIN a block (equal values of ``block_cols`` — the
@@ -289,7 +291,15 @@ def blocked_link(
     block key on 100 TB would otherwise emit quadrillions of pairs; a
     dropped block is a recall trade recorded by the caller's choice of
     key, never an OOM).  Levenshtein runs JVM-side inside codegen on the
-    already-filtered candidates."""
+    already-filtered candidates.
+
+    No silent caps: pass an ``Observation`` as ``metrics`` to get exact
+    ``dropped_blocks`` / ``dropped_rows`` counts (rows excluded from
+    candidate generation by ``max_block_size``), available as soon as
+    this function returns.  Implemented as a dedicated tiny query over
+    the persisted projection (see ``sparkplug_spark.metrics``) because an
+    observe node inside the anti-join's broadcast build side is prunable
+    by AQE."""
     if not block_cols:
         raise ValueError("block_cols must be non-empty")
     blocks = [F.col(c) for c in block_cols]
@@ -307,11 +317,15 @@ def blocked_link(
         F.col(name_col).alias("__name"),
     ).persist()
     sizes = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__sz"))
-    small = base.join(
-        F.broadcast(sizes.filter(F.col("__sz") > max_block_size)),
-        "__blk",
-        "left_anti",
-    )
+    oversized = sizes.filter(F.col("__sz") > max_block_size)
+    if metrics is not None:
+        observe_dropped(
+            oversized,
+            metrics,
+            dropped_blocks=F.count(F.lit(1)),
+            dropped_rows=F.sum("__sz"),
+        )
+    small = base.join(F.broadcast(oversized), "__blk", "left_anti")
     left = small.select(
         "__blk", F.col("__id").alias("id_a"), F.col("__name").alias("__na")
     )

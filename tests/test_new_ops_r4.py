@@ -1,11 +1,13 @@
 """Round-4 additions: native PNG decode tier (zlib inflate + scanline
-unfiltering), its Spark plumbing, and format boundaries."""
+unfiltering), its Spark plumbing and format boundaries, and dropped-work
+metrics for capped operators ("no silent caps")."""
 
 import struct
 import zlib
 
 import numpy as np
 import pytest
+from pyspark.sql import Observation
 
 from sparkplug_spark.operators.multimodal import (
     _native_pixels,
@@ -176,3 +178,80 @@ class TestPngDecode:
             0
         ]["features"]
         assert [round(f * 255.0) for f in feats] == [10, 20, 30, 40]
+
+
+class TestDroppedWorkMetrics:
+    """Capped operators must report exactly what their scale guards drop
+    (the repo's "no silent caps" rule).  The metrics query is dedicated
+    (not an observe node in the operator plan) so AQE's empty-relation
+    pruning can't swallow it — worst case for an in-plan node is an
+    all-dropped/empty result yielding NO metrics at all."""
+
+    def test_blocked_link_reports_dropped_blocks(self, spark):
+        from sparkplug_spark.operators.joins import blocked_link
+
+        rows = [(i, f"name{i}", "X") for i in range(5)] + [
+            (10, "alice", "Y"),
+            (11, "alicx", "Y"),
+            (20, "bob", "Z"),
+        ]
+        df = spark.createDataFrame(rows, "id long, name string, blk string")
+        obs = Observation()
+        out = blocked_link(
+            df, "id", "name", ["blk"], max_distance=2, max_block_size=3,
+            metrics=obs,
+        )
+        assert sorted((r.id_a, r.id_b) for r in out.collect()) == [(10, 11)]
+        # block X (5 rows) exceeded the cap; metrics exact, no action needed
+        assert obs.get == {"dropped_blocks": 1, "dropped_rows": 5}
+
+    def test_blocked_link_zero_drops_reports_zero(self, spark):
+        from sparkplug_spark.operators.joins import blocked_link
+
+        df = spark.createDataFrame(
+            [(1, "ann", "Y"), (2, "ana", "Y")], "id long, name string, blk string"
+        )
+        obs = Observation()
+        blocked_link(df, "id", "name", ["blk"], max_block_size=10, metrics=obs)
+        assert obs.get == {"dropped_blocks": 0, "dropped_rows": 0}
+
+    def test_jaccard_reports_dropped_stop_keys(self, spark):
+        from sparkplug_spark.operators.dedup import jaccard_ngram_pairs
+
+        # every doc shares the long common prefix -> its shingles are hot
+        docs = [(i, "the quick brown fox " + str(i)) for i in range(8)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        obs = Observation()
+        jaccard_ngram_pairs(df, n=3, threshold=0.1, max_key_freq=4, metrics=obs)
+        got = obs.get
+        assert got["dropped_keys"] > 0
+        # a hot key appears in >4 docs, so each dropped key covers >4 postings
+        assert got["dropped_entries"] > 4 * got["dropped_keys"] - 1
+
+    def test_minhash_reports_dropped_hot_buckets(self, spark):
+        from sparkplug_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = [(i, "the quick brown fox jumps over it") for i in range(6)] + [
+            (100, "completely different text here")
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        obs = Observation()
+        minhash_lsh_pairs(
+            df, n=3, num_hashes=16, bands=8, max_key_freq=2, metrics=obs
+        )
+        got = obs.get
+        # 6 identical docs share every band bucket: 8 hot buckets x 6 entries
+        assert got["dropped_keys"] == 8
+        assert got["dropped_entries"] == 48
+
+    def test_metrics_requires_active_cap(self, spark):
+        from sparkplug_spark.operators.dedup import (
+            jaccard_ngram_pairs,
+            minhash_lsh_pairs,
+        )
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="max_key_freq"):
+            jaccard_ngram_pairs(df, max_key_freq=0, metrics=Observation())
+        with pytest.raises(ValueError, match="max_key_freq"):
+            minhash_lsh_pairs(df, max_key_freq=0, metrics=Observation())
