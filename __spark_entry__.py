@@ -1877,15 +1877,20 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected edges): which parts sit centrally in co-purchase
     structure.  Float ranks are partition-order-dependent in the last
     ulps -> rows-only; semantics pinned by the NumPy twin in
-    tests/test_graphs_scoring.py."""
+    tests/test_graphs_scoring.py.  tol gives convergence early exit
+    (geometric contraction: late iterations re-buy the same digits);
+    iterations stays the hard bound."""
     from sparkplug_spark.operators import basket_pairs, pagerank
 
     li = _read(spark, sf_dir, "lineitem")
+    # release=True (the default) is load-bearing: pagerank consumes the
+    # pair list through 4+ subplans (nodes x2, degrees, weighted edges);
+    # lazy pair generation would re-run the basket self-join per consumer
     pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
     edges = pairs.selectExpr("item_a as src", "item_b as dst").unionAll(
         pairs.selectExpr("item_b as src", "item_a as dst")
     )
-    return pagerank(edges, iterations=8)
+    return pagerank(edges, iterations=8, tol=1e-4)
 
 
 def q_compress_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

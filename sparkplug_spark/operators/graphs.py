@@ -22,7 +22,7 @@ blow up the plan and leak 20 generations of shuffle blocks).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..caching import checkpoint_tracked, unpersist_ids
@@ -36,6 +36,8 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    tol: float | None = None,
+    checkpoint_every: int = 3,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node, rank) with
@@ -55,16 +57,34 @@ def pagerank(
     territory for cross-engine checks; tests pin small graphs against a
     dense NumPy power-iteration twin at 1e-9.
 
-    Every iteration checkpoints (not every Nth): the dangling-mass scalar
-    is an aggregate OVER the iteration's own contributions, so a lazily
-    chained iteration embeds the previous subtree twice (once under the
-    broadcast agg, once under the join) — k lazy steps cost 2^k subtree
-    evaluations, measurably slower by k=3.  One eager action per
-    iteration keeps the work linear."""
+    Iteration cost: ONE eager action (the rank checkpoint).  The
+    dangling-mass scalar and the L1 step delta both ride that action as
+    ``observe`` metrics over the stepped ranks — dangling nodes carry a
+    static per-node flag, so next iteration's mass is a driver-side
+    float, not a broadcast subquery over the contributions (which had
+    forced a second consumer of the edge join and a persist/unpersist
+    cycle per iteration).
+
+    Checkpoint cadence: when the graph has dangling nodes, every
+    iteration must run eagerly (the next step's plan needs this step's
+    observed mass as a literal).  When it has none — every symmetrized /
+    co-occurrence graph — the mass is identically zero, iterations are
+    pure lazy transformations, and ``checkpoint_every`` steps chain into
+    one action (lineage stays bounded by the cadence; blocks of round
+    N-1 free at each checkpoint).  At bench scale the action launch IS
+    the iteration cost, so the cadence is a direct wall-clock divisor.
+
+    ``tol``: optional convergence early exit — stop once the L1 delta
+    Σ|rank_i - rank_{i-1}| drops below it (power iteration contracts
+    geometrically at rate ~damping, so late iterations mostly re-buy the
+    same digits; at 100 TB each saved iteration is a full edge-join
+    shuffle).  ``iterations`` remains the hard upper bound."""
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if tol is not None and tol <= 0.0:
+        raise ValueError("tol must be positive")
     spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -84,51 +104,80 @@ def pagerank(
     )
     weighted, w_ids = checkpoint_tracked(weighted, reliable=reliable_checkpoint)
     n_df = nodes.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    # static dangling flag: a node with no out-edges keeps its mass, which
+    # next iteration redistributes uniformly.  Flagging nodes once lets
+    # each checkpoint action ALSO observe the mass for the next step.
     base = (
-        nodes.crossJoin(F.broadcast(n_df))
-        .select("node", (F.lit(1.0) / F.col("__n")).alias("rank"), "__n")
+        nodes.join(deg.select(F.col("src").alias("node"), "__deg"), "node", "left")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "node",
+            (F.lit(1.0) / F.col("__n")).alias("rank"),
+            "__n",
+            F.col("__deg").isNull().alias("__dang"),
+        )
+    )
+    obs0 = Observation()
+    base = base.observe(
+        obs0, F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm")
     )
     ranks, prev_ids = checkpoint_tracked(base, reliable=reliable_checkpoint)
+    if ranks.isEmpty():
+        # no nodes: the loop's observations would never fire (zero tasks
+        # can mean no metrics), so return the empty result directly
+        unpersist_ids(spark, w_ids)
+        unpersist_ids(spark, prev_ids)
+        return ranks.select("node", "rank")
+    dangling_mass = float(obs0.get["dm"] or 0.0)
+    has_dangling = dangling_mass != 0.0
+    cadence = 1 if has_dangling else max(1, int(checkpoint_every))
     d = float(damping)
-    for _ in range(iterations):
-        # persist: BOTH the dangling aggregate and the stepped join read
-        # contribs — unpersisted, the edge join (the dominant cost) would
-        # run twice per iteration
+
+    def step(r: DataFrame) -> DataFrame:
         contribs = (
-            weighted.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
-            )
+            weighted.join(r.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
-        ).persist()
-        # rank mass on dangling nodes (no out-edges): 1 - mass that flowed
-        dangling = contribs.agg(
-            (F.lit(1.0) - F.coalesce(F.sum("__in"), F.lit(0.0))).alias(
-                "__dangling"
-            )
         )
-        stepped = (
-            ranks.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    (1.0 - d) / F.col("__n")
-                    + d
-                    * (
-                        F.coalesce(F.col("__in"), F.lit(0.0))
-                        + F.col("__dangling") / F.col("__n")
-                    )
-                ).alias("rank"),
-                "__n",
-            )
+        return r.join(contribs, "node", "left").select(
+            "node",
+            (
+                (1.0 - d) / F.col("__n")
+                + d
+                * (
+                    F.coalesce(F.col("__in"), F.lit(0.0))
+                    + F.lit(dangling_mass) / F.col("__n")
+                )
+            ).alias("rank"),
+            F.col("rank").alias("__prev"),
+            "__n",
+            "__dang",
         )
+
+    done = 0
+    while done < iterations:
+        steps = min(cadence, iterations - done)
+        stepped = ranks
+        for _ in range(steps):
+            stepped = step(stepped.drop("__prev"))
+        obs = Observation()
+        stepped = stepped.observe(
+            obs,
+            F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm"),
+            # delta of the chain's LAST sub-step: a per-checkpoint
+            # convergence probe (the tightest of the chained steps)
+            F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("l1"),
+        ).drop("__prev")
         ranks, new_ids = checkpoint_tracked(
             stepped, reliable=reliable_checkpoint
         )
-        contribs.unpersist()  # checkpoint materialized; cache done
         unpersist_ids(spark, prev_ids)
         prev_ids = new_ids
+        done += steps
+        got = obs.get
+        dangling_mass = float(got["dm"] or 0.0)
+        if tol is not None and float(got["l1"] or 0.0) < tol:
+            break
     unpersist_ids(spark, w_ids)
     return ranks.select("node", "rank")
 

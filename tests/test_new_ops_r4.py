@@ -255,3 +255,63 @@ class TestDroppedWorkMetrics:
             jaccard_ngram_pairs(df, max_key_freq=0, metrics=Observation())
         with pytest.raises(ValueError, match="max_key_freq"):
             minhash_lsh_pairs(df, max_key_freq=0, metrics=Observation())
+
+
+class TestPagerankCadenceAndTol:
+    """Round-4 pagerank restructure: dangling mass rides the checkpoint
+    action as an observe metric (driver-side scalar, no per-iteration
+    broadcast-agg), dangling-free graphs chain iterations between
+    checkpoints, and ``tol`` gives convergence early exit."""
+
+    def _edges(self, spark):
+        # symmetric triangle + pendant: no dangling nodes
+        e = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (3, 4), (4, 3)]
+        return spark.createDataFrame(e, "src long, dst long")
+
+    def test_cadence_invariance(self, spark):
+        from sparkplug_spark.operators.graphs import pagerank
+
+        e = self._edges(spark)
+        r1 = {
+            r.node: r.rank
+            for r in pagerank(e, iterations=6, checkpoint_every=1).collect()
+        }
+        r3 = {
+            r.node: r.rank
+            for r in pagerank(e, iterations=6, checkpoint_every=3).collect()
+        }
+        assert set(r1) == set(r3)
+        for n in r1:
+            assert abs(r1[n] - r3[n]) < 1e-12
+
+    def test_dangling_graph_still_conserves_mass(self, spark):
+        from sparkplug_spark.operators.graphs import pagerank
+
+        # node 3 has no out-edges: its mass redistributes each step
+        e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+        ranks = pagerank(e, iterations=5, checkpoint_every=3).collect()
+        assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-9
+
+    def test_tol_early_exit_matches_one_iteration(self, spark):
+        from sparkplug_spark.operators.graphs import pagerank
+
+        e = self._edges(spark)
+        # huge tol: the first checkpoint's L1 is already below it, so the
+        # result must equal exactly checkpoint_every iterations
+        early = {
+            r.node: r.rank
+            for r in pagerank(
+                e, iterations=8, tol=10.0, checkpoint_every=1
+            ).collect()
+        }
+        one = {
+            r.node: r.rank for r in pagerank(e, iterations=1).collect()
+        }
+        for n in early:
+            assert abs(early[n] - one[n]) < 1e-12
+
+    def test_empty_graph_returns_empty(self, spark):
+        from sparkplug_spark.operators.graphs import pagerank
+
+        e = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(e, iterations=3).count() == 0
