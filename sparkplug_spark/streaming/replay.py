@@ -1,0 +1,108 @@
+"""Deterministic stream replay: drive a Structured Streaming operator
+with a FIXED sequence of micro-batches and return the final sink as a
+plain batch DataFrame.
+
+Why: streaming operators are otherwise only contract-testable — the same
+DuckDB oracle machinery that value-hashes every batch operator can't
+attach to a live stream.  Replay closes that gap: batches are written as
+one parquet file each with strictly increasing modification times (the
+file source orders by mtime; explicit ``os.utime`` beats the
+sleep-between-writes trick — no wall-clock in the loop), the query runs
+with ``maxFilesPerTrigger=1`` under ``Trigger.AvailableNow`` (one
+micro-batch per file, then clean shutdown), and the sink is read back,
+checkpointed, and the scratch space deleted.
+
+Choosing a sink mode:
+
+- ``mode="append"`` — row-stream operators (dedup, filters, joins): rows
+  append to a parquet sink as they are emitted.
+- ``mode="complete"`` — windowed aggregations: ``foreachBatch``
+  overwrites the sink with the full aggregate state each micro-batch, so
+  the final sink IS the end-of-stream aggregate (append mode would hold
+  back windows the watermark hasn't closed at shutdown — the classic
+  availableNow + append pitfall).
+
+Determinism contract for oracle use: the caller makes batch CONTENT
+deterministic and (for stateful first-wins semantics) ensures a key
+appears at most once per batch — within a micro-batch, which duplicate
+survives depends on partition processing order.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["replay_file_stream"]
+
+
+def replay_file_stream(
+    spark: SparkSession,
+    batches: Sequence[DataFrame],
+    build_query: Callable[[DataFrame], DataFrame],
+    mode: str = "append",
+) -> DataFrame:
+    """Replay ``batches`` (one micro-batch each, in order) through
+    ``build_query(stream_df)`` and return the sink contents as a batch
+    DataFrame (localCheckpoint'ed; all scratch directories are removed
+    before returning)."""
+    if not batches:
+        raise ValueError("need at least one batch")
+    if mode not in ("append", "complete"):
+        raise ValueError("mode must be 'append' or 'complete'")
+    tmp = tempfile.mkdtemp(prefix="sparkplug_replay_")
+    src = os.path.join(tmp, "src")
+    sink = os.path.join(tmp, "sink")
+    chk = os.path.join(tmp, "chk")
+    os.makedirs(src)
+    try:
+        schema = batches[0].schema
+        t0 = os.path.getmtime(tmp)
+        for i, b in enumerate(batches):
+            stage = os.path.join(tmp, f"stage{i}")
+            # ONE file per logical batch, else part-files arrive as
+            # separate unordered micro-batches
+            b.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            dst = os.path.join(src, f"batch_{i:04d}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            # mtime is the file source's ordering key: pin it explicitly
+            os.utime(dst, (t0 + i, t0 + i))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = build_query(stream)
+        if mode == "complete":
+            writer = (
+                out.writeStream.outputMode("complete")
+                .foreachBatch(
+                    lambda df, _eid: df.write.mode("overwrite").parquet(sink)
+                )
+            )
+        else:
+            writer = (
+                out.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+            )
+        q = (
+            writer.option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = spark.read.parquet(sink)
+        # detach from the scratch files before deleting them
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

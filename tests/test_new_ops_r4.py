@@ -315,3 +315,70 @@ class TestPagerankCadenceAndTol:
 
         e = spark.createDataFrame([], "src long, dst long")
         assert pagerank(e, iterations=3).count() == 0
+
+
+class TestReplayFileStream:
+    """Deterministic stream replay harness: file-per-batch with pinned
+    mtimes -> one micro-batch per file under availableNow."""
+
+    def test_batch_order_and_state_across_batches(self, spark):
+        import glob
+
+        from pyspark.sql import functions as F
+        from sparkplug_spark.streaming import streaming_dedup_exact
+        from sparkplug_spark.streaming.replay import replay_file_stream
+
+        before = set(glob.glob("/tmp/sparkplug_replay_*"))
+        mk = lambda rows: spark.createDataFrame(rows, "id long, text string, ts timestamp")
+        import datetime as dt
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        batches = [
+            mk([(1, "aaa", t(0)), (2, "bbb", t(1))]),
+            mk([(3, "aaa", t(2)), (4, "ccc", t(3))]),   # 3 is a dup of 1
+            mk([(5, "bbb", t(4)), (6, "ddd", t(5))]),   # 5 is a dup of 2
+        ]
+        kept = replay_file_stream(
+            spark,
+            batches,
+            lambda s: streaming_dedup_exact(
+                s, text_col="text", time_col="ts", watermark_delay="1 hour"
+            ),
+            mode="append",
+        )
+        assert sorted(r.id for r in kept.collect()) == [1, 2, 4, 6]
+        # scratch space fully removed even though the result is still live
+        assert set(glob.glob("/tmp/sparkplug_replay_*")) == before
+
+    def test_complete_mode_matches_batch_aggregate(self, spark):
+        from pyspark.sql import functions as F
+        from sparkplug_spark.streaming.replay import replay_file_stream
+
+        import datetime as dt
+
+        rows = [(i, f"k{i % 3}", dt.datetime(2024, 1, 1 + i % 2)) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, k string, ts timestamp")
+        batches = [df.filter(F.col("id") < 10), df.filter(F.col("id") >= 10)]
+
+        def build(s):
+            return (
+                s.withWatermark("ts", "10 days")
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        got = {(r.k, r.n) for r in replay_file_stream(spark, batches, build, mode="complete").collect()}
+        want = {
+            (r.k, r.n)
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+
+    def test_validation(self, spark):
+        from sparkplug_spark.streaming.replay import replay_file_stream
+
+        with pytest.raises(ValueError, match="at least one"):
+            replay_file_stream(spark, [], lambda s: s)
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="mode"):
+            replay_file_stream(spark, [df], lambda s: s, mode="update")
