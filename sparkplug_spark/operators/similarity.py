@@ -34,8 +34,10 @@ __all__ = [
     "cosine_topk_pq",
     "build_ivf_index",
     "search_ivf_index",
+    "append_to_ivf_index",
     "build_ivfpq_index",
     "search_ivfpq_index",
+    "append_to_ivfpq_index",
     "blocked_cosine_pairs",
     "embedding_norms",
     "cluster_profile",
@@ -541,11 +543,8 @@ def search_ivf_index(
     PARTITION column, so only the probed ``centroid=`` directories are
     read.  Exact re-rank within the probed lists; same output schema as
     :func:`cosine_topk`."""
-    crows = spark.read.parquet(f"{path}/centroids").collect()
-    centers = np.zeros((len(crows), len(crows[0]["center"])))
-    for r in crows:
-        centers[r["centroid"]] = r["center"]
-    n_probe = max(1, min(n_probe, len(crows)))
+    centers = _stored_centers(spark, path)
+    n_probe = max(1, min(n_probe, len(centers)))
 
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -594,6 +593,107 @@ def search_ivf_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _stored_centers(spark, path: str) -> np.ndarray:
+    """Load a stored index's coarse centroids as a (k, dim) array."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    centers = np.zeros((len(crows), len(crows[0]["center"])))
+    for r in crows:
+        centers[r["centroid"]] = r["center"]
+    return centers
+
+
+def append_to_ivf_index(
+    new_corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Absorb NEW vectors into a stored :func:`build_ivf_index` without
+    retraining: assign each to its nearest EXISTING centroid and append
+    to the partitioned lists.
+
+    The incremental-ingestion shape the dedup family already has
+    (E44/E48): rebuild-from-scratch on a 100 TB corpus re-reads
+    everything to add a day's vectors; append touches only the new
+    batch.  Centroids are frozen, so searches keep pruning the same
+    ``centroid=`` directories and results for pre-existing vectors are
+    byte-identical; recall for the new vectors matches a fresh build's
+    assignment of them (same argmax-cosine kernel as the builder).
+    Centroid drift under sustained append is the caller's retrain
+    trigger — monitor with :func:`cluster_profile`."""
+    from ..functions.vectors import _mat
+
+    spark = new_corpus.sparkSession
+    C = _stored_centers(spark, path).T
+
+    @F.pandas_udf("int")
+    def assign(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        mat = _mat(x).astype(np.float64, copy=False)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(
+            np.argmax((mat / n[:, None]) @ C, axis=1).astype("int32")
+        )
+
+    (
+        spread(new_corpus)
+        .select(id_col, vec_col, assign(F.col(vec_col)).alias("centroid"))
+        .write.mode("append")
+        .partitionBy("centroid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def append_to_ivfpq_index(
+    new_corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Absorb NEW vectors into a stored :func:`build_ivfpq_index`:
+    assign to frozen coarse centroids, encode with the frozen PQ
+    codebooks, append to the partitioned lists — same no-retrain
+    contract as :func:`append_to_ivf_index`."""
+    from ..functions.vectors import _mat
+
+    spark = new_corpus.sparkSession
+    C = _stored_centers(spark, path).T
+    brows = spark.read.parquet(f"{path}/books").collect()
+    m = max(r["subspace"] for r in brows) + 1
+    ks_eff = max(r["code"] for r in brows) + 1
+    dsub = len(brows[0]["center"])
+    books = np.zeros((m, ks_eff, dsub))
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["center"]
+
+    @F.pandas_udf("struct<centroid: int, codes: array<int>>")
+    def encode(x: pd.Series) -> pd.DataFrame:
+        if len(x) == 0:
+            return pd.DataFrame({"centroid": [], "codes": []})
+        mat = _mat(x).astype(np.float64, copy=False)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mat = mat / n[:, None]
+        cent = np.argmax(mat @ C, axis=1).astype("int32")
+        codes = np.empty((len(mat), m), dtype="int32")
+        for s in range(m):
+            Xs = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"centroid": cent, "codes": list(codes)})
+
+    (
+        spread(new_corpus)
+        .select(id_col, vec_col, encode(F.col(vec_col)).alias("__e"))
+        .select(id_col, vec_col, "__e.centroid", "__e.codes")
+        .write.mode("append")
+        .partitionBy("centroid")
+        .parquet(f"{path}/lists")
     )
 
 
