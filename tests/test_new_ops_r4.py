@@ -382,3 +382,181 @@ class TestReplayFileStream:
         df = spark.createDataFrame([(1,)], "id long")
         with pytest.raises(ValueError, match="mode"):
             replay_file_stream(spark, [df], lambda s: s, mode="update")
+
+
+class TestEventOperatorSkew:
+    """Seeded 30%-mass hot user across the event-operator family.
+
+    The per-user window operators (sessionize / funnel / paths) hash-
+    partition on user_id; a hot key's rows MUST stay in one partition for
+    ordered-window semantics, so no salt or AQE split can apply without
+    changing the operator — the documented behavior is per-key isolation:
+    results for every user are identical whether the hot user is present
+    or not, and the hot partition is a straggler, never a wrong answer.
+    Where the shuffle IS a join, AQE's skew-join applies — pinned below
+    with thresholds scaled to test data."""
+
+    @pytest.fixture()
+    def skewed_events(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # hot user 7: 3000 events (30%), bursty (sessions via 1h gaps)
+        for i in range(3000):
+            rows.append(
+                (i, 7, base + dt.timedelta(minutes=(i // 10) * 90, seconds=i % 600),
+                 ["view", "click", "purchase"][i % 3])
+            )
+        # 100 cold users: 70 events each
+        for u in range(100):
+            for j in range(70):
+                rows.append(
+                    (100_000 + u * 100 + j, 100 + u,
+                     base + dt.timedelta(minutes=j * 13),
+                     ["view", "click", "purchase", "signup"][j % 4])
+                )
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        ).repartition(8)
+
+    def test_sessionize_per_key_isolation(self, spark, skewed_events):
+        from pyspark.sql import functions as F
+        from sparkplug_spark.operators import sessionize
+
+        full = sessionize(skewed_events, gap_seconds=3600)
+        hot_in_full = {
+            tuple(r)
+            for r in full.filter(F.col("user_id") == 7).collect()
+        }
+        hot_alone = {
+            tuple(r)
+            for r in sessionize(
+                skewed_events.filter(F.col("user_id") == 7), gap_seconds=3600
+            ).collect()
+        }
+        assert hot_in_full == hot_alone and len(hot_alone) > 1
+        # a cold user's sessions are untouched by the hot key's presence
+        cold_in_full = {
+            tuple(r) for r in full.filter(F.col("user_id") == 150).collect()
+        }
+        cold_alone = {
+            tuple(r)
+            for r in sessionize(
+                skewed_events.filter(F.col("user_id") == 150), gap_seconds=3600
+            ).collect()
+        }
+        assert cold_in_full == cold_alone
+
+    def test_funnel_counts_additive_over_user_split(self, spark, skewed_events):
+        from pyspark.sql import functions as F
+        from sparkplug_spark.operators import funnel_counts
+
+        steps = ("view", "click", "purchase")
+        full = {
+            r.step: r.n_users
+            for r in funnel_counts(skewed_events, steps).collect()
+        }
+        hot = {
+            r.step: r.n_users
+            for r in funnel_counts(
+                skewed_events.filter(F.col("user_id") == 7), steps
+            ).collect()
+        }
+        cold = {
+            r.step: r.n_users
+            for r in funnel_counts(
+                skewed_events.filter(F.col("user_id") != 7), steps
+            ).collect()
+        }
+        for s in full:
+            assert full[s] == hot.get(s, 0) + cold.get(s, 0)
+        assert hot["view"] == 1  # the hot user counts once, not 3000 times
+
+    def test_session_paths_additive_over_user_split(self, spark, skewed_events):
+        from pyspark.sql import functions as F
+        from sparkplug_spark.operators import session_paths
+
+        full = {
+            r.path: r.n_sessions
+            for r in session_paths(
+                skewed_events, gap_seconds=3600, min_sessions=1
+            ).collect()
+        }
+        hot = {
+            r.path: r.n_sessions
+            for r in session_paths(
+                skewed_events.filter(F.col("user_id") == 7),
+                gap_seconds=3600,
+                min_sessions=1,
+            ).collect()
+        }
+        cold = {
+            r.path: r.n_sessions
+            for r in session_paths(
+                skewed_events.filter(F.col("user_id") != 7),
+                gap_seconds=3600,
+                min_sessions=1,
+            ).collect()
+        }
+        for p, n in full.items():
+            assert n == hot.get(p, 0) + cold.get(p, 0), p
+
+    def test_aqe_splits_skewed_event_join(self, spark):
+        """Where the user-key shuffle is a JOIN (enriching events with a
+        per-user dim), AQE's skew-join must split the hot partition:
+        skew=true in the EXECUTED plan, results unchanged.
+
+        Recipe notes (each was a real false-negative while building this):
+        the payload must be incompressible (skew detection reads
+        compressed shuffle sizes — a repeated-char payload deflates the
+        hot partition below every threshold), and the plan must be read
+        from the SAME DataFrame after collect() (count() executes a
+        different query, leaving this one's adaptive plan non-final)."""
+        from pyspark.sql import functions as F
+
+        pay = F.concat(
+            *[
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(i)), 256)
+                for i in range(4)
+            ]
+        ).alias("payload")
+        hot = spark.range(50_000).select(
+            F.col("id").alias("event_id"), F.lit(7).alias("user_id"), pay
+        )
+        cold = spark.range(50_000).select(
+            (F.col("id") + 100_000).alias("event_id"),
+            (F.col("id") % 100 + 100).alias("user_id"),
+            pay,
+        )
+        events = hot.unionAll(cold)
+        users = spark.range(300).select(
+            F.col("id").alias("user_id"), (F.col("id") % 5).alias("segment")
+        )
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            joined = events.join(users, "user_id")
+            assert len(joined.collect()) == 100_000
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "simple"
+            )
+            assert "skew=true" in plan, "AQE did not mark the skewed join"
+            assert "skewed" in plan  # the AQEShuffleRead split the partition
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
