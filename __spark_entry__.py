@@ -1586,6 +1586,48 @@ def q_multimodal_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pure-numpy Huffman + dequant + IDCT),
+    oracle-checked on the codec's LOSSLESS subspace: each doc becomes a
+    16x16 JPEG of four uniform 8x8 blocks at gray v, v+2, v+4, v+6 (even
+    values survive DC quantization exactly, and the four blocks exercise
+    the DC predictor chain); the decoder must recover each block
+    bit-exactly.  The oracle computes the expected levels arithmetically
+    — any drift in entropy decode, dequant, IDCT, or clamping breaks the
+    hash."""
+    from sparkplug_spark.operators.jpeg import encode_jpeg_baseline
+    from sparkplug_spark.operators.multimodal import decode_image_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    @F.pandas_udf("binary")
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            v = (int(d) % 124 + 1) * 2
+            img = np.zeros((16, 16), dtype=np.uint8)
+            img[:8, :8] = v
+            img[:8, 8:] = v + 2
+            img[8:, :8] = v + 4
+            img[8:, 8:] = v + 6
+            out.append(encode_jpeg_baseline(img, quant_dc=16, quant_ac=32))
+        return pd.Series(out)
+
+    imgs = docs.select("doc_id", make_jpeg("doc_id").alias("payload"))
+    feats = decode_image_features(imgs, feature_dim=4, decoder="native")
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "feat")
+    ).select(
+        "doc_id",
+        "pos",
+        F.floor(F.col("feat").cast("double") * 255.0 + 0.5)
+        .cast("long")
+        .alias("gray_level"),
+    )
+
+
 def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, ORACLE-checked via deterministic replay:
     documents become 4 time-ordered micro-batches where key doc_id%30
@@ -3873,6 +3915,14 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, pos, (v + pos)::BIGINT AS gray_level
             FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS pos)
         """,
+        "multimodal_jpeg": """
+            WITH b AS (
+              SELECT doc_id, (doc_id % 124 + 1) * 2 AS v FROM documents
+              WHERE doc_id < 100
+            )
+            SELECT doc_id, pos, (v + 2 * pos)::BIGINT AS gray_level
+            FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS pos)
+        """,
         "streaming_dedup_replay": """
             SELECT doc_id,
                    CASE WHEN doc_id % 30 < 15
@@ -4843,6 +4893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_parts": q_pareto_parts,
         "join_preflight": q_join_preflight,
         "multimodal_compressed": q_multimodal_compressed,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_impact_replay": q_streaming_impact_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever

@@ -13,10 +13,13 @@ Decoder tiers:
   librosa/torchaudio call would slot in, as does video frame demux
   (ffmpeg).
 - ``decoder="native"`` (images) — library-free pixel decode via pure
-  numpy: uncompressed formats (netpbm P5/P6, 24-bit BMP) AND compressed
+  numpy: uncompressed formats (netpbm P5/P6, 24-bit BMP), compressed
   PNG (stdlib ``zlib`` inflate + full scanline unfiltering — 8-bit
-  gray/RGB/RGBA/gray-alpha/palette, all five filter types).  Interlaced
-  (Adam7) and 16-bit PNGs, plus JPEG/WebP, remain the Pillow boundary.
+  gray/RGB/RGBA/gray-alpha/palette, all five filter types), and
+  BASELINE JPEG (``jpeg.py``: Huffman entropy decode, dequantize, IDCT,
+  4:2:0/4:2:2/4:4:4 chroma upsample, restart markers).  Interlaced/
+  16-bit PNG, progressive JPEG, and WebP/TIFF/GIF remain the Pillow
+  boundary.
 
 Scale notes: media payloads are large, so batch size is controlled by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` and partitions should be
@@ -293,6 +296,11 @@ def _native_pixels(payload: bytes):
         raise NotImplementedError("payload too short to be a supported image")
     if payload[:4] == b"\x89PNG":
         return _png_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload).astype(np.float64) / 255.0
+        return arr[:, :, 0] if arr.shape[2] == 1 else arr.mean(axis=2)
     if payload[:2] in (b"P5", b"P6"):
         # netpbm: magic, whitespace/comment-separated width height maxval,
         # ONE whitespace byte, then the raw raster
@@ -356,8 +364,9 @@ def _native_pixels(payload: bytes):
             rows = rows[::-1]
         return rows.astype(np.float64).mean(axis=2) / 255.0
     raise NotImplementedError(
-        "native image decode supports netpbm P5/P6, 24-bit BMP, and 8-bit "
-        "non-interlaced PNG; other formats need Pillow (decoder='real')"
+        "native image decode supports netpbm P5/P6, 24-bit BMP, 8-bit "
+        "non-interlaced PNG, and baseline JPEG; other formats (WebP, "
+        "TIFF, GIF) need Pillow (decoder='real')"
     )
 
 

@@ -411,13 +411,13 @@ class TestRealMediaDecoders:
         assert [round(f, 3) for f in feats] == [0.0, 1.0, 1.0, 0.0]
 
     def test_native_rejects_compressed(self, spark):
-        # PNG moved inside the native tier in round 4; JPEG is now the
-        # genuine Pillow boundary (and a bare PNG signature with no chunks
-        # still raises — at the PNG layer, as a truncated stream)
+        # PNG and baseline JPEG moved inside the native tier in round 4;
+        # WebP is now the genuine Pillow boundary (and a bare PNG
+        # signature with no chunks still raises — as a truncated stream)
         from sparkplug_spark.operators.multimodal import decode_image_features
 
-        jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
-        df = spark.createDataFrame([(1, jpeg)], "id long, payload binary")
+        webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16
+        df = spark.createDataFrame([(1, webp)], "id long, payload binary")
         with pytest.raises(Exception, match="Pillow"):
             decode_image_features(df, feature_dim=4, decoder="native").collect()
         df2 = spark.createDataFrame(

@@ -161,9 +161,13 @@ class TestPngDecode:
         )
         with pytest.raises(NotImplementedError):
             _png_pixels(corrupt)
-        # JPEG stays outside the native tier
+        # PROGRESSIVE JPEG stays outside the native tier (baseline is in)
+        prog = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC2, 10) + b"\x00" * 8
         with pytest.raises(NotImplementedError, match="Pillow"):
-            _native_pixels(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+            _native_pixels(prog)
+        # WebP stays outside entirely
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _native_pixels(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
 
     def test_png_decode_through_spark(self, spark):
         from sparkplug_spark.operators.multimodal import decode_image_features
