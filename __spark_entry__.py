@@ -1721,6 +1721,49 @@ def q_streaming_impact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-stateful streaming sessionization (applyInPandasWithState),
+    ORACLE-checked via deterministic replay: events arrive as 4
+    time-ordered micro-batches plus a FLUSH batch holding one far-future
+    sentinel event per user — the sentinel closes every user's open
+    session in-stream (gap exceeded), so the emitted set equals batch
+    sessionization exactly; sentinel sessions themselves stay open at
+    shutdown (or time out past the cutoff) and are filtered by their
+    start time.  The oracle recomputes sessions in SQL with the stream
+    operator's own millisecond gap semantics."""
+    from sparkplug_spark.streaming import sessionize_stream
+    from sparkplug_spark.streaming.replay import replay_file_stream
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    batches = [
+        ev.filter((day >= lo) & (day < hi))
+        for lo, hi in ((0, 8), (8, 15), (15, 23), (23, 40))
+    ]
+    flush = ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts")
+    )
+    # watermark longer than the replay horizon: sessions must close ONLY
+    # via gap logic (in-batch successor or the sentinel), never by a
+    # batch-boundary timeout splitting a session that a later batch would
+    # have extended
+    sessions = replay_file_stream(
+        spark,
+        batches + [flush],
+        lambda s: sessionize_stream(
+            s, gap_seconds=1800, watermark_delay="90 days"
+        ),
+        mode="append",
+    )
+    cutoff = 1709251200  # 2024-03-01: sentinel sessions start after this
+    return sessions.select(
+        "user_id",
+        F.col("session_start").cast("long").alias("start_s"),
+        F.col("session_end").cast("long").alias("end_s"),
+        "n_events",
+    ).filter(F.col("start_s") < cutoff)
+
+
 def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global corpus shuffle: consecutive md5-order ranks
     computed per hash-prefix bucket + broadcast offsets — NO global sort;
@@ -3915,6 +3958,30 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, pos, (v + pos)::BIGINT AS gray_level
             FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS pos)
         """,
+        "streaming_sessionize_replay": """
+            WITH ev AS (
+              SELECT user_id, (epoch_ns(ts) // 1000000)::BIGINT AS tms
+              FROM events
+            ),
+            o AS (
+              SELECT user_id, tms,
+                     CASE WHEN lag(tms) OVER w IS NULL
+                            OR tms - lag(tms) OVER w > 1800000
+                          THEN 1 ELSE 0 END AS brk
+              FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tms)
+            ),
+            s AS (
+              SELECT user_id, tms,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   (min(tms) // 1000)::BIGINT AS start_s,
+                   (max(tms) // 1000)::BIGINT AS end_s,
+                   count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
         "multimodal_jpeg": """
             WITH b AS (
               SELECT doc_id, (doc_id % 124 + 1) * 2 AS v FROM documents
@@ -4896,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_impact_replay": q_streaming_impact_replay,
+        "streaming_sessionize_replay": q_streaming_sessionize_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
