@@ -1586,6 +1586,47 @@ def q_multimodal_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: anchors vec_id<40,
+    positives = every item congruent to the anchor mod 40 (includes
+    self), k=4 md5-coin negatives each — sample reproduces exactly in
+    DuckDB (same hash60 picks over the same dense item index)."""
+    from sparkplug_spark.operators import negative_samples
+
+    emb = _read(spark, sf_dir, "embeddings")
+    items = emb.select("vec_id")
+    anchors = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("anchor_id")
+    )
+    positives = anchors.join(
+        items.select(F.col("vec_id").alias("item_id")),
+        F.col("item_id") % 40 == F.col("anchor_id"),
+    )
+    return negative_samples(
+        positives,
+        items.select(F.col("vec_id").alias("item_id")),
+        k=4,
+        salt="neg1",
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query (vec_id<5), top-10 cosine items
+    EXCLUDING self and the mod-25 positive class — exclusion before
+    ranking, so the k best true negatives always fill the output."""
+    from sparkplug_spark.operators import hard_negative_mining
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    positives = queries_df.select("query_id").join(
+        emb.select(F.col("vec_id")),
+        F.col("vec_id") % 25 == F.col("query_id") % 25,
+    )
+    return hard_negative_mining(emb, queries_df, positives, k=10)
+
+
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode (pure-numpy Huffman + dequant + IDCT),
     oracle-checked on the codec's LOSSLESS subspace: each doc becomes a
@@ -3958,6 +3999,62 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, pos, (v + pos)::BIGINT AS gray_level
             FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS pos)
         """,
+        "negative_samples": """
+            WITH items AS (
+              SELECT vec_id AS item,
+                     row_number() OVER (ORDER BY vec_id) - 1 AS i
+              FROM embeddings
+            ),
+            n AS (SELECT count(*) AS n FROM items),
+            anchors AS (SELECT vec_id AS a FROM embeddings WHERE vec_id < 40),
+            pos AS (
+              SELECT a.a, e.vec_id AS item
+              FROM anchors a JOIN embeddings e ON e.vec_id % 40 = a.a
+            ),
+            picks AS (
+              SELECT a.a, j.j,
+                     ('0x' || substr(md5('neg1' || '|' || a.a::VARCHAR
+                        || '|' || j.j::VARCHAR), 1, 15))::BIGINT % n.n AS i
+              FROM anchors a
+              CROSS JOIN (SELECT unnest(range(12)) AS j) j
+              CROSS JOIN n
+            ),
+            cand AS (
+              SELECT p.a, it.item, p.j
+              FROM picks p JOIN items it ON it.i = p.i
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pos WHERE pos.a = p.a AND pos.item = it.item
+              )
+            ),
+            dedup AS (
+              SELECT a, item, j,
+                     row_number() OVER (PARTITION BY a, item ORDER BY j) AS d
+              FROM cand
+            ),
+            ranked AS (
+              SELECT a, item,
+                     row_number() OVER (PARTITION BY a ORDER BY j) AS neg_rank
+              FROM dedup WHERE d = 1
+            )
+            SELECT a AS anchor_id, item AS item_id, neg_rank::BIGINT AS neg_rank
+            FROM ranked WHERE neg_rank <= 4
+        """,
+        "hard_negatives": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+            scored AS (
+              SELECT query_id, e.vec_id AS neighbor_id,
+                     {_SQL_COS.format(a='qv', b='e.v')} AS cosine
+              FROM q CROSS JOIN e
+              WHERE e.vec_id != query_id
+                AND e.vec_id % 25 != query_id % 25
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
         "streaming_sessionize_replay": """
             WITH ev AS (
               SELECT user_id, (epoch_ns(ts) // 1000000)::BIGINT AS tms
@@ -4961,6 +5058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_preflight": q_join_preflight,
         "multimodal_compressed": q_multimodal_compressed,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "negative_samples": q_negative_samples,
+        "hard_negatives": q_hard_negatives,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_impact_replay": q_streaming_impact_replay,
         "streaming_sessionize_replay": q_streaming_sessionize_replay,

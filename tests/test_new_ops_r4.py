@@ -564,3 +564,77 @@ class TestEventOperatorSkew:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestContrastiveOps:
+    def test_negative_samples_exclusion_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+        from sparkplug_spark.operators import negative_samples
+
+        items = spark.range(100).select(F.col("id").alias("item_id"))
+        pos = spark.createDataFrame(
+            [(a, i) for a in range(5) for i in range(a, 100, 5)],
+            "anchor_id long, item_id long",
+        )
+        out = negative_samples(pos, items, k=6, salt="t").collect()
+        by_anchor = {}
+        for r in out:
+            by_anchor.setdefault(r.anchor_id, []).append(r)
+        pos_set = {(r.anchor_id, r.item_id) for r in pos.collect()}
+        for a, rows in by_anchor.items():
+            assert len(rows) == 6
+            assert sorted(r.neg_rank for r in rows) == [1, 2, 3, 4, 5, 6]
+            for r in rows:
+                assert (r.anchor_id, r.item_id) not in pos_set
+            assert len({r.item_id for r in rows}) == 6  # no repeats
+        # partitioning-invariant: same sample from a repartitioned input
+        out2 = negative_samples(
+            pos.repartition(7), items.repartition(5), k=6, salt="t"
+        ).collect()
+        assert {tuple(r) for r in out2} == {tuple(r) for r in out}
+        # different salt -> different (still valid) sample
+        out3 = negative_samples(pos, items, k=6, salt="other").collect()
+        assert {tuple(r) for r in out3} != {tuple(r) for r in out}
+
+    def test_negative_samples_shortfall_is_graceful(self, spark):
+        from pyspark.sql import functions as F
+        from sparkplug_spark.operators import negative_samples
+
+        items = spark.range(5).select(F.col("id").alias("item_id"))
+        # anchor 0's positives cover 4 of 5 items: at most 1 negative exists
+        pos = spark.createDataFrame(
+            [(0, i) for i in range(4)], "anchor_id long, item_id long"
+        )
+        out = negative_samples(pos, items, k=3, oversample=30).collect()
+        assert {r.item_id for r in out} == {4}
+        assert len(out) == 1
+
+    def test_hard_negatives_exclude_before_ranking(self, spark):
+        from pyspark.sql import functions as F
+        from sparkplug_spark.operators import cosine_topk, hard_negative_mining
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # positives: the query's own top-3 (incl. itself) — the worst case
+        # where post-hoc filtering would leave holes
+        top3 = cosine_topk(emb, q, k=3)
+        pos = top3.select("query_id", F.col("neighbor_id").alias("vec_id"))
+        out = hard_negative_mining(emb, q, pos, k=5)
+        rows = out.collect()
+        banned = {(r.query_id, r.vec_id) for r in pos.collect()}
+        assert len(rows) == 15  # k always filled
+        for r in rows:
+            assert (r.query_id, r.neighbor_id) not in banned
+            assert r.query_id != r.neighbor_id
+        # the best hard negative is exactly the 4th-best overall neighbor
+        top10 = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in cosine_topk(emb, q, k=10).collect()
+        }
+        got1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
+        for qid in got1:
+            assert got1[qid] == top10[(qid, 4)]
