@@ -124,9 +124,10 @@ def pagerank(
     ranks, prev_ids = checkpoint_tracked(base, reliable=reliable_checkpoint)
     if ranks.isEmpty():
         # no nodes: the loop's observations would never fire (zero tasks
-        # can mean no metrics), so return the empty result directly
+        # can mean no metrics), so return the empty result directly.
+        # prev_ids stays persisted — those blocks back the RETURNED
+        # DataFrame (a local checkpoint cannot be recomputed once freed)
         unpersist_ids(spark, w_ids)
-        unpersist_ids(spark, prev_ids)
         return ranks.select("node", "rank")
     dangling_mass = float(obs0.get["dm"] or 0.0)
     has_dangling = dangling_mass != 0.0

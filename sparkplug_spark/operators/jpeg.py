@@ -107,6 +107,10 @@ class _BitReader:
                 self.nbits = n
         self.nbits -= n
         v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        # discard consumed bits: without this mask the accumulator grows
+        # into an unbounded bignum and every refill shifts it — O(n²) in
+        # entropy-stream size, minutes on a real-world image
+        self.bits &= (1 << self.nbits) - 1
         return v
 
     def resync(self) -> None:
@@ -220,6 +224,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise NotImplementedError("JPEG: SOS before SOF")
             ns = body[0]
+            # decode-correctly-or-raise contract: the MCU walk below
+            # assumes ONE interleaved scan covering every frame
+            # component.  A spec-legal multi-scan baseline file (one SOS
+            # per component) or a non-interleaved scan of a subsampled
+            # component uses a different data-unit order — decoding it
+            # here would yield silently wrong pixels, so raise instead.
+            if ns != len(frame["comps"]):
+                raise NotImplementedError(
+                    "JPEG: non-interleaved / multi-scan baseline needs "
+                    "Pillow (decoder='real')"
+                )
+            if ns == 1 and (
+                frame["comps"][0]["h"] != 1 or frame["comps"][0]["v"] != 1
+            ):
+                raise NotImplementedError(
+                    "JPEG: subsampled single-component scan needs Pillow"
+                )
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]

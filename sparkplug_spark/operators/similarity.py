@@ -473,6 +473,75 @@ def cosine_topk_pq(
     )
 
 
+def _stored_centers(spark, path: str) -> np.ndarray:
+    """Load a stored index's coarse centroids as a (k, dim) array."""
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    centers = np.zeros((len(crows), len(crows[0]["center"])))
+    for r in crows:
+        centers[r["centroid"]] = r["center"]
+    return centers
+
+
+def _stored_books(spark, path: str) -> np.ndarray:
+    """Load a stored IVF+PQ index's codebooks as (m, ks, dsub)."""
+    brows = spark.read.parquet(f"{path}/books").collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    ks_eff = 1 + max(r["code"] for r in brows)
+    dsub = len(brows[0]["center"])
+    books = np.zeros((m, ks_eff, dsub))
+    for r in brows:
+        books[r["subspace"], r["code"]] = r["center"]
+    return books
+
+
+def _assign_udf(C: np.ndarray):
+    """Arrow kernel assigning each vector to its argmax-cosine centroid
+    (``C`` is centers TRANSPOSED, dim × k).  The ONE assignment kernel —
+    build and append must agree bit-for-bit or appended vectors land in
+    different lists than a fresh build would put them."""
+    from ..functions.vectors import _mat
+
+    @F.pandas_udf("int")
+    def assign(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        mat = _mat(x).astype(np.float64, copy=False)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        return pd.Series(
+            np.argmax((mat / n[:, None]) @ C, axis=1).astype("int32")
+        )
+
+    return assign
+
+
+def _encode_udf(C: np.ndarray, books: np.ndarray):
+    """Arrow kernel assigning + PQ-encoding vectors against frozen
+    centers/codebooks — shared by build and append for the same
+    bit-for-bit reason as :func:`_assign_udf`."""
+    from ..functions.vectors import _mat
+
+    m, _, dsub = books.shape
+
+    @F.pandas_udf("struct<centroid: int, codes: array<int>>")
+    def encode(x: pd.Series) -> pd.DataFrame:
+        if len(x) == 0:
+            return pd.DataFrame({"centroid": [], "codes": []})
+        mat = _mat(x).astype(np.float64, copy=False)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mat = mat / n[:, None]
+        cent = np.argmax(mat @ C, axis=1).astype("int32")
+        codes = np.empty((len(mat), m), dtype="int32")
+        for s in range(m):
+            Xs = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"centroid": cent, "codes": list(codes)})
+
+    return encode
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -508,15 +577,7 @@ def build_ivf_index(
         "centroid int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
-    @F.pandas_udf("int")
-    def assign(x: pd.Series) -> pd.Series:
-        if len(x) == 0:
-            return pd.Series([], dtype="int32")
-        mat = _mat(x).astype(np.float64, copy=False)
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        return pd.Series(np.argmax((mat / n[:, None]) @ C, axis=1).astype("int32"))
-
+    assign = _assign_udf(C)
     (
         spread(corpus)
         .select(id_col, vec_col, assign(F.col(vec_col)).alias("centroid"))
@@ -596,15 +657,6 @@ def search_ivf_index(
     )
 
 
-def _stored_centers(spark, path: str) -> np.ndarray:
-    """Load a stored index's coarse centroids as a (k, dim) array."""
-    crows = spark.read.parquet(f"{path}/centroids").collect()
-    centers = np.zeros((len(crows), len(crows[0]["center"])))
-    for r in crows:
-        centers[r["centroid"]] = r["center"]
-    return centers
-
-
 def append_to_ivf_index(
     new_corpus: DataFrame,
     path: str,
@@ -624,22 +676,8 @@ def append_to_ivf_index(
     assignment of them (same argmax-cosine kernel as the builder).
     Centroid drift under sustained append is the caller's retrain
     trigger — monitor with :func:`cluster_profile`."""
-    from ..functions.vectors import _mat
-
     spark = new_corpus.sparkSession
-    C = _stored_centers(spark, path).T
-
-    @F.pandas_udf("int")
-    def assign(x: pd.Series) -> pd.Series:
-        if len(x) == 0:
-            return pd.Series([], dtype="int32")
-        mat = _mat(x).astype(np.float64, copy=False)
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        return pd.Series(
-            np.argmax((mat / n[:, None]) @ C, axis=1).astype("int32")
-        )
-
+    assign = _assign_udf(_stored_centers(spark, path).T)
     (
         spread(new_corpus)
         .select(id_col, vec_col, assign(F.col(vec_col)).alias("centroid"))
@@ -659,34 +697,10 @@ def append_to_ivfpq_index(
     assign to frozen coarse centroids, encode with the frozen PQ
     codebooks, append to the partitioned lists — same no-retrain
     contract as :func:`append_to_ivf_index`."""
-    from ..functions.vectors import _mat
-
     spark = new_corpus.sparkSession
-    C = _stored_centers(spark, path).T
-    brows = spark.read.parquet(f"{path}/books").collect()
-    m = max(r["subspace"] for r in brows) + 1
-    ks_eff = max(r["code"] for r in brows) + 1
-    dsub = len(brows[0]["center"])
-    books = np.zeros((m, ks_eff, dsub))
-    for r in brows:
-        books[r["subspace"], r["code"]] = r["center"]
-
-    @F.pandas_udf("struct<centroid: int, codes: array<int>>")
-    def encode(x: pd.Series) -> pd.DataFrame:
-        if len(x) == 0:
-            return pd.DataFrame({"centroid": [], "codes": []})
-        mat = _mat(x).astype(np.float64, copy=False)
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        mat = mat / n[:, None]
-        cent = np.argmax(mat @ C, axis=1).astype("int32")
-        codes = np.empty((len(mat), m), dtype="int32")
-        for s in range(m):
-            Xs = mat[:, s * dsub : (s + 1) * dsub]
-            d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pd.DataFrame({"centroid": cent, "codes": list(codes)})
-
+    encode = _encode_udf(
+        _stored_centers(spark, path).T, _stored_books(spark, path)
+    )
     (
         spread(new_corpus)
         .select(id_col, vec_col, encode(F.col(vec_col)).alias("__e"))
@@ -777,22 +791,7 @@ def build_ivfpq_index(
         "subspace int, code int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
 
-    @F.pandas_udf("struct<centroid: int, codes: array<int>>")
-    def encode(x: pd.Series) -> pd.DataFrame:
-        if len(x) == 0:
-            return pd.DataFrame({"centroid": [], "codes": []})
-        mat = _mat(x).astype(np.float64, copy=False)
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        mat = mat / n[:, None]
-        cent = np.argmax(mat @ C, axis=1).astype("int32")
-        codes = np.empty((len(mat), m), dtype="int32")
-        for s in range(m):
-            Xs = mat[:, s * dsub : (s + 1) * dsub]
-            d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pd.DataFrame({"centroid": cent, "codes": list(codes)})
-
+    encode = _encode_udf(C, books)
     (
         spread(corpus)
         .select(id_col, vec_col, encode(F.col(vec_col)).alias("__e"))
@@ -819,18 +818,10 @@ def search_ivfpq_index(
     the code column only (column pruning) → per-query top-``rerank``
     map-side-limited window → exact re-rank fetching raw vectors for the
     survivors.  Same output schema as :func:`cosine_topk`."""
-    crows = spark.read.parquet(f"{path}/centroids").collect()
-    centers = np.zeros((len(crows), len(crows[0]["center"])))
-    for r in crows:
-        centers[r["centroid"]] = r["center"]
-    brows = spark.read.parquet(f"{path}/books").collect()
-    m = 1 + max(r["subspace"] for r in brows)
-    ks_eff = 1 + max(r["code"] for r in brows)
-    dsub = len(brows[0]["center"])
-    books = np.zeros((m, ks_eff, dsub))
-    for r in brows:
-        books[r["subspace"], r["code"]] = r["center"]
-    n_probe = max(1, min(n_probe, len(crows)))
+    centers = _stored_centers(spark, path)
+    books = _stored_books(spark, path)
+    m, _, dsub = books.shape
+    n_probe = max(1, min(n_probe, len(centers)))
 
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")

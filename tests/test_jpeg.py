@@ -112,3 +112,31 @@ def test_jpeg_through_spark_native_tier(spark):
         0
     ]["features"]
     assert [round(f * 255.0) for f in feats] == [10, 12, 14, 16]
+
+
+def test_decode_throughput_is_linear_not_quadratic():
+    """Regression: the bit reader must discard consumed bits — without the
+    mask the accumulator is an unbounded bignum and a real-world-sized
+    entropy stream takes minutes instead of a fraction of a second."""
+    import time
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    payload = encode_jpeg_baseline(img, quant_dc=4, quant_ac=4)
+    assert len(payload) > 15_000  # noisy: a genuinely large entropy stream
+    t0 = time.perf_counter()
+    decode_jpeg(payload)
+    assert time.perf_counter() - t0 < 10.0
+
+
+def test_non_interleaved_and_multi_scan_raise():
+    """decode-correctly-or-raise: a scan that does not cover every frame
+    component (multi-scan file) must raise, not decode half the planes."""
+    ok = encode_jpeg_baseline(np.full((8, 8, 3), 100, dtype=np.uint8))
+    # find the SOS segment and rewrite it to a single-component scan
+    i = ok.index(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", ok, i + 2)
+    one_comp_sos = struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    hacked = ok[: i + 2] + one_comp_sos + ok[i + 2 + seglen :]
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_jpeg(hacked)

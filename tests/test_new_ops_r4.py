@@ -638,3 +638,15 @@ class TestContrastiveOps:
         got1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
         for qid in got1:
             assert got1[qid] == top10[(qid, 4)]
+
+
+def test_pagerank_empty_graph_result_stays_usable(spark):
+    """Regression: the empty-graph early return must NOT free the local
+    checkpoint backing the returned DataFrame — a second action on the
+    result would hit unrecomputable truncated lineage."""
+    from sparkplug_spark.operators.graphs import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(e, iterations=3)
+    assert out.count() == 0
+    assert out.collect() == []  # second action: blocks must still exist
