@@ -8,10 +8,11 @@ Decoder tiers:
   signature) is real and testable with zero media libraries.
 - ``decoder="real"`` — actual decode where the container allows it:
   images via Pillow when installed; audio via a LIBRARY-FREE PCM WAV
-  parser (stdlib ``wave`` + numpy FFT band energies) — compressed codecs
-  (mp3/ogg/flac) still raise ``NotImplementedError`` at the exact point a
-  librosa/torchaudio call would slot in, as does video frame demux
-  (ffmpeg).
+  parser (stdlib ``wave`` + numpy FFT band energies); video via
+  LIBRARY-FREE AVI (RIFF) and MP4 (ISO BMFF sample tables) demux —
+  compressed audio codecs (mp3/ogg/flac) still raise
+  ``NotImplementedError`` at the exact point a librosa/torchaudio call
+  would slot in, as do mkv/webm and fragmented MP4 (ffmpeg).
 - ``decoder="native"`` (images) — library-free pixel decode via pure
   numpy: uncompressed formats (netpbm P5/P6, 24-bit BMP), compressed
   PNG (stdlib ``zlib`` inflate + full scanline unfiltering — 8-bit
@@ -173,7 +174,7 @@ def encode_png_rgb8(arr, filters=None) -> bytes:
     )
 
 
-def _png_pixels(payload: bytes):
+def _png_pixels_raw(payload: bytes):
     """REAL compressed-image decode with zero imaging libraries: parse the
     PNG chunk stream, inflate IDAT with stdlib ``zlib``, and undo the five
     scanline filters (None/Sub/Up/Average/Paeth) per the PNG spec.
@@ -182,8 +183,8 @@ def _png_pixels(payload: bytes):
     4 (gray+alpha), 6 (RGBA), non-interlaced.  16-bit samples, sub-byte
     palette depths, and Adam7 interlacing raise ``NotImplementedError`` —
     that is the genuine Pillow boundary.  Returns a 2-D float grayscale
-    array in [0,1] (RGB channels averaged; alpha ignored), the same
-    contract as :func:`_native_pixels`.
+    Returns (px, color_type) where px is the
+    palette-expanded uint8 raster (h, w, ch).
     """
     import struct
     import zlib
@@ -278,10 +279,142 @@ def _png_pixels(payload: bytes):
             raise NotImplementedError("PNG palette index out of range")
         px = plte[idx]  # (h, w, 3)
         ch = 3
+    return px, color
+
+
+def _png_pixels(payload: bytes):
+    """Grayscale [0,1] view of a PNG (RGB averaged; alpha ignored) — the
+    :func:`_native_pixels` contract."""
+    import numpy as np
+
+    px, color = _png_pixels_raw(payload)
     arr = px.astype(np.float64) / 255.0
-    if color in (0, 4) and ch >= 1:
+    if color in (0, 4):
         return arr[:, :, 0]  # gray (alpha ignored)
     return arr[:, :, :3].mean(axis=2)  # RGB / RGBA / palette-expanded
+
+
+def _png_pixels_rgb(payload: bytes):
+    """RGB [0,1] view of a PNG (gray replicated; alpha dropped)."""
+    import numpy as np
+
+    px, color = _png_pixels_raw(payload)
+    arr = px.astype(np.float64) / 255.0
+    if color in (0, 4):
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    return arr[:, :, :3]
+
+
+def _netpbm_arr(payload: bytes):
+    """netpbm P5/P6 raster as (h, w, ch) float in [0,1] (divided by the
+    header's maxval)."""
+    import numpy as np
+
+    # netpbm: magic, whitespace/comment-separated width height maxval,
+    # ONE whitespace byte, then the raw raster
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j > i:
+            toks.append(payload[i:j])
+        i = j
+    try:
+        w, h, maxval = (int(t) for t in toks)
+    except ValueError as e:
+        raise NotImplementedError(
+            "malformed netpbm header (truncated or non-numeric)"
+        ) from e
+    if not (0 < maxval <= 255) or w <= 0 or h <= 0:
+        # maxval > 255 means 2-byte big-endian samples per the spec —
+        # raise at the boundary rather than mis-decode as uint8
+        raise NotImplementedError(
+            "native netpbm decode supports 8-bit samples (maxval <= 255)"
+        )
+    i += 1  # the single whitespace after maxval
+    ch = 1 if payload[:2] == b"P5" else 3
+    if len(payload) - i < w * h * ch:
+        raise NotImplementedError("netpbm raster shorter than header claims")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return raster.reshape(h, w, ch).astype(np.float64) / float(maxval)
+
+
+def _bmp_rows(payload: bytes):
+    """24-bit BMP raster as top-down (h, w, 3) float in [0, 255]."""
+    import struct
+
+    import numpy as np
+
+    try:
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+    except struct.error as e:
+        raise NotImplementedError("truncated BMP header") from e
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "native BMP decode supports 24-bit uncompressed only"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if w <= 0 or h == 0 or len(payload) - data_off < row_bytes * h:
+        raise NotImplementedError("BMP raster shorter than header claims")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows.astype(np.float64)
+
+
+def _netpbm_rgb(payload: bytes):
+    import numpy as np
+
+    arr = _netpbm_arr(payload)
+    return np.repeat(arr, 3, axis=2) if arr.shape[2] == 1 else arr
+
+
+def _bmp_rgb(payload: bytes):
+    # BMP stores BGR; the gray contract never noticed, color must flip
+    return _bmp_rows(payload)[:, :, ::-1] / 255.0
+
+
+def _native_pixels_rgb(payload: bytes):
+    """Library-free COLOR decode: (h, w, 3) float in [0,1] for every
+    format the native tier reads (PNG, baseline JPEG, netpbm, BMP) —
+    the pixel source for :func:`resize_images` decoder="native"."""
+    import numpy as np
+
+    if payload is None or len(payload) < 4:
+        raise NotImplementedError("payload too short to be a supported image")
+    if payload[:4] == b"\x89PNG":
+        return _png_pixels_rgb(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        arr = decode_jpeg(payload).astype(np.float64) / 255.0
+        if arr.shape[2] == 1:
+            return np.repeat(arr, 3, axis=2)
+        return arr
+    # netpbm / BMP: reuse the grayscale parser for headers, then re-read
+    # color where the format has it (P6/BMP rasters are small; the parse
+    # is cheap relative to the decode contract)
+    gray = _native_pixels(payload)  # validates + raises the right errors
+    if payload[:2] == b"P6":
+        return _netpbm_rgb(payload)
+    if payload[:2] == b"BM":
+        return _bmp_rgb(payload)
+    return np.repeat(gray[:, :, None], 3, axis=2)  # P5 gray
 
 
 def _native_pixels(payload: bytes):
@@ -302,67 +435,11 @@ def _native_pixels(payload: bytes):
         arr = decode_jpeg(payload).astype(np.float64) / 255.0
         return arr[:, :, 0] if arr.shape[2] == 1 else arr.mean(axis=2)
     if payload[:2] in (b"P5", b"P6"):
-        # netpbm: magic, whitespace/comment-separated width height maxval,
-        # ONE whitespace byte, then the raw raster
-        toks: list[bytes] = []
-        i = 2
-        while len(toks) < 3 and i < len(payload):
-            while i < len(payload) and payload[i : i + 1].isspace():
-                i += 1
-            if payload[i : i + 1] == b"#":  # comment to end of line
-                while i < len(payload) and payload[i : i + 1] != b"\n":
-                    i += 1
-                continue
-            j = i
-            while j < len(payload) and not payload[j : j + 1].isspace():
-                j += 1
-            if j > i:
-                toks.append(payload[i:j])
-            i = j
-        try:
-            w, h, maxval = (int(t) for t in toks)
-        except ValueError as e:
-            raise NotImplementedError(
-                "malformed netpbm header (truncated or non-numeric)"
-            ) from e
-        if not (0 < maxval <= 255) or w <= 0 or h <= 0:
-            # maxval > 255 means 2-byte big-endian samples per the spec —
-            # raise at the boundary rather than mis-decode as uint8
-            raise NotImplementedError(
-                "native netpbm decode supports 8-bit samples (maxval <= 255)"
-            )
-        i += 1  # the single whitespace after maxval
-        ch = 1 if payload[:2] == b"P5" else 3
-        if len(payload) - i < w * h * ch:
-            raise NotImplementedError("netpbm raster shorter than header claims")
-        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
-        arr = raster.reshape(h, w, ch).astype(np.float64) / float(maxval)
+        arr = _netpbm_arr(payload)
+        ch = arr.shape[2]
         return arr.mean(axis=2) if ch == 3 else arr[:, :, 0] if arr.ndim == 3 else arr
     if payload[:2] == b"BM":
-        import struct
-
-        try:
-            data_off = struct.unpack_from("<I", payload, 10)[0]
-            w, h = struct.unpack_from("<ii", payload, 18)
-            planes, bpp = struct.unpack_from("<HH", payload, 26)
-            compression = struct.unpack_from("<I", payload, 30)[0]
-        except struct.error as e:
-            raise NotImplementedError("truncated BMP header") from e
-        if bpp != 24 or compression != 0:
-            raise NotImplementedError(
-                "native BMP decode supports 24-bit uncompressed only"
-            )
-        bottom_up = h > 0
-        h = abs(h)
-        row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-        if w <= 0 or h == 0 or len(payload) - data_off < row_bytes * h:
-            raise NotImplementedError("BMP raster shorter than header claims")
-        rows = np.frombuffer(
-            payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
-        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
-        if bottom_up:
-            rows = rows[::-1]
-        return rows.astype(np.float64).mean(axis=2) / 255.0
+        return _bmp_rows(payload).mean(axis=2) / 255.0
     raise NotImplementedError(
         "native image decode supports netpbm P5/P6, 24-bit BMP, 8-bit "
         "non-interlaced PNG, and baseline JPEG; other formats (WebP, "
@@ -463,6 +540,24 @@ def _real_image_resize(payload: bytes, w: int, h: int) -> bytes:
     return buf.getvalue()
 
 
+def _native_image_resize(payload: bytes, w: int, h: int) -> bytes:
+    """REAL library-free resize: decode any native-tier format to RGB
+    (:func:`_native_pixels_rgb`), nearest-neighbor resample to (w, h),
+    re-encode as PNG with the in-repo encoder.  Raises
+    ``NotImplementedError`` for formats outside the native tier — the
+    same decode-correctly-or-raise contract as the feature decoder."""
+    import numpy as np
+
+    arr = _native_pixels_rgb(payload)
+    sh, sw = arr.shape[:2]
+    ys = (np.arange(h) * sh) // h
+    xs = (np.arange(w) * sw) // w
+    out = np.clip(np.round(arr[np.ix_(ys, xs)] * 255.0), 0, 255).astype(
+        np.uint8
+    )
+    return encode_png_rgb8(out)
+
+
 def _fake_image_resize(payload: bytes, w: int, h: int) -> bytes:
     """Deterministic stand-in: md5-keyed bytes sized like a tiny grayscale
     (w*h) buffer — same shape/nullability as the real path, no library."""
@@ -484,11 +579,13 @@ def resize_images(
     """payload binary → resized payload binary + declared (width, height)
     columns, via the same Arrow-batched ``mapInPandas`` plumbing as
     :func:`decode_image_features` — the preprocessing step in front of a
-    vision-model featurizer.  ``decoder="real"`` resizes pixels with
-    Pillow (probed eagerly driver-side); ``decoder="fake"`` runs the
-    identical batch pipeline with a deterministic md5-keyed byte stub.
-    Pair with :func:`repartition_for_media` so tasks stay byte-bounded."""
-    if decoder not in ("fake", "real"):
+    vision-model featurizer.  ``decoder="native"`` REALLY resizes with
+    zero libraries (native-tier decode → nearest-neighbor resample →
+    PNG re-encode); ``decoder="real"`` resizes with Pillow (probed
+    eagerly driver-side); ``decoder="fake"`` runs the identical batch
+    pipeline with a deterministic md5-keyed byte stub.  Pair with
+    :func:`repartition_for_media` so tasks stay byte-bounded."""
+    if decoder not in ("fake", "real", "native"):
         raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "real":
         try:
@@ -498,7 +595,11 @@ def resize_images(
                 "resize_images(decoder='real') requires Pillow; use "
                 "decoder='fake' for the deterministic stand-in"
             ) from e
-    resize = _real_image_resize if decoder == "real" else _fake_image_resize
+    resize = {
+        "real": _real_image_resize,
+        "native": _native_image_resize,
+        "fake": _fake_image_resize,
+    }[decoder]
     w, h = int(size[0]), int(size[1])
     if w <= 0 or h <= 0:
         raise ValueError("size must be positive")
@@ -639,23 +740,160 @@ def extract_audio_features(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for ISO-BMFF boxes in [start, end)."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack_from(">I", p, i)
+        btype = p[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise NotImplementedError("mp4: truncated largesize box")
+            (size,) = struct.unpack_from(">Q", p, i + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise NotImplementedError("mp4: box overruns container")
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _mp4_find(p: bytes, start: int, end: int, *path: bytes):
+    """Body range of the first box at the given nested path, else None."""
+    if not path:
+        return (start, end)
+    for btype, b, e in _mp4_boxes(p, start, end):
+        if btype == path[0]:
+            return _mp4_find(p, b, e, *path[1:])
+    return None
+
+
+def _mp4_video_frames(
+    p: bytes, every_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """REAL MP4 (ISO BMFF) video demux, zero libraries: find the 'vide'
+    track, rebuild per-sample (timestamp, offset, size) from the stbl
+    tables (stts deltas, stsz sizes, stsc sample→chunk runs, stco/co64
+    chunk offsets), and emit each stored sample's bytes (e.g. one H.264
+    access unit) at the ``every_ms`` sampling cadence — no codec needed
+    to demux.  Fragmented MP4 (moof) has no stbl sample map and raises."""
+    import struct
+
+    moov = _mp4_find(p, 0, len(p), b"moov")
+    if moov is None:
+        if _mp4_find(p, 0, len(p), b"moof") is not None:
+            raise NotImplementedError(
+                "fragmented MP4 (moof) needs ffmpeg — plug the call here"
+            )
+        raise NotImplementedError("mp4: no moov box")
+    for btype, tb, te in _mp4_boxes(p, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _mp4_find(p, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(p, *mdia, b"hdlr")
+        if hdlr is None or p[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_find(p, *mdia, b"mdhd")
+        if mdhd is None or p[mdhd[0]] != 0:
+            raise NotImplementedError("mp4: need version-0 mdhd")
+        (timescale,) = struct.unpack_from(">I", p, mdhd[0] + 12)
+        stbl = _mp4_find(p, *mdia, b"minf", b"stbl")
+        if stbl is None:
+            raise NotImplementedError("mp4: video track lacks stbl")
+        tabs = {}
+        for bt, bb, be in _mp4_boxes(p, *stbl):
+            tabs[bt] = (bb, be)
+        for need in (b"stts", b"stsz", b"stsc"):
+            if need not in tabs:
+                raise NotImplementedError(f"mp4: missing {need.decode()}")
+        if b"stco" not in tabs and b"co64" not in tabs:
+            raise NotImplementedError("mp4: missing chunk offsets")
+        # stts → per-sample decode times (media units)
+        b0 = tabs[b"stts"][0]
+        (n_ent,) = struct.unpack_from(">I", p, b0 + 4)
+        deltas: list[int] = []
+        for i in range(n_ent):
+            cnt, dlt = struct.unpack_from(">II", p, b0 + 8 + 8 * i)
+            deltas.extend([dlt] * cnt)
+        # stsz → sizes
+        b0 = tabs[b"stsz"][0]
+        uniform, n_samples = struct.unpack_from(">II", p, b0 + 4)
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(struct.unpack_from(f">{n_samples}I", p, b0 + 12))
+        # stco/co64 → chunk offsets
+        if b"stco" in tabs:
+            b0 = tabs[b"stco"][0]
+            (n_ch,) = struct.unpack_from(">I", p, b0 + 4)
+            chunk_off = list(struct.unpack_from(f">{n_ch}I", p, b0 + 8))
+        else:
+            b0 = tabs[b"co64"][0]
+            (n_ch,) = struct.unpack_from(">I", p, b0 + 4)
+            chunk_off = list(struct.unpack_from(f">{n_ch}Q", p, b0 + 8))
+        # stsc → samples per chunk (runs of (first_chunk, spc))
+        b0 = tabs[b"stsc"][0]
+        (n_runs,) = struct.unpack_from(">I", p, b0 + 4)
+        runs = [
+            struct.unpack_from(">III", p, b0 + 8 + 12 * i)[:2]
+            for i in range(n_runs)
+        ]
+        spc = []
+        for r, (first, count) in enumerate(runs):
+            last = runs[r + 1][0] - 1 if r + 1 < len(runs) else n_ch
+            spc.extend([count] * (last - first + 1))
+        # walk chunks → absolute (offset, size) per sample
+        out: list[tuple[int, int, bytes]] = []
+        next_ts = 0.0
+        t = 0
+        s = 0
+        for c, coff in enumerate(chunk_off):
+            off = coff
+            for _ in range(spc[c] if c < len(spc) else 0):
+                if s >= n_samples:
+                    break
+                ts_ms = t * 1000.0 / max(timescale, 1)
+                if ts_ms >= next_ts:
+                    frame = p[off : off + sizes[s]]
+                    if len(frame) < sizes[s]:
+                        raise NotImplementedError(
+                            "mp4: sample extends past payload"
+                        )
+                    out.append((len(out), int(ts_ms), frame))
+                    next_ts += every_ms
+                off += sizes[s]
+                t += deltas[s] if s < len(deltas) else 0
+                s += 1
+        return out
+    raise NotImplementedError("mp4: no video ('vide') track found")
+
+
 def _real_video_frames(
     payload: bytes, every_ms: int
 ) -> list[tuple[int, int, bytes]]:
-    """REAL frame sampling for AVI containers, zero external libraries:
-    walk the RIFF chunk tree (``hdrl``/``avih`` for the frame interval,
-    ``movi`` for the stream-0 video chunks) and emit every frame whose
-    timestamp crosses the next ``every_ms`` boundary.  Frame BYTES are
-    emitted as stored (e.g. a JPEG per frame in an MJPEG AVI) — no codec
-    needed to demux.  Non-RIFF containers (mp4/mkv/webm) are the genuine
+    """REAL frame sampling, zero external libraries, two containers:
+    AVI (RIFF chunk walk — ``hdrl``/``avih`` frame interval, ``movi``
+    stream-0 chunks) and MP4 (ISO BMFF sample tables —
+    :func:`_mp4_video_frames`).  Emits every frame whose timestamp
+    crosses the next ``every_ms`` boundary; frame BYTES are emitted as
+    stored (a JPEG per frame in MJPEG, an H.264 access unit in MP4) — no
+    codec needed to demux.  mkv/webm and fragmented MP4 are the genuine
     ffmpeg boundary and raise ``NotImplementedError``."""
     import struct
 
     p = payload if payload is not None else b""
+    if len(p) >= 12 and p[4:8] in (b"ftyp", b"styp", b"moov", b"free", b"wide"):
+        return _mp4_video_frames(p, every_ms)
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
         raise NotImplementedError(
-            "real frame sampling handles AVI (RIFF) natively; mp4/mkv/webm "
-            "demux needs ffmpeg — plug the call here"
+            "real frame sampling handles AVI (RIFF) and MP4 (ISO BMFF) "
+            "natively; mkv/webm demux needs ffmpeg — plug the call here"
         )
     usec_per_frame = None
     frames: list[bytes] = []

@@ -650,3 +650,157 @@ def test_pagerank_empty_graph_result_stays_usable(spark):
     out = pagerank(e, iterations=3)
     assert out.count() == 0
     assert out.collect() == []  # second action: blocks must still exist
+
+
+class TestNativeResizeAndMp4:
+    """Round-4b: real library-free resize (native decode → nearest
+    neighbor → PNG re-encode) and MP4 (ISO BMFF) video demux."""
+
+    @staticmethod
+    def _make_mp4(frames, timescale=1000, delta=100, chunks=None):
+        import struct as st
+
+        def box(t, body):
+            return st.pack(">I", len(body) + 8) + t + body
+
+        def full(t, body):
+            return box(t, b"\x00\x00\x00\x00" + body)
+
+        chunks = chunks or [len(frames)]
+        ftyp = box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomiso2")
+        mdat = box(b"mdat", b"".join(frames))
+        offs, sizes = [], [len(f) for f in frames]
+        i, cur = 0, len(ftyp) + 8
+        for c in chunks:
+            offs.append(cur)
+            cur += sum(sizes[i : i + c])
+            i += c
+        stts = full(b"stts", st.pack(">III", 1, len(frames), delta))
+        stsz = full(
+            b"stsz",
+            st.pack(">II", 0, len(frames))
+            + st.pack(f">{len(frames)}I", *sizes),
+        )
+        runs = []
+        for idx, c in enumerate(chunks):
+            if not runs or runs[-1][1] != c:
+                runs.append((idx + 1, c))
+        stsc = full(
+            b"stsc",
+            st.pack(">I", len(runs))
+            + b"".join(st.pack(">III", f, c, 1) for f, c in runs),
+        )
+        stco = full(
+            b"stco", st.pack(">I", len(offs)) + st.pack(f">{len(offs)}I", *offs)
+        )
+        stbl = box(b"stbl", stts + stsz + stsc + stco)
+        hdlr = full(b"hdlr", st.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+        mdhd = full(
+            b"mdhd",
+            st.pack(">IIIIHH", 0, 0, timescale, len(frames) * delta, 0x55C4, 0),
+        )
+        return ftyp + mdat + box(
+            b"moov", box(b"trak", box(b"mdia", mdhd + hdlr + box(b"minf", stbl)))
+        )
+
+    def test_native_resize_identity_and_grid(self):
+        from sparkplug_spark.operators.multimodal import (
+            _native_image_resize,
+            _png_pixels_raw,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        png = encode_png_rgb8(img)
+        same, _ = _png_pixels_raw(_native_image_resize(png, 10, 12))
+        assert np.array_equal(same, img)
+        small, _ = _png_pixels_raw(_native_image_resize(png, 5, 6))
+        ys, xs = (np.arange(6) * 12) // 6, (np.arange(5) * 10) // 5
+        assert np.array_equal(small, img[np.ix_(ys, xs)])
+
+    def test_native_resize_through_spark_and_jpeg_source(self, spark):
+        from sparkplug_spark.operators.jpeg import encode_jpeg_baseline
+        from sparkplug_spark.operators.multimodal import (
+            _png_pixels_raw,
+            resize_images,
+        )
+
+        jp = encode_jpeg_baseline(
+            np.full((16, 16, 3), 100, dtype=np.uint8), quant_dc=8
+        )
+        df = spark.createDataFrame([(1, jp)], "id long, payload binary")
+        row = resize_images(df, size=(4, 4), decoder="native").collect()[0]
+        assert (row["width"], row["height"]) == (4, 4)
+        px, _ = _png_pixels_raw(row["payload_resized"])
+        assert px.shape == (4, 4, 3)
+        assert np.abs(px.astype(int) - 100).max() <= 1
+
+    def test_bmp_rgb_channel_order(self):
+        import struct as st
+
+        from sparkplug_spark.operators.multimodal import _native_pixels_rgb
+
+        w = h = 2
+        row_bytes = (w * 3 + 3) & ~3
+        raster = bytearray()
+        for _ in range(h):
+            row = bytes([0, 0, 255] * w)  # stored BGR: pure red
+            raster += row + b"\x00" * (row_bytes - len(row))
+        bmp = (
+            b"BM"
+            + st.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+            + st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+            + bytes(raster)
+        )
+        rgb = _native_pixels_rgb(bmp)
+        assert rgb[0, 0, 0] == 1.0 and rgb[0, 0, 2] == 0.0
+
+    def test_mp4_demux_samples_and_chunk_layouts(self):
+        from sparkplug_spark.operators.multimodal import _real_video_frames
+
+        frames = [bytes([i]) * (10 + i) for i in range(10)]
+        for chunks in (None, [4, 4, 2], [1] * 10):
+            got = _real_video_frames(
+                self._make_mp4(frames, chunks=chunks), 250
+            )
+            assert [(ts, f) for _, ts, f in got] == [
+                (0, frames[0]),
+                (300, frames[3]),
+                (500, frames[5]),
+                (800, frames[8]),
+            ]
+        every = _real_video_frames(self._make_mp4(frames), 100)
+        assert [f for _, _, f in every] == frames
+
+    def test_mp4_through_spark(self, spark):
+        from sparkplug_spark.operators.multimodal import sample_video_frames
+
+        frames = [bytes([i]) * 8 for i in range(5)]
+        mp4 = self._make_mp4(frames, delta=500)  # 2 fps
+        df = spark.createDataFrame([(1, mp4)], "id long, payload binary")
+        rows = sample_video_frames(df, every_ms=1000, decoder="real").collect()
+        assert [(r.frame_idx, r.frame_ts_ms, bytes(r.frame)) for r in rows] == [
+            (0, 0, frames[0]),
+            (1, 1000, frames[2]),
+            (2, 2000, frames[4]),
+        ]
+
+    def test_mp4_boundaries(self):
+        import struct as st
+
+        from sparkplug_spark.operators.multimodal import _real_video_frames
+
+        def box(t, body):
+            return st.pack(">I", len(body) + 8) + t + body
+
+        with pytest.raises(NotImplementedError, match="fragmented"):
+            _real_video_frames(box(b"ftyp", b"isom") + box(b"moof", b""), 100)
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            _real_video_frames(b"\x1aE\xdf\xa3" + b"\x00" * 20, 100)  # mkv
+        # audio-only mp4: no vide track
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+        au = box(b"ftyp", b"isom") + box(
+            b"moov", box(b"trak", box(b"mdia", hdlr))
+        )
+        with pytest.raises(NotImplementedError, match="vide"):
+            _real_video_frames(au, 100)
