@@ -628,43 +628,53 @@ def resize_images(
 def _real_audio_features(
     payload: bytes, frame_ms: int, n_mels: int, max_frames: int = 1000
 ) -> list[list[float]]:
-    """REAL audio feature extraction, zero external libraries: parse PCM
-    WAV with stdlib ``wave``, mix to mono, frame at ``frame_ms``, and
-    reduce each frame's power spectrum (numpy rFFT) to ``n_mels``
-    log-spaced band log-energies — a mel-style spectrogram shape.
+    """REAL audio feature extraction, zero external libraries: decode PCM
+    WAV (stdlib ``wave``) or COMPRESSED FLAC (``flac.py`` — lossless, so
+    the samples are bit-identical to the source PCM), mix to mono, frame
+    at ``frame_ms``, and reduce each frame's power spectrum (numpy rFFT)
+    to ``n_mels`` log-spaced band log-energies — a mel-style spectrogram
+    shape.
 
-    Compressed codecs (mp3/ogg/flac/aac) are the genuine library
-    boundary: ``wave`` refuses them and this raises
-    ``NotImplementedError`` where a librosa/torchaudio call would slot
-    in."""
+    Lossy codecs (mp3/ogg/aac) remain the genuine library boundary and
+    raise ``NotImplementedError`` where a librosa/torchaudio call would
+    slot in."""
     import io
     import wave
 
     import numpy as np
 
-    try:
-        wf = wave.open(io.BytesIO(payload if payload is not None else b""))
-        sr = wf.getframerate()
-        nch = wf.getnchannels()
-        sw = wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError) as e:
-        raise NotImplementedError(
-            "real audio decode handles PCM WAV natively; compressed codecs "
-            "need librosa/torchaudio — plug the decode call here"
-        ) from e
-    if sw not in (1, 2, 4) or sr <= 0 or nch <= 0:
-        raise NotImplementedError(
-            "unsupported WAV shape (sample width/rate); compressed or "
-            "exotic encodings need librosa/torchaudio"
-        )
-    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    if sw == 1:
-        x -= 128.0  # 8-bit WAV is unsigned
-    if len(x) == 0:
-        return [[0.0] * n_mels]
-    x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    p = payload if payload is not None else b""
+    if p[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        samples, sr, _bps = decode_flac(p)
+        x = samples.astype(np.float64).mean(axis=1)
+        if len(x) == 0:
+            return [[0.0] * n_mels]
+    else:
+        try:
+            wf = wave.open(io.BytesIO(p))
+            sr = wf.getframerate()
+            nch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        except (wave.Error, EOFError) as e:
+            raise NotImplementedError(
+                "real audio decode handles PCM WAV and FLAC natively; lossy "
+                "codecs need librosa/torchaudio — plug the decode call here"
+            ) from e
+        if sw not in (1, 2, 4) or sr <= 0 or nch <= 0:
+            raise NotImplementedError(
+                "unsupported WAV shape (sample width/rate); compressed or "
+                "exotic encodings need librosa/torchaudio"
+            )
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if sw == 1:
+            x -= 128.0  # 8-bit WAV is unsigned
+        if len(x) == 0:
+            return [[0.0] * n_mels]
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
     peak = np.abs(x).max()
     if peak > 0:
         x /= peak
