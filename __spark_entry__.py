@@ -1669,6 +1669,42 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (pure-Python LZW + palette), oracle-checked: each
+    doc becomes a 2x2 GIF whose 4-entry gray palette holds v..v+3 with
+    v = doc_id % 124 + 1; LZW is lossless, so the decoder must recover
+    each level exactly — the hash breaks if code-width bumps, palette
+    mapping, or sub-block reassembly drift by one bit."""
+    from sparkplug_spark.operators.gif import encode_gif
+    from sparkplug_spark.operators.multimodal import decode_image_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    @F.pandas_udf("binary")
+    def make_gif(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in ids:
+            v = int(d) % 124 + 1
+            pal = np.array([[v + i] * 3 for i in range(4)], dtype=np.uint8)
+            idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+            out.append(encode_gif(idx, pal))
+        return pd.Series(out)
+
+    imgs = docs.select("doc_id", make_gif("doc_id").alias("payload"))
+    feats = decode_image_features(imgs, feature_dim=4, decoder="native")
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "feat")
+    ).select(
+        "doc_id",
+        "pos",
+        F.floor(F.col("feat").cast("double") * 255.0 + 0.5)
+        .cast("long")
+        .alias("gray_level"),
+    )
+
+
 def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup, ORACLE-checked via deterministic replay:
     documents become 4 time-ordered micro-batches where key doc_id%30
@@ -3999,6 +4035,14 @@ def _extension_oracles() -> dict[str, str]:
             SELECT doc_id, pos, (v + pos)::BIGINT AS gray_level
             FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS pos)
         """,
+        "multimodal_gif": """
+            WITH b AS (
+              SELECT doc_id, (doc_id % 124 + 1) AS v FROM documents
+              WHERE doc_id < 100
+            )
+            SELECT doc_id, pos, (v + pos)::BIGINT AS gray_level
+            FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS pos)
+        """,
         "negative_samples": """
             WITH items AS (
               SELECT vec_id AS item,
@@ -5060,6 +5104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "negative_samples": q_negative_samples,
         "hard_negatives": q_hard_negatives,
+        "multimodal_gif": q_multimodal_gif,
         "streaming_dedup_replay": q_streaming_dedup_replay,
         "streaming_impact_replay": q_streaming_impact_replay,
         "streaming_sessionize_replay": q_streaming_sessionize_replay,

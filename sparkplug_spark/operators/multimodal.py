@@ -406,6 +406,10 @@ def _native_pixels_rgb(payload: bytes):
         if arr.shape[2] == 1:
             return np.repeat(arr, 3, axis=2)
         return arr
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(payload).astype(np.float64) / 255.0
     # netpbm / BMP: reuse the grayscale parser for headers, then re-read
     # color where the format has it (P6/BMP rasters are small; the parse
     # is cheap relative to the decode contract)
@@ -434,6 +438,11 @@ def _native_pixels(payload: bytes):
 
         arr = decode_jpeg(payload).astype(np.float64) / 255.0
         return arr[:, :, 0] if arr.shape[2] == 1 else arr.mean(axis=2)
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        arr = decode_gif(payload).astype(np.float64) / 255.0
+        return arr.mean(axis=2)
     if payload[:2] in (b"P5", b"P6"):
         arr = _netpbm_arr(payload)
         ch = arr.shape[2]
@@ -442,8 +451,8 @@ def _native_pixels(payload: bytes):
         return _bmp_rows(payload).mean(axis=2) / 255.0
     raise NotImplementedError(
         "native image decode supports netpbm P5/P6, 24-bit BMP, 8-bit "
-        "non-interlaced PNG, and baseline JPEG; other formats (WebP, "
-        "TIFF, GIF) need Pillow (decoder='real')"
+        "non-interlaced PNG, baseline JPEG, and GIF; other formats "
+        "(WebP, TIFF) need Pillow (decoder='real')"
     )
 
 
