@@ -349,10 +349,18 @@ def _crc16(data: bytes) -> int:
 
 
 def _utf8_number(n: int) -> bytes:
+    """General UTF-8-style coding (1-7 bytes), mirroring the decoder."""
     if n < 0x80:
         return bytes([n])
-    # 2-byte form suffices for fixture frame counts
-    return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    tail = []
+    nbytes = 2
+    while n >= (1 << (nbytes * 5 + 1)) and nbytes < 7:
+        nbytes += 1
+    for _ in range(nbytes - 1):
+        tail.append(0x80 | (n & 0x3F))
+        n >>= 6
+    prefix = (0xFF << (8 - nbytes)) & 0xFF
+    return bytes([prefix | n] + tail[::-1])
 
 
 def _write_subframe(

@@ -196,6 +196,8 @@ def encode_gif(
     """Encode an index raster (h, w) + palette (n, 3) uint8 as GIF89a."""
     idx = np.asarray(indices)
     pal = np.asarray(palette, dtype=np.uint8)
+    if len(pal) > 256:
+        raise ValueError("GIF palettes hold at most 256 entries")
     h, w = idx.shape
     bits = max(2, int(len(pal) - 1).bit_length())
     size_field = bits - 1

@@ -410,15 +410,14 @@ def _native_pixels_rgb(payload: bytes):
         from .gif import decode_gif
 
         return decode_gif(payload).astype(np.float64) / 255.0
-    # netpbm / BMP: reuse the grayscale parser for headers, then re-read
-    # color where the format has it (P6/BMP rasters are small; the parse
-    # is cheap relative to the decode contract)
-    gray = _native_pixels(payload)  # validates + raises the right errors
-    if payload[:2] == b"P6":
-        return _netpbm_rgb(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _netpbm_rgb(payload)  # one decode; P5 gray replicates inside
     if payload[:2] == b"BM":
         return _bmp_rgb(payload)
-    return np.repeat(gray[:, :, None], 3, axis=2)  # P5 gray
+    # unknown format: defer to the grayscale path's canonical boundary error
+    _native_pixels(payload)
+    raise NotImplementedError("unreachable: _native_pixels accepted a format "
+                              "_native_pixels_rgb does not handle")
 
 
 def _native_pixels(payload: bytes):
@@ -498,9 +497,10 @@ def decode_image_features(
     are production-shaped; ``decoder="real"`` decodes pixels with Pillow
     when it is installed (checked eagerly on the driver, so a missing
     library fails fast with a clear error instead of mid-job);
-    ``decoder="native"`` decodes uncompressed formats (netpbm P5/P6,
-    24-bit BMP) with pure numpy — REAL pixels, zero libraries — raising
-    ``NotImplementedError`` for compressed formats; ``decoder="fake"``
+    ``decoder="native"`` decodes netpbm P5/P6, 24-bit BMP, PNG,
+    baseline JPEG, and GIF with pure numpy — REAL pixels, zero
+    libraries — raising ``NotImplementedError`` for WebP/TIFF and
+    non-baseline variants; ``decoder="fake"``
     runs the identical pipeline with a deterministic md5-seeded
     stand-in."""
     if decoder not in ("fake", "real", "native"):
@@ -718,9 +718,10 @@ def extract_audio_features(
     (``features array<array<float>>``, one row of ``n_mels`` floats per
     ``frame_ms`` frame) via Arrow-batched ``mapInPandas``.
 
-    ``decoder="real"`` DECODES PCM WAV natively (stdlib ``wave`` + numpy
-    FFT band energies — no audio library needed) and raises
-    ``NotImplementedError`` for compressed codecs at the exact point a
+    ``decoder="real"`` DECODES PCM WAV (stdlib ``wave``) and COMPRESSED
+    FLAC (pure-Python lossless codec) natively — numpy FFT band
+    energies, no audio library needed — and raises
+    ``NotImplementedError`` for lossy codecs at the exact point a
     librosa/torchaudio call would slot in.  Fake decoder derives frame
     count from payload size (1 KB ≅ 1 s) and fills deterministic
     md5-seeded values."""
@@ -819,9 +820,11 @@ def _mp4_video_frames(
         if hdlr is None or p[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
         mdhd = _mp4_find(p, *mdia, b"mdhd")
-        if mdhd is None or p[mdhd[0]] != 0:
-            raise NotImplementedError("mp4: need version-0 mdhd")
-        (timescale,) = struct.unpack_from(">I", p, mdhd[0] + 12)
+        if mdhd is None or p[mdhd[0]] > 1:
+            raise NotImplementedError("mp4: unknown mdhd version")
+        # v0: 32-bit times (timescale at +12); v1: 64-bit (at +20)
+        ts_off = 12 if p[mdhd[0]] == 0 else 20
+        (timescale,) = struct.unpack_from(">I", p, mdhd[0] + ts_off)
         stbl = _mp4_find(p, *mdia, b"minf", b"stbl")
         if stbl is None:
             raise NotImplementedError("mp4: video track lacks stbl")
@@ -885,7 +888,10 @@ def _mp4_video_frames(
                             "mp4: sample extends past payload"
                         )
                     out.append((len(out), int(ts_ms), frame))
-                    next_ts += every_ms
+                    # snap to the next cadence boundary AFTER this frame:
+                    # a bare += every_ms never catches up across an stts
+                    # gap and then emits a burst of consecutive frames
+                    next_ts = (ts_ms // every_ms + 1) * every_ms
                 off += sizes[s]
                 t += deltas[s] if s < len(deltas) else 0
                 s += 1
@@ -944,7 +950,7 @@ def _real_video_frames(
         ts_ms = k * usec_per_frame / 1000.0
         if ts_ms >= next_ts:
             out.append((len(out), int(ts_ms), fr))
-            next_ts += every_ms
+            next_ts = (ts_ms // every_ms + 1) * every_ms  # boundary snap
     return out
 
 
@@ -956,9 +962,10 @@ def sample_video_frames(
 ) -> DataFrame:
     """payload → exploded (frame_idx, frame_ts_ms, frame binary) rows.
 
-    ``decoder="real"`` DEMUXES AVI containers natively (pure RIFF chunk
-    walking — an MJPEG AVI yields one stored JPEG per sampled frame, no
-    codec required) and raises ``NotImplementedError`` for mp4/mkv/webm
+    ``decoder="real"`` DEMUXES AVI (RIFF chunk walking) and MP4 (ISO
+    BMFF sample tables) natively — an MJPEG AVI yields one stored JPEG
+    per sampled frame, an MP4 one stored access unit, no codec required
+    — and raises ``NotImplementedError`` for mkv/webm and fragmented MP4
     at the exact point an ffmpeg call would slot in.  Fake decoder emits
     one pseudo-frame per ``every_ms`` of a pretend duration derived from
     the payload size (1 KB ≅ 1 s)."""

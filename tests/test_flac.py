@@ -97,3 +97,11 @@ class TestFlacFeaturePath:
         df = spark.createDataFrame([(1, mp3ish)], "id long, payload binary")
         with pytest.raises(Exception, match="librosa|torchaudio"):
             extract_audio_features(df, decoder="real").collect()
+
+
+def test_thousands_of_frames_valid_utf8_numbers():
+    """Regression: frame numbers >= 2048 previously emitted an invalid
+    2-byte UTF-8 form, making the stream undecodable."""
+    x = np.arange(33000, dtype=np.int64) % 4000 - 2000
+    dec, _, _ = decode_flac(encode_flac(x, block_size=16))  # 2063 frames
+    assert np.array_equal(dec[:, 0], x)

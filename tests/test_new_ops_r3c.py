@@ -454,9 +454,14 @@ def test_avi_frame_sampling_through_spark(spark):
         (1, 1000, b"JPEG25"),
     ]
 
+    # MP4 moved inside the native tier in round 4: a truncated MP4 now
+    # fails structurally; mkv remains the ffmpeg boundary
     mp4 = spark.createDataFrame([(1, b"\x00\x00\x00 ftypmp42")], "id long, payload binary")
-    with pytest.raises(Exception, match="ffmpeg"):
+    with pytest.raises(Exception, match="mp4"):
         sample_video_frames(mp4, decoder="real").collect()
+    mkv = spark.createDataFrame([(1, b"\x1aE\xdf\xa3" + b"\x00" * 20)], "id long, payload binary")
+    with pytest.raises(Exception, match="ffmpeg"):
+        sample_video_frames(mkv, decoder="real").collect()
 
 
 def test_funnel_empty_input_reports_zero(spark):

@@ -804,3 +804,47 @@ class TestNativeResizeAndMp4:
         )
         with pytest.raises(NotImplementedError, match="vide"):
             _real_video_frames(au, 100)
+
+
+def test_mp4_gap_does_not_burst_and_mdhd_v1(spark):
+    """Regression: after an stts timestamp gap larger than the cadence,
+    the sampler must snap to the next boundary — a bare += every_ms
+    emitted a burst of consecutive frames.  Also: version-1 mdhd (64-bit
+    times) is plain ISO BMFF and must demux."""
+    import struct as st
+
+    from sparkplug_spark.operators.multimodal import _real_video_frames
+
+    def box(t, b):
+        return st.pack(">I", len(b) + 8) + t + b
+
+    def full(t, b):
+        return box(t, b"\x00\x00\x00\x00" + b)
+
+    frames = [bytes([i]) * 8 for i in range(6)]
+    ftyp = box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    stts = full(
+        b"stts",
+        st.pack(">I", 2) + st.pack(">II", 1, 10000) + st.pack(">II", 5, 100),
+    )
+    stsz = full(b"stsz", st.pack(">II", 0, 6) + st.pack(">6I", *[8] * 6))
+    stsc = full(b"stsc", st.pack(">I", 1) + st.pack(">III", 1, 6, 1))
+    stco = full(b"stco", st.pack(">I", 1) + st.pack(">I", len(ftyp) + 8))
+    stbl = box(b"stbl", stts + stsz + stsc + stco)
+    hdlr = full(b"hdlr", st.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+    for mdhd in (
+        full(b"mdhd", st.pack(">IIIIHH", 0, 0, 1000, 10500, 0x55C4, 0)),
+        box(
+            b"mdhd",
+            b"\x01\x00\x00\x00"
+            + st.pack(">QQ", 0, 0)
+            + st.pack(">I", 1000)
+            + st.pack(">Q", 10500),
+        ),
+    ):
+        mp4 = ftyp + mdat + box(
+            b"moov", box(b"trak", box(b"mdia", mdhd + hdlr + box(b"minf", stbl)))
+        )
+        got = _real_video_frames(mp4, 1000)
+        assert [ts for _, ts, _ in got] == [0, 10000], got
