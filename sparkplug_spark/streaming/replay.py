@@ -40,48 +40,65 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["replay_file_stream"]
 
 
+def _write_batches(tmp: str, name: str, batches: Sequence[DataFrame]) -> str:
+    src = os.path.join(tmp, name)
+    os.makedirs(src)
+    t0 = os.path.getmtime(tmp)
+    for i, b in enumerate(batches):
+        stage = os.path.join(tmp, f"stage_{name}_{i}")
+        # ONE file per logical batch, else part-files arrive as
+        # separate unordered micro-batches
+        b.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(src, f"batch_{i:04d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        # mtime is the file source's ordering key: pin it explicitly
+        os.utime(dst, (t0 + i, t0 + i))
+    return src
+
+
 def replay_file_stream(
     spark: SparkSession,
     batches: Sequence[DataFrame],
-    build_query: Callable[[DataFrame], DataFrame],
+    build_query: Callable[..., DataFrame],
     mode: str = "append",
+    batches2: Sequence[DataFrame] | None = None,
 ) -> DataFrame:
     """Replay ``batches`` (one micro-batch each, in order) through
     ``build_query(stream_df)`` and return the sink contents as a batch
     DataFrame (localCheckpoint'ed; all scratch directories are removed
-    before returning)."""
+    before returning).  Pass ``batches2`` for TWO-source operators
+    (stream-stream joins): ``build_query`` then receives two streaming
+    DataFrames; batch i of each source shares the same mtime slot, so
+    the sources advance together."""
     if not batches:
         raise ValueError("need at least one batch")
     if mode not in ("append", "complete"):
         raise ValueError("mode must be 'append' or 'complete'")
     tmp = tempfile.mkdtemp(prefix="sparkplug_replay_")
-    src = os.path.join(tmp, "src")
     sink = os.path.join(tmp, "sink")
     chk = os.path.join(tmp, "chk")
-    os.makedirs(src)
     try:
-        schema = batches[0].schema
-        t0 = os.path.getmtime(tmp)
-        for i, b in enumerate(batches):
-            stage = os.path.join(tmp, f"stage{i}")
-            # ONE file per logical batch, else part-files arrive as
-            # separate unordered micro-batches
-            b.coalesce(1).write.parquet(stage)
-            part = next(
-                f for f in os.listdir(stage)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-            dst = os.path.join(src, f"batch_{i:04d}.parquet")
-            shutil.move(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            # mtime is the file source's ordering key: pin it explicitly
-            os.utime(dst, (t0 + i, t0 + i))
+        src = _write_batches(tmp, "src", batches)
         stream = (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(batches[0].schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = build_query(stream)
+        if batches2 is not None:
+            src2 = _write_batches(tmp, "src2", batches2)
+            stream2 = (
+                spark.readStream.schema(batches2[0].schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src2)
+            )
+            out = build_query(stream, stream2)
+        else:
+            out = build_query(stream)
         if mode == "complete":
             writer = (
                 out.writeStream.outputMode("complete")

@@ -848,3 +848,37 @@ def test_mp4_gap_does_not_burst_and_mdhd_v1(spark):
         )
         got = _real_video_frames(mp4, 1000)
         assert [ts for _, ts, _ in got] == [0, 10000], got
+
+
+def test_replay_two_source_join(spark):
+    """Two-source replay: batch i of each source shares an mtime slot, so
+    a stream-stream join sees both sides advance together."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from sparkplug_spark.streaming import stream_stream_join
+    from sparkplug_spark.streaming.replay import replay_file_stream
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    views = spark.createDataFrame(
+        [(1, 7, t(0)), (2, 7, t(30)), (3, 8, t(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    buys = spark.createDataFrame(
+        [(10, 7, t(20)), (11, 8, t(50)), (12, 7, t(45))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = replay_file_stream(
+        spark,
+        [views.filter(F.col("event_id") <= 2), views.filter(F.col("event_id") > 2)],
+        lambda v, p: stream_stream_join(
+            v, p, on="user_id", left_time_col="ts", right_time_col="ts",
+            within_seconds=1800, watermark_delay="1 day",
+        ),
+        mode="append",
+        batches2=[buys.filter(F.col("event_id") == 10), buys.filter(F.col("event_id") > 10)],
+    )
+    got = sorted((r.event_id, r.r_event_id) for r in out.collect())
+    # view1@0 matches buy10@20; view2@30 matches buy12@45; view3@5 has no
+    # buy within 30min (buy11@50 is 45min later)
+    assert got == [(1, 10), (2, 12)]
