@@ -1071,6 +1071,16 @@ def q_dedup_spans_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans_within_doc(docs, span_tokens=2)
 
 
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. 2021 ExactSubstr,
+    relational form): overlapping 8-token windows, keep the globally-first
+    occurrence of each duplicated window, delete the rest."""
+    from sparkplug_spark.operators import dedup_substrings_global
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_substrings_global(docs, window_tokens=8)
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture construction: per-source char budgets, deterministic
     md5-order greedy take."""
@@ -3183,6 +3193,42 @@ def _extension_oracles() -> dict[str, str]:
         FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
     """
 
+    # cross-doc exact-substring dedup (E127): OVERLAPPING 8-token window
+    # hashes; any hash at 2+ corpus positions keeps only the globally-first
+    # (doc_id, pos) occurrence, every other occurrence's covered tokens are
+    # deleted; hash60 twin of the Spark side
+    dedup_substrings_sql = f"""
+        WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+        base AS (SELECT doc_id, t, len(t) AS n FROM tk),
+        occ AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),1,15))::BIGINT AS h
+          FROM base, unnest(generate_series(1, n - 8 + 1)) AS u(i)
+          WHERE n >= 8
+        ),
+        ranked AS (
+          SELECT doc_id, pos, h,
+                 count(*) OVER (PARTITION BY h) AS c,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM occ
+        ),
+        rm AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+        cov AS (SELECT DISTINCT doc_id, pos + d AS p
+                FROM rm, unnest(generate_series(0, 7)) AS g(d)),
+        cagg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+        tpos AS (SELECT doc_id, t, n, unnest(generate_series(1, n)) AS i FROM base),
+        kept AS (
+          SELECT p.doc_id, string_agg(p.t[p.i], ' ' ORDER BY p.i) AS text_clean
+          FROM tpos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.p = p.i - 1
+          WHERE c.doc_id IS NULL
+          GROUP BY p.doc_id
+        )
+        SELECT b.doc_id, coalesce(k.text_clean, '') AS text_clean,
+               b.n::BIGINT AS n_tokens, coalesce(a.n_removed, 0)::BIGINT AS n_removed
+        FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        LEFT JOIN cagg a ON a.doc_id = b.doc_id
+    """
+
     # within-doc span dedup: first occurrence per (doc, span_text) kept
     dedup_spans_sql = f"""
         WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
@@ -3302,6 +3348,7 @@ def _extension_oracles() -> dict[str, str]:
         "oversample_sources": oversample_sql,
         "boilerplate_spans": boilerplate_sql,
         "dedup_spans_doc": dedup_spans_sql,
+        "dedup_substrings": dedup_substrings_sql,
         "token_budget_sample": budget_sql,
         "decontaminate_fuzzy": fuzzy_sql,
         "pipeline_quality_rules": pipeline_sql,
@@ -5205,6 +5252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oversample_sources": q_oversample,
         "boilerplate_spans": q_boilerplate_spans,
         "dedup_spans_doc": q_dedup_spans_doc,
+        "dedup_substrings": q_dedup_substrings,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

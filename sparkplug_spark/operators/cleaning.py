@@ -50,6 +50,7 @@ __all__ = [
     "chunk_documents",
     "remove_boilerplate_spans",
     "dedup_spans_within_doc",
+    "dedup_substrings_global",
     "trim_by_quantile",
     "mixture_report",
     "assign_splits",
@@ -1142,3 +1143,125 @@ def build_training_blocks(
             ).alias("block_text"),
         )
     )
+
+
+def dedup_substrings_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    release: bool = True,
+) -> DataFrame:
+    """CROSS-document exact-substring dedup, keep-first-occurrence (the
+    ExactSubstr dedup of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", re-expressed relationally): hash every
+    OVERLAPPING ``window_tokens``-token window, find windows whose text
+    occurs at 2+ positions corpus-wide, keep the globally-first occurrence
+    (min ``(doc_id, pos)``) and delete the tokens covered by every other
+    occurrence.  Unlike :func:`remove_boilerplate_spans` (non-overlapping
+    spans, delete-everywhere) this catches repeated substrings at ANY
+    token alignment and always preserves one canonical copy, so corpus
+    text is never lost entirely.
+
+    Returns (id, text_clean, n_tokens, n_removed) with ``text_clean`` the
+    surviving tokens rejoined in order.
+
+    Scale shape (100 TB): the reference algorithm builds a monolithic
+    suffix array — fundamentally single-machine.  This plan keeps the
+    same observable semantics with bounded distributed state: the token
+    array is computed ONCE per row (persisted, released on return); the
+    overlapping-window explode is a NARROW generate (no shuffle of text —
+    only 8-byte (hash, doc, pos) triples shuffle); duplicated-window
+    detection is one partial-aggregated groupBy on the hash; the
+    canonical occurrence is ``min(struct(doc, pos))`` inside the same
+    aggregate (no second pass); per-doc removal masks come back as a tiny
+    (doc, positions) table joined once against the persisted base.
+    Window count per doc is ~n_tokens, so the exploded stream is ~8x the
+    non-overlapping span stream — still fixed-width triples, the shape
+    shuffle hardware is built for."""
+    k = window_tokens
+    if k <= 0:
+        raise ValueError("window_tokens must be positive")
+    base = (
+        spread(df)
+        .withColumn("__toks", tokens_pd(F.col(text_col)))
+        .withColumn("__n", F.size("__toks").cast("long"))
+        .select(id_col, "__toks", "__n")
+        .persist()
+    )
+    # overlapping window start positions 0..n-k (docs shorter than k emit
+    # none); guard the sequence() — a negative stop would DESCEND
+    starts = F.when(
+        F.col("__n") >= k,
+        F.sequence(F.lit(0).cast("long"), F.col("__n") - k),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = (
+        base.select(
+            F.col(id_col).alias("__id"),
+            "__toks",
+            F.explode(starts).alias("__pos"),
+        )
+        .select(
+            "__id",
+            "__pos",
+            hash60(
+                F.array_join(
+                    F.slice(
+                        F.col("__toks"), (F.col("__pos") + 1).cast("int"), k
+                    ),
+                    " ",
+                )
+            ).alias("__h"),
+        )
+        .persist()
+    )
+    # one aggregate finds BOTH the duplicate set and its canonical
+    # occurrence (lexicographic min over the (doc, pos) struct)
+    dup = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col("__id").alias("i"), F.col("__pos").alias("p"))).alias(
+                "__first"
+            ),
+        )
+        .filter(F.col("__c") >= 2)
+        .select("__h", "__first")
+    )
+    covered = (
+        occ.join(dup, "__h")
+        .filter(
+            (F.col("__id") != F.col("__first.i"))
+            | (F.col("__pos") != F.col("__first.p"))
+        )
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + k - 1)
+            ).alias("__p"),
+        )
+        .groupBy("__id")
+        .agg(F.collect_set("__p").alias("__rm"))
+        .withColumnRenamed("__id", id_col)
+    )
+    out = (
+        base.join(covered, id_col, "left")
+        .withColumn(
+            "__rm", F.coalesce("__rm", F.array().cast("array<bigint>"))
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.filter(
+                    "__toks",
+                    lambda x, i: ~F.array_contains(
+                        F.col("__rm"), i.cast("long")
+                    ),
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.col("__n").alias("n_tokens"),
+            F.size("__rm").cast("long").alias("n_removed"),
+        )
+    )
+    return materialize_release(out, base, occ, release=release)

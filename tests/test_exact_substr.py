@@ -1,0 +1,68 @@
+"""E127 cross-document exact-substring dedup (Lee et al. 2021 ExactSubstr,
+relational form): overlapping-window detection, keep-first-occurrence
+canonical, any-alignment capture that the non-overlapping span ops miss."""
+
+import pytest
+
+from sparkplug_spark.operators import dedup_substrings_global
+
+# 10 tokens so a k=8 window catches it at several alignments
+SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+class TestDedupSubstringsGlobal:
+    def test_keep_first_occurrence_only(self, spark):
+        # doc 1 is the canonical occurrence: its text survives untouched;
+        # doc 2 repeats the same 10 tokens PLUS unique tail -> shared run
+        # removed, tail kept
+        df = spark.createDataFrame(
+            [(1, SHARED), (2, SHARED + " tail1 tail2 tail3")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup_substrings_global(df, window_tokens=8).collect()
+        }
+        assert out[1]["text_clean"] == SHARED
+        assert out[1]["n_removed"] == 0
+        assert out[2]["text_clean"] == "tail1 tail2 tail3"
+        assert out[2]["n_removed"] == 10
+
+    def test_any_alignment_caught(self, spark):
+        # doc 2 embeds the shared run mid-document at an alignment that a
+        # non-overlapping span grid would straddle
+        df = spark.createDataFrame(
+            [(1, SHARED), (2, "x1 x2 x3 " + SHARED + " y1 y2")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup_substrings_global(df, window_tokens=8).collect()
+        }
+        assert out[1]["n_removed"] == 0
+        assert out[2]["text_clean"] == "x1 x2 x3 y1 y2"
+        assert out[2]["n_removed"] == 10
+
+    def test_short_docs_untouched(self, spark):
+        # both docs shorter than the window emit no windows at all
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = dedup_substrings_global(df, window_tokens=8).collect()
+        assert all(r["n_removed"] == 0 for r in out)
+        assert {r["text_clean"] for r in out} == {"a b c"}
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        # the SAME doc repeating its own run: first copy kept, second
+        # deleted (ExactSubstr semantics, unlike boilerplate min_docs=2)
+        df = spark.createDataFrame(
+            [(1, SHARED + " " + SHARED)], "doc_id long, text string"
+        )
+        out = dedup_substrings_global(df, window_tokens=8).collect()[0]
+        assert out["text_clean"] == SHARED
+        assert out["n_removed"] == 10
+
+    def test_rejects_nonpositive_window(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dedup_substrings_global(df, window_tokens=0)
