@@ -1081,6 +1081,16 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial naive-Bayes text classifier (lang == 'en'),
+    trained and applied in one distributed job; integer micro-nat weights
+    make the scores engine-exact."""
+    from sparkplug_spark.operators import naive_bayes_classifier
+
+    docs = _read(spark, sf_dir, "documents")
+    return naive_bayes_classifier(docs)
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture construction: per-source char budgets, deterministic
     md5-order greedy take."""
@@ -3229,6 +3239,35 @@ def _extension_oracles() -> dict[str, str]:
         LEFT JOIN cagg a ON a.doc_id = b.doc_id
     """
 
+    # trained multinomial naive Bayes (E128): per-token Laplace-smoothed
+    # log-odds quantized to integer micro-nats at the token level, so the
+    # per-document score is an EXACT integer sum — engine-independent
+    nb_sql = f"""
+        WITH tk AS (SELECT doc_id, lang = 'en' AS lab, unnest({toks}) AS t FROM documents),
+        counts AS (
+          SELECT t,
+                 sum(CASE WHEN lab THEN 1 ELSE 0 END) AS cp,
+                 sum(CASE WHEN lab THEN 0 ELSE 1 END) AS cn
+          FROM tk GROUP BY t
+        ),
+        tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM counts),
+        w AS (
+          SELECT t, floor((ln(cp + 1) - ln(tp + v) - ln(cn + 1) + ln(tn + v)) * 1e6 + 0.5)::BIGINT AS w
+          FROM counts, tot
+        ),
+        d AS (SELECT DISTINCT doc_id, lab FROM tk),
+        prior AS (
+          SELECT floor((ln(sum(CASE WHEN lab THEN 1 ELSE 0 END) + 1)
+                      - ln(sum(CASE WHEN lab THEN 0 ELSE 1 END) + 1)) * 1e6 + 0.5)::BIGINT AS p
+          FROM d
+        )
+        SELECT tk.doc_id, tk.lab AS label,
+               (sum(w.w) + max(prior.p))::BIGINT AS score_micros,
+               (sum(w.w) + max(prior.p)) > 0 AS predicted
+        FROM tk JOIN w ON tk.t = w.t, prior
+        GROUP BY tk.doc_id, tk.lab
+    """
+
     # within-doc span dedup: first occurrence per (doc, span_text) kept
     dedup_spans_sql = f"""
         WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
@@ -3349,6 +3388,7 @@ def _extension_oracles() -> dict[str, str]:
         "boilerplate_spans": boilerplate_sql,
         "dedup_spans_doc": dedup_spans_sql,
         "dedup_substrings": dedup_substrings_sql,
+        "nb_classifier": nb_sql,
         "token_budget_sample": budget_sql,
         "decontaminate_fuzzy": fuzzy_sql,
         "pipeline_quality_rules": pipeline_sql,
@@ -5253,6 +5293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_spans": q_boilerplate_spans,
         "dedup_spans_doc": q_dedup_spans_doc,
         "dedup_substrings": q_dedup_substrings,
+        "nb_classifier": q_nb_classifier,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

@@ -1,0 +1,49 @@
+"""E128 trained multinomial naive-Bayes classifier: learns separable
+vocabularies, integer micro-nat scores are exact and partitioning-
+independent, prediction is the score's sign."""
+
+from sparkplug_spark.operators import naive_bayes_classifier
+
+
+def _toy(spark, reps=3):
+    rows = []
+    i = 0
+    for _ in range(reps):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en"))
+        rows.append((i + 1, "der schnelle braune fuchs springt ueber den hund", "de"))
+        i += 2
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestNaiveBayesClassifier:
+    def test_separable_corpus_learns(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in naive_bayes_classifier(_toy(spark)).collect()
+        }
+        assert len(out) == 6
+        for r in out.values():
+            # disjoint vocabularies: training accuracy must be perfect
+            assert r["predicted"] == r["label"]
+            assert (r["score_micros"] > 0) == r["predicted"]
+
+    def test_scores_partitioning_independent(self, spark):
+        df = _toy(spark, reps=4)
+        a = {
+            r["doc_id"]: r["score_micros"]
+            for r in naive_bayes_classifier(df.repartition(1)).collect()
+        }
+        b = {
+            r["doc_id"]: r["score_micros"]
+            for r in naive_bayes_classifier(df.repartition(7)).collect()
+        }
+        # integer micro-nat sums: EXACTLY equal, not approximately
+        assert a == b
+
+    def test_identical_docs_identical_scores(self, spark):
+        out = {
+            r["doc_id"]: r["score_micros"]
+            for r in naive_bayes_classifier(_toy(spark)).collect()
+        }
+        assert out[0] == out[2] == out[4]
+        assert out[1] == out[3] == out[5]
