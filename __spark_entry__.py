@@ -1081,6 +1081,19 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts + clustering coefficient over the
+    part co-purchase graph, degree-ordered orientation (no hub blowup);
+    integer-ppm coefficient keeps it engine-exact."""
+    from sparkplug_spark.operators import basket_pairs, triangle_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    return triangle_counts(
+        pairs.selectExpr("item_a as src", "item_b as dst")
+    )
+
+
 def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained multinomial naive-Bayes text classifier (lang == 'en'),
     trained and applied in one distributed job; integer micro-nat weights
@@ -5091,6 +5104,55 @@ def _extension_oracles() -> dict[str, str]:
             JOIN item_counts c ON p.item_b = c.i
             CROSS JOIN n_total t
         """,
+        "triangle_counts": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ), small AS (
+              SELECT * FROM bi
+              WHERE b NOT IN (
+                SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)
+            ), pairs AS (
+              SELECT l.i AS item_a, r.i AS item_b
+              FROM small l JOIN small r USING (b)
+              WHERE l.i < r.i GROUP BY 1, 2 HAVING count(*) >= 2
+            ), e AS (
+              SELECT DISTINCT least(item_a, item_b) AS a,
+                              greatest(item_a, item_b) AS b
+              FROM pairs WHERE item_a <> item_b
+            ), deg AS (
+              SELECT n, count(*)::BIGINT AS deg
+              FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+              GROUP BY n
+            ), o AS (
+              SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                          THEN e.a ELSE e.b END AS u,
+                     CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                          THEN e.b ELSE e.a END AS v,
+                     CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+                          THEN db.deg ELSE da.deg END AS dv
+              FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+            ), wedge AS (
+              SELECT w1.u, w1.v AS x, w2.v AS y
+              FROM o w1 JOIN o w2 ON w1.u = w2.u
+              WHERE (w1.dv, w1.v) < (w2.dv, w2.v)
+            ), closed AS (
+              SELECT t.u, t.x, t.y
+              FROM wedge t JOIN o ON o.u = t.x AND o.v = t.y
+            ), cnt AS (
+              SELECT n, count(*)::BIGINT AS triangles
+              FROM (SELECT u AS n FROM closed
+                    UNION ALL SELECT x FROM closed
+                    UNION ALL SELECT y FROM closed)
+              GROUP BY n
+            )
+            SELECT d.n AS item, d.deg AS degree,
+                   coalesce(c.triangles, 0)::BIGINT AS triangles,
+                   CASE WHEN d.deg >= 2
+                        THEN (2 * coalesce(c.triangles, 0) * 1000000)
+                             // (d.deg * (d.deg - 1))
+                        ELSE 0 END::BIGINT AS clustering_ppm
+            FROM deg d LEFT JOIN cnt c ON c.n = d.n
+        """,
         "blocked_link": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    levenshtein(a.c_name, b.c_name)::BIGINT AS distance
@@ -5294,6 +5356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans_doc": q_dedup_spans_doc,
         "dedup_substrings": q_dedup_substrings,
         "nb_classifier": q_nb_classifier,
+        "triangle_counts": q_triangle_counts,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..caching import checkpoint_tracked, unpersist_ids
 
-__all__ = ["pagerank", "bfs_distances"]
+__all__ = ["pagerank", "bfs_distances", "triangle_counts"]
 
 
 def pagerank(
@@ -245,3 +245,109 @@ def bfs_distances(
     unpersist_ids(spark, e_ids)
     unpersist_ids(spark, f_ids)
     return visited
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    release: bool = True,
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient over
+    an undirected graph — the classic cohesion/community signal (and spam
+    detector: link farms have pathological triangle density) that
+    completes the graph family next to CC (:mod:`groups`), PageRank, and
+    BFS reach.
+
+    Input edges may be directed/duplicated either way; they are
+    canonicalized (``min < max``, distinct, self-loops dropped) first.
+    Output per node: (item, degree, triangles, clustering_ppm) where
+    clustering_ppm = ``2·T·10⁶ div (d·(d-1))`` — exact truncating integer
+    ppm of the closed-wedge ratio, no float division anywhere.
+
+    Scale plan (the Suri–Vassilvitskii / Cohen MapReduce orientation
+    trick): every canonical edge is ORIENTED from its lower-(degree, id)
+    endpoint to its higher one, so wedge generation fans out from each
+    node's out-neighborhood only — out-degree is bounded by O(sqrt(m))
+    regardless of how big a hub's real degree is, which is exactly what
+    kills the naive plan on power-law graphs at 100 TB.  One self-join on
+    the apex makes wedges, one equi-join against the oriented edge list
+    closes them; every triangle is found exactly once (its corners appear
+    in rank order).  The oriented edge list is persisted and shared by
+    both joins, released on return."""
+    from ..caching import materialize_release
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("__db"))
+    # orient toward the higher (degree, id) rank; ties impossible on id
+    lower_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("__db")).otherwise(F.col("__da")).alias(
+                "__dv"
+            ),
+        )
+        .persist()
+    )
+    w1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("__dv").alias("__dx")
+    )
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("__dv").alias("__dy")
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("__dx") < F.col("__dy"))
+        | ((F.col("__dx") == F.col("__dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    )
+    tri = (
+        closed.select(
+            F.explode(F.array(F.col("u"), F.col("x"), F.col("y"))).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = (
+        deg.join(tri, "n", "left")
+        .select(
+            F.col("n").alias("item"),
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias(
+                "triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                F.expr(
+                    "(2 * coalesce(triangles, 0) * 1000000)"
+                    " div (deg * (deg - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+    )
+    return materialize_release(out, oriented, release=release)
