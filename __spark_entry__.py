@@ -1081,6 +1081,15 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (|A∩B|/|A| >= 0.6): the
+    subset/quotation duplicates symmetric Jaccard structurally misses."""
+    from sparkplug_spark.operators import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold=0.6)
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-node triangle counts + clustering coefficient over the
     part co-purchase graph, degree-ordered orientation (no hub blowup);
@@ -3452,6 +3461,33 @@ def _extension_oracles() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
         """,
+        "containment_pairs": f"""
+            {jaccard_cte},
+            e0 AS (SELECT doc_id,
+                          unnest(list_transform(sh, x -> (('0x' || substr(md5(x),1,15))::BIGINT))) AS s
+                   FROM d),
+            keys AS (SELECT s FROM e0 GROUP BY s HAVING count(*) <= 100),
+            e AS (SELECT e0.* FROM e0 JOIN keys USING (s)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            dirs AS (
+              SELECT id_a AS id_sub, id_b AS id_super,
+                     i.inter::DOUBLE / sa.sz AS containment
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = id_a
+              UNION ALL
+              SELECT id_b AS id_sub, id_a AS id_super,
+                     i.inter::DOUBLE / sb.sz AS containment
+              FROM inter i
+              JOIN sz sb ON sb.doc_id = id_b
+            )
+            SELECT id_sub, id_super, containment
+            FROM dirs WHERE containment >= 0.6
+        """,
         "dedup_minhash_lsh": minhash_sql,
         "dedup_simhash": f"""
             -- 64-bit simhash: per-token hash = two md5 32-bit halves
@@ -5357,6 +5393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "nb_classifier": q_nb_classifier,
         "triangle_counts": q_triangle_counts,
+        "containment_pairs": q_containment_pairs,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,
