@@ -1081,6 +1081,15 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_phrase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec phrase mining: adjacent-pair collocation scores in exact
+    integer ppm with the Mikolov rare-pair discount."""
+    from sparkplug_spark.operators import phrase_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return phrase_scores(docs, min_count=5, delta=3)
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed n-gram containment pairs (|A∩B|/|A| >= 0.6): the
     subset/quotation duplicates symmetric Jaccard structurally misses."""
@@ -4531,6 +4540,27 @@ def _extension_oracles() -> dict[str, str]:
             FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
             GROUP BY touch_type
         """,
+        "phrase_scores": f"""
+            WITH t AS (
+              SELECT list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+              FROM documents
+            ), uni AS (
+              SELECT t2.t AS tok, count(*) AS c
+              FROM (SELECT unnest(toks) AS t FROM t) t2 GROUP BY 1
+            ), tot AS (SELECT sum(c) AS n_total FROM uni),
+            pr AS (
+              SELECT toks[i] AS token_a, toks[i+1] AS token_b,
+                     count(*) AS n_pair
+              FROM t, unnest(generate_series(1, len(toks) - 1)) g(i)
+              WHERE len(toks) >= 2
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT token_a, token_b, n_pair::BIGINT AS n_pair,
+                   ((n_pair - 3) * n_total * 1000000
+                    // (a.c * b.c))::BIGINT AS score_ppm
+            FROM pr JOIN uni a ON a.tok = token_a
+                    JOIN uni b ON b.tok = token_b, tot
+        """,
         "bigram_counts": f"""
             WITH t AS (
               SELECT list_filter({_sql_tokens('text')}, x -> x != '') AS toks
@@ -5394,6 +5424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classifier": q_nb_classifier,
         "triangle_counts": q_triangle_counts,
         "containment_pairs": q_containment_pairs,
+        "phrase_scores": q_phrase_scores,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

@@ -30,6 +30,7 @@ __all__ = [
     "rare_token_ratio",
     "token_drift",
     "ngram_counts",
+    "phrase_scores",
 ]
 
 
@@ -407,3 +408,89 @@ def token_drift(
     )
     w = Window.orderBy(F.abs(F.col("delta_ppm")).desc(), F.col("token"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def phrase_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    delta: int = 3,
+    release: bool = True,
+) -> DataFrame:
+    """Corpus collocation mining via the word2vec phrase score (Mikolov
+    et al. 2013, "Distributed Representations of Words and Phrases"):
+    adjacent token pairs scored ``(c_ab − δ)·N·10⁶ div (c_a·c_b)`` —
+    the observed-vs-independent adjacency ratio with a discount δ that
+    suppresses rare-pair noise, in EXACT truncating integer ppm (no
+    float division, engine-reproducible).  Pairs scoring high are the
+    multi-word units ("new york") a tokenizer vocabulary or phrase-aware
+    embedding pass should treat as single tokens.
+
+    Output: (token_a, token_b, n_pair, score_ppm) for adjacent pairs with
+    ``n_pair ≥ max(min_count, δ+1)``.
+
+    Overflow headroom: needs ``c_ab·N < 9.2·10¹²`` before the ·10⁶ —
+    fine while the corpus is below ~10¹² tokens or the hottest bigram
+    below ~10⁶ occurrences at that size; rescale to per-mille beyond.
+
+    Scale shape: tokenize ONCE per row (persisted array, released on
+    return); unigram and bigram streams both read the materialized
+    array — narrow explodes, two map-side-combined counts; the scalar
+    token total rides a 1-row broadcast; the pair→unigram joins are
+    vocabulary-sized and AQE-broadcast when they fit."""
+    if min_count <= 0 or delta < 0:
+        raise ValueError("min_count must be positive and delta >= 0")
+    from ..caching import materialize_release
+    from ..partitioning import spread
+
+    toks = F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+    base = spread(df).select(toks.alias("__toks")).persist()
+    uni = base.select(F.explode("__toks").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = uni.agg(F.sum("c").alias("n_total"))
+    pairs = (
+        base.select(
+            F.explode(
+                F.when(
+                    F.size("__toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("__toks"), i).alias("a"),
+                            F.element_at(F.col("__toks"), i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("token_a"), F.col("p.b").alias("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= max(min_count, delta + 1))
+    )
+    out = (
+        pairs.join(
+            uni.select(F.col("t").alias("token_a"), F.col("c").alias("__ca")),
+            "token_a",
+        )
+        .join(
+            uni.select(F.col("t").alias("token_b"), F.col("c").alias("__cb")),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.expr(
+                f"((n_pair - {delta}) * n_total * 1000000)"
+                " div (__ca * __cb)"
+            )
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )
+    return materialize_release(out, base, release=release)
