@@ -1081,6 +1081,33 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion of keyword tf·idf ranks and exact
+    cosine ranks (query vectors = embeddings 0..2 mapped onto the three
+    keyword queries in sorted order); integer RRF keeps it engine-exact."""
+    from sparkplug_spark.operators import (
+        cosine_topk,
+        keyword_search,
+        reciprocal_rank_fusion,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    qids = sorted(SEARCH_QUERIES)
+    qmap = F.array(*[F.lit(q) for q in qids])
+    qvec = emb.filter(F.col("vec_id") < len(qids)).select(
+        F.element_at(qmap, (F.col("vec_id") + 1).cast("int")).alias(
+            "query_id"
+        ),
+        "embedding",
+    )
+    kw = keyword_search(docs, SEARCH_QUERIES, k=20)
+    cos = cosine_topk(emb, qvec, k=20, query_id_col="query_id").select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return reciprocal_rank_fusion([kw, cos], k0=60, k=10)
+
+
 def q_phrase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec phrase mining: adjacent-pair collocation scores in exact
     integer ppm with the Mikolov rare-pair discount."""
@@ -4580,6 +4607,85 @@ def _extension_oracles() -> dict[str, str]:
               FROM c
             ) WHERE rank <= 200
         """,
+        "hybrid_search": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+              FROM documents
+            ), d AS (
+              SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+              FROM t
+            ), post AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf,
+                     min(dl)::BIGINT AS dl
+              FROM d GROUP BY term, doc_id
+            ), q(query_id, term) AS (VALUES {{qvals}}),
+            m AS (
+              SELECT q.query_id, p.term, p.doc_id, p.tf, p.dl
+              FROM q JOIN post p USING (term)
+            ), dfq AS (
+              SELECT term, count(*)::BIGINT AS df
+              FROM post
+              WHERE term IN (SELECT DISTINCT term FROM q)
+              GROUP BY term
+            ), n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            sc AS (
+              SELECT m.query_id, m.doc_id,
+                     sum(LEAST(m.tf, 10) * (n.n_docs // dfq.df))::BIGINT
+                       AS score,
+                     min(m.dl) AS dl
+              FROM m JOIN dfq USING (term) CROSS JOIN n
+              GROUP BY m.query_id, m.doc_id
+            ), kwrank AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY (score * 1000) // (100 + dl) DESC, doc_id
+                       ) AS rank
+                FROM sc
+              ) WHERE rank <= 20
+            ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qv AS (
+              SELECT CASE vec_id WHEN 0 THEN 'q_hash_join'
+                                 WHEN 1 THEN 'q_stream_filter'
+                                 ELSE 'q_window_agg' END AS query_id,
+                     v AS qvec
+              FROM e WHERE vec_id < 3
+            ), cosscored AS (
+              SELECT query_id, e.vec_id AS doc_id,
+                     {_SQL_COS.format(a='qvec', b='e.v')} AS cosine
+              FROM qv CROSS JOIN e
+            ), cosrank AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, doc_id) AS rank
+                FROM cosscored
+              ) WHERE rank <= 20
+            ), contrib AS (
+              SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM kwrank
+              UNION ALL
+              SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM cosrank
+            ), fused AS (
+              SELECT query_id, doc_id,
+                     sum(c)::BIGINT AS rrf_micros,
+                     count(*)::BIGINT AS n_lists
+              FROM contrib GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, rrf_micros, n_lists, fused_rank FROM (
+              SELECT *, row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY rrf_micros DESC, doc_id) AS fused_rank
+              FROM fused
+            ) WHERE fused_rank <= 10
+        """.format(
+            qvals=", ".join(
+                f"('{qid}', '{t}')"
+                for qid, terms in SEARCH_QUERIES.items()
+                for t in dict.fromkeys(terms)
+            )
+        ),
         "keyword_search": f"""
             WITH t AS (
               SELECT doc_id,
@@ -5425,6 +5531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "containment_pairs": q_containment_pairs,
         "phrase_scores": q_phrase_scores,
+        "hybrid_search": q_hybrid_search,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

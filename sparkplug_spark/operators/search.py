@@ -31,7 +31,7 @@ from ..caching import materialize_release
 from ..functions.text import tokens_pd
 from ..partitioning import spread
 
-__all__ = ["build_term_index", "keyword_search"]
+__all__ = ["build_term_index", "keyword_search", "reciprocal_rank_fusion"]
 
 
 def build_term_index(
@@ -220,3 +220,59 @@ def keyword_search(
         .filter(F.col("rank") <= k)
     )
     return materialize_release(out, matched, release=release)
+
+
+def reciprocal_rank_fusion(
+    rankings: Sequence[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Hybrid retrieval: fuse N ranked lists per query by Reciprocal Rank
+    Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) — the standard way a
+    curation pipeline combines keyword (tf·idf) and vector (cosine)
+    retrieval without score calibration, since RRF consumes only RANKS.
+
+    Per (query, doc): ``rrf_micros = Σ_lists (1_000_000 div (k0 +
+    rank))`` — exact truncating integer division per list, exact integer
+    sum, so fusion is engine- and partitioning-independent (the repo's
+    integer-score discipline; k0=60 is the paper's constant).  Returns
+    the top ``k`` per query: (query_id, doc_id, rrf_micros, n_lists,
+    fused_rank), ties broken on doc_id.
+
+    Each input needs (query_col, id_col, rank_col); extra columns are
+    ignored.  A doc absent from a list simply contributes nothing — no
+    imputation, exactly the paper's formulation.
+
+    Scale shape: inputs are already top-k-per-query tables (bounded:
+    queries × k rows), so the union + one groupBy + one bounded window
+    are all small; the heavy lifting happened in the upstream retrieval
+    operators."""
+    if not rankings:
+        raise ValueError("rankings must be a non-empty sequence")
+    if k0 < 1 or k < 1:
+        raise ValueError("k0 and k must be positive")
+    unioned = None
+    for r in rankings:
+        part = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"1000000 div ({k0} + {rank_col})")
+            .cast("long")
+            .alias("__contrib"),
+        )
+        unioned = part if unioned is None else unioned.unionAll(part)
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum("__contrib").cast("long").alias("rrf_micros"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micros"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select("query_id", "doc_id", "rrf_micros", "n_lists", "fused_rank")
+    )
