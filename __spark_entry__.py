@@ -1081,6 +1081,15 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: hashed unigram+bigram importance weights
+    toward the src0 'target domain', exact integer micro-nats."""
+    from sparkplug_spark.operators import importance_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("source") == "src0", buckets=8192)
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: RRF fusion of keyword tf·idf ranks and exact
     cosine ranks (query vectors = embeddings 0..2 mapped onto the three
@@ -4567,6 +4576,42 @@ def _extension_oracles() -> dict[str, str]:
             FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
             GROUP BY touch_type
         """,
+        "importance_weights": f"""
+            WITH base AS (
+              SELECT doc_id, source = 'src0' AS tgt,
+                     list_filter({_sql_tokens('text')}, x -> x != '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, tgt,
+                     list_concat(t, CASE WHEN len(t) >= 2
+                       THEN list_transform(generate_series(1, len(t)-1),
+                                           i -> t[i] || ' ' || t[i+1])
+                       ELSE [] END) AS g
+              FROM base
+            ),
+            feats AS (
+              SELECT doc_id, tgt,
+                     (('0x' || substr(md5(u.x),1,15))::BIGINT % 8192) AS b
+              FROM grams, unnest(g) u(x)
+            ),
+            counts AS (
+              SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+              FROM feats GROUP BY b
+            ),
+            tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+            ratios AS (
+              SELECT b, floor((ln(ct+1) - ln(tt+8192) - ln(cr+1)
+                               + ln(tr+8192)) * 1e6 + 0.5)::BIGINT AS w
+              FROM counts, tot
+            )
+            SELECT f.doc_id, f.tgt AS is_target,
+                   count(*)::BIGINT AS n_features,
+                   sum(r.w)::BIGINT AS log_weight_micros
+            FROM feats f JOIN ratios r USING (b)
+            GROUP BY f.doc_id, f.tgt
+        """,
         "phrase_scores": f"""
             WITH t AS (
               SELECT list_filter({_sql_tokens('text')}, x -> x != '') AS toks
@@ -5532,6 +5577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "phrase_scores": q_phrase_scores,
         "hybrid_search": q_hybrid_search,
+        "importance_weights": q_importance_weights,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

@@ -51,6 +51,7 @@ __all__ = [
     "remove_boilerplate_spans",
     "dedup_spans_within_doc",
     "dedup_substrings_global",
+    "importance_weights",
     "trim_by_quantile",
     "mixture_report",
     "assign_splits",
@@ -1265,3 +1266,100 @@ def dedup_substrings_global(
         )
     )
     return materialize_release(out, base, occ, release=release)
+
+
+def importance_weights(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    release: bool = True,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how target-domain-like its hashed n-gram profile is, so a 100 TB raw
+    crawl can be resampled toward a small high-quality target (the
+    target here is any subset of ``df`` selected by ``target_filter``).
+
+    Features are unigrams + adjacent bigrams hashed into ``buckets``
+    (md5-derived, engine-reproducible).  Bucket distributions for the
+    target and the raw remainder get add-one smoothing; each bucket's
+    log-ratio ``ln(p_target/p_raw)`` is quantized to INTEGER MICRO-NATS
+    immediately, so per-document importance weights are EXACT integer
+    sums over the doc's bucket counts (same discipline as
+    :func:`~sparkplug_spark.operators.scoring.naive_bayes_classifier` —
+    no float accumulation anywhere).
+
+    Returns (id, is_target boolean, n_features bigint, log_weight_micros
+    bigint); resample by feeding ``exp(log_weight)`` into
+    :func:`weighted_sample`, or threshold on the integer directly.
+
+    Scale shape: one tokenize pass per row (persisted, released); the
+    feature stream shuffles 8-byte (bucket, is_target) pairs into a
+    ``buckets``-sized aggregate; per-bucket log-ratios are a
+    vocabulary-bounded table AQE-broadcasts under the scoring join;
+    totals ride a 1-row broadcast."""
+    if buckets <= 1:
+        raise ValueError("buckets must be > 1")
+    base = (
+        spread(df)
+        .withColumn("__toks", F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit("")))
+        .select(
+            F.col(id_col).alias("__id"),
+            target_filter.alias("__tgt"),
+            "__toks",
+        )
+        .persist()
+    )
+    grams = F.concat(
+        F.col("__toks"),
+        F.when(
+            F.size("__toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__toks"), i),
+                    F.element_at(F.col("__toks"), i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    feats = (
+        base.select("__id", "__tgt", F.explode(grams).alias("__g"))
+        .select("__id", "__tgt", (hash60(F.col("__g")) % buckets).alias("__b"))
+        .persist()
+    )
+    counts = feats.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).cast("long").alias("__ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).cast("long").alias("__cr"),
+    )
+    totals = counts.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
+    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        micros(
+            F.log(F.col("__ct") + 1)
+            - F.log(F.col("__tt") + buckets)
+            - F.log(F.col("__cr") + 1)
+            + F.log(F.col("__tr") + buckets)
+        ).alias("__w"),
+    )
+    out = (
+        feats.join(ratios, "__b")
+        .groupBy("__id", "__tgt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.sum("__w").cast("long").alias("log_weight_micros"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__tgt").alias("is_target"),
+            "n_features",
+            "log_weight_micros",
+        )
+    )
+    return materialize_release(out, base, feats, release=release)
