@@ -1081,6 +1081,16 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical similarity: cosine over integer tf·idf term
+    vectors (exact BIGINT dots/norms; the one float op is IEEE
+    sqrt+divide, identical across engines)."""
+    from sparkplug_spark.operators import tfidf_cosine_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.5)
+
+
 def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: hashed unigram+bigram importance weights
     toward the src0 'target domain', exact integer micro-nats."""
@@ -4576,6 +4586,37 @@ def _extension_oracles() -> dict[str, str]:
             FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
             GROUP BY touch_type
         """,
+        "tfidf_pairs": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_filter({_sql_tokens('text')}, x -> x != '')) AS t
+              FROM documents
+            ),
+            tfx AS (
+              SELECT doc_id AS id, ('0x' || substr(md5(t),1,15))::BIGINT AS sh,
+                     least(count(*), 10) AS tf
+              FROM tok GROUP BY doc_id, t
+            ),
+            nd AS (SELECT count(DISTINCT id) AS n FROM tfx),
+            dfreq AS (SELECT sh, count(*) AS df FROM tfx GROUP BY sh),
+            keep AS (SELECT sh, df FROM dfreq WHERE df <= 100),
+            w AS (
+              SELECT id, tfx.sh, (tf * (n // df))::BIGINT AS w
+              FROM tfx JOIN keep USING (sh), nd
+            ),
+            norms AS (SELECT id, sum(w*w) AS n2 FROM w GROUP BY id),
+            dots AS (
+              SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+              FROM w a JOIN w b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6)
+                     AS cosine
+            FROM dots JOIN norms na ON na.id = id_a
+                      JOIN norms nb ON nb.id = id_b
+            WHERE round(dot::DOUBLE / sqrt(na.n2::DOUBLE * nb.n2::DOUBLE), 6)
+                  >= 0.5
+        """,
         "importance_weights": f"""
             WITH base AS (
               SELECT doc_id, source = 'src0' AS tgt,
@@ -5578,6 +5619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_scores": q_phrase_scores,
         "hybrid_search": q_hybrid_search,
         "importance_weights": q_importance_weights,
+        "tfidf_pairs": q_tfidf_pairs,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

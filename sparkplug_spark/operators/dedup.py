@@ -29,6 +29,7 @@ from ..functions.text import (
     hashed_shingles_pd,
     normalize_text,
     shingles_minhash_pd,
+    tokens_pd,
     simhash64_pd,
     word_shingles_pd,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "dedup_exact_against",
     "jaccard_ngram_pairs",
     "containment_pairs",
+    "tfidf_cosine_pairs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_ml",
     "minhash_signatures",
@@ -830,3 +832,101 @@ def containment_pairs(
     )
     out = directed.filter(F.col("containment") >= threshold)
     return materialize_release(out, sh, release=release)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    tf_cap: int = 10,
+    max_key_freq: int = 100,
+    release: bool = True,
+    metrics: Observation | None = None,
+) -> DataFrame:
+    """WEIGHTED document-similarity pairs: cosine over integer tf·idf
+    term vectors ≥ threshold.  Completes the lexical-similarity family —
+    Jaccard/containment are SET-based (a term counts once), this tier
+    weighs repeated terms and down-weighs corpus-common ones, which is
+    what actually separates near-duplicate articles from
+    boilerplate-sharing ones.
+
+    Term weight = ``LEAST(tf, tf_cap) * (N div df)`` — the
+    ``keyword_search`` integer-idf discipline, so dot products and
+    squared norms are EXACT BIGINT sums; the only float op is the final
+    ``dot / sqrt(na2·nb2)`` (IEEE sqrt+divide are correctly rounded, so
+    both engines agree bit-for-bit, rounded to 6dp for belt-and-braces).
+
+    Output (id_a, id_b, cosine) with id_a < id_b.
+
+    Scale shape: the same inverted-index self-join as the Jaccard tier —
+    only (term-hash, id, weight) triples shuffle; stop-key cap with
+    exact dropped-work metrics de-skews corpus-common terms (which
+    near-zero idf would contribute ~nothing anyway); squared norms come
+    from a narrow pre-aggregate over the same persisted index."""
+    sh0 = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+            ).alias("t"),
+        )
+        .select("id", hash60(F.col("t")).alias("sh"))
+        .groupBy("id", "sh")
+        .agg(F.least(F.count(F.lit(1)), F.lit(tf_cap)).cast("long").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = sh0.agg(
+        F.countDistinct("id").cast("long").alias("__n")
+    )
+    dfreq = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    if max_key_freq:
+        hot = dfreq.filter(F.col("df") > max_key_freq)
+        if metrics is not None:
+            observe_dropped(
+                hot,
+                metrics,
+                dropped_keys=F.count(F.lit(1)),
+                dropped_entries=F.sum("df"),
+            )
+        keep = dfreq.filter(F.col("df") <= max_key_freq)
+    elif metrics is not None:
+        raise ValueError(
+            "metrics requires an active stop-key cap (max_key_freq > 0)"
+        )
+    else:
+        keep = dfreq
+    sh = (
+        sh0.join(keep, "sh")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "sh",
+            (F.col("tf") * F.expr("__n div df")).cast("long").alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = sh.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    dots = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    out = (
+        dots.join(norms.withColumnsRenamed({"id": "id_a", "n2": "na2"}), "id_a")
+        .join(norms.withColumnsRenamed({"id": "id_b", "n2": "nb2"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return materialize_release(out, sh0, sh, release=release)
