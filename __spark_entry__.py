@@ -1081,6 +1081,17 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass distributed PCA (moment partials -> driver eigh of
+    the dxd covariance), top-8 projection + per-row residual share.
+    Float outputs -> rows-only; semantics pinned by the numpy twin in
+    tests/test_pca.py."""
+    from sparkplug_spark.operators import pca_project
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=8)
+
+
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted lexical similarity: cosine over integer tf·idf term
     vectors (exact BIGINT dots/norms; the one float op is IEEE
@@ -5620,6 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "importance_weights": q_importance_weights,
         "tfidf_pairs": q_tfidf_pairs,
+        "pca_embeddings": q_pca_embeddings,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

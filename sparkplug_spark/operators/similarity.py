@@ -44,6 +44,8 @@ __all__ = [
     "semantic_dedup",
     "build_semantic_store",
     "semantic_dedup_against",
+    "pca_fit",
+    "pca_project",
 ]
 
 
@@ -1365,4 +1367,152 @@ def semantic_dedup_against(
             f"id {id_field}, cluster int, is_near_dup boolean,"
             f" near_dup_of {id_field}"
         ),
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """EXACT distributed PCA fit: one pass computes the full first and
+    second moments (per-partition Arrow partials of ``(n, Σx, Σxxᵀ)``,
+    combined driver-side), then the d×d covariance eigendecomposition —
+    d is the embedding width (bounded, e.g. 64), so the driver work is
+    microscopic while the data pass is exact over ANY corpus size.  No
+    sampling, no iterative SVD, one job.
+
+    Returns ``(mean[d], components[k, d], explained_var[k])`` with
+    components sorted by eigenvalue descending and sign-fixed (largest-
+    |coefficient| entry positive) so the fit is deterministic for a
+    given dataset regardless of partitioning.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("ss", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _partials(batches):
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            m = np.array(list(pdf.iloc[:, 0]), dtype=np.float64)
+            if m.size == 0:
+                continue
+            n += m.shape[0]
+            s = m.sum(0) if s is None else s + m.sum(0)
+            g = m.T @ m
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    parts = (
+        spread(df)
+        .select(F.col(vec_col).cast("array<double>"))
+        .mapInPandas(_partials, schema)
+        .collect()
+    )
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in parts)
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    d = s.shape[0]
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in parts], axis=0)
+    if k < 1 or k > d:
+        raise ValueError(f"k must be in [1, {d}]")
+    mean = s / n
+    # covariance from raw moments; population normalization (divide by n)
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: the largest-|entry| coefficient is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    whiten: bool = False,
+    fitted: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components —
+    the standard compression/whitening pass before semantic dedup or ANN
+    indexing (SemDeDup and most FAISS recipes run on PCA'd vectors:
+    same neighborhoods, k/d of the bytes through every shuffle).
+
+    ``whiten=True`` scales each component to unit variance.  Pass a
+    ``fitted`` triple (from :func:`pca_fit`, possibly persisted) to
+    apply a frozen basis to NEW batches — the incremental-ingest shape.
+
+    Returns (id, projected array<double>, residual_ppm bigint) where
+    ``residual_ppm`` is the per-row reconstruction-error share
+    ``⌊10⁶·(1 − ‖proj‖²/‖centered‖²)⌋`` — a quality signal telling you
+    how much of THIS row the basis failed to capture.
+
+    Scale shape: the fit is one exact moment pass (d×d driver eigh);
+    application broadcasts the (k, d) matrix inside one Arrow kernel —
+    narrow, no shuffle, no JVM↔Python row traffic."""
+    mean, comps, evals = fitted if fitted is not None else pca_fit(
+        df, vec_col=vec_col, k=k
+    )
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(evals, 1e-12))
+    else:
+        scale = np.ones_like(evals)
+    M = mean.copy()
+    W = comps.copy()
+    S = scale.copy()
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("projected", T.ArrayType(T.DoubleType())),
+            T.StructField("residual_ppm", T.LongType()),
+        ]
+    )
+
+    def _apply(batches):
+        for pdf in batches:
+            ids = pdf.iloc[:, 0]
+            m = np.array(list(pdf.iloc[:, 1]), dtype=np.float64)
+            if m.size == 0:
+                continue
+            c = m - M
+            p = c @ W.T  # (n, k)
+            cn = (c * c).sum(1)
+            pn = (p * p).sum(1)
+            cn[cn == 0] = 1.0
+            resid = np.floor(
+                1e6 * np.clip(1.0 - pn / cn, 0.0, 1.0)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "projected": list((p * S).tolist()),
+                    "residual_ppm": resid,
+                }
+            )
+
+    return (
+        spread(df)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .mapInPandas(_apply, out_schema)
+        .withColumnRenamed("id", id_col)
     )
