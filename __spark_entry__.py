@@ -1081,6 +1081,17 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings_global(docs, window_tokens=8)
 
 
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core numbers over the part co-purchase graph via iterated
+    h-index propagation (converges to exact coreness; deterministic).
+    Iterative -> rows-only; exact-peeling twin in tests/test_coreness.py."""
+    from sparkplug_spark.operators import basket_pairs, coreness
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    return coreness(pairs.selectExpr("item_a as src", "item_b as dst"))
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-pass distributed PCA (moment partials -> driver eigh of
     the dxd covariance), top-8 projection + per-row residual share.
@@ -5631,7 +5642,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "importance_weights": q_importance_weights,
         "tfidf_pairs": q_tfidf_pairs,
-        "pca_embeddings": q_pca_embeddings,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,
@@ -5727,6 +5737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_token_counts": q_bpe_token_counts,
         "semantic_dedup_incr": q_semantic_dedup_incr,
+        "pca_embeddings": q_pca_embeddings,
+        "coreness": q_coreness,
     }
 
 
