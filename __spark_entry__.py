@@ -1103,6 +1103,16 @@ def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, k=8)
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence matrix between sources' token
+    distributions (integer nano-nats): the domain-similarity map for
+    mixture planning."""
+    from sparkplug_spark.operators import source_divergence
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_divergence(docs)
+
+
 def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted lexical similarity: cosine over integer tf·idf term
     vectors (exact BIGINT dots/norms; the one float op is IEEE
@@ -4608,6 +4618,54 @@ def _extension_oracles() -> dict[str, str]:
             FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
             GROUP BY touch_type
         """,
+        "source_divergence": f"""
+            WITH tok AS (
+              SELECT source AS g,
+                     unnest(list_filter({_sql_tokens('text')}, x -> x != '')) AS t
+              FROM documents
+            ),
+            counts AS (SELECT g, t, count(*) AS c FROM tok GROUP BY g, t),
+            tot AS (SELECT g, sum(c) AS tot FROM counts GROUP BY g),
+            vocab AS (SELECT g, count(*) AS v FROM counts GROUP BY g),
+            a AS (SELECT c.g AS ga, c.t, c.c AS ca, tt.tot AS ta
+                  FROM counts c JOIN tot tt ON tt.g = c.g),
+            b AS (SELECT c.g AS gb, c.t, c.c AS cb, tt.tot AS tb
+                  FROM counts c JOIN tot tt ON tt.g = c.g),
+            pa AS (SELECT * FROM a JOIN b USING (t) WHERE ga < gb),
+            terms AS (
+              SELECT ga, gb,
+                     floor(0.5 * (ca::DOUBLE/ta)
+                           * ln(2.0 * (ca::DOUBLE/ta)
+                                 / ((ca::DOUBLE/ta) + (cb::DOUBLE/tb)))
+                           * 1e9 + 0.5)::BIGINT
+                   + floor(0.5 * (cb::DOUBLE/tb)
+                           * ln(2.0 * (cb::DOUBLE/tb)
+                                 / ((ca::DOUBLE/ta) + (cb::DOUBLE/tb)))
+                           * 1e9 + 0.5)::BIGINT AS term,
+                     ca, cb
+              FROM pa
+            ),
+            shared AS (
+              SELECT ga, gb, sum(term) AS js_shared, count(*) AS n_shared,
+                     sum(ca) AS ca_shared, sum(cb) AS cb_shared
+              FROM terms GROUP BY ga, gb
+            ),
+            prs AS (
+              SELECT x.g AS ga, y.g AS gb, x.tot AS ta, y.tot AS tb
+              FROM tot x JOIN tot y ON x.g < y.g
+            )
+            SELECT p.ga AS source_a, p.gb AS source_b,
+                   (coalesce(s.js_shared, 0)
+                    + floor(0.5 * ((p.ta - coalesce(s.ca_shared,0))::DOUBLE
+                                   / p.ta) * ln(2.0) * 1e9 + 0.5)::BIGINT
+                    + floor(0.5 * ((p.tb - coalesce(s.cb_shared,0))::DOUBLE
+                                   / p.tb) * ln(2.0) * 1e9 + 0.5)::BIGINT
+                   )::BIGINT AS js_nanonats,
+                   (va.v + vb.v - coalesce(s.n_shared, 0))::BIGINT
+                     AS n_tokens_union
+            FROM prs p LEFT JOIN shared s ON s.ga = p.ga AND s.gb = p.gb
+            JOIN vocab va ON va.g = p.ga JOIN vocab vb ON vb.g = p.gb
+        """,
         "tfidf_pairs": f"""
             WITH tok AS (
               SELECT doc_id, unnest(list_filter({_sql_tokens('text')}, x -> x != '')) AS t
@@ -5642,6 +5700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "importance_weights": q_importance_weights,
         "tfidf_pairs": q_tfidf_pairs,
+        "source_divergence": q_source_divergence,
         "token_budget_sample": q_token_budget_sample,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "asof_join_nearest": q_asof_join_nearest,

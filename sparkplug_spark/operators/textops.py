@@ -31,6 +31,7 @@ __all__ = [
     "token_drift",
     "ngram_counts",
     "phrase_scores",
+    "source_divergence",
 ]
 
 
@@ -494,3 +495,128 @@ def phrase_scores(
         )
     )
     return materialize_release(out, base, release=release)
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    release: bool = True,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence matrix between corpus slices'
+    token distributions — the domain-similarity map a mixture planner
+    reads before weighting sources (complements :func:`token_drift`,
+    which explains ONE pair token-by-token; this scores EVERY pair with
+    one bounded scalar, JS ∈ [0, ln 2]).
+
+    Per ordered token contribution ``½·p·ln(2p/(p+q))`` (and the mirror
+    for q), where p, q are the token's probability in each slice; each
+    term is quantized to INTEGER NANO-NATS (floor(x·10⁹ + 0.5)) before
+    the exact integer sum, so the matrix is engine-reproducible (terms
+    are ~1e-7 — micro-units would flush them to zero, nano keeps 2+
+    digits; the bounded sum stays ≪ 2⁶³).
+
+    Returns (source_a, source_b, js_nanonats, n_tokens_union) with
+    source_a < source_b.
+
+    Scale shape: ONE (slice, token) count pass (map-side combined,
+    persisted, released on return) — the V·S table everything else
+    derives from; slice totals are an S-row broadcast; the pairwise
+    terms are two slice-inequality token joins over that bounded table,
+    never over the corpus."""
+    from ..caching import materialize_release
+    from ..partitioning import spread
+
+    counts = (
+        spread(df)
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+            ).alias("t"),
+        )
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    totals = counts.groupBy("g").agg(F.sum("c").alias("tot"))
+    a = (
+        counts.withColumnsRenamed({"g": "ga", "c": "ca"})
+        .join(F.broadcast(totals.withColumnsRenamed({"g": "ga", "tot": "ta"})), "ga")
+    )
+    b = (
+        counts.withColumnsRenamed({"g": "gb", "c": "cb"})
+        .join(F.broadcast(totals.withColumnsRenamed({"g": "gb", "tot": "tb"})), "gb")
+    )
+    # shared tokens of each unordered slice pair; tokens present in only
+    # one slice are handled in closed form below (q=0 ⇒ term = ½·p·ln2),
+    # so no full-outer join is needed
+    pa = a.join(b, ["t"], "inner").filter(F.col("ga") < F.col("gb"))
+    p = F.col("ca").cast("double") / F.col("ta").cast("double")
+    q = F.col("cb").cast("double") / F.col("tb").cast("double")
+    nano = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+    both = pa.select(
+        "ga",
+        "gb",
+        (
+            nano(F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q)))
+            + nano(F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q)))
+        ).alias("term"),
+        "ca",
+        "cb",
+    )
+    pairs = (
+        totals.alias("x")
+        .crossJoin(totals.alias("y"))
+        .filter(F.col("x.g") < F.col("y.g"))
+        .select(
+            F.col("x.g").alias("ga"),
+            F.col("y.g").alias("gb"),
+            F.col("x.tot").alias("ta"),
+            F.col("y.tot").alias("tb"),
+        )
+    )
+    # tokens present in A only: q = 0 -> term = ½·p·ln2 (and mirror);
+    # computed as slice-level remainders: Σ_only_a p = 1 - Σ_shared p
+    shared = both.groupBy("ga", "gb").agg(
+        F.sum("term").alias("js_shared"),
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.sum("ca").alias("ca_shared"),
+        F.sum("cb").alias("cb_shared"),
+    )
+    vocab = counts.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    out = (
+        pairs.join(shared, ["ga", "gb"], "left")
+        .join(F.broadcast(vocab.withColumnsRenamed({"g": "ga", "v": "va"})), "ga")
+        .join(F.broadcast(vocab.withColumnsRenamed({"g": "gb", "v": "vb"})), "gb")
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            (
+                F.coalesce(F.col("js_shared"), F.lit(0))
+                + nano(
+                    F.lit(0.5)
+                    * (
+                        (F.col("ta") - F.coalesce(F.col("ca_shared"), F.lit(0)))
+                        .cast("double")
+                        / F.col("ta").cast("double")
+                    )
+                    * F.log(F.lit(2.0))
+                )
+                + nano(
+                    F.lit(0.5)
+                    * (
+                        (F.col("tb") - F.coalesce(F.col("cb_shared"), F.lit(0)))
+                        .cast("double")
+                        / F.col("tb").cast("double")
+                    )
+                    * F.log(F.lit(2.0))
+                )
+            ).alias("js_nanonats"),
+            (
+                F.col("va") + F.col("vb")
+                - F.coalesce(F.col("n_shared"), F.lit(0))
+            ).alias("n_tokens_union"),
+        )
+    )
+    return materialize_release(out, counts, release=release)
