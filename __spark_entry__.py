@@ -2458,6 +2458,16 @@ def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search(docs, SEARCH_QUERIES, k=10)
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: real tf saturation + length normalization
+    as exact integer arithmetic (k1=1.2, b=0.75 cleared of denominators),
+    top-10 per query — engine-exact scores AND ranks."""
+    from sparkplug_spark.operators import bm25_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_search(docs, SEARCH_QUERIES, k=10)
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -4900,6 +4910,60 @@ def _extension_oracles() -> dict[str, str]:
                 for t in dict.fromkeys(terms)
             )
         ),
+        # BM25 with k1=1.2, b=0.75 as exact integers: saturation num/den
+        # multiplied by 40*avgdl -> 88000*tf*avgdl over 40*tf*avgdl +
+        # 12*avgdl + 36*dl; Robertson idf log-free as (N-df+1)*1000 //
+        # (df+1).  avgdl integer-floors over ALL docs (incl. token-less).
+        "bm25_search": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     (sum(len(toks)) // count(*))::BIGINT AS avgdl
+              FROM t
+            ), d AS (
+              SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+              FROM t
+            ), post AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf,
+                     min(dl)::BIGINT AS dl
+              FROM d GROUP BY term, doc_id
+            ), q(query_id, term) AS (VALUES {{qvals}}),
+            dfq AS (
+              SELECT term, count(*)::BIGINT AS df
+              FROM post
+              WHERE term IN (SELECT DISTINCT term FROM q)
+              GROUP BY term
+            ), idf AS (
+              SELECT term,
+                     ((n_docs - df + 1) * 1000 // (df + 1))::BIGINT AS idf,
+                     avgdl
+              FROM dfq, stats
+            ), sc AS (
+              SELECT q.query_id, p.doc_id,
+                     sum(i.idf * ((88000 * p.tf * i.avgdl)
+                         // (40 * p.tf * i.avgdl + 12 * i.avgdl
+                             + 36 * p.dl)))::BIGINT AS score_ppm
+              FROM q JOIN post p USING (term) JOIN idf i USING (term)
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score_ppm, rank FROM (
+              SELECT query_id, doc_id, score_ppm,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_ppm DESC, doc_id
+                     ) AS rank
+              FROM sc
+            ) WHERE rank <= 10
+        """.format(
+            qvals=", ".join(
+                f"('{qid}', '{t}')"
+                for qid, terms in SEARCH_QUERIES.items()
+                for t in dict.fromkeys(terms)
+            )
+        ),
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -5741,6 +5805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "bigram_counts": q_ngram_counts,
         "keyword_search": q_keyword_search,
+        "bm25_search": q_bm25_search,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

@@ -31,7 +31,12 @@ from ..caching import materialize_release
 from ..functions.text import tokens_pd
 from ..partitioning import spread
 
-__all__ = ["build_term_index", "keyword_search", "reciprocal_rank_fusion"]
+__all__ = [
+    "bm25_search",
+    "build_term_index",
+    "keyword_search",
+    "reciprocal_rank_fusion",
+]
 
 
 def build_term_index(
@@ -276,3 +281,164 @@ def reciprocal_rank_fusion(
         .filter(F.col("fused_rank") <= k)
         .select("query_id", "doc_id", "rrf_micros", "n_lists", "fused_rank")
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    queries: Mapping[str, Sequence[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_x10: int = 12,
+    b_x4: int = 3,
+    index: DataFrame | None = None,
+    release: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents per query by **engine-exact integer BM25**
+    (Robertson & Zaragoza 2009): real tf saturation and length
+    normalization, not the capped-tf surrogate of :func:`keyword_search`.
+
+    BM25's two float parameters are taken as exact rationals — ``k1 =
+    k1_x10/10`` (default 1.2) and ``b = b_x4/4`` (default 0.75) — and the
+    whole score is cleared of denominators so every factor is BIGINT:
+
+        avgdl   = total_tokens DIV n_docs
+        idf     = ((N - df + 1) * 1000) DIV (df + 1)      -- Robertson idf,
+                                                          -- log-free, x1000
+        sat_pp3 = (4000 * tf * avgdl * (10 + k1_x10))
+                  DIV (40*tf*avgdl + k1_x10*(4-b_x4)*avgdl + k1_x10*b_x4*dl)
+        score_ppm(q, d) = SUM_t idf(t) * sat_pp3(t, d)
+
+    ``sat_pp3`` is the BM25 saturation ``tf*(k1+1) / (tf + k1*(1-b +
+    b*dl/avgdl))`` with numerator and denominator multiplied by
+    ``40*avgdl`` — exact integer arithmetic, so a DuckDB oracle
+    reproduces scores and ranks bit-for-bit.  Overflow headroom: with
+    avgdl ≤ 1e6, tf ≤ 1e6 and N ≤ 1e12 every intermediate stays under
+    2^62 (the idf×sat product is ≤ ~2.2e3 × 1e15 per term only when N
+    approaches 1e12 AND every query has 100+ terms; at that scale pass a
+    smaller idf scale).
+
+    Returns (query_id, doc_id, score_ppm, rank), rank 1..k per query,
+    ties on doc_id.  ``index=`` accepts a stored
+    :func:`build_term_index` table (corpus stats are then derived from
+    its distinct (doc, dl) pairs — zero-token docs are invisible there,
+    so N may differ from the raw row count; the inline path counts every
+    row).
+
+    Scale shape: one corpus tokenize pass persisted and shared by the
+    stats aggregate and the postings sliver (released on return); the
+    query term set, corpus stats (1 row) and per-term df all broadcast;
+    one shuffle on (query, doc) for the score sum; bounded top-k window.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if k1_x10 < 0 or not (0 <= b_x4 <= 4):
+        raise ValueError("k1_x10 must be >= 0 and b_x4 in 0..4")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark: SparkSession = df.sparkSession
+    qrows = [
+        (str(qid), str(t))
+        for qid, terms in queries.items()
+        for t in dict.fromkeys(terms)
+    ]
+    if not qrows:
+        raise ValueError("queries must contain at least one term")
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+    intermediates: list[DataFrame] = []
+
+    if index is not None:
+        matched = index.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        )
+        docs = index.select("doc_id", "dl").distinct()
+        stats = docs.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("dl").cast("long").alias("__tdl"),
+        )
+    else:
+        all_terms = sorted({t for _, t in qrows})
+        toks = F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+        base = (
+            spread(df)
+            .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+            .select(
+                "doc_id",
+                F.size("__toks").cast("long").alias("dl"),
+                F.col("__toks"),
+            )
+        )
+        if release:
+            base = base.persist()
+            intermediates.append(base)
+        stats = base.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("dl").cast("long").alias("__tdl"),
+        )
+        tf_pairs = F.filter(
+            F.transform(
+                F.array(*[F.lit(t) for t in all_terms]),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(F.col("__toks"), lambda x: x == t))
+                    .cast("long")
+                    .alias("tf"),
+                ),
+            ),
+            lambda s: s["tf"] > 0,
+        )
+        matched = base.select(
+            "doc_id", "dl", F.explode(tf_pairs).alias("__p")
+        ).select("doc_id", "dl", "__p.term", "__p.tf")
+
+    if release:
+        matched = matched.persist()
+        intermediates.append(matched)
+
+    # corpus stats ride every downstream row as a 1-row broadcast
+    stats = stats.select(
+        "__n", F.expr("__tdl div greatest(__n, 1)").alias("__avgdl")
+    )
+    dfreq = (
+        matched.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.expr("((__n - __df + 1) * 1000) div (__df + 1)")
+            .cast("long")
+            .alias("__idf"),
+            "__avgdl",
+        )
+    )
+    c_num = 4000 * (10 + int(k1_x10))
+    c_den_tf = 40
+    c_den_avg = int(k1_x10) * (4 - int(b_x4))
+    c_den_dl = int(k1_x10) * int(b_x4)
+    per_doc = (
+        matched.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("__idf")
+                * F.expr(
+                    f"({c_num} * tf * __avgdl) div"
+                    f" ({c_den_tf} * tf * __avgdl"
+                    f" + {c_den_avg} * __avgdl + {c_den_dl} * dl)"
+                )
+            ).alias("__term_score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__term_score").cast("long").alias("score_ppm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    out = (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_ppm", "rank")
+    )
+    return materialize_release(out, *intermediates, release=release)
