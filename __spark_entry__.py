@@ -2468,6 +2468,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, SEARCH_QUERIES, k=10)
 
 
+def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores: self-trained char-trigram LM,
+    Laplace-smoothed per-position probability in integer ppm, exact
+    per-doc sums (the one double is an IEEE division of two BIGINTs)."""
+    from sparkplug_spark.operators import charlm_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return charlm_scores(docs)
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -4964,6 +4974,32 @@ def _extension_oracles() -> dict[str, str]:
                 for t in dict.fromkeys(terms)
             )
         ),
+        # self-trained char-trigram LM: C2 counts bigrams AS CONTEXTS
+        # (trigram prefixes); V = distinct prediction-position chars;
+        # per-position Laplace ppm quantized BEFORE the exact BIGINT sum
+        "charlm_quality": """
+            WITH tri AS (
+              SELECT doc_id, substr(text, i, 3) AS tri,
+                     substr(text, i, 2) AS ctx
+              FROM documents,
+                   unnest(generate_series(1, len(text) - 2)) g(i)
+              WHERE len(text) >= 3
+            ),
+            c3 AS (SELECT tri, count(*)::BIGINT AS c FROM tri GROUP BY tri),
+            c2 AS (SELECT ctx, count(*)::BIGINT AS c FROM tri GROUP BY ctx),
+            v AS (
+              SELECT count(DISTINCT substr(tri, 3, 1))::BIGINT AS v FROM tri
+            ),
+            p AS (
+              SELECT t.doc_id,
+                     (c3.c + 1) * 1000000 // (c2.c + v.v) AS ppm
+              FROM tri t JOIN c3 USING (tri) JOIN c2 USING (ctx), v
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+                   sum(ppm)::BIGINT AS sum_prob_ppm,
+                   sum(ppm)::DOUBLE / count(*) AS avg_prob_ppm
+            FROM p GROUP BY doc_id
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -5806,6 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_ngram_counts,
         "keyword_search": q_keyword_search,
         "bm25_search": q_bm25_search,
+        "charlm_quality": q_charlm_quality,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

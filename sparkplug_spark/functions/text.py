@@ -284,6 +284,28 @@ def tokens_pd(col: Column | str) -> Column:
     return _tokens(col)
 
 
+def char_ngrams_pd(col: Column | str, n: int = 3) -> Column:
+    """All overlapping character n-grams of the RAW string (no
+    normalization — byte-for-byte what the engine stores), one Arrow pass.
+    A string shorter than ``n`` yields an empty array.  Python slicing is
+    unicode-codepoint based, matching Spark ``substring`` and DuckDB
+    ``substr`` character semantics, so an oracle can regenerate the exact
+    same grams with ``substr(text, i, n)`` over ``generate_series``."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _grams(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [t[i : i + n] for i in range(len(t) - n + 1)]
+                if t is not None
+                else []
+                for t in s
+            ]
+        )
+
+    return _grams(col)
+
+
 def hash32(col: Column) -> Column:
     """Portable 32-bit unsigned hash as bigint: first 8 hex digits of md5.
     DuckDB equivalent: ``('0x' || substr(md5(x),1,8))::BIGINT``."""

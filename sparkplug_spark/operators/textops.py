@@ -32,6 +32,7 @@ __all__ = [
     "ngram_counts",
     "phrase_scores",
     "source_divergence",
+    "charlm_scores",
 ]
 
 
@@ -620,3 +621,98 @@ def source_divergence(
         )
     )
     return materialize_release(out, counts, release=release)
+
+
+def charlm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: DataFrame | None = None,
+    release: bool = True,
+) -> DataFrame:
+    """CCNet-style language-model quality scores from a character-trigram
+    LM (Wenzek et al. 2020 score documents with a reference LM; this is
+    the engine-exact relational form).  The LM is trained on ``train_df``
+    (default: ``df`` itself — self-scoring flags gibberish/boilerplate as
+    low-probability text) and every document is scored by its mean
+    in-context character probability:
+
+        P(c₃|c₁c₂) ≈ (C₃(c₁c₂c₃) + 1) · 10⁶ DIV (C₂(c₁c₂) + V)
+
+    — Laplace-smoothed MLE quantized to INTEGER PPM per position (V =
+    distinct prediction-position characters in training), then an exact
+    BIGINT per-doc sum; ``avg_prob_ppm`` is the one IEEE division of two
+    exact integers, identical across engines.  C₂ counts bigrams AS
+    CONTEXTS (trigram prefixes), so probabilities sum to ≤1 per context
+    by construction.  Raw characters, no normalization — the LM sees what
+    the engine stores.
+
+    Returns (id_col, n_trigrams, sum_prob_ppm, avg_prob_ppm); documents
+    shorter than 3 characters are dropped (no context to score).
+
+    Scale shape: ONE Arrow trigram pass per corpus, persisted and shared
+    by the three training aggregates (+ scoring when self-scoring), then
+    released; the count tables are alphabet-bounded (≤|Σ|³ trigrams —
+    ~1e6 even for full bytes) so they BROADCAST back onto the position
+    stream: scoring is shuffle-free, the only wide op is the per-doc
+    sum."""
+    from ..functions.text import char_ngrams_pd
+
+    intermediates: list[DataFrame] = []
+    pos = spread(df).select(
+        F.col(id_col),
+        F.explode(char_ngrams_pd(F.col(text_col), 3)).alias("__tri"),
+    )
+    if train_df is None:
+        if release:
+            pos = pos.persist()
+            intermediates.append(pos)
+        train = pos.select("__tri")
+    else:
+        train = spread(train_df).select(
+            F.explode(char_ngrams_pd(F.col(text_col), 3)).alias("__tri")
+        )
+        if release:
+            train = train.persist()
+            intermediates.append(train)
+    c3 = train.groupBy("__tri").agg(
+        F.count(F.lit(1)).cast("long").alias("__c3")
+    )
+    c2 = (
+        train.select(F.substring("__tri", 1, 2).alias("__ctx"))
+        .groupBy("__ctx")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c2"))
+    )
+    v = train.agg(
+        F.countDistinct(F.substring("__tri", 3, 1)).cast("long").alias("__v")
+    )
+    scored = (
+        pos.join(F.broadcast(c3), "__tri", "left")
+        .withColumn("__ctx", F.substring("__tri", 1, 2))
+        .join(F.broadcast(c2), "__ctx", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            id_col,
+            F.expr(
+                "(coalesce(__c3, 0) + 1) * 1000000"
+                " div (coalesce(__c2, 0) + __v)"
+            ).alias("__ppm"),
+        )
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum("__ppm").cast("long").alias("sum_prob_ppm"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "sum_prob_ppm",
+            (
+                F.col("sum_prob_ppm").cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("avg_prob_ppm"),
+        )
+    )
+    return materialize_release(out, *intermediates, release=release)
