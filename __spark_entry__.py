@@ -2478,6 +2478,24 @@ def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_scores(docs)
 
 
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-front) shortlist: suppliers not dominated on
+    (total quantity max, cheapest item min, best discount max).  All
+    three dims are order-free aggregates (exact BIGINT sum, min, max) so
+    dominance — pure comparisons — is engine-exact."""
+    from sparkplug_spark.operators import skyline
+
+    li = _read(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_discount").alias("max_discount"),
+    )
+    return skyline(
+        s, minimize=["min_price"], maximize=["total_qty", "max_discount"]
+    )
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -5000,6 +5018,29 @@ def _extension_oracles() -> dict[str, str]:
                    sum(ppm)::DOUBLE / count(*) AS avg_prob_ppm
             FROM p GROUP BY doc_id
         """,
+        # skyline dominance: b dominates a iff >= / <= on all three dims
+        # and strictly better on one; NOT EXISTS is the literal Borzsonyi
+        # 2001 definition
+        "skyline_suppliers": """
+            WITH s AS (
+              SELECT l_suppkey,
+                     sum(l_quantity::BIGINT)::BIGINT AS total_qty,
+                     min(l_extendedprice) AS min_price,
+                     max(l_discount) AS max_discount
+              FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, total_qty, min_price, max_discount
+            FROM s a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM s b
+              WHERE b.total_qty >= a.total_qty
+                AND b.min_price <= a.min_price
+                AND b.max_discount >= a.max_discount
+                AND (b.total_qty > a.total_qty
+                     OR b.min_price < a.min_price
+                     OR b.max_discount > a.max_discount)
+            )
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -5843,6 +5884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "bm25_search": q_bm25_search,
         "charlm_quality": q_charlm_quality,
+        "skyline_suppliers": q_skyline_suppliers,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,
