@@ -2496,6 +2496,17 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher char-coverage repetition filters per doc (dup-line
+    fractions + top/dup n-gram character coverage) — every ratio an
+    integer-ppm floor division of exact counts, one narrow Arrow
+    projection, zero shuffle."""
+    from sparkplug_spark.operators import repetition_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_report(docs)
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -5041,6 +5052,103 @@ def _extension_oracles() -> dict[str, str]:
                      OR b.max_discount > a.max_discount)
             )
         """,
+        # Gopher repetition: n-gram char coverage uses gl = len(gram) -
+        # (n-1) (token chars = joined length minus separators); top gram
+        # ties break to the lexicographically smallest; ratios are
+        # integer-ppm floor divisions, capped at 1e6 (overlaps over-count)
+        "repetition_report": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter({_sql_tokens('text')}, x -> x != '') AS toks,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> x != '') AS lines
+              FROM documents
+            ),
+            tot AS (
+              SELECT doc_id,
+                     coalesce(list_sum(list_transform(toks, t -> len(t))),
+                              0)::BIGINT AS tchars,
+                     len(lines)::BIGINT AS n_lines
+              FROM base
+            ),
+            lc AS (
+              SELECT doc_id, l, count(*)::BIGINT AS c, len(l)::BIGINT AS ll
+              FROM (SELECT doc_id, unnest(lines) AS l FROM base)
+              GROUP BY doc_id, l
+            ),
+            ls AS (
+              SELECT doc_id, count(*)::BIGINT AS ndist,
+                     sum((c - 1) * ll)::BIGINT AS dupch,
+                     sum(c * ll)::BIGINT AS allch
+              FROM lc GROUP BY doc_id
+            ),
+            g2c AS (
+              SELECT doc_id, g, count(*)::BIGINT AS c
+              FROM (SELECT doc_id,
+                           array_to_string(toks[i:i+1], ' ') AS g
+                    FROM base,
+                         unnest(generate_series(1, len(toks) - 1)) s(i))
+              GROUP BY doc_id, g
+            ),
+            top2 AS (
+              SELECT doc_id, c * (len(g) - 1) AS cov FROM (
+                SELECT doc_id, c, g, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+                FROM g2c) WHERE rn = 1
+            ),
+            g3c AS (
+              SELECT doc_id, g, count(*)::BIGINT AS c
+              FROM (SELECT doc_id,
+                           array_to_string(toks[i:i+2], ' ') AS g
+                    FROM base,
+                         unnest(generate_series(1, len(toks) - 2)) s(i))
+              GROUP BY doc_id, g
+            ),
+            top3 AS (
+              SELECT doc_id, c * (len(g) - 2) AS cov FROM (
+                SELECT doc_id, c, g, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+                FROM g3c) WHERE rn = 1
+            ),
+            g5c AS (
+              SELECT doc_id, g, count(*)::BIGINT AS c
+              FROM (SELECT doc_id,
+                           array_to_string(toks[i:i+4], ' ') AS g
+                    FROM base,
+                         unnest(generate_series(1, len(toks) - 4)) s(i))
+              GROUP BY doc_id, g
+            ),
+            dup5 AS (
+              SELECT doc_id,
+                     coalesce(sum(c * (len(g) - 4))
+                              FILTER (WHERE c >= 2), 0)::BIGINT AS cov
+              FROM g5c GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines,
+                   CASE WHEN t.n_lines > 0 THEN
+                     (t.n_lines - ls.ndist) * 1000000 // t.n_lines
+                   ELSE 0 END::BIGINT AS dup_line_frac_ppm,
+                   CASE WHEN coalesce(ls.allch, 0) > 0 THEN
+                     ls.dupch * 1000000 // ls.allch
+                   ELSE 0 END::BIGINT AS dup_line_char_frac_ppm,
+                   CASE WHEN t.tchars > 0 THEN
+                     least(coalesce(top2.cov, 0) * 1000000 // t.tchars,
+                           1000000)
+                   ELSE 0 END::BIGINT AS top_2gram_char_frac_ppm,
+                   CASE WHEN t.tchars > 0 THEN
+                     least(coalesce(top3.cov, 0) * 1000000 // t.tchars,
+                           1000000)
+                   ELSE 0 END::BIGINT AS top_3gram_char_frac_ppm,
+                   CASE WHEN t.tchars > 0 THEN
+                     least(coalesce(dup5.cov, 0) * 1000000 // t.tchars,
+                           1000000)
+                   ELSE 0 END::BIGINT AS dup_5gram_char_frac_ppm
+            FROM tot t
+            LEFT JOIN ls USING (doc_id)
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN dup5 USING (doc_id)
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -5885,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "charlm_quality": q_charlm_quality,
         "skyline_suppliers": q_skyline_suppliers,
+        "repetition_report": q_repetition_report,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

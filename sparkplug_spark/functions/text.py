@@ -623,3 +623,78 @@ def winnowing_fingerprints(
         return pd.Series(out)
 
     return _fp(col)
+
+
+def repetition_metrics_pd(col: Column | str, line_delim: str = "\n") -> Column:
+    """Arrow kernel behind ``cleaning.repetition_report``: all Gopher
+    char-coverage repetition metrics in ONE pass per document, returned
+    as a struct of exact integer-ppm ratios (floor division — DuckDB
+    ``//`` equivalent).  Token n-grams use the shared normalization
+    (:func:`norm_tokens_py`); lines split the RAW text on
+    ``line_delim``, dropping empty segments."""
+    fields = [
+        "n_lines",
+        "dup_line_frac_ppm",
+        "dup_line_char_frac_ppm",
+        "top_2gram_char_frac_ppm",
+        "top_3gram_char_frac_ppm",
+        "dup_5gram_char_frac_ppm",
+    ]
+    schema = T.StructType([T.StructField(f, T.LongType()) for f in fields])
+
+    def _one(text: str | None) -> tuple:
+        from collections import Counter
+
+        lines = [s for s in (text or "").split(line_delim) if s != ""]
+        n_lines = len(lines)
+        lc = Counter(lines)
+        if n_lines:
+            dup_line = (n_lines - len(lc)) * 1_000_000 // n_lines
+            all_chars = sum(c * len(s) for s, c in lc.items())
+            dup_chars = sum((c - 1) * len(s) for s, c in lc.items())
+            dup_line_chars = (
+                dup_chars * 1_000_000 // all_chars if all_chars else 0
+            )
+        else:
+            dup_line = dup_line_chars = 0
+        toks = [t for t in norm_tokens_py(text) if t]
+        tchars = sum(len(t) for t in toks)
+
+        def top_frac(n: int) -> int:
+            if tchars == 0 or len(toks) < n:
+                return 0
+            cnt = Counter(
+                (" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            )
+            # max count, ties to lexicographically smallest gram
+            g, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            cov = c * (len(g) - (n - 1))  # token chars = len minus spaces
+            return min(cov * 1_000_000 // tchars, 1_000_000)
+
+        def dup_frac(n: int) -> int:
+            if tchars == 0 or len(toks) < n:
+                return 0
+            cnt = Counter(
+                (" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+            )
+            cov = sum(
+                c * (len(g) - (n - 1)) for g, c in cnt.items() if c >= 2
+            )
+            return min(cov * 1_000_000 // tchars, 1_000_000)
+
+        return (
+            n_lines,
+            dup_line,
+            dup_line_chars,
+            top_frac(2),
+            top_frac(3),
+            dup_frac(5),
+        )
+
+    @F.pandas_udf(schema)
+    def _metrics(s: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_one(t) for t in s], columns=fields, dtype="int64"
+        )
+
+    return _metrics(col)

@@ -1363,3 +1363,48 @@ def importance_weights(
         )
     )
     return materialize_release(out, base, feats, release=release)
+
+
+def repetition_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1), the char-based
+    family :func:`gopher_quality_flags` doesn't cover — per document:
+
+    - ``n_lines``, ``dup_line_frac_ppm`` — 1e6·(n_lines − n_distinct)
+      DIV n_lines (empty segments dropped);
+    - ``dup_line_char_frac_ppm`` — characters in line occurrences beyond
+      each first copy over all line characters;
+    - ``top_2gram_char_frac_ppm`` / ``top_3gram_char_frac_ppm`` —
+      characters covered by the MOST FREQUENT word n-gram (count ×
+      token-chars of the gram over total token chars; ties break to the
+      lexicographically smallest gram); capped at 1e6 since overlapping
+      occurrences can over-count;
+    - ``dup_5gram_char_frac_ppm`` — characters covered by ALL word
+      5-grams occurring more than once (Σ count·token-chars, capped).
+
+    Every ratio is an integer-ppm floor division of exact counts, so a
+    SQL oracle reproduces it bit-for-bit.  All metrics are WITHIN-doc:
+    the whole report is one narrow Arrow projection — zero shuffle, and
+    it scales embarrassingly (O(doc length) per document)."""
+    from ..functions.text import repetition_metrics_pd
+
+    m = F.col("__m")
+    return (
+        spread(df)
+        .withColumn(
+            "__m", repetition_metrics_pd(F.col(text_col), line_delim)
+        )
+        .select(
+            F.col(id_col),
+            m["n_lines"].alias("n_lines"),
+            m["dup_line_frac_ppm"].alias("dup_line_frac_ppm"),
+            m["dup_line_char_frac_ppm"].alias("dup_line_char_frac_ppm"),
+            m["top_2gram_char_frac_ppm"].alias("top_2gram_char_frac_ppm"),
+            m["top_3gram_char_frac_ppm"].alias("top_3gram_char_frac_ppm"),
+            m["dup_5gram_char_frac_ppm"].alias("dup_5gram_char_frac_ppm"),
+        )
+    )
