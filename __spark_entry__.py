@@ -2507,6 +2507,16 @@ def q_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_report(docs)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + reconstruction audit:
+    scale = max|v|/127, half-up codes via exact floor (never round()),
+    order-free max/count audit — engine-exact struct per vector."""
+    from sparkplug_spark.operators import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -5149,6 +5159,37 @@ def _extension_oracles() -> dict[str, str]:
             LEFT JOIN top3 USING (doc_id)
             LEFT JOIN dup5 USING (doc_id)
         """,
+        # int8 quantization: float32 inputs cast to exact float64, scale
+        # and errors are single IEEE ops, codes via exact floor(x+0.5)
+        "quantize_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, v, len(v)::BIGINT AS n_dims,
+                     coalesce(list_max(list_transform(v, x -> abs(x))),
+                              0) / 127.0 AS scale
+              FROM e
+            ), c AS (
+              SELECT vec_id, n_dims, scale, v,
+                     CASE WHEN scale > 0
+                          THEN list_transform(v,
+                                 x -> floor(x / scale + 0.5))
+                          ELSE list_transform(v, x -> 0.0) END AS cd
+              FROM s
+            )
+            SELECT vec_id, n_dims, scale,
+                   CASE WHEN scale > 0 THEN
+                     list_max(list_transform(
+                       generate_series(1, n_dims::INTEGER),
+                       i -> abs(v[i] - cd[i] * scale)))
+                   ELSE 0.0 END AS max_abs_err,
+                   coalesce(len(list_filter(cd, x -> abs(x) = 127.0)),
+                            0)::BIGINT AS n_saturated,
+                   list_transform(cd, x -> x::INTEGER) AS codes
+            FROM c
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -5994,6 +6035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality": q_charlm_quality,
         "skyline_suppliers": q_skyline_suppliers,
         "repetition_report": q_repetition_report,
+        "quantize_embeddings": q_quantize_embeddings,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

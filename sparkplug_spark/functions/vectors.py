@@ -34,6 +34,7 @@ __all__ = [
     "vec_dot",
     "vec_norm",
     "band_buckets",
+    "int8_quant_pd",
 ]
 
 
@@ -162,3 +163,50 @@ def infer_dim(df, vec_col: str) -> int:
     if row is None or row["d"] is None:
         raise ValueError(f"cannot infer dimension of {vec_col!r} (empty input)")
     return row["d"]
+
+
+def int8_quant_pd(vec: Column | str) -> Column:
+    """Arrow kernel behind ``operators.quantize.quantize_embeddings``:
+    symmetric per-vector int8 quantization + reconstruction audit in one
+    numpy pass.  Per vector: ``scale = max|v| / 127``, ``code_i =
+    floor(v_i/scale + 0.5)`` (half-up — ``floor`` is exact IEEE, unlike
+    ``round()`` whose half-even/half-up split differs between engines),
+    ``max_abs_err = max_i |v_i - code_i*scale|``.  Every op is exact
+    IEEE float64 arithmetic and max/count are order-free, so a SQL
+    oracle reproduces the struct bit-for-bit.  All-zero vectors get
+    scale 0, all-zero codes, zero error."""
+    schema = T.StructType(
+        [
+            T.StructField("n_dims", T.LongType()),
+            T.StructField("scale", T.DoubleType()),
+            T.StructField("max_abs_err", T.DoubleType()),
+            T.StructField("n_saturated", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _quant(x: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in x:
+            a = np.asarray(v, dtype=np.float64)
+            n = a.shape[0]
+            maxabs = float(np.max(np.abs(a))) if n else 0.0
+            scale = maxabs / 127.0
+            if scale > 0.0:
+                codes = np.floor(a / scale + 0.5)
+                err = float(np.max(np.abs(a - codes * scale)))
+                sat = int(np.count_nonzero(np.abs(codes) == 127.0))
+            else:
+                codes = np.zeros(n)
+                err = 0.0
+                sat = 0
+            rows.append(
+                (n, scale, err, sat, codes.astype(np.int32).tolist())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["n_dims", "scale", "max_abs_err", "n_saturated", "codes"],
+        )
+
+    return _quant(vec)
