@@ -2517,6 +2517,16 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb)
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture planning (share ∝ weight^(1/2)):
+    floor-of-IEEE-sqrt on exact BIGINT char weights, integer-ppm
+    shares, ×1000 boost factors — engine-exact."""
+    from sparkplug_spark.operators import temperature_mixture
+
+    docs = _read(spark, sf_dir, "documents")
+    return temperature_mixture(docs)
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -5190,6 +5200,23 @@ def _extension_oracles() -> dict[str, str]:
                    list_transform(cd, x -> x::INTEGER) AS codes
             FROM c
         """,
+        "temperature_mixture": """
+            WITH a AS (
+              SELECT source, count(*)::BIGINT AS n_rows,
+                     sum(n_chars)::BIGINT AS weight,
+                     floor(sqrt(sum(n_chars)::DOUBLE))::BIGINT AS s
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT sum(weight)::BIGINT AS tw, sum(s)::BIGINT AS ts FROM a
+            )
+            SELECT source, n_rows, weight,
+                   (weight * 1000000 // tw)::BIGINT AS natural_ppm,
+                   (s * 1000000 // ts)::BIGINT AS temp_ppm,
+                   ((s * 1000000 // ts) * 1000
+                    // nullif(weight * 1000000 // tw, 0))::BIGINT
+                     AS boost_x1000
+            FROM a, t
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -6036,6 +6063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_suppliers": q_skyline_suppliers,
         "repetition_report": q_repetition_report,
         "quantize_embeddings": q_quantize_embeddings,
+        "temperature_mixture": q_temperature_mixture,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

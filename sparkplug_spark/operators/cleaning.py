@@ -1408,3 +1408,64 @@ def repetition_report(
             m["dup_5gram_char_frac_ppm"].alias("dup_5gram_char_frac_ppm"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key: str = "source",
+    weight_col: str = "n_chars",
+    tau_halvings: int = 1,
+) -> DataFrame:
+    """Temperature-flattened source weights — the mixture PLANNER in
+    front of :func:`mixture_report` (which audits against given
+    targets): sampling share ∝ weight^τ with τ = (1/2)^``tau_halvings``
+    (Gopher/LLaMA-style upweighting of small high-quality sources;
+    τ=1/2 default, ``tau_halvings=2`` → τ=1/4).
+
+    Engine-exact discipline: ``weight^τ`` is ``tau_halvings``
+    applications of ``floor(sqrt(·))`` on the exact BIGINT weight —
+    IEEE ``sqrt`` is correctly rounded and ``floor`` exact, so every
+    engine computes the identical integer (documented: this is floor-of-
+    IEEE-sqrt, which can sit one off a true isqrt at the 2^52 edge, in
+    the SAME way everywhere).  Shares are integer-ppm floor divisions.
+
+    Output per key: ``n_rows``, ``weight`` (Σ ``weight_col``),
+    ``natural_ppm`` (proportional share), ``temp_ppm`` (temperature
+    share), ``boost_x1000`` (temp/natural, ×1000; NULL for zero-weight
+    keys).  One key aggregation + a 1-row broadcast of the totals."""
+    if tau_halvings < 1:
+        raise ValueError("tau_halvings must be >= 1")
+    s_expr = "cast(weight as double)"
+    for _ in range(tau_halvings):
+        s_expr = f"floor(sqrt({s_expr}))"
+    agg = (
+        spread(df)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(weight_col).cast("long").alias("weight"),
+        )
+        .withColumn("__s", F.expr(s_expr).cast("long"))
+    )
+    tot = agg.agg(
+        F.sum("weight").cast("long").alias("__tw"),
+        F.sum("__s").cast("long").alias("__ts"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            key,
+            "n_rows",
+            "weight",
+            F.expr("weight * 1000000 div __tw").cast("long").alias(
+                "natural_ppm"
+            ),
+            F.expr("__s * 1000000 div __ts").cast("long").alias("temp_ppm"),
+            F.expr(
+                "(__s * 1000000 div __ts) * 1000"
+                " div nullif(weight * 1000000 div __tw, 0)"
+            )
+            .cast("long")
+            .alias("boost_x1000"),
+        )
+    )
