@@ -484,6 +484,18 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_ngram_pairs(docs, n=3, threshold=0.6, max_key_freq=100)
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering (Bayardo WWW'07): no
+    stop-key cap needed — only rare-first prefix tokens are indexed, so
+    the Zipf head never joins; candidates verify by exact
+    array-intersect.  Same answer as the capped inverted-index tier
+    would give with the cap disabled."""
+    from sparkplug_spark.operators import jaccard_prefix_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, n=3, threshold=0.6)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import minhash_lsh_pairs
 
@@ -5217,6 +5229,26 @@ def _extension_oracles() -> dict[str, str]:
                      AS boost_x1000
             FROM a, t
         """,
+        # EXACT jaccard (no stop-key cap): the prefix-filter plan must
+        # reproduce the brute inverted-index answer bit-for-bit
+        "dedup_jaccard_prefix": f"""
+            {jaccard_cte},
+            e AS (SELECT doc_id,
+                         unnest(list_transform(sh, x -> (('0x' || substr(md5(x),1,15))::BIGINT))) AS s
+                  FROM d),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   inter::DOUBLE / (sa.sz + sb.sz - inter) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -6064,6 +6096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_report": q_repetition_report,
         "quantize_embeddings": q_quantize_embeddings,
         "temperature_mixture": q_temperature_mixture,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

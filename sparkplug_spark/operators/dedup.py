@@ -43,6 +43,7 @@ __all__ = [
     "content_digests",
     "dedup_exact_against",
     "jaccard_ngram_pairs",
+    "jaccard_prefix_pairs",
     "containment_pairs",
     "tfidf_cosine_pairs",
     "minhash_lsh_pairs",
@@ -930,3 +931,92 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return materialize_release(out, sh0, sh, release=release)
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    release: bool = True,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs ≥ threshold via **prefix filtering**
+    (Bayardo, Ma & Srikant, WWW'07 all-pairs; the PPJoin candidate
+    scheme) — same output contract as :func:`jaccard_ngram_pairs`, but
+    with NO stop-key cap: completeness needs no de-skew trade because
+    only PREFIX tokens are indexed.
+
+    Order every doc's shingles rarest-first (global (freq, hash) order);
+    with set size s and threshold t, any pair with J ≥ t must share a
+    token inside both docs' first ``s - ceil(t·s) + 1`` shingles (if the
+    prefixes were disjoint, the intersection ⊆ both suffixes would be
+    < ceil(t·s) on each side, contradicting i ≥ t·max(|A|,|B|) which
+    J ≥ t implies).  So the self-join runs over the prefix slivers only
+    — on Zipfian text the hot head tokens land in almost no prefixes
+    (rare-first order), which is exactly the skew the stop-key cap
+    existed to kill, here without losing exactness.
+
+    Candidates then pass the length filter (min ≥ t·max) and an exact
+    array-intersect verify against the full shingle sets.
+
+    Plan: one shingle pass persisted and shared by freq / sizes / prefix
+    / verify-set consumers (released on return); per-doc prefix rank is
+    a PER-DOC window (no global rank); the join shuffles only prefix
+    postings; verification joins the (small) candidate pair list against
+    per-doc shingle arrays and intersects in codegen."""
+    sh = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(hashed_shingles_pd(F.col(text_col), n)).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__f"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("sh"))
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(
+            F.col("__pos")
+            <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        .select("id", "sh", "sz")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        # length filter BEFORE the dedup shuffle: J >= t forces
+        # min >= t * max
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("sz_a", "sz_b").cast("double")
+        )
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(F.collect_list("sh").alias("arr"))
+    out = (
+        cand.join(sets.withColumnsRenamed({"id": "id_a", "arr": "arr_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "arr": "arr_b"}), "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return materialize_release(out, sh, release=release)
