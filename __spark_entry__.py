@@ -2539,6 +2539,37 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(docs)
 
 
+def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch round trip: build a 4×512 md5-hashed CMS over
+    the token stream, point-query the top-50 true tokens — estimates
+    must over-count only, and the md5 family makes the whole sketch
+    engine-exact (the overcounts hash-match, not just bounds)."""
+    from sparkplug_spark.functions.text import tokens_pd
+    from sparkplug_spark.operators import build_cms_sketch, cms_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(tokens_pd(F.col("text")), lambda t: t != F.lit(""))
+        ).alias("token")
+    ).persist()
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    sketch = build_cms_sketch(toks, "token", depth=4, width=512)
+    top = counts.orderBy(F.desc("true_count"), F.asc("token")).limit(50)
+    est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=512)
+    out = top.join(est, "token").select(
+        "token",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).cast("long").alias("overcount"),
+    )
+    from sparkplug_spark.caching import materialize_release
+
+    return materialize_release(out, toks)
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -5249,6 +5280,42 @@ def _extension_oracles() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
         """,
+        "cms_tokens": f"""
+            WITH tok AS (
+              SELECT unnest(list_filter({_sql_tokens('text')},
+                                        x -> x != '')) AS token
+              FROM documents
+            ),
+            c AS (
+              SELECT token, count(*)::BIGINT AS true_count
+              FROM tok GROUP BY token
+            ),
+            sk AS (
+              SELECT row, col, sum(true_count)::BIGINT AS cnt FROM (
+                SELECT true_count, j AS row,
+                       (('0x' || substr(md5(j::VARCHAR || chr(31) || token),
+                                        1, 15))::BIGINT % 512) AS col
+                FROM c, unnest([0, 1, 2, 3]) u(j)
+              ) GROUP BY row, col
+            ),
+            top AS (
+              SELECT token, true_count FROM c
+              ORDER BY true_count DESC, token LIMIT 50
+            ),
+            est AS (
+              SELECT t.token, min(coalesce(sk.cnt, 0))::BIGINT AS cms_est
+              FROM (
+                SELECT token, j AS row,
+                       (('0x' || substr(md5(j::VARCHAR || chr(31) || token),
+                                        1, 15))::BIGINT % 512) AS col
+                FROM top, unnest([0, 1, 2, 3]) u(j)
+              ) t LEFT JOIN sk USING (row, col)
+              GROUP BY t.token
+            )
+            SELECT top.token, top.true_count, est.cms_est,
+                   (est.cms_est - top.true_count)::BIGINT AS overcount
+            FROM top JOIN est USING (token)
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -6097,6 +6164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "temperature_mixture": q_temperature_mixture,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "cms_tokens": q_cms_tokens,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

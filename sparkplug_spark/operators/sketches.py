@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "build_cms_sketch",
+    "cms_estimate",
     "build_distinct_sketches",
     "rollup_distinct_sketches",
     "build_histogram_sketch",
@@ -181,4 +183,97 @@ def rollup_histogram_percentiles(
         (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(float(width))).alias(
             "value_high"
         ),
+    )
+
+
+def build_cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+    TABLE: one row per occupied (row, col) counter, (``row`` INT, ``col``
+    BIGINT, ``cnt`` BIGINT).  Two sketches (or incremental batches)
+    merge by summing counters on (row, col) — plain integer addition,
+    the same mergeability discipline as the histogram/HLL stores.
+
+    Hash family is md5-derived (``hash60(j || chr(31) || key) % width``
+    per row ``j``) so an oracle regenerates the identical sketch — no
+    engine-private hash.  Guarantee: estimates only OVER-count
+    (point query = min over ``depth`` counters ≥ true count; error ≤
+    ε·N with ε ≈ e/width at failure odds e^-depth).
+
+    Plan: true per-key counts first (map-side combined — the explode
+    multiplies DISTINCT keys by depth, not the raw stream), then one
+    (row, col) sum whose output is bounded by depth·width rows no
+    matter the corpus size."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    from ..functions.text import hash60
+
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    rows = counts.select(
+        "__k",
+        "__c",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    )
+    return (
+        rows.select(
+            F.col("row").cast("int"),
+            (
+                hash60(
+                    F.concat(
+                        F.col("row").cast("string"),
+                        F.lit("\x1f"),
+                        F.col("__k").cast("string"),
+                    )
+                )
+                % width
+            ).alias("col"),
+            F.col("__c"),
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("__c").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query a :func:`build_cms_sketch` table: per key, ``cms_est
+    = min_j counter[j, hash_j(key)]`` (missing counters read as 0 —
+    only possible when the key never occurred).  ``depth``/``width``
+    must match the build.  The sketch is depth·width rows at most, so
+    it BROADCASTS; estimation is a narrow per-key projection + one
+    min-aggregate on the key."""
+    from ..functions.text import hash60
+
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row"),
+    ).select(
+        key_col,
+        F.col("row").cast("int"),
+        (
+            hash60(
+                F.concat(
+                    F.col("row").cast("string"),
+                    F.lit("\x1f"),
+                    F.col(key_col).cast("string"),
+                )
+            )
+            % width
+        ).alias("col"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )
