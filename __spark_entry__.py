@@ -1104,6 +1104,26 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreness(pairs.selectExpr("item_a as src", "item_b as dst"))
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the bipartite customer->part purchase
+    graph (customers rank as hubs, parts as authorities).  Float power
+    iteration -> rows-only; dense NumPy twin in tests/test_hits.py."""
+    from sparkplug_spark.operators import hits
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            # parts offset into their own id space so the bipartite
+            # node set never collides with customer keys
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+        )
+    )
+    return hits(edges, iterations=8)
+
+
 def q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-pass distributed PCA (moment partials -> driver eigh of
     the dxd covariance), top-8 projection + per-row residual share.
@@ -6222,6 +6242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_incr": q_semantic_dedup_incr,
         "pca_embeddings": q_pca_embeddings,
         "coreness": q_coreness,
+        "hits_scores": q_hits_scores,
     }
 
 

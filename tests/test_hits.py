@@ -1,0 +1,77 @@
+"""E146 HITS hubs/authorities: dense NumPy twin, bipartite semantics,
+normalization, empty graph."""
+
+import numpy as np
+import pytest
+
+from sparkplug_spark.operators import hits
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _numpy_hits(pairs, iterations):
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in set(pairs):
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(iterations):
+        a = A.T @ h
+        h = A @ a
+    a = a / np.linalg.norm(a)
+    h = h / np.linalg.norm(h)
+    return nodes, h, a
+
+
+class TestHits:
+    def test_numpy_twin(self, spark):
+        rng = np.random.default_rng(5)
+        pairs = [
+            (int(s), int(d))
+            for s, d in rng.integers(0, 30, size=(120, 2))
+            if s != d
+        ]
+        rows = {r["node"]: r for r in hits(_edges(spark, pairs), iterations=8).collect()}
+        nodes, h, a = _numpy_hits(pairs, 8)
+        assert set(rows) == set(nodes)
+        for n, i in zip(nodes, range(len(nodes))):
+            assert rows[n]["hub"] == pytest.approx(h[i], abs=1e-9)
+            assert rows[n]["authority"] == pytest.approx(a[i], abs=1e-9)
+
+    def test_bipartite_hub_authority_split(self, spark):
+        # 1,2 point at 10,11 -> 1,2 pure hubs; 10,11 pure authorities
+        pairs = [(1, 10), (1, 11), (2, 10)]
+        rows = {r["node"]: r for r in hits(_edges(spark, pairs), iterations=5).collect()}
+        assert rows[1]["authority"] == 0.0 and rows[2]["authority"] == 0.0
+        assert rows[10]["hub"] == 0.0 and rows[11]["hub"] == 0.0
+        # node 1 points at both authorities -> stronger hub than node 2
+        assert rows[1]["hub"] > rows[2]["hub"]
+        # node 10 has two hubs pointing in -> stronger authority
+        assert rows[10]["authority"] > rows[11]["authority"]
+
+    def test_l2_normalized(self, spark):
+        pairs = [(1, 2), (2, 3), (3, 1), (1, 3)]
+        rows = hits(_edges(spark, pairs), iterations=6).collect()
+        h2 = sum(r["hub"] ** 2 for r in rows)
+        a2 = sum(r["authority"] ** 2 for r in rows)
+        assert h2 == pytest.approx(1.0, abs=1e-12)
+        assert a2 == pytest.approx(1.0, abs=1e-12)
+
+    def test_cadence_invariant(self, spark):
+        pairs = [(i, (i * 3) % 7) for i in range(7)] + [(0, 5), (2, 6)]
+        e = _edges(spark, pairs)
+        r1 = {r["node"]: r for r in hits(e, iterations=6, checkpoint_every=1).collect()}
+        r3 = {r["node"]: r for r in hits(e, iterations=6, checkpoint_every=3).collect()}
+        for n in r1:
+            assert r1[n]["hub"] == pytest.approx(r3[n]["hub"], abs=1e-12)
+            assert r1[n]["authority"] == pytest.approx(r3[n]["authority"], abs=1e-12)
+
+    def test_empty_graph(self, spark):
+        assert hits(_edges(spark, []), iterations=3).count() == 0
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            hits(_edges(spark, [(1, 2)]), iterations=0)
