@@ -2590,6 +2590,18 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(out, toks)
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers: |price - median| > 3*MAD per order
+    priority - lower-rank medians (integer pick, no interpolation) and
+    single-IEEE-op deviations keep flags engine-exact."""
+    from sparkplug_spark.operators import mad_outliers
+
+    orders = _read(spark, sf_dir, "orders")
+    return mad_outliers(
+        orders, "o_totalprice", "o_orderpriority", "o_orderkey"
+    )
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -5336,6 +5348,47 @@ def _extension_oracles() -> dict[str, str]:
                    (est.cms_est - top.true_count)::BIGINT AS overcount
             FROM top JOIN est USING (token)
         """,
+        # lower-rank medians: value at rank (n+1)//2, ties by id - an
+        # integer PICK, so both engines select the identical row
+        "mad_outliers": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderpriority,
+                     o_totalprice::DOUBLE AS v
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            rv AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY v, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM base
+            ),
+            med AS (
+              SELECT o_orderpriority, v AS group_median
+              FROM rv WHERE rn = (n + 1) // 2
+            ),
+            devs AS (
+              SELECT b.o_orderkey, b.o_orderpriority, b.v,
+                     m.group_median, abs(b.v - m.group_median) AS abs_dev
+              FROM base b JOIN med m USING (o_orderpriority)
+            ),
+            rd AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY abs_dev, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_orderpriority) AS n
+              FROM devs
+            ),
+            mad AS (
+              SELECT o_orderpriority, abs_dev AS group_mad
+              FROM rd WHERE rn = (n + 1) // 2
+            )
+            SELECT d.o_orderkey, d.o_orderpriority,
+                   d.v AS o_totalprice, d.group_median, d.abs_dev,
+                   m.group_mad,
+                   d.abs_dev * 10.0 > 30.0 * m.group_mad AS is_outlier
+            FROM devs d JOIN mad m USING (o_orderpriority)
+        """,
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -6185,6 +6238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "cms_tokens": q_cms_tokens,
+        "mad_outliers": q_mad_outliers,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

@@ -521,3 +521,79 @@ def join_size_estimate(
     from ..caching import materialize_release
 
     return materialize_release(out, cl, cr, joined)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    k_x10: int = 30,
+) -> DataFrame:
+    """Robust per-group outlier flags via median absolute deviation —
+    the quantile-trim sibling that doesn't need a chosen quantile: flag
+    rows with ``|v − median| > k·MAD`` (default k = 3.0 as ``k_x10 =
+    30``; the robust z-score, immune to the outliers it hunts, unlike
+    mean/stddev).
+
+    Engine-exact discipline: medians use the lower-rank convention
+    (value at rank ``(n+1) div 2``, ties by ``id_col`` — an integer
+    PICK, never interpolation), deviations are single IEEE
+    subtractions, and the flag comparison ``dev·10 > k_x10·MAD``
+    multiplies by exact small integers.  NULL values are dropped
+    (engines disagree on NULL sort order).
+
+    Output per row: (id_col, group_col, value_col, group_median,
+    abs_dev, group_mad, is_outlier).
+
+    Plan: two rank windows on the group key (value rank, then deviation
+    rank) + two broadcast-joined per-group picks; same shape and caveat
+    as :func:`length_quartiles_by_source` — partitions by the report's
+    grouping key, sized for O(dozens–thousands) of groups."""
+    from pyspark.sql import Window
+
+    if k_x10 < 0:
+        raise ValueError("k_x10 must be >= 0")
+    v = F.col(value_col).cast("double")
+    base = (
+        spread(df)
+        .select(id_col, group_col, value_col)
+        .filter(F.col(value_col).isNotNull())
+    )
+    wv = Window.partitionBy(group_col).orderBy(v, F.col(id_col))
+    wg = Window.partitionBy(group_col)
+    ranked = base.withColumn("__rn", F.row_number().over(wv)).withColumn(
+        "__n", F.count(F.lit(1)).over(wg)
+    )
+    med = (
+        ranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(group_col, v.alias("group_median"))
+    )
+    devs = base.join(F.broadcast(med), group_col).withColumn(
+        "abs_dev", F.abs(v - F.col("group_median"))
+    )
+    wd = Window.partitionBy(group_col).orderBy(
+        F.col("abs_dev"), F.col(id_col)
+    )
+    dranked = devs.withColumn("__rn", F.row_number().over(wd)).withColumn(
+        "__n", F.count(F.lit(1)).over(wg)
+    )
+    mad = (
+        dranked.filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(group_col, F.col("abs_dev").alias("group_mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), group_col)
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            "group_median",
+            "abs_dev",
+            "group_mad",
+            (
+                F.col("abs_dev") * F.lit(10.0)
+                > F.lit(float(k_x10)) * F.col("group_mad")
+            ).alias("is_outlier"),
+        )
+    )
