@@ -231,7 +231,10 @@ def test_oracle_output_types_are_canonicalization_stable():
     bad = []
     for name, sql in e.oracle_sql().items():
         for col, typ, *_ in con.sql(f"DESCRIBE {sql}").fetchall():
-            if typ.split("(")[0] not in allowed:
+            # arrays of allowed scalars are canonicalization-stable too
+            # (both engines render element lists; the mirror gate strips
+            # "[]" the same way) — e.g. quantize_embeddings' INTEGER[]
+            if typ.split("(")[0].rstrip("[]") not in allowed:
                 bad.append((name, col, typ))
     assert not bad, f"fragile oracle output types: {bad}"
 
