@@ -2602,6 +2602,23 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability table: exact equal-count score buckets
+    (integer bucket math over range-distributed global ranks, not
+    ntile()) with per-bucket positive rates in integer ppm — the gate a
+    learned quality filter passes before its threshold ships."""
+    from sparkplug_spark.operators import (
+        calibration_report,
+        naive_bayes_classifier,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    nb = naive_bayes_classifier(docs)
+    return calibration_report(
+        nb, score_col="score_micros", label_col="label", id_col="doc_id"
+    )
+
+
 #: one SQL string, valid in BOTH engines (ANSI CAST / year / month /
 #: VALUES): a recursive month spine densifies the order series so
 #: ZERO-order months appear — the gap-filling shape plain GROUP BY can't
@@ -5389,6 +5406,27 @@ def _extension_oracles() -> dict[str, str]:
                    d.abs_dev * 10.0 > 30.0 * m.group_mad AS is_outlier
             FROM devs d JOIN mad m USING (o_orderpriority)
         """,
+        # exact equal-count buckets: ((rn-1)*10) // n + 1 over the
+        # deterministic (score, doc_id) order - not ntile(), whose
+        # remainder rule differs between engines
+        "calibration_nb": f"""
+            WITH nb AS ({{nb}}),
+            r AS (
+              SELECT doc_id, label, score_micros,
+                     row_number() OVER (ORDER BY score_micros, doc_id) AS rn,
+                     count(*) OVER () AS n
+              FROM nb
+            )
+            SELECT ((rn - 1) * 10) // n + 1 AS bucket,
+                   count(*)::BIGINT AS n,
+                   sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                   (sum(CASE WHEN label THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS pos_ppm,
+                   min(score_micros)::BIGINT AS min_score,
+                   max(score_micros)::BIGINT AS max_score,
+                   sum(score_micros)::BIGINT AS sum_score
+            FROM r GROUP BY 1
+        """.format(nb=nb_sql),
         "split_assign": """
             SELECT doc_id,
                    CASE WHEN coin < 980000 THEN 'train'
@@ -6239,6 +6277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "cms_tokens": q_cms_tokens,
         "mad_outliers": q_mad_outliers,
+        "calibration_nb": q_calibration,
         "split_assign": q_split_assign,
         "training_blocks": q_training_blocks,
         "length_deciles": q_length_deciles,

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from ..partitioning import spread
 
 __all__ = [
+    "calibration_report",
     "score_with_model",
     "fake_quality_scorer",
     "compression_signals",
@@ -225,3 +226,69 @@ def naive_bayes_classifier(
         )
     )
     return materialize_release(scores, toks, release=release)
+
+
+def calibration_report(
+    scores: DataFrame,
+    score_col: str = "score_micros",
+    label_col: str = "label",
+    id_col: str = "id",
+    buckets: int = 10,
+) -> DataFrame:
+    """Reliability / calibration table for a classifier's scores: rank
+    every row by (score, id), cut EXACT equal-count buckets, and report
+    per bucket how often the label is actually positive — the monotone
+    pos-rate-vs-score check that gates a learned quality filter before
+    its threshold ships (and the input to choosing that threshold).
+
+    Bucket is ``((rank−1)·buckets) DIV n + 1`` over exact global ranks —
+    pure integer arithmetic on a deterministic total order, NOT
+    ``ntile()`` (whose remainder-distribution rule differs between
+    engines) and not a single-partition window (ranks come from
+    :func:`partitioning.global_row_numbers`' range-distributed prefix
+    sums).  Output per bucket: (bucket, n, n_pos, pos_ppm,
+    min_score, max_score, sum_score) — counts/extremes/sum are exact
+    BIGINTs, ``pos_ppm`` an integer floor division.
+
+    Scale shape: one range-distributed rank pass + one ``buckets``-row
+    aggregate; no global window, no collect."""
+    from ..partitioning import global_row_numbers
+
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    ranked = global_row_numbers(
+        scores.select(
+            F.col(id_col).alias("__id"),
+            F.col(score_col).cast("long").alias("__s"),
+            F.col(label_col).cast("boolean").alias("__lab"),
+        ),
+        ["__s", "__id"],
+        rn_col="__rn",
+    )
+    n_df = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_df))
+        .select(
+            F.expr(f"((__rn - 1) * {int(buckets)}) div __n + 1")
+            .cast("long")
+            .alias("bucket"),
+            "__s",
+            "__lab",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("__lab"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.expr(
+                "sum(case when __lab then 1 else 0 end) * 1000000"
+                " div count(1)"
+            )
+            .cast("long")
+            .alias("pos_ppm"),
+            F.min("__s").alias("min_score"),
+            F.max("__s").alias("max_score"),
+            F.sum("__s").cast("long").alias("sum_score"),
+        )
+    )
