@@ -35,6 +35,7 @@ __all__ = [
     "stream_stream_join",
     "streaming_distinct_sketches",
     "streaming_histogram_sketches",
+    "streaming_cms_sketches",
     "streaming_semantic_flags",
 ]
 
@@ -570,3 +571,63 @@ def streaming_semantic_flags(
         )
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_cms_sketches(
+    stream_df: DataFrame,
+    store_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+):
+    """The heavy-hitter sibling of :func:`streaming_histogram_sketches`:
+    maintain a stored Count-Min counter table
+    (:func:`~..operators.sketches.build_cms_sketch`) from a stream —
+    each micro-batch's counters ADD into the store on (row, col), so
+    :func:`~..operators.sketches.cms_estimate` answers "how often has
+    this key occurred so far" at any time with no raw rescan, bounded
+    by depth·width rows forever.  Same md5 hash family, so estimates
+    from the store stay engine-exact; same rename-swap publish and
+    at-least-once replay guard (``__last_batch``) as the other sketch
+    stores — all writers of one store must share ``depth``/``width``.
+    Returns the ``DataStreamWriter``."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_cms_batch(batch_df, batch_id, store_path, key_col, depth, width)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _merge_cms_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    key_col: str,
+    depth: int,
+    width: int,
+) -> None:
+    """One micro-batch merge of :func:`streaming_cms_sketches`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.sketches import build_cms_sketch
+
+    spark = batch_df.sparkSession
+    batch_sk = build_cms_sketch(batch_df, key_col, depth=depth, width=width)
+    if _store_exists(spark, store_path):
+        existing = spark.read.parquet(store_path)
+        applied = existing.select(F.max("__last_batch")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-merged batch
+        merged = (
+            existing.drop("__last_batch")
+            .unionByName(batch_sk)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+    else:
+        merged = batch_sk
+    out = merged.withColumn(
+        "__last_batch", F.lit(int(batch_id)).cast("long")
+    )
+    _swap_publish(out, spark, store_path)
