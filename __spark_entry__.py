@@ -6141,7 +6141,140 @@ def _extension_oracles() -> dict[str, str]:
             FROM (SELECT * FROM credited UNION ALL SELECT * FROM uncred)
             GROUP BY touch_type
         """,
+        "rollup_monthly": """
+            SELECT date_trunc('month', ts)::DATE AS grain_start,
+                   event_type AS agg_key,
+                   count(*)::BIGINT AS n,
+                   sum(floor(value * 1000000.0 + 0.5)::BIGINT)::BIGINT
+                     AS sum_micros,
+                   min(floor(value * 1000000.0 + 0.5)::BIGINT) AS min_micros,
+                   max(floor(value * 1000000.0 + 0.5)::BIGINT) AS max_micros
+            FROM events GROUP BY 1, 2
+        """,
+        "lexical_diversity": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter({_sql_tokens('text')}, x -> x != ''))
+                       AS t
+              FROM documents
+            ),
+            c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+            d AS (
+              SELECT doc_id,
+                     sum(c)::BIGINT AS n_tokens,
+                     count(*)::BIGINT AS n_types,
+                     sum(floor(c * ln(c) * 1000000000.0 + 0.5)::BIGINT)::BIGINT
+                       AS s
+              FROM c GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   n_types * 1000000 // n_tokens AS ttr_ppm,
+                   floor(ln(n_tokens) * 1000000000.0 + 0.5)::BIGINT
+                     - (s // n_tokens) AS entropy_nanonats
+            FROM d
+        """,
+        "fd_audit_orders": " UNION ALL ".join(
+            _fd_candidate_sql("orders", l, r) for l, r in _FD_CANDIDATES
+        ),
+        "token_fertility": f"""
+            SELECT lang, source, n_docs, n_chars, n_tokens_ws, n_tokens_bpe,
+                   n_tokens_ws * 1000 // n_chars AS ws_per_kchar,
+                   n_tokens_bpe * 1000 // n_chars AS bpe_per_kchar
+            FROM (
+              SELECT lang, source,
+                     count(*)::BIGINT AS n_docs,
+                     sum(length(text))::BIGINT AS n_chars,
+                     sum(len(list_filter({_sql_tokens('text')},
+                                         x -> x != '')))::BIGINT
+                       AS n_tokens_ws,
+                     sum(len(regexp_extract_all(text,
+                         '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')))::BIGINT
+                       AS n_tokens_bpe
+              FROM documents GROUP BY lang, source
+            )
+        """,
     }
+
+
+_FD_CANDIDATES = [
+    ("o_orderkey", "o_custkey"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def _fd_candidate_sql(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+        SELECT '{lhs}' AS lhs, '{rhs}' AS rhs, n_rows, n_lhs_values, violations,
+               violations * 1000000 // n_rows AS violation_ppm,
+               violations = 0 AS holds
+        FROM (
+          SELECT sum(tot)::BIGINT AS n_rows,
+                 count(*)::BIGINT AS n_lhs_values,
+                 (sum(tot) - sum(dom))::BIGINT AS violations
+          FROM (
+            SELECT l, sum(c) AS tot, max(c) AS dom
+            FROM (SELECT {lhs} AS l, {rhs} AS r, count(*) AS c
+                  FROM {table} GROUP BY 1, 2)
+            GROUP BY l
+          )
+        )"""
+
+
+def q_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup store (E150): build the day-bucketed
+    store from a third of the events, fold the other two thirds in as
+    increments (each refresh aggregates only its increment, reads back
+    only the affected day partitions, and dynamic-partition-overwrites
+    just those days), then serve a MONTHLY aggregate from the store
+    alone.  The oracle aggregates the raw events directly, so the value
+    hash proves build + two refreshes + the day→month fold lose
+    nothing.  Values are quantized once to integer micros, making every
+    stored stat an exact, order-free BIGINT."""
+    import tempfile
+
+    from sparkplug_spark.operators import (
+        build_rollup_store,
+        refresh_rollup,
+        rollup_query,
+    )
+
+    events = read_events(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="sparkplug_rollup_"), "store")
+    build_rollup_store(events.filter(F.col("event_id") % 3 == 0), path)
+    refresh_rollup(spark, events.filter(F.col("event_id") % 3 == 1), path)
+    refresh_rollup(spark, events.filter(F.col("event_id") % 3 == 2), path)
+    return rollup_query(spark, path, grain="month")
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio + Shannon token entropy in integer
+    nano-nats (E151) — the repetitiveness axis the count-based quality
+    tiers don't measure."""
+    from sparkplug_spark.operators import lexical_diversity
+
+    docs = _read(spark, sf_dir, "documents")
+    return lexical_diversity(docs)
+
+
+def q_fd_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (E152) over four orders candidates:
+    exact violation counts (min rows to change for the FD to hold) and
+    integer-ppm violation rates."""
+    from sparkplug_spark.operators import fd_audit
+
+    orders = _read(spark, sf_dir, "orders")
+    return fd_audit(orders, _FD_CANDIDATES)
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source) slice (E153): exact token
+    and char totals under both tokenizers, integer per-kchar rates."""
+    from sparkplug_spark.operators import token_fertility
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_fertility(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -6318,6 +6451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_decontam_replay": q_streaming_decontam_replay,
         "streaming_violations_replay": q_streaming_violations_replay,
         "streaming_join_replay": q_streaming_join_replay,
+        "rollup_monthly": q_rollup_monthly,
+        "lexical_diversity": q_lexical_diversity,
+        "fd_audit_orders": q_fd_audit_orders,
+        "token_fertility": q_token_fertility,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

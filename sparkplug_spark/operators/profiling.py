@@ -26,6 +26,7 @@ __all__ = [
     "trend_components",
     "pareto_report",
     "join_size_estimate",
+    "fd_audit",
 ]
 
 
@@ -597,3 +598,66 @@ def mad_outliers(
             ).alias("is_outlier"),
         )
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    candidates: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Approximate functional-dependency audit (the Metanome/profiling
+    pass): for each candidate ``lhs → rhs``, how far the data is from
+    satisfying the dependency.  The schema-design / data-quality check a
+    pipeline runs before trusting a column as a join key or a dimension
+    attribute: ``violations = 0`` means every lhs value maps to exactly
+    one rhs value; small violation_ppm means "FD holds approximately —
+    suspect dirty rows"; large means "not a dependency".
+
+    For each candidate: group rows by (lhs, rhs); per lhs value the
+    dominant rhs accounts for ``max(c)`` rows, so
+    ``violations = Σ_lhs (tot_lhs − max_c_lhs)`` — the minimum number of
+    rows that would have to change for the FD to hold exactly.  All
+    counts are exact BIGINTs; violation_ppm is integer ppm.  NULL is
+    treated as an ordinary value on both sides (both engines group NULLs
+    into one group).
+
+    Returns one row per candidate: (lhs, rhs, n_rows, n_lhs_values,
+    violations, violation_ppm, holds).
+
+    Scale shape: per candidate, one map-side-combinable two-column
+    groupBy + one lhs-key fold + a 1-row summary — each candidate scans
+    a two-column projection (column pruning) and shuffles only distinct
+    (lhs, rhs) pairs, never rows.  Candidates are independent; the union
+    lets Spark schedule them as parallel jobs of one action.
+    """
+    if not candidates:
+        raise ValueError("fd_audit needs at least one (lhs, rhs) candidate")
+    parts = []
+    for lhs, rhs in candidates:
+        pair_counts = (
+            spread(df)
+            .groupBy(F.col(lhs).alias("__l"), F.col(rhs).alias("__r"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        per_lhs = pair_counts.groupBy("__l").agg(
+            F.sum("__c").alias("__tot"),
+            F.max("__c").alias("__dom"),
+        )
+        parts.append(
+            per_lhs.agg(
+                F.sum("__tot").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+                (F.sum("__tot") - F.sum("__dom")).cast("long").alias("violations"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_rows",
+                "n_lhs_values",
+                "violations",
+                F.expr("violations * 1000000 div n_rows").alias("violation_ppm"),
+                (F.col("violations") == F.lit(0)).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

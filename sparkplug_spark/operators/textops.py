@@ -3,6 +3,8 @@ language-ID, fingerprints.  All narrow projections — zero shuffle."""
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +35,8 @@ __all__ = [
     "phrase_scores",
     "source_divergence",
     "charlm_scores",
+    "lexical_diversity",
+    "token_fertility",
 ]
 
 
@@ -716,3 +720,113 @@ def charlm_scores(
         )
     )
     return materialize_release(out, *intermediates, release=release)
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity signals: type-token ratio and
+    Shannon token entropy — the repetitiveness axis the count-based
+    quality tiers (E14 stats, E29 Gopher, E141 repetition) don't
+    measure.  A doc that repeats one phrase has high quality-score but
+    near-zero entropy; corpus curation uses this to drop template spam.
+
+    Entropy is ``H = ln(n) − (Σ_t c_t·ln c_t)/n`` over per-doc token
+    counts.  Engine-exactness discipline (the E137 nano-nats pattern):
+    each ``c·ln c`` term is quantized to integer nano-nats BEFORE the
+    exact BIGINT sum, the division is integer ``div``, and ``ln(n)`` is
+    quantized the same way — so the result is reproducible bit-for-bit
+    by a SQL oracle.  TTR is pure integer ppm.
+
+    Returns (doc_id, n_tokens, n_types, ttr_ppm, entropy_nanonats) for
+    docs with ≥1 token.
+
+    Scale shape: one tokenize pass (Arrow kernel), one (doc, token)
+    map-side-combinable count, one per-doc fold — shuffles carry counts,
+    never text.  No windows, no joins.
+    """
+    nano = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+    counts = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+            ).alias("__t"),
+        )
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(nano(F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))))
+        .alias("__s"),
+    )
+    out = per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.expr("n_types * 1000000 div n_tokens").alias("ttr_ppm"),
+        (
+            nano(F.log(F.col("n_tokens").cast("double")))
+            - F.expr("__s div n_tokens")
+        ).alias("entropy_nanonats"),
+    )
+    return out
+
+
+def token_fertility(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility report per corpus slice: tokens produced per
+    character, under both the whitespace tokenizer and the BPE-style
+    pre-tokenizer (E16b's two counters, aggregated to the slice level).
+    The compute-budget planning table: fertility × chars = sequence
+    length, and a slice whose bpe fertility far exceeds its ws fertility
+    is symbol-heavy (code, tables, CJK-in-latin-corpus) and will eat
+    context windows.
+
+    All counters are exact BIGINT sums; the per-1000-chars rates are
+    integer ``div`` (ppk), so the report is engine-reproducible.
+
+    Returns one row per slice: (group cols…, n_docs, n_chars,
+    n_tokens_ws, n_tokens_bpe, ws_per_kchar, bpe_per_kchar).
+
+    Scale shape: both token counts are JVM regexp folds inside the scan
+    projection (no explode, no Arrow), then ONE map-side-combinable
+    groupBy on the slice key.  Shuffles carry 4 longs per slice-partition.
+    """
+    from ..functions.text import token_count_bpe, tokens
+
+    t = F.col(text_col)
+    per_doc = spread(df).select(
+        *[F.col(c) for c in group_cols],
+        F.length(t).cast("long").alias("__chars"),
+        F.size(F.filter(tokens(t), lambda x: x != F.lit(""))).cast("long").alias(
+            "__ws"
+        ),
+        token_count_bpe(t).cast("long").alias("__bpe"),
+    )
+    return (
+        per_doc.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__chars").alias("n_chars"),
+            F.sum("__ws").alias("n_tokens_ws"),
+            F.sum("__bpe").alias("n_tokens_bpe"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_chars",
+            "n_tokens_ws",
+            "n_tokens_bpe",
+            F.expr("n_tokens_ws * 1000 div n_chars").alias("ws_per_kchar"),
+            F.expr("n_tokens_bpe * 1000 div n_chars").alias("bpe_per_kchar"),
+        )
+    )
