@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from ..caching import checkpoint_tracked, unpersist_ids
 
-__all__ = ["near_dup_groups", "connected_components_star", "dedup_keep_best"]
+__all__ = [
+    "near_dup_groups",
+    "connected_components_star",
+    "dedup_keep_best",
+    "update_components",
+]
 
 
 def connected_components_star(
@@ -225,3 +230,71 @@ def dedup_keep_best(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__grp", "group_id")
     )
+
+
+def update_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Incremental connected components: fold a batch of NEW edges into
+    an existing (id, group_id) component map without re-touching the
+    original edge list — the ingestion-tier companion of
+    :func:`near_dup_groups`/:func:`connected_components_star`, the same
+    store-once/update-with-batches shape as the incremental dedup tiers
+    (E44/E48).
+
+    Key fact: a component map IS a spanning star forest of the processed
+    graph (member → root edges), so connectivity of (old graph ∪ new
+    edges) equals connectivity of (star forest ∪ new edges).  Only
+    components actually TOUCHED by a new edge can change, so the
+    recompute runs on the touched components' star edges plus the new
+    edges; every other label row passes through untouched.  Labels stay
+    canonical (group_id = min member id): an old root is the min of its
+    old members, so the new min of a merged component is the min over
+    the participating roots and new-edge nodes — all present in the
+    subgraph.
+
+    Scale shape: two semi-joins to carve out the affected slice (each
+    shuffles ids, not edges), one CC run over |affected members| +
+    |batch| edges (star topology ⇒ label-prop converges in ~2 rounds per
+    merge chain), one anti-join pass-through.  The original corpus-scale
+    edge list is never rebuilt or reshuffled.
+
+    Returns (id, group_id) covering old ∪ new nodes.
+    """
+    raw = new_pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = raw.filter(F.col("u") != F.col("v"))
+    # touched from the UNFILTERED batch: a self-pair (u, u) carries no
+    # connectivity but does assert the node exists — near_dup_groups keeps
+    # such nodes as singletons, so the incremental path must too
+    touched = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    touched_groups = (
+        labels.join(touched, "id", "semi").select("group_id").distinct()
+    )
+    affected = labels.join(touched_groups, "group_id", "semi")
+    # star edges reconstruct affected components; union the new batch
+    sub_pairs = affected.select(
+        F.col("id").alias("id_a"), F.col("group_id").alias("id_b")
+    ).unionByName(edges.selectExpr("u AS id_a", "v AS id_b"))
+    updated = near_dup_groups(
+        sub_pairs,
+        max_iterations=max_iterations,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+    # CC drops self-loops: a singleton root with no new edge, or a brand-new
+    # node whose only edge was a self-pair, must keep/seed its own label
+    nodes = affected.select("id").union(touched).distinct()
+    updated_full = (
+        nodes.join(updated, "id", "left")
+        .select("id", F.coalesce("group_id", F.col("id")).alias("group_id"))
+    )
+    untouched = labels.join(touched_groups, "group_id", "anti")
+    return untouched.select("id", "group_id").unionByName(updated_full)

@@ -27,6 +27,7 @@ __all__ = [
     "pareto_report",
     "join_size_estimate",
     "fd_audit",
+    "categorical_profile",
 ]
 
 
@@ -655,6 +656,100 @@ def fd_audit(
                 "violations",
                 F.expr("violations * 1000000 div n_rows").alias("violation_ppm"),
                 (F.col("violations") == F.lit(0)).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def categorical_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Categorical companion of :func:`column_profile`: per column, the
+    value-distribution facts a pipeline checks before trusting a column
+    as a dimension / stratification / join key — exact distinct count,
+    the mode (deterministic tie-break: smallest value), its share, and
+    the Shannon entropy of the value distribution (≈0 ⇒ the column is
+    near-constant and useless for stratification; ≈ln(distinct) ⇒
+    uniform).
+
+    Values are profiled as strings (one cast, engine-identical for
+    ints/strings); NULLs are counted separately and excluded from
+    distinct/mode/entropy.  Entropy follows the repo's nano-nat
+    discipline (per-value terms quantized to integer nano-nats before
+    the exact BIGINT sum, integer-div fold) so the report is
+    engine-reproducible; shares are integer ppm.
+
+    Returns one row per column: (col_name, n_rows, n_nulls, n_distinct,
+    mode_value, mode_n, mode_share_ppm, entropy_nanonats).
+
+    Scale shape: per column one map-side-combinable single-column
+    groupBy (column-pruned scan) + a 1-row fold over the value table —
+    the same candidate-union shape as :func:`fd_audit`; no windows, no
+    driver-side value lists.
+    """
+    if not cols:
+        raise ValueError("categorical_profile needs at least one column")
+    nano = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+    parts = []
+    for name in cols:
+        counts = (
+            spread(df)
+            .groupBy(F.col(name).cast("string").alias("__v"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        nn = F.col("__nn")
+        parts.append(
+            counts.agg(
+                F.sum("__c").cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__v").isNull(), F.col("__c"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_nulls"),
+                F.count(F.when(F.col("__v").isNotNull(), F.lit(1)))
+                .cast("long")
+                .alias("n_distinct"),
+                F.min(
+                    F.when(
+                        F.col("__v").isNotNull(),
+                        F.struct(
+                            (-F.col("__c")).alias("neg"), F.col("__v").alias("v")
+                        ),
+                    )
+                ).alias("__m"),
+                F.sum(
+                    F.when(
+                        F.col("__v").isNotNull(),
+                        nano(
+                            F.col("__c").cast("double")
+                            * F.log(F.col("__c").cast("double"))
+                        ),
+                    )
+                )
+                .cast("long")
+                .alias("__s"),
+            )
+            .withColumn("__nn", (F.col("n_rows") - F.col("n_nulls")).cast("long"))
+            .select(
+                F.lit(name).alias("col_name"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                F.col("__m.v").alias("mode_value"),
+                (-F.col("__m.neg")).cast("long").alias("mode_n"),
+                F.expr("(0 - __m.neg) * 1000000 div nullif(__nn, 0)").alias(
+                    "mode_share_ppm"
+                ),
+                F.when(
+                    nn > 0,
+                    nano(F.log(nn.cast("double"))) - F.expr("__s div __nn"),
+                )
+                .cast("long")
+                .alias("entropy_nanonats"),
             )
         )
     out = parts[0]

@@ -36,6 +36,7 @@ __all__ = [
     "streaming_distinct_sketches",
     "streaming_histogram_sketches",
     "streaming_cms_sketches",
+    "streaming_rollup_store",
     "streaming_semantic_flags",
 ]
 
@@ -630,4 +631,60 @@ def _merge_cms_batch(
     out = merged.withColumn(
         "__last_batch", F.lit(int(batch_id)).cast("long")
     )
+    _swap_publish(out, spark, store_path)
+
+
+def streaming_rollup_store(
+    stream_df: DataFrame,
+    store_path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Streaming tier of the continuous-aggregate rollup (E150): each
+    micro-batch's events fold into a stored day-bucketed table of
+    mergeable integer stats, so :func:`~..operators.rollup.rollup_query`
+    can serve any grain at any time with no raw-event rescan.  Values
+    are quantized once to integer micros (exact, order-free BIGINTs),
+    so a batch twin over the same events reproduces the store exactly.
+
+    Same store discipline as the sketch stores: rename-swap publish and
+    an at-least-once ``__last_batch`` replay guard (counters ADD, so a
+    replayed batch must be a no-op).  The swap rewrites the WHOLE store
+    per batch — right for a bounded retention horizon (days·keys rows);
+    for an unbounded-history store run the batch
+    :func:`~..operators.rollup.refresh_rollup`, which rewrites only the
+    affected day partitions.  Returns the ``DataStreamWriter``."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_rollup_batch(
+            batch_df, batch_id, store_path, ts_col, key_col, value_col
+        )
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _merge_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+) -> None:
+    """One micro-batch merge of :func:`streaming_rollup_store`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.rollup import _bucket_agg, _merge
+
+    spark = batch_df.sparkSession
+    batch_agg = _bucket_agg(batch_df, ts_col, key_col, value_col)
+    if _store_exists(spark, store_path):
+        existing = spark.read.parquet(store_path)
+        applied = existing.select(F.max("__last_batch")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-merged batch
+        merged = _merge(existing.drop("__last_batch").unionByName(batch_agg))
+    else:
+        merged = batch_agg
+    out = merged.withColumn("__last_batch", F.lit(int(batch_id)).cast("long"))
     _swap_publish(out, spark, store_path)

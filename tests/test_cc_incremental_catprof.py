@@ -1,0 +1,178 @@
+"""Round-4 batch 5: incremental connected components (E154), streaming
+rollup store (E155), categorical column profile (E156)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    categorical_profile,
+    near_dup_groups,
+    rollup_query,
+    update_components,
+)
+
+
+def _cc(spark, pairs):
+    return near_dup_groups(
+        spark.createDataFrame(pairs, ["id_a", "id_b"])
+    )
+
+
+class TestUpdateComponents:
+    def _check(self, spark, old_pairs, new_pairs):
+        """Incremental result must equal full recompute over all pairs."""
+        labels = _cc(spark, old_pairs)
+        got = {
+            (r["id"], r["group_id"])
+            for r in update_components(
+                labels, spark.createDataFrame(new_pairs, ["id_a", "id_b"])
+            ).collect()
+        }
+        want = {
+            (r["id"], r["group_id"])
+            for r in _cc(spark, old_pairs + new_pairs).collect()
+        }
+        assert got == want
+        # exactly one label per node
+        assert len({i for i, _ in got}) == len(got)
+        return got
+
+    def test_merge_two_old_components(self, spark):
+        # {1,2} and {5,6} merge through a new 2-5 bridge; {8,9} untouched
+        self._check(spark, [(1, 2), (5, 6), (8, 9)], [(2, 5)])
+
+    def test_new_node_becomes_new_min(self, spark):
+        # new node 0 joins {5,6}: merged component must relabel to 0
+        got = self._check(spark, [(5, 6), (8, 9)], [(0, 6)])
+        assert (5, 0) in got and (6, 0) in got and (0, 0) in got
+
+    def test_brand_new_component_and_chain_merge(self, spark):
+        # chain 1-2 .. 3-4 joined by 2-3; plus a disjoint new pair 20-21
+        got = self._check(spark, [(1, 2), (3, 4)], [(2, 3), (20, 21)])
+        assert (4, 1) in got and (21, 20) in got
+
+    def test_no_new_edges_passthrough(self, spark):
+        labels = _cc(spark, [(1, 2), (5, 6)])
+        new = spark.createDataFrame([], "id_a long, id_b long")
+        got = {
+            (r["id"], r["group_id"])
+            for r in update_components(labels, new).collect()
+        }
+        assert got == {(1, 1), (2, 1), (5, 5), (6, 5)}
+
+    def test_self_pair_seeds_singleton(self, spark):
+        # a (u, u) pair carries no connectivity but asserts the node
+        # exists — both full recompute and incremental keep it as a
+        # singleton component
+        got = self._check(spark, [(1, 2)], [(7, 7), (1, 2)])
+        assert (7, 7) in got
+
+
+class TestStreamingRollupStore:
+    def test_batches_accumulate_and_replay_is_noop(self, spark, tmp_path):
+        from sparkplug_spark.streaming import _merge_rollup_batch
+
+        store = str(tmp_path / "roll_store")
+
+        def batch(rows):
+            return spark.createDataFrame(
+                rows, ["ts_s", "event_type", "value"]
+            ).select(
+                F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+            )
+
+        b0 = batch([("2024-01-01 10:00:00", "view", 1.5),
+                    ("2024-01-01 11:00:00", "view", 2.5)])
+        b1 = batch([("2024-01-01 12:00:00", "view", 4.0),
+                    ("2024-01-02 09:00:00", "click", 1.0)])
+        _merge_rollup_batch(b0, 0, store, "ts", "event_type", "value")
+        _merge_rollup_batch(b1, 1, store, "ts", "event_type", "value")
+        # replayed batch must not double-count
+        _merge_rollup_batch(b1, 1, store, "ts", "event_type", "value")
+        day = {
+            (str(r["grain_start"]), r["agg_key"]): (r["n"], r["sum_micros"])
+            for r in rollup_query(spark, store, grain="day")
+            .drop("__last_batch")
+            .collect()
+        }
+        assert day == {
+            ("2024-01-01", "view"): (3, 8000000),
+            ("2024-01-02", "click"): (1, 1000000),
+        }
+
+    def test_file_stream_end_to_end(self, spark, tmp_path):
+        import time
+
+        from sparkplug_spark.streaming import streaming_rollup_store
+
+        src = str(tmp_path / "r_src")
+        store = str(tmp_path / "r_store")
+        schema = "ts timestamp, event_type string, value double"
+
+        def write(rows):
+            spark.createDataFrame(rows, ["ts_s", "event_type", "value"]).select(
+                F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        write([("2024-01-01 10:00:00", "view", 1.5)])
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def run():
+            q = (
+                streaming_rollup_store(stream, store)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "r_ck"))
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        time.sleep(1)
+        write([("2024-01-01 20:00:00", "view", 2.0),
+               ("2024-02-03 08:00:00", "click", 3.0)])
+        run()
+        month = {
+            (str(r["grain_start"]), r["agg_key"]): (r["n"], r["sum_micros"])
+            for r in rollup_query(spark, store, grain="month")
+            .drop("__last_batch")
+            .collect()
+        }
+        assert month == {
+            ("2024-01-01", "view"): (2, 3500000),
+            ("2024-02-01", "click"): (1, 3000000),
+        }
+
+
+class TestCategoricalProfile:
+    def test_exact_stats(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("b", 2), ("c", None), (None, 3)],
+            ["k", "v"],
+        )
+        out = {r["col_name"]: r for r in categorical_profile(df, ["k", "v"]).collect()}
+
+        def nano(x):
+            return math.floor(x * 1e9 + 0.5)
+
+        k = out["k"]
+        assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (5, 1, 3)
+        assert (k["mode_value"], k["mode_n"]) == ("a", 2)
+        assert k["mode_share_ppm"] == 500000
+        # H over counts [2,1,1]: nano(ln 4) - (nano(2 ln 2)) // 4
+        assert k["entropy_nanonats"] == nano(math.log(4)) - nano(2 * math.log(2)) // 4
+        v = out["v"]
+        assert (v["n_rows"], v["n_nulls"], v["n_distinct"]) == (5, 1, 3)
+        # tie between '2' and '3' (and '1' has 2) -> mode is '1'
+        assert (v["mode_value"], v["mode_n"]) == ("1", 2)
+
+    def test_tie_breaks_to_smallest_value(self, spark):
+        df = spark.createDataFrame([("b",), ("a",)], ["k"])
+        r = categorical_profile(df, ["k"]).collect()[0]
+        assert (r["mode_value"], r["mode_n"]) == ("a", 1)
+
+    def test_empty_cols_raise(self, spark):
+        df = spark.createDataFrame([(1,)], ["a"])
+        with pytest.raises(ValueError):
+            categorical_profile(df, [])
