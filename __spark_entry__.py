@@ -6205,6 +6205,17 @@ def _extension_oracles() -> dict[str, str]:
             _catprof_sql("orders", c)
             for c in ("o_orderstatus", "o_orderpriority", "o_custkey")
         ),
+        "rank_normalize": """
+            SELECT doc_id, n_chars, rank,
+                   CASE WHEN n > 1 THEN (rank - 1) * 1000000 // (n - 1)
+                        ELSE 0 END AS rank_ppm
+            FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+                     count(*) OVER () AS n
+              FROM documents WHERE n_chars IS NOT NULL
+            )
+        """,
         "token_fertility": f"""
             SELECT lang, source, n_docs, n_chars, n_tokens_ws, n_tokens_bpe,
                    n_tokens_ws * 1000 // n_chars AS ws_per_kchar,
@@ -6361,6 +6372,18 @@ def q_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     return categorical_profile(
         orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percentile-rank normalization (E157) of n_chars: exact
+    integer-ppm ranks from range-distributed prefix sums (never a
+    single-partition window)."""
+    from sparkplug_spark.operators import rank_normalize
+
+    docs = _read(spark, sf_dir, "documents")
+    return rank_normalize(docs, "n_chars", "doc_id").select(
+        "doc_id", "n_chars", "rank", "rank_ppm"
     )
 
 
@@ -6553,6 +6576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": q_token_fertility,
         "cc_incremental": q_cc_incremental,
         "categorical_profile": q_categorical_profile,
+        "rank_normalize": q_rank_normalize,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -28,6 +28,7 @@ __all__ = [
     "join_size_estimate",
     "fd_audit",
     "categorical_profile",
+    "rank_normalize",
 ]
 
 
@@ -756,3 +757,53 @@ def categorical_profile(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Percentile-rank (quantile) normalization of a score column — the
+    standard scale-free feature transform before mixing heterogeneous
+    quality signals (a charlm ppm and a compression ratio live on
+    incomparable scales; their ranks don't).  Adds ``rank`` (1-based,
+    deterministic ties: order by value then id) and ``rank_ppm`` =
+    ``(rank − 1)·10⁶ div (n − 1)`` (0 for the minimum, 1_000_000 for the
+    maximum, integer ppm — engine-exact, no float division).  Rows with
+    NULL values are dropped (engines disagree on NULL sort order).
+
+    Scale shape: with ``group_col`` the rank is a per-group window (fine
+    for many small groups); WITHOUT it the global rank comes from
+    ``partitioning.global_row_numbers`` — range-distributed prefix sums,
+    never a single-partition window, so the global tier survives any
+    row count.  ``n`` rides along as a 1-row broadcast (global) or a
+    group aggregate (grouped) — no second pass over the data.
+    """
+    from pyspark.sql import Window
+
+    from ..partitioning import global_row_numbers
+
+    base = spread(df).filter(F.col(value_col).isNotNull())
+    if group_col is not None:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(value_col), F.col(id_col)
+        )
+        ranked = base.withColumn("rank", F.row_number().over(w).cast("long"))
+        counts = base.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+        ranked = ranked.join(F.broadcast(counts), group_col)
+    else:
+        ranked = global_row_numbers(
+            base, [value_col, id_col], rn_col="rank"
+        ).withColumn("rank", F.col("rank").cast("long"))
+        n = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        ranked = ranked.join(F.broadcast(n))
+    return ranked.withColumn(
+        "rank_ppm",
+        F.when(F.col("__n") > 1, F.expr("(rank - 1) * 1000000 div (__n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).drop("__n")

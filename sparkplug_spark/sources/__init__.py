@@ -34,6 +34,7 @@ __all__ = [
     "overwrite_partitions",
     "compact_table",
     "schema_drift",
+    "layout_skipping_report",
 ]
 
 _LOCAL_SCHEMES = ("", "file")
@@ -490,3 +491,71 @@ def schema_drift(old: "DataFrame", new: "DataFrame") -> list[dict]:
             out.append({"column": name, "status": "removed",
                         "old_type": ty, "new_type": None})
     return out
+
+
+def layout_skipping_report(
+    spark: "SparkSession",
+    path: str,
+    col: str,
+    fmt: str = "parquet",
+) -> "DataFrame":
+    """Measure whether a table's FILE LAYOUT can actually skip: per
+    output file, the row count and [min, max] envelope of ``col``, plus
+    how many OTHER files' envelopes overlap it.  The verification step
+    after :func:`write_sorted`/:func:`write_zordered` (and the
+    diagnosis BEFORE them): a selective filter reads every file whose
+    envelope contains the predicate value, so ``n_overlapping ≈ 0``
+    means footer stats prune to ~one file per point query, while
+    envelopes that all span the whole domain mean the 100 TB scan reads
+    100 TB no matter how selective the filter is.
+
+    Files are reported as 1-based ``file_rank`` in (min, max, n) order —
+    deterministic content even though part-file NAMES are random UUIDs.
+
+    Scale shape: one aggregation over the table grouped by
+    ``input_file_name()`` (map-side combined: one in-flight row per
+    file), then an interval self-join over the files-sized table
+    (broadcast — file counts are bounded); the raw data is read once,
+    projection pruned to one column.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.format(fmt).load(path)
+    per_file = (
+        df.groupBy(F.input_file_name().alias("__f"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+        )
+        .persist()
+    )
+    other = per_file.select(
+        F.col("__f").alias("__g"),
+        F.col("min_v").alias("min_o"),
+        F.col("max_v").alias("max_o"),
+    )
+    overlaps = (
+        per_file.join(
+            F.broadcast(other),
+            (F.col("__f") != F.col("__g"))
+            & (F.col("min_o") <= F.col("max_v"))
+            & (F.col("max_o") >= F.col("min_v")),
+            "left",
+        )
+        .groupBy("__f", "n_rows", "min_v", "max_v")
+        .agg(
+            F.count(F.col("__g")).cast("long").alias("n_overlapping"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("min_v", "max_v", "n_rows", "__f")
+    out = (
+        overlaps.withColumn("file_rank", F.row_number().over(w).cast("long"))
+        .select("file_rank", "n_rows", "min_v", "max_v", "n_overlapping")
+    )
+    # files-sized result: materialize, then drop the per-file cache
+    from ..caching import materialize_release
+
+    return materialize_release(out, per_file)

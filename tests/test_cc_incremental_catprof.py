@@ -176,3 +176,56 @@ class TestCategoricalProfile:
         df = spark.createDataFrame([(1,)], ["a"])
         with pytest.raises(ValueError):
             categorical_profile(df, [])
+
+
+class TestRankNormalize:
+    def test_global_and_grouped(self, spark):
+        from sparkplug_spark.operators import rank_normalize
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 30), (3, "b", 20), (4, "b", 20), (5, "a", None)],
+            ["id", "g", "v"],
+        )
+        g = {
+            r["id"]: (r["rank"], r["rank_ppm"])
+            for r in rank_normalize(df, "v", "id").collect()
+        }
+        # null row dropped; ties ordered by id
+        assert g == {1: (1, 0), 3: (2, 333333), 4: (3, 666666), 2: (4, 1000000)}
+        per = {
+            r["id"]: (r["rank"], r["rank_ppm"])
+            for r in rank_normalize(df, "v", "id", group_col="g").collect()
+        }
+        assert per == {1: (1, 0), 2: (2, 1000000), 3: (1, 0), 4: (2, 1000000)}
+
+    def test_single_row_group_gets_zero(self, spark):
+        from sparkplug_spark.operators import rank_normalize
+
+        df = spark.createDataFrame([(1, "a", 5)], ["id", "g", "v"])
+        r = rank_normalize(df, "v", "id", group_col="g").collect()[0]
+        assert (r["rank"], r["rank_ppm"]) == (1, 0)
+
+
+class TestLayoutSkippingReport:
+    def test_sorted_layout_prunes_unsorted_does_not(self, spark, tmp_path):
+        from sparkplug_spark.sources import layout_skipping_report, write_sorted
+
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("x")
+        )
+        sorted_path = str(tmp_path / "sorted")
+        write_sorted(df, sorted_path, ["k"], num_files=8)
+        rep = layout_skipping_report(spark, sorted_path, "k").collect()
+        assert len(rep) == 8
+        assert sum(r["n_rows"] for r in rep) == 4000
+        # range-partitioned on k: envelopes are disjoint -> nothing overlaps
+        assert all(r["n_overlapping"] == 0 for r in rep)
+        # ranks follow the envelope order
+        mins = [r["min_v"] for r in sorted(rep, key=lambda r: r["file_rank"])]
+        assert mins == sorted(mins)
+
+        unsorted_path = str(tmp_path / "unsorted")
+        # round-robin: every file spans nearly the whole k domain
+        df.repartition(8).write.parquet(unsorted_path)
+        rep2 = layout_skipping_report(spark, unsorted_path, "k").collect()
+        assert all(r["n_overlapping"] == len(rep2) - 1 for r in rep2)
