@@ -6205,6 +6205,47 @@ def _extension_oracles() -> dict[str, str]:
             _catprof_sql("orders", c)
             for c in ("o_orderstatus", "o_orderpriority", "o_custkey")
         ),
+        "feature_drift": """
+            WITH u AS (
+              SELECT CASE WHEN n_chars::DOUBLE < 0.0 THEN -1
+                          WHEN n_chars::DOUBLE >= 400.0 THEN 20
+                          ELSE floor((n_chars::DOUBLE - 0.0) / 20.0)::INT
+                     END AS bucket,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+                     CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS b
+              FROM documents
+              WHERE n_chars IS NOT NULL AND source IS NOT NULL
+            ),
+            c AS (
+              SELECT bucket, sum(a)::BIGINT AS n_base, sum(b)::BIGINT AS n_curr
+              FROM u GROUP BY bucket
+            ),
+            t AS (
+              SELECT sum(n_base)::BIGINT AS ta, sum(n_curr)::BIGINT AS tb
+              FROM c
+            )
+            SELECT bucket, n_base, n_curr,
+                   floor(
+                     ((n_base + 1)::DOUBLE / (ta + 22)::DOUBLE
+                      - (n_curr + 1)::DOUBLE / (tb + 22)::DOUBLE)
+                     * ln(((n_base + 1)::DOUBLE / (ta + 22)::DOUBLE)
+                          / ((n_curr + 1)::DOUBLE / (tb + 22)::DOUBLE))
+                     * 1000000000.0 + 0.5
+                   )::BIGINT AS psi_nanonats
+            FROM c CROSS JOIN t
+        """,
+        "pseudonymize": """
+            SELECT CASE WHEN c_custkey IS NOT NULL THEN
+                     substr(md5(concat_ws(chr(31), 'r4', 'c_custkey',
+                                          c_custkey::VARCHAR)), 1, 16)
+                   END AS c_custkey,
+                   CASE WHEN c_name IS NOT NULL THEN
+                     substr(md5(concat_ws(chr(31), 'r4', 'c_name',
+                                          c_name)), 1, 16)
+                   END AS c_name,
+                   c_mktsegment
+            FROM customer
+        """,
         "rank_normalize": """
             SELECT doc_id, n_chars, rank,
                    CASE WHEN n > 1 THEN (rank - 1) * 1000000 // (n - 1)
@@ -6372,6 +6413,37 @@ def q_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     return categorical_profile(
         orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI feature drift (E159): n_chars distribution of src0 vs the
+    rest of the corpus, Laplace-smoothed shares, per-bucket terms in
+    integer nano-nats."""
+    from sparkplug_spark.operators import feature_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    return feature_drift(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"),
+        "n_chars",
+        lo=0.0,
+        hi=400.0,
+        bins=20,
+    )
+
+
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (E160): customer identifiers
+    replaced by stable md5 surrogate tokens; mapping rotates with the
+    salt, joins and groupBys keep working."""
+    from sparkplug_spark.operators import pseudonymize
+
+    cust = _read(spark, sf_dir, "customer")
+    return pseudonymize(
+        cust.select("c_custkey", "c_name", "c_mktsegment"),
+        ["c_custkey", "c_name"],
+        salt="r4",
     )
 
 
@@ -6577,6 +6649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": q_cc_incremental,
         "categorical_profile": q_categorical_profile,
         "rank_normalize": q_rank_normalize,
+        "feature_drift": q_feature_drift,
+        "pseudonymize": q_pseudonymize,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report"]
+__all__ = ["k_anonymity_report", "pseudonymize"]
 
 
 def k_anonymity_report(
@@ -70,3 +70,48 @@ def k_anonymity_report(
         out = out.withColumn("l_violation", F.col("n_sensitive") < want_l)
         return out.filter(F.col("k_violation") | F.col("l_violation"))
     return out.filter(F.col("k_violation"))
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: Sequence[str],
+    salt: str = "",
+    namespaces: dict[str, str] | None = None,
+) -> DataFrame:
+    """Deterministic pseudonymization: replace identifier columns with
+    stable md5-derived surrogate tokens (16 hex chars) — the
+    privacy-pipeline step between :func:`~.cleaning.scrub_pii` (free
+    text) and :func:`k_anonymity_report` (release audit).  Deterministic
+    on purpose: the same value always maps to the same token, so joins,
+    groupBys, and dedup over pseudonymized keys still work; rotating
+    ``salt`` rotates the whole mapping (re-identification requires the
+    salt, which never leaves the pipeline).
+
+    Each column hashes under its own namespace (default: the column
+    name), so the same raw value in different columns yields DIFFERENT
+    tokens — cross-column correlation attacks see nothing.  To keep a
+    join key consistent ACROSS tables, pass the same logical namespace
+    for both sides (e.g. ``namespaces={"c_custkey": "custkey",
+    "o_custkey": "custkey"}``).  NULL stays NULL.
+
+    Scale shape: a pure projection — md5 inside whole-stage codegen,
+    zero shuffle, zero Python.
+    """
+    if not cols:
+        raise ValueError("pseudonymize needs at least one column")
+    ns = namespaces or {}
+    out = df
+    for c in cols:
+        token = F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.lit(salt), F.lit(ns.get(c, c)), F.col(c).cast("string")
+                )
+            ),
+            1,
+            16,
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), token)
+        )
+    return out

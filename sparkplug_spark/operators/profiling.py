@@ -29,6 +29,7 @@ __all__ = [
     "fd_audit",
     "categorical_profile",
     "rank_normalize",
+    "feature_drift",
 ]
 
 
@@ -807,3 +808,74 @@ def rank_normalize(
         .otherwise(F.lit(0))
         .cast("long"),
     ).drop("__n")
+
+
+def feature_drift(
+    df_base: DataFrame,
+    df_curr: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 20,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    feature — the standard ML-monitoring drift score (PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 shifted), the numeric sibling of
+    :func:`~.textops.token_drift` (which explains a TOKEN distribution)
+    and :func:`~.textops.source_divergence` (which scores slices of one
+    corpus).
+
+    Buckets follow :func:`histogram` exactly (fixed [lo, hi) bins plus
+    −1 / ``bins`` edge catchers — identical IEEE floor in both engines);
+    shares are Laplace-smoothed over the ``bins + 2`` bucket domain so
+    empty buckets never divide by zero, and each per-bucket term
+    ``(p − q)·ln(p/q)`` (always ≥ 0) is quantized to integer nano-nats
+    before the exact BIGINT sum — the E137 discipline, so the report is
+    engine-reproducible.  Only buckets observed on at least one side are
+    emitted (unobserved buckets contribute exactly 0).
+
+    Returns (bucket, n_base, n_curr, psi_nanonats); total PSI = the
+    column sum.
+
+    Scale shape: one union + one map-side-combinable bucket groupBy
+    (≤ bins+2 in-flight rows per task), totals ride a 1-row broadcast.
+    NULLs are dropped (as in :func:`histogram`).
+    """
+    nano = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+    width = (float(hi) - float(lo)) / bins
+
+    def _bucketed(df: DataFrame, a: int, b: int) -> DataFrame:
+        x = F.col(col).cast("double")
+        bucket = (
+            F.when(x < float(lo), F.lit(-1))
+            .when(x >= float(hi), F.lit(bins))
+            .otherwise(F.floor((x - float(lo)) / F.lit(width)).cast("int"))
+        )
+        return (
+            spread(df)
+            .filter(x.isNotNull())
+            .select(
+                bucket.alias("bucket"),
+                F.lit(a).alias("__a"),
+                F.lit(b).alias("__b"),
+            )
+        )
+
+    u = _bucketed(df_base, 1, 0).unionAll(_bucketed(df_curr, 0, 1))
+    counts = u.groupBy("bucket").agg(
+        F.sum("__a").cast("long").alias("n_base"),
+        F.sum("__b").cast("long").alias("n_curr"),
+    )
+    totals = counts.agg(
+        F.sum("n_base").cast("long").alias("__ta"),
+        F.sum("n_curr").cast("long").alias("__tb"),
+    )
+    dom = bins + 2
+    p = (F.col("n_base") + 1).cast("double") / (F.col("__ta") + dom).cast("double")
+    q = (F.col("n_curr") + 1).cast("double") / (F.col("__tb") + dom).cast("double")
+    return counts.join(F.broadcast(totals)).select(
+        "bucket",
+        "n_base",
+        "n_curr",
+        nano((p - q) * F.log(p / q)).alias("psi_nanonats"),
+    )

@@ -229,3 +229,74 @@ class TestLayoutSkippingReport:
         df.repartition(8).write.parquet(unsorted_path)
         rep2 = layout_skipping_report(spark, unsorted_path, "k").collect()
         assert all(r["n_overlapping"] == len(rep2) - 1 for r in rep2)
+
+
+class TestFeatureDrift:
+    def test_identical_distributions_score_zero(self, spark):
+        from sparkplug_spark.operators import feature_drift
+
+        df = spark.createDataFrame([(float(i % 10),) for i in range(100)], ["v"])
+        out = feature_drift(df, df, "v", lo=0.0, hi=10.0, bins=10).collect()
+        assert all(r["psi_nanonats"] == 0 for r in out)
+        assert sum(r["n_base"] for r in out) == 100
+
+    def test_shifted_distribution_scores_high(self, spark):
+        from sparkplug_spark.operators import feature_drift
+
+        base = spark.createDataFrame([(1.0,)] * 50, ["v"])
+        curr = spark.createDataFrame([(9.0,)] * 50, ["v"])
+        out = feature_drift(base, curr, "v", lo=0.0, hi=10.0, bins=10).collect()
+        total = sum(r["psi_nanonats"] for r in out)
+        assert total > 250_000_000  # PSI > 0.25: "shifted" per convention
+        assert all(r["psi_nanonats"] >= 0 for r in out)
+
+    def test_edge_buckets_and_nulls(self, spark):
+        from sparkplug_spark.operators import feature_drift
+
+        base = spark.createDataFrame([(-5.0,), (15.0,), (None,)], ["v"])
+        curr = spark.createDataFrame([(5.0,)], ["v"])
+        out = {r["bucket"]: r for r in feature_drift(
+            base, curr, "v", lo=0.0, hi=10.0, bins=10
+        ).collect()}
+        assert set(out) == {-1, 10, 5}
+        assert out[-1]["n_base"] == 1 and out[10]["n_base"] == 1
+        assert out[5]["n_curr"] == 1
+
+
+class TestPseudonymize:
+    def test_stable_namespaced_and_null_safe(self, spark):
+        from sparkplug_spark.operators import pseudonymize
+
+        df = spark.createDataFrame(
+            [(1, "alice", "x"), (2, "alice", None), (1, "bob", "y")],
+            ["uid", "name", "note"],
+        )
+        out = pseudonymize(df, ["uid", "name", "note"], salt="s").collect()
+        uids = [r["uid"] for r in out]
+        names = [r["name"] for r in out]
+        # deterministic: same input -> same token; joins keep working
+        assert uids[0] == uids[2] and uids[0] != uids[1]
+        assert names[0] == names[1] and names[0] != names[2]
+        # NULL stays NULL
+        assert out[1]["note"] is None
+        # all tokens 16 hex chars
+        assert all(len(t) == 16 for t in uids + names if t)
+
+    def test_namespace_isolation_and_salt_rotation(self, spark):
+        from sparkplug_spark.operators import pseudonymize
+
+        df = spark.createDataFrame([("7", "7")], ["a", "b"])
+        r = pseudonymize(df, ["a", "b"], salt="s").collect()[0]
+        assert r["a"] != r["b"]  # same value, different columns
+        shared = pseudonymize(
+            df, ["a", "b"], salt="s", namespaces={"a": "k", "b": "k"}
+        ).collect()[0]
+        assert shared["a"] == shared["b"]  # shared namespace: joinable
+        r2 = pseudonymize(df, ["a"], salt="other").collect()[0]
+        assert r2["a"] != r["a"]  # salt rotates the mapping
+
+    def test_empty_cols_raise(self, spark):
+        from sparkplug_spark.operators import pseudonymize
+
+        with pytest.raises(ValueError):
+            pseudonymize(spark.createDataFrame([(1,)], ["a"]), [])
