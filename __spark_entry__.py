@@ -6246,6 +6246,65 @@ def _extension_oracles() -> dict[str, str]:
                    c_mktsegment
             FROM customer
         """,
+        "interpolate_series": """
+            WITH raw AS (
+              SELECT event_type AS key,
+                     ((epoch_ns(ts) // 1000) // 1000000) AS ts_s,
+                     floor(value * 1000000.0 + 0.5)::BIGINT AS v
+              FROM events
+              WHERE event_id % 97 = 0 AND value IS NOT NULL
+            ),
+            obs AS (
+              SELECT key, t, v FROM (
+                SELECT key, ((ts_s // 21600) * 21600)::BIGINT AS t, v,
+                       row_number() OVER (
+                         PARTITION BY key, (ts_s // 21600)
+                         ORDER BY ts_s DESC, v DESC
+                       ) AS rn
+                FROM raw
+              ) WHERE rn = 1
+            ),
+            spine AS (
+              SELECT key, unnest(generate_series(min(t), max(t), 21600))::BIGINT
+                       AS t
+              FROM obs GROUP BY key
+            ),
+            merged AS (
+              SELECT s.key, s.t, o.v FROM spine s
+              LEFT JOIN obs o ON o.key = s.key AND o.t = s.t
+            ),
+            filled AS (
+              SELECT key, t, v,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY key ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                       OVER (PARTITION BY key ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pt,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY key ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS nv,
+                     last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                       OVER (PARTITION BY key ORDER BY t DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS nt
+              FROM merged
+            )
+            SELECT key AS event_type, t AS grid_start,
+                   CASE WHEN v IS NOT NULL THEN v
+                        WHEN nt = pt THEN pv
+                        ELSE pv + (((nv - pv) * (t - pt)) // (nt - pt))
+                             - (CASE WHEN ((nv - pv) * (t - pt)) % (nt - pt) != 0
+                                      AND ((nv - pv) * (t - pt)) < 0
+                                     THEN 1 ELSE 0 END)
+                   END AS value_micros,
+                   CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+            FROM filled
+            WHERE pv IS NOT NULL AND nv IS NOT NULL
+        """,
         "rank_normalize": """
             SELECT doc_id, n_chars, rank,
                    CASE WHEN n > 1 THEN (rank - 1) * 1000000 // (n - 1)
@@ -6445,6 +6504,19 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey", "c_name"],
         salt="r4",
     )
+
+
+def q_interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto a 6h grid (E161): per event_type,
+    values between observations are the exact integer-micro blend of
+    the bracketing points (floor division spelled out identically in
+    both engines)."""
+    from sparkplug_spark.operators import interpolate_series
+
+    events = read_events(spark, sf_dir)
+    # thin the series so the grid actually has gaps to interpolate
+    sparse = events.filter(F.col("event_id") % 97 == 0)
+    return interpolate_series(sparse, grid_seconds=21600)
 
 
 def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6651,6 +6723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "feature_drift": q_feature_drift,
         "pseudonymize": q_pseudonymize,
+        "interpolate_series": q_interpolate_series,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -32,6 +32,7 @@ __all__ = [
     "rfm_scores",
     "cohort_ltv",
     "cusum_changepoints",
+    "interpolate_series",
 ]
 
 
@@ -1025,4 +1026,110 @@ def cusum_changepoints(
             "event_type string, window_start long, n_events long,"
             " cusum long, is_shift boolean"
         ),
+    )
+
+
+def interpolate_series(
+    df: DataFrame,
+    key_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+    grid_seconds: int = 3600,
+) -> DataFrame:
+    """Linear interpolation of an irregular (key, time, value) series
+    onto a regular grid — the gap-filling tier ABOVE
+    :func:`densify_time_series` (which zero-fills COUNTS; a sampled
+    measurement series needs values estimated between observations, not
+    zeros).  Output grid points carry ``src='obs'`` where a measurement
+    landed in that grid second and ``src='interp'`` where the value is
+    the exact linear blend of the bracketing observations; grid points
+    before a key's first or after its last observation are not emitted
+    (extrapolation is a policy, not math).
+
+    Engine-exactness: values are quantized ONCE to integer micros; the
+    blend ``v_prev + (v_next − v_prev)·(t − t_prev) fdiv (t_next −
+    t_prev)`` uses an explicitly spelled-out FLOOR division (both
+    engines' integer division truncates toward zero, which would bias
+    downward-sloping segments toward the higher neighbor; the identical
+    CASE correction runs on both sides).  Multiple observations in
+    one grid second deterministically collapse to the latest (ties →
+    larger value).  Overflow bound: |Δv_micros|·Δt_s must stay < 2⁶³
+    (ample: a 1e6-unit swing over a year is ~4e19… rescale such domains
+    to millis first — documented, not silently truncated).
+
+    Scale shape: one map-side-combined (key, grid-second) pre-aggregate;
+    the spine is a native ``sequence()`` explode over each key's 1-row
+    (min, max); two per-key ordered windows (last/next observation
+    carry-forward) — partitions by key, never a global window.
+    """
+    if grid_seconds <= 0:
+        raise ValueError(f"grid_seconds must be > 0, got {grid_seconds}")
+    sec = (
+        F.floor(_epoch_s(df, time_col) / F.lit(grid_seconds))
+        * F.lit(grid_seconds)
+    ).cast("long")
+    v_micros = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    # one observation per (key, grid second): latest wins, ties to larger v
+    obs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            sec.alias("t"),
+            F.struct(
+                _epoch_s(df, time_col).alias("ts"), v_micros.alias("v")
+            ).alias("__pick"),
+        )
+        .groupBy("key", "t")
+        .agg(F.max("__pick").getField("v").alias("v"))
+    )
+    spine = (
+        obs.groupBy("key")
+        .agg(F.min("t").alias("__lo"), F.max("t").alias("__hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(int(grid_seconds)))
+            ).alias("t"),
+        )
+    )
+    merged = spine.join(obs, ["key", "t"], "left")
+    w_fwd = Window.partitionBy("key").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_bwd = Window.partitionBy("key").orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = (
+        merged.withColumn("pv", F.last("v", ignorenulls=True).over(w_fwd))
+        .withColumn(
+            "pt",
+            F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(w_fwd),
+        )
+        .withColumn("nv", F.last("v", ignorenulls=True).over(w_bwd))
+        .withColumn(
+            "nt",
+            F.last(F.when(F.col("v").isNotNull(), F.col("t")), True).over(w_bwd),
+        )
+    )
+    # floor division valid for negative numerators in BOTH engines
+    num = (F.col("nv") - F.col("pv")) * (F.col("t") - F.col("pt"))
+    den = F.col("nt") - F.col("pt")
+    fdiv = F.expr(
+        "(num div den) - (CASE WHEN num % den != 0 AND num < 0 THEN 1 ELSE 0 END)"
+    )
+    return (
+        filled.withColumn("num", num)
+        .withColumn("den", den)
+        .filter(F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select(
+            F.col("key").alias(key_col),
+            F.col("t").alias("grid_start"),
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("den") == 0, F.col("pv"))
+            .otherwise(F.col("pv") + fdiv)
+            .alias("value_micros"),
+            F.when(F.col("v").isNotNull(), F.lit("obs"))
+            .otherwise(F.lit("interp"))
+            .alias("src"),
+        )
     )

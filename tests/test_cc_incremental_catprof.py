@@ -300,3 +300,55 @@ class TestPseudonymize:
 
         with pytest.raises(ValueError):
             pseudonymize(spark.createDataFrame([(1,)], ["a"]), [])
+
+
+class TestInterpolateSeries:
+    def _series(self, spark, rows):
+        return spark.createDataFrame(
+            rows, ["event_type", "s", "value"]
+        ).select("event_type", F.timestamp_seconds("s").alias("ts"), "value")
+
+    def test_midpoint_and_range_clipping(self, spark):
+        from sparkplug_spark.operators import interpolate_series
+
+        df = self._series(
+            spark, [("a", 0, 1.0), ("a", 7200, 4.0), ("b", 3600, 5.0)]
+        )
+        out = {
+            (r["event_type"], r["grid_start"]): (r["value_micros"], r["src"])
+            for r in interpolate_series(df, grid_seconds=3600).collect()
+        }
+        assert out == {
+            ("a", 0): (1000000, "obs"),
+            ("a", 3600): (2500000, "interp"),
+            ("a", 7200): (4000000, "obs"),
+            ("b", 3600): (5000000, "obs"),  # single point: no extrapolation
+        }
+
+    def test_negative_slope_floor_division(self, spark):
+        from sparkplug_spark.operators import interpolate_series
+
+        # 1.0 -> 0.0 over 3 grid steps: exact thirds floor to
+        # 666666 and 333333 (floor, NOT truncate-toward-zero of a
+        # negative intermediate: v = 1e6 + (-1e6 * k) fdiv 3)
+        df = self._series(spark, [("a", 0, 1.0), ("a", 10800, 0.0)])
+        out = {
+            r["grid_start"]: r["value_micros"]
+            for r in interpolate_series(df, grid_seconds=3600).collect()
+        }
+        assert out == {0: 1000000, 3600: 666666, 10800: 0, 7200: 333333}
+
+    def test_same_second_ties_pick_latest_then_larger(self, spark):
+        from sparkplug_spark.operators import interpolate_series
+
+        df = self._series(
+            spark,
+            [("a", 100, 2.0), ("a", 200, 9.0), ("a", 200, 3.0), ("a", 3600, 1.0)],
+        )
+        out = {
+            r["grid_start"]: (r["value_micros"], r["src"])
+            for r in interpolate_series(df, grid_seconds=3600).collect()
+        }
+        # bucket 0 collapses to the obs at s=200 (latest; tie -> larger v=9)
+        assert out[0] == (9000000, "obs")
+        assert out[3600] == (1000000, "obs")
