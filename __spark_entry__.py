@@ -6246,6 +6246,20 @@ def _extension_oracles() -> dict[str, str]:
                    c_mktsegment
             FROM customer
         """,
+        "weighted_sample_k": """
+            SELECT doc_id, n_chars,
+                   floor(race_key * 1000000000.0 + 0.5)::BIGINT
+                     AS race_key_nanos
+            FROM (
+              SELECT doc_id, n_chars,
+                     -ln((('0x' || substr(md5('wsk' || chr(31)
+                            || doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+                         / 1152921504606846976.0)
+                       / n_chars::DOUBLE AS race_key
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0
+            ) ORDER BY race_key, doc_id LIMIT 50
+        """,
         "interpolate_series": """
             WITH raw AS (
               SELECT event_type AS key,
@@ -6506,6 +6520,18 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement (E162): 50 docs
+    drawn proportionally to n_chars via the Efraimidis-Spirakis
+    exponential race on md5 coins — reproducible across engines."""
+    from sparkplug_spark.operators import weighted_sample_k
+
+    docs = _read(spark, sf_dir, "documents")
+    return weighted_sample_k(
+        docs.select("doc_id", "n_chars"), k=50, weight_col="n_chars"
+    )
+
+
 def q_interpolate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation onto a 6h grid (E161): per event_type,
     values between observations are the exact integer-micro blend of
@@ -6724,6 +6750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_drift": q_feature_drift,
         "pseudonymize": q_pseudonymize,
         "interpolate_series": q_interpolate_series,
+        "weighted_sample_k": q_weighted_sample_k,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

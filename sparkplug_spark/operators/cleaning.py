@@ -40,6 +40,7 @@ __all__ = [
     "sample_exact_n",
     "stratified_sample",
     "weighted_sample",
+    "weighted_sample_k",
     "deterministic_shuffle",
     "strip_markup",
     "normalize_unicode",
@@ -1468,4 +1469,63 @@ def temperature_mixture(
             .cast("long")
             .alias("boost_x1000"),
         )
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsk",
+) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-Res): each row draws an exponential race time
+    ``key = −ln(u)/w`` from a deterministic md5 coin and the k smallest
+    keys win — each row's inclusion odds are proportional to its weight,
+    no row twice, exactly k rows (or all, if fewer qualify).  The
+    missing corner of the sampler family: :func:`weighted_sample` is
+    PPS but Poisson (random size), :func:`sample_exact_n` is exact-n
+    but unweighted.
+
+    Determinism discipline: ``u = (hash60(salt ‖ id) + 1) / 2⁶⁰`` (the
+    +1 keeps u > 0 so ln is finite), key arithmetic is two IEEE ops
+    (ln, divide) on identical inputs in both engines, ties (impossible
+    in practice at 2⁻⁶⁰ coin resolution) break on id.  Rows with NULL
+    or non-positive weight are excluded — a zero-weight row must never
+    win, and −ln(u)/0 is not a number.
+
+    Returns the winning rows plus ``race_key_nanos`` (the key quantized
+    to integer nano-units: JVM and libm ``ln`` differ by 1–2 ulp on some
+    inputs, so the RAW double would break cross-engine hash parity while
+    the selection itself is ulp-robust — a rank-k boundary flip needs
+    two keys within ~1e-16 of each other).  The selection is auditable:
+    re-running with the same salt reproduces it; a new salt is a fresh
+    draw.
+
+    Scale shape: a narrow codegen'd projection computes keys, then a
+    global top-k — Spark plans ORDER BY + LIMIT as per-partition
+    TakeOrdered heaps + a k-row merge on the driver side of the
+    exchange; nothing but k rows ever concentrates.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from ..functions.text import hash60
+
+    u = (
+        hash60(F.concat(F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string")))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        spread(df)
+        .filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__key", key)
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "race_key_nanos",
+            F.floor(F.col("__key") * F.lit(1e9) + F.lit(0.5)).cast("long"),
+        )
+        .drop("__key")
     )

@@ -352,3 +352,38 @@ class TestInterpolateSeries:
         # bucket 0 collapses to the obs at s=200 (latest; tie -> larger v=9)
         assert out[0] == (9000000, "obs")
         assert out[3600] == (1000000, "obs")
+
+
+class TestWeightedSampleK:
+    def test_exact_k_no_dupes_deterministic(self, spark):
+        from sparkplug_spark.operators import weighted_sample_k
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7 + 1)) for i in range(200)], ["doc_id", "w"]
+        )
+        a = weighted_sample_k(df, 20, "w").collect()
+        b = weighted_sample_k(df, 20, "w").collect()
+        ids = [r["doc_id"] for r in a]
+        assert len(ids) == 20 and len(set(ids)) == 20
+        assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}
+        fresh = {r["doc_id"] for r in weighted_sample_k(df, 20, "w", salt="v2").collect()}
+        assert fresh != set(ids)  # new salt = fresh draw
+
+    def test_weight_proportionality_and_exclusions(self, spark):
+        from sparkplug_spark.operators import weighted_sample_k
+
+        rows = [(0, 1e9)] + [(i, 1e-6) for i in range(1, 10)]
+        rows += [(100, 0.0), (101, None)]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        win = weighted_sample_k(df, 1, "w").collect()
+        assert [r["doc_id"] for r in win] == [0]  # 1e15x odds: heavy row wins
+        all_k = weighted_sample_k(df, 50, "w").collect()
+        ids = {r["doc_id"] for r in all_k}
+        assert 100 not in ids and 101 not in ids  # zero/NULL weight excluded
+        assert len(all_k) == 10  # fewer qualifying rows than k -> all of them
+
+    def test_invalid_k(self, spark):
+        from sparkplug_spark.operators import weighted_sample_k
+
+        with pytest.raises(ValueError):
+            weighted_sample_k(spark.createDataFrame([(1, 1.0)], ["doc_id", "w"]), 0, "w")
