@@ -6246,6 +6246,24 @@ def _extension_oracles() -> dict[str, str]:
                    c_mktsegment
             FROM customer
         """,
+        "audience_overlap": """
+            WITH uk AS (
+              SELECT DISTINCT user_id AS u, event_type AS k FROM events
+              WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ),
+            sizes AS (SELECT k, count(*)::BIGINT AS n FROM uk GROUP BY k),
+            p AS (
+              SELECT a.k AS key_a, b.k AS key_b, count(*)::BIGINT AS users_both
+              FROM uk a JOIN uk b USING (u)
+              WHERE a.k < b.k GROUP BY 1, 2
+            )
+            SELECT key_a, key_b, sa.n AS users_a, sb.n AS users_b, users_both,
+                   users_both * 1000000 // (sa.n + sb.n - users_both)
+                     AS jaccard_ppm
+            FROM p
+            JOIN sizes sa ON sa.k = key_a
+            JOIN sizes sb ON sb.k = key_b
+        """,
         "weighted_sample_k": """
             SELECT doc_id, n_chars,
                    floor(race_key * 1000000000.0 + 0.5)::BIGINT
@@ -6520,6 +6538,15 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap (E163): exact shared-user counts and
+    Jaccard ppm between event types — the cannibalization map."""
+    from sparkplug_spark.operators import audience_overlap
+
+    events = read_events(spark, sf_dir)
+    return audience_overlap(events)
+
+
 def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k weighted sampling without replacement (E162): 50 docs
     drawn proportionally to n_chars via the Efraimidis-Spirakis
@@ -6751,6 +6778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "interpolate_series": q_interpolate_series,
         "weighted_sample_k": q_weighted_sample_k,
+        "audience_overlap": q_audience_overlap,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -33,6 +33,7 @@ __all__ = [
     "cohort_ltv",
     "cusum_changepoints",
     "interpolate_series",
+    "audience_overlap",
 ]
 
 
@@ -1133,3 +1134,67 @@ def interpolate_series(
             .alias("src"),
         )
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    key_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Pairwise audience overlap between event types (or campaigns,
+    features, surfaces…): for every key pair, the EXACT number of users
+    seen in both, each side's audience size, and Jaccard in integer ppm
+    — the cannibalization/adjacency map a growth team reads before
+    bundling features (the user-set sibling of E74's doc-content
+    cross-source matrix).
+
+    Returns (key_a, key_b, users_a, users_b, users_both, jaccard_ppm)
+    with key_a < key_b.
+
+    Scale shape: the corpus reduces to ONE distinct (user, key) table
+    (map-side combined) that everything derives from; the pair
+    intersection is a self-equi-join ON USER over that table (each user
+    contributes deg²/2 pairs, bounded by the number of keys — safe
+    while keys are dozens, the intended use); audience sizes ride a
+    broadcast.  Never shuffles raw events twice.
+    """
+    from ..partitioning import spread
+
+    uk = (
+        spread(df)
+        .select(F.col(user_col).alias("u"), F.col(key_col).alias("k"))
+        .filter(F.col("u").isNotNull() & F.col("k").isNotNull())
+        .distinct()
+        .persist()
+    )
+    sizes = uk.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        uk.alias("a")
+        .join(uk.alias("b"), "u")
+        .filter(F.col("a.k") < F.col("b.k"))
+        .groupBy(F.col("a.k").alias("key_a"), F.col("b.k").alias("key_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users_both"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"k": "key_a", "n": "users_a"})),
+            "key_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"k": "key_b", "n": "users_b"})),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "users_a",
+            "users_b",
+            "users_both",
+            F.expr(
+                "users_both * 1000000 div (users_a + users_b - users_both)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    from ..caching import materialize_release
+
+    return materialize_release(out, uk)

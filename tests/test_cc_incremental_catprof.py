@@ -387,3 +387,27 @@ class TestWeightedSampleK:
 
         with pytest.raises(ValueError):
             weighted_sample_k(spark.createDataFrame([(1, 1.0)], ["doc_id", "w"]), 0, "w")
+
+
+class TestAudienceOverlap:
+    def test_exact_overlap_counts(self, spark):
+        from sparkplug_spark.operators import audience_overlap
+
+        rows = [
+            (1, "view"), (1, "view"), (1, "click"),
+            (2, "view"),
+            (3, "click"), (3, "buy"),
+            (4, None), (None, "view"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        out = {
+            (r["key_a"], r["key_b"]): (
+                r["users_a"], r["users_b"], r["users_both"], r["jaccard_ppm"]
+            )
+            for r in audience_overlap(df).collect()
+        }
+        # view users {1,2}, click {1,3}, buy {3}; nulls excluded
+        assert out[("click", "view")] == (2, 2, 1, 333333)
+        assert out[("buy", "click")] == (1, 2, 1, 500000)
+        # disjoint pairs are not emitted (no shared user rows)
+        assert ("buy", "view") not in out
