@@ -37,6 +37,7 @@ __all__ = [
     "charlm_scores",
     "lexical_diversity",
     "token_fertility",
+    "readability_scores",
 ]
 
 
@@ -830,3 +831,61 @@ def token_fertility(
             F.expr("n_tokens_bpe * 1000 div n_chars").alias("bpe_per_kchar"),
         )
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch-style readability per document — the classic
+    sentence/word-shape quality signal next to the statistical tiers
+    (E14 counts, E139 char-LM, E151 entropy): education-level text sits
+    mid-range, keyword spam and run-on boilerplate fall off both ends.
+
+    Counters are pure JVM regexp folds: words = whitespace tokens,
+    sentences = ``[.!?]+`` runs (min 1 so headlines don't divide by
+    zero), syllables ≈ vowel-group runs ``[aeiouy]+`` of the lowercased
+    text (the standard cheap approximation — group boundaries fall at
+    consonants/spaces, so no word split is needed).  The Flesch formula
+    is evaluated in INTEGER MILLI-POINTS with truncating integer
+    division — ``206835 − 1015·words div sentences − 84600·syllables
+    div words`` — defined identically in both engines, so the score is
+    engine-exact (a float evaluation would round differently).
+
+    Returns (doc_id, n_words, n_sentences, n_syllables, flesch_milli).
+    Docs with zero words are omitted.
+
+    Scale shape: one narrow codegen projection — zero shuffle, zero
+    Python, column-pruned scan.
+    """
+    from ..functions.text import tokens
+
+    t = F.col(text_col)
+    words = F.size(F.filter(tokens(t), lambda x: x != F.lit("")))
+    sentences = F.greatest(
+        F.size(F.split(t, r"[.!?]+")) - F.lit(1), F.lit(1)
+    )
+    syllables = F.size(
+        F.filter(
+            F.split(F.lower(t), r"[^aeiouy]+"), lambda x: x != F.lit("")
+        )
+    )
+    out = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            words.cast("long").alias("n_words"),
+            sentences.cast("long").alias("n_sentences"),
+            syllables.cast("long").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "flesch_milli",
+            F.expr(
+                "206835 - 1015 * n_words div n_sentences"
+                " - 84600 * n_syllables div n_words"
+            ).cast("long"),
+        )
+    )
+    return out

@@ -411,3 +411,28 @@ class TestAudienceOverlap:
         assert out[("buy", "click")] == (1, 2, 1, 500000)
         # disjoint pairs are not emitted (no shared user rows)
         assert ("buy", "view") not in out
+
+
+class TestReadability:
+    def test_exact_counts_and_formula(self, spark):
+        from sparkplug_spark.operators import readability_scores
+
+        rows = [
+            (1, "The cat sat. The dog ran!"),
+            (2, "no terminal punctuation here"),
+            (3, "..."),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in readability_scores(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        d1 = out[1]
+        # words: the cat sat the dog ran = 6; sentences: 2;
+        # syllables (vowel runs): e,a,a,e,o,a = 6
+        assert (d1["n_words"], d1["n_sentences"], d1["n_syllables"]) == (6, 2, 6)
+        assert d1["flesch_milli"] == 206835 - 1015 * 6 // 2 - 84600 * 6 // 6
+        d2 = out[2]
+        assert d2["n_sentences"] == 1  # headline floor
+        assert 3 not in out  # zero words -> omitted
