@@ -3009,6 +3009,58 @@ def _sql_lang_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
+BM25_ORACLE_SQL = f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     (sum(len(toks)) // count(*))::BIGINT AS avgdl
+              FROM t
+            ), d AS (
+              SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+              FROM t
+            ), post AS (
+              SELECT term, doc_id, count(*)::BIGINT AS tf,
+                     min(dl)::BIGINT AS dl
+              FROM d GROUP BY term, doc_id
+            ), q(query_id, term) AS (VALUES {{qvals}}),
+            dfq AS (
+              SELECT term, count(*)::BIGINT AS df
+              FROM post
+              WHERE term IN (SELECT DISTINCT term FROM q)
+              GROUP BY term
+            ), idf AS (
+              SELECT term,
+                     ((n_docs - df + 1) * 1000 // (df + 1))::BIGINT AS idf,
+                     avgdl
+              FROM dfq, stats
+            ), sc AS (
+              SELECT q.query_id, p.doc_id,
+                     sum(i.idf * ((88000 * p.tf * i.avgdl)
+                         // (40 * p.tf * i.avgdl + 12 * i.avgdl
+                             + 36 * p.dl)))::BIGINT AS score_ppm
+              FROM q JOIN post p USING (term) JOIN idf i USING (term)
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score_ppm, rank FROM (
+              SELECT query_id, doc_id, score_ppm,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_ppm DESC, doc_id
+                     ) AS rank
+              FROM sc
+            ) WHERE rank <= 10
+        """.format(
+            qvals=", ".join(
+                f"('{qid}', '{t}')"
+                for qid, terms in SEARCH_QUERIES.items()
+                for t in dict.fromkeys(terms)
+            )
+        )
+
+
 def _extension_oracles() -> dict[str, str]:
     from sparkplug_spark.functions import STOPWORDS
     from sparkplug_spark.operators.cleaning import PII_PATTERNS
@@ -5065,56 +5117,7 @@ def _extension_oracles() -> dict[str, str]:
         # multiplied by 40*avgdl -> 88000*tf*avgdl over 40*tf*avgdl +
         # 12*avgdl + 36*dl; Robertson idf log-free as (N-df+1)*1000 //
         # (df+1).  avgdl integer-floors over ALL docs (incl. token-less).
-        "bm25_search": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     list_filter({_sql_tokens('text')}, x -> x != '') AS toks
-              FROM documents
-            ), stats AS (
-              SELECT count(*)::BIGINT AS n_docs,
-                     (sum(len(toks)) // count(*))::BIGINT AS avgdl
-              FROM t
-            ), d AS (
-              SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
-              FROM t
-            ), post AS (
-              SELECT term, doc_id, count(*)::BIGINT AS tf,
-                     min(dl)::BIGINT AS dl
-              FROM d GROUP BY term, doc_id
-            ), q(query_id, term) AS (VALUES {{qvals}}),
-            dfq AS (
-              SELECT term, count(*)::BIGINT AS df
-              FROM post
-              WHERE term IN (SELECT DISTINCT term FROM q)
-              GROUP BY term
-            ), idf AS (
-              SELECT term,
-                     ((n_docs - df + 1) * 1000 // (df + 1))::BIGINT AS idf,
-                     avgdl
-              FROM dfq, stats
-            ), sc AS (
-              SELECT q.query_id, p.doc_id,
-                     sum(i.idf * ((88000 * p.tf * i.avgdl)
-                         // (40 * p.tf * i.avgdl + 12 * i.avgdl
-                             + 36 * p.dl)))::BIGINT AS score_ppm
-              FROM q JOIN post p USING (term) JOIN idf i USING (term)
-              GROUP BY 1, 2
-            )
-            SELECT query_id, doc_id, score_ppm, rank FROM (
-              SELECT query_id, doc_id, score_ppm,
-                     row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY score_ppm DESC, doc_id
-                     ) AS rank
-              FROM sc
-            ) WHERE rank <= 10
-        """.format(
-            qvals=", ".join(
-                f"('{qid}', '{t}')"
-                for qid, terms in SEARCH_QUERIES.items()
-                for t in dict.fromkeys(terms)
-            )
-        ),
+        "bm25_search": BM25_ORACLE_SQL,
         # self-trained char-trigram LM: C2 counts bigrams AS CONTEXTS
         # (trigram prefixes); V = distinct prediction-position chars;
         # per-position Laplace ppm quantized BEFORE the exact BIGINT sum
@@ -6246,6 +6249,67 @@ def _extension_oracles() -> dict[str, str]:
                    c_mktsegment
             FROM customer
         """,
+        "ranking_metrics": f"""
+            WITH results AS ({{bm25}}),
+            tt AS (
+              SELECT doc_id,
+                     list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+              FROM documents
+            ),
+            truth AS ({{truth_union}}),
+            nrel AS (
+              SELECT query_id, count(*)::BIGINT AS n_relevant
+              FROM (SELECT DISTINCT query_id, doc_id FROM truth) GROUP BY 1
+            ),
+            j AS (
+              SELECT r.query_id, r.rank,
+                     CASE WHEN tr.doc_id IS NOT NULL THEN 1 END AS rel
+              FROM results r
+              LEFT JOIN (SELECT DISTINCT query_id, doc_id FROM truth) tr
+                USING (query_id, doc_id)
+              WHERE r.rank <= 10
+            ),
+            perq AS (
+              SELECT query_id, count(*)::BIGINT AS n_results,
+                     coalesce(sum(rel), 0)::BIGINT AS hits,
+                     min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                     coalesce(sum(CASE WHEN rel = 1 THEN
+                       floor(1.0 / log2(rank + 1.0) * 1000000000.0
+                             + 0.5)::BIGINT END), 0)::BIGINT AS dcg
+              FROM j GROUP BY 1
+            ),
+            ideal AS (
+              SELECT query_id,
+                     sum(floor(1.0 / log2(p + 1.0) * 1000000000.0
+                               + 0.5)::BIGINT)::BIGINT AS idcg
+              FROM (
+                SELECT query_id,
+                       unnest(generate_series(1, least(n_relevant, 10))) AS p
+                FROM nrel
+              ) GROUP BY 1
+            )
+            SELECT p.query_id, n_results,
+                   coalesce(n_relevant, 0)::BIGINT AS n_relevant, hits,
+                   hits * 1000000 // n_results AS precision_ppm,
+                   hits * 1000000 // nullif(n_relevant, 0) AS recall_ppm,
+                   coalesce(1000000 // first_rel, 0)::BIGINT AS mrr_ppm,
+                   dcg * 1000000 // nullif(idcg, 0) AS ndcg_ppm
+            FROM perq p
+            LEFT JOIN nrel USING (query_id)
+            LEFT JOIN ideal USING (query_id)
+        """.format(
+            bm25=BM25_ORACLE_SQL,
+            truth_union=" UNION ALL ".join(
+                "SELECT '{q}' AS query_id, doc_id FROM tt "
+                "WHERE list_has_all(toks, [{terms}])".format(
+                    q=qid,
+                    terms=", ".join(
+                        f"'{t}'" for t in dict.fromkeys(terms)
+                    ),
+                )
+                for qid, terms in SEARCH_QUERIES.items()
+            ),
+        ),
         "readability": f"""
             SELECT doc_id, n_words, n_sentences, n_syllables,
                    206835 - 1015 * n_words // n_sentences
@@ -6554,6 +6618,31 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation (E165): precision/recall@10, MRR, and NDCG@10 of
+    the BM25 ranking against conjunctive-containment ground truth —
+    every metric an exact integer (NDCG discounts nano-quantized per
+    position)."""
+    from sparkplug_spark.functions.text import tokens
+    from sparkplug_spark.operators import bm25_search, ranking_metrics
+
+    docs = _read(spark, sf_dir, "documents")
+    results = bm25_search(docs, SEARCH_QUERIES, k=10)
+    qterms = spark.createDataFrame(
+        [(qid, list(dict.fromkeys(ts))) for qid, ts in SEARCH_QUERIES.items()],
+        "query_id string, terms array<string>",
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__tk"))
+    truth = (
+        toks.crossJoin(F.broadcast(qterms))
+        .filter(
+            F.forall(F.col("terms"), lambda t: F.array_contains("__tk", t))
+        )
+        .select("query_id", "doc_id")
+    )
+    return ranking_metrics(results, truth, k=10)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability (E164) in exact integer milli-points:
     vowel-group syllables, [.!?]+ sentences, truncating integer formula
@@ -6806,6 +6895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_k": q_weighted_sample_k,
         "audience_overlap": q_audience_overlap,
         "readability": q_readability,
+        "ranking_metrics": q_ranking_metrics,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -36,6 +36,7 @@ __all__ = [
     "build_term_index",
     "keyword_search",
     "reciprocal_rank_fusion",
+    "ranking_metrics",
 ]
 
 
@@ -442,3 +443,95 @@ def bm25_search(
         .select("query_id", "doc_id", "score_ppm", "rank")
     )
     return materialize_release(out, *intermediates, release=release)
+
+
+def ranking_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """IR evaluation of a ranking against a binary relevance set:
+    precision/recall@k, MRR, and NDCG@k per query — the gate a
+    retrieval stack (E87/E138/E132) passes before its ranking ships,
+    next to E148's calibration gate for classifiers.
+
+    All metrics are exact integers: precision/recall/MRR are pure
+    integer-ppm divisions; NDCG's position discount ``1/log2(rank+1)``
+    is quantized to integer nano-units PER POSITION before the exact
+    sums (the CLAUDE.md ln-ulp discipline), and ``ndcg_ppm = dcg·10⁶
+    div idcg`` — the ideal DCG sums the same quantized discounts over
+    the first ``min(n_relevant, k)`` positions, so both engines agree
+    bit-for-bit.
+
+    Returns one row per query present in ``results``: (query_id,
+    n_results, n_relevant, hits, precision_ppm, recall_ppm, mrr_ppm,
+    ndcg_ppm).  ``mrr_ppm`` is 0 when nothing relevant was retrieved;
+    recall/ndcg are NULL when the query has no relevant docs at all.
+
+    Scale shape: one equi-join of the (queries·k)-row ranking against
+    the truth set, two query-key aggregates, and a ``sequence()``
+    explode bounded by k for the ideal DCG — nothing scales with the
+    corpus, only with queries·k.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    nano = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    def gain(pos):
+        return nano(F.lit(1.0) / F.log2(pos.cast("double") + F.lit(1.0)))
+
+    rel = truth.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__d")
+    ).distinct()
+    n_rel = rel.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    )
+    joined = r.join(rel.withColumn("__rel", F.lit(1)), ["__q", "__d"], "left")
+    per_q = joined.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.coalesce(F.sum("__rel"), F.lit(0)).cast("long").alias("hits"),
+        F.min(F.when(F.col("__rel") == 1, F.col("__r"))).alias("__first"),
+        F.coalesce(
+            F.sum(F.when(F.col("__rel") == 1, gain(F.col("__r")))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__dcg"),
+    )
+    ideal = (
+        n_rel.select(
+            "__q",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n_relevant"), F.lit(k)))
+            ).alias("__p"),
+        )
+        .groupBy("__q")
+        .agg(F.sum(gain(F.col("__p"))).cast("long").alias("__idcg"))
+    )
+    return (
+        per_q.join(F.broadcast(n_rel), "__q", "left")
+        .join(F.broadcast(ideal), "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            "n_results",
+            F.coalesce(F.col("n_relevant"), F.lit(0))
+            .cast("long")
+            .alias("n_relevant"),
+            "hits",
+            F.expr("hits * 1000000 div n_results").alias("precision_ppm"),
+            F.expr("hits * 1000000 div nullif(n_relevant, 0)").alias(
+                "recall_ppm"
+            ),
+            F.coalesce(F.expr("1000000 div __first"), F.lit(0))
+            .cast("long")
+            .alias("mrr_ppm"),
+            F.expr("__dcg * 1000000 div nullif(__idcg, 0)").alias("ndcg_ppm"),
+        )
+    )

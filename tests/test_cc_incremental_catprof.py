@@ -436,3 +436,44 @@ class TestReadability:
         d2 = out[2]
         assert d2["n_sentences"] == 1  # headline floor
         assert 3 not in out  # zero words -> omitted
+
+
+class TestRankingMetrics:
+    def test_exact_metrics(self, spark):
+        import math
+
+        from sparkplug_spark.operators import ranking_metrics
+
+        results = spark.createDataFrame(
+            [("q1", d, r) for r, d in enumerate([10, 20, 30, 40], 1)]
+            + [("q2", d, r) for r, d in enumerate([50, 60], 1)],
+            ["query_id", "doc_id", "rank"],
+        )
+        truth = spark.createDataFrame(
+            [("q1", 20), ("q1", 40), ("q1", 99), ("q3", 1)],
+            ["query_id", "doc_id"],
+        )
+        out = {r["query_id"]: r for r in ranking_metrics(results, truth, k=10).collect()}
+
+        def nano(x):
+            return math.floor(x * 1e9 + 0.5)
+
+        q1 = out["q1"]
+        assert (q1["n_results"], q1["n_relevant"], q1["hits"]) == (4, 3, 2)
+        assert q1["precision_ppm"] == 500000
+        assert q1["recall_ppm"] == 666666
+        assert q1["mrr_ppm"] == 500000  # first relevant at rank 2
+        dcg = nano(1 / math.log2(3)) + nano(1 / math.log2(5))
+        idcg = nano(1 / math.log2(2)) + nano(1 / math.log2(3)) + nano(1 / math.log2(4))
+        assert q1["ndcg_ppm"] == dcg * 1000000 // idcg
+        q2 = out["q2"]
+        assert (q2["hits"], q2["mrr_ppm"]) == (0, 0)
+        assert q2["recall_ppm"] is None and q2["ndcg_ppm"] is None
+        assert "q3" not in out  # truth-only queries are not scored
+
+    def test_invalid_k(self, spark):
+        from sparkplug_spark.operators import ranking_metrics
+
+        df = spark.createDataFrame([("q", 1, 1)], ["query_id", "doc_id", "rank"])
+        with pytest.raises(ValueError):
+            ranking_metrics(df, df.select("query_id", "doc_id"), k=0)
