@@ -6249,6 +6249,41 @@ def _extension_oracles() -> dict[str, str]:
                    c_mktsegment
             FROM customer
         """,
+        "mutual_information": """
+            WITH p AS (
+              SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS c
+              FROM orders GROUP BY 1, 2
+            ),
+            ma AS (SELECT a, sum(c) AS ca FROM p GROUP BY a),
+            mb AS (SELECT b, sum(c) AS cb FROM p GROUP BY b),
+            t AS (
+              SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS n_pairs FROM p
+            ),
+            mi AS (
+              SELECT sum(floor((c::DOUBLE / n::DOUBLE)
+                         * ln(c::DOUBLE * n::DOUBLE
+                              / (ca::DOUBLE * cb::DOUBLE))
+                         * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS mi
+              FROM p JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+            ),
+            ha AS (
+              SELECT count(*)::BIGINT AS n_a,
+                     (floor(ln(max(n)) * 1000000000.0 + 0.5)::BIGINT
+                      - (sum(floor(ca * ln(ca) * 1000000000.0
+                                   + 0.5)::BIGINT) // max(n)))::BIGINT AS h_a
+              FROM ma CROSS JOIN t
+            ),
+            hb AS (
+              SELECT count(*)::BIGINT AS n_b,
+                     (floor(ln(max(n)) * 1000000000.0 + 0.5)::BIGINT
+                      - (sum(floor(cb * ln(cb) * 1000000000.0
+                                   + 0.5)::BIGINT) // max(n)))::BIGINT AS h_b
+              FROM mb CROSS JOIN t
+            )
+            SELECT t.n AS n_rows, n_a, n_b, n_pairs,
+                   mi AS mi_nanonats, h_a AS h_a_nanonats, h_b AS h_b_nanonats
+            FROM t CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb
+        """,
         "ranking_metrics": f"""
             WITH results AS ({{bm25}}),
             tt AS (
@@ -6618,6 +6653,16 @@ def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information (E166) between o_orderstatus and
+    o_orderpriority in integer nano-nats, with both marginal entropies
+    for normalization."""
+    from sparkplug_spark.operators import mutual_information
+
+    orders = _read(spark, sf_dir, "orders")
+    return mutual_information(orders, "o_orderstatus", "o_orderpriority")
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR evaluation (E165): precision/recall@10, MRR, and NDCG@10 of
     the BM25 ranking against conjunctive-containment ground truth —
@@ -6896,6 +6941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap": q_audience_overlap,
         "readability": q_readability,
         "ranking_metrics": q_ranking_metrics,
+        "mutual_information": q_mutual_information,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -30,6 +30,7 @@ __all__ = [
     "categorical_profile",
     "rank_normalize",
     "feature_drift",
+    "mutual_information",
 ]
 
 
@@ -879,3 +880,96 @@ def feature_drift(
         "n_curr",
         nano((p - q) * F.log(p / q)).alias("psi_nanonats"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Exact mutual information between two categorical columns — the
+    dependence-strength scalar next to :func:`fd_audit` (which counts
+    FD violations: direction-specific and blind to soft coupling) and
+    the feature-selection signal before one-hot-encoding a dimension:
+    MI ≈ 0 ⇒ the column pair is independent (drop one), MI near
+    min(H_a, H_b) ⇒ near-determined.
+
+    ``MI = Σ_xy p_xy · ln(p_xy·N² / (c_x·c_y·N))`` over exact BIGINT
+    counts, with each term quantized to integer nano-nats before the
+    exact sum (the E137 discipline) — engine-reproducible.  The
+    marginal entropies ride along (same quantization), so normalized
+    variants are one integer division away for the consumer.  NULLs
+    pair like ordinary values (both engines group them).
+
+    Returns ONE row: (n_rows, n_a, n_b, n_pairs, mi_nanonats,
+    h_a_nanonats, h_b_nanonats).
+
+    Scale shape: one map-side-combinable (a, b) groupBy; marginals are
+    two more aggregates OVER THE PAIR TABLE (bounded by distinct pairs,
+    never rescanning rows); totals ride 1-row broadcasts.
+    """
+    nano = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
+    pairs = (
+        spread(df)
+        .groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
+    )
+    ca = pairs.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    cb = pairs.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    total = pairs.agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    joined = (
+        pairs.join(F.broadcast(ca), "__a")
+        .join(F.broadcast(cb), "__b")
+        .join(F.broadcast(total))
+    )
+    mi = joined.agg(
+        F.max("__n").alias("n_rows"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.sum(
+            nano(
+                d("__c")
+                / d("__n")
+                * F.log(d("__c") * d("__n") / (d("__ca") * d("__cb")))
+            )
+        )
+        .cast("long")
+        .alias("mi_nanonats"),
+    )
+    ha = ca.join(F.broadcast(total)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        (
+            nano(F.log(F.max(d("__n"))))
+            - F.expr(
+                "sum(floor(__ca * ln(__ca) * 1e9 + 0.5)) div max(__n)"
+            )
+        )
+        .cast("long")
+        .alias("h_a_nanonats"),
+    )
+    hb = cb.join(F.broadcast(total)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        (
+            nano(F.log(F.max(d("__n"))))
+            - F.expr(
+                "sum(floor(__cb * ln(__cb) * 1e9 + 0.5)) div max(__n)"
+            )
+        )
+        .cast("long")
+        .alias("h_b_nanonats"),
+    )
+    out = (
+        mi.join(F.broadcast(ha))
+        .join(F.broadcast(hb))
+        .select(
+            "n_rows", "n_a", "n_b", "n_pairs",
+            "mi_nanonats", "h_a_nanonats", "h_b_nanonats",
+        )
+    )
+    from ..caching import materialize_release
+
+    return materialize_release(out, pairs)

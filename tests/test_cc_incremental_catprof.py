@@ -477,3 +477,33 @@ class TestRankingMetrics:
         df = spark.createDataFrame([("q", 1, 1)], ["query_id", "doc_id", "rank"])
         with pytest.raises(ValueError):
             ranking_metrics(df, df.select("query_id", "doc_id"), k=0)
+
+
+class TestMutualInformation:
+    def test_independent_and_determined(self, spark):
+        import math
+
+        from sparkplug_spark.operators import mutual_information
+
+        def nano(x):
+            return math.floor(x * 1e9 + 0.5)
+
+        # perfectly determined: b = f(a), uniform over 2x values
+        det = spark.createDataFrame(
+            [("x", "u")] * 4 + [("y", "v")] * 4, ["a", "b"]
+        )
+        r = mutual_information(det, "a", "b").collect()[0]
+        assert r["n_rows"] == 8 and r["n_a"] == 2 and r["n_b"] == 2
+        # MI == H(a) == H(b) == ln 2, up to the two quantization paths
+        # (per-pair nano terms vs the entropy fold) differing by ±1 nano
+        assert abs(r["mi_nanonats"] - r["h_a_nanonats"]) <= 2
+        assert abs(r["mi_nanonats"] - r["h_b_nanonats"]) <= 2
+        assert abs(r["mi_nanonats"] - nano(math.log(2))) <= 2
+
+        # independent: every (a, b) combination equally likely
+        ind = spark.createDataFrame(
+            [(a, b) for a in "xy" for b in "uv" for _ in range(3)], ["a", "b"]
+        )
+        r2 = mutual_information(ind, "a", "b").collect()[0]
+        assert abs(r2["mi_nanonats"]) <= 4  # ~0 up to quantization
+        assert r2["n_pairs"] == 4
