@@ -1478,6 +1478,7 @@ def weighted_sample_k(
     weight_col: str,
     id_col: str = "doc_id",
     salt: str = "wsk",
+    group_col: str | None = None,
 ) -> DataFrame:
     """EXACT-k weighted sampling WITHOUT replacement (Efraimidis &
     Spirakis 2006, A-Res): each row draws an exponential race time
@@ -1501,12 +1502,16 @@ def weighted_sample_k(
     the selection itself is ulp-robust — a rank-k boundary flip needs
     two keys within ~1e-16 of each other).  The selection is auditable:
     re-running with the same salt reproduces it; a new salt is a fresh
-    draw.
+    draw.  ``group_col`` switches to the per-group tier (per-source
+    curriculum draws): exactly k winners per group via a key-partitioned
+    rank window — same race, same determinism.
 
     Scale shape: a narrow codegen'd projection computes keys, then a
     global top-k — Spark plans ORDER BY + LIMIT as per-partition
     TakeOrdered heaps + a k-row merge on the driver side of the
-    exchange; nothing but k rows ever concentrates.
+    exchange; nothing but k rows ever concentrates.  The grouped tier
+    shuffles once on the group key; groups are assumed numerous (the
+    window partitions by them).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -1517,13 +1522,31 @@ def weighted_sample_k(
         + F.lit(1)
     ).cast("double") / F.lit(float(1 << 60))
     key = -F.log(u) / F.col(weight_col).cast("double")
-    return (
+    base = (
         spread(df)
         .filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn("__key", key)
-        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
-        .limit(k)
-        .withColumn(
+    )
+    if group_col is not None:
+        # per-group tier (per-source curriculum draws): a key-partitioned
+        # rank window replaces the global TakeOrdered — exactly k winners
+        # PER GROUP, same race, same determinism
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("__key").asc(), F.col(id_col).asc()
+        )
+        picked = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    else:
+        picked = base.orderBy(
+            F.col("__key").asc(), F.col(id_col).asc()
+        ).limit(k)
+    return (
+        picked.withColumn(
             "race_key_nanos",
             F.floor(F.col("__key") * F.lit(1e9) + F.lit(0.5)).cast("long"),
         )

@@ -507,3 +507,25 @@ class TestMutualInformation:
         r2 = mutual_information(ind, "a", "b").collect()[0]
         assert abs(r2["mi_nanonats"]) <= 4  # ~0 up to quantization
         assert r2["n_pairs"] == 4
+
+
+class TestWeightedSampleKGrouped:
+    def test_exact_k_per_group_and_global_unchanged(self, spark):
+        from sparkplug_spark.operators import weighted_sample_k
+
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i % 5 + 1)) for i in range(90)]
+            + [(100, "tiny", 1.0)],
+            ["doc_id", "src", "w"],
+        )
+        per = weighted_sample_k(df, 5, "w", group_col="src").collect()
+        counts = {}
+        for r in per:
+            counts[r["src"]] = counts.get(r["src"], 0) + 1
+        assert counts == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+        # global tier unaffected by the new param's default
+        g = weighted_sample_k(df, 7, "w").collect()
+        assert len(g) == 7 and len({r["doc_id"] for r in g}) == 7
+        # grouped draw is reproducible
+        again = {r["doc_id"] for r in weighted_sample_k(df, 5, "w", group_col="src").collect()}
+        assert again == {r["doc_id"] for r in per}
