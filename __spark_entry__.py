@@ -6259,6 +6259,23 @@ def _extension_oracles() -> dict[str, str]:
                    max(floor(value * 1000000.0 + 0.5)::BIGINT) AS max_micros
             FROM events GROUP BY 1, 2
         """,
+        "conformal_thresholds": """
+            SELECT event_type, max(n)::BIGINT AS n, max(k)::BIGINT AS k,
+                   max(CASE WHEN rn = k THEN value END) AS threshold
+            FROM (
+              SELECT event_type, value, rn, n,
+                     greatest(least(((n + 1) * 900000 + 999999) // 1000000,
+                                    n), 1) AS k
+              FROM (
+                SELECT event_type, value,
+                       row_number() OVER (
+                         PARTITION BY event_type ORDER BY value, event_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL
+              )
+            ) GROUP BY event_type
+        """,
         "mutual_information": """
             WITH p AS (
               SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS c
@@ -6698,6 +6715,41 @@ def q_streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_query(spark, os.path.join(tmp, "store"), grain="month")
 
 
+def q_calibrate_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (E167, rows-only: distributed PAVA via
+    pyspark.ml — pooling is sequential, not SQL-expressible; pytest
+    twins it against pure-Python PAVA): longer docs are md5-coin-likelier
+    to be labeled 1, the fit recovers the monotone probability."""
+    from sparkplug_spark.functions.text import hash60
+    from sparkplug_spark.operators import calibrate_isotonic
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        (
+            hash60(F.concat(F.lit("iso"), F.col("doc_id").cast("string")))
+            % 1000
+            < F.least(F.col("n_chars"), F.lit(600)) + F.lit(150)
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return calibrate_isotonic(docs, "score", "label")
+
+
+def q_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal thresholds (E168): per event_type, the exact
+    ceil((n+1)(1-alpha))-rank value pick at alpha=10% — the
+    distribution-free coverage guarantee for prediction sets."""
+    from sparkplug_spark.operators import conformal_thresholds
+
+    events = read_events(spark, sf_dir)
+    return conformal_thresholds(
+        events, "value", alpha_ppm=100000, group_col="event_type",
+        id_col="event_id",
+    )
+
+
 def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact mutual information (E166) between o_orderstatus and
     o_orderpriority in integer nano-nats, with both marginal entropies
@@ -6987,6 +7039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "ranking_metrics": q_ranking_metrics,
         "mutual_information": q_mutual_information,
+        "conformal_thresholds": q_conformal_thresholds,
         "streaming_rollup_replay": q_streaming_rollup_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
@@ -7006,6 +7059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "coreness": q_coreness,
         "hits_scores": q_hits_scores,
+        "calibrate_isotonic": q_calibrate_isotonic,
     }
 
 

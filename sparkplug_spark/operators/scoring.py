@@ -29,6 +29,8 @@ __all__ = [
     "fake_quality_scorer",
     "compression_signals",
     "naive_bayes_classifier",
+    "conformal_thresholds",
+    "calibrate_isotonic",
 ]
 
 
@@ -292,3 +294,109 @@ def calibration_report(
             F.sum("__s").cast("long").alias("sum_score"),
         )
     )
+
+
+def conformal_thresholds(
+    df: DataFrame,
+    score_col: str,
+    alpha_ppm: int = 100000,
+    group_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Split-conformal calibration thresholds: the exact
+    ``⌈(n+1)·(1−α)⌉``-th smallest nonconformity score per group — the
+    quantile q̂ such that predictions with score ≤ q̂ form a
+    (1−α)-coverage prediction set on exchangeable data (Vovk et al.;
+    the distribution-free guarantee a learned quality filter ships
+    with, next to E148's calibration table and E165's ranking gate).
+
+    Exactness discipline: the rank is pure integer arithmetic —
+    ``k = (n+1)·(1000000−alpha_ppm) ceil-div 1000000`` clamped to
+    ``[1, n]`` — and the threshold is an integer PICK at that rank
+    (never an interpolation; lower-rank convention like E45), with
+    ``id_col`` breaking score ties deterministically.  Emits k and n so
+    the consumer can audit the finite-sample coverage level actually
+    achieved.
+
+    Returns one row per group: (group…, n, k, threshold) where
+    ``threshold`` keeps the score column's type.
+
+    Scale shape: one rank window per group key (groups numerous) + one
+    fold; NULL scores dropped (engines disagree on NULL sort order).
+    """
+    from pyspark.sql import Window
+
+    if not (0 < alpha_ppm < 1000000):
+        raise ValueError(f"alpha_ppm must be in (0, 1e6), got {alpha_ppm}")
+    keys = [group_col] if group_col else []
+    order = [F.col(score_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ranked = (
+        spread(df)
+        .filter(F.col(score_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    )
+    keep = 1000000 - alpha_ppm
+    k = F.expr(
+        f"greatest(least(((__n + 1) * {keep} + 999999) div 1000000, __n), 1)"
+    )
+    return (
+        ranked.withColumn("__k", k)
+        .groupBy(*keys)
+        .agg(
+            F.max("__n").cast("long").alias("n"),
+            F.max("__k").cast("long").alias("k"),
+            F.max(
+                F.when(F.col("__rn") == F.col("__k"), F.col(score_col))
+            ).alias("threshold"),
+        )
+    )
+
+
+def calibrate_isotonic(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    output_col: str = "calibrated",
+) -> DataFrame:
+    """Isotonic (monotone) probability calibration of a classifier
+    score against observed binary labels — the PAVA fit that turns
+    E128's raw NB scores (or any ranker output) into probabilities a
+    threshold can be set on, next to E148 (which DIAGNOSES calibration;
+    this one FIXES it) and E168 (which wraps it in a coverage
+    guarantee).
+
+    Spark-first: rides ``pyspark.ml.regression.IsotonicRegression``
+    (distributed parallel PAVA — per-partition pools merged on
+    ``boundaries``), then applies the fitted step function.  The fit is
+    deterministic for fixed data but its pooled boundaries are not
+    SQL-expressible (sequential pooling), so this is a rows-only tier;
+    the pytest gate twins it against a pure-Python PAVA on the same
+    data and pins monotonicity + bounded range.
+
+    Returns the input rows plus ``output_col`` (calibrated probability)
+    and a broadcastable model summary is avoided on purpose: the fitted
+    boundaries live in the returned plan only.
+
+    Scale shape: one fit pass (Spark ML's isotonic aggregates
+    per-partition pools; boundaries are bounded by distinct scores) +
+    one model.transform projection.  NULL scores/labels dropped.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    base = spread(df).filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    fit_in = VectorAssembler(
+        inputCols=[score_col], outputCol="__feat"
+    ).transform(
+        base.withColumn(score_col, F.col(score_col).cast("double")).withColumn(
+            "__lbl", F.col(label_col).cast("double")
+        )
+    )
+    model = IsotonicRegression(
+        featuresCol="__feat", labelCol="__lbl", predictionCol=output_col
+    ).fit(fit_in)
+    return model.transform(fit_in).drop("__feat", "__lbl")

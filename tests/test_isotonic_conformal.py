@@ -1,0 +1,88 @@
+"""Round-4 batch 16: isotonic calibration (E167, pure-Python PAVA twin)
+and split-conformal thresholds (E168)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import calibrate_isotonic, conformal_thresholds
+
+
+def _pava(points):
+    """Pure-Python pool-adjacent-violators on (x, y) pairs sorted by x;
+    returns the fitted value per input point (unit weights)."""
+    pts = sorted(points)
+    # each block: [sum_y, n, first_index, last_index]
+    blocks = []
+    for i, (_, y) in enumerate(pts):
+        blocks.append([float(y), 1, i, i])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][3] = b[3]
+    fitted = [0.0] * len(pts)
+    for s, n, lo, hi in blocks:
+        for i in range(lo, hi + 1):
+            fitted[i] = s / n
+    return {pts[i][0]: fitted[i] for i in range(len(pts))}
+
+
+class TestCalibrateIsotonic:
+    def test_matches_pava_twin_and_monotone(self, spark):
+        # distinct scores, deliberately violating monotonicity in spots
+        data = [
+            (1.0, 0), (2.0, 1), (3.0, 0), (4.0, 0), (5.0, 1),
+            (6.0, 1), (7.0, 0), (8.0, 1), (9.0, 1), (10.0, 1),
+        ]
+        df = spark.createDataFrame(data, ["score", "label"])
+        out = sorted(
+            (r["score"], r["calibrated"])
+            for r in calibrate_isotonic(df, "score", "label").collect()
+        )
+        want = _pava(data)
+        for x, yhat in out:
+            assert abs(yhat - want[x]) < 1e-9, (x, yhat, want[x])
+        ys = [y for _, y in out]
+        assert all(a <= b + 1e-12 for a, b in zip(ys, ys[1:]))  # monotone
+        assert all(0.0 <= y <= 1.0 for y in ys)  # pooled means of binary
+
+    def test_null_rows_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 1), (None, 0), (2.0, None)],
+            "score double, label int",
+        )
+        out = calibrate_isotonic(df, "score", "label").collect()
+        assert len(out) == 1 and out[0]["calibrated"] == 1.0
+
+
+class TestConformalThresholds:
+    def test_exact_rank_pick(self, spark):
+        # n=9 per group, alpha=0.1: k = ceil(10*0.9) = 9 -> max value
+        rows = [("a", float(v), v) for v in range(1, 10)]
+        rows += [("b", 5.0, 100 + i) for i in range(4)]  # ties, n=4 -> k=5->4
+        df = spark.createDataFrame(rows, ["g", "score", "id"])
+        out = {
+            r["g"]: (r["n"], r["k"], r["threshold"])
+            for r in conformal_thresholds(
+                df, "score", alpha_ppm=100000, group_col="g", id_col="id"
+            ).collect()
+        }
+        assert out["a"] == (9, 9, 9.0)
+        assert out["b"] == (4, 4, 5.0)  # k clamps to n
+
+    def test_global_and_low_alpha(self, spark):
+        df = spark.createDataFrame(
+            [(float(v), v) for v in range(1, 101)], ["score", "id"]
+        )
+        r = conformal_thresholds(
+            df, "score", alpha_ppm=500000, id_col="id"
+        ).collect()[0]
+        # k = ceil(101 * 0.5) = 51
+        assert (r["n"], r["k"], r["threshold"]) == (100, 51, 51.0)
+
+    def test_invalid_alpha(self, spark):
+        df = spark.createDataFrame([(1.0, 1)], ["score", "id"])
+        with pytest.raises(ValueError):
+            conformal_thresholds(df, "score", alpha_ppm=0)
