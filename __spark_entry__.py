@@ -2590,6 +2590,107 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(out, toks)
 
 
+def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS store (E149), ORACLE-checked via deterministic
+    replay: the token stream arrives as 3 micro-batches folded into the
+    merge-on-write counter store through the real foreachBatch path
+    (replay guard included); counter ADDs are order- and
+    batching-independent and the md5 family is engine-exact, so the
+    accumulated store point-queries hash-match the one-shot batch
+    sketch's oracle (same SQL as cms_tokens, aliased in oracle_sql)."""
+    import tempfile
+
+    from sparkplug_spark.functions.text import tokens_pd
+    from sparkplug_spark.operators import cms_estimate
+    from sparkplug_spark.streaming import streaming_cms_sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = lambda df: df.select(
+        F.explode(
+            F.filter(tokens_pd(F.col("text")), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkplug_scms_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        tok(docs.filter(F.col("doc_id") % 3 == i)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_cms_sketches(
+            stream, os.path.join(tmp, "store"), "token", depth=4, width=512
+        )
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.read.parquet(os.path.join(tmp, "store")).drop("__last_batch")
+    counts = tok(docs).groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    top = counts.orderBy(F.desc("true_count"), F.asc("token")).limit(50)
+    est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=512)
+    return top.join(est, "token").select(
+        "token",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).cast("long").alias("overcount"),
+    )
+
+
+def q_streaming_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram-sketch store (E110), ORACLE-checked via
+    deterministic replay: lineitem arrives as 3 micro-batches whose
+    per-(flag, status) bin counters ADD into the merge-on-write store
+    (order- and batching-independent), then the same rollup-percentile
+    read as the batch tier — hash-matching histogram_rollup's oracle
+    proves the streaming store lossless."""
+    import tempfile
+
+    from sparkplug_spark.operators import rollup_histogram_percentiles
+    from sparkplug_spark.streaming import streaming_histogram_sketches
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkplug_shist_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        li.filter(F.col("l_orderkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_histogram_sketches(
+            stream,
+            os.path.join(tmp, "store"),
+            ["l_returnflag", "l_linestatus"],
+            "l_extendedprice",
+            lo=0.0,
+            hi=105000.0,
+            bins=128,
+        )
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sk = spark.read.parquet(os.path.join(tmp, "store")).drop("__last_batch")
+    return rollup_histogram_percentiles(
+        sk, ["l_returnflag"], [50, 95, 99], lo=0.0, hi=105000.0, bins=128
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outliers: |price - median| > 3*MAD per order
     priority - lower-rank medians (integer pick, no interpolation) and
@@ -7040,6 +7141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_metrics": q_ranking_metrics,
         "mutual_information": q_mutual_information,
         "conformal_thresholds": q_conformal_thresholds,
+        "streaming_cms_replay": q_streaming_cms_replay,
+        "streaming_histogram_replay": q_streaming_histogram_replay,
         "streaming_rollup_replay": q_streaming_rollup_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
@@ -7069,6 +7172,12 @@ def oracle_sql() -> dict[str, str]:
     # the rule-suggestion bridge must reproduce impute_nulls EXACTLY —
     # same oracle by construction
     out["impute_rules"] = out["impute_nulls"]
+    # the streaming CMS store accumulates order-free integer adds with the
+    # same md5 family, so its replay must hash-match the one-shot sketch
+    out["streaming_cms_replay"] = out["cms_tokens"]
+    # same argument for the histogram-sketch store: bin-counter adds are
+    # order-free, so the replayed store must reproduce the batch rollup
+    out["streaming_histogram_replay"] = out["histogram_rollup"]
     return out
 
 
