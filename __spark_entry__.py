@@ -2598,6 +2598,10 @@ def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batching-independent and the md5 family is engine-exact, so the
     accumulated store point-queries hash-match the one-shot batch
     sketch's oracle (same SQL as cms_tokens, aliased in oracle_sql)."""
+    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # machinery exists for ORDER-SENSITIVE streaming state; this store folds
+    # by COMMUTATIVE integer adds and each append below is exactly one
+    # part-file, so batch order/boundaries cannot change the result.
     import tempfile
 
     from sparkplug_spark.functions.text import tokens_pd
@@ -2651,6 +2655,10 @@ def q_streaming_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order- and batching-independent), then the same rollup-percentile
     read as the batch tier — hash-matching histogram_rollup's oracle
     proves the streaming store lossless."""
+    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # machinery exists for ORDER-SENSITIVE streaming state; this store folds
+    # by COMMUTATIVE integer adds and each append below is exactly one
+    # part-file, so batch order/boundaries cannot change the result.
     import tempfile
 
     from sparkplug_spark.operators import rollup_histogram_percentiles
@@ -6392,7 +6400,10 @@ def _extension_oracles() -> dict[str, str]:
                          * ln(c::DOUBLE * n::DOUBLE
                               / (ca::DOUBLE * cb::DOUBLE))
                          * 1000000000.0 + 0.5)::BIGINT)::BIGINT AS mi
-              FROM p JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+              FROM p
+              JOIN ma ON p.a IS NOT DISTINCT FROM ma.a
+              JOIN mb ON p.b IS NOT DISTINCT FROM mb.b
+              CROSS JOIN t
             ),
             ha AS (
               SELECT count(*)::BIGINT AS n_a,
@@ -6648,7 +6659,7 @@ def _catprof_sql(table: str, col: str) -> str:
                    floor(ln(n_rows - n_nulls) * 1000000000.0 + 0.5)::BIGINT
                      - (s // (n_rows - n_nulls))
                  END AS entropy_nanonats
-          FROM s CROSS JOIN m
+          FROM s LEFT JOIN m ON true
         )"""
 
 
@@ -6789,6 +6800,10 @@ def q_streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     store alone.  The oracle aggregates raw events directly — the
     integer-adds store is order- and batching-independent, so the hash
     proves the streaming tier lossless."""
+    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # machinery exists for ORDER-SENSITIVE streaming state; this store folds
+    # by COMMUTATIVE integer adds and each append below is exactly one
+    # part-file, so batch order/boundaries cannot change the result.
     import tempfile
 
     from sparkplug_spark.operators import rollup_query

@@ -1524,7 +1524,14 @@ def weighted_sample_k(
     key = -F.log(u) / F.col(weight_col).cast("double")
     base = (
         spread(df)
-        .filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        # NULL ids hash to a NULL key, which Spark's ascending sort would
+        # place FIRST — handing them the top-k slots regardless of weight
+        # (and diverging from DuckDB's NULLS LAST).  No id, no ticket.
+        .filter(
+            F.col(id_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
         .withColumn("__key", key)
     )
     if group_col is not None:

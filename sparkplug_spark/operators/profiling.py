@@ -832,8 +832,13 @@ def feature_drift(
     empty buckets never divide by zero, and each per-bucket term
     ``(p − q)·ln(p/q)`` (always ≥ 0) is quantized to integer nano-nats
     before the exact BIGINT sum — the E137 discipline, so the report is
-    engine-reproducible.  Only buckets observed on at least one side are
-    emitted (unobserved buckets contribute exactly 0).
+    engine-reproducible.  The PSI is defined over buckets OBSERVED on at
+    least one side (only those rows are emitted): when the snapshots are
+    the same size an unobserved bucket's smoothed term is exactly 0
+    anyway, but with very different totals its p=1/(ta+B) vs q=1/(tb+B)
+    term would be nonzero — that term is excluded by this definition, so
+    compare like-sized snapshots when reading the sum against the
+    0.1/0.25 conventions.
 
     Returns (bucket, n_base, n_curr, psi_nanonats); total PSI = the
     column sum.
@@ -842,6 +847,10 @@ def feature_drift(
     (≤ bins+2 in-flight rows per task), totals ride a 1-row broadcast.
     NULLs are dropped (as in :func:`histogram`).
     """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not float(lo) < float(hi):
+        raise ValueError(f"need lo < hi, got lo={lo} hi={hi}")
     nano = lambda x: F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("long")
     width = (float(hi) - float(lo)) / bins
 
@@ -922,9 +931,18 @@ def mutual_information(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
     )
     d = lambda c: F.col(c).cast("double")
+    # null-safe joins: a NULL category is an ordinary value (the groupBys
+    # above keep it as a group), so its marginal must attach — a plain
+    # equi-join would silently drop NULL-keyed pairs from the MI sum
     joined = (
-        pairs.join(F.broadcast(ca), "__a")
-        .join(F.broadcast(cb), "__b")
+        pairs.join(
+            F.broadcast(ca.withColumnsRenamed({"__a": "__a2"})),
+            F.col("__a").eqNullSafe(F.col("__a2")),
+        )
+        .join(
+            F.broadcast(cb.withColumnsRenamed({"__b": "__b2"})),
+            F.col("__b").eqNullSafe(F.col("__b2")),
+        )
         .join(F.broadcast(total))
     )
     mi = joined.agg(

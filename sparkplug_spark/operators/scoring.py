@@ -321,22 +321,34 @@ def conformal_thresholds(
     Returns one row per group: (group…, n, k, threshold) where
     ``threshold`` keeps the score column's type.
 
-    Scale shape: one rank window per group key (groups numerous) + one
-    fold; NULL scores dropped (engines disagree on NULL sort order).
+    Scale shape: grouped tier = one rank window per group key (groups
+    numerous) + one fold; GLOBAL tier (``group_col=None``) rides
+    ``partitioning.global_row_numbers`` — range-distributed prefix
+    sums, never a single-partition window.  NULL scores dropped
+    (engines disagree on NULL sort order).
     """
     from pyspark.sql import Window
 
     if not (0 < alpha_ppm < 1000000):
         raise ValueError(f"alpha_ppm must be in (0, 1e6), got {alpha_ppm}")
     keys = [group_col] if group_col else []
-    order = [F.col(score_col)] + ([F.col(id_col)] if id_col else [])
-    w = Window.partitionBy(*keys).orderBy(*order)
-    ranked = (
-        spread(df)
-        .filter(F.col(score_col).isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
-    )
+    base = spread(df).filter(F.col(score_col).isNotNull())
+    if group_col is None:
+        # global tier: range-distributed prefix sums, never a
+        # single-partition window (the rank_normalize discipline)
+        from ..partitioning import global_row_numbers
+
+        order_cols = [score_col] + ([id_col] if id_col else [])
+        n_df = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        ranked = global_row_numbers(base, order_cols, rn_col="__rn").join(
+            F.broadcast(n_df)
+        )
+    else:
+        order = [F.col(score_col)] + ([F.col(id_col)] if id_col else [])
+        w = Window.partitionBy(*keys).orderBy(*order)
+        ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
     keep = 1000000 - alpha_ppm
     k = F.expr(
         f"greatest(least(((__n + 1) * {keep} + 999999) div 1000000, __n), 1)"
@@ -389,14 +401,15 @@ def calibrate_isotonic(
     base = spread(df).filter(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     )
+    # feature in a TEMP column: overwriting score_col with a double cast
+    # would change the caller's column type in the returned rows
     fit_in = VectorAssembler(
-        inputCols=[score_col], outputCol="__feat"
+        inputCols=["__score_d"], outputCol="__feat"
     ).transform(
-        base.withColumn(score_col, F.col(score_col).cast("double")).withColumn(
-            "__lbl", F.col(label_col).cast("double")
-        )
+        base.withColumn("__score_d", F.col(score_col).cast("double"))
+        .withColumn("__lbl", F.col(label_col).cast("double"))
     )
     model = IsotonicRegression(
         featuresCol="__feat", labelCol="__lbl", predictionCol=output_col
     ).fit(fit_in)
-    return model.transform(fit_in).drop("__feat", "__lbl")
+    return model.transform(fit_in).drop("__feat", "__lbl", "__score_d")

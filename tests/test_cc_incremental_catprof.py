@@ -529,3 +529,61 @@ class TestWeightedSampleKGrouped:
         # grouped draw is reproducible
         again = {r["doc_id"] for r in weighted_sample_k(df, 5, "w", group_col="src").collect()}
         assert again == {r["doc_id"] for r in per}
+
+
+class TestReviewHardening:
+    def test_mi_includes_null_category(self, spark):
+        import math
+
+        from sparkplug_spark.operators import mutual_information
+
+        def nano(x):
+            return math.floor(x * 1e9 + 0.5)
+
+        # NULL is a real category: b is fully determined by a (NULL<->v)
+        df = spark.createDataFrame(
+            [("x", "u")] * 3 + [(None, "v")] * 3, ["a", "b"]
+        )
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert r["n_pairs"] == 2 and r["n_a"] == 2
+        assert abs(r["mi_nanonats"] - nano(math.log(2))) <= 2
+
+    def test_weighted_sample_k_null_id_excluded(self, spark):
+        from sparkplug_spark.operators import weighted_sample_k
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (None, 1e12), (2, 1.0)], "doc_id long, w double"
+        )
+        ids = {r["doc_id"] for r in weighted_sample_k(df, 3, "w").collect()}
+        assert ids == {1, 2}  # the NULL id never wins, whatever its weight
+
+    def test_conformal_global_no_single_partition_window(self, spark):
+        from sparkplug_spark.operators import conformal_thresholds
+
+        df = spark.createDataFrame(
+            [(float(v), v) for v in range(1, 51)], ["score", "id"]
+        )
+        out = conformal_thresholds(df, "score", alpha_ppm=200000, id_col="id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        r = out.collect()[0]
+        assert (r["n"], r["k"]) == (50, 41)  # ceil(51*0.8) = 41
+        # the global tier must rank via range-distributed prefix sums —
+        # no Window node anywhere (the final 1-row scalar aggregate's
+        # SinglePartition exchange is inherent and carries only partials)
+        assert "Window" not in plan
+
+    def test_feature_drift_validation(self, spark):
+        from sparkplug_spark.operators import feature_drift
+
+        df = spark.createDataFrame([(1.0,)], ["v"])
+        with pytest.raises(ValueError):
+            feature_drift(df, df, "v", lo=0.0, hi=10.0, bins=0)
+        with pytest.raises(ValueError):
+            feature_drift(df, df, "v", lo=10.0, hi=10.0, bins=5)
+
+    def test_isotonic_preserves_score_type(self, spark):
+        from sparkplug_spark.operators import calibrate_isotonic
+
+        df = spark.createDataFrame([(1, 0), (2, 1), (3, 1)], "score int, label int")
+        out = calibrate_isotonic(df, "score", "label")
+        assert dict(out.dtypes)["score"] == "int"
