@@ -2590,6 +2590,17 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(out, toks)
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning curve (E169): exact pair/doc counts at
+    five candidate Jaccard thresholds from one prefix-filtered pass —
+    the evidence for choosing a near-dup threshold before a 100 TB
+    run."""
+    from sparkplug_spark.operators import dedup_threshold_curve
+
+    docs = _read(spark, sf_dir, "documents")
+    return dedup_threshold_curve(docs)
+
+
 def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS store (E149), ORACLE-checked via deterministic
     replay: the token stream arrives as 3 micro-batches folded into the
@@ -5441,6 +5452,44 @@ def _extension_oracles() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
         """,
+        "dedup_threshold_curve": f"""
+            {jaccard_cte},
+            e AS (SELECT doc_id,
+                         unnest(list_transform(sh, x -> (('0x' || substr(md5(x),1,15))::BIGINT))) AS s
+                  FROM d),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pj AS (
+              SELECT id_a, id_b,
+                     inter::DOUBLE / (sa.sz + sb.sz - inter) AS j
+              FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+            ),
+            th(threshold_ppm) AS (
+              VALUES (500000), (600000), (700000), (800000), (900000)
+            ),
+            m AS (
+              SELECT th.threshold_ppm, id_a, id_b FROM pj, th
+              WHERE j >= th.threshold_ppm / 1000000.0
+            )
+            SELECT th.threshold_ppm::BIGINT AS threshold_ppm,
+                   coalesce(p.n_pairs, 0)::BIGINT AS n_pairs,
+                   coalesce(dd.n_docs, 0)::BIGINT AS n_docs
+            FROM th
+            LEFT JOIN (SELECT threshold_ppm, count(*)::BIGINT AS n_pairs
+                       FROM m GROUP BY 1) p USING (threshold_ppm)
+            LEFT JOIN (SELECT threshold_ppm, count(*)::BIGINT AS n_docs
+                       FROM (SELECT DISTINCT threshold_ppm, id FROM (
+                               SELECT threshold_ppm, id_a AS id FROM m
+                               UNION ALL
+                               SELECT threshold_ppm, id_b AS id FROM m))
+                       GROUP BY 1) dd USING (threshold_ppm)
+        """,
         "cms_tokens": f"""
             WITH tok AS (
               SELECT unnest(list_filter({_sql_tokens('text')},
@@ -7158,6 +7207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_thresholds": q_conformal_thresholds,
         "streaming_cms_replay": q_streaming_cms_replay,
         "streaming_histogram_replay": q_streaming_histogram_replay,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
         "streaming_rollup_replay": q_streaming_rollup_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

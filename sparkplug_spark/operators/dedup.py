@@ -17,6 +17,8 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
@@ -53,6 +55,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dup_pairs",
     "cross_source_overlap",
+    "dedup_threshold_curve",
 ]
 
 
@@ -1020,3 +1023,71 @@ def jaccard_prefix_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return materialize_release(out, sh, release=release)
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    thresholds_ppm: Sequence[int] = (500000, 600000, 700000, 800000, 900000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Threshold-tuning curve for near-dup dedup: for each candidate
+    Jaccard threshold, how many EXACT pairs and how many distinct
+    documents a pass at that threshold would touch — the evidence table
+    for choosing E3/E4/E144's ``threshold`` before a 100 TB run (a
+    threshold picked blind either misses boilerplate or nukes
+    legitimate reuse; this shows the knee).
+
+    Pairs come from ONE :func:`jaccard_prefix_pairs` pass at
+    ``min(thresholds)`` (exact, no stop-key cap), then every threshold
+    is a filter over that bounded pair list — the corpus is scanned
+    once, the curve costs pairs·|thresholds| comparisons.  The
+    jaccard ratio is an IEEE quotient of exact BIGINTs (identical in
+    both engines), so the per-threshold counts are engine-exact.
+
+    Returns one row per threshold: (threshold_ppm, n_pairs, n_docs) —
+    zeros (not missing rows) where nothing clears the bar.
+    """
+    if not thresholds_ppm:
+        raise ValueError("thresholds_ppm must be non-empty")
+    if any(not (0 < t <= 1000000) for t in thresholds_ppm):
+        raise ValueError("thresholds must be ppm values in (0, 1e6]")
+    spark = df.sparkSession
+    lo = min(thresholds_ppm) / 1e6
+    pairs = jaccard_prefix_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=lo
+    ).select("id_a", "id_b", "jaccard")
+    th = F.broadcast(
+        spark.createDataFrame(
+            [(int(t),) for t in sorted(set(thresholds_ppm))],
+            "threshold_ppm long",
+        )
+    )
+    matched = pairs.join(
+        th,
+        F.col("jaccard")
+        >= F.col("threshold_ppm").cast("double") / F.lit(1e6),
+    ).persist()
+    n_pairs = matched.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        matched.select("threshold_ppm", F.col("id_a").alias("id"))
+        .unionAll(matched.select("threshold_ppm", F.col("id_b").alias("id")))
+        .distinct()
+        .groupBy("threshold_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    out = (
+        th.join(n_pairs, "threshold_ppm", "left")
+        .join(n_docs, "threshold_ppm", "left")
+        .select(
+            "threshold_ppm",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+    from ..caching import materialize_release
+
+    return materialize_release(out, matched)

@@ -86,3 +86,37 @@ class TestConformalThresholds:
         df = spark.createDataFrame([(1.0, 1)], ["score", "id"])
         with pytest.raises(ValueError):
             conformal_thresholds(df, "score", alpha_ppm=0)
+
+
+class TestDedupThresholdCurve:
+    def test_counts_monotone_and_exact(self, spark):
+        from sparkplug_spark.operators import dedup_threshold_curve
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),      # J=1.0 with 1
+            (3, "alpha beta gamma delta epsilon OMEGA"),     # high-J with 1,2
+            (4, "completely different words entirely here"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["threshold_ppm"]: (r["n_pairs"], r["n_docs"])
+            for r in dedup_threshold_curve(
+                df, thresholds_ppm=(500000, 900000, 1000000)
+            ).collect()
+        }
+        assert set(out) == {500000, 900000, 1000000}
+        # identical pair survives even at 1.0; zeros are rows, not gaps
+        assert out[1000000] == (1, 2)
+        # monotone: lower threshold can only add pairs/docs
+        assert out[500000][0] >= out[900000][0] >= out[1000000][0]
+        assert out[500000][1] >= out[900000][1] >= out[1000000][1]
+
+    def test_invalid_thresholds(self, spark):
+        from sparkplug_spark.operators import dedup_threshold_curve
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            dedup_threshold_curve(df, thresholds_ppm=())
+        with pytest.raises(ValueError):
+            dedup_threshold_curve(df, thresholds_ppm=(0,))
