@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 from sparkplug_spark.operators import (
+    conformal_thresholds,
     lexical_diversity,
     rank_normalize,
     readability_scores,
@@ -81,6 +82,17 @@ def main() -> None:
         f"selected {stats['n']} docs; mean blended score "
         f"{stats['mean_sel']:.0f} vs corpus {corpus_mean:.0f} "
         f"(PPS pulls the curriculum toward quality)"
+    )
+
+    # ---- ship gate: a distribution-free floor on the blended score -------
+    # the exact rank pick such that ~90% of corpus docs score <= threshold;
+    # anything ABOVE it is a defensible "top-decile quality" claim
+    gate = conformal_thresholds(
+        blended, "blend_ppm", alpha_ppm=100000, id_col="doc_id"
+    ).collect()[0]
+    print(
+        f"conformal gate: rank {gate['k']}/{gate['n']} -> "
+        f"blend_ppm threshold {gate['threshold']}"
     )
     spark.stop()
 
