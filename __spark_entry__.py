@@ -2590,6 +2590,18 @@ def q_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(out, toks)
 
 
+def q_suppress_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression (E170): the (lang, source) aggregate
+    release with every cell under k=5 rows dropped — statistical
+    disclosure control enforcing what the k-anonymity audit reports."""
+    from sparkplug_spark.operators import suppress_small_cells
+
+    docs = _read(spark, sf_dir, "documents")
+    return suppress_small_cells(
+        docs, ["lang", "source"], k=5, value_col="n_chars"
+    )
+
+
 def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup threshold-tuning curve (E169): exact pair/doc counts at
     five candidate Jaccard thresholds from one prefix-filtered pass —
@@ -5452,6 +5464,12 @@ def _extension_oracles() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
         """,
+        "suppress_cells": """
+            SELECT lang, source, count(*)::BIGINT AS n,
+                   sum(floor(n_chars * 1000000.0 + 0.5)::BIGINT)::BIGINT
+                     AS sum_micros
+            FROM documents GROUP BY lang, source HAVING count(*) >= 5
+        """,
         "dedup_threshold_curve": f"""
             {jaccard_cte},
             e AS (SELECT doc_id,
@@ -7208,6 +7226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms_replay": q_streaming_cms_replay,
         "streaming_histogram_replay": q_streaming_histogram_replay,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "suppress_cells": q_suppress_cells,
         "streaming_rollup_replay": q_streaming_rollup_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays

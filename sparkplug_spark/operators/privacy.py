@@ -22,7 +22,9 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["k_anonymity_report", "pseudonymize"]
+from ..partitioning import spread
+
+__all__ = ["k_anonymity_report", "pseudonymize", "suppress_small_cells"]
 
 
 def k_anonymity_report(
@@ -115,3 +117,55 @@ def pseudonymize(
             c, F.when(F.col(c).isNotNull(), token)
         )
     return out
+
+
+def suppress_small_cells(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 5,
+    value_col: str | None = None,
+    metrics: "Observation | None" = None,
+) -> DataFrame:
+    """Small-cell suppression for aggregate RELEASE: group, aggregate,
+    and DROP every cell backed by fewer than ``k`` rows — the standard
+    statistical-disclosure control (census/health-data practice) that
+    ENFORCES what :func:`k_anonymity_report` audits.  A released cell
+    with n < k lets an attacker with partial knowledge isolate
+    individuals; suppressing it costs the consumer one sparse cell.
+
+    Emits (group_cols…, n, sum_micros?) for surviving cells;
+    ``sum_micros`` (exact once-quantized integer micros of
+    ``value_col``) appears only when a value column is given.  Per the
+    repo's no-silent-caps rule, pass a ``pyspark.sql.Observation`` as
+    ``metrics`` to receive ``suppressed_cells`` and ``suppressed_rows``
+    counts — fired as a DEDICATED noop query (the observe_dropped
+    pattern: an observe node on the release side could be pruned
+    exactly when everything was suppressed).
+
+    Scale shape: one map-side-combinable groupBy; the suppression is a
+    post-aggregate filter over cells, never a second pass over rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("sum_micros")
+        )
+    cells = spread(df).groupBy(*group_cols).agg(*aggs)
+    if metrics is not None:
+        from ..metrics import observe_dropped
+
+        observe_dropped(
+            cells.filter(F.col("n") < k),
+            metrics,
+            suppressed_cells=F.count(F.lit(1)),
+            suppressed_rows=F.sum("n"),
+        )
+    return cells.filter(F.col("n") >= k)

@@ -120,3 +120,42 @@ class TestDedupThresholdCurve:
             dedup_threshold_curve(df, thresholds_ppm=())
         with pytest.raises(ValueError):
             dedup_threshold_curve(df, thresholds_ppm=(0,))
+
+
+class TestSuppressSmallCells:
+    def test_suppression_and_metrics(self, spark):
+        from pyspark.sql import Observation
+
+        from sparkplug_spark.operators import suppress_small_cells
+
+        df = spark.createDataFrame(
+            [("a", 1.5)] * 5 + [("b", 2.0)] * 2 + [("c", 3.0)],
+            ["g", "v"],
+        )
+        obs = Observation("sup")
+        out = suppress_small_cells(df, ["g"], k=3, value_col="v", metrics=obs)
+        rows = {(r["g"], r["n"], r["sum_micros"]) for r in out.collect()}
+        assert rows == {("a", 5, 7500000)}
+        assert obs.get == {"suppressed_cells": 2, "suppressed_rows": 3}
+
+    def test_all_suppressed_reports_exact_zero_release(self, spark):
+        from pyspark.sql import Observation
+
+        from sparkplug_spark.operators import suppress_small_cells
+
+        df = spark.createDataFrame([("a", 1.0), ("b", 1.0)], ["g", "v"])
+        obs = Observation("sup0")
+        out = suppress_small_cells(df, ["g"], k=5, metrics=obs)
+        assert out.count() == 0
+        assert obs.get == {"suppressed_cells": 2, "suppressed_rows": 2}
+
+    def test_invalid_args(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import suppress_small_cells
+
+        df = spark.createDataFrame([("a", 1.0)], ["g", "v"])
+        with _pytest.raises(ValueError):
+            suppress_small_cells(df, [], k=3)
+        with _pytest.raises(ValueError):
+            suppress_small_cells(df, ["g"], k=0)
