@@ -3385,6 +3385,81 @@ def _extension_oracles() -> dict[str, str]:
         ) WHERE rn <= 50
     """
 
+    # url_filter: same regexes, same suffix table, same md5-race cap as
+    # sparkplug_spark/operators/urls.py — the parse itself is hash-checked
+    _url_suffixes = (
+        "'ac.uk','co.in','co.jp','co.kr','co.nz','co.uk','co.za',"
+        "'com.au','com.br','com.cn','com.mx','com.sg','com.tr',"
+        "'gov.uk','ne.jp','net.au','or.jp','org.au','org.uk'"
+    )
+    url_sql = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 11 = 0 THEN 'ftp://' ELSE 'https://' END)
+                 || (CASE WHEN doc_id % 13 = 0 THEN 'ads.'
+                          WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                 || source
+                 || (CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END)
+                 || '/' || lang || '/doc-' || doc_id::VARCHAR
+                 || (CASE WHEN doc_id % 5 = 0 THEN '?ref=' || lang ELSE '' END)
+                 AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 nullif(lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)), '') AS url_scheme,
+                 nullif(lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)', 1)),
+                   '') AS url_host,
+                 nullif(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')
+                   AS url_path,
+                 nullif(regexp_extract(url, '\?([^#]*)', 1), '') AS url_query
+          FROM u
+        ),
+        d AS (
+          SELECT *,
+                 CASE
+                   WHEN url_host IS NULL THEN NULL
+                   WHEN len(string_split(url_host, '.')) >= 3
+                        AND array_to_string(list_slice(
+                              string_split(url_host, '.'),
+                              len(string_split(url_host, '.')) - 1,
+                              len(string_split(url_host, '.'))), '.')
+                            IN (__SUFFIXES__)
+                     THEN array_to_string(list_slice(
+                            string_split(url_host, '.'),
+                            len(string_split(url_host, '.')) - 2,
+                            len(string_split(url_host, '.'))), '.')
+                   WHEN len(string_split(url_host, '.')) >= 2
+                     THEN array_to_string(list_slice(
+                            string_split(url_host, '.'),
+                            len(string_split(url_host, '.')) - 1,
+                            len(string_split(url_host, '.'))), '.')
+                   ELSE url_host
+                 END AS url_domain
+          FROM p
+        ),
+        f AS (
+          SELECT * FROM d
+          WHERE url_domain IS NOT NULL
+            AND url_scheme IN ('http', 'https')
+            AND url_domain NOT IN ('src2.com', 'src0.co.uk')
+            AND NOT coalesce(contains(lower(url_path), 'doc-9'), false)
+        )
+        SELECT doc_id, url, url_scheme, url_host, url_domain, url_path,
+               url_query, rn AS domain_rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY url_domain
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),1,15))::BIGINT,
+                            doc_id
+                 ) AS rn
+          FROM f
+        ) WHERE rn <= 60
+    """.replace("__SUFFIXES__", _url_suffixes)
+
     jaccard_cte = f"""
         WITH d AS (
           SELECT doc_id, {shingles} AS sh
@@ -3852,6 +3927,7 @@ def _extension_oracles() -> dict[str, str]:
         "decontaminate": decontaminate_sql,
         "decontaminate_bloom": decontaminate_sql,
         "sample_per_key": sample_sql,
+        "url_filter": url_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -7033,6 +7109,46 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_fertility(docs)
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL pipeline (E171): synthesize deterministic URLs from
+    the documents table, parse scheme/host/eTLD+1/path/query with portable
+    regex+array expressions (no ``parse_url``, no UDF), drop blocked
+    domains / schemes / path tokens, then cap each registered domain's
+    contribution with the md5-race window.  The oracle re-derives every
+    field with the identical expressions, so parse semantics are
+    value-hash-checked cross-engine."""
+    from sparkplug_spark.operators import cap_per_domain, filter_urls
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 11 == 0, F.lit("ftp://")).otherwise(F.lit("https://")),
+            F.when(did % 13 == 0, F.lit("ads."))
+            .when(did % 3 == 0, F.lit("www."))
+            .otherwise(F.lit("")),
+            F.col("source"),
+            F.when(did % 7 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/"),
+            F.col("lang"),
+            F.lit("/doc-"),
+            did.cast("string"),
+            F.when(did % 5 == 0, F.concat(F.lit("?ref="), F.col("lang")))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    kept = filter_urls(
+        urls,
+        block_domains=["src2.com", "src0.co.uk"],
+        block_path_tokens=["doc-9"],
+    )
+    return cap_per_domain(kept, cap=60).select(
+        "doc_id", "url", "url_scheme", "url_host", "url_domain",
+        "url_path", "url_query", "domain_rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -7145,6 +7261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": q_token_drift,
         "skew_report": q_skew_report,
         "strip_markup": q_strip_markup,
+        "url_filter": q_url_filter,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

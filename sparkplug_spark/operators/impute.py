@@ -173,6 +173,7 @@ def suggest_fill_rules(
     by: Sequence[str] = (),
     name_prefix: str = "fill",
     version: str = "v1",
+    max_groups: int = 10_000,
 ):
     """Turn per-group statistical fills into DECLARATIVE rules — the
     bridge from :func:`impute_nulls` (learn the fill from data) to the
@@ -188,14 +189,32 @@ def suggest_fill_rules(
     artifacts that survive the dataset they were learned from.
 
     The fill tables are tiny (one row per group) — collecting them to the
-    driver is the point: rules are driver-side objects.  ``"mean"`` is
+    driver is the point: rules are driver-side objects.  That only holds
+    while the group cardinality is bounded, so a ``count()`` pre-check
+    fails loudly above ``max_groups`` (default 10k) instead of letting a
+    high-cardinality ``by`` key OOM the driver.  ``"mean"`` is
     rejected (float literals round-trip through rule text; medians and
     modes are values that exist in the data)."""
     from ..models import PlugAction, PlugRule
 
     if not strategies:
         raise ValueError("strategies must be non-empty")
+    if max_groups <= 0:
+        raise ValueError("max_groups must be positive")
     by = list(by)
+    if by:
+        # One count() against the distinct group keys before ANY per-column
+        # fill table is collected: a rule set is a reviewable artifact, and
+        # nobody reviews a million rules — fail loudly, don't OOM the driver.
+        n_groups = df.select(*by).distinct().count()
+        if n_groups > max_groups:
+            raise ValueError(
+                f"suggest_fill_rules: {n_groups} distinct groups for "
+                f"by={by} exceeds max_groups={max_groups}; a rule per group "
+                "would not be a reviewable rule set (and collecting the fill "
+                "table could exhaust driver memory). Coarsen the grouping or "
+                "raise max_groups explicitly."
+            )
     rules = []
     for col, strat in strategies.items():
         if isinstance(strat, tuple):

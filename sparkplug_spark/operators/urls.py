@@ -1,0 +1,186 @@
+"""Web-corpus URL operators: URL parsing, registered-domain extraction,
+blocklist filtering, and per-domain capping.
+
+Every crawl-derived pipeline (C4, RefinedWeb, Gopher's MassiveWeb) starts
+here: group pages by the *registered domain* (eTLD+1 — ``news.bbc.co.uk``
+and ``www.bbc.co.uk`` are both ``bbc.co.uk``), drop blocked domains and
+disallowed schemes, then cap each domain's contribution so one mirror
+farm can't dominate the corpus mixture.
+
+Design (100 TB):
+- Parsing is pure ``regexp_extract`` + array ops — a narrow codegen'd
+  projection, no UDF, no shuffle, and expressible identically in ANSI SQL
+  (the oracle re-derives every field with the same regexes, so the parse
+  semantics themselves are value-hash-checked cross-engine).  We avoid
+  ``parse_url`` deliberately: it is JVM-``java.net.URL`` behavior that no
+  other engine reproduces bit-for-bit.
+- The public-suffix handling is a deliberately SMALL multi-label suffix
+  table (the common ccTLD second-level registries), compiled into the
+  expression as a literal ``IN`` list — a full Mozilla PSL would be a
+  broadcast-joined dimension table; the composition point is the same.
+- Blocklist filtering is a literal ``IN`` filter for driver-held lists
+  (the normal case: curated lists of 1e2-1e5 domains fit in the plan /
+  a broadcast); per-domain caps reuse :func:`sample_per_key`'s
+  deterministic md5-race window — one shuffle on the domain.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+
+__all__ = [
+    "MULTI_LABEL_SUFFIXES",
+    "extract_url_parts",
+    "filter_urls",
+    "cap_per_domain",
+]
+
+#: Common multi-label public suffixes (second-level registries).  A row's
+#: registered domain keeps THREE labels when its last two labels match one
+#: of these, else two.  Deliberately small and frozen so the oracle SQL can
+#: embed the identical list; swap in the full PSL as a broadcast dim table
+#: if you need exhaustive ccTLD coverage.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+    "gov.uk", "ne.jp", "net.au", "or.jp", "org.au", "org.uk",
+)
+
+# Scheme / host / path / query regexes.  Kept RE2-simple (no lookarounds)
+# so Spark's regexp_extract and DuckDB's regexp_extract agree; group 1 is
+# the captured field in each.
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+# host: after scheme + optional userinfo, up to :port, /path, ?query or #frag
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)"
+# path: the first /-rooted run after the authority
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _registered_domain(
+    host: Column, suffixes: Sequence[str]
+) -> Column:
+    """eTLD+1 from a lowercased host via label slicing (no UDF)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    return (
+        F.when((n >= 3) & last2.isin(*suffixes), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def extract_url_parts(
+    df: DataFrame,
+    url_col: str = "url",
+    suffixes: Sequence[str] = MULTI_LABEL_SUFFIXES,
+    prefix: str = "url_",
+) -> DataFrame:
+    """Add ``{prefix}scheme/host/domain/path/query`` columns parsed from
+    ``url_col``.  Pure projection (regexp + array ops): no shuffle, stays
+    inside whole-stage codegen, and the identical expressions run on any
+    ANSI engine — parse semantics are oracle-checked, not
+    ``java.net.URL``-defined.
+
+    ``{prefix}host`` is lowercased with port/userinfo stripped;
+    ``{prefix}domain`` is the registered domain (eTLD+1 under the
+    compiled-in ``suffixes`` table); empty captures become NULL (a URL
+    with no ``://`` parses to all-NULL parts, letting callers quarantine
+    malformed rows with one ``IS NULL`` filter)."""
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    empty_null = lambda c: F.when(c != "", c)  # noqa: E731
+    host = empty_null(host)
+    return df.select(
+        "*",
+        empty_null(F.lower(F.regexp_extract(url, _SCHEME_RE, 1))).alias(
+            f"{prefix}scheme"
+        ),
+        host.alias(f"{prefix}host"),
+        F.when(
+            host.isNotNull(), _registered_domain(host, suffixes)
+        ).alias(f"{prefix}domain"),
+        empty_null(F.regexp_extract(url, _PATH_RE, 1)).alias(f"{prefix}path"),
+        empty_null(F.regexp_extract(url, _QUERY_RE, 1)).alias(f"{prefix}query"),
+    )
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    block_domains: Iterable[str] = (),
+    allow_schemes: Iterable[str] = ("http", "https"),
+    block_path_tokens: Iterable[str] = (),
+    suffixes: Sequence[str] = MULTI_LABEL_SUFFIXES,
+    prefix: str = "url_",
+) -> DataFrame:
+    """Keep rows whose URL parses, whose scheme is allowed, whose
+    registered domain is NOT in ``block_domains``, and whose path contains
+    none of ``block_path_tokens`` (case-insensitive substring, the C4
+    "bad-words in URL" rule).  Adds the parsed ``{prefix}*`` columns.
+
+    One codegen'd filter — blocklists are driver-held literals (curated
+    lists are small); for a multi-million-row blocklist join on
+    ``{prefix}domain`` against a broadcast table instead."""
+    block_domains = sorted({d.lower() for d in block_domains})
+    allow_schemes = sorted({s.lower() for s in allow_schemes})
+    block_path_tokens = sorted({t.lower() for t in block_path_tokens})
+    if not allow_schemes:
+        raise ValueError("allow_schemes must be non-empty")
+    out = (
+        df
+        if f"{prefix}domain" in df.columns
+        else extract_url_parts(df, url_col, suffixes=suffixes, prefix=prefix)
+    )
+    keep = (
+        F.col(f"{prefix}domain").isNotNull()
+        & F.col(f"{prefix}scheme").isin(*allow_schemes)
+    )
+    if block_domains:
+        keep &= ~F.col(f"{prefix}domain").isin(*block_domains)
+    for tok in block_path_tokens:
+        keep &= ~F.coalesce(
+            F.lower(F.col(f"{prefix}path")).contains(tok), F.lit(False)
+        )
+    return out.filter(keep)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    cap: int = 1000,
+    id_col: str = "doc_id",
+    suffixes: Sequence[str] = MULTI_LABEL_SUFFIXES,
+    prefix: str = "url_",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per registered domain, chosen by the
+    deterministic md5-race order (same discipline as
+    :func:`~.cleaning.sample_per_key`): reproducible across engines,
+    runs, and partitionings, unbiased w.r.t. storage order.  Adds the
+    parsed ``{prefix}*`` columns plus ``domain_rank``.
+
+    One shuffle on the domain.  At crawl scale domains are the canonical
+    skew key (one CDN hostname can be 1% of the corpus) — the window
+    shuffle is bounded by ``cap`` rows retained per key, and AQE's skew
+    split handles the read side; rows beyond the cap are filtered before
+    any downstream wide column is carried."""
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    out = (
+        df
+        if f"{prefix}domain" in df.columns
+        else extract_url_parts(df, url_col, suffixes=suffixes, prefix=prefix)
+    )
+    order = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(f"{prefix}domain").orderBy(order, F.col(id_col))
+    return (
+        out.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+    )

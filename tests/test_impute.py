@@ -144,6 +144,24 @@ class TestSuggestFillRules:
         with _pytest.raises(ValueError, match="backtick"):
             suggest_fill_rules(df, {"v": ("const", "has ` tick")})
 
+    def test_group_cardinality_guard(self, spark):
+        import pytest as _pytest
+
+        from sparkplug_spark.operators import suggest_fill_rules
+
+        df = spark.range(50).selectExpr(
+            "id", "cast(id as string) as g", "id as v",
+        )
+        with _pytest.raises(ValueError, match="exceeds max_groups"):
+            suggest_fill_rules(df, {"v": "median"}, by=("g",), max_groups=10)
+        with _pytest.raises(ValueError, match="positive"):
+            suggest_fill_rules(df, {"v": "median"}, by=("g",), max_groups=0)
+        # Under the bound it still works.
+        rules = suggest_fill_rules(
+            df, {"v": "median"}, by=("g",), max_groups=50
+        )
+        assert len(rules) == 50
+
     def test_suggested_rules_pass_engine_validation(self, spark):
         from sparkplug_spark.operators import suggest_fill_rules
         from sparkplug_spark.validation import validate_rules

@@ -1,0 +1,96 @@
+"""URL operators: parse fields, registered domain, blocklist filter,
+per-domain cap determinism."""
+
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    cap_per_domain,
+    extract_url_parts,
+    filter_urls,
+)
+
+
+def _parts(spark, url):
+    df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+    r = extract_url_parts(df).collect()[0]
+    return (r["url_scheme"], r["url_host"], r["url_domain"],
+            r["url_path"], r["url_query"])
+
+
+class TestExtractUrlParts:
+    def test_full_url(self, spark):
+        assert _parts(
+            spark, "https://user:pw@News.BBC.co.uk:8080/world/uk?id=3&x=1#frag"
+        ) == ("https", "news.bbc.co.uk", "bbc.co.uk", "/world/uk", "id=3&x=1")
+
+    def test_plain_com(self, spark):
+        assert _parts(spark, "http://www.example.com/a") == (
+            "http", "www.example.com", "example.com", "/a", None)
+
+    def test_bare_host_no_path(self, spark):
+        assert _parts(spark, "https://example.com") == (
+            "https", "example.com", "example.com", None, None)
+
+    def test_single_label_host(self, spark):
+        assert _parts(spark, "http://localhost:9000/x") == (
+            "http", "localhost", "localhost", "/x", None)
+
+    def test_malformed_is_all_null(self, spark):
+        assert _parts(spark, "not a url") == (None, None, None, None, None)
+
+    def test_multi_label_suffix_exact(self, spark):
+        # host IS an eTLD+1 under a 2-label suffix: keeps all 3 labels
+        assert _parts(spark, "https://bbc.co.uk/")[2] == "bbc.co.uk"
+
+
+class TestFilterUrls:
+    def test_blocklist_scheme_and_path(self, spark):
+        rows = [
+            (1, "https://good.com/a"),
+            (2, "https://ads.tracker.com/a"),      # blocked domain
+            (3, "ftp://good.com/a"),               # blocked scheme
+            (4, "https://good.com/casino-games"),  # blocked path token
+            (5, "garbage"),                        # unparseable
+            (6, "https://sub.good.com/fine"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = filter_urls(
+            df, block_domains=["tracker.com"],
+            block_path_tokens=["casino"],
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 6]
+        assert "url_domain" in out.columns
+
+    def test_empty_allow_schemes_rejected(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "https://a.com")],
+                                   "doc_id long, url string")
+        with pytest.raises(ValueError, match="allow_schemes"):
+            filter_urls(df, allow_schemes=[])
+
+
+class TestCapPerDomain:
+    def test_cap_and_determinism(self, spark):
+        rows = [(i, f"https://{'big' if i < 40 else 'small'}.com/p/{i}")
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = cap_per_domain(df, cap=10)
+        counts = {r["url_domain"]: r["n"] for r in
+                  out.groupBy("url_domain").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"big.com": 10, "small.com": 10}
+        # deterministic across partitionings
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in cap_per_domain(df.repartition(7), cap=10).collect()
+        )
+        assert a == b
+
+    def test_bad_cap(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "https://a.com")],
+                                   "doc_id long, url string")
+        with pytest.raises(ValueError, match="positive"):
+            cap_per_domain(df, cap=0)
