@@ -54,6 +54,7 @@ __all__ = [
     "PlugDetailsConfig",
     "PlugRuleValidationException",
     "apply_rule",
+    "apply_rule_reference_compat",
     "plug",
     "default_details_entry",
 ]
@@ -230,6 +231,141 @@ def apply_rule(
     return df.withColumns(updates)
 
 
+def apply_rule_reference_compat(
+    df: DataFrame,
+    rule: PlugRule,
+    details_column: str | None = None,
+    details_entry_builder: Callable[[PlugRule], Column] = default_details_entry,
+    keep_old_field: bool = False,
+    lenient: bool = False,
+) -> DataFrame:
+    """Apply ONE rule with the REFERENCE's exact mechanics — migration-parity
+    mode (``SparkPlug(compat="reference")``) for users porting live rule sets
+    from the Scala engine who need byte-for-byte identical output, quirks
+    included.
+
+    Reproduces the generated ``select *, <new cols>`` followed by the
+    per-action rename/drop fold (``SparkPlug.scala:98-102``,
+    ``PlugRule.scala:79-97``) using the same DataFrame operations, so the
+    documented quirks fall out structurally rather than being simulated:
+
+    - **Q1** (``PlugRule.scala:83-87`` vs ``:11,153``): the post-rename drop
+      uses the FULL dotted action key (``drop("price.min_<rule>_old")``, a
+      column that never exists), so struct actions leave a residual
+      ``<parent>_<rule>_old`` column even without ``keepOldField`` — and the
+      new value column moves to the END of the column order (it was appended
+      as ``<parent>_new`` and renamed in place).
+    - **Q2** (``PlugRule.scala:121``, README.md:143-159): two actions on the
+      same struct parent in one rule each emit their own
+      ``named_struct(...) AS <parent>_new``; the duplicate aliases then feed
+      a rename fold whose ``withColumnRenamed`` calls rename EVERY matching
+      column, so the parent column is destroyed exactly the way the
+      reference destroys it (no test covered the advertised case).
+    - Struct keys are limited to exactly TWO levels: the reference's
+      ``val Array(parent, child) = x.split('.')`` throws ``MatchError`` on
+      deeper keys (Q4, ``PlugRule.scala:107`` vs validation ``:146-151``);
+      here that surfaces as a ``ValueError`` naming the quirk instead of a
+      Scala stack trace.
+
+    The default engine (:func:`apply_rule`) fixes all of this; this path
+    exists so a migration can first prove output parity against the Scala
+    engine, then flip to ``compat="fixed"`` deliberately.  Per-rule analysis
+    cost matches the reference's per-rule temp-view codegen — this is a
+    migration aid, not the 100 TB path.
+    """
+    fields = build_fields_map(df.schema)
+    cond = F.expr(rule.condition)
+    new_cols: list[Column] = []
+    changed_preds: list[Column] = []
+    for action in rule.actions:
+        dt = fields.get(action.key)
+        if dt is None:
+            raise PlugRuleValidationException(
+                [
+                    PlugRuleValidationError(
+                        rule.name, f'Field "{action.key}" not found in the schema.'
+                    )
+                ]
+            )
+        try:
+            v = _value_column(action, dt, lenient)
+        except CoercionError:
+            raise PlugRuleValidationException(
+                [
+                    PlugRuleValidationError(
+                        rule.name,
+                        f'Value "{action.value}" cannot be assigned to '
+                        f"field {action.key}.",
+                    )
+                ]
+            ) from None
+        changed_preds.append(~F.col(action.key).eqNullSafe(v))
+        if "." in action.key:
+            parts = action.key.split(".")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"compat='reference' supports struct keys of exactly two "
+                    f"levels, got {action.key!r} (the Scala engine throws "
+                    "MatchError here — PlugRule.scala:107; use the default "
+                    "engine for N-level keys)"
+                )
+            parent, child = parts
+            parent_dt = fields[parent]
+            members = [
+                (
+                    F.when(cond, v).otherwise(F.col(action.key)).alias(f.name)
+                    if f.name == child
+                    else F.col(f"{parent}.{f.name}").alias(f.name)
+                )
+                for f in parent_dt.fields
+            ]
+            new_cols.append(
+                F.when(F.col(parent).isNull(), _null_of(parent_dt))
+                .otherwise(F.struct(*members))
+                .alias(f"{parent}_new")
+            )
+        else:
+            new_cols.append(
+                F.when(cond, v)
+                .otherwise(F.col(action.key))
+                .alias(f"{action.key}_new")
+            )
+
+    if details_column is not None:
+        changed = (
+            reduce(lambda a, b: a | b, changed_preds)
+            if changed_preds
+            else F.lit(False)
+        )
+        details = F.col(details_column)
+        new_cols.append(
+            F.when(
+                cond & changed,
+                F.concat(details, F.array(details_entry_builder(rule))),
+            )
+            .otherwise(details)
+            .alias(f"{details_column}_updated")
+        )
+
+    out = df.select("*", *new_cols)
+
+    # The reference's rename/drop fold (PlugRule.scala:79-97), operation for
+    # operation.  withColumnRenamed renames EVERY matching column — load-
+    # bearing for Q2.
+    for action in rule.actions:
+        uk = action.update_key
+        out = out.withColumnRenamed(uk, f"{uk}_{rule.name}_old")
+        out = out.withColumnRenamed(f"{uk}_new", uk)
+        if not keep_old_field:
+            # Q1: full dotted key — a no-op drop for struct actions
+            out = out.drop(f"{action.key}_{rule.name}_old")
+    if details_column is not None:
+        out = out.drop(details_column).withColumnRenamed(
+            f"{details_column}_updated", details_column
+        )
+    return out
+
+
 @dataclass(frozen=True)
 class SparkPlug:
     """Engine facade + builder (reference ``SparkPlug.scala:129-159``).
@@ -248,6 +384,10 @@ class SparkPlug:
     metrics_observation: Observation | None = None
     keep_old_field_enabled: bool = False
     lenient: bool = False
+    #: "fixed" (default) = the documented-deviation engine (Q1-Q4 repaired);
+    #: "reference" = byte-for-byte Scala-engine parity, quirks included
+    #: (see apply_rule_reference_compat) — for proving migration parity.
+    compat: str = "fixed"
 
     def __post_init__(self) -> None:
         # metrics need the details column to count changed rows; auto-enable
@@ -304,6 +444,13 @@ class SparkPlug:
     def keep_old_field(self) -> "SparkPlug":
         return replace(self, keep_old_field_enabled=True)
 
+    def with_compat(self, mode: str) -> "SparkPlug":
+        """``"fixed"`` (default) or ``"reference"`` (Scala-engine parity,
+        quirks Q1/Q2 reproduced — see :func:`apply_rule_reference_compat`)."""
+        if mode not in ("fixed", "reference"):
+            raise ValueError(f"compat must be 'fixed' or 'reference', got {mode!r}")
+        return replace(self, compat=mode)
+
     def create(self) -> "SparkPlug":
         """No-op for builder-API symmetry with the reference."""
         return self
@@ -332,6 +479,29 @@ class SparkPlug:
             self.spark.sparkContext.setCheckpointDir(self.checkpoint.checkpoint_dir)
 
         out = self._pre_process(df)
+
+        if self.compat == "reference":
+            # Migration-parity path: the reference re-analyzed per rule
+            # (temp view + codegen each step); so do we — no fields-map
+            # bookkeeping survives the rename dance anyway.
+            for i, rule in enumerate(rules):
+                out = apply_rule_reference_compat(
+                    out,
+                    rule,
+                    details_column=(
+                        self.plug_details.column if self.plug_details else None
+                    ),
+                    details_entry_builder=(
+                        self.plug_details.entry_builder
+                        if self.plug_details
+                        else default_details_entry
+                    ),
+                    keep_old_field=self.keep_old_field_enabled,
+                    lenient=self.lenient,
+                )
+                out = self._repartition_and_checkpoint(out, i)
+            return self._observe_metrics(out, df)
+
         # ONE schema analysis for the whole fold: LITERAL rule writes never
         # change column types, so the dotted-path -> type map stays valid
         # across rules (per-rule df.schema calls re-analyze the growing
@@ -384,16 +554,19 @@ class SparkPlug:
                         stale.add(old)
             out = self._repartition_and_checkpoint(out, i)
 
-        if self.metrics_observation is not None and not df.isStreaming:
-            dc = self.plug_details.column
-            out = out.observe(
-                self.metrics_observation,
-                F.count(F.when(F.size(F.col(dc)) > 0, True)).alias("changed"),
-                F.count(F.lit(1)).alias("total"),
-            )
-        return out
+        return self._observe_metrics(out, df)
 
     # -- internals ----------------------------------------------------------
+    def _observe_metrics(self, out: DataFrame, source: DataFrame) -> DataFrame:
+        if self.metrics_observation is None or source.isStreaming:
+            return out
+        dc = self.plug_details.column
+        return out.observe(
+            self.metrics_observation,
+            F.count(F.when(F.size(F.col(dc)) > 0, True)).alias("changed"),
+            F.count(F.lit(1)).alias("total"),
+        )
+
     def _pre_process(self, df: DataFrame) -> DataFrame:
         if self.plug_details is None:
             return df
