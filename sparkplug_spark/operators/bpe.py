@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["train_bpe_merges", "apply_bpe"]
+__all__ = ["train_bpe_merges", "train_bpe_merges_from_counts", "apply_bpe"]
 
 _STRIP = re.compile(r"[^a-z0-9 ]")
 _SQUASH = re.compile(r" +")
@@ -72,6 +72,16 @@ def train_bpe_merges(
         for w in _words(r["t"]):
             if w:
                 word_freq[w] += 1
+    return train_bpe_merges_from_counts(word_freq, n_merges)
+
+
+def train_bpe_merges_from_counts(
+    word_freq, n_merges: int = 200
+) -> list[tuple[str, str]]:
+    """The merge-training loop over a prebuilt ``word -> count`` table.
+    Split out of :func:`train_bpe_merges` so an engine-independent caller
+    (e.g. the DuckDB oracle, which re-reads the same sample with its own
+    scan) trains the IDENTICAL tokenizer from its own word counts."""
     if not word_freq:
         raise ValueError("train_bpe_merges: empty sample (no words)")
     vocab = {_word_symbols(w): c for w, c in word_freq.items()}

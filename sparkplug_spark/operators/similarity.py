@@ -1370,10 +1370,56 @@ def semantic_dedup_against(
     )
 
 
+def _round_sig(a: np.ndarray, digits: int) -> np.ndarray:
+    """Round every entry to ``digits`` significant decimal digits via the
+    shortest-decimal path (format + parse), elementwise."""
+    flat = [float(f"{x:.{digits - 1}e}") for x in np.asarray(a, dtype=np.float64).ravel()]
+    return np.array(flat, dtype=np.float64).reshape(np.shape(a))
+
+
+def pca_basis_from_moments(
+    n: int,
+    s: np.ndarray,
+    ss: np.ndarray,
+    k: int,
+    quantize_sig: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Moments ``(n, Σx, Σxxᵀ)`` → ``(mean, components[k,d], evals[k])``.
+
+    Split out of :func:`pca_fit` so an engine-independent caller (the
+    DuckDB oracle recomputes the moments with its own scan) derives the
+    IDENTICAL basis: with ``quantize_sig`` set, mean and covariance are
+    rounded to that many significant digits BEFORE ``eigh``, so two
+    moment computations that differ only in float summation order (tree
+    vs sequential reduction) collapse to the same matrix — and the same
+    numpy then produces the same basis bit-for-bit."""
+    s = np.asarray(s, dtype=np.float64)
+    d = s.shape[0]
+    ss = np.asarray(ss, dtype=np.float64).reshape(d, d)
+    if k < 1 or k > d:
+        raise ValueError(f"k must be in [1, {d}]")
+    mean = s / n
+    # covariance from raw moments; population normalization (divide by n)
+    cov = ss / n - np.outer(mean, mean)
+    if quantize_sig is not None:
+        mean = _round_sig(mean, quantize_sig)
+        cov = _round_sig(cov, quantize_sig)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: the largest-|entry| coefficient is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
 def pca_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     k: int = 8,
+    quantize_sig: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """EXACT distributed PCA fit: one pass computes the full first and
     second moments (per-partition Arrow partials of ``(n, Σx, Σxxᵀ)``,
@@ -1426,20 +1472,7 @@ def pca_fit(
     s = np.sum([np.array(r["s"]) for r in parts], axis=0)
     d = s.shape[0]
     ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in parts], axis=0)
-    if k < 1 or k > d:
-        raise ValueError(f"k must be in [1, {d}]")
-    mean = s / n
-    # covariance from raw moments; population normalization (divide by n)
-    cov = ss / n - np.outer(mean, mean)
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals)[::-1][:k]
-    comps = evecs[:, order].T  # (k, d)
-    # deterministic sign: the largest-|entry| coefficient is positive
-    for i in range(comps.shape[0]):
-        j = int(np.argmax(np.abs(comps[i])))
-        if comps[i, j] < 0:
-            comps[i] = -comps[i]
-    return mean, comps, evals[order]
+    return pca_basis_from_moments(n, s, ss, k, quantize_sig=quantize_sig)
 
 
 def pca_project(
