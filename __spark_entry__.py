@@ -3622,6 +3622,112 @@ def _extension_oracles() -> dict[str, str]:
         ) WHERE rn <= 60
     """.replace("__SUFFIXES__", _url_suffixes)
 
+    # url_canonical: same synth variants, same canonicalization pieces
+    # (operators/urls.py::canonicalize_urls), same md5-race dup marking
+    url_canon_sql = r"""
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 4 = 0 THEN 'HTTP://WWW.'
+                       WHEN doc_id % 4 = 1 THEN 'http://'
+                       WHEN doc_id % 4 = 2 THEN 'https://www.'
+                       ELSE 'https://' END)
+                 || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+                 || '.com'
+                 || (CASE WHEN doc_id % 6 = 0 THEN ':80'
+                          WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END)
+                 || '/p/' || (doc_id % 97)::VARCHAR
+                 || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=t&b=' || lang
+                          WHEN doc_id % 5 = 1 THEN '?b=' || lang || '&a=1&fbclid=x'
+                          WHEN doc_id % 5 = 2 THEN '?a=1&b=' || lang
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS sch,
+                 regexp_replace(lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]*)', 1)),
+                   '^www\.', '') AS hst,
+                 regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]*:([0-9]+)',
+                   1) AS prt,
+                 regexp_replace(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),
+                   '/+$', '') AS pth,
+                 list_sort(list_filter(
+                   string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                   q -> q <> ''
+                        AND NOT starts_with(string_split(q, '=')[1], 'utm_')
+                        AND string_split(q, '=')[1] NOT IN
+                          ('fbclid','gclid','msclkid','mc_cid','mc_eid',
+                           'ref','igshid'))) AS params
+          FROM u
+        ),
+        c AS (
+          SELECT doc_id, url,
+                 CASE WHEN sch <> '' AND hst <> '' THEN
+                   sch || '://' || hst
+                   || (CASE WHEN prt = '' OR (sch = 'http' AND prt = '80')
+                                 OR (sch = 'https' AND prt = '443')
+                            THEN '' ELSE ':' || prt END)
+                   || pth
+                   || (CASE WHEN len(params) = 0 THEN ''
+                            ELSE '?' || array_to_string(params, '&') END)
+                 END AS url_canon
+          FROM p
+        )
+        SELECT doc_id, url, url_canon,
+               row_number() OVER (
+                 PARTITION BY ('0x' || substr(md5(url_canon),1,15))::BIGINT
+                 ORDER BY doc_id) > 1 AS is_dup
+        FROM c
+    """
+
+    # dedup_lines: same 4-token re-lining, same hash60 race keyed on the
+    # exact line, same keep-first (doc, idx) order as dedup_lines_global
+    dedup_lines_sql = """
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(coalesce(text, ''),
+                   '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ',
+                   '\\1' || chr(10), 'g') AS t
+          FROM documents
+        ),
+        ex AS (
+          SELECT doc_id,
+                 unnest(string_split(t, chr(10))) AS ln,
+                 unnest(range(1, len(string_split(t, chr(10))) + 1)) AS idx
+          FROM d
+        ),
+        drops AS (
+          SELECT doc_id, idx FROM (
+            SELECT doc_id, idx,
+                   row_number() OVER (
+                     PARTITION BY ('0x' || substr(md5(ln),1,15))::BIGINT
+                     ORDER BY doc_id, idx) AS rn
+            FROM ex
+          ) WHERE rn > 1
+        ),
+        kept AS (
+          SELECT ex.doc_id, ex.idx, ex.ln
+          FROM ex ANTI JOIN drops USING (doc_id, idx)
+        ),
+        agg AS (
+          SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text_clean,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               md5(coalesce(a.text_clean, '')) AS clean_md5,
+               CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(string_split(d.t, chr(10))) - coalesce(a.n_kept, 0)
+                 AS BIGINT) AS n_dropped
+        FROM d LEFT JOIN agg a USING (doc_id)
+    """
+
     jaccard_cte = f"""
         WITH d AS (
           SELECT doc_id, {shingles} AS sh
@@ -4090,6 +4196,8 @@ def _extension_oracles() -> dict[str, str]:
         "decontaminate_bloom": decontaminate_sql,
         "sample_per_key": sample_sql,
         "url_filter": url_sql,
+        "url_canonical": url_canon_sql,
+        "dedup_lines": dedup_lines_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -7311,6 +7419,70 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus exact LINE dedup (E172): documents are
+    re-lined every 4 tokens (the synthetic corpus is single-line), then
+    every repeated line survives only at its globally-first (doc, idx);
+    only (hash, doc, idx) triples shuffle in the race."""
+    from sparkplug_spark.operators import dedup_lines_global
+
+    docs = _read(spark, sf_dir, "documents")
+    relined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ",
+            "$1\n",
+        ).alias("text"),
+    )
+    out = dedup_lines_global(relined)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines",
+        "n_dropped",
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup-by-canonical-key (E173): messy crawl
+    variants (case noise, www, default ports, trailing slash, tracking
+    params, fragments, param order) fold to one canonical URL; an md5-race
+    then marks every non-first occurrence of a page as a duplicate."""
+    from pyspark.sql import Window
+
+    from sparkplug_spark.functions.text import hash60
+    from sparkplug_spark.operators import canonicalize_urls
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 4 == 0, F.lit("HTTP://WWW."))
+        .when(did % 4 == 1, F.lit("http://"))
+        .when(did % 4 == 2, F.lit("https://www."))
+        .otherwise(F.lit("https://")),
+        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".com"),
+        F.when(did % 6 == 0, F.lit(":80"))
+        .when(did % 6 == 3, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        (did % 97).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(F.lit("?utm_source=t&b="), F.col("lang")))
+        .when(did % 5 == 1, F.concat(F.lit("?b="), F.col("lang"), F.lit("&a=1&fbclid=x")))
+        .when(did % 5 == 2, F.concat(F.lit("?a=1&b="), F.col("lang")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    out = canonicalize_urls(docs.select("doc_id", url.alias("url")))
+    w = Window.partitionBy(hash60(F.col("url_canon"))).orderBy("doc_id")
+    return out.select(
+        "doc_id", "url", "url_canon",
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -7424,6 +7596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "strip_markup": q_strip_markup,
         "url_filter": q_url_filter,
+        "url_canonical": q_url_canonical,
+        "dedup_lines": q_dedup_lines,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

@@ -1269,6 +1269,78 @@ def dedup_substrings_global(
     return materialize_release(out, base, occ, release=release)
 
 
+def dedup_lines_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+) -> DataFrame:
+    """CROSS-document exact LINE dedup, keep-first-occurrence — the C4
+    three-sentence-span rule's line-level sibling (Raffel et al. 2020
+    removed any repeated span corpus-wide; line granularity is what most
+    web pipelines ship because boilerplate — nav bars, cookie banners,
+    license headers — repeats as whole lines).  Every line occurring at
+    2+ positions corpus-wide survives only at its globally-first
+    ``(doc_id, line_idx)``; other occurrences are deleted and each doc's
+    text is rebuilt from its surviving lines in order.
+
+    Lines shorter than ``min_chars`` never enter the race (single words
+    repeat legitimately; deleting them would shred grammar, the same
+    reason C4 bounded spans at three sentences).
+
+    Returns (id, text_clean, n_lines, n_dropped).
+
+    Scale shape (100 TB): the dedup race shuffles ONLY ``(hash60(line),
+    doc_id, line_idx)`` triples — never line text; the drop set (usually
+    the small side) joins back against a second narrow explode of the
+    base, and the only payload-carrying shuffle is the final per-doc
+    regroup, which any rebuild must pay.  Complements
+    :func:`dedup_substrings_global` (any-alignment token windows) and
+    :func:`remove_boilerplate_spans` (delete-everywhere spans)."""
+    if min_chars < 0:
+        raise ValueError("min_chars must be >= 0")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    ex = spread(df).select(
+        F.col(id_col), F.posexplode(lines).alias("__idx", "__line")
+    )
+    race = ex.filter(F.length("__line") >= min_chars).select(
+        id_col, "__idx", hash60(F.col("__line")).alias("__h")
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "__idx")
+    drops = (
+        race.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "__idx")
+    )
+    kept = ex.join(drops, [id_col, "__idx"], "left_anti")
+    out = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    n_lines = df.select(
+        F.col(id_col), F.size(lines).cast("long").alias("n_lines")
+    )
+    out = (
+        n_lines.join(out, id_col, "left")
+        .select(
+            id_col,
+            # a doc whose every line was dropped still exists, as empty text
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+    return out
+
+
 def importance_weights(
     df: DataFrame,
     target_filter: Column,

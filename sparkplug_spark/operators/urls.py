@@ -35,10 +35,18 @@ from ..functions.text import hash60
 
 __all__ = [
     "MULTI_LABEL_SUFFIXES",
+    "TRACKING_PARAMS",
     "extract_url_parts",
     "filter_urls",
     "cap_per_domain",
+    "canonicalize_urls",
 ]
+
+#: Query parameters that never change page content — stripped during
+#: canonicalization (any ``utm_``-prefixed name is stripped as well).
+TRACKING_PARAMS: tuple[str, ...] = (
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+)
 
 #: Common multi-label public suffixes (second-level registries).  A row's
 #: registered domain keeps THREE labels when its last two labels match one
@@ -150,6 +158,73 @@ def filter_urls(
             F.lower(F.col(f"{prefix}path")).contains(tok), F.lit(False)
         )
     return out.filter(keep)
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canon",
+    strip_www: bool = True,
+    tracking_params: Sequence[str] = TRACKING_PARAMS,
+) -> DataFrame:
+    """Add ``out_col`` with the canonical form of ``url_col`` — the key
+    every crawl dedup joins on (the same page arrives as ``http://WWW.
+    Example.com:80/a/?utm_source=x#frag`` and ``https://example.com/a``
+    from different seed lists; canonicalization folds the noise so exact
+    dedup can do the rest):
+
+    - scheme and host lowercased; ``www.`` prefix dropped (``strip_www``);
+      default ports (``:80`` http, ``:443`` https) removed, others kept
+    - fragment removed; trailing slashes trimmed from the path
+    - query parameters: any ``utm_``-prefixed name and every name in
+      ``tracking_params`` dropped; survivors SORTED and rejoined, so
+      param order cannot split a dedup group
+
+    Unparseable URLs (no ``://``) canonicalize to NULL.  Pure projection:
+    regex + array lambdas, no UDF, no shuffle — and the identical
+    expressions run on any ANSI engine, so the canonicalization itself is
+    value-hash-checkable.  Compose with
+    :func:`~.dedup.dedup_exact`-style races on ``out_col`` for the actual
+    page dedup."""
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/:?#]*:([0-9]+)", 1
+    )
+    path = F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), "/+$", "")
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    keep_params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~F.split(p, "=")[0].startswith("utm_")
+                & ~F.split(p, "=")[0].isin(*tracking_params),
+            )
+        ),
+        "&",
+    )
+    drop_port = (
+        (port == "")
+        | ((scheme == F.lit("http")) & (port == "80"))
+        | ((scheme == F.lit("https")) & (port == "443"))
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(drop_port, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(keep_params == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), keep_params)
+        ),
+    )
+    return df.withColumn(
+        out_col, F.when((scheme != "") & (host != ""), canon)
+    )
 
 
 def cap_per_domain(

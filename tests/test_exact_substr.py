@@ -66,3 +66,61 @@ class TestDedupSubstringsGlobal:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             dedup_substrings_global(df, window_tokens=0)
+
+
+class TestDedupLinesGlobal:
+    def _collect(self, spark, rows, **kw):
+        from sparkplug_spark.operators import dedup_lines_global
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in dedup_lines_global(df, **kw).collect()}
+
+    def test_keep_first_occurrence(self, spark):
+        out = self._collect(spark, [
+            (1, "alpha one\nshared line\nbeta"),
+            (2, "shared line\ngamma"),
+            (3, "delta\nshared line"),
+        ])
+        assert out[1]["text_clean"] == "alpha one\nshared line\nbeta"
+        assert out[2]["text_clean"] == "gamma"
+        assert out[3]["text_clean"] == "delta"
+        assert (out[1]["n_dropped"], out[2]["n_dropped"], out[3]["n_dropped"]) == (0, 1, 1)
+        assert out[2]["n_lines"] == 2
+
+    def test_within_doc_repeat(self, spark):
+        out = self._collect(spark, [(1, "x\nx\ny")])
+        assert out[1]["text_clean"] == "x\ny"
+        assert out[1]["n_dropped"] == 1
+
+    def test_min_chars_exempts_short_lines(self, spark):
+        out = self._collect(spark, [(1, "ok\nok\nlong enough line"),
+                                    (2, "long enough line")],
+                            min_chars=5)
+        assert out[1]["text_clean"] == "ok\nok\nlong enough line"
+        assert out[2]["text_clean"] == ""
+        assert out[2]["n_dropped"] == 1
+
+    def test_all_dropped_doc_survives_empty(self, spark):
+        out = self._collect(spark, [(1, "only line"), (2, "only line")])
+        assert out[2]["text_clean"] == ""
+        assert out[2]["n_lines"] == 1
+
+    def test_partitioning_invariance(self, spark):
+        from sparkplug_spark.operators import dedup_lines_global
+
+        rows = [(i, f"common\nuniq {i}\n{'even' if i % 2 == 0 else 'odd'}")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r["doc_id"]: r["text_clean"]
+             for r in dedup_lines_global(df).collect()}
+        b = {r["doc_id"]: r["text_clean"]
+             for r in dedup_lines_global(df.repartition(7)).collect()}
+        assert a == b
+        assert a[0] == "common\nuniq 0\neven"
+
+    def test_negative_min_chars_rejected(self, spark):
+        from sparkplug_spark.operators import dedup_lines_global
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dedup_lines_global(df, min_chars=-1)

@@ -94,3 +94,44 @@ class TestCapPerDomain:
                                    "doc_id long, url string")
         with pytest.raises(ValueError, match="positive"):
             cap_per_domain(df, cap=0)
+
+
+class TestCanonicalizeUrls:
+    def _canon(self, spark, url, **kw):
+        from sparkplug_spark.operators import canonicalize_urls
+
+        df = spark.createDataFrame([(1, url)], "doc_id long, url string")
+        return canonicalize_urls(df, **kw).collect()[0]["url_canon"]
+
+    def test_folds_noise(self, spark):
+        assert self._canon(
+            spark,
+            "HTTP://WWW.Example.com:80/a/b/?utm_source=x&z=2&a=1&fbclid=q#frag",
+        ) == "http://example.com/a/b?a=1&z=2"
+
+    def test_default_https_port_and_trailing_slash(self, spark):
+        assert self._canon(spark, "https://example.com:443/") == "https://example.com"
+
+    def test_nondefault_port_kept(self, spark):
+        assert self._canon(spark, "https://example.com:8443/x") == "https://example.com:8443/x"
+
+    def test_keep_www_option(self, spark):
+        assert self._canon(spark, "https://www.example.com/x", strip_www=False) == \
+            "https://www.example.com/x"
+
+    def test_unparseable_is_null(self, spark):
+        assert self._canon(spark, "not a url") is None
+
+    def test_same_page_same_key(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparkplug_spark.operators import canonicalize_urls
+
+        variants = [
+            (1, "http://WWW.shop.com/item/42?utm_campaign=a"),
+            (2, "http://shop.com:80/item/42/"),
+            (3, "http://shop.com/item/42#reviews"),
+        ]
+        df = spark.createDataFrame(variants, "doc_id long, url string")
+        out = canonicalize_urls(df).agg(F.countDistinct("url_canon").alias("n")).collect()
+        assert out[0]["n"] == 1
