@@ -3686,6 +3686,56 @@ def _extension_oracles() -> dict[str, str]:
         FROM c
     """
 
+    # skipgram_events: same leads, same symmetric union, same support cut
+    skipgram_sql = """
+        WITH l AS (
+          SELECT event_type AS item,
+                 lead(event_type, 1) OVER w AS l1,
+                 lead(event_type, 2) OVER w AS l2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        fwd AS (
+          SELECT item, l1 AS context FROM l WHERE l1 IS NOT NULL
+          UNION ALL
+          SELECT item, l2 AS context FROM l WHERE l2 IS NOT NULL
+        ),
+        sym AS (
+          SELECT item, context FROM fwd
+          UNION ALL
+          SELECT context AS item, item AS context FROM fwd
+        )
+        SELECT item, context, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM sym GROUP BY item, context HAVING count(*) >= 2
+    """
+
+    # vocab_coverage: same tokenizer, same top-20 (count desc, token asc)
+    # vocab, same exact integer ppm
+    vocab_cov_sql = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({toks}) AS token FROM documents
+        ),
+        tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        vocab AS (
+          SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC) AS r
+            FROM tk GROUP BY token
+          ) WHERE r <= 20
+        ),
+        per AS (
+          SELECT tk.doc_id, count(*) AS n_tokens,
+                 count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+          FROM tk LEFT JOIN vocab v USING (token) GROUP BY tk.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(coalesce(n_oov, 0) * 1000000 //
+                    greatest(coalesce(n_tokens, 0), 1) AS BIGINT) AS oov_ppm
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+
     # dedup_lines: same 4-token re-lining, same hash60 race keyed on the
     # exact line, same keep-first (doc, idx) order as dedup_lines_global
     dedup_lines_sql = """
@@ -4198,6 +4248,8 @@ def _extension_oracles() -> dict[str, str]:
         "url_filter": url_sql,
         "url_canonical": url_canon_sql,
         "dedup_lines": dedup_lines_sql,
+        "skipgram_events": skipgram_sql,
+        "vocab_coverage": vocab_cov_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -7483,6 +7535,34 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skipgram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style skip-gram pair counts from per-user event sequences
+    (E174): the training-pair table for item2vec-style embeddings, window
+    ±2, symmetric, min support 2 (one windowed shuffle on user_id + one
+    partial-aggregated pair count)."""
+    from sparkplug_spark.operators import skipgram_pairs
+
+    events = read_events(spark, sf_dir)
+    return skipgram_pairs(
+        events,
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        item_col="event_type",
+        window=2,
+        min_count=2,
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV-rate report against the top-20 corpus vocabulary
+    (E175): exact integer ppm, broadcast vocab, zero-token docs report
+    zeros."""
+    from sparkplug_spark.operators import vocab_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=20)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -7598,6 +7678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "url_canonical": q_url_canonical,
         "dedup_lines": q_dedup_lines,
+        "skipgram_events": q_skipgram_events,
+        "vocab_coverage": q_vocab_coverage,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

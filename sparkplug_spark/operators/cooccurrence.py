@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..caching import materialize_release
 
-__all__ = ["basket_pairs"]
+__all__ = ["basket_pairs", "skipgram_pairs"]
 
 
 def basket_pairs(
@@ -102,3 +102,64 @@ def basket_pairs(
     )
     # the filtered pair list is orders smaller than the (basket, item) set
     return materialize_release(out, bi, release=release)
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    key_cols: "list[str] | tuple[str, ...]" = ("user_id",),
+    order_cols: "list[str] | tuple[str, ...]" = ("ts", "event_id"),
+    item_col: str = "event_type",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Word2vec-style skip-gram co-occurrence counts over ordered per-key
+    sequences (Mikolov et al. 2013): for every position, each of the next
+    ``window`` items is a (center, context) pair, counted in BOTH
+    directions — the training-pair table an item2vec/embedding trainer
+    consumes, built from event streams instead of sentences.
+
+    ``order_cols`` must be a TOTAL order within each key (include a
+    unique id as tie-break — timestamps alone tie), else pair counts are
+    partition-order-dependent.
+
+    Output: (item, context, n_pairs BIGINT), ``n_pairs >= min_count``.
+
+    Scale shape: one shuffle on the key for the ordered window (all
+    ``window`` leads computed in a single Window node), a narrow
+    array-explode (no nulls cross it), then one partial-aggregated
+    groupBy on the pair — count state is |item vocab|², tiny.  Per-key
+    ordering means a hot key is a straggler, never a wrong answer (same
+    per-key-isolation contract as the sessionize family)."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    sel = df.select(*keys, *order_cols, F.col(item_col).alias("__item"))
+    with_leads = sel.select(
+        "__item",
+        *[
+            F.lead("__item", j).over(w).alias(f"__l{j}")
+            for j in range(1, window + 1)
+        ],
+    )
+    fwd = with_leads.select(
+        F.col("__item").alias("item"),
+        F.explode(
+            F.filter(
+                F.array(*[F.col(f"__l{j}") for j in range(1, window + 1)]),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("context"),
+    )
+    sym = fwd.union(
+        fwd.select(F.col("context").alias("item"), F.col("item").alias("context"))
+    )
+    return (
+        sym.groupBy("item", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )

@@ -25,6 +25,7 @@ from ..functions.text import (
 __all__ = [
     "text_stats",
     "build_vocab",
+    "vocab_coverage",
     "language_id",
     "text_fingerprints",
     "top_tokens",
@@ -889,3 +890,54 @@ def readability_scores(
         )
     )
     return out
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    vocab_size: int = 1000,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document vocabulary coverage / OOV-rate report — the gate a
+    tokenizer or frozen-vocab model check runs before training ("how much
+    of this corpus falls outside the vocab?").  Pass ``vocab`` (any
+    DataFrame with a ``token`` column, e.g. a shipped tokenizer's table or
+    :func:`build_vocab` output) to audit against a FROZEN vocabulary; by
+    default the top-``vocab_size`` corpus vocabulary is built in place.
+
+    Output: (id, n_tokens, n_oov, oov_ppm) — ``oov_ppm`` is the exact
+    integer ``n_oov·10⁶ div max(n_tokens, 1)``; zero-token docs report
+    (0, 0, 0) rather than dropping out.
+
+    Scale shape: the vocab is bounded (≤ ``vocab_size`` rows) and
+    BROADCAST — the corpus-side explode joins with zero shuffle of token
+    rows; the per-doc count is one partial-aggregated groupBy on the id.
+    """
+    if vocab is None:
+        vocab = build_vocab(
+            df, text_col=text_col, max_size=vocab_size, min_count=min_count
+        )
+    toks = (
+        spread(df)
+        .select(F.col(id_col), F.explode(tokens_pd(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("token", F.lit(True).alias("__in_vocab"))),
+        "token",
+        "left",
+    )
+    per = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("__in_vocab").isNull(), True)).alias("n_oov"),
+    )
+    return df.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.expr("coalesce(n_oov, 0) * 1000000 DIV greatest(coalesce(n_tokens, 0), 1)")
+        .cast("long")
+        .alias("oov_ppm"),
+    )

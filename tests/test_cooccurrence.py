@@ -85,3 +85,60 @@ class TestBlockedLink:
         df = spark.createDataFrame(rows, "id long, name string, b1 string")
         df = df.withColumn("b2", df.id % 2)  # differing second key
         assert blocked_link(df, "id", "name", ["b1", "b2"]).count() == 0
+
+
+class TestSkipgramPairs:
+    def _df(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # user 1: a b c d ; user 2: a c
+        for i, it in enumerate(["a", "b", "c", "d"]):
+            rows.append((i, 1, base + dt.timedelta(minutes=i), it))
+        for i, it in enumerate(["a", "c"]):
+            rows.append((10 + i, 2, base + dt.timedelta(minutes=i), it))
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+
+    def test_window2_counts(self, spark):
+        from sparkplug_spark.operators import skipgram_pairs
+
+        out = {(r["item"], r["context"]): r["n_pairs"]
+               for r in skipgram_pairs(self._df(spark), window=2).collect()}
+        # user1 fwd pairs: (a,b),(a,c),(b,c),(b,d),(c,d); user2: (a,c)
+        # symmetric doubles each
+        assert out[("a", "c")] == 2 and out[("c", "a")] == 2
+        assert out[("a", "b")] == 1 and out[("b", "a")] == 1
+        assert out[("c", "d")] == 1 and out[("d", "c")] == 1
+        assert ("a", "d") not in out  # distance 3 > window
+        total = sum(out.values())
+        assert total == 2 * (5 + 1)
+
+    def test_window1_is_bigram(self, spark):
+        from sparkplug_spark.operators import skipgram_pairs
+
+        out = {(r["item"], r["context"]): r["n_pairs"]
+               for r in skipgram_pairs(self._df(spark), window=1).collect()}
+        assert ("a", "c") in out  # user2 adjacency only
+        assert out[("a", "c")] == 1
+
+    def test_partitioning_invariance(self, spark):
+        from sparkplug_spark.operators import skipgram_pairs
+
+        df = self._df(spark)
+        a = sorted(map(tuple, skipgram_pairs(df, window=2).collect()))
+        b = sorted(map(tuple, skipgram_pairs(df.repartition(5), window=2).collect()))
+        assert a == b
+
+    def test_bad_args(self, spark):
+        import pytest
+
+        from sparkplug_spark.operators import skipgram_pairs
+
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            skipgram_pairs(df, window=0)
+        with pytest.raises(ValueError):
+            skipgram_pairs(df, min_count=0)

@@ -135,3 +135,27 @@ class TestCanonicalizeUrls:
         df = spark.createDataFrame(variants, "doc_id long, url string")
         out = canonicalize_urls(df).agg(F.countDistinct("url_canon").alias("n")).collect()
         assert out[0]["n"] == 1
+
+
+class TestVocabCoverage:
+    def test_oov_rates(self, spark):
+        from sparkplug_spark.operators import vocab_coverage
+
+        df = spark.createDataFrame(
+            [(1, "the the the rare"), (2, "the unique"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               vocab_coverage(df, vocab_size=1).collect()}
+        # vocab = {'the'} (top-1); doc1: 4 tokens 1 oov; doc2: 2 tokens 1 oov
+        assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_ppm"]) == (4, 1, 250000)
+        assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_ppm"]) == (2, 1, 500000)
+        assert (out[3]["n_tokens"], out[3]["n_oov"], out[3]["oov_ppm"]) == (0, 0, 0)
+
+    def test_frozen_vocab(self, spark):
+        from sparkplug_spark.operators import vocab_coverage
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+        out = vocab_coverage(df, vocab=vocab).collect()[0]
+        assert (out["n_tokens"], out["n_oov"]) == (3, 1)
