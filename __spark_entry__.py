@@ -3778,6 +3778,62 @@ def _extension_oracles() -> dict[str, str]:
         FROM d LEFT JOIN agg a USING (doc_id)
     """
 
+    # dedup_lines_incr: store = %3==0 docs' distinct line hashes; batch
+    # dedup = in-batch race UNION store semi-join; same hash60 everywhere
+    dedup_lines_incr_sql = """
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_replace(coalesce(text, ''),
+                   '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ',
+                   '\\1' || chr(10), 'g') AS t
+          FROM documents
+        ),
+        store AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5(unnest(string_split(t, chr(10)))),1,15))::BIGINT AS h
+          FROM d WHERE doc_id % 3 = 0
+        ),
+        ex AS (
+          SELECT doc_id,
+                 unnest(string_split(t, chr(10))) AS ln,
+                 unnest(range(1, len(string_split(t, chr(10))) + 1)) AS idx
+          FROM d WHERE doc_id % 3 <> 0
+        ),
+        hashed AS (
+          SELECT doc_id, idx, ln,
+                 ('0x' || substr(md5(ln),1,15))::BIGINT AS h
+          FROM ex
+        ),
+        drops AS (
+          SELECT doc_id, idx FROM (
+            SELECT doc_id, idx,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+            FROM hashed
+          ) WHERE rn > 1
+          UNION
+          SELECT doc_id, idx FROM hashed SEMI JOIN store USING (h)
+        ),
+        kept AS (
+          SELECT h.doc_id, h.idx, h.ln, h.h
+          FROM hashed h ANTI JOIN drops USING (doc_id, idx)
+        ),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(ln, chr(10) ORDER BY idx) AS text_clean,
+                 count(*) AS n_kept,
+                 list_sort(list_distinct(list(h))) AS hashes
+          FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               md5(coalesce(a.text_clean, '')) AS clean_md5,
+               CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(string_split(d.t, chr(10))) - coalesce(a.n_kept, 0)
+                 AS BIGINT) AS n_dropped,
+               md5(coalesce(array_to_string(a.hashes, ','), '')) AS hashes_md5
+        FROM d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id % 3 <> 0
+    """
+
     jaccard_cte = f"""
         WITH d AS (
           SELECT doc_id, {shingles} AS sh
@@ -4248,6 +4304,7 @@ def _extension_oracles() -> dict[str, str]:
         "url_filter": url_sql,
         "url_canonical": url_canon_sql,
         "dedup_lines": dedup_lines_sql,
+        "dedup_lines_incr": dedup_lines_incr_sql,
         "skipgram_events": skipgram_sql,
         "vocab_coverage": vocab_cov_sql,
         "pack_shards": pack_sql,
@@ -7563,6 +7620,42 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, vocab_size=20)
 
 
+def q_dedup_lines_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental line-dedup ingest (E176): docs with doc_id%3==0 play
+    the already-ingested corpus (their line hashes are the store); the
+    rest arrive as a new batch deduped against the store AND within
+    itself.  Only 8-byte hashes persist — never line text."""
+    from sparkplug_spark.operators import dedup_lines_against
+
+    docs = _read(spark, sf_dir, "documents")
+    relined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            r"([a-z0-9]+ [a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ",
+            "$1\n",
+        ).alias("text"),
+    )
+    from sparkplug_spark.functions.text import hash60
+
+    store = (
+        relined.filter(F.col("doc_id") % 3 == 0)
+        .select(F.explode(F.split("text", "\n")).alias("__line"))
+        .select(hash60(F.col("__line")).alias("line_hash"))
+        .distinct()
+    )
+    batch = relined.filter(F.col("doc_id") % 3 != 0)
+    out = dedup_lines_against(batch, store)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_lines",
+        "n_dropped",
+        F.md5(F.concat_ws(",", F.col("line_hashes").cast("array<string>")))
+        .alias("hashes_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -7678,6 +7771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "url_canonical": q_url_canonical,
         "dedup_lines": q_dedup_lines,
+        "dedup_lines_incr": q_dedup_lines_incr,
         "skipgram_events": q_skipgram_events,
         "vocab_coverage": q_vocab_coverage,
         "delegated_explode": q_delegated_explode,

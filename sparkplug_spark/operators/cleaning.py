@@ -1341,6 +1341,76 @@ def dedup_lines_global(
     return out
 
 
+def dedup_lines_against(
+    df: DataFrame,
+    seen_lines: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Incremental tier of :func:`dedup_lines_global` — the 100 TB
+    ingestion path: dedup a NEW batch's lines against a stored corpus
+    line-hash table (``seen_lines``: any DataFrame with a ``line_hash``
+    BIGINT column, e.g. a previous batch's ``line_hashes`` output) AND
+    within the batch itself, without touching the already-ingested corpus.
+
+    A line is dropped if its hash occurs in ``seen_lines`` (broadcast or
+    shuffled join by size — Spark/AQE decides) or earlier in this batch
+    (same keep-first ``(doc_id, idx)`` race as the global tier).
+
+    Returns (id, text_clean, n_lines, n_dropped, line_hashes
+    array<bigint>) — union ``explode(line_hashes)`` into the store for
+    the next batch; only 8-byte hashes persist, never line text."""
+    if min_chars < 0:
+        raise ValueError("min_chars must be >= 0")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    ex = spread(df).select(
+        F.col(id_col), F.posexplode(lines).alias("__idx", "__line")
+    )
+    eligible = ex.filter(F.length("__line") >= min_chars).select(
+        id_col, "__idx", hash60(F.col("__line")).alias("__h")
+    )
+    seen = seen_lines.select(F.col("line_hash").alias("__h")).distinct()
+    w = Window.partitionBy("__h").orderBy(id_col, "__idx")
+    in_batch_dups = (
+        eligible.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col, "__idx")
+    )
+    vs_store_dups = eligible.join(seen, "__h", "left_semi").select(
+        id_col, "__idx"
+    )
+    drops = in_batch_dups.union(vs_store_dups).distinct()
+    kept = ex.join(drops, [id_col, "__idx"], "left_anti")
+    out = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_sort(
+            F.array_distinct(F.collect_list(hash60(F.col("__line"))))
+        ).alias("line_hashes"),
+    )
+    n_lines = df.select(
+        F.col(id_col), F.size(lines).cast("long").alias("n_lines")
+    )
+    return n_lines.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.coalesce("line_hashes", F.array().cast("array<bigint>")).alias(
+            "line_hashes"
+        ),
+    )
+
+
 def importance_weights(
     df: DataFrame,
     target_filter: Column,

@@ -124,3 +124,70 @@ class TestDedupLinesGlobal:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             dedup_lines_global(df, min_chars=-1)
+
+
+class TestDedupLinesAgainst:
+    def test_batch_vs_store_and_within_batch(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparkplug_spark.functions.text import hash60
+        from sparkplug_spark.operators import dedup_lines_against
+
+        store = (
+            spark.createDataFrame([("old line",)], "line string")
+            .select(hash60(F.col("line")).alias("line_hash"))
+        )
+        batch = spark.createDataFrame(
+            [(10, "old line\nfresh a"), (11, "fresh a\nfresh b")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r
+               for r in dedup_lines_against(batch, store).collect()}
+        assert out[10]["text_clean"] == "fresh a"      # store dup dropped
+        assert out[11]["text_clean"] == "fresh b"      # in-batch dup dropped
+        assert out[10]["n_dropped"] == 1 and out[11]["n_dropped"] == 1
+        # store update hashes = kept lines only
+        assert len(out[10]["line_hashes"]) == 1
+        assert sorted(out[10]["line_hashes"] + out[11]["line_hashes"])
+
+    def test_matches_global_when_store_empty(self, spark):
+        from sparkplug_spark.operators import (
+            dedup_lines_against,
+            dedup_lines_global,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"common\nuniq {i}") for i in range(20)],
+            "doc_id long, text string",
+        )
+        empty = spark.createDataFrame([], "line_hash bigint")
+        a = {r["doc_id"]: (r["text_clean"], r["n_dropped"])
+             for r in dedup_lines_against(df, empty).collect()}
+        b = {r["doc_id"]: (r["text_clean"], r["n_dropped"])
+             for r in dedup_lines_global(df).collect()}
+        assert a == b
+
+    def test_two_batch_fold_equals_one_shot(self, spark):
+        # ingest batch1 then batch2 against batch1's store == global dedup
+        # of the concatenated corpus (the incremental contract)
+        from pyspark.sql import functions as F
+
+        from sparkplug_spark.operators import (
+            dedup_lines_against,
+            dedup_lines_global,
+        )
+
+        rows = [(i, f"shared\nonly {i % 7}") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        b1, b2 = df.filter("doc_id < 15"), df.filter("doc_id >= 15")
+        empty = spark.createDataFrame([], "line_hash bigint")
+        out1 = dedup_lines_against(b1, empty)
+        store = out1.select(
+            F.explode("line_hashes").alias("line_hash")
+        ).distinct()
+        out2 = dedup_lines_against(b2, store)
+        inc = {r["doc_id"]: r["text_clean"]
+               for r in out1.union(out2).collect()}
+        full = {r["doc_id"]: r["text_clean"]
+                for r in dedup_lines_global(df).collect()}
+        assert inc == full

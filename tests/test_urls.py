@@ -159,3 +159,40 @@ class TestVocabCoverage:
         vocab = spark.createDataFrame([("a",), ("b",)], "token string")
         out = vocab_coverage(df, vocab=vocab).collect()[0]
         assert (out["n_tokens"], out["n_oov"]) == (3, 1)
+
+
+class TestCanonicalizeProperties:
+    def test_idempotent(self, spark):
+        # canon(canon(x)) == canon(x): the canonical form is a fixed point
+        from pyspark.sql import functions as F
+
+        from sparkplug_spark.operators import canonicalize_urls
+
+        urls = [
+            "HTTP://WWW.A.com:80/x/?utm_a=1&b=2#f",
+            "https://b.co.uk:8443/p?z=1&a=2",
+            "ftp://weird.host/path",
+            "https://c.com/",
+        ]
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                                   "doc_id long, url string")
+        once = canonicalize_urls(df).select(
+            "doc_id", F.col("url_canon").alias("url"))
+        twice = canonicalize_urls(once)
+        bad = twice.filter(F.col("url") != F.col("url_canon")).collect()
+        assert bad == []
+
+    def test_cap_per_domain_uses_windowgrouplimit(self, spark):
+        # scale contract: the per-domain cap must push a partial top-k
+        # below the exchange (only <=cap rows per domain shuffle)
+        from sparkplug_spark.operators import cap_per_domain
+
+        df = spark.createDataFrame(
+            [(i, f"https://d{i % 3}.com/{i}") for i in range(30)],
+            "doc_id long, url string",
+        )
+        plan = (
+            cap_per_domain(df, cap=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan and "Partial" in plan
