@@ -3686,6 +3686,53 @@ def _extension_oracles() -> dict[str, str]:
         FROM c
     """
 
+    # image_dhash: the hash recomputed ARITHMETICALLY from the pixel
+    # formula (no binary parse needed oracle-side — uniform 2x2 blocks
+    # make the cross-multiplied compare a plain integer sum compare)
+    dhash_hash_cte = """
+        WITH px AS (
+          SELECT doc_id, y, x,
+                 ((doc_id % 25) * 7 + 3 * y + 5 * x) % 57 + 1
+                 + CASE WHEN doc_id >= 100 AND y < 2 AND x < 2
+                        THEN 60 ELSE 0 END AS v
+          FROM documents, range(0, 16) t1(y), range(0, 18) t2(x)
+          WHERE doc_id < 200
+        ),
+        cells AS (
+          SELECT doc_id, y // 2 AS gy, x // 2 AS gx, sum(v) AS s
+          FROM px GROUP BY doc_id, y // 2, x // 2
+        ),
+        bits AS (
+          SELECT l.doc_id, l.gy * 8 + l.gx AS k,
+                 CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS b
+          FROM cells l JOIN cells r
+            ON l.doc_id = r.doc_id AND l.gy = r.gy AND r.gx = l.gx + 1
+          WHERE l.gx < 8
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN k < 32
+                               THEN b::BIGINT << (31 - k) ELSE 0 END)
+                   AS BIGINT) AS dhash_hi,
+                 CAST(sum(CASE WHEN k >= 32
+                               THEN b::BIGINT << (63 - k) ELSE 0 END)
+                   AS BIGINT) AS dhash_lo
+          FROM bits GROUP BY doc_id
+        )
+    """
+    dhash_sql = dhash_hash_cte + """
+        SELECT doc_id, dhash_hi, dhash_lo FROM h
+    """
+    dhash_pairs_sql = dhash_hash_cte + """
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                    + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+                 AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    """
+
     # skipgram_events: same leads, same symmetric union, same support cut
     skipgram_sql = """
         WITH l AS (
@@ -4307,6 +4354,8 @@ def _extension_oracles() -> dict[str, str]:
         "dedup_lines_incr": dedup_lines_incr_sql,
         "skipgram_events": skipgram_sql,
         "vocab_coverage": vocab_cov_sql,
+        "image_dhash": dhash_sql,
+        "image_dhash_pairs": dhash_pairs_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -7656,6 +7705,50 @@ def q_dedup_lines_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dhash_test_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic P5 fixtures for the dHash queries: 18x16 grayscale,
+    pixel v = ((doc_id%25)*7 + 3y + 5x) % 57 + 1 (single-byte UTF-8 safe),
+    with docs >= 100 brightened by +60 in the top-left 2x2 block — so each
+    of the 25 pattern groups holds exact duplicates within a half and
+    hamming<=2 near-dups across halves."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    g = did % 25
+    cells = []
+    for y in range(16):
+        for x in range(18):
+            v = (g * 7 + F.lit(3 * y + 5 * x)) % 57 + 1
+            if y < 2 and x < 2:
+                v = v + F.when(did >= 100, F.lit(60)).otherwise(F.lit(0))
+            cells.append(F.chr(v.cast("int")))
+    payload = F.encode(F.concat(F.lit("P5\n18 16\n255\n"), *cells), "utf-8")
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (E177): REAL library-free netpbm decode →
+    exact-integer dHash (integral-image block sums, cross-multiplied
+    brighter-than bits) packed into two unsigned-32-bit halves.  The
+    oracle recomputes every bit arithmetically from the pixel formula —
+    a one-bit decode or packing error breaks the hash."""
+    from sparkplug_spark.operators import image_dhash
+
+    return image_dhash(_dhash_test_images(spark, sf_dir)).select(
+        "doc_id", "dhash_hi", "dhash_lo"
+    )
+
+
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs (E178): Manku 4x16-bit chunk equi-join
+    over the dHash halves, exact bit_count(xor) hamming filter <= 3 —
+    complete by pigeonhole, never all-pairs.  Oracle brute-forces the
+    same radius over its arithmetically-derived hashes."""
+    from sparkplug_spark.operators import dhash_pairs, image_dhash
+
+    hashes = image_dhash(_dhash_test_images(spark, sf_dir))
+    return dhash_pairs(hashes, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -7774,6 +7867,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_incr": q_dedup_lines_incr,
         "skipgram_events": q_skipgram_events,
         "vocab_coverage": q_vocab_coverage,
+        "image_dhash": q_image_dhash,
+        "image_dhash_pairs": q_image_dhash_pairs,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

@@ -44,6 +44,8 @@ __all__ = [
     "repartition_for_media",
     "encode_png_rgb8",
     "decode_image_features",
+    "image_dhash",
+    "dhash_pairs",
     "resize_images",
     "extract_audio_features",
     "sample_video_frames",
@@ -305,9 +307,9 @@ def _png_pixels_rgb(payload: bytes):
     return arr[:, :, :3]
 
 
-def _netpbm_arr(payload: bytes):
-    """netpbm P5/P6 raster as (h, w, ch) float in [0,1] (divided by the
-    header's maxval)."""
+def _netpbm_raw(payload: bytes):
+    """netpbm P5/P6 raster as the RAW (h, w, ch) uint8 array + maxval —
+    the exact-integer tier :func:`image_dhash` hashes on."""
     import numpy as np
 
     # netpbm: magic, whitespace/comment-separated width height maxval,
@@ -344,7 +346,16 @@ def _netpbm_arr(payload: bytes):
     if len(payload) - i < w * h * ch:
         raise NotImplementedError("netpbm raster shorter than header claims")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
-    return raster.reshape(h, w, ch).astype(np.float64) / float(maxval)
+    return raster.reshape(h, w, ch), maxval
+
+
+def _netpbm_arr(payload: bytes):
+    """netpbm P5/P6 raster as (h, w, ch) float in [0,1] (divided by the
+    header's maxval)."""
+    import numpy as np
+
+    raster, maxval = _netpbm_raw(payload)
+    return raster.astype(np.float64) / float(maxval)
 
 
 def _bmp_rows(payload: bytes):
@@ -1007,3 +1018,172 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=cols + ["frame_idx", "frame_ts_ms", "frame"])
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def _native_pixels_int(payload: bytes):
+    """Integer grayscale for perceptual hashing: netpbm stays in EXACT
+    raw integers (P5: the sample byte; P6: r+g+b — any monotone scale
+    works for dHash's brighter-than comparisons); other formats quantize
+    the float decode back to 0..255.  int64 (h, w)."""
+    import numpy as np
+
+    if payload is not None and len(payload) >= 2 and payload[:2] in (b"P5", b"P6"):
+        raster, _ = _netpbm_raw(payload)
+        return raster.astype(np.int64).sum(axis=2)
+    arr = _native_pixels(payload)
+    return np.floor(arr * 255.0 + 0.5).astype(np.int64)
+
+
+def image_dhash(
+    df: DataFrame,
+    image_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: tuple = (8, 9),
+) -> DataFrame:
+    """64-bit difference hash (dHash) per image — the perceptual
+    fingerprint web-scale image dedup races on (LAION-style pipelines
+    phash/dhash every image; near-identical crops/re-encodes land within
+    a few bits).  Library-free: the native decoders (netpbm/BMP/PNG/
+    JPEG/GIF) feed an EXACT integer pipeline — integral-image block sums,
+    brighter-than compared by integer cross-products
+    ``sum_l·n_r > sum_r·n_l`` (no float averages, no ties from summation
+    order), so the hash is reproducible bit-for-bit on any engine.
+
+    Returns (id, dhash_hi, dhash_lo): the 64 row-major grid comparisons
+    packed MSB-first into two unsigned-32-bit BIGINTs (two halves rather
+    than one 64-bit value so no engine has to reason about sign bits).
+    Undecodable payloads yield NULL halves (quarantine with one filter).
+
+    Scale shape: one Arrow ``mapInPandas`` pass, hash state is 16 bytes a
+    row; pair-finding is :func:`dhash_pairs`' banded chunk join — never
+    an all-pairs scan."""
+    import numpy as np
+
+    gh, gw = grid
+    if gh * (gw - 1) != 64:
+        raise ValueError(
+            f"grid must yield 64 comparisons (rows*(cols-1)), got {grid}"
+        )
+
+    def _one(payload) -> "tuple[int, int] | tuple[None, None]":
+        try:
+            g = _native_pixels_int(payload)
+        except NotImplementedError:
+            return None, None
+        h, w = g.shape
+        if h == 0 or w == 0:
+            return None, None
+        ys = (np.arange(gh + 1) * h) // gh
+        xs = (np.arange(gw + 1) * w) // gw
+        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+        ii[1:, 1:] = g.cumsum(0).cumsum(1)
+        s = ii[np.ix_(ys, xs)]
+        sums = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+        ns = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+        bits = (
+            sums[:, :-1] * ns[:, 1:] > sums[:, 1:] * ns[:, :-1]
+        ).reshape(-1)
+        hi = lo = 0
+        for k in range(32):
+            hi = (hi << 1) | int(bits[k])
+            lo = (lo << 1) | int(bits[32 + k])
+        return hi, lo
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf.iloc[:, 0]
+            pairs = [_one(p) for p in pdf.iloc[:, 1]]
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "dhash_hi": pd.array([p[0] for p in pairs], dtype="Int64"),
+                    "dhash_lo": pd.array([p[1] for p in pairs], dtype="Int64"),
+                }
+            )
+
+    return (
+        repartition_for_media(df.select(F.col(id_col), F.col(image_col)))
+        .mapInPandas(batches, schema=out_schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def dhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance ≤
+    ``max_hamming`` — EXACT for ``max_hamming ≤ 3`` via the Manku
+    (WWW'07) chunk trick: split the 64-bit hash into four 16-bit chunks;
+    any pair within hamming 3 shares at least one identical chunk
+    (pigeonhole), so four equi-joins on chunk values find every true
+    pair and the exact ``bit_count(xor)`` filter discards the rest.
+    Same machinery as :func:`~.dedup.simhash_pairs`, driven by pixel
+    hashes instead of token hashes.
+
+    Returns (id_a, id_b, hamming BIGINT), ``id_a < id_b``.
+
+    Scale shape: only (chunk, id, hi, lo) rows shuffle — 4 rows of ~28 B
+    per image; candidates are same-chunk-bucket only (never all-pairs),
+    and the exact verify is two integer xors."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3] — the 4x16-bit chunk join only "
+            "guarantees completeness through hamming 3 (pigeonhole); use "
+            "more/smaller bands for a looser radius"
+        )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(hi_col).alias("__hi"),
+        F.col(lo_col).alias("__lo"),
+    ).filter(F.col("__hi").isNotNull() & F.col("__lo").isNotNull())
+    chunked = base.select(
+        "__id",
+        "__hi",
+        "__lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col(c), 16 * (1 - (i % 2))
+                        ).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for i, c in enumerate(["__hi", "__hi", "__lo", "__lo"])
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__hi", "__lo", "__b.band", "__b.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = (
+        F.bit_count(F.col("a.__hi").bitwiseXOR(F.col("b.__hi")))
+        + F.bit_count(F.col("a.__lo").bitwiseXOR(F.col("b.__lo")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias(f"{id_col}_a"),
+            F.col("b.__id").alias(f"{id_col}_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
