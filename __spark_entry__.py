@@ -3733,6 +3733,32 @@ def _extension_oracles() -> dict[str, str]:
               + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
     """
 
+    # bloom_join: the Bloom prefilter is exact-preserving (no false
+    # negatives; exact join removes false positives), so the oracle is
+    # the PLAIN semi/anti join — any prefilter bug that drops or leaks a
+    # row breaks the per-flag counts and the order-key checksum
+    bloom_join_sql = """
+        WITH urgent AS (
+          SELECT DISTINCT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT 'semi' AS mode, l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)
+        GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'anti' AS mode, l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+        FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM urgent)
+        GROUP BY l_returnflag
+    """
+
     # skipgram_events: same leads, same symmetric union, same support cut
     skipgram_sql = """
         WITH l AS (
@@ -4356,6 +4382,7 @@ def _extension_oracles() -> dict[str, str]:
         "vocab_coverage": vocab_cov_sql,
         "image_dhash": dhash_sql,
         "image_dhash_pairs": dhash_pairs_sql,
+        "bloom_join": bloom_join_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -7749,6 +7776,38 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_pairs(hashes, max_hamming=3)
 
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT semi + anti join (E179): lineitem against
+    the urgent-order key set.  The bitmap is built distributed (one
+    bit_or aggregation), probed scan-side by a narrow Arrow kernel, and
+    only bloom-positive rows reach the exact join shuffle — with results
+    bit-identical to the plain semi/anti join the oracle runs (Bloom has
+    no false negatives; the exact join removes false positives).  Output
+    pins the membership partition exactly: per (mode, returnflag) row
+    counts, distinct-order counts, and the order-key checksum."""
+    from sparkplug_spark.operators import bloom_semi_join
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    urgent = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    parts = []
+    for mode in ("semi", "anti"):
+        joined = bloom_semi_join(
+            lineitem, urgent, on="l_orderkey", key="o_orderkey", mode=mode
+        )
+        parts.append(joined.withColumn("mode", F.lit(mode)))
+    both = parts[0].unionByName(parts[1])
+    return (
+        both.groupBy("mode", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum("l_orderkey").cast("long").alias("sum_okey"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -7869,6 +7928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "image_dhash": q_image_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "bloom_join": q_bloom_join,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

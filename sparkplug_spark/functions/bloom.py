@@ -24,6 +24,7 @@ __all__ = [
     "build_bloom",
     "bloom_bitmap_from_keys",
     "bloom_contains_any",
+    "bloom_contains_key",
     "bloom_contains_text",
     "gram_hashes_pd",
 ]
@@ -146,6 +147,49 @@ def bloom_contains_text(
         return pd.Series(hits)
 
     return _probe(text_col)
+
+
+def bloom_contains_key(blob, bits: int, hashes: int, key_col: Column | str) -> Column:
+    """Boolean Column: does the row's single bigint key test positive?
+
+    Scalar twin of :func:`bloom_contains_any` for equi-join keys (one
+    ``hash60`` per row instead of a gram array).  NULL keys probe
+    negative — the definite-non-member answer, which is the correct one
+    for both the semi prefilter (SQL semi join never matches NULL) and
+    the anti keep-outright branch.
+
+    NULLs are replaced by a ``-1`` sentinel JVM-SIDE, before Arrow: a
+    nullable long batch otherwise arrives as float64 and silently rounds
+    every >53-bit hash IN THE BATCH (observed: same-key rows probing
+    negative only in the batch that contained the NULL row)."""
+    import numpy as np
+
+    m, k = bits, hashes
+    col = F.coalesce(
+        key_col if isinstance(key_col, Column) else F.col(key_col),
+        F.lit(-1).cast("long"),
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def _hit(s: pd.Series) -> pd.Series:
+        n = len(s)
+        hits = np.zeros(n, dtype=bool)
+        if n:
+            g = s.to_numpy(np.int64)
+            valid = g >= 0  # hash60 output is non-negative; -1 = was NULL
+            gv = g[valid]
+            if gv.size:
+                h1 = gv % m
+                h2 = 1 + ((gv >> 17) % (m - 1))
+                member = np.ones(gv.size, dtype=bool)
+                for i in range(k):
+                    pos = (h1 + i * h2) % m
+                    lane = (blob[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+                    member &= lane.astype(bool)
+                hits[valid] = member
+        return pd.Series(hits)
+
+    return _hit(col)
 
 
 def bloom_bitmap_from_keys(keys, bits: int, hashes: int):

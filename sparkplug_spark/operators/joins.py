@@ -24,6 +24,7 @@ __all__ = [
     "interval_overlap_join",
     "salted_join",
     "blocked_link",
+    "bloom_semi_join",
 ]
 
 
@@ -353,3 +354,57 @@ def blocked_link(
     )
     # linked pairs are orders smaller than the blocked candidate set
     return materialize_release(out, base, release=release)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    key: str | None = None,
+    bits: int = 1 << 20,
+    hashes: int = 5,
+    mode: str = "semi",
+) -> DataFrame:
+    """EXACT semi/anti join of ``big`` against the distinct ``key`` set of
+    ``keys``, with a Bloom prefilter so the shuffle only ever sees the
+    bloom-positive sliver of ``big``.
+
+    The target shape is the 100 TB one where ``keys`` is too large to
+    broadcast (so Spark would hash-shuffle BOTH sides) but its distinct
+    key set fits a ``bits``-bit bitmap (2^20 bits = 128 KB ≈ 1% false
+    positives at ~10^5 keys).  The filter is built distributed (one
+    ``bit_or`` aggregation, ``bits/8`` bytes to the driver — independent
+    of key count, `functions/bloom.py::build_bloom`), then probed by a
+    narrow Arrow kernel on ``big``'s scan side: no shuffle, no explode.
+    Bloom has NO false negatives, so results are bit-identical to the
+    plain join:
+
+    - ``mode="semi"``: bloom-negative rows are definite non-members and
+      are dropped before the exact LEFT SEMI join; only positives (true
+      members + ~1% false positives) shuffle.
+    - ``mode="anti"``: bloom-negative rows are KEPT outright; only the
+      positive sliver pays the exact LEFT ANTI join, then the two are
+      unioned.  ``big`` is scanned twice (each pass a pruned columnar
+      scan + narrow filter) — at scale two scans are far cheaper than
+      shuffling the full table, and a caller that already persisted
+      ``big`` pays one.
+
+    NULL join keys probe negative: semi drops them (SQL semi join never
+    matches NULL), anti keeps them (LEFT ANTI keeps unmatched rows) —
+    both matching the plain-join behavior the oracle checks."""
+    from ..functions.bloom import bloom_contains_key, build_bloom
+    from ..functions.text import hash60
+
+    if mode not in ("semi", "anti"):
+        raise ValueError("mode must be semi or anti")
+    key = key or on
+    key_hashes = keys.select(hash60(F.col(key).cast("string")).alias("__bk"))
+    blob = build_bloom(key_hashes, "__bk", bits, hashes)
+    probe = bloom_contains_key(
+        blob, bits, hashes, hash60(F.col(on).cast("string"))
+    )
+    keyset = keys.select(F.col(key).alias(on)).dropDuplicates([on])
+    if mode == "semi":
+        return big.filter(probe).join(keyset, on, "left_semi")
+    positives = big.filter(probe).join(keyset, on, "left_anti")
+    return big.filter(~probe).unionByName(positives)
