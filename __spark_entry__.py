@@ -3759,6 +3759,76 @@ def _extension_oracles() -> dict[str, str]:
         GROUP BY l_returnflag
     """
 
+    # kmv sketches: bottom-256 md5-60 token hashes per source, rebuilt
+    # with identical arithmetic.  The estimate is floor of IEEE
+    # mul/div on exactly-representable operands (255.0 and 2^60 are
+    # exact doubles; */ are IEEE-deterministic, unlike the banned libm
+    # ln()), so est_distinct hash-matches without quantization tricks.
+    kmv_cte = f"""
+        WITH tk AS (
+          SELECT source, {_sql_tokens('text')} AS t FROM documents
+        ), sg AS (
+          SELECT source, unnest({_sql_shingles('t', 3)}) AS sh FROM tk
+        ), hd AS (
+          SELECT DISTINCT source,
+                 ('0x'||substr(md5(sh),1,15))::BIGINT AS kmv_hash
+          FROM sg
+        ), r AS (
+          SELECT source, kmv_hash,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY kmv_hash) AS rk
+          FROM hd
+        ), sk AS (SELECT source, kmv_hash FROM r WHERE rk <= 256)
+    """
+    kmv_est = (
+        "CAST(floor(255.0 * 1152921504606846976.0"
+        " / CAST({kth} AS DOUBLE)) AS BIGINT)"
+    )
+    kmv_distinct_sql = kmv_cte + f"""
+        SELECT source, COUNT(*) AS n_hashes,
+               MAX(kmv_hash) AS kth_hash,
+               CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                    ELSE {kmv_est.format(kth='MAX(kmv_hash)')}
+               END AS est_distinct
+        FROM sk GROUP BY source
+    """
+    kmv_union_est = (
+        "CASE WHEN n_merged < 256 THEN n_merged "
+        f"ELSE {kmv_est.format(kth='kth')} END"
+    )
+    kmv_jaccard_sql = kmv_cte + f"""
+        , g AS (SELECT DISTINCT source AS g FROM sk),
+        pr AS (
+          SELECT a.g AS group_a, b.g AS group_b FROM g a, g b
+          WHERE a.g < b.g
+        ), mem AS (
+          SELECT p.group_a, p.group_b, s.kmv_hash,
+                 MAX(CASE WHEN s.source = p.group_a THEN 1 ELSE 0 END)
+                   AS in_a,
+                 MAX(CASE WHEN s.source = p.group_b THEN 1 ELSE 0 END)
+                   AS in_b
+          FROM pr p JOIN sk s ON s.source IN (p.group_a, p.group_b)
+          GROUP BY 1, 2, 3
+        ), mr AS (
+          SELECT group_a, group_b, kmv_hash, in_a, in_b,
+                 row_number() OVER (PARTITION BY group_a, group_b
+                                    ORDER BY kmv_hash) AS rk
+          FROM mem
+        ), rep AS (
+          SELECT group_a, group_b,
+                 COUNT(*) AS n_merged,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+                 MAX(kmv_hash) AS kth
+          FROM mr WHERE rk <= 256 GROUP BY 1, 2
+        )
+        SELECT group_a, group_b, n_common, n_merged,
+               n_common * 1000000 // n_merged AS jaccard_ppm,
+               {kmv_union_est} AS union_est,
+               n_common * ({kmv_union_est}) // n_merged
+                 AS intersection_est
+        FROM rep
+    """
+
     # skipgram_events: same leads, same symmetric union, same support cut
     skipgram_sql = """
         WITH l AS (
@@ -4383,6 +4453,8 @@ def _extension_oracles() -> dict[str, str]:
         "image_dhash": dhash_sql,
         "image_dhash_pairs": dhash_pairs_sql,
         "bloom_join": bloom_join_sql,
+        "kmv_distinct_tokens": kmv_distinct_sql,
+        "kmv_jaccard_sources": kmv_jaccard_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -7776,6 +7848,46 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_pairs(hashes, max_hamming=3)
 
 
+def _kmv_shingle_sketch(spark: SparkSession, sf_dir: str):
+    # 3-word shingles, not tokens: the generated corpus has a ~31-word
+    # vocabulary, so token sets would stay under k (exact tier only);
+    # shingle sets run thousands deep per source and exercise the real
+    # estimator + partial-overlap paths the operator exists for
+    from sparkplug_spark.functions.text import word_shingles_pd
+    from sparkplug_spark.operators import kmv_sketch
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(word_shingles_pd(F.col("text"), 3)).alias("sh")
+    )
+    return kmv_sketch(sh, key="sh", by=("source",), k=256)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable distinct sketch (E180): bottom-256 md5-60
+    hashes of each source's 3-shingle set; distinct estimate from the
+    k-th smallest hash (Bar-Yossef KMV).  Every hash and the IEEE
+    mul/div estimate are engine-reproducible, so unlike the HLL tier
+    (JVM DataSketches, rows-only) this sketch VALUE-hash-matches."""
+    from sparkplug_spark.operators import kmv_distinct
+
+    return kmv_distinct(
+        _kmv_shingle_sketch(spark, sf_dir), by=("source",), k=256
+    )
+
+
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source shingle-set overlap from KMV sketches alone
+    (E181): bottom-k of the sketch union, common-hash counts, integer-
+    ppm Jaccard + union/intersection size estimates — the raw corpus is
+    touched once to build sketches, never for the pairwise pass."""
+    from sparkplug_spark.operators import kmv_jaccard_pairs
+
+    return kmv_jaccard_pairs(
+        _kmv_shingle_sketch(spark, sf_dir), group_col="source", k=256
+    )
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered EXACT semi + anti join (E179): lineitem against
     the urgent-order key set.  The bitmap is built distributed (one
@@ -7929,6 +8041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
         "bloom_join": q_bloom_join,
+        "kmv_distinct_tokens": q_kmv_distinct,
+        "kmv_jaccard_sources": q_kmv_jaccard,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

@@ -29,6 +29,10 @@ __all__ = [
     "rollup_distinct_sketches",
     "build_histogram_sketch",
     "rollup_histogram_percentiles",
+    "kmv_sketch",
+    "kmv_merge",
+    "kmv_distinct",
+    "kmv_jaccard_pairs",
 ]
 
 
@@ -276,4 +280,171 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) bottom-k sketches — the PORTABLE mergeable
+# distinct sketch.  Unlike the HLL family above (JVM DataSketches binary,
+# engine-specific estimates), a KMV sketch is just the k smallest md5-60
+# hashes of the key set: any engine that can md5 reproduces it BIT-FOR-BIT,
+# so estimates are value-hash oracle-checkable, and sketch tables written
+# by this module can be read/merged by DuckDB, Trino, or a Python report
+# job without Spark.  Estimator (Bar-Yossef et al. 2002): with the hash
+# space [0, 2^60) and h_k the k-th smallest distinct hash,
+# D ≈ (k-1) * 2^60 / h_k, RSE ≈ 1/√(k-2).
+# ---------------------------------------------------------------------------
+
+#: IEEE-exact double for 2^60 (power of two — no rounding on either engine)
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Bottom-``k`` sketch table: (by..., kmv_hash) — the ``k`` smallest
+    distinct ``hash60(key)`` values per group, ≤ ``k`` rows per group.
+
+    Plan: hash → map-side-combined dedup shuffled on (by..., hash) — the
+    heavy stage spreads over the full hash range, so a hot GROUP does
+    not make a hot partition — then one per-group window pass keeps the
+    bottom k.  NULL keys are excluded (COUNT DISTINCT semantics).
+
+    The sketch table is the stored artifact: union tables from new data
+    and re-apply :func:`kmv_merge` to fold them — raw data is never
+    rescanned for a coarser rollup, and since the k hashes are plain
+    bigints the store is engine-portable (see module docstring)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import hash60
+
+    if k < 3:
+        raise ValueError("k must be >= 3 (estimator needs k-1, k-2)")
+    cols = [F.col(c) for c in by]
+    hashed = (
+        df.where(F.col(key).isNotNull())
+        .select(*cols, hash60(F.col(key).cast("string")).alias("kmv_hash"))
+        .dropDuplicates([*by, "kmv_hash"])
+    )
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("kmv_hash")
+    return (
+        hashed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Fold a union of sketch tables back to one bottom-``k`` sketch per
+    group — the KMV merge is just "bottom-k of the union", so merging
+    per-shard/per-day sketches equals sketching the concatenated data
+    (pytest contract).  Pass a coarser ``by`` than the stored grain to
+    roll up (e.g. per-day sketches → one all-time sketch)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("kmv_hash")
+    return (
+        sketches.select(*[F.col(c) for c in by], "kmv_hash")
+        .dropDuplicates([*by, "kmv_hash"])
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )
+
+
+def kmv_distinct(
+    sketches: DataFrame,
+    by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count report from a sketch table: (by..., n_hashes,
+    kth_hash, est_distinct BIGINT).  Groups holding fewer than ``k``
+    hashes saw their whole key set — the estimate is EXACT (= n_hashes);
+    otherwise D̂ = floor((k-1)·2^60 / h_k).  The arithmetic is IEEE
+    mul/div on exactly-representable operands, so DuckDB reproduces the
+    estimate bit-for-bit (no libm — the CLAUDE.md ln() hazard class does
+    not apply)."""
+    agg = sketches.groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("kmv_hash").alias("kth_hash"),
+    )
+    est = F.floor(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("kth_hash").cast("double")
+    ).cast("long")
+    return agg.withColumn(
+        "est_distinct",
+        F.when(F.col("n_hashes") < int(k), F.col("n_hashes")).otherwise(est),
+    )
+
+
+def kmv_jaccard_pairs(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups of a
+    sketch table: (group_a, group_b, n_common, n_merged, jaccard_ppm,
+    union_est, intersection_est) for group_a < group_b.
+
+    Estimator: X = bottom-k of (S_a ∪ S_b) — computable from the two
+    sketches alone — then Ĵ = |X ∩ S_a ∩ S_b| / |X| and the union/
+    intersection sizes follow from the KMV distinct estimator on X.
+    All counts are integers and the ratios integer-ppm floors, so the
+    report is exactly reproducible by the oracle.
+
+    Plan: sketches are ≤ k rows per group, so every join here is
+    broadcast-tiny regardless of raw-data size — pairwise overlap over a
+    100 TB log costs one sketch build plus this metadata-sized query."""
+    s = sketches.select(F.col(group_col).alias("g"), "kmv_hash")
+    groups = s.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("group_a"))
+        .crossJoin(groups.select(F.col("g").alias("group_b")))
+        .filter(F.col("group_a") < F.col("group_b"))
+    )
+    from_a = pairs.join(
+        s.select(F.col("g").alias("group_a"), "kmv_hash"), "group_a"
+    ).select("group_a", "group_b", "kmv_hash", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    from_b = pairs.join(
+        s.select(F.col("g").alias("group_b"), "kmv_hash"), "group_b"
+    ).select("group_a", "group_b", "kmv_hash", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    members = (
+        from_a.unionByName(from_b)
+        .groupBy("group_a", "group_b", "kmv_hash")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_a", "group_b").orderBy("kmv_hash")
+    merged = members.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= int(k)
+    )
+    rep = merged.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_common"),
+        F.max("kmv_hash").alias("__kth"),
+    )
+    union_est = F.when(
+        F.col("n_merged") < int(k), F.col("n_merged")
+    ).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("__kth").cast("double")
+        ).cast("long")
+    )
+    rep = rep.withColumn("union_est", union_est)
+    return rep.select(
+        "group_a",
+        "group_b",
+        "n_common",
+        "n_merged",
+        F.expr("n_common * 1000000L div n_merged").alias("jaccard_ppm"),
+        "union_est",
+        F.expr("n_common * union_est div n_merged").alias("intersection_est"),
     )
