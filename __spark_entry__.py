@@ -3829,6 +3829,45 @@ def _extension_oracles() -> dict[str, str]:
         FROM rep
     """
 
+    # isotonic_exact: the closed-form PAVA solution recomputed block for
+    # block.  Integer prefix sums (HUGEINT-cast back to BIGINT), then one
+    # IEEE division per (a,b) pair and min/max scans — deterministic
+    # bit-for-bit, so the ppm floor never flips between engines
+    isotonic_exact_sql = """
+        WITH base AS (
+          SELECT CAST(n_chars AS DOUBLE) AS score,
+                 CASE WHEN ('0x'||substr(md5('iso'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                           % 1000 < least(n_chars, 600) + 150
+                      THEN 1 ELSE 0 END AS label
+          FROM documents
+          WHERE n_chars IS NOT NULL
+        ), blocks AS (
+          SELECT score, COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS n_pos
+          FROM base GROUP BY score
+        ), pre AS (
+          SELECT row_number() OVER (ORDER BY score) AS rk, score, n, n_pos,
+                 CAST(SUM(n) OVER (ORDER BY score) AS BIGINT) AS cum_n,
+                 CAST(SUM(n_pos) OVER (ORDER BY score) AS BIGINT) AS cum_pos
+          FROM blocks
+        ), pairs AS (
+          SELECT a.rk AS a, b.rk AS b,
+                 CAST(b.cum_pos - a.cum_pos + a.n_pos AS DOUBLE)
+                   / CAST(b.cum_n - a.cum_n + a.n AS DOUBLE) AS avg
+          FROM pre a JOIN pre b ON b.rk >= a.rk
+        ), suf AS (
+          SELECT b AS i,
+                 MIN(avg) OVER (PARTITION BY a ORDER BY b DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS g
+          FROM pairs
+        ), fit AS (
+          SELECT i, MAX(g) AS fit FROM suf GROUP BY i
+        )
+        SELECT p.score, p.n, p.n_pos,
+               CAST(floor(f.fit * 1000000.0) AS BIGINT) AS calibrated_ppm
+        FROM pre p JOIN fit f ON p.rk = f.i
+    """
+
     # skipgram_events: same leads, same symmetric union, same support cut
     skipgram_sql = """
         WITH l AS (
@@ -4455,6 +4494,7 @@ def _extension_oracles() -> dict[str, str]:
         "bloom_join": bloom_join_sql,
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
+        "isotonic_exact": isotonic_exact_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -7888,6 +7928,28 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_isotonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form isotonic calibration (E167 oracle tier): fitted(i) =
+    max_{a<=i} min_{b>=i} mean(label over blocks a..b) on distinct-score
+    blocks — the exact PAVA solution, computed relationally (O(D^2)
+    small pair rows).  Same label generation as calibrate_isotonic (the
+    ml tier, rows-only); pytest pins the two tiers equal at ppm."""
+    from sparkplug_spark.functions.text import hash60
+    from sparkplug_spark.operators import isotonic_fit_exact
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (
+            hash60(F.concat(F.lit("iso"), F.col("doc_id").cast("string")))
+            % 1000
+            < F.least(F.col("n_chars"), F.lit(600)) + F.lit(150)
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return isotonic_fit_exact(docs, "score", "label")
+
+
 def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered EXACT semi + anti join (E179): lineitem against
     the urgent-order key set.  The bitmap is built distributed (one
@@ -8043,6 +8105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join": q_bloom_join,
         "kmv_distinct_tokens": q_kmv_distinct,
         "kmv_jaccard_sources": q_kmv_jaccard,
+        "isotonic_exact": q_isotonic_exact,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

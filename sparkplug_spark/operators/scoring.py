@@ -25,6 +25,7 @@ from ..partitioning import spread
 
 __all__ = [
     "calibration_report",
+    "isotonic_fit_exact",
     "score_with_model",
     "fake_quality_scorer",
     "compression_signals",
@@ -413,3 +414,106 @@ def calibrate_isotonic(
         featuresCol="__feat", labelCol="__lbl", predictionCol=output_col
     ).fit(fit_in)
     return model.transform(fit_in).drop("__feat", "__lbl", "__score_d")
+
+
+def isotonic_fit_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_blocks: int = 8192,
+) -> DataFrame:
+    """Exact isotonic fit per DISTINCT score, via the closed-form PAVA
+    solution (Robertson/Barlow): with score blocks 1..D ordered
+    ascending, fitted(i) = max_{a<=i} min_{b>=i} mean(labels in blocks
+    a..b).  Returns one row per block: (score, n, n_pos,
+    calibrated_ppm) with calibrated_ppm = floor(fit * 1e6).
+
+    The oracle-checkable twin of :func:`calibrate_isotonic` (pyspark.ml
+    parallel PAVA, whose pooled boundaries aren't SQL-expressible).
+    Every intermediate here is either exact integer (block counts,
+    label sums, both range-prefix accumulated) or IEEE mul/div/min/max
+    of those integers — deterministic bit-for-bit across engines, so
+    the output value-hashes against a DuckDB oracle (no libm; see the
+    CLAUDE.md ln() hazard note).
+
+    Scale: the pair join materializes O(D^2) SMALL rows (three longs) —
+    the price of the closed form.  D is the number of DISTINCT scores;
+    calibration inputs at 100 TB should be binned scores (quantized
+    probabilities, length buckets), keeping D in the thousands and the
+    pair set in the millions, distributed over the b-range.  Raises
+    beyond ``max_blocks`` (D^2 > ~64M pairs) — bin first, or use the
+    ml tier and accept rows-only checking.  NULL scores/labels drop
+    (same as the ml tier)."""
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    blocks = (
+        base.groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        )
+    )
+    d = blocks.count()
+    if d > max_blocks:
+        raise ValueError(
+            f"{d} distinct scores exceeds max_blocks={max_blocks}: the "
+            "closed-form fit is O(D^2) — bin scores first (e.g. floor to "
+            "a fixed grid) or use calibrate_isotonic (ml tier)"
+        )
+    # D is bounded by max_blocks, so one global window over D rows is a
+    # single small task; the O(D^2) pair stage below is the heavy part
+    # and is hash-distributed on a
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    pre = blocks.select(
+        F.row_number().over(Window.orderBy("score")).alias("rk"),
+        "score",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    a = pre.select(
+        F.col("rk").alias("a"),
+        F.col("n").alias("na"),
+        F.col("n_pos").alias("pa"),
+        F.col("cum_n").alias("cna"),
+        F.col("cum_pos").alias("cpa"),
+    )
+    b = pre.select(
+        F.col("rk").alias("b"),
+        F.col("cum_n").alias("cnb"),
+        F.col("cum_pos").alias("cpb"),
+    )
+    pairs = a.join(b, F.col("b") >= F.col("a")).select(
+        "a",
+        "b",
+        (
+            (F.col("cpb") - F.col("cpa") + F.col("pa")).cast("double")
+            / (F.col("cnb") - F.col("cna") + F.col("na")).cast("double")
+        ).alias("avg"),
+    )
+    # g(a, i) = min over b >= i of avg(a, b): suffix min within each a
+    g = pairs.withColumn(
+        "g",
+        F.min("avg").over(
+            Window.partitionBy("a")
+            .orderBy(F.col("b").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select(F.col("b").alias("i"), "g")
+    # fitted(i) = max over a <= i of g(a, i); every (a, i) row has a <= i
+    fit = g.groupBy("i").agg(F.max("g").alias("fit"))
+    return (
+        pre.join(fit, pre.rk == fit.i)
+        .select(
+            "score",
+            "n",
+            "n_pos",
+            F.floor(F.col("fit") * F.lit(1000000.0)).cast("long").alias(
+                "calibrated_ppm"
+            ),
+        )
+    )

@@ -159,3 +159,86 @@ class TestSuppressSmallCells:
             suppress_small_cells(df, [], k=3)
         with _pytest.raises(ValueError):
             suppress_small_cells(df, ["g"], k=0)
+
+
+class TestIsotonicFitExact:
+    def test_matches_pava_twin_on_ties_and_violations(self, spark):
+        import math
+        import random
+
+        from sparkplug_spark.operators import isotonic_fit_exact
+
+        random.seed(11)
+        rows = [
+            (float(s), 1 if random.random() < min(0.9, 0.1 + s / 30) else 0)
+            for s in (random.randint(0, 25) for _ in range(1500))
+        ]
+        df = spark.createDataFrame(rows, "score double, label int")
+        got = {
+            r["score"]: (r["n"], r["n_pos"], r["calibrated_ppm"])
+            for r in isotonic_fit_exact(df, "score", "label").collect()
+        }
+        # tied scores must share one fitted value: aggregate to weighted
+        # blocks FIRST (the _pava helper's per-point form lets the
+        # within-tie label order split a tie — a different, non-block
+        # solution), then pool adjacent violators
+        agg = {}
+        for s, y in rows:
+            n0, p0 = agg.get(s, (0, 0))
+            agg[s] = (n0 + 1, p0 + y)
+        blocks = []  # [sum_y, n, scores...]
+        for s in sorted(agg):
+            n, p = agg[s]
+            blocks.append([float(p), n, [s]])
+            while len(blocks) > 1 and (
+                blocks[-2][0] / blocks[-2][1] >= blocks[-1][0] / blocks[-1][1]
+            ):
+                b = blocks.pop()
+                blocks[-1][0] += b[0]
+                blocks[-1][1] += b[1]
+                blocks[-1][2] += b[2]
+        want = {}
+        for sy, n, scores in blocks:
+            for s in scores:
+                want[s] = sy / n
+        for score, (n, n_pos, ppm) in got.items():
+            assert ppm == math.floor(want[score] * 1_000_000), score
+        exp_n = {}
+        for s, y in rows:
+            a, b = exp_n.get(s, (0, 0))
+            exp_n[s] = (a + 1, b + y)
+        assert {s: v[:2] for s, v in got.items()} == exp_n
+
+    def test_agrees_with_ml_tier(self, spark):
+        import math
+
+        from sparkplug_spark.operators import (
+            calibrate_isotonic,
+            isotonic_fit_exact,
+        )
+
+        rows = [
+            (float(i % 13), 1 if (i * 2654435761) % 97 < 20 + (i % 13) * 4 else 0)
+            for i in range(800)
+        ]
+        df = spark.createDataFrame(rows, "score double, label int")
+        exact = {
+            r["score"]: r["calibrated_ppm"]
+            for r in isotonic_fit_exact(df, "score", "label").collect()
+        }
+        ml = {
+            r["score"]: math.floor(r["calibrated"] * 1_000_000)
+            for r in calibrate_isotonic(df, "score", "label").collect()
+        }
+        assert set(ml) == set(exact)
+        mismatch = {s for s in ml if abs(ml[s] - exact[s]) > 1}
+        assert not mismatch, sorted(mismatch)[:5]
+
+    def test_block_guard_raises(self, spark):
+        from sparkplug_spark.operators import isotonic_fit_exact
+
+        df = spark.createDataFrame(
+            [(float(i), i % 2) for i in range(50)], "score double, label int"
+        )
+        with pytest.raises(ValueError, match="bin scores first"):
+            isotonic_fit_exact(df, "score", "label", max_blocks=10)
