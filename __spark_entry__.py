@@ -7928,6 +7928,51 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV sketch store (E182), ORACLE-checked via
+    deterministic replay: per-source shingle rows arrive as 3
+    micro-batches folded into the merge-on-write bottom-k store, then
+    the same distinct report as the batch tier — hash-matching
+    kmv_distinct_tokens' oracle proves the streaming store lossless."""
+    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # machinery exists for ORDER-SENSITIVE streaming state; this store
+    # folds by bottom-k of a distinct union — commutative, associative,
+    # idempotent — and each append below is exactly one part-file, so
+    # batch order/boundaries cannot change the result.
+    import tempfile
+
+    from sparkplug_spark.functions.text import word_shingles_pd
+    from sparkplug_spark.operators import kmv_distinct
+    from sparkplug_spark.streaming import streaming_kmv_sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = lambda df: df.select(
+        "source", F.explode(word_shingles_pd(F.col("text"), 3)).alias("sh")
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkplug_skmv_")
+    src = os.path.join(tmp, "src")
+    for i in range(3):
+        sh(docs.filter(F.col("doc_id") % 3 == i)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("source string, sh string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_kmv_sketches(
+            stream, os.path.join(tmp, "store"), "sh", by=("source",), k=256
+        )
+        .option("checkpointLocation", os.path.join(tmp, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    store = spark.read.parquet(os.path.join(tmp, "store")).drop("__last_batch")
+    return kmv_distinct(store, by=("source",), k=256)
+
+
 def q_isotonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form isotonic calibration (E167 oracle tier): fitted(i) =
     max_{a<=i} min_{b>=i} mean(label over blocks a..b) on distinct-score
@@ -8106,6 +8151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_tokens": q_kmv_distinct,
         "kmv_jaccard_sources": q_kmv_jaccard,
         "isotonic_exact": q_isotonic_exact,
+        "streaming_kmv_replay": q_streaming_kmv_replay,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,
@@ -8223,6 +8269,10 @@ def oracle_sql() -> dict[str, str]:
     # same argument for the histogram-sketch store: bin-counter adds are
     # order-free, so the replayed store must reproduce the batch rollup
     out["streaming_histogram_replay"] = out["histogram_rollup"]
+    # the KMV store folds by bottom-k of a distinct union (commutative,
+    # associative, idempotent), so its replay must reproduce the one-shot
+    # batch sketch report exactly
+    out["streaming_kmv_replay"] = out["kmv_distinct_tokens"]
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()

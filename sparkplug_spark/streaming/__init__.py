@@ -37,6 +37,7 @@ __all__ = [
     "streaming_histogram_sketches",
     "streaming_cms_sketches",
     "streaming_rollup_store",
+    "streaming_kmv_sketches",
     "streaming_semantic_flags",
 ]
 
@@ -687,4 +688,67 @@ def _merge_rollup_batch(
     else:
         merged = batch_agg
     out = merged.withColumn("__last_batch", F.lit(int(batch_id)).cast("long"))
+    _swap_publish(out, spark, store_path)
+
+
+def streaming_kmv_sketches(
+    stream_df: DataFrame,
+    store_path: str,
+    key_col: str,
+    by: tuple = (),
+    k: int = 256,
+):
+    """Streaming tier of the portable KMV distinct sketch
+    (:func:`~..operators.sketches.kmv_sketch`): each micro-batch's
+    bottom-k hashes fold into a stored sketch table via
+    :func:`~..operators.sketches.kmv_merge`, so
+    :func:`~..operators.sketches.kmv_distinct` /
+    :func:`~..operators.sketches.kmv_jaccard_pairs` answer distinct and
+    overlap questions over everything seen so far with no raw rescan —
+    the store stays ≤ k rows per group forever, and being plain md5-60
+    bigints it remains readable by any engine.
+
+    The fold (bottom-k of a distinct union) is commutative, associative
+    AND idempotent — stronger than the counter stores' add-fold: even a
+    replayed batch merges to the identical store.  The ``__last_batch``
+    guard is kept anyway for family consistency (skips dead work on
+    at-least-once replays).  Same rename-swap publish as the other
+    sketch stores; all writers of one store must share ``k``.  Returns
+    the ``DataStreamWriter``."""
+    if k < 3:
+        raise ValueError("k must be >= 3 (estimator needs k-1, k-2)")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_kmv_batch(batch_df, batch_id, store_path, key_col, by, k)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _merge_kmv_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    key_col: str,
+    by: tuple,
+    k: int,
+) -> None:
+    """One micro-batch merge of :func:`streaming_kmv_sketches`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.sketches import kmv_merge, kmv_sketch
+
+    spark = batch_df.sparkSession
+    batch_sk = kmv_sketch(batch_df, key=key_col, by=by, k=k)
+    if _store_exists(spark, store_path):
+        existing = spark.read.parquet(store_path)
+        applied = existing.select(F.max("__last_batch")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay (merge is idempotent anyway)
+        merged = kmv_merge(
+            existing.drop("__last_batch").unionByName(batch_sk), by=by, k=k
+        )
+    else:
+        merged = batch_sk
+    out = merged.withColumn(
+        "__last_batch", F.lit(int(batch_id)).cast("long")
+    )
     _swap_publish(out, spark, store_path)
