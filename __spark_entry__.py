@@ -3296,6 +3296,118 @@ def _bpe_oracle_sql() -> str:
     return sql
 
 
+_WP_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _wordpiece_oracle_sql() -> str:
+    """Value-hash oracle for ``wordpiece_tokens`` (the bpe-oracle
+    pattern): retrain the vocabulary from the same file-order 500-doc
+    sample via the shared pure-Python trainer
+    (`train_wordpiece_vocab_from_counts`), embed the piece contents as
+    list literals, and re-implement greedy longest-match-first natively
+    in SQL — a recursive CTE per distinct word that at each position
+    keeps the longest vocab piece matching there (list_filter +
+    list_max, the no-aggregates-in-recursion idiom), with the standard
+    whole-word '[UNK]' fallback.  Word instances then join back for the
+    per-doc piece budget.  The distributed Arrow kernel is what's under
+    test; trainer equivalence rides along."""
+    import duckdb as _duckdb
+    from collections import Counter as _Counter
+
+    from sparkplug_spark.operators.bpe import (
+        _words,
+        train_wordpiece_vocab_from_counts,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cached = _WP_ORACLE_CACHE.get(sf)
+    if cached is not None:
+        return cached
+    texts = _duckdb.sql(
+        f"SELECT text FROM '{sf}/documents.parquet' LIMIT 500"
+    ).fetchall()
+    wf = _Counter(w for (t,) in texts for w in _words(t) if w)
+    starts, conts = train_wordpiece_vocab_from_counts(wf, 10, 50)
+    # contents are [a-z0-9]+ — no quoting hazards in the literals
+    s_lit = "[" + ", ".join(f"'{p}'" for p in starts) + "]"
+    c_lit = "[" + ", ".join(f"'{p}'" for p in conts) + "]"
+    norm = (
+        "string_split(trim(regexp_replace(regexp_replace(lower(coalesce("
+        "text,'')), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"
+    )
+    sql = f"""
+        WITH RECURSIVE
+        winst AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest({norm}) AS w FROM documents
+          ) WHERE w <> ''
+        ),
+        wf AS (SELECT w FROM winst GROUP BY w),
+        st AS (
+          SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS acc,
+                 0 AS np, 0 AS nunk
+          FROM wf
+          UNION ALL
+          SELECT w,
+                 CASE WHEN best IS NULL THEN length(w)
+                      ELSE pos + length(best) END AS pos,
+                 CASE WHEN best IS NULL THEN '[UNK]'
+                      WHEN acc = '' THEN piece
+                      ELSE acc || ' ' || piece END AS acc,
+                 CASE WHEN best IS NULL THEN 1 ELSE np + 1 END AS np,
+                 CASE WHEN best IS NULL THEN 1 ELSE nunk END AS nunk
+          FROM (
+            SELECT w, pos, acc, np, nunk, best,
+                   CASE WHEN pos = 0 THEN best
+                        ELSE '##' || best END AS piece
+            FROM (
+              SELECT w, pos, acc, np, nunk,
+                     CASE WHEN len(m) = 0 THEN NULL
+                          ELSE m[list_position(
+                                   list_transform(m, v -> length(v)),
+                                   list_max(
+                                     list_transform(m, v -> length(v))))]
+                     END AS best
+              FROM (
+                SELECT w, pos, acc, np, nunk,
+                       list_filter(
+                         CASE WHEN pos = 0 THEN {s_lit} ELSE {c_lit} END,
+                         v -> v = substring(w, pos + 1, length(v))) AS m
+                FROM st WHERE pos < length(w)
+              )
+            )
+          )
+        ),
+        seg AS (SELECT w, acc, np, nunk FROM st WHERE pos = length(w)),
+        joined AS (
+          SELECT i.doc_id, s.acc, s.np, s.nunk
+          FROM winst i JOIN seg s USING (w)
+        ),
+        tot AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 CAST(SUM(np) AS BIGINT) AS n_pieces,
+                 CAST(SUM(nunk) AS BIGINT) AS n_unk
+          FROM joined GROUP BY doc_id
+        ),
+        dp AS (
+          SELECT doc_id, COUNT(DISTINCT p) AS n_distinct_pieces FROM (
+            SELECT doc_id, unnest(string_split(acc, ' ')) AS p FROM joined
+          ) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(t.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(t.n_pieces, 0) AS BIGINT) AS n_pieces,
+               CAST(coalesce(t.n_unk, 0) AS BIGINT) AS n_unk,
+               CAST(coalesce(dp.n_distinct_pieces, 0) AS BIGINT)
+                 AS n_distinct_pieces
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN dp USING (doc_id)
+    """
+    _WP_ORACLE_CACHE[sf] = sql
+    return sql
+
+
 _PCA_ORACLE_CACHE: dict[str, str] = {}
 
 
@@ -7973,6 +8085,30 @@ def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(store, by=("source",), k=256)
 
 
+def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer (E183): vocabulary trained driver-side on the
+    file-order 500-doc sample (top words + every char + top continuation
+    bigrams, deterministic ties), greedy longest-match-first applied
+    once per DISTINCT word via an Arrow kernel and joined back to
+    occurrences.  The oracle retrains the identical vocab through the
+    shared pure-Python trainer and re-segments in a recursive CTE."""
+    from sparkplug_spark.operators import (
+        train_wordpiece_vocab,
+        wordpiece_token_stats,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    cache = _table_cache(spark)
+    key = (sf_dir, "wordpiece:vocab")
+    vocab = cache.get(key)
+    if vocab is None:
+        vocab = train_wordpiece_vocab(
+            docs, n_words=10, n_cont=50, sample_docs=500
+        )
+        cache[key] = vocab
+    return wordpiece_token_stats(docs, vocab)
+
+
 def q_isotonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form isotonic calibration (E167 oracle tier): fitted(i) =
     max_{a<=i} min_{b>=i} mean(label over blocks a..b) on distinct-score
@@ -8152,6 +8288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard_sources": q_kmv_jaccard,
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
+        "wordpiece_tokens": q_wordpiece_tokens,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,
@@ -8276,6 +8413,9 @@ def oracle_sql() -> dict[str, str]:
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()
+    # same pattern for the WordPiece tokenizer (shared trainer, greedy
+    # longest-match re-implemented as a recursive CTE)
+    out["wordpiece_tokens"] = _wordpiece_oracle_sql()
     # basis derived at oracle-build time from an independent moment pass
     # through the shared quantized fit (see _pca_oracle_sql)
     out["pca_embeddings"] = _pca_oracle_sql()

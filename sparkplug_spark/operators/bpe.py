@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["train_bpe_merges", "train_bpe_merges_from_counts", "apply_bpe"]
+__all__ = [
+    "train_bpe_merges",
+    "train_bpe_merges_from_counts",
+    "apply_bpe",
+    "train_wordpiece_vocab",
+    "train_wordpiece_vocab_from_counts",
+    "wordpiece_token_stats",
+]
 
 _STRIP = re.compile(r"[^a-z0-9 ]")
 _SQUASH = re.compile(r" +")
@@ -161,3 +168,152 @@ def apply_bpe(
         return pd.Series(out, dtype="int64")
 
     return spread(df).withColumn(count_col, _count(F.col(text_col)))
+
+
+def train_wordpiece_vocab_from_counts(
+    word_freq: Counter,
+    n_words: int = 10,
+    n_cont: int = 50,
+) -> tuple[list[str], list[str]]:
+    """Deterministic WordPiece-style vocabulary from a word-frequency
+    table: the ``n_words`` most frequent whole words (ties break
+    lexicographically), every character seen in any word (so
+    segmentation always succeeds on in-distribution text), and the
+    ``n_cont`` most frequent word-internal character bigrams as
+    continuation pieces.  Returns ``(starts, conts)`` — piece CONTENTS
+    (no '##' marker; position decides rendering).  Pure Python and
+    engine-independent, so the oracle retrains the identical vocabulary
+    from the same sample (the bpe-oracle pattern)."""
+    top_words = [
+        w
+        for w, _ in sorted(word_freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : int(n_words)
+        ]
+    ]
+    chars = {c for w in word_freq for c in w}
+    bg: Counter = Counter()
+    for w, c in word_freq.items():
+        for i in range(1, len(w) - 1):
+            bg[w[i : i + 2]] += c
+    top_bg = [
+        b
+        for b, _ in sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : int(n_cont)
+        ]
+    ]
+    return sorted(set(top_words) | chars), sorted(set(top_bg) | chars)
+
+
+def train_wordpiece_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    n_words: int = 10,
+    n_cont: int = 50,
+    sample_docs: int = 500,
+) -> tuple[list[str], list[str]]:
+    """Train the WordPiece vocabulary on a bounded file-order sample
+    (same sampling contract as :func:`train_bpe_merges`)."""
+    rows = df.select(F.col(text_col).alias("t")).limit(int(sample_docs)).collect()
+    wf: Counter = Counter()
+    for r in rows:
+        for w in _words(r["t"]):
+            if w:
+                wf[w] += 1
+    return train_wordpiece_vocab_from_counts(wf, n_words, n_cont)
+
+
+def _wp_segment(
+    word: str, starts: frozenset, conts: frozenset, max_start: int, max_cont: int
+) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation.  A position
+    with no matching piece turns the WHOLE word into one '[UNK]' (the
+    standard algorithm — partial pieces are discarded)."""
+    pieces: list[str] = []
+    pos, n = 0, len(word)
+    while pos < n:
+        vocab, mx = (starts, max_start) if pos == 0 else (conts, max_cont)
+        best = None
+        for ln in range(min(n - pos, mx), 0, -1):
+            cand = word[pos : pos + ln]
+            if cand in vocab:
+                best = cand
+                break
+        if best is None:
+            return ["[UNK]"]
+        pieces.append(best if pos == 0 else "##" + best)
+        pos += len(best)
+    return pieces
+
+
+def wordpiece_token_stats(
+    df: DataFrame,
+    vocab: tuple[list[str], list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document WordPiece budget report under a trained vocabulary:
+    (id, n_words, n_pieces, n_unk, n_distinct_pieces).
+
+    The dictionary-apply shape that scales: segmentation runs ONCE per
+    DISTINCT word (Arrow kernel over the deduped word table — Zipf says
+    that's orders of magnitude smaller than the occurrence stream),
+    then joins back to occurrences for the per-doc aggregates.  Docs
+    with no tokens keep a zero row."""
+    from ..caching import materialize_release
+    from ..functions.text import tokens_pd
+
+    starts, conts = (frozenset(vocab[0]), frozenset(vocab[1]))
+    max_start = max(map(len, starts), default=1)
+    max_cont = max(map(len, conts), default=1)
+
+    @F.pandas_udf("array<string>")
+    def _seg(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_wp_segment(w, starts, conts, max_start, max_cont) for w in words]
+        )
+
+    occ = (
+        spread(df)
+        .select(F.col(id_col), F.explode(tokens_pd(F.col(text_col))).alias("__w"))
+        .filter(F.col("__w") != "")
+    )
+    seg = (
+        occ.select("__w")
+        .dropDuplicates(["__w"])
+        .withColumn("__pieces", _seg(F.col("__w")))
+        .select(
+            "__w",
+            "__pieces",
+            F.size("__pieces").alias("__np"),
+            F.size(
+                F.filter("__pieces", lambda p: p == F.lit("[UNK]"))
+            ).alias("__nunk"),
+        )
+    )
+    base = occ.join(seg, "__w").persist()
+    tot = base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__np").cast("long").alias("n_pieces"),
+        F.sum("__nunk").cast("long").alias("n_unk"),
+    )
+    dp = (
+        base.select(id_col, F.explode("__pieces").alias("__p"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("__p").alias("n_distinct_pieces"))
+    )
+    out = (
+        df.select(F.col(id_col))
+        .dropDuplicates([id_col])
+        .join(tot, id_col, "left")
+        .join(dp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_pieces", F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce("n_unk", F.lit(0)).cast("long").alias("n_unk"),
+            F.coalesce("n_distinct_pieces", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_pieces"),
+        )
+    )
+    return materialize_release(out, base)

@@ -91,3 +91,80 @@ class TestBpe:
         empty = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
         with pytest.raises(ValueError):
             train_bpe_merges(empty, n_merges=5)
+
+
+class TestWordpiece:
+    def test_greedy_longest_match_and_rendering(self, spark):
+        from sparkplug_spark.operators.bpe import _wp_segment
+
+        starts = frozenset({"un", "u", "n", "f", "o", "r", "g", "e", "t",
+                            "a", "b", "l", "unforg"})
+        conts = frozenset({"et", "ta", "ble", "e", "t", "a", "b", "l", "o",
+                           "r", "g", "n", "f", "u"})
+        out = _wp_segment("unforgettable", starts, conts, 6, 3)
+        # longest-first: 'unforg' beats 'un'/'u'; then ##et,##ta,##ble
+        assert out == ["unforg", "##et", "##ta", "##ble"]
+
+    def test_unk_discards_partial_pieces(self, spark):
+        from sparkplug_spark.operators.bpe import _wp_segment
+
+        starts = frozenset({"ab", "a", "b"})
+        conts = frozenset({"b"})  # no 'c' continuation anywhere
+        assert _wp_segment("abc", starts, conts, 2, 1) == ["[UNK]"]
+
+    def test_trainer_deterministic_and_char_covered(self):
+        from collections import Counter
+
+        from sparkplug_spark.operators.bpe import (
+            train_wordpiece_vocab_from_counts,
+        )
+
+        wf = Counter({"hello": 5, "help": 3, "world": 3, "word": 2})
+        s1 = train_wordpiece_vocab_from_counts(wf, n_words=2, n_cont=3)
+        s2 = train_wordpiece_vocab_from_counts(wf, n_words=2, n_cont=3)
+        assert s1 == s2
+        starts, conts = s1
+        assert "hello" in starts and "help" in starts and "world" not in starts
+        for ch in "helowrd":
+            assert ch in starts and ch in conts
+        assert len([c for c in conts if len(c) == 2]) == 3
+
+    def test_stats_match_pure_python(self, spark):
+        import math
+
+        from sparkplug_spark.operators import (
+            train_wordpiece_vocab,
+            wordpiece_token_stats,
+        )
+        from sparkplug_spark.operators.bpe import _words, _wp_segment
+
+        rows = [
+            (1, "the quick brown fox jumps the fence"),
+            (2, "the quick quick fox"),
+            (3, ""),
+            (4, "zzz the"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vocab = train_wordpiece_vocab(df, n_words=3, n_cont=4, sample_docs=10)
+        got = {
+            r["doc_id"]: (
+                r["n_words"], r["n_pieces"], r["n_unk"],
+                r["n_distinct_pieces"],
+            )
+            for r in wordpiece_token_stats(df, vocab).collect()
+        }
+        starts, conts = frozenset(vocab[0]), frozenset(vocab[1])
+        ms, mc = max(map(len, starts)), max(map(len, conts))
+        want = {}
+        for doc_id, text in rows:
+            words = [w for w in _words(text) if w]
+            segs = [_wp_segment(w, starts, conts, ms, mc) for w in words]
+            pieces = [p for s in segs for p in s]
+            want[doc_id] = (
+                len(words),
+                len(pieces),
+                sum(1 for p in pieces if p == "[UNK]"),
+                len(set(pieces)),
+            )
+        assert got == want
+        assert got[3] == (0, 0, 0, 0)  # empty doc keeps a zero row
