@@ -3980,6 +3980,62 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # rolling_active: same day index (micros // 86400e6), same pair
+    # explode semantics expressed as a range join per window
+    rolling_active_sql = """
+        WITH p AS (
+          SELECT DISTINCT ((epoch_ns(ts) // 1000) // 1000000) // 86400 AS d,
+                 user_id AS u
+          FROM events WHERE user_id IS NOT NULL
+        ), spine AS (SELECT DISTINCT d FROM p),
+        c1 AS (
+          SELECT s.d, COUNT(DISTINCT p.u) AS a FROM spine s
+          JOIN p ON p.d = s.d GROUP BY s.d
+        ), c7 AS (
+          SELECT s.d, COUNT(DISTINCT p.u) AS a FROM spine s
+          JOIN p ON p.d BETWEEN s.d - 6 AND s.d GROUP BY s.d
+        ), c28 AS (
+          SELECT s.d, COUNT(DISTINCT p.u) AS a FROM spine s
+          JOIN p ON p.d BETWEEN s.d - 27 AND s.d GROUP BY s.d
+        )
+        SELECT s.d AS day_idx, c1.a AS active_1d, c7.a AS active_7d,
+               c28.a AS active_28d
+        FROM spine s
+        JOIN c1 ON c1.d = s.d JOIN c7 ON c7.d = s.d JOIN c28 ON c28.d = s.d
+    """
+
+    # referential_audit: anti-join of distinct key sets, counts joined
+    # back; summary row + top-10 orphan keys, ppm as integer floor div
+    ref_audit_sql = """
+        WITH c AS (
+          SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+          WHERE l_partkey IS NOT NULL
+        ), par AS (
+          SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k FROM part
+          WHERE p_partkey % 97 != 0 AND p_partkey IS NOT NULL
+        ), orphans AS (
+          SELECT DISTINCT k FROM c EXCEPT SELECT k FROM par
+        ), per AS (
+          SELECT c.k, COUNT(*) AS n FROM c JOIN orphans o ON c.k = o.k
+          GROUP BY c.k
+        ), tot AS (
+          SELECT (SELECT COUNT(*) FROM c) AS n_child,
+                 CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_orph,
+                 COUNT(*) AS n_keys
+          FROM per
+        )
+        SELECT CAST(NULL AS VARCHAR) AS orphan_key,
+               n_child AS n_child_rows, n_orph AS n_orphan_rows,
+               n_orph * 1000000 // n_child AS orphan_ppm,
+               n_keys AS n_orphan_keys
+        FROM tot
+        UNION ALL
+        SELECT k AS orphan_key, CAST(NULL AS BIGINT) AS n_child_rows,
+               n AS n_orphan_rows, CAST(NULL AS BIGINT) AS orphan_ppm,
+               CAST(NULL AS BIGINT) AS n_orphan_keys
+        FROM (SELECT k, n FROM per ORDER BY n DESC, k LIMIT 10)
+    """
+
     # skipgram_events: same leads, same symmetric union, same support cut
     skipgram_sql = """
         WITH l AS (
@@ -4607,6 +4663,8 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "rolling_active": rolling_active_sql,
+        "referential_audit": ref_audit_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -8085,6 +8143,31 @@ def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(store, by=("source",), k=256)
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU/WAU/MAU (E184): distinct (day, user) pairs explode into
+    the <= 28 future days each keeps a user active for, then exact
+    count-distincts per (window, day) — raw volume is touched once."""
+    from sparkplug_spark.operators import rolling_active_users
+
+    ev = read_events(spark, sf_dir)
+    return rolling_active_users(ev, windows=(1, 7, 28))
+
+
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK integrity audit (E185): lineitem.l_partkey against a parent
+    snapshot missing every 97th part — one summary row (row/key orphan
+    counts, integer-ppm rate) plus the top-10 orphan keys by impact."""
+    from sparkplug_spark.operators import referential_audit
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    parent = _read(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % 97 != 0
+    )
+    return referential_audit(
+        lineitem, parent, child_key="l_partkey", parent_key="p_partkey"
+    )
+
+
 def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer (E183): vocabulary trained driver-side on the
     file-order 500-doc sample (top words + every char + top continuation
@@ -8289,6 +8372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "rolling_active": q_rolling_active,
+        "referential_audit": q_referential_audit,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

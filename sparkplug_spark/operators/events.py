@@ -25,6 +25,7 @@ __all__ = [
     "retention_cohorts",
     "rate_anomalies",
     "user_activity_profile",
+    "rolling_active_users",
     "rolling_window_features",
     "attribution_counts",
     "densify_time_series",
@@ -1198,3 +1199,54 @@ def audience_overlap(
     from ..caching import materialize_release
 
     return materialize_release(out, uk)
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    windows: Sequence[int] = (1, 7, 28),
+    day_seconds: int = 86400,
+) -> DataFrame:
+    """EXACT rolling active-user counts — the DAU/WAU/MAU board: one row
+    per active day with ``active_{w}d`` = distinct users seen in the
+    ``w`` days ending that day, for each window in ``windows``.
+
+    Plan: the raw log collapses once to DISTINCT (day, user) pairs —
+    the only stage that sees raw volume, a map-side-combined dedup —
+    then each pair EXPLODES into the ≤ ``max(windows)`` future days it
+    keeps a user active for (pair volume × w, never raw volume × w) and
+    a count-distinct per (window, day) finishes.  Days with no events
+    contribute no row (join the result to a calendar spine to densify —
+    ``dense_series`` exists for that).  Exact by construction; rolling
+    distincts do NOT merge across days (distinct users aren't additive),
+    which is exactly why the pair explode — or a mergeable sketch like
+    :func:`~.sketches.kmv_sketch` for the approximate tier — is needed.
+    """
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError("windows must be non-empty positive day counts")
+    day = F.floor(_epoch_s(df, time_col) / F.lit(int(day_seconds))).cast(
+        "long"
+    )
+    pairs = (
+        spread(df)
+        .select(day.alias("__d"), F.col(user_col).alias("__u"))
+        .where(F.col("__u").isNotNull())
+        .dropDuplicates(["__d", "__u"])
+    )
+    spine = pairs.select(F.col("__d").alias("day_idx")).distinct()
+    out = spine
+    for w in windows:
+        contrib = pairs.select(
+            F.explode(
+                F.sequence(F.col("__d"), F.col("__d") + F.lit(int(w) - 1))
+            ).alias("day_idx"),
+            "__u",
+        )
+        counts = (
+            contrib.join(spine, "day_idx")
+            .groupBy("day_idx")
+            .agg(F.countDistinct("__u").alias(f"active_{int(w)}d"))
+        )
+        out = out.join(counts, "day_idx")
+    return out

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..partitioning import spread
 
 __all__ = [
+    "referential_audit",
     "column_profile",
     "histogram",
     "length_quartiles_by_source",
@@ -991,3 +992,70 @@ def mutual_information(
     from ..caching import materialize_release
 
     return materialize_release(out, pairs)
+
+
+def referential_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    top_orphans: int = 10,
+) -> DataFrame:
+    """Foreign-key integrity audit between two tables: does every
+    non-NULL ``child[child_key]`` resolve to a ``parent[parent_key]``
+    row?  Output is one summary row (orphan_key = NULL) —
+    (n_child_rows, n_orphan_rows, orphan_ppm, n_orphan_keys) — plus the
+    ``top_orphans`` worst orphan keys by row count (ties break on the
+    key) with their per-key counts, so the report both gates a pipeline
+    (ppm threshold) and points at what to fix.
+
+    Plan: distinct child keys LEFT ANTI the distinct parent keys — the
+    two dedups are the only raw-volume stages, both map-side combined —
+    then the orphan KEY set (small by hypothesis) broadcast-joins back
+    to count rows.  NULL child keys are excluded (SQL FK semantics: a
+    NULL reference is absent, not broken); count them via
+    expectations_report if they matter."""
+    if top_orphans < 0:
+        raise ValueError("top_orphans must be >= 0")
+    ck = F.col(child_key)
+    rows = spread(child).where(ck.isNotNull()).select(
+        ck.cast("string").alias("__k")
+    )
+    pk = parent.where(F.col(parent_key).isNotNull()).select(
+        F.col(parent_key).cast("string").alias("__k")
+    )
+    orphan_keys = rows.dropDuplicates(["__k"]).join(
+        pk.dropDuplicates(["__k"]), "__k", "left_anti"
+    )
+    per_key = (
+        rows.join(F.broadcast(orphan_keys), "__k")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    totals = rows.agg(
+        F.count(F.lit(1)).alias("__n_child")
+    ).crossJoin(
+        per_key.agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("__n_orph"),
+            F.count(F.lit(1)).alias("__n_keys"),
+        )
+    )
+    summary = totals.select(
+        F.lit(None).cast("string").alias("orphan_key"),
+        F.col("__n_child").alias("n_child_rows"),
+        F.col("__n_orph").alias("n_orphan_rows"),
+        F.expr("__n_orph * 1000000L div __n_child").alias("orphan_ppm"),
+        F.col("__n_keys").alias("n_orphan_keys"),
+    )
+    worst = (
+        per_key.orderBy(F.desc("n_rows"), F.asc("__k"))
+        .limit(int(top_orphans))
+        .select(
+            F.col("__k").alias("orphan_key"),
+            F.lit(None).cast("long").alias("n_child_rows"),
+            F.col("n_rows").alias("n_orphan_rows"),
+            F.lit(None).cast("long").alias("orphan_ppm"),
+            F.lit(None).cast("long").alias("n_orphan_keys"),
+        )
+    )
+    return summary.unionByName(worst)

@@ -1,0 +1,72 @@
+"""E184 rolling active users (exact DAU/WAU) and E185 referential
+audit: window semantics, NULL handling, clean-FK zero case."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import referential_audit, rolling_active_users
+
+
+def _ts(day, hour=1):
+    return datetime.datetime(2024, 1, day, hour, 0, 0)
+
+
+class TestRollingActiveUsers:
+    def test_windows_count_trailing_distincts(self, spark):
+        rows = [
+            (_ts(1), 1), (_ts(1), 2), (_ts(1, 23), 1),  # day 1: {1,2}
+            (_ts(2), 3),                                 # day 2: {3}
+            (_ts(9), 1),                                 # day 9: {1}
+            (_ts(9), None),                              # NULL user dropped
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        got = {
+            r["day_idx"]: (r["active_1d"], r["active_7d"])
+            for r in rolling_active_users(df, windows=(1, 7)).collect()
+        }
+        d1 = int(_ts(1).replace(tzinfo=datetime.timezone.utc).timestamp()) // 86400
+        assert got[d1] == (2, 2)
+        assert got[d1 + 1] == (1, 3)  # {3} today; {1,2,3} over 7 days
+        # day 9: day 2 falls out of the trailing 7 (days 3..9), day 1 too
+        assert got[d1 + 8] == (1, 1)
+        assert set(got) == {d1, d1 + 1, d1 + 8}  # eventless days: no row
+
+    def test_rejects_bad_windows(self, spark):
+        df = spark.createDataFrame([(_ts(1), 1)], "ts timestamp, user_id long")
+        with pytest.raises(ValueError, match="positive day counts"):
+            rolling_active_users(df, windows=())
+
+
+class TestReferentialAudit:
+    def test_orphans_found_and_ranked(self, spark):
+        child = spark.createDataFrame(
+            [(1,)] * 5 + [(2,)] * 3 + [(99,)] * 4 + [(98,)] * 6 + [(None,)],
+            "fk int",
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+        rows = referential_audit(child, parent, "fk", "pk").collect()
+        summary = [r for r in rows if r["orphan_key"] is None][0]
+        assert summary["n_child_rows"] == 18  # NULL fk excluded
+        assert summary["n_orphan_rows"] == 10
+        assert summary["n_orphan_keys"] == 2
+        assert summary["orphan_ppm"] == 10 * 1_000_000 // 18
+        worst = [
+            (r["orphan_key"], r["n_orphan_rows"])
+            for r in rows
+            if r["orphan_key"] is not None
+        ]
+        assert worst == [("98", 6), ("99", 4)]  # count desc
+
+    def test_clean_fk_reports_zero(self, spark):
+        child = spark.createDataFrame([(1,), (2,)], "fk int")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+        rows = referential_audit(child, parent, "fk", "pk").collect()
+        assert len(rows) == 1
+        s = rows[0]
+        assert (s["n_orphan_rows"], s["orphan_ppm"], s["n_orphan_keys"]) == (
+            0,
+            0,
+            0,
+        )
