@@ -3980,6 +3980,35 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # json_quarantine: corrupt = failed parse; on this data Spark's
+    # PERMISSIVE corrupt lane coincides with NOT json_valid (the injected
+    # breakage is structurally malformed; every valid payload's k is an
+    # integer, so the stricter type-quarantine never fires alone)
+    json_quarantine_sql = """
+        WITH e AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 13 = 0 THEN '{' || props
+                      WHEN event_id % 17 = 0 THEN NULL
+                      ELSE props END AS p
+          FROM events
+        ), x AS (
+          SELECT event_type,
+                 coalesce(NOT json_valid(p), FALSE) AS is_corrupt,
+                 CASE WHEN json_valid(p)
+                      THEN try_cast(json_extract_string(p, '$.k') AS BIGINT)
+                 END AS k,
+                 CASE WHEN p IS NOT NULL AND NOT json_valid(p) THEN p
+                 END AS quarantined
+          FROM e
+        )
+        SELECT event_type, is_corrupt,
+               COUNT(*) AS n_rows,
+               COUNT(k) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               COUNT(quarantined) AS n_quarantined
+        FROM x GROUP BY event_type, is_corrupt
+    """
+
     # rolling_active: same day index (micros // 86400e6), same pair
     # explode semantics expressed as a range join per window
     rolling_active_sql = """
@@ -4663,6 +4692,7 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "json_quarantine": json_quarantine_sql,
         "rolling_active": rolling_active_sql,
         "referential_audit": ref_audit_sql,
         "pack_shards": pack_sql,
@@ -8168,6 +8198,35 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust JSON ingestion (E186): props payloads with deterministic
+    corruption injected (every 13th event PREFIX-mangled, every 17th
+    NULLed) parse through the PERMISSIVE + corrupt-record lane; the
+    report pins the good/bad split and that typed extraction still
+    works on the clean lane.  Prefix mangling, not a trailing append:
+    Spark's from_json parses the first complete object and IGNORES
+    trailing garbage (observed), so only prefix breakage is corrupt to
+    both engines.  Zero-shuffle parse; one aggregate."""
+    from sparkplug_spark.operators import quarantine_json
+
+    ev = read_events(spark, sf_dir)
+    injected = ev.withColumn(
+        "props2",
+        F.when(
+            F.col("event_id") % 13 == 0, F.concat(F.lit("{"), F.col("props"))
+        )
+        .when(F.col("event_id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("props")),
+    )
+    parsed = quarantine_json(injected, "props2", {"k": "bigint"})
+    return parsed.groupBy("event_type", "is_corrupt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.count("_corrupt_record").alias("n_quarantined"),
+    )
+
+
 def q_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer (E183): vocabulary trained driver-side on the
     file-order 500-doc sample (top words + every char + top continuation
@@ -8372,6 +8431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "json_quarantine": q_json_quarantine,
         "rolling_active": q_rolling_active,
         "referential_audit": q_referential_audit,
         "delegated_explode": q_delegated_explode,

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["extract_json_fields", "flatten_json"]
+__all__ = ["extract_json_fields", "flatten_json", "quarantine_json"]
 
 
 def extract_json_fields(
@@ -70,3 +70,55 @@ def flatten_json(
         ],
     ).drop("__parsed")
     return out.drop(col) if drop else out
+
+
+def quarantine_json(
+    df: DataFrame,
+    col: str,
+    fields: Mapping[str, str],
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Robust JSON ingestion with a corrupt-record quarantine lane: parse
+    ``col`` against a typed schema and split good rows from bad ones
+    WITHOUT dropping either — the operational contract of reading a
+    crawl/firehose where some payloads are always mangled.
+
+    ``fields`` maps output column name → Spark DDL type (e.g.
+    ``{"k": "bigint"}``).  Appends each field (null when absent or
+    unparseable), ``is_corrupt`` (true when the payload failed to
+    parse), and ``corrupt_col`` holding the ORIGINAL string of failed
+    payloads for replay/debugging.  NULL inputs are not corrupt — they
+    parse to an all-null row with ``is_corrupt=false`` (absence, not
+    breakage; same stance as `referential_audit`'s NULL keys).
+
+    Built on ``from_json`` in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord`` — a Catalyst expression: the whole
+    parse+split is a zero-shuffle, codegen'd narrow projection, so the
+    quarantine lane costs nothing extra at 100 TB.  Note Spark also
+    quarantines VALID JSON whose values can't meet the schema types
+    (e.g. ``{"k": "abc"}`` for ``k bigint``) — stricter than a bare
+    json-validity check."""
+    if corrupt_col in fields:
+        raise ValueError("corrupt_col collides with a requested field")
+    clash = [n for n in list(fields) + [corrupt_col, "is_corrupt"] if n in df.columns]
+    if clash:
+        raise ValueError(f"output columns already exist: {clash}")
+    schema = ", ".join(
+        [f"`{n}` {t}" for n, t in fields.items()]
+        + [f"`{corrupt_col}` string"]
+    )
+    parsed = F.from_json(
+        F.col(col),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+    )
+    out = df.withColumn("__parsed", parsed)
+    for n in fields:
+        out = out.withColumn(n, F.col("__parsed")[n])
+    return (
+        out.withColumn(
+            "is_corrupt", F.col("__parsed")[corrupt_col].isNotNull()
+        )
+        .withColumn(corrupt_col, F.col("__parsed")[corrupt_col])
+        .drop("__parsed")
+    )

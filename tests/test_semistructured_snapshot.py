@@ -277,3 +277,39 @@ def test_snapshot_diff_duplicate_keys_collapse(spark):
     old = spark.createDataFrame([(1, "a"), (1, "a")], ["id", "text"])
     new = spark.createDataFrame([(1, "a")], ["id", "text"])
     assert snapshot_diff(old, new, ["id"], ["text"]).count() == 0
+
+
+class TestQuarantineJson:
+    def test_lanes(self, spark):
+        from sparkplug_spark.operators import quarantine_json
+
+        df = spark.createDataFrame(
+            [
+                (1, '{"k": 5}'),      # clean
+                (2, '{{"k": 6}'),     # malformed prefix -> quarantined
+                (3, None),            # absent, not corrupt
+                (4, '{"k": "zz"}'),   # valid JSON, wrong type -> quarantined
+                (5, '{"k": 7}trail'), # trailing garbage: Spark parses it
+            ],
+            "id long, p string",
+        )
+        out = {
+            r["id"]: (r["k"], r["is_corrupt"], r["_corrupt_record"])
+            for r in quarantine_json(df, "p", {"k": "bigint"}).collect()
+        }
+        assert out[1] == (5, False, None)
+        assert out[2] == (None, True, '{{"k": 6}')
+        assert out[3] == (None, False, None)
+        assert out[4] == (None, True, '{"k": "zz"}')
+        # documented from_json behavior: first complete object wins
+        assert out[5] == (7, False, None)
+
+    def test_collision_guards(self, spark):
+        from sparkplug_spark.operators import quarantine_json
+
+        df = spark.createDataFrame([(1, "{}")], "k long, p string")
+        with pytest.raises(ValueError, match="already exist"):
+            quarantine_json(df, "p", {"k": "bigint"})
+        df2 = spark.createDataFrame([(1, "{}")], "id long, p string")
+        with pytest.raises(ValueError, match="collides"):
+            quarantine_json(df2, "p", {"_corrupt_record": "string"})
