@@ -4009,6 +4009,75 @@ def _extension_oracles() -> dict[str, str]:
         FROM x GROUP BY event_type, is_corrupt
     """
 
+    # rolling_active_kmv: merged day sketches == bottom-k of the
+    # window's distinct user hashes (the KMV merge property), so the
+    # oracle computes the window bottom-64 directly; same IEEE estimate
+    rolling_active_kmv_sql = """
+        WITH p AS (
+          SELECT DISTINCT ((epoch_ns(ts) // 1000) // 1000000) // 86400 AS day,
+                 ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+          FROM events WHERE user_id IS NOT NULL
+        ), spine AS (SELECT DISTINCT day AS d FROM p),
+        c1 AS (
+          SELECT s.d, p.h FROM spine s
+          JOIN p ON p.day BETWEEN s.d - 0 AND s.d
+          GROUP BY s.d, p.h
+        ), r1 AS (
+          SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk
+          FROM c1
+        ), e1 AS (
+          SELECT d, COUNT(*) AS nh, MAX(h) AS kth FROM r1
+          WHERE rk <= 64 GROUP BY d
+        ),
+        c7 AS (
+          SELECT s.d, p.h FROM spine s
+          JOIN p ON p.day BETWEEN s.d - 6 AND s.d
+          GROUP BY s.d, p.h
+        ), r7 AS (
+          SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk
+          FROM c7
+        ), e7 AS (
+          SELECT d, COUNT(*) AS nh, MAX(h) AS kth FROM r7
+          WHERE rk <= 64 GROUP BY d
+        ),
+        c28 AS (
+          SELECT s.d, p.h FROM spine s
+          JOIN p ON p.day BETWEEN s.d - 27 AND s.d
+          GROUP BY s.d, p.h
+        ), r28 AS (
+          SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk
+          FROM c28
+        ), e28 AS (
+          SELECT d, COUNT(*) AS nh, MAX(h) AS kth FROM r28
+          WHERE rk <= 64 GROUP BY d
+        )
+        SELECT s.d AS day_idx,
+               CASE WHEN e1.nh < 64 THEN e1.nh
+                    ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(e1.kth AS DOUBLE)) AS BIGINT)
+               END AS active_1d_est,
+               CASE WHEN e7.nh < 64 THEN e7.nh
+                    ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(e7.kth AS DOUBLE)) AS BIGINT)
+               END AS active_7d_est,
+               CASE WHEN e28.nh < 64 THEN e28.nh
+                    ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(e28.kth AS DOUBLE)) AS BIGINT)
+               END AS active_28d_est
+        FROM spine s JOIN e1 ON e1.d = s.d JOIN e7 ON e7.d = s.d JOIN e28 ON e28.d = s.d
+    """
+
+    # scd2_asof: merge+as-of composition against direct reconstruction —
+    # probe 50 is the pre-merge history, probe 100 the folded snapshot
+    scd2_asof_sql = """
+        SELECT 50 AS probe, doc_id,
+               ('0x'||substr(md5(text),1,8))::BIGINT AS text_h
+        FROM documents WHERE doc_id % 10 <> 9
+        UNION ALL
+        SELECT 100 AS probe, doc_id,
+               ('0x'||substr(md5(CASE WHEN doc_id % 7 = 0
+                                      THEN text || ' [edited]'
+                                      ELSE text END),1,8))::BIGINT AS text_h
+        FROM documents WHERE doc_id % 10 <> 0
+    """
+
     # rolling_active: same day index (micros // 86400e6), same pair
     # explode semantics expressed as a range join per window
     rolling_active_sql = """
@@ -4694,7 +4763,9 @@ def _extension_oracles() -> dict[str, str]:
         "isotonic_exact": isotonic_exact_sql,
         "json_quarantine": json_quarantine_sql,
         "rolling_active": rolling_active_sql,
+        "rolling_active_kmv": rolling_active_kmv_sql,
         "referential_audit": ref_audit_sql,
+        "scd2_asof": scd2_asof_sql,
         "pack_shards": pack_sql,
         "column_profile": profile_sql,
         "histogram": hist_sql,
@@ -8198,6 +8269,54 @@ def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate rolling actives (E187): per-day KMV user sketches
+    merged per trailing window — raw volume collapses to <= k hashes per
+    day before any window math.  Deterministic md5 → the estimates
+    value-hash-match (k=64 keeps the estimator tier active at this
+    corpus's ~150 users)."""
+    from sparkplug_spark.operators import rolling_active_users_kmv
+
+    ev = read_events(spark, sf_dir)
+    return rolling_active_users_kmv(ev, windows=(1, 7, 28), k=64)
+
+
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 time travel (E188): the merged document history read as-of
+    two instants — before the merge (probe 50: the original open rows)
+    and after (probe 100: snapshot content) — pinning merge + as-of
+    composition against a direct reconstruction from the base table."""
+    from sparkplug_spark.functions.text import hash32
+    from sparkplug_spark.operators import scd2_asof, scd2_merge
+
+    docs = _read(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id",
+        "text",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    snap = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    merged = scd2_merge(history, snap, ["doc_id"], ["text"], as_of=100)
+    parts = [
+        scd2_asof(merged, probe).select(
+            F.lit(probe).cast("long").alias("probe"),
+            "doc_id",
+            hash32(F.col("text")).alias("text_h"),
+        )
+        for probe in (50, 100)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust JSON ingestion (E186): props payloads with deterministic
     corruption injected (every 13th event PREFIX-mangled, every 17th
@@ -8433,7 +8552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": q_wordpiece_tokens,
         "json_quarantine": q_json_quarantine,
         "rolling_active": q_rolling_active,
+        "rolling_active_kmv": q_rolling_active_kmv,
         "referential_audit": q_referential_audit,
+        "scd2_asof": q_scd2_asof,
         "delegated_explode": q_delegated_explode,
         "delegated_cube": q_delegated_cube,
         "normalize_text": q_normalize_text,

@@ -26,6 +26,7 @@ __all__ = [
     "rate_anomalies",
     "user_activity_profile",
     "rolling_active_users",
+    "rolling_active_users_kmv",
     "rolling_window_features",
     "attribution_counts",
     "densify_time_series",
@@ -1249,4 +1250,58 @@ def rolling_active_users(
             .agg(F.countDistinct("__u").alias(f"active_{int(w)}d"))
         )
         out = out.join(counts, "day_idx")
+    return out
+
+
+def rolling_active_users_kmv(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    windows: Sequence[int] = (1, 7, 28),
+    k: int = 256,
+    day_seconds: int = 86400,
+) -> DataFrame:
+    """Approximate tier of :func:`rolling_active_users`: per-day KMV
+    sketches of the user set, rolled up per trailing window by sketch
+    MERGE — ``active_{w}d_est`` per active day.
+
+    Why it exists: the exact tier explodes (day, user) pairs × w; at
+    billions of actives that inflation is the cost.  Here raw volume
+    collapses once into ≤ k hashes PER DAY, and every window rollup
+    merges those ≤ k·w hashes — the sketch-store pattern
+    (:func:`~.sketches.kmv_merge` is exactly bottom-k of the union, so
+    merging day sketches equals sketching the window's distinct users).
+    Deterministic md5 hashing end to end: unlike an HLL tier the
+    estimates value-hash-match an oracle."""
+    from .sketches import kmv_distinct, kmv_merge, kmv_sketch
+
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError("windows must be non-empty positive day counts")
+    day = F.floor(_epoch_s(df, time_col) / F.lit(int(day_seconds))).cast(
+        "long"
+    )
+    pairs = (
+        spread(df)
+        .select(day.alias("__d"), F.col(user_col).alias("__u"))
+        .where(F.col("__u").isNotNull())
+    )
+    sketch = kmv_sketch(pairs, key="__u", by=("__d",), k=k)
+    spine = sketch.select(F.col("__d").alias("day_idx")).distinct()
+    out = spine
+    for w in windows:
+        contrib = sketch.select(
+            F.explode(
+                F.sequence(F.col("__d"), F.col("__d") + F.lit(int(w) - 1))
+            ).alias("day_idx"),
+            "kmv_hash",
+        )
+        est = kmv_distinct(
+            kmv_merge(contrib.join(spine, "day_idx"), by=("day_idx",), k=k),
+            by=("day_idx",),
+            k=k,
+        ).select(
+            "day_idx",
+            F.col("est_distinct").alias(f"active_{int(w)}d_est"),
+        )
+        out = out.join(est, "day_idx")
     return out

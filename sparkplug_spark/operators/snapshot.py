@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["snapshot_diff", "scd2_merge", "scd2_apply_changes"]
+__all__ = ["snapshot_diff", "scd2_merge", "scd2_apply_changes", "scd2_asof"]
 
 # unit/field separators make the digest injective over column boundaries;
 # NUL marks null (distinct from empty string)
@@ -237,3 +237,29 @@ def scd2_apply_changes(
     if not release:
         return out
     return materialize_release(out, status)
+
+
+def scd2_asof(
+    history: DataFrame,
+    as_of: int,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    keep_validity: bool = False,
+) -> DataFrame:
+    """Time-travel read of an SCD2 history: the dimension exactly as it
+    stood at ``as_of`` — rows with ``valid_from <= as_of`` and
+    (``valid_to`` null or ``valid_to > as_of``), i.e. versions open at
+    that instant (a version closed AT ``as_of`` was already replaced by
+    the merge that closed it, matching :func:`scd2_merge`'s half-open
+    [valid_from, valid_to) convention).
+
+    A pure filter — Catalyst pushes both predicates into the scan, and a
+    history stored sorted/partitioned on ``valid_from`` prunes whole
+    files (`write_sorted`'s data-skipping applies).  ``keep_validity``
+    retains the validity columns; default drops them so the result has
+    the snapshot's own schema and diffs cleanly against one."""
+    vf, vt = F.col(valid_from), F.col(valid_to)
+    out = history.filter(
+        (vf <= F.lit(as_of)) & (vt.isNull() | (vt > F.lit(as_of)))
+    )
+    return out if keep_validity else out.drop(valid_from, valid_to)

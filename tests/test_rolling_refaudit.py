@@ -70,3 +70,40 @@ class TestReferentialAudit:
             0,
             0,
         )
+
+
+class TestRollingActiveKmv:
+    def test_tracks_exact_and_small_windows_are_exact(self, spark):
+        import random
+
+        random.seed(3)
+        rows = []
+        base = datetime.datetime(2024, 3, 1)
+        for d in range(10):
+            for u in random.sample(range(3000), 400):
+                rows.append((base + datetime.timedelta(days=d, hours=2), u))
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+        from sparkplug_spark.operators import (
+            rolling_active_users,
+            rolling_active_users_kmv,
+        )
+
+        exact = {
+            r["day_idx"]: (r["active_1d"], r["active_7d"])
+            for r in rolling_active_users(df, windows=(1, 7)).collect()
+        }
+        est = {
+            r["day_idx"]: (r["active_1d_est"], r["active_7d_est"])
+            for r in rolling_active_users_kmv(df, windows=(1, 7), k=128).collect()
+        }
+        assert set(est) == set(exact)
+        for d in exact:
+            # 1d: 400 actives vs k=128 -> estimator; 4x RSE(128) ~ 36%
+            assert abs(est[d][0] - exact[d][0]) / exact[d][0] < 0.36
+            assert abs(est[d][1] - exact[d][1]) / exact[d][1] < 0.36
+        # under-k day set is exact: tiny corpus
+        few = spark.createDataFrame(
+            [(base, u) for u in range(20)], "ts timestamp, user_id long"
+        )
+        only = rolling_active_users_kmv(few, windows=(1,), k=64).collect()[0]
+        assert only["active_1d_est"] == 20

@@ -313,3 +313,34 @@ class TestQuarantineJson:
         df2 = spark.createDataFrame([(1, "{}")], "id long, p string")
         with pytest.raises(ValueError, match="collides"):
             quarantine_json(df2, "p", {"_corrupt_record": "string"})
+
+
+class TestScd2Asof:
+    def test_reads_version_open_at_instant(self, spark):
+        from sparkplug_spark.operators import scd2_asof
+
+        hist = spark.createDataFrame(
+            [
+                (1, "v1", 0, 100),
+                (1, "v2", 100, None),
+                (2, "only", 0, None),
+                (3, "gone", 0, 50),
+            ],
+            "k long, v string, valid_from long, valid_to long",
+        )
+        at_0 = {r["k"]: r["v"] for r in scd2_asof(hist, 0).collect()}
+        assert at_0 == {1: "v1", 2: "only", 3: "gone"}
+        at_99 = {r["k"]: r["v"] for r in scd2_asof(hist, 99).collect()}
+        assert at_99 == {1: "v1", 2: "only"}
+        # half-open: the version closed AT 100 is already replaced
+        at_100 = {r["k"]: r["v"] for r in scd2_asof(hist, 100).collect()}
+        assert at_100 == {1: "v2", 2: "only"}
+
+    def test_keep_validity_retains_columns(self, spark):
+        from sparkplug_spark.operators import scd2_asof
+
+        hist = spark.createDataFrame(
+            [(1, "v", 0, None)], "k long, v string, valid_from long, valid_to long"
+        )
+        assert scd2_asof(hist, 5).columns == ["k", "v"]
+        assert "valid_from" in scd2_asof(hist, 5, keep_validity=True).columns
