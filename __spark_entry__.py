@@ -3980,6 +3980,101 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # dim_truncation: same int8 codes as quantize_embeddings, exact
+    # integer squared-L2 over each prefix, first-min-then-smallest-id
+    # top-1 — no float comparisons anywhere in the ranking
+    dim_trunc_sql = """
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+                 coalesce(list_max(list_transform(v, x -> abs(x))), 0)
+                   / 127.0 AS scale
+          FROM e
+        ), c AS (
+          SELECT vec_id,
+                 CASE WHEN scale > 0
+                      THEN list_transform(v, x -> floor(x / scale + 0.5))
+                      ELSE list_transform(v, x -> 0.0) END AS cd
+          FROM s
+        ), p AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> (a.cd[i] - b.cd[i]) * (a.cd[i] - b.cd[i]))) AS d64,
+                 list_sum(list_transform(generate_series(1, 32),
+                   i -> (a.cd[i] - b.cd[i]) * (a.cd[i] - b.cd[i]))) AS d32,
+                 list_sum(list_transform(generate_series(1, 16),
+                   i -> (a.cd[i] - b.cd[i]) * (a.cd[i] - b.cd[i]))) AS d16,
+                 list_sum(list_transform(generate_series(1, 8),
+                   i -> (a.cd[i] - b.cd[i]) * (a.cd[i] - b.cd[i]))) AS d8
+          FROM c a JOIN c b ON a.vec_id <> b.vec_id
+        ),
+        t64 AS (
+          SELECT ia, ib AS top1_64 FROM (
+            SELECT ia, ib,
+                   row_number() OVER (PARTITION BY ia ORDER BY d64, ib)
+                     AS rk
+            FROM p
+          ) WHERE rk = 1
+        ),
+        t32 AS (
+          SELECT ia, ib AS top1_32 FROM (
+            SELECT ia, ib,
+                   row_number() OVER (PARTITION BY ia ORDER BY d32, ib)
+                     AS rk
+            FROM p
+          ) WHERE rk = 1
+        ),
+        t16 AS (
+          SELECT ia, ib AS top1_16 FROM (
+            SELECT ia, ib,
+                   row_number() OVER (PARTITION BY ia ORDER BY d16, ib)
+                     AS rk
+            FROM p
+          ) WHERE rk = 1
+        ),
+        t8 AS (
+          SELECT ia, ib AS top1_8 FROM (
+            SELECT ia, ib,
+                   row_number() OVER (PARTITION BY ia ORDER BY d8, ib)
+                     AS rk
+            FROM p
+          ) WHERE rk = 1
+        )
+        SELECT 64 AS dims, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN t64.top1_64 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+               CAST(SUM(CASE WHEN t64.top1_64 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // COUNT(*) AS match_ppm
+        FROM t64 JOIN t64 tf USING (ia)
+        UNION ALL
+        SELECT 32 AS dims, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN t32.top1_32 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+               CAST(SUM(CASE WHEN t32.top1_32 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // COUNT(*) AS match_ppm
+        FROM t32 JOIN t64 tf USING (ia)
+        UNION ALL
+        SELECT 16 AS dims, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN t16.top1_16 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+               CAST(SUM(CASE WHEN t16.top1_16 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // COUNT(*) AS match_ppm
+        FROM t16 JOIN t64 tf USING (ia)
+        UNION ALL
+        SELECT 8 AS dims, COUNT(*) AS n_vecs,
+               CAST(SUM(CASE WHEN t8.top1_8 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+               CAST(SUM(CASE WHEN t8.top1_8 = tf.top1_64
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000 // COUNT(*) AS match_ppm
+        FROM t8 JOIN t64 tf USING (ia)
+    """
+
     # json_quarantine: corrupt = failed parse; on this data Spark's
     # PERMISSIVE corrupt lane coincides with NOT json_valid (the injected
     # breakage is structurally malformed; every valid payload's k is an
@@ -4761,6 +4856,7 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "dim_truncation": dim_trunc_sql,
         "json_quarantine": json_quarantine_sql,
         "rolling_active": rolling_active_sql,
         "rolling_active_kmv": rolling_active_kmv_sql,
@@ -8317,6 +8413,17 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (E189): top-1-neighbor survival at
+    64/32/16/8-dim prefixes of the int8-quantized store, ranked by
+    EXACT integer squared-L2 with id tie-breaks — no float argmax, so
+    every top-1 (and the ppm report) is engine-reproducible."""
+    from sparkplug_spark.operators import dim_truncation_audit
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return dim_truncation_audit(emb, dims=(64, 32, 16, 8))
+
+
 def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust JSON ingestion (E186): props payloads with deterministic
     corruption injected (every 13th event PREFIX-mangled, every 17th
@@ -8550,6 +8657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "dim_truncation": q_dim_truncation,
         "json_quarantine": q_json_quarantine,
         "rolling_active": q_rolling_active,
         "rolling_active_kmv": q_rolling_active_kmv,

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import int8_quant_pd
 from ..partitioning import spread
 
-__all__ = ["quantize_embeddings"]
+__all__ = ["quantize_embeddings", "dim_truncation_audit"]
 
 
 def quantize_embeddings(
@@ -50,3 +50,106 @@ def quantize_embeddings(
             q["codes"].alias("codes"),
         )
     )
+
+
+def dim_truncation_audit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple = (64, 32, 16, 8),
+    max_rows: int = 20000,
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: how much nearest-
+    neighbor structure survives serving only the first ``d`` dims?  Per
+    probe dim: (dims, n_vecs, n_top1_match, match_ppm) — the fraction of
+    vectors whose top-1 neighbor under the truncated prefix equals their
+    full-dim top-1.  The number that decides whether an MRL/truncation
+    rollout is safe before anyone re-embeds a corpus.
+
+    Exactness discipline: ranking runs on the INT8-quantized codes
+    (:func:`quantize_embeddings`'s exact floor-half-up codes) by integer
+    squared-L2 with ties broken on the smaller id — no float argmax
+    anywhere, so the oracle reproduces every top-1 bit-for-bit (a raw
+    float32 cosine argmax would flip on summation-order ulps exactly
+    when two candidates nearly tie).  Quantized + truncated is also the
+    realistic serving stack (SQ8 tier).
+
+    Scale shape: the audit corpus is collected and broadcast (guarded
+    by ``max_rows`` — run it on a deterministic sample of a big store,
+    e.g. :func:`~.cleaning.sample_exact`), then each partition scores
+    its probes against the broadcast matrix in one numpy pass —
+    embarrassingly parallel O(n²d/tasks), the E8 brute-force shape."""
+    import numpy as np
+    import pandas as pd
+
+    dims = tuple(int(d) for d in dims)
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError("dims must be non-empty positive prefixes")
+    full = max(dims)
+    quant = quantize_embeddings(df, vec_col, id_col).select(
+        F.col(id_col).alias("__id"), "codes"
+    )
+    rows = quant.toPandas()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"{len(rows)} vectors exceeds max_rows={max_rows}: audit a "
+            "deterministic sample (sample_exact) instead of the full store"
+        )
+    ids = rows["__id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(c, np.int64) for c in rows["codes"]])
+    if mat.shape[1] < full:
+        raise ValueError(
+            f"max(dims)={full} exceeds vector dim {mat.shape[1]}"
+        )
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat))
+    out_schema = ", ".join(
+        ["__id long"] + [f"top1_{d} long" for d in dims]
+    )
+
+    def _score(batches):
+        b_ids, b_mat = bc.value
+        pos = {int(v): i for i, v in enumerate(b_ids)}
+        for pdf_in in batches:
+            pid = pdf_in["__id"].to_numpy(np.int64)
+            out = {"__id": pid}
+            probe_rows = np.array([pos[int(v)] for v in pid])
+            for d in dims:
+                sub = b_mat[:, :d]
+                p = sub[probe_rows]
+                # (n_probe, n_corpus) exact integer squared L2
+                d2 = (
+                    (p * p).sum(1)[:, None]
+                    - 2 * (p @ sub.T)
+                    + (sub * sub).sum(1)[None, :]
+                )
+                d2[np.arange(len(pid)), probe_rows] = np.iinfo(np.int64).max
+                # min dist, ties to the smallest id: ids are ascending,
+                # so the first argmin along the row IS the smallest id
+                out[f"top1_{d}"] = b_ids[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(out)
+
+    top1 = quant.select("__id").mapInPandas(_score, out_schema)
+    parts = []
+    for d in dims:
+        match = (F.col(f"top1_{d}") == F.col(f"top1_{full}")).cast("long")
+        parts.append(
+            top1.agg(
+                F.lit(d).cast("long").alias("dims"),
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(match).alias("n_top1_match"),
+            ).select(
+                "dims",
+                "n_vecs",
+                "n_top1_match",
+                F.expr("n_top1_match * 1000000L div n_vecs").alias(
+                    "match_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2,6 +2,7 @@
 zero-vector guard, half-up rounding, error bound."""
 
 import numpy as np
+import pytest
 
 from sparkplug_spark.operators import quantize_embeddings
 
@@ -53,3 +54,68 @@ class TestQuantizeEmbeddings:
             rec = np.array(r["codes"], dtype=np.float64) * r["scale"]
             cos = v @ rec / (np.linalg.norm(v) * np.linalg.norm(rec))
             assert cos > 0.999
+
+
+class TestDimTruncationAudit:
+    def test_full_dim_row_is_trivially_perfect_and_prefix_degrades(
+        self, spark
+    ):
+        import random
+
+        from sparkplug_spark.operators import dim_truncation_audit
+
+        random.seed(5)
+        rows = [
+            (i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["dims"]: (r["n_vecs"], r["n_top1_match"], r["match_ppm"])
+            for r in dim_truncation_audit(df, dims=(16, 8, 2)).collect()
+        }
+        assert got[16] == (60, 60, 1_000_000)  # vs itself: perfect
+        assert got[8][1] <= 60 and got[2][1] <= got[8][1] + 20
+        # random vectors: 2 dims of 16 must lose most structure
+        assert got[2][2] < got[16][2]
+
+    def test_matches_brute_force_reference(self, spark):
+        import math
+
+        import numpy as np
+
+        from sparkplug_spark.operators import dim_truncation_audit
+
+        rng = np.random.RandomState(9)
+        vecs = rng.uniform(-1, 1, (40, 8)).astype(np.float32)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["dims"]: r["n_top1_match"]
+            for r in dim_truncation_audit(df, dims=(8, 4)).collect()
+        }
+        # reference: same quantization (floor half-up), integer L2
+        scale = np.abs(vecs).max(1) / 127.0
+        codes = np.floor(vecs / scale[:, None] + 0.5).astype(np.int64)
+
+        def top1(d):
+            out = []
+            for i in range(40):
+                d2 = ((codes[:, :d] - codes[i, :d]) ** 2).sum(1)
+                d2[i] = 1 << 60
+                out.append(int(np.argmin(d2)))  # ids are 0..39 ascending
+            return out
+
+        t8, t4 = top1(8), top1(4)
+        assert got[8] == 40
+        assert got[4] == sum(1 for a, b in zip(t4, t8) if a == b)
+
+    def test_guards(self, spark):
+        from sparkplug_spark.operators import dim_truncation_audit
+
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="exceeds vector dim"):
+            dim_truncation_audit(df, dims=(4, 2))
+        with pytest.raises(ValueError, match="max_rows"):
+            dim_truncation_audit(df, dims=(2,), max_rows=0)
