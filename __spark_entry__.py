@@ -3980,6 +3980,31 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # share_shift: same day index, integer ppm, lag over observed
+    # periods per key
+    share_shift_sql = """
+        WITH agg AS (
+          SELECT event_type AS key,
+                 ((epoch_ns(ts) // 1000) // 1000000) // 86400 AS period,
+                 COUNT(*) AS weight
+          FROM events GROUP BY 1, 2
+        ), tot AS (
+          SELECT period, CAST(SUM(weight) AS BIGINT) AS t
+          FROM agg GROUP BY period
+        ), sh AS (
+          SELECT key, period, weight,
+                 weight * 1000000 // t AS share_ppm
+          FROM agg JOIN tot USING (period)
+        )
+        SELECT key, period, weight, share_ppm,
+               lag(share_ppm) OVER (PARTITION BY key ORDER BY period)
+                 AS prev_share_ppm,
+               share_ppm - lag(share_ppm) OVER (PARTITION BY key
+                                                ORDER BY period)
+                 AS delta_ppm
+        FROM sh
+    """
+
     # dim_truncation: same int8 codes as quantize_embeddings, exact
     # integer squared-L2 over each prefix, first-min-then-smallest-id
     # top-1 — no float comparisons anywhere in the ranking
@@ -4856,6 +4881,7 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "share_shift": share_shift_sql,
         "dim_truncation": dim_trunc_sql,
         "json_quarantine": json_quarantine_sql,
         "rolling_active": rolling_active_sql,
@@ -8413,6 +8439,20 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift report (E190): event-type share of daily volume in
+    integer ppm with the per-key previous-observed-period delta."""
+    from sparkplug_spark.operators import share_shift
+
+    ev = read_events(spark, sf_dir)
+    day = (
+        F.floor(F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    ).alias("day_idx")
+    return share_shift(
+        ev.select(F.col("event_type"), day), "event_type", "day_idx"
+    )
+
+
 def q_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka truncation audit (E189): top-1-neighbor survival at
     64/32/16/8-dim prefixes of the int8-quantized store, ranked by
@@ -8657,6 +8697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "share_shift": q_share_shift,
         "dim_truncation": q_dim_truncation,
         "json_quarantine": q_json_quarantine,
         "rolling_active": q_rolling_active,

@@ -17,6 +17,7 @@ from ..partitioning import spread
 
 __all__ = [
     "referential_audit",
+    "share_shift",
     "column_profile",
     "histogram",
     "length_quartiles_by_source",
@@ -1059,3 +1060,60 @@ def referential_audit(
         )
     )
     return summary.unionByName(worst)
+
+
+def share_shift(
+    df: DataFrame,
+    key_col: str,
+    period_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Share-of-total per (key, period) with period-over-period shift —
+    the mix-shift report behind "which source/segment is growing":
+    (key, period, weight, share_ppm, prev_share_ppm, delta_ppm).
+
+    ``weight_col`` None counts rows; otherwise sums an integer weight
+    (pre-quantize money/floats first — micros, the E150 discipline).
+    ``share_ppm`` is an integer floor division against the period total;
+    ``prev_share_ppm`` is the key's share in its PREVIOUS OBSERVED
+    period (a key absent from a period simply has no row — join a spine
+    + fill zeros upstream if gap-as-zero semantics are wanted), null in
+    the key's first period, and ``delta_ppm`` the difference.
+
+    Plan: one partial-aggregated (key, period) rollup, a per-period
+    total broadcast back, one lag window per key — two small shuffles
+    over the aggregate, never raw volume."""
+    from pyspark.sql import Window
+
+    w = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col is not None
+        else F.count(F.lit(1))
+    )
+    agg = (
+        spread(df)
+        .groupBy(
+            F.col(key_col).alias("key"), F.col(period_col).alias("period")
+        )
+        .agg(w.cast("long").alias("weight"))
+    )
+    tot = agg.groupBy("period").agg(
+        F.sum("weight").cast("long").alias("__t")
+    )
+    shared = agg.join(F.broadcast(tot), "period").select(
+        "key",
+        "period",
+        "weight",
+        F.expr("weight * 1000000L div __t").alias("share_ppm"),
+    )
+    lag = Window.partitionBy("key").orderBy("period")
+    return shared.select(
+        "key",
+        "period",
+        "weight",
+        "share_ppm",
+        F.lag("share_ppm").over(lag).alias("prev_share_ppm"),
+        (F.col("share_ppm") - F.lag("share_ppm").over(lag)).alias(
+            "delta_ppm"
+        ),
+    )

@@ -107,3 +107,42 @@ class TestRollingActiveKmv:
         )
         only = rolling_active_users_kmv(few, windows=(1,), k=64).collect()[0]
         assert only["active_1d_est"] == 20
+
+
+class TestShareShift:
+    def test_shares_and_lag_semantics(self, spark):
+        from sparkplug_spark.operators import share_shift
+
+        rows = [
+            ("a", 1, 3), ("b", 1, 1),          # period 1: a=75%, b=25%
+            ("a", 2, 1), ("b", 2, 1),          # period 2: 50/50
+            ("a", 4, 2),                       # a skips period 3
+        ]
+        df = spark.createDataFrame(
+            [(k, p) for k, p, n in rows for _ in range(n)],
+            "k string, p long",
+        )
+        got = {
+            (r["key"], r["period"]): (
+                r["weight"], r["share_ppm"], r["prev_share_ppm"],
+                r["delta_ppm"],
+            )
+            for r in share_shift(df, "k", "p").collect()
+        }
+        assert got[("a", 1)] == (3, 750000, None, None)
+        assert got[("b", 1)] == (1, 250000, None, None)
+        assert got[("a", 2)] == (1, 500000, 750000, -250000)
+        # previous OBSERVED period, not previous calendar period
+        assert got[("a", 4)] == (2, 1000000, 500000, 500000)
+
+    def test_weighted(self, spark):
+        from sparkplug_spark.operators import share_shift
+
+        df = spark.createDataFrame(
+            [("a", 1, 30), ("b", 1, 10)], "k string, p long, w long"
+        )
+        got = {
+            r["key"]: (r["weight"], r["share_ppm"])
+            for r in share_shift(df, "k", "p", weight_col="w").collect()
+        }
+        assert got == {"a": (30, 750000), "b": (10, 250000)}
