@@ -4739,6 +4739,17 @@ def _extension_oracles() -> dict[str, str]:
         GROUP BY tk.doc_id, tk.lab
     """
 
+    # label noise: the same retrained NB, disagreement projection on top
+    label_noise_sql = f"""
+        WITH nb AS ({nb_sql})
+        SELECT doc_id, label, score_micros,
+               CASE WHEN label THEN -score_micros
+                    ELSE score_micros END AS noise_micros,
+               (CASE WHEN label THEN -score_micros
+                     ELSE score_micros END) > 2000000 AS flag_noise
+        FROM nb
+    """
+
     # within-doc span dedup: first occurrence per (doc, span_text) kept
     dedup_spans_sql = f"""
         WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
@@ -4881,6 +4892,7 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "label_noise": label_noise_sql,
         "share_shift": share_shift_sql,
         "dim_truncation": dim_trunc_sql,
         "json_quarantine": json_quarantine_sql,
@@ -8439,6 +8451,16 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen (E191): docs whose trained-NB score
+    confidently argues against their own label, in exact micro-nats
+    (the cleanlab-style re-annotation queue)."""
+    from sparkplug_spark.operators import label_noise_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return label_noise_report(docs, threshold_micros=2_000_000)
+
+
 def q_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mix-shift report (E190): event-type share of daily volume in
     integer ppm with the per-key previous-observed-period delta."""
@@ -8697,6 +8719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "label_noise": q_label_noise,
         "share_shift": q_share_shift,
         "dim_truncation": q_dim_truncation,
         "json_quarantine": q_json_quarantine,

@@ -26,6 +26,7 @@ from ..partitioning import spread
 __all__ = [
     "calibration_report",
     "isotonic_fit_exact",
+    "label_noise_report",
     "score_with_model",
     "fake_quality_scorer",
     "compression_signals",
@@ -516,4 +517,43 @@ def isotonic_fit_exact(
                 "calibrated_ppm"
             ),
         )
+    )
+
+
+def label_noise_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    positive_value: str = "en",
+    threshold_micros: int = 2_000_000,
+) -> DataFrame:
+    """Confident-learning-style label-noise screen: train the
+    :func:`naive_bayes_classifier` on the labeled corpus, then flag
+    examples the model CONFIDENTLY disagrees with — the standard first
+    pass before paying humans to re-annotate (Northcutt et al.'s
+    cleanlab intuition on the engine's exact-integer NB).
+
+    ``noise_micros`` is the signed disagreement in micro-nats
+    (−score for positive-labeled rows, +score for negative-labeled:
+    positive = "the model argues against your label", magnitude = how
+    hard); ``flag_noise`` fires above ``threshold_micros`` (2.0 nats ≈
+    7:1 odds by default).  Exact integers end to end, so the report
+    value-hash-matches the oracle's retrained twin.
+
+    Returns (id, label, score_micros, noise_micros, flag_noise).  Same
+    scale shape as the classifier (one token groupBy + vocabulary-sized
+    apply join); the report adds a projection."""
+    nb = naive_bayes_classifier(
+        df, text_col, id_col, label_col, positive_value
+    )
+    noise = F.when(
+        F.col("label"), -F.col("score_micros")
+    ).otherwise(F.col("score_micros"))
+    return nb.select(
+        id_col,
+        "label",
+        "score_micros",
+        noise.alias("noise_micros"),
+        (noise > F.lit(int(threshold_micros))).alias("flag_noise"),
     )

@@ -47,3 +47,38 @@ class TestNaiveBayesClassifier:
         }
         assert out[0] == out[2] == out[4]
         assert out[1] == out[3] == out[5]
+
+
+class TestLabelNoiseReport:
+    def test_flags_planted_mislabel(self, spark):
+        from sparkplug_spark.operators import label_noise_report
+
+        # two clearly-separated dialects + one mislabeled doc per side
+        rows = []
+        for i in range(30):
+            rows.append((i, "alpha beta gamma alpha beta", "en"))
+            rows.append((100 + i, "zork quux blarg zork quux", "xx"))
+        rows.append((500, "zork quux blarg zork quux blarg", "en"))  # noisy
+        rows.append((501, "alpha beta gamma alpha", "xx"))           # noisy
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        rep = {
+            r["doc_id"]: (r["noise_micros"], r["flag_noise"])
+            for r in label_noise_report(df).collect()
+        }
+        assert rep[500][1] and rep[501][1]  # planted noise flagged
+        clean_flags = [rep[i][1] for i in range(30)] + [
+            rep[100 + i][1] for i in range(30)
+        ]
+        assert not any(clean_flags)
+        # signed semantics: positive = model argues against the label
+        assert rep[500][0] > 0 and rep[0][0] < 0
+
+    def test_threshold_is_respected(self, spark):
+        from sparkplug_spark.operators import label_noise_report
+
+        df = spark.createDataFrame(
+            [(1, "a b", "en"), (2, "a b", "xx")],
+            "doc_id long, text string, lang string",
+        )
+        rep = label_noise_report(df, threshold_micros=10**12).collect()
+        assert not any(r["flag_noise"] for r in rep)
