@@ -3980,6 +3980,31 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # gini: whole-dollar spend (int64 headroom: n*total*1e6), integer
+    # floor; tie order irrelevant (equal x contribute x*sum(i) regardless)
+    gini_sql = """
+        WITH spend AS (
+          SELECT o_custkey, o_custkey % 4 AS seg,
+                 CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+          FROM orders GROUP BY o_custkey
+        ), r AS (
+          SELECT seg, x,
+                 row_number() OVER (PARTITION BY seg ORDER BY x) AS i
+          FROM spend
+        ), a AS (
+          SELECT seg AS key, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS total,
+                 CAST(SUM(i * x) AS BIGINT) AS ix
+          FROM r GROUP BY seg
+        )
+        SELECT key, n, total,
+               CASE WHEN total > 0
+                    THEN (2 * ix - (n + 1) * total) * 1000000
+                         // (n * total)
+               END AS gini_ppm
+        FROM a
+    """
+
     # share_shift: same day index, integer ppm, lag over observed
     # periods per key
     share_shift_sql = """
@@ -4892,6 +4917,7 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "gini_spend": gini_sql,
         "label_noise": label_noise_sql,
         "share_shift": share_shift_sql,
         "dim_truncation": dim_trunc_sql,
@@ -8451,6 +8477,22 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration report (E192): Gini of per-customer order spend
+    (whole dollars — Gini is scale-free and the int64 headroom bound is
+    n*total*1e6; see operator docstring) — is revenue dominated by a
+    few customers? — exact integer ranks/products, ppm floor."""
+    from sparkplug_spark.operators import gini_concentration
+
+    orders = _read(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice").cast("long")).alias("spend_usd")
+    )
+    return gini_concentration(
+        spend.withColumn("seg", F.col("o_custkey") % 4), "spend_usd", by="seg"
+    )
+
+
 def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise screen (E191): docs whose trained-NB score
     confidently argues against their own label, in exact micro-nats
@@ -8719,6 +8761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "gini_spend": q_gini,
         "label_noise": q_label_noise,
         "share_shift": q_share_shift,
         "dim_truncation": q_dim_truncation,

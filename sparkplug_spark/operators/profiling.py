@@ -18,6 +18,7 @@ from ..partitioning import spread
 __all__ = [
     "referential_audit",
     "share_shift",
+    "gini_concentration",
     "column_profile",
     "histogram",
     "length_quartiles_by_source",
@@ -1116,4 +1117,54 @@ def share_shift(
         (F.col("share_ppm") - F.lag("share_ppm").over(lag)).alias(
             "delta_ppm"
         ),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Gini coefficient of a non-negative integer measure per group —
+    the one-number concentration answer behind "is our corpus/revenue/
+    token mass dominated by a few keys": (key, n, total,
+    gini_ppm) with G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted values, floored to integer ppm.
+
+    Exact end to end: ranks are integers, the numerator/denominator are
+    BIGINT products, the ppm is one integer floor division — and G is
+    invariant to tie order (equal values contribute x·Σi whatever their
+    rank order), so any deterministic sort works.  Zero-total groups
+    report NULL.  Pre-quantize float measures to integers first — and
+    mind the headroom: the widest intermediate is ~n·total·1e6, which
+    must fit int64 (n·total < 9.2e12).  Scale the measure DOWN (dollars,
+    not micros; kilotokens, not tokens) or Gini a stratum/sample —
+    concentration is scale-free, so coarser units change nothing but
+    the sub-ppm tail.
+
+    Plan: one rank window + one aggregate per group (single shuffle on
+    the group key; a global Gini (``by=None``) is a single-partition
+    sort — bounded by the group's row count, use a keyed grouping or a
+    sample for billion-row single groups)."""
+    from pyspark.sql import Window
+
+    key = F.col(by) if by is not None else F.lit("*")
+    base = spread(df).select(
+        key.alias("key"), F.col(value_col).cast("long").alias("__x")
+    ).where(F.col("__x").isNotNull())
+    w = Window.partitionBy("key").orderBy("__x")
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").cast("long").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).cast("long").alias("__ix"),
+    )
+    return agg.select(
+        "key",
+        "n",
+        "total",
+        F.when(
+            F.col("total") > 0,
+            F.expr("(2 * __ix - (n + 1) * total) * 1000000L div (n * total)"),
+        ).alias("gini_ppm"),
     )

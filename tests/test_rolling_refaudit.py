@@ -146,3 +146,46 @@ class TestShareShift:
             for r in share_shift(df, "k", "p", weight_col="w").collect()
         }
         assert got == {"a": (30, 750000), "b": (10, 250000)}
+
+
+class TestGiniConcentration:
+    def test_known_values(self, spark):
+        from sparkplug_spark.operators import gini_concentration
+
+        # perfect equality -> 0; one-holder extreme -> (n-1)/n
+        eq = spark.createDataFrame(
+            [("a", 10)] * 4, "g string, x long"
+        )
+        ex = spark.createDataFrame(
+            [("b", 0), ("b", 0), ("b", 0), ("b", 100)], "g string, x long"
+        )
+        got = {
+            r["key"]: (r["n"], r["total"], r["gini_ppm"])
+            for r in gini_concentration(
+                eq.unionByName(ex), "x", by="g"
+            ).collect()
+        }
+        assert got["a"] == (4, 40, 0)
+        assert got["b"] == (4, 100, 750_000)  # (n-1)/n = 0.75
+
+    def test_hand_computed_and_zero_total(self, spark):
+        from sparkplug_spark.operators import gini_concentration
+
+        df = spark.createDataFrame(
+            [("g", 1), ("g", 2), ("g", 3), ("g", 4), ("z", 0)],
+            "g string, x long",
+        )
+        got = {
+            r["key"]: r["gini_ppm"]
+            for r in gini_concentration(df, "x", by="g").collect()
+        }
+        # G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+        assert got["g"] == 250_000
+        assert got["z"] is None
+
+    def test_global_mode(self, spark):
+        from sparkplug_spark.operators import gini_concentration
+
+        df = spark.createDataFrame([(5,), (5,)], "x long")
+        r = gini_concentration(df, "x").collect()
+        assert len(r) == 1 and r[0]["key"] == "*" and r[0]["gini_ppm"] == 0
