@@ -1229,11 +1229,17 @@ def rolling_active_users(
     day = F.floor(_epoch_s(df, time_col) / F.lit(int(day_seconds))).cast(
         "long"
     )
+    from ..caching import materialize_release
+
     pairs = (
         spread(df)
         .select(day.alias("__d"), F.col(user_col).alias("__u"))
         .where(F.col("__u").isNotNull())
         .dropDuplicates(["__d", "__u"])
+        # one branch per requested window + the spine consume the pair
+        # table: persist so the raw-volume dedup shuffle runs ONCE, not
+        # once per consumer (released on return)
+        .persist()
     )
     spine = pairs.select(F.col("__d").alias("day_idx")).distinct()
     out = spine
@@ -1250,7 +1256,7 @@ def rolling_active_users(
             .agg(F.countDistinct("__u").alias(f"active_{int(w)}d"))
         )
         out = out.join(counts, "day_idx")
-    return out
+    return materialize_release(out, pairs)
 
 
 def rolling_active_users_kmv(
@@ -1285,7 +1291,12 @@ def rolling_active_users_kmv(
         .select(day.alias("__d"), F.col(user_col).alias("__u"))
         .where(F.col("__u").isNotNull())
     )
-    sketch = kmv_sketch(pairs, key="__u", by=("__d",), k=k)
+    from ..caching import materialize_release
+
+    # the per-day sketch feeds one merge branch per window + the spine:
+    # persist the <= k-rows-per-day table so the raw-volume sketch build
+    # runs once (released on return)
+    sketch = kmv_sketch(pairs, key="__u", by=("__d",), k=k).persist()
     spine = sketch.select(F.col("__d").alias("day_idx")).distinct()
     out = spine
     for w in windows:
@@ -1304,4 +1315,4 @@ def rolling_active_users_kmv(
             F.col("est_distinct").alias(f"active_{int(w)}d_est"),
         )
         out = out.join(est, "day_idx")
-    return out
+    return materialize_release(out, sketch)
