@@ -3980,6 +3980,44 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # state_durations: same second-truncated epoch -> micros, same cap
+    state_dur_sql = """
+        WITH ev AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_ns(ts) // 1000 AS tsu
+          FROM events
+        ), g AS (
+          SELECT event_type,
+                 lead(tsu) OVER (PARTITION BY user_id
+                                 ORDER BY tsu, event_id) - tsu AS gap
+          FROM ev
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_capped,
+               CAST(SUM(least(gap, 1800000000)) AS BIGINT)
+                 AS total_dwell_micros,
+               CAST(SUM(least(gap, 1800000000)) AS BIGINT) // COUNT(*)
+                 AS mean_dwell_micros
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY event_type
+    """
+
+    # activity_heatmap: dow from epoch-day arithmetic, ppm floor shares
+    heatmap_sql = """
+        WITH ev AS (
+          SELECT (epoch_ns(ts) // 1000) // 1000000 AS s FROM events
+        ), agg AS (
+          SELECT ((s // 86400) + 3) % 7 AS dow,
+                 (s % 86400) // 3600 AS hour,
+                 COUNT(*) AS weight
+          FROM ev GROUP BY 1, 2
+        ), tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS t FROM agg)
+        SELECT dow, hour, weight, weight * 1000000 // t AS share_ppm
+        FROM agg, tot
+    """
+
     # gini: whole-dollar spend (int64 headroom: n*total*1e6), integer
     # floor; tie order irrelevant (equal x contribute x*sum(i) regardless)
     gini_sql = """
@@ -4917,6 +4955,8 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "state_durations": state_dur_sql,
+        "activity_heatmap": heatmap_sql,
         "gini_spend": gini_sql,
         "label_noise": label_noise_sql,
         "share_shift": share_shift_sql,
@@ -8477,6 +8517,25 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time report (E193): capped gap-to-next-event per type in
+    exact integer micros."""
+    from sparkplug_spark.operators import state_durations
+
+    return state_durations(
+        read_events(spark, sf_dir), tiebreak_cols=("event_id",)
+    )
+
+
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour heatmap (E194): dow derived arithmetically
+    from the epoch day ((day+3)%7) — calendar-function week conventions
+    differ across engines; integer-ppm shares."""
+    from sparkplug_spark.operators import activity_heatmap
+
+    return activity_heatmap(read_events(spark, sf_dir))
+
+
 def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concentration report (E192): Gini of per-customer order spend
     (whole dollars — Gini is scale-free and the int64 headroom bound is
@@ -8761,6 +8820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "state_durations": q_state_durations,
+        "activity_heatmap": q_activity_heatmap,
         "gini_spend": q_gini,
         "label_noise": q_label_noise,
         "share_shift": q_share_shift,

@@ -27,6 +27,8 @@ __all__ = [
     "user_activity_profile",
     "rolling_active_users",
     "rolling_active_users_kmv",
+    "state_durations",
+    "activity_heatmap",
     "rolling_window_features",
     "attribution_counts",
     "densify_time_series",
@@ -1316,3 +1318,97 @@ def rolling_active_users_kmv(
         )
         out = out.join(est, "day_idx")
     return materialize_release(out, sketch)
+
+
+def state_durations(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_seconds: int = 1800,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Dwell-time distribution per event type: how long do users sit in
+    each state before their next event?  Duration of an event = gap to
+    the SAME user's next event, capped at ``max_gap_seconds`` (an
+    open-ended last-event-of-session tail would otherwise dominate every
+    mean — the cap is the standard sessionization-free dwell fix).
+    Output per type: (event_type, n_events, n_capped,
+    total_dwell_micros, mean_dwell_micros) — exact integer micros.
+
+    Timestamps compare as EXACT integer micros (unix_micros — the
+    CLAUDE.md distance invariant) and ``tiebreak_cols`` (e.g. a unique
+    event id) total-orders same-instant events: without it, which of
+    two tied events of DIFFERENT types owns the following gap is
+    engine-arbitrary.
+
+    Plan: one lead window per user (single hash shuffle on the user
+    key), then a partial-aggregated rollup; skew follows the user-key
+    distribution like every keyed window here."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import TimestampNTZType
+
+    col = F.col(time_col)
+    if isinstance(df.schema[time_col].dataType, TimestampNTZType):
+        col = col.cast("timestamp")
+    ts_us = F.unix_micros(col)
+    w = Window.partitionBy(user_col).orderBy(
+        ts_us, *[F.col(c) for c in tiebreak_cols]
+    )
+    cap_us = int(max_gap_seconds) * 1000000
+    gap = F.lead(ts_us).over(w) - ts_us
+    base = (
+        spread(df)
+        .select(
+            F.col(type_col).alias("event_type"),
+            gap.alias("__gap"),
+        )
+        .where(F.col("__gap").isNotNull())
+    )
+    dwell = F.least(F.col("__gap"), F.lit(cap_us))
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("__gap") > cap_us).cast("long")).alias("n_capped"),
+        F.sum(dwell).cast("long").alias("total_dwell_micros"),
+        F.expr(
+            f"sum(least(__gap, {cap_us}L)) div count(1)"
+        ).alias("mean_dwell_micros"),
+    )
+
+
+def activity_heatmap(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Day-of-week × hour activity heatmap — the capacity-planning /
+    anomaly-eyeball grid: (dow, hour, weight, share_ppm) with dow
+    0=Monday..6=Sunday derived ARITHMETICALLY from the epoch day
+    ((day + 3) % 7: 1970-01-01 was a Thursday), never from calendar
+    functions whose week conventions differ across engines.
+
+    One partial-aggregated rollup + a 1-row total broadcast; 168 output
+    rows regardless of volume."""
+    ts_s = _epoch_s(df, time_col)
+    day = F.floor(ts_s / F.lit(86400)).cast("long")
+    agg = (
+        spread(df)
+        .select(
+            ((day + F.lit(3)) % 7).alias("dow"),
+            F.floor((ts_s % 86400) / F.lit(3600)).cast("long").alias("hour"),
+            (
+                F.col(value_col).cast("long")
+                if value_col is not None
+                else F.lit(1).cast("long")
+            ).alias("__w"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.sum("__w").cast("long").alias("weight"))
+    )
+    tot = agg.agg(F.sum("weight").cast("long").alias("__t"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "weight",
+        F.expr("weight * 1000000L div __t").alias("share_ppm"),
+    )

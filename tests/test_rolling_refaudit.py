@@ -189,3 +189,66 @@ class TestGiniConcentration:
         df = spark.createDataFrame([(5,), (5,)], "x long")
         r = gini_concentration(df, "x").collect()
         assert len(r) == 1 and r[0]["key"] == "*" and r[0]["gini_ppm"] == 0
+
+
+class TestStateDurations:
+    def test_caps_and_attribution(self, spark):
+        from sparkplug_spark.operators import state_durations
+
+        rows = [
+            (1, 1, _ts(1, 1), "view"),     # +1h -> capped at 1800s
+            (2, 1, _ts(1, 2), "click"),    # +60s
+            (3, 1, _ts(1, 2).replace(minute=1), "view"),  # last: no gap
+            (4, 2, _ts(1, 5), "view"),     # single event: no gap
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r["event_type"]: (
+                r["n_events"], r["n_capped"],
+                r["total_dwell_micros"], r["mean_dwell_micros"],
+            )
+            for r in state_durations(
+                df, tiebreak_cols=("event_id",)
+            ).collect()
+        }
+        assert got["view"] == (1, 1, 1800 * 10**6, 1800 * 10**6)
+        assert got["click"] == (1, 0, 60 * 10**6, 60 * 10**6)
+
+    def test_tied_timestamps_attribute_by_tiebreak(self, spark):
+        from sparkplug_spark.operators import state_durations
+
+        t = _ts(2, 3)
+        rows = [
+            (10, 1, t, "a"), (11, 1, t, "b"),
+            (12, 1, t.replace(minute=5), "c"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        got = {
+            r["event_type"]: r["total_dwell_micros"]
+            for r in state_durations(df, tiebreak_cols=("event_id",)).collect()
+        }
+        # order by (ts, event_id): a -> b gap 0, b -> c gap 300s
+        assert got == {"a": 0, "b": 300 * 10**6}
+
+
+class TestActivityHeatmap:
+    def test_dow_hour_buckets_and_shares(self, spark):
+        import datetime
+
+        from sparkplug_spark.operators import activity_heatmap
+
+        # 2024-01-01 was a Monday -> dow 0
+        mon = datetime.datetime(2024, 1, 1, 9, 30)
+        sun = datetime.datetime(2024, 1, 7, 23, 5)
+        df = spark.createDataFrame(
+            [(mon,), (mon,), (mon,), (sun,)], "ts timestamp"
+        )
+        got = {
+            (r["dow"], r["hour"]): (r["weight"], r["share_ppm"])
+            for r in activity_heatmap(df).collect()
+        }
+        assert got == {(0, 9): (3, 750000), (6, 23): (1, 250000)}
