@@ -3980,6 +3980,102 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # source_influence: the same additive-LOO algebra re-derived in SQL
+    # (per-source counts subtracted from globals, exclusive tokens drop
+    # from the LOO vocabulary, E128 micro-nat quantization)
+    source_influence_sql = f"""
+        WITH tk AS (
+          SELECT source, doc_id, lang = 'en' AS lab, unnest({toks}) AS t
+          FROM documents WHERE doc_id % 10 <> 0
+        ),
+        per AS (
+          SELECT t, source,
+                 CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS cps,
+                 CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS cns
+          FROM tk GROUP BY 1, 2
+        ),
+        gcnt AS (
+          SELECT t, CAST(SUM(cps) AS BIGINT) AS cp,
+                 CAST(SUM(cns) AS BIGINT) AS cn
+          FROM per GROUP BY t
+        ),
+        vars AS (
+          SELECT DISTINCT source AS variant FROM tk
+          UNION ALL SELECT '__full__' AS variant
+        ),
+        loo AS (
+          SELECT g.t, v.variant,
+                 g.cp - coalesce(p.cps, 0) AS lcp,
+                 g.cn - coalesce(p.cns, 0) AS lcn
+          FROM gcnt g CROSS JOIN vars v
+          LEFT JOIN per p ON p.t = g.t AND p.source = v.variant
+          WHERE g.cp - coalesce(p.cps, 0) + g.cn - coalesce(p.cns, 0) > 0
+        ),
+        vtot AS (
+          SELECT variant, CAST(SUM(lcp) AS BIGINT) AS tp,
+                 CAST(SUM(lcn) AS BIGINT) AS tn, COUNT(*) AS v
+          FROM loo GROUP BY variant
+        ),
+        w AS (
+          SELECT l.variant, l.t,
+                 floor((ln(lcp + 1) - ln(tp + v) - ln(lcn + 1)
+                        + ln(tn + v)) * 1e6 + 0.5)::BIGINT AS w
+          FROM loo l JOIN vtot USING (variant)
+        ),
+        docs AS (SELECT DISTINCT source, doc_id, lab FROM tk),
+        dsrc AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS dps,
+                 CAST(sum(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS dns,
+                 COUNT(*) AS nd
+          FROM docs GROUP BY source
+        ),
+        dglob AS (
+          SELECT CAST(SUM(dps) AS BIGINT) AS dp,
+                 CAST(SUM(dns) AS BIGINT) AS dn
+          FROM dsrc
+        ),
+        priors AS (
+          SELECT v.variant,
+                 floor((ln(dp - coalesce(d.dps, 0) + 1)
+                        - ln(dn - coalesce(d.dns, 0) + 1)) * 1e6
+                       + 0.5)::BIGINT AS prior,
+                 CAST(coalesce(d.nd, 0) AS BIGINT) AS n_removed_docs
+          FROM vars v CROSS JOIN dglob
+          LEFT JOIN dsrc d ON d.source = v.variant
+        ),
+        ek AS (
+          SELECT doc_id, lang = 'en' AS lab, unnest({toks}) AS t
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        tsc AS (
+          SELECT e.doc_id, w.variant, CAST(SUM(w.w) AS BIGINT) AS s
+          FROM ek e JOIN w ON w.t = e.t GROUP BY 1, 2
+        ),
+        ed AS (SELECT DISTINCT doc_id, lab FROM ek),
+        sc AS (
+          SELECT v.variant, p.n_removed_docs, d.lab,
+                 (coalesce(t.s, 0) + p.prior) > 0 AS pred
+          FROM ed d CROSS JOIN vars v
+          LEFT JOIN tsc t ON t.doc_id = d.doc_id AND t.variant = v.variant
+          JOIN priors p ON p.variant = v.variant
+        ),
+        rep AS (
+          SELECT variant, n_removed_docs, COUNT(*) AS n_eval,
+                 CAST(SUM(CASE WHEN pred = lab THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_correct
+          FROM sc GROUP BY 1, 2
+        ),
+        fullm AS (
+          SELECT n_correct * 1000000 // n_eval AS fa FROM rep
+          WHERE variant = '__full__'
+        )
+        SELECT variant AS source, n_removed_docs, n_eval, n_correct,
+               n_correct * 1000000 // n_eval AS accuracy_ppm,
+               n_correct * 1000000 // n_eval - fullm.fa AS delta_ppm
+        FROM rep, fullm
+    """
+
     # state_durations: same second-truncated epoch -> micros, same cap
     state_dur_sql = """
         WITH ev AS (
@@ -4955,6 +5051,7 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "source_influence": source_influence_sql,
         "state_durations": state_dur_sql,
         "activity_heatmap": heatmap_sql,
         "gini_spend": gini_sql,
@@ -8517,6 +8614,19 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data valuation (E195): held-out NB accuracy delta from removing
+    each training source — every LOO model derived ARITHMETICALLY from
+    one counting pass (NB sufficient statistics are additive), integer
+    micro-nat weights, exact-count accuracy report."""
+    from sparkplug_spark.operators import source_influence
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return source_influence(train, eval_df)
+
+
 def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dwell-time report (E193): capped gap-to-next-event per type in
     exact integer micros."""
@@ -8820,6 +8930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "source_influence": q_source_influence,
         "state_durations": q_state_durations,
         "activity_heatmap": q_activity_heatmap,
         "gini_spend": q_gini,

@@ -2,6 +2,9 @@
 vocabularies, integer micro-nat scores are exact and partitioning-
 independent, prediction is the score's sign."""
 
+import pytest
+from pyspark.sql import functions as F
+
 from sparkplug_spark.operators import naive_bayes_classifier
 
 
@@ -82,3 +85,52 @@ class TestLabelNoiseReport:
         )
         rep = label_noise_report(df, threshold_micros=10**12).collect()
         assert not any(r["flag_noise"] for r in rep)
+
+
+class TestSourceInfluence:
+    def test_poison_source_shows_positive_removal_delta(self, spark):
+        from sparkplug_spark.operators import source_influence
+
+        rows = []
+        did = 0
+        # two clean sources: 'alpha beta' ⇔ en, 'zork quux' ⇔ xx
+        for src in ("good1", "good2"):
+            for _ in range(5):
+                rows.append((did, "alpha beta alpha", "en", src)); did += 1
+                rows.append((did, "zork quux zork", "xx", src)); did += 1
+        # poison source: labels inverted
+        for _ in range(30):
+            rows.append((did, "alpha beta alpha", "xx", "poison")); did += 1
+            rows.append((did, "zork quux zork", "en", "poison")); did += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        train = df.filter(F.col("doc_id") % 5 != 0)
+        eval_df = df.filter((F.col("doc_id") % 5 == 0) & (F.col("source") != "poison"))
+        rep = {
+            r["source"]: (
+                r["n_removed_docs"], r["n_eval"], r["accuracy_ppm"],
+                r["delta_ppm"],
+            )
+            for r in source_influence(train, eval_df).collect()
+        }
+        assert set(rep) == {"__full__", "good1", "good2", "poison"}
+        assert rep["__full__"][0] == 0 and rep["__full__"][3] == 0
+        assert rep["poison"][0] > 0
+        # removing the poison source must help at least as much as
+        # removing either clean source, and strictly beat the full model
+        assert rep["poison"][3] > 0
+        assert rep["poison"][2] >= rep["good1"][2]
+        assert rep["poison"][2] >= rep["good2"][2]
+        # every variant scores the same eval set
+        assert len({v[1] for v in rep.values()}) == 1
+
+    def test_guard_on_variant_count(self, spark):
+        from sparkplug_spark.operators import source_influence
+
+        df = spark.createDataFrame(
+            [(i, "a b", "en", f"s{i}") for i in range(10)],
+            "doc_id long, text string, lang string, source string",
+        )
+        with pytest.raises(ValueError, match="max_variants"):
+            source_influence(df, df, max_variants=3)
