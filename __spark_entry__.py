@@ -3980,6 +3980,44 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # rule_selectivity: the PART_RULES conditions are portable SQL; same
+    # one-pass CASE sums, exact-one exclusivity, ppm floor
+    rule_selectivity_sql = """
+        WITH f AS (
+          SELECT coalesce(p_brand = 'Brand#23' AND p_retailprice < 1000,
+                          FALSE) AS m0,
+                 coalesce(p_size >= 40, FALSE) AS m1,
+                 coalesce(p_type LIKE '%BRASS%', FALSE) AS m2
+          FROM part
+        ), t AS (
+          SELECT m0, m1, m2,
+                 (CASE WHEN m0 THEN 1 ELSE 0 END
+                  + CASE WHEN m1 THEN 1 ELSE 0 END
+                  + CASE WHEN m2 THEN 1 ELSE 0 END) AS k
+          FROM f
+        ), a AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN m0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(SUM(CASE WHEN m0 AND k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+                 CAST(SUM(CASE WHEN m1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN m1 AND k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                 CAST(SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN m2 AND k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+                 CAST(SUM(CASE WHEN k >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS cany,
+                 CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xany
+          FROM t
+        )
+        SELECT 'fix_brand23' AS rule_name, 'v1' AS rule_version,
+               c0 AS n_match, c0 * 1000000 // n AS match_ppm,
+               x0 AS n_exclusive FROM a
+        UNION ALL
+        SELECT 'xl_parts', 'v1', c1, c1 * 1000000 // n, x1 FROM a
+        UNION ALL
+        SELECT 'std_brass', 'v1', c2, c2 * 1000000 // n, x2 FROM a
+        UNION ALL
+        SELECT '__any__', '', cany, cany * 1000000 // n, xany FROM a
+    """
+
     # source_influence: the same additive-LOO algebra re-derived in SQL
     # (per-source counts subtracted from globals, exclusive tokens drop
     # from the LOO vocabulary, E128 micro-nat quantization)
@@ -5051,6 +5089,7 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "rule_selectivity": rule_selectivity_sql,
         "source_influence": source_influence_sql,
         "state_durations": state_dur_sql,
         "activity_heatmap": heatmap_sql,
@@ -8614,6 +8653,14 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_rule_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule pre-flight (E196): selectivity + exclusive-match overlap of
+    the PART_RULES set from ONE scan, before any fold runs."""
+    from sparkplug_spark.operators import rule_selectivity
+
+    return rule_selectivity(_read(spark, sf_dir, "part"), PART_RULES)
+
+
 def q_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data valuation (E195): held-out NB accuracy delta from removing
     each training source — every LOO model derived ARITHMETICALLY from
@@ -8930,6 +8977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "rule_selectivity": q_rule_selectivity,
         "source_influence": q_source_influence,
         "state_durations": q_state_durations,
         "activity_heatmap": q_activity_heatmap,
