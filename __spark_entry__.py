@@ -3980,6 +3980,55 @@ def _extension_oracles() -> dict[str, str]:
         FROM pre p JOIN fit f ON p.rk = f.i
     """
 
+    # hashed_embedding: same md5 bucket/sign, same IEEE sqrt+div, micro
+    # floor; zero-token docs keep a (0, 0) row
+    hashed_emb_cte = f"""
+        WITH tk AS (
+          SELECT doc_id, unnest({toks}) AS t FROM documents {{flt}}
+        ), hh AS (
+          SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM tk
+        ), sgn AS (
+          SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+                 CASE WHEN (h >> 20) % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM hh
+        ), cnt AS (
+          SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS c
+          FROM sgn GROUP BY 1, 2 HAVING SUM(s) <> 0
+        ), nrm AS (
+          SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nr
+          FROM cnt GROUP BY doc_id
+        ), wt AS (
+          SELECT c.doc_id, c.bucket,
+                 CAST(floor(CAST(c AS DOUBLE) / nr * 1e6) AS BIGINT)
+                   AS w_micros
+          FROM cnt c JOIN nrm USING (doc_id)
+        )
+    """
+    hashed_emb_sql = hashed_emb_cte.format(flt="") + """
+        SELECT d.doc_id, coalesce(wt.bucket, 0) AS bucket,
+               coalesce(wt.w_micros, 0) AS w_micros
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN wt USING (doc_id)
+    """
+    text_ann_sql = hashed_emb_cte.format(flt="WHERE doc_id % 5 = 0") + """
+        , dots AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib,
+                 CAST(SUM(a.w_micros * b.w_micros) AS BIGINT) AS dot
+          FROM wt a JOIN wt b
+            ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+          WHERE a.w_micros <> 0 AND b.w_micros <> 0
+          GROUP BY 1, 2
+        ), rk AS (
+          SELECT ia, ib, dot,
+                 row_number() OVER (PARTITION BY ia
+                                    ORDER BY dot DESC, ib) AS r
+          FROM dots
+        )
+        SELECT ia AS doc_id, ib AS neighbor_id, dot,
+               CAST(r AS BIGINT) AS rank
+        FROM rk WHERE r <= 1
+    """
+
     # rule_selectivity: the PART_RULES conditions are portable SQL; same
     # one-pass CASE sums, exact-one exclusivity, ppm floor
     rule_selectivity_sql = """
@@ -5089,6 +5138,8 @@ def _extension_oracles() -> dict[str, str]:
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
         "isotonic_exact": isotonic_exact_sql,
+        "hashed_embedding": hashed_emb_sql,
+        "text_ann_hashed": text_ann_sql,
         "rule_selectivity": rule_selectivity_sql,
         "source_influence": source_influence_sql,
         "state_durations": state_dur_sql,
@@ -8653,6 +8704,28 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text embedding (E197): signed md5 feature hashing,
+    L2-normalized, integer-micro sparse rows — the no-model bridge from
+    the text table into the similarity family."""
+    from sparkplug_spark.operators import hashed_embedding
+
+    docs = _read(spark, sf_dir, "documents")
+    return hashed_embedding(docs, dim=64, as_rows=True)
+
+
+def q_text_ann_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ANN end to end with zero external models (E198): hashed
+    embeddings -> inverted-index integer dot products -> top-1 neighbor
+    per doc (score desc, id asc — no float argmax).  Restricted to
+    every 5th doc to bound the Σ n_b² pair volume at bench scale."""
+    from sparkplug_spark.operators import hashed_embedding, sparse_topk_neighbors
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    rows = hashed_embedding(docs, dim=64, as_rows=True)
+    return sparse_topk_neighbors(rows, k=1)
+
+
 def q_rule_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rule pre-flight (E196): selectivity + exclusive-match overlap of
     the PART_RULES set from ONE scan, before any fold runs."""
@@ -8977,6 +9050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "hashed_embedding": q_hashed_embedding,
+        "text_ann_hashed": q_text_ann_hashed,
         "rule_selectivity": q_rule_selectivity,
         "source_influence": q_source_influence,
         "state_durations": q_state_durations,

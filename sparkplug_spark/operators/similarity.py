@@ -28,6 +28,7 @@ from ..functions.vectors import band_buckets, vec_dot, vec_norm
 from ..partitioning import spread
 
 __all__ = [
+    "sparse_topk_neighbors",
     "cosine_topk",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
@@ -1548,4 +1549,60 @@ def pca_project(
         .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .mapInPandas(_apply, out_schema)
         .withColumnRenamed("id", id_col)
+    )
+
+
+def sparse_topk_neighbors(
+    w_rows: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    weight_col: str = "w_micros",
+    k: int = 1,
+) -> DataFrame:
+    """Exact top-k neighbors over a SPARSE integer vector table
+    ((id, bucket, weight) rows, e.g. :func:`~.textops.hashed_embedding`
+    ``as_rows`` output): score = Σ w_a·w_b over shared buckets — the
+    inverted-index dot product, entirely relational.  Integer products
+    are exact, so ranking (score desc, neighbor id asc) never hits the
+    float-argmax tie hazard; for micro-quantized unit vectors the dot
+    IS cosine×1e12 up to quantization, and that defined ordering is
+    what the oracle reproduces.
+
+    Plan: self-equi-join on the bucket (only same-bucket pairs
+    materialize — sparsity is the pruning), partial-aggregated dot
+    accumulation, one window top-k.  Pair volume is Σ_b n_b², the
+    classic inverted-index bound: fine while buckets stay balanced
+    (hashing does that); hot buckets would need the E3-style stop-key
+    cap.  Zero-weight rows are dropped before the join."""
+    from pyspark.sql import Window
+
+    base = w_rows.select(
+        F.col(id_col).alias("__id"),
+        F.col(bucket_col).alias("__b"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).filter(F.col("__w") != 0)
+    a = base.select(
+        F.col("__id").alias("id_a"), "__b", F.col("__w").alias("__wa")
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), "__b", F.col("__w").alias("__wb")
+    )
+    dots = (
+        a.join(b, "__b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("dot"))
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.desc("dot"), F.asc("id_b")
+    )
+    return (
+        dots.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("neighbor_id"),
+            "dot",
+            F.col("__rk").cast("long").alias("rank"),
+        )
     )

@@ -23,6 +23,7 @@ from ..functions.text import (
 )
 
 __all__ = [
+    "hashed_embedding",
     "text_stats",
     "build_vocab",
     "vocab_coverage",
@@ -940,4 +941,100 @@ def vocab_coverage(
         F.expr("coalesce(n_oov, 0) * 1000000 DIV greatest(coalesce(n_tokens, 0), 1)")
         .cast("long")
         .alias("oov_ppm"),
+    )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    as_rows: bool = False,
+) -> DataFrame:
+    """Model-free text embedding by signed feature hashing (Weinberger
+    et al. 2009): token → md5 bucket (``hash60 % dim``), sign from the
+    next hash bit, signed counts L2-normalized and quantized to integer
+    MICRO units.  The bridge that lets the text table flow into the
+    similarity family (cosine top-k, near-dup pairs, dim-truncation
+    audit) with NO external model: deterministic md5 end to end, so the
+    vectors are engine-reproducible and integer products over them are
+    exact.
+
+    Default returns (id, embedding array<float> of micro-unit values /
+    1e6 — plug-compatible with the similarity operators);
+    ``as_rows=True`` returns the sparse relational form (id, bucket,
+    w_micros) that a SQL engine reproduces row for row.
+
+    Exactness: the norm is one IEEE sqrt of an exact integer
+    sum-of-squares and each weight one IEEE division, floored to micros
+    — deterministic across engines (no libm).  All-zero docs (no
+    tokens) embed as the zero vector.
+
+    Plan: explode → (id, bucket) signed-count aggregate → per-doc
+    norm join — two partial-aggregated shuffles on (id, bucket)/(id),
+    never wide rows."""
+    from ..functions.text import hash60, tokens_pd
+
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens_pd(F.col(text_col))).alias("__t"),
+    )
+    h = hash60(F.col("__t"))
+    signed = toks.select(
+        "__id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+        F.when(
+            F.pmod(F.shiftrightunsigned(h, 20), F.lit(2)) == 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("__sgn"),
+    )
+    cnt = signed.groupBy("__id", "bucket").agg(
+        F.sum("__sgn").cast("long").alias("__c")
+    ).filter(F.col("__c") != 0)
+    norms = cnt.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__c") * F.col("__c")).cast("double")).alias(
+            "__nrm"
+        )
+    )
+    w = (
+        cnt.join(norms, "__id")
+        .select(
+            "__id",
+            "bucket",
+            F.floor(
+                F.col("__c").cast("double") / F.col("__nrm") * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("w_micros"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("__id")).dropDuplicates(["__id"])
+    if as_rows:
+        return ids.join(w, "__id", "left").select(
+            F.col("__id").alias(id_col),
+            F.coalesce("bucket", F.lit(0)).alias("bucket"),
+            F.coalesce("w_micros", F.lit(0)).alias("w_micros"),
+        )
+    dense = w.groupBy("__id").agg(
+        F.aggregate(
+            F.collect_list(F.struct("bucket", "w_micros")),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, x: F.transform(
+                acc,
+                lambda v, i: F.when(
+                    i == x["bucket"],
+                    x["w_micros"].cast("double") / F.lit(1e6),
+                ).otherwise(v),
+            ),
+        ).alias("embedding")
+    )
+    return ids.join(dense, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(
+            F.col("embedding").cast("array<float>"),
+            F.array_repeat(F.lit(0.0).cast("float"), dim),
+        ).alias("embedding"),
     )
