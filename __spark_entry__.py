@@ -1096,7 +1096,10 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core numbers over the part co-purchase graph via iterated
     h-index propagation (converges to exact coreness; deterministic).
-    Iterative -> rows-only; exact-peeling twin in tests/test_coreness.py."""
+    CONVERTED to a value-hash oracle in r5: the h-index recurrence is
+    integer and confluent, so a recursive CTE iterating the whole
+    h-vector as one list reproduces the fixpoint bit-for-bit
+    (exact-peeling twin remains in tests/test_coreness.py)."""
     from sparkplug_spark.operators import basket_pairs, coreness
 
     li = _read(spark, sf_dir, "lineitem")
@@ -4029,6 +4032,51 @@ def _extension_oracles() -> dict[str, str]:
         FROM rk WHERE r <= 1
     """
 
+    # coreness (E136, converted from rows-only in r5): iterated h-index
+    # is INTEGER and confluent (Lu et al. 2016 — the fixpoint from the
+    # degree start IS the coreness regardless of update order), so the
+    # oracle iterates the identical synchronous recurrence with the
+    # single-row list-state idiom (whole h-vector as one list; adjacency
+    # as a list-of-lists built in the non-recursive part — aggregates
+    # are banned only inside the recursion)
+    coreness_sql = """
+        WITH RECURSIVE bi AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        ),
+        small AS (SELECT * FROM bi WHERE b NOT IN (
+          SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)),
+        pairs AS (
+          SELECT l.i AS s, r.i AS d FROM small l JOIN small r USING (b)
+          WHERE l.i < r.i GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+        ord AS (SELECT v, row_number() OVER (ORDER BY v) AS idx
+                FROM (SELECT DISTINCT s AS v FROM edges)),
+        adjp AS (
+          SELECT o1.idx AS i, list(o2.idx ORDER BY o2.idx) AS nb
+          FROM edges e JOIN ord o1 ON e.s = o1.v JOIN ord o2 ON e.d = o2.v
+          GROUP BY o1.idx
+        ),
+        adjrow AS (SELECT list(nb ORDER BY i) AS A,
+                          list(len(nb) ORDER BY i) AS deg FROM adjp),
+        it AS (
+          SELECT 0 AS k, deg AS h FROM adjrow
+          UNION ALL
+          SELECT k + 1, newh FROM (
+            SELECT k, h,
+                   list_transform(range(1, len(h) + 1), i ->
+                     list_max(list_transform(range(1, len(a.A[i]) + 1), r ->
+                       least(r, list_sort(list_transform(a.A[i], j -> h[j]),
+                                          'DESC')[r])))) AS newh
+            FROM it, adjrow a WHERE k < 100
+          ) WHERE newh <> h
+        ),
+        fin AS (SELECT h FROM it ORDER BY k DESC LIMIT 1)
+        SELECT o.v AS item, CAST(a.deg[o.idx] AS BIGINT) AS degree,
+               CAST(f.h[o.idx] AS BIGINT) AS core
+        FROM ord o, adjrow a, fin f
+    """
+
     # rule_selectivity: the PART_RULES conditions are portable SQL; same
     # one-pass CASE sums, exact-one exclusivity, ppm floor
     rule_selectivity_sql = """
@@ -5140,6 +5188,7 @@ def _extension_oracles() -> dict[str, str]:
         "isotonic_exact": isotonic_exact_sql,
         "hashed_embedding": hashed_emb_sql,
         "text_ann_hashed": text_ann_sql,
+        "coreness": coreness_sql,
         "rule_selectivity": rule_selectivity_sql,
         "source_influence": source_influence_sql,
         "state_durations": state_dur_sql,
@@ -9149,6 +9198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppress_cells": q_suppress_cells,
         "streaming_rollup_replay": q_streaming_rollup_replay,
         "bpe_token_counts": q_bpe_token_counts,
+        "coreness": q_coreness,
         "pca_embeddings": q_pca_embeddings,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
@@ -9164,7 +9214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup": q_distinct_rollup,
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_incr": q_semantic_dedup_incr,
-        "coreness": q_coreness,
         "hits_scores": q_hits_scores,
         "calibrate_isotonic": q_calibrate_isotonic,
     }
