@@ -4077,6 +4077,57 @@ def _extension_oracles() -> dict[str, str]:
         FROM ord o, adjrow a, fin f
     """
 
+    # pagerank_exact (E199): same graph CTEs as coreness, fixed-schedule
+    # integer recurrence replayed on the single-row mass list; dangling
+    # share kept in the formula for faithfulness (zero on this
+    # symmetrized graph)
+    pagerank_exact_sql = """
+        WITH RECURSIVE bi AS (
+          SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        ),
+        small AS (SELECT * FROM bi WHERE b NOT IN (
+          SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)),
+        pairs AS (
+          SELECT l.i AS s, r.i AS d FROM small l JOIN small r USING (b)
+          WHERE l.i < r.i GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+        ord AS (SELECT v, row_number() OVER (ORDER BY v) AS idx
+                FROM (SELECT DISTINCT s AS v FROM edges)),
+        adjp AS (
+          SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+          FROM edges e JOIN ord o1 ON e.s = o1.v JOIN ord o2 ON e.d = o2.v
+          GROUP BY o2.idx
+        ),
+        adjrow AS (SELECT list(nb ORDER BY i) AS A,
+                          list(len(nb) ORDER BY i) AS odeg FROM adjp),
+        it AS (
+          SELECT 0 AS k,
+                 list_transform(range(1, len(odeg) + 1),
+                                i -> CAST(1000000000 AS BIGINT)) AS m
+          FROM adjrow
+          UNION ALL
+          SELECT k + 1,
+                 list_transform(range(1, len(m) + 1), i -> CAST(
+                   150000000 + 85 * (
+                     coalesce(list_sum(list_transform(a.A[i],
+                       j -> m[j] // a.odeg[j])), 0)
+                     + ds) // 100 AS BIGINT))
+          FROM (
+            SELECT k, m,
+                   coalesce(list_sum(list_transform(
+                     range(1, len(m) + 1),
+                     j -> CASE WHEN a0.odeg[j] = 0 THEN m[j]
+                               ELSE CAST(0 AS BIGINT) END)), 0)
+                     // len(m) AS ds
+            FROM it, adjrow a0 WHERE k < 8
+          ), adjrow a
+        ),
+        fin AS (SELECT m FROM it ORDER BY k DESC LIMIT 1)
+        SELECT o.v AS node, CAST(f.m[o.idx] AS BIGINT) AS rank_nano
+        FROM ord o, fin f
+    """
+
     # rule_selectivity: the PART_RULES conditions are portable SQL; same
     # one-pass CASE sums, exact-one exclusivity, ppm floor
     rule_selectivity_sql = """
@@ -5189,6 +5240,7 @@ def _extension_oracles() -> dict[str, str]:
         "hashed_embedding": hashed_emb_sql,
         "text_ann_hashed": text_ann_sql,
         "coreness": coreness_sql,
+        "pagerank_exact": pagerank_exact_sql,
         "rule_selectivity": rule_selectivity_sql,
         "source_influence": source_influence_sql,
         "state_durations": state_dur_sql,
@@ -8753,6 +8805,22 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (E199): the oracle-checkable tier — nano-unit
+    BIGINT masses, integer-percent damping, fixed 8 iterations; integer
+    sums commute so the ranks are partitioning-independent and the SQL
+    twin replays the identical schedule."""
+    from sparkplug_spark.operators import basket_pairs, pagerank_integer
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    edges = pairs.selectExpr("item_a as src", "item_b as dst").unionAll(
+        pairs.selectExpr("item_b as src", "item_a as dst")
+    )
+    # symmetrized graph: every node has out-edges by construction
+    return pagerank_integer(edges, iterations=8, assume_no_dangling=True)
+
+
 def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free text embedding (E197): signed md5 feature hashing,
     L2-normalized, integer-micro sparse rows — the no-model bridge from
@@ -9099,6 +9167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_exact": q_isotonic_exact,
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
+        "pagerank_exact": q_pagerank_exact,
         "hashed_embedding": q_hashed_embedding,
         "text_ann_hashed": q_text_ann_hashed,
         "rule_selectivity": q_rule_selectivity,

@@ -145,3 +145,39 @@ class TestBfsDistances:
 
         with _pytest.raises(ValueError):
             self._run(spark, [(1, 2)], [1], max_hops=-1)
+
+
+class TestPagerankInteger:
+    def test_partitioning_invariant_and_tracks_float(self, spark):
+        from sparkplug_spark.operators import pagerank, pagerank_integer
+
+        edges = [(a, b) for a, b in
+                 [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1), (1, 4), (3, 4)]]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r1 = {r["node"]: r["rank_nano"]
+              for r in pagerank_integer(df, iterations=12).collect()}
+        r2 = {r["node"]: r["rank_nano"]
+              for r in pagerank_integer(
+                  df.repartition(7), iterations=12).collect()}
+        assert r1 == r2  # integer sums commute: bit-identical
+        fl = {r["node"]: r["rank"]
+              for r in pagerank(df, iterations=12).collect()}
+        ints = sorted(r1, key=lambda n: r1[n])
+        floats = sorted(fl, key=lambda n: fl[n])
+        assert ints == floats  # same ordering as the float tier
+        for n in r1:  # nano-units track the float rank closely
+            assert abs(r1[n] / 1e9 - fl[n] * len(r1)) / (fl[n] * len(r1)) < 0.02
+
+    def test_dangling_mass_redistributed(self, spark):
+        from sparkplug_spark.operators import pagerank_integer
+
+        # 3 is a sink: its mass must flow back via the dangling share
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+        )
+        r = {x["node"]: x["rank_nano"]
+             for x in pagerank_integer(df, iterations=20).collect()}
+        assert set(r) == {1, 2, 3}
+        assert r[3] > r[2] > 0  # sink accumulates, chain orders sensibly
+        # total mass stays near 3 units (integer-div remainders only)
+        assert abs(sum(r.values()) - 3 * 10**9) < 10**7
