@@ -4128,6 +4128,72 @@ def _extension_oracles() -> dict[str, str]:
         FROM ord o, fin f
     """
 
+    # hits_exact (E200): L1-normalized integer HITS replayed on the
+    # single-row list state (both score lists carried through the
+    # recursion; in/out adjacency as list-of-lists)
+    hits_exact_sql = """
+  WITH RECURSIVE ed AS (
+    SELECT DISTINCT o_custkey AS s, l_partkey + 10000000 AS d
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  ),
+  ord AS (SELECT v, row_number() OVER (ORDER BY v) AS idx FROM (
+    SELECT s AS v FROM ed UNION SELECT d FROM ed)),
+  inadjp AS (
+    SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+    FROM ed e JOIN ord o1 ON e.s = o1.v JOIN ord o2 ON e.d = o2.v
+    GROUP BY o2.idx
+  ),
+  outadjp AS (
+    SELECT o1.idx AS i, list(o2.idx ORDER BY o2.idx) AS nb
+    FROM ed e JOIN ord o1 ON e.s = o1.v JOIN ord o2 ON e.d = o2.v
+    GROUP BY o1.idx
+  ),
+  adjrow AS (
+    SELECT (SELECT list(coalesce(ia.nb, CAST([] AS BIGINT[])) ORDER BY o.idx)
+            FROM ord o LEFT JOIN inadjp ia ON ia.i = o.idx) AS IN_A,
+           (SELECT list(coalesce(oa.nb, CAST([] AS BIGINT[])) ORDER BY o.idx)
+            FROM ord o LEFT JOIN outadjp oa ON oa.i = o.idx) AS OUT_A,
+           (SELECT count(*) FROM ord) AS n
+  ),
+  it AS (
+    SELECT 0 AS k,
+           list_transform(range(1, n + 1), i -> CAST(1000000 AS BIGINT)) AS h,
+           list_transform(range(1, n + 1), i -> CAST(0 AS BIGINT)) AS a
+    FROM adjrow
+    UNION ALL
+    SELECT k + 1,
+           list_transform(hraw, x -> CAST(x * 1000000 //
+             greatest(hsum, 1) AS BIGINT)) AS h,
+           an AS a
+    FROM (
+      SELECT k, an, hraw, list_sum(hraw) AS hsum
+      FROM (
+        SELECT k, an,
+               list_transform(range(1, len(an) + 1), j ->
+                 coalesce(list_sum(list_transform(r.OUT_A[j],
+                                                  i -> an[i])), 0)) AS hraw
+        FROM (
+            SELECT it.k,
+                   list_transform(range(1, len(it.h) + 1), i ->
+                     coalesce(list_sum(list_transform(r0.IN_A[i],
+                                                      j -> it.h[j])), 0))
+                     AS an
+            FROM it, adjrow r0 WHERE it.k < 8
+        ), adjrow r
+      )
+    )
+  ),
+  fin AS (SELECT h, a FROM it ORDER BY k DESC LIMIT 1),
+  finn AS (
+    SELECT h, list_transform(a, x -> CAST(x * 1000000 //
+             greatest(asum, 1) AS BIGINT)) AS a
+    FROM (SELECT h, a, list_sum(a) AS asum FROM fin)
+  )
+  SELECT o.v AS node, CAST(f.h[o.idx] AS BIGINT) AS hub_units,
+         CAST(f.a[o.idx] AS BIGINT) AS auth_units
+  FROM ord o, finn f
+"""
+
     # rule_selectivity: the PART_RULES conditions are portable SQL; same
     # one-pass CASE sums, exact-one exclusivity, ppm floor
     rule_selectivity_sql = """
@@ -5241,6 +5307,7 @@ def _extension_oracles() -> dict[str, str]:
         "text_ann_hashed": text_ann_sql,
         "coreness": coreness_sql,
         "pagerank_exact": pagerank_exact_sql,
+        "hits_exact": hits_exact_sql,
         "rule_selectivity": rule_selectivity_sql,
         "source_influence": source_influence_sql,
         "state_durations": state_dur_sql,
@@ -8805,6 +8872,22 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1])
 
 
+def q_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer HITS (E200): L1-normalized hubs/authorities in exact
+    integer units — L1 needs no sqrt, so the whole iteration stays
+    BIGINT, partitioning-independent, and SQL-replayable (the float
+    tier stays as the L2 variant)."""
+    from sparkplug_spark.operators import hits_integer
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    return hits_integer(edges, iterations=8)
+
+
 def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer PageRank (E199): the oracle-checkable tier — nano-unit
     BIGINT masses, integer-percent damping, fixed 8 iterations; integer
@@ -9168,6 +9251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kmv_replay": q_streaming_kmv_replay,
         "wordpiece_tokens": q_wordpiece_tokens,
         "pagerank_exact": q_pagerank_exact,
+        "hits_exact": q_hits_exact,
         "hashed_embedding": q_hashed_embedding,
         "text_ann_hashed": q_text_ann_hashed,
         "rule_selectivity": q_rule_selectivity,

@@ -34,6 +34,7 @@ __all__ = [
     "triangle_counts",
     "coreness",
     "hits",
+    "hits_integer",
 ]
 
 
@@ -672,3 +673,121 @@ def pagerank_integer(
     for df_ in (e, nodes, outdeg):
         df_.unpersist()
     return m
+
+
+def hits_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+    unit: int = 10**6,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """HITS with L1 normalization in EXACT integers — the
+    oracle-checkable tier of :func:`hits`.  Per iteration: authority =
+    Σ hub over in-edges (kept RAW — normalizing it is scale bookkeeping
+    the hub normalization cancels); hub = Σ authority over out-edges,
+    L1-normalized to ``unit`` total by one integer division; the final
+    authority vector is normalized once on output.  Any norm keeps the
+    Kleinberg fixpoint DIRECTION, and L1 needs no sqrt — every quantity
+    stays BIGINT, integer sums commute, so scores are bit-identical
+    under any partitioning and a SQL twin replays the fixed schedule
+    exactly.  Growth bound: raw authorities ≤ Σhub = unit, raw hubs ≤
+    outdeg_max·unit — ×unit in the normalization stays well inside
+    int64 for unit=1e6.
+
+    Returns (node, hub_units, auth_units) — integer shares of ``unit``.
+
+    Plan per iteration: two partition-aligned shuffles (src gather, dst
+    gather) + two 1-row L1 totals.  Each raw score table is PERSISTED
+    before its total is taken: the total rides a broadcast whose subplan
+    would otherwise recompute the whole un-checkpointed upstream chain
+    once per nesting level (measured 68 s for 8 iterations at sf0.1
+    without the persist, ~8 s with; the float tier avoids the problem
+    by deferring normalization to checkpoint boundaries, which integer
+    arithmetic cannot — raw sums would overflow within a few steps)."""
+    from ..caching import checkpoint_tracked, unpersist_ids
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    spark = edges.sparkSession
+    hub = nodes.withColumn("hub_units", F.lit(int(unit)).cast("long"))
+    live: set[int] = set()
+
+    raw_ids: set[int] = set()
+
+    def _l1_normalize(df, col):
+        # EAGER local checkpoint: the total below must not recompute the
+        # upstream join chain (lazy persist still races the broadcast
+        # subplan at materialization time)
+        df, ids = checkpoint_tracked(df)
+        raw_ids.update(ids)
+        tot = df.agg(
+            F.greatest(F.sum(col), F.lit(1)).cast("long").alias("__t")
+        )
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(f"{col} * {int(unit)}L div __t").alias(col),
+            )
+        )
+
+    auth = None
+    for i in range(int(iterations)):
+        araw = (
+            e.join(
+                hub.select(F.col("node").alias("src"), "hub_units"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_units").cast("long").alias("auth_units"))
+        )
+        auth = nodes.join(araw, "node", "left").select(
+            "node",
+            F.coalesce("auth_units", F.lit(0)).cast("long").alias(
+                "auth_units"
+            ),
+        )
+        hraw = (
+            e.join(
+                auth.select(F.col("node").alias("dst"), "auth_units"),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_units").cast("long").alias("hub_units"))
+        )
+        hub = _l1_normalize(
+            nodes.join(hraw, "node", "left").select(
+                "node",
+                F.coalesce("hub_units", F.lit(0)).cast("long").alias(
+                    "hub_units"
+                ),
+            ),
+            "hub_units",
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            hub, ids_h = checkpoint_tracked(hub)
+            auth, ids_a = checkpoint_tracked(auth)
+            unpersist_ids(spark, live)
+            unpersist_ids(spark, raw_ids)
+            raw_ids.clear()
+            live = ids_h | ids_a
+    auth = _l1_normalize(auth, "auth_units")
+    out = hub.join(auth, "node").select("node", "hub_units", "auth_units")
+    for df_ in (e, nodes):
+        df_.unpersist()
+    return out

@@ -75,3 +75,29 @@ class TestHits:
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             hits(_edges(spark, [(1, 2)]), iterations=0)
+
+
+class TestHitsInteger:
+    def test_partition_invariant_and_tracks_float_ranking(self, spark):
+        from sparkplug_spark.operators import hits, hits_integer
+
+        edges = [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r1 = {r["node"]: (r["hub_units"], r["auth_units"])
+              for r in hits_integer(df, iterations=10).collect()}
+        r2 = {r["node"]: (r["hub_units"], r["auth_units"])
+              for r in hits_integer(df.repartition(5), iterations=10).collect()}
+        assert r1 == r2  # bit-identical under repartition
+        fl = {r["node"]: (r["hub"], r["authority"])
+              for r in hits(df, iterations=10).collect()}
+        # L1 and L2 normalizations share the fixpoint DIRECTION: the
+        # hub/authority orderings must agree
+        ints_h = sorted(r1, key=lambda n: (r1[n][0], n))
+        fl_h = sorted(fl, key=lambda n: (fl[n][0], n))
+        assert ints_h == fl_h
+        ints_a = sorted(r1, key=lambda n: (r1[n][1], n))
+        fl_a = sorted(fl, key=lambda n: (fl[n][1], n))
+        assert ints_a == fl_a
+        # L1 totals hold up to integer-division remainders
+        assert abs(sum(v[0] for v in r1.values()) - 10**6) < 100
+        assert abs(sum(v[1] for v in r1.values()) - 10**6) < 100
