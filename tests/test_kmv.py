@@ -74,3 +74,8 @@ class TestKmvSketch:
         assert a == b
         with pytest.raises(ValueError, match="k must be"):
             kmv_sketch(keyed, "k", ("src",), k=2)
+
+    def test_partitioning_invariant(self, spark, keyed):
+        a = _hashes(kmv_sketch(keyed, "k", ("src",), 128))
+        b = _hashes(kmv_sketch(keyed.repartition(13), "k", ("src",), 128))
+        assert a == b
