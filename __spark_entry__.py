@@ -4156,8 +4156,11 @@ def _extension_oracles() -> dict[str, str]:
            (SELECT count(*) FROM ord) AS n
   ),
   it AS (
+    -- iteration-0 L1 normalization of the constant start vector:
+    -- unit div n per node (mirrors hits_integer's int64 headroom fix)
     SELECT 0 AS k,
-           list_transform(range(1, n + 1), i -> CAST(1000000 AS BIGINT)) AS h,
+           list_transform(range(1, n + 1),
+                          i -> CAST(1000000 // n AS BIGINT)) AS h,
            list_transform(range(1, n + 1), i -> CAST(0 AS BIGINT)) AS a
     FROM adjrow
     UNION ALL

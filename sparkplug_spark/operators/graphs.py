@@ -622,6 +622,17 @@ def pagerank_integer(
         .persist()
     )
     n_nodes = nodes.count()
+    # int64 headroom: total mass is conserved at ~n_nodes*unit (floor
+    # losses only shrink it), and a near-sink node can receive almost
+    # all of it, so `damping_pct * (inc + __ds)` peaks near
+    # damping_pct * n_nodes * unit.  Spark's non-ANSI multiply WRAPS
+    # silently on overflow, so fail loudly instead of diverging.
+    if int(damping_pct) * n_nodes * int(unit) >= 2**63:
+        raise ValueError(
+            f"int64 headroom exceeded: damping_pct*n_nodes*unit = "
+            f"{damping_pct}*{n_nodes}*{unit} >= 2^63; pass a smaller "
+            f"unit (<= {2**63 // (int(damping_pct) * n_nodes) - 1})"
+        )
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     ).persist()
@@ -681,31 +692,41 @@ def hits_integer(
     dst_col: str = "dst",
     iterations: int = 8,
     unit: int = 10**6,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """HITS with L1 normalization in EXACT integers — the
-    oracle-checkable tier of :func:`hits`.  Per iteration: authority =
-    Σ hub over in-edges (kept RAW — normalizing it is scale bookkeeping
-    the hub normalization cancels); hub = Σ authority over out-edges,
-    L1-normalized to ``unit`` total by one integer division; the final
-    authority vector is normalized once on output.  Any norm keeps the
-    Kleinberg fixpoint DIRECTION, and L1 needs no sqrt — every quantity
-    stays BIGINT, integer sums commute, so scores are bit-identical
-    under any partitioning and a SQL twin replays the fixed schedule
-    exactly.  Growth bound: raw authorities ≤ Σhub = unit, raw hubs ≤
-    outdeg_max·unit — ×unit in the normalization stays well inside
-    int64 for unit=1e6.
+    oracle-checkable tier of :func:`hits`.  The INITIAL hub vector is
+    already L1-normalized (``unit div n`` per node), then per
+    iteration: authority = Σ hub over in-edges (kept RAW — normalizing
+    it is scale bookkeeping the hub normalization cancels); hub = Σ
+    authority over out-edges, L1-normalized to ``unit`` total by one
+    integer division; the final authority vector is normalized once on
+    output.  Any norm keeps the Kleinberg fixpoint DIRECTION, and L1
+    needs no sqrt — every quantity stays BIGINT, integer sums commute,
+    so scores are bit-identical under any partitioning and a SQL twin
+    replays the fixed schedule exactly.
+
+    int64 headroom (CHECKED up front, since Spark's non-ANSI multiply
+    wraps silently): with Σhub ≤ unit from iteration 0 on, raw
+    authorities ≤ Σhub ≤ unit and raw hubs ≤ Σauth ≤ outdeg_max·unit,
+    so the ``raw * unit`` normalization product is bounded by
+    outdeg_max·unit² — the preflight requires that < 2^63 and fails
+    loudly otherwise (an UN-normalized start would instead peak at
+    outdeg_max·indeg_max·unit² on iteration 1, overflowing on large
+    skewed graphs).  ``unit`` must also exceed the node count, else
+    every integer L1 share floors to zero.
 
     Returns (node, hub_units, auth_units) — integer shares of ``unit``.
 
     Plan per iteration: two partition-aligned shuffles (src gather, dst
-    gather) + two 1-row L1 totals.  Each raw score table is PERSISTED
-    before its total is taken: the total rides a broadcast whose subplan
-    would otherwise recompute the whole un-checkpointed upstream chain
-    once per nesting level (measured 68 s for 8 iterations at sf0.1
-    without the persist, ~8 s with; the float tier avoids the problem
-    by deferring normalization to checkpoint boundaries, which integer
-    arithmetic cannot — raw sums would overflow within a few steps)."""
+    gather) + ONE eager local checkpoint (the raw hub table) + one
+    1-row L1 total.  The raw table must be materialized before its
+    total is taken — the total rides a broadcast whose subplan would
+    otherwise recompute the whole un-checkpointed upstream chain once
+    per nesting level (measured 68 s for 8 iterations at sf0.1 without
+    it).  Round N-1's blocks are freed as soon as round N's checkpoint
+    lands (the only consumers — this round's gathers — have run); the
+    final round keeps its predecessor alive until the output authority
+    vector is itself checkpointed."""
     from ..caching import checkpoint_tracked, unpersist_ids
 
     if iterations < 1:
@@ -725,17 +746,41 @@ def hits_integer(
         .persist()
     )
     spark = edges.sparkSession
-    hub = nodes.withColumn("hub_units", F.lit(int(unit)).cast("long"))
-    live: set[int] = set()
-
-    raw_ids: set[int] = set()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        for df_ in (e, nodes):
+            df_.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_units"),
+            F.lit(0).cast("long").alias("auth_units"),
+        )
+    if n_nodes >= int(unit):
+        raise ValueError(
+            f"unit={unit} must exceed the node count ({n_nodes}): every "
+            "node's integer share of a unit-total L1 vector would floor "
+            "to zero; pass a larger unit (respecting the degree headroom "
+            "bound below)"
+        )
+    outdeg_max = int(
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(F.max("__d").alias("__m"))
+        .first()["__m"]
+        or 1
+    )
+    if outdeg_max * int(unit) * int(unit) >= 2**63:
+        raise ValueError(
+            f"int64 headroom exceeded: outdeg_max*unit^2 = "
+            f"{outdeg_max}*{unit}^2 >= 2^63; pass a smaller unit "
+            f"(<= {int((2**63 / outdeg_max) ** 0.5) - 1})"
+        )
 
     def _l1_normalize(df, col):
         # EAGER local checkpoint: the total below must not recompute the
         # upstream join chain (lazy persist still races the broadcast
         # subplan at materialization time)
         df, ids = checkpoint_tracked(df)
-        raw_ids.update(ids)
         tot = df.agg(
             F.greatest(F.sum(col), F.lit(1)).cast("long").alias("__t")
         )
@@ -744,9 +789,17 @@ def hits_integer(
             .select(
                 "node",
                 F.expr(f"{col} * {int(unit)}L div __t").alias(col),
-            )
+            ),
+            ids,
         )
 
+    # iteration-0 L1 normalization of the constant start vector: floor
+    # of unit·unit/(n·unit) per node — guarantees Σhub ≤ unit before the
+    # first gather (the ADVICE r5 headroom fix)
+    hub = nodes.withColumn(
+        "hub_units", F.lit(int(unit) // n_nodes).cast("long")
+    )
+    prev_ids: set[int] = set()  # blocks backing hub_{i-1}
     auth = None
     for i in range(int(iterations)):
         araw = (
@@ -770,7 +823,7 @@ def hits_integer(
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("auth_units").cast("long").alias("hub_units"))
         )
-        hub = _l1_normalize(
+        hub, ids = _l1_normalize(
             nodes.join(hraw, "node", "left").select(
                 "node",
                 F.coalesce("hub_units", F.lit(0)).cast("long").alias(
@@ -779,14 +832,18 @@ def hits_integer(
             ),
             "hub_units",
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
-            hub, ids_h = checkpoint_tracked(hub)
-            auth, ids_a = checkpoint_tracked(auth)
-            unpersist_ids(spark, live)
-            unpersist_ids(spark, raw_ids)
-            raw_ids.clear()
-            live = ids_h | ids_a
-    auth = _l1_normalize(auth, "auth_units")
+        # round i's checkpoint has consumed auth_i and hub_{i-1}; free
+        # R_{i-1} — EXCEPT on the final round, where the output authority
+        # vector still reads hub_{i-1}'s blocks until normalized below
+        if i < int(iterations) - 1:
+            unpersist_ids(spark, prev_ids)
+            prev_ids = ids
+        else:
+            final_prev = prev_ids
+            prev_ids = ids
+    auth, _auth_ids = _l1_normalize(auth, "auth_units")
+    if int(iterations) > 1:
+        unpersist_ids(spark, final_prev)
     out = hub.join(auth, "node").select("node", "hub_units", "auth_units")
     for df_ in (e, nodes):
         df_.unpersist()

@@ -81,6 +81,7 @@ def dim_truncation_audit(
     embarrassingly parallel O(n²d/tasks), the E8 brute-force shape."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     dims = tuple(int(d) for d in dims)
     if not dims or any(d < 1 for d in dims):
@@ -95,27 +96,43 @@ def dim_truncation_audit(
             f"{len(rows)} vectors exceeds max_rows={max_rows}: audit a "
             "deterministic sample (sample_exact) instead of the full store"
         )
-    ids = rows["__id"].to_numpy(np.int64)
-    mat = np.stack([np.asarray(c, np.int64) for c in rows["codes"]])
+    # id-type generic: ids stay in their source type (long, string, ...);
+    # positions are looked up through a value->row dict, never via an
+    # int64 cast (the r5 ADVICE crash on string/decimal id columns).
+    # "smallest id" ties below sort by the column's natural order.
+    id_type = df.schema[id_col].dataType
+    ids_list = sorted(rows["__id"].tolist())
+    if len(set(ids_list)) != len(ids_list):
+        raise ValueError(f"id column {id_col!r} must be unique")
+    row_of = {v: i for i, v in enumerate(ids_list)}
+    src_ids = rows["__id"].tolist()
+    perm = np.empty(len(src_ids), dtype=np.int64)
+    for src_i, v in enumerate(src_ids):
+        perm[row_of[v]] = src_i
+    mat = np.stack(
+        [np.asarray(c, np.int64) for c in rows["codes"]]
+    )[perm]
     if mat.shape[1] < full:
         raise ValueError(
             f"max(dims)={full} exceeds vector dim {mat.shape[1]}"
         )
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast((ids, mat))
-    out_schema = ", ".join(
-        ["__id long"] + [f"top1_{d} long" for d in dims]
+    bc = spark.sparkContext.broadcast((ids_list, mat))
+    out_schema = T.StructType(
+        [T.StructField("__id", id_type)]
+        + [T.StructField(f"top1_{d}", id_type) for d in dims]
     )
 
     def _score(batches):
-        b_ids, b_mat = bc.value
-        pos = {int(v): i for i, v in enumerate(b_ids)}
+        b_ids_list, b_mat = bc.value
+        b_ids = np.asarray(b_ids_list, dtype=object)
+        pos = {v: i for i, v in enumerate(b_ids_list)}
         for pdf_in in batches:
-            pid = pdf_in["__id"].to_numpy(np.int64)
+            pid = pdf_in["__id"].tolist()
             out = {"__id": pid}
-            probe_rows = np.array([pos[int(v)] for v in pid])
+            probe_rows = np.array(
+                [pos[v] for v in pid], dtype=np.int64
+            )
             for d in dims:
                 sub = b_mat[:, :d]
                 p = sub[probe_rows]

@@ -76,8 +76,16 @@ def _registered_domain(
     """eTLD+1 from a lowercased host via label slicing (no UDF)."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
-    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    # Clamp slice starts to 1: Spark array slicing errors on start=0, and
+    # although the CaseWhen guards below never *select* these branches for
+    # 1-/2-label hosts, expression totality must not depend on evaluation
+    # order (codegen is free to evaluate eagerly).
+    last2 = F.array_join(
+        F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), "."
+    )
+    last3 = F.array_join(
+        F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), "."
+    )
     return (
         F.when((n >= 3) & last2.isin(*suffixes), last3)
         .when(n >= 2, last2)

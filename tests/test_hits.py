@@ -101,3 +101,27 @@ class TestHitsInteger:
         # L1 totals hold up to integer-division remainders
         assert abs(sum(v[0] for v in r1.values()) - 10**6) < 100
         assert abs(sum(v[1] for v in r1.values()) - 10**6) < 100
+
+    def test_headroom_guards(self, spark):
+        # r5 ADVICE: iteration-1 raw hubs peaked at outdeg_max*indeg_max*
+        # unit before the initial L1 normalization; the preflight now
+        # enforces outdeg_max*unit^2 < 2^63 and unit > n_nodes loudly
+        # instead of letting Spark's non-ANSI multiply wrap silently.
+        from sparkplug_spark.operators import hits_integer
+
+        df = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 10)], "src long, dst long"
+        )
+        with pytest.raises(ValueError, match="must exceed the node count"):
+            hits_integer(df, iterations=2, unit=4)
+        with pytest.raises(ValueError, match="int64 headroom"):
+            hits_integer(df, iterations=2, unit=10**10)
+
+    def test_pagerank_integer_headroom_guard(self, spark):
+        from sparkplug_spark.operators import pagerank_integer
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        with pytest.raises(ValueError, match="int64 headroom"):
+            pagerank_integer(df, iterations=2, unit=2**61)

@@ -119,3 +119,41 @@ class TestDimTruncationAudit:
             dim_truncation_audit(df, dims=(4, 2))
         with pytest.raises(ValueError, match="max_rows"):
             dim_truncation_audit(df, dims=(2,), max_rows=0)
+
+    def test_string_id_column(self, spark):
+        # r5 ADVICE: the audit must not assume int64 ids — string keys
+        # (doc hashes, URLs) are the common case for corpus stores.
+        # Values must match the long-id run on the same vectors.
+        from sparkplug_spark.operators import dim_truncation_audit
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(25, 8)).astype(np.float32)
+        long_rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+        # zero-padded so string order == numeric order (same tie-breaks)
+        str_rows = [(f"doc{i:03d}", v.tolist()) for i, v in enumerate(vecs)]
+        df_l = spark.createDataFrame(
+            long_rows, "vec_id long, embedding array<float>"
+        )
+        df_s = spark.createDataFrame(
+            str_rows, "vec_id string, embedding array<float>"
+        )
+        got_l = {
+            r["dims"]: (r["n_vecs"], r["n_top1_match"], r["match_ppm"])
+            for r in dim_truncation_audit(df_l, dims=(8, 4)).collect()
+        }
+        got_s = {
+            r["dims"]: (r["n_vecs"], r["n_top1_match"], r["match_ppm"])
+            for r in dim_truncation_audit(df_s, dims=(8, 4)).collect()
+        }
+        assert got_l == got_s
+        assert got_l[8] == (25, 25, 1000000)
+
+    def test_duplicate_ids_rejected(self, spark):
+        from sparkplug_spark.operators import dim_truncation_audit
+
+        df = spark.createDataFrame(
+            [("a", [0.1, 0.2]), ("a", [0.3, 0.4])],
+            "vec_id string, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="unique"):
+            dim_truncation_audit(df, dims=(2,))
