@@ -2532,6 +2532,16 @@ def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return charlm_scores(docs)
 
 
+def q_language_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multiclass language ID (E201): self-trained multinomial
+    NB over char 2/3-grams, integer micro-nat weights (the E128
+    discipline), argmax with alphabetical tie-break + runner-up margin."""
+    from sparkplug_spark.operators import language_id_trained
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id_trained(docs)
+
+
 def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto-front) shortlist: suppliers not dominated on
     (total quantity max, cheapest item min, best discount max).  All
@@ -6748,6 +6758,61 @@ def _extension_oracles() -> dict[str, str]:
                    sum(ppm)::DOUBLE / count(*) AS avg_prob_ppm
             FROM p GROUP BY doc_id
         """,
+        # trained multiclass language ID (E201): multinomial NB over raw
+        # char 2/3-grams, self-trained on the lang labels; per-(gram,lang)
+        # Laplace log-likelihoods and doc-count priors quantized to integer
+        # micro-nats (the E128 discipline) so per-doc scores are exact
+        # BIGINT sums; argmax ties go to the alphabetically first language
+        "language_id_trained": """
+            WITH gs AS (
+              SELECT doc_id, lang, substr(text, i, 2) AS g
+              FROM documents,
+                   unnest(generate_series(1, len(text) - 1)) t(i)
+              WHERE lang IS NOT NULL AND len(text) >= 2
+              UNION ALL
+              SELECT doc_id, lang, substr(text, i, 3) AS g
+              FROM documents,
+                   unnest(generate_series(1, len(text) - 2)) t(i)
+              WHERE lang IS NOT NULL AND len(text) >= 3
+            ),
+            cnt AS (
+              SELECT g, lang, count(*)::BIGINT AS c FROM gs GROUP BY 1, 2
+            ),
+            tot AS (SELECT lang, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+            vv AS (SELECT count(DISTINCT g)::BIGINT AS v FROM cnt),
+            vocab AS (SELECT DISTINCT g FROM cnt),
+            w AS (
+              SELECT vo.g, tt.lang,
+                     floor((ln(coalesce(c.c, 0) + 1) - ln(tt.t + vv.v))
+                           * 1e6 + 0.5)::BIGINT AS w
+              FROM vocab vo CROSS JOIN tot tt
+              LEFT JOIN cnt c ON c.g = vo.g AND c.lang = tt.lang, vv
+            ),
+            pri AS (
+              SELECT lang, floor(ln(count(*) + 1) * 1e6 + 0.5)::BIGINT AS p
+              FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            sc AS (
+              SELECT gs.doc_id, w.lang, sum(w.w)::BIGINT AS s
+              FROM gs JOIN w ON w.g = gs.g
+              GROUP BY 1, 2
+            ),
+            scp AS (
+              SELECT sc.doc_id, sc.lang, (sc.s + pri.p)::BIGINT AS score
+              FROM sc JOIN pri ON pri.lang = sc.lang
+            ),
+            r AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang) AS rn,
+                     lead(score) OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang) AS snd
+              FROM scp
+            )
+            SELECT doc_id, lang AS lang_pred, score AS score_micros,
+                   (score - coalesce(snd, score))::BIGINT AS margin_micros
+            FROM r WHERE rn = 1
+        """,
         # skyline dominance: b dominates a iff >= / <= on all three dims
         # and strictly better on one; NOT EXISTS is the literal Borzsonyi
         # 2001 definition
@@ -9356,6 +9421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "coreness": q_coreness,
         "pca_embeddings": q_pca_embeddings,
+        "language_id_trained": q_language_id_trained,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -36,6 +36,7 @@ __all__ = [
     "mean_token_len",
     "quality_score",
     "lang_scores",
+    "char_multi_ngrams_pd",
 ]
 
 
@@ -297,6 +298,34 @@ def char_ngrams_pd(col: Column | str, n: int = 3) -> Column:
         return pd.Series(
             [
                 [t[i : i + n] for i in range(len(t) - n + 1)]
+                if t is not None
+                else []
+                for t in s
+            ]
+        )
+
+    return _grams(col)
+
+
+def char_multi_ngrams_pd(
+    col: Column | str, sizes: tuple[int, ...] = (2, 3)
+) -> Column:
+    """Concatenated overlapping character n-grams for EVERY size in
+    ``sizes``, in one Arrow pass (one kernel eval instead of one per
+    size — the hot-path discipline).  Same raw-string, codepoint-sliced
+    semantics as :func:`char_ngrams_pd`, so an oracle regenerates each
+    size with ``substr(text, i, n)`` and UNION ALLs them."""
+    sizes = tuple(int(n) for n in sizes)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _grams(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [
+                    t[i : i + n]
+                    for n in sizes
+                    for i in range(len(t) - n + 1)
+                ]
                 if t is not None
                 else []
                 for t in s
