@@ -168,3 +168,134 @@ class TestWordpiece:
             )
         assert got == want
         assert got[3] == (0, 0, 0, 0)  # empty doc keeps a zero row
+
+
+class TestUnigram:
+    """E202 Unigram-LM: Viterbi optimality vs exhaustive enumeration,
+    trainer determinism, UNK handling, stats vs a pure-Python twin."""
+
+    def _vocab(self):
+        from collections import Counter
+
+        from sparkplug_spark.operators import (
+            train_unigram_vocab_from_counts,
+        )
+
+        wf = Counter(
+            {"spark": 8, "sparkle": 3, "park": 5, "bark": 4, "spa": 2,
+             "lark": 2, "larks": 1}
+        )
+        return train_unigram_vocab_from_counts(
+            wf, vocab_size=20, max_piece_len=3, em_iters=3
+        )
+
+    def test_viterbi_is_optimal_vs_bruteforce(self):
+        from itertools import product
+
+        from sparkplug_spark.operators.bpe import (
+            UNIGRAM_COMBINED_MULT,
+            _uni_viterbi,
+        )
+
+        cost = dict(self._vocab())
+        max_len = max(len(p) for p in cost)
+
+        def brute(word):
+            # enumerate all segmentations via cut masks
+            best = None
+            n = len(word)
+            for mask in product([0, 1], repeat=n - 1):
+                cuts = [0] + [i + 1 for i, m in enumerate(mask) if m] + [n]
+                pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+                if any(len(p) > max_len or p not in cost for p in pieces):
+                    continue
+                comb = sum(
+                    cost[p] * UNIGRAM_COMBINED_MULT + 1 for p in pieces
+                )
+                if best is None or comb < best:
+                    best = comb
+            return best
+
+        for w in ["spark", "sparkle", "parks", "aslark", "bark"]:
+            got, _ = _uni_viterbi(w, cost, max_len)
+            assert got == brute(w), w
+
+    def test_trainer_deterministic_chars_kept_size_bounded(self):
+        v1 = self._vocab()
+        v2 = self._vocab()
+        assert v1 == v2
+        pieces = {p for p, _ in v1}
+        assert len(v1) <= 20
+        # every training character survives pruning
+        assert {"s", "p", "a", "r", "k", "l", "e", "b"} <= pieces
+        assert all(isinstance(c, int) and c > 0 for _, c in v1)
+
+    def test_unk_and_stats_match_pure_python(self, spark):
+        from sparkplug_spark.operators import unigram_token_stats
+        from sparkplug_spark.operators.bpe import (
+            UNIGRAM_COMBINED_MULT,
+            _uni_viterbi,
+            _words,
+        )
+
+        vocab = self._vocab()
+        cost = dict(vocab)
+        max_len = max(len(p) for p in cost)
+        docs = [
+            (1, "spark park bark"),
+            (2, "sparkle larks zzz???"),  # zzz has OOV char 'z'
+            (3, ""),  # zero row
+            (4, "SPA-RK spa rk"),  # normalization applies
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_pieces"], r["n_unk"],
+                          r["cost_micros"])
+            for r in unigram_token_stats(df, vocab).collect()
+        }
+
+        def twin(text):
+            nw = np = nu = cm = 0
+            for w in _words(text):
+                if not w:
+                    continue
+                nw += 1
+                comb, _ = _uni_viterbi(w, cost, max_len)
+                if comb is None:
+                    np += 1
+                    nu += 1
+                else:
+                    np += comb % UNIGRAM_COMBINED_MULT
+                    cm += comb // UNIGRAM_COMBINED_MULT
+            return (nw, np, nu, cm)
+
+        assert got == {d: twin(t) for d, t in docs}
+        assert got[3] == (0, 0, 0, 0)
+        assert got[2][2] >= 1  # the OOV word counted as UNK
+
+    def test_partition_invariant(self, spark):
+        from sparkplug_spark.operators import unigram_token_stats
+
+        vocab = self._vocab()
+        rows = [(i, "spark park " * (i % 3 + 1)) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, unigram_token_stats(df, vocab).collect()))
+        b = sorted(
+            map(tuple,
+                unigram_token_stats(df.repartition(7), vocab).collect())
+        )
+        assert a == b
+
+    def test_trainer_guards(self):
+        from collections import Counter
+
+        from sparkplug_spark.operators import (
+            train_unigram_vocab_from_counts,
+        )
+
+        with pytest.raises(ValueError, match="empty sample"):
+            train_unigram_vocab_from_counts(Counter())
+        with pytest.raises(ValueError, match="distinct characters"):
+            train_unigram_vocab_from_counts(
+                Counter({"abcdefgh": 1}), vocab_size=3
+            )
