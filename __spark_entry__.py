@@ -2555,6 +2555,25 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_token_stats(docs, vocab)
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (E203): paraphrase-level eval leakage via
+    model-free hashed embeddings + exact inverted-index integer dots;
+    eval set = doc_id % 20 == 0, threshold cosine 0.9 (exact BIGINT)."""
+    from sparkplug_spark.operators import decontaminate_semantic
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    out = decontaminate_semantic(corpus, ev, min_cosine=0.9)
+    return out.select(
+        "doc_id",
+        "n_semantic_matches",
+        "max_dot",
+        "best_eval_id",
+        "semantic_contaminated",
+    )
+
+
 def q_language_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained multiclass language ID (E201): self-trained multinomial
     NB over char 2/3-grams, integer micro-nat weights (the E128
@@ -4149,6 +4168,70 @@ def _extension_oracles() -> dict[str, str]:
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN wt USING (doc_id)
     """
+    # semantic decontamination (E203): corpus = doc_id % 20 != 0, eval =
+    # doc_id % 20 = 0; both sides re-embedded by the same feature-hash
+    # chain (suffix-renamed CTEs), scored by the exact inverted-index
+    # integer dot, thresholded at floor(0.9 * 1e12) — identical literal
+    # to the operator's math.floor(min_cosine * 1e12)
+    def _emb_chain(sfx: str, flt: str) -> str:
+        return f"""
+        tk{sfx} AS (
+          SELECT doc_id, unnest({toks}) AS t FROM documents {flt}
+        ), hh{sfx} AS (
+          SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h
+          FROM tk{sfx}
+        ), sgn{sfx} AS (
+          SELECT doc_id, CAST(h % 64 AS INTEGER) AS bucket,
+                 CASE WHEN (h >> 20) % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM hh{sfx}
+        ), cnt{sfx} AS (
+          SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS c
+          FROM sgn{sfx} GROUP BY 1, 2 HAVING SUM(s) <> 0
+        ), nrm{sfx} AS (
+          SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nr
+          FROM cnt{sfx} GROUP BY doc_id
+        ), wt{sfx} AS (
+          SELECT c.doc_id, c.bucket,
+                 CAST(floor(CAST(c AS DOUBLE) / nr * 1e6) AS BIGINT)
+                   AS w_micros
+          FROM cnt{sfx} c JOIN nrm{sfx} USING (doc_id)
+        )"""
+
+    decon_sem_sql = (
+        "WITH "
+        + _emb_chain("_c", "WHERE doc_id % 20 <> 0")
+        + ", "
+        + _emb_chain("_e", "WHERE doc_id % 20 = 0")
+        + """
+        , dots AS (
+          SELECT a.doc_id AS id, b.doc_id AS eid,
+                 CAST(SUM(a.w_micros * b.w_micros) AS BIGINT) AS dot
+          FROM wt_c a JOIN wt_e b ON a.bucket = b.bucket
+          WHERE a.w_micros <> 0 AND b.w_micros <> 0
+          GROUP BY 1, 2
+          HAVING SUM(a.w_micros * b.w_micros) >= 900000000000
+        ), rk AS (
+          SELECT id, eid, dot,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY dot DESC, eid) AS rn
+          FROM dots
+        ), hits AS (
+          SELECT id, COUNT(*)::BIGINT AS n_semantic_matches,
+                 MAX(dot)::BIGINT AS max_dot,
+                 MAX(CASE WHEN rn = 1 THEN eid END) AS best_eval_id
+          FROM rk GROUP BY id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_semantic_matches, 0) AS BIGINT)
+                 AS n_semantic_matches,
+               CAST(coalesce(h.max_dot, 0) AS BIGINT) AS max_dot,
+               h.best_eval_id,
+               coalesce(h.n_semantic_matches, 0) > 0
+                 AS semantic_contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        LEFT JOIN hits h ON h.id = d.doc_id
+    """
+    )
     text_ann_sql = hashed_emb_cte.format(flt="WHERE doc_id % 5 = 0") + """
         , dots AS (
           SELECT a.doc_id AS ia, b.doc_id AS ib,
@@ -5444,6 +5527,7 @@ def _extension_oracles() -> dict[str, str]:
         "isotonic_exact": isotonic_exact_sql,
         "hashed_embedding": hashed_emb_sql,
         "text_ann_hashed": text_ann_sql,
+        "decontaminate_semantic": decon_sem_sql,
         "coreness": coreness_sql,
         "pagerank_exact": pagerank_exact_sql,
         "hits_exact": hits_exact_sql,
@@ -9549,6 +9633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embeddings": q_pca_embeddings,
         "language_id_trained": q_language_id_trained,
         "unigram_tokens": q_unigram_tokens,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +38,7 @@ __all__ = [
     "gopher_quality_flags",
     "decontaminate",
     "decontaminate_fuzzy",
+    "decontaminate_semantic",
     "sample_per_key",
     "sample_exact_n",
     "stratified_sample",
@@ -684,6 +687,109 @@ def decontaminate_fuzzy(
         .withColumn("fuzzy_contaminated", F.col("n_fuzzy_matches") > 0)
     )
     return materialize_release(out, doc_sigs, eval_sigs, release=release)
+
+
+def decontaminate_semantic(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    dim: int = 64,
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the third tier of the family:
+    :func:`decontaminate` catches verbatim n-gram quotes,
+    :func:`decontaminate_fuzzy` catches lightly edited copies (MinHash
+    shingle overlap), and this tier catches PARAPHRASED leakage —
+    reworded/reordered eval content whose shingles no longer overlap but
+    whose token distribution still does.  Composition of the model-free
+    pieces: :func:`~.textops.hashed_embedding` (signed feature hashing,
+    micro-quantized unit vectors — NO external model, deterministic md5
+    end to end) scored by the :func:`~.similarity.sparse_topk_neighbors`
+    inverted-index integer dot, so every similarity is an exact BIGINT
+    (cosine × 1e12 up to quantization) and the whole tier value-hashes
+    across engines — unlike embedding-model decontamination, which is
+    rows-only by nature.
+
+    Flags corpus documents whose hashed-embedding cosine against ANY
+    eval document reaches ``min_cosine``.  Returns every input row plus
+    ``n_semantic_matches``, ``max_dot`` (integer micro²-units; 0 when no
+    match), ``best_eval_id`` (highest-dot eval doc, ties to the smallest
+    id; NULL when none), ``semantic_contaminated``.
+
+    Scale shape (100 TB): eval sets are MBs by contract, so the eval
+    vector rows broadcast; the corpus-side join is per-bucket (Σ_b
+    n_b·m_b pair rows, m bounded by the eval side) — corpus text never
+    reshuffles, and the two embedding shuffles are on (id, bucket)
+    integer rows.  Threshold filter runs BEFORE the per-doc window, so
+    ranked state is match-only."""
+    from pyspark.sql import Window
+
+    from ..operators.textops import hashed_embedding
+
+    if not (0.0 < min_cosine <= 1.0):
+        raise ValueError("min_cosine must be in (0, 1]")
+    min_dot = int(math.floor(min_cosine * 1e12))
+    corpus = hashed_embedding(
+        df, text_col, id_col, dim, as_rows=True
+    ).filter(F.col("w_micros") != 0)
+    ev = hashed_embedding(
+        eval_df,
+        eval_text_col or text_col,
+        eval_id_col or id_col,
+        dim,
+        as_rows=True,
+    ).filter(F.col("w_micros") != 0)
+    dots = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            "bucket",
+            F.col("w_micros").alias("__wa"),
+        )
+        .join(
+            F.broadcast(
+                ev.select(
+                    F.col(eval_id_col or id_col).alias("__eid"),
+                    "bucket",
+                    F.col("w_micros").alias("__wb"),
+                )
+            ),
+            "bucket",
+        )
+        .groupBy("__id", "__eid")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+        .filter(F.col("__dot") >= F.lit(min_dot))
+    )
+    win = Window.partitionBy("__id").orderBy(
+        F.desc("__dot"), F.asc("__eid")
+    )
+    hits = (
+        dots.withColumn("__rn", F.row_number().over(win))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_semantic_matches"),
+            F.max("__dot").cast("long").alias("max_dot"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__eid"))).alias(
+                "best_eval_id"
+            ),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_semantic_matches",
+            F.coalesce(F.col("n_semantic_matches"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "max_dot", F.coalesce(F.col("max_dot"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "semantic_contaminated", F.col("n_semantic_matches") > 0
+        )
+    )
 
 
 def trim_by_quantile(

@@ -161,3 +161,102 @@ def test_bloom_blob_size_mismatch_raises(spark):
         decontaminate(
             df, df, n=5, bloom_prefilter=True, bloom_bits=1 << 23, bloom_blob=blob
         )
+
+
+class TestDecontaminateSemantic:
+    """E203: paraphrase-level leakage the n-gram tier misses."""
+
+    _EVAL = [
+        (100, "the resilient mountain climbers reached the snowy summit "
+              "before dawn carrying heavy oxygen tanks and woven ropes"),
+        (101, "quantum processors entangle superconducting qubits inside "
+              "dilution refrigerators near absolute zero temperatures"),
+    ]
+    # word-order shuffled + light substitutions: shares almost no 5-gram
+    # with the eval rows, but nearly the same bag of tokens
+    _PARAPHRASE = [
+        (1, "before dawn the snowy summit was reached by resilient "
+            "mountain climbers carrying woven ropes and heavy oxygen "
+            "tanks"),
+        (2, "inside dilution refrigerators quantum processors entangle "
+            "qubits superconducting near absolute zero temperatures"),
+    ]
+    _UNRELATED = [
+        (3, "grandma baked sourdough bread with rosemary butter on "
+            "sunday morning while the kettle whistled"),
+        (4, "the stock market index fell two percent after the central "
+            "bank raised interest rates unexpectedly"),
+    ]
+
+    def _dfs(self, spark):
+        corpus = spark.createDataFrame(
+            self._PARAPHRASE + self._UNRELATED, "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(self._EVAL, "doc_id long, text string")
+        return corpus, ev
+
+    def test_catches_paraphrases_ngram_tier_misses(self, spark):
+        from sparkplug_spark.operators import (
+            decontaminate,
+            decontaminate_semantic,
+        )
+
+        corpus, ev = self._dfs(spark)
+        sem = {
+            r["doc_id"]: (r["semantic_contaminated"], r["best_eval_id"])
+            for r in decontaminate_semantic(
+                corpus, ev, min_cosine=0.8
+            ).collect()
+        }
+        # full recall on the planted paraphrases, matched to the right
+        # eval doc; zero false positives on unrelated text
+        assert sem[1] == (True, 100)
+        assert sem[2] == (True, 101)
+        assert sem[3][0] is False and sem[4][0] is False
+
+        exact = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(corpus, ev, n=5).collect()
+        }
+        # the verbatim 5-gram tier misses the reordered copies — the gap
+        # this tier exists to close
+        assert exact[1] is False and exact[2] is False
+
+    def test_partition_invariant_and_dot_bounds(self, spark):
+        from sparkplug_spark.operators import decontaminate_semantic
+
+        corpus, ev = self._dfs(spark)
+        a = sorted(
+            map(
+                tuple,
+                decontaminate_semantic(corpus, ev).select(
+                    "doc_id", "n_semantic_matches", "max_dot",
+                    "best_eval_id",
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                decontaminate_semantic(
+                    corpus.repartition(5), ev.repartition(3)
+                ).select(
+                    "doc_id", "n_semantic_matches", "max_dot",
+                    "best_eval_id",
+                ).collect(),
+            )
+        )
+        assert a == b
+        # micro-quantized unit vectors: dot ~ cosine * 1e12; floor
+        # quantization can push a negative component's magnitude up by
+        # <1 micro, so allow per-bucket slack above the exact 1e12
+        assert all(row[2] <= 10**12 + 64 * 2 * 10**6 for row in a)
+
+    def test_threshold_validation(self, spark):
+        from sparkplug_spark.operators import decontaminate_semantic
+
+        corpus, ev = self._dfs(spark)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="min_cosine"):
+            decontaminate_semantic(corpus, ev, min_cosine=0.0)
