@@ -3993,6 +3993,90 @@ def _extension_oracles() -> dict[str, str]:
     dhash_sql = dhash_hash_cte + """
         SELECT doc_id, dhash_hi, dhash_lo FROM h
     """
+
+    # video dHash (E204): same arithmetic dHash, one extra frame
+    # dimension; the fixture's demux timestamps are f * 1000 ms (1 fps
+    # avih interval sampled at every_ms=1000 keeps every frame)
+    video_dhash_cte = """
+        WITH vb AS (
+          SELECT doc_id, doc_id % 60 AS base FROM documents
+          WHERE doc_id < 120
+        ),
+        fr AS (
+          -- scalar range() + unnest: the table function can't take a
+          -- per-row bound as a lateral parameter
+          SELECT doc_id, base % 20 AS g,
+                 unnest(range(0, 3 + base % 3)) AS f,
+                 CASE WHEN doc_id >= 60 THEN 60 ELSE 0 END AS br
+          FROM vb
+        ),
+        px AS (
+          SELECT doc_id, f, y, x,
+                 (g * 7 + 3 * y + 5 * x + 11 * f) % 57 + 1
+                 + CASE WHEN br = 60 AND y < 2 AND x < 2
+                        THEN 60 ELSE 0 END AS v
+          FROM fr, range(0, 16) t1(y), range(0, 18) t2(x)
+        ),
+        cells AS (
+          SELECT doc_id, f, y // 2 AS gy, x // 2 AS gx, sum(v) AS s
+          FROM px GROUP BY doc_id, f, y // 2, x // 2
+        ),
+        bits AS (
+          SELECT l.doc_id, l.f, l.gy * 8 + l.gx AS k,
+                 CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS b
+          FROM cells l JOIN cells r
+            ON l.doc_id = r.doc_id AND l.f = r.f AND l.gy = r.gy
+               AND r.gx = l.gx + 1
+          WHERE l.gx < 8
+        ),
+        h AS (
+          SELECT doc_id, f,
+                 CAST(sum(CASE WHEN k < 32
+                               THEN b::BIGINT << (31 - k) ELSE 0 END)
+                   AS BIGINT) AS dhash_hi,
+                 CAST(sum(CASE WHEN k >= 32
+                               THEN b::BIGINT << (63 - k) ELSE 0 END)
+                   AS BIGINT) AS dhash_lo
+          FROM bits GROUP BY doc_id, f
+        )
+    """
+    video_dhash_sql = video_dhash_cte + """
+        SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+               CAST(f * 1000 AS BIGINT) AS frame_ts_ms,
+               dhash_hi, dhash_lo
+        FROM h
+    """
+    video_pairs_sql = video_dhash_cte + """
+        , fp AS (
+          SELECT a.doc_id AS va, b.doc_id AS vb2, a.f AS fa, b.f AS fb,
+                 bit_count(xor(a.dhash_hi, b.dhash_hi))
+                 + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS ham
+          FROM h a JOIN h b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+                + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+        ),
+        agg AS (
+          SELECT va, vb2,
+                 COUNT(DISTINCT fa)::BIGINT AS n_matched_a,
+                 COUNT(DISTINCT fb)::BIGINT AS n_matched_b,
+                 MIN(ham)::BIGINT AS min_hamming
+          FROM fp GROUP BY va, vb2
+        ),
+        nf AS (SELECT doc_id, COUNT(*)::BIGINT AS nfr FROM h
+               GROUP BY doc_id)
+        SELECT agg.va AS doc_id_a, agg.vb2 AS doc_id_b,
+               na.nfr AS n_frames_a, nb.nfr AS n_frames_b,
+               n_matched_a, n_matched_b, min_hamming,
+               least(n_matched_a * 1000000 // na.nfr,
+                     n_matched_b * 1000000 // nb.nfr)::BIGINT
+                 AS coverage_ppm,
+               least(n_matched_a * 1000000 // na.nfr,
+                     n_matched_b * 1000000 // nb.nfr) >= 500000
+                 AS near_dup
+        FROM agg
+        JOIN nf na ON na.doc_id = agg.va
+        JOIN nf nb ON nb.doc_id = agg.vb2
+    """
     dhash_pairs_sql = dhash_hash_cte + """
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
@@ -4001,6 +4085,72 @@ def _extension_oracles() -> dict[str, str]:
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
               + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    """
+
+    # audio fingerprint (E205): rebuild the fixture's PCM16 samples
+    # arithmetically, exact block energies + in-block zero crossings,
+    # dHash-style adjacent comparisons (equal 10-sample blocks, so the
+    # operator's cross-products reduce to plain >), MSB-first packing
+    audio_fp_cte = """
+        WITH ad AS (
+          SELECT doc_id, doc_id % 60 AS base FROM documents
+          WHERE doc_id < 120
+        ),
+        sm AS (
+          SELECT doc_id, i.i AS i,
+                 CASE WHEN doc_id >= 60 AND i.i < 10 THEN 0
+                      WHEN doc_id >= 60 THEN
+                        2 * (((base % 20) * 11 + ((i.i * i.i) % 97) * 7
+                              + base) % 201 - 100)
+                      ELSE ((base % 20) * 11 + ((i.i * i.i) % 97) * 7
+                            + base) % 201 - 100
+                 END AS s
+          FROM ad, range(0, 360) i(i)
+        ),
+        eb AS (
+          SELECT doc_id, i // 10 AS j, SUM(s * s)::BIGINT AS e
+          FROM sm GROUP BY doc_id, i // 10
+        ),
+        zr AS (
+          SELECT doc_id, i // 10 AS j,
+                 CASE WHEN i % 10 > 0
+                      AND s * lag(s) OVER (PARTITION BY doc_id
+                                           ORDER BY i) < 0
+                      THEN 1 ELSE 0 END AS c
+          FROM sm
+        ),
+        zb AS (SELECT doc_id, j, SUM(c)::BIGINT AS z FROM zr
+               GROUP BY doc_id, j),
+        bt AS (
+          SELECT l.doc_id, (l.j // 9) * 8 + (l.j % 9) AS k,
+                 CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS ebit,
+                 CASE WHEN lz.z > rz.z THEN 1 ELSE 0 END AS zbit
+          FROM eb l
+          JOIN eb r ON l.doc_id = r.doc_id AND r.j = l.j + 1
+                       AND l.j // 9 = r.j // 9
+          JOIN zb lz ON lz.doc_id = l.doc_id AND lz.j = l.j
+          JOIN zb rz ON rz.doc_id = l.doc_id AND rz.j = r.j
+          WHERE l.j % 9 < 8
+        ),
+        ah AS (
+          SELECT doc_id,
+                 CAST(SUM(ebit::BIGINT << (31 - k)) AS BIGINT) AS fp_hi,
+                 CAST(SUM(zbit::BIGINT << (31 - k)) AS BIGINT) AS fp_lo
+          FROM bt GROUP BY doc_id
+        )
+    """
+    audio_fp_sql = audio_fp_cte + """
+        SELECT doc_id, CAST(360 AS BIGINT) AS n_samples, fp_hi, fp_lo
+        FROM ah
+    """
+    audio_fp_pairs_sql = audio_fp_cte + """
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+                    + bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT)
+                 AS hamming
+        FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+              + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
     """
 
     # bloom_join: the Bloom prefilter is exact-preserving (no false
@@ -5521,6 +5671,10 @@ def _extension_oracles() -> dict[str, str]:
         "vocab_coverage": vocab_cov_sql,
         "image_dhash": dhash_sql,
         "image_dhash_pairs": dhash_pairs_sql,
+        "video_dhash": video_dhash_sql,
+        "video_pairs": video_pairs_sql,
+        "audio_fp": audio_fp_sql,
+        "audio_fp_pairs": audio_fp_pairs_sql,
         "bloom_join": bloom_join_sql,
         "kmv_distinct_tokens": kmv_distinct_sql,
         "kmv_jaccard_sources": kmv_jaccard_sql,
@@ -9007,6 +9161,139 @@ def _kmv_shingle_sketch(spark: SparkSession, sf_dir: str):
     return kmv_sketch(sh, key="sh", by=("source",), k=256)
 
 
+def _video_test_avis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MJPEG-shaped AVI fixtures for the video-dHash
+    queries: RIFF container, avih interval 1 s/frame, 3 + (doc_id%60)%3
+    stored P5 frames of 18x16 with pixel v = ((base%20)*7 + 3y + 5x +
+    11f) % 57 + 1; docs >= 60 brighten the top-left 2x2 by +60 — so each
+    video's twin at doc_id+60 is a frame-wise near-dup and videos
+    sharing base%20 share exact frames."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    @F.pandas_udf("binary")
+    def make_avi(ids: pd.Series) -> pd.Series:
+        import struct
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        def lst(form, body):
+            return chunk(b"LIST", form + body)
+
+        out = []
+        for d in ids:
+            d = int(d)
+            base = d % 60
+            g, n, br = base % 20, 3 + base % 3, 60 if d >= 60 else 0
+            frames = b""
+            for f in range(n):
+                px = bytearray()
+                for y in range(16):
+                    for x in range(18):
+                        v = (g * 7 + 3 * y + 5 * x + 11 * f) % 57 + 1
+                        if br and y < 2 and x < 2:
+                            v += br
+                        px.append(v)
+                frames += chunk(
+                    b"00dc", b"P5\n18 16\n255\n" + bytes(px)
+                )
+            avih = chunk(
+                b"avih", struct.pack("<I", 1_000_000) + b"\x00" * 52
+            )
+            body = b"AVI " + lst(b"hdrl", avih) + lst(b"movi", frames)
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    return docs.select("doc_id", make_avi("doc_id").alias("payload"))
+
+
+def q_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe hashing (E204): REAL RIFF/AVI demux → native frame
+    decode → exact-integer dHash per sampled frame.  The oracle derives
+    every bit arithmetically from the fixture's pixel formula — a demux
+    offset, frame-sampling or hash bug breaks the value hash."""
+    from sparkplug_spark.operators import video_dhash
+
+    return video_dhash(
+        _video_test_avis(spark, sf_dir), every_ms=1000, decoder="real"
+    )
+
+
+def q_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (E204): Manku chunk join over per-frame
+    dHashes (same-video pairs excluded), per-side distinct-frame
+    coverage in exact ppm, weaker-side near-dup flag."""
+    from sparkplug_spark.operators import video_dhash, video_near_dup_pairs
+
+    hashes = video_dhash(
+        _video_test_avis(spark, sf_dir), every_ms=1000, decoder="real"
+    )
+    return video_near_dup_pairs(hashes, max_hamming=3, min_match_ppm=500_000)
+
+
+def _audio_test_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCM16 WAV fixtures for the audio-fingerprint
+    queries: 360 mono samples, s[i] = ((base%20)*11 + ((i*i)%97)*7 +
+    base) % 201 - 100 with base = doc_id % 60; docs >= 60 play the SAME
+    waveform at gain 2 with the first block (10 samples) silenced — a
+    near-dup whose energy/crossing bits differ only around block 0."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        import io
+        import wave
+
+        import numpy as np
+
+        out = []
+        for d in ids:
+            d = int(d)
+            base = d % 60
+            g = base % 20
+            i = np.arange(360, dtype=np.int64)
+            s = (g * 11 + ((i * i) % 97) * 7 + base) % 201 - 100
+            if d >= 60:
+                s = s * 2
+                s[:10] = 0
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(s.astype("<i2").tobytes())
+            w.close()
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return docs.select("doc_id", make_wav("doc_id").alias("payload"))
+
+
+def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual fingerprint (E205): REAL PCM WAV decode → exact
+    integer block-energy + zero-crossing dHash halves.  The oracle
+    rebuilds every sample, block sum and comparison arithmetically —
+    a decode, blocking or packing bug breaks the value hash."""
+    from sparkplug_spark.operators import audio_fingerprint
+
+    return audio_fingerprint(_audio_test_wavs(spark, sf_dir)).select(
+        "doc_id", "n_samples", "fp_hi", "fp_lo"
+    )
+
+
+def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (E205): Manku chunk join over the
+    fingerprint halves, exact hamming <= 3 — the gain-2/silenced twins
+    land within the radius, unrelated waveforms do not."""
+    from sparkplug_spark.operators import audio_fingerprint, dhash_pairs
+
+    fps = audio_fingerprint(_audio_test_wavs(spark, sf_dir))
+    return dhash_pairs(
+        fps, id_col="doc_id", hi_col="fp_hi", lo_col="fp_lo", max_hamming=3
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable distinct sketch (E180): bottom-256 md5-60
     hashes of each source's 3-shingle set; distinct estimate from the
@@ -9634,6 +9921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_trained": q_language_id_trained,
         "unigram_tokens": q_unigram_tokens,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "video_dhash": q_video_dhash,
+        "video_pairs": q_video_pairs,
+        "audio_fp": q_audio_fp,
+        "audio_fp_pairs": q_audio_fp_pairs,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

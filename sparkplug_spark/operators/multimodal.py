@@ -49,6 +49,9 @@ __all__ = [
     "resize_images",
     "extract_audio_features",
     "sample_video_frames",
+    "video_dhash",
+    "video_near_dup_pairs",
+    "audio_fingerprint",
 ]
 
 #: Typed metadata struct carried beside the binary payload.
@@ -1034,6 +1037,35 @@ def _native_pixels_int(payload: bytes):
     return np.floor(arr * 255.0 + 0.5).astype(np.int64)
 
 
+def _dhash64(payload, gh: int, gw: int):
+    """Shared per-image dHash kernel (see :func:`image_dhash` for the
+    algorithm): exact integer integral-image block sums, cross-multiplied
+    brighter-than bits, packed MSB-first into two unsigned-32-bit halves.
+    Returns (hi, lo) or (None, None) for undecodable/empty payloads."""
+    import numpy as np
+
+    try:
+        g = _native_pixels_int(payload)
+    except NotImplementedError:
+        return None, None
+    h, w = g.shape
+    if h == 0 or w == 0:
+        return None, None
+    ys = (np.arange(gh + 1) * h) // gh
+    xs = (np.arange(gw + 1) * w) // gw
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = g.cumsum(0).cumsum(1)
+    s = ii[np.ix_(ys, xs)]
+    sums = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    ns = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    bits = (sums[:, :-1] * ns[:, 1:] > sums[:, 1:] * ns[:, :-1]).reshape(-1)
+    hi = lo = 0
+    for k in range(32):
+        hi = (hi << 1) | int(bits[k])
+        lo = (lo << 1) | int(bits[32 + k])
+    return hi, lo
+
+
 def image_dhash(
     df: DataFrame,
     image_col: str = "payload",
@@ -1066,28 +1098,7 @@ def image_dhash(
         )
 
     def _one(payload) -> "tuple[int, int] | tuple[None, None]":
-        try:
-            g = _native_pixels_int(payload)
-        except NotImplementedError:
-            return None, None
-        h, w = g.shape
-        if h == 0 or w == 0:
-            return None, None
-        ys = (np.arange(gh + 1) * h) // gh
-        xs = (np.arange(gw + 1) * w) // gw
-        ii = np.zeros((h + 1, w + 1), dtype=np.int64)
-        ii[1:, 1:] = g.cumsum(0).cumsum(1)
-        s = ii[np.ix_(ys, xs)]
-        sums = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
-        ns = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
-        bits = (
-            sums[:, :-1] * ns[:, 1:] > sums[:, 1:] * ns[:, :-1]
-        ).reshape(-1)
-        hi = lo = 0
-        for k in range(32):
-            hi = (hi << 1) | int(bits[k])
-            lo = (lo << 1) | int(bits[32 + k])
-        return hi, lo
+        return _dhash64(payload, gh, gw)
 
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -1186,4 +1197,300 @@ def dhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def video_dhash(
+    df: DataFrame,
+    video_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+    decoder: str = "real",
+    grid: tuple = (8, 9),
+) -> DataFrame:
+    """Per-keyframe perceptual hashes for a video corpus — the video
+    tier of the dHash family (E177): demux each container natively
+    (:func:`sample_video_frames` — AVI RIFF walk / MP4 sample tables,
+    no codec), decode each sampled frame with the library-free image
+    decoders, and emit the exact-integer 64-bit dHash per frame.
+
+    Returns (id_col, frame_idx, frame_ts_ms, dhash_hi, dhash_lo); frames
+    whose payload the native decoders can't handle (e.g. real H.264
+    access units — the documented codec boundary) yield NULL halves, so
+    MJPEG/stored-frame corpora hash fully and codec-bound ones
+    quarantine with one filter.
+
+    Scale shape: ONE Arrow pass per corpus — demux and hash never leave
+    the executor, and the output is ~30 bytes per sampled frame
+    regardless of video size; pair-finding over the result is
+    :func:`video_near_dup_pairs`' banded chunk join."""
+    gh, gw = grid
+    if gh * (gw - 1) != 64:
+        raise ValueError(
+            f"grid must yield 64 comparisons (rows*(cols-1)), got {grid}"
+        )
+    frames = sample_video_frames(
+        df.select(F.col(id_col), F.col(video_col)),
+        binary_col=video_col,
+        every_ms=every_ms,
+        decoder=decoder,
+    ).select(F.col(id_col), "frame_idx", "frame_ts_ms", "frame")
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pairs = [_dhash64(p, gh, gw) for p in pdf.iloc[:, 3]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf.iloc[:, 0],
+                    "frame_idx": pdf.iloc[:, 1],
+                    "frame_ts_ms": pdf.iloc[:, 2],
+                    "dhash_hi": pd.array(
+                        [p[0] for p in pairs], dtype="Int64"
+                    ),
+                    "dhash_lo": pd.array(
+                        [p[1] for p in pairs], dtype="Int64"
+                    ),
+                }
+            )
+
+    return frames.mapInPandas(batches, schema=out_schema).withColumnRenamed(
+        "id", id_col
+    )
+
+
+def video_near_dup_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    min_match_ppm: int = 500_000,
+) -> DataFrame:
+    """Video-level near-duplicates from per-frame dHashes
+    (:func:`video_dhash` output): two videos are near-dups when enough
+    of EACH side's sampled frames have a hamming-≤``max_hamming`` match
+    on the other side — re-encodes, brightness shifts and container
+    changes survive, unrelated footage does not.
+
+    Frame matching is the exact Manku chunk join (:func:`dhash_pairs`)
+    over struct (video, frame) ids with same-video pairs excluded;
+    coverage is per-side distinct matched frames over hashed frames, in
+    integer ppm, and the pair's flag takes the WEAKER side (a short clip
+    contained in a long video doesn't flag the long one).
+
+    Returns (``{id}_a``, ``{id}_b``, n_frames_a, n_frames_b,
+    n_matched_a, n_matched_b, min_hamming, coverage_ppm, near_dup) with
+    ``{id}_a < {id}_b``; only video pairs with ≥1 frame match appear.
+
+    Scale shape: inherits the chunk join's Σ_b n_b² bound over FRAME
+    rows (16-byte hashes — video bytes never join); the aggregate is one
+    shuffle on (video_a, video_b)."""
+    fid = F.struct(F.col(id_col), F.col("frame_idx")).alias("__fid")
+    h = frame_hashes.select(fid, "dhash_hi", "dhash_lo")
+    pairs = dhash_pairs(
+        h, id_col="__fid", max_hamming=max_hamming
+    ).filter(F.col(f"__fid_a.{id_col}") != F.col(f"__fid_b.{id_col}"))
+    agg = pairs.groupBy(
+        F.col(f"__fid_a.{id_col}").alias(f"{id_col}_a"),
+        F.col(f"__fid_b.{id_col}").alias(f"{id_col}_b"),
+    ).agg(
+        F.countDistinct(F.col("__fid_a.frame_idx"))
+        .cast("long")
+        .alias("n_matched_a"),
+        F.countDistinct(F.col("__fid_b.frame_idx"))
+        .cast("long")
+        .alias("n_matched_b"),
+        F.min("hamming").cast("long").alias("min_hamming"),
+    )
+    counts = (
+        frame_hashes.filter(
+            F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
+        )
+        .groupBy(F.col(id_col).alias("__v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__nf"))
+    )
+    out = (
+        agg.join(
+            F.broadcast(counts).withColumnRenamed("__nf", "n_frames_a"),
+            F.col(f"{id_col}_a") == F.col("__v"),
+        )
+        .drop("__v")
+        .join(
+            F.broadcast(counts).withColumnRenamed("__nf", "n_frames_b"),
+            F.col(f"{id_col}_b") == F.col("__v"),
+        )
+        .drop("__v")
+    )
+    cov = F.least(
+        F.expr("n_matched_a * 1000000L div n_frames_a"),
+        F.expr("n_matched_b * 1000000L div n_frames_b"),
+    ).cast("long")
+    return out.select(
+        f"{id_col}_a",
+        f"{id_col}_b",
+        "n_frames_a",
+        "n_frames_b",
+        "n_matched_a",
+        "n_matched_b",
+        "min_hamming",
+        cov.alias("coverage_ppm"),
+        (cov >= F.lit(int(min_match_ppm))).alias("near_dup"),
+    )
+
+
+def _audio_samples_int(payload: bytes):
+    """EXACT integer mono PCM for fingerprinting: decode WAV (stdlib
+    ``wave``) or FLAC (``flac.py`` — lossless, bit-identical to source
+    PCM), mix channels by integer SUM (a monotone content-preserving
+    mix — float means would break engine-exactness), and downshift
+    samples wider than 16 bits so block energy sums stay far inside
+    int64.  Lossy codecs raise ``NotImplementedError`` (the genuine
+    librosa/torchaudio boundary)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    p = payload if payload is not None else b""
+    if p[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        samples, _sr, bps = decode_flac(p)
+        s = samples.astype(np.int64).sum(axis=1)
+        if bps > 16:
+            s >>= bps - 16
+        return s
+    try:
+        wf = wave.open(io.BytesIO(p))
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(
+            "audio fingerprinting decodes PCM WAV and FLAC natively; "
+            "lossy codecs need librosa/torchaudio — plug the decode here"
+        ) from e
+    if sw not in (1, 2, 4) or nch <= 0:
+        raise NotImplementedError(
+            "unsupported WAV shape; compressed/exotic encodings need "
+            "librosa/torchaudio"
+        )
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    if sw == 1:
+        x -= 128
+    x = x[: (len(x) // nch) * nch].reshape(-1, nch).sum(axis=1)
+    if sw == 4:
+        x >>= 16
+    return x
+
+
+def _audio_fp64(payload, rows: int = 4, cols: int = 9):
+    """Shared per-clip fingerprint kernel: split the mono signal into
+    rows*cols equal time blocks (floor boundaries), take per-block
+    ENERGY (Σ s², exact int64) and ZERO-CROSSING counts (sign flips of
+    consecutive in-block samples), and compare time-adjacent blocks
+    within each row dHash-style — cross-multiplied by block sizes so
+    unequal remainder blocks never bias the bit.  Energy bits pack into
+    ``hi``, crossing bits into ``lo`` (MSB-first, 32 each for the
+    default 4x9 grid).  Gain scales every energy equally and never flips
+    a sign, so constant-gain copies fingerprint IDENTICALLY — the
+    invariance re-encoded audio dedup needs.  Returns (n_samples, hi,
+    lo) or (None, None, None) for undecodable/too-short payloads."""
+    import numpy as np
+
+    nb = rows * cols
+    try:
+        s = _audio_samples_int(payload)
+    except NotImplementedError:
+        return None, None, None
+    n = len(s)
+    if n < 2 * nb:
+        return None, None, None
+    bounds = (np.arange(nb + 1) * n) // nb
+    e = np.array(
+        [int((s[a:b] ** 2).sum()) for a, b in zip(bounds[:-1], bounds[1:])],
+        dtype=object,
+    ).reshape(rows, cols)
+    z = np.array(
+        [
+            int((s[a:b][:-1] * s[a + 1 : b] < 0).sum())
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ],
+        dtype=np.int64,
+    ).reshape(rows, cols)
+    ns = (bounds[1:] - bounds[:-1]).reshape(rows, cols).astype(object)
+    npairs = (ns - 1).astype(object)
+    hi = lo = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            eb = int(e[r, c] * ns[r, c + 1] > e[r, c + 1] * ns[r, c])
+            zb = int(
+                z[r, c] * npairs[r, c + 1] > z[r, c + 1] * npairs[r, c]
+            )
+            hi = (hi << 1) | eb
+            lo = (lo << 1) | zb
+    return n, hi, lo
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    audio_col: str = "payload",
+    id_col: str = "doc_id",
+    rows: int = 4,
+    cols: int = 9,
+) -> DataFrame:
+    """Perceptual audio fingerprint per clip — the audio tier of the
+    dHash family: REAL WAV/FLAC decode to exact integer PCM, then a
+    (rows x cols) time-grid of block energies and zero-crossing counts
+    (the loudness envelope + a dominant-frequency proxy) compared
+    dHash-style into two 32-bit halves.  Every quantity is an exact
+    integer (no FFT — spectral log-energies live in the rows-only
+    :func:`extract_audio_features` tier), so the fingerprint is
+    bit-reproducible on any engine and constant-gain re-encodes hash
+    identically.
+
+    Returns (id_col, n_samples, fp_hi, fp_lo); undecodable or
+    too-short (< 2·rows·cols samples) payloads yield NULLs.  Near-dup
+    pairs come from :func:`dhash_pairs` over (fp_hi, fp_lo) — the same
+    Manku chunk join, complete to hamming 3.
+
+    Scale shape: one Arrow pass, 20 bytes out per clip regardless of
+    audio size; partition by payload bytes (:func:`repartition_for_media`)."""
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("fp_hi", T.LongType()),
+            T.StructField("fp_lo", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [_audio_fp64(p, rows, cols) for p in pdf.iloc[:, 1]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf.iloc[:, 0],
+                    "n_samples": pd.array(
+                        [r[0] for r in res], dtype="Int64"
+                    ),
+                    "fp_hi": pd.array([r[1] for r in res], dtype="Int64"),
+                    "fp_lo": pd.array([r[2] for r in res], dtype="Int64"),
+                }
+            )
+
+    return (
+        repartition_for_media(df.select(F.col(id_col), F.col(audio_col)))
+        .mapInPandas(batches, schema=out_schema)
+        .withColumnRenamed("id", id_col)
     )

@@ -1,0 +1,197 @@
+"""E204/E205: video keyframe dHash + audio fingerprint — cross-tier
+consistency, near-dup recall, gain invariance, codec boundaries."""
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+
+def _chunk(cid, body):
+    pad = b"\x00" if len(body) & 1 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _lst(form, body):
+    return _chunk(b"LIST", form + body)
+
+
+def _p5(seed, f):
+    px = bytearray()
+    for y in range(16):
+        for x in range(18):
+            px.append((seed * 7 + 3 * y + 5 * x + 11 * f) % 57 + 1)
+    return b"P5\n18 16\n255\n" + bytes(px)
+
+
+def _avi(frames, usec_per_frame=1_000_000):
+    avih = _chunk(b"avih", struct.pack("<I", usec_per_frame) + b"\x00" * 52)
+    movi = b"".join(_chunk(b"00dc", fr) for fr in frames)
+    body = b"AVI " + _lst(b"hdrl", avih) + _lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav(samples, rate=8000):
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    w.writeframes(np.asarray(samples).astype("<i2").tobytes())
+    w.close()
+    return buf.getvalue()
+
+
+class TestVideoDhash:
+    def test_frame_hashes_equal_image_dhash(self, spark):
+        # the video tier must produce, per frame, the same hash the
+        # image tier computes on that frame's payload
+        from sparkplug_spark.operators import image_dhash, video_dhash
+
+        vids = spark.createDataFrame(
+            [(1, _avi([_p5(3, 0), _p5(3, 1)])),
+             (2, _avi([_p5(9, 0)]))],
+            "doc_id long, payload binary",
+        )
+        vh = {
+            (r["doc_id"], r["frame_idx"]): (r["dhash_hi"], r["dhash_lo"])
+            for r in video_dhash(vids, decoder="real").collect()
+        }
+        imgs = spark.createDataFrame(
+            [(10, _p5(3, 0)), (11, _p5(3, 1)), (20, _p5(9, 0))],
+            "doc_id long, payload binary",
+        )
+        ih = {
+            r["doc_id"]: (r["dhash_hi"], r["dhash_lo"])
+            for r in image_dhash(imgs).collect()
+        }
+        assert vh[(1, 0)] == ih[10]
+        assert vh[(1, 1)] == ih[11]
+        assert vh[(2, 0)] == ih[20]
+        assert len(vh) == 3
+
+    def test_near_dup_pairs_recall_and_exclusions(self, spark):
+        from sparkplug_spark.operators import (
+            video_dhash,
+            video_near_dup_pairs,
+        )
+
+        def bright(frame):
+            # +60 on the 2x2 top-left of the P5 raster (header is 14 B)
+            b = bytearray(frame)
+            for y in range(2):
+                for x in range(2):
+                    b[14 + y * 18 + x] += 60
+            return bytes(b)
+
+        f = [_p5(5, k) for k in range(3)]
+        vids = spark.createDataFrame(
+            [
+                (1, _avi(f)),                          # original
+                (2, _avi([bright(x) for x in f])),     # near-dup twin
+                (3, _avi([_p5(12, k) for k in range(3)])),  # unrelated
+            ],
+            "doc_id long, payload binary",
+        )
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r
+            for r in video_near_dup_pairs(
+                video_dhash(vids, decoder="real")
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        r = pairs[(1, 2)]
+        assert r["coverage_ppm"] == 1_000_000 and r["near_dup"]
+        assert r["n_frames_a"] == 3 and r["n_matched_a"] == 3
+        # unrelated video never pairs; no self pairs by construction
+        assert all(a != b and {a, b} != {1, 3} and {a, b} != {2, 3}
+                   for a, b in pairs)
+
+
+class TestAudioFingerprint:
+    def _sig(self):
+        i = np.arange(360, dtype=np.int64)
+        return ((i * i) % 97) * 7 % 201 - 100
+
+    def test_gain_invariance_and_flac_equals_wav(self, spark):
+        from sparkplug_spark.operators import audio_fingerprint
+        from sparkplug_spark.operators.flac import encode_flac
+
+        s = self._sig()
+        rows = [
+            (1, _wav(s)),
+            (2, _wav(s * 2)),                      # constant gain
+            (3, encode_flac(s, block_size=64)),    # lossless re-encode
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["doc_id"]: (r["n_samples"], r["fp_hi"], r["fp_lo"])
+            for r in audio_fingerprint(df).collect()
+        }
+        assert got[1] == got[2]  # gain never flips an energy/sign bit
+        assert got[1] == got[3]  # FLAC decodes to identical PCM
+        assert got[1][0] == 360
+
+    def test_near_dup_within_radius_unrelated_outside(self, spark):
+        from sparkplug_spark.operators import audio_fingerprint, dhash_pairs
+
+        s = self._sig()
+        s_sil = s.copy() * 2
+        s_sil[:10] = 0  # silence block 0 at gain 2 — the fixture twin
+        rng = np.random.default_rng(7)
+        noise = rng.integers(-100, 100, 360)
+        df = spark.createDataFrame(
+            [(1, _wav(s)), (2, _wav(s_sil)), (3, _wav(noise))],
+            "doc_id long, payload binary",
+        )
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+            for r in dhash_pairs(
+                audio_fingerprint(df),
+                hi_col="fp_hi",
+                lo_col="fp_lo",
+                max_hamming=3,
+            ).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_boundaries_null_out(self, spark):
+        from sparkplug_spark.operators import audio_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, b"ID3\x03 lossy mp3 bytes"),       # codec boundary
+             (2, _wav(np.arange(20))),              # too short
+             (3, _wav(self._sig()))],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["fp_hi"] for r in audio_fingerprint(df).collect()}
+        assert got[1] is None and got[2] is None and got[3] is not None
+
+    def test_stereo_and_pcm32_paths(self, spark):
+        from sparkplug_spark.operators import audio_fingerprint
+
+        s = self._sig()
+        # stereo WAV with both channels equal: mono SUM = 2*s -> same
+        # fingerprint as the gain-2 mono clip = same as mono s
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        inter = np.empty(720, dtype=np.int64)
+        inter[0::2] = s
+        inter[1::2] = s
+        w.writeframes(inter.astype("<i2").tobytes())
+        w.close()
+        df = spark.createDataFrame(
+            [(1, _wav(s)), (2, buf.getvalue())],
+            "doc_id long, payload binary",
+        )
+        got = {
+            r["doc_id"]: (r["fp_hi"], r["fp_lo"])
+            for r in audio_fingerprint(df).collect()
+        }
+        assert got[1] == got[2]
