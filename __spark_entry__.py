@@ -33,6 +33,9 @@ from sparkplug_spark import PlugAction, PlugRule, SparkPlug
 # py4j-backed plans) for the process lifetime.
 
 
+from sparkplug_spark.sources import read_store as __read_store
+
+
 def _table_cache(spark: SparkSession) -> dict:
     cache = getattr(spark, "_sparkplug_table_cache", None)
     if cache is None:
@@ -2731,7 +2734,7 @@ def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    sketch = spark.read.parquet(os.path.join(tmp, "store")).drop("__last_batch")
+    sketch = __read_store(spark, os.path.join(tmp, "store")).drop("__last_batch")
     counts = tok(docs).groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("true_count")
     )
@@ -2790,7 +2793,7 @@ def q_streaming_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    sk = spark.read.parquet(os.path.join(tmp, "store")).drop("__last_batch")
+    sk = __read_store(spark, os.path.join(tmp, "store")).drop("__last_batch")
     return rollup_histogram_percentiles(
         sk, ["l_returnflag"], [50, 95, 99], lo=0.0, hi=105000.0, bins=128
     )
@@ -9360,7 +9363,7 @@ def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    store = spark.read.parquet(os.path.join(tmp, "store")).drop("__last_batch")
+    store = __read_store(spark, os.path.join(tmp, "store")).drop("__last_batch")
     return kmv_distinct(store, by=("source",), k=256)
 
 

@@ -131,7 +131,11 @@ def rollup_query(
     partition-pruning filters on ``bucket_date``.  Returns
     (grain_start DATE, agg_key, n, sum_micros, min_micros, max_micros).
     """
-    store = spark.read.parquet(path)
+    from ..sources import read_store
+
+    # manifest-aware: the streaming tier publishes versioned stores; the
+    # batch partitioned store reads directly (legacy fallback)
+    store = read_store(spark, path)
     if start is not None:
         store = store.filter(F.col("bucket_date") >= F.lit(start).cast("date"))
     if end is not None:

@@ -35,6 +35,9 @@ __all__ = [
     "compact_table",
     "schema_drift",
     "layout_skipping_report",
+    "manifest_publish",
+    "manifest_resolve",
+    "read_store",
 ]
 
 _LOCAL_SCHEMES = ("", "file")
@@ -396,6 +399,163 @@ def publish_over(spark: "SparkSession", path: str, write_fn) -> None:
     fs.delete(old, True)
 
 
+#: Pointer file naming the live version directory of a manifest store.
+#: Underscore-prefixed so any accidental direct parquet read of the root
+#: ignores it (and finds no data — versions are underscore-dirs too —
+#: rather than silently double-reading two versions).
+_MANIFEST = "_MANIFEST"
+_COMMITTED = "_COMMITTED"
+
+
+def _manifest_versions(fs, jvm, path: str) -> list[tuple[int, str]]:
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_v") and name[2:].isdigit():
+            out.append((int(name[2:]), name))
+    return sorted(out)
+
+
+def manifest_resolve(spark: "SparkSession", path: str) -> "str | None":
+    """Live data directory of a manifest store (see
+    :func:`manifest_publish`), or None when ``path`` is not one.
+    Resolution order: the ``_MANIFEST`` pointer; else (first-publish
+    crash window on filesystems without atomic overwrite-rename) the
+    highest ``_COMMITTED`` version — a version directory is only marked
+    committed after its writer finished, so a half-written publish can
+    never be served."""
+    jvm, jpath, fs = _fs_for(spark, path)
+    base = path.rstrip("/")
+    mf = jvm.org.apache.hadoop.fs.Path(base + "/" + _MANIFEST)
+    if fs.exists(mf):
+        stream = fs.open(mf)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        vname = raw.decode("utf-8").strip().splitlines()[0]
+        vdir = base + "/" + vname
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(vdir)):
+            raise IOError(
+                f"manifest store {path} names missing version {vname!r} — "
+                "external deletion of a live version"
+            )
+        return vdir
+    committed = [
+        (n, name)
+        for n, name in _manifest_versions(fs, jvm, base)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/{_COMMITTED}")
+        )
+    ]
+    if committed:
+        return f"{base}/{committed[-1][1]}"
+    return None
+
+
+def _manifest_write_version(
+    spark: "SparkSession", path: str, write_fn
+) -> str:
+    """Step 1 of a manifest publish: write the next version directory and
+    its ``_COMMITTED`` marker.  Crash anywhere in here leaves the pointer
+    untouched — readers keep serving the previous version."""
+    jvm, jpath, fs = _fs_for(spark, path)
+    base = path.rstrip("/")
+    fs.mkdirs(jpath)
+    versions = _manifest_versions(fs, jvm, base)
+    n = (versions[-1][0] + 1) if versions else 1
+    vname = f"_v{n:08d}"
+    write_fn(f"{base}/{vname}")
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base}/{vname}/{_COMMITTED}")
+    fs.create(marker, True).close()
+    return vname
+
+
+def _manifest_commit(spark: "SparkSession", path: str, vname: str) -> None:
+    """Step 2: atomically repoint ``_MANIFEST`` at ``vname``.  Uses
+    FileContext overwrite-rename (atomic on HDFS and local posix); if
+    FileContext is unavailable the delete+rename fallback's missing-
+    pointer window is covered by :func:`manifest_resolve`'s highest-
+    ``_COMMITTED`` fallback."""
+    jvm, jpath, fs = _fs_for(spark, path)
+    base = path.rstrip("/")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base}/{_MANIFEST}.tmp")
+    mf = jvm.org.apache.hadoop.fs.Path(f"{base}/{_MANIFEST}")
+    out = fs.create(tmp, True)
+    out.write(bytearray((vname + "\n").encode("utf-8")))
+    try:
+        out.hsync()
+    except Exception:
+        pass  # local FS streams may not support hsync; close() persists
+    out.close()
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark._jsc.hadoopConfiguration()
+        )
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, mf, overwrite)
+    except Exception:
+        fs.delete(mf, False)
+        if not fs.rename(tmp, mf):
+            raise IOError(f"manifest_commit: could not publish {path}")
+
+
+def _manifest_gc(
+    spark: "SparkSession", path: str, keep_versions: int = 1
+) -> None:
+    """Step 3 (idempotent): delete version directories older than the
+    newest ``keep_versions`` — the live pointer target is always within
+    the kept set because versions are monotonically numbered."""
+    jvm, jpath, fs = _fs_for(spark, path)
+    base = path.rstrip("/")
+    live = manifest_resolve(spark, base)
+    keep = {live.rsplit("/", 1)[1]} if live else set()
+    versions = _manifest_versions(fs, jvm, base)
+    for _, name in versions[: max(0, len(versions) - max(1, keep_versions))]:
+        if name not in keep:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{base}/{name}"), True
+            )
+
+
+def manifest_publish(
+    spark: "SparkSession", path: str, write_fn, keep_versions: int = 1
+) -> None:
+    """ATOMIC store publish via a manifest pointer — the crash-safe
+    replacement for :func:`publish_over`'s directory rename-swap (which
+    has a window with NO live directory).  Layout: ``path/_vNNNNNNNN/``
+    version directories plus a one-line ``_MANIFEST`` file naming the
+    live one.  Publish = write the next version aside → mark it
+    ``_COMMITTED`` → atomically repoint ``_MANIFEST`` → GC old versions.
+    A crash at ANY point leaves readers serving a complete version —
+    the old one until the pointer lands, the new one after; never half.
+    Concurrent readers that resolved before a publish keep reading their
+    version's files until GC (raise ``keep_versions`` to widen that
+    window).  Read back with :func:`read_store`."""
+    vname = _manifest_write_version(spark, path, write_fn)
+    _manifest_commit(spark, path, vname)
+    _manifest_gc(spark, path, keep_versions)
+
+
+def read_store(
+    spark: "SparkSession", path: str, fmt: str = "parquet"
+) -> "DataFrame":
+    """Read a store published by :func:`manifest_publish` (resolves the
+    live version) or, for backward compatibility, a legacy
+    :func:`publish_over` directory (recovering a half-finished swap
+    first)."""
+    live = manifest_resolve(spark, path)
+    if live is not None:
+        return spark.read.format(fmt).load(live)
+    recover_swap(spark, path)
+    return spark.read.format(fmt).load(path)
+
+
 def compact_table(
     spark: "SparkSession",
     path: str,
@@ -412,9 +572,13 @@ def compact_table(
     exchange, file sizes approximate; ``shuffle=True`` uses
     ``repartition`` for even output at the cost of shuffling the data.
 
-    The swap is rename-based (tmp → old → live) and therefore NOT atomic
-    for concurrent readers — that guarantee needs a table format
-    (Delta/Iceberg); run compaction in a maintenance window.  Returns
+    MANIFEST stores (:func:`manifest_publish` layout) compact ATOMICALLY:
+    the live version is read, the compacted copy lands as the next
+    version, and the pointer repoints — crash-safe at every step, and
+    in-flight readers of the old version finish against its files.
+    Legacy flat directories fall back to the rename-swap
+    (:func:`publish_over`), which is NOT atomic for concurrent readers —
+    run those in a maintenance window or migrate the store.  Returns
     {files_before, files_after, bytes}.
 
     Hive-partitioned layouts (``col=value`` directories) are refused: a
@@ -423,8 +587,10 @@ def compact_table(
     (their layouts are flat)."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
+    live = manifest_resolve(spark, path)
+    data_root = live if live is not None else path
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jpath = jvm.org.apache.hadoop.fs.Path(data_root)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
     def data_files(p):
@@ -453,15 +619,21 @@ def compact_table(
         )
     total = sum(b for _, b in before)
     n_files = max(1, -(-total // target_file_bytes))  # ceil
-    df = read_table(spark, path, fmt)
+    df = read_table(spark, data_root, fmt)
     df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
 
-    publish_over(
-        spark,
-        path,
-        lambda tmp: df.write.format(fmt).mode("overwrite").save(tmp),
+    write_fn = lambda tmp: (  # noqa: E731
+        df.write.format(fmt).mode("overwrite").save(tmp)
     )
-    after = data_files(jpath)
+    if live is not None:
+        manifest_publish(spark, path, write_fn)
+        after_root = jvm.org.apache.hadoop.fs.Path(
+            manifest_resolve(spark, path)
+        )
+    else:
+        publish_over(spark, path, write_fn)
+        after_root = jpath
+    after = data_files(after_root)
     return {
         "files_before": len(before),
         "files_after": len(after),

@@ -384,12 +384,15 @@ def stream_stream_join(
 
 def _swap_publish(out: DataFrame, spark: SparkSession, store_path: str) -> None:
     """Publish ``out`` over a parquet store the plan may be READING —
-    delegates to ``sources.publish_over`` (shared with ``compact_table``,
-    incl. half-finished-swap recovery) so durability behavior has ONE
-    implementation."""
-    from ..sources import publish_over
+    delegates to ``sources.manifest_publish`` (versioned directories + an
+    atomic pointer commit), so a crash at ANY point leaves the store
+    serving a complete version: the previous one until the pointer
+    lands, the new one after, never half — the gap the old directory
+    rename-swap (``publish_over``) could not close.  All stores share
+    ONE publisher so durability fixes land in one place."""
+    from ..sources import manifest_publish
 
-    publish_over(
+    manifest_publish(
         spark,
         store_path,
         lambda tmp: out.write.mode("overwrite").parquet(tmp),
@@ -397,13 +400,22 @@ def _swap_publish(out: DataFrame, spark: SparkSession, store_path: str) -> None:
 
 
 def _store_exists(spark: SparkSession, store_path: str) -> bool:
-    """True when the store exists — after RECOVERING a half-finished
-    swap first: without recovery, a crash between publish_over's two
-    renames would make the next batch silently restart from an empty
-    store while deleting the only backup."""
-    from ..sources import recover_swap
+    """True when the store exists — manifest stores resolve their live
+    version; legacy rename-swap stores are RECOVERED first (a crash
+    between publish_over's two renames would otherwise make the next
+    batch silently restart from an empty store)."""
+    from ..sources import manifest_resolve, recover_swap
 
+    if manifest_resolve(spark, store_path) is not None:
+        return True
     return recover_swap(spark, store_path)
+
+
+def _store_read(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the live version of a store (manifest or legacy layout)."""
+    from ..sources import read_store
+
+    return read_store(spark, store_path)
 
 
 def streaming_distinct_sketches(
@@ -440,7 +452,7 @@ def streaming_distinct_sketches(
             batch_df, keys, value_col, lg_k=lg_k
         ).select(*keys, "sketch")
         if _store_exists(spark, store_path):
-            existing = spark.read.parquet(store_path).select(*keys, "sketch")
+            existing = _store_read(spark, store_path).select(*keys, "sketch")
             merged = (
                 existing.unionByName(batch_sk)
                 .groupBy(*[F.col(c) for c in keys])
@@ -515,7 +527,7 @@ def _merge_histogram_batch(
         batch_df, list(keys), value_col, lo=lo, hi=hi, bins=bins
     )
     if _store_exists(spark, store_path):
-        existing = spark.read.parquet(store_path)
+        existing = _store_read(spark, store_path)
         applied = existing.select(F.max("__last_batch")).collect()[0][0]
         if applied is not None and batch_id <= applied:
             return  # at-least-once replay of an already-merged batch
@@ -617,7 +629,7 @@ def _merge_cms_batch(
     spark = batch_df.sparkSession
     batch_sk = build_cms_sketch(batch_df, key_col, depth=depth, width=width)
     if _store_exists(spark, store_path):
-        existing = spark.read.parquet(store_path)
+        existing = _store_read(spark, store_path)
         applied = existing.select(F.max("__last_batch")).collect()[0][0]
         if applied is not None and batch_id <= applied:
             return  # at-least-once replay of an already-merged batch
@@ -680,7 +692,7 @@ def _merge_rollup_batch(
     spark = batch_df.sparkSession
     batch_agg = _bucket_agg(batch_df, ts_col, key_col, value_col)
     if _store_exists(spark, store_path):
-        existing = spark.read.parquet(store_path)
+        existing = _store_read(spark, store_path)
         applied = existing.select(F.max("__last_batch")).collect()[0][0]
         if applied is not None and batch_id <= applied:
             return  # at-least-once replay of an already-merged batch
@@ -739,7 +751,7 @@ def _merge_kmv_batch(
     spark = batch_df.sparkSession
     batch_sk = kmv_sketch(batch_df, key=key_col, by=by, k=k)
     if _store_exists(spark, store_path):
-        existing = spark.read.parquet(store_path)
+        existing = _store_read(spark, store_path)
         applied = existing.select(F.max("__last_batch")).collect()[0][0]
         if applied is not None and batch_id <= applied:
             return  # at-least-once replay (merge is idempotent anyway)

@@ -3,6 +3,8 @@
 import pytest
 from pyspark.sql import functions as F
 
+from sparkplug_spark.sources import read_store
+
 from sparkplug_spark.operators import (
     ab_test_report,
     build_distinct_sketches,
@@ -193,7 +195,7 @@ class TestStreamingDistinctSketches:
         )
         q.awaitTermination(120)
         est1 = {
-            r["g"]: r["n_est"] for r in spark.read.parquet(store).collect()
+            r["g"]: r["n_est"] for r in read_store(spark, store).collect()
         }
         assert abs(est1["a"] - 40) <= 2 and abs(est1["b"] - 20) <= 2
 
@@ -210,14 +212,14 @@ class TestStreamingDistinctSketches:
         )
         q.awaitTermination(120)
         est2 = {
-            r["g"]: r["n_est"] for r in spark.read.parquet(store).collect()
+            r["g"]: r["n_est"] for r in read_store(spark, store).collect()
         }
         assert abs(est2["a"] - 60) <= 3   # merged, not summed (80)
         assert abs(est2["b"] - 20) <= 2   # untouched key survives the swap
 
         # the stored table feeds the batch rollup directly
         [total] = rollup_distinct_sketches(
-            spark.read.parquet(store), []
+            read_store(spark, store), []
         ).collect()
         assert abs(total["n_est"] - 80) <= 4
 
@@ -253,7 +255,7 @@ class TestStreamingHistogramSketches:
             [("a", float(v)) for v in range(50, 100)], "g string, v double"
         ).coalesce(1).write.mode("append").parquet(src)
         run()
-        store_df = spark.read.parquet(store)
+        store_df = read_store(spark, store)
         # 100 values uniform over [0,100) into 10 bins: each bin n=10
         assert {r["bin"]: r["n"] for r in store_df.collect()} == {
             b: 10 for b in range(10)
@@ -278,17 +280,17 @@ class TestHistogramStoreReplaySafety:
         _merge_histogram_batch(b0, 0, store, ["g"], "v", 0.0, 10.0, 5)
         first = {
             (r["bin"]): r["n"]
-            for r in spark.read.parquet(store).collect()
+            for r in read_store(spark, store).collect()
         }
         # at-least-once replay of batch 0 must be a no-op
         _merge_histogram_batch(b0, 0, store, ["g"], "v", 0.0, 10.0, 5)
         assert {
-            r["bin"]: r["n"] for r in spark.read.parquet(store).collect()
+            r["bin"]: r["n"] for r in read_store(spark, store).collect()
         } == first
         # the NEXT batch id still merges
         _merge_histogram_batch(b0, 1, store, ["g"], "v", 0.0, 10.0, 5)
         doubled = {
-            r["bin"]: r["n"] for r in spark.read.parquet(store).collect()
+            r["bin"]: r["n"] for r in read_store(spark, store).collect()
         }
         assert doubled == {b: n * 2 for b, n in first.items()}
 
@@ -301,17 +303,17 @@ class TestHistogramStoreReplaySafety:
             [("a", 1.0), ("a", 2.0)], "g string, v double"
         )
         _merge_histogram_batch(b0, 0, store, ["g"], "v", 0.0, 10.0, 5)
-        want = spark.read.parquet(store).collect()
+        want = read_store(spark, store).collect()
         # simulate a crash between publish_over's two renames: live moved
         # aside to .swap_old, new live never landed
         import os
 
         os.rename(store, store + ".swap_old")
         assert recover_swap(spark, store)
-        got = spark.read.parquet(store).collect()
+        got = read_store(spark, store).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
         # and the next merge sees the recovered store, not an empty one
         _merge_histogram_batch(b0, 1, store, ["g"], "v", 0.0, 10.0, 5)
-        out = {r["bin"]: r["n"] for r in spark.read.parquet(store).collect()}
+        out = {r["bin"]: r["n"] for r in read_store(spark, store).collect()}
         # 1.0 -> bin 0, 2.0 -> bin 1; each doubled by the second batch
         assert out == {0: 2, 1: 2}

@@ -5,6 +5,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from sparkplug_spark.sources import read_store
 from sparkplug_spark.operators import cms_estimate
 
 
@@ -34,7 +35,7 @@ class TestStreamingCmsSketches:
             [("a",)] * 4 + [("c",)] * 7, "k string"
         ).coalesce(1).write.mode("append").parquet(src)
         run()
-        sk = spark.read.parquet(store).drop("__last_batch")
+        sk = read_store(spark, store).drop("__last_batch")
         keys = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
         est = {
             r["k"]: r["cms_est"]
@@ -49,13 +50,13 @@ class TestStreamingCmsSketches:
         store = str(tmp_path / "cms_replay")
         b0 = spark.createDataFrame([("a",)] * 3, "k string")
         _merge_cms_batch(b0, 0, store, "k", 3, 64)
-        total = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
+        total = read_store(spark, store).agg(F.sum("cnt")).collect()[0][0]
         assert total == 3 * 3  # depth rows per key occurrence
         # at-least-once redelivery of batch 0 must be a no-op
         _merge_cms_batch(b0, 0, store, "k", 3, 64)
-        total2 = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
+        total2 = read_store(spark, store).agg(F.sum("cnt")).collect()[0][0]
         assert total2 == total
         # a NEW batch id merges
         _merge_cms_batch(b0, 1, store, "k", 3, 64)
-        total3 = spark.read.parquet(store).agg(F.sum("cnt")).collect()[0][0]
+        total3 = read_store(spark, store).agg(F.sum("cnt")).collect()[0][0]
         assert total3 == 2 * total

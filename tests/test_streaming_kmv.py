@@ -6,6 +6,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from sparkplug_spark.sources import read_store
 from sparkplug_spark.operators import kmv_distinct, kmv_sketch
 
 
@@ -46,7 +47,7 @@ class TestStreamingKmvSketches:
             1
         ).write.mode("append").parquet(src)
         run()
-        got = spark.read.parquet(store).drop("__last_batch")
+        got = read_store(spark, store).drop("__last_batch")
         whole = kmv_sketch(
             spark.createDataFrame(rows1 + rows2, "src string, k string"),
             key="k",
@@ -74,13 +75,13 @@ class TestStreamingKmvSketches:
             [("s", f"b{i}") for i in range(50)], "src string, k string"
         )
         _merge_kmv_batch(b0, 0, store, "k", ("src",), 32)
-        after0 = _hashes(spark.read.parquet(store))
+        after0 = _hashes(read_store(spark, store))
         # at-least-once replay of batch 0: guard skips it
         _merge_kmv_batch(b0, 0, store, "k", ("src",), 32)
-        assert _hashes(spark.read.parquet(store)) == after0
+        assert _hashes(read_store(spark, store)) == after0
         _merge_kmv_batch(b1, 1, store, "k", ("src",), 32)
-        after1 = _hashes(spark.read.parquet(store))
+        after1 = _hashes(read_store(spark, store))
         # idempotence beyond the guard: force-merge batch 1 AGAIN under a
         # new id — the bottom-k-of-distinct-union fold must not change
         _merge_kmv_batch(b1, 2, store, "k", ("src",), 32)
-        assert _hashes(spark.read.parquet(store)) == after1
+        assert _hashes(read_store(spark, store)) == after1
