@@ -3015,6 +3015,34 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_profile(emb, num_clusters=8)
 
 
+def q_cluster_balance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-centroid topic-balance audit — the exact oracle tier of
+    cluster_balance (E82): centers = the vec_id<8 medoids, per-member
+    cosine quantized to micros before summing, empty centers keep zero
+    rows."""
+    from sparkplug_spark.operators import cluster_profile_frozen
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centers = emb.filter(F.col("vec_id") < 8)
+    return cluster_profile_frozen(emb, centers)
+
+
+def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k at n_probe == num_centroids — exhaustive probing makes
+    the IVF machinery EXACT (pytest already pins it == cosine_topk), so
+    this tier rides the brute-force oracle: the list assignment, probe
+    join and re-rank are value-hash-checked end to end."""
+    from sparkplug_spark.operators import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        emb, queries_df, k=10, num_centroids=16, n_probe=16
+    )
+
+
 def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent corpus digest: one row of commutative folds over
     per-doc content hashes — the replication/migration equality check."""
@@ -5817,6 +5845,44 @@ def _extension_oracles() -> dict[str, str]:
                    {_SQL_COS.format(a='a.v', b='b.v')} AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_SQL_COS.format(a='a.v', b='b.v')} >= 0.4
+        """,
+        # frozen-centroid topic balance (E82 exact tier): vec_id<8
+        # medoids, argmax cosine with smallest-center ties, per-member
+        # micros quantized BEFORE summing (sum reported, never a mean —
+        # negative integer division splits truncate-vs-floor)
+        "cluster_balance_exact": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            c AS (SELECT vec_id AS cluster_id, v AS cv FROM e
+                  WHERE vec_id < 8),
+            sc AS (
+              SELECT e.vec_id AS rid, c.cluster_id,
+                     {_SQL_COS.format(a='e.v', b='c.cv')} AS cos
+              FROM e CROSS JOIN c
+            ),
+            asg AS (
+              SELECT rid, cluster_id,
+                     CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS sim
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY rid
+                                             ORDER BY cos DESC,
+                                                      cluster_id) AS rk
+                FROM sc
+              ) WHERE rk = 1
+            ),
+            cnt AS (
+              SELECT cluster_id, COUNT(*)::BIGINT AS n_vecs,
+                     SUM(sim)::BIGINT AS ssum
+              FROM asg GROUP BY cluster_id
+            ),
+            tot AS (SELECT greatest(SUM(n_vecs), 1) AS n FROM cnt)
+            SELECT c.cluster_id,
+                   coalesce(cnt.n_vecs, 0)::BIGINT AS n_vecs,
+                   (coalesce(cnt.n_vecs, 0) * 1000000 // tot.n)::BIGINT
+                     AS share_ppm,
+                   coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
+            FROM c LEFT JOIN cnt USING (cluster_id), tot
         """,
         "simsearch_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -9928,6 +9994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pairs": q_video_pairs,
         "audio_fp": q_audio_fp,
         "audio_fp_pairs": q_audio_fp_pairs,
+        "cluster_balance_exact": q_cluster_balance_exact,
+        "simsearch_ivf_exhaustive": q_simsearch_ivf_exhaustive,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -9959,6 +10027,9 @@ def oracle_sql() -> dict[str, str]:
     # same argument for the histogram-sketch store: bin-counter adds are
     # order-free, so the replayed store must reproduce the batch rollup
     out["streaming_histogram_replay"] = out["histogram_rollup"]
+    # exhaustive-probe IVF is EXACT (every list probed, same cosine
+    # kernel), so its oracle IS the brute-force top-k SQL
+    out["simsearch_ivf_exhaustive"] = out["simsearch_topk"]
     # the KMV store folds by bottom-k of a distinct union (commutative,
     # associative, idempotent), so its replay must reproduce the one-shot
     # batch sketch report exactly

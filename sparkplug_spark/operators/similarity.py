@@ -1085,6 +1085,93 @@ def cluster_profile(
     )
 
 
+def cluster_profile_frozen(
+    df: DataFrame,
+    centers: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    center_id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT-tier topic-balance audit over FROZEN centroids — the
+    oracle-checkable sibling of :func:`cluster_profile` (whose k-means
+    seeding keeps it rows-only).  ``centers`` is any small DataFrame of
+    (center_id, vector) rows — seeded medoids, a governance-pinned
+    centroid release, or :func:`cluster_profile`'s trained centers
+    persisted once — and every corpus vector is assigned to its
+    highest-cosine center (ties to the smallest center id).
+
+    Exactness discipline: cosines are the same 6-dp-rounded doubles the
+    E8 exact top-k hash-matches on; per-member similarity quantizes to
+    integer micros BEFORE summing (float sums are partition-order
+    dependent; integer sums commute), and the report carries the SUM
+    (``sum_sim_micros``) rather than a mean — an integer division of a
+    possibly-negative sum would hit the truncate-vs-floor engine split
+    (CLAUDE.md invariant).  Output: (cluster_id, n_vecs, share_ppm,
+    sum_sim_micros); centers with no members keep a zero row.
+
+    Scale shape: centers broadcast; assignment is one narrow pass over
+    |corpus| × |centers| dots with an argmax window partitioned per
+    VECTOR (≤ |centers| rows each); the aggregate has ≤ |centers| keys."""
+    c = F.broadcast(
+        centers.select(
+            F.col(center_id_col).alias("cluster_id"),
+            F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("cn"),
+        )
+    )
+    scored = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("__rid"),
+            F.col(vec_col).alias("qv"),
+            vec_norm(F.col(vec_col)).alias("qn"),
+        )
+        .crossJoin(c)
+        .select(
+            "__rid",
+            "cluster_id",
+            _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias(
+                "__cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("__rid").orderBy(
+        F.desc("__cos"), F.asc("cluster_id")
+    )
+    members = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "cluster_id",
+            F.floor(F.col("__cos") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("__sim_micros"),
+        )
+    )
+    counts = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("__sim_micros").cast("long").alias("__sim_sum"),
+    )
+    totals = counts.agg(
+        F.greatest(F.sum("n_vecs"), F.lit(1)).alias("__n")
+    )
+    return (
+        centers.select(F.col(center_id_col).alias("cluster_id"))
+        .join(counts, "cluster_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cluster_id",
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.expr(
+                "coalesce(n_vecs, 0L) * 1000000L div __n"
+            ).alias("share_ppm"),
+            F.coalesce(F.col("__sim_sum"), F.lit(0))
+            .cast("long")
+            .alias("sum_sim_micros"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,

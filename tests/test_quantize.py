@@ -157,3 +157,68 @@ class TestDimTruncationAudit:
         )
         with pytest.raises(ValueError, match="unique"):
             dim_truncation_audit(df, dims=(2,))
+
+
+class TestClusterProfileFrozen:
+    """E82 exact tier: frozen centroids, integer micro sims, zero rows."""
+
+    def test_matches_numpy_twin_and_partition_invariant(self, spark):
+        import math
+
+        from sparkplug_spark.operators import cluster_profile_frozen
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(size=(40, 8)).astype(np.float32)
+        rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        centers = df.filter("vec_id < 4")
+        got = {
+            r["cluster_id"]: (r["n_vecs"], r["share_ppm"],
+                              r["sum_sim_micros"])
+            for r in cluster_profile_frozen(df, centers).collect()
+        }
+        got2 = {
+            r["cluster_id"]: (r["n_vecs"], r["share_ppm"],
+                              r["sum_sim_micros"])
+            for r in cluster_profile_frozen(
+                df.repartition(7), centers
+            ).collect()
+        }
+        assert got == got2  # integer sums commute
+
+        # numpy twin with the operator's exact quantization discipline
+        x = vecs.astype(np.float64)
+        c = x[:4]
+        stats = {i: [0, 0] for i in range(4)}
+        for row in x:
+            cos = []
+            for cv in c:
+                d = float(np.einsum("i,i->", row, cv))
+                na = math.sqrt(float(np.einsum("i,i->", row, row)))
+                nb = math.sqrt(float(np.einsum("i,i->", cv, cv)))
+                cos.append(round(d / (na * nb), 6) if na * nb else 0.0)
+            best = max(range(4), key=lambda j: (cos[j], -j))
+            stats[best][0] += 1
+            stats[best][1] += int(math.floor(cos[best] * 1e6 + 0.5))
+        for cid in range(4):
+            n, ssum = stats[cid]
+            assert got[cid][0] == n
+            assert got[cid][2] == ssum
+            assert got[cid][1] == n * 1_000_000 // 40
+
+    def test_empty_center_keeps_zero_row(self, spark):
+        from sparkplug_spark.operators import cluster_profile_frozen
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1])],
+            "vec_id long, embedding array<float>",
+        )
+        centers = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [-1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r["cluster_id"]: r["n_vecs"]
+            for r in cluster_profile_frozen(df, centers).collect()
+        }
+        assert got == {10: 2, 11: 0}
