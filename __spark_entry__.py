@@ -3043,6 +3043,18 @@ def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded discrete-Laplace DP count release (E207): md5-coin noise
+    through an integer inverse-CDF table — reproducible (no fresh budget
+    spend on re-runs) and engine-exact, so the release value-hashes."""
+    from sparkplug_spark.operators import dp_release_counts
+
+    orders = _read(spark, sf_dir, "orders")
+    return dp_release_counts(
+        orders, ["o_orderpriority", "o_orderstatus"], epsilon=1.0, seed=42
+    )
+
+
 def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent corpus digest: one row of commutative folds over
     per-doc content hashes — the replication/migration equality check."""
@@ -3595,6 +3607,37 @@ def _unigram_oracle_sql() -> str:
     """
     _UNI_ORACLE_CACHE[sf] = sql
     return sql
+
+
+def _dp_release_oracle_sql() -> str:
+    """Value-hash oracle for ``dp_release``: embeds the SAME integer
+    inverse-CDF cutoffs the operator uses (shared
+    ``discrete_laplace_cutoffs`` — the literals ARE the mechanism) and
+    replays the md5-coin noise per group natively in SQL."""
+    from sparkplug_spark.operators import discrete_laplace_cutoffs
+
+    cutoffs, z_max = discrete_laplace_cutoffs(1.0, 1)
+    cuts = "[" + ", ".join(str(c) for c in cutoffs) + "]"
+    return f"""
+        WITH g AS (
+          SELECT o_orderpriority, o_orderstatus, COUNT(*)::BIGINT AS n
+          FROM orders GROUP BY 1, 2
+        ),
+        z AS (
+          SELECT o_orderpriority, o_orderstatus, n,
+                 ('0x' || substr(md5('42' || chr(31)
+                     || coalesce(o_orderpriority, chr(0) || 'null')
+                     || chr(31)
+                     || coalesce(o_orderstatus, chr(0) || 'null')),
+                   1, 15))::BIGINT AS u
+          FROM g
+        )
+        SELECT o_orderpriority, o_orderstatus,
+               (n + list_position(
+                      list_transform({cuts}, c -> u < c), true)
+                  - 1 - {z_max})::BIGINT AS released_count
+        FROM z
+    """
 
 
 _PCA_ORACLE_CACHE: dict[str, str] = {}
@@ -9996,6 +10039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_pairs": q_audio_fp_pairs,
         "cluster_balance_exact": q_cluster_balance_exact,
         "simsearch_ivf_exhaustive": q_simsearch_ivf_exhaustive,
+        "dp_release": q_dp_release,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -10030,6 +10074,10 @@ def oracle_sql() -> dict[str, str]:
     # exhaustive-probe IVF is EXACT (every list probed, same cosine
     # kernel), so its oracle IS the brute-force top-k SQL
     out["simsearch_ivf_exhaustive"] = out["simsearch_topk"]
+    # DP release (E207): the integer inverse-CDF cutoffs come from the
+    # SHARED driver-side table (the mechanism's literals), so the oracle
+    # replays the identical md5-coin noise with zero libm at query time
+    out["dp_release"] = _dp_release_oracle_sql()
     # the KMV store folds by bottom-k of a distinct union (commutative,
     # associative, idempotent), so its replay must reproduce the one-shot
     # batch sketch report exactly

@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["k_anonymity_report", "pseudonymize", "suppress_small_cells"]
+__all__ = [
+    "k_anonymity_report",
+    "pseudonymize",
+    "suppress_small_cells",
+    "dp_release_counts",
+    "discrete_laplace_cutoffs",
+]
 
 
 def k_anonymity_report(
@@ -169,3 +175,105 @@ def suppress_small_cells(
             suppressed_rows=F.sum("n"),
         )
     return cells.filter(F.col("n") >= k)
+
+
+def discrete_laplace_cutoffs(
+    epsilon: float, sensitivity: int = 1, z_max: int | None = None
+) -> tuple[list[int], int]:
+    """Integer inverse-CDF table for the discrete (two-sided geometric)
+    Laplace mechanism at scale ``t = epsilon / sensitivity``:
+    ``P(Z = z) ∝ exp(-|z| t)``, truncated to ``[-z_max, z_max]`` with
+    ``z_max`` sized so the clipped tail mass is < 2^-50 (truncation is
+    the standard bounded-noise variant; its effect on the privacy
+    accounting is negligible at that mass and documented here rather
+    than hidden).  Returns (cutoffs, z_max): ``cutoffs[k]`` is
+    ``floor(CDF(k - z_max) * 2^60)`` with the last entry pinned to
+    2^60, so a uniform 60-bit integer ``u`` maps to the noise value
+    ``z = first k with u < cutoffs[k]  minus  z_max``.
+
+    The cutoffs are computed ONCE here (driver-side floats) and then
+    embedded as INTEGER literals in both engines' expressions — the
+    mechanism itself runs with zero libm at query time, so releases are
+    bit-identical across engines, runs and partitionings (the md5-coin
+    discipline of the samplers applied to DP noise)."""
+    import math
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if sensitivity < 1:
+        raise ValueError("sensitivity must be >= 1")
+    t = float(epsilon) / float(sensitivity)
+    p = math.exp(-t)
+    if z_max is None:
+        z_max = min(int(math.ceil(35.0 / t)) + 1, 4000)
+    # pmf over z in [-z_max, z_max], renormalized after truncation
+    weights = [p ** abs(z) for z in range(-z_max, z_max + 1)]
+    total = sum(weights)
+    cum = 0.0
+    cutoffs: list[int] = []
+    for w in weights:
+        cum += w / total
+        cutoffs.append(min(int(math.floor(cum * (1 << 60))), 1 << 60))
+    cutoffs[-1] = 1 << 60
+    return cutoffs, z_max
+
+
+def dp_release_counts(
+    df: DataFrame,
+    by: Sequence[str],
+    epsilon: float = 1.0,
+    sensitivity: int = 1,
+    seed: int = 42,
+    count_col: str = "released_count",
+) -> DataFrame:
+    """Differentially-private group-count release — the release-side
+    counterpart of :func:`suppress_small_cells` (which withholds; this
+    perturbs and publishes): per group, the true count plus
+    seeded discrete-Laplace noise at scale ``epsilon/sensitivity``
+    (sensitivity 1 for counting queries where one individual
+    contributes one row; pass the true per-individual row bound
+    otherwise).
+
+    The noise coin is ``md5(seed, group key)`` — deterministic, so the
+    same release is REPRODUCIBLE (re-running never spends extra privacy
+    budget on fresh noise, the practical reason deployed DP systems pin
+    noise to a release seed) and engine-exact: the inverse CDF is an
+    integer cutoff table (:func:`discrete_laplace_cutoffs`) searched
+    with per-element comparisons inside whole-stage codegen — no libm,
+    no RNG state.  Releases may be negative (unbiasedness is kept;
+    clamp downstream if the consumer needs ≥ 0).
+
+    Returns (by..., released_count).  The TRUE counts never leave the
+    aggregate.
+
+    Scale shape: one map-side-combined groupBy; the noise expression is
+    a ~2·z_max-element literal array probe per GROUP row (not per input
+    row)."""
+    by = list(by)
+    if not by:
+        raise ValueError("by must be non-empty")
+    from ..functions.text import hash60
+
+    cutoffs, z_max = discrete_laplace_cutoffs(epsilon, sensitivity)
+    groups = spread(df).groupBy(*[F.col(c) for c in by]).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(str(int(seed))),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in by
+        ],
+    )
+    u = hash60(key)
+    cut_arr = F.array(*[F.lit(int(c)).cast("long") for c in cutoffs])
+    z = (
+        F.array_position(
+            F.transform(cut_arr, lambda c: u < c), F.lit(True)
+        ).cast("long")
+        - F.lit(1 + z_max)
+    )
+    return groups.select(
+        *by, (F.col("__n") + z).cast("long").alias(count_col)
+    )
