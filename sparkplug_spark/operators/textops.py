@@ -304,10 +304,17 @@ def language_id_trained(
     priors = train_docs.select(
         "__l", micros(F.log(F.col("__d") + 1)).alias("__p")
     )
+    # pre-aggregate gram multiplicity per document BEFORE the weight
+    # join: char-gram streams repeat heavily, so (id, gram, cnt) rows are
+    # several times fewer than occurrences — less join input, and the
+    # count-weighted sum is exact integer arithmetic either way
+    apply_cnt = apply_pos.groupBy("__id", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
     scored = (
-        apply_pos.join(weights, "__g")
+        apply_cnt.join(weights, "__g")
         .groupBy("__id", "__l")
-        .agg(F.sum("__w").cast("long").alias("__s"))
+        .agg(F.sum(F.col("__cnt") * F.col("__w")).cast("long").alias("__s"))
         .join(F.broadcast(priors), "__l")
         .select(
             "__id", "__l", (F.col("__s") + F.col("__p")).alias("__score")
