@@ -3043,6 +3043,40 @@ def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style line-wise corrections (E208): the single-line
+    synthetic docs are rewrapped at 4 words/line and salted with one
+    counter, one shouty-nav and one bullet line each, so every rule
+    fires; keep decisions are integer cross-products — exact."""
+    from sparkplug_spark.operators import filter_lines_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(
+                F.col("text"), r"(\w+ \w+ \w+ \w+) ", "$1\n"
+            ),
+            F.lit("\n"),
+            F.col("doc_id").cast("string"),
+            F.lit(" 42 1999\nHOME LOGIN SIGNUP MENU\n- item "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nok"),
+        ).alias("text"),
+    )
+    return filter_lines_quality(fixture).select(
+        "doc_id",
+        "text_clean",
+        "n_lines",
+        "n_kept",
+        "n_short",
+        "n_upper",
+        "n_digit",
+        "n_bullet",
+        "line_filter_dropped",
+    )
+
+
 def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded discrete-Laplace DP count release (E207): md5-coin noise
     through an integer inverse-CDF table — reproducible (no fresh budget
@@ -5888,6 +5922,55 @@ def _extension_oracles() -> dict[str, str]:
                    {_SQL_COS.format(a='a.v', b='b.v')} AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_SQL_COS.format(a='a.v', b='b.v')} >= 0.4
+        """,
+        # line-wise quality corrections (E208): same fixture rewrap
+        # (DuckDB backrefs are \1 and need the 'g' flag), verdicts via
+        # integer cross-products, first-matching-rule attribution
+        "filter_lines": r"""
+            WITH fx AS (
+              SELECT doc_id,
+                     regexp_replace(text, '(\w+ \w+ \w+ \w+) ',
+                                    '\1' || chr(10), 'g')
+                     || chr(10) || doc_id::VARCHAR || ' 42 1999'
+                     || chr(10) || 'HOME LOGIN SIGNUP MENU'
+                     || chr(10) || '- item ' || doc_id::VARCHAR
+                     || chr(10) || 'ok' AS text
+              FROM documents
+            ),
+            fl AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS ls
+              FROM fx
+            ),
+            vd AS (
+              SELECT doc_id, ls,
+                     list_transform(ls, x ->
+                       CASE
+                         WHEN length(trim(x)) < 10 THEN 1
+                         WHEN length(regexp_replace(x, '[^A-Z]', '', 'g'))
+                              * 100 > length(x) * 60 THEN 2
+                         WHEN length(regexp_replace(x, '[^0-9]', '', 'g'))
+                              * 100 > length(x) * 40 THEN 3
+                         WHEN regexp_matches(trim(x), '^[-*•|]') THEN 4
+                         ELSE 0
+                       END) AS v
+              FROM fl
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(
+                       list_filter(list_zip(ls, v), z -> z[2] = 0),
+                       z -> z[1]),
+                     chr(10)) AS text_clean,
+                   len(ls)::BIGINT AS n_lines,
+                   len(list_filter(v, x -> x = 0))::BIGINT AS n_kept,
+                   len(list_filter(v, x -> x = 1))::BIGINT AS n_short,
+                   len(list_filter(v, x -> x = 2))::BIGINT AS n_upper,
+                   len(list_filter(v, x -> x = 3))::BIGINT AS n_digit,
+                   len(list_filter(v, x -> x = 4))::BIGINT AS n_bullet,
+                   len(list_filter(v, x -> x = 0)) * 100
+                     < len(ls) * 50 AS line_filter_dropped
+            FROM vd
         """,
         # frozen-centroid topic balance (E82 exact tier): vec_id<8
         # medoids, argmax cosine with smallest-center ties, per-member
@@ -10040,6 +10123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balance_exact": q_cluster_balance_exact,
         "simsearch_ivf_exhaustive": q_simsearch_ivf_exhaustive,
         "dp_release": q_dp_release,
+        "filter_lines": q_filter_lines,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

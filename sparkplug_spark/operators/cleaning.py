@@ -39,6 +39,7 @@ __all__ = [
     "decontaminate",
     "decontaminate_fuzzy",
     "decontaminate_semantic",
+    "filter_lines_quality",
     "sample_per_key",
     "sample_exact_n",
     "stratified_sample",
@@ -1373,6 +1374,99 @@ def dedup_substrings_global(
         )
     )
     return materialize_release(out, base, occ, release=release)
+
+
+def filter_lines_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 10,
+    max_upper_pct: int = 60,
+    max_digit_pct: int = 40,
+    drop_bullets: bool = True,
+    min_keep_pct: int = 50,
+) -> DataFrame:
+    """RefinedWeb-style LINE-WISE corrections (Penedo et al. 2023 §G.2):
+    web extraction leaves nav menus, like counters, date stamps and
+    bullet debris as whole lines that document-level quality scores
+    average away.  Each line is kept or dropped by the first matching
+    rule — too short (< ``min_chars`` after trim), mostly uppercase
+    (> ``max_upper_pct``% of letters... of characters), mostly digits
+    (> ``max_digit_pct``%), or bullet/nav debris (leading ``-``/``*``/
+    ``•``/``|``) — and the document is rebuilt from survivors.
+    Documents whose kept-line fraction falls below ``min_keep_pct``%
+    are FLAGGED (``line_filter_dropped``) rather than deleted, the
+    RefinedWeb rule that a doc needing too much correction is itself
+    suspect.
+
+    Ratio rules compare integer cross-products (``n_upper·100 >
+    len·pct``) — no float ratios, so the oracle reproduces every keep
+    decision exactly.  Returns every input row plus (text_clean,
+    n_lines, n_kept, n_short, n_upper, n_digit, n_bullet,
+    line_filter_dropped).
+
+    Scale shape: ONE narrow whole-stage-codegen projection — split,
+    per-line flag struct, aggregate counts and array_join all happen
+    inside the row; zero shuffle, zero Python."""
+    for name, v in (
+        ("max_upper_pct", max_upper_pct),
+        ("max_digit_pct", max_digit_pct),
+        ("min_keep_pct", min_keep_pct),
+    ):
+        if not (0 <= v <= 100):
+            raise ValueError(f"{name} must be in [0, 100]")
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    # per-line verdict: 0 = keep, 1..4 = first matching drop rule
+    verdict = lambda x: (  # noqa: E731
+        F.when(F.length(F.trim(x)) < min_chars, F.lit(1))
+        .when(
+            F.length(F.regexp_replace(x, "[^A-Z]", "")) * 100
+            > F.length(x) * max_upper_pct,
+            F.lit(2),
+        )
+        .when(
+            F.length(F.regexp_replace(x, "[^0-9]", "")) * 100
+            > F.length(x) * max_digit_pct,
+            F.lit(3),
+        )
+        .when(
+            F.lit(drop_bullets)
+            & F.trim(x).rlike(r"^[-*•|]"),
+            F.lit(4),
+        )
+        .otherwise(F.lit(0))
+    )
+    flagged = F.transform(
+        lines, lambda x: F.struct(x.alias("line"), verdict(x).alias("v"))
+    )
+    out = df.withColumn("__fl", flagged)
+    count_v = lambda v: F.size(  # noqa: E731
+        F.filter(F.col("__fl"), lambda s: s["v"] == F.lit(v))
+    ).cast("long")
+    out = (
+        out.withColumn(
+            "text_clean",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("__fl"), lambda s: s["v"] == 0),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+        )
+        .withColumn("n_lines", F.size("__fl").cast("long"))
+        .withColumn("n_kept", count_v(0))
+        .withColumn("n_short", count_v(1))
+        .withColumn("n_upper", count_v(2))
+        .withColumn("n_digit", count_v(3))
+        .withColumn("n_bullet", count_v(4))
+        .withColumn(
+            "line_filter_dropped",
+            F.col("n_kept") * 100
+            < F.col("n_lines") * F.lit(int(min_keep_pct)),
+        )
+        .drop("__fl")
+    )
+    return out
 
 
 def dedup_lines_global(

@@ -260,3 +260,61 @@ class TestDecontaminateSemantic:
 
         with _pytest.raises(ValueError, match="min_cosine"):
             decontaminate_semantic(corpus, ev, min_cosine=0.0)
+
+
+class TestFilterLinesQuality:
+    """E208 RefinedWeb-style line-wise corrections."""
+
+    def test_rules_and_rebuild(self, spark):
+        from sparkplug_spark.operators import filter_lines_quality
+
+        df = spark.createDataFrame(
+            [
+                (1, "This is a good prose line that survives fine.\n"
+                    "OK\n"
+                    "SIGN IN NOW PLEASE HELLO WORLD\n"
+                    "12345 67890 42 77 99\n"
+                    "- navigation item\n"
+                    "Another decent line of readable text here."),
+            ],
+            "doc_id long, text string",
+        )
+        r = filter_lines_quality(df).collect()[0]
+        assert (r["n_lines"], r["n_kept"]) == (6, 2)
+        assert (r["n_short"], r["n_upper"], r["n_digit"], r["n_bullet"]) == (
+            1, 1, 1, 1,
+        )
+        assert r["text_clean"].splitlines() == [
+            "This is a good prose line that survives fine.",
+            "Another decent line of readable text here.",
+        ]
+        assert r["line_filter_dropped"]  # 2/6 < 50%
+
+    def test_first_matching_rule_attribution(self, spark):
+        from sparkplug_spark.operators import filter_lines_quality
+
+        # a short ALL-CAPS line counts as short (rule 1), never upper
+        df = spark.createDataFrame([(1, "HI\nthis line is long enough ok")],
+                                   "doc_id long, text string")
+        r = filter_lines_quality(df).collect()[0]
+        assert r["n_short"] == 1 and r["n_upper"] == 0
+
+    def test_clean_doc_untouched(self, spark):
+        from sparkplug_spark.operators import filter_lines_quality
+
+        text = "first decent line of text\nsecond decent line of text"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = filter_lines_quality(df).collect()[0]
+        assert r["text_clean"] == text
+        assert not r["line_filter_dropped"]
+
+    def test_null_and_validation(self, spark):
+        from sparkplug_spark.operators import filter_lines_quality
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        r = filter_lines_quality(df).collect()[0]
+        assert r["n_lines"] == 1 and r["n_kept"] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_upper_pct"):
+            filter_lines_quality(df, max_upper_pct=150)
