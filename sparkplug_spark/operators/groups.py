@@ -24,6 +24,7 @@ __all__ = [
     "connected_components_star",
     "dedup_keep_best",
     "update_components",
+    "duplication_weights",
 ]
 
 
@@ -298,3 +299,47 @@ def update_components(
     )
     untouched = labels.join(touched_groups, "group_id", "anti")
     return untouched.select("id", "group_id").unionByName(updated_full)
+
+
+def duplication_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplication-aware training weights — the SOFT alternative to
+    deleting near-duplicates: every document gets weight
+    ``1e6 div |its near-dup cluster|`` (exact integer ppm), so a
+    family of N copies contributes ~one document's worth of gradient
+    in aggregate while keeping every variant's tokens available
+    (the down-weighting recipe studied for repeated data, e.g.
+    Muennighoff et al. 2023's repeat-epoch scaling).
+
+    ``pairs`` is any near-dup pair list (:func:`~.dedup.
+    jaccard_prefix_pairs` for the exact tier, MinHash/SimHash for
+    scale); documents absent from it are singletons at full weight.
+
+    Returns (id_col, group_id, group_size, weight_ppm).
+
+    Scale shape: connected components over the pair list
+    (:func:`near_dup_groups` — diameter-bounded label propagation on
+    id-only rows) + one size aggregate + one broadcast-or-shuffle join
+    back onto the corpus ids; corpus text never shuffles."""
+    groups = near_dup_groups(pairs, id_a=id_a, id_b=id_b)
+    base = df.select(F.col(id_col)).dropDuplicates([id_col])
+    labeled = base.join(
+        groups.withColumnRenamed("id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("group_id", F.col(id_col)).alias("group_id"),
+    )
+    sizes = labeled.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return labeled.join(sizes, "group_id").select(
+        id_col,
+        "group_id",
+        "group_size",
+        F.expr("1000000L div group_size").alias("weight_ppm"),
+    )
