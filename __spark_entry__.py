@@ -3102,6 +3102,15 @@ def q_duplication_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplication_weights(docs, pairs)
 
 
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy spectrum (E211): full covariance eigenvalues
+    from one quantized distributed moment pass, as exact integers."""
+    from sparkplug_spark.operators import embedding_isotropy
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_isotropy(emb)
+
+
 def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded discrete-Laplace DP count release (E207): md5-coin noise
     through an integer inverse-CDF table — reproducible (no fresh budget
@@ -3697,6 +3706,59 @@ def _dp_release_oracle_sql() -> str:
                   - 1 - {z_max})::BIGINT AS released_count
         FROM z
     """
+
+
+_ISO_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _isotropy_oracle_sql() -> str:
+    """Value-hash oracle for ``embedding_isotropy`` (the pca-oracle
+    pattern): recompute the raw moments with DuckDB's own scan, derive
+    the IDENTICAL eigenvalue spectrum through the shared 9-sig-digit
+    quantized ``pca_basis_from_moments``, re-apply the operator's
+    integer quantization in plain Python, and emit the spectrum as a
+    VALUES table.  A distributed-moment bug on the Spark side (partial
+    combination, cast, ordering) lands on different eigenvalues and
+    breaks the hash."""
+    import duckdb as _duckdb
+
+    import numpy as _np
+
+    from sparkplug_spark.operators import pca_basis_from_moments
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cached = _ISO_ORACLE_CACHE.get(sf)
+    if cached is not None:
+        return cached
+    rows = _duckdb.sql(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet'"
+    ).fetchall()
+    m = _np.array([r[0] for r in rows], dtype=_np.float64)
+    d = m.shape[1]
+    _mean, _w, evals = pca_basis_from_moments(
+        m.shape[0], m.sum(0), m.T @ m, d, quantize_sig=9
+    )
+    micros = [
+        max(int(_np.floor(float(v) * 1e6 + 0.5)), 0) for v in evals
+    ]
+    total = max(sum(micros), 1)
+    vals, cum = [], 0
+    for k, mu in enumerate(micros):
+        cum += mu
+        vals.append(
+            f"({k}, {mu}, {mu * 1_000_000 // total},"
+            f" {cum * 1_000_000 // total})"
+        )
+    sql = f"""
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(eigen_micro AS BIGINT) AS eigen_micro,
+               CAST(explained_ppm AS BIGINT) AS explained_ppm,
+               CAST(cum_ppm AS BIGINT) AS cum_ppm
+        FROM (VALUES {", ".join(vals)})
+          t(component, eigen_micro, explained_ppm, cum_ppm)
+    """
+    _ISO_ORACLE_CACHE[sf] = sql
+    return sql
 
 
 _PCA_ORACLE_CACHE: dict[str, str] = {}
@@ -10200,6 +10262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_lines": q_filter_lines,
         "ngram_diversity": q_ngram_diversity,
         "duplication_weights": q_duplication_weights,
+        "embedding_isotropy": q_embedding_isotropy,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -10254,6 +10317,8 @@ def oracle_sql() -> dict[str, str]:
     # basis derived at oracle-build time from an independent moment pass
     # through the shared quantized fit (see _pca_oracle_sql)
     out["pca_embeddings"] = _pca_oracle_sql()
+    # same moment discipline for the isotropy spectrum
+    out["embedding_isotropy"] = _isotropy_oracle_sql()
     return out
 
 

@@ -10,13 +10,19 @@ on (max reconstruction error, saturation count), engine-exact.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import int8_quant_pd
 from ..partitioning import spread
 
-__all__ = ["quantize_embeddings", "dim_truncation_audit"]
+__all__ = [
+    "quantize_embeddings",
+    "dim_truncation_audit",
+    "embedding_isotropy",
+]
 
 
 def quantize_embeddings(
@@ -170,3 +176,54 @@ def dim_truncation_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def embedding_isotropy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantize_sig: int = 9,
+) -> DataFrame:
+    """Embedding-matrix health report: the FULL covariance eigenvalue
+    spectrum as exact integers — the isotropy/effective-rank audit run
+    before an embedding store is trusted for retrieval (anisotropic
+    spaces concentrate mass in a few directions and cosine separability
+    collapses; Ethayarajh 2019, Mu & Viswanath 2018).
+
+    One distributed moment pass (the :func:`~.similarity.pca_fit`
+    machinery: per-partition Arrow partials of ``(n, Σx, Σxxᵀ)``), 9-
+    significant-digit moment quantization so the driver ``eigh`` is
+    engine-identical, then per component k (descending):
+    ``eigen_micro`` (λ floored to micro units, clamped at 0 — eigh can
+    return -1e-17 noise on a PSD matrix), ``explained_ppm`` and
+    ``cum_ppm`` — both INTEGER floor divisions over the integer
+    spectrum, so the whole report value-hashes.  Low tail eigenvalues ⇒
+    wasted dimensions (truncation candidates — see
+    :func:`dim_truncation_audit`); a dominant first component ⇒ a
+    common-direction offset worth removing.
+
+    Returns (component, eigen_micro, explained_ppm, cum_ppm), d rows.
+
+    Scale shape: the data pass is one mapInPandas over the corpus with
+    d²-sized partials; driver work is one d×d eigh — d is the embedding
+    width, never the corpus."""
+    from .similarity import pca_fit
+
+    d = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if not d:
+        raise ValueError("embedding_isotropy: empty vectors")
+    _mean, _comps, evals = pca_fit(
+        df, vec_col, k=int(d), quantize_sig=quantize_sig
+    )
+    micros = [max(int(np.floor(float(v) * 1e6 + 0.5)), 0) for v in evals]
+    total = max(sum(micros), 1)
+    rows = []
+    cum = 0
+    for k, m in enumerate(micros):
+        cum += m
+        rows.append(
+            (k, m, m * 1_000_000 // total, cum * 1_000_000 // total)
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "component long, eigen_micro long, explained_ppm long, cum_ppm long",
+    )

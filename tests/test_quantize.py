@@ -222,3 +222,48 @@ class TestClusterProfileFrozen:
             for r in cluster_profile_frozen(df, centers).collect()
         }
         assert got == {10: 2, 11: 0}
+
+
+class TestEmbeddingIsotropy:
+    """E211: spectrum sums to ~1e6 ppm, detects anisotropy, invariance."""
+
+    def test_isotropic_vs_anisotropic(self, spark):
+        rng = np.random.default_rng(4)
+        iso = rng.normal(size=(400, 8)).astype(np.float32)
+        aniso = iso.copy()
+        aniso[:, 0] *= 10.0  # one dominant direction
+        from sparkplug_spark.operators import embedding_isotropy
+
+        def spec(v):
+            df = spark.createDataFrame(
+                [(i, row.tolist()) for i, row in enumerate(v)],
+                "vec_id long, embedding array<float>",
+            )
+            return [
+                r["explained_ppm"]
+                for r in embedding_isotropy(df).orderBy("component").collect()
+            ]
+
+        s_iso, s_aniso = spec(iso), spec(aniso)
+        assert len(s_iso) == 8
+        # isotropic: no component dominates; anisotropic: first does
+        assert max(s_iso) < 250_000
+        assert s_aniso[0] > 900_000
+        # explained shares sum to ~1e6 (integer floor losses only)
+        assert 999_900 <= sum(s_iso) <= 1_000_000
+
+    def test_descending_and_cumulative(self, spark):
+        rng = np.random.default_rng(9)
+        v = rng.normal(size=(100, 6)).astype(np.float32)
+        from sparkplug_spark.operators import embedding_isotropy
+
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(v)],
+            "vec_id long, embedding array<float>",
+        )
+        rows = embedding_isotropy(df).orderBy("component").collect()
+        eig = [r["eigen_micro"] for r in rows]
+        assert eig == sorted(eig, reverse=True)
+        assert rows[-1]["cum_ppm"] == 1_000_000 or rows[-1]["cum_ppm"] >= 999_999
+        cums = [r["cum_ppm"] for r in rows]
+        assert cums == sorted(cums)
