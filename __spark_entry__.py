@@ -3102,6 +3102,34 @@ def q_duplication_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplication_weights(docs, pairs)
 
 
+def q_streaming_lid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming language routing (E212), ORACLE-checked via replay: the
+    model trains once on the static table, 3 micro-batches stream
+    through the stateless Arrow apply, and the appended union must
+    equal the relational batch tier bit-for-bit (same integer scores),
+    so it rides the language_id_trained oracle."""
+    from sparkplug_spark.operators import train_language_id
+    from sparkplug_spark.streaming import streaming_language_route
+    from sparkplug_spark.streaming.replay import replay_file_stream
+
+    docs = _read(spark, sf_dir, "documents")
+    cache = _table_cache(spark)
+    key = (sf_dir, "lid:model")
+    model = cache.get(key)
+    if model is None:
+        model = train_language_id(docs)
+        cache[key] = model
+    routed = replay_file_stream(
+        spark,
+        _doc_batches(spark, sf_dir),
+        lambda s: streaming_language_route(s, model),
+        mode="append",
+    )
+    return routed.select(
+        "doc_id", "lang_pred", "score_micros", "margin_micros"
+    )
+
+
 def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding isotropy spectrum (E211): full covariance eigenvalues
     from one quantized distributed moment pass, as exact integers."""
@@ -10263,6 +10291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_diversity": q_ngram_diversity,
         "duplication_weights": q_duplication_weights,
         "embedding_isotropy": q_embedding_isotropy,
+        "streaming_lid_replay": q_streaming_lid_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -10319,6 +10348,10 @@ def oracle_sql() -> dict[str, str]:
     out["pca_embeddings"] = _pca_oracle_sql()
     # same moment discipline for the isotropy spectrum
     out["embedding_isotropy"] = _isotropy_oracle_sql()
+    # the streaming route is a stateless Arrow apply of the SAME model
+    # the relational tier trains (integer equality pinned by pytest), so
+    # its replayed union rides the language_id_trained oracle
+    out["streaming_lid_replay"] = out["language_id_trained"]
     return out
 
 

@@ -31,6 +31,8 @@ __all__ = [
     "vocab_coverage",
     "language_id",
     "language_id_trained",
+    "train_language_id",
+    "apply_language_id",
     "text_fingerprints",
     "top_tokens",
     "distinctive_tokens",
@@ -1279,4 +1281,165 @@ def ngram_diversity(
                 "__d.n_distinct * 1000000L div greatest(__d.n_grams, 1L)"
             ).alias("distinct_ppm"),
         )
+    )
+
+
+def train_language_id(
+    train_df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    gram_sizes: tuple[int, ...] = (2, 3),
+) -> dict:
+    """Train the :func:`language_id_trained` model and RETURN it as a
+    plain dict — the serving artifact for the closure-apply tiers
+    (:func:`apply_language_id`, streaming routing), where a stateless
+    Arrow pass beats re-running the relational join per micro-batch.
+
+    The weights come from the SAME relational aggregations as
+    :func:`language_id_trained` (collected afterwards), so the two
+    paths score every document with IDENTICAL integers — pinned by
+    test.  Model size is |vocab|·|langs| integers — alphabet-bounded
+    megabytes, safe to broadcast/pickle.
+
+    Returns {"langs": [...], "weights": {gram: [w_micros per lang]},
+    "priors": [p_micros per lang], "gram_sizes": (...)}."""
+    from ..functions.text import char_multi_ngrams_pd
+
+    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    sizes = tuple(int(n) for n in gram_sizes)
+    train = (
+        spread(train_df)
+        .where(F.col(label_col).isNotNull())
+        .select(
+            F.col(label_col).alias("__l"),
+            F.explode(
+                char_multi_ngrams_pd(F.col(text_col), sizes)
+            ).alias("__g"),
+        )
+        .persist()
+    )
+    counts = train.groupBy("__g", "__l").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    totals = counts.groupBy("__l").agg(F.sum("__c").alias("__t"))
+    v = counts.agg(F.countDistinct("__g").cast("long").alias("__v"))
+    vocab = counts.select("__g").distinct()
+    langs_rows = totals.select("__l").collect()
+    langs = sorted(r["__l"] for r in langs_rows)
+    weights_df = (
+        vocab.crossJoin(F.broadcast(totals.select("__l")))
+        .join(counts, ["__g", "__l"], "left")
+        .join(F.broadcast(totals), "__l")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__g",
+            "__l",
+            micros(
+                F.log(F.coalesce(F.col("__c"), F.lit(0)) + 1)
+                - F.log(F.col("__t") + F.col("__v"))
+            ).alias("__w"),
+        )
+    )
+    idx = {l: i for i, l in enumerate(langs)}
+    weights: dict = {}
+    for r in weights_df.collect():
+        weights.setdefault(r["__g"], [0] * len(langs))[idx[r["__l"]]] = r[
+            "__w"
+        ]
+    priors_df = (
+        train_df.where(F.col(label_col).isNotNull())
+        .groupBy(F.col(label_col).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .select("__l", micros(F.log(F.col("__d") + 1)).alias("__p"))
+    )
+    priors = [0] * len(langs)
+    for r in priors_df.collect():
+        priors[idx[r["__l"]]] = r["__p"]
+    train.unpersist()
+    return {
+        "langs": langs,
+        "weights": weights,
+        "priors": priors,
+        "gram_sizes": sizes,
+    }
+
+
+def apply_language_id(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a :func:`train_language_id` model in ONE
+    stateless Arrow pass — the serving tier: the weight dict rides the
+    closure (broadcast once per executor), no joins, no aggregations,
+    so it runs unchanged on a STREAMING DataFrame (see
+    ``streaming.streaming_language_route``).  Scores are the same exact
+    integer sums as the relational :func:`language_id_trained` path
+    (pinned by test).  Documents with no in-vocabulary grams are
+    dropped, matching the relational tier.
+
+    Returns (id_col, lang_pred, score_micros, margin_micros)."""
+    from pyspark.sql import types as T
+
+    langs = list(model["langs"])
+    weights = model["weights"]
+    priors = list(model["priors"])
+    sizes = tuple(model["gram_sizes"])
+    id_type = df.schema[id_col].dataType
+    out_t = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("lang_pred", T.StringType()),
+            T.StructField("score_micros", T.LongType()),
+            T.StructField("margin_micros", T.LongType()),
+        ]
+    )
+
+    def _score(batches):
+        import numpy as np
+
+        n_l = len(langs)
+        pr = np.array(priors, dtype=np.int64)
+        for pdf in batches:
+            ids, preds, scores, margins = [], [], [], []
+            for rid, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                t = text if text is not None else ""
+                acc = np.zeros(n_l, dtype=np.int64)
+                hit = False
+                for n in sizes:
+                    for i in range(len(t) - n + 1):
+                        w = weights.get(t[i : i + n])
+                        if w is not None:
+                            acc += w
+                            hit = True
+                if not hit:
+                    continue
+                acc = acc + pr
+                # argmax with ties to the alphabetically first language:
+                # langs is sorted, so the FIRST max index wins
+                best = int(np.argmax(acc))
+                top = int(acc[best])
+                acc[best] = np.iinfo(np.int64).min
+                second = int(acc.max()) if n_l > 1 else top
+                ids.append(rid)
+                preds.append(langs[best])
+                scores.append(top)
+                margins.append(top - second if n_l > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "lang_pred": preds,
+                    "score_micros": pd.array(scores, dtype="Int64"),
+                    "margin_micros": pd.array(margins, dtype="Int64"),
+                }
+            )
+
+    return (
+        spread(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(_score, out_t)
+        .withColumnRenamed("id", id_col)
     )

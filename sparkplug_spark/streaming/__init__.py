@@ -39,6 +39,7 @@ __all__ = [
     "streaming_rollup_store",
     "streaming_kmv_sketches",
     "streaming_semantic_flags",
+    "streaming_language_route",
 ]
 
 
@@ -764,3 +765,30 @@ def _merge_kmv_batch(
         "__last_batch", F.lit(int(batch_id)).cast("long")
     )
     _swap_publish(out, spark, store_path)
+
+
+def streaming_language_route(
+    stream_df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_margin_micros: int = 100_000,
+):
+    """Route a document STREAM by language with a trained LID model
+    (``operators.train_language_id``) — the ingest-time gate of a
+    multilingual pipeline: per document, the exact-integer NB scores
+    land as (lang_pred, score_micros, margin_micros, review_lane),
+    where ``review_lane`` marks low-margin calls for human/secondary
+    routing instead of a hard mis-route.
+
+    The apply is ONE stateless Arrow projection (the model dict rides
+    the closure; no joins, no aggregation, no state store, no
+    watermark), so it composes with any downstream sink/trigger and its
+    replayed output equals the batch tier bit-for-bit."""
+    from ..operators import apply_language_id
+
+    scored = apply_language_id(stream_df, model, text_col, id_col)
+    return scored.withColumn(
+        "review_lane",
+        F.col("margin_micros") < F.lit(int(min_margin_micros)),
+    )

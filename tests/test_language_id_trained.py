@@ -114,3 +114,53 @@ class TestLanguageIdTrained:
         # doc 1 has a single char: it still yields no 3-gram but one
         # 2-gram would need len >= 2 -> dropped entirely
         assert got == {2, 3}
+
+
+class TestLanguageIdServingTiers:
+    """E212: closure-apply and streaming route equal the relational tier
+    bit-for-bit (same trained integers)."""
+
+    def test_apply_equals_relational_exact(self, spark):
+        from sparkplug_spark.operators import (
+            apply_language_id,
+            train_language_id,
+        )
+
+        df = _corpus(spark, sorted(_WORDS), 8)
+        model = train_language_id(df)
+        a = sorted(map(tuple, apply_language_id(df, model).collect()))
+        b = sorted(map(tuple, language_id_trained(df).collect()))
+        assert a == b
+
+    def test_model_is_plain_picklable_dict(self, spark):
+        import pickle
+
+        from sparkplug_spark.operators import train_language_id
+
+        model = train_language_id(_corpus(spark, ["en", "de"], 6))
+        again = pickle.loads(pickle.dumps(model))
+        assert again["langs"] == ["de", "en"]
+        assert len(again["priors"]) == 2
+        assert all(len(v) == 2 for v in again["weights"].values())
+
+    def test_no_gram_docs_dropped_and_review_lane(self, spark):
+        from sparkplug_spark.operators import (
+            apply_language_id,
+            train_language_id,
+        )
+        from sparkplug_spark.streaming import streaming_language_route
+
+        train = _corpus(spark, ["en", "de"], 6)
+        model = train_language_id(train)
+        apply_df = train.unionByName(
+            spark.createDataFrame(
+                [(999, "", "en")], "doc_id long, text string, lang string"
+            )
+        )
+        out = apply_language_id(apply_df, model)
+        assert 999 not in {r["doc_id"] for r in out.collect()}
+        routed = streaming_language_route(
+            apply_df, model, min_margin_micros=10**12
+        )
+        rows = routed.collect()
+        assert all(r["review_lane"] for r in rows)  # absurd threshold
