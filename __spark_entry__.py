@@ -4300,6 +4300,34 @@ def _extension_oracles() -> dict[str, str]:
         JOIN nf na ON na.doc_id = agg.va
         JOIN nf nb ON nb.doc_id = agg.vb2
     """
+    # incremental dhash dedup (E213): day-2 rows flag their best
+    # hamming<=3 match among ALL smaller ids (store = <100, plus
+    # earlier-in-batch), ties to the smallest id
+    dhash_incr_sql = dhash_hash_cte + """
+        , m AS (
+          SELECT a.doc_id AS did, b.doc_id AS mid,
+                 bit_count(xor(a.dhash_hi, b.dhash_hi))
+                 + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS ham
+          FROM h a JOIN h b ON b.doc_id < a.doc_id
+          WHERE a.doc_id >= 100
+            AND bit_count(xor(a.dhash_hi, b.dhash_hi))
+                + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+        ),
+        best AS (
+          SELECT did, mid, ham FROM (
+            SELECT did, mid, ham,
+                   row_number() OVER (PARTITION BY did
+                                      ORDER BY ham, mid) AS rn
+            FROM m
+          ) WHERE rn = 1
+        )
+        SELECT n.doc_id, n.dhash_hi, n.dhash_lo,
+               best.mid IS NOT NULL AS is_dup,
+               best.mid AS best_match_id,
+               CAST(best.ham AS BIGINT) AS best_hamming
+        FROM (SELECT * FROM h WHERE doc_id >= 100) n
+        LEFT JOIN best ON best.did = n.doc_id
+    """
     dhash_pairs_sql = dhash_hash_cte + """
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
@@ -5945,6 +5973,7 @@ def _extension_oracles() -> dict[str, str]:
         "image_dhash_pairs": dhash_pairs_sql,
         "video_dhash": video_dhash_sql,
         "video_pairs": video_pairs_sql,
+        "dhash_incremental": dhash_incr_sql,
         "audio_fp": audio_fp_sql,
         "audio_fp_pairs": audio_fp_pairs_sql,
         "bloom_join": bloom_join_sql,
@@ -9653,6 +9682,30 @@ def q_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual-hash dedup (E213): day-1 hashes bootstrap
+    a manifest store, day-2 flags against store + earlier-in-batch
+    (lowest hamming, then id); the oracle brute-forces best-match-
+    among-smaller-ids over the arithmetic fixture hashes."""
+    import tempfile
+
+    from sparkplug_spark.operators import dhash_dedup_against, image_dhash
+
+    imgs = _dhash_test_images(spark, sf_dir)
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="sparkplug_dhash_"), "hashes"
+    )
+    dhash_dedup_against(
+        image_dhash(imgs.filter(F.col("doc_id") < 100)), spark, store
+    ).count()  # bootstrap day 1 (materializes the store)
+    return dhash_dedup_against(
+        image_dhash(imgs.filter(F.col("doc_id") >= 100)),
+        spark,
+        store,
+        update=False,
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable distinct sketch (E180): bottom-256 md5-60
     hashes of each source's 3-shingle set; distinct estimate from the
@@ -10292,6 +10345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplication_weights": q_duplication_weights,
         "embedding_isotropy": q_embedding_isotropy,
         "streaming_lid_replay": q_streaming_lid_replay,
+        "dhash_incremental": q_dhash_incremental,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -34,7 +34,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -52,6 +52,8 @@ __all__ = [
     "video_dhash",
     "video_near_dup_pairs",
     "audio_fingerprint",
+    "dhash_join",
+    "dhash_dedup_against",
 ]
 
 #: Typed metadata struct carried beside the binary payload.
@@ -1198,6 +1200,169 @@ def dhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dhash_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """CROSS-TABLE near-dup pairs by dHash hamming ≤ ``max_hamming`` —
+    the two-corpus sibling of :func:`dhash_pairs` (same Manku 4×16-bit
+    chunk equi-join, complete through hamming 3 by pigeonhole), for
+    batch-vs-store incremental dedup and cross-source duplication
+    audits.  Returns (``{id}_left``, ``{id}_right``, hamming BIGINT) —
+    every qualifying (left, right) pair once, NO id ordering (the
+    sides are different tables).
+
+    Scale shape: 4 chunk rows × ~28 B per hash on each side; only
+    same-chunk candidates shuffle, the verify is two integer xors."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            "max_hamming must be in [0, 3] — the 4x16-bit chunk join only "
+            "guarantees completeness through hamming 3 (pigeonhole)"
+        )
+
+    def _chunked(df):
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(hi_col).alias("__hi"),
+            F.col(lo_col).alias("__lo"),
+        ).filter(F.col("__hi").isNotNull() & F.col("__lo").isNotNull())
+        return base.select(
+            "__id",
+            "__hi",
+            "__lo",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftrightunsigned(
+                                F.col(c), 16 * (1 - (i % 2))
+                            ).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        )
+                        for i, c in enumerate(
+                            ["__hi", "__hi", "__lo", "__lo"]
+                        )
+                    ]
+                )
+            ).alias("__b"),
+        ).select("__id", "__hi", "__lo", "__b.band", "__b.chunk")
+
+    a, b = _chunked(left).alias("a"), _chunked(right).alias("b")
+    ham = (
+        F.bit_count(F.col("a.__hi").bitwiseXOR(F.col("b.__hi")))
+        + F.bit_count(F.col("a.__lo").bitwiseXOR(F.col("b.__lo")))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk")),
+        )
+        .select(
+            F.col("a.__id").alias(f"{id_col}_left"),
+            F.col("b.__id").alias(f"{id_col}_right"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def dhash_dedup_against(
+    new_hashes: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    update: bool = True,
+) -> DataFrame:
+    """INCREMENTAL perceptual-hash dedup: flag a new batch of image (or
+    video-frame / audio) hashes against the STORED corpus hash table,
+    then fold the batch into the store — the multimodal sibling of
+    ``dedup.dedup_exact_against``: day-N ingest only ever joins 16-byte
+    hashes against the store, never re-hashes or reshuffles the corpus
+    media.
+
+    Matches within the batch itself also flag (earliest id wins,
+    mirroring keep-first semantics).  Returns per new row: (id_col,
+    dhash_hi, dhash_lo, is_dup, best_match_id, best_hamming) where
+    ``best_match_id`` is the lowest-(hamming, id) stored-or-earlier
+    match; with ``update=True`` the batch rows (dups included — the
+    store mirrors the corpus) are appended to the store via the atomic
+    :func:`~..sources.manifest_publish`.
+
+    First call bootstraps the store.  Store size: 20 B/item forever."""
+    from ..sources import manifest_resolve, manifest_publish, read_store
+
+    new_hashes = new_hashes.select(
+        F.col(id_col), F.col("dhash_hi"), F.col("dhash_lo")
+    )
+    exists = manifest_resolve(spark, store_path) is not None
+    candidates = []
+    if exists:
+        stored = read_store(spark, store_path)
+        candidates.append(
+            dhash_join(
+                new_hashes, stored, id_col, max_hamming=max_hamming
+            )
+        )
+    within = (
+        dhash_pairs(new_hashes, id_col, max_hamming=max_hamming)
+        .select(
+            F.col(f"{id_col}_b").alias(f"{id_col}_left"),
+            F.col(f"{id_col}_a").alias(f"{id_col}_right"),
+            "hamming",
+        )
+    )  # earlier (smaller) id is the keeper: later id flags as dup
+    candidates.append(within)
+    pairs = candidates[0]
+    for c in candidates[1:]:
+        pairs = pairs.unionByName(c)
+    win = Window.partitionBy(f"{id_col}_left").orderBy(
+        F.asc("hamming"), F.asc(f"{id_col}_right")
+    )
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(f"{id_col}_left").alias(id_col),
+            F.col(f"{id_col}_right").alias("best_match_id"),
+            F.col("hamming").alias("best_hamming"),
+        )
+    )
+    out = (
+        new_hashes.join(best, id_col, "left")
+        .withColumn("is_dup", F.col("best_match_id").isNotNull())
+        .select(
+            id_col,
+            "dhash_hi",
+            "dhash_lo",
+            "is_dup",
+            "best_match_id",
+            "best_hamming",
+        )
+    )
+    if update:
+        from ..caching import materialize_release
+
+        out = materialize_release(out)
+        merged = (
+            read_store(spark, store_path).unionByName(new_hashes)
+            if exists
+            else new_hashes
+        )
+        manifest_publish(
+            spark,
+            store_path,
+            lambda p: merged.write.mode("overwrite").parquet(p),
+        )
+    return out
 
 
 def video_dhash(

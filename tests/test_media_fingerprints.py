@@ -195,3 +195,61 @@ class TestAudioFingerprint:
             for r in audio_fingerprint(df).collect()
         }
         assert got[1] == got[2]
+
+
+class TestDhashIncremental:
+    """E213: batch-vs-store perceptual-hash dedup with atomic store."""
+
+    def test_two_day_flow_and_twin(self, spark, tmp_path):
+        from sparkplug_spark.operators import dhash_dedup_against
+        from sparkplug_spark.sources import read_store
+
+        store = str(tmp_path / "hashes")
+        day1 = spark.createDataFrame(
+            [(1, 10, 20), (2, 10, 21), (3, 9999, 12345)],
+            "doc_id long, dhash_hi long, dhash_lo long",
+        )
+        r1 = {
+            r["doc_id"]: (r["is_dup"], r["best_match_id"], r["best_hamming"])
+            for r in dhash_dedup_against(day1, spark, store).collect()
+        }
+        # 20 vs 21 differ by 1 bit: the later id flags against the earlier
+        assert r1[1] == (False, None, None)
+        assert r1[2] == (True, 1, 1)
+        assert r1[3] == (False, None, None)
+        assert read_store(spark, store).count() == 3
+
+        day2 = spark.createDataFrame(
+            [(10, 10, 20),      # exact dup of stored 1
+             (11, 9999, 12347), # hamming 1 from stored 3
+             (12, 555, 666),    # novel
+             (13, 555, 667)],   # within-batch dup of 12
+            "doc_id long, dhash_hi long, dhash_lo long",
+        )
+        r2 = {
+            r["doc_id"]: (r["is_dup"], r["best_match_id"], r["best_hamming"])
+            for r in dhash_dedup_against(day2, spark, store).collect()
+        }
+        assert r2[10] == (True, 1, 0)
+        assert r2[11][0] and r2[11][1] == 3
+        assert r2[12] == (False, None, None)
+        assert r2[13] == (True, 12, 1)
+        assert read_store(spark, store).count() == 7
+
+    def test_cross_table_join_complete_to_hamming3(self, spark):
+        from sparkplug_spark.operators import dhash_join
+
+        left = spark.createDataFrame(
+            [(1, 0b1011, 0)], "doc_id long, dhash_hi long, dhash_lo long"
+        )
+        right = spark.createDataFrame(
+            [(2, 0b1000, 0),   # hamming 2
+             (3, 0b1011, 1),   # hamming 1
+             (4, 0xF0F0, 0xFF)],  # far away
+            "doc_id long, dhash_hi long, dhash_lo long",
+        )
+        got = {
+            (r["doc_id_left"], r["doc_id_right"]): r["hamming"]
+            for r in dhash_join(left, right).collect()
+        }
+        assert got == {(1, 2): 2, (1, 3): 1}
