@@ -3130,6 +3130,23 @@ def q_streaming_lid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI (E214): md5-coin weights via
+    an integer inverse-CDF, exact replicate sums, rank-picked percentile
+    bounds — the same release on any engine/partitioning."""
+    from sparkplug_spark.operators import bootstrap_ci
+
+    orders = _read(spark, sf_dir, "orders")
+    return bootstrap_ci(
+        orders,
+        "o_totalprice",
+        by=["o_orderpriority"],
+        id_col="o_orderkey",
+        n_boot=100,
+        seed=42,
+    )
+
+
 def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding isotropy spectrum (E211): full covariance eigenvalues
     from one quantized distributed moment pass, as exact integers."""
@@ -3733,6 +3750,63 @@ def _dp_release_oracle_sql() -> str:
                       list_transform({cuts}, c -> u < c), true)
                   - 1 - {z_max})::BIGINT AS released_count
         FROM z
+    """
+
+
+def _bootstrap_oracle_sql() -> str:
+    """Value-hash oracle for ``bootstrap_ci``: shared Poisson(1) integer
+    cutoffs, identical md5 weight coins per (group, id, replicate),
+    exact BIGINT replicate sums, one IEEE division per replicate mean,
+    rank-picked percentile bounds (alpha=0.025, B=100 → ranks 3 and
+    98), floor-quantized output."""
+    from sparkplug_spark.operators import poisson_cutoffs
+
+    cuts = "[" + ", ".join(str(c) for c in poisson_cutoffs(1.0)) + "]"
+    n_boot, r_lo, r_hi = 100, int(0.025 * 100) + 1, 100 - int(0.025 * 100)
+    wexpr = f"(list_position(list_transform({cuts}, c -> u < c), true) - 1)"
+    return f"""
+        WITH base AS (
+          SELECT o_orderpriority AS g, o_orderkey AS id,
+                 CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS v
+          FROM orders
+        ),
+        reps AS (
+          SELECT g, id, v, b.b AS b,
+                 ('0x' || substr(md5('42' || chr(31)
+                     || coalesce(g, chr(0) || 'null') || chr(31)
+                     || id::VARCHAR || chr(31) || b.b::VARCHAR),
+                   1, 15))::BIGINT AS u
+          FROM base, range(0, {n_boot}) b(b)
+        ),
+        agg AS (
+          SELECT g, b,
+                 SUM({wexpr} * v)::BIGINT AS s,
+                 SUM({wexpr})::BIGINT AS n
+          FROM reps GROUP BY g, b
+        ),
+        m AS (
+          SELECT g, b, s::DOUBLE / greatest(n, 1)::DOUBLE AS mu FROM agg
+        ),
+        rk AS (
+          SELECT g, b, mu,
+                 row_number() OVER (PARTITION BY g ORDER BY mu, b) AS r
+          FROM m
+        ),
+        pick AS (
+          SELECT g, MIN(CASE WHEN r = {r_lo} THEN mu END) AS lo,
+                 MIN(CASE WHEN r = {r_hi} THEN mu END) AS hi
+          FROM rk WHERE r IN ({r_lo}, {r_hi}) GROUP BY g
+        ),
+        pt AS (
+          SELECT g, SUM(v)::DOUBLE / greatest(COUNT(*), 1)::DOUBLE AS pm
+          FROM base GROUP BY g
+        )
+        SELECT pt.g AS o_orderpriority,
+               CAST(floor(pt.pm) AS BIGINT) AS mean_micros,
+               CAST(floor(pick.lo) AS BIGINT) AS ci_lo_micros,
+               CAST(floor(pick.hi) AS BIGINT) AS ci_hi_micros,
+               CAST({n_boot} AS BIGINT) AS n_boot
+        FROM pt JOIN pick ON pick.g = pt.g
     """
 
 
@@ -10346,6 +10420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_isotropy": q_embedding_isotropy,
         "streaming_lid_replay": q_streaming_lid_replay,
         "dhash_incremental": q_dhash_incremental,
+        "bootstrap_ci": q_bootstrap_ci,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -10384,6 +10459,8 @@ def oracle_sql() -> dict[str, str]:
     # SHARED driver-side table (the mechanism's literals), so the oracle
     # replays the identical md5-coin noise with zero libm at query time
     out["dp_release"] = _dp_release_oracle_sql()
+    # Poisson-bootstrap CI (E214): same shared-cutoff discipline
+    out["bootstrap_ci"] = _bootstrap_oracle_sql()
     # the KMV store folds by bottom-k of a distinct union (commutative,
     # associative, idempotent), so its replay must reproduce the one-shot
     # batch sketch report exactly

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test_report"]
+__all__ = ["ab_test_report", "bootstrap_ci", "poisson_cutoffs"]
 
 
 def ab_test_report(
@@ -83,4 +83,146 @@ def ab_test_report(
         (F.col("mean_micros") - ctrl_mean)
         .cast("long")
         .alias("diff_vs_control_micros"),
+    )
+
+
+def poisson_cutoffs(lam: float = 1.0, k_max: int = 12) -> list[int]:
+    """Integer inverse-CDF table for Poisson(``lam``), 2^60-scaled — the
+    md5-coin weight generator of :func:`bootstrap_ci` (Poisson
+    bootstrap: Chamandy et al. 2012).  ``k_max=12`` leaves < 1e-12 tail
+    mass at λ=1 (folded into the last bucket).  Computed once
+    driver-side; the literals ARE the mechanism, so both engines draw
+    identical weights with zero libm at query time (the
+    ``privacy.discrete_laplace_cutoffs`` discipline)."""
+    import math
+
+    if lam <= 0:
+        raise ValueError("lam must be positive")
+    if k_max < 1:
+        raise ValueError("k_max must be >= 1")
+    pmf = [math.exp(-lam)]
+    for k in range(1, k_max + 1):
+        pmf.append(pmf[-1] * lam / k)
+    cum = 0.0
+    cutoffs = []
+    for p in pmf:
+        cum += p
+        cutoffs.append(min(int(math.floor(cum * (1 << 60))), 1 << 60))
+    cutoffs[-1] = 1 << 60
+    return cutoffs
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    metric_col: str,
+    by: "tuple[str, ...] | list[str]" = (),
+    id_col: str = "doc_id",
+    n_boot: int = 200,
+    alpha: float = 0.025,
+    seed: int = 42,
+) -> DataFrame:
+    """Nonparametric confidence interval for the per-group MEAN via the
+    Poisson bootstrap — the uncertainty layer :func:`ab_test_report`'s
+    sufficient statistics feed into, computed distributed and
+    DETERMINISTICALLY: each (row, replicate) draws a Poisson(1) weight
+    from ``md5(seed, group, id, replicate)`` through an integer
+    inverse-CDF table, so the same release reproduces on any engine,
+    run, or partitioning (no RNG state, no libm at query time).
+
+    Per group: ``mean_micros`` (full-sample, exact integer sum / count —
+    one IEEE division), ``ci_lo_micros`` / ``ci_hi_micros`` — the
+    floor-quantized replicate means at exact ranks ``floor(α·B)+1`` and
+    ``B − floor(α·B)`` (ties by replicate id), i.e. a (1−2α) percentile
+    interval — and ``n_boot``.
+
+    Scale shape: the replicate explode multiplies ROWS ×B before the
+    partial aggregation, but the SHUFFLE is only (group, replicate)
+    integer partials (map-side combined) — ~B·|groups| keyed rows; CPU
+    scales with B, so bound B or bootstrap a sampled/pre-aggregated
+    table at the 100 TB tier.  Metric values quantize to exact micros
+    up front; replicate sums/counts are exact BIGINTs."""
+    from pyspark.sql import Window
+
+    from ..functions.text import hash60
+    from ..partitioning import spread
+
+    by = list(by)
+    if n_boot < 2:
+        raise ValueError("n_boot must be >= 2")
+    if not (0 < alpha < 0.5):
+        raise ValueError("alpha must be in (0, 0.5)")
+    cutoffs = poisson_cutoffs(1.0)
+    cut_arr = F.array(*[F.lit(int(c)).cast("long") for c in cutoffs])
+    v = F.floor(F.col(metric_col).cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = spread(df).select(
+        *by,
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_boot) - 1))).alias(
+            "__b"
+        ),
+    )
+    key = F.concat_ws(
+        "\x1f",
+        F.lit(str(int(seed))),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in by
+        ],
+        F.col("__id").cast("string"),
+        F.col("__b").cast("string"),
+    )
+    u = hash60(key)
+    w = (
+        F.array_position(
+            F.transform(cut_arr, lambda c: u < c), F.lit(True)
+        ).cast("long")
+        - 1
+    )
+    reps = (
+        base.withColumn("__w", w)
+        .groupBy(*by, "__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__v")).cast("long").alias("__s"),
+            F.sum("__w").cast("long").alias("__n"),
+        )
+        .select(
+            *by,
+            "__b",
+            # an (astronomically rare at B rows/replicate) all-zero-weight
+            # replicate contributes a 0 mean rather than a NULL
+            (
+                F.col("__s").cast("double")
+                / F.greatest(F.col("__n"), F.lit(1)).cast("double")
+            ).alias("__m"),
+        )
+    )
+    win = Window.partitionBy(*by).orderBy(F.asc("__m"), F.asc("__b"))
+    r_lo = int(alpha * n_boot) + 1
+    r_hi = n_boot - int(alpha * n_boot)
+    ranked = reps.withColumn("__rk", F.row_number().over(win))
+    picks = ranked.filter(
+        (F.col("__rk") == r_lo) | (F.col("__rk") == r_hi)
+    ).groupBy(*by).agg(
+        F.min(F.when(F.col("__rk") == r_lo, F.col("__m"))).alias("__lo"),
+        F.min(F.when(F.col("__rk") == r_hi, F.col("__m"))).alias("__hi"),
+    )
+    point = df.groupBy(*[F.col(c) for c in by]).agg(
+        (
+            F.sum(v).cast("double")
+            / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")
+        ).alias("__pm")
+    )
+    join_on = by if by else None
+    out = (
+        point.join(picks, on=join_on) if by else point.crossJoin(picks)
+    )
+    return out.select(
+        *by,
+        F.floor(F.col("__pm")).cast("long").alias("mean_micros"),
+        F.floor(F.col("__lo")).cast("long").alias("ci_lo_micros"),
+        F.floor(F.col("__hi")).cast("long").alias("ci_hi_micros"),
+        F.lit(int(n_boot)).cast("long").alias("n_boot"),
     )

@@ -317,3 +317,64 @@ class TestHistogramStoreReplaySafety:
         out = {r["bin"]: r["n"] for r in read_store(spark, store).collect()}
         # 1.0 -> bin 0, 2.0 -> bin 1; each doubled by the second batch
         assert out == {0: 2, 1: 2}
+
+
+class TestBootstrapCi:
+    """E214 deterministic Poisson bootstrap: cutoff pmf contract,
+    coverage sanity, determinism, validation."""
+
+    def test_poisson_cutoffs_pmf(self):
+        import math
+
+        from sparkplug_spark.operators import poisson_cutoffs
+
+        cuts = poisson_cutoffs(1.0)
+        assert cuts[-1] == 1 << 60 and cuts == sorted(cuts)
+        prev = 0
+        for k, c in enumerate(cuts[:-1]):
+            mass = (c - prev) / (1 << 60)
+            want = math.exp(-1.0) / math.factorial(k)
+            assert abs(mass - want) < 1e-12, k
+            prev = c
+
+    def test_interval_brackets_mean_and_shrinks_with_n(self, spark):
+        from sparkplug_spark.operators import bootstrap_ci
+
+        rows = [(i, "g", float(50 + (i * 37) % 101)) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, v double")
+        r = bootstrap_ci(df, "v", by=["g"], n_boot=100).collect()[0]
+        assert r["ci_lo_micros"] <= r["mean_micros"] <= r["ci_hi_micros"]
+        width_400 = r["ci_hi_micros"] - r["ci_lo_micros"]
+        small = spark.createDataFrame(rows[:40], "doc_id long, g string, v double")
+        r2 = bootstrap_ci(small, "v", by=["g"], n_boot=100).collect()[0]
+        width_40 = r2["ci_hi_micros"] - r2["ci_lo_micros"]
+        assert width_40 > width_400  # ~sqrt(10) wider on 10x less data
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from sparkplug_spark.operators import bootstrap_ci
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", float(i % 7)) for i in range(200)],
+            "doc_id long, g string, v double",
+        )
+        a = sorted(map(tuple, bootstrap_ci(df, "v", by=["g"], n_boot=50).collect()))
+        b = sorted(
+            map(tuple,
+                bootstrap_ci(df.repartition(9), "v", by=["g"], n_boot=50).collect())
+        )
+        assert a == b
+        c = sorted(
+            map(tuple, bootstrap_ci(df, "v", by=["g"], n_boot=50, seed=7).collect())
+        )
+        assert a != c
+
+    def test_validation(self, spark):
+        from sparkplug_spark.operators import bootstrap_ci, poisson_cutoffs
+
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, v double")
+        with pytest.raises(ValueError, match="n_boot"):
+            bootstrap_ci(df, "v", n_boot=1)
+        with pytest.raises(ValueError, match="alpha"):
+            bootstrap_ci(df, "v", alpha=0.6)
+        with pytest.raises(ValueError, match="lam"):
+            poisson_cutoffs(0.0)
