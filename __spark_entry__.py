@@ -3130,6 +3130,23 @@ def q_streaming_lid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (E215): pooled θ from exact
+    DECIMAL/HUGEINT moments, per-variant adjusted means + achieved
+    variance reduction, all floor-quantized integers."""
+    from sparkplug_spark.operators import cuped_adjust
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    joined = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "c_acctbal")
+    return cuped_adjust(
+        joined, "o_totalprice", "c_acctbal", "o_orderpriority",
+        id_col="o_orderkey",
+    )
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson-bootstrap CI (E214): md5-coin weights via
     an integer inverse-CDF, exact replicate sums, rank-picked percentile
@@ -6238,6 +6255,58 @@ def _extension_oracles() -> dict[str, str]:
                    len(list_filter(v, x -> x = 0)) * 100
                      < len(ls) * 50 AS line_filter_dropped
             FROM vd
+        """,
+        # CUPED (E215): identical micro quantization, HUGEINT moments
+        # (micros products overflow int64), one IEEE division for theta,
+        # per-row floor re-quantization before the variant sums
+        "cuped": """
+            WITH j AS (
+              SELECT o_orderpriority AS v,
+                     CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS y,
+                     CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS x
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ),
+            mom AS (
+              SELECT COUNT(*)::HUGEINT AS n,
+                     SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+                     SUM(x::HUGEINT * x::HUGEINT) AS sxx,
+                     SUM(x::HUGEINT * y::HUGEINT) AS sxy
+              FROM j
+            ),
+            th AS (
+              SELECT (n * sxy - sx * sy)::DOUBLE
+                     / greatest((n * sxx - sx * sx)::DOUBLE, 1.0) AS theta,
+                     sx::DOUBLE / n::DOUBLE AS mx
+              FROM mom
+            ),
+            adj AS (
+              SELECT v, y,
+                     CAST(floor(y::DOUBLE
+                                - th.theta * (x::DOUBLE - th.mx))
+                       AS BIGINT) AS ya,
+                     th.theta AS theta
+              FROM j, th
+            ),
+            agg AS (
+              SELECT v, COUNT(*)::BIGINT AS n,
+                     SUM(y::HUGEINT) AS sy2, SUM(ya::HUGEINT) AS sya2,
+                     SUM(y::HUGEINT * y::HUGEINT) AS syy,
+                     SUM(ya::HUGEINT * ya::HUGEINT) AS syaya,
+                     MIN(theta) AS th
+              FROM adj GROUP BY v
+            )
+            SELECT v AS o_orderpriority, n,
+                   CAST(floor(sy2::DOUBLE / n::DOUBLE) AS BIGINT)
+                     AS mean_micros,
+                   CAST(floor(sya2::DOUBLE / n::DOUBLE) AS BIGINT)
+                     AS mean_adj_micros,
+                   greatest(CAST(floor(
+                     (1.0 - (n::HUGEINT * syaya - sya2 * sya2)::DOUBLE
+                            / greatest((n::HUGEINT * syy
+                                        - sy2 * sy2)::DOUBLE, 1.0))
+                     * 1e6) AS BIGINT), 0) AS var_reduction_ppm,
+                   CAST(floor(th * 1e9) AS BIGINT) AS theta_nano
+            FROM agg
         """,
         # frozen-centroid topic balance (E82 exact tier): vec_id<8
         # medoids, argmax cosine with smallest-center ties, per-member
@@ -10421,6 +10490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_lid_replay": q_streaming_lid_replay,
         "dhash_incremental": q_dhash_incremental,
         "bootstrap_ci": q_bootstrap_ci,
+        "cuped": q_cuped,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

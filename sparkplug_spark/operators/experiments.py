@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ab_test_report", "bootstrap_ci", "poisson_cutoffs"]
+__all__ = ["ab_test_report", "bootstrap_ci", "poisson_cutoffs", "cuped_adjust"]
 
 
 def ab_test_report(
@@ -225,4 +225,124 @@ def bootstrap_ci(
         F.floor(F.col("__lo")).cast("long").alias("ci_lo_micros"),
         F.floor(F.col("__hi")).cast("long").alias("ci_hi_micros"),
         F.lit(int(n_boot)).cast("long").alias("n_boot"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    variant_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    trick that makes A/B tests decisive weeks earlier: regress the
+    experiment metric on a PRE-EXPERIMENT covariate (the same metric
+    last month, a pre-period engagement score) and analyze the residual
+    ``y − θ(x − x̄)``, which has the same treatment effect but
+    ``(1 − ρ²)`` of the variance.
+
+    Engine-exact: x and y quantize to integer micros up front; the
+    pooled moments accumulate as DECIMAL(38,0)/HUGEINT (micros products
+    overflow int64) so both engines hold the IDENTICAL exact integers;
+    θ is one IEEE division of those integers; per-row adjusted values
+    floor back to integer micros before the per-variant sums.  Output
+    per variant: (variant, n, mean_micros, mean_adj_micros,
+    var_reduction_ppm, theta_nano) — the adjusted means you compare,
+    the variance reduction actually achieved, and θ for audit.
+
+    Scale shape: one pooled-moment aggregate (5 numbers) + one
+    per-variant aggregate over a narrow integer projection; no joins
+    except the 1-row θ broadcast.  Headroom: the DECIMAL(38)/HUGEINT
+    moments need ``n² · max|v_micro|² < 10^38`` — fine to ~10^9 rows at
+    micro quantization; quantize coarser (or CUPED a uniform sample)
+    beyond that."""
+    from ..partitioning import spread
+
+    q = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    base = spread(df).select(
+        F.col(variant_col).alias("__var"),
+        q(metric_col).alias("__y"),
+        q(covariate_col).alias("__x"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mom = base.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(dec("__x")).alias("__sx"),
+        F.sum(dec("__y")).alias("__sy"),
+        F.sum(dec("__x") * dec("__x")).alias("__sxx"),
+        F.sum(dec("__x") * dec("__y")).alias("__sxy"),
+    ).select(
+        (
+            (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+            .cast("double")
+            / F.greatest(
+                (
+                    F.col("__n") * F.col("__sxx")
+                    - F.col("__sx") * F.col("__sx")
+                ).cast("double"),
+                F.lit(1.0),
+            )
+        ).alias("__theta"),
+        (F.col("__sx").cast("double") / F.col("__n").cast("double")).alias(
+            "__mx"
+        ),
+    )
+    adj = base.crossJoin(F.broadcast(mom)).select(
+        "__var",
+        "__y",
+        F.floor(
+            F.col("__y").cast("double")
+            - F.col("__theta")
+            * (F.col("__x").cast("double") - F.col("__mx"))
+        ).cast("long").alias("__ya"),
+        "__theta",
+    )
+    return adj.groupBy("__var").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(dec("__y")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__my"),
+        (
+            F.sum(dec("__ya")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mya"),
+        F.sum(dec("__y") * dec("__y")).alias("__syy"),
+        F.sum(dec("__ya") * dec("__ya")).alias("__syaya"),
+        F.sum(dec("__y")).alias("__sy2"),
+        F.sum(dec("__ya")).alias("__sya2"),
+        F.min("__theta").alias("__th"),
+    ).select(
+        F.col("__var").alias(variant_col),
+        "n",
+        F.floor(F.col("__my")).cast("long").alias("mean_micros"),
+        F.floor(F.col("__mya")).cast("long").alias("mean_adj_micros"),
+        # var = (n·Σv² − (Σv)²) / n² — exact integer numerators, one IEEE
+        # division each; reduction floored to ppm, clamped at 0
+        F.greatest(
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - (
+                        F.col("n").cast("decimal(38,0)") * F.col("__syaya")
+                        - F.col("__sya2") * F.col("__sya2")
+                    ).cast("double")
+                    / F.greatest(
+                        (
+                            F.col("n").cast("decimal(38,0)") * F.col("__syy")
+                            - F.col("__sy2") * F.col("__sy2")
+                        ).cast("double"),
+                        F.lit(1.0),
+                    )
+                )
+                * F.lit(1e6)
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("var_reduction_ppm"),
+        F.floor(F.col("__th") * F.lit(1e9)).cast("long").alias(
+            "theta_nano"
+        ),
     )

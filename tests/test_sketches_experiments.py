@@ -378,3 +378,60 @@ class TestBootstrapCi:
             bootstrap_ci(df, "v", alpha=0.6)
         with pytest.raises(ValueError, match="lam"):
             poisson_cutoffs(0.0)
+
+
+class TestCuped:
+    """E215: variance reduction on a correlated covariate, effect
+    preservation, no-correlation no-op, determinism."""
+
+    def _df(self, spark, rho=True):
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(100, 20, 3000)
+        noise = rng.normal(0, 5, 3000)
+        y = (0.8 * x if rho else 0.0) + noise + 50
+        y = y + np.where(np.arange(3000) % 2 == 0, 2.0, 0.0)
+        rows = [
+            (i, "treat" if i % 2 == 0 else "ctrl", float(y[i]), float(x[i]))
+            for i in range(3000)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, variant string, y double, x double"
+        )
+
+    def test_reduces_variance_keeps_effect(self, spark):
+        from sparkplug_spark.operators import cuped_adjust
+
+        out = {
+            r["variant"]: r
+            for r in cuped_adjust(self._df(spark), "y", "x", "variant").collect()
+        }
+        for r in out.values():
+            assert r["var_reduction_ppm"] > 800_000  # rho^2 ~ 0.91
+        raw = out["treat"]["mean_micros"] - out["ctrl"]["mean_micros"]
+        adj = out["treat"]["mean_adj_micros"] - out["ctrl"]["mean_adj_micros"]
+        # true effect 2.0: both estimates near it, adjusted not degraded
+        assert abs(raw - 2_000_000) < 2_000_000
+        assert abs(adj - 2_000_000) < 1_000_000
+
+    def test_uncorrelated_covariate_is_noop(self, spark):
+        from sparkplug_spark.operators import cuped_adjust
+
+        out = cuped_adjust(
+            self._df(spark, rho=False), "y", "x", "variant"
+        ).collect()
+        for r in out:
+            assert r["var_reduction_ppm"] < 50_000
+            assert abs(r["theta_nano"]) < 50_000_000  # theta ~ 0
+
+    def test_partition_invariant(self, spark):
+        from sparkplug_spark.operators import cuped_adjust
+
+        df = self._df(spark)
+        a = sorted(map(tuple, cuped_adjust(df, "y", "x", "variant").collect()))
+        b = sorted(
+            map(tuple,
+                cuped_adjust(df.repartition(13), "y", "x", "variant").collect())
+        )
+        assert a == b
