@@ -4391,6 +4391,70 @@ def _extension_oracles() -> dict[str, str]:
         JOIN nf na ON na.doc_id = agg.va
         JOIN nf nb ON nb.doc_id = agg.vb2
     """
+    # video scenes (E216): same arithmetic dHash over the f//2-pattern
+    # fixture, lag-window consecutive hamming, running-sum scene ids
+    video_scenes_sql = """
+        WITH vb AS (
+          SELECT doc_id, doc_id % 12 AS g FROM documents WHERE doc_id < 60
+        ),
+        fr AS (
+          SELECT doc_id, g, f.f AS f, f.f // 2 AS p
+          FROM vb, range(0, 6) f(f)
+        ),
+        px AS (
+          SELECT doc_id, f, y, x,
+                 (g * 7 + 3 * y + 5 * x + 11 * p) % 57 + 1 AS v
+          FROM fr, range(0, 16) t1(y), range(0, 18) t2(x)
+        ),
+        cells AS (
+          SELECT doc_id, f, y // 2 AS gy, x // 2 AS gx, sum(v) AS s
+          FROM px GROUP BY doc_id, f, y // 2, x // 2
+        ),
+        bits AS (
+          SELECT l.doc_id, l.f, l.gy * 8 + l.gx AS k,
+                 CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS b
+          FROM cells l JOIN cells r
+            ON l.doc_id = r.doc_id AND l.f = r.f AND l.gy = r.gy
+               AND r.gx = l.gx + 1
+          WHERE l.gx < 8
+        ),
+        h AS (
+          SELECT doc_id, f,
+                 CAST(sum(CASE WHEN k < 32
+                               THEN b::BIGINT << (31 - k) ELSE 0 END)
+                   AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN k >= 32
+                               THEN b::BIGINT << (63 - k) ELSE 0 END)
+                   AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id, f
+        ),
+        st AS (
+          SELECT doc_id, f, f * 1000 AS ts,
+                 bit_count(xor(hi, lag(hi) OVER w))
+                 + bit_count(xor(lo, lag(lo) OVER w)) AS step
+          FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+        ),
+        fl AS (
+          SELECT doc_id, f, ts, coalesce(step, 0) AS step,
+                 CASE WHEN step IS NULL OR step > 10
+                      THEN 1 ELSE 0 END AS brk
+          FROM st
+        ),
+        sc AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY f
+                                   ROWS UNBOUNDED PRECEDING) - 1
+                   AS scene_idx
+          FROM fl
+        )
+        SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+               MIN(f)::BIGINT AS start_frame_idx,
+               MIN(ts)::BIGINT AS start_ts_ms,
+               COUNT(*)::BIGINT AS n_frames,
+               MAX(CASE WHEN brk = 0 THEN step ELSE 0 END)::BIGINT
+                 AS max_step_hamming
+        FROM sc GROUP BY doc_id, scene_idx
+    """
+
     # incremental dhash dedup (E213): day-2 rows flag their best
     # hamming<=3 match among ALL smaller ids (store = <100, plus
     # earlier-in-batch), ties to the smallest id
@@ -6065,6 +6129,7 @@ def _extension_oracles() -> dict[str, str]:
         "video_dhash": video_dhash_sql,
         "video_pairs": video_pairs_sql,
         "dhash_incremental": dhash_incr_sql,
+        "video_scenes": video_scenes_sql,
         "audio_fp": audio_fp_sql,
         "audio_fp_pairs": audio_fp_pairs_sql,
         "bloom_join": bloom_join_sql,
@@ -9801,6 +9866,60 @@ def _audio_test_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", make_wav("doc_id").alias("payload"))
 
 
+def _video_scene_avis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-structured AVI fixtures: 6 stored P5 frames per video whose
+    pattern index is f // 2 — consecutive same-pattern frames are
+    hamming-0 (one scene), pattern steps break scenes."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    @F.pandas_udf("binary")
+    def make_avi(ids: pd.Series) -> pd.Series:
+        import struct
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        out = []
+        for d in ids:
+            d = int(d)
+            g = d % 12
+            frames = b""
+            for f in range(6):
+                p = f // 2
+                px = bytearray(
+                    (g * 7 + 3 * y + 5 * x + 11 * p) % 57 + 1
+                    for y in range(16)
+                    for x in range(18)
+                )
+                frames += chunk(b"00dc", b"P5\n18 16\n255\n" + bytes(px))
+            avih = chunk(
+                b"avih", struct.pack("<I", 1_000_000) + b"\x00" * 52
+            )
+            body = (
+                b"AVI "
+                + chunk(b"LIST", b"hdrl" + avih)
+                + chunk(b"LIST", b"movi" + frames)
+            )
+            out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+        return pd.Series(out)
+
+    return docs.select("doc_id", make_avi("doc_id").alias("payload"))
+
+
+def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation (E216): consecutive-frame hamming over
+    real demuxed/decoded frames; repeated-pattern fixture frames group
+    into scenes, pattern steps break them; oracle replays the window
+    math over arithmetically derived hashes."""
+    from sparkplug_spark.operators import video_dhash, video_scenes
+
+    hashes = video_dhash(
+        _video_scene_avis(spark, sf_dir), every_ms=1000, decoder="real"
+    )
+    return video_scenes(hashes, max_hamming=10)
+
+
 def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual fingerprint (E205): REAL PCM WAV decode → exact
     integer block-energy + zero-crossing dHash halves.  The oracle
@@ -10491,6 +10610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash_incremental": q_dhash_incremental,
         "bootstrap_ci": q_bootstrap_ci,
         "cuped": q_cuped,
+        "video_scenes": q_video_scenes,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

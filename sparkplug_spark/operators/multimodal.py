@@ -54,6 +54,7 @@ __all__ = [
     "audio_fingerprint",
     "dhash_join",
     "dhash_dedup_against",
+    "video_scenes",
 ]
 
 #: Typed metadata struct carried beside the binary payload.
@@ -1658,4 +1659,64 @@ def audio_fingerprint(
         repartition_for_media(df.select(F.col(id_col), F.col(audio_col)))
         .mapInPandas(batches, schema=out_schema)
         .withColumnRenamed("id", id_col)
+    )
+
+
+def video_scenes(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 10,
+) -> DataFrame:
+    """Scene segmentation from per-frame perceptual hashes
+    (:func:`video_dhash` output): a new scene starts where the hamming
+    distance between consecutive frame hashes exceeds ``max_hamming`` —
+    the shot-boundary detector that turns "sample every N ms" into
+    "sample one keyframe per scene" for multimodal training data (and
+    the pre-step of scene-level near-dup matching).
+
+    Returns one row per (video, scene): (id_col, scene_idx,
+    start_frame_idx, start_ts_ms, n_frames, max_step_hamming) — where
+    ``max_step_hamming`` is the largest intra-scene consecutive-frame
+    distance (0 for a single-frame scene), the "how static was this
+    shot" signal.  Frames with NULL hashes (codec-bound payloads) are
+    excluded before segmentation.
+
+    Plan: one per-video window (lag + running sum of break flags) +
+    one aggregate — no joins, 16-byte rows, entirely relational."""
+    base = frame_hashes.filter(
+        F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
+    ).select(F.col(id_col), "frame_idx", "frame_ts_ms", "dhash_hi", "dhash_lo")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    ham = (
+        F.bit_count(
+            F.col("dhash_hi").bitwiseXOR(F.lag("dhash_hi").over(w))
+        )
+        + F.bit_count(
+            F.col("dhash_lo").bitwiseXOR(F.lag("dhash_lo").over(w))
+        )
+    ).cast("long")
+    flagged = base.select(
+        id_col,
+        "frame_idx",
+        "frame_ts_ms",
+        F.coalesce(ham, F.lit(0)).alias("__step"),
+        F.when(ham.isNull() | (ham > int(max_hamming)), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__brk"),
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scened = flagged.withColumn(
+        "scene_idx", (F.sum("__brk").over(wcum) - 1).cast("long")
+    )
+    return scened.groupBy(id_col, "scene_idx").agg(
+        F.min("frame_idx").cast("long").alias("start_frame_idx"),
+        F.min("frame_ts_ms").cast("long").alias("start_ts_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.max(F.when(F.col("__brk") == 0, F.col("__step")).otherwise(0))
+        .cast("long")
+        .alias("max_step_hamming"),
     )

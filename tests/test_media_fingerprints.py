@@ -253,3 +253,38 @@ class TestDhashIncremental:
             for r in dhash_join(left, right).collect()
         }
         assert got == {(1, 2): 2, (1, 3): 1}
+
+
+class TestVideoScenes:
+    """E216: shot boundaries from consecutive-frame hamming."""
+
+    def test_scene_grouping_from_real_demux(self, spark):
+        from sparkplug_spark.operators import video_dhash, video_scenes
+
+        # frames: A A B B A — two A-scenes split by the B shot
+        frames = [_p5(4, 0), _p5(4, 0), _p5(9, 0), _p5(9, 0), _p5(4, 0)]
+        vids = spark.createDataFrame(
+            [(1, _avi(frames))], "doc_id long, payload binary"
+        )
+        scenes = {
+            r["scene_idx"]: (r["start_frame_idx"], r["n_frames"],
+                             r["max_step_hamming"])
+            for r in video_scenes(
+                video_dhash(vids, decoder="real"), max_hamming=5
+            ).collect()
+        }
+        assert scenes[0] == (0, 2, 0)  # identical frames: step 0
+        assert scenes[1][0] == 2 and scenes[1][1] == 2
+        assert scenes[2] == (4, 1, 0)  # single-frame scene
+
+    def test_null_hash_frames_excluded(self, spark):
+        from sparkplug_spark.operators import video_scenes
+
+        hashes = spark.createDataFrame(
+            [(1, 0, 0, 5, 5), (1, 1, 1000, None, None), (1, 2, 2000, 5, 5)],
+            "doc_id long, frame_idx int, frame_ts_ms long, "
+            "dhash_hi long, dhash_lo long",
+        )
+        rows = video_scenes(hashes, max_hamming=3).collect()
+        # the NULL frame disappears; frames 0 and 2 are identical -> one scene
+        assert len(rows) == 1 and rows[0]["n_frames"] == 2
