@@ -4559,6 +4559,51 @@ def _extension_oracles() -> dict[str, str]:
               + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
     """
 
+    # audio segments (E217): rebuild the silenced-span fixture samples,
+    # exact frame energies, run grouping via lag/cumsum window math
+    audio_segments_sql = """
+        WITH ad AS (
+          SELECT doc_id, doc_id % 12 AS g, doc_id % 60 AS dd
+          FROM documents WHERE doc_id < 60
+        ),
+        sm AS (
+          SELECT doc_id, i.i AS i,
+                 CASE WHEN (i.i // 60) % 3 = 2 THEN 0
+                      ELSE (g * 11 + ((i.i * i.i) % 97) * 7 + dd)
+                           % 201 - 100
+                 END AS s
+          FROM ad, range(0, 360) i(i)
+        ),
+        fe AS (
+          SELECT doc_id, i // 10 AS f, SUM(s * s)::BIGINT AS e
+          FROM sm GROUP BY doc_id, i // 10
+        ),
+        fl AS (
+          SELECT doc_id, f, e,
+                 CASE WHEN e <= 0 THEN 1 ELSE 0 END AS sil
+          FROM fe
+        ),
+        st AS (
+          SELECT doc_id, f, e, sil,
+                 CASE WHEN sil = 0
+                      AND coalesce(lag(sil) OVER (PARTITION BY doc_id
+                                                  ORDER BY f), 1) = 1
+                      THEN 1 ELSE 0 END AS strt
+          FROM fl
+        ),
+        sg AS (
+          SELECT doc_id, f, e, sil,
+                 SUM(strt) OVER (PARTITION BY doc_id ORDER BY f
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS seg
+          FROM st
+        )
+        SELECT doc_id, CAST(seg AS BIGINT) AS segment_idx,
+               MIN(f)::BIGINT AS start_frame,
+               COUNT(*)::BIGINT AS n_frames,
+               SUM(e)::BIGINT AS energy_sum
+        FROM sg WHERE sil = 0 GROUP BY doc_id, seg
+    """
+
     # bloom_join: the Bloom prefilter is exact-preserving (no false
     # negatives; exact join removes false positives), so the oracle is
     # the PLAIN semi/anti join — any prefilter bug that drops or leaks a
@@ -6130,6 +6175,7 @@ def _extension_oracles() -> dict[str, str]:
         "video_pairs": video_pairs_sql,
         "dhash_incremental": dhash_incr_sql,
         "video_scenes": video_scenes_sql,
+        "audio_segments": audio_segments_sql,
         "audio_fp": audio_fp_sql,
         "audio_fp_pairs": audio_fp_pairs_sql,
         "bloom_join": bloom_join_sql,
@@ -9920,6 +9966,50 @@ def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_scenes(hashes, max_hamming=10)
 
 
+def _audio_segment_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-structured PCM16 fixtures: 360 samples where every third
+    60-sample span is silenced — two spans of signal, a gap, repeat."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        import io
+        import wave
+
+        import numpy as np
+
+        out = []
+        for d in ids:
+            d = int(d)
+            g = d % 12
+            i = np.arange(360, dtype=np.int64)
+            s = (g * 11 + ((i * i) % 97) * 7 + d % 60) % 201 - 100
+            s[(i // 60) % 3 == 2] = 0
+            buf = io.BytesIO()
+            w = wave.open(buf, "wb")
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(s.astype("<i2").tobytes())
+            w.close()
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return docs.select("doc_id", make_wav("doc_id").alias("payload"))
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio silence segmentation (E217): exact integer frame energies
+    over real WAV decode; silenced spans split clips into utterance
+    runs; the oracle recomputes samples, energies and run grouping
+    arithmetically."""
+    from sparkplug_spark.operators import audio_segments
+
+    return audio_segments(
+        _audio_segment_wavs(spark, sf_dir), frame_samples=10
+    )
+
+
 def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual fingerprint (E205): REAL PCM WAV decode → exact
     integer block-energy + zero-crossing dHash halves.  The oracle
@@ -10611,6 +10701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "cuped": q_cuped,
         "video_scenes": q_video_scenes,
+        "audio_segments": q_audio_segments,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

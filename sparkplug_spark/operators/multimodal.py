@@ -55,6 +55,7 @@ __all__ = [
     "dhash_join",
     "dhash_dedup_against",
     "video_scenes",
+    "audio_segments",
 ]
 
 #: Typed metadata struct carried beside the binary payload.
@@ -1719,4 +1720,97 @@ def video_scenes(
         F.max(F.when(F.col("__brk") == 0, F.col("__step")).otherwise(0))
         .cast("long")
         .alias("max_step_hamming"),
+    )
+
+
+def audio_segments(
+    df: DataFrame,
+    audio_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_samples: int = 10,
+    silence_energy: int = 0,
+) -> DataFrame:
+    """Silence-based clip segmentation — the audio sibling of
+    :func:`video_scenes`: decode to exact integer mono PCM
+    (:func:`audio_fingerprint`'s tier), frame at ``frame_samples``,
+    mark frames with energy ≤ ``silence_energy`` silent, and emit one
+    row per maximal NON-silent run: (id_col, segment_idx, start_frame,
+    n_frames, energy_sum) — the pre-step that turns raw recordings into
+    utterance-sized training clips and drops dead air before any model
+    hears it.
+
+    Exact integers end to end (frame energy = Σ s² over int64 PCM), so
+    segment boundaries and energies value-hash.  Undecodable payloads
+    yield no rows (quarantine upstream via :func:`audio_fingerprint`'s
+    NULLs).
+
+    Scale shape: one Arrow pass; output is segment-count rows (~40 B)
+    per clip regardless of audio size."""
+    import numpy as np
+
+    if frame_samples < 1:
+        raise ValueError("frame_samples must be >= 1")
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("segment_idx", T.LongType()),
+            T.StructField("start_frame", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("energy_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                try:
+                    s = _audio_samples_int(payload)
+                except NotImplementedError:
+                    continue
+                n_fr = len(s) // frame_samples
+                if n_fr == 0:
+                    continue
+                e = (
+                    (s[: n_fr * frame_samples].astype(object) ** 2)
+                    .reshape(n_fr, frame_samples)
+                    .sum(axis=1)
+                )
+                seg = -1
+                in_seg = False
+                for f in range(n_fr):
+                    silent = int(e[f]) <= silence_energy
+                    if silent:
+                        in_seg = False
+                        continue
+                    if not in_seg:
+                        seg += 1
+                        rows.append(
+                            {
+                                "id": rid,
+                                "segment_idx": seg,
+                                "start_frame": f,
+                                "n_frames": 0,
+                                "energy_sum": 0,
+                            }
+                        )
+                        in_seg = True
+                    rows[-1]["n_frames"] += 1
+                    rows[-1]["energy_sum"] += int(e[f])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "segment_idx",
+                    "start_frame",
+                    "n_frames",
+                    "energy_sum",
+                ],
+            )
+
+    return (
+        repartition_for_media(df.select(F.col(id_col), F.col(audio_col)))
+        .mapInPandas(batches, schema=out_schema)
+        .withColumnRenamed("id", id_col)
     )

@@ -288,3 +288,44 @@ class TestVideoScenes:
         rows = video_scenes(hashes, max_hamming=3).collect()
         # the NULL frame disappears; frames 0 and 2 are identical -> one scene
         assert len(rows) == 1 and rows[0]["n_frames"] == 2
+
+
+class TestAudioSegments:
+    """E217: silence-split utterance runs with exact energies."""
+
+    def test_hand_built_segments(self, spark):
+        from sparkplug_spark.operators import audio_segments
+
+        s = np.zeros(100, dtype=np.int64)
+        s[10:30] = 50   # frames 1-2
+        s[50:55] = 7    # part of frame 5
+        df = spark.createDataFrame(
+            [(1, _wav(s)), (2, b"ID3 lossy")],
+            "doc_id long, payload binary",
+        )
+        segs = {
+            (r["doc_id"], r["segment_idx"]): (r["start_frame"],
+                                              r["n_frames"],
+                                              r["energy_sum"])
+            for r in audio_segments(df, frame_samples=10).collect()
+        }
+        assert segs[(1, 0)] == (1, 2, 20 * 50 * 50)
+        assert segs[(1, 1)] == (5, 1, 5 * 7 * 7)
+        # undecodable payload contributes nothing
+        assert all(k[0] == 1 for k in segs)
+
+    def test_partition_invariant(self, spark):
+        from sparkplug_spark.operators import audio_segments
+
+        i = np.arange(200, dtype=np.int64)
+        clips = []
+        for d in range(12):
+            s = ((i * (d + 3)) % 91) - 45
+            s[(i // 40) % 2 == 1] = 0
+            clips.append((d, _wav(s)))
+        df = spark.createDataFrame(clips, "doc_id long, payload binary")
+        a = sorted(map(tuple, audio_segments(df).collect()))
+        b = sorted(
+            map(tuple, audio_segments(df.repartition(5)).collect())
+        )
+        assert a == b and len(a) > 0
