@@ -3159,7 +3159,7 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         by=["o_orderpriority"],
         id_col="o_orderkey",
-        n_boot=100,
+        n_boot=50,
         seed=42,
     )
 
@@ -3779,7 +3779,7 @@ def _bootstrap_oracle_sql() -> str:
     from sparkplug_spark.operators import poisson_cutoffs
 
     cuts = "[" + ", ".join(str(c) for c in poisson_cutoffs(1.0)) + "]"
-    n_boot, r_lo, r_hi = 100, int(0.025 * 100) + 1, 100 - int(0.025 * 100)
+    n_boot, r_lo, r_hi = 50, int(0.025 * 50) + 1, 50 - int(0.025 * 50)
     wexpr = f"(list_position(list_transform({cuts}, c -> u < c), true) - 1)"
     return f"""
         WITH base AS (
