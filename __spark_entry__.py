@@ -3043,6 +3043,19 @@ def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style banned-wordlist gate (E219): token-level matches against
+    a broadcast term array, exact counts, zero-shuffle projection."""
+    from sparkplug_spark.operators import wordlist_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    return wordlist_filter(
+        docs, ["spark", "hash", "vector"], max_hits=2
+    ).select(
+        "doc_id", "n_term_hits", "n_distinct_terms", "wordlist_flagged"
+    )
+
+
 def q_filter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style line-wise corrections (E208): the single-line
     synthetic docs are rewrapped at 4 words/line and salted with one
@@ -6317,6 +6330,21 @@ def _extension_oracles() -> dict[str, str]:
                    {_SQL_COS.format(a='a.v', b='b.v')} AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_SQL_COS.format(a='a.v', b='b.v')} >= 0.4
+        """,
+        # wordlist gate (E219): same tokenizer, list_contains probe
+        "wordlist_filter": f"""
+            WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+            h AS (
+              SELECT doc_id,
+                     list_filter(t, x -> list_contains(
+                       ['hash', 'spark', 'vector'], x)) AS hits
+              FROM tk
+            )
+            SELECT doc_id,
+                   len(hits)::BIGINT AS n_term_hits,
+                   len(list_distinct(hits))::BIGINT AS n_distinct_terms,
+                   len(hits) > 2 AS wordlist_flagged
+            FROM h
         """,
         # line-wise quality corrections (E208): same fixture rewrap
         # (DuckDB backrefs are \1 and need the 'g' flag), verdicts via
@@ -10702,6 +10730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "video_scenes": q_video_scenes,
         "audio_segments": q_audio_segments,
+        "wordlist_filter": q_wordlist_filter,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

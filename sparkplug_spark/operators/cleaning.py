@@ -40,6 +40,7 @@ __all__ = [
     "decontaminate_fuzzy",
     "decontaminate_semantic",
     "filter_lines_quality",
+    "wordlist_filter",
     "sample_per_key",
     "sample_exact_n",
     "stratified_sample",
@@ -1900,4 +1901,57 @@ def weighted_sample_k(
             F.floor(F.col("__key") * F.lit(1e9) + F.lit(0.5)).cast("long"),
         )
         .drop("__key")
+    )
+
+
+def wordlist_filter(
+    df: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Banned-wordlist safety gate — the C4 recipe (Raffel et al. 2020
+    dropped any page containing a word from the "List of Dirty, Naughty,
+    Obscene..." list; every web pipeline ships some variant).  Matching
+    is TOKEN-level on the shared normalization (never substring — the
+    Scunthorpe failure), against a broadcast-small lowercased term set.
+
+    Returns every input row plus ``n_term_hits`` (total occurrences),
+    ``n_distinct_terms`` (how many listed terms appear), and
+    ``wordlist_flagged`` (``n_term_hits > max_hits`` — 0 is the strict
+    C4 behavior; raise it to tolerate incidental mentions).
+
+    Scale shape: one zero-shuffle codegen projection — the term set is
+    an array literal (wordlists are KBs) probed per token inside the
+    row; no joins, no Python."""
+    t = [str(x).lower() for x in terms]
+    if not t:
+        raise ValueError("terms must be non-empty")
+    term_arr = F.array(*[F.lit(x) for x in sorted(set(t))])
+    toks = F.split(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[^a-z0-9 ]",
+                    " ",
+                ),
+                " +",
+                " ",
+            )
+        ),
+        " ",
+    )
+    hits = F.filter(toks, lambda x: F.array_contains(term_arr, x))
+    return (
+        df.withColumn("__hits", hits)
+        .withColumn("n_term_hits", F.size("__hits").cast("long"))
+        .withColumn(
+            "n_distinct_terms",
+            F.size(F.array_distinct("__hits")).cast("long"),
+        )
+        .withColumn(
+            "wordlist_flagged", F.col("n_term_hits") > int(max_hits)
+        )
+        .drop("__hits")
     )

@@ -40,6 +40,7 @@ __all__ = [
     "streaming_kmv_sketches",
     "streaming_semantic_flags",
     "streaming_language_route",
+    "streaming_dhash_flags",
 ]
 
 
@@ -792,3 +793,34 @@ def streaming_language_route(
         "review_lane",
         F.col("margin_micros") < F.lit(int(min_margin_micros)),
     )
+
+
+def streaming_dhash_flags(
+    stream_df: DataFrame,
+    store_path: str,
+    image_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """Streaming perceptual-hash dedup: each micro-batch of media
+    payloads is dHashed, flagged against the STORED corpus hash table
+    (+ earlier rows in the same batch, keep-first), and folded into the
+    store — ingest-time near-dup screening for an image/frame firehose,
+    the multimodal sibling of :func:`near_dup_flags`.
+
+    foreachBatch merge-on-write through ``operators.dhash_dedup_against``
+    (atomic manifest store, 20 B/item forever); the caller's ``process``
+    hook receives each batch's flag DataFrame.  Returns a function for
+    ``foreachBatch`` — attach with
+    ``stream.writeStream.foreachBatch(streaming_dhash_flags(...))``
+    pattern via the returned callable."""
+    from ..operators import dhash_dedup_against, image_dhash
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashes = image_dhash(batch_df, image_col, id_col)
+        dhash_dedup_against(
+            hashes, spark, store_path, id_col, max_hamming
+        ).write.mode("append").parquet(store_path + "_flags")
+
+    return stream_df.writeStream.foreachBatch(_process)

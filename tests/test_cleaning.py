@@ -318,3 +318,43 @@ class TestFilterLinesQuality:
 
         with _pytest.raises(ValueError, match="max_upper_pct"):
             filter_lines_quality(df, max_upper_pct=150)
+
+
+class TestWordlistFilter:
+    """E219 C4-style banned-wordlist gate."""
+
+    def test_token_level_not_substring(self, spark):
+        from sparkplug_spark.operators import wordlist_filter
+
+        df = spark.createDataFrame(
+            [(1, "the town of Scunthorpe is lovely"),
+             (2, "an actual bad word here: scunt"),
+             (3, "SCUNT twice scunt!")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_term_hits"], r["n_distinct_terms"],
+                          r["wordlist_flagged"])
+            for r in wordlist_filter(df, ["scunt"]).collect()
+        }
+        # substring inside Scunthorpe must NOT match
+        assert got[1] == (0, 0, False)
+        assert got[2] == (1, 1, True)
+        assert got[3] == (2, 1, True)  # case-folded, punctuation stripped
+
+    def test_max_hits_tolerance_and_validation(self, spark):
+        from sparkplug_spark.operators import wordlist_filter
+
+        df = spark.createDataFrame(
+            [(1, "mention mention"), (2, "mention")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["wordlist_flagged"]
+            for r in wordlist_filter(df, ["mention"], max_hits=1).collect()
+        }
+        assert got == {1: True, 2: False}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="terms"):
+            wordlist_filter(df, [])

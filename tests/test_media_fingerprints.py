@@ -329,3 +329,44 @@ class TestAudioSegments:
             map(tuple, audio_segments(df.repartition(5)).collect())
         )
         assert a == b and len(a) > 0
+
+
+class TestStreamingDhashFlags:
+    """E218: ingest-time perceptual dedup stream tier."""
+
+    def test_two_batch_stream_flags_against_store(self, spark, tmp_path):
+        import time
+
+        from sparkplug_spark.streaming import streaming_dhash_flags
+
+        src = str(tmp_path / "src")
+        store = str(tmp_path / "store")
+        day1 = [(i, _p5(i % 3, 0)) for i in range(6)]
+        day2 = [(i + 100, _p5(i % 3, 0)) for i in range(6)]  # all dups
+        spark.createDataFrame(day1, "doc_id long, payload binary")\
+            .coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+        spark.createDataFrame(day2, "doc_id long, payload binary")\
+            .coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_dhash_flags(stream, store)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from sparkplug_spark.sources import read_store
+
+        flags = spark.read.parquet(store + "_flags")
+        got = {r["doc_id"]: r["is_dup"] for r in flags.collect()}
+        assert len(got) == 12
+        # every day-2 image repeats a day-1 pattern -> flagged
+        assert all(got[i + 100] for i in range(6))
+        # day-1: first occurrence of each of the 3 patterns is novel
+        assert sum(1 for i in range(6) if not got[i]) == 3
+        assert read_store(spark, store).count() == 12
