@@ -1283,6 +1283,8 @@ def dhash_dedup_against(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     update: bool = True,
+    hi_col: str = "dhash_hi",
+    lo_col: str = "dhash_lo",
 ) -> DataFrame:
     """INCREMENTAL perceptual-hash dedup: flag a new batch of image (or
     video-frame / audio) hashes against the STORED corpus hash table,
@@ -1302,8 +1304,10 @@ def dhash_dedup_against(
     First call bootstraps the store.  Store size: 20 B/item forever."""
     from ..sources import manifest_resolve, manifest_publish, read_store
 
+    # hi_col/lo_col let the AUDIO tier (fp_hi/fp_lo) share the store
+    # machinery; the store keeps the caller's column names
     new_hashes = new_hashes.select(
-        F.col(id_col), F.col("dhash_hi"), F.col("dhash_lo")
+        F.col(id_col), F.col(hi_col), F.col(lo_col)
     )
     exists = manifest_resolve(spark, store_path) is not None
     candidates = []
@@ -1311,11 +1315,13 @@ def dhash_dedup_against(
         stored = read_store(spark, store_path)
         candidates.append(
             dhash_join(
-                new_hashes, stored, id_col, max_hamming=max_hamming
+                new_hashes, stored, id_col,
+                hi_col=hi_col, lo_col=lo_col, max_hamming=max_hamming,
             )
         )
     within = (
-        dhash_pairs(new_hashes, id_col, max_hamming=max_hamming)
+        dhash_pairs(new_hashes, id_col, hi_col=hi_col, lo_col=lo_col,
+                    max_hamming=max_hamming)
         .select(
             F.col(f"{id_col}_b").alias(f"{id_col}_left"),
             F.col(f"{id_col}_a").alias(f"{id_col}_right"),
@@ -1343,8 +1349,8 @@ def dhash_dedup_against(
         .withColumn("is_dup", F.col("best_match_id").isNotNull())
         .select(
             id_col,
-            "dhash_hi",
-            "dhash_lo",
+            hi_col,
+            lo_col,
             "is_dup",
             "best_match_id",
             "best_hamming",

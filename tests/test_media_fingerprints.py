@@ -370,3 +370,27 @@ class TestStreamingDhashFlags:
         # day-1: first occurrence of each of the 3 patterns is novel
         assert sum(1 for i in range(6) if not got[i]) == 3
         assert read_store(spark, store).count() == 12
+
+
+def test_audio_fingerprints_share_incremental_store(spark, tmp_path):
+    """E213 generalization: the audio tier (fp_hi/fp_lo) drives the same
+    batch-vs-store machinery via hi_col/lo_col."""
+    from sparkplug_spark.operators import audio_fingerprint, dhash_dedup_against
+
+    i = np.arange(360, dtype=np.int64)
+    s = ((i * i) % 97) * 7 % 201 - 100
+    store = str(tmp_path / "audio_hashes")
+    day1 = spark.createDataFrame([(1, _wav(s))], "doc_id long, payload binary")
+    dhash_dedup_against(
+        audio_fingerprint(day1), spark, store,
+        hi_col="fp_hi", lo_col="fp_lo",
+    ).collect()
+    # day 2: a gain-2 re-encode must flag as an exact store dup
+    day2 = spark.createDataFrame(
+        [(2, _wav(s * 2))], "doc_id long, payload binary"
+    )
+    r = dhash_dedup_against(
+        audio_fingerprint(day2), spark, store,
+        hi_col="fp_hi", lo_col="fp_lo",
+    ).collect()[0]
+    assert r["is_dup"] and r["best_match_id"] == 1 and r["best_hamming"] == 0
