@@ -3132,9 +3132,13 @@ def q_streaming_lid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     if model is None:
         model = train_language_id(docs)
         cache[key] = model
+    # labeled docs only: the oracle (language_id_trained SQL) scores
+    # lang IS NOT NULL rows — the closure apply would happily score
+    # unlabeled ones, which a future testdata generation could contain
     routed = replay_file_stream(
         spark,
-        _doc_batches(spark, sf_dir),
+        [b.filter(F.col("lang").isNotNull()) for b in
+         _doc_batches(spark, sf_dir)],
         lambda s: streaming_language_route(s, model),
         mode="append",
     )
@@ -3787,8 +3791,8 @@ def _bootstrap_oracle_sql() -> str:
     """Value-hash oracle for ``bootstrap_ci``: shared Poisson(1) integer
     cutoffs, identical md5 weight coins per (group, id, replicate),
     exact BIGINT replicate sums, one IEEE division per replicate mean,
-    rank-picked percentile bounds (alpha=0.025, B=100 → ranks 3 and
-    98), floor-quantized output."""
+    rank-picked percentile bounds (alpha=0.025, B=50 → ranks 2 and
+    49), floor-quantized output."""
     from sparkplug_spark.operators import poisson_cutoffs
 
     cuts = "[" + ", ".join(str(c) for c in poisson_cutoffs(1.0)) + "]"

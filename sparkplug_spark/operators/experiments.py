@@ -174,10 +174,13 @@ def bootstrap_ci(
         F.col("__id").cast("string"),
         F.col("__b").cast("string"),
     )
-    u = hash60(key)
+    # materialize the md5 coin ONCE per row: binding the full hash60
+    # expression inside the transform lambda would re-evaluate md5 once
+    # per cutoff element (the CLAUDE.md HOF re-evaluation hazard)
+    base = base.withColumn("__u", hash60(key))
     w = (
         F.array_position(
-            F.transform(cut_arr, lambda c: u < c), F.lit(True)
+            F.transform(cut_arr, lambda c: F.col("__u") < c), F.lit(True)
         ).cast("long")
         - 1
     )

@@ -745,6 +745,8 @@ def extract_audio_features(
     md5-seeded values."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
 
     out_schema = T.StructType(
         df.schema.fields
@@ -977,6 +979,7 @@ def sample_video_frames(
     binary_col: str = "payload",
     every_ms: int = 1000,
     decoder: str = "fake",
+    on_error: str = "raise",
 ) -> DataFrame:
     """payload → exploded (frame_idx, frame_ts_ms, frame binary) rows.
 
@@ -984,11 +987,15 @@ def sample_video_frames(
     BMFF sample tables) natively — an MJPEG AVI yields one stored JPEG
     per sampled frame, an MP4 one stored access unit, no codec required
     — and raises ``NotImplementedError`` for mkv/webm and fragmented MP4
-    at the exact point an ffmpeg call would slot in.  Fake decoder emits
+    at the exact point an ffmpeg call would slot in
+    (``on_error="skip"`` quarantines such rows as zero frames instead —
+    the corpus-sweep mode :func:`video_dhash` uses).  Fake decoder emits
     one pseudo-frame per ``every_ms`` of a pretend duration derived from
     the payload size (1 KB ≅ 1 s)."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
 
     out_schema = T.StructType(
         df.schema.fields
@@ -1008,7 +1015,13 @@ def sample_video_frames(
             for _, r in pdf.iterrows():
                 payload = r[binary_col] or b""
                 if decoder == "real":
-                    for idx, ts, frame in _real_video_frames(payload, every_ms):
+                    try:
+                        demuxed = _real_video_frames(payload, every_ms)
+                    except NotImplementedError:
+                        if on_error == "skip":
+                            continue  # quarantine row: contributes no frames
+                        raise
+                    for idx, ts, frame in demuxed:
                         rows.append(
                             {
                                 **{c: r[c] for c in cols},
@@ -1305,10 +1318,13 @@ def dhash_dedup_against(
     from ..sources import manifest_resolve, manifest_publish, read_store
 
     # hi_col/lo_col let the AUDIO tier (fp_hi/fp_lo) share the store
-    # machinery; the store keeps the caller's column names
+    # machinery; the store keeps the caller's column names.  EAGERLY
+    # materialized: the hashes are consumed up to 5x below (store join,
+    # within-batch self-join x2, output join, store merge) and the
+    # upstream plan is typically a full media decode+hash pass.
     new_hashes = new_hashes.select(
         F.col(id_col), F.col(hi_col), F.col(lo_col)
-    )
+    ).localCheckpoint(eager=True)
     exists = manifest_resolve(spark, store_path) is not None
     candidates = []
     if exists:
@@ -1407,6 +1423,7 @@ def video_dhash(
         binary_col=video_col,
         every_ms=every_ms,
         decoder=decoder,
+        on_error="skip",  # one mkv in a corpus must not kill the sweep
     ).select(F.col(id_col), "frame_idx", "frame_ts_ms", "frame")
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
@@ -1590,7 +1607,12 @@ def _audio_fp64(payload, rows: int = 4, cols: int = 9):
         return None, None, None
     bounds = (np.arange(nb + 1) * n) // nb
     e = np.array(
-        [int((s[a:b] ** 2).sum()) for a, b in zip(bounds[:-1], bounds[1:])],
+        [
+            # object dtype BEFORE squaring: int64 squares wrap silently
+            # for long blocks of many-channel 16-bit audio
+            int((s[a:b].astype(object) ** 2).sum())
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ],
         dtype=object,
     ).reshape(rows, cols)
     z = np.array(

@@ -266,11 +266,13 @@ def dp_release_counts(
             for c in by
         ],
     )
-    u = hash60(key)
     cut_arr = F.array(*[F.lit(int(c)).cast("long") for c in cutoffs])
+    # materialize the md5 coin once per group row (a lambda-bound hash60
+    # would re-evaluate md5 per cutoff element — the HOF hazard)
+    groups = groups.withColumn("__u", hash60(key))
     z = (
         F.array_position(
-            F.transform(cut_arr, lambda c: u < c), F.lit(True)
+            F.transform(cut_arr, lambda c: F.col("__u") < c), F.lit(True)
         ).cast("long")
         - F.lit(1 + z_max)
     )

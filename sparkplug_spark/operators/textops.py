@@ -202,7 +202,9 @@ def language_id_trained(
     to as many classes as the training labels carry.
 
     Trained on ``train_df`` (default: ``df`` itself — self-training on
-    its own ``label_col``), applied to every document of ``df``.
+    its own ``label_col``; in that mode only LABELED documents are
+    scored — pass an explicit ``train_df`` to score every row of
+    ``df``).
     Exactness discipline is E128's (:func:`~.scoring.
     naive_bayes_classifier`): per-(gram, lang) Laplace-smoothed
     log-likelihoods ``ln(c+1) − ln(T_lang + V)`` and document-count

@@ -806,21 +806,57 @@ def streaming_dhash_flags(
     payloads is dHashed, flagged against the STORED corpus hash table
     (+ earlier rows in the same batch, keep-first), and folded into the
     store — ingest-time near-dup screening for an image/frame firehose,
-    the multimodal sibling of :func:`near_dup_flags`.
+    the multimodal sibling of :func:`near_dup_flags`.  Returns the
+    ``DataStreamWriter`` (caller picks trigger/checkpoint and starts
+    it); per-batch flag rows land under ``{store_path}_flags/`` as one
+    ``batch=N`` partition each.
 
-    foreachBatch merge-on-write through ``operators.dhash_dedup_against``
-    (atomic manifest store, 20 B/item forever); the caller's ``process``
-    hook receives each batch's flag DataFrame.  Returns a function for
-    ``foreachBatch`` — attach with
-    ``stream.writeStream.foreachBatch(streaming_dhash_flags(...))``
-    pattern via the returned callable."""
+    At-least-once safety (the dhash fold is NOT idempotent — a replayed
+    batch would self-match against its own stored hashes): store rows
+    carry ``__last_batch`` and a replayed batch id is a NO-OP, the same
+    guard as the sketch stores; the flags write is idempotent on its
+    own (per-batch partition OVERWRITE), so a crash between the flags
+    write and the store publish replays cleanly."""
+    from pyspark.sql import functions as _F
+
     from ..operators import dhash_dedup_against, image_dhash
+    from ..sources import manifest_publish, manifest_resolve, read_store
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hashes = image_dhash(batch_df, image_col, id_col)
-        dhash_dedup_against(
-            hashes, spark, store_path, id_col, max_hamming
-        ).write.mode("append").parquet(store_path + "_flags")
+        exists = manifest_resolve(spark, store_path) is not None
+        if exists:
+            applied = (
+                read_store(spark, store_path)
+                .agg(_F.max("__last_batch"))
+                .collect()[0][0]
+            )
+            if applied is not None and batch_id <= applied:
+                return  # at-least-once replay of an already-merged batch
+        # one decode+hash pass per batch; everything below reads blocks
+        hashes = image_dhash(batch_df, image_col, id_col).localCheckpoint(
+            eager=True
+        )
+        flags = dhash_dedup_against(
+            hashes, spark, store_path, id_col, max_hamming, update=False
+        )
+        # idempotent flags: a per-batch partition overwrite, BEFORE the
+        # store publish — a crash in between replays to identical flags
+        flags.write.mode("overwrite").parquet(
+            f"{store_path}_flags/batch={batch_id}"
+        )
+        new_rows = hashes.select(
+            id_col, "dhash_hi", "dhash_lo"
+        ).withColumn("__last_batch", _F.lit(batch_id).cast("long"))
+        merged = (
+            read_store(spark, store_path).unionByName(new_rows)
+            if exists
+            else new_rows
+        )
+        manifest_publish(
+            spark,
+            store_path,
+            lambda p: merged.write.mode("overwrite").parquet(p),
+        )
 
     return stream_df.writeStream.foreachBatch(_process)

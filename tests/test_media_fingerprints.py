@@ -394,3 +394,64 @@ def test_audio_fingerprints_share_incremental_store(spark, tmp_path):
         hi_col="fp_hi", lo_col="fp_lo",
     ).collect()[0]
     assert r["is_dup"] and r["best_match_id"] == 1 and r["best_hamming"] == 0
+
+
+def test_video_dhash_skips_codec_bound_containers(spark):
+    """A single mkv payload must not kill a corpus sweep (review fix):
+    video_dhash quarantines it as zero frames; the strict
+    sample_video_frames default still raises at the boundary."""
+    from sparkplug_spark.operators import video_dhash
+    from sparkplug_spark.operators.multimodal import sample_video_frames
+
+    mkv = b"\x1aE\xdf\xa3" + b"\x00" * 20
+    vids = spark.createDataFrame(
+        [(1, _avi([_p5(3, 0)])), (2, mkv)], "doc_id long, payload binary"
+    )
+    got = video_dhash(vids, decoder="real").collect()
+    assert {r["doc_id"] for r in got} == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_video_frames(vids, decoder="real").collect()
+
+
+def test_streaming_dhash_replay_guard(spark, tmp_path):
+    """At-least-once safety (review fix): a fresh stream re-delivering
+    the same batch ids against an up-to-date store is a NO-OP — without
+    the guard every hash would self-match and the store would double."""
+    import time
+
+    from sparkplug_spark.sources import read_store
+    from sparkplug_spark.streaming import streaming_dhash_flags
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    for b in range(2):
+        spark.createDataFrame(
+            [(b * 10 + i, _p5(i, 0)) for i in range(3)],
+            "doc_id long, payload binary",
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    def run(chk):
+        stream = (
+            spark.readStream.schema("doc_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_dhash_flags(stream, store)
+            .option("checkpointLocation", str(tmp_path / chk))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("chk1")
+    n1 = read_store(spark, store).count()
+    flags1 = spark.read.parquet(store + "_flags").count()
+    assert n1 == 6
+    # fresh checkpoint -> Spark re-delivers batch ids 0 and 1
+    run("chk2")
+    assert read_store(spark, store).count() == n1
+    assert spark.read.parquet(store + "_flags").count() == flags1
