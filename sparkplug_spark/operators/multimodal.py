@@ -745,8 +745,6 @@ def extract_audio_features(
     md5-seeded values."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    if on_error not in ("raise", "skip"):
-        raise ValueError(f"unknown on_error {on_error!r}")
 
     out_schema = T.StructType(
         df.schema.fields
