@@ -4472,6 +4472,60 @@ def _extension_oracles() -> dict[str, str]:
         FROM sc GROUP BY doc_id, scene_idx
     """
 
+    # scene keyframes (E220): middle frame per scene (non-negative, so
+    # // == div) joined back onto the recomputed hash table
+    scene_keyframes_sql = f"""
+        WITH sc2 AS ({video_scenes_sql}),
+        h2 AS (
+          WITH vb AS (
+            SELECT doc_id, doc_id % 12 AS g FROM documents
+            WHERE doc_id < 60
+          ),
+          fr AS (
+            SELECT doc_id, g, f.f AS f, f.f // 2 AS p
+            FROM vb, range(0, 6) f(f)
+          ),
+          px AS (
+            SELECT doc_id, f, y, x,
+                   (g * 7 + 3 * y + 5 * x + 11 * p) % 57 + 1 AS v
+            FROM fr, range(0, 16) t1(y), range(0, 18) t2(x)
+          ),
+          cells AS (
+            SELECT doc_id, f, y // 2 AS gy, x // 2 AS gx, sum(v) AS s
+            FROM px GROUP BY doc_id, f, y // 2, x // 2
+          ),
+          bits AS (
+            SELECT l.doc_id, l.f, l.gy * 8 + l.gx AS k,
+                   CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS b
+            FROM cells l JOIN cells r
+              ON l.doc_id = r.doc_id AND l.f = r.f AND l.gy = r.gy
+                 AND r.gx = l.gx + 1
+            WHERE l.gx < 8
+          )
+          SELECT doc_id, f,
+                 CAST(sum(CASE WHEN k < 32
+                               THEN b::BIGINT << (31 - k) ELSE 0 END)
+                   AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN k >= 32
+                               THEN b::BIGINT << (63 - k) ELSE 0 END)
+                   AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id, f
+        ),
+        key AS (
+          SELECT doc_id, scene_idx,
+                 start_frame_idx + (n_frames - 1) // 2 AS kf,
+                 n_frames
+          FROM sc2
+        )
+        SELECT k.doc_id, k.scene_idx,
+               CAST(k.kf AS BIGINT) AS keyframe_idx,
+               CAST(k.kf * 1000 AS BIGINT) AS keyframe_ts_ms,
+               h2.hi AS dhash_hi, h2.lo AS dhash_lo,
+               k.n_frames AS scene_n_frames
+        FROM key k
+        JOIN h2 ON h2.doc_id = k.doc_id AND h2.f = k.kf
+    """
+
     # incremental dhash dedup (E213): day-2 rows flag their best
     # hamming<=3 match among ALL smaller ids (store = <100, plus
     # earlier-in-batch), ties to the smallest id
@@ -6192,6 +6246,7 @@ def _extension_oracles() -> dict[str, str]:
         "video_pairs": video_pairs_sql,
         "dhash_incremental": dhash_incr_sql,
         "video_scenes": video_scenes_sql,
+        "scene_keyframes": scene_keyframes_sql,
         "audio_segments": audio_segments_sql,
         "audio_fp": audio_fp_sql,
         "audio_fp_pairs": audio_fp_pairs_sql,
@@ -10042,6 +10097,17 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scene_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene keyframe selection (E220): the middle frame of each scene
+    joined back onto the hash rows — one frame per shot."""
+    from sparkplug_spark.operators import scene_keyframes, video_dhash
+
+    hashes = video_dhash(
+        _video_scene_avis(spark, sf_dir), every_ms=1000, decoder="real"
+    )
+    return scene_keyframes(hashes, max_hamming=10)
+
+
 def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio perceptual fingerprint (E205): REAL PCM WAV decode → exact
     integer block-energy + zero-crossing dHash halves.  The oracle
@@ -10733,6 +10799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "cuped": q_cuped,
         "video_scenes": q_video_scenes,
+        "scene_keyframes": q_scene_keyframes,
         "audio_segments": q_audio_segments,
         "wordlist_filter": q_wordlist_filter,
         # rows-only (recall-gated) queries LAST: if the driver's check ever

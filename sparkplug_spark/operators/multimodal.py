@@ -56,6 +56,7 @@ __all__ = [
     "dhash_dedup_against",
     "video_scenes",
     "audio_segments",
+    "scene_keyframes",
 ]
 
 #: Typed metadata struct carried beside the binary payload.
@@ -1839,4 +1840,49 @@ def audio_segments(
         repartition_for_media(df.select(F.col(id_col), F.col(audio_col)))
         .mapInPandas(batches, schema=out_schema)
         .withColumnRenamed("id", id_col)
+    )
+
+
+def scene_keyframes(
+    frame_hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 10,
+) -> DataFrame:
+    """One representative keyframe per scene — the sampling policy
+    :func:`video_scenes` exists to feed: the MIDDLE frame of each scene
+    (start + (len−1) div 2, the steadiest pick for a shot) with its
+    hash, ready for :func:`dhash_dedup_against` / caption-pairing /
+    training-frame extraction at one frame per shot instead of one per
+    second.
+
+    Returns (id_col, scene_idx, keyframe_idx, keyframe_ts_ms,
+    dhash_hi, dhash_lo, scene_n_frames).
+
+    Plan: the scene window pass + one self-join back onto the (16-byte)
+    hash rows by (video, frame) — no media bytes move."""
+    scenes = video_scenes(frame_hashes, id_col, max_hamming)
+    key = scenes.select(
+        id_col,
+        "scene_idx",
+        (
+            F.col("start_frame_idx")
+            + F.expr("(n_frames - 1L) div 2L")
+        ).cast("int").alias("keyframe_idx"),
+        F.col("n_frames").alias("scene_n_frames"),
+    )
+    frames = frame_hashes.select(
+        F.col(id_col),
+        F.col("frame_idx").alias("keyframe_idx"),
+        F.col("frame_ts_ms").alias("keyframe_ts_ms"),
+        "dhash_hi",
+        "dhash_lo",
+    )
+    return key.join(frames, [id_col, "keyframe_idx"]).select(
+        id_col,
+        "scene_idx",
+        F.col("keyframe_idx").cast("long").alias("keyframe_idx"),
+        "keyframe_ts_ms",
+        "dhash_hi",
+        "dhash_lo",
+        "scene_n_frames",
     )

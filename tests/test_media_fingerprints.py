@@ -455,3 +455,30 @@ def test_streaming_dhash_replay_guard(spark, tmp_path):
     run("chk2")
     assert read_store(spark, store).count() == n1
     assert spark.read.parquet(store + "_flags").count() == flags1
+
+
+def test_scene_keyframes_pick_middle_frame(spark):
+    """E220: keyframe = middle frame of each scene, hash attached."""
+    from sparkplug_spark.operators import scene_keyframes, video_dhash
+
+    # A A A | B | C C — scenes of 3, 1, 2 frames
+    frames = [_p5(4, 0)] * 3 + [_p5(9, 0)] + [_p5(1, 0)] * 2
+    vids = spark.createDataFrame(
+        [(1, _avi(frames))], "doc_id long, payload binary"
+    )
+    hashes = video_dhash(vids, decoder="real")
+    # threshold 0: a scene is a run of IDENTICAL frames (patterns 9 and
+    # 1 happen to land within hamming 5 of each other)
+    got = {
+        r["scene_idx"]: (r["keyframe_idx"], r["scene_n_frames"])
+        for r in scene_keyframes(hashes, max_hamming=0).collect()
+    }
+    assert got == {0: (1, 3), 1: (3, 1), 2: (4, 2)}
+    # the keyframe carries the REAL hash of that frame
+    hmap = {
+        (r["doc_id"], r["frame_idx"]): (r["dhash_hi"], r["dhash_lo"])
+        for r in hashes.collect()
+    }
+    rows = scene_keyframes(hashes, max_hamming=0).collect()
+    for r in rows:
+        assert (r["dhash_hi"], r["dhash_lo"]) == hmap[(1, r["keyframe_idx"])]
