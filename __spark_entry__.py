@@ -4472,11 +4472,12 @@ def _extension_oracles() -> dict[str, str]:
         FROM sc GROUP BY doc_id, scene_idx
     """
 
-    # scene keyframes (E220): middle frame per scene (non-negative, so
-    # // == div) joined back onto the recomputed hash table
+    # scene keyframes (E220): median MEMBER frame per scene — rank the
+    # scene's retained frames and take row (n+1)//2 (non-negative, so
+    # // == div), carrying the hash on the ranked rows (no join back
+    # onto unfiltered frames — matches the codec-NULL-gap-safe pick)
     scene_keyframes_sql = f"""
-        WITH sc2 AS ({video_scenes_sql}),
-        h2 AS (
+        WITH h2 AS (
           WITH vb AS (
             SELECT doc_id, doc_id % 12 AS g FROM documents
             WHERE doc_id < 60
@@ -4511,19 +4512,33 @@ def _extension_oracles() -> dict[str, str]:
                    AS BIGINT) AS lo
           FROM bits GROUP BY doc_id, f
         ),
-        key AS (
-          SELECT doc_id, scene_idx,
-                 start_frame_idx + (n_frames - 1) // 2 AS kf,
-                 n_frames
-          FROM sc2
+        st2 AS (
+          SELECT doc_id, f, hi, lo, f * 1000 AS ts,
+                 bit_count(xor(hi, lag(hi) OVER w))
+                 + bit_count(xor(lo, lag(lo) OVER w)) AS step
+          FROM h2 WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+        ),
+        sc3 AS (
+          SELECT doc_id, f, hi, lo, ts,
+                 SUM(CASE WHEN step IS NULL OR step > 10
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY f
+                         ROWS UNBOUNDED PRECEDING) - 1 AS scene_idx
+          FROM st2
+        ),
+        rk AS (
+          SELECT doc_id, scene_idx, f, hi, lo, ts,
+                 row_number() OVER (PARTITION BY doc_id, scene_idx
+                                    ORDER BY f) AS rn,
+                 count(*) OVER (PARTITION BY doc_id, scene_idx) AS n
+          FROM sc3
         )
-        SELECT k.doc_id, k.scene_idx,
-               CAST(k.kf AS BIGINT) AS keyframe_idx,
-               CAST(k.kf * 1000 AS BIGINT) AS keyframe_ts_ms,
-               h2.hi AS dhash_hi, h2.lo AS dhash_lo,
-               k.n_frames AS scene_n_frames
-        FROM key k
-        JOIN h2 ON h2.doc_id = k.doc_id AND h2.f = k.kf
+        SELECT doc_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+               CAST(f AS BIGINT) AS keyframe_idx,
+               CAST(ts AS BIGINT) AS keyframe_ts_ms,
+               hi AS dhash_hi, lo AS dhash_lo,
+               CAST(n AS BIGINT) AS scene_n_frames
+        FROM rk WHERE rn = (n + 1) // 2
     """
 
     # incremental dhash dedup (E213): day-2 rows flag their best

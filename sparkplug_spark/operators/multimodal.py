@@ -1690,6 +1690,53 @@ def audio_fingerprint(
     )
 
 
+def _scene_frame_labels(
+    frame_hashes: DataFrame,
+    id_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """Per-frame scene labels shared by :func:`video_scenes` and
+    :func:`scene_keyframes`: drop NULL-hash (codec-bound) frames, flag
+    shot boundaries where consecutive-frame hamming exceeds
+    ``max_hamming``, and label each RETAINED frame with its scene_idx
+    via a running sum of break flags.  Keeping the hashes on the
+    labeled rows lets keyframe selection pick a median *member* frame
+    without ever joining back onto the unfiltered input (which would
+    resurrect excluded frames when the arithmetic middle lands on a
+    codec-NULL gap)."""
+    base = frame_hashes.filter(
+        F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
+    ).select(F.col(id_col), "frame_idx", "frame_ts_ms", "dhash_hi", "dhash_lo")
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    ham = (
+        F.bit_count(
+            F.col("dhash_hi").bitwiseXOR(F.lag("dhash_hi").over(w))
+        )
+        + F.bit_count(
+            F.col("dhash_lo").bitwiseXOR(F.lag("dhash_lo").over(w))
+        )
+    ).cast("long")
+    flagged = base.select(
+        id_col,
+        "frame_idx",
+        "frame_ts_ms",
+        "dhash_hi",
+        "dhash_lo",
+        F.coalesce(ham, F.lit(0)).alias("__step"),
+        F.when(ham.isNull() | (ham > int(max_hamming)), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__brk"),
+    )
+    wcum = (
+        Window.partitionBy(id_col)
+        .orderBy("frame_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.withColumn(
+        "scene_idx", (F.sum("__brk").over(wcum) - 1).cast("long")
+    )
+
+
 def video_scenes(
     frame_hashes: DataFrame,
     id_col: str = "doc_id",
@@ -1711,35 +1758,7 @@ def video_scenes(
 
     Plan: one per-video window (lag + running sum of break flags) +
     one aggregate — no joins, 16-byte rows, entirely relational."""
-    base = frame_hashes.filter(
-        F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
-    ).select(F.col(id_col), "frame_idx", "frame_ts_ms", "dhash_hi", "dhash_lo")
-    w = Window.partitionBy(id_col).orderBy("frame_idx")
-    ham = (
-        F.bit_count(
-            F.col("dhash_hi").bitwiseXOR(F.lag("dhash_hi").over(w))
-        )
-        + F.bit_count(
-            F.col("dhash_lo").bitwiseXOR(F.lag("dhash_lo").over(w))
-        )
-    ).cast("long")
-    flagged = base.select(
-        id_col,
-        "frame_idx",
-        "frame_ts_ms",
-        F.coalesce(ham, F.lit(0)).alias("__step"),
-        F.when(ham.isNull() | (ham > int(max_hamming)), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("__brk"),
-    )
-    wcum = (
-        Window.partitionBy(id_col)
-        .orderBy("frame_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    scened = flagged.withColumn(
-        "scene_idx", (F.sum("__brk").over(wcum) - 1).cast("long")
-    )
+    scened = _scene_frame_labels(frame_hashes, id_col, max_hamming)
     return scened.groupBy(id_col, "scene_idx").agg(
         F.min("frame_idx").cast("long").alias("start_frame_idx"),
         F.min("frame_ts_ms").cast("long").alias("start_ts_ms"),
@@ -1849,40 +1868,45 @@ def scene_keyframes(
     max_hamming: int = 10,
 ) -> DataFrame:
     """One representative keyframe per scene — the sampling policy
-    :func:`video_scenes` exists to feed: the MIDDLE frame of each scene
-    (start + (len−1) div 2, the steadiest pick for a shot) with its
-    hash, ready for :func:`dhash_dedup_against` / caption-pairing /
-    training-frame extraction at one frame per shot instead of one per
-    second.
+    :func:`video_scenes` exists to feed: the median MEMBER frame of
+    each scene (the (n+1) div 2-th retained frame in frame order — the
+    steadiest pick for a shot) with its hash, ready for
+    :func:`dhash_dedup_against` / caption-pairing / training-frame
+    extraction at one frame per shot instead of one per second.
+
+    The median is selected by RANK among the scene's retained
+    (non-NULL-hash) frames, never by index arithmetic: with a
+    codec-bound frame mid-scene the arithmetic middle
+    ``start + (n−1) div 2`` can land on an excluded or never-sampled
+    frame_idx, emitting a NULL-hash keyframe or silently dropping the
+    scene.  On gapless inputs the two policies agree.
 
     Returns (id_col, scene_idx, keyframe_idx, keyframe_ts_ms,
     dhash_hi, dhash_lo, scene_n_frames).
 
-    Plan: the scene window pass + one self-join back onto the (16-byte)
-    hash rows by (video, frame) — no media bytes move."""
-    scenes = video_scenes(frame_hashes, id_col, max_hamming)
-    key = scenes.select(
+    Plan: the shared scene window pass + two more windows over the same
+    (video) partitioning — no joins, no media bytes move."""
+    labeled = _scene_frame_labels(frame_hashes, id_col, max_hamming)
+    wscene = Window.partitionBy(id_col, "scene_idx").orderBy("frame_idx")
+    wall = Window.partitionBy(id_col, "scene_idx")
+    ranked = labeled.select(
         id_col,
         "scene_idx",
-        (
-            F.col("start_frame_idx")
-            + F.expr("(n_frames - 1L) div 2L")
-        ).cast("int").alias("keyframe_idx"),
-        F.col("n_frames").alias("scene_n_frames"),
-    )
-    frames = frame_hashes.select(
-        F.col(id_col),
-        F.col("frame_idx").alias("keyframe_idx"),
-        F.col("frame_ts_ms").alias("keyframe_ts_ms"),
+        "frame_idx",
+        "frame_ts_ms",
         "dhash_hi",
         "dhash_lo",
+        F.row_number().over(wscene).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
     )
-    return key.join(frames, [id_col, "keyframe_idx"]).select(
+    return ranked.filter(
+        F.col("__rn") == F.expr("(__n + 1L) div 2L")
+    ).select(
         id_col,
         "scene_idx",
-        F.col("keyframe_idx").cast("long").alias("keyframe_idx"),
-        "keyframe_ts_ms",
+        F.col("frame_idx").cast("long").alias("keyframe_idx"),
+        F.col("frame_ts_ms").cast("long").alias("keyframe_ts_ms"),
         "dhash_hi",
         "dhash_lo",
-        "scene_n_frames",
+        F.col("__n").cast("long").alias("scene_n_frames"),
     )

@@ -482,3 +482,51 @@ def test_scene_keyframes_pick_middle_frame(spark):
     rows = scene_keyframes(hashes, max_hamming=0).collect()
     for r in rows:
         assert (r["dhash_hi"], r["dhash_lo"]) == hmap[(1, r["keyframe_idx"])]
+
+
+def test_scene_keyframes_codec_null_gap_mid_scene(spark):
+    """E220 regression: a codec-bound (NULL-hash) frame in the middle of
+    a scene must not poison the keyframe pick.  The old arithmetic
+    middle (start + (n-1) div 2) could land exactly on the excluded
+    frame_idx, emitting a NULL-hash keyframe or losing the scene; the
+    member-rank pick selects a retained frame, always."""
+    from sparkplug_spark.operators import scene_keyframes, video_scenes
+
+    # one video: frames 0..4 identical hashes, but frame 2 (the
+    # arithmetic middle of the 5-frame run) is codec-NULL
+    rows = [
+        (1, 0, 0, 7, 7),
+        (1, 1, 1000, 7, 7),
+        (1, 2, 2000, None, None),
+        (1, 3, 3000, 7, 7),
+        (1, 4, 4000, 7, 7),
+        # second video: NULL at an arithmetic-middle position of a
+        # 3-frame scene that follows a scene break
+        (2, 0, 0, 0, 0),
+        (2, 1, 1000, -1, -1),  # huge hamming -> break
+        (2, 2, 2000, None, None),
+        (2, 3, 3000, -1, -1),
+        (2, 4, 4000, -1, -1),
+    ]
+    hashes = spark.createDataFrame(
+        rows,
+        "doc_id long, frame_idx int, frame_ts_ms long, "
+        "dhash_hi long, dhash_lo long",
+    )
+    scenes = {
+        (r["doc_id"], r["scene_idx"]): r["n_frames"]
+        for r in video_scenes(hashes, max_hamming=5).collect()
+    }
+    # video 1: one 4-retained-frame scene; video 2: 1-frame + 3-frame
+    assert scenes == {(1, 0): 4, (2, 0): 1, (2, 1): 3}
+    got = {
+        (r["doc_id"], r["scene_idx"]): (
+            r["keyframe_idx"], r["dhash_hi"], r["scene_n_frames"])
+        for r in scene_keyframes(hashes, max_hamming=5).collect()
+    }
+    # every scene keeps exactly one keyframe, never a NULL hash
+    assert got == {
+        (1, 0): (1, 7, 4),   # members 0,1,3,4 -> rank (4+1)//2=2 -> idx 1
+        (2, 0): (0, 0, 1),
+        (2, 1): (3, -1, 3),  # members 1,3,4 -> rank 2 -> idx 3
+    }
