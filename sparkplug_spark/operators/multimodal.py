@@ -1807,43 +1807,58 @@ def audio_segments(
         ]
     )
 
+    def one_clip(rid, payload, rows):
+        import numpy as np
+
+        try:
+            s = _audio_samples_int(payload)
+        except NotImplementedError:
+            return
+        n_fr = len(s) // frame_samples
+        if n_fr == 0:
+            return
+        s = s[: n_fr * frame_samples]
+        # headroom check: _audio_samples_int downshifts wide formats to
+        # <=16 bits per channel, so |s| <= nch * 2^16 and int64 frame /
+        # clip energy sums cannot overflow for any realistic clip; keep
+        # the exact object-dtype path only when max|s|^2 * n could
+        # actually exceed int64 (e.g. a many-channel pathological mix)
+        m = int(np.abs(s).max()) if len(s) else 0
+        if m and m * m >= (2**62) // len(s):
+            e = (
+                (s.astype(object) ** 2)
+                .reshape(n_fr, frame_samples)
+                .sum(axis=1)
+            )
+            e = np.array([int(v) for v in e], dtype=object)
+            nonsilent = np.array(
+                [int(v) > silence_energy for v in e], dtype=bool
+            )
+        else:
+            e = (s * s).reshape(n_fr, frame_samples).sum(axis=1)
+            nonsilent = e > silence_energy
+        if not nonsilent.any():
+            return
+        prev = np.concatenate(([False], nonsilent[:-1]))
+        nxt = np.concatenate((nonsilent[1:], [False]))
+        starts = np.flatnonzero(nonsilent & ~prev)
+        ends = np.flatnonzero(nonsilent & ~nxt) + 1  # exclusive
+        for seg, (a, b) in enumerate(zip(starts, ends)):
+            rows.append(
+                {
+                    "id": rid,
+                    "segment_idx": seg,
+                    "start_frame": int(a),
+                    "n_frames": int(b - a),
+                    "energy_sum": int(e[a:b].sum()),
+                }
+            )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
+            rows: list = []
             for rid, payload in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
-                try:
-                    s = _audio_samples_int(payload)
-                except NotImplementedError:
-                    continue
-                n_fr = len(s) // frame_samples
-                if n_fr == 0:
-                    continue
-                e = (
-                    (s[: n_fr * frame_samples].astype(object) ** 2)
-                    .reshape(n_fr, frame_samples)
-                    .sum(axis=1)
-                )
-                seg = -1
-                in_seg = False
-                for f in range(n_fr):
-                    silent = int(e[f]) <= silence_energy
-                    if silent:
-                        in_seg = False
-                        continue
-                    if not in_seg:
-                        seg += 1
-                        rows.append(
-                            {
-                                "id": rid,
-                                "segment_idx": seg,
-                                "start_frame": f,
-                                "n_frames": 0,
-                                "energy_sum": 0,
-                            }
-                        )
-                        in_seg = True
-                    rows[-1]["n_frames"] += 1
-                    rows[-1]["energy_sum"] += int(e[f])
+                one_clip(rid, payload, rows)
             yield pd.DataFrame(
                 rows,
                 columns=[

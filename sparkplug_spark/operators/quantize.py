@@ -208,9 +208,10 @@ def embedding_isotropy(
     width, never the corpus."""
     from .similarity import pca_fit
 
-    d = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-    if not d:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or not row["d"]:
         raise ValueError("embedding_isotropy: empty vectors")
+    d = row["d"]
     _mean, _comps, evals = pca_fit(
         df, vec_col, k=int(d), quantize_sig=quantize_sig
     )

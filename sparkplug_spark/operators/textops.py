@@ -238,7 +238,7 @@ def language_id_trained(
         "long"
     )
     grams = lambda d: char_multi_ngrams_pd(  # noqa: E731
-        F.col(text_col), gram_sizes
+        d[text_col], gram_sizes
     )
     intermediates: list[DataFrame] = []
     if train_df is None:

@@ -330,6 +330,32 @@ class TestAudioSegments:
         )
         assert a == b and len(a) > 0
 
+    def test_long_clip_perf_floor(self, spark):
+        """Kernel perf pin: the run extraction is vectorized (int64
+        energies + boundary masks), never a per-frame Python loop — 8
+        clips x 1M samples segment in seconds; the old object-dtype
+        per-frame loop took minutes on this fixture."""
+        import time
+
+        from sparkplug_spark.operators import audio_segments
+
+        rng = np.random.default_rng(7)
+        i = np.arange(1_000_000, dtype=np.int64)
+        clips = []
+        for d in range(8):
+            s = rng.integers(-30000, 30001, size=len(i), dtype=np.int64)
+            # silence every other 10k-sample stretch -> 50 segments
+            s[(i // 10_000) % 2 == 1] = 0
+            clips.append((d, _wav(s)))
+        df = spark.createDataFrame(clips, "doc_id long, payload binary")
+        t0 = time.perf_counter()
+        out = audio_segments(df, frame_samples=10).collect()
+        wall = time.perf_counter() - t0
+        assert len(out) == 8 * 50
+        one = [r for r in out if r["doc_id"] == 0 and r["segment_idx"] == 0][0]
+        assert one["n_frames"] == 1000 and one["start_frame"] == 0
+        assert wall < 25.0, f"audio_segments kernel too slow: {wall:.1f}s"
+
 
 class TestStreamingDhashFlags:
     """E218: ingest-time perceptual dedup stream tier."""

@@ -267,3 +267,16 @@ class TestEmbeddingIsotropy:
         assert rows[-1]["cum_ppm"] == 1_000_000 or rows[-1]["cum_ppm"] >= 999_999
         cums = [r["cum_ppm"] for r in rows]
         assert cums == sorted(cums)
+
+    def test_empty_input_raises_value_error(self, spark):
+        """An empty DataFrame raises the intended ValueError, not an
+        opaque TypeError from subscripting a None first() row."""
+        import pytest
+
+        from sparkplug_spark.operators import embedding_isotropy
+
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="empty vectors"):
+            embedding_isotropy(df)
