@@ -3027,6 +3027,52 @@ def q_cluster_balance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_profile_frozen(emb, centers)
 
 
+def q_semantic_dedup_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-center SemDeDup — the exact oracle tier of semantic_dedup
+    (E106), the E82b precedent applied: centers pinned to the vec_id<8
+    medoids make assignment (6dp cosine, ties to smallest center) and
+    the greedy ascending-id prefix rule value-hashable against a
+    recursive-CTE SQL twin.  Threshold 0.4 sits in the synthetic
+    table's near-dup band (same corpus contract as emb_similar_pairs)."""
+    from sparkplug_spark.operators import semantic_dedup_frozen
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centers = emb.filter(F.col("vec_id") < 8)
+    return semantic_dedup_frozen(emb, centers, threshold=0.4)
+
+
+def q_semantic_dedup_incr_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-store incremental semantic screen — the exact oracle tier
+    of semantic_dedup_incr (E115): day-0 = vec_id<400 deduped under the
+    frozen centers, its keepers become the stored representatives, and
+    the vec_id>=400 batch is screened fully relationally (cluster-key
+    join + 6dp cosine + per-row argmax window) — every column
+    value-hashes."""
+    from sparkplug_spark.operators import (
+        semantic_dedup_against_frozen,
+        semantic_dedup_frozen,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centers = emb.filter(F.col("vec_id") < 8)
+    day0 = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    kept = (
+        semantic_dedup_frozen(day0, centers, threshold=0.4)
+        .filter(F.col("kept"))
+        .select("id", "cluster_id")
+        .join(
+            day0.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("vec"),
+            ),
+            "id",
+        )
+        .select("cluster_id", "id", "vec")
+    )
+    return semantic_dedup_against_frozen(batch, centers, kept, threshold=0.4)
+
+
 def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k at n_probe == num_centroids — exhaustive probing makes
     the IVF machinery EXACT (pytest already pins it == cosine_topk), so
@@ -3391,6 +3437,16 @@ _SQL_COS = (
     "round(CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) = 0"
     " THEN 0.0 ELSE list_dot_product({a},{b}) /"
     " (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END, 6)"
+)
+
+# max 6dp-rounded cosine of the walked member g.v against the carried
+# kept-vector list w.kept_vecs (frozen-center SemDeDup recursive CTE)
+_SQL_MAXCOS_KEPT = (
+    "list_max(list_transform(w.kept_vecs, kv ->"
+    " round(CASE WHEN sqrt(list_dot_product(kv,kv))"
+    " * sqrt(list_dot_product(g.v,g.v)) = 0 THEN 0.0"
+    " ELSE list_dot_product(kv,g.v) / (sqrt(list_dot_product(kv,kv))"
+    " * sqrt(list_dot_product(g.v,g.v))) END, 6)))"
 )
 
 _SQL_STOPWORD_RATIO = (
@@ -6558,6 +6614,105 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # frozen-center SemDeDup (E106 oracle tier): the greedy
+        # ascending-id prefix is a recursive CTE carrying the kept
+        # vectors; cosines rounded to 6dp on BOTH sides before the
+        # threshold test (raw BLAS-vs-sequential doubles differ ~1e-15)
+        "semantic_dedup_frozen": f"""
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            asg AS (
+              SELECT rid, cid, v FROM (
+                SELECT e.vec_id AS rid, c.cid, e.v,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY {_SQL_COS.format(a='e.v', b='c.cv')} DESC,
+                                  c.cid) AS rk
+                FROM e CROSS JOIN c) WHERE rk = 1
+            ),
+            g AS (
+              SELECT cid, rid, v,
+                     row_number() OVER (PARTITION BY cid ORDER BY rid) AS rn
+              FROM asg
+            ),
+            walk AS (
+              SELECT cid, rn, rid, true AS kept, [v] AS kept_vecs
+              FROM g WHERE rn = 1
+              UNION ALL
+              SELECT g.cid, g.rn, g.rid,
+                     coalesce({_SQL_MAXCOS_KEPT} < 0.4, true) AS kept,
+                     CASE WHEN coalesce({_SQL_MAXCOS_KEPT} < 0.4, true)
+                          THEN list_append(w.kept_vecs, g.v)
+                          ELSE w.kept_vecs END
+              FROM walk w JOIN g ON g.cid = w.cid AND g.rn = w.rn + 1
+            )
+            SELECT rid AS id, cid AS cluster_id, kept FROM walk
+        """,
+        # frozen-store incremental semantic screen (E115 oracle tier):
+        # day-0 keepers from the same recursive walk become the stored
+        # reps; the batch screen is plain relational SQL
+        "semantic_dedup_incr_frozen": f"""
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            d0 AS (SELECT * FROM e WHERE vec_id < 400),
+            asg AS (
+              SELECT rid, cid, v FROM (
+                SELECT d0.vec_id AS rid, c.cid, d0.v,
+                       row_number() OVER (
+                         PARTITION BY d0.vec_id
+                         ORDER BY {_SQL_COS.format(a='d0.v', b='c.cv')} DESC,
+                                  c.cid) AS rk
+                FROM d0 CROSS JOIN c) WHERE rk = 1
+            ),
+            g AS (
+              SELECT cid, rid, v,
+                     row_number() OVER (PARTITION BY cid ORDER BY rid) AS rn
+              FROM asg
+            ),
+            walk AS (
+              SELECT cid, rn, rid, true AS kept, [v] AS kept_vecs
+              FROM g WHERE rn = 1
+              UNION ALL
+              SELECT g.cid, g.rn, g.rid,
+                     coalesce({_SQL_MAXCOS_KEPT} < 0.4, true) AS kept,
+                     CASE WHEN coalesce({_SQL_MAXCOS_KEPT} < 0.4, true)
+                          THEN list_append(w.kept_vecs, g.v)
+                          ELSE w.kept_vecs END
+              FROM walk w JOIN g ON g.cid = w.cid AND g.rn = w.rn + 1
+            ),
+            reps AS (
+              SELECT g.cid, g.rid AS rep_id, g.v AS rv
+              FROM walk w JOIN g ON g.cid = w.cid AND g.rid = w.rid
+              WHERE w.kept
+            ),
+            bt AS (SELECT vec_id, v FROM e WHERE vec_id >= 400),
+            basg AS (
+              SELECT rid, cid, v FROM (
+                SELECT bt.vec_id AS rid, c.cid, bt.v,
+                       row_number() OVER (
+                         PARTITION BY bt.vec_id
+                         ORDER BY {_SQL_COS.format(a='bt.v', b='c.cv')} DESC,
+                                  c.cid) AS rk
+                FROM bt CROSS JOIN c) WHERE rk = 1
+            ),
+            scored AS (
+              SELECT b.rid AS id, b.cid AS cluster_id, r.rep_id,
+                     CASE WHEN r.rep_id IS NULL THEN NULL
+                          ELSE {_SQL_COS.format(a='b.v', b='r.rv')} END AS cos
+              FROM basg b LEFT JOIN reps r ON r.cid = b.cid
+            )
+            SELECT id, cluster_id,
+                   coalesce(cos >= 0.4, false) AS is_near_dup,
+                   CASE WHEN cos >= 0.4 THEN rep_id END AS near_dup_of
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY id
+                ORDER BY cos DESC NULLS LAST, rep_id ASC NULLS LAST) AS rk
+              FROM scored
+            ) WHERE rk = 1
         """,
         "simsearch_topk": f"""
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -10817,6 +10972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_keyframes": q_scene_keyframes,
         "audio_segments": q_audio_segments,
         "wordlist_filter": q_wordlist_filter,
+        "semantic_dedup_frozen": q_semantic_dedup_frozen,
+        "semantic_dedup_incr_frozen": q_semantic_dedup_incr_frozen,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -43,6 +43,8 @@ __all__ = [
     "embedding_norms",
     "cluster_profile",
     "semantic_dedup",
+    "semantic_dedup_frozen",
+    "semantic_dedup_against_frozen",
     "build_semantic_store",
     "semantic_dedup_against",
     "pca_fit",
@@ -1268,6 +1270,194 @@ def semantic_dedup(
 
     return assigned.groupBy("cluster").applyInPandas(
         _prune, schema=f"id {id_field}, cluster int, kept boolean"
+    )
+
+
+def _assign_frozen(
+    df: DataFrame,
+    centers: DataFrame,
+    vec_col: str,
+    id_col: str,
+    center_id_col: str,
+) -> DataFrame:
+    """Shared frozen-center assignment: every vector goes to its
+    highest-6dp-cosine center, ties to the smallest center id — the
+    relational pattern :func:`cluster_profile_frozen` established, kept
+    identical here so all frozen tiers value-hash against the same SQL
+    twin.  Returns (id, cluster_id, qv) — the vector rides along for
+    the downstream greedy/screen pass."""
+    c = F.broadcast(
+        centers.select(
+            F.col(center_id_col).alias("cluster_id"),
+            F.col(vec_col).alias("cv"),
+            vec_norm(F.col(vec_col)).alias("cn"),
+        )
+    )
+    scored = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("qv"),
+            vec_norm(F.col(vec_col)).alias("qn"),
+        )
+        .crossJoin(c)
+        .select(
+            "id",
+            "qv",
+            "cluster_id",
+            _cosine(vec_dot("qv", "cv"), F.col("qn"), F.col("cn")).alias(
+                "__cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__cos"), F.asc("cluster_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("id", "cluster_id", "qv")
+    )
+
+
+def semantic_dedup_frozen(
+    df: DataFrame,
+    centers: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    center_id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT-tier SemDeDup over FROZEN centers — the oracle-checkable
+    sibling of :func:`semantic_dedup`, following the
+    :func:`cluster_profile_frozen` precedent: with the quantizer pinned
+    (seeded medoids, a governance-pinned centroid release, or a trained
+    quantizer persisted once), both the cluster assignment and the
+    greedy prefix rule are deterministic functions of the data, so the
+    whole decision table value-hashes against a recursive-CTE SQL twin.
+
+    Assignment: highest 6dp-rounded cosine, ties to the smallest center
+    id (identical to :func:`cluster_profile_frozen`).  Keep rule: within
+    each cluster, members are visited in ascending ``id_col``; a member
+    is kept iff its 6dp-rounded cosine against every EARLIER KEPT member
+    stays below ``threshold`` — the same greedy prefix as
+    :func:`semantic_dedup`, quantized so both engines compare the same
+    number (raw BLAS-vs-sequential doubles differ by ~1e-15, enough to
+    flip a threshold test; 6dp-rounded cosines are the repo's
+    established cross-engine contract for similarity values).
+
+    Output: (id, cluster_id, kept BOOLEAN).
+
+    Scale shape: centers broadcast, one narrow assignment pass, one
+    shuffle on the cluster key; per-cluster greedy runs as incremental
+    numpy GEMV against the kept prefix — O(n_c · kept · dim), vectorized,
+    exactly :func:`semantic_dedup`'s kernel with rounded comparisons."""
+    from ..functions.vectors import _mat
+
+    if not -1.0 <= threshold <= 1.0 + 1e-9:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    assigned = _assign_frozen(df, centers, vec_col, id_col, center_id_col)
+    id_field = df.schema[id_col].dataType.simpleString()
+    cl_field = centers.schema[center_id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        m = _mat(pdf["qv"])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        kept_rows = np.zeros((len(pdf), m.shape[1]), dtype=np.float64)
+        kept_flags = np.zeros(len(pdf), dtype=bool)
+        k = 0
+        for i in range(len(pdf)):
+            if k == 0 or float(
+                np.max(np.round(kept_rows[:k] @ m[i], 6))
+            ) < thr:
+                kept_rows[k] = m[i]
+                kept_flags[i] = True
+                k += 1
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cluster_id": pdf["cluster_id"],
+                "kept": kept_flags,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        _prune, schema=f"id {id_field}, cluster_id {cl_field}, kept boolean"
+    )
+
+
+def semantic_dedup_against_frozen(
+    batch: DataFrame,
+    centers: DataFrame,
+    kept: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    center_id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT-tier incremental semantic screen over a FROZEN store — the
+    oracle-checkable sibling of :func:`semantic_dedup_against`: with the
+    centers pinned and the representative set ``kept`` given as data
+    ((cluster_id, id, vec) rows, e.g. ``semantic_dedup_frozen(...)``'s
+    keepers joined back to their vectors), every batch vector is
+    assigned to its frozen cluster and flagged when its 6dp-rounded
+    cosine to ANY same-cluster representative reaches ``threshold``.
+    ``near_dup_of`` is the matching representative with the highest
+    rounded cosine, ties to the smallest rep id; NULL when clean.
+
+    Fully relational — broadcast centers, one cluster-key join against
+    the store, a per-batch-row argmax window — so the whole output
+    value-hashes; no kernel, no RNG, no training.
+
+    Scale shape: the steady-state ingestion cost is |batch| × (reps in
+    the batch rows' clusters) rounded-cosine evaluations — corpus-size-
+    independent, the same contract as ``dedup_exact_against`` /
+    ``minhash_lsh_join``."""
+    if not -1.0 <= threshold <= 1.0 + 1e-9:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    assigned = _assign_frozen(batch, centers, vec_col, id_col, center_id_col)
+    reps = kept.select(
+        F.col("cluster_id"),
+        F.col("id").alias("__rep_id"),
+        F.col("vec").alias("__rep_vec"),
+        vec_norm(F.col("vec")).alias("__rep_norm"),
+    )
+    scored = (
+        assigned.withColumn("__qn", vec_norm(F.col("qv")))
+        .join(reps, "cluster_id", "left")
+        .select(
+            "id",
+            "cluster_id",
+            "__rep_id",
+            F.when(
+                F.col("__rep_id").isNotNull(),
+                _cosine(
+                    vec_dot("qv", "__rep_vec"),
+                    F.col("__qn"),
+                    F.col("__rep_norm"),
+                ),
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc_nulls_last("__cos"), F.asc_nulls_last("__rep_id")
+    )
+    thr = float(threshold)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "id",
+            "cluster_id",
+            F.coalesce(F.col("__cos") >= F.lit(thr), F.lit(False)).alias(
+                "is_near_dup"
+            ),
+            F.when(
+                F.col("__cos") >= F.lit(thr), F.col("__rep_id")
+            ).alias("near_dup_of"),
+        )
     )
 
 

@@ -204,3 +204,77 @@ class TestStreamingSemanticFlags:
         q.awaitTermination(120)
         assert got[10] == (True, 1)
         assert got[11] == (False, None)
+
+
+class TestSemanticDedupFrozen:
+    """Frozen-center oracle tiers: deterministic assignment + greedy."""
+
+    def test_matches_batch_twin_on_frozen_centers(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, (rng.normal(size=6) * 3).round(2).tolist()) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        centers_rows = rows[:4]
+        centers = spark.createDataFrame(centers_rows, SCHEMA)
+        C = np.array([v for _, v in centers_rows], dtype=np.float64)
+        C = C / np.linalg.norm(C, axis=1)[:, None]
+        from sparkplug_spark.operators import semantic_dedup_frozen
+
+        out = {
+            r["id"]: (r["cluster_id"], r["kept"])
+            for r in semantic_dedup_frozen(df, centers, threshold=0.6).collect()
+        }
+        twin_kept = _twin(rows, C, 0.6)
+        assert len(out) == len(rows)
+        # greedy decisions agree with the dense twin (rounded cosines can
+        # only differ from raw at the 1e-6 boundary — not hit here)
+        assert {k: v[1] for k, v in out.items()} == twin_kept
+
+    def test_first_member_always_kept_and_dups_drop(self, spark):
+        from sparkplug_spark.operators import semantic_dedup_frozen
+
+        base = [1.0, 0.0, 0.0]
+        rows = [(5, base), (2, base), (9, [0.0, 1.0, 0.0])]
+        df = spark.createDataFrame(rows, SCHEMA)
+        centers = spark.createDataFrame([(0, base)], SCHEMA)
+        out = {
+            r["id"]: r["kept"]
+            for r in semantic_dedup_frozen(df, centers, threshold=0.9).collect()
+        }
+        assert out == {2: True, 5: False, 9: True}
+
+    def test_against_frozen_screen_and_ties(self, spark):
+        from sparkplug_spark.operators import semantic_dedup_against_frozen
+
+        centers = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], SCHEMA
+        )
+        kept = spark.createDataFrame(
+            [(0, 10, [1.0, 0.0]), (0, 11, [1.0, 0.0]), (1, 20, [0.0, 1.0])],
+            "cluster_id long, id long, vec array<float>",
+        )
+        batch = spark.createDataFrame(
+            [(100, [0.99, 0.01]), (101, [-1.0, 0.05]), (102, [0.0, 2.0])],
+            SCHEMA,
+        )
+        out = {
+            r["id"]: (r["cluster_id"], r["is_near_dup"], r["near_dup_of"])
+            for r in semantic_dedup_against_frozen(
+                batch, centers, kept, threshold=0.9
+            ).collect()
+        }
+        # 100: near-dup of BOTH reps 10 and 11 (identical cosine) -> tie
+        # breaks to the smallest rep id
+        assert out[100] == (0, True, 10)
+        # 101: assigned to cluster 1 (cos to center0 negative), clean
+        assert out[101][1] is False and out[101][2] is None
+        # 102: exact match of rep 20
+        assert out[102] == (1, True, 20)
+
+    def test_frozen_threshold_guard(self, spark):
+        from sparkplug_spark.operators import semantic_dedup_frozen
+
+        df = spark.createDataFrame([(1, [1.0, 0.0])], SCHEMA)
+        with pytest.raises(ValueError, match="threshold"):
+            semantic_dedup_frozen(df, df, threshold=1.5)
