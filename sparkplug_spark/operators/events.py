@@ -1337,7 +1337,8 @@ def state_durations(
     total_dwell_micros, mean_dwell_micros) — exact integer micros.
 
     Timestamps compare as EXACT integer micros (unix_micros — the
-    CLAUDE.md distance invariant) and ``tiebreak_cols`` (e.g. a unique
+    double-cast seconds carry ~0.25µs ulps that flip exact-distance
+    ties between engines) and ``tiebreak_cols`` (e.g. a unique
     event id) total-orders same-instant events: without it, which of
     two tied events of DIFFERENT types owns the following gap is
     engine-arbitrary.

@@ -176,7 +176,8 @@ def bootstrap_ci(
     )
     # materialize the md5 coin ONCE per row: binding the full hash60
     # expression inside the transform lambda would re-evaluate md5 once
-    # per cutoff element (the CLAUDE.md HOF re-evaluation hazard)
+    # per cutoff element (F.transform lambdas re-evaluate their body
+    # per element — materialize the coin once, then compare)
     base = base.withColumn("__u", hash60(key))
     w = (
         F.array_position(

@@ -436,7 +436,7 @@ def isotonic_fit_exact(
     label sums, both range-prefix accumulated) or IEEE mul/div/min/max
     of those integers — deterministic bit-for-bit across engines, so
     the output value-hashes against a DuckDB oracle (no libm; see the
-    CLAUDE.md ln() hazard note).
+    JVM-vs-libm ln() 1–2-ulp hazard).
 
     Scale: the pair join materializes O(D^2) SMALL rows (three longs) —
     the price of the closed form.  D is the number of DISTINCT scores;

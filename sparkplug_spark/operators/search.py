@@ -461,7 +461,8 @@ def ranking_metrics(
     All metrics are exact integers: precision/recall/MRR are pure
     integer-ppm divisions; NDCG's position discount ``1/log2(rank+1)``
     is quantized to integer nano-units PER POSITION before the exact
-    sums (the CLAUDE.md ln-ulp discipline), and ``ndcg_ppm = dcg·10⁶
+    sums (JVM vs libm ln() differs by 1–2 ulp on some inputs, so raw
+    log doubles never reach hashed output), and ``ndcg_ppm = dcg·10⁶
     div idcg`` — the ideal DCG sums the same quantized discounts over
     the first ``min(n_relevant, k)`` positions, so both engines agree
     bit-for-bit.

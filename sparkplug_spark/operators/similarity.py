@@ -1108,7 +1108,8 @@ def cluster_profile_frozen(
     dependent; integer sums commute), and the report carries the SUM
     (``sum_sim_micros``) rather than a mean — an integer division of a
     possibly-negative sum would hit the truncate-vs-floor engine split
-    (CLAUDE.md invariant).  Output: (cluster_id, n_vecs, share_ppm,
+    (Spark div truncates toward zero, DuckDB // floors — they agree
+    only for non-negative operands).  Output: (cluster_id, n_vecs, share_ppm,
     sum_sim_micros); centers with no members keep a zero row.
 
     Scale shape: centers broadcast; assignment is one narrow pass over

@@ -369,7 +369,7 @@ def kmv_distinct(
     hashes saw their whole key set — the estimate is EXACT (= n_hashes);
     otherwise D̂ = floor((k-1)·2^60 / h_k).  The arithmetic is IEEE
     mul/div on exactly-representable operands, so DuckDB reproduces the
-    estimate bit-for-bit (no libm — the CLAUDE.md ln() hazard class does
+    estimate bit-for-bit (no libm — the JVM-vs-libm ln() 1–2-ulp class does
     not apply)."""
     agg = sketches.groupBy(*[F.col(c) for c in by]).agg(
         F.count(F.lit(1)).alias("n_hashes"),

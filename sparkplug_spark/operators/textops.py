@@ -140,7 +140,9 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Tokenizes ONCE per row (Arrow kernel materializes the token array;
     every stat derives from that attribute).  Inlining the tokens
     expression instead re-evaluates 2×regexp_replace+split per derived
-    column after projection collapse — the waste class CLAUDE.md bans."""
+    column after projection collapse — per-element re-evaluation of
+    anything computable once is the hot-path waste class this package
+    bans."""
     c = F.col(text_col)
     t = F.col("__toks")
     return (
