@@ -3091,12 +3091,14 @@ def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
-    a broadcast term array, exact counts, zero-shuffle projection."""
+    a broadcast term array plus a multi-word phrase matched as a
+    contiguous token subsequence, exact counts, zero-shuffle
+    projection."""
     from sparkplug_spark.operators import wordlist_filter
 
     docs = _read(spark, sf_dir, "documents")
     return wordlist_filter(
-        docs, ["spark", "hash", "vector"], max_hits=2
+        docs, ["spark", "hash", "vector", "table table"], max_hits=2
     ).select(
         "doc_id", "n_term_hits", "n_distinct_terms", "wordlist_flagged"
     )
@@ -6467,13 +6469,19 @@ def _extension_oracles() -> dict[str, str]:
             h AS (
               SELECT doc_id,
                      list_filter(t, x -> list_contains(
-                       ['hash', 'spark', 'vector'], x)) AS hits
+                       ['hash', 'spark', 'vector'], x)) AS hits,
+                     CASE WHEN len(t) >= 2 THEN len(list_filter(
+                       range(1, len(t)), i ->
+                       list_slice(t, i, i + 1) = ['table', 'table']))
+                     ELSE 0 END AS ph
               FROM tk
             )
             SELECT doc_id,
-                   len(hits)::BIGINT AS n_term_hits,
-                   len(list_distinct(hits))::BIGINT AS n_distinct_terms,
-                   len(hits) > 2 AS wordlist_flagged
+                   (len(hits) + ph)::BIGINT AS n_term_hits,
+                   (len(list_distinct(hits))
+                    + CASE WHEN ph > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_distinct_terms,
+                   len(hits) + ph > 2 AS wordlist_flagged
             FROM h
         """,
         # line-wise quality corrections (E208): same fixture rewrap

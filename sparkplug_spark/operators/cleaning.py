@@ -1915,43 +1915,63 @@ def wordlist_filter(
     Obscene..." list; every web pipeline ships some variant).  Matching
     is TOKEN-level on the shared normalization (never substring — the
     Scunthorpe failure), against a broadcast-small lowercased term set.
+    Multi-word entries (the real C4 list carries phrases) match as
+    CONTIGUOUS token subsequences — overlapping occurrences each count,
+    consistent with single tokens counting per occurrence.
 
     Returns every input row plus ``n_term_hits`` (total occurrences),
     ``n_distinct_terms`` (how many listed terms appear), and
     ``wordlist_flagged`` (``n_term_hits > max_hits`` — 0 is the strict
     C4 behavior; raise it to tolerate incidental mentions).
 
-    Scale shape: one zero-shuffle codegen projection — the term set is
-    an array literal (wordlists are KBs) probed per token inside the
-    row; no joins, no Python."""
-    t = [str(x).lower() for x in terms]
-    if not t:
+    Scale shape: ONE Arrow tokenize pass (materialized — projection
+    collapse would otherwise inline the tokenizer into every phrase
+    lambda and re-run it per position), then zero-shuffle codegen: the
+    term set is an array literal (wordlists are KBs) probed per token
+    inside the row; phrases add one windowed subsequence scan each
+    (lists hold few phrases relative to single terms); no joins."""
+    from ..functions.text import tokens_pd
+
+    t = [" ".join(str(x).lower().split()) for x in terms]
+    if not t or any(not x for x in t):
         raise ValueError("terms must be non-empty")
-    term_arr = F.array(*[F.lit(x) for x in sorted(set(t))])
-    toks = F.split(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                    "[^a-z0-9 ]",
-                    " ",
-                ),
-                " +",
-                " ",
-            )
-        ),
-        " ",
-    )
-    hits = F.filter(toks, lambda x: F.array_contains(term_arr, x))
+    singles = sorted({x for x in t if " " not in x})
+    phrases = sorted({x for x in t if " " in x})
+    out = df.withColumn("__toks", tokens_pd(F.col(text_col)))
+    toks = F.col("__toks")
+    if singles:
+        term_arr = F.array(*[F.lit(x) for x in singles])
+        hits = F.filter(toks, lambda x: F.array_contains(term_arr, x))
+        n_hits = F.size(hits).cast("long")
+        n_distinct = F.size(F.array_distinct(hits)).cast("long")
+    else:
+        n_hits = F.lit(0).cast("long")
+        n_distinct = F.lit(0).cast("long")
+    for p in phrases:
+        words = p.split(" ")
+        k = len(words)
+        parr = F.array(*[F.lit(wd) for wd in words])
+        # match positions are 1-based starts whose k-slice equals the
+        # phrase; the when-guard keeps sequence() ascending (it would
+        # otherwise count DOWN for too-short docs)
+        n_p = F.when(
+            F.size(toks) >= k,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+                    lambda i: F.slice(toks, i, k) == parr,
+                )
+            ),
+        ).otherwise(F.lit(0)).cast("long")
+        n_hits = n_hits + n_p
+        n_distinct = n_distinct + F.when(n_p > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
     return (
-        df.withColumn("__hits", hits)
-        .withColumn("n_term_hits", F.size("__hits").cast("long"))
-        .withColumn(
-            "n_distinct_terms",
-            F.size(F.array_distinct("__hits")).cast("long"),
-        )
+        out.withColumn("n_term_hits", n_hits)
+        .withColumn("n_distinct_terms", n_distinct)
         .withColumn(
             "wordlist_flagged", F.col("n_term_hits") > int(max_hits)
         )
-        .drop("__hits")
+        .drop("__toks")
     )

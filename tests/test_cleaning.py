@@ -358,3 +358,41 @@ class TestWordlistFilter:
 
         with _pytest.raises(ValueError, match="terms"):
             wordlist_filter(df, [])
+
+    def test_phrase_entries_match_token_subsequences(self, spark):
+        from sparkplug_spark.operators import wordlist_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "this is Hot Garbage, truly hot garbage"),
+                (2, "hot dog and garbage truck"),   # words apart: no hit
+                (3, "hothot garbage"),              # substring: no hit
+                (4, "spam hot garbage spam"),       # phrase + 2 singles
+                (5, "go go go"),                    # overlapping phrase
+                (6, "go"),                          # shorter than phrase
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_term_hits"], r["n_distinct_terms"],
+                          r["wordlist_flagged"])
+            for r in wordlist_filter(
+                df, ["spam", "hot garbage", "go go"], max_hits=1
+            ).collect()
+        }
+        assert got[1] == (2, 1, True)     # case-folded, punct-stripped
+        assert got[2] == (0, 0, False)
+        assert got[3] == (0, 0, False)
+        assert got[4] == (3, 2, True)     # 2x spam + 1 phrase
+        assert got[5] == (2, 1, True)     # "go go go" -> positions 1,2
+        assert got[6] == (0, 0, False)
+
+    def test_scunthorpe_still_safe_with_phrases(self, spark):
+        from sparkplug_spark.operators import wordlist_filter
+
+        df = spark.createDataFrame(
+            [(1, "the town of Scunthorpe is lovely")],
+            "doc_id long, text string",
+        )
+        r = wordlist_filter(df, ["scunt", "horpe is"]).collect()[0]
+        assert (r["n_term_hits"], r["wordlist_flagged"]) == (0, False)
