@@ -727,15 +727,16 @@ def decontaminate_semantic(
     reshuffles, and the two embedding shuffles are on (id, bucket)
     integer rows.  Threshold filter runs BEFORE the per-doc window, so
     ranked state is match-only."""
-    from pyspark.sql import Window
-
     from ..operators.textops import hashed_embedding
 
     if not (0.0 < min_cosine <= 1.0):
         raise ValueError("min_cosine must be in (0, 1]")
     min_dot = int(math.floor(min_cosine * 1e12))
+    # keep_empty_docs=False: zero-weight rows would be filtered here
+    # anyway, so the distinct-id scan + left join inside the embedding
+    # never need to run (the fused-aggregation plan fix)
     corpus = hashed_embedding(
-        df, text_col, id_col, dim, as_rows=True
+        df, text_col, id_col, dim, as_rows=True, keep_empty_docs=False
     ).filter(F.col("w_micros") != 0)
     ev = hashed_embedding(
         eval_df,
@@ -743,6 +744,7 @@ def decontaminate_semantic(
         eval_id_col or id_col,
         dim,
         as_rows=True,
+        keep_empty_docs=False,
     ).filter(F.col("w_micros") != 0)
     dots = (
         corpus.select(
@@ -764,18 +766,19 @@ def decontaminate_semantic(
         .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
         .filter(F.col("__dot") >= F.lit(min_dot))
     )
-    win = Window.partitionBy("__id").orderBy(
-        F.desc("__dot"), F.asc("__eid")
-    )
+    # best eval doc in the same aggregate (highest dot, ties to the
+    # smallest id) via a lexicographic struct min — no ranking window,
+    # no extra exchange on __id
     hits = (
-        dots.withColumn("__rn", F.row_number().over(win))
-        .groupBy("__id")
+        dots.groupBy("__id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_semantic_matches"),
             F.max("__dot").cast("long").alias("max_dot"),
-            F.max(F.when(F.col("__rn") == 1, F.col("__eid"))).alias(
-                "best_eval_id"
-            ),
+            F.min(
+                F.struct(
+                    (-F.col("__dot")).alias("nd"), F.col("__eid").alias("e")
+                )
+            )["e"].alias("best_eval_id"),
         )
         .withColumnRenamed("__id", id_col)
     )

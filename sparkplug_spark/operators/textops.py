@@ -1126,6 +1126,7 @@ def hashed_embedding(
     id_col: str = "doc_id",
     dim: int = 64,
     as_rows: bool = False,
+    keep_empty_docs: bool = True,
 ) -> DataFrame:
     """Model-free text embedding by signed feature hashing (Weinberger
     et al. 2009): token → md5 bucket (``hash60 % dim``), sign from the
@@ -1146,9 +1147,15 @@ def hashed_embedding(
     — deterministic across engines (no libm).  All-zero docs (no
     tokens) embed as the zero vector.
 
-    Plan: explode → (id, bucket) signed-count aggregate → per-doc
-    norm join — two partial-aggregated shuffles on (id, bucket)/(id),
-    never wide rows."""
+    Plan: explode → (id, bucket) signed-count aggregate → per-doc norm
+    via ONE window over the count rows (partitioned by id — no second
+    aggregate, no self-join, so the explode chain runs once).  With
+    ``keep_empty_docs=False`` the distinct-id scan + left join that
+    re-attach zero-vector docs are skipped too — the right call when
+    the consumer filters zero weights anyway (the semantic-decontam
+    tier does)."""
+    from pyspark.sql import Window
+
     from ..functions.text import hash60, tokens_pd
 
     if dim < 2:
@@ -1170,23 +1177,24 @@ def hashed_embedding(
     cnt = signed.groupBy("__id", "bucket").agg(
         F.sum("__sgn").cast("long").alias("__c")
     ).filter(F.col("__c") != 0)
-    norms = cnt.groupBy("__id").agg(
-        F.sqrt(F.sum(F.col("__c") * F.col("__c")).cast("double")).alias(
-            "__nrm"
-        )
-    )
-    w = (
-        cnt.join(norms, "__id")
-        .select(
-            "__id",
-            "bucket",
-            F.floor(
-                F.col("__c").cast("double") / F.col("__nrm") * F.lit(1e6)
+    wnorm = Window.partitionBy("__id")
+    w = cnt.select(
+        "__id",
+        "bucket",
+        F.floor(
+            F.col("__c").cast("double")
+            / F.sqrt(
+                F.sum(F.col("__c") * F.col("__c")).over(wnorm).cast("double")
             )
-            .cast("long")
-            .alias("w_micros"),
+            * F.lit(1e6)
         )
+        .cast("long")
+        .alias("w_micros"),
     )
+    if as_rows and not keep_empty_docs:
+        return w.select(
+            F.col("__id").alias(id_col), "bucket", "w_micros"
+        )
     ids = df.select(F.col(id_col).alias("__id")).dropDuplicates(["__id"])
     if as_rows:
         return ids.join(w, "__id", "left").select(
