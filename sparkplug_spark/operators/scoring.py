@@ -32,6 +32,8 @@ __all__ = [
     "fake_quality_scorer",
     "compression_signals",
     "naive_bayes_classifier",
+    "export_nb_model",
+    "nb_model_loader",
     "conformal_thresholds",
     "calibrate_isotonic",
 ]
@@ -231,6 +233,111 @@ def naive_bayes_classifier(
         )
     )
     return materialize_release(scores, toks, release=release)
+
+
+def export_nb_model(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive_value: str = "en",
+) -> None:
+    """Train the :func:`naive_bayes_classifier` model and persist it as a
+    REAL on-disk artifact: ``<path>/weights`` — the (token, w_micros)
+    integer micro-nat log-odds table — and ``<path>/prior`` — the 1-row
+    smoothed document-prior.  The training math is identical expression
+    for expression to the relational tier, so a model exported here and
+    re-applied through :func:`nb_model_loader` reproduces
+    ``score_micros`` bit-for-bit (pytest pins it).
+
+    This is the missing half of the ``score_with_model`` production
+    story: train distributed, snapshot the model as columnar data, and
+    serve it through the once-per-worker loader with no ML runtime and
+    no Spark dependency on the executor side."""
+    from ..functions.text import tokens_pd
+
+    pos = F.col("__lab")
+    toks = spread(df).select(
+        (F.col(label_col) == F.lit(positive_value)).alias("__lab"),
+        F.explode(tokens_pd(F.col(text_col))).alias("__t"),
+    )
+    counts = toks.groupBy("__t").agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("__cp"),
+        F.sum(F.when(pos, 0).otherwise(1)).cast("long").alias("__cn"),
+    )
+    totals = counts.agg(
+        F.sum("__cp").alias("__tp"),
+        F.sum("__cn").alias("__tn"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")  # noqa: E731
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        F.col("__t").alias("token"),
+        micros(
+            F.log(F.col("__cp") + 1)
+            - F.log(F.col("__tp") + F.col("__v"))
+            - F.log(F.col("__cn") + 1)
+            + F.log(F.col("__tn") + F.col("__v"))
+        ).alias("w_micros"),
+    )
+    prior = (
+        spread(df)
+        .select((F.col(label_col) == F.lit(positive_value)).alias("__lab"))
+        .agg(
+            micros(
+                F.log(F.sum(F.when(pos, 1).otherwise(0)) + 1)
+                - F.log(F.sum(F.when(pos, 0).otherwise(1)) + 1)
+            ).alias("prior_micros")
+        )
+    )
+    weights.write.mode("overwrite").parquet(path.rstrip("/") + "/weights")
+    prior.write.mode("overwrite").parquet(path.rstrip("/") + "/prior")
+
+
+def nb_model_loader(
+    path: str,
+) -> Callable[[], Callable[[pd.Series], pd.Series]]:
+    """Loader factory for :func:`score_with_model`: returns the zero-arg
+    callable that, ONCE PER PYTHON WORKER, reads the
+    :func:`export_nb_model` artifact with pyarrow (no Spark on the
+    executor), builds the token→micro-nat dict, and scores batches as
+    exact integer sums over the shared normalization
+    (:func:`~..functions.text.norm_tokens_py`) divided by 1e6 — integer
+    micro-nat totals sit far below 2^53, so the double is exact and
+    equals ``naive_bayes_classifier``'s ``score_micros / 1e6``
+    bit-for-bit.  Out-of-vocabulary tokens weigh 0, matching the
+    relational tier's inner join."""
+    wdir = path.rstrip("/") + "/weights"
+    pdir = path.rstrip("/") + "/prior"
+
+    def _load() -> Callable[[pd.Series], pd.Series]:
+        import pyarrow.dataset as ds
+
+        from ..functions.text import norm_tokens_py
+
+        wt = ds.dataset(wdir).to_table().to_pydict()
+        weights = dict(zip(wt["token"], wt["w_micros"]))
+        prior = ds.dataset(pdir).to_table().to_pydict()["prior_micros"][0]
+
+        def _score(texts: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    (
+                        prior
+                        + sum(
+                            weights.get(tok, 0)
+                            for tok in norm_tokens_py(t)
+                        )
+                    )
+                    / 1e6
+                    for t in texts
+                ],
+                dtype="float64",
+            )
+
+        return _score
+
+    return _load
 
 
 def calibration_report(

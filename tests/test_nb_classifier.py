@@ -134,3 +134,70 @@ class TestSourceInfluence:
         )
         with pytest.raises(ValueError, match="max_variants"):
             source_influence(df, df, max_variants=3)
+
+
+class TestExportedModelServing:
+    """score_with_model through a REAL exported artifact: the trained NB
+    weights parquet re-loaded once per worker must reproduce the
+    relational tier bit-for-bit."""
+
+    def test_loader_path_matches_relational_tier(self, spark, tmp_path):
+        from sparkplug_spark.operators import (
+            export_nb_model,
+            nb_model_loader,
+            score_with_model,
+        )
+
+        df = _toy(spark, reps=4)
+        path = str(tmp_path / "nb_model")
+        export_nb_model(df, path)
+        # real files on disk, readable without Spark
+        import pyarrow.dataset as ds
+
+        wt = ds.dataset(path + "/weights").to_table()
+        assert wt.num_rows > 0 and set(wt.column_names) == {
+            "token", "w_micros"}
+
+        relational = {
+            r["doc_id"]: r["score_micros"]
+            for r in naive_bayes_classifier(df).collect()
+        }
+        served = {
+            r["doc_id"]: r["model_score"]
+            for r in score_with_model(
+                df, model_loader=nb_model_loader(path)
+            ).collect()
+        }
+        assert set(served) == set(relational)
+        for d, micros in relational.items():
+            # integer micro-nats / 1e6 — exact in double, so bit-for-bit
+            assert served[d] == micros / 1e6, (d, served[d], micros)
+
+    def test_oov_tokens_weigh_zero(self, spark, tmp_path):
+        from sparkplug_spark.operators import (
+            export_nb_model,
+            nb_model_loader,
+            score_with_model,
+        )
+
+        train = _toy(spark, reps=2)
+        path = str(tmp_path / "nb_model2")
+        export_nb_model(train, path)
+        new = spark.createDataFrame(
+            [(100, "the dog zzzunseen"), (101, "zzzunseen qqqnovel")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["model_score"]
+            for r in score_with_model(
+                new, model_loader=nb_model_loader(path)
+            ).collect()
+        }
+        # doc 101 is all-OOV -> scores exactly the prior
+        import pyarrow.dataset as ds
+
+        prior = ds.dataset(path + "/prior").to_table().to_pydict()[
+            "prior_micros"][0]
+        assert got[101] == prior / 1e6
+        # doc 100 shares 'the dog' with the en class -> scores above prior
+        assert got[100] > got[101]
