@@ -4435,6 +4435,55 @@ def _extension_oracles() -> dict[str, str]:
                dhash_hi, dhash_lo
         FROM h
     """
+    # animated-GIF compositing (E126b): pixel at frame k = value of the
+    # TOPMOST layer j <= k covering it with an opaque cell (j=0 is the
+    # full-screen base); then the same cells/bits/pack dHash arithmetic
+    gif_anim_sql = """
+        WITH vb AS (
+          SELECT doc_id, doc_id % 12 AS g FROM documents WHERE doc_id < 48
+        ),
+        cand AS (
+          SELECT vb.doc_id, f.k AS k, t1.y AS y, t2.x AS x, j.j AS j,
+                 (vb.g * 7 + 3 * t1.y + 5 * t2.x + 11 * j.j) % 57 + 1 AS v
+          FROM vb, range(0, 4) f(k), range(0, 16) t1(y),
+               range(0, 18) t2(x), range(0, 4) j(j)
+          WHERE j.j <= f.k
+            AND (j.j = 0 OR (t1.y >= j.j AND t1.y < j.j + 8
+                             AND t2.x >= j.j AND t2.x < j.j + 9
+                             AND (t1.y + t2.x + j.j) % 3 != 0))
+        ),
+        comp AS (
+          SELECT doc_id, k, y, x, max_by(v, j) AS v
+          FROM cand GROUP BY doc_id, k, y, x
+        ),
+        cells AS (
+          SELECT doc_id, k, y // 2 AS gy, x // 2 AS gx, sum(v) AS s
+          FROM comp GROUP BY doc_id, k, y // 2, x // 2
+        ),
+        bits AS (
+          SELECT l.doc_id, l.k, l.gy * 8 + l.gx AS kk,
+                 CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS b
+          FROM cells l JOIN cells r
+            ON l.doc_id = r.doc_id AND l.k = r.k AND l.gy = r.gy
+               AND r.gx = l.gx + 1
+          WHERE l.gx < 8
+        ),
+        h AS (
+          SELECT doc_id, k,
+                 CAST(sum(CASE WHEN kk < 32
+                               THEN b::BIGINT << (31 - kk) ELSE 0 END)
+                   AS BIGINT) AS hi,
+                 CAST(sum(CASE WHEN kk >= 32
+                               THEN b::BIGINT << (63 - kk) ELSE 0 END)
+                   AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id, k
+        )
+        SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+               CAST(k * 1000 AS BIGINT) AS frame_ts_ms,
+               hi AS dhash_hi, lo AS dhash_lo
+        FROM h
+    """
+
     video_pairs_sql = video_dhash_cte + """
         , fp AS (
           SELECT a.doc_id AS va, b.doc_id AS vb2, a.f AS fa, b.f AS fb,
@@ -6316,6 +6365,7 @@ def _extension_oracles() -> dict[str, str]:
         "image_dhash": dhash_sql,
         "image_dhash_pairs": dhash_pairs_sql,
         "video_dhash": video_dhash_sql,
+        "multimodal_gif_anim": gif_anim_sql,
         "video_pairs": video_pairs_sql,
         "dhash_incremental": dhash_incr_sql,
         "video_scenes": video_scenes_sql,
@@ -10127,6 +10177,64 @@ def q_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anim_gif_fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF fixtures exercising GIF89a compositing: frame 0 is a
+    full-screen arithmetic raster; frames 1-3 are sub-region DELTAS at
+    (k, k) with transparent holes ((y+x+k) % 3 == 0), so every later
+    frame's pixels are a deterministic cascade over the frames below —
+    the oracle recomputes the cascade with an argmax over layer j."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 48)
+
+    @F.pandas_udf("binary")
+    def make_gif(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from sparkplug_spark.operators.gif import encode_gif_anim
+
+        pal = np.repeat(
+            np.arange(64, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        out = []
+        for d in ids:
+            d = int(d)
+            g = d % 12
+            y, x = np.mgrid[0:16, 0:18]
+            f0 = (g * 7 + 3 * y + 5 * x) % 57 + 1
+            frames = [{"indices": f0, "delay_cs": 100, "disposal": 0}]
+            for k in range(1, 4):
+                yy, xx = np.mgrid[k : k + 8, k : k + 9]
+                v = (g * 7 + 3 * yy + 5 * xx + 11 * k) % 57 + 1
+                v[(yy + xx + k) % 3 == 0] = 0
+                frames.append(
+                    {
+                        "indices": v,
+                        "left": k,
+                        "top": k,
+                        "delay_cs": 100,
+                        "disposal": 0,
+                        "transparent": 0,
+                    }
+                )
+            out.append(encode_gif_anim(frames, pal, screen=(18, 16)))
+        return pd.Series(out)
+
+    return docs.select("doc_id", make_gif("doc_id").alias("payload"))
+
+
+def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF video tier (E126b): GIF89a frames composited
+    natively (transparency + disposal over the logical screen), demuxed
+    through the video path, dHashed per sampled frame — the same
+    pipeline that feeds video_scenes/scene_keyframes now runs on
+    animated GIFs.  The oracle re-derives every composited pixel as an
+    argmax over delta layers, then replays the dHash bit arithmetic."""
+    from sparkplug_spark.operators import video_dhash
+
+    return video_dhash(
+        _anim_gif_fixtures(spark, sf_dir), every_ms=1000, decoder="real"
+    )
+
+
 def q_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs (E204): Manku chunk join over per-frame
     dHashes (same-video pairs excluded), per-side distinct-frame
@@ -10982,6 +11090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordlist_filter": q_wordlist_filter,
         "semantic_dedup_frozen": q_semantic_dedup_frozen,
         "semantic_dedup_incr_frozen": q_semantic_dedup_incr_frozen,
+        "multimodal_gif_anim": q_multimodal_gif_anim,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

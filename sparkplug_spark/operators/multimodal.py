@@ -918,13 +918,42 @@ def _mp4_video_frames(
     raise NotImplementedError("mp4: no video ('vide') track found")
 
 
+def _gif_video_frames(
+    payload: bytes, every_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """Animated GIF as a video source: composite every frame
+    (:func:`~.gif.decode_gif_frames` — GIF89a disposal + transparency
+    over the logical screen), timestamp by cumulative GCE delays, and
+    emit sampled frames as exact-integer P6 netpbm bytes (the
+    ``_native_pixels_int`` fast path — the composited RGB re-enters the
+    dHash pipeline losslessly).  Same boundary-snap sampling as the AVI
+    walk.  Zero-delay frames advance time by 0 ms, so only the first
+    frame at a timestamp is sampled — consistent with "one frame per
+    every_ms"."""
+    from .gif import decode_gif_frames
+
+    frames = decode_gif_frames(payload)
+    out: list[tuple[int, int, bytes]] = []
+    next_ts = 0.0
+    ts_ms = 0.0
+    for delay_ms, arr in frames:
+        if ts_ms >= next_ts:
+            h, w, _ = arr.shape
+            p6 = b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+            out.append((len(out), int(ts_ms), p6))
+            next_ts = (ts_ms // every_ms + 1) * every_ms
+        ts_ms += delay_ms
+    return out
+
+
 def _real_video_frames(
     payload: bytes, every_ms: int
 ) -> list[tuple[int, int, bytes]]:
-    """REAL frame sampling, zero external libraries, two containers:
+    """REAL frame sampling, zero external libraries, three containers:
     AVI (RIFF chunk walk — ``hdrl``/``avih`` frame interval, ``movi``
-    stream-0 chunks) and MP4 (ISO BMFF sample tables —
-    :func:`_mp4_video_frames`).  Emits every frame whose timestamp
+    stream-0 chunks), MP4 (ISO BMFF sample tables —
+    :func:`_mp4_video_frames`) and animated GIF (GIF89a compositing —
+    :func:`_gif_video_frames`).  Emits every frame whose timestamp
     crosses the next ``every_ms`` boundary; frame BYTES are emitted as
     stored (a JPEG per frame in MJPEG, an H.264 access unit in MP4) — no
     codec needed to demux.  mkv/webm and fragmented MP4 are the genuine
@@ -934,10 +963,13 @@ def _real_video_frames(
     p = payload if payload is not None else b""
     if len(p) >= 12 and p[4:8] in (b"ftyp", b"styp", b"moov", b"free", b"wide"):
         return _mp4_video_frames(p, every_ms)
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_video_frames(p, every_ms)
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
         raise NotImplementedError(
-            "real frame sampling handles AVI (RIFF) and MP4 (ISO BMFF) "
-            "natively; mkv/webm demux needs ffmpeg — plug the call here"
+            "real frame sampling handles AVI (RIFF), MP4 (ISO BMFF) and "
+            "animated GIF natively; mkv/webm demux needs ffmpeg — plug "
+            "the call here"
         )
     usec_per_frame = None
     frames: list[bytes] = []

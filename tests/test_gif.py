@@ -81,3 +81,116 @@ def test_gif_through_spark_native_tier(spark):
         0
     ]["features"]
     assert [round(f * 255.0) for f in feats] == [10, 20, 30, 40]
+
+
+class TestAnimatedGif:
+    """GIF89a compositing: disposal methods, transparency, delays."""
+
+    PAL = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+
+    def test_compositing_transparency_and_disposals(self):
+        from sparkplug_spark.operators.gif import (
+            decode_gif_frames,
+            encode_gif_anim,
+        )
+
+        f0 = np.zeros((4, 6), int)
+        f0[:, :3] = 1                      # red left half on black
+        f1 = np.full((2, 2), 2, int)       # green delta patch
+        f2 = np.full((2, 3), 3, int)       # all-transparent raster
+        payload = encode_gif_anim(
+            [
+                {"indices": f0, "delay_cs": 5},
+                {"indices": f1, "left": 4, "top": 1, "delay_cs": 7,
+                 "disposal": 3},
+                {"indices": f2, "left": 0, "top": 2, "delay_cs": 9,
+                 "disposal": 2, "transparent": 3},
+            ],
+            self.PAL,
+        )
+        frames = decode_gif_frames(payload)
+        assert [d for d, _ in frames] == [50, 70, 90]
+        a0, a1, a2 = (a for _, a in frames)
+        assert a0.shape == (4, 6, 3)
+        assert (a0[0, 0] == [255, 0, 0]).all() and (a0[0, 5] == 0).all()
+        # frame 1 composites the delta over frame 0
+        assert (a1[1, 4] == [0, 255, 0]).all()
+        assert (a1[0, 0] == [255, 0, 0]).all()
+        # frame 2 is fully transparent; frame 1 had disposal=3
+        # (restore-to-previous), so the canvas is back to frame 0
+        assert (a2 == a0).all()
+
+    def test_restore_to_background_disposal(self):
+        from sparkplug_spark.operators.gif import (
+            decode_gif_frames,
+            encode_gif_anim,
+        )
+
+        f0 = np.full((4, 4), 1, int)
+        f1 = np.full((2, 2), 2, int)
+        f2 = np.full((1, 1), 3, int)
+        payload = encode_gif_anim(
+            [
+                {"indices": f0, "disposal": 0},
+                # disposal=2: region restored to BACKGROUND after render
+                {"indices": f1, "left": 1, "top": 1, "disposal": 2},
+                {"indices": f2, "left": 0, "top": 0},
+            ],
+            self.PAL,
+            background=0,
+        )
+        frames = decode_gif_frames(payload)
+        _, a1 = frames[1]
+        _, a2 = frames[2]
+        assert (a1[1, 1] == [0, 255, 0]).all()
+        # after disposal the 2x2 region is background black, rest red
+        assert (a2[1, 1] == [0, 0, 0]).all()
+        assert (a2[3, 3] == [255, 0, 0]).all()
+        assert (a2[0, 0] == [0, 0, 255]).all()
+
+    def test_first_frame_matches_single_frame_decoder(self):
+        from sparkplug_spark.operators.gif import (
+            decode_gif,
+            decode_gif_frames,
+            encode_gif,
+            encode_gif_anim,
+        )
+
+        rng = np.random.default_rng(3)
+        f0 = rng.integers(0, 4, size=(6, 5))
+        anim = encode_gif_anim([{"indices": f0}], self.PAL)
+        assert (decode_gif_frames(anim)[0][1]
+                == decode_gif(encode_gif(f0, self.PAL))).all()
+
+    def test_gif_feeds_video_scene_pipeline(self, spark):
+        """video_dhash -> video_scenes -> scene_keyframes on an animated
+        GIF: scene boundaries land where the GIF content jumps."""
+        from sparkplug_spark.operators import (
+            scene_keyframes,
+            video_dhash,
+            video_scenes,
+        )
+        from sparkplug_spark.operators.gif import encode_gif_anim
+
+        pal = np.repeat(np.arange(64, dtype=np.uint8)[:, None], 3, axis=1)
+        y, x = np.mgrid[0:16, 0:18]
+        a = (3 * y + 5 * x) % 57 + 1
+        b = (11 * y + 7 * x + 30) % 57 + 1
+        frames = [
+            {"indices": p, "delay_cs": 100} for p in (a, a, a, b, b)
+        ]
+        gif = encode_gif_anim(frames, pal)
+        df = spark.createDataFrame([(1, gif)], "doc_id long, payload binary")
+        hashes = video_dhash(df, every_ms=1000, decoder="real")
+        scenes = {
+            r["scene_idx"]: (r["start_frame_idx"], r["n_frames"])
+            for r in video_scenes(hashes, max_hamming=5).collect()
+        }
+        assert scenes == {0: (0, 3), 1: (3, 2)}
+        keys = {
+            r["scene_idx"]: r["keyframe_idx"]
+            for r in scene_keyframes(hashes, max_hamming=5).collect()
+        }
+        assert keys == {0: 1, 1: 3}
