@@ -1,0 +1,259 @@
+"""Empirical scale evidence for the SCALING.md families.
+
+Self-generates a 10x fixture (sf1-equivalent: 50k documents / 6M
+lineitem) in a scratch dir from the sf0.1 testdata — deterministic
+replicate-and-mutate, driver testdata untouched — and runs the three
+shuffle-heavy families SOLO at both scales, recording wall time, row
+counts, and the knob-math recompute SCALING.md calls for:
+
+- LSH / near-dup: ``dedup_minhash_lsh``, ``dedup_simhash``,
+  ``near_dup_groups`` — plus the band-bucket size distribution (p99.9 /
+  max) at both scales, which is how the ``max_key_freq`` cap must be
+  re-derived at scale (same PERCENTILE, not same absolute count), and
+  the estimated band-entry shuffle volume.
+- Iterative graph: ``pagerank_exact``, ``coreness`` over the 10x
+  (disjoint-copy) co-purchase graph — per-round shuffles scale with
+  edges; iterations stay fixed.
+- Streaming store: ``streaming_kmv_replay`` — 3 micro-batches of
+  shingle rows folded into the merge-on-write bottom-k store; state is
+  O(sketch) so only the fold input grows.
+
+Also re-runs ``key_skew_report`` (lineitem, l_suppkey) at both scales —
+the pre-flight SCALING.md §1 prescribes before picking skew caps.
+
+Writes SCALING_RUN.json at the repo root.  Run SOLO (no concurrent
+pytest/bench — same contention rule as bench.py).
+
+Usage: python tools/scaling_run.py [--fixture-only] [--keep-fixture]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+X10_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sparkplug_scale10")
+COPIES = 10
+DOC_OFF = 1_000_000
+ORD_OFF = 100_000_000
+KEY_OFF = 10_000_000
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkplug-scaling-run")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def build_fixture(spark) -> None:
+    """documents + lineitem at 10x, deterministic replicate-and-mutate.
+
+    Copy 0 is the original.  Copies 1..9 of documents re-tokenize every
+    4th token with a copy marker (shingles change everywhere — NOT
+    near-dups), except doc_id % 10 == c rows which stay verbatim —
+    cross-copy exact/near duplicates, so the dedup families see a
+    realistic dup rate instead of a degenerate all-dup or no-dup corpus.
+    Lineitem copies offset order/part/supp keys — 10 disjoint co-purchase
+    graph copies: 10x nodes AND 10x edges."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(X10_DIR, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE_DIR, "documents.parquet"))
+    parts = []
+    for c in range(COPIES):
+        d = docs
+        if c > 0:
+            mutated = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t, i: F.when(
+                        i % 4 == 3, F.concat(t, F.lit(f" c{c}x"))
+                    ).otherwise(t),
+                ),
+                " ",
+            )
+            d = d.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 10 == c, F.col("text")).otherwise(
+                    mutated
+                ),
+            )
+        parts.append(
+            d.select(
+                (F.col("doc_id") + c * DOC_OFF).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(X10_DIR, "documents.parquet")
+    )
+
+    li = spark.read.parquet(os.path.join(BASE_DIR, "lineitem.parquet"))
+    cols = li.columns
+    lparts = []
+    for c in range(COPIES):
+        lparts.append(
+            li.select(
+                *[
+                    (F.col(x) + c * ORD_OFF).alias(x)
+                    if x == "l_orderkey"
+                    else (F.col(x) + c * KEY_OFF).alias(x)
+                    if x in ("l_partkey", "l_suppkey")
+                    else F.col(x)
+                    for x in cols
+                ]
+            )
+        )
+    lout = lparts[0]
+    for p in lparts[1:]:
+        lout = lout.unionByName(p)
+    lout.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(X10_DIR, "lineitem.parquet")
+    )
+
+
+def _timed(fn, spark, sf_dir, passes=2):
+    """min-of-N warm wall time (bench.py's convention) + row count."""
+    best, n = None, 0
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2), int(n)
+
+
+def lsh_knob_math(spark, sf_dir, num_hashes=32, bands=8) -> dict:
+    """Band-bucket size distribution — the skew-cap percentile recompute
+    (SCALING.md §1) — plus estimated band-entry shuffle volume."""
+    from pyspark.sql import functions as F
+
+    from sparkplug_spark.operators.dedup import (
+        _band_entries,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    entries = _band_entries(
+        minhash_signatures(docs, num_hashes=num_hashes), num_hashes, bands
+    )
+    sizes = entries.groupBy("band", "bucket").count()
+    row = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("count").alias("n_entries"),
+        F.max("count").alias("max_bucket"),
+        F.expr("percentile(count, 0.999)").alias("p999"),
+        F.expr("percentile(count, 0.99)").alias("p99"),
+    ).first()
+    return {
+        "band_entries": int(row["n_entries"]),
+        "n_buckets": int(row["n_buckets"]),
+        "bucket_p99": float(row["p99"]),
+        "bucket_p999": float(row["p999"]),
+        "bucket_max": int(row["max_bucket"]),
+        # ~50 B per (band_key, id, signature) tuple — SCALING.md §1
+        "est_shuffle_mb": round(int(row["n_entries"]) * 50 / 1e6, 1),
+    }
+
+
+def skew_preflight(spark, sf_dir) -> dict:
+    from sparkplug_spark.operators import key_skew_report
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    rows = key_skew_report(li, ["l_suppkey"], top_n=5).collect()
+    cols = rows[0].asDict().keys() if rows else []
+    return {"top5": [ {k: r[k] for k in cols} for r in rows ]}
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(os.path.join(X10_DIR, "documents.parquet")) or (
+        "--rebuild" in sys.argv
+    ):
+        print("building 10x fixture at", X10_DIR, flush=True)
+        t0 = time.perf_counter()
+        build_fixture(spark)
+        print(f"fixture built in {time.perf_counter() - t0:.1f}s", flush=True)
+    if "--fixture-only" in sys.argv:
+        return
+
+    q = entry.queries()
+    # session warm-up: JVM/Arrow/codegen init must not land in the first
+    # measured query (it inflated the first draft's base numbers by ~30s)
+    q["dedup_minhash_lsh"](spark, BASE_DIR).count()
+    families = {
+        "lsh_near_dup": ["dedup_minhash_lsh", "dedup_simhash", "near_dup_groups"],
+        "iterative_graph": ["pagerank_exact", "coreness"],
+        "streaming_store": ["streaming_kmv_replay"],
+    }
+    report: dict = {
+        "generated_utc": datetime.now(timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "base_sf_dir": BASE_DIR,
+        "fixture_dir": X10_DIR,
+        "copies": COPIES,
+        "families": {},
+    }
+    for fam, names in families.items():
+        fam_out: dict = {"queries": {}}
+        for name in names:
+            base_s, base_rows = _timed(q[name], spark, BASE_DIR)
+            print(f"{name} @base: {base_s}s {base_rows} rows", flush=True)
+            x10_s, x10_rows = _timed(q[name], spark, X10_DIR)
+            print(f"{name} @10x:  {x10_s}s {x10_rows} rows", flush=True)
+            fam_out["queries"][name] = {
+                "base_s": base_s,
+                "x10_s": x10_s,
+                "base_rows": base_rows,
+                "x10_rows": x10_rows,
+                "wall_ratio": round(x10_s / max(base_s, 1e-9), 2),
+            }
+        report["families"][fam] = fam_out
+
+    report["families"]["lsh_near_dup"]["knob_math"] = {
+        "base": lsh_knob_math(spark, BASE_DIR),
+        "x10": lsh_knob_math(spark, X10_DIR),
+    }
+    report["skew_preflight_l_suppkey"] = {
+        "base": skew_preflight(spark, BASE_DIR),
+        "x10": skew_preflight(spark, X10_DIR),
+    }
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_RUN.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
