@@ -3073,6 +3073,33 @@ def q_semantic_dedup_incr_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_against_frozen(batch, centers, kept, threshold=0.4)
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (E221): customer names within Levenshtein
+    distance 1 via ED-Join prefix filtering (q·k+1 rarest positional
+    q-grams) + thresholded verify.  The oracle is the unfiltered
+    quadratic join — hash-matching it proves candidate COMPLETENESS,
+    not just precision."""
+    from sparkplug_spark.operators import edit_distance_pairs
+
+    cust = _read(spark, sf_dir, "customer")
+    return edit_distance_pairs(
+        cust, text_col="c_name", id_col="c_custkey", max_distance=1, q=2
+    )
+
+
+def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (E222) over the part
+    co-purchase graph: 4 deterministic rounds (most-frequent neighbor
+    label, ties to smallest), oracle = the rounds unrolled in SQL."""
+    from sparkplug_spark.operators import basket_pairs, label_propagation
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    return label_propagation(
+        pairs.selectExpr("item_a as src", "item_b as dst"), iterations=4
+    )
+
+
 def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k at n_probe == num_centroids — exhaustive probing makes
     the IVF machinery EXACT (pytest already pins it == cosine_topk), so
@@ -6381,6 +6408,68 @@ def _extension_oracles() -> dict[str, str]:
         "text_ann_hashed": text_ann_sql,
         "decontaminate_semantic": decon_sem_sql,
         "coreness": coreness_sql,
+        # edit-distance self-join (E221): the oracle is the HONEST
+        # quadratic join — the prefix-filtered Spark plan must reproduce
+        # it exactly (completeness proof, not just precision)
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name)::BIGINT AS distance
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        # synchronous LPA communities (E222): 4 rounds unrolled — each
+        # round is most-frequent-neighbor-label with smallest-label ties
+        "communities_lpa": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ),
+            small AS (SELECT * FROM bi WHERE b NOT IN (
+              SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)),
+            prs AS (
+              SELECT l.i AS s, r.i AS d FROM small l JOIN small r USING (b)
+              WHERE l.i < r.i GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            edges AS (SELECT s, d FROM prs UNION ALL SELECT d, s FROM prs),
+            l0 AS (SELECT DISTINCT s AS node, s AS lab FROM edges),
+            r1 AS (
+              SELECT node, lab FROM (
+                SELECT e.s AS node, l.lab AS lab,
+                       row_number() OVER (PARTITION BY e.s
+                                          ORDER BY count(*) DESC, l.lab) AS rk
+                FROM edges e JOIN l0 l ON l.node = e.d
+                GROUP BY e.s, l.lab
+              ) WHERE rk = 1
+            ),
+            r2 AS (
+              SELECT node, lab FROM (
+                SELECT e.s AS node, l.lab AS lab,
+                       row_number() OVER (PARTITION BY e.s
+                                          ORDER BY count(*) DESC, l.lab) AS rk
+                FROM edges e JOIN r1 l ON l.node = e.d
+                GROUP BY e.s, l.lab
+              ) WHERE rk = 1
+            ),
+            r3 AS (
+              SELECT node, lab FROM (
+                SELECT e.s AS node, l.lab AS lab,
+                       row_number() OVER (PARTITION BY e.s
+                                          ORDER BY count(*) DESC, l.lab) AS rk
+                FROM edges e JOIN r2 l ON l.node = e.d
+                GROUP BY e.s, l.lab
+              ) WHERE rk = 1
+            ),
+            r4 AS (
+              SELECT node, lab FROM (
+                SELECT e.s AS node, l.lab AS lab,
+                       row_number() OVER (PARTITION BY e.s
+                                          ORDER BY count(*) DESC, l.lab) AS rk
+                FROM edges e JOIN r3 l ON l.node = e.d
+                GROUP BY e.s, l.lab
+              ) WHERE rk = 1
+            )
+            SELECT node, CAST(lab AS BIGINT) AS label FROM r4
+        """,
         "pagerank_exact": pagerank_exact_sql,
         "hits_exact": hits_exact_sql,
         "rule_selectivity": rule_selectivity_sql,
@@ -11091,6 +11180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_frozen": q_semantic_dedup_frozen,
         "semantic_dedup_incr_frozen": q_semantic_dedup_incr_frozen,
         "multimodal_gif_anim": q_multimodal_gif_anim,
+        "fuzzy_name_pairs": q_fuzzy_name_pairs,
+        "communities_lpa": q_communities_lpa,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -35,6 +35,7 @@ __all__ = [
     "coreness",
     "hits",
     "hits_integer",
+    "label_propagation",
 ]
 
 
@@ -848,3 +849,70 @@ def hits_integer(
     for df_ in (e, nodes):
         df_.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007, the deterministic variant): every node starts
+    as its own label; each round, a node adopts the label most frequent
+    among its neighbors (previous round's labels only), ties to the
+    SMALLEST label.  Densely connected clusters converge to one label in
+    a few rounds — the cheap community pass over co-purchase / link /
+    near-dup graphs where modularity methods are overkill.
+
+    Fixed synchronous rounds + integer counts + smallest-label ties make
+    the result an exact deterministic function of the edge set — fully
+    oracle-checkable by unrolling the rounds in SQL (unlike the
+    randomized-order asynchronous LPA in the original paper).
+
+    Output: (node, label BIGINT) for every node with ≥1 edge; nodes
+    sharing a label form one community.
+
+    Plan: edges symmetrized, hash-partitioned on src and checkpointed
+    ONCE; each round joins the node-sized label table against the
+    stable edge layout, aggregates (node, label) counts map-side, takes
+    the per-node argmax window over ≤degree rows, checkpoints the new
+    labels, and releases the previous round's blocks — per-round shuffle
+    is edge-count rows of 24 bytes, the lineage-truncation discipline of
+    the other iterative loops."""
+    from pyspark.sql import Window
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges.sparkSession
+    fwd = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    e = (
+        fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .repartition("s")
+    )
+    e, e_ids = checkpoint_tracked(e, reliable=reliable_checkpoint)
+    labels = e.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    labels, l_ids = checkpoint_tracked(labels, reliable=reliable_checkpoint)
+    w = Window.partitionBy("node").orderBy(
+        F.desc("__c"), F.asc("label")
+    )
+    for _ in range(iterations):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        nxt = (
+            counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+        )
+        nxt, n_ids = checkpoint_tracked(nxt, reliable=reliable_checkpoint)
+        unpersist_ids(spark, l_ids)
+        labels, l_ids = nxt, n_ids
+    unpersist_ids(spark, e_ids)
+    return labels.select("node", F.col("label").cast("long").alias("label"))
