@@ -3087,6 +3087,46 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encode_categoricals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ordered dictionary encoding (E224): orders' two
+    categorical columns get dense ids by (count desc, value asc) —
+    deterministic StringIndexer, vocab-sized aggregates + broadcast
+    joins."""
+    from sparkplug_spark.operators import encode_categoricals
+
+    orders = _read(spark, sf_dir, "orders")
+    return encode_categoricals(
+        orders, ["o_orderstatus", "o_orderpriority"]
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderstatus_id",
+        "o_orderpriority",
+        "o_orderpriority_id",
+    )
+
+
+def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori frequent itemsets (E225) up to triples over the order
+    baskets: level-wise candidate pruning (pairs from frequent items,
+    triples from frequent pairs with lattice closure)."""
+    from sparkplug_spark.operators import frequent_itemsets
+
+    li = _read(spark, sf_dir, "lineitem")
+    return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal kNN pairs (E223): each side must rank the other in its
+    top-5 among >=0.2-cosine neighbors — the high-precision pair filter
+    for dedup seeding / RNN clustering.  Exact block-GEMM pair
+    generation; ranks on the 6dp-cosine contract."""
+    from sparkplug_spark.operators import mutual_knn_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(emb, k=5, min_cosine=0.2)
+
+
 def q_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (E222) over the part
     co-purchase graph: 4 deterministic rounds (most-frequent neighbor
@@ -6761,6 +6801,78 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # frequency-ordered dictionary encoding (E224)
+        "encode_categoricals": """
+            WITH d1 AS (
+              SELECT o_orderstatus AS v, count(*) AS n FROM orders
+              WHERE o_orderstatus IS NOT NULL GROUP BY 1
+            ),
+            dic1 AS (SELECT v, (row_number() OVER (ORDER BY n DESC, v)
+                                - 1)::BIGINT AS id FROM d1),
+            d2 AS (
+              SELECT o_orderpriority AS v, count(*) AS n FROM orders
+              WHERE o_orderpriority IS NOT NULL GROUP BY 1
+            ),
+            dic2 AS (SELECT v, (row_number() OVER (ORDER BY n DESC, v)
+                                - 1)::BIGINT AS id FROM d2)
+            SELECT o.o_orderkey, o.o_orderstatus,
+                   dic1.id AS o_orderstatus_id,
+                   o.o_orderpriority, dic2.id AS o_orderpriority_id
+            FROM orders o
+            LEFT JOIN dic1 ON o.o_orderstatus = dic1.v
+            LEFT JOIN dic2 ON o.o_orderpriority = dic2.v
+        """,
+        # A-Priori frequent itemsets (E225): the oracle counts every
+        # level directly with HAVING — the pruned Spark plan must agree
+        "basket_itemsets": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ),
+            bi2 AS (SELECT * FROM bi WHERE b NOT IN (
+              SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)),
+            f1 AS (SELECT i, count(*)::BIGINT AS sup FROM bi2
+                   GROUP BY i HAVING count(*) >= 2),
+            p AS (SELECT a.i AS x, b.i AS y, count(*)::BIGINT AS sup
+                  FROM bi2 a JOIN bi2 b ON a.b = b.b AND a.i < b.i
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            t AS (SELECT a.i AS x, b.i AS y, c.i AS z,
+                         count(*)::BIGINT AS sup
+                  FROM bi2 a JOIN bi2 b ON a.b = b.b AND a.i < b.i
+                       JOIN bi2 c ON c.b = a.b AND b.i < c.i
+                  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+            SELECT CAST(i AS VARCHAR) AS items, 1::BIGINT AS size,
+                   sup AS support FROM f1
+            UNION ALL
+            SELECT x::VARCHAR || ',' || y::VARCHAR, 2::BIGINT, sup FROM p
+            UNION ALL
+            SELECT x::VARCHAR || ',' || y::VARCHAR || ',' || z::VARCHAR,
+                   3::BIGINT, sup FROM t
+        """,
+        # reciprocal kNN pairs (E223): rank among >=floor neighbors on
+        # the 6dp-cosine contract; both directions' ranks must be <= k
+        "mutual_knn": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            sym AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst,
+                     {_SQL_COS.format(a='a.v', b='b.v')} AS cosine
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+              WHERE {_SQL_COS.format(a='a.v', b='b.v')} >= 0.2
+            ),
+            knn AS (
+              SELECT src, dst, cosine, rk FROM (
+                SELECT *, row_number() OVER (PARTITION BY src
+                                             ORDER BY cosine DESC, dst) AS rk
+                FROM sym
+              ) WHERE rk <= 5
+            )
+            SELECT f.src AS id_a, f.dst AS id_b, f.cosine,
+                   CAST(f.rk AS BIGINT) AS rank_a,
+                   CAST(r.rk AS BIGINT) AS rank_b
+            FROM knn f JOIN knn r ON r.src = f.dst AND r.dst = f.src
+            WHERE f.src < f.dst
         """,
         # frozen-center SemDeDup (E106 oracle tier): the greedy
         # ascending-id prefix is a recursive CTE carrying the kept
@@ -11182,6 +11294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_anim": q_multimodal_gif_anim,
         "fuzzy_name_pairs": q_fuzzy_name_pairs,
         "communities_lpa": q_communities_lpa,
+        "mutual_knn": q_mutual_knn,
+        "encode_categoricals": q_encode_categoricals,
+        "basket_itemsets": q_basket_itemsets,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

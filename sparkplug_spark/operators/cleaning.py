@@ -33,6 +33,8 @@ from ..functions.text import hash60, hashed_shingles_pd, tokens_pd
 from ..partitioning import spread
 
 __all__ = [
+    "encode_categoricals",
+    "frequent_itemsets",
     "PII_PATTERNS",
     "scrub_pii",
     "gopher_quality_flags",
@@ -1977,4 +1979,169 @@ def wordlist_filter(
             "wordlist_flagged", F.col("n_term_hits") > int(max_hits)
         )
         .drop("__toks")
+    )
+
+
+def encode_categoricals(
+    df: DataFrame,
+    cols: Sequence[str],
+    suffix: str = "_id",
+    start: int = 0,
+) -> DataFrame:
+    """Frequency-ordered dictionary encoding for categorical columns —
+    the StringIndexer of ML feature prep, engine-exact: each column's
+    distinct values get dense ids by (count DESC, value ASC), so the
+    most common category is ``start``, ties break lexically, and the
+    SAME data always yields the SAME ids on any engine (ML runtimes'
+    indexers depend on partition-visit order; this one is a
+    deterministic function of the value histogram).  NULL encodes as
+    NULL — impute first (:func:`impute_nulls`) if the model needs a
+    level for it.
+
+    Appends ``{col}{suffix}`` (BIGINT) per input column.
+
+    Plan: per column, one vocabulary-sized count aggregate (partial
+    map-side) + a single-partition dense-rank window over the VOCAB
+    (categoricals are vocab-sized by definition — if a column has
+    corpus-sized cardinality it is not categorical; hash it instead)
+    and one broadcast-eligible join back; no wide rows shuffle."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    out = df
+    for c in cols:
+        counts = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        w = Window.orderBy(F.desc("__n"), F.asc("__v"))
+        dic = counts.select(
+            "__v",
+            (F.row_number().over(w) - 1 + int(start))
+            .cast("long")
+            .alias(f"{c}{suffix}"),
+        )
+        out = out.join(
+            F.broadcast(dic), out[c] == dic["__v"], "left"
+        ).drop("__v")
+    return out
+
+
+def frequent_itemsets(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    max_size: int = 3,
+) -> DataFrame:
+    """Frequent itemsets up to ``max_size`` by level-wise A-Priori
+    (Agrawal & Srikant, VLDB'94) — market-basket mining beyond
+    :func:`~.cooccurrence.basket_pairs`' pairs+lift: which item TRIPLES
+    co-occur in ≥ ``min_support`` baskets.
+
+    Output: (items STRING — ascending ids comma-joined, size, support)
+    for every frequent itemset of size 1..max_size (string keys so the
+    variable-arity set travels through any engine/sink unchanged).
+
+    Scale shape — the A-Priori prune is the whole point: size-k
+    candidates are built ONLY from frequent (k−1)-sets by joining
+    frequent pairs/triples on their prefix, and the basket table is
+    pre-filtered to frequent ITEMS before any self-join, so the
+    candidate space collapses from C(n_items, k) to what the support
+    threshold admits.  Every join key is (basket, item) integers;
+    baskets wider than 1000 items are excluded up front (same guard as
+    ``basket_pairs`` — a single degenerate mega-basket otherwise
+    quadratically dominates)."""
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if not 1 <= max_size <= 3:
+        raise ValueError("max_size must be 1, 2 or 3")
+    bi = (
+        df.select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .distinct()
+    )
+    big = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") > 1000
+    )
+    bi = bi.join(big.select("b"), "b", "left_anti")
+    f1 = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("sup")).filter(
+        F.col("sup") >= min_support
+    )
+    out = f1.select(
+        F.col("i").cast("string").alias("items"),
+        F.lit(1).cast("long").alias("size"),
+        F.col("sup").alias("support"),
+    )
+    if max_size == 1:
+        return out
+    # L1 prune before the pair self-join
+    bi1 = bi.join(f1.select("i"), "i", "left_semi")
+    a, b = bi1.alias("a"), bi1.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(
+            F.col("a.i").alias("x"), F.col("b.i").alias("y")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .filter(F.col("sup") >= min_support)
+    )
+    out = out.unionByName(
+        p.select(
+            F.concat_ws(",", "x", "y").alias("items"),
+            F.lit(2).cast("long").alias("size"),
+            F.col("sup").alias("support"),
+        )
+    )
+    if max_size == 2:
+        return out
+    # candidate triples from frequent pairs sharing the first element
+    # (prefix join), validated against the pair lattice, counted in the
+    # frequent-pair-filtered basket stream
+    pa, pb = p.alias("pa"), p.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.x") == F.col("pb.x"))
+            & (F.col("pa.y") < F.col("pb.y")),
+        )
+        .select(
+            F.col("pa.x").alias("x"),
+            F.col("pa.y").alias("y"),
+            F.col("pb.y").alias("z"),
+        )
+        # A-Priori closure: (y, z) must itself be frequent
+        .join(
+            p.select(
+                F.col("x").alias("y"), F.col("y").alias("z")
+            ),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+    t1, t2, t3 = bi1.alias("t1"), bi1.alias("t2"), bi1.alias("t3")
+    triples = (
+        cand.join(t1, F.col("t1.i") == F.col("x"))
+        .join(
+            t2,
+            (F.col("t2.b") == F.col("t1.b")) & (F.col("t2.i") == F.col("y")),
+        )
+        .join(
+            t3,
+            (F.col("t3.b") == F.col("t1.b")) & (F.col("t3.i") == F.col("z")),
+        )
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        .filter(F.col("sup") >= min_support)
+    )
+    return out.unionByName(
+        triples.select(
+            F.concat_ws(",", "x", "y", "z").alias("items"),
+            F.lit(3).cast("long").alias("size"),
+            F.col("sup").alias("support"),
+        )
     )

@@ -40,6 +40,7 @@ __all__ = [
     "search_ivfpq_index",
     "append_to_ivfpq_index",
     "blocked_cosine_pairs",
+    "mutual_knn_pairs",
     "embedding_norms",
     "cluster_profile",
     "semantic_dedup",
@@ -1271,6 +1272,75 @@ def semantic_dedup(
 
     return assigned.groupBy("cluster").applyInPandas(
         _prune, schema=f"id {id_field}, cluster int, kept boolean"
+    )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    k: int = 5,
+    min_cosine: float = 0.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs: (a, b) kept iff b
+    is among a's top-k cosine neighbors AND a is among b's — the
+    standard high-precision pair filter for dedup seeding, RNN-based
+    clustering (first step of RNN-descent / FINCH), and
+    label-transfer graphs, where one-sided kNN edges to hubs are mostly
+    noise.
+
+    Ranking happens among pairs with cosine ≥ ``min_cosine`` only (the
+    floor is what keeps the pair volume bounded at scale — without it
+    an exact kNN graph needs the full n² matrix).  Ties and float noise
+    are deterministic: ranks order by (6dp cosine desc, neighbor id
+    asc), the repo-wide similarity contract.
+
+    Output: (id_a < id_b, cosine, rank_a, rank_b) — ``rank_a`` is b's
+    rank in a's list.
+
+    Plan: exact pair generation via :func:`blocked_cosine_pairs` (block
+    GEMM — no broadcast of the corpus, n·B vector rows shuffle), one
+    symmetric explosion (2 rows per pair), a per-node rank window over
+    ≥-floor neighbors, and a self-join of the two directed k-lists on
+    the (a, b) key — all narrow integer/double rows."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = blocked_cosine_pairs(
+        df, vec_col=vec_col, id_col=id_col, threshold=float(min_cosine)
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("dst"),
+        "cosine",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("dst"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    knn = (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+    fwd = knn.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("id_a"),
+        F.col("dst").alias("id_b"),
+        "cosine",
+        F.col("rank").alias("rank_a"),
+    )
+    rev = knn.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("id_a"),
+        F.col("src").alias("id_b"),
+        F.col("rank").alias("rank_b"),
+    )
+    return fwd.join(rev, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "cosine",
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("rank_b").cast("long").alias("rank_b"),
     )
 
 

@@ -1,0 +1,124 @@
+"""E223 mutual kNN, E224 categorical encoding, E225 A-Priori itemsets."""
+
+import numpy as np
+import pytest
+
+from sparkplug_spark.operators import (
+    encode_categoricals,
+    frequent_itemsets,
+    mutual_knn_pairs,
+)
+
+
+class TestEncodeCategoricals:
+    def test_frequency_order_and_ties(self, spark):
+        rows = [(1, "b"), (2, "b"), (3, "a"), (4, "a"), (5, "c"), (6, None)]
+        df = spark.createDataFrame(rows, "id long, cat string")
+        got = {
+            r["id"]: r["cat_id"]
+            for r in encode_categoricals(df, ["cat"]).collect()
+        }
+        # a and b both count 2 -> tie breaks lexically: a=0, b=1, c=2
+        assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 2, 6: None}
+
+    def test_multiple_columns_and_start(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", "p"), (2, "y", "p")], "id long, a string, b string"
+        )
+        out = encode_categoricals(df, ["a", "b"], start=10).collect()
+        by_id = {r["id"]: (r["a_id"], r["b_id"]) for r in out}
+        assert by_id == {1: (10, 10), 2: (11, 10)}
+
+    def test_empty_cols_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, a string")
+        with pytest.raises(ValueError, match="cols"):
+            encode_categoricals(df, [])
+
+
+class TestFrequentItemsets:
+    def test_hand_built_lattice(self, spark):
+        baskets = [
+            (1, 10), (1, 20), (1, 30),
+            (2, 10), (2, 20), (2, 30),
+            (3, 10), (3, 20),
+            (4, 40),
+        ]
+        df = spark.createDataFrame(baskets, "b long, i long")
+        got = {
+            (r["items"], r["size"]): r["support"]
+            for r in frequent_itemsets(df, "b", "i", min_support=2).collect()
+        }
+        assert got[("10", 1)] == 3 and got[("20", 1)] == 3
+        assert got[("30", 1)] == 2
+        assert ("40", 1) not in got           # support 1
+        assert got[("10,20", 2)] == 3
+        assert got[("10,30", 2)] == 2 and got[("20,30", 2)] == 2
+        assert got[("10,20,30", 3)] == 2
+        assert all(s <= 3 for _, s in got)    # no size-4 leaks
+
+    def test_matches_brute_force(self, spark):
+        from itertools import combinations
+
+        rng = np.random.default_rng(2)
+        baskets = sorted(
+            {(int(b), int(i)) for b, i in zip(
+                rng.integers(0, 30, 300), rng.integers(0, 15, 300))}
+        )
+        df = spark.createDataFrame(baskets, "b long, i long")
+        by_b = {}
+        for b, i in baskets:
+            by_b.setdefault(b, set()).add(i)
+        want = {}
+        for size in (1, 2, 3):
+            from collections import Counter
+
+            c = Counter()
+            for items in by_b.values():
+                for combo in combinations(sorted(items), size):
+                    c[combo] += 1
+            for combo, sup in c.items():
+                if sup >= 3:
+                    want[(",".join(map(str, combo)), size)] = sup
+        got = {
+            (r["items"], r["size"]): r["support"]
+            for r in frequent_itemsets(df, "b", "i", min_support=3).collect()
+        }
+        assert got == want
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1, 2)], "b long, i long")
+        with pytest.raises(ValueError, match="min_support"):
+            frequent_itemsets(df, "b", "i", min_support=0)
+        with pytest.raises(ValueError, match="max_size"):
+            frequent_itemsets(df, "b", "i", max_size=4)
+
+
+class TestMutualKnn:
+    def test_reciprocity_required(self, spark):
+        # hub h is everyone's neighbor, but h's own top-1 is only a
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [0.1, 0.9]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            (r["id_a"], r["id_b"]): (r["rank_a"], r["rank_b"])
+            for r in mutual_knn_pairs(df, k=1, min_cosine=0.0).collect()
+        }
+        # with k=1: 1<->2 mutual, 3<->4 mutual, nothing else
+        assert set(got) == {(1, 2), (3, 4)}
+        assert got[(1, 2)] == (1, 1)
+
+    def test_floor_excludes_low_cosine(self, spark):
+        rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        assert (
+            mutual_knn_pairs(df, k=5, min_cosine=0.5).count() == 0
+        )
+
+    def test_guard(self, spark):
+        df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="k"):
+            mutual_knn_pairs(df, k=0)
