@@ -6802,6 +6802,14 @@ def _extension_oracles() -> dict[str, str]:
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
         """,
+        # stream-static dim enrichment with atomic republish (E226):
+        # batch 1 saw tier v1, batch 2 saw v2 (+100) — deterministic
+        "streaming_enrich_replay": """
+            SELECT doc_id, source,
+                   CASE WHEN doc_id < 250 THEN length(source)
+                        ELSE length(source) + 100 END::BIGINT AS tier
+            FROM documents
+        """,
         # frequency-ordered dictionary encoding (E224)
         "encode_categoricals": """
             WITH d1 AS (
@@ -10668,6 +10676,79 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dim enrichment against a live manifest store
+    (E226), ORACLE-checked: two sequential availableNow runs over one
+    checkpoint — batch 1 (doc_id<250) enriches against dim v1
+    (tier = length(source)), the dim is atomically REPUBLISHED
+    (tier + 100), batch 2 (doc_id>=250) enriches against v2.  Each
+    batch must see exactly the version live at its run; the tier values
+    prove it."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkplug_spark.sources import manifest_publish
+    from sparkplug_spark.streaming import streaming_enrich
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    tmp = tempfile.mkdtemp(prefix="sparkplug_senrich_")
+    store = os.path.join(tmp, "dim")
+    out_dir = os.path.join(tmp, "out")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+
+    def write_batch(df, i):
+        stage = os.path.join(tmp, f"stage_{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        shutil.move(
+            os.path.join(stage, part),
+            os.path.join(src, f"batch_{i:04d}.parquet"),
+        )
+        shutil.rmtree(stage)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_enrich(stream, store, "source", ("tier",), out_dir)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    dim1 = docs.select("source").distinct().withColumn(
+        "tier", F.length("source").cast("long")
+    )
+    manifest_publish(
+        spark, store, lambda d: dim1.write.mode("overwrite").parquet(d)
+    )
+    write_batch(docs.filter(F.col("doc_id") < 250), 0)
+    run_once()
+    dim2 = dim1.withColumn("tier", F.col("tier") + F.lit(100))
+    manifest_publish(
+        spark, store, lambda d: dim2.write.mode("overwrite").parquet(d)
+    )
+    write_batch(docs.filter(F.col("doc_id") >= 250), 1)
+    run_once()
+    res = (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "source", "tier")
+        .localCheckpoint()
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
 def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KMV sketch store (E182), ORACLE-checked via
     deterministic replay: per-source shingle rows arrive as 3
@@ -11297,6 +11378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,
         "encode_categoricals": q_encode_categoricals,
         "basket_itemsets": q_basket_itemsets,
+        "streaming_enrich_replay": q_streaming_enrich_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

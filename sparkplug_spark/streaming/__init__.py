@@ -41,6 +41,7 @@ __all__ = [
     "streaming_semantic_flags",
     "streaming_language_route",
     "streaming_dhash_flags",
+    "streaming_enrich",
 ]
 
 
@@ -858,5 +859,50 @@ def streaming_dhash_flags(
             store_path,
             lambda p: merged.write.mode("overwrite").parquet(p),
         )
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_enrich(
+    stream_df: DataFrame,
+    dim_store_path: str,
+    on: str,
+    dim_cols: tuple,
+    out_path: str,
+):
+    """Stream-static DIMENSION enrichment against a live manifest store
+    (E226): each micro-batch joins the CURRENT version of an atomically
+    republished dimension (:func:`~..sources.manifest_publish` — a
+    republish between batches is picked up at the next batch boundary,
+    never mid-batch) and appends the enriched rows, stamped with the
+    dimension version they were joined against (``__dim_version``) —
+    the audit column that makes "which rows saw stale dims" a filter
+    instead of a forensic exercise.
+
+    A plain Spark stream-static join plans the static side ONCE, so a
+    repointed manifest would keep serving the plan-time version (or
+    crash when it is GC'd); reading the store inside ``foreachBatch``
+    is the correct refresh boundary, and the small dim broadcasts.
+
+    Unmatched stream rows keep NULL dim columns (left join — ingestion
+    must not drop facts because a dim is late; filter on NULLs
+    downstream if it must).  Returns the ``DataStreamWriter``."""
+    from ..sources import manifest_resolve, read_store
+
+    dim_cols = tuple(dim_cols)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        live = manifest_resolve(spark, dim_store_path)
+        version = live.rstrip("/").rsplit("/", 1)[-1] if live else "legacy"
+        dim = read_store(spark, dim_store_path).select(
+            on, *dim_cols
+        )
+        out = (
+            batch_df.join(F.broadcast(dim), on, "left")
+            .withColumn("__dim_version", F.lit(version))
+            .withColumn("__batch_id", F.lit(int(batch_id)).cast("long"))
+        )
+        out.write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(_process)

@@ -122,3 +122,77 @@ class TestMutualKnn:
         df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
         with pytest.raises(ValueError, match="k"):
             mutual_knn_pairs(df, k=0)
+
+
+class TestStreamingEnrich:
+    """E226 stream-static dim enrichment with atomic republish."""
+
+    def test_version_boundary_and_left_join(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from sparkplug_spark.sources import manifest_publish
+        from sparkplug_spark.streaming import streaming_enrich
+
+        tmp = str(tmp_path)
+        store, out, chk, src = (
+            os.path.join(tmp, d) for d in ("dim", "out", "chk", "src")
+        )
+        os.makedirs(src)
+        schema = "id long, key string"
+
+        def write_batch(rows, i):
+            stage = os.path.join(tmp, f"st{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                stage
+            )
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+                and not f.startswith(("_", "."))
+            )
+            shutil.move(
+                os.path.join(stage, part),
+                os.path.join(src, f"b{i:04d}.parquet"),
+            )
+
+        def run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                streaming_enrich(stream, store, "key", ("val",), out)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        dim1 = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "key string, val long"
+        )
+        manifest_publish(
+            spark, store, lambda d: dim1.write.mode("overwrite").parquet(d)
+        )
+        write_batch([(1, "a"), (2, "zzz")], 0)  # zzz: no dim row
+        run()
+        dim2 = spark.createDataFrame(
+            [("a", 100), ("b", 200)], "key string, val long"
+        )
+        manifest_publish(
+            spark, store, lambda d: dim2.write.mode("overwrite").parquet(d)
+        )
+        write_batch([(3, "a")], 1)
+        run()
+        rows = {
+            r["id"]: (r["val"], r["__dim_version"], r["__batch_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert rows[1][0] == 1          # batch 1 saw dim v1
+        assert rows[2][0] is None       # unmatched key survives with NULL
+        assert rows[3][0] == 100        # batch 2 saw dim v2
+        assert rows[1][1] != rows[3][1]  # version stamp moved
+        assert rows[1][2] == 0 and rows[3][2] == 1
