@@ -3116,6 +3116,16 @@ def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event sequences (E227): ordered gap-tolerant patterns up
+    to length 3, support = distinct users, closed-form existence test
+    (first/last occurrence bounds) instead of all-triples."""
+    from sparkplug_spark.operators import frequent_event_sequences
+
+    ev = read_events(spark, sf_dir)
+    return frequent_event_sequences(ev, min_support=100)
+
+
 def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal kNN pairs (E223): each side must rank the other in its
     top-5 among >=0.2-cosine neighbors — the high-precision pair filter
@@ -6801,6 +6811,33 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # frequent event sequences (E227): subsequence existence via
+        # first/last occurrence bounds; strict ts ordering
+        "event_sequences": """
+            WITH ev AS (SELECT user_id AS u, event_type AS t, ts
+                        FROM events WHERE event_type IS NOT NULL),
+            fl AS (SELECT u, t, min(ts) AS f, max(ts) AS l
+                   FROM ev GROUP BY u, t),
+            l1 AS (SELECT t, count(DISTINCT u)::BIGINT AS s FROM fl
+                   GROUP BY t HAVING count(DISTINCT u) >= 100),
+            flf AS (SELECT fl.* FROM fl JOIN l1 USING (t)),
+            l2 AS (SELECT a.t AS x, b.t AS y,
+                          count(DISTINCT a.u)::BIGINT AS s
+                   FROM flf a JOIN flf b ON a.u = b.u AND a.f < b.l
+                   GROUP BY 1, 2 HAVING count(DISTINCT a.u) >= 100),
+            evf AS (SELECT ev.* FROM ev JOIN l1 USING (t)),
+            l3 AS (SELECT fa.t AS x, m.t AS y, fc.t AS z,
+                          count(DISTINCT m.u)::BIGINT AS s
+                   FROM evf m
+                   JOIN flf fa ON fa.u = m.u AND fa.f < m.ts
+                   JOIN flf fc ON fc.u = m.u AND m.ts < fc.l
+                   GROUP BY 1, 2, 3 HAVING count(DISTINCT m.u) >= 100)
+            SELECT t AS pattern, 1::BIGINT AS size, s AS support FROM l1
+            UNION ALL
+            SELECT x || '>' || y, 2::BIGINT, s FROM l2
+            UNION ALL
+            SELECT x || '>' || y || '>' || z, 3::BIGINT, s FROM l3
         """,
         # stream-static dim enrichment with atomic republish (E226):
         # batch 1 saw tier v1, batch 2 saw v2 (+100) — deterministic
@@ -11379,6 +11416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_categoricals": q_encode_categoricals,
         "basket_itemsets": q_basket_itemsets,
         "streaming_enrich_replay": q_streaming_enrich_replay,
+        "event_sequences": q_event_sequences,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

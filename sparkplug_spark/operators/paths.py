@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .events import _epoch_s
 
-__all__ = ["event_transitions", "session_paths"]
+__all__ = ["event_transitions", "session_paths", "frequent_event_sequences"]
 
 
 def event_transitions(
@@ -182,4 +182,113 @@ def session_paths(
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .filter(F.col("n_sessions") >= min_sessions)
+    )
+
+
+def frequent_event_sequences(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    min_support: int = 2,
+    max_len: int = 3,
+) -> DataFrame:
+    """Frequent event SEQUENCES (ordered, gaps allowed) up to length 3:
+    how many users' streams contain a subsequence of event types at
+    strictly increasing timestamps — the sequential sibling of
+    market-basket :func:`~.cleaning.frequent_itemsets` (order matters
+    here; "view → cart → purchase" and "purchase → view" are different
+    patterns).  Support = DISTINCT users containing the pattern.
+
+    The subsequence-EXISTENCE test is closed-form, never an all-triples
+    enumeration: per (user, type) only the FIRST and LAST occurrence
+    matter at the ends — ``(a,b)`` exists iff ``first_ts(a) <
+    last_ts(b)``, and ``(a,b,c)`` iff some b-event lies strictly
+    between ``first_ts(a)`` and ``last_ts(c)`` — so length-2 support is
+    a |types|²-per-user join over a (user, type) summary table and
+    length-3 joins each EVENT row against that summary once, O(events ×
+    frequent-type pairs) instead of O(events³).  Simultaneous
+    (equal-ts) events never form a sequence step (strict ordering — the
+    engine-portable reading).
+
+    Output: (pattern STRING "a>b>c", size, support), A-Priori-pruned:
+    only length-1-frequent types enter longer patterns (sound — a
+    pattern's support ≤ each element's support).
+
+    100 TB shape: the (user, type) summary is one partial-agg shuffle;
+    L2 runs on the summary only (corpus-independent width); L3's one
+    event-vs-summary join shuffles (user) keys; supports are
+    countDistinct over (user, pattern) rows."""
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if not 1 <= max_len <= 3:
+        raise ValueError("max_len must be 1, 2 or 3")
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    ).filter(F.col("t").isNotNull())
+    fl = ev.groupBy("u", "t").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    l1 = fl.groupBy("t").agg(
+        F.countDistinct("u").cast("long").alias("support")
+    ).filter(F.col("support") >= min_support)
+    out = l1.select(
+        F.col("t").alias("pattern"),
+        F.lit(1).cast("long").alias("size"),
+        "support",
+    )
+    if max_len == 1:
+        return out
+    # A-Priori prune: only frequent types participate in longer patterns
+    flf = fl.join(l1.select("t"), "t", "left_semi")
+    a, b = flf.alias("a"), flf.alias("b")
+    l2 = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.first_ts") < F.col("b.last_ts")),
+        )
+        .groupBy(F.col("a.t").alias("x"), F.col("b.t").alias("y"))
+        .agg(F.countDistinct(F.col("a.u")).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = out.unionByName(
+        l2.select(
+            F.concat_ws(">", "x", "y").alias("pattern"),
+            F.lit(2).cast("long").alias("size"),
+            "support",
+        )
+    )
+    if max_len == 2:
+        return out
+    evf = ev.join(l1.select("t"), "t", "left_semi")
+    fa, fc = flf.alias("fa"), flf.alias("fc")
+    l3 = (
+        evf.alias("m")
+        .join(
+            fa,
+            (F.col("fa.u") == F.col("m.u"))
+            & (F.col("fa.first_ts") < F.col("m.ts")),
+        )
+        .join(
+            fc,
+            (F.col("fc.u") == F.col("m.u"))
+            & (F.col("m.ts") < F.col("fc.last_ts")),
+        )
+        .groupBy(
+            F.col("fa.t").alias("x"),
+            F.col("m.t").alias("y"),
+            F.col("fc.t").alias("z"),
+        )
+        .agg(F.countDistinct(F.col("m.u")).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return out.unionByName(
+        l3.select(
+            F.concat_ws(">", "x", "y", "z").alias("pattern"),
+            F.lit(3).cast("long").alias("size"),
+            "support",
+        )
     )

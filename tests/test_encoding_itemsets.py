@@ -196,3 +196,100 @@ class TestStreamingEnrich:
         assert rows[3][0] == 100        # batch 2 saw dim v2
         assert rows[1][1] != rows[3][1]  # version stamp moved
         assert rows[1][2] == 0 and rows[3][2] == 1
+
+
+class TestFrequentEventSequences:
+    """E227: ordered subsequence support via first/last bounds."""
+
+    def _brute(self, events, min_support, max_len):
+        from collections import defaultdict
+        from itertools import product
+
+        by_u = defaultdict(list)
+        for u, t, ts in events:
+            by_u[u].append((ts, t))
+        for u in by_u:
+            by_u[u].sort()
+        types = sorted({t for _, t, _ in events})
+
+        def contains(stream, pat):
+            i = 0
+            last_ts = None
+            for ts, t in stream:
+                if i < len(pat) and t == pat[i] and (
+                    last_ts is None or ts > last_ts
+                ):
+                    i += 1
+                    last_ts = ts
+            return i == len(pat)
+
+        want = {}
+        for size in range(1, max_len + 1):
+            for pat in product(types, repeat=size):
+                sup = sum(
+                    1 for s in by_u.values() if contains(s, list(pat))
+                )
+                if sup >= min_support:
+                    want[(">".join(pat), size)] = sup
+        return want
+
+    def test_matches_brute_force(self, spark):
+        import datetime
+
+        import numpy as np
+
+        from sparkplug_spark.operators import frequent_event_sequences
+
+        rng = np.random.default_rng(3)
+        base = datetime.datetime(2024, 1, 1)
+        events = []
+        for u in range(25):
+            n = int(rng.integers(3, 12))
+            ts_off = np.sort(rng.choice(10_000, size=n, replace=False))
+            for k in range(n):
+                events.append(
+                    (u, "abcd"[int(rng.integers(0, 4))],
+                     base + datetime.timedelta(seconds=int(ts_off[k])))
+                )
+        df = spark.createDataFrame(
+            events, "user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            (r["pattern"], r["size"]): r["support"]
+            for r in frequent_event_sequences(df, min_support=5).collect()
+        }
+        assert got == self._brute(events, 5, 3)
+
+    def test_order_matters_and_ties_excluded(self, spark):
+        import datetime
+
+        from sparkplug_spark.operators import frequent_event_sequences
+
+        t0 = datetime.datetime(2024, 1, 1)
+        s = datetime.timedelta(seconds=1)
+        events = [
+            (1, "a", t0), (1, "b", t0 + s),          # a>b only
+            (2, "b", t0), (2, "a", t0 + s),          # b>a only
+            (3, "a", t0), (3, "b", t0),              # SAME ts: no sequence
+        ]
+        df = spark.createDataFrame(
+            events, "user_id long, event_type string, ts timestamp"
+        )
+        got = {
+            r["pattern"]: r["support"]
+            for r in frequent_event_sequences(df, min_support=1).collect()
+            if r["size"] == 2
+        }
+        assert got.get("a>b") == 1 and got.get("b>a") == 1
+        assert "a>a" not in got and "b>b" not in got
+
+    def test_guards(self, spark):
+        from sparkplug_spark.operators import frequent_event_sequences
+
+        df = spark.createDataFrame(
+            [(1, "a", None)], "user_id long, event_type string, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="min_support"):
+            frequent_event_sequences(df, min_support=0)
+        with pytest.raises(ValueError, match="max_len"):
+            frequent_event_sequences(df, max_len=4)
