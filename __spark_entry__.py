@@ -3116,6 +3116,17 @@ def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_textrank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TextRank (E228): integer PageRank over the adjacent-token
+    co-occurrence graph — graph-centrality keyword scores that
+    value-hash (nano-unit ranks, the E199 machinery composed over a
+    text-built graph)."""
+    from sparkplug_spark.operators import textrank_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return textrank_scores(docs, min_pair_count=3, iterations=8)
+
+
 def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent event sequences (E227): ordered gap-tolerant patterns up
     to length 3, support = distinct users, closed-form existence test
@@ -6811,6 +6822,67 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # corpus TextRank (E228): adjacent-token graph + the E199
+        # integer-PageRank recursion (string nodes; '|' join is safe —
+        # normalization strips it from tokens)
+        "textrank_tokens": f"""
+            WITH RECURSIVE tk AS (
+              SELECT doc_id, {toks} AS t FROM documents
+            ),
+            adj0 AS (
+              SELECT unnest(list_filter(list_transform(
+                       range(1, len(t)), i ->
+                       CASE WHEN t[i] <> t[i+1] AND t[i] <> ''
+                                 AND t[i+1] <> ''
+                            THEN CASE WHEN t[i] < t[i+1]
+                                      THEN t[i] || '|' || t[i+1]
+                                      ELSE t[i+1] || '|' || t[i] END
+                       END), x -> x IS NOT NULL)) AS pair
+              FROM tk
+            ),
+            prs AS (
+              SELECT split_part(pair, '|', 1) AS a,
+                     split_part(pair, '|', 2) AS b
+              FROM adj0 GROUP BY pair HAVING count(*) >= 3
+            ),
+            edges AS (SELECT a AS s, b AS d FROM prs
+                      UNION ALL SELECT b, a FROM prs),
+            ord AS (SELECT v, row_number() OVER (ORDER BY v) AS idx
+                    FROM (SELECT DISTINCT s AS v FROM edges)),
+            adjp AS (
+              SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+              FROM edges e JOIN ord o1 ON e.s = o1.v
+                           JOIN ord o2 ON e.d = o2.v
+              GROUP BY o2.idx
+            ),
+            adjrow AS (SELECT list(nb ORDER BY i) AS A,
+                              list(len(nb) ORDER BY i) AS odeg FROM adjp),
+            it AS (
+              SELECT 0 AS k,
+                     list_transform(range(1, len(odeg) + 1),
+                                    i -> CAST(1000000000 AS BIGINT)) AS m
+              FROM adjrow
+              UNION ALL
+              SELECT k + 1,
+                     list_transform(range(1, len(m) + 1), i -> CAST(
+                       150000000 + 85 * (
+                         coalesce(list_sum(list_transform(a.A[i],
+                           j -> m[j] // a.odeg[j])), 0)
+                         + ds) // 100 AS BIGINT))
+              FROM (
+                SELECT k, m,
+                       coalesce(list_sum(list_transform(
+                         range(1, len(m) + 1),
+                         j -> CASE WHEN a0.odeg[j] = 0 THEN m[j]
+                                   ELSE CAST(0 AS BIGINT) END)), 0)
+                         // len(m) AS ds
+                FROM it, adjrow a0 WHERE k < 8
+              ), adjrow a
+            ),
+            fin AS (SELECT m FROM it ORDER BY k DESC LIMIT 1)
+            SELECT o.v AS token, CAST(f.m[o.idx] AS BIGINT) AS rank_nano
+            FROM ord o, fin f
         """,
         # frequent event sequences (E227): subsequence existence via
         # first/last occurrence bounds; strict ts ordering
@@ -11417,6 +11489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_itemsets": q_basket_itemsets,
         "streaming_enrich_replay": q_streaming_enrich_replay,
         "event_sequences": q_event_sequences,
+        "textrank_tokens": q_textrank_tokens,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

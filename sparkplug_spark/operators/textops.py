@@ -26,6 +26,7 @@ from ..functions.text import (
 
 __all__ = [
     "hashed_embedding",
+    "textrank_scores",
     "text_stats",
     "build_vocab",
     "vocab_coverage",
@@ -1455,3 +1456,70 @@ def apply_language_id(
         .mapInPandas(_score, out_t)
         .withColumnRenamed("id", id_col)
     )
+
+
+def textrank_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 3,
+    iterations: int = 8,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau, EMNLP'04): build the
+    word co-occurrence graph (adjacent-token pairs on the shared
+    normalization, undirected, pruned to pairs seen ≥
+    ``min_pair_count`` times) and rank tokens by PageRank over it —
+    graph-centrality keyword scoring, the unsupervised sibling of
+    tf·idf-style :func:`distinctive_tokens` (a token scores high here
+    by sitting in many well-connected contexts, not by raw frequency).
+
+    Composes :func:`~.graphs.pagerank_integer` — EXACT integer
+    nano-unit ranks, so the whole pipeline value-hashes across engines
+    (the float TextRank everyone ships is partition-order-dependent in
+    the last ulps).  The symmetrized graph has no dangling nodes, so
+    the dangling aggregate is skipped.
+
+    Returns (token, rank_nano BIGINT) for every graph node; take the
+    top-k downstream (ties deterministic on the integer rank + token).
+
+    Scale shape: one Arrow tokenize pass, one per-doc window (adjacent
+    pair), one vocabulary²-bounded pair count (min_pair_count prunes
+    the long tail before the graph); PageRank then iterates over a
+    vocab-sized edge list — corpus size only enters the ONE pair-count
+    shuffle."""
+    from pyspark.sql import Window
+
+    from .graphs import pagerank_integer
+
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    toks = spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens_pd(F.col(text_col))).alias("__pos", "__t"),
+    ).filter(F.col("__t") != "")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    adj = (
+        toks.withColumn("__nxt", F.lead("__t").over(w))
+        .filter(
+            F.col("__nxt").isNotNull() & (F.col("__t") != F.col("__nxt"))
+        )
+        .select(
+            F.least("__t", "__nxt").alias("a"),
+            F.greatest("__t", "__nxt").alias("b"),
+        )
+    )
+    pairs = adj.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).filter(F.col("__n") >= int(min_pair_count))
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank_integer(
+        edges,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        assume_no_dangling=True,
+    ).select(F.col("node").alias("token"), "rank_nano")

@@ -293,3 +293,36 @@ class TestFrequentEventSequences:
             frequent_event_sequences(df, min_support=0)
         with pytest.raises(ValueError, match="max_len"):
             frequent_event_sequences(df, max_len=4)
+
+
+class TestTextrankScores:
+    """E228 corpus TextRank over the adjacent-token graph."""
+
+    def test_hub_token_ranks_highest(self, spark):
+        from sparkplug_spark.operators import textrank_scores
+
+        # 'hub' co-occurs with everything; spokes only with hub
+        docs = [
+            (i, f"hub {w} hub {w} hub {w}")
+            for i, w in enumerate(["red", "green", "blue", "cyan"])
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = textrank_scores(df, min_pair_count=2, iterations=8).collect()
+        ranks = {r["token"]: r["rank_nano"] for r in rows}
+        assert max(ranks, key=ranks.get) == "hub"
+        assert set(ranks) == {"hub", "red", "green", "blue", "cyan"}
+        # spokes are symmetric -> identical integer ranks
+        assert len({ranks[w] for w in ["red", "green", "blue", "cyan"]}) == 1
+
+    def test_min_pair_count_prunes(self, spark):
+        from sparkplug_spark.operators import textrank_scores
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "c d")], "doc_id long, text string"
+        )
+        toks = {
+            r["token"]
+            for r in textrank_scores(df, min_pair_count=2).collect()
+        }
+        # (a,b) occurs 3x; (c,d) once -> pruned entirely
+        assert toks == {"a", "b"}
