@@ -3116,6 +3116,42 @@ def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution golden records (E229): fuzzy-match customer
+    names (distance<=1) BLOCKED to same-nation pairs, merge into
+    clusters via star-contraction CC, emit one consensus row per
+    cluster (deterministic mode per attribute, ties to smallest)."""
+    from sparkplug_spark.operators import (
+        consensus_records,
+        edit_distance_pairs,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    pairs = edit_distance_pairs(
+        cust, text_col="c_name", id_col="c_custkey", max_distance=1, q=2
+    )
+    nat = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("__na"),
+    )
+    natb = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("__nb"),
+    )
+    blocked = (
+        pairs.join(nat, "id_a")
+        .join(natb, "id_b")
+        .filter(F.col("__na") == F.col("__nb"))
+        .select("id_a", "id_b")
+    )
+    return consensus_records(
+        cust,
+        blocked,
+        id_col="c_custkey",
+        attr_cols=("c_mktsegment", "c_nationkey"),
+    )
+
+
 def q_textrank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TextRank (E228): integer PageRank over the adjacent-token
     co-occurrence graph — graph-centrality keyword scores that
@@ -6822,6 +6858,62 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # ER golden records (E229): fuzzy same-nation pairs -> min-label
+        # components -> deterministic per-attribute mode
+        "golden_records": """
+            WITH RECURSIVE fpairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+                   AND a.c_nationkey = b.c_nationkey
+              WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+                AND levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+                      UNION SELECT id_b, id_a FROM fpairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(id, label) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+            ),
+            grp AS (SELECT id, min(label) AS g FROM walk GROUP BY id),
+            lab AS (
+              SELECT c.c_custkey AS id,
+                     coalesce(grp.g, c.c_custkey) AS cluster_id
+              FROM customer c LEFT JOIN grp ON grp.id = c.c_custkey
+            ),
+            base AS (
+              SELECT lab.cluster_id, c.c_mktsegment, c.c_nationkey
+              FROM customer c JOIN lab ON lab.id = c.c_custkey
+            ),
+            nm AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+                   FROM lab GROUP BY cluster_id),
+            m1 AS (
+              SELECT cluster_id, c_mktsegment FROM (
+                SELECT cluster_id, c_mktsegment,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY count(*) DESC,
+                                                   c_mktsegment) AS rk
+                FROM base WHERE c_mktsegment IS NOT NULL
+                GROUP BY cluster_id, c_mktsegment
+              ) WHERE rk = 1
+            ),
+            m2 AS (
+              SELECT cluster_id, c_nationkey FROM (
+                SELECT cluster_id, c_nationkey,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY count(*) DESC,
+                                                   c_nationkey) AS rk
+                FROM base WHERE c_nationkey IS NOT NULL
+                GROUP BY cluster_id, c_nationkey
+              ) WHERE rk = 1
+            )
+            SELECT nm.cluster_id, nm.n_members,
+                   m1.c_mktsegment, m2.c_nationkey
+            FROM nm LEFT JOIN m1 USING (cluster_id)
+            LEFT JOIN m2 USING (cluster_id)
         """,
         # corpus TextRank (E228): adjacent-token graph + the E199
         # integer-PageRank recursion (string nodes; '|' join is safe —
@@ -11490,6 +11582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_replay": q_streaming_enrich_replay,
         "event_sequences": q_event_sequences,
         "textrank_tokens": q_textrank_tokens,
+        "golden_records": q_golden_records,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

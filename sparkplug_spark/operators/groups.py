@@ -25,6 +25,7 @@ __all__ = [
     "dedup_keep_best",
     "update_components",
     "duplication_weights",
+    "consensus_records",
 ]
 
 
@@ -343,3 +344,65 @@ def duplication_weights(
         "group_size",
         F.expr("1000000L div group_size").alias("weight_ppm"),
     )
+
+
+def consensus_records(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    attr_cols: tuple = (),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Golden records for entity resolution: given match PAIRS (from
+    :func:`~.joins.edit_distance_pairs`, :func:`~.joins.blocked_link`,
+    or any matcher), merge entities into clusters by connected
+    components and emit ONE consensus row per cluster — the survivorship
+    step every MDM/ER pipeline ends with.
+
+    Consensus per attribute = the most frequent NON-NULL value in the
+    cluster, ties to the smallest value — deterministic mode, the same
+    lexicographic-struct-min argmax the engine uses everywhere.  A
+    cluster whose attribute is entirely NULL stays NULL.  Entities in
+    no pair form singleton clusters (their own golden record).
+
+    Output: (cluster_id = smallest member id, n_members, one column per
+    ``attr_cols``).
+
+    Plan: components via the O(log² n) star-contraction CC (chain-shaped
+    typo clusters converge round-bounded); each attribute costs one
+    (cluster, value) count (vocab-bounded per cluster) + a struct-min
+    argmax; consensus tables join back cluster-keyed — no wide rows in
+    any shuffle."""
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+    comp = connected_components_star(pairs, id_a=id_a, id_b=id_b)
+    ents = df.select(F.col(id_col).alias("__eid"), *attr_cols)
+    lab = (
+        ents.select("__eid")
+        .distinct()
+        .join(comp.withColumnRenamed("id", "__eid"), "__eid", "left")
+        .select(
+            "__eid",
+            F.coalesce("group_id", F.col("__eid")).alias("cluster_id"),
+        )
+    )
+    base = ents.join(lab, "__eid")
+    out = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    for attr in attr_cols:
+        cnt = (
+            base.filter(F.col(attr).isNotNull())
+            .groupBy("cluster_id", attr)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        best = cnt.groupBy("cluster_id").agg(
+            F.min(
+                F.struct(
+                    (-F.col("__n")).alias("a"), F.col(attr).alias("b")
+                )
+            )["b"].alias(attr)
+        )
+        out = out.join(best, "cluster_id", "left")
+    return out

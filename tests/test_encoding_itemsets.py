@@ -326,3 +326,56 @@ class TestTextrankScores:
         }
         # (a,b) occurs 3x; (c,d) once -> pruned entirely
         assert toks == {"a", "b"}
+
+
+class TestConsensusRecords:
+    """E229 golden records: CC merge + deterministic attribute mode."""
+
+    def test_consensus_mode_and_singletons(self, spark):
+        from sparkplug_spark.operators import consensus_records
+
+        ents = spark.createDataFrame(
+            [
+                (1, "gold", 10),
+                (2, "gold", 20),
+                (3, "silver", 20),   # cluster {1,2,3}: gold wins 2-1
+                (4, None, 30),       # singleton, NULL attr stays NULL
+                (5, "bronze", None),
+            ],
+            "id long, tier string, region int",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        got = {
+            r["cluster_id"]: (r["n_members"], r["tier"], r["region"])
+            for r in consensus_records(
+                ents, pairs, id_col="id", attr_cols=("tier", "region")
+            ).collect()
+        }
+        # region: 20 appears twice (ids 2,3), 10 once -> 20
+        assert got[1] == (3, "gold", 20)
+        assert got[4] == (1, None, 30)
+        assert got[5] == (1, "bronze", None)
+
+    def test_tie_breaks_to_smallest_value(self, spark):
+        from sparkplug_spark.operators import consensus_records
+
+        ents = spark.createDataFrame(
+            [(1, "b"), (2, "a")], "id long, v string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        rows = consensus_records(
+            ents, pairs, id_col="id", attr_cols=("v",)
+        ).collect()
+        assert rows[0]["v"] == "a" and rows[0]["cluster_id"] == 1
+
+    def test_empty_attrs_rejected(self, spark):
+        from sparkplug_spark.operators import consensus_records
+
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        import pytest as _p
+
+        with _p.raises(ValueError, match="attr_cols"):
+            consensus_records(df, pairs, id_col="id", attr_cols=())
