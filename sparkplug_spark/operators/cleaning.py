@@ -2056,6 +2056,8 @@ def frequent_itemsets(
         raise ValueError("min_support must be >= 1")
     if not 1 <= max_size <= 3:
         raise ValueError("max_size must be 1, 2 or 3")
+    from pyspark.storagelevel import StorageLevel
+
     bi = (
         df.select(
             F.col(basket_col).alias("b"), F.col(item_col).alias("i")
@@ -2065,7 +2067,12 @@ def frequent_itemsets(
     big = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__n")).filter(
         F.col("__n") > 1000
     )
-    bi = bi.join(big.select("b"), "b", "left_anti")
+    # the pruned basket stream feeds f1, the pair self-join (twice) and
+    # the triple count (three times) — persist or every level replays
+    # the distinct + anti-join chain (129 runtime exchanges before)
+    bi = bi.join(big.select("b"), "b", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     f1 = bi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("sup")).filter(
         F.col("sup") >= min_support
     )
@@ -2075,9 +2082,12 @@ def frequent_itemsets(
         F.col("sup").alias("support"),
     )
     if max_size == 1:
-        return out
-    # L1 prune before the pair self-join
-    bi1 = bi.join(f1.select("i"), "i", "left_semi")
+        return materialize_release(out, bi)
+    # L1 prune before the pair self-join; reused by the pair join (x2)
+    # and the triple count (x3)
+    bi1 = bi.join(f1.select("i"), "i", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = bi1.alias("a"), bi1.alias("b")
     p = (
         a.join(
@@ -2089,6 +2099,7 @@ def frequent_itemsets(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("sup"))
         .filter(F.col("sup") >= min_support)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out = out.unionByName(
         p.select(
@@ -2098,7 +2109,7 @@ def frequent_itemsets(
         )
     )
     if max_size == 2:
-        return out
+        return materialize_release(out, bi, bi1, p)
     # candidate triples from frequent pairs sharing the first element
     # (prefix join), validated against the pair lattice, counted in the
     # frequent-pair-filtered basket stream
@@ -2138,10 +2149,11 @@ def frequent_itemsets(
         .agg(F.count(F.lit(1)).cast("long").alias("sup"))
         .filter(F.col("sup") >= min_support)
     )
-    return out.unionByName(
+    out = out.unionByName(
         triples.select(
             F.concat_ws(",", "x", "y", "z").alias("items"),
             F.lit(3).cast("long").alias("size"),
             F.col("sup").alias("support"),
         )
     )
+    return materialize_release(out, bi, bi1, p)

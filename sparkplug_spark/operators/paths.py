@@ -223,14 +223,20 @@ def frequent_event_sequences(
         raise ValueError("min_support must be >= 1")
     if not 1 <= max_len <= 3:
         raise ValueError("max_len must be 1, 2 or 3")
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import materialize_release
+
     ev = df.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
         F.col(ts_col).alias("ts"),
-    ).filter(F.col("t").isNotNull())
+    ).filter(F.col("t").isNotNull()).persist(StorageLevel.MEMORY_AND_DISK)
+    # the (user, type) summary feeds l1 and all four join aliases of the
+    # longer levels — persist both or every level replays the scan/agg
     fl = ev.groupBy("u", "t").agg(
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l1 = fl.groupBy("t").agg(
         F.countDistinct("u").cast("long").alias("support")
     ).filter(F.col("support") >= min_support)
@@ -240,9 +246,11 @@ def frequent_event_sequences(
         "support",
     )
     if max_len == 1:
-        return out
+        return materialize_release(out, ev, fl)
     # A-Priori prune: only frequent types participate in longer patterns
-    flf = fl.join(l1.select("t"), "t", "left_semi")
+    flf = fl.join(l1.select("t"), "t", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = flf.alias("a"), flf.alias("b")
     l2 = (
         a.join(
@@ -262,7 +270,7 @@ def frequent_event_sequences(
         )
     )
     if max_len == 2:
-        return out
+        return materialize_release(out, ev, fl, flf)
     evf = ev.join(l1.select("t"), "t", "left_semi")
     fa, fc = flf.alias("fa"), flf.alias("fc")
     l3 = (
@@ -285,10 +293,11 @@ def frequent_event_sequences(
         .agg(F.countDistinct(F.col("m.u")).cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
     )
-    return out.unionByName(
+    out = out.unionByName(
         l3.select(
             F.concat_ws(">", "x", "y", "z").alias("pattern"),
             F.lit(3).cast("long").alias("size"),
             "support",
         )
     )
+    return materialize_release(out, ev, fl, flf)
