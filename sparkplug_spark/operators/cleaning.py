@@ -35,6 +35,7 @@ from ..partitioning import spread
 __all__ = [
     "encode_categoricals",
     "frequent_itemsets",
+    "select_max_coverage",
     "PII_PATTERNS",
     "scrub_pii",
     "gopher_quality_flags",
@@ -2157,3 +2158,77 @@ def frequent_itemsets(
         )
     )
     return materialize_release(out, bi, bi1, p)
+
+
+def select_max_coverage(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy maximum-coverage data selection: pick ``k`` documents that
+    together cover the most DISTINCT tokens — the classic submodular
+    (facility-location/MaxCover) coreset heuristic for training-data
+    selection, with the standard (1 − 1/e) greedy guarantee.  Each step
+    takes the document adding the most not-yet-covered tokens, ties to
+    the smallest id — fully deterministic, so the whole selection
+    value-hashes.
+
+    Output: one row per selection step — (step 1-based, id, gain = new
+    tokens this pick added, covered_total = running distinct-token
+    count).
+
+    Plan: the (doc, token) DISTINCT table is computed once, persisted,
+    and anti-joined against the growing covered-token set each round
+    (k rounds × one agg + one 1-row argmax broadcast; the covered set
+    is token-vocabulary-bounded, eagerly checkpointed per round so the
+    lazy chain never replays — the iterative-loop discipline of the
+    graph family).  k is small by construction (you are choosing a
+    coreset, not ranking the corpus)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..caching import checkpoint_tracked, unpersist_ids
+    from ..functions.text import tokens_pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = df.sparkSession
+    dt = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_pd(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    covered = dt.select("tok").limit(0)
+    covered, cov_ids = checkpoint_tracked(covered)
+    chosen: list = []
+    total = 0
+    remaining = dt
+    for step in range(1, int(k) + 1):
+        gains = (
+            remaining.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        )
+        top = gains.orderBy(F.desc("gain"), F.asc("id")).limit(1).collect()
+        if not top or top[0]["gain"] == 0:
+            break
+        pick, gain = top[0]["id"], int(top[0]["gain"])
+        total += gain
+        chosen.append((step, pick, gain, total))
+        new_cov = covered.unionByName(
+            remaining.filter(F.col("id") == pick).select("tok")
+        )
+        new_cov, nc_ids = checkpoint_tracked(new_cov)
+        unpersist_ids(spark, cov_ids)
+        covered, cov_ids = new_cov, nc_ids
+        remaining = dt.join(covered, "tok", "left_anti")
+    dt.unpersist()
+    unpersist_ids(spark, cov_ids)
+    id_type = df.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        chosen, f"step long, id {id_type}, gain long, covered_total long"
+    )

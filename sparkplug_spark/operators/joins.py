@@ -483,11 +483,15 @@ def edit_distance_pairs(
     )
     freq = grams.groupBy("g", "occ").agg(F.count(F.lit(1)).alias("__f"))
     wp = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("g"), F.asc("occ"))
+    # persisted: BOTH sides of the candidate self-join read this frame —
+    # un-persisted, the freq join + rank window execute twice (and race
+    # the grams cache), tripling the operator's wall time
     prefix = (
         grams.join(freq, ["g", "occ"])
         .withColumn("__pos", F.row_number().over(wp))
         .filter(F.col("__pos") <= prefix_len)
         .select("id", "g", "occ")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -524,4 +528,4 @@ def edit_distance_pairs(
         .filter((F.col("distance") >= 0) & (F.col("distance") <= k))
         .select("id_a", "id_b", "distance")
     )
-    return materialize_release(out, grams, release=release)
+    return materialize_release(out, grams, prefix, release=release)

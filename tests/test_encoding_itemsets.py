@@ -379,3 +379,41 @@ class TestConsensusRecords:
 
         with _p.raises(ValueError, match="attr_cols"):
             consensus_records(df, pairs, id_col="id", attr_cols=())
+
+
+class TestSelectMaxCoverage:
+    """E230 greedy max-coverage coreset selection."""
+
+    def test_greedy_picks_and_gains(self, spark):
+        from sparkplug_spark.operators import select_max_coverage
+
+        docs = [
+            (1, "a b c d e"),      # 5 tokens — greedy first pick
+            (2, "a b c"),          # subset of 1: gain 0 after pick 1
+            (3, "f g h"),          # 3 new
+            (4, "f g"),            # subset of 3
+            (5, "e i"),            # 1 new after 1 and 3
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = select_max_coverage(df, k=4).orderBy("step").collect()
+        got = [(r["step"], r["id"], r["gain"], r["covered_total"]) for r in rows]
+        # step 3: doc 5 adds only 'i' (1 token); steps stop when gain=0
+        assert got == [(1, 1, 5, 5), (2, 3, 3, 8), (3, 5, 1, 9)]
+
+    def test_tie_breaks_to_smallest_id(self, spark):
+        from sparkplug_spark.operators import select_max_coverage
+
+        df = spark.createDataFrame(
+            [(7, "x y"), (3, "p q"), (9, "z w")], "doc_id long, text string"
+        )
+        first = select_max_coverage(df, k=1).collect()[0]
+        assert first["id"] == 3
+
+    def test_guard(self, spark):
+        from sparkplug_spark.operators import select_max_coverage
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        import pytest as _p
+
+        with _p.raises(ValueError, match="k"):
+            select_max_coverage(df, k=0)
