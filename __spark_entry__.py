@@ -3116,6 +3116,16 @@ def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_coverage_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage coreset selection (E230): 8 documents chosen
+    to cover the most distinct word bigrams — submodular (1-1/e)
+    greedy, deterministic ties, value-hashable step table."""
+    from sparkplug_spark.operators import select_max_coverage
+
+    docs = _read(spark, sf_dir, "documents")
+    return select_max_coverage(docs, k=8, ngram=2)
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution golden records (E229): fuzzy-match customer
     names (distance<=1) BLOCKED to same-nation pairs, merge into
@@ -6858,6 +6868,47 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # greedy max-coverage coreset (E230): the whole corpus state
+        # rides one list row through the recursion (the coreness
+        # pattern); argmax = first position of the max gain over
+        # ascending ids
+        "coverage_coreset": f"""
+            WITH RECURSIVE tk AS (
+              SELECT doc_id,
+                     CASE WHEN len({toks}) >= 2
+                          THEN list_distinct(list_transform(
+                            range(1, len({toks})),
+                            i -> {toks}[i] || ' ' || {toks}[i+1]))
+                          ELSE CAST([] AS VARCHAR[]) END AS t
+              FROM documents
+            ),
+            st AS (SELECT list(doc_id ORDER BY doc_id) AS ids,
+                          list(t ORDER BY doc_id) AS ts FROM tk),
+            walk AS (
+              SELECT 0 AS step, CAST(NULL AS BIGINT) AS id,
+                     CAST(NULL AS BIGINT) AS gain,
+                     CAST(0 AS BIGINT) AS total,
+                     CAST([] AS VARCHAR[]) AS covered
+              UNION ALL
+              SELECT q.step + 1, q.ids[q.bi], q.g[q.bi],
+                     q.total + q.g[q.bi],
+                     list_distinct(list_concat(q.covered, q.ts[q.bi]))
+              FROM (
+                SELECT w2.*, list_position(w2.g, list_max(w2.g)) AS bi
+                FROM (
+                  SELECT w.step, w.total, w.covered, st.ids, st.ts,
+                         list_transform(st.ts, t -> CAST(len(list_filter(t,
+                           x -> NOT list_contains(w.covered, x)))
+                           AS BIGINT)) AS g
+                  FROM walk w, st WHERE w.step < 8
+                ) w2
+              ) q
+              WHERE q.g[q.bi] > 0
+            )
+            SELECT step::BIGINT AS step, id, gain,
+                   total AS covered_total
+            FROM walk WHERE step >= 1
         """,
         # ER golden records (E229): fuzzy same-nation pairs -> min-label
         # components -> deterministic per-attribute mode
@@ -11583,6 +11634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sequences": q_event_sequences,
         "textrank_tokens": q_textrank_tokens,
         "golden_records": q_golden_records,
+        "coverage_coreset": q_coverage_coreset,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

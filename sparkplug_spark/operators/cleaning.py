@@ -2165,6 +2165,7 @@ def select_max_coverage(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ngram: int = 1,
 ) -> DataFrame:
     """Greedy maximum-coverage data selection: pick ``k`` documents that
     together cover the most DISTINCT tokens — the classic submodular
@@ -2174,9 +2175,15 @@ def select_max_coverage(
     the smallest id — fully deterministic, so the whole selection
     value-hashes.
 
+    Coverage units are word ``ngram``s (1 = tokens; 2-3 give the
+    n-gram-coverage objective the data-selection literature actually
+    optimizes — token vocabularies saturate after one pick on
+    repetitive corpora).  Documents shorter than ``ngram`` tokens
+    contribute no units.
+
     Output: one row per selection step — (step 1-based, id, gain = new
-    tokens this pick added, covered_total = running distinct-token
-    count).
+    units this pick added, covered_total = running distinct-unit
+    count).  Stops early when no document adds anything.
 
     Plan: the (doc, token) DISTINCT table is computed once, persisted,
     and anti-joined against the growing covered-token set each round
@@ -2192,17 +2199,30 @@ def select_max_coverage(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
     spark = df.sparkSession
-    dt = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens_pd(F.col(text_col))).alias("tok"),
-        )
-        .filter(F.col("tok") != "")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    toked = spread(df).select(
+        F.col(id_col).alias("id"), tokens_pd(F.col(text_col)).alias("__tk")
     )
+    if ngram == 1:
+        items = toked.select(
+            "id", F.explode("__tk").alias("tok")
+        ).filter(F.col("tok") != "")
+    else:
+        items = toked.select(
+            "id",
+            F.explode(
+                F.when(
+                    F.size("__tk") >= ngram,
+                    F.expr(
+                        f"transform(sequence(1, size(__tk) - {ngram} + 1),"
+                        f" i -> array_join(slice(__tk, i, {ngram}), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("tok"),
+        )
+    dt = items.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     covered = dt.select("tok").limit(0)
     covered, cov_ids = checkpoint_tracked(covered)
     chosen: list = []
