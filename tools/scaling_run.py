@@ -38,8 +38,14 @@ from datetime import datetime, timezone
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-X10_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sparkplug_scale10")
-COPIES = 10
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+X10_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/sparkplug_scale{COPIES}"
+)
+OUT_NAME = os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALING_RUN.json")
+ONLY_FAMILIES = {
+    f for f in os.environ.get("SPARK_GRAFT_SCALE_FAMILIES", "").split(",") if f
+}
 DOC_OFF = 1_000_000
 ORD_OFF = 100_000_000
 KEY_OFF = 10_000_000
@@ -110,6 +116,8 @@ def build_fixture(spark) -> None:
         os.path.join(X10_DIR, "documents.parquet")
     )
 
+    if ONLY_FAMILIES and "iterative_graph" not in ONLY_FAMILIES:
+        return
     li = spark.read.parquet(os.path.join(BASE_DIR, "lineitem.parquet"))
     cols = li.columns
     lparts = []
@@ -212,6 +220,8 @@ def main() -> None:
         "iterative_graph": ["pagerank_exact", "coreness"],
         "streaming_store": ["streaming_kmv_replay"],
     }
+    if ONLY_FAMILIES:
+        families = {k: v for k, v in families.items() if k in ONLY_FAMILIES}
     report: dict = {
         "generated_utc": datetime.now(timezone.utc).isoformat(
             timespec="seconds"
@@ -237,18 +247,20 @@ def main() -> None:
             }
         report["families"][fam] = fam_out
 
-    report["families"]["lsh_near_dup"]["knob_math"] = {
-        "base": lsh_knob_math(spark, BASE_DIR),
-        "x10": lsh_knob_math(spark, X10_DIR),
-    }
-    report["skew_preflight_l_suppkey"] = {
-        "base": skew_preflight(spark, BASE_DIR),
-        "x10": skew_preflight(spark, X10_DIR),
-    }
+    if "lsh_near_dup" in families:
+        report["families"]["lsh_near_dup"]["knob_math"] = {
+            "base": lsh_knob_math(spark, BASE_DIR),
+            "x10": lsh_knob_math(spark, X10_DIR),
+        }
+    if "iterative_graph" in families or not ONLY_FAMILIES:
+        report["skew_preflight_l_suppkey"] = {
+            "base": skew_preflight(spark, BASE_DIR),
+            "x10": skew_preflight(spark, X10_DIR),
+        }
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_RUN.json",
+        OUT_NAME,
     )
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
