@@ -3116,6 +3116,32 @@ def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized (seeded) integer PageRank (E231): teleport mass
+    returns to the 5 smallest part ids, so ranks measure co-purchase
+    relevance TO those seeds — TrustRank-style propagation on the E199
+    integer discipline."""
+    from sparkplug_spark.operators import (
+        basket_pairs,
+        pagerank_personalized_integer,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    edges = pairs.selectExpr("item_a as src", "item_b as dst").unionAll(
+        pairs.selectExpr("item_b as src", "item_a as dst")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(5)
+    )
+    return pagerank_personalized_integer(
+        edges, seeds, iterations=8, assume_no_dangling=True
+    )
+
+
 def q_coverage_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy max-coverage coreset selection (E230): 8 documents chosen
     to cover the most distinct word bigrams — submodular (1-1/e)
@@ -6868,6 +6894,51 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # personalized integer PageRank (E231): seeds = the 5 smallest
+        # node ids = ord idx 1..5; teleport base and init mass only on
+        # seeds; symmetric graph -> no dangling term
+        "pagerank_seeded": """
+            WITH RECURSIVE bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ),
+            small AS (SELECT * FROM bi WHERE b NOT IN (
+              SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)),
+            pairs AS (
+              SELECT l.i AS s, r.i AS d FROM small l JOIN small r USING (b)
+              WHERE l.i < r.i GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            edges AS (SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs),
+            ord AS (SELECT v, row_number() OVER (ORDER BY v) AS idx
+                    FROM (SELECT DISTINCT s AS v FROM edges)),
+            adjp AS (
+              SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+              FROM edges e JOIN ord o1 ON e.s = o1.v JOIN ord o2 ON e.d = o2.v
+              GROUP BY o2.idx
+            ),
+            adjrow AS (SELECT list(nb ORDER BY i) AS A,
+                              list(len(nb) ORDER BY i) AS odeg FROM adjp),
+            it AS (
+              SELECT 0 AS k,
+                     list_transform(range(1, len(odeg) + 1), i -> CAST(
+                       CASE WHEN i <= 5
+                            THEN (len(odeg)::BIGINT * 1000000000) // 5
+                            ELSE 0 END AS BIGINT)) AS m
+              FROM adjrow
+              UNION ALL
+              SELECT k + 1,
+                     list_transform(range(1, len(m) + 1), i -> CAST(
+                       (CASE WHEN i <= 5
+                             THEN ((15 * (len(a.odeg)::BIGINT
+                                          * 1000000000)) // 100) // 5
+                             ELSE 0 END)
+                       + 85 * coalesce(list_sum(list_transform(a.A[i],
+                           j -> m[j] // a.odeg[j])), 0) // 100 AS BIGINT))
+              FROM it, adjrow a WHERE k < 8
+            ),
+            fin AS (SELECT m FROM it ORDER BY k DESC LIMIT 1)
+            SELECT o.v AS node, CAST(f.m[o.idx] AS BIGINT) AS rank_nano
+            FROM ord o, fin f
         """,
         # greedy max-coverage coreset (E230): the whole corpus state
         # rides one list row through the recursion (the coreness
@@ -11635,6 +11706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_tokens": q_textrank_tokens,
         "golden_records": q_golden_records,
         "coverage_coreset": q_coverage_coreset,
+        "pagerank_seeded": q_pagerank_seeded,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -36,6 +36,7 @@ __all__ = [
     "hits",
     "hits_integer",
     "label_propagation",
+    "pagerank_personalized_integer",
 ]
 
 
@@ -916,3 +917,122 @@ def label_propagation(
         labels, l_ids = nxt, n_ids
     unpersist_ids(spark, e_ids)
     return labels.select("node", F.col("label").cast("long").alias("label"))
+
+
+def pagerank_personalized_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 8,
+    damping_pct: int = 85,
+    unit: int = 10**9,
+    checkpoint_every: int = 3,
+    assume_no_dangling: bool = False,
+) -> DataFrame:
+    """PERSONALIZED PageRank in exact integer nano-units: teleport mass
+    returns to the SEED set instead of everywhere, so ranks measure
+    relevance *to the seeds* — "what belongs near these trusted /
+    flagged / purchased nodes" (TrustRank-style propagation, related-
+    item scoring, seed-expanded dedup clusters).  Same integer
+    discipline as :func:`pagerank_integer` (its oracle-checkable E199
+    sibling): BIGINT everywhere, fixed iteration schedule, dangling
+    mass redistributed to the seeds by integer division.
+
+    Initial mass is the teleport distribution itself (total
+    ``n_nodes·unit``, all on seeds) — with a FIXED schedule the init is
+    part of the contract, and starting at the teleport vector is the
+    standard power-iteration choice.  Seeds not present in the graph
+    still teleport (they are nodes with rank and no edges).
+
+    Returns (node, rank_nano); non-seed nodes unreachable from any seed
+    hold exactly 0."""
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must be non-empty")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(sd.select("node"))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if int(damping_pct) * n_nodes * int(unit) >= 2**63:
+        raise ValueError(
+            f"int64 headroom exceeded: damping_pct*n_nodes*unit = "
+            f"{damping_pct}*{n_nodes}*{unit} >= 2^63; pass a smaller unit"
+        )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).persist()
+    spark = edges.sparkSession
+    # teleport total = (100-d)% of n*unit, split over seeds; the full
+    # n*unit starts on the seeds
+    seed_total = n_nodes * int(unit)
+    seed_base = ((100 - damping_pct) * seed_total // 100) // n_seeds
+    init_share = seed_total // n_seeds
+    is_seed = F.col("__s").isNotNull()
+    marked = nodes.join(
+        sd.select(F.col("node"), F.lit(1).alias("__s")), "node", "left"
+    ).persist()
+    m = marked.select(
+        "node",
+        F.when(is_seed, F.lit(int(init_share)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_nano"),
+    )
+    live: set[int] = set()
+    for i in range(int(iterations)):
+        contrib = m.join(outdeg, "node").select(
+            F.col("node").alias("src"),
+            F.expr("rank_nano div outdeg").alias("share"),
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("long").alias("inc"))
+        )
+        joined = marked.join(incoming, "node", "left")
+        if assume_no_dangling:
+            joined = joined.withColumn("__ds", F.lit(0).cast("long"))
+        else:
+            dangling = (
+                m.join(outdeg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("__dm"))
+                .select(F.expr(f"__dm div {int(n_seeds)}L").alias("__ds"))
+            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+        m = joined.select(
+            "node",
+            (
+                F.when(is_seed, F.lit(int(seed_base)))
+                .otherwise(F.lit(0))
+                .cast("long")
+                + F.expr(
+                    f"{int(damping_pct)}L * (coalesce(inc, 0L)"
+                    " + CASE WHEN __s IS NOT NULL THEN __ds ELSE 0L END)"
+                    " div 100"
+                )
+            ).cast("long").alias("rank_nano"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            m, ids = checkpoint_tracked(m)
+            unpersist_ids(spark, live)
+            live = ids
+    for df_ in (e, sd, nodes, outdeg, marked):
+        df_.unpersist()
+    return m

@@ -181,3 +181,76 @@ class TestPagerankInteger:
         assert r[3] > r[2] > 0  # sink accumulates, chain orders sensibly
         # total mass stays near 3 units (integer-div remainders only)
         assert abs(sum(r.values()) - 3 * 10**9) < 10**7
+
+
+class TestPersonalizedPagerank:
+    """E231: seeded integer PageRank (teleport to the seed set)."""
+
+    def _twin(self, edges, seeds, iterations=8, d=85, unit=10**9):
+        nodes = sorted({v for e in edges for v in e} | set(seeds))
+        out = {}
+        for s, t in edges:
+            out.setdefault(s, []).append(t)
+        n, ns = len(nodes), len(seeds)
+        seed_total = n * unit
+        seed_base = ((100 - d) * seed_total // 100) // ns
+        m = {v: (seed_total // ns if v in seeds else 0) for v in nodes}
+        for _ in range(iterations):
+            inc = {v: 0 for v in nodes}
+            dangling = 0
+            for v in nodes:
+                if v in out:
+                    share = m[v] // len(out[v])
+                    for t in out[v]:
+                        inc[t] += share
+                else:
+                    dangling += m[v]
+            ds = dangling // ns
+            m = {
+                v: (seed_base if v in seeds else 0)
+                + d * (inc[v] + (ds if v in seeds else 0)) // 100
+                for v in nodes
+            }
+        return m
+
+    def test_matches_twin_with_dangling(self, spark):
+        from sparkplug_spark.operators import pagerank_personalized_integer
+
+        # directed chain with a dangling sink and an off-seed island
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)]
+        seeds = [1, 10]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in pagerank_personalized_integer(e, sd).collect()
+        }
+        assert got == self._twin(edges, set(seeds))
+        # mass concentrates near the seeds, not on the far chain end
+        assert got[2] > got[4]
+
+    def test_unreachable_nodes_hold_zero(self, spark):
+        from sparkplug_spark.operators import pagerank_personalized_integer
+
+        e = spark.createDataFrame(
+            [(1, 2), (5, 6), (6, 5)], "src long, dst long"
+        )
+        sd = spark.createDataFrame([(1,)], "node long")
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in pagerank_personalized_integer(
+                e, sd, assume_no_dangling=False
+            ).collect()
+        }
+        assert got[5] == 0 and got[6] == 0
+        assert got[1] > 0 and got[2] > 0
+
+    def test_empty_seeds_rejected(self, spark):
+        from sparkplug_spark.operators import pagerank_personalized_integer
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        sd = spark.createDataFrame([], "node long")
+        import pytest as _p
+
+        with _p.raises(ValueError, match="seeds"):
+            pagerank_personalized_integer(e, sd)
