@@ -3116,6 +3116,25 @@ def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_split_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit (E232): MinHash near-dup pairs vs the
+    md5-coin split assignment — counts pairs straddling train/val/test
+    boundaries (the memorized-eval check assign_splits' group key can't
+    see)."""
+    from sparkplug_spark.operators import (
+        assign_splits,
+        minhash_lsh_pairs,
+        split_leak_audit,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_hashes=32, bands=8, threshold=0.5, max_key_freq=1000
+    )
+    splits = assign_splits(docs, salt="r3d").select("doc_id", "split")
+    return split_leak_audit(pairs, splits)
+
+
 def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized (seeded) integer PageRank (E231): teleport mass
     returns to the 5 smallest part ids, so ranks measure co-purchase
@@ -6894,6 +6913,36 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # cross-split leakage audit (E232): the E4 minhash pairs joined
+        # onto the E89 md5-coin splits; unordered split combos
+        "split_leaks": f"""
+            WITH prs AS ({minhash_sql}),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN coin < 980000 THEN 'train'
+                          WHEN coin < 990000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id,
+                       (('0x' || substr(md5('r3d' || chr(31)
+                         || doc_id::VARCHAR), 1, 15))::BIGINT
+                         % 1000000) AS coin
+                FROM documents
+              )
+            ),
+            lab AS (
+              SELECT coalesce(a.split, 'unassigned') AS sa2,
+                     coalesce(b.split, 'unassigned') AS sb2
+              FROM prs p
+              LEFT JOIN sp a ON a.doc_id = p.id_a
+              LEFT JOIN sp b ON b.doc_id = p.id_b
+            )
+            SELECT least(sa2, sb2) AS split_a,
+                   greatest(sa2, sb2) AS split_b,
+                   count(*)::BIGINT AS n_pairs,
+                   least(sa2, sb2) <> greatest(sa2, sb2) AS is_leak
+            FROM lab GROUP BY 1, 2
         """,
         # personalized integer PageRank (E231): seeds = the 5 smallest
         # node ids = ord idx 1..5; teleport base and init mass only on
@@ -11707,6 +11756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "coverage_coreset": q_coverage_coreset,
         "pagerank_seeded": q_pagerank_seeded,
+        "split_leaks": q_split_leaks,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

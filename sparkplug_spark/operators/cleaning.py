@@ -36,6 +36,7 @@ __all__ = [
     "encode_categoricals",
     "frequent_itemsets",
     "select_max_coverage",
+    "split_leak_audit",
     "PII_PATTERNS",
     "scrub_pii",
     "gopher_quality_flags",
@@ -2251,4 +2252,54 @@ def select_max_coverage(
     id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         chosen, f"step long, id {id_type}, gain long, covered_total long"
+    )
+
+
+def split_leak_audit(
+    pairs: DataFrame,
+    splits: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split LEAKAGE audit — the check that must pass before
+    trusting an eval number: given near-duplicate ``pairs`` (from any
+    matcher: MinHash, SimHash, semantic, fuzzy) and a ``splits``
+    assignment (:func:`assign_splits`), count how many near-dup pairs
+    STRADDLE split boundaries.  A train/test pair means the test member
+    is effectively memorized training data; ``assign_splits`` prevents
+    this only for duplicates sharing its ``group_col``, so this audit
+    closes the loop for similarity the grouping key can't see.
+
+    Output: one row per unordered split combination —
+    (split_a ≤ split_b, n_pairs, is_leak = split_a ≠ split_b).  Pair
+    members missing from ``splits`` report as ``'unassigned'`` (never
+    silently dropped — an incomplete assignment is itself a finding).
+
+    Plan: two broadcast-eligible joins of the (id, split) table onto
+    the pair list, one tiny |splits|² aggregate — cost is the pair
+    list, not the corpus."""
+    sa = splits.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("__sa")
+    )
+    sb = splits.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("__sb")
+    )
+    labeled = (
+        pairs.select(id_a, id_b)
+        .join(sa, id_a, "left")
+        .join(sb, id_b, "left")
+        .select(
+            F.coalesce("__sa", F.lit("unassigned")).alias("__a"),
+            F.coalesce("__sb", F.lit("unassigned")).alias("__b"),
+        )
+    )
+    return (
+        labeled.groupBy(
+            F.least("__a", "__b").alias("split_a"),
+            F.greatest("__a", "__b").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
     )

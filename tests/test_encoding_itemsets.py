@@ -417,3 +417,38 @@ class TestSelectMaxCoverage:
 
         with _p.raises(ValueError, match="k"):
             select_max_coverage(df, k=0)
+
+
+class TestSplitLeakAudit:
+    """E232 cross-split near-dup leakage."""
+
+    def test_counts_cross_and_unassigned(self, spark):
+        from sparkplug_spark.operators import split_leak_audit
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (4, 5), (6, 99)], "id_a long, id_b long"
+        )
+        splits = spark.createDataFrame(
+            [(1, "train"), (2, "test"), (3, "train"), (4, "val"),
+             (5, "val"), (6, "train")],
+            "doc_id long, split string",
+        )
+        got = {
+            (r["split_a"], r["split_b"]): (r["n_pairs"], r["is_leak"])
+            for r in split_leak_audit(pairs, splits).collect()
+        }
+        assert got[("test", "train")] == (1, True)     # the leak
+        assert got[("train", "train")] == (1, False)
+        assert got[("val", "val")] == (1, False)
+        # id 99 has no assignment -> surfaced, not dropped
+        assert got[("train", "unassigned")] == (1, True)
+
+    def test_clean_split_reports_no_leaks(self, spark):
+        from sparkplug_spark.operators import split_leak_audit
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        splits = spark.createDataFrame(
+            [(1, "train"), (2, "train")], "doc_id long, split string"
+        )
+        rows = split_leak_audit(pairs, splits).collect()
+        assert len(rows) == 1 and rows[0]["is_leak"] is False
