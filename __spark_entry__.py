@@ -2698,7 +2698,7 @@ def q_streaming_cms_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batching-independent and the md5 family is engine-exact, so the
     accumulated store point-queries hash-match the one-shot batch
     sketch's oracle (same SQL as cms_tokens, aliased in oracle_sql)."""
-    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # replay-recipe waiver (commutative-fold exception): replay_file_stream's pinned-mtime
     # machinery exists for ORDER-SENSITIVE streaming state; this store folds
     # by COMMUTATIVE integer adds and each append below is exactly one
     # part-file, so batch order/boundaries cannot change the result.
@@ -2755,7 +2755,7 @@ def q_streaming_histogram_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order- and batching-independent), then the same rollup-percentile
     read as the batch tier — hash-matching histogram_rollup's oracle
     proves the streaming store lossless."""
-    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # replay-recipe waiver (commutative-fold exception): replay_file_stream's pinned-mtime
     # machinery exists for ORDER-SENSITIVE streaming state; this store folds
     # by COMMUTATIVE integer adds and each append below is exactly one
     # part-file, so batch order/boundaries cannot change the result.
@@ -10306,7 +10306,7 @@ def q_streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     store alone.  The oracle aggregates raw events directly — the
     integer-adds store is order- and batching-independent, so the hash
     proves the streaming tier lossless."""
-    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # replay-recipe waiver (commutative-fold exception): replay_file_stream's pinned-mtime
     # machinery exists for ORDER-SENSITIVE streaming state; this store folds
     # by COMMUTATIVE integer adds and each append below is exactly one
     # part-file, so batch order/boundaries cannot change the result.
@@ -11127,7 +11127,7 @@ def q_streaming_kmv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches folded into the merge-on-write bottom-k store, then
     the same distinct report as the batch tier — hash-matching
     kmv_distinct_tokens' oracle proves the streaming store lossless."""
-    # replay-recipe waiver (CLAUDE.md): replay_file_stream's pinned-mtime
+    # replay-recipe waiver (commutative-fold exception): replay_file_stream's pinned-mtime
     # machinery exists for ORDER-SENSITIVE streaming state; this store
     # folds by bottom-k of a distinct union — commutative, associative,
     # idempotent — and each append below is exactly one part-file, so
