@@ -3116,6 +3116,29 @@ def q_basket_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted integer PageRank (E233): mass splits across co-purchase
+    edges in proportion to basket-count weights — tie strength matters;
+    same exact nano-unit discipline as E199."""
+    from sparkplug_spark.operators import (
+        basket_pairs,
+        pagerank_weighted_integer,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_count=2)
+    edges = pairs.selectExpr(
+        "item_a as src", "item_b as dst", "n_baskets as weight"
+    ).unionAll(
+        pairs.selectExpr(
+            "item_b as src", "item_a as dst", "n_baskets as weight"
+        )
+    )
+    return pagerank_weighted_integer(
+        edges, iterations=8, assume_no_dangling=True
+    )
+
+
 def q_split_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage audit (E232): MinHash near-dup pairs vs the
     md5-coin split assignment — counts pairs straddling train/val/test
@@ -6913,6 +6936,56 @@ def _extension_oracles() -> dict[str, str]:
                      AS share_ppm,
                    coalesce(cnt.ssum, 0)::BIGINT AS sum_sim_micros
             FROM c LEFT JOIN cnt USING (cluster_id), tot
+        """,
+        # weighted integer PageRank (E233): per-edge weight lists ride
+        # the adjacency recursion; share = m*w // out-weight
+        "pagerank_weighted": """
+            WITH RECURSIVE bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ),
+            small AS (SELECT * FROM bi WHERE b NOT IN (
+              SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)),
+            pairs AS (
+              SELECT l.i AS s, r.i AS d, count(*)::BIGINT AS w
+              FROM small l JOIN small r USING (b)
+              WHERE l.i < r.i GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            edges AS (SELECT s, d, w FROM pairs
+                      UNION ALL SELECT d, s, w FROM pairs),
+            ord AS (SELECT v, row_number() OVER (ORDER BY v) AS idx
+                    FROM (SELECT DISTINCT s AS v FROM edges)),
+            adjp AS (
+              SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb,
+                     list(e.w ORDER BY o1.idx) AS wl
+              FROM edges e JOIN ord o1 ON e.s = o1.v
+                           JOIN ord o2 ON e.d = o2.v
+              GROUP BY o2.idx
+            ),
+            adjrow AS (SELECT list(nb ORDER BY i) AS A,
+                              list(wl ORDER BY i) AS W FROM adjp),
+            ow AS (
+              SELECT o1.idx AS j, sum(e.w)::BIGINT AS s
+              FROM edges e JOIN ord o1 ON e.s = o1.v GROUP BY o1.idx
+            ),
+            owrow AS (SELECT list(s ORDER BY j) AS OW FROM ow),
+            it AS (
+              SELECT 0 AS k,
+                     list_transform(range(1, len(OW) + 1),
+                                    i -> CAST(1000000000 AS BIGINT)) AS m
+              FROM owrow
+              UNION ALL
+              SELECT k + 1,
+                     list_transform(range(1, len(m) + 1), i -> CAST(
+                       150000000 + 85 * coalesce(list_sum(
+                         list_transform(range(1, len(a.A[i]) + 1),
+                           p -> m[a.A[i][p]] * a.W[i][p]
+                                // o.OW[a.A[i][p]])), 0) // 100
+                       AS BIGINT))
+              FROM it, adjrow a, owrow o WHERE k < 8
+            ),
+            fin AS (SELECT m FROM it ORDER BY k DESC LIMIT 1)
+            SELECT o.v AS node, CAST(f.m[o.idx] AS BIGINT) AS rank_nano
+            FROM ord o, fin f
         """,
         # cross-split leakage audit (E232): the E4 minhash pairs joined
         # onto the E89 md5-coin splits; unordered split combos
@@ -11757,6 +11830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_coreset": q_coverage_coreset,
         "pagerank_seeded": q_pagerank_seeded,
         "split_leaks": q_split_leaks,
+        "pagerank_weighted": q_pagerank_weighted,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window

@@ -37,6 +37,7 @@ __all__ = [
     "hits_integer",
     "label_propagation",
     "pagerank_personalized_integer",
+    "pagerank_weighted_integer",
 ]
 
 
@@ -1034,5 +1035,111 @@ def pagerank_personalized_integer(
             unpersist_ids(spark, live)
             live = ids
     for df_ in (e, sd, nodes, outdeg, marked):
+        df_.unpersist()
+    return m
+
+
+def pagerank_weighted_integer(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    iterations: int = 8,
+    damping_pct: int = 85,
+    unit: int = 10**9,
+    checkpoint_every: int = 3,
+    assume_no_dangling: bool = False,
+) -> DataFrame:
+    """WEIGHTED PageRank in exact integer nano-units: each node splits
+    its mass across out-edges in proportion to INTEGER edge weights
+    (``share = rank·w div Σw_out``) — the natural rank for co-purchase
+    / co-occurrence / citation graphs where tie strength matters and
+    the unweighted walk over-rewards promiscuous low-weight hubs.
+    Same integer discipline as :func:`pagerank_integer`: BIGINT
+    everywhere, fixed schedule, integer-division flooring documented —
+    so the ranks value-hash and a SQL twin replays them.
+
+    Weights must be POSITIVE integers; duplicate (src, dst) rows sum
+    their weights.  ``rank·w`` must fit int64: the operator checks
+    ``damping_pct · n_nodes · unit · max_weight < 2^63`` up front and
+    tells you the max safe ``unit`` when it does not.
+
+    Returns (node, rank_nano)."""
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("w") > 0)
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    max_w = e.agg(F.max("w")).first()[0] or 1
+    if int(damping_pct) * n_nodes * int(unit) * int(max_w) >= 2**63:
+        safe = 2**63 // (int(damping_pct) * n_nodes * int(max_w)) - 1
+        raise ValueError(
+            f"int64 headroom exceeded (max_weight={max_w}); pass "
+            f"unit <= {safe}"
+        )
+    outw = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("outw")
+    ).persist()
+    spark = edges.sparkSession
+    m = nodes.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
+    base = ((100 - damping_pct) * unit) // 100
+    live: set[int] = set()
+    for i in range(int(iterations)):
+        contrib = m.join(outw, "node").select(
+            F.col("node").alias("src"), "rank_nano", "outw"
+        )
+        incoming = (
+            e.join(contrib, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.expr("rank_nano * w div outw"))
+                .cast("long")
+                .alias("inc")
+            )
+        )
+        joined = nodes.join(incoming, "node", "left")
+        if assume_no_dangling:
+            joined = joined.withColumn("__ds", F.lit(0).cast("long"))
+        else:
+            dangling = (
+                m.join(outw, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("__dm"))
+                .select(F.expr(f"__dm div {int(n_nodes)}L").alias("__ds"))
+            )
+            joined = joined.crossJoin(F.broadcast(dangling))
+        m = joined.select(
+            "node",
+            (
+                F.lit(int(base))
+                + F.expr(
+                    f"{int(damping_pct)}L * (coalesce(inc, 0L) + __ds)"
+                    " div 100"
+                )
+            ).cast("long").alias("rank_nano"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            m, ids = checkpoint_tracked(m)
+            unpersist_ids(spark, live)
+            live = ids
+    for df_ in (e, nodes, outw):
         df_.unpersist()
     return m

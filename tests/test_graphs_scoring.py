@@ -254,3 +254,73 @@ class TestPersonalizedPagerank:
 
         with _p.raises(ValueError, match="seeds"):
             pagerank_personalized_integer(e, sd)
+
+
+class TestWeightedPagerank:
+    """E233: edge-weighted integer PageRank."""
+
+    def _twin(self, wedges, iterations=8, d=85, unit=10**9):
+        from collections import defaultdict
+
+        agg = defaultdict(int)
+        for s, t, w in wedges:
+            agg[(s, t)] += w
+        nodes = sorted({v for s, t in agg for v in (s, t)})
+        out = defaultdict(list)
+        for (s, t), w in agg.items():
+            out[s].append((t, w))
+        ow = {s: sum(w for _, w in ts) for s, ts in out.items()}
+        n = len(nodes)
+        base = (100 - d) * unit // 100
+        m = {v: unit for v in nodes}
+        for _ in range(iterations):
+            inc = {v: 0 for v in nodes}
+            dangling = 0
+            for v in nodes:
+                if v in out:
+                    for t, w in out[v]:
+                        inc[t] += m[v] * w // ow[v]
+                else:
+                    dangling += m[v]
+            ds = dangling // n
+            m = {v: base + d * (inc[v] + ds) // 100 for v in nodes}
+        return m
+
+    def test_matches_twin_and_weight_bias(self, spark):
+        from sparkplug_spark.operators import pagerank_weighted_integer
+
+        # hub 1 sends weight 9 to node 2, weight 1 to node 3
+        wedges = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1), (4, 1, 5)]
+        e = spark.createDataFrame(wedges, "src long, dst long, weight long")
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in pagerank_weighted_integer(e).collect()
+        }
+        assert got == self._twin(wedges)
+        # the heavy edge pulls rank: 2 must outrank 3
+        assert got[2] > got[3]
+
+    def test_duplicate_edges_sum_and_nonpositive_drop(self, spark):
+        from sparkplug_spark.operators import pagerank_weighted_integer
+
+        e = spark.createDataFrame(
+            [(1, 2, 3), (1, 2, 4), (2, 1, 1), (1, 3, 0)],
+            "src long, dst long, weight long",
+        )
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in pagerank_weighted_integer(e).collect()
+        }
+        assert got == self._twin([(1, 2, 7), (2, 1, 1)])
+        assert 3 not in got  # its only edge had weight 0
+
+    def test_headroom_guard(self, spark):
+        from sparkplug_spark.operators import pagerank_weighted_integer
+
+        e = spark.createDataFrame(
+            [(1, 2, 10**12), (2, 1, 1)], "src long, dst long, weight long"
+        )
+        import pytest as _p
+
+        with _p.raises(ValueError, match="headroom"):
+            pagerank_weighted_integer(e)
