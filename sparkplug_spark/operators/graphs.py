@@ -599,13 +599,18 @@ def pagerank_integer(
     schedule is what a SQL twin replays exactly.
 
     Returns (node, rank_nano).  Same per-iteration shape as the float
-    tier: one contribution join + one dst aggregation, dangling mass as
-    a 1-row broadcast, checkpoint/release cadence truncating lineage.
-    ``assume_no_dangling=True`` skips the per-iteration dangling
-    aggregate (one eager broadcast job each) when the caller KNOWS every
+    tier: one rank-to-src join against an out-degree-annotated,
+    src-partitioned persisted edge table + one dst aggregation (two
+    exchanges total); when dangling nodes exist their mass total rides
+    each checkpoint action as an ``observe`` metric and enters the next
+    step as an int literal (never a lazy broadcast subquery, whose
+    re-execution of the un-checkpointed chain was the r5 hits_integer
+    regression class), which forces the cadence to 1; with none, lazy
+    steps chain at ``checkpoint_every``.  ``assume_no_dangling=True``
+    skips even the one-time dangling count when the caller KNOWS every
     node has out-edges — true by construction for symmetrized graphs;
-    the dangling share is exactly zero there, so results are identical
-    (measured 12.3 -> ~8 s on the bench co-purchase graph)."""
+    the dangling share is exactly zero there, so results are
+    identical."""
     from ..caching import checkpoint_tracked, unpersist_ids
 
     if not (0 < damping_pct < 100):
@@ -640,53 +645,89 @@ def pagerank_integer(
         F.count(F.lit(1)).alias("outdeg")
     ).persist()
     spark = edges.sparkSession
-    m = nodes.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
     base = ((100 - damping_pct) * unit) // 100
+    # Static dangling flag, counted ONCE: the dangling set never changes
+    # (a node without out-edges cannot gain them mid-iteration).  When it
+    # is non-empty, each iteration's mass total rides the checkpoint
+    # action as an `observe` metric and feeds the NEXT step as a Python
+    # int literal — NOT a lazy crossJoin(broadcast(agg)) whose subquery
+    # re-executes the un-checkpointed chain once per nesting level (the
+    # r5 hits_integer class).  That forces cadence 1 (the next plan needs
+    # this step's metric), which is exactly the eager-every-iteration
+    # fix; with no dangling nodes the share is identically zero and the
+    # lazy `checkpoint_every` chaining stays.
+    n_dang = (
+        0
+        if assume_no_dangling
+        else nodes.join(outdeg, "node", "left_anti").count()
+    )
+    has_dang = n_dang > 0
+    if has_dang:
+        marked = nodes.join(
+            outdeg.select("node", F.lit(1).alias("__o")), "node", "left"
+        ).select("node", F.col("__o").isNull().alias("__dang"))
+    else:
+        marked = nodes.withColumn("__dang", F.lit(False))
+    cadence = 1 if has_dang else max(1, int(checkpoint_every))
+    # out-degree folded INTO the edge table once, hash-partitioned on
+    # src (the float tier's `weighted` shape): each iteration then costs
+    # exactly TWO exchanges — the node-sized rank table to hash(src) and
+    # the dst aggregation — instead of re-joining m with outdeg and e
+    # separately (~5 exchanges/iteration; on bench-scale graphs the
+    # exchange count IS the wall clock).  `rank_nano div outdeg` per
+    # edge equals the per-src share joined onto each edge: identical
+    # integer arithmetic, identical sums.
+    we = (
+        e.join(outdeg.select(F.col("node").alias("src"), "outdeg"), "src")
+        .repartition("src")
+        .persist()
+    )
+    marked = marked.repartition("node").persist()
+    m = marked.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
+    dm = n_dang * int(unit)  # initial state: `unit` mass on every node
     live: set[int] = set()
     for i in range(int(iterations)):
-        contrib = (
-            m.join(outdeg, "node")
-            .select(
-                F.col("node").alias("src"),
-                F.expr("rank_nano div outdeg").alias("share"),
-            )
-        )
+        ds = dm // n_nodes if has_dang else 0  # ranks >= 0: // == div
         incoming = (
-            e.join(contrib, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").cast("long").alias("inc"))
-        )
-        joined = nodes.join(incoming, "node", "left")
-        if assume_no_dangling:
-            joined = joined.withColumn("__ds", F.lit(0).cast("long"))
-        else:
-            dangling = (
-                m.join(outdeg, "node", "left_anti")
-                .agg(
-                    F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("__dm")
-                )
-                .select(
-                    F.expr(f"__dm div {int(n_nodes)}L").alias("__ds")
-                )
+            we.join(
+                m.select(F.col("node").alias("src"), "rank_nano"), "src"
             )
-            joined = joined.crossJoin(F.broadcast(dangling))
-        m = joined.select(
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.expr("rank_nano div outdeg"))
+                .cast("long")
+                .alias("inc")
+            )
+        )
+        m = marked.join(incoming, "node", "left").select(
             "node",
+            "__dang",
             (
                 F.lit(int(base))
                 + F.expr(
-                    f"{int(damping_pct)}L * (coalesce(inc, 0L) + __ds)"
+                    f"{int(damping_pct)}L * (coalesce(inc, 0L) + {int(ds)}L)"
                     " div 100"
                 )
             ).cast("long").alias("rank_nano"),
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+        if (i + 1) % cadence == 0 or i == iterations - 1:
+            obs = None
+            if has_dang:
+                obs = Observation()
+                m = m.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("__dang"), F.col("rank_nano"))
+                    ).alias("dm"),
+                )
             m, ids = checkpoint_tracked(m)
             unpersist_ids(spark, live)
             live = ids
-    for df_ in (e, nodes, outdeg):
+            if obs is not None:
+                dm = int(obs.get["dm"] or 0)
+    for df_ in (e, nodes, outdeg, we, marked):
         df_.unpersist()
-    return m
+    return m.select("node", "rank_nano")
 
 
 def hits_integer(
@@ -986,57 +1027,91 @@ def pagerank_personalized_integer(
     seed_base = ((100 - damping_pct) * seed_total // 100) // n_seeds
     init_share = seed_total // n_seeds
     is_seed = F.col("__s").isNotNull()
-    marked = nodes.join(
-        sd.select(F.col("node"), F.lit(1).alias("__s")), "node", "left"
-    ).persist()
+    # static seed + dangling flags in one node-sized frame; the dangling
+    # mass total rides each checkpoint's `observe` metric and enters the
+    # next step as an int literal (see pagerank_integer for the why —
+    # the lazy broadcast-subquery replay this replaces)
+    marked = (
+        nodes.join(
+            sd.select(F.col("node"), F.lit(1).alias("__s")), "node", "left"
+        )
+        .join(outdeg.select("node", F.lit(1).alias("__o")), "node", "left")
+        .select("node", "__s", F.col("__o").isNull().alias("__dang"))
+        .persist()
+    )
+    if assume_no_dangling:
+        n_dang, n_dang_seeds = 0, 0
+    else:
+        _c = marked.agg(
+            F.count(F.when(F.col("__dang"), 1)).alias("nd"),
+            F.count(F.when(F.col("__dang") & is_seed, 1)).alias("nds"),
+        ).first()
+        n_dang, n_dang_seeds = int(_c["nd"]), int(_c["nds"])
+    has_dang = n_dang > 0
+    cadence = 1 if has_dang else max(1, int(checkpoint_every))
+    # out-degree folded into a src-partitioned persisted edge table —
+    # two exchanges per iteration (see pagerank_integer)
+    we = (
+        e.join(outdeg.select(F.col("node").alias("src"), "outdeg"), "src")
+        .repartition("src")
+        .persist()
+    )
     m = marked.select(
         "node",
+        "__dang",
         F.when(is_seed, F.lit(int(init_share)))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("rank_nano"),
     )
+    # initial state: init_share on every seed, 0 elsewhere
+    dm = n_dang_seeds * int(init_share)
     live: set[int] = set()
     for i in range(int(iterations)):
-        contrib = m.join(outdeg, "node").select(
-            F.col("node").alias("src"),
-            F.expr("rank_nano div outdeg").alias("share"),
-        )
+        ds = dm // n_seeds if has_dang else 0
         incoming = (
-            e.join(contrib, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").cast("long").alias("inc"))
-        )
-        joined = marked.join(incoming, "node", "left")
-        if assume_no_dangling:
-            joined = joined.withColumn("__ds", F.lit(0).cast("long"))
-        else:
-            dangling = (
-                m.join(outdeg, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("__dm"))
-                .select(F.expr(f"__dm div {int(n_seeds)}L").alias("__ds"))
+            we.join(
+                m.select(F.col("node").alias("src"), "rank_nano"), "src"
             )
-            joined = joined.crossJoin(F.broadcast(dangling))
-        m = joined.select(
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(F.expr("rank_nano div outdeg"))
+                .cast("long")
+                .alias("inc")
+            )
+        )
+        m = marked.join(incoming, "node", "left").select(
             "node",
+            "__dang",
             (
                 F.when(is_seed, F.lit(int(seed_base)))
                 .otherwise(F.lit(0))
                 .cast("long")
                 + F.expr(
                     f"{int(damping_pct)}L * (coalesce(inc, 0L)"
-                    " + CASE WHEN __s IS NOT NULL THEN __ds ELSE 0L END)"
-                    " div 100"
+                    f" + CASE WHEN __s IS NOT NULL THEN {int(ds)}L"
+                    " ELSE 0L END) div 100"
                 )
             ).cast("long").alias("rank_nano"),
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+        if (i + 1) % cadence == 0 or i == iterations - 1:
+            obs = None
+            if has_dang:
+                obs = Observation()
+                m = m.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("__dang"), F.col("rank_nano"))
+                    ).alias("dm"),
+                )
             m, ids = checkpoint_tracked(m)
             unpersist_ids(spark, live)
             live = ids
-    for df_ in (e, sd, nodes, outdeg, marked):
+            if obs is not None:
+                dm = int(obs.get["dm"] or 0)
+    for df_ in (e, sd, nodes, outdeg, marked, we):
         df_.unpersist()
-    return m
+    return m.select("node", "rank_nano")
 
 
 def pagerank_weighted_integer(
@@ -1100,15 +1175,39 @@ def pagerank_weighted_integer(
         F.sum("w").alias("outw")
     ).persist()
     spark = edges.sparkSession
-    m = nodes.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
     base = ((100 - damping_pct) * unit) // 100
+    # dangling mass rides the checkpoint's `observe` metric as an int
+    # literal for the next step (see pagerank_integer for the rationale)
+    n_dang = (
+        0
+        if assume_no_dangling
+        else nodes.join(outw, "node", "left_anti").count()
+    )
+    has_dang = n_dang > 0
+    if has_dang:
+        marked = nodes.join(
+            outw.select("node", F.lit(1).alias("__o")), "node", "left"
+        ).select("node", F.col("__o").isNull().alias("__dang"))
+    else:
+        marked = nodes.withColumn("__dang", F.lit(False))
+    cadence = 1 if has_dang else max(1, int(checkpoint_every))
+    # out-weight folded into a src-partitioned persisted edge table —
+    # two exchanges per iteration (see pagerank_integer)
+    we = (
+        e.join(outw.select(F.col("node").alias("src"), "outw"), "src")
+        .repartition("src")
+        .persist()
+    )
+    marked = marked.repartition("node").persist()
+    m = marked.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
+    dm = n_dang * int(unit)
     live: set[int] = set()
     for i in range(int(iterations)):
-        contrib = m.join(outw, "node").select(
-            F.col("node").alias("src"), "rank_nano", "outw"
-        )
+        ds = dm // n_nodes if has_dang else 0
         incoming = (
-            e.join(contrib, "src")
+            we.join(
+                m.select(F.col("node").alias("src"), "rank_nano"), "src"
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(F.expr("rank_nano * w div outw"))
@@ -1116,30 +1215,32 @@ def pagerank_weighted_integer(
                 .alias("inc")
             )
         )
-        joined = nodes.join(incoming, "node", "left")
-        if assume_no_dangling:
-            joined = joined.withColumn("__ds", F.lit(0).cast("long"))
-        else:
-            dangling = (
-                m.join(outw, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank_nano"), F.lit(0)).alias("__dm"))
-                .select(F.expr(f"__dm div {int(n_nodes)}L").alias("__ds"))
-            )
-            joined = joined.crossJoin(F.broadcast(dangling))
-        m = joined.select(
+        m = marked.join(incoming, "node", "left").select(
             "node",
+            "__dang",
             (
                 F.lit(int(base))
                 + F.expr(
-                    f"{int(damping_pct)}L * (coalesce(inc, 0L) + __ds)"
+                    f"{int(damping_pct)}L * (coalesce(inc, 0L) + {int(ds)}L)"
                     " div 100"
                 )
             ).cast("long").alias("rank_nano"),
         )
-        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+        if (i + 1) % cadence == 0 or i == iterations - 1:
+            obs = None
+            if has_dang:
+                obs = Observation()
+                m = m.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("__dang"), F.col("rank_nano"))
+                    ).alias("dm"),
+                )
             m, ids = checkpoint_tracked(m)
             unpersist_ids(spark, live)
             live = ids
-    for df_ in (e, nodes, outw):
+            if obs is not None:
+                dm = int(obs.get["dm"] or 0)
+    for df_ in (e, nodes, outw, we, marked):
         df_.unpersist()
-    return m
+    return m.select("node", "rank_nano")
