@@ -1662,6 +1662,65 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (E234, jusText-shape): the corpus has
+    no markup, so the query wraps every doc in a deterministic page —
+    nav chrome, short <h1>, the doc text as the body paragraph, a
+    link-heavy related-items div (doc_id%3==0), an entity-bearing second
+    paragraph (doc_id%4==0), a script element, a comment, and a short
+    footer.  The block classifier must keep exactly the prose paragraphs
+    (length >= 80, link chars <= 30%, stopword tokens >= 2%) and drop the
+    chrome; the kept text is md5-compared."""
+    from sparkplug_spark.operators import extract_main_content
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title>'
+            '<script>var the = "the of and to";</script>'
+            "<style>p { color: red }</style></head><body>"
+            '<nav><a href="/">Home</a> <a href="/about">About</a> '
+            '<a href="/contact">Contact</a></nav>'
+            "<h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                '<div><a href="/r1">related item one</a> '
+                '<a href="/r2">related item two</a> '
+                "see also the links</div>"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<p>Quoted &amp; entity test of the corpus: "),
+                F.substring(F.col("text"), 1, 120),
+                F.lit(" &lt;ok&gt;</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(
+            "<!-- the of and to comment -->"
+            "<footer>Copyright 2026 the example corp</footer></body></html>"
+        ),
+    )
+    fixture = docs.select("doc_id", html.alias("html"))
+    return extract_main_content(
+        fixture, "html", "doc_id", min_chars=80, max_link_pct=30,
+        min_stop_pct=2,
+    ).select(
+        "doc_id",
+        "n_blocks",
+        "n_good",
+        "main_chars",
+        F.md5("main_text").alias("main_md5"),
+    )
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization + casefold + whitespace squash.  The
     corpus is ASCII, so the query appends accented suffixes — doc_id%3==0
@@ -4214,6 +4273,108 @@ def _pca_oracle_sql() -> str:
     """
     _PCA_ORACLE_CACHE[sf] = sql
     return sql
+
+
+def _main_content_oracle_sql() -> str:
+    """DuckDB twin of q_main_content: same fixture page, same block
+    split / clean / integer-ratio classification as
+    ``operators.html.extract_main_content`` (all patterns Java∩RE2; the
+    indexed explode uses the scalar-range-in-list_transform pattern the
+    textrank oracle established — DuckDB's range() TABLE function cannot
+    take lateral arguments)."""
+    block_pat = (
+        r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody"
+        r"|tfoot|tr|td|th|caption|section|article|main|header|footer"
+        r"|nav|aside|blockquote|pre|figure|figcaption|form|fieldset"
+        r"|hr|br|body|html|head|title)\b[^>]*>"
+    )
+
+    def clean(x: str) -> str:
+        # tags -> space, fixed-order entity decode, ws collapse: the
+        # byte-identical twin of operators.html._clean_text
+        return (
+            "trim(regexp_replace(replace(replace(replace(replace(replace("
+            f"replace(regexp_replace({x}, '<[^>]*>', ' ', 'g'),"
+            " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+            " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
+            " '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))"
+        )
+
+    return f"""
+        WITH mc_raw AS (
+          SELECT doc_id,
+            '<html><head><title>T</title>'
+            || '<script>var the = "the of and to";</script>'
+            || '<style>p {{ color: red }}</style></head><body>'
+            || '<nav><a href="/">Home</a> <a href="/about">About</a> '
+            || '<a href="/contact">Contact</a></nav>'
+            || '<h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text || '</p>'
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<div><a href="/r1">related item one</a> '
+                         || '<a href="/r2">related item two</a> '
+                         || 'see also the links</div>'
+                    ELSE '' END
+            || CASE WHEN doc_id % 4 = 0
+                    THEN '<p>Quoted &amp; entity test of the corpus: '
+                         || substr(text, 1, 120) || ' &lt;ok&gt;</p>'
+                    ELSE '' END
+            || '<!-- the of and to comment -->'
+            || '<footer>Copyright 2026 the example corp</footer>'
+            || '</body></html>' AS html
+          FROM documents
+        ),
+        mc_pre AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(html,
+                   '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g') AS h
+          FROM mc_raw
+        ),
+        mc_arr AS (
+          SELECT doc_id, regexp_split_to_array(h, '{block_pat}') AS blks
+          FROM mc_pre
+        ),
+        mc_blk AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(blks) + 1),
+                                       i -> {{'pos': i, 'raw': blks[i]}})) AS u
+          FROM mc_arr
+        ),
+        mc_feat AS (
+          SELECT doc_id, u.pos AS pos, {clean("u.raw")} AS txt,
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(u.raw,
+                     '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                   x -> length({clean("x")})::BIGINT)), 0) AS link_chars
+          FROM mc_blk
+        ),
+        mc_feat2 AS (
+          SELECT doc_id, pos, txt, length(txt)::BIGINT AS chars, link_chars,
+                 list_filter(string_split_regex(lower(txt), '[^a-z]+'),
+                             t -> t <> '') AS toks
+          FROM mc_feat
+        ),
+        mc_cls AS (
+          SELECT doc_id, pos, txt, chars,
+                 (chars >= 80
+                  AND link_chars * 100 <= chars * 30
+                  AND len(toks) > 0
+                  AND len(list_filter(toks, t -> list_contains(
+                        ['the','a','of','and','to','in','is','it','that',
+                         'for'], t)))::BIGINT * 100
+                      >= len(toks)::BIGINT * 2) AS good
+          FROM mc_feat2
+        )
+        SELECT doc_id,
+               count(*) FILTER (WHERE chars > 0) AS n_blocks,
+               count(*) FILTER (WHERE good) AS n_good,
+               coalesce(sum(chars) FILTER (WHERE good), 0)::BIGINT
+                 AS main_chars,
+               md5(coalesce(string_agg(txt, chr(10) ORDER BY pos)
+                            FILTER (WHERE good), '')) AS main_md5
+        FROM mc_cls GROUP BY doc_id
+    """
 
 
 def _extension_oracles() -> dict[str, str]:
@@ -11831,6 +11992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_seeded": q_pagerank_seeded,
         "split_leaks": q_split_leaks,
         "pagerank_weighted": q_pagerank_weighted,
+        "main_content": q_main_content,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -11875,6 +12037,8 @@ def oracle_sql() -> dict[str, str]:
     # associative, idempotent), so its replay must reproduce the one-shot
     # batch sketch report exactly
     out["streaming_kmv_replay"] = out["kmv_distinct_tokens"]
+    # HTML main-content extraction (E234): fixture + classifier twin
+    out["main_content"] = _main_content_oracle_sql()
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()
