@@ -38,7 +38,22 @@ __all__ = [
     "manifest_publish",
     "manifest_resolve",
     "read_store",
+    "read_warc",
+    "parse_warc_records",
+    "warc_record",
+    "warc_response_record",
+    "gzip_member",
+    "WARC_SCHEMA",
 ]
+
+from .warc import (  # noqa: E402  (facade re-export)
+    WARC_SCHEMA,
+    gzip_member,
+    parse_warc_records,
+    read_warc,
+    warc_record,
+    warc_response_record,
+)
 
 _LOCAL_SCHEMES = ("", "file")
 

@@ -1,0 +1,287 @@
+"""WARC/1.0 source tier: pure-Python Common-Crawl-style ingestion.
+
+Completes the crawl-to-corpus story the extension inventory builds
+toward: ``read_warc`` turns an archive of WARC files (plain or gzip,
+including the multi-member gzip framing Common Crawl ships — one gzip
+member per record, concatenated) into typed rows
+``(warc_file, record_id, record_type, target_uri, warc_date,
+http_status, content_type, content_length, payload)`` ready for the
+HTML main-content / quality / dedup lanes.  The reference has no
+sources beyond JSON rules (``SparkPlugHelper.scala:8-12``); this tier
+is brief-driven, following the same pure-Python-parser pattern as the
+codec family (PNG/JPEG/GIF/FLAC).
+
+Scale shape: WARC archives are *many ~1 GB files* by construction —
+Common Crawl publishes ~64k files per snapshot — so FILE-level
+parallelism is the natural split, exactly what every production WARC
+processor does.  Files land one-per-row via the ``binaryFile`` source
+and parse inside an Arrow ``mapInPandas`` kernel (records never
+round-trip through the driver); downstream operators see an ordinary
+DataFrame with a binary payload column.  A 100 TB snapshot is ~100k
+tasks of bounded memory — the per-file working set is one decompressed
+record stream.
+
+Format notes (ISO 28500): a record is ``WARC/1.0`` + CRLF-separated
+named headers + CRLF + exactly ``Content-Length`` block bytes + CRLF
+CRLF.  For ``response`` records the block is an HTTP/1.x message whose
+body (after the first blank line) is the page payload.  Parsing is
+Content-Length-driven, never delimiter-scanning, so payloads containing
+``\\r\\n\\r\\n`` or nested ``WARC/1.0`` text survive byte-exact.
+Transfer-encoded bodies are returned as stored (Common Crawl strips
+chunking at capture time); decoding is a consumer concern.
+"""
+
+from __future__ import annotations
+
+import uuid
+import zlib
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_warc",
+    "parse_warc_records",
+    "warc_response_record",
+    "warc_record",
+    "gzip_member",
+    "WARC_SCHEMA",
+]
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType(), False),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("record_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("content_length", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream — Common Crawl
+    frames one member per record; members simply concatenate."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=47)  # 32+15: gzip or zlib header
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+        if not d.eof and not d.unused_data:
+            raise ValueError("truncated gzip member in WARC stream")
+    return b"".join(out)
+
+
+def _norm_content_type(raw: str | None) -> str | None:
+    """``text/html; charset=utf-8`` → ``text/html`` (lower-cased) —
+    media-type parameters belong to decoding, not routing."""
+    if raw is None:
+        return None
+    return raw.split(";", 1)[0].strip().lower() or None
+
+
+def parse_warc_records(
+    data: bytes, source: str = "", on_error: str = "raise"
+) -> Iterator[dict]:
+    """Yield one dict per WARC record in ``data`` (gzip auto-detected).
+
+    ``on_error='raise'`` (default) raises ``ValueError`` with the file
+    and byte offset on any malformed record; ``'skip'`` abandons the
+    rest of the file from the first malformed record (WARC framing is
+    length-prefixed, so a bad Content-Length poisons every later
+    offset — records BEFORE the fault are still yielded)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    if data[:2] == _GZIP_MAGIC:
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate extra blank lines between records
+        while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2
+        while pos < n and data[pos : pos + 1] == b"\n":
+            pos += 1
+        if pos >= n:
+            return
+        try:
+            if not data.startswith(b"WARC/", pos):
+                raise ValueError("expected WARC/ version line")
+            hdr_end = data.find(b"\r\n\r\n", pos)
+            sep = 4
+            if hdr_end == -1:
+                hdr_end = data.find(b"\n\n", pos)
+                sep = 2
+            if hdr_end == -1:
+                raise ValueError("unterminated WARC header block")
+            headers: dict[str, str] = {}
+            lines = data[pos:hdr_end].decode("utf-8", "replace").splitlines()
+            for line in lines[1:]:
+                if ":" not in line:
+                    continue
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+            if "content-length" not in headers:
+                raise ValueError("missing Content-Length header")
+            clen = int(headers["content-length"])
+            body_start = hdr_end + sep
+            if body_start + clen > n:
+                raise ValueError(
+                    f"record body overruns file (need {clen} bytes)"
+                )
+            block = data[body_start : body_start + clen]
+        except ValueError as exc:
+            if on_error == "skip":
+                return
+            raise ValueError(f"{source} @ byte {pos}: {exc}") from exc
+        rtype = headers.get("warc-type")
+        rec = {
+            "warc_file": source,
+            "record_id": headers.get("warc-record-id"),
+            "record_type": rtype,
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "http_status": None,
+            "content_type": _norm_content_type(headers.get("content-type")),
+            "content_length": len(block),
+            "payload": block,
+        }
+        if rtype == "response" and block[:5] == b"HTTP/":
+            http_end = block.find(b"\r\n\r\n")
+            hsep = 4
+            if http_end == -1:
+                http_end = block.find(b"\n\n")
+                hsep = 2
+            if http_end != -1:
+                head = block[:http_end].decode("utf-8", "replace")
+                hlines = head.splitlines()
+                status_parts = hlines[0].split()
+                if len(status_parts) >= 2 and status_parts[1].isdigit():
+                    rec["http_status"] = int(status_parts[1])
+                for line in hlines[1:]:
+                    if ":" not in line:
+                        continue
+                    k, v = line.split(":", 1)
+                    if k.strip().lower() == "content-type":
+                        rec["content_type"] = _norm_content_type(v)
+                        break
+                payload = block[http_end + hsep :]
+                rec["payload"] = payload
+                rec["content_length"] = len(payload)
+        yield rec
+        pos = body_start + clen
+    return
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    on_error: str = "raise",
+    record_types: Iterable[str] | None = None,
+) -> DataFrame:
+    """Read WARC file(s) at ``path`` (glob ok; ``.warc`` and
+    ``.warc.gz``) into a DataFrame of :data:`WARC_SCHEMA` rows.
+
+    ``record_types`` filters record kinds inside the kernel (e.g.
+    ``("response",)`` — Common Crawl files interleave request/response/
+    metadata triples, and dropping them before Arrow serialization
+    saves 2/3 of the transfer)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
+    wanted = tuple(record_types) if record_types is not None else None
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+    # one ~1 GB archive per task is the WARC-native split; repartition by
+    # file count so a handful of fixture files still fan out
+    files = files.repartition(F.col("path"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs = [
+                    r
+                    for r in parse_warc_records(
+                        bytes(row["content"]),
+                        source=row["path"],
+                        on_error=on_error,
+                    )
+                    if wanted is None or r["record_type"] in wanted
+                ]
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    return files.mapInPandas(parse, WARC_SCHEMA)
+
+
+# --- writer helpers (fixtures, tests, round-trip oracles) ---------------
+
+
+def warc_record(
+    record_type: str,
+    block: bytes,
+    target_uri: str | None = None,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    record_id: str | None = None,
+    content_type: str | None = None,
+) -> bytes:
+    """Serialize one WARC/1.0 record (CRLF framing, exact
+    Content-Length)."""
+    rid = record_id or f"<urn:uuid:{uuid.uuid4()}>"
+    lines = [
+        b"WARC/1.0",
+        b"WARC-Type: " + record_type.encode(),
+        b"WARC-Record-ID: " + rid.encode(),
+        b"WARC-Date: " + warc_date.encode(),
+    ]
+    if target_uri is not None:
+        lines.append(b"WARC-Target-URI: " + target_uri.encode())
+    if content_type is not None:
+        lines.append(b"Content-Type: " + content_type.encode())
+    lines.append(b"Content-Length: " + str(len(block)).encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+
+def warc_response_record(
+    target_uri: str,
+    payload: bytes,
+    status: int = 200,
+    content_type: str = "text/html",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    record_id: str | None = None,
+    http_headers: Iterable[tuple[str, str]] = (),
+) -> bytes:
+    """Serialize a ``response`` record wrapping an HTTP/1.1 message."""
+    reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
+        status, "Status"
+    )
+    head = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}"]
+    head += [f"{k}: {v}" for k, v in http_headers]
+    head.append(f"Content-Length: {len(payload)}")
+    block = ("\r\n".join(head) + "\r\n\r\n").encode() + payload
+    return warc_record(
+        "response",
+        block,
+        target_uri=target_uri,
+        warc_date=warc_date,
+        record_id=record_id,
+        content_type="application/http; msgtype=response",
+    )
+
+
+def gzip_member(data: bytes) -> bytes:
+    """Compress ``data`` as ONE gzip member (mtime pinned to 0 so fixture
+    bytes are deterministic); concatenate members for the Common Crawl
+    per-record framing."""
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()

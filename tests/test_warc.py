@@ -1,0 +1,177 @@
+"""WARC source tier (E235): framing round-trips, gzip multi-member
+boundaries, HTTP splitting, malformed-record behavior."""
+
+import os
+
+import pytest
+
+from sparkplug_spark.sources import (
+    gzip_member,
+    parse_warc_records,
+    read_warc,
+    warc_record,
+    warc_response_record,
+)
+
+# payload that defeats delimiter-scanning parsers: contains the record
+# separator, a fake version line, NULs and high bytes
+TRICKY = b"hello\r\n\r\nWARC/1.0 embedded\x00\xff tail" * 3
+
+
+class TestParsePurePython:
+    def test_response_round_trip_exact_bytes(self):
+        raw = warc_response_record(
+            "http://e.com/x", TRICKY, status=200,
+            content_type="text/html; charset=UTF-8",
+        )
+        (rec,) = parse_warc_records(raw)
+        assert rec["record_type"] == "response"
+        assert rec["target_uri"] == "http://e.com/x"
+        assert rec["http_status"] == 200
+        assert rec["content_type"] == "text/html"  # params stripped
+        assert rec["payload"] == TRICKY
+        assert rec["content_length"] == len(TRICKY)
+
+    def test_multiple_records_sequence(self):
+        raw = (
+            warc_record("warcinfo", b"software: t\r\n")
+            + warc_response_record("http://e.com/1", b"a")
+            + warc_response_record("http://e.com/2", b"b", status=404)
+        )
+        recs = list(parse_warc_records(raw))
+        assert [r["record_type"] for r in recs] == [
+            "warcinfo", "response", "response",
+        ]
+        assert recs[0]["http_status"] is None
+        assert recs[2]["http_status"] == 404
+
+    def test_gzip_multi_member(self):
+        raw = b"".join(
+            gzip_member(warc_response_record(f"http://e.com/{i}", b"p%d" % i))
+            for i in range(3)
+        )
+        recs = list(parse_warc_records(raw))
+        assert [r["target_uri"] for r in recs] == [
+            "http://e.com/0", "http://e.com/1", "http://e.com/2",
+        ]
+
+    def test_gzip_single_stream_whole_file(self):
+        # some producers gzip the whole file as one member
+        raw = gzip_member(
+            warc_response_record("http://e.com/1", b"a")
+            + warc_response_record("http://e.com/2", b"b")
+        )
+        assert len(list(parse_warc_records(raw))) == 2
+
+    def test_gzip_member_deterministic(self):
+        assert gzip_member(b"same") == gzip_member(b"same")
+
+    def test_truncated_gzip_member_raises(self):
+        raw = gzip_member(warc_response_record("http://e.com/1", b"a"))
+        with pytest.raises(ValueError, match="gzip"):
+            list(parse_warc_records(raw[:-5]))
+
+    def test_body_overrun_raises_with_offset(self):
+        good = warc_response_record("http://e.com/1", b"a")
+        bad = good.replace(
+            b"Content-Length: ", b"Content-Length: 9", 1
+        )  # inflates the declared length
+        with pytest.raises(ValueError, match="@ byte"):
+            list(parse_warc_records(bad, source="f.warc"))
+
+    def test_on_error_skip_keeps_prior_records(self):
+        good = warc_response_record("http://e.com/1", b"a")
+        recs = list(
+            parse_warc_records(good + b"GARBAGE not a record", on_error="skip")
+        )
+        assert len(recs) == 1 and recs[0]["target_uri"] == "http://e.com/1"
+
+    def test_missing_content_length_raises(self):
+        raw = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(parse_warc_records(raw))
+
+    def test_lf_only_framing_tolerated(self):
+        raw = (
+            b"WARC/1.0\nWARC-Type: response\n"
+            b"WARC-Target-URI: http://e.com/lf\nContent-Length: 37\n\n"
+            b"HTTP/1.1 200 OK\nContent-Length: 2\n\nok\n\n"
+        )
+        (rec,) = parse_warc_records(raw)
+        assert rec["target_uri"] == "http://e.com/lf"
+        assert rec["http_status"] == 200 and rec["payload"] == b"ok"
+
+    def test_non_http_response_block_kept_raw(self):
+        raw = warc_record(
+            "response", b"not http", target_uri="http://e.com/r",
+            content_type="application/octet-stream",
+        )
+        (rec,) = parse_warc_records(raw)
+        assert rec["http_status"] is None
+        assert rec["payload"] == b"not http"
+        assert rec["content_type"] == "application/octet-stream"
+
+    def test_bad_on_error_value(self):
+        with pytest.raises(ValueError, match="on_error"):
+            list(parse_warc_records(b"", on_error="quarantine"))
+
+
+class TestReadWarcSpark:
+    @pytest.fixture()
+    def warc_dir(self, tmp_path):
+        plain = (
+            warc_record("warcinfo", b"software: t\r\n")
+            + warc_record(
+                "request",
+                b"GET / HTTP/1.1\r\nHost: e.com\r\n\r\n",
+                target_uri="http://e.com/1",
+            )
+            + warc_response_record("http://e.com/1", TRICKY)
+            + warc_response_record(
+                "http://e.com/404", b"gone", status=404,
+                content_type="text/plain",
+            )
+        )
+        (tmp_path / "a.warc").write_bytes(plain)
+        gz = b"".join(
+            gzip_member(r)
+            for r in (
+                warc_record("warcinfo", b"software: t\r\n"),
+                warc_response_record(
+                    "http://e.com/gz", b"gzpayload", content_type="text/plain"
+                ),
+            )
+        )
+        (tmp_path / "b.warc.gz").write_bytes(gz)
+        return str(tmp_path)
+
+    def test_reads_plain_and_gzip_files(self, spark, warc_dir):
+        rows = read_warc(spark, warc_dir + "/*").collect()
+        assert len(rows) == 6
+        by_uri = {r["target_uri"]: r for r in rows if r["target_uri"]}
+        assert bytes(by_uri["http://e.com/1"]["payload"]) == TRICKY
+        assert by_uri["http://e.com/404"]["http_status"] == 404
+        assert bytes(by_uri["http://e.com/gz"]["payload"]) == b"gzpayload"
+        files = {os.path.basename(r["warc_file"]) for r in rows}
+        assert files == {"a.warc", "b.warc.gz"}
+
+    def test_record_type_filter(self, spark, warc_dir):
+        rows = read_warc(
+            spark, warc_dir + "/*", record_types=("response",)
+        ).collect()
+        assert {r["record_type"] for r in rows} == {"response"}
+        assert len(rows) == 3
+
+    def test_schema_stable(self, spark, warc_dir):
+        df = read_warc(spark, warc_dir + "/*")
+        assert [f.name for f in df.schema.fields] == [
+            "warc_file", "record_id", "record_type", "target_uri",
+            "warc_date", "http_status", "content_type", "content_length",
+            "payload",
+        ]
+
+    def test_request_records_have_null_status(self, spark, warc_dir):
+        rows = read_warc(
+            spark, warc_dir + "/*", record_types=("request",)
+        ).collect()
+        assert len(rows) == 1 and rows[0]["http_status"] is None
