@@ -534,6 +534,22 @@ def q_emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4, brute_force=True)
 
 
+
+def q_emb_similar_pairs_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-bucket embedding near-dup pairs (E6 oracle tier): hyperplane
+    sign bits over floor-quantized INTEGER components and integer md5
+    plane coefficients — bucket membership is exact arithmetic both
+    engines replay, so unlike the float-sign LSH tier this one
+    value-hashes.  Same 64-plane/8-band geometry as the rows-only
+    query."""
+    from sparkplug_spark.operators import embedding_near_dup_pairs_frozen
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_frozen(
+        emb, threshold=0.4, num_planes=64, bands=8
+    )
+
+
 def q_emb_similar_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed variant (scale path; approximate recall — rows-only
     check, no SQL oracle: hyperplane sign bits are float-boundary
@@ -4427,6 +4443,53 @@ def _main_content_oracle_sql() -> str:
                md5(coalesce(string_agg(txt, chr(10) ORDER BY pos)
                             FILTER (WHERE good), '')) AS main_md5
         FROM mc_cls GROUP BY doc_id
+    """
+
+
+
+def _emb_frozen_oracle_sql() -> str:
+    """DuckDB twin of q_emb_similar_pairs_frozen: integer plane literals
+    from the SAME _hyperplanes_int table, floor-quantized integer sign
+    dots, band buckets as bit strings, any-band candidate join, 6dp
+    cosine verify (the shared _SQL_COS treatment)."""
+    from sparkplug_spark.operators.similarity import _hyperplanes_int
+
+    planes = _hyperplanes_int(64, 64)
+    planes_lit = (
+        "["
+        + ",".join("[" + ",".join(str(c) for c in p) + "]" for p in planes)
+        + "]"
+    )
+    cos = _SQL_COS.format(a="a.v", b="b.v")
+    return f"""
+        WITH ef_e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        ef_q AS (
+          SELECT vec_id, v,
+                 list_transform(v, x -> floor(x * 1000000.0)::BIGINT) AS vq
+          FROM ef_e
+        ),
+        ef_s AS (
+          SELECT vec_id, v,
+                 list_transform({planes_lit}, p ->
+                   list_sum(list_transform(range(1, len(vq) + 1),
+                                           i -> vq[i] * p[i])) >= 0) AS bits
+          FROM ef_q
+        ),
+        ef_bk AS (
+          SELECT vec_id, v,
+                 list_transform(range(0, 8), j -> array_to_string(
+                   list_transform(list_slice(bits, j*8 + 1, j*8 + 8),
+                                  bb -> CASE WHEN bb THEN '1' ELSE '0' END),
+                   '')) AS bands
+          FROM ef_s
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+        FROM ef_bk a JOIN ef_bk b
+          ON a.vec_id < b.vec_id
+         AND len(list_filter(range(1, 9), j -> a.bands[j] = b.bands[j])) > 0
+        WHERE {cos} >= 0.4
     """
 
 
@@ -12047,6 +12110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "main_content": q_main_content,
         "warc_ingest": q_warc_ingest,
+        "emb_similar_pairs_frozen": q_emb_similar_pairs_frozen,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12093,6 +12157,9 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_kmv_replay"] = out["kmv_distinct_tokens"]
     # HTML main-content extraction (E234): fixture + classifier twin
     out["main_content"] = _main_content_oracle_sql()
+    # frozen-bucket embedding near-dup (E6 oracle tier): integer sign
+    # buckets make the LSH candidate set engine-exact
+    out["emb_similar_pairs_frozen"] = _emb_frozen_oracle_sql()
     # WARC round-trip (E235): the parsed archive rows must reproduce the
     # documents table directly — framing is the thing under test, so the
     # oracle is the un-framed source of truth (ASCII corpus: char length

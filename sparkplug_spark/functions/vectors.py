@@ -34,6 +34,7 @@ __all__ = [
     "vec_dot",
     "vec_norm",
     "band_buckets",
+    "int_band_buckets",
     "int8_quant_pd",
 ]
 
@@ -81,6 +82,38 @@ def band_buckets(vec: Column | str, planes: list[list[float]], bands: int) -> Co
         if len(x) == 0:
             return pd.Series([], dtype=object)
         bits = _mat(x) @ P >= 0  # (n, num_planes)
+        out = []
+        for row in bits:
+            s = "".join("1" if b else "0" for b in row)
+            out.append([s[i * per : (i + 1) * per] for i in range(bands)])
+        return pd.Series(out)
+
+    return _buckets(vec)
+
+
+def int_band_buckets(
+    vec: Column | str, planes_int: list[list[int]], bands: int, unit: int
+) -> Column:
+    """EXACT integer variant of :func:`band_buckets`: components are
+    floor-quantized to ``unit`` (``floor(v·unit)`` — one IEEE multiply
+    then floor, identical in any engine) and the sign bit is the sign of
+    an INTEGER dot against integer plane coefficients.  Integer sums are
+    order-free, so the buckets value-hash across engines — the float
+    tier's last-ulp sign flips at the hyperplane boundary are exactly
+    what kept E6 rows-only.
+
+    int64 discipline: ``float64`` holds ``v·unit`` exactly below 2^53,
+    the matmul runs in int64, and callers preflight
+    ``dim · max|vq| · max|c| < 2^63`` (numpy wraps silently)."""
+    P = np.asarray(planes_int, dtype=np.int64).T  # (dim, num_planes)
+    per = P.shape[1] // bands
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _buckets(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        m = np.floor(_mat(x) * float(unit)).astype(np.int64)
+        bits = m @ P >= 0  # (n, num_planes), exact int64 arithmetic
         out = []
         for row in bits:
             s = "".join("1" if b else "0" for b in row)

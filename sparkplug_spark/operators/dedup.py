@@ -578,6 +578,25 @@ def embedding_near_dup_pairs(
     entries = banded_signature_entries(
         df, id_col, vec_col, "id", planes, bands
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_bucket_candidates(
+        df, entries, vec_col, id_col, threshold, release
+    )
+
+
+def _verify_bucket_candidates(
+    df: DataFrame,
+    entries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    release: bool,
+) -> DataFrame:
+    """Shared verify stage for hyperplane-bucketed pair generation:
+    same-(band, bucket) candidates with id_a < id_b, exact cosine via the
+    Arrow dot kernel, 6dp rounding, threshold filter.  ``entries`` must
+    already be persisted (both self-join sides consume it)."""
+    from ..functions.vectors import vec_dot, vec_norm
+
     a, b = entries.alias("a"), entries.alias("b")
     cand = (
         a.join(
@@ -617,6 +636,73 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return materialize_release(out, entries, release=release)
+
+
+def embedding_near_dup_pairs_frozen(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    quant_unit: int = 10**6,
+    release: bool = True,
+) -> DataFrame:
+    """Value-hash-oracle tier of :func:`embedding_near_dup_pairs` (the
+    E106b freezing discipline applied to E6): hyperplane sign bits are
+    computed over FLOOR-QUANTIZED integer components against INTEGER md5
+    plane coefficients, so bucket membership is exact integer arithmetic
+    a SQL twin replays bit-for-bit — the float tier's last-ulp sign
+    flips at the hyperplane boundary (why E6 is rows-only) cannot
+    happen.  Candidate generation and the exact-cosine verify are the
+    same plan as the float tier; recall differs only where a float sign
+    bit sat within one quantization step of the boundary.
+
+    int64 preflight: requires ``dim · max|floor(v·quant_unit)| ·
+    max|coeff| < 2^63`` (coefficients are < 2^32) and tells you the max
+    safe ``quant_unit`` otherwise."""
+    from ..functions.vectors import infer_dim, int_band_buckets
+    from .similarity import _hyperplanes_int
+
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must be a multiple of bands")
+    if quant_unit < 1:
+        raise ValueError("quant_unit must be >= 1")
+    dim = infer_dim(df, vec_col)
+    planes = _hyperplanes_int(num_planes, dim)
+    max_abs = (
+        spread(df)
+        .agg(
+            F.max(
+                F.array_max(
+                    F.transform(F.col(vec_col), lambda x: F.abs(x))
+                )
+            )
+        )
+        .first()[0]
+        or 0.0
+    )
+    import math
+
+    max_vq = int(math.floor(float(max_abs) * quant_unit)) + 1
+    if dim * max_vq * 0xFFFFFFFF >= 2**63:
+        safe = 2**63 // (dim * 0xFFFFFFFF * (int(math.ceil(max_abs)) + 1))
+        raise ValueError(
+            f"int64 headroom exceeded (max|component|={max_abs}); pass "
+            f"quant_unit <= {safe}"
+        )
+    sig = spread(df).select(
+        F.col(id_col).alias("id"),
+        int_band_buckets(F.col(vec_col), planes, bands, quant_unit).alias(
+            "buckets"
+        ),
+    )
+    entries = sig.select(
+        "id", F.posexplode("buckets").alias("band", "bucket")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_bucket_candidates(
+        df, entries, vec_col, id_col, threshold, release
+    )
 
 
 def minhash_lsh_pairs_ml(

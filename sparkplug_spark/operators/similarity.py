@@ -90,6 +90,21 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _hyperplanes_int(num_planes: int, dim: int) -> list[list[int]]:
+    """INTEGER twin of :func:`_hyperplanes` from the same md5 family:
+    ``c = 2·h − 0xFFFFFFFF`` is the float coefficient scaled by exactly
+    0xFFFFFFFF, so sign structure is preserved while every coefficient
+    is an exact int64 a SQL twin can embed as a literal."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane-{p}-{d}".encode()).hexdigest()[:8], 16)
+            row.append(2 * h - 0xFFFFFFFF)
+        planes.append(row)
+    return planes
+
+
 def _cosine(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     denom = norm_a * norm_b
     return F.round(F.when(denom == 0.0, F.lit(0.0)).otherwise(dot / denom), 6)

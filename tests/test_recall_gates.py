@@ -145,3 +145,50 @@ def test_minhash_ml_seeded_recall(spark):
         for r in minhash_lsh_pairs_ml(df, max_jaccard_distance=0.4).collect()
     }
     assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_emb_frozen_recall_and_exactness(spark, sf_dir):
+    """Frozen-bucket tier (E6 oracle tier): subset of brute force (exact
+    verify => no false positives), >=0.9 recall on planted near-dups,
+    and bit-identical across runs (integer buckets are deterministic)."""
+    from sparkplug_spark.operators import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_frozen,
+    )
+
+    corpus, _, n_plant, offset = _planted(spark, sf_dir)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            corpus, threshold=0.95, brute_force=True
+        ).collect()
+    }
+    planted_pairs = {p for p in brute if p[1] >= offset}
+    frozen_rows = embedding_near_dup_pairs_frozen(
+        corpus, threshold=0.95, num_planes=64, bands=8
+    ).collect()
+    frozen = {(r["id_a"], r["id_b"]) for r in frozen_rows}
+    assert frozen <= brute
+    assert len(frozen & planted_pairs) / n_plant >= 0.9
+    again = {
+        tuple(r)
+        for r in embedding_near_dup_pairs_frozen(
+            corpus, threshold=0.95, num_planes=64, bands=8
+        ).collect()
+    }
+    assert again == {tuple(r) for r in frozen_rows}
+
+
+def test_emb_frozen_headroom_preflight(spark):
+    """Components too large for the int64 sign dot must fail loudly with
+    a suggested quant_unit, not wrap silently."""
+    import pytest
+
+    from sparkplug_spark.operators import embedding_near_dup_pairs_frozen
+
+    big = spark.createDataFrame(
+        [(i, [float(1e9)] * 4) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="quant_unit"):
+        embedding_near_dup_pairs_frozen(big, num_planes=8, bands=2)
