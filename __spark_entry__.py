@@ -3419,6 +3419,35 @@ def q_simsearch_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simsearch_opq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ top-k with rerank >= corpus size — every candidate is exactly
+    re-ranked, so rotation/codebook quality cannot change the output and
+    the full OPQ pipeline (frozen 9-sig-digit rotation, rotated encode,
+    ADC tables, rerank join) is value-hash-checked against the
+    brute-force oracle (the E9c exhaustive-probe pattern applied to
+    OPQ)."""
+    from sparkplug_spark.operators import cosine_topk_opq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    return cosine_topk_opq(emb, queries_df, k=10, m=8, ks=16, rerank=n)
+
+
+def q_simsearch_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ approximate top-k (rows-only; recall-gated in pytest): the
+    trained rotation + PQ codes at a bounded rerank."""
+    from sparkplug_spark.operators import cosine_topk_opq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_opq(emb, queries_df, k=10, m=8, ks=16, rerank=50)
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -12111,6 +12140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "warc_ingest": q_warc_ingest,
         "emb_similar_pairs_frozen": q_emb_similar_pairs_frozen,
+        "simsearch_opq_exhaustive": q_simsearch_opq_exhaustive,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12119,6 +12149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_topk_lsh": q_simsearch_topk_lsh,
         "simsearch_topk_ivf": q_simsearch_topk_ivf,
         "simsearch_topk_pq": q_simsearch_topk_pq,
+        "simsearch_topk_opq": q_simsearch_topk_opq,
         "cluster_balance": q_cluster_balance,
         "pagerank_parts": q_pagerank_parts,
         "compress_quality": q_compress_quality,
@@ -12145,6 +12176,9 @@ def oracle_sql() -> dict[str, str]:
     # exhaustive-probe IVF is EXACT (every list probed, same cosine
     # kernel), so its oracle IS the brute-force top-k SQL
     out["simsearch_ivf_exhaustive"] = out["simsearch_topk"]
+    # full-rerank OPQ is exact by the same argument (every candidate
+    # re-ranked with the true vectors; cosine is rotation-invariant)
+    out["simsearch_opq_exhaustive"] = out["simsearch_topk"]
     # DP release (E207): the integer inverse-CDF cutoffs come from the
     # SHARED driver-side table (the mechanism's literals), so the oracle
     # replays the identical md5-coin noise with zero libm at query time

@@ -353,6 +353,87 @@ def cosine_topk_ivf(
     )
 
 
+def opq_rotation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    quantize_sig: int | None = 9,
+) -> np.ndarray:
+    """Parametric OPQ rotation (Ge et al., CVPR 2013 — the eigenvalue-
+    allocation variant): returns an orthonormal ``(dim, dim)`` matrix
+    that PCA-decorrelates the corpus and then BALANCES variance across
+    the ``m`` PQ subspaces, so no codebook is left quantizing all the
+    energy while others quantize noise — the standard recall upgrade
+    between SQ8 and IVF-PQ.
+
+    The covariance comes from the same one-pass distributed moment
+    collection as :func:`pca_fit`, with the same 9-significant-digit
+    moment quantization, so any engine/run eigh-decomposes the IDENTICAL
+    matrix and the rotation is frozen for a given dataset.  Allocation is
+    greedy: eigenvectors in descending-eigenvalue order each go to the
+    not-yet-full subspace with the smallest accumulated log-variance
+    product (balancing ∏λ per subspace, the OPQ-P objective).  Rows of
+    the result are ordered so subspace ``s`` reads rotated dims
+    ``[s·dim/m, (s+1)·dim/m)``.  Rotation is applied WITHOUT mean
+    centering — centering would change cosines; the mean only serves the
+    covariance estimate."""
+    from ..functions.vectors import infer_dim
+
+    dim = infer_dim(df, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    _, components, evar = pca_fit(
+        df, vec_col=vec_col, k=dim, quantize_sig=quantize_sig
+    )
+    # greedy balanced allocation of eigen-directions to subspaces
+    logs = np.log(np.maximum(np.asarray(evar, dtype=np.float64), 1e-12))
+    load = [0.0] * m
+    fill: list[list[int]] = [[] for _ in range(m)]
+    for i in range(dim):  # eigenvalues already sorted descending
+        open_subs = [s for s in range(m) if len(fill[s]) < dsub]
+        tgt = min(open_subs, key=lambda s: (load[s], s))
+        fill[tgt].append(i)
+        load[tgt] += logs[i]
+    perm = [i for s in range(m) for i in fill[s]]
+    return np.asarray(components, dtype=np.float64)[perm]
+
+
+def cosine_topk_opq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    train_points_per_code: int = 64,
+    quantize_sig: int | None = 9,
+) -> DataFrame:
+    """OPQ top-k: :func:`cosine_topk_pq` behind the trained
+    :func:`opq_rotation`.  Cosine is rotation-invariant, so the exact
+    rerank stage is untouched — only code quality (and therefore recall
+    at a fixed ``rerank``) improves on anisotropic corpora."""
+    rot = opq_rotation(corpus, vec_col=vec_col, m=m, quantize_sig=quantize_sig)
+    return cosine_topk_pq(
+        corpus,
+        queries,
+        k=k,
+        m=m,
+        ks=ks,
+        rerank=rerank,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        seed=seed,
+        train_points_per_code=train_points_per_code,
+        rotation=rot,
+    )
+
+
 def cosine_topk_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -366,6 +447,7 @@ def cosine_topk_pq(
     seed: int = 42,
     train_points_per_code: int = 64,
     dim: int | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou et al., TPAMI 2011):
     the memory-compression ANN tier.
@@ -394,18 +476,29 @@ def cosine_topk_pq(
     if not 2 <= ks <= 256:
         raise ValueError("ks must be in [2, 256]")
     dsub = dim // m
+    R = None
+    if rotation is not None:
+        R = np.asarray(rotation, dtype=np.float64)
+        if R.shape != (dim, dim):
+            raise ValueError(
+                f"rotation must be ({dim}, {dim}), got {R.shape}"
+            )
 
     raw = corpus.select(F.col(vec_col).alias("cv"))
     train = raw.limit(ks * train_points_per_code)
     X = np.array([r["cv"] for r in train.collect()], dtype=np.float64)
     if len(X) == 0:
         raise ValueError("cosine_topk_pq: empty corpus (no training rows)")
+    if R is not None:
+        X = X @ R.T  # codebooks live in the rotated basis
     books = _train_pq_books(X, m, ks, seed)
     ks_eff = books.shape[1]
     from ..functions.vectors import _mat
 
     def _normalized(x: pd.Series) -> np.ndarray:
         mat = _mat(x).astype(np.float64, copy=False)
+        if R is not None:
+            mat = mat @ R.T  # orthonormal: norms (and cosines) unchanged
         n = np.linalg.norm(mat, axis=1)
         n[n == 0] = 1.0
         return mat / n[:, None]
@@ -432,6 +525,8 @@ def cosine_topk_pq(
         raise ValueError("cosine_topk_pq: empty query set")
     qids = np.array([r["query_id"] for r in qrows])
     Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    if R is not None:
+        Q = Q @ R.T  # ADC tables must live in the codebook basis
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0] = 1.0
     Qn = Q / qn[:, None]

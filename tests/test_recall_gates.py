@@ -192,3 +192,85 @@ def test_emb_frozen_headroom_preflight(spark):
     )
     with pytest.raises(ValueError, match="quant_unit"):
         embedding_near_dup_pairs_frozen(big, num_planes=8, bands=2)
+
+
+def _anisotropic_fixture(spark):
+    """Energy concentrated in the first 8 dims (all landing in PQ
+    subspace 0 under the identity split) + tiny noise elsewhere: the
+    corpus shape where plain PQ wastes 7 of 8 codebooks and OPQ's
+    eigenvalue allocation spreads the signal one-direction-per-subspace."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim = 400, 64
+    base = np.zeros((n, dim))
+    base[:, :8] = rng.randn(n, 8) * 10.0
+    base[:, 8:] = rng.randn(n, dim - 8) * 0.05
+    plants = [
+        (1000 + j, (base[j] + rng.randn(dim) * 0.15).tolist())
+        for j in range(40)
+    ]
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    corpus = spark.createDataFrame(
+        rows + plants, "vec_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        plants, "vec_id long, embedding array<double>"
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return corpus, q
+
+
+def _partner_recall(df):
+    byq = {}
+    for r in df.collect():
+        byq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return sum(1 for qid, s in byq.items() if (qid - 1000) in s) / len(byq)
+
+
+def test_opq_beats_pq_on_anisotropic_corpus(spark):
+    """The OPQ selling point, pinned: same m/ks/rerank budget, strictly
+    better recall than unrotated PQ on the anisotropic fixture (the whole
+    pipeline is seeded/deterministic, so strict inequality is stable)."""
+    from sparkplug_spark.operators import cosine_topk_opq, cosine_topk_pq
+
+    corpus, q = _anisotropic_fixture(spark)
+    pq = _partner_recall(
+        cosine_topk_pq(corpus, q, k=10, m=8, ks=16, rerank=15)
+    )
+    opq = _partner_recall(
+        cosine_topk_opq(corpus, q, k=10, m=8, ks=16, rerank=15)
+    )
+    assert opq > pq
+    assert opq >= 0.95
+
+
+def test_opq_rotation_is_orthonormal_and_frozen(spark):
+    import numpy as np
+
+    from sparkplug_spark.operators import opq_rotation
+
+    corpus, _ = _anisotropic_fixture(spark)
+    r1 = opq_rotation(corpus, m=8)
+    assert r1.shape == (64, 64)
+    assert np.allclose(r1 @ r1.T, np.eye(64), atol=1e-9)
+    r2 = opq_rotation(corpus.repartition(13), m=8)
+    assert np.array_equal(r1, r2)  # 9-sig moment quantization freezes it
+
+
+def test_opq_full_rerank_equals_exact(spark, sf_dir):
+    """rerank >= corpus size re-ranks every row exactly; the rotation
+    cannot change the output (cosine is rotation-invariant) — must equal
+    brute force, the oracle row's justification."""
+    from sparkplug_spark.operators import cosine_topk, cosine_topk_opq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    exact = {tuple(r) for r in cosine_topk(emb, q, k=10).collect()}
+    opq = {
+        tuple(r)
+        for r in cosine_topk_opq(emb, q, k=10, m=8, ks=16, rerank=n).collect()
+    }
+    assert opq == exact
