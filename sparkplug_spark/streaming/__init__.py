@@ -441,34 +441,64 @@ def streaming_distinct_sketches(
     strict about mismatched configs).  The store swap is rename-based
     (same caveat as ``sources.compact_table``): not atomic for concurrent
     readers — pause readers or use a table format for that guarantee.
+
+    REPLAY SAFETY: the HLL union is idempotent (register-wise max), so an
+    at-least-once replayed batch cannot corrupt the store; the
+    ``__last_batch`` guard is carried anyway for store-family consistency
+    (identical crash/replay contract as the counter stores) and to skip
+    the dead re-merge work.  Legacy stores written before the guard merge
+    unguarded once and carry the column from then on.
     Returns the ``DataStreamWriter`` (caller picks trigger/checkpoint and
     starts it)."""
-    from ..operators.sketches import build_distinct_sketches
-
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_sk = build_distinct_sketches(
-            batch_df, keys, value_col, lg_k=lg_k
-        ).select(*keys, "sketch")
-        if _store_exists(spark, store_path):
-            existing = _store_read(spark, store_path).select(*keys, "sketch")
-            merged = (
-                existing.unionByName(batch_sk)
-                .groupBy(*[F.col(c) for c in keys])
-                .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
-            )
-        else:
-            merged = batch_sk
-        out = merged.withColumn(
-            "n_est", F.hll_sketch_estimate("sketch").cast("long")
+        _merge_distinct_batch(
+            batch_df, batch_id, store_path, keys, value_col, lg_k
         )
-        _swap_publish(out, spark, store_path)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def _merge_distinct_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    keys: "Sequence[str]",
+    value_col: str,
+    lg_k: int,
+) -> None:
+    """One micro-batch merge of :func:`streaming_distinct_sketches`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.sketches import build_distinct_sketches
+
+    spark = batch_df.sparkSession
+    batch_sk = build_distinct_sketches(
+        batch_df, list(keys), value_col, lg_k=lg_k
+    ).select(*keys, "sketch")
+    if _store_exists(spark, store_path):
+        existing = _store_read(spark, store_path)
+        applied = (
+            existing.select(F.max("__last_batch")).collect()[0][0]
+            if "__last_batch" in existing.columns
+            else None
+        )
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay (union is idempotent anyway)
+        merged = (
+            existing.select(*keys, "sketch")
+            .unionByName(batch_sk)
+            .groupBy(*[F.col(c) for c in keys])
+            .agg(F.hll_union_agg(F.col("sketch")).alias("sketch"))
+        )
+    else:
+        merged = batch_sk
+    out = merged.withColumn(
+        "n_est", F.hll_sketch_estimate("sketch").cast("long")
+    ).withColumn("__last_batch", F.lit(int(batch_id)).cast("long"))
+    _swap_publish(out, spark, store_path)
 
 
 def streaming_histogram_sketches(

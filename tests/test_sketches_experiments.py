@@ -435,3 +435,62 @@ class TestCuped:
                 cuped_adjust(df.repartition(13), "y", "x", "variant").collect())
         )
         assert a == b
+
+
+class TestDistinctStoreReplayGuard:
+    def test_replayed_batch_id_is_skipped(self, spark, tmp_path):
+        from sparkplug_spark.streaming import _merge_distinct_batch
+
+        store = str(tmp_path / "hll_replay")
+        b0 = spark.createDataFrame(
+            [("a", i) for i in range(30)], "g string, v long"
+        )
+        _merge_distinct_batch(b0, 0, store, ["g"], "v", 12)
+        first = read_store(spark, store).collect()
+        assert first[0]["__last_batch"] == 0
+        # redelivery of batch 0: store byte-identically unchanged (the
+        # union is idempotent, but the guard must also keep __last_batch)
+        _merge_distinct_batch(b0, 0, store, ["g"], "v", 12)
+        again = read_store(spark, store).collect()
+        assert [r["__last_batch"] for r in again] == [0]
+        assert {r["g"]: r["n_est"] for r in again} == {
+            r["g"]: r["n_est"] for r in first
+        }
+        # a NEW batch advances the watermark and merges
+        b1 = spark.createDataFrame(
+            [("a", i) for i in range(25, 55)], "g string, v long"
+        )
+        _merge_distinct_batch(b1, 1, store, ["g"], "v", 12)
+        after = read_store(spark, store).collect()
+        assert after[0]["__last_batch"] == 1
+        assert abs(after[0]["n_est"] - 55) <= 3  # union, not 60
+
+    def test_legacy_store_without_guard_column_merges_once(
+        self, spark, tmp_path
+    ):
+        from sparkplug_spark.operators import build_distinct_sketches
+        from sparkplug_spark.sources import manifest_publish
+        from sparkplug_spark.streaming import _merge_distinct_batch
+
+        store = str(tmp_path / "hll_legacy")
+        legacy = build_distinct_sketches(
+            spark.createDataFrame(
+                [("a", i) for i in range(10)], "g string, v long"
+            ),
+            ["g"],
+            "v",
+            lg_k=12,
+        )
+        manifest_publish(
+            spark,
+            store,
+            lambda tmp: legacy.write.mode("overwrite").parquet(tmp),
+        )
+        assert "__last_batch" not in read_store(spark, store).columns
+        b = spark.createDataFrame(
+            [("a", i) for i in range(5, 20)], "g string, v long"
+        )
+        _merge_distinct_batch(b, 0, store, ["g"], "v", 12)
+        rows = read_store(spark, store).collect()
+        assert rows[0]["__last_batch"] == 0  # column carried from now on
+        assert abs(rows[0]["n_est"] - 20) <= 2

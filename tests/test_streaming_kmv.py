@@ -85,3 +85,29 @@ class TestStreamingKmvSketches:
         # new id — the bottom-k-of-distinct-union fold must not change
         _merge_kmv_batch(b1, 2, store, "k", ("src",), 32)
         assert _hashes(read_store(spark, store)) == after1
+
+
+class TestKmvStoreReplayGuard:
+    def test_replayed_batch_id_is_skipped(self, spark, tmp_path):
+        from sparkplug_spark.sources import read_store
+        from sparkplug_spark.streaming import _merge_kmv_batch
+
+        store = str(tmp_path / "kmv_replay")
+        b0 = spark.createDataFrame(
+            [(f"u{i}",) for i in range(40)], "k string"
+        )
+        _merge_kmv_batch(b0, 0, store, "k", (), 16)
+        first = sorted(
+            r["kmv_hash"] for r in read_store(spark, store).collect()
+        )
+        # redelivery: identical store (fold is idempotent AND guarded)
+        _merge_kmv_batch(b0, 0, store, "k", (), 16)
+        again = read_store(spark, store)
+        assert [r[0] for r in again.select("__last_batch").distinct().collect()] == [0]
+        assert sorted(r["kmv_hash"] for r in again.collect()) == first
+        # new batch advances the watermark
+        b1 = spark.createDataFrame(
+            [(f"w{i}",) for i in range(40)], "k string"
+        )
+        _merge_kmv_batch(b1, 1, store, "k", (), 16)
+        assert read_store(spark, store).select("__last_batch").distinct().collect()[0][0] == 1
