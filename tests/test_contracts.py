@@ -259,3 +259,32 @@ def test_grading_window_ordering_contract():
     )
     # every oracle key corresponds to a registered query and vice versa
     assert set(oracles) <= set(qs)
+
+
+def test_grading_window_names_pinned_verbatim():
+    """The driver's CORRECTNESS file records exactly the first 50
+    queries() entries, and VERDICT grades the O/E1–E39 components through
+    them — so a refactor that silently ROTATES a driver-graded query out
+    of the window (same ordering invariants, different membership) must
+    fail loudly, not pass the weaker ordering contract above."""
+    import __spark_entry__ as e
+
+    expected = [
+        "plug_overrides", "plug_sequential", "plug_audit", "plug_keep_old",
+        "plug_struct", "plug_lenient", "plug_events_time",
+        "plug_rich_conditions", "plug_custom_details", "validation_errors",
+        "delegated_agg", "delegated_join_topk", "delegated_filter_agg",
+        "delegated_window", "delegated_setops", "delegated_rollup",
+        "delegated_pivot", "delegated_semi_anti", "asof_join", "range_join",
+        "dedup_exact", "dedup_groups_tokenset", "dedup_jaccard_pairs",
+        "dedup_minhash_lsh", "dedup_simhash", "emb_similar_pairs",
+        "simsearch_topk", "text_stats", "text_langid", "text_fingerprints",
+        "text_token_counts", "text_winnowing", "near_dup_groups",
+        "dedup_keep_best", "pipeline_quality_rules", "pii_scrub",
+        "quality_flags", "decontaminate", "decontaminate_bloom",
+        "sample_per_key", "pack_shards", "column_profile", "histogram",
+        "top_tokens", "distinctive_tokens", "stratified_sample",
+        "sessionize_events", "funnel_events", "impact_report",
+        "multimodal_features",
+    ]
+    assert list(e.queries().keys())[:50] == expected
