@@ -186,6 +186,49 @@ def lsh_knob_math(spark, sf_dir, num_hashes=32, bands=8) -> dict:
     }
 
 
+def media_run(spark, sf_dir) -> dict:
+    """Media-family scale probe: the E18 payload-byte partitioning claim
+    MEASURED — every document's text becomes a ~KB binary payload,
+    ``repartition_for_media`` sizes partitions by BYTES (not rows), and
+    the Arrow decode kernel runs over all of them.  The row that matters
+    is ``mb_per_partition``: it must stay ~constant (≈ the target) as the
+    corpus scales, while ``n_partitions`` absorbs the growth."""
+    from pyspark.sql import functions as F
+
+    from sparkplug_spark.operators.multimodal import (
+        decode_image_features,
+        repartition_for_media,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    payloads = docs.select(
+        "doc_id",
+        F.encode(
+            F.array_join(F.array_repeat(F.col("text"), 8), " "), "utf-8"
+        ).alias("payload"),
+    )
+    total = payloads.select(F.sum(F.length("payload"))).first()[0] or 0
+    target = 8 << 20
+    sized = repartition_for_media(
+        payloads, target_bytes_per_partition=target
+    )
+    nparts = sized.rdd.getNumPartitions()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = decode_image_features(sized, feature_dim=16).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "payload_mb": round(total / 1e6, 1),
+        "target_mb_per_partition": round(target / 1e6, 1),
+        "n_partitions": int(nparts),
+        "mb_per_partition": round(total / 1e6 / max(nparts, 1), 2),
+        "decode_s": round(best, 2),
+        "rows": int(n),
+    }
+
+
 def skew_preflight(spark, sf_dir) -> dict:
     from sparkplug_spark.operators import key_skew_report
 
@@ -258,10 +301,34 @@ def main() -> None:
             "x10": skew_preflight(spark, X10_DIR),
         }
 
+    if not ONLY_FAMILIES or "media" in ONLY_FAMILIES:
+        print("media family @base", flush=True)
+        base_media = media_run(spark, BASE_DIR)
+        print("media family @scale", flush=True)
+        scale_media = media_run(spark, X10_DIR)
+        report["families"]["media"] = {
+            "base": base_media,
+            f"x{COPIES}": scale_media,
+        }
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         OUT_NAME,
     )
+    # same-scale re-runs of a FAMILY SUBSET merge into the existing report
+    # instead of dropping the other families' evidence
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            if prev.get("copies") == COPIES:
+                merged = prev.get("families", {})
+                merged.update(report["families"])
+                report["families"] = merged
+                for k, v in prev.items():
+                    report.setdefault(k, v)
+        except (OSError, ValueError):
+            pass
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print("wrote", out_path, flush=True)
