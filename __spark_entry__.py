@@ -1678,19 +1678,13 @@ def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML main-content extraction (E234, jusText-shape): the corpus has
-    no markup, so the query wraps every doc in a deterministic page —
-    nav chrome, short <h1>, the doc text as the body paragraph, a
-    link-heavy related-items div (doc_id%3==0), an entity-bearing second
-    paragraph (doc_id%4==0), a script element, a comment, and a short
-    footer.  The block classifier must keep exactly the prose paragraphs
-    (length >= 80, link chars <= 30%, stopword tokens >= 2%) and drop the
-    chrome; the kept text is md5-compared."""
-    from sparkplug_spark.operators import extract_main_content
-
-    docs = _read(spark, sf_dir, "documents")
-    html = F.concat(
+def _main_content_fixture_html():
+    """The deterministic page the E234/E236 fixtures wrap around each
+    doc: nav chrome, short h1, the doc text as the body paragraph, a
+    link-heavy related div (doc_id%3==0), an entity-bearing second
+    paragraph (doc_id%4==0), script/style/comment noise, short
+    footer."""
+    return F.concat(
         F.lit(
             '<html><head><title>T</title>'
             '<script>var the = "the of and to";</script>'
@@ -1724,6 +1718,21 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<footer>Copyright 2026 the example corp</footer></body></html>"
         ),
     )
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (E234, jusText-shape): the corpus has
+    no markup, so the query wraps every doc in a deterministic page —
+    nav chrome, short <h1>, the doc text as the body paragraph, a
+    link-heavy related-items div (doc_id%3==0), an entity-bearing second
+    paragraph (doc_id%4==0), a script element, a comment, and a short
+    footer.  The block classifier must keep exactly the prose paragraphs
+    (length >= 80, link chars <= 30%, stopword tokens >= 2%) and drop the
+    chrome; the kept text is md5-compared."""
+    from sparkplug_spark.operators import extract_main_content
+
+    docs = _read(spark, sf_dir, "documents")
+    html = _main_content_fixture_html()
     fixture = docs.select("doc_id", html.alias("html"))
     return extract_main_content(
         fixture, "html", "doc_id", min_chars=80, max_link_pct=30,
@@ -1737,34 +1746,60 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC source tier (E235): the corpus is round-tripped through real
-    Common-Crawl-framed archives — executor-side tasks write the docs as
-    gzip-multi-member WARC response records (one member per record, mtime
-    pinned), `read_warc` parses them back through the binaryFile +
-    mapInPandas lane, and the oracle checks the parsed rows against the
-    documents table directly: any framing, Content-Length, gzip-member,
-    or HTTP-split bug breaks the value hash."""
+def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-corpus composition (E236): the main_content fixture pages
+    round-trip through executor-written gzip WARC archives (E235) and the
+    jusText extractor (E234) runs on the PARSED response payloads — the
+    whole crawl lane end to end, one value hash.  Output must equal
+    main_content exactly, so it rides that oracle."""
+    from sparkplug_spark.operators import extract_main_content
+    from sparkplug_spark.sources import read_warc
+
+    docs = _read(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id", _main_content_fixture_html().alias("html")
+    )
+    tmp = _write_warc_fixture(pages, "html", "text/html", "sparkplug_crawl_")
+    parsed = read_warc(spark, tmp + "/*.warc.gz", record_types=("response",))
+    html_df = parsed.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.decode(F.col("payload"), "utf-8").alias("html"),
+    )
+    return extract_main_content(
+        html_df, "html", "doc_id", min_chars=80, max_link_pct=30,
+        min_stop_pct=2,
+    ).select(
+        "doc_id",
+        "n_blocks",
+        "n_good",
+        "main_chars",
+        F.md5("main_text").alias("main_md5"),
+    )
+
+
+def _write_warc_fixture(df, payload_col: str, content_type: str, prefix: str) -> str:
+    """Executor-side deterministic WARC archive writer for the E235/E236
+    fixture queries: 8 gzip multi-member archives (one per doc_id bucket,
+    one member per record, pinned mtimes and record ids) written from
+    applyInPandas tasks — the scale-honest shape where each task emits
+    its own archive.  Returns the archive directory."""
     import os
     import tempfile
 
-    from sparkplug_spark.sources import (
-        gzip_member,
-        read_warc,
-        warc_response_record,
-    )
+    from sparkplug_spark.sources import gzip_member, warc_response_record
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="sparkplug_warc_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
 
     def write_group(key, pdf):
         parts = []
         for _, r in pdf.sort_values("doc_id").iterrows():
             rec = warc_response_record(
                 f"http://corpus.example/doc/{int(r.doc_id)}",
-                str(r.text).encode("utf-8"),
+                str(r[payload_col]).encode("utf-8"),
                 status=200,
-                content_type="text/plain",
+                content_type=content_type,
                 record_id=f"<urn:doc:{int(r.doc_id)}>",
             )
             parts.append(gzip_member(rec))
@@ -1773,11 +1808,27 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(b"".join(parts))
         return pd.DataFrame({"file": [path], "n": [len(pdf)]})
 
-    buckets = docs.withColumn("bucket", F.col("doc_id") % 8)
-    written = buckets.groupBy("bucket").applyInPandas(
-        write_group, "file string, n long"
+    (
+        df.withColumn("bucket", F.col("doc_id") % 8)
+        .groupBy("bucket")
+        .applyInPandas(write_group, "file string, n long")
+        .collect()  # bounded: 8 rows, one per archive written
     )
-    written.collect()  # bounded: 8 rows, one per archive written
+    return tmp
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source tier (E235): the corpus is round-tripped through real
+    Common-Crawl-framed archives — executor-side tasks write the docs as
+    gzip-multi-member WARC response records (one member per record, mtime
+    pinned), `read_warc` parses them back through the binaryFile +
+    mapInPandas lane, and the oracle checks the parsed rows against the
+    documents table directly: any framing, Content-Length, gzip-member,
+    or HTTP-split bug breaks the value hash."""
+    from sparkplug_spark.sources import read_warc
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _write_warc_fixture(docs, "text", "text/plain", "sparkplug_warc_")
     parsed = read_warc(spark, tmp + "/*.warc.gz", record_types=("response",))
     return parsed.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
@@ -3448,6 +3499,22 @@ def q_simsearch_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_opq(emb, queries_df, k=10, m=8, ks=16, rerank=50)
 
 
+def q_simsearch_topk_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-bucket LSH top-k (E9 oracle tier): candidates from the same
+    integer sign buckets as emb_similar_pairs_frozen, exact-cosine rank
+    tail — unlike the float-sign LSH tier, the candidate set is
+    engine-exact, so the whole approximate search value-hashes."""
+    from sparkplug_spark.operators import cosine_topk_lsh_frozen
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh_frozen(
+        emb, queries_df, k=10, num_planes=64, bands=8
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -4476,11 +4543,10 @@ def _main_content_oracle_sql() -> str:
 
 
 
-def _emb_frozen_oracle_sql() -> str:
-    """DuckDB twin of q_emb_similar_pairs_frozen: integer plane literals
-    from the SAME _hyperplanes_int table, floor-quantized integer sign
-    dots, band buckets as bit strings, any-band candidate join, 6dp
-    cosine verify (the shared _SQL_COS treatment)."""
+def _frozen_bucket_ctes() -> str:
+    """Shared CTE chain (ef_e/ef_q/ef_s/ef_bk) deriving the integer
+    sign-bucket band strings for every embedding — the DuckDB twin of
+    int_band_buckets with the 64x64 _hyperplanes_int literals."""
     from sparkplug_spark.operators.similarity import _hyperplanes_int
 
     planes = _hyperplanes_int(64, 64)
@@ -4489,7 +4555,6 @@ def _emb_frozen_oracle_sql() -> str:
         + ",".join("[" + ",".join(str(c) for c in p) + "]" for p in planes)
         + "]"
     )
-    cos = _SQL_COS.format(a="a.v", b="b.v")
     return f"""
         WITH ef_e AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4513,12 +4578,44 @@ def _emb_frozen_oracle_sql() -> str:
                                   bb -> CASE WHEN bb THEN '1' ELSE '0' END),
                    '')) AS bands
           FROM ef_s
-        )
+        )"""
+
+
+def _emb_frozen_oracle_sql() -> str:
+    """DuckDB twin of q_emb_similar_pairs_frozen: integer plane literals
+    from the SAME _hyperplanes_int table, floor-quantized integer sign
+    dots, band buckets as bit strings, any-band candidate join, 6dp
+    cosine verify (the shared _SQL_COS treatment)."""
+    cos = _SQL_COS.format(a="a.v", b="b.v")
+    return f"""{_frozen_bucket_ctes()}
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
         FROM ef_bk a JOIN ef_bk b
           ON a.vec_id < b.vec_id
          AND len(list_filter(range(1, 9), j -> a.bands[j] = b.bands[j])) > 0
         WHERE {cos} >= 0.4
+    """
+
+
+def _lsh_frozen_topk_oracle_sql() -> str:
+    """DuckDB twin of q_simsearch_topk_lsh_frozen: same bucket CTEs,
+    query side vec_id < 5, any-band candidate join (self included — the
+    query shares every band with itself), exact 6dp-cosine rank."""
+    cos = _SQL_COS.format(a="q.v", b="c.v")
+    return f"""{_frozen_bucket_ctes()},
+        lf_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos} AS cosine
+          FROM ef_bk q JOIN ef_bk c
+            ON len(list_filter(range(1, 9),
+                               j -> q.bands[j] = c.bands[j])) > 0
+          WHERE q.vec_id < 5
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                    AS rank
+          FROM lf_scored
+        ) WHERE rank <= 10
     """
 
 
@@ -12141,6 +12238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "emb_similar_pairs_frozen": q_emb_similar_pairs_frozen,
         "simsearch_opq_exhaustive": q_simsearch_opq_exhaustive,
+        "simsearch_topk_lsh_frozen": q_simsearch_topk_lsh_frozen,
+        "crawl_extract": q_crawl_extract,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12194,6 +12293,11 @@ def oracle_sql() -> dict[str, str]:
     # frozen-bucket embedding near-dup (E6 oracle tier): integer sign
     # buckets make the LSH candidate set engine-exact
     out["emb_similar_pairs_frozen"] = _emb_frozen_oracle_sql()
+    # frozen-bucket LSH top-k (E9 oracle tier): same bucket CTEs
+    out["simsearch_topk_lsh_frozen"] = _lsh_frozen_topk_oracle_sql()
+    # crawl composition (E236): WARC round-trip is identity on the
+    # fixture pages, so the extractor oracle IS the composed oracle
+    out["crawl_extract"] = _main_content_oracle_sql()
     # WARC round-trip (E235): the parsed archive rows must reproduce the
     # documents table directly — framing is the thing under test, so the
     # oracle is the un-framed source of truth (ASCII corpus: char length

@@ -661,44 +661,25 @@ def embedding_near_dup_pairs_frozen(
     int64 preflight: requires ``dim · max|floor(v·quant_unit)| ·
     max|coeff| < 2^63`` (coefficients are < 2^32) and tells you the max
     safe ``quant_unit`` otherwise."""
-    from ..functions.vectors import infer_dim, int_band_buckets
-    from .similarity import _hyperplanes_int
+    from ..functions.vectors import infer_dim
+    from .similarity import (
+        _hyperplanes_int,
+        banded_signature_entries_int,
+        check_frozen_headroom,
+        max_abs_component,
+    )
 
     if num_planes % bands != 0:
         raise ValueError("num_planes must be a multiple of bands")
     if quant_unit < 1:
         raise ValueError("quant_unit must be >= 1")
     dim = infer_dim(df, vec_col)
+    check_frozen_headroom(
+        max_abs_component(spread(df), vec_col), dim, quant_unit
+    )
     planes = _hyperplanes_int(num_planes, dim)
-    max_abs = (
-        spread(df)
-        .agg(
-            F.max(
-                F.array_max(
-                    F.transform(F.col(vec_col), lambda x: F.abs(x))
-                )
-            )
-        )
-        .first()[0]
-        or 0.0
-    )
-    import math
-
-    max_vq = int(math.floor(float(max_abs) * quant_unit)) + 1
-    if dim * max_vq * 0xFFFFFFFF >= 2**63:
-        safe = 2**63 // (dim * 0xFFFFFFFF * (int(math.ceil(max_abs)) + 1))
-        raise ValueError(
-            f"int64 headroom exceeded (max|component|={max_abs}); pass "
-            f"quant_unit <= {safe}"
-        )
-    sig = spread(df).select(
-        F.col(id_col).alias("id"),
-        int_band_buckets(F.col(vec_col), planes, bands, quant_unit).alias(
-            "buckets"
-        ),
-    )
-    entries = sig.select(
-        "id", F.posexplode("buckets").alias("band", "bucket")
+    entries = banded_signature_entries_int(
+        df, id_col, vec_col, "id", planes, bands, quant_unit
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return _verify_bucket_candidates(
         df, entries, vec_col, id_col, threshold, release

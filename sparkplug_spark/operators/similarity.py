@@ -192,6 +192,23 @@ def cosine_topk_lsh(
     )
     cb = banded_signature_entries(corpus, id_col, vec_col, "neighbor_id", planes, bands)
     cand = qb.join(cb, ["band", "bucket"]).select("query_id", "neighbor_id").distinct()
+    return _exact_rank_from_candidates(
+        corpus, queries, cand, k, vec_col, id_col, query_id_col
+    )
+
+
+def _exact_rank_from_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared tail of the candidate-generation top-k tiers: exact cosine
+    on (query_id, neighbor_id) candidate rows, deterministic
+    (6dp-cosine desc, id asc) rank, top-k filter."""
     qv = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -218,6 +235,110 @@ def cosine_topk_lsh(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def banded_signature_entries_int(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    planes_int: list[list[int]],
+    bands: int,
+    unit: int,
+) -> DataFrame:
+    """Integer twin of :func:`banded_signature_entries` — buckets from
+    :func:`~..functions.vectors.int_band_buckets`, so a SQL engine
+    replays the same (id, band, bucket) rows exactly."""
+    from ..functions.vectors import int_band_buckets
+
+    sig = spread(df).select(
+        F.col(id_col).alias(out_id),
+        int_band_buckets(F.col(vec_col), planes_int, bands, unit).alias(
+            "buckets"
+        ),
+    )
+    return sig.select(out_id, F.posexplode("buckets").alias("band", "bucket"))
+
+
+def max_abs_component(df: DataFrame, vec_col: str) -> float:
+    """max |component| over an embedding column — the int64 headroom
+    preflight input for the frozen (integer-quantized) LSH tiers."""
+    v = (
+        df.agg(
+            F.max(F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x))))
+        ).first()[0]
+        or 0.0
+    )
+    return float(v)
+
+
+def check_frozen_headroom(max_abs: float, dim: int, quant_unit: int) -> None:
+    """Fail loudly (with the max safe quant_unit) when the integer sign
+    dot could exceed int64 — numpy and Spark both wrap silently."""
+    import math
+
+    max_vq = int(math.floor(max_abs * quant_unit)) + 1
+    if dim * max_vq * 0xFFFFFFFF >= 2**63:
+        safe = 2**63 // (dim * 0xFFFFFFFF * (int(math.ceil(max_abs)) + 1))
+        raise ValueError(
+            f"int64 headroom exceeded (max|component|={max_abs}); pass "
+            f"quant_unit <= {safe}"
+        )
+
+
+def cosine_topk_lsh_frozen(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    num_planes: int = 16,
+    bands: int = 4,
+    quant_unit: int = 10**6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Value-hash-oracle tier of :func:`cosine_topk_lsh` (the E6b
+    freezing discipline applied to the top-k path): sign buckets from
+    floor-quantized INTEGER components × integer md5 plane coefficients,
+    so the candidate set is exact arithmetic a SQL twin replays; the
+    exact-cosine rank tail is shared with the float tier.  Recall
+    differs from the float tier only where a sign bit sat within one
+    quantization step of a hyperplane."""
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must be a multiple of bands")
+    if quant_unit < 1:
+        raise ValueError("quant_unit must be >= 1")
+    if dim is None:
+        from ..functions.vectors import infer_dim
+
+        dim = infer_dim(corpus, vec_col)
+    check_frozen_headroom(
+        max(
+            max_abs_component(spread(corpus), vec_col),
+            max_abs_component(queries, vec_col),
+        ),
+        dim,
+        quant_unit,
+    )
+    planes = _hyperplanes_int(num_planes, dim)
+    qb = F.broadcast(
+        banded_signature_entries_int(
+            queries, query_id_col, vec_col, "query_id", planes, bands,
+            quant_unit,
+        )
+    )
+    cb = banded_signature_entries_int(
+        corpus, id_col, vec_col, "neighbor_id", planes, bands, quant_unit
+    )
+    cand = (
+        qb.join(cb, ["band", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _exact_rank_from_candidates(
+        corpus, queries, cand, k, vec_col, id_col, query_id_col
     )
 
 

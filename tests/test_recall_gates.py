@@ -274,3 +274,21 @@ def test_opq_full_rerank_equals_exact(spark, sf_dir):
         for r in cosine_topk_opq(emb, q, k=10, m=8, ks=16, rerank=n).collect()
     }
     assert opq == exact
+
+
+def test_lsh_frozen_topk_recall_and_exactness(spark, sf_dir):
+    """Frozen-bucket LSH top-k (E9d): rank-1 self-hit always present (a
+    vector shares every band with itself), >=0.9 planted-NN recall at
+    64/8 geometry, and bit-identical across runs."""
+    from sparkplug_spark.operators import cosine_topk_lsh_frozen
+
+    corpus, planted_df, n_plant, offset = _planted(spark, sf_dir)
+    q = planted_df.select(F.col("vec_id").alias("query_id"), "embedding")
+    rows = cosine_topk_lsh_frozen(
+        corpus, q, k=10, num_planes=64, bands=8
+    ).collect()
+    assert _rank1_recall(rows, n_plant, offset) >= 0.9
+    again = cosine_topk_lsh_frozen(
+        corpus, q, k=10, num_planes=64, bands=8
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
