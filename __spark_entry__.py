@@ -3515,6 +3515,87 @@ def q_simsearch_topk_lsh_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML page-metadata extraction (E237): per-doc fixture pages vary
+    title presence, meta-description attribute ORDER (name-first vs
+    content-first vs absent), lang attribute, and canonical link; the
+    extractor's regex battery must reproduce every variant (NULLs where
+    absent) plus the anchor/script counts."""
+    from sparkplug_spark.operators import extract_html_metadata
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit('<html lang="EN-us"><head>')
+        ).otherwise(F.lit("<html><head>")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<title> Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" &amp; notes </title>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<meta name="description" content="summary of the page">'),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(
+                '<meta content="reversed attr order desc" name="description">'
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://corpus.example/doc/'),
+                F.col("doc_id").cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(
+            "<script>var x=1;</script></head><body>"
+            '<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>'
+        ),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return extract_html_metadata(docs.select("doc_id", html.alias("html")))
+
+
+def q_template_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template boilerplate removal (E238): every doc of a source
+    shares that source's footer and nav blocks; drop_repeated_blocks must
+    drop exactly the blocks repeating in >=3 distinct docs per source and
+    keep the unique bodies, reassembled in document order."""
+    from sparkplug_spark.operators import drop_repeated_blocks
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit("</p><footer>(c) "),
+        F.col("source"),
+        F.lit(" network all rights reserved</footer><div>nav for "),
+        F.col("source"),
+        F.lit(" home about contact</div>"),
+    )
+    return drop_repeated_blocks(
+        docs.select("doc_id", "source", html.alias("html")),
+        "html",
+        "doc_id",
+        group_col="source",
+        min_docs=3,
+    ).select(
+        "doc_id",
+        "n_blocks",
+        "n_dropped",
+        F.md5("content_text").alias("content_md5"),
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -4616,6 +4697,129 @@ def _lsh_frozen_topk_oracle_sql() -> str:
                     AS rank
           FROM lf_scored
         ) WHERE rank <= 10
+    """
+
+
+def _html_clean_sql(x: str) -> str:
+    """DuckDB twin of operators.html._clean_text (tags -> space, fixed
+    entity order, whitespace collapse) — shared by the E234/E237/E238
+    oracles."""
+    return (
+        "trim(regexp_replace(replace(replace(replace(replace(replace("
+        f"replace(regexp_replace({x}, '<[^>]*>', ' ', 'g'),"
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),"
+        " '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))"
+    )
+
+
+def _html_metadata_oracle_sql() -> str:
+    """DuckDB twin of q_html_metadata: same fixture, same Java-and-RE2
+    regex battery, same NULL-where-absent semantics."""
+    clean = _html_clean_sql
+    return f"""
+        WITH hm_raw AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN '<html lang="EN-us"><head>'
+                 ELSE '<html><head>' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '<title> Doc ' || doc_id::VARCHAR
+                         || ' &amp; notes </title>' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<meta name="description" content="summary of the page">'
+                    WHEN doc_id % 3 = 1
+                    THEN '<meta content="reversed attr order desc" name="description">'
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN '<link rel="canonical" href="https://corpus.example/doc/'
+                         || doc_id::VARCHAR || '">' ELSE '' END
+            || '<script>var x=1;</script></head><body>'
+            || '<nav><a href="/">Home</a> <a href="/a">About</a></nav><p>'
+            || text || '</p></body></html>' AS h
+          FROM documents
+        )
+        SELECT doc_id,
+          nullif({clean("coalesce(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1), '')")}, '') AS title,
+          nullif(coalesce(
+            nullif(coalesce(regexp_extract(h,
+              '(?is)<meta\\s[^>]*name\\s*=\\s*["'']description["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1), ''), ''),
+            coalesce(regexp_extract(h,
+              '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*name\\s*=\\s*["'']description["'']', 1), '')
+          ), '') AS meta_description,
+          nullif(lower(coalesce(regexp_extract(h,
+            '(?is)<html\\s[^>]*lang\\s*=\\s*["'']([a-zA-Z-]+)', 1), '')), '') AS html_lang,
+          nullif(coalesce(regexp_extract(h,
+            '(?is)<link\\s[^>]*rel\\s*=\\s*["'']canonical["''][^>]*href\\s*=\\s*["'']([^"'']*)', 1), ''), '') AS canonical_url,
+          len(regexp_extract_all(h, '(?is)<a\\b'))::BIGINT AS n_anchors,
+          len(regexp_extract_all(h, '(?is)<script\\b'))::BIGINT AS n_scripts
+        FROM hm_raw
+    """
+
+
+def _template_blocks_oracle_sql() -> str:
+    """DuckDB twin of q_template_blocks: same block split/clean, md5
+    fingerprints counted per (source, fp) over DISTINCT docs, blocks in
+    >=3 docs dropped, survivors string_agg'd in document order."""
+    from sparkplug_spark.operators.html import BLOCK_SPLIT_PATTERN
+
+    clean = _html_clean_sql
+    return f"""
+        WITH tb_raw AS (
+          SELECT doc_id, source,
+            '<p>' || text || '</p><footer>(c) ' || source
+            || ' network all rights reserved</footer><div>nav for '
+            || source || ' home about contact</div>' AS html
+          FROM documents
+        ),
+        tb_pre AS (
+          SELECT doc_id, source,
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g') AS h
+          FROM tb_raw
+        ),
+        tb_arr AS (
+          SELECT doc_id, source,
+                 regexp_split_to_array(h, '{BLOCK_SPLIT_PATTERN}') AS blks
+          FROM tb_pre
+        ),
+        tb_blk0 AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(blks) + 1),
+                                       i -> {{'pos': i, 'raw': blks[i]}})) AS u
+          FROM tb_arr
+        ),
+        tb_blk AS (
+          SELECT doc_id, source, u.pos AS pos, {clean("u.raw")} AS txt
+          FROM tb_blk0
+        ),
+        tb_ne AS (
+          SELECT doc_id, source, pos, txt, md5(txt) AS fp
+          FROM tb_blk WHERE length(txt) > 0
+        ),
+        tb_freq AS (
+          SELECT source, fp FROM tb_ne GROUP BY source, fp
+          HAVING count(DISTINCT doc_id) >= 3
+        ),
+        tb_marked AS (
+          SELECT b.doc_id, b.pos, b.txt, (f.fp IS NOT NULL) AS is_template
+          FROM tb_ne b LEFT JOIN tb_freq f
+            ON b.source = f.source AND b.fp = f.fp
+        ),
+        tb_agg AS (
+          SELECT doc_id,
+                 count(*) AS n_blocks,
+                 count(*) FILTER (WHERE is_template) AS n_dropped,
+                 coalesce(string_agg(txt, chr(10) ORDER BY pos)
+                          FILTER (WHERE NOT is_template), '') AS content_text
+          FROM tb_marked GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_blocks, 0)::BIGINT AS n_blocks,
+               coalesce(a.n_dropped, 0)::BIGINT AS n_dropped,
+               md5(coalesce(a.content_text, '')) AS content_md5
+        FROM documents d LEFT JOIN tb_agg a ON d.doc_id = a.doc_id
     """
 
 
@@ -12240,6 +12444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_opq_exhaustive": q_simsearch_opq_exhaustive,
         "simsearch_topk_lsh_frozen": q_simsearch_topk_lsh_frozen,
         "crawl_extract": q_crawl_extract,
+        "html_metadata": q_html_metadata,
+        "template_blocks": q_template_blocks,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12298,6 +12504,9 @@ def oracle_sql() -> dict[str, str]:
     # crawl composition (E236): WARC round-trip is identity on the
     # fixture pages, so the extractor oracle IS the composed oracle
     out["crawl_extract"] = _main_content_oracle_sql()
+    # HTML metadata (E237) and site-template removal (E238)
+    out["html_metadata"] = _html_metadata_oracle_sql()
+    out["template_blocks"] = _template_blocks_oracle_sql()
     # WARC round-trip (E235): the parsed archive rows must reproduce the
     # documents table directly — framing is the thing under test, so the
     # oracle is the un-framed source of truth (ASCII corpus: char length

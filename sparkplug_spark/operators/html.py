@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from ..partitioning import spread
 from .cleaning import MARKUP_ENTITIES
 
-__all__ = ["extract_main_content", "BLOCK_SPLIT_PATTERN"]
+__all__ = [
+    "extract_main_content",
+    "extract_html_metadata",
+    "drop_repeated_blocks",
+    "BLOCK_SPLIT_PATTERN",
+]
 
 #: Block-level elements whose OPENING OR CLOSING tag ends the current text
 #: block (HTML5 flow-content splitters + ``<br>``).  Inline elements
@@ -205,5 +210,162 @@ def extract_main_content(
                 ),
                 "\n",
             ).alias(out_col),
+        )
+    )
+
+
+def extract_html_metadata(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Page-level metadata for crawl routing/profiling — the fields every
+    crawl pipeline wants BEFORE spending extraction/quality compute:
+
+    - ``title``: first ``<title>`` element, tag-stripped/entity-decoded/
+      whitespace-collapsed (NULL when absent or empty),
+    - ``meta_description``: the ``<meta name="description">`` content
+      attribute (either attribute order),
+    - ``html_lang``: the ``<html lang=…>`` attribute, lower-cased — the
+      declared-language prior for the LID gate,
+    - ``canonical_url``: ``<link rel="canonical" href=…>`` — the dedup
+      key the URL family (E172) canonicalizes toward,
+    - ``n_anchors`` / ``n_scripts``: link/script element counts, the
+      cheap chrome-vs-content signals.
+
+    One zero-shuffle codegen projection; every pattern is Java∩RE2 (no
+    backreferences/lookaround) so a SQL twin replays it byte-for-byte."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    title = _clean_text(
+        F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    )
+    # attribute order varies in the wild: name-then-content and
+    # content-then-name both occur; first non-empty wins
+    desc_nc = F.regexp_extract(
+        h,
+        "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']description[\"']"
+        "[^>]*content\\s*=\\s*[\"']([^\"']*)",
+        1,
+    )
+    desc_cn = F.regexp_extract(
+        h,
+        "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+        "[^>]*name\\s*=\\s*[\"']description[\"']",
+        1,
+    )
+    lang = F.lower(
+        F.regexp_extract(
+            h, "(?is)<html\\s[^>]*lang\\s*=\\s*[\"']([a-zA-Z-]+)", 1
+        )
+    )
+    canon = F.regexp_extract(
+        h,
+        "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']canonical[\"']"
+        "[^>]*href\\s*=\\s*[\"']([^\"']*)",
+        1,
+    )
+    return spread(df).select(
+        id_col,
+        F.nullif(title, F.lit("")).alias("title"),
+        F.nullif(
+            F.coalesce(F.nullif(desc_nc, F.lit("")), desc_cn), F.lit("")
+        ).alias("meta_description"),
+        F.nullif(lang, F.lit("")).alias("html_lang"),
+        F.nullif(canon, F.lit("")).alias("canonical_url"),
+        F.regexp_count(h, F.lit(r"(?is)<a\b")).cast("long").alias("n_anchors"),
+        F.regexp_count(h, F.lit(r"(?is)<script\b"))
+        .cast("long")
+        .alias("n_scripts"),
+    )
+
+
+def drop_repeated_blocks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    min_docs: int = 3,
+    out_col: str = "content_text",
+) -> DataFrame:
+    """Site-template boilerplate removal — the CROSS-DOCUMENT complement
+    of :func:`extract_main_content`'s per-page classifier (and the
+    block-level sibling of E50's span dedup): a block whose cleaned text
+    appears in ``min_docs`` or more distinct documents (within
+    ``group_col`` — typically the registered domain — or corpus-wide
+    when None) is template chrome (header/footer/nav/cookie banner) and
+    is dropped from every document; per-page classification can't catch
+    a verbose footer that looks like prose, but no real content
+    paragraph repeats across many pages.
+
+    Returns one row per input row: ``(id_col, n_blocks, n_dropped,
+    out_col)`` with surviving blocks joined by newlines in document
+    order.  Scale shape: blocks explode once; the template test is one
+    md5-fingerprint aggregate counting DISTINCT docs (shuffles 16-byte
+    digests, never text) joined back to the block rows; one final
+    groupBy reassembles.  Fingerprints are md5 so a SQL twin replays the
+    verdicts exactly."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    pre = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(F.col(html_col), F.lit("")), _SCRIPT_PAT, " "
+            ),
+            _STYLE_PAT,
+            " ",
+        ),
+        _COMMENT_PAT,
+        " ",
+    )
+    gcols = [group_col] if group_col else []
+    blocks = (
+        spread(df)
+        .select(
+            id_col,
+            *gcols,
+            F.posexplode(F.split(pre, BLOCK_SPLIT_PATTERN)).alias(
+                "__pos", "__raw"
+            ),
+        )
+        .select(
+            id_col,
+            *gcols,
+            "__pos",
+            _clean_text(F.col("__raw")).alias("__txt"),
+        )
+        .where(F.length("__txt") > 0)
+        .withColumn("__fp", F.md5(F.col("__txt")))
+    )
+    freq = (
+        blocks.groupBy(*gcols, "__fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") >= int(min_docs))
+        .select(*gcols, "__fp", F.lit(True).alias("__template"))
+    )
+    marked = blocks.join(freq, [*gcols, "__fp"], "left")
+    kept_struct = F.when(
+        F.col("__template").isNull(),
+        F.struct(F.col("__pos").alias("p"), F.col("__txt").alias("t")),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count(F.when(F.col("__template"), 1)).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["t"]
+            ),
+            "\n",
+        ).alias(out_col),
+    )
+    # docs whose html produced no non-empty blocks still get a row
+    return (
+        spread(df)
+        .select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.coalesce(out_col, F.lit("")).alias(out_col),
         )
     )
