@@ -3596,6 +3596,102 @@ def q_template_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dialogue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT transcript structuring (E239): deterministic role-tagged
+    transcripts built from doc token chunks — with planted preambles
+    (doc%5==0), system turns (doc%3==0), and alternation violations
+    (doc%7==0) — parsed into turns and reduced to the per-transcript
+    structure report + a turns content digest, so both the parse and the
+    validity flags are value-hashed."""
+    from sparkplug_spark.operators import dialogue_stats, parse_dialogue
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def chunk(start: int) -> "F.Column":
+        return F.array_join(F.slice(toks, start, 5), " ")
+
+    transcript = F.concat_ws(
+        "\n",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("preamble noise before any role")
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("system: follow the corpus rules")
+        ),
+        F.concat(F.lit("user: "), chunk(1)),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("user: "), chunk(6)),
+        ).otherwise(F.concat(F.lit("assistant: "), chunk(6))),
+        F.concat(F.lit("assistant: "), chunk(11)),
+        F.concat(F.lit("user: "), chunk(16)),
+        F.concat(
+            F.lit("assistant: thanks for doc "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    fixture = docs.select("doc_id", transcript.alias("text"))
+    turns = parse_dialogue(fixture)
+    digest = turns.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("turn").alias("t"),
+                                F.concat(
+                                    F.col("turn").cast("string"),
+                                    F.lit(":"),
+                                    F.coalesce(F.col("role"), F.lit("-")),
+                                    F.lit(":"),
+                                    F.col("content"),
+                                ).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                "\x1e",
+            )
+        ).alias("turns_md5")
+    )
+    return dialogue_stats(turns).join(digest, "doc_id")
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction, all-pairs mode (E240): order items
+    as scored candidate responses (prompt = order, response = part,
+    score = max quantity); every within-order pair with margin >= 25
+    becomes a (chosen, rejected) row."""
+    from sparkplug_spark.operators import preference_pairs
+
+    li = _read(spark, sf_dir, "lineitem")
+    cands = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.max("l_quantity").cast("long").alias("score")
+    )
+    return preference_pairs(
+        cands, "l_orderkey", "l_partkey", "score", min_margin=25
+    )
+
+
+def q_preference_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction, best-vs-worst mode (E240): exactly
+    one (argmax, argmin) row per multi-candidate prompt, deterministic
+    smallest-id ties via the struct-min/max aggregate (no rank window)."""
+    from sparkplug_spark.operators import preference_pairs
+
+    li = _read(spark, sf_dir, "lineitem")
+    cands = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.max("l_quantity").cast("long").alias("score")
+    )
+    return preference_pairs(
+        cands, "l_orderkey", "l_partkey", "score",
+        min_margin=1, mode="best_worst",
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -4820,6 +4916,150 @@ def _template_blocks_oracle_sql() -> str:
                coalesce(a.n_dropped, 0)::BIGINT AS n_dropped,
                md5(coalesce(a.content_text, '')) AS content_md5
         FROM documents d LEFT JOIN tb_agg a ON d.doc_id = a.doc_id
+    """
+
+
+def _dialogue_oracle_sql() -> str:
+    """DuckDB twin of q_dialogue_stats: rebuild the fixture transcripts,
+    replay the line-split / turn-assignment (running sum over role-start
+    lines) / per-turn reassembly, then the structure report + digest."""
+    return """
+        WITH dp_raw AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              CASE WHEN doc_id % 5 = 0
+                   THEN 'preamble noise before any role' END,
+              CASE WHEN doc_id % 3 = 0
+                   THEN 'system: follow the corpus rules' END,
+              'user: ' || coalesce(array_to_string(
+                list_slice(string_split(text, ' '), 1, 5), ' '), ''),
+              CASE WHEN doc_id % 7 = 0
+                   THEN 'user: ' || coalesce(array_to_string(
+                     list_slice(string_split(text, ' '), 6, 10), ' '), '')
+                   ELSE 'assistant: ' || coalesce(array_to_string(
+                     list_slice(string_split(text, ' '), 6, 10), ' '), '') END,
+              'assistant: ' || coalesce(array_to_string(
+                list_slice(string_split(text, ' '), 11, 15), ' '), ''),
+              'user: ' || coalesce(array_to_string(
+                list_slice(string_split(text, ' '), 16, 20), ' '), ''),
+              'assistant: thanks for doc ' || doc_id::VARCHAR
+            ) AS t
+          FROM documents
+        ),
+        dp_l0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ls) + 1),
+                                       i -> {'ln': i, 'line': ls[i]})) AS u
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM dp_raw)
+        ),
+        dp_marked AS (
+          SELECT doc_id, u.ln AS ln, u.line AS line,
+                 coalesce(regexp_extract(u.line,
+                   '^(system|user|assistant): ', 1), '') AS role_raw
+          FROM dp_l0
+        ),
+        dp_turns AS (
+          SELECT doc_id, ln, line, role_raw,
+                 sum(CASE WHEN role_raw <> '' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY ln) AS turn
+          FROM dp_marked
+        ),
+        dp_body AS (
+          SELECT doc_id, turn, ln,
+                 CASE WHEN role_raw <> '' THEN role_raw END AS role,
+                 CASE WHEN role_raw <> ''
+                      THEN substring(line, length(role_raw) + 3)
+                      ELSE line END AS body
+          FROM dp_turns
+        ),
+        dp_pt AS (
+          SELECT doc_id, turn, min(role) AS role,
+                 coalesce(string_agg(body, chr(10) ORDER BY ln), '')
+                   AS content
+          FROM dp_body GROUP BY doc_id, turn
+        ),
+        dp_kept AS (
+          SELECT doc_id, turn::BIGINT AS turn, role, content,
+                 length(content)::BIGINT AS n_chars
+          FROM dp_pt WHERE turn > 0 OR length(trim(content)) > 0
+        ),
+        dp_first AS (
+          SELECT doc_id, min(turn) AS first_turn
+          FROM dp_kept WHERE turn > 0 AND role <> 'system'
+          GROUP BY doc_id
+        ),
+        dp_alt AS (
+          SELECT k.doc_id,
+                 bool_and((k.role = CASE WHEN k.turn % 2 = f.first_turn % 2
+                                         THEN 'user' ELSE 'assistant' END)
+                          AND k.role IN ('user', 'assistant'))
+                   AS alternates_ok,
+                 min(CASE WHEN k.turn = f.first_turn THEN k.role END)
+                   AS first_role
+          FROM dp_kept k JOIN dp_first f USING (doc_id)
+          WHERE k.turn > 0 AND k.role <> 'system'
+          GROUP BY k.doc_id
+        ),
+        dp_base AS (
+          SELECT doc_id,
+                 count(*) FILTER (WHERE turn > 0) AS n_turns,
+                 count(*) FILTER (WHERE role = 'user') AS n_user,
+                 count(*) FILTER (WHERE role = 'assistant') AS n_assistant,
+                 count(*) FILTER (WHERE role = 'system') AS n_system,
+                 bool_or(turn = 0) AS has_preamble,
+                 count(*) FILTER (WHERE turn > 0
+                                  AND length(trim(content)) = 0)
+                   AS n_empty_turns,
+                 sum(n_chars)::BIGINT AS total_chars,
+                 md5(string_agg(turn::VARCHAR || ':'
+                                || coalesce(role, '-') || ':' || content,
+                                chr(30) ORDER BY turn)) AS turns_md5
+          FROM dp_kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_turns, b.n_user, b.n_assistant, b.n_system,
+               b.has_preamble,
+               coalesce(a.first_role = 'user', false) AS starts_with_user,
+               coalesce(a.alternates_ok, false) AS alternates_ok,
+               b.n_empty_turns, b.total_chars, b.turns_md5
+        FROM dp_base b LEFT JOIN dp_alt a USING (doc_id)
+    """
+
+
+def _preference_oracle_sql(mode: str) -> str:
+    """DuckDB twins of the preference-pair queries: the same candidate
+    table (order, part, max quantity) self-joined (all_pairs) or reduced
+    by deterministic arg_min/arg_max with smallest-id ties
+    (best_worst)."""
+    cands = """
+        WITH pf_c AS (
+          SELECT l_orderkey AS prompt_id, l_partkey AS response_id,
+                 max(l_quantity)::BIGINT AS score
+          FROM lineitem GROUP BY 1, 2
+        )"""
+    if mode == "all_pairs":
+        return f"""{cands}
+        SELECT a.prompt_id, a.response_id AS chosen_id,
+               b.response_id AS rejected_id,
+               (a.score - b.score)::BIGINT AS margin
+        FROM pf_c a JOIN pf_c b
+          ON a.prompt_id = b.prompt_id
+         AND a.response_id <> b.response_id
+         AND a.score >= b.score + 25
+        """
+    return f"""{cands},
+        pf_bw AS (
+          SELECT prompt_id,
+                 count(*) AS n,
+                 min(struct_pack(s := -score, id := response_id)) AS best,
+                 min(struct_pack(s := score, id := response_id)) AS worst
+          FROM pf_c GROUP BY prompt_id
+        )
+        SELECT prompt_id,
+               best.id AS chosen_id,
+               worst.id AS rejected_id,
+               (-best.s - worst.s)::BIGINT AS margin
+        FROM pf_bw
+        WHERE n >= 2 AND -best.s - worst.s >= 1
     """
 
 
@@ -12446,6 +12686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract": q_crawl_extract,
         "html_metadata": q_html_metadata,
         "template_blocks": q_template_blocks,
+        "dialogue_stats": q_dialogue_stats,
+        "preference_pairs": q_preference_pairs,
+        "preference_best_worst": q_preference_best_worst,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12507,6 +12750,10 @@ def oracle_sql() -> dict[str, str]:
     # HTML metadata (E237) and site-template removal (E238)
     out["html_metadata"] = _html_metadata_oracle_sql()
     out["template_blocks"] = _template_blocks_oracle_sql()
+    # SFT transcript structuring (E239) + preference pairs (E240)
+    out["dialogue_stats"] = _dialogue_oracle_sql()
+    out["preference_pairs"] = _preference_oracle_sql("all_pairs")
+    out["preference_best_worst"] = _preference_oracle_sql("best_worst")
     # WARC round-trip (E235): the parsed archive rows must reproduce the
     # documents table directly — framing is the thing under test, so the
     # oracle is the un-framed source of truth (ASCII corpus: char length
