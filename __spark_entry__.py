@@ -3692,6 +3692,43 @@ def q_preference_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (E241): corpus text is punctuated
+    deterministically — periods/questions/exclamations between token
+    chunks, planted abbreviation traps (dr., e.g.), decimals, and an
+    ellipsis — and the splitter must cut exactly at real boundaries
+    while protecting the traps; exploded (doc, pos, sentence) rows are
+    value-hashed."""
+    from sparkplug_spark.operators import split_sentences
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def chunk(start: int) -> "F.Column":
+        return F.array_join(F.slice(toks, start, 5), " ")
+
+    punct = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("dr. smith notes that ")
+        ).otherwise(F.lit("")),
+        chunk(1),
+        F.lit(". "),
+        chunk(6),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("? ")).otherwise(
+            F.lit("! ")
+        ),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("approx. 9.75 units e.g. counted... "),
+        ).otherwise(F.lit("")),
+        chunk(11),
+        F.lit("."),
+    )
+    return split_sentences(
+        docs.select("doc_id", punct.alias("text")), min_chars=2
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -5060,6 +5097,67 @@ def _preference_oracle_sql(mode: str) -> str:
                (-best.s - worst.s)::BIGINT AS margin
         FROM pf_bw
         WHERE n >= 2 AND -best.s - worst.s >= 1
+    """
+
+
+def _split_sentences_oracle_sql() -> str:
+    """DuckDB twin of q_split_sentences: same fixture punctuation, the
+    abbreviation/decimal protection chain generated from the SAME
+    DEFAULT_ABBREVIATIONS table (RE2 replacement backrefs are \\1 and
+    need the 'g' flag), boundary sentinels, split, restore, filter,
+    indexed unnest."""
+    from sparkplug_spark.operators.sentences import DEFAULT_ABBREVIATIONS
+
+    cur = "txt"
+    for abbr in DEFAULT_ABBREVIATIONS:
+        pat = "(?i)\\b(" + abbr.replace(".", "\\.") + ")\\."
+        cur = (
+            f"regexp_replace({cur}, '{pat}', '\\1' || chr(2), 'g')"
+        )
+    cur = (
+        f"regexp_replace({cur}, '([0-9])\\.([0-9])',"
+        " '\\1' || chr(2) || '\\2', 'g')"
+    )
+    cur = (
+        f"regexp_replace({cur}, '([.!?]+)(\\s+)', '\\1' || chr(1), 'g')"
+    )
+    return f"""
+        WITH ss_raw AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'dr. smith notes that '
+                 ELSE '' END
+            || coalesce(array_to_string(
+                 list_slice(string_split(text, ' '), 1, 5), ' '), '')
+            || '. '
+            || coalesce(array_to_string(
+                 list_slice(string_split(text, ' '), 6, 10), ' '), '')
+            || CASE WHEN doc_id % 2 = 0 THEN '? ' ELSE '! ' END
+            || CASE WHEN doc_id % 4 = 0
+                    THEN 'approx. 9.75 units e.g. counted... '
+                    ELSE '' END
+            || coalesce(array_to_string(
+                 list_slice(string_split(text, ' '), 11, 15), ' '), '')
+            || '.' AS txt
+          FROM documents
+        ),
+        ss_marked AS (SELECT doc_id, {cur} AS m FROM ss_raw),
+        ss_arr AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(string_split(m, chr(1)),
+                                  s -> trim(replace(s, chr(2), '.'))),
+                   s -> length(s) >= 2) AS arr
+          FROM ss_marked
+        ),
+        ss_u AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(arr) + 1),
+                                       i -> {{'pos': i, 's': arr[i]}})) AS u
+          FROM ss_arr
+        )
+        SELECT doc_id, u.pos::BIGINT AS sent_pos, u.s AS sentence,
+               length(u.s)::BIGINT AS n_chars
+        FROM ss_u
     """
 
 
@@ -12689,6 +12787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dialogue_stats": q_dialogue_stats,
         "preference_pairs": q_preference_pairs,
         "preference_best_worst": q_preference_best_worst,
+        "split_sentences": q_split_sentences,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12754,6 +12853,8 @@ def oracle_sql() -> dict[str, str]:
     out["dialogue_stats"] = _dialogue_oracle_sql()
     out["preference_pairs"] = _preference_oracle_sql("all_pairs")
     out["preference_best_worst"] = _preference_oracle_sql("best_worst")
+    # sentence segmentation (E241): protection-chain replay
+    out["split_sentences"] = _split_sentences_oracle_sql()
     # WARC round-trip (E235): the parsed archive rows must reproduce the
     # documents table directly — framing is the thing under test, so the
     # oracle is the un-framed source of truth (ASCII corpus: char length
