@@ -3632,7 +3632,10 @@ def q_dialogue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     fixture = docs.select("doc_id", transcript.alias("text"))
-    turns = parse_dialogue(fixture)
+    # three consumers fan out of the parsed turns (stats base, the
+    # alternation pass, the digest): persist once, release after the
+    # result materializes (the fan-out-intermediates invariant)
+    turns = parse_dialogue(fixture).persist()
     digest = turns.groupBy("doc_id").agg(
         F.md5(
             F.array_join(
@@ -3657,7 +3660,11 @@ def q_dialogue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("turns_md5")
     )
-    return dialogue_stats(turns).join(digest, "doc_id")
+    from sparkplug_spark.caching import materialize_release
+
+    return materialize_release(
+        dialogue_stats(turns).join(digest, "doc_id"), turns
+    )
 
 
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
