@@ -8231,10 +8231,14 @@ def _extension_oracles() -> dict[str, str]:
         # A-Priori frequent itemsets (E225): the oracle counts every
         # level directly with HAVING — the pruned Spark plan must agree
         "basket_itemsets": """
-            WITH bi AS (
+            -- bi2 feeds the pair AND triple self-joins: without
+            -- MATERIALIZED, DuckDB re-inlines the distinct + NOT IN per
+            -- reference and the triple join planned 300s on round-8
+            -- data (0.3s materialized, identical rows)
+            WITH bi AS MATERIALIZED (
               SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
             ),
-            bi2 AS (SELECT * FROM bi WHERE b NOT IN (
+            bi2 AS MATERIALIZED (SELECT * FROM bi WHERE b NOT IN (
               SELECT b FROM bi GROUP BY b HAVING count(*) > 1000)),
             f1 AS (SELECT i, count(*)::BIGINT AS sup FROM bi2
                    GROUP BY i HAVING count(*) >= 2),
