@@ -3699,16 +3699,10 @@ def q_preference_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence segmentation (E241): corpus text is punctuated
-    deterministically — periods/questions/exclamations between token
-    chunks, planted abbreviation traps (dr., e.g.), decimals, and an
-    ellipsis — and the splitter must cut exactly at real boundaries
-    while protecting the traps; exploded (doc, pos, sentence) rows are
-    value-hashed."""
-    from sparkplug_spark.operators import split_sentences
-
-    docs = _read(spark, sf_dir, "documents")
+def _sentence_fixture(docs: DataFrame) -> DataFrame:
+    """The deterministic punctuation the E241 fixtures plant: sentence
+    terminators between token chunks, abbreviation traps (dr., e.g.,
+    approx.), a decimal, and an ellipsis."""
     toks = F.split(F.col("text"), " ")
 
     def chunk(start: int) -> "F.Column":
@@ -3731,9 +3725,41 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk(11),
         F.lit("."),
     )
-    return split_sentences(
-        docs.select("doc_id", punct.alias("text")), min_chars=2
+    return docs.select("doc_id", punct.alias("text"))
+
+
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (E241): corpus text is punctuated
+    deterministically — periods/questions/exclamations between token
+    chunks, planted abbreviation traps (dr., e.g.), decimals, and an
+    ellipsis — and the splitter must cut exactly at real boundaries
+    while protecting the traps; exploded (doc, pos, sentence) rows are
+    value-hashed."""
+    from sparkplug_spark.operators import split_sentences
+
+    docs = _read(spark, sf_dir, "documents")
+    return split_sentences(_sentence_fixture(docs), min_chars=2)
+
+
+def q_streaming_sentences_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sentence segmentation (E241 streaming tier), ORACLE-
+    checked via replay: the sentinel pipeline is a stateless narrow
+    projection + explode, so it runs unchanged on a file stream — the
+    union of 3 micro-batches must value-hash against the batch
+    oracle."""
+    from sparkplug_spark.operators import split_sentences
+    from sparkplug_spark.streaming.replay import replay_file_stream
+
+    batches = [
+        _sentence_fixture(b) for b in _doc_batches(spark, sf_dir)
+    ]
+    out = replay_file_stream(
+        spark,
+        batches,
+        lambda s: split_sentences(s, min_chars=2),
+        mode="append",
     )
+    return out.select("doc_id", "sent_pos", "sentence", "n_chars")
 
 
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12799,6 +12825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "preference_best_worst": q_preference_best_worst,
         "split_sentences": q_split_sentences,
+        "streaming_sentences_replay": q_streaming_sentences_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12866,6 +12893,9 @@ def oracle_sql() -> dict[str, str]:
     out["preference_best_worst"] = _preference_oracle_sql("best_worst")
     # sentence segmentation (E241): protection-chain replay
     out["split_sentences"] = _split_sentences_oracle_sql()
+    # the streaming tier is a stateless per-batch projection over the
+    # same fixture: 3-batch union == the batch result, same oracle
+    out["streaming_sentences_replay"] = _split_sentences_oracle_sql()
     # WARC round-trip (E235): the parsed archive rows must reproduce the
     # documents table directly — framing is the thing under test, so the
     # oracle is the un-framed source of truth (ASCII corpus: char length
