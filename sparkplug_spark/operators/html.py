@@ -342,7 +342,20 @@ def drop_repeated_blocks(
         .where(F.col("__docs") >= int(min_docs))
         .select(*gcols, "__fp", F.lit(True).alias("__template"))
     )
-    marked = blocks.join(freq, [*gcols, "__fp"], "left")
+    # null-safe on the group key: rows with a NULL group form their own
+    # group (count_distinct already grouped them together above; a plain
+    # equality join would silently never drop their template blocks)
+    if group_col:
+        cond = F.col(f"l.{group_col}").eqNullSafe(
+            F.col(f"r.{group_col}")
+        ) & (F.col("l.__fp") == F.col("r.__fp"))
+        marked = (
+            blocks.alias("l")
+            .join(freq.alias("r"), cond, "left")
+            .select("l.*", "r.__template")
+        )
+    else:
+        marked = blocks.join(freq, ["__fp"], "left")
     kept_struct = F.when(
         F.col("__template").isNull(),
         F.struct(F.col("__pos").alias("p"), F.col("__txt").alias("t")),

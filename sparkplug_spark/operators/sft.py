@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import materialize_release
 from ..partitioning import spread
 
 __all__ = ["parse_dialogue", "dialogue_stats", "preference_pairs"]
@@ -259,8 +260,12 @@ def preference_pairs(
             )
             .where(F.col("margin") >= int(min_margin))
         )
+    # both self-join arms alias ONE frame: persist it, or the caller's
+    # upstream chain executes twice per action and races a lazy cache
+    # (the ED-Join class of bug — see CLAUDE.md's self-join invariant)
+    base = base.persist()
     a, b = base.alias("a"), base.alias("b")
-    return a.join(
+    out = a.join(
         b,
         (F.col("a.prompt_id") == F.col("b.prompt_id"))
         & (F.col("a.response_id") != F.col("b.response_id"))
@@ -271,3 +276,4 @@ def preference_pairs(
         F.col("b.response_id").alias("rejected_id"),
         (F.col("a.score") - F.col("b.score")).cast("long").alias("margin"),
     )
+    return materialize_release(out, base)

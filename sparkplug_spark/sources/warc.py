@@ -183,11 +183,31 @@ def parse_warc_records(
     return
 
 
+def _read_uri_bytes(uri: str) -> bytes:
+    """Read one archive's bytes inside the task. ``binaryFile`` paths are
+    URIs (``file:/…``); bare paths also accepted. Non-local schemes would
+    need a filesystem client here — route those through
+    ``via_binary=True`` instead."""
+    if "://" in uri or uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            raise ValueError(
+                f"kernel-side read supports local files only (got "
+                f"{parsed.scheme!r}); call read_warc(..., via_binary=True)"
+            )
+        uri = unquote(parsed.path)
+    with open(uri, "rb") as fh:
+        return fh.read()
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     on_error: str = "raise",
     record_types: Iterable[str] | None = None,
+    via_binary: bool = False,
 ) -> DataFrame:
     """Read WARC file(s) at ``path`` (glob ok; ``.warc`` and
     ``.warc.gz``) into a DataFrame of :data:`WARC_SCHEMA` rows.
@@ -195,33 +215,54 @@ def read_warc(
     ``record_types`` filters record kinds inside the kernel (e.g.
     ``("response",)`` — Common Crawl files interleave request/response/
     metadata triples, and dropping them before Arrow serialization
-    saves 2/3 of the transfer)."""
+    saves 2/3 of the transfer).
+
+    Default plan shape: list paths via ``binaryFile`` with the content
+    column PRUNED, repartition the path strings (so a handful of fixture
+    files still fan out — at ~64k archives/snapshot the shuffle moves
+    only ~64k strings, never bytes), then open each archive inside the
+    Arrow kernel.  ``via_binary=True`` instead ships bytes through the
+    ``binaryFile`` content column with NO repartition (binaryFile already
+    yields >= one partition per large file) — the path for non-local
+    filesystems where the kernel has no client."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
     wanted = tuple(record_types) if record_types is not None else None
-    files = spark.read.format("binaryFile").load(path).select(
-        "path", "content"
-    )
-    # one ~1 GB archive per task is the WARC-native split; repartition by
-    # file count so a handful of fixture files still fan out
-    files = files.repartition(F.col("path"))
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def recs_of(data: bytes, source: str) -> list[dict]:
+        return [
+            r
+            for r in parse_warc_records(data, source=source, on_error=on_error)
+            if wanted is None or r["record_type"] in wanted
+        ]
+
+    if via_binary:
+        files = spark.read.format("binaryFile").load(path).select(
+            "path", "content"
+        )
+
+        def parse_bin(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    recs = recs_of(bytes(row["content"]), row["path"])
+                    if recs:
+                        yield pd.DataFrame(recs)
+
+        return files.mapInPandas(parse_bin, WARC_SCHEMA)
+
+    paths = spark.read.format("binaryFile").load(path).select("path")
+    paths = paths.repartition(F.col("path"))  # strings only
+
+    def parse_paths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                recs = [
-                    r
-                    for r in parse_warc_records(
-                        bytes(row["content"]),
-                        source=row["path"],
-                        on_error=on_error,
-                    )
-                    if wanted is None or r["record_type"] in wanted
-                ]
+            for p in pdf["path"]:
+                recs = recs_of(_read_uri_bytes(p), p)
                 if recs:
                     yield pd.DataFrame(recs)
 
-    return files.mapInPandas(parse, WARC_SCHEMA)
+    return paths.mapInPandas(parse_paths, WARC_SCHEMA)
 
 
 # --- writer helpers (fixtures, tests, round-trip oracles) ---------------

@@ -150,6 +150,31 @@ class TestDropRepeatedBlocks:
         assert set(out) == {1, 2, 3}
         assert out[2]["n_blocks"] == 0 and out[2]["content_text"] == ""
 
+    def test_null_group_forms_its_own_group(self, spark):
+        # r8 ADVICE: a plain equality join never matched NULL group keys,
+        # so template blocks in NULL-group docs were silently kept
+        rows = [
+            (i, None, f"<p>unique body {i} content</p>"
+                      "<footer>shared footer of nullgroup</footer>")
+            for i in range(4)
+        ] + [(9, "s1", "<p>solo page body</p>"
+                       "<footer>shared footer of nullgroup</footer>")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, src string, html string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in drop_repeated_blocks(
+                df, "html", "doc_id", group_col="src", min_docs=3
+            ).collect()
+        }
+        for i in range(4):
+            assert out[i]["n_dropped"] == 1
+            assert out[i]["content_text"] == f"unique body {i} content"
+        # the s1 doc shares the footer TEXT but not the group -> kept
+        assert out[9]["n_dropped"] == 0
+        assert "shared footer" in out[9]["content_text"]
+
     def test_min_docs_validation(self, spark):
         df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
         with pytest.raises(ValueError):

@@ -175,3 +175,15 @@ class TestReadWarcSpark:
             spark, warc_dir + "/*", record_types=("request",)
         ).collect()
         assert len(rows) == 1 and rows[0]["http_status"] is None
+
+    def test_via_binary_matches_kernel_read(self, spark, warc_dir):
+        # r8 ADVICE: default path shuffles only path strings; the
+        # via_binary fallback (bytes through the content column) must
+        # produce identical rows
+        key = lambda r: (r["warc_file"], r["record_id"])
+        a = sorted(read_warc(spark, warc_dir + "/*").collect(), key=key)
+        b = sorted(
+            read_warc(spark, warc_dir + "/*", via_binary=True).collect(),
+            key=key,
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
