@@ -41,7 +41,12 @@ from .cleaning import MARKUP_ENTITIES
 
 __all__ = [
     "extract_main_content",
+    "extract_main_blocks",
+    "blocks_to_markdown",
     "extract_html_metadata",
+    "extract_image_refs",
+    "image_text_pairs",
+    "filter_by_policy",
     "drop_repeated_blocks",
     "BLOCK_SPLIT_PATTERN",
 ]
@@ -74,6 +79,35 @@ def _clean_text(col: Column) -> Column:
     # literal control chars, not \v (Java \v is a vertical-whitespace
     # CLASS; RE2/DuckDB \v is VT only — see strip_markup)
     return F.trim(F.regexp_replace(cur, "[ \t\n\r\f\x0b]+", " "))
+
+
+def _strip_noise(col: Column) -> Column:
+    """Remove script/style bodies and comments before block segmentation
+    so their contents can never masquerade as page text."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(col, F.lit("")), _SCRIPT_PAT, " "
+            ),
+            _STYLE_PAT,
+            " ",
+        ),
+        _COMMENT_PAT,
+        " ",
+    )
+
+
+def _link_chars(raw: Column) -> Column:
+    """Sum of cleaned ``<a>``-content lengths in a raw block — the
+    numerator of the jusText link-density ratio."""
+    return F.aggregate(
+        F.transform(
+            F.regexp_extract_all(raw, F.lit(_ANCHOR_PAT), F.lit(1)),
+            lambda x: F.length(_clean_text(x)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def extract_main_content(
@@ -113,17 +147,7 @@ def extract_main_content(
         from ..functions.text import STOPWORDS
 
         stopwords = STOPWORDS["en"]
-    pre = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.coalesce(F.col(html_col), F.lit("")), _SCRIPT_PAT, " "
-            ),
-            _STYLE_PAT,
-            " ",
-        ),
-        _COMMENT_PAT,
-        " ",
-    )
+    pre = _strip_noise(F.col(html_col))
     blocks = (
         spread(df)
         .select(
@@ -143,19 +167,9 @@ def extract_main_content(
             "__pos",
             "__txt",
             F.length("__txt").cast("long").alias("__len"),
-            # sum of cleaned-anchor-content lengths: the numerator of the
-            # link-density ratio (per-element cleaning is genuinely
-            # per-extracted-anchor work, not a rematerializable column)
-            F.aggregate(
-                F.transform(
-                    F.regexp_extract_all(
-                        F.col("__raw"), F.lit(_ANCHOR_PAT), F.lit(1)
-                    ),
-                    lambda x: F.length(_clean_text(x)).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("__link_chars"),
+            # per-extracted-anchor cleaning is genuinely per-element work,
+            # not a rematerializable column
+            _link_chars(F.col("__raw")).alias("__link_chars"),
             F.filter(
                 F.split(F.lower(F.col("__txt")), "[^a-z]+"),
                 lambda t: t != "",
@@ -214,10 +228,401 @@ def extract_main_content(
     )
 
 
+#: Sentinel pair used by :func:`extract_main_blocks` to carry the opening
+#: tag's type across the split (U+0001/U+0002 — stripped from the input
+#: first, so page text can never forge a block boundary).
+_SENT_A, _SENT_B = "\x01", "\x02"
+
+#: Typed opening tags → type token carried through the sentinel.  The
+#: heading pattern keeps its level digit via ``$1``; everything else in
+#: ``BLOCK_SPLIT_PATTERN`` (including all closing tags) becomes an
+#: untyped boundary afterwards.
+_TYPED_TAGS = (
+    (r"(?i)<(h[1-6])\b[^>]*>", "$1"),
+    (r"(?i)<(?:li|dt|dd)\b[^>]*>", "li"),
+    (r"(?i)<pre\b[^>]*>", "pre"),
+    (r"(?i)<(?:td|th|caption)\b[^>]*>", "td"),
+    (r"(?i)<p\b[^>]*>", "p"),
+)
+
+
+def extract_main_blocks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_chars: int = 80,
+    max_link_pct: int = 30,
+    min_stop_pct: int = 25,
+    stopwords: Sequence[str] | None = None,
+) -> DataFrame:
+    """Structure-preserving main-content extraction — the markdown-shape
+    tier of :func:`extract_main_content` (same jusText classification, but
+    kept blocks come back TYPED and ORDERED instead of flattened to
+    prose, because block structure measurably helps code/reasoning
+    training data).  Returns one row per KEPT block:
+    ``(id_col, block_pos, block_type, heading_level, text)`` with
+    ``block_type`` in ``heading|list|code|table|para`` (``heading_level``
+    1-6 for headings, 0 otherwise) and ``block_pos`` the block's index in
+    the page's original segmentation (gaps mark dropped chrome).
+
+    A block's type is the innermost typed element that OPENED it
+    (``h1-6``/``li,dt,dd``/``pre``/``td,th,caption``/``p``); fragments
+    split by any other block boundary default to ``para``.  Gates:
+    ``para`` blocks pass the full jusText battery (length, link density,
+    stopword density); typed structural blocks (heading/list/code/table)
+    pass on ``len >= 1`` plus the link-density gate alone — headings and
+    code are legitimately short and stopword-poor, but a link-farm
+    ``<li>`` is still chrome.  All-integer arithmetic, Java∩RE2 regexes,
+    zero Python — a SQL twin replays every row.
+
+    Scale shape: identical to :func:`extract_main_content` minus its
+    final groupBy — a pure explode + projection, zero shuffle."""
+    if min_chars < 1:
+        raise ValueError("min_chars must be >= 1")
+    if not (0 <= max_link_pct <= 100):
+        raise ValueError("max_link_pct must be in [0, 100]")
+    if not (0 <= min_stop_pct <= 100):
+        raise ValueError("min_stop_pct must be in [0, 100]")
+    if stopwords is None:
+        from ..functions.text import STOPWORDS
+
+        stopwords = STOPWORDS["en"]
+    pre = _strip_noise(F.col(html_col))
+    # page text can never forge a boundary: the sentinel alphabet is
+    # removed before any tagging
+    pre = F.regexp_replace(pre, f"[{_SENT_A}{_SENT_B}]", " ")
+    for pat, repl in _TYPED_TAGS:
+        pre = F.regexp_replace(pre, pat, f"{_SENT_A}{repl}{_SENT_B}")
+    pre = F.regexp_replace(pre, BLOCK_SPLIT_PATTERN, f"{_SENT_A}{_SENT_B}")
+    frags = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(pre, _SENT_A)).alias("__pos", "__frag"),
+        )
+        .select(
+            id_col,
+            "__pos",
+            F.when(
+                F.instr("__frag", _SENT_B) > 0,
+                F.lower(F.substring_index("__frag", _SENT_B, 1)),
+            )
+            .otherwise(F.lit(""))
+            .alias("__tag"),
+            F.when(
+                F.instr("__frag", _SENT_B) > 0,
+                F.expr(f"substring(__frag, instr(__frag, '{_SENT_B}') + 1)"),
+            )
+            .otherwise(F.col("__frag"))
+            .alias("__raw"),
+        )
+    )
+    typed = frags.select(
+        id_col,
+        "__pos",
+        F.when(F.col("__tag").rlike("^h[1-6]$"), F.lit("heading"))
+        .when(F.col("__tag") == "li", F.lit("list"))
+        .when(F.col("__tag") == "pre", F.lit("code"))
+        .when(F.col("__tag") == "td", F.lit("table"))
+        .otherwise(F.lit("para"))
+        .alias("block_type"),
+        F.when(
+            F.col("__tag").rlike("^h[1-6]$"),
+            F.substring("__tag", 2, 1).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("heading_level"),
+        _clean_text(F.col("__raw")).alias("__txt"),
+        _link_chars(F.col("__raw")).alias("__link_chars"),
+    ).select(
+        id_col,
+        "__pos",
+        "block_type",
+        "heading_level",
+        "__txt",
+        "__link_chars",
+        F.length("__txt").cast("long").alias("__len"),
+        F.filter(
+            F.split(F.lower(F.col("__txt")), "[^a-z]+"), lambda t: t != ""
+        ).alias("__toks"),
+    )
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    scored = typed.select(
+        id_col,
+        "__pos",
+        "block_type",
+        "heading_level",
+        "__txt",
+        "__link_chars",
+        "__len",
+        F.size("__toks").cast("long").alias("__n_tok"),
+        F.size(
+            F.filter(F.col("__toks"), lambda t: F.array_contains(stops, t))
+        )
+        .cast("long")
+        .alias("__n_stop"),
+    )
+    link_ok = (
+        F.col("__link_chars") * 100 <= F.col("__len") * int(max_link_pct)
+    )
+    para_good = (
+        (F.col("__len") >= int(min_chars))
+        & link_ok
+        & (F.col("__n_tok") > 0)
+        & (F.col("__n_stop") * 100 >= F.col("__n_tok") * int(min_stop_pct))
+    )
+    struct_good = (F.col("__len") >= 1) & link_ok
+    keep = F.when(F.col("block_type") == "para", para_good).otherwise(
+        struct_good
+    )
+    return scored.where(keep).select(
+        id_col,
+        F.col("__pos").cast("long").alias("block_pos"),
+        "block_type",
+        "heading_level",
+        F.col("__txt").alias("text"),
+    )
+
+
+def blocks_to_markdown(
+    blocks: DataFrame,
+    id_col: str = "doc_id",
+    out_col: str = "markdown",
+) -> DataFrame:
+    """Reassemble :func:`extract_main_blocks` rows into one markdown-shape
+    document per id: headings get ``#``·level prefixes, list items ``- ``,
+    code blocks a 4-space indent, table cells ``| … |``, paragraphs pass
+    through; blocks join with blank lines in ``block_pos`` order.  One
+    groupBy on the id — the reassembly shuffle
+    :func:`extract_main_blocks` deliberately skipped."""
+    line = (
+        F.when(
+            F.col("block_type") == "heading",
+            F.concat(
+                F.repeat(F.lit("#"), F.col("heading_level")),
+                F.lit(" "),
+                F.col("text"),
+            ),
+        )
+        .when(
+            F.col("block_type") == "list",
+            F.concat(F.lit("- "), F.col("text")),
+        )
+        .when(
+            F.col("block_type") == "code",
+            F.concat(F.lit("    "), F.col("text")),
+        )
+        .when(
+            F.col("block_type") == "table",
+            F.concat(F.lit("| "), F.col("text"), F.lit(" |")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return (
+        blocks.select(
+            id_col,
+            F.struct(F.col("block_pos").alias("p"), line.alias("t")).alias(
+                "__b"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__b")), lambda s: s["t"]
+                ),
+                "\n\n",
+            ).alias(out_col),
+        )
+    )
+
+
+_IMG_TAG_PAT = r"(?is)<img\b[^>]*>"
+_FIGURE_PAT = r"(?is)<figure\b[^>]*>.*?</figure>"
+_FIGCAP_PAT = r"(?is)<figcaption\b[^>]*>(.*?)</figcaption>"
+
+
+def _attr(tag: Column, name: str) -> Column:
+    """Quoted attribute value out of one tag's raw text ('' when absent —
+    unquoted attribute values are out of scope, documented)."""
+    return F.regexp_extract(
+        tag, rf"(?is)\b{name}\s*=\s*[\"']([^\"']*)", 1
+    )
+
+
+def extract_image_refs(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per ``<img>`` element with a non-empty ``src``:
+    ``(id_col, img_pos, src, alt, title, figcaption, caption)`` — the
+    caption-candidate extraction that turns a crawl into image–text
+    training pairs (LAION shape).  ``img_pos`` numbers the page's img
+    tags in document order from 0; ``alt``/``title`` are the tag's own
+    attributes (entity-decoded, whitespace-collapsed, NULL when empty);
+    ``figcaption`` is the caption of an enclosing ``<figure>`` matched
+    RELATIONALLY by (page, src) — smallest caption wins when one src
+    appears in several figures — and ``caption`` is the first non-empty
+    of figcaption, alt, title (NULL when no candidate).
+
+    Script/style/comment noise is removed first, so a commented-out img
+    never emits a row.  All patterns are Java∩RE2; the figure match is a
+    narrow (id, src, caption) aggregate joined back — no nested-DOM
+    parsing, no Python, one explode + one small join."""
+    pre = _strip_noise(F.col(html_col))
+    base = spread(df).select(F.col(id_col), pre.alias("__pre"))
+    imgs = (
+        base.select(
+            id_col,
+            F.posexplode(
+                F.regexp_extract_all(
+                    F.col("__pre"), F.lit(_IMG_TAG_PAT), F.lit(0)
+                )
+            ).alias("img_pos", "__tag"),
+        )
+        .select(
+            id_col,
+            F.col("img_pos").cast("long").alias("img_pos"),
+            _attr(F.col("__tag"), "src").alias("src"),
+            F.nullif(_clean_text(_attr(F.col("__tag"), "alt")), F.lit(""))
+            .alias("alt"),
+            F.nullif(_clean_text(_attr(F.col("__tag"), "title")), F.lit(""))
+            .alias("title"),
+        )
+        .where(F.col("src") != "")
+    )
+    figcaps = (
+        base.select(
+            id_col,
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("__pre"), F.lit(_FIGURE_PAT), F.lit(0)
+                )
+            ).alias("__fig"),
+        )
+        .select(
+            id_col,
+            F.regexp_extract(
+                "__fig", r"(?is)<img\b[^>]*\bsrc\s*=\s*[\"']([^\"']*)", 1
+            ).alias("src"),
+            F.nullif(
+                _clean_text(
+                    F.regexp_extract("__fig", _FIGCAP_PAT, 1)
+                ),
+                F.lit(""),
+            ).alias("__cap"),
+        )
+        .where((F.col("src") != "") & F.col("__cap").isNotNull())
+        .groupBy(id_col, "src")
+        .agg(F.min("__cap").alias("figcaption"))
+    )
+    return imgs.join(figcaps, [id_col, "src"], "left").select(
+        id_col,
+        "img_pos",
+        "src",
+        "alt",
+        "title",
+        "figcaption",
+        F.coalesce("figcaption", "alt", "title").alias("caption"),
+    )
+
+
+def image_text_pairs(
+    pages: DataFrame,
+    images: DataFrame,
+    html_col: str = "html",
+    page_id_col: str = "doc_id",
+    url_col: str = "url",
+    require_caption: bool = True,
+) -> DataFrame:
+    """Join the HTML lane to the decoded-image lane: extract ``<img>``
+    references (+captions) from ``pages``, canonicalize both the ``src``
+    attributes and the ``images`` table's ``url_col`` (E172 — tracking
+    params, case, www, default ports all fold), and inner-join on the
+    canonical URL — the step that turns a crawl plus an image store into
+    ``(page, caption, image…)`` multimodal training pairs.
+
+    Returns one row per matched reference: ``(page_id_col, img_pos,
+    image_url, caption)`` plus every non-url column of ``images``
+    (typically the decoded payload/dhash columns).  ``require_caption``
+    drops caption-less references BEFORE the join (the LAION discipline —
+    a pair without text trains nothing).  ``images`` should be unique per
+    canonical URL (a duplicate fans the join out faithfully).
+
+    Scale shape: references and image rows shuffle once each, keyed on
+    the canonical URL; no broadcast assumption (at crawl scale both sides
+    are big).  Nothing moves image bytes except the matched rows."""
+    from .urls import canonicalize_urls
+
+    refs = extract_image_refs(pages, html_col=html_col, id_col=page_id_col)
+    if require_caption:
+        refs = refs.where(F.col("caption").isNotNull())
+    refs = canonicalize_urls(refs, url_col="src", out_col="__canon").where(
+        F.col("__canon").isNotNull()
+    )
+    img_cols = [c for c in images.columns if c != url_col]
+    imgs = (
+        canonicalize_urls(images, url_col=url_col, out_col="__canon")
+        .where(F.col("__canon").isNotNull())
+        .select("__canon", *img_cols)
+    )
+    return refs.join(imgs, "__canon").select(
+        page_id_col,
+        "img_pos",
+        F.col("__canon").alias("image_url"),
+        "caption",
+        *img_cols,
+    )
+
+
+def filter_by_policy(
+    df: DataFrame,
+    robots_col: str = "meta_robots",
+    deny: Sequence[str] = ("noindex", "noai", "noimageai"),
+    license_col: str | None = None,
+    allow_licenses: Sequence[str] | None = None,
+    flag_only: bool = False,
+) -> DataFrame:
+    """Usage-policy gate — the opt-out filter a crawl pipeline runs
+    BEFORE spending any extraction/quality compute: drop pages whose
+    robots directives contain any denied token (``noindex``, ``noai``,
+    ``noimageai`` by default; matching is on the comma-separated token
+    list, trimmed and lower-cased, so ``NoIndex , nofollow`` denies) and,
+    when ``allow_licenses`` is given, keep only pages whose
+    ``license_col`` value is in the allowlist (NULL license drops —
+    licensing must be AFFIRMATIVE under an allowlist policy).
+
+    A NULL/absent robots value passes the deny gate (no directive = no
+    opt-out, the robots-exclusion default).  ``flag_only=True`` appends a
+    ``policy_ok`` boolean instead of filtering — the audit shape.  Pure
+    projection + filter, zero shuffle, no Python."""
+    if not deny:
+        raise ValueError("deny must name at least one directive token")
+    toks = F.filter(
+        F.transform(
+            F.split(F.lower(F.coalesce(F.col(robots_col), F.lit(""))), ","),
+            lambda t: F.trim(t),
+        ),
+        lambda t: t != "",
+    )
+    deny_arr = F.array(*[F.lit(t.lower()) for t in deny])
+    ok = F.size(F.array_intersect(toks, deny_arr)) == 0
+    if allow_licenses is not None:
+        if license_col is None:
+            raise ValueError("allow_licenses requires license_col")
+        ok = ok & F.col(license_col).isin(*[str(x) for x in allow_licenses])
+    if flag_only:
+        return df.withColumn("policy_ok", ok)
+    return df.where(ok)
+
+
 def extract_html_metadata(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    policy: bool = False,
 ) -> DataFrame:
     """Page-level metadata for crawl routing/profiling — the fields every
     crawl pipeline wants BEFORE spending extraction/quality compute:
@@ -232,6 +637,16 @@ def extract_html_metadata(
       key the URL family (E172) canonicalizes toward,
     - ``n_anchors`` / ``n_scripts``: link/script element counts, the
       cheap chrome-vs-content signals.
+
+    ``policy=True`` appends the usage-policy fields
+    :func:`filter_by_policy` gates on (opt-in so the base schema stays
+    stable):
+
+    - ``meta_robots``: the ``<meta name="robots">`` content value (either
+      attribute order), lower-cased and whitespace-collapsed — the
+      noindex/noai opt-out surface,
+    - ``license_url``: ``<link rel="license" href=…>`` — the license
+      microdata an allowlist policy checks.
 
     One zero-shuffle codegen projection; every pattern is Java∩RE2 (no
     backreferences/lookaround) so a SQL twin replays it byte-for-byte."""
@@ -264,8 +679,7 @@ def extract_html_metadata(
         "[^>]*href\\s*=\\s*[\"']([^\"']*)",
         1,
     )
-    return spread(df).select(
-        id_col,
+    cols = [
         F.nullif(title, F.lit("")).alias("title"),
         F.nullif(
             F.coalesce(F.nullif(desc_nc, F.lit("")), desc_cn), F.lit("")
@@ -276,7 +690,40 @@ def extract_html_metadata(
         F.regexp_count(h, F.lit(r"(?is)<script\b"))
         .cast("long")
         .alias("n_scripts"),
-    )
+    ]
+    if policy:
+        robots_nc = F.regexp_extract(
+            h,
+            "(?is)<meta\\s[^>]*name\\s*=\\s*[\"']robots[\"']"
+            "[^>]*content\\s*=\\s*[\"']([^\"']*)",
+            1,
+        )
+        robots_cn = F.regexp_extract(
+            h,
+            "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+            "[^>]*name\\s*=\\s*[\"']robots[\"']",
+            1,
+        )
+        robots = F.trim(
+            F.regexp_replace(
+                F.lower(
+                    F.coalesce(F.nullif(robots_nc, F.lit("")), robots_cn)
+                ),
+                "[ \t\n\r\f\x0b]+",
+                " ",
+            )
+        )
+        lic = F.regexp_extract(
+            h,
+            "(?is)<link\\s[^>]*rel\\s*=\\s*[\"']license[\"']"
+            "[^>]*href\\s*=\\s*[\"']([^\"']*)",
+            1,
+        )
+        cols += [
+            F.nullif(robots, F.lit("")).alias("meta_robots"),
+            F.nullif(lic, F.lit("")).alias("license_url"),
+        ]
+    return spread(df).select(id_col, *cols)
 
 
 def drop_repeated_blocks(
@@ -306,17 +753,7 @@ def drop_repeated_blocks(
     verdicts exactly."""
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2")
-    pre = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.coalesce(F.col(html_col), F.lit("")), _SCRIPT_PAT, " "
-            ),
-            _STYLE_PAT,
-            " ",
-        ),
-        _COMMENT_PAT,
-        " ",
-    )
+    pre = _strip_noise(F.col(html_col))
     gcols = [group_col] if group_col else []
     blocks = (
         spread(df)
