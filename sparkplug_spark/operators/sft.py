@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from ..caching import materialize_release
 from ..partitioning import spread
 
-__all__ = ["parse_dialogue", "dialogue_stats", "preference_pairs"]
+__all__ = [
+    "parse_dialogue",
+    "dialogue_stats",
+    "preference_pairs",
+    "pack_transcripts",
+]
 
 #: A turn line is ``<role>: <content>``; transcripts separate turns with
 #: newlines.  The role set is closed (a line with an unknown prefix is
@@ -195,6 +200,95 @@ def dialogue_stats(
             "n_empty_turns",
             "total_chars",
         )
+    )
+
+
+def pack_transcripts(
+    turns: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    turn_overhead: int = 4,
+    mask_roles: tuple[str, ...] = ("assistant",),
+    num_groups: int = 64,
+) -> DataFrame:
+    """SFT-aware block packing with loss-mask offsets — the chat-template
+    sibling of :func:`..cleaning.build_training_blocks` (E90): pack WHOLE
+    transcripts (never split — a truncated dialogue trains on answers
+    without their questions) into blocks of ~``budget`` tokens, and emit
+    one row per turn with the integer token span it occupies in its block
+    plus the loss mask:
+
+    ``(pack_group, shard_id, id_col, turn, role, start_tok, end_tok,
+    n_tokens, mask)``
+
+    where ``n_tokens = turn_overhead + whitespace tokens of content``
+    (the overhead models the chat template's per-turn markers),
+    ``[start_tok, end_tok)`` is the turn's span under the block's
+    concatenation order, and ``mask`` is 1 for roles in ``mask_roles``
+    (trainable — assistant turns by default) else 0.
+
+    Packing rides :func:`..cleaning.pack_token_budget`'s deterministic
+    md5 order at TRANSCRIPT granularity: transcripts hash into
+    ``num_groups`` independent pack groups, pack greedily in md5 order
+    (``shard_id = cum_tokens_before // budget``; an over-budget
+    transcript occupies its shard alone), and the same engine-exact
+    arithmetic yields the offsets — every value hashes.
+
+    Scale shape: one groupBy on the transcript id (per-transcript
+    totals), one window shuffle on pack_group for the packing, one join
+    of turns to their transcript's bin, one window on (pack_group,
+    shard_id) for offsets.  Only (id, counts) tuples move beyond the
+    turns themselves; 100 TB of transcripts pack through ``num_groups``
+    independent orderings, never a global one."""
+    from pyspark.sql import Window
+
+    from .cleaning import pack_token_budget
+
+    if turn_overhead < 0:
+        raise ValueError("turn_overhead must be >= 0")
+    tok = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("content"), F.lit("")), "[ \t\n]+"),
+            lambda t: t != "",
+        )
+    ).cast("long") + int(turn_overhead)
+    per_turn = spread(turns).select(
+        F.col(id_col),
+        "turn",
+        "role",
+        tok.alias("n_tokens"),
+    )
+    totals = per_turn.groupBy(id_col).agg(
+        F.sum("n_tokens").cast("long").alias("__t_tokens")
+    )
+    packed = pack_token_budget(
+        totals, budget, weight_col="__t_tokens", id_col=id_col,
+        num_groups=num_groups, order_hash_col="__oh",
+    ).select(id_col, "pack_group", "shard_id", "__oh")
+    joined = per_turn.join(packed, id_col)
+    w = (
+        Window.partitionBy("pack_group", "shard_id")
+        .orderBy(F.col("__oh"), F.col(id_col).cast("string"), F.col("turn"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    mask = (
+        F.when(F.col("role").isin(*mask_roles), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        if mask_roles
+        else F.lit(0).cast("int")
+    )
+    return joined.select(
+        "pack_group",
+        "shard_id",
+        id_col,
+        "turn",
+        "role",
+        start.alias("start_tok"),
+        (start + F.col("n_tokens")).cast("long").alias("end_tok"),
+        "n_tokens",
+        mask.alias("mask"),
     )
 
 

@@ -39,9 +39,12 @@ __all__ = [
     "manifest_resolve",
     "read_store",
     "read_warc",
+    "read_wet",
+    "warcinfo_metadata",
     "parse_warc_records",
     "warc_record",
     "warc_response_record",
+    "warc_conversion_record",
     "gzip_member",
     "WARC_SCHEMA",
 ]
@@ -51,8 +54,11 @@ from .warc import (  # noqa: E402  (facade re-export)
     gzip_member,
     parse_warc_records,
     read_warc,
+    read_wet,
+    warc_conversion_record,
     warc_record,
     warc_response_record,
+    warcinfo_metadata,
 )
 
 _LOCAL_SCHEMES = ("", "file")

@@ -44,8 +44,11 @@ from pyspark.sql import types as T
 
 __all__ = [
     "read_warc",
+    "read_wet",
+    "warcinfo_metadata",
     "parse_warc_records",
     "warc_response_record",
+    "warc_conversion_record",
     "warc_record",
     "gzip_member",
     "WARC_SCHEMA",
@@ -265,6 +268,66 @@ def read_warc(
     return paths.mapInPandas(parse_paths, WARC_SCHEMA)
 
 
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    on_error: str = "raise",
+    via_binary: bool = False,
+) -> DataFrame:
+    """Read WET-shape archives (Common Crawl's pre-extracted-text
+    companion: ``conversion`` records whose block is the page text) into
+    ``(warc_file, record_id, target_uri, warc_date, text)`` rows — the
+    lane that skips HTML extraction entirely when the crawl provider
+    already ran it.
+
+    Same framing/parallelism as :func:`read_warc` (WET files are WARC
+    files); only ``conversion`` records survive, and the payload is
+    decoded as UTF-8 text (WET is text by definition; undecodable bytes
+    are replaced, never raised, matching every production WET consumer)."""
+    recs = read_warc(
+        spark,
+        path,
+        on_error=on_error,
+        record_types=("conversion",),
+        via_binary=via_binary,
+    )
+    return recs.select(
+        "warc_file",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+def warcinfo_metadata(records: DataFrame) -> DataFrame:
+    """Explode ``warcinfo`` records (the per-archive provenance header
+    every Common Crawl file leads with — software, hostname, format,
+    isPartOf…) into ``(warc_file, record_id, key, value)`` rows.
+
+    Takes :func:`read_warc` output (any record mix — non-warcinfo rows
+    are filtered here); the block is ``key: value`` lines (the
+    ``application/warc-fields`` format), parsed relationally: split
+    lines, split on the first colon, trim.  Lines without a colon are
+    skipped (continuation folding is not part of the fields Common Crawl
+    emits).  Pure projection + explode, zero Python, zero shuffle."""
+    lines = records.where(F.col("record_type") == "warcinfo").select(
+        "warc_file",
+        "record_id",
+        F.explode(
+            F.split(F.decode(F.col("payload"), "UTF-8"), "\r\n|\n")
+        ).alias("__line"),
+    )
+    return lines.where(F.col("__line").contains(":")).select(
+        "warc_file",
+        "record_id",
+        F.trim(F.substring_index("__line", ":", 1)).alias("key"),
+        F.trim(
+            F.expr("substring(__line, instr(__line, ':') + 1)")
+        ).alias("value"),
+    )
+
+
 # --- writer helpers (fixtures, tests, round-trip oracles) ---------------
 
 
@@ -317,6 +380,24 @@ def warc_response_record(
         warc_date=warc_date,
         record_id=record_id,
         content_type="application/http; msgtype=response",
+    )
+
+
+def warc_conversion_record(
+    target_uri: str,
+    text: bytes,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    record_id: str | None = None,
+) -> bytes:
+    """Serialize a WET-shape ``conversion`` record (the block IS the
+    extracted text, ``Content-Type: text/plain``)."""
+    return warc_record(
+        "conversion",
+        text,
+        target_uri=target_uri,
+        warc_date=warc_date,
+        record_id=record_id,
+        content_type="text/plain",
     )
 
 

@@ -127,3 +127,104 @@ class TestPreferencePairs:
             preference_pairs(self._df(spark), mode="tournament")
         with pytest.raises(ValueError):
             preference_pairs(self._df(spark), min_margin=0)
+
+
+class TestPackTranscripts:
+    def _turn_rows(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, turn long, role string, content string"
+        )
+
+    def test_transcripts_never_split_and_offsets_contiguous(self, spark):
+        from sparkplug_spark.operators import pack_transcripts
+
+        rows = [
+            (d, t, r, c)
+            for d in range(8)
+            for t, r, c in [
+                (1, "user", "one two three"),
+                (2, "assistant", "four five six seven"),
+            ]
+        ]
+        out = pack_transcripts(
+            self._turn_rows(spark, rows), budget=30, turn_overhead=4,
+            num_groups=1,
+        ).collect()
+        # per transcript: (4+3) + (4+4) = 15 tokens; budget 30 -> 2/shard
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, turns in by_doc.items():
+            shards = {(t["pack_group"], t["shard_id"]) for t in turns}
+            assert len(shards) == 1, "transcript split across shards"
+            turns = sorted(turns, key=lambda t: t["turn"])
+            assert turns[0]["end_tok"] == turns[1]["start_tok"]
+            assert turns[0]["n_tokens"] == 7 and turns[1]["n_tokens"] == 8
+        # every shard holds exactly 2 transcripts of 15 tokens
+        per_shard = {}
+        for r in out:
+            per_shard.setdefault((r["pack_group"], r["shard_id"]), set()).add(
+                r["doc_id"]
+            )
+        assert all(len(v) == 2 for v in per_shard.values())
+
+    def test_block_offsets_are_cumulative_across_transcripts(self, spark):
+        from sparkplug_spark.operators import pack_transcripts
+
+        rows = [
+            (d, 1, "user", "a b")
+            for d in range(4)
+        ]
+        out = sorted(
+            pack_transcripts(
+                self._turn_rows(spark, rows), budget=1000, turn_overhead=0,
+                num_groups=1,
+            ).collect(),
+            key=lambda r: r["start_tok"],
+        )
+        assert [r["start_tok"] for r in out] == [0, 2, 4, 6]
+        assert [r["end_tok"] for r in out] == [2, 4, 6, 8]
+
+    def test_mask_marks_assistant_only(self, spark):
+        from sparkplug_spark.operators import pack_transcripts
+
+        rows = [
+            (1, 0, None, "preamble text"),
+            (1, 1, "system", "sys rules"),
+            (1, 2, "user", "hi there"),
+            (1, 3, "assistant", "hello back"),
+        ]
+        out = {
+            r["turn"]: r["mask"]
+            for r in pack_transcripts(
+                self._turn_rows(spark, rows), budget=100
+            ).collect()
+        }
+        assert out == {0: 0, 1: 0, 2: 0, 3: 1}
+
+    def test_oversize_transcript_alone_in_shard(self, spark):
+        from sparkplug_spark.operators import pack_transcripts
+
+        rows = [
+            (1, 1, "user", " ".join(["w"] * 50)),
+            (2, 1, "user", "tiny"),
+            (3, 1, "user", "tiny"),
+        ]
+        out = pack_transcripts(
+            self._turn_rows(spark, rows), budget=20, turn_overhead=0,
+            num_groups=1,
+        ).collect()
+        shard_of = {r["doc_id"]: (r["pack_group"], r["shard_id"]) for r in out}
+        docs_in = {}
+        for d, s in shard_of.items():
+            docs_in.setdefault(s, set()).add(d)
+        assert {1} in docs_in.values()  # the 50-token one is alone
+
+    def test_param_validation(self, spark):
+        from sparkplug_spark.operators import pack_transcripts
+
+        df = self._turn_rows(spark, [(1, 1, "user", "x")])
+        with pytest.raises(ValueError):
+            pack_transcripts(df, budget=0)
+        with pytest.raises(ValueError):
+            pack_transcripts(df, budget=10, turn_overhead=-1)

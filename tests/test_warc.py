@@ -176,6 +176,55 @@ class TestReadWarcSpark:
         ).collect()
         assert len(rows) == 1 and rows[0]["http_status"] is None
 
+    def test_read_wet_conversion_records(self, spark, tmp_path):
+        from sparkplug_spark.sources import read_wet, warc_conversion_record
+
+        data = (
+            warc_record("warcinfo", b"software: wetgen\r\n")
+            + warc_conversion_record(
+                "http://e.com/a", "extracted text é".encode("utf-8")
+            )
+            + warc_response_record("http://e.com/b", b"<p>html</p>")
+            + warc_conversion_record("http://e.com/c", b"second page text")
+        )
+        (tmp_path / "x.warc.wet.gz").write_bytes(gzip_member(data))
+        rows = sorted(
+            read_wet(spark, str(tmp_path) + "/*").collect(),
+            key=lambda r: r["target_uri"],
+        )
+        # only the 2 conversion records; the response row is filtered
+        assert [r["target_uri"] for r in rows] == [
+            "http://e.com/a", "http://e.com/c",
+        ]
+        assert rows[0]["text"] == "extracted text é"
+        assert rows[1]["text"] == "second page text"
+
+    def test_warcinfo_metadata_fields(self, spark, tmp_path):
+        from sparkplug_spark.sources import warcinfo_metadata
+
+        info = (
+            b"software: crawler/1.0\r\n"
+            b"isPartOf: CC-TEST-2026\r\n"
+            b"format: WARC File Format 1.1\r\n"
+            b"a line with no separator\n"
+            b"hostname: node-1.example\n"
+        )
+        data = warc_record("warcinfo", info) + warc_response_record(
+            "http://e.com/x", b"payload"
+        )
+        (tmp_path / "y.warc").write_bytes(data)
+        recs = read_warc(spark, str(tmp_path) + "/*")
+        kv = {
+            r["key"]: r["value"]
+            for r in warcinfo_metadata(recs).collect()
+        }
+        assert kv == {
+            "software": "crawler/1.0",
+            "isPartOf": "CC-TEST-2026",
+            "format": "WARC File Format 1.1",
+            "hostname": "node-1.example",
+        }
+
     def test_via_binary_matches_kernel_read(self, spark, warc_dir):
         # r8 ADVICE: default path shuffles only path strings; the
         # via_binary fallback (bytes through the content column) must
