@@ -1779,29 +1779,44 @@ def q_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _write_warc_fixture(df, payload_col: str, content_type: str, prefix: str) -> str:
-    """Executor-side deterministic WARC archive writer for the E235/E236
-    fixture queries: 8 gzip multi-member archives (one per doc_id bucket,
-    one member per record, pinned mtimes and record ids) written from
-    applyInPandas tasks — the scale-honest shape where each task emits
-    its own archive.  Returns the archive directory."""
+def _write_warc_fixture(
+    df,
+    payload_col: str,
+    content_type: str,
+    prefix: str,
+    record_kind: str = "response",
+) -> str:
+    """Executor-side deterministic WARC archive writer for the E235/E236/
+    E246 fixture queries: 8 gzip multi-member archives (one per doc_id
+    bucket, one member per record, pinned mtimes and record ids) written
+    from applyInPandas tasks — the scale-honest shape where each task
+    emits its own archive.  ``record_kind='conversion'`` writes WET-shape
+    text records instead of HTTP responses.  Returns the archive
+    directory."""
     import os
     import tempfile
 
-    from sparkplug_spark.sources import gzip_member, warc_response_record
+    from sparkplug_spark.sources import (
+        gzip_member,
+        warc_conversion_record,
+        warc_response_record,
+    )
 
     tmp = tempfile.mkdtemp(prefix=prefix)
 
     def write_group(key, pdf):
         parts = []
         for _, r in pdf.sort_values("doc_id").iterrows():
-            rec = warc_response_record(
-                f"http://corpus.example/doc/{int(r.doc_id)}",
-                str(r[payload_col]).encode("utf-8"),
-                status=200,
-                content_type=content_type,
-                record_id=f"<urn:doc:{int(r.doc_id)}>",
-            )
+            uri = f"http://corpus.example/doc/{int(r.doc_id)}"
+            rid = f"<urn:doc:{int(r.doc_id)}>"
+            body = str(r[payload_col]).encode("utf-8")
+            if record_kind == "conversion":
+                rec = warc_conversion_record(uri, body, record_id=rid)
+            else:
+                rec = warc_response_record(
+                    uri, body, status=200,
+                    content_type=content_type, record_id=rid,
+                )
             parts.append(gzip_member(rec))
         path = os.path.join(tmp, f"part-{int(key[0]):03d}.warc.gz")
         with open(path, "wb") as f:
@@ -3596,22 +3611,16 @@ def q_template_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dialogue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SFT transcript structuring (E239): deterministic role-tagged
-    transcripts built from doc token chunks — with planted preambles
-    (doc%5==0), system turns (doc%3==0), and alternation violations
-    (doc%7==0) — parsed into turns and reduced to the per-transcript
-    structure report + a turns content digest, so both the parse and the
-    validity flags are value-hashed."""
-    from sparkplug_spark.operators import dialogue_stats, parse_dialogue
-
-    docs = _read(spark, sf_dir, "documents")
+def _dialogue_fixture_transcript() -> "F.Column":
+    """The deterministic role-tagged transcript the E239/E244 fixtures
+    build from doc token chunks: planted preambles (doc%5==0), system
+    turns (doc%3==0), alternation violations (doc%7==0)."""
     toks = F.split(F.col("text"), " ")
 
     def chunk(start: int) -> "F.Column":
         return F.array_join(F.slice(toks, start, 5), " ")
 
-    transcript = F.concat_ws(
+    return F.concat_ws(
         "\n",
         F.when(
             F.col("doc_id") % 5 == 0, F.lit("preamble noise before any role")
@@ -3631,7 +3640,21 @@ def q_dialogue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         ),
     )
-    fixture = docs.select("doc_id", transcript.alias("text"))
+
+
+def q_dialogue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT transcript structuring (E239): deterministic role-tagged
+    transcripts built from doc token chunks — with planted preambles
+    (doc%5==0), system turns (doc%3==0), and alternation violations
+    (doc%7==0) — parsed into turns and reduced to the per-transcript
+    structure report + a turns content digest, so both the parse and the
+    validity flags are value-hashed."""
+    from sparkplug_spark.operators import dialogue_stats, parse_dialogue
+
+    docs = _read(spark, sf_dir, "documents")
+    fixture = docs.select(
+        "doc_id", _dialogue_fixture_transcript().alias("text")
+    )
     # three consumers fan out of the parsed turns (stats base, the
     # alternation pass, the digest): persist once, release after the
     # result materializes (the fan-out-intermediates invariant)
@@ -3760,6 +3783,284 @@ def q_streaming_sentences_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return out.select("doc_id", "sent_pos", "sentence", "n_chars")
+
+
+def q_pack_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-aware packing with loss masks (E244): the E239 dialogue
+    fixture's transcripts are parsed to turns and packed WHOLE into
+    64-token blocks (md5 order, 4-token per-turn template overhead);
+    every turn's integer (start, end) span in its block plus the
+    assistant-only loss mask is value-hashed — a split transcript, an
+    off-by-one offset, or a wrong mask all break the hash."""
+    from sparkplug_spark.operators import pack_transcripts, parse_dialogue
+
+    docs = _read(spark, sf_dir, "documents")
+    fixture = docs.select(
+        "doc_id", _dialogue_fixture_transcript().alias("text")
+    )
+    return pack_transcripts(
+        parse_dialogue(fixture), budget=64, turn_overhead=4, num_groups=8
+    )
+
+
+def q_main_content_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-preserving extraction (E243): fixture pages carry a
+    heading, the doc text as a paragraph, list items (one a link-farm on
+    even docs), a code block, a table (doc%4==0) and short footer chrome;
+    extract_main_blocks must keep exactly the typed content blocks
+    (headings/list/code/table survive on the link gate alone, paragraphs
+    on the full jusText battery, the footer dies on length) and
+    blocks_to_markdown reassembles them — the markdown digest hashes the
+    typing, gating, ordering, and reassembly in one value."""
+    from sparkplug_spark.operators import blocks_to_markdown, extract_main_blocks
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" Guide</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>intro item for the doc</li>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(
+                '<li><a href="/m">menu link item one</a> '
+                '<a href="/n">menu link item two</a></li>'
+            ),
+        ).otherwise(F.lit("<li>second plain item</li>")),
+        F.lit("</ul><pre>code_block = "),
+        F.col("doc_id").cast("string"),
+        F.lit(" * 7</pre>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<table><tr><td>alpha "),
+                (F.col("doc_id") % 9).cast("string"),
+                F.lit("</td><td>beta &amp; gamma</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<footer>short footer chrome</footer>"),
+    )
+    fixture = docs.select("doc_id", html.alias("html"))
+    blocks = extract_main_blocks(fixture, min_stop_pct=2)
+    return blocks_to_markdown(blocks).select(
+        "doc_id", "n_blocks", F.md5("markdown").alias("md_md5")
+    )
+
+
+def q_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/usage-policy gate (E245): fixture pages vary the robots
+    meta (benign / noai reversed-attribute / noindex,nofollow / absent)
+    and the license link (CC-BY / proprietary / absent); the extractor's
+    policy fields and both filter_by_policy verdicts (deny-token gate,
+    license-allowlist gate) are value-hashed per doc."""
+    from sparkplug_spark.operators import extract_html_metadata, filter_by_policy
+
+    docs = _read(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<meta name="robots" content="INDEX, Follow">'),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit('<meta content="noai" name="robots">'),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit('<meta name="robots" content="noindex ,nofollow">'),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                '<link rel="license" '
+                'href="https://creativecommons.org/licenses/by/4.0/">'
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit('<link rel="license" href="https://example.com/prop">'),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    meta = extract_html_metadata(
+        docs.select("doc_id", html.alias("html")), policy=True
+    )
+    robots = filter_by_policy(meta, flag_only=True).withColumnRenamed(
+        "policy_ok", "robots_ok"
+    )
+    licensed = filter_by_policy(
+        robots,
+        license_col="license_url",
+        allow_licenses=["https://creativecommons.org/licenses/by/4.0/"],
+        flag_only=True,
+    )
+    return licensed.select(
+        "doc_id", "meta_robots", "license_url", "robots_ok", "policy_ok"
+    )
+
+
+def q_wet_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET source tier (E246): the corpus round-trips through real
+    WET-shape archives — executor tasks write the docs as gzip
+    multi-member `conversion` records, read_wet parses them back through
+    the path-only binaryFile lane and decodes the text, and the oracle
+    checks straight against the documents table: any conversion-record
+    framing or decode bug breaks the value hash."""
+    from sparkplug_spark.sources import read_wet
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _write_warc_fixture(
+        docs, "text", "text/plain", "sparkplug_wet_",
+        record_kind="conversion",
+    )
+    wet = read_wet(spark, tmp + "/*.warc.gz")
+    return wet.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _image_text_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture pages for the E242 image–text queries (doc_id < 200): an
+    alt-captioned <img> whose src is a MESSY canonicalization variant on
+    even docs, a figure-wrapped <img> with a figcaption on doc%3==0, and
+    a caption-less <img> on doc%5==0 — image keys k = doc_id % 40 (+1,
+    +2 mod 40 for the extra tags)."""
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k = (F.col("doc_id") % 40).cast("string")
+    k1 = ((F.col("doc_id") % 40 + 1) % 40).cast("string")
+    k2 = ((F.col("doc_id") % 40 + 2) % 40).cast("string")
+    src0 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTP://WWW.corpus.example:80/doc/"),
+            k,
+            F.lit("?utm_source=t"),
+        ),
+    ).otherwise(F.concat(F.lit("http://corpus.example/doc/"), k))
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p><img src="'),
+        src0,
+        F.lit('" alt="portrait of doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<figure><img src="http://corpus.example/doc/'),
+                k1,
+                F.lit('"><figcaption>figure caption for doc '),
+                F.col("doc_id").cast("string"),
+                F.lit("</figcaption></figure>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<img src="http://corpus.example/doc/'),
+                k2,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def _image_text_images(spark: SparkSession) -> DataFrame:
+    """The 40 fixture images behind the E242 queries: 18x16 P5 payloads
+    with pixel v = ((k%20)*7 + 3y + 5x) % 57 + 1, images k >= 20
+    brightened +60 in the top-left 2x2 (so k and k+20 are planted
+    near-dups, the E177 discipline) — round-tripped through executor-
+    written WARC archives and dHashed, giving (url, dhash_hi,
+    dhash_lo)."""
+    from sparkplug_spark.operators import image_dhash
+    from sparkplug_spark.sources import read_warc
+
+    base = spark.range(40).select(F.col("id").alias("doc_id"))
+    g = F.col("doc_id") % 20
+    cells = []
+    for y in range(16):
+        for x in range(18):
+            v = (g * 7 + F.lit(3 * y + 5 * x)) % 57 + 1
+            if y < 2 and x < 2:
+                v = v + F.when(
+                    F.col("doc_id") >= 20, F.lit(60)
+                ).otherwise(F.lit(0))
+            cells.append(F.chr(v.cast("int")))
+    payload = F.concat(F.lit("P5\n18 16\n255\n"), *cells)
+    imgs = base.select("doc_id", payload.alias("img"))
+    tmp = _write_warc_fixture(
+        imgs, "img", "image/x-portable-graymap", "sparkplug_imgtext_"
+    )
+    parsed = read_warc(spark, tmp + "/*.warc.gz", record_types=("response",))
+    return image_dhash(
+        parsed.select(F.col("target_uri").alias("url"), "payload"),
+        image_col="payload",
+        id_col="url",
+    )
+
+
+def q_image_text_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pair construction (E242): the crawl-to-multimodal
+    composition — <img> references + captions extracted from fixture
+    pages, srcs canonicalized (E172 folds the case/port/utm noise), and
+    joined to a WARC-round-tripped, dHashed image table (E235+E177); the
+    oracle derives every expected (page, position, canonical url,
+    caption, hash) row arithmetically, so a missed figure caption, a
+    canonicalization miss, or a one-bit decode error all break the
+    hash."""
+    from sparkplug_spark.operators import image_text_pairs
+
+    pages = _image_text_pages(spark, sf_dir)
+    images = _image_text_images(spark)
+    return image_text_pairs(pages, images, url_col="url").select(
+        "doc_id", "img_pos", "image_url", "caption", "dhash_hi", "dhash_lo"
+    )
+
+
+def q_image_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup over the image–text lane (E242 x E178): the
+    40 referenced fixture images race through the Manku chunk join —
+    planted brightened twins (k, k+20) must surface — and each side
+    carries its page-reference count from the extracted (captionless
+    included) <img> table; output is (url_a, url_b, hamming, refs)."""
+    from sparkplug_spark.operators import (
+        canonicalize_urls,
+        dhash_pairs,
+        extract_image_refs,
+    )
+
+    pages = _image_text_pages(spark, sf_dir)
+    images = _image_text_images(spark)
+    refs = canonicalize_urls(
+        extract_image_refs(pages), url_col="src", out_col="__canon"
+    )
+    counts = refs.groupBy(F.col("__canon").alias("url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+    pairs = dhash_pairs(images, id_col="url", max_hamming=3)
+    ca = counts.select(
+        F.col("url").alias("url_a"), F.col("n_refs").alias("n_refs_a")
+    )
+    cb = counts.select(
+        F.col("url").alias("url_b"), F.col("n_refs").alias("n_refs_b")
+    )
+    return (
+        pairs.join(ca, "url_a")
+        .join(cb, "url_b")
+        .select("url_a", "url_b", "hamming", "n_refs_a", "n_refs_b")
+    )
 
 
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4989,11 +5290,10 @@ def _template_blocks_oracle_sql() -> str:
     """
 
 
-def _dialogue_oracle_sql() -> str:
-    """DuckDB twin of q_dialogue_stats: rebuild the fixture transcripts,
-    replay the line-split / turn-assignment (running sum over role-start
-    lines) / per-turn reassembly, then the structure report + digest."""
-    return """
+#: Shared CTE chain (dp_raw … dp_kept) rebuilding the E239/E244 dialogue
+#: fixture and replaying parse_dialogue to per-turn rows — used by the
+#: dialogue_stats and pack_transcripts oracles.
+_DIALOGUE_TURN_CTES = """
         WITH dp_raw AS (
           SELECT doc_id,
             concat_ws(chr(10),
@@ -5052,7 +5352,14 @@ def _dialogue_oracle_sql() -> str:
           SELECT doc_id, turn::BIGINT AS turn, role, content,
                  length(content)::BIGINT AS n_chars
           FROM dp_pt WHERE turn > 0 OR length(trim(content)) > 0
-        ),
+        )"""
+
+
+def _dialogue_oracle_sql() -> str:
+    """DuckDB twin of q_dialogue_stats: rebuild the fixture transcripts,
+    replay the line-split / turn-assignment (running sum over role-start
+    lines) / per-turn reassembly, then the structure report + digest."""
+    return _DIALOGUE_TURN_CTES + """,
         dp_first AS (
           SELECT doc_id, min(turn) AS first_turn
           FROM dp_kept WHERE turn > 0 AND role <> 'system'
@@ -5131,6 +5438,326 @@ def _preference_oracle_sql(mode: str) -> str:
         FROM pf_bw
         WHERE n >= 2 AND -best.s - worst.s >= 1
     """
+
+
+def _pack_transcripts_oracle_sql() -> str:
+    """DuckDB twin of q_pack_transcripts: the shared dialogue turn CTEs,
+    whitespace token counts (+4 overhead), hash60 pack order, integer
+    cumulative-sum shard assignment (// on non-negative operands — the
+    Spark `div` agreement case), per-block turn offsets, assistant
+    mask."""
+    return (
+        _DIALOGUE_TURN_CTES
+        + """,
+        pt_tok AS (
+          SELECT doc_id, turn, role,
+                 len(list_filter(string_split_regex(coalesce(content, ''),
+                                                    '[ \\t\\n]+'),
+                                 t -> t <> ''))::BIGINT + 4 AS n_tokens
+          FROM dp_kept
+        ),
+        pt_tot AS (
+          SELECT doc_id, sum(n_tokens)::BIGINT AS t_tokens,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+          FROM pt_tok GROUP BY doc_id
+        ),
+        pt_pack AS (
+          SELECT doc_id, h, h % 8 AS pack_group,
+                 (coalesce(sum(t_tokens) OVER (
+                    PARTITION BY h % 8 ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT // 64) AS shard_id
+          FROM pt_tot
+        ),
+        pt_off AS (
+          SELECT p.pack_group, p.shard_id, t.doc_id, t.turn, t.role,
+                 t.n_tokens,
+                 coalesce(sum(t.n_tokens) OVER (
+                    PARTITION BY p.pack_group, p.shard_id
+                    ORDER BY p.h, t.doc_id::VARCHAR, t.turn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS start_tok
+          FROM pt_tok t JOIN pt_pack p USING (doc_id)
+        )
+        SELECT pack_group, shard_id, doc_id, turn, role, start_tok,
+               (start_tok + n_tokens)::BIGINT AS end_tok, n_tokens,
+               CASE WHEN role = 'assistant' THEN 1 ELSE 0 END::INT AS mask
+        FROM pt_off
+    """
+    )
+
+
+def _main_content_markdown_oracle_sql() -> str:
+    """DuckDB twin of q_main_content_markdown: same fixture page, the
+    sentinel-typed block segmentation of extract_main_blocks (typed
+    opening tags -> chr(1)||type||chr(2), remaining block boundaries ->
+    chr(1)||chr(2)), the same per-type gates, the same markdown shapes,
+    one ordered string_agg + md5."""
+    from sparkplug_spark.operators.html import BLOCK_SPLIT_PATTERN
+
+    clean = _html_clean_sql
+    return f"""
+        WITH mm_raw AS (
+          SELECT doc_id,
+            '<h1>Doc ' || doc_id::VARCHAR || ' Guide</h1><p>' || text
+            || '</p><ul><li>intro item for the doc</li>'
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '<li><a href="/m">menu link item one</a> '
+                         || '<a href="/n">menu link item two</a></li>'
+                    ELSE '<li>second plain item</li>' END
+            || '</ul><pre>code_block = ' || doc_id::VARCHAR || ' * 7</pre>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN '<table><tr><td>alpha ' || (doc_id % 9)::VARCHAR
+                         || '</td><td>beta &amp; gamma</td></tr></table>'
+                    ELSE '' END
+            || '<footer>short footer chrome</footer>' AS html
+          FROM documents
+        ),
+        mm_pre AS (
+          SELECT doc_id,
+                 replace(replace(
+                   regexp_replace(regexp_replace(regexp_replace(html,
+                     '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g'),
+                   chr(1), ' '), chr(2), ' ') AS h
+          FROM mm_raw
+        ),
+        mm_tagged AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(h,
+                             '(?i)<(h[1-6])\\b[^>]*>',
+                             chr(1) || '\\1' || chr(2), 'g'),
+                           '(?i)<(?:li|dt|dd)\\b[^>]*>',
+                           chr(1) || 'li' || chr(2), 'g'),
+                         '(?i)<pre\\b[^>]*>',
+                         chr(1) || 'pre' || chr(2), 'g'),
+                       '(?i)<(?:td|th|caption)\\b[^>]*>',
+                       chr(1) || 'td' || chr(2), 'g'),
+                     '(?i)<p\\b[^>]*>', chr(1) || 'p' || chr(2), 'g'),
+                   '{BLOCK_SPLIT_PATTERN}', chr(1) || chr(2), 'g') AS h
+          FROM mm_pre
+        ),
+        mm_frag AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(fr) + 1),
+                                       i -> {{'pos': i, 'f': fr[i]}})) AS u
+          FROM (SELECT doc_id, string_split(h, chr(1)) AS fr FROM mm_tagged)
+        ),
+        mm_typed AS (
+          SELECT doc_id, u.pos AS pos,
+                 CASE WHEN strpos(u.f, chr(2)) > 0
+                      THEN lower(substr(u.f, 1, strpos(u.f, chr(2)) - 1))
+                      ELSE '' END AS tag,
+                 CASE WHEN strpos(u.f, chr(2)) > 0
+                      THEN substr(u.f, strpos(u.f, chr(2)) + 1)
+                      ELSE u.f END AS raw
+          FROM mm_frag
+        ),
+        mm_feat AS (
+          SELECT doc_id, pos,
+                 CASE WHEN regexp_matches(tag, '^h[1-6]$') THEN 'heading'
+                      WHEN tag = 'li' THEN 'list'
+                      WHEN tag = 'pre' THEN 'code'
+                      WHEN tag = 'td' THEN 'table'
+                      ELSE 'para' END AS btype,
+                 CASE WHEN regexp_matches(tag, '^h[1-6]$')
+                      THEN substr(tag, 2, 1)::INT ELSE 0 END AS lvl,
+                 {clean("raw")} AS txt,
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(raw,
+                     '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                   x -> length({clean("x")})::BIGINT)), 0) AS link_chars
+          FROM mm_typed
+        ),
+        mm_cls AS (
+          SELECT doc_id, pos, btype, lvl, txt,
+                 length(txt)::BIGINT AS chars, link_chars,
+                 list_filter(string_split_regex(lower(txt), '[^a-z]+'),
+                             t -> t <> '') AS toks
+          FROM mm_feat
+        ),
+        mm_keep AS (
+          SELECT doc_id, pos, btype, lvl, txt
+          FROM mm_cls
+          WHERE CASE WHEN btype = 'para'
+                 THEN chars >= 80
+                      AND link_chars * 100 <= chars * 30
+                      AND len(toks) > 0
+                      AND len(list_filter(toks, t -> list_contains(
+                            ['the','a','of','and','to','in','is','it',
+                             'that','for'], t)))::BIGINT * 100
+                          >= len(toks)::BIGINT * 2
+                 ELSE chars >= 1 AND link_chars * 100 <= chars * 30 END
+        ),
+        mm_md AS (
+          SELECT doc_id, pos,
+                 CASE WHEN btype = 'heading'
+                      THEN repeat('#', lvl) || ' ' || txt
+                      WHEN btype = 'list' THEN '- ' || txt
+                      WHEN btype = 'code' THEN '    ' || txt
+                      WHEN btype = 'table' THEN '| ' || txt || ' |'
+                      ELSE txt END AS line
+          FROM mm_keep
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_blocks,
+               md5(string_agg(line, chr(10) || chr(10) ORDER BY pos))
+                 AS md_md5
+        FROM mm_md GROUP BY doc_id
+    """
+
+
+def _policy_gate_oracle_sql() -> str:
+    """DuckDB twin of q_policy_gate: same fixture variants, the policy
+    regex battery of extract_html_metadata(policy=True), the
+    token-normalized deny gate and the affirmative license-allowlist
+    gate."""
+    return """
+        WITH pg_raw AS (
+          SELECT doc_id,
+            '<html><head>'
+            || CASE WHEN doc_id % 4 = 0
+                    THEN '<meta name="robots" content="INDEX, Follow">'
+                    WHEN doc_id % 4 = 1
+                    THEN '<meta content="noai" name="robots">'
+                    WHEN doc_id % 4 = 2
+                    THEN '<meta name="robots" content="noindex ,nofollow">'
+                    ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                    THEN '<link rel="license" href="https://creativecommons.org/licenses/by/4.0/">'
+                    WHEN doc_id % 3 = 1
+                    THEN '<link rel="license" href="https://example.com/prop">'
+                    ELSE '' END
+            || '</head><body><p>' || text || '</p></body></html>' AS h
+          FROM documents
+        ),
+        pg_x AS (
+          SELECT doc_id,
+            nullif(trim(regexp_replace(lower(coalesce(
+              nullif(coalesce(regexp_extract(h,
+                '(?is)<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)', 1), ''), ''),
+              coalesce(regexp_extract(h,
+                '(?is)<meta\\s[^>]*content\\s*=\\s*["'']([^"'']*)["''][^>]*name\\s*=\\s*["'']robots["'']', 1), '')
+            )), '[ \\t\\n\\r\\f\\v]+', ' ', 'g')), '') AS meta_robots,
+            nullif(coalesce(regexp_extract(h,
+              '(?is)<link\\s[^>]*rel\\s*=\\s*["'']license["''][^>]*href\\s*=\\s*["'']([^"'']*)', 1), ''), '') AS license_url
+          FROM pg_raw
+        ),
+        pg_tok AS (
+          SELECT doc_id, meta_robots, license_url,
+                 len(list_filter(
+                   list_filter(list_transform(
+                     string_split(lower(coalesce(meta_robots, '')), ','),
+                     t -> trim(t)), t -> t <> ''),
+                   t -> list_contains(['noindex','noai','noimageai'], t)))
+                 = 0 AS robots_ok
+          FROM pg_x
+        )
+        SELECT doc_id, meta_robots, license_url, robots_ok,
+               robots_ok AND coalesce(license_url IN
+                 ('https://creativecommons.org/licenses/by/4.0/'), false)
+                 AS policy_ok
+        FROM pg_tok
+    """
+
+
+#: Shared CTE (it_h) deriving the 40 E242 fixture images' dHashes
+#: arithmetically (the E177 discipline): 18x16 grid, 2x2 cells,
+#: cross-cell brighter-than bits packed MSB-first into two u32 halves.
+_IMAGE_TEXT_HASH_CTE = """
+        WITH it_px AS (
+          SELECT k, y, x,
+                 ((k % 20) * 7 + 3 * y + 5 * x) % 57 + 1
+                 + CASE WHEN k >= 20 AND y < 2 AND x < 2
+                        THEN 60 ELSE 0 END AS v
+          FROM range(0, 40) t0(k), range(0, 16) t1(y), range(0, 18) t2(x)
+        ),
+        it_cells AS (
+          SELECT k, y // 2 AS gy, x // 2 AS gx, sum(v) AS s
+          FROM it_px GROUP BY k, y // 2, x // 2
+        ),
+        it_bits AS (
+          SELECT l.k, l.gy * 8 + l.gx AS kk,
+                 CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS b
+          FROM it_cells l JOIN it_cells r
+            ON l.k = r.k AND l.gy = r.gy AND r.gx = l.gx + 1
+          WHERE l.gx < 8
+        ),
+        it_h AS (
+          SELECT k,
+                 'http://corpus.example/doc/' || k::VARCHAR AS url,
+                 CAST(sum(CASE WHEN kk < 32
+                               THEN b::BIGINT << (31 - kk) ELSE 0 END)
+                   AS BIGINT) AS dhash_hi,
+                 CAST(sum(CASE WHEN kk >= 32
+                               THEN b::BIGINT << (63 - kk) ELSE 0 END)
+                   AS BIGINT) AS dhash_lo
+          FROM it_bits GROUP BY k
+        )"""
+
+
+def _image_text_pairs_oracle_sql() -> str:
+    """DuckDB twin of q_image_text_pairs: expected (page, pos, canonical
+    url, caption) rows derived arithmetically from the fixture recipe
+    (img0 with alt on every doc, the figure caption on doc%3==0, the
+    caption-less doc%5==0 img dropped), joined to the arithmetic dHash
+    table."""
+    return (
+        _IMAGE_TEXT_HASH_CTE
+        + """,
+        it_refs AS (
+          SELECT doc_id, 0 AS img_pos, doc_id % 40 AS k,
+                 'portrait of doc ' || doc_id::VARCHAR AS caption
+          FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id, 1, (doc_id % 40 + 1) % 40,
+                 'figure caption for doc ' || doc_id::VARCHAR
+          FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+        )
+        SELECT r.doc_id, r.img_pos::BIGINT AS img_pos, h.url AS image_url,
+               r.caption, h.dhash_hi, h.dhash_lo
+        FROM it_refs r JOIN it_h h ON r.k = h.k
+    """
+    )
+
+
+def _image_text_dedup_oracle_sql() -> str:
+    """DuckDB twin of q_image_text_dedup: brute-force hamming <= 3 over
+    the 40 arithmetic hashes (url string order), reference counts
+    replayed from the fixture recipe (captionless refs included)."""
+    return (
+        _IMAGE_TEXT_HASH_CTE
+        + """,
+        it_r AS (
+          SELECT doc_id % 40 AS k FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT (doc_id % 40 + 1) % 40 FROM documents
+          WHERE doc_id < 200 AND doc_id % 3 = 0
+          UNION ALL
+          SELECT (doc_id % 40 + 2) % 40 FROM documents
+          WHERE doc_id < 200 AND doc_id % 5 = 0
+        ),
+        it_cnt AS (
+          SELECT k, count(*)::BIGINT AS n_refs FROM it_r GROUP BY k
+        )
+        SELECT a.url AS url_a, b.url AS url_b,
+               CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+                    + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+                 AS hamming,
+               ca.n_refs AS n_refs_a, cb.n_refs AS n_refs_b
+        FROM it_h a
+        JOIN it_h b ON a.url < b.url
+        JOIN it_cnt ca ON ca.k = a.k
+        JOIN it_cnt cb ON cb.k = b.k
+        WHERE bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
+    """
+    )
 
 
 def _split_sentences_oracle_sql() -> str:
@@ -12826,6 +13453,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_best_worst": q_preference_best_worst,
         "split_sentences": q_split_sentences,
         "streaming_sentences_replay": q_streaming_sentences_replay,
+        "pack_transcripts": q_pack_transcripts,
+        "main_content_markdown": q_main_content_markdown,
+        "policy_gate": q_policy_gate,
+        "wet_ingest": q_wet_ingest,
+        "image_text_pairs": q_image_text_pairs,
+        "image_text_dedup": q_image_text_dedup,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -12908,6 +13541,18 @@ def oracle_sql() -> dict[str, str]:
                md5(text) AS payload_md5
         FROM documents
     """
+    # WET round-trip (E246): conversion records carry the raw text
+    out["wet_ingest"] = """
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               md5(text) AS text_md5
+        FROM documents
+    """
+    out["pack_transcripts"] = _pack_transcripts_oracle_sql()
+    out["main_content_markdown"] = _main_content_markdown_oracle_sql()
+    out["policy_gate"] = _policy_gate_oracle_sql()
+    out["image_text_pairs"] = _image_text_pairs_oracle_sql()
+    out["image_text_dedup"] = _image_text_dedup_oracle_sql()
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()

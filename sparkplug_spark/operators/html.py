@@ -612,7 +612,12 @@ def filter_by_policy(
     if allow_licenses is not None:
         if license_col is None:
             raise ValueError("allow_licenses requires license_col")
-        ok = ok & F.col(license_col).isin(*[str(x) for x in allow_licenses])
+        # coalesce: a NULL license must DENY (boolean false, not NULL) so
+        # the flag_only audit column is never three-valued
+        ok = ok & F.coalesce(
+            F.col(license_col).isin(*[str(x) for x in allow_licenses]),
+            F.lit(False),
+        )
     if flag_only:
         return df.withColumn("policy_ok", ok)
     return df.where(ok)
