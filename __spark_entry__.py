@@ -2122,8 +2122,7 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: streaming_dedup_exact(
             s, text_col="text", time_col="ts", watermark_delay="1 day"
         ),
-        mode="append",
-    )
+        mode="append", shuffle_partitions=8,)
     return kept.select("doc_id", "text")
 
 
@@ -2170,7 +2169,7 @@ def q_streaming_impact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             plugged, "ts", window_duration="1 day", watermark_delay="60 days"
         )
 
-    counts = replay_file_stream(spark, batches, build, mode="complete")
+    counts = replay_file_stream(spark, batches, build, mode="complete", shuffle_partitions=8)
     return counts.select(
         F.col("window_start").cast("long").alias("window_s"),
         "rule_name",
@@ -2210,8 +2209,7 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         lambda s: sessionize_stream(
             s, gap_seconds=1800, watermark_delay="90 days"
         ),
-        mode="append",
-    )
+        mode="append", shuffle_partitions=8,)
     cutoff = 1709251200  # 2024-03-01: sentinel sessions start after this
     return sessions.select(
         "user_id",
@@ -2238,8 +2236,7 @@ def q_streaming_quality_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _doc_batches(spark, sf_dir),
         lambda s: streaming_quality_filter(s),
-        mode="append",
-    )
+        mode="append", shuffle_partitions=8,)
     return kept.select("doc_id", "lang")
 
 
@@ -2258,8 +2255,7 @@ def q_streaming_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _doc_batches(spark, sf_dir),
         lambda s: streaming_decontaminate(s, eval_df, n=5, method="exact"),
-        mode="append",
-    )
+        mode="append", shuffle_partitions=8,)
     return kept.select("doc_id", "source")
 
 
@@ -2294,8 +2290,7 @@ def q_streaming_violations_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         lambda s: streaming_violation_counts(
             s, exps, "ts", window_duration="1 day", watermark_delay="60 days"
         ),
-        mode="complete",
-    )
+        mode="complete", shuffle_partitions=8,)
     return counts.select(
         F.col("window_start").cast("long").alias("window_s"),
         "expectation",
@@ -2330,8 +2325,7 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             within_seconds=3600, watermark_delay="90 days",
         ),
         mode="append",
-        batches2=pb,
-    )
+        batches2=pb, shuffle_partitions=8,)
     return matches.select(
         "user_id",
         F.col("event_id").alias("view_id"),
@@ -3780,8 +3774,7 @@ def q_streaming_sentences_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         batches,
         lambda s: split_sentences(s, min_chars=2),
-        mode="append",
-    )
+        mode="append", shuffle_partitions=8,)
     return out.select("doc_id", "sent_pos", "sentence", "n_chars")
 
 
@@ -4162,8 +4155,7 @@ def q_streaming_lid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         [b.filter(F.col("lang").isNotNull()) for b in
          _doc_batches(spark, sf_dir)],
         lambda s: streaming_language_route(s, model),
-        mode="append",
-    )
+        mode="append", shuffle_partitions=8,)
     return routed.select(
         "doc_id", "lang_pred", "score_micros", "margin_micros"
     )

@@ -67,6 +67,7 @@ def replay_file_stream(
     build_query: Callable[..., DataFrame],
     mode: str = "append",
     batches2: Sequence[DataFrame] | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay ``batches`` (one micro-batch each, in order) through
     ``build_query(stream_df)`` and return the sink contents as a batch
@@ -74,11 +75,28 @@ def replay_file_stream(
     before returning).  Pass ``batches2`` for TWO-source operators
     (stream-stream joins): ``build_query`` then receives two streaming
     DataFrames; batch i of each source shares the same mtime slot, so
-    the sources advance together."""
+    the sources advance together.
+
+    ``shuffle_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the replayed query (restored on
+    return).  Stateful streaming cost scales with partitions × batches —
+    every micro-batch opens/commits one state store PER shuffle
+    partition — and a replay's state is fixture-sized, so 8 partitions
+    beat a batch-tuned 32 by ~2x on stream-stream joins while results
+    are partition-count-independent (the operators' contract).  The
+    override is session-scoped: don't run concurrent queries on the same
+    session while a replay with an override is in flight."""
     if not batches:
         raise ValueError("need at least one batch")
     if mode not in ("append", "complete"):
         raise ValueError("mode must be 'append' or 'complete'")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        if shuffle_partitions < 1:
+            raise ValueError("shuffle_partitions must be >= 1")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+        )
     tmp = tempfile.mkdtemp(prefix="sparkplug_replay_")
     sink = os.path.join(tmp, "sink")
     chk = os.path.join(tmp, "chk")
@@ -122,4 +140,6 @@ def replay_file_stream(
         # detach from the scratch files before deleting them
         return result.localCheckpoint(eager=True)
     finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
         shutil.rmtree(tmp, ignore_errors=True)
