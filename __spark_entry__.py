@@ -4056,6 +4056,138 @@ def q_image_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _page_links_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture pages for the E247 link queries: page key p = doc_id % 40;
+    every doc links p → (p+1)%40 (href a messy canonicalization variant
+    on even p), a rel=nofollow sponsored link to (p+5)%40, and
+    p → (7p+3)%40 — so the followable graph has 40 nodes, out-degree 2
+    (1 where the two targets coincide: p ≡ 13 mod 20), no dangling."""
+    docs = _read(spark, sf_dir, "documents")
+    p = F.col("doc_id") % 40
+    p1 = ((p + 1) % 40).cast("string")
+    p2 = ((p + 5) % 40).cast("string")
+    p3 = ((p * 7 + 3) % 40).cast("string")
+    href1 = F.when(
+        p % 2 == 0,
+        F.concat(
+            F.lit("HTTP://WWW.corpus.example/page/"), p1,
+            F.lit("?utm_source=z"),
+        ),
+    ).otherwise(F.concat(F.lit("http://corpus.example/page/"), p1))
+    html = F.concat(
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit('</p><a href="'),
+        href1,
+        F.lit('">see page '),
+        p1,
+        F.lit('</a><a href="http://corpus.example/page/'),
+        p2,
+        F.lit('" rel="nofollow">sponsored '),
+        F.col("doc_id").cast("string"),
+        F.lit('</a><a href="http://corpus.example/page/'),
+        p3,
+        F.lit('">also page '),
+        p3,
+        F.lit("</a>"),
+    )
+    return docs.select("doc_id", p.alias("page_key"), html.alias("html"))
+
+
+def q_page_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction (E247): hrefs, anchor text, and rel attributes out
+    of the fixture pages, plus the canonicalized href (E172) — the rows
+    a crawl frontier and the link graph are built from; every field is
+    derived arithmetically by the oracle."""
+    from sparkplug_spark.operators import canonicalize_urls, extract_links
+
+    pages = _page_links_pages(spark, sf_dir)
+    links = extract_links(pages)
+    return canonicalize_urls(links, url_col="href", out_col="href_canon")
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl link graph → integer PageRank (E247 composed with E199):
+    anchors extracted, nofollow edges dropped, hrefs canonicalized to
+    graph nodes, and the E199 exact-integer PageRank (8 fixed
+    iterations, nano units) ranks the 40-page graph; the oracle rebuilds
+    the edge set arithmetically and replays the integer recursion."""
+    from sparkplug_spark.operators import (
+        canonicalize_urls,
+        extract_links,
+        pagerank_integer,
+    )
+
+    pages = _page_links_pages(spark, sf_dir)
+    links = extract_links(pages)
+    follow = links.where(
+        F.col("rel").isNull() | ~F.col("rel").contains("nofollow")
+    )
+    edges = canonicalize_urls(follow, url_col="href", out_col="dst").select(
+        F.concat(
+            F.lit("http://corpus.example/page/"),
+            (F.col("doc_id") % 40).cast("string"),
+        ).alias("src"),
+        "dst",
+    )
+    return pagerank_integer(edges, iterations=8)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse + match (E248): per-source robots bodies (a star
+    group with a longest-match allow-under-disallow pair, and a trainbot
+    group that disallows everything except /open/) gate fixture URLs for
+    two agents — an unnamed crawler (falls to the * group) and trainbot
+    (exact group preferred, star's allow must NOT leak in); the oracle
+    derives every verdict independently from the fixture recipe."""
+    from sparkplug_spark.operators import match_robots, parse_robots_txt
+
+    docs = _read(spark, sf_dir, "documents")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/"),
+        F.col("source"),
+        F.lit("/\n\nUser-agent: trainbot\nDisallow: /\nAllow: /open/\n"),
+    )
+    hosts = (
+        docs.select("source").distinct()
+        .select(
+            F.concat(F.col("source"), F.lit(".com")).alias("host"),
+            robots.alias("robots_txt"),
+        )
+    )
+    rules = parse_robots_txt(hosts).persist()
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/public/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/private/"), F.col("source"), F.lit("/"),
+                       F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 3, F.lit(""))
+        .otherwise(
+            F.concat(F.lit("/open/"), F.col("doc_id").cast("string"))
+        )
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".com"), path
+        ).alias("url"),
+    )
+    star = match_robots(urls, rules, agent="crawler")
+    tb = match_robots(urls, rules, agent="trainbot").select(
+        "doc_id",
+        F.col("matched_path").alias("tb_path"),
+        F.col("matched_directive").alias("tb_directive"),
+        F.col("allowed").alias("tb_allowed"),
+    )
+    from sparkplug_spark.caching import materialize_release
+
+    return materialize_release(star.join(tb, "doc_id"), rules)
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -5750,6 +5882,132 @@ def _image_text_dedup_oracle_sql() -> str:
               + bit_count(xor(a.dhash_lo, b.dhash_lo)) <= 3
     """
     )
+
+
+def _page_links_oracle_sql() -> str:
+    """DuckDB twin of q_page_links: every (pos, href, anchor, rel,
+    canon) row derived arithmetically from the fixture recipe."""
+    return """
+        WITH pl AS (
+          SELECT doc_id, doc_id % 40 AS p,
+                 ((doc_id % 40) + 1) % 40 AS p1,
+                 ((doc_id % 40) + 5) % 40 AS p2,
+                 ((doc_id % 40) * 7 + 3) % 40 AS p3
+          FROM documents
+        )
+        SELECT doc_id, 0::BIGINT AS link_pos,
+               CASE WHEN p % 2 = 0
+                    THEN 'HTTP://WWW.corpus.example/page/' || p1::VARCHAR
+                         || '?utm_source=z'
+                    ELSE 'http://corpus.example/page/' || p1::VARCHAR END
+                 AS href,
+               'see page ' || p1::VARCHAR AS anchor_text,
+               NULL AS rel,
+               'http://corpus.example/page/' || p1::VARCHAR AS href_canon
+        FROM pl
+        UNION ALL
+        SELECT doc_id, 1, 'http://corpus.example/page/' || p2::VARCHAR,
+               'sponsored ' || doc_id::VARCHAR, 'nofollow',
+               'http://corpus.example/page/' || p2::VARCHAR
+        FROM pl
+        UNION ALL
+        SELECT doc_id, 2, 'http://corpus.example/page/' || p3::VARCHAR,
+               'also page ' || p3::VARCHAR, NULL,
+               'http://corpus.example/page/' || p3::VARCHAR
+        FROM pl
+    """
+
+
+def _link_graph_oracle_sql() -> str:
+    """DuckDB twin of q_link_graph: the followable edge set rebuilt
+    arithmetically, then the E199 integer-PageRank recursion (directed:
+    in-adjacency lists + out-degree vector carried as single-row list
+    state; no dangling by construction, so the dangling share is
+    identically zero)."""
+    return """
+        WITH RECURSIVE lg_raw AS (
+          SELECT p, (p + 1) % 40 AS q FROM range(0, 40) t(p)
+          UNION ALL
+          SELECT p, (p * 7 + 3) % 40 FROM range(0, 40) t(p)
+        ),
+        lg_e AS (
+          SELECT DISTINCT
+            'http://corpus.example/page/' || p::VARCHAR AS s,
+            'http://corpus.example/page/' || q::VARCHAR AS d
+          FROM lg_raw
+        ),
+        ord AS (
+          SELECT v, row_number() OVER (ORDER BY v) AS idx
+          FROM (SELECT s AS v FROM lg_e UNION SELECT d FROM lg_e)
+        ),
+        inadjp AS (
+          SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+          FROM lg_e e JOIN ord o1 ON e.s = o1.v JOIN ord o2 ON e.d = o2.v
+          GROUP BY o2.idx
+        ),
+        odegp AS (
+          SELECT o1.idx AS i, count(*)::BIGINT AS od
+          FROM lg_e e JOIN ord o1 ON e.s = o1.v GROUP BY o1.idx
+        ),
+        adjrow AS (
+          SELECT (SELECT list(coalesce(ia.nb, CAST([] AS BIGINT[]))
+                              ORDER BY o.idx)
+                  FROM ord o LEFT JOIN inadjp ia ON ia.i = o.idx) AS A,
+                 (SELECT list(coalesce(od.od, 0) ORDER BY o.idx)
+                  FROM ord o LEFT JOIN odegp od ON od.i = o.idx) AS odeg
+        ),
+        it AS (
+          SELECT 0 AS k,
+                 list_transform(range(1, len(odeg) + 1),
+                                i -> CAST(1000000000 AS BIGINT)) AS m
+          FROM adjrow
+          UNION ALL
+          SELECT k + 1,
+                 list_transform(range(1, len(m) + 1), i -> CAST(
+                   150000000 + 85 * coalesce(list_sum(list_transform(
+                     a.A[i], j -> m[j] // a.odeg[j])), 0) // 100 AS BIGINT))
+          FROM it, adjrow a WHERE k < 8
+        ),
+        fin AS (SELECT m FROM it ORDER BY k DESC LIMIT 1)
+        SELECT o.v AS node, CAST(f.m[o.idx] AS BIGINT) AS rank_nano
+        FROM ord o, fin f
+    """
+
+
+def _robots_gate_oracle_sql() -> str:
+    """DuckDB twin of q_robots_gate: verdicts for both agent tiers
+    derived INDEPENDENTLY from the fixture recipe (star group:
+    disallow /private/ with a longer /private/<source>/ allow; trainbot
+    group: disallow / with an /open/ allow — the star allow must not
+    leak into the trainbot tier)."""
+    return """
+        WITH rg AS (
+          SELECT doc_id, source, doc_id % 5 AS m,
+                 source || '.com' AS host,
+                 'http://' || source || '.com' ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN '/public/' || doc_id::VARCHAR
+                      WHEN doc_id % 5 = 1
+                      THEN '/private/' || doc_id::VARCHAR
+                      WHEN doc_id % 5 = 2
+                      THEN '/private/' || source || '/' || doc_id::VARCHAR
+                      WHEN doc_id % 5 = 3 THEN ''
+                      ELSE '/open/' || doc_id::VARCHAR END AS url
+          FROM documents
+        )
+        SELECT doc_id, host, url,
+               CASE WHEN m = 1 THEN '/private/'
+                    WHEN m = 2 THEN '/private/' || source || '/' END
+                 AS matched_path,
+               CASE WHEN m = 1 THEN 'disallow'
+                    WHEN m = 2 THEN 'allow' END AS matched_directive,
+               (m <> 1) AS allowed,
+               CASE WHEN m = 4 THEN '/open/' ELSE '/' END AS tb_path,
+               CASE WHEN m = 4 THEN 'allow' ELSE 'disallow' END
+                 AS tb_directive,
+               (m = 4) AS tb_allowed
+        FROM rg
+    """
 
 
 def _split_sentences_oracle_sql() -> str:
@@ -13451,6 +13709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_ingest": q_wet_ingest,
         "image_text_pairs": q_image_text_pairs,
         "image_text_dedup": q_image_text_dedup,
+        "page_links": q_page_links,
+        "link_graph": q_link_graph,
+        "robots_gate": q_robots_gate,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -13545,6 +13806,9 @@ def oracle_sql() -> dict[str, str]:
     out["policy_gate"] = _policy_gate_oracle_sql()
     out["image_text_pairs"] = _image_text_pairs_oracle_sql()
     out["image_text_dedup"] = _image_text_dedup_oracle_sql()
+    out["page_links"] = _page_links_oracle_sql()
+    out["link_graph"] = _link_graph_oracle_sql()
+    out["robots_gate"] = _robots_gate_oracle_sql()
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()

@@ -46,6 +46,7 @@ __all__ = [
     "extract_html_metadata",
     "extract_image_refs",
     "image_text_pairs",
+    "extract_links",
     "filter_by_policy",
     "drop_repeated_blocks",
     "BLOCK_SPLIT_PATTERN",
@@ -574,6 +575,53 @@ def image_text_pairs(
         F.col("__canon").alias("image_url"),
         "caption",
         *img_cols,
+    )
+
+
+_A_ELEMENT_PAT = r"(?is)<a\b[^>]*>.*?</a>"
+_A_INNER_PAT = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per ``<a>`` element with a non-empty ``href``:
+    ``(id_col, link_pos, href, anchor_text, rel)`` — the link-graph
+    extraction a crawl pipeline feeds into frontier scheduling and
+    PageRank-family ranking.  ``link_pos`` numbers the page's anchor
+    elements in document order from 0; ``anchor_text`` is the element's
+    inner text (tag-stripped, entity-decoded, whitespace-collapsed,
+    NULL when empty); ``rel`` is the lower-cased rel attribute (NULL
+    when absent) so callers can drop ``nofollow``/``sponsored``/``ugc``
+    edges before graph construction.
+
+    Script/style/comment noise is removed first (a commented-out anchor
+    emits nothing).  Pure explode + projection, Java∩RE2 patterns, zero
+    Python, zero shuffle."""
+    pre = _strip_noise(F.col(html_col))
+    return (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.regexp_extract_all(pre, F.lit(_A_ELEMENT_PAT), F.lit(0))
+            ).alias("link_pos", "__el"),
+        )
+        .select(
+            id_col,
+            F.col("link_pos").cast("long").alias("link_pos"),
+            _attr(F.col("__el"), "href").alias("href"),
+            F.nullif(
+                _clean_text(F.regexp_extract("__el", _A_INNER_PAT, 1)),
+                F.lit(""),
+            ).alias("anchor_text"),
+            F.nullif(F.lower(_attr(F.col("__el"), "rel")), F.lit("")).alias(
+                "rel"
+            ),
+        )
+        .where(F.col("href") != "")
     )
 
 

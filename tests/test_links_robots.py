@@ -1,0 +1,132 @@
+"""Link extraction (E247) and robots.txt parsing/matching (E248)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    extract_links,
+    match_robots,
+    parse_robots_txt,
+)
+
+
+class TestExtractLinks:
+    def _links(self, spark, html):
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        return sorted(
+            extract_links(df).collect(), key=lambda r: r["link_pos"]
+        )
+
+    def test_href_text_rel(self, spark):
+        html = (
+            '<a href="http://e.com/a">first <b>link</b> &amp; text</a>'
+            '<a rel="NoFollow" href="/b">second</a>'
+            "<a name='anchor-only'>no href</a>"
+        )
+        rows = self._links(spark, html)
+        assert [(r["link_pos"], r["href"]) for r in rows] == [
+            (0, "http://e.com/a"), (1, "/b"),
+        ]
+        assert rows[0]["anchor_text"] == "first link & text"
+        assert rows[0]["rel"] is None
+        assert rows[1]["rel"] == "nofollow"
+
+    def test_empty_anchor_text_null(self, spark):
+        rows = self._links(spark, '<a href="/x"></a>')
+        assert rows[0]["anchor_text"] is None
+
+    def test_commented_anchor_ignored(self, spark):
+        rows = self._links(
+            spark, '<!-- <a href="/ghost">g</a> --><a href="/r">r</a>'
+        )
+        assert [r["href"] for r in rows] == ["/r"]
+
+
+ROBOTS = """# site policy
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+
+User-agent: trainbot
+User-agent: otherbot
+Disallow: /
+Allow: /open/
+Disallow:
+Disallow: /glob/*.json
+"""
+
+
+class TestParseRobots:
+    def _rules(self, spark):
+        df = spark.createDataFrame(
+            [("e.com", ROBOTS)], "host string, robots_txt string"
+        )
+        return parse_robots_txt(df).collect()
+
+    def test_groups_and_shared_agents(self, spark):
+        rows = self._rules(spark)
+        star = {(r["directive"], r["path"]) for r in rows if r["agent"] == "*"}
+        assert star == {("disallow", "/private/"), ("allow", "/private/ok/")}
+        # consecutive UA lines share the second group's rules
+        tb = {(r["directive"], r["path"]) for r in rows if r["agent"] == "trainbot"}
+        ob = {(r["directive"], r["path"]) for r in rows if r["agent"] == "otherbot"}
+        assert tb == ob
+        assert ("disallow", "/") in tb and ("allow", "/open/") in tb
+        assert ("disallow", "") in tb  # empty disallow kept, matcher ignores
+
+    def test_wildcard_flagged(self, spark):
+        rows = self._rules(spark)
+        wc = [r for r in rows if r["has_wildcard"]]
+        assert wc and all(r["path"] == "/glob/*.json" for r in wc)
+
+    def test_comments_stripped(self, spark):
+        df = spark.createDataFrame(
+            [("e.com", "User-agent: * # all\nDisallow: /x # hidden\n")],
+            "host string, robots_txt string",
+        )
+        rows = parse_robots_txt(df).collect()
+        assert [(r["agent"], r["path"]) for r in rows] == [("*", "/x")]
+
+
+class TestMatchRobots:
+    def _verdicts(self, spark, agent):
+        rules = parse_robots_txt(
+            spark.createDataFrame(
+                [("e.com", ROBOTS)], "host string, robots_txt string"
+            )
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "e.com", "http://e.com/public/page"),
+                (2, "e.com", "http://e.com/private/doc"),
+                (3, "e.com", "http://e.com/private/ok/doc"),
+                (4, "e.com", "http://e.com/open/data"),
+                (5, "e.com", "http://e.com"),
+                (6, "other.com", "http://other.com/private/doc"),
+            ],
+            "doc_id long, host string, url string",
+        )
+        return {
+            r["doc_id"]: r
+            for r in match_robots(urls, rules, agent=agent).collect()
+        }
+
+    def test_star_group(self, spark):
+        v = self._verdicts(spark, "somebot")
+        assert v[1]["allowed"] and v[1]["matched_path"] is None
+        assert not v[2]["allowed"]
+        assert v[2]["matched_path"] == "/private/"
+        # longest match wins: the allow outranks the shorter disallow
+        assert v[3]["allowed"] and v[3]["matched_path"] == "/private/ok/"
+        assert v[4]["allowed"]
+        assert v[5]["allowed"]  # bare host -> path "/"; no "/" rule in *
+        assert v[6]["allowed"]  # host without robots rules
+
+    def test_exact_agent_group_preferred(self, spark):
+        v = self._verdicts(spark, "TrainBot")
+        assert not v[1]["allowed"]  # Disallow: / catches everything
+        assert v[1]["matched_path"] == "/"
+        assert v[4]["allowed"] and v[4]["matched_path"] == "/open/"
+        assert not v[5]["allowed"]
+        # the * group's /private/ok/ allow does NOT apply to trainbot
+        assert not v[3]["allowed"]
