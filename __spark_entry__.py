@@ -4188,6 +4188,30 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_release(star.join(tb, "doc_id"), rules)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl frontier construction (E249): followable links from the
+    E247 fixture pages, canonicalized and collapsed to one row per
+    target with reference counts and the deterministic first
+    discoverer, anti-joined against the already-crawled set (pages
+    p % 4 != 3) and md5-race-capped per registered domain (cap 7 of the
+    10 fresh urls survive) — discover/dedupe/politeness in one value
+    hash."""
+    from sparkplug_spark.operators import crawl_frontier
+
+    pages = _page_links_pages(spark, sf_dir)
+    crawled = (
+        spark.range(40)
+        .where(F.col("id") % 4 != 3)
+        .select(
+            F.concat(
+                F.lit("http://corpus.example/page/"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+    )
+    return crawl_frontier(pages, crawled, per_domain_cap=7)
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -6007,6 +6031,45 @@ def _robots_gate_oracle_sql() -> str:
                  AS tb_directive,
                (m = 4) AS tb_allowed
         FROM rg
+    """
+
+
+def _crawl_frontier_oracle_sql() -> str:
+    """DuckDB twin of q_crawl_frontier: followable reference rows
+    rebuilt arithmetically from the fixture recipe, grouped per target
+    (count + min (doc, pos) discoverer), crawled urls (p % 4 != 3)
+    anti-joined, md5-race domain cap replayed."""
+    return """
+        WITH cf_refs AS (
+          SELECT doc_id, 0 AS pos,
+                 ((doc_id % 40) + 1) % 40 AS tgt
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 2, ((doc_id % 40) * 7 + 3) % 40
+          FROM documents
+        ),
+        cf_t AS (
+          SELECT 'http://corpus.example/page/' || tgt::VARCHAR AS url,
+                 count(*)::BIGINT AS n_refs,
+                 min(struct_pack(d := doc_id, p := pos)) AS first
+          FROM cf_refs GROUP BY tgt
+        ),
+        cf_fresh AS (
+          SELECT url, n_refs,
+                 first.d AS first_doc, first.p::BIGINT AS first_pos
+          FROM cf_t
+          WHERE url NOT IN (
+            SELECT 'http://corpus.example/page/' || p::VARCHAR
+            FROM range(0, 40) t(p) WHERE p % 4 <> 3)
+        )
+        SELECT url, n_refs, first_doc, first_pos,
+               'corpus.example' AS url_domain, rn AS domain_rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   ORDER BY ('0x' || substr(md5(url),1,15))::BIGINT, url
+                 ) AS rn
+          FROM cf_fresh
+        ) WHERE rn <= 7
     """
 
 
@@ -13712,6 +13775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_links": q_page_links,
         "link_graph": q_link_graph,
         "robots_gate": q_robots_gate,
+        "crawl_frontier": q_crawl_frontier,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -13809,6 +13873,7 @@ def oracle_sql() -> dict[str, str]:
     out["page_links"] = _page_links_oracle_sql()
     out["link_graph"] = _link_graph_oracle_sql()
     out["robots_gate"] = _robots_gate_oracle_sql()
+    out["crawl_frontier"] = _crawl_frontier_oracle_sql()
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()

@@ -47,6 +47,7 @@ __all__ = [
     "extract_image_refs",
     "image_text_pairs",
     "extract_links",
+    "crawl_frontier",
     "filter_by_policy",
     "drop_repeated_blocks",
     "BLOCK_SPLIT_PATTERN",
@@ -622,6 +623,79 @@ def extract_links(
             ),
         )
         .where(F.col("href") != "")
+    )
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    crawled: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    per_domain_cap: int = 1000,
+    drop_rel: Sequence[str] = ("nofollow", "sponsored", "ugc"),
+) -> DataFrame:
+    """Build the next crawl frontier from fetched pages: extract links,
+    drop opted-out edge kinds (``rel`` is a space-separated token list —
+    any token in ``drop_rel`` drops the edge), canonicalize targets
+    (E172), collapse to one row per target URL with its reference count
+    and deterministic first discoverer, anti-join the already-crawled
+    set, and cap per registered domain (E171's md5-race cap — politeness
+    and anti-spider-trap in one knob).
+
+    Returns ``(url, n_refs, first_doc, first_pos, url_domain,
+    domain_rank)``: ``n_refs`` counts followable references,
+    ``(first_doc, first_pos)`` is the smallest (page id, link position)
+    that discovered the URL — a stable provenance pointer.
+
+    Scale shape: link rows shuffle once keyed on the canonical URL (the
+    aggregate), the crawled set joins as a second URL-keyed shuffle
+    (both sides are url+count tuples, never page bytes), and the domain
+    cap is one bounded window — the standard frontier shape at ~10^11
+    discovered URLs per snapshot."""
+    links = extract_links(pages, html_col=html_col, id_col=id_col)
+    if drop_rel:
+        drop_arr = F.array(*[F.lit(t.lower()) for t in drop_rel])
+        toks = F.filter(
+            F.split(F.coalesce(F.col("rel"), F.lit("")), " "),
+            lambda t: t != "",
+        )
+        links = links.where(F.size(F.array_intersect(toks, drop_arr)) == 0)
+    from .urls import canonicalize_urls
+
+    targets = (
+        canonicalize_urls(links, url_col="href", out_col="url")
+        .where(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("link_pos").alias("p")
+                )
+            ).alias("__first"),
+        )
+        .select(
+            "url",
+            "n_refs",
+            F.col("__first.d").alias("first_doc"),
+            F.col("__first.p").alias("first_pos"),
+        )
+    )
+    seen = (
+        canonicalize_urls(crawled, url_col=url_col, out_col="__canon")
+        .where(F.col("__canon").isNotNull())
+        .select(F.col("__canon").alias("url"))
+        .distinct()
+    )
+    fresh = targets.join(seen, "url", "left_anti")
+    from .urls import cap_per_domain
+
+    return cap_per_domain(
+        fresh, url_col="url", cap=per_domain_cap, id_col="url"
+    ).select(
+        "url", "n_refs", "first_doc", "first_pos", "url_domain",
+        "domain_rank",
     )
 
 

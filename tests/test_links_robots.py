@@ -130,3 +130,56 @@ class TestMatchRobots:
         assert not v[5]["allowed"]
         # the * group's /private/ok/ allow does NOT apply to trainbot
         assert not v[3]["allowed"]
+
+
+class TestCrawlFrontier:
+    def test_discover_dedupe_cap(self, spark):
+        from sparkplug_spark.operators import crawl_frontier
+
+        pages = spark.createDataFrame(
+            [
+                (1, '<a href="http://e.com/new/a">x</a>'
+                    '<a href="HTTP://WWW.e.com/new/a?utm_s=1">dup</a>'
+                    '<a rel="nofollow" href="http://e.com/spam">s</a>'),
+                (2, '<a href="http://e.com/new/a">y</a>'
+                    '<a href="http://e.com/seen">old</a>'
+                    '<a href="http://e.com/new/b">z</a>'),
+            ],
+            "doc_id long, html string",
+        )
+        crawled = spark.createDataFrame(
+            [("http://e.com/seen",)], "url string"
+        )
+        out = {
+            r["url"]: r
+            for r in crawl_frontier(pages, crawled).collect()
+        }
+        assert set(out) == {"http://e.com/new/a", "http://e.com/new/b"}
+        a = out["http://e.com/new/a"]
+        assert a["n_refs"] == 3  # both variants from doc1 + doc2's ref
+        assert (a["first_doc"], a["first_pos"]) == (1, 0)
+        assert a["url_domain"] == "e.com"
+
+    def test_per_domain_cap_deterministic(self, spark):
+        from sparkplug_spark.operators import crawl_frontier
+
+        html = "".join(
+            f'<a href="http://e.com/p/{i}">l</a>' for i in range(10)
+        )
+        pages = spark.createDataFrame(
+            [(1, html)], "doc_id long, html string"
+        )
+        crawled = spark.createDataFrame([("http://x.com/",)], "url string")
+        out1 = sorted(
+            r["url"]
+            for r in crawl_frontier(
+                pages, crawled, per_domain_cap=4
+            ).collect()
+        )
+        out2 = sorted(
+            r["url"]
+            for r in crawl_frontier(
+                pages, crawled, per_domain_cap=4
+            ).collect()
+        )
+        assert len(out1) == 4 and out1 == out2
