@@ -474,15 +474,27 @@ def extract_image_refs(
     narrow (id, src, caption) aggregate joined back — no nested-DOM
     parsing, no Python, one explode + one small join."""
     pre = _strip_noise(F.col(html_col))
-    base = spread(df).select(F.col(id_col), pre.alias("__pre"))
+    # ONE html scan extracts both tag arrays; the (small) arrays-only
+    # frame is what fans out to the img and figure consumers — persisted
+    # and released via the caller-visible eager output (the
+    # fan-out-intermediates invariant, without caching raw page bytes)
+    base = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.regexp_extract_all(pre, F.lit(_IMG_TAG_PAT), F.lit(0)).alias(
+                "__imgs"
+            ),
+            F.regexp_extract_all(pre, F.lit(_FIGURE_PAT), F.lit(0)).alias(
+                "__figs"
+            ),
+        )
+        .persist()
+    )
     imgs = (
         base.select(
             id_col,
-            F.posexplode(
-                F.regexp_extract_all(
-                    F.col("__pre"), F.lit(_IMG_TAG_PAT), F.lit(0)
-                )
-            ).alias("img_pos", "__tag"),
+            F.posexplode(F.col("__imgs")).alias("img_pos", "__tag"),
         )
         .select(
             id_col,
@@ -498,11 +510,7 @@ def extract_image_refs(
     figcaps = (
         base.select(
             id_col,
-            F.explode(
-                F.regexp_extract_all(
-                    F.col("__pre"), F.lit(_FIGURE_PAT), F.lit(0)
-                )
-            ).alias("__fig"),
+            F.explode(F.col("__figs")).alias("__fig"),
         )
         .select(
             id_col,
@@ -520,7 +528,7 @@ def extract_image_refs(
         .groupBy(id_col, "src")
         .agg(F.min("__cap").alias("figcaption"))
     )
-    return imgs.join(figcaps, [id_col, "src"], "left").select(
+    out = imgs.join(figcaps, [id_col, "src"], "left").select(
         id_col,
         "img_pos",
         "src",
@@ -529,6 +537,9 @@ def extract_image_refs(
         "figcaption",
         F.coalesce("figcaption", "alt", "title").alias("caption"),
     )
+    from ..caching import materialize_release
+
+    return materialize_release(out, base)
 
 
 def image_text_pairs(

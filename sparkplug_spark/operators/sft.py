@@ -252,11 +252,18 @@ def pack_transcripts(
             lambda t: t != "",
         )
     ).cast("long") + int(turn_overhead)
-    per_turn = spread(turns).select(
-        F.col(id_col),
-        "turn",
-        "role",
-        tok.alias("n_tokens"),
+    # per_turn fans out (the totals chain AND the offsets join): persist
+    # once, release after the result materializes — the
+    # fan-out-intermediates invariant
+    per_turn = (
+        spread(turns)
+        .select(
+            F.col(id_col),
+            "turn",
+            "role",
+            tok.alias("n_tokens"),
+        )
+        .persist()
     )
     totals = per_turn.groupBy(id_col).agg(
         F.sum("n_tokens").cast("long").alias("__t_tokens")
@@ -279,7 +286,7 @@ def pack_transcripts(
         if mask_roles
         else F.lit(0).cast("int")
     )
-    return joined.select(
+    out = joined.select(
         "pack_group",
         "shard_id",
         id_col,
@@ -290,6 +297,7 @@ def pack_transcripts(
         "n_tokens",
         mask.alias("mask"),
     )
+    return materialize_release(out, per_turn)
 
 
 def preference_pairs(
