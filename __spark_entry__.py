@@ -4212,6 +4212,63 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(pages, crawled, per_domain_cap=7)
 
 
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-text profile (E250): the link-based retrieval
+    signal — followable anchors from the E247 fixture, tokenized and
+    aggregated per canonical TARGET url, top-3 terms by (count desc,
+    token) — how other pages describe a page, the text web search has
+    always indexed beside the page's own; the oracle recomputes the
+    token counts independently from the fixture recipe."""
+    from pyspark.sql import Window
+
+    from sparkplug_spark.operators import canonicalize_urls, extract_links
+
+    pages = _page_links_pages(spark, sf_dir)
+    links = extract_links(pages).where(
+        F.col("rel").isNull() | ~F.col("rel").contains("nofollow")
+    )
+    refs = canonicalize_urls(links, url_col="href", out_col="url")
+    toks = refs.select(
+        "url",
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col("anchor_text"), F.lit(""))),
+                    "[^a-z0-9]+",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("url", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("url", "token", "n", "rank")
+    )
+
+
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-respecting chunking (E251): the E241 fixture sentences
+    pack greedily into 12-token chunks without ever splitting a
+    sentence (an over-budget sentence takes its own chunk); counts,
+    token sums, and the reassembled chunk text are value-hashed — the
+    recursive-CTE oracle replays the greedy fold step-for-step."""
+    from sparkplug_spark.operators import chunk_sentences
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_sentences(
+        _sentence_fixture(docs), chunk_tokens=12, min_chars=2
+    )
+    return out.select(
+        "doc_id", "chunk_idx", "n_sentences", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -6073,12 +6130,45 @@ def _crawl_frontier_oracle_sql() -> str:
     """
 
 
-def _split_sentences_oracle_sql() -> str:
-    """DuckDB twin of q_split_sentences: same fixture punctuation, the
-    abbreviation/decimal protection chain generated from the SAME
-    DEFAULT_ABBREVIATIONS table (RE2 replacement backrefs are \\1 and
-    need the 'g' flag), boundary sentinels, split, restore, filter,
-    indexed unnest."""
+def _anchor_terms_oracle_sql() -> str:
+    """DuckDB twin of q_anchor_terms: followable anchor texts rebuilt
+    from the fixture recipe, tokenized, counted per target, top-3 by
+    (count desc, token)."""
+    return """
+        WITH at_refs AS (
+          SELECT ((doc_id % 40) + 1) % 40 AS tgt,
+                 'see page ' || (((doc_id % 40) + 1) % 40)::VARCHAR AS txt
+          FROM documents
+          UNION ALL
+          SELECT ((doc_id % 40) * 7 + 3) % 40,
+                 'also page ' || (((doc_id % 40) * 7 + 3) % 40)::VARCHAR
+          FROM documents
+        ),
+        at_tok AS (
+          SELECT tgt,
+                 unnest(list_filter(
+                   string_split_regex(lower(txt), '[^a-z0-9]+'),
+                   t -> t <> '')) AS token
+          FROM at_refs
+        ),
+        at_cnt AS (
+          SELECT tgt, token, count(*)::BIGINT AS n
+          FROM at_tok GROUP BY tgt, token
+        )
+        SELECT 'http://corpus.example/page/' || tgt::VARCHAR AS url,
+               token, n, rn AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY tgt ORDER BY n DESC, token) AS rn
+          FROM at_cnt
+        ) WHERE rn <= 3
+    """
+
+
+def _sentence_arr_ctes() -> str:
+    """Shared CTE chain (ss_raw → ss_arr) rebuilding the E241 sentence
+    fixture and replaying the sentinel split to a per-doc sentence
+    ARRAY — used by the split_sentences and chunk_sentences oracles."""
     from sparkplug_spark.operators.sentences import DEFAULT_ABBREVIATIONS
 
     cur = "txt"
@@ -6094,8 +6184,7 @@ def _split_sentences_oracle_sql() -> str:
     cur = (
         f"regexp_replace({cur}, '([.!?]+)(\\s+)', '\\1' || chr(1), 'g')"
     )
-    return f"""
-        WITH ss_raw AS (
+    return f"""ss_raw AS (
           SELECT doc_id,
             CASE WHEN doc_id % 3 = 0 THEN 'dr. smith notes that '
                  ELSE '' END
@@ -6121,7 +6210,16 @@ def _split_sentences_oracle_sql() -> str:
                                   s -> trim(replace(s, chr(2), '.'))),
                    s -> length(s) >= 2) AS arr
           FROM ss_marked
-        ),
+        )"""
+
+
+def _split_sentences_oracle_sql() -> str:
+    """DuckDB twin of q_split_sentences: the shared sentence-array CTE
+    chain (fixture punctuation, abbreviation/decimal protection from the
+    SAME DEFAULT_ABBREVIATIONS table, boundary sentinels), indexed
+    unnest."""
+    return f"""
+        WITH {_sentence_arr_ctes()},
         ss_u AS (
           SELECT doc_id,
                  unnest(list_transform(range(1, len(arr) + 1),
@@ -6131,6 +6229,43 @@ def _split_sentences_oracle_sql() -> str:
         SELECT doc_id, u.pos::BIGINT AS sent_pos, u.s AS sentence,
                length(u.s)::BIGINT AS n_chars
         FROM ss_u
+    """
+
+
+def _chunk_sentences_oracle_sql(budget: int) -> str:
+    """DuckDB twin of q_chunk_sentences: the shared sentence-array CTEs,
+    whitespace token counts, and the greedy fold replayed as a
+    recursive walk over sentence positions (stay in the chunk iff
+    used + c <= budget; an over-budget sentence opens its own chunk),
+    then per-(doc, chunk) reassembly."""
+    return f"""
+        WITH RECURSIVE {_sentence_arr_ctes()},
+        cs_ct AS (
+          SELECT doc_id, arr,
+                 list_transform(arr, s -> len(list_filter(
+                   string_split_regex(s, '[ \\t\\n]+'),
+                   t -> t <> ''))::BIGINT) AS cnts
+          FROM ss_arr WHERE len(arr) >= 1
+        ),
+        cs_walk(doc_id, pos, idx, used) AS (
+          SELECT doc_id, 1, 0::BIGINT, cnts[1] FROM cs_ct
+          UNION ALL
+          SELECT w.doc_id, w.pos + 1,
+                 CASE WHEN w.used + c.cnts[w.pos + 1] <= {budget}
+                      THEN w.idx ELSE w.idx + 1 END,
+                 CASE WHEN w.used + c.cnts[w.pos + 1] <= {budget}
+                      THEN w.used + c.cnts[w.pos + 1]
+                      ELSE c.cnts[w.pos + 1] END
+          FROM cs_walk w JOIN cs_ct c USING (doc_id)
+          WHERE w.pos < len(c.cnts)
+        )
+        SELECT w.doc_id, w.idx AS chunk_idx,
+               count(*)::BIGINT AS n_sentences,
+               sum(c.cnts[w.pos])::BIGINT AS n_chunk_tokens,
+               md5(string_agg(c.arr[w.pos], ' ' ORDER BY w.pos))
+                 AS chunk_md5
+        FROM cs_walk w JOIN cs_ct c USING (doc_id)
+        GROUP BY w.doc_id, w.idx
     """
 
 
@@ -13776,6 +13911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "robots_gate": q_robots_gate,
         "crawl_frontier": q_crawl_frontier,
+        "anchor_terms": q_anchor_terms,
+        "chunk_sentences": q_chunk_sentences,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -13874,6 +14011,8 @@ def oracle_sql() -> dict[str, str]:
     out["link_graph"] = _link_graph_oracle_sql()
     out["robots_gate"] = _robots_gate_oracle_sql()
     out["crawl_frontier"] = _crawl_frontier_oracle_sql()
+    out["anchor_terms"] = _anchor_terms_oracle_sql()
+    out["chunk_sentences"] = _chunk_sentences_oracle_sql(budget=12)
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()

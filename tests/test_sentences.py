@@ -69,3 +69,50 @@ class TestSplitSentences:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             split_sentences(df, min_chars=0)
+
+
+class TestChunkSentences:
+    def _chunks(self, spark, text, budget, **kw):
+        from sparkplug_spark.operators import chunk_sentences
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            chunk_sentences(df, chunk_tokens=budget, **kw).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+
+    def test_greedy_packing_respects_boundaries(self, spark):
+        text = "one two three. four five. six seven eight nine. ten."
+        # counts: 3, 2, 4, 1; budget 5 -> [3+2], [4+1]
+        rows = self._chunks(spark, text, 5)
+        assert [(r["chunk_idx"], r["n_sentences"], r["n_chunk_tokens"])
+                for r in rows] == [(0, 2, 5), (1, 2, 5)]
+        assert rows[0]["chunk_text"] == "one two three. four five."
+        assert rows[1]["chunk_text"] == "six seven eight nine. ten."
+
+    def test_oversize_sentence_alone(self, spark):
+        text = "a b c d e f g h. ok."
+        rows = self._chunks(spark, text, 3)
+        assert [(r["n_sentences"], r["n_chunk_tokens"]) for r in rows] == [
+            (1, 8), (1, 1),
+        ]
+
+    def test_abbreviations_not_split(self, spark):
+        text = "dr. smith spoke to mr. jones today. they agreed."
+        rows = self._chunks(spark, text, 100)
+        assert len(rows) == 1 and rows[0]["n_sentences"] == 2
+
+    def test_empty_text_yields_no_rows(self, spark):
+        from sparkplug_spark.operators import chunk_sentences
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        assert chunk_sentences(df).count() == 0
+
+    def test_param_validation(self, spark):
+        from sparkplug_spark.operators import chunk_sentences
+
+        df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_sentences(df, chunk_tokens=0)
