@@ -1812,6 +1812,13 @@ def _write_warc_fixture(
             body = str(r[payload_col]).encode("utf-8")
             if record_kind == "conversion":
                 rec = warc_conversion_record(uri, body, record_id=rid)
+            elif record_kind == "metadata":
+                from sparkplug_spark.sources import warc_record
+
+                rec = warc_record(
+                    "metadata", body, target_uri=uri, record_id=rid,
+                    content_type="application/json",
+                )
             else:
                 rec = warc_response_record(
                     uri, body, status=200,
@@ -4266,6 +4273,79 @@ def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "chunk_idx", "n_sentences", "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_wat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata tier (E246): per-doc Common-Crawl-shape envelope
+    JSON round-trips through real `metadata` WARC records and the
+    semi-structured lane parses it back — target URI, entity length and
+    the outlink count are extracted with get_json_object and checked
+    against the documents table (the envelope carries n_chars and a
+    doc_id-derived link list, so a framing OR JSON-path bug breaks the
+    value hash)."""
+    from sparkplug_spark.sources import read_warc
+
+    docs = _read(spark, sf_dir, "documents")
+    links = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 3 + 1).cast("int")),
+        lambda i: F.struct(
+            F.concat(
+                F.lit("http://corpus.example/out/"), i.cast("string")
+            ).alias("url")
+        ),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.concat(
+                        F.lit("http://corpus.example/doc/"),
+                        F.col("doc_id").cast("string"),
+                    ).alias("WARC-Target-URI")
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(
+                        F.struct(links.alias("Links")).alias(
+                            "HTML-Metadata"
+                        ),
+                        F.col("n_chars").alias("Entity-Length"),
+                    ).alias("HTTP-Response-Metadata")
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    wat = docs.select("doc_id", envelope.alias("wat"))
+    tmp = _write_warc_fixture(
+        wat, "wat", "application/json", "sparkplug_wat_",
+        record_kind="metadata",
+    )
+    recs = read_warc(spark, tmp + "/*.warc.gz", record_types=("metadata",))
+    j = F.decode(F.col("payload"), "utf-8")
+    env = "$['Envelope']"
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.get_json_object(
+            j, f"{env}['WARC-Header-Metadata']['WARC-Target-URI']"
+        ).alias("uri_json"),
+        F.get_json_object(
+            j,
+            f"{env}['Payload-Metadata']['HTTP-Response-Metadata']"
+            "['Entity-Length']",
+        )
+        .cast("long")
+        .alias("entity_length"),
+        F.json_array_length(
+            F.get_json_object(
+                j,
+                f"{env}['Payload-Metadata']['HTTP-Response-Metadata']"
+                "['HTML-Metadata']['Links']",
+            )
+        )
+        .cast("long")
+        .alias("n_links"),
     )
 
 
@@ -13913,6 +13993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "anchor_terms": q_anchor_terms,
         "chunk_sentences": q_chunk_sentences,
+        "wat_ingest": q_wat_ingest,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -14013,6 +14094,16 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_frontier"] = _crawl_frontier_oracle_sql()
     out["anchor_terms"] = _anchor_terms_oracle_sql()
     out["chunk_sentences"] = _chunk_sentences_oracle_sql(budget=12)
+    # WAT round-trip (E246): envelope fields derive from the documents
+    # table (uri from doc_id, entity length = n_chars, links = doc%3+2)
+    out["wat_ingest"] = """
+        SELECT doc_id,
+               'http://corpus.example/doc/' || doc_id::VARCHAR AS uri_json,
+               n_chars::BIGINT AS entity_length,
+               (doc_id % 3 + 2)::BIGINT AS n_links
+        FROM documents
+    """
+
     # trained at oracle-build time from the same deterministic sample
     # (recursive-CTE BPE apply; see _bpe_oracle_sql)
     out["bpe_token_counts"] = _bpe_oracle_sql()

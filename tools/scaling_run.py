@@ -262,6 +262,13 @@ def main() -> None:
         "lsh_near_dup": ["dedup_minhash_lsh", "dedup_simhash", "near_dup_groups"],
         "iterative_graph": ["pagerank_exact", "coreness"],
         "streaming_store": ["streaming_kmv_replay"],
+        # round 9: the crawl lane (fixture pages scale with documents;
+        # crawl_extract includes the executor-side WARC write+parse
+        # round-trip) and the SFT/text packing family
+        "crawl_lane": [
+            "main_content", "crawl_extract", "robots_gate", "crawl_frontier",
+        ],
+        "sft_text": ["pack_transcripts", "chunk_sentences"],
     }
     if ONLY_FAMILIES:
         families = {k: v for k, v in families.items() if k in ONLY_FAMILIES}
