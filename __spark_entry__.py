@@ -4128,7 +4128,9 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _page_links_pages(spark, sf_dir)
     links = extract_links(pages)
     follow = links.where(
-        F.col("rel").isNull() | ~F.col("rel").contains("nofollow")
+        ~F.array_contains(
+            F.split(F.coalesce(F.col("rel"), F.lit("")), " "), "nofollow"
+        )
     )
     edges = canonicalize_urls(follow, url_col="href", out_col="dst").select(
         F.concat(
@@ -4232,7 +4234,9 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _page_links_pages(spark, sf_dir)
     links = extract_links(pages).where(
-        F.col("rel").isNull() | ~F.col("rel").contains("nofollow")
+        ~F.array_contains(
+            F.split(F.coalesce(F.col("rel"), F.lit("")), " "), "nofollow"
+        )
     )
     refs = canonicalize_urls(links, url_col="href", out_col="url")
     toks = refs.select(
