@@ -4353,6 +4353,23 @@ def q_wat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering (E252): the E239 fixture transcripts
+    parse to turns and render to one generic-delimiter training string
+    per transcript — ordering, the NULL-role preamble fallback, and the
+    exact assembled bytes are all in the value hash."""
+    from sparkplug_spark.operators import parse_dialogue, render_chat
+
+    docs = _read(spark, sf_dir, "documents")
+    fixture = docs.select(
+        "doc_id", _dialogue_fixture_transcript().alias("text")
+    )
+    out = render_chat(parse_dialogue(fixture))
+    return out.select(
+        "doc_id", "n_turns", "n_chars", F.md5("text").alias("chat_md5")
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -6295,6 +6312,21 @@ def _sentence_arr_ctes() -> str:
                    s -> length(s) >= 2) AS arr
           FROM ss_marked
         )"""
+
+
+def _chat_render_oracle_sql() -> str:
+    """DuckDB twin of q_chat_render: the shared dialogue turn CTEs,
+    one ordered string_agg of the generic-delimiter pieces."""
+    return _DIALOGUE_TURN_CTES + """
+        SELECT doc_id, count(*)::BIGINT AS n_turns,
+               length(string_agg('<|' || coalesce(role, 'context') || '|>'
+                                 || chr(10) || content,
+                                 chr(10) ORDER BY turn))::BIGINT AS n_chars,
+               md5(string_agg('<|' || coalesce(role, 'context') || '|>'
+                              || chr(10) || content,
+                              chr(10) ORDER BY turn)) AS chat_md5
+        FROM dp_kept GROUP BY doc_id
+    """
 
 
 def _split_sentences_oracle_sql() -> str:
@@ -13998,6 +14030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "chunk_sentences": q_chunk_sentences,
         "wat_ingest": q_wat_ingest,
+        "chat_render": q_chat_render,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -14098,6 +14131,7 @@ def oracle_sql() -> dict[str, str]:
     out["crawl_frontier"] = _crawl_frontier_oracle_sql()
     out["anchor_terms"] = _anchor_terms_oracle_sql()
     out["chunk_sentences"] = _chunk_sentences_oracle_sql(budget=12)
+    out["chat_render"] = _chat_render_oracle_sql()
     # WAT round-trip (E246): envelope fields derive from the documents
     # table (uri from doc_id, entity length = n_chars, links = doc%3+2)
     out["wat_ingest"] = """

@@ -31,6 +31,7 @@ from ..partitioning import spread
 
 __all__ = [
     "parse_dialogue",
+    "render_chat",
     "dialogue_stats",
     "preference_pairs",
     "pack_transcripts",
@@ -298,6 +299,56 @@ def pack_transcripts(
         mask.alias("mask"),
     )
     return materialize_release(out, per_turn)
+
+
+def render_chat(
+    turns: DataFrame,
+    id_col: str = "doc_id",
+    role_open: str = "<|",
+    role_close: str = "|>",
+    turn_sep: str = "\n",
+) -> DataFrame:
+    """Render :func:`parse_dialogue` turns into one training string per
+    transcript — the template step between parsing and the JSONL/shard
+    sink: each turn becomes ``<|role|>\\ncontent`` (a NULL-role preamble
+    renders as ``<|context|>``), turns join with ``turn_sep`` in turn
+    order.  Returns ``(id_col, n_turns, n_chars, text)``.
+
+    The marker syntax is a deliberately GENERIC delimiter scheme (the
+    three knobs cover the common public template shapes); rendering is
+    pure deterministic string assembly — one id-keyed groupBy, the same
+    ordered-struct reassembly as every document rebuild in the repo, so
+    the output value-hashes."""
+    piece = F.concat(
+        F.lit(role_open),
+        F.coalesce(F.col("role"), F.lit("context")),
+        F.lit(role_close),
+        F.lit("\n"),
+        F.col("content"),
+    )
+    return (
+        spread(turns)
+        .select(
+            F.col(id_col),
+            F.struct(F.col("turn").alias("t"), piece.alias("s")).alias("__p"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__p")), lambda x: x["s"]
+                ),
+                turn_sep,
+            ).alias("text"),
+        )
+        .select(
+            id_col,
+            "n_turns",
+            F.length("text").cast("long").alias("n_chars"),
+            "text",
+        )
+    )
 
 
 def preference_pairs(

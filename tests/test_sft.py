@@ -228,3 +228,33 @@ class TestPackTranscripts:
             pack_transcripts(df, budget=0)
         with pytest.raises(ValueError):
             pack_transcripts(df, budget=10, turn_overhead=-1)
+
+
+class TestRenderChat:
+    def test_rendering_order_and_preamble(self, spark):
+        from sparkplug_spark.operators import parse_dialogue, render_chat
+
+        df = spark.createDataFrame(
+            [(1, "preamble line\nuser: hi\nassistant: hello\nthere")],
+            "doc_id long, text string",
+        )
+        r = render_chat(parse_dialogue(df)).collect()[0]
+        assert r["text"] == (
+            "<|context|>\npreamble line\n"
+            "<|user|>\nhi\n"
+            "<|assistant|>\nhello\nthere"
+        )
+        assert r["n_turns"] == 3
+        assert r["n_chars"] == len(r["text"])
+
+    def test_custom_markers(self, spark):
+        from sparkplug_spark.operators import parse_dialogue, render_chat
+
+        df = spark.createDataFrame(
+            [(1, "user: q\nassistant: a")], "doc_id long, text string"
+        )
+        r = render_chat(
+            parse_dialogue(df), role_open="[", role_close="]",
+            turn_sep="\n\n",
+        ).collect()[0]
+        assert r["text"] == "[user]\nq\n\n[assistant]\na"
