@@ -3848,16 +3848,9 @@ def q_main_content_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots/usage-policy gate (E245): fixture pages vary the robots
-    meta (benign / noai reversed-attribute / noindex,nofollow / absent)
-    and the license link (CC-BY / proprietary / absent); the extractor's
-    policy fields and both filter_by_policy verdicts (deny-token gate,
-    license-allowlist gate) are value-hashed per doc."""
-    from sparkplug_spark.operators import extract_html_metadata, filter_by_policy
-
-    docs = _read(spark, sf_dir, "documents")
-    html = F.concat(
+def _policy_fixture_html() -> "F.Column":
+    """The E245 fixture page: robots meta and license link variants."""
+    return F.concat(
         F.lit("<html><head>"),
         F.when(
             F.col("doc_id") % 4 == 0,
@@ -3888,9 +3881,14 @@ def q_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.lit("</p></body></html>"),
     )
-    meta = extract_html_metadata(
-        docs.select("doc_id", html.alias("html")), policy=True
-    )
+
+
+def _policy_verdicts(pages: DataFrame) -> DataFrame:
+    """extract policy fields + both filter_by_policy verdicts — shared by
+    the batch and streaming E245 queries (all stateless projections)."""
+    from sparkplug_spark.operators import extract_html_metadata, filter_by_policy
+
+    meta = extract_html_metadata(pages, policy=True)
     robots = filter_by_policy(meta, flag_only=True).withColumnRenamed(
         "policy_ok", "robots_ok"
     )
@@ -3901,6 +3899,39 @@ def q_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_only=True,
     )
     return licensed.select(
+        "doc_id", "meta_robots", "license_url", "robots_ok", "policy_ok"
+    )
+
+
+def q_policy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/usage-policy gate (E245): fixture pages vary the robots
+    meta (benign / noai reversed-attribute / noindex,nofollow / absent)
+    and the license link (CC-BY / proprietary / absent); the extractor's
+    policy fields and both filter_by_policy verdicts (deny-token gate,
+    license-allowlist gate) are value-hashed per doc."""
+    docs = _read(spark, sf_dir, "documents")
+    return _policy_verdicts(
+        docs.select("doc_id", _policy_fixture_html().alias("html"))
+    )
+
+
+def q_streaming_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming policy gate (E245 streaming tier), ORACLE-checked via
+    replay: extraction + both verdicts are stateless projections, so the
+    chain runs unchanged on a file stream — the 3-micro-batch union must
+    value-hash against the batch policy_gate oracle (the opt-out filter
+    belongs at INGEST, before anything else spends compute)."""
+    from sparkplug_spark.streaming.replay import replay_file_stream
+
+    batches = [
+        b.select("doc_id", _policy_fixture_html().alias("html"))
+        for b in _doc_batches(spark, sf_dir)
+    ]
+    out = replay_file_stream(
+        spark, batches, _policy_verdicts, mode="append",
+        shuffle_partitions=8,
+    )
+    return out.select(
         "doc_id", "meta_robots", "license_url", "robots_ok", "policy_ok"
     )
 
@@ -14031,6 +14062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sentences": q_chunk_sentences,
         "wat_ingest": q_wat_ingest,
         "chat_render": q_chat_render,
+        "streaming_policy_replay": q_streaming_policy_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -14132,6 +14164,8 @@ def oracle_sql() -> dict[str, str]:
     out["anchor_terms"] = _anchor_terms_oracle_sql()
     out["chunk_sentences"] = _chunk_sentences_oracle_sql(budget=12)
     out["chat_render"] = _chat_render_oracle_sql()
+    # stateless chain: the streaming tier rides the batch oracle
+    out["streaming_policy_replay"] = _policy_gate_oracle_sql()
     # WAT round-trip (E246): envelope fields derive from the documents
     # table (uri from doc_id, entity length = n_chars, links = doc%3+2)
     out["wat_ingest"] = """
