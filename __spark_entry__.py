@@ -4183,10 +4183,20 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkplug_spark.operators import match_robots, parse_robots_txt
 
     docs = _read(spark, sf_dir, "documents")
+    # Crawl-delay (surfaced as a rule row, IGNORED by the matcher) and a
+    # group-independent Sitemap line are planted so the verdict hash
+    # proves the matcher is not confused by them; the delay itself is
+    # value-checked as a per-host output column
     robots = F.concat(
-        F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/"),
+        F.lit("Sitemap: http://"),
         F.col("source"),
-        F.lit("/\n\nUser-agent: trainbot\nDisallow: /\nAllow: /open/\n"),
+        F.lit(".com/sitemap.xml\nUser-agent: *\nDisallow: /private/\nAllow: /private/"),
+        F.col("source"),
+        F.lit("/\nCrawl-delay: "),
+        ((F.ascii(F.substring(F.col("source"), -1, 1)) % 3) + 1).cast(
+            "string"
+        ),
+        F.lit("\n\nUser-agent: trainbot\nDisallow: /\nAllow: /open/\n"),
     )
     hosts = (
         docs.select("source").distinct()
@@ -4216,7 +4226,10 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://"), F.col("source"), F.lit(".com"), path
         ).alias("url"),
     )
-    star = match_robots(urls, rules, agent="crawler")
+    delays = rules.where(
+        (F.col("directive") == "crawl-delay") & (F.col("agent") == "*")
+    ).select("host", F.col("path").cast("long").alias("crawl_delay"))
+    star = match_robots(urls, rules, agent="crawler").join(delays, "host")
     tb = match_robots(urls, rules, agent="trainbot").select(
         "doc_id",
         F.col("matched_path").alias("tb_path"),
@@ -4225,7 +4238,14 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sparkplug_spark.caching import materialize_release
 
-    return materialize_release(star.join(tb, "doc_id"), rules)
+    return materialize_release(
+        star.join(tb, "doc_id").select(
+            "doc_id", "host", "url", "matched_path", "matched_directive",
+            "allowed", "crawl_delay", "tb_path", "tb_directive",
+            "tb_allowed",
+        ),
+        rules,
+    )
 
 
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6215,6 +6235,8 @@ def _robots_gate_oracle_sql() -> str:
                CASE WHEN m = 1 THEN 'disallow'
                     WHEN m = 2 THEN 'allow' END AS matched_directive,
                (m <> 1) AS allowed,
+               ((ascii(substr(source, -1, 1)) % 3) + 1)::BIGINT
+                 AS crawl_delay,
                CASE WHEN m = 4 THEN '/open/' ELSE '/' END AS tb_path,
                CASE WHEN m = 4 THEN 'allow' ELSE 'disallow' END
                  AS tb_directive,

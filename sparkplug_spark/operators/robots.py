@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["parse_robots_txt", "match_robots"]
+__all__ = ["parse_robots_txt", "match_robots", "robots_sitemaps"]
 
-_DIRECTIVE_PAT = r"(?i)^(user-agent|allow|disallow)\s*:\s*(.*)$"
+_DIRECTIVE_PAT = (
+    r"(?i)^(user-agent|allow|disallow|crawl-delay|sitemap)\s*:\s*(.*)$"
+)
 _URL_PATH_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
 
 
@@ -43,6 +45,11 @@ def parse_robots_txt(
     rule paths keep their case (URL paths are case-sensitive).  An
     empty-value ``Disallow:`` is kept as a ``path=''`` row — the
     matcher ignores it (empty Disallow = no restriction, per spec).
+    ``Crawl-delay`` lines (the de-facto politeness extension) surface as
+    ``directive='crawl-delay'`` rows with the value in ``path`` — the
+    frontier's per-domain rate knob; :func:`match_robots` considers
+    ONLY allow/disallow rows.  Group-independent ``Sitemap`` lines are
+    NOT rule rows — read them with :func:`robots_sitemaps`.
 
     One explode + two windows keyed on the host — robots files are KB,
     so even a full CC host list is a light shuffle."""
@@ -100,7 +107,9 @@ def parse_robots_txt(
         )
         .distinct()
     )
-    rules = grouped.where(F.col("__kind").isin("allow", "disallow")).select(
+    rules = grouped.where(
+        F.col("__kind").isin("allow", "disallow", "crawl-delay")
+    ).select(
         "host",
         "group_id",
         F.col("__kind").alias("directive"),
@@ -114,6 +123,30 @@ def parse_robots_txt(
         "directive",
         "path",
         "has_wildcard",
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    text_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Extract the group-independent ``Sitemap:`` lines as
+    ``(host_col, sitemap_url)`` rows — the crawl-seed surface robots.txt
+    doubles as (comments stripped, values trimmed, empties dropped)."""
+    lines = spread(df).select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\r\n|\n")
+        ).alias("__raw"),
+    )
+    cleaned = F.trim(F.regexp_replace("__raw", "#.*$", ""))
+    url = F.trim(
+        F.regexp_extract(cleaned, r"(?i)^sitemap\s*:\s*(.*)$", 1)
+    )
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
     )
 
 
@@ -147,7 +180,11 @@ def match_robots(
     )
     chosen = (
         exact.unionByName(star)
-        .where((F.col("path") != "") & ~F.col("has_wildcard"))
+        .where(
+            F.col("directive").isin("allow", "disallow")
+            & (F.col("path") != "")
+            & ~F.col("has_wildcard")
+        )
         .select("host", "directive", "path")
         .distinct()
     )

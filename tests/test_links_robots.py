@@ -43,9 +43,11 @@ class TestExtractLinks:
 
 
 ROBOTS = """# site policy
+Sitemap: http://e.com/sitemap.xml
 User-agent: *
 Disallow: /private/
 Allow: /private/ok/
+Crawl-delay: 2
 
 User-agent: trainbot
 User-agent: otherbot
@@ -66,7 +68,11 @@ class TestParseRobots:
     def test_groups_and_shared_agents(self, spark):
         rows = self._rules(spark)
         star = {(r["directive"], r["path"]) for r in rows if r["agent"] == "*"}
-        assert star == {("disallow", "/private/"), ("allow", "/private/ok/")}
+        assert star == {
+            ("disallow", "/private/"),
+            ("allow", "/private/ok/"),
+            ("crawl-delay", "2"),
+        }
         # consecutive UA lines share the second group's rules
         tb = {(r["directive"], r["path"]) for r in rows if r["agent"] == "trainbot"}
         ob = {(r["directive"], r["path"]) for r in rows if r["agent"] == "otherbot"}
@@ -78,6 +84,22 @@ class TestParseRobots:
         rows = self._rules(spark)
         wc = [r for r in rows if r["has_wildcard"]]
         assert wc and all(r["path"] == "/glob/*.json" for r in wc)
+
+    def test_crawl_delay_surfaced_not_matched(self, spark):
+        rows = self._rules(spark)
+        cd = [r for r in rows if r["directive"] == "crawl-delay"]
+        assert {(r["agent"], r["path"]) for r in cd} == {("*", "2")}
+
+    def test_sitemaps_extracted(self, spark):
+        from sparkplug_spark.operators import robots_sitemaps
+
+        df = spark.createDataFrame(
+            [("e.com", ROBOTS)], "host string, robots_txt string"
+        )
+        out = robots_sitemaps(df).collect()
+        assert [(r["host"], r["sitemap_url"]) for r in out] == [
+            ("e.com", "http://e.com/sitemap.xml")
+        ]
 
     def test_comments_stripped(self, spark):
         df = spark.createDataFrame(
