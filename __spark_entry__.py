@@ -4421,6 +4421,46 @@ def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction (E253): deterministic EXIF JPEGs built per doc
+    (orientation/width/height/make/model/capture time all doc_id
+    functions; doc%7==0 ships NO exif, doc%11==0 is big-endian) walk
+    through the library-free TIFF/IFD parser; the oracle derives every
+    field arithmetically — a byte-order, offset, or inline-value bug
+    breaks the hash."""
+    from sparkplug_spark.operators import image_exif
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    @F.pandas_udf("binary")
+    def make_jpeg(ids: pd.Series) -> pd.Series:
+        from sparkplug_spark.operators.exif import build_exif_jpeg
+
+        out = []
+        for d in ids:
+            d = int(d)
+            if d % 7 == 0:
+                out.append(b"\xff\xd8\xff\xd9")
+                continue
+            out.append(
+                build_exif_jpeg(
+                    orientation=d % 8 + 1,
+                    width=100 + d % 50,
+                    height=80 + d % 40,
+                    make="ACME" if d % 2 == 0 else "Umbra",
+                    model=f"Cam {d % 5}",
+                    datetime_original=(
+                        f"2026:01:{d % 28 + 1:02d} 12:00:00"
+                    ),
+                    big_endian=(d % 11 == 0),
+                )
+            )
+        return pd.Series(out)
+
+    imgs = docs.select("doc_id", make_jpeg("doc_id").alias("payload"))
+    return image_exif(imgs)
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14085,6 +14125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_ingest": q_wat_ingest,
         "chat_render": q_chat_render,
         "streaming_policy_replay": q_streaming_policy_replay,
+        "image_exif": q_image_exif,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -14188,6 +14229,26 @@ def oracle_sql() -> dict[str, str]:
     out["chat_render"] = _chat_render_oracle_sql()
     # stateless chain: the streaming tier rides the batch oracle
     out["streaming_policy_replay"] = _policy_gate_oracle_sql()
+    # EXIF (E253): every field is a doc_id function; doc%7==0 has none
+    out["image_exif"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 <> 0
+                    THEN (doc_id % 8 + 1)::INT END AS orientation,
+               CASE WHEN doc_id % 7 <> 0
+                    THEN (100 + doc_id % 50)::BIGINT END AS image_width,
+               CASE WHEN doc_id % 7 <> 0
+                    THEN (80 + doc_id % 40)::BIGINT END AS image_height,
+               CASE WHEN doc_id % 7 <> 0 THEN
+                    CASE WHEN doc_id % 2 = 0 THEN 'ACME' ELSE 'Umbra' END
+               END AS make,
+               CASE WHEN doc_id % 7 <> 0
+                    THEN 'Cam ' || (doc_id % 5)::VARCHAR END AS model,
+               CASE WHEN doc_id % 7 <> 0
+                    THEN '2026:01:' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                         || ' 12:00:00' END AS datetime_original
+        FROM documents WHERE doc_id < 300
+    """
+
     # WAT round-trip (E246): envelope fields derive from the documents
     # table (uri from doc_id, entity length = n_chars, links = doc%3+2)
     out["wat_ingest"] = """
