@@ -4175,11 +4175,14 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parse + match (E248): per-source robots bodies (a star
-    group with a longest-match allow-under-disallow pair, and a trainbot
-    group that disallows everything except /open/) gate fixture URLs for
-    two agents — an unnamed crawler (falls to the * group) and trainbot
-    (exact group preferred, star's allow must NOT leak in); the oracle
-    derives every verdict independently from the fixture recipe."""
+    group with a longest-match allow-under-disallow pair PLUS a
+    wildcard ``Disallow: /*.bin$`` — the RFC 9309 ``*``/``$`` lane —
+    and a trainbot group that disallows everything except /open/) gate
+    fixture URLs for two agents — an unnamed crawler (falls to the *
+    group; even /public/ ids end in .bin and must trip the wildcard)
+    and trainbot (exact group preferred, star's allow and wildcard must
+    NOT leak in); the oracle derives every verdict independently from
+    the fixture recipe."""
     from sparkplug_spark.operators import match_robots, parse_robots_txt
 
     docs = _read(spark, sf_dir, "documents")
@@ -4196,6 +4199,7 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.ascii(F.substring(F.col("source"), -1, 1)) % 3) + 1).cast(
             "string"
         ),
+        F.lit("\nDisallow: /*.bin$"),
         F.lit("\n\nUser-agent: trainbot\nDisallow: /\nAllow: /open/\n"),
     )
     hosts = (
@@ -4208,7 +4212,9 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = parse_robots_txt(hosts).persist()
     path = (
         F.when(F.col("doc_id") % 5 == 0,
-               F.concat(F.lit("/public/"), F.col("doc_id").cast("string")))
+               F.concat(F.lit("/public/"), F.col("doc_id").cast("string"),
+                        F.when(F.col("doc_id") % 2 == 0, F.lit(".bin"))
+                        .otherwise(F.lit(""))))
         .when(F.col("doc_id") % 5 == 1,
               F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
         .when(F.col("doc_id") % 5 == 2,
@@ -6250,16 +6256,20 @@ def _link_graph_oracle_sql() -> str:
 def _robots_gate_oracle_sql() -> str:
     """DuckDB twin of q_robots_gate: verdicts for both agent tiers
     derived INDEPENDENTLY from the fixture recipe (star group:
-    disallow /private/ with a longer /private/<source>/ allow; trainbot
-    group: disallow / with an /open/ allow — the star allow must not
-    leak into the trainbot tier)."""
+    disallow /private/ with a longer /private/<source>/ allow plus a
+    wildcard disallow /*.bin$ that catches even /public/ ids; trainbot
+    group: disallow / with an /open/ allow — the star allow and
+    wildcard must not leak into the trainbot tier)."""
     return """
         WITH rg AS (
           SELECT doc_id, source, doc_id % 5 AS m,
+                 (doc_id % 10 = 0) AS binhit,
                  source || '.com' AS host,
                  'http://' || source || '.com' ||
                  CASE WHEN doc_id % 5 = 0
-                      THEN '/public/' || doc_id::VARCHAR
+                      THEN '/public/' || doc_id::VARCHAR ||
+                           CASE WHEN doc_id % 2 = 0
+                                THEN '.bin' ELSE '' END
                       WHEN doc_id % 5 = 1
                       THEN '/private/' || doc_id::VARCHAR
                       WHEN doc_id % 5 = 2
@@ -6269,12 +6279,14 @@ def _robots_gate_oracle_sql() -> str:
           FROM documents
         )
         SELECT doc_id, host, url,
-               CASE WHEN m = 1 THEN '/private/'
+               CASE WHEN binhit THEN '/*.bin$'
+                    WHEN m = 1 THEN '/private/'
                     WHEN m = 2 THEN '/private/' || source || '/' END
                  AS matched_path,
-               CASE WHEN m = 1 THEN 'disallow'
+               CASE WHEN binhit THEN 'disallow'
+                    WHEN m = 1 THEN 'disallow'
                     WHEN m = 2 THEN 'allow' END AS matched_directive,
-               (m <> 1) AS allowed,
+               (m <> 1 AND NOT binhit) AS allowed,
                ((ascii(substr(source, -1, 1)) % 3) + 1)::BIGINT
                  AS crawl_delay,
                CASE WHEN m = 4 THEN '/open/' ELSE '/' END AS tb_path,

@@ -194,6 +194,10 @@ def image_exif(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if len(pdf) == 0:
+                # pd.DataFrame([]) has no columns — the astype/select
+                # below would KeyError, breaking the never-raise contract
+                continue
             recs = []
             for _, row in pdf.iterrows():
                 p = row.iloc[1]

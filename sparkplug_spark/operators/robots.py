@@ -5,12 +5,14 @@ required to fetch first — RFC 9309).
 
 Both halves are pure relational string work — explode lines, window
 the group structure, broadcast the (tiny) rule table under the URL
-scan — so verdicts value-hash on any engine.  Wildcard patterns
-(``*``/``$`` inside rule paths, a Google extension) are deliberately
-out of scope: rules are plain path PREFIXES per the original standard,
-and a rule containing ``*`` or ``$`` is surfaced by
-:func:`parse_robots_txt` with ``has_wildcard=true`` so callers can
-quarantine rather than mis-match them.
+scan — so verdicts value-hash on any engine.  Wildcard patterns are
+MATCHED per RFC 9309 §2.2.3: ``*`` in a rule path matches any
+character sequence and a TRAILING ``$`` anchors the end of the URL
+path (a mid-path ``$`` is literal — the spec only gives ``$`` meaning
+as the final octet).  Wildcard rules are compiled to anchored regexes
+ONCE in the rule table (never per URL row); :func:`parse_robots_txt`
+still surfaces ``has_wildcard`` so callers that want the stricter
+prefix-only standard can filter before matching.
 """
 
 from __future__ import annotations
@@ -157,22 +159,30 @@ def match_robots(
     url_col: str = "url",
     host_col: str = "host",
 ) -> DataFrame:
-    """Append the robots verdict to every URL row: ``(…urls columns,
+    """Append the robots verdict to EVERY URL row (duplicates
+    preserved, non-groupable column types fine — the verdict is a
+    per-row projection, never an aggregate): ``(…urls columns,
     matched_path, matched_directive, allowed)``.
 
     Group selection per RFC 9309: the rules for ``agent`` (exact
     product-token match, case-insensitive) when that host names it,
-    else the ``*`` group, else no rules (allowed).  Matching: a rule
-    applies when its path is a PREFIX of the URL's path (empty rule
-    paths and wildcard rules are ignored — see
-    :func:`parse_robots_txt`); the LONGEST matching path wins, an
-    ``allow`` beats a ``disallow`` at equal length (equal-length
-    prefixes of one string are identical, so the tie is well-defined);
-    no match ⇒ allowed.  A URL with no path component matches as ``/``.
+    else the ``*`` group, else no rules (allowed).  Matching: a plain
+    rule applies when its path is a PREFIX of the URL's path; a
+    wildcard rule (``*`` = any sequence, trailing ``$`` = end anchor,
+    mid-path ``$`` literal) applies when its compiled anchored regex
+    matches from the start.  Empty rule paths are ignored (empty
+    Disallow = no restriction, per spec).  The rule with the MOST
+    PATTERN OCTETS wins (the spec's "most specific match"; wildcard
+    octets count as written, the de-facto Googlebot rule), an
+    ``allow`` beats a ``disallow`` at equal length, then path
+    descending for a deterministic final tie; no match ⇒ allowed.
+    A URL with no path component matches as ``/``.
 
-    Scale shape: the rule table (KB per host) broadcasts under the URL
-    scan — verdicts are one broadcast join + one aggregate keyed on the
-    URL row, the corpus never reshuffles."""
+    Scale shape: rules fold to ONE array-of-structs row per host (a
+    KB-scale aggregate of the rule table only) with wildcard regexes
+    compiled in the table, then broadcast-join under the URL scan —
+    the corpus itself never reshuffles, and each URL row scans its
+    host's rule array once."""
     a = str(agent).lower()
     exact = rules.where(F.col("agent") == a)
     star = rules.where(F.col("agent") == "*").join(
@@ -183,37 +193,63 @@ def match_robots(
         .where(
             F.col("directive").isin("allow", "disallow")
             & (F.col("path") != "")
-            & ~F.col("has_wildcard")
         )
-        .select("host", "directive", "path")
+        .select("host", "directive", "path", "has_wildcard")
         .distinct()
+    )
+    # Compile wildcard paths to anchored Java/RE2-portable regexes ONCE
+    # in the (tiny) rule table: trailing $ → anchor, remaining specials
+    # escaped, * → .* — never recompiled per URL row.
+    anchored = F.col("path").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    esc = F.regexp_replace(body, r"([.^$+?()\[\]{}|\\])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    host_rules = chosen.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path").alias("l"),
+                (F.col("directive") == "allow").cast("int").alias("a"),
+                F.col("path").alias("p"),
+                F.col("directive").alias("d"),
+                F.col("has_wildcard").alias("w"),
+                pattern.alias("re"),
+            )
+        ).alias("__rules")
     )
     upath = F.coalesce(
         F.nullif(F.regexp_extract(F.col(url_col), _URL_PATH_PAT, 1), F.lit("")),
         F.lit("/"),
     )
     left = spread(urls).withColumn("__path", upath)
-    cand = left.join(
-        F.broadcast(chosen.withColumnsRenamed({"host": host_col})),
+    joined = left.join(
+        F.broadcast(host_rules.withColumnsRenamed({"host": host_col})),
         [host_col],
         "left",
-    ).withColumn(
-        "__hit",
-        F.when(
-            F.col("path").isNotNull()
-            & F.expr("startswith(__path, path)"),
-            F.struct(
-                F.length("path").alias("l"),
-                (F.col("directive") == "allow").cast("int").alias("a"),
-                F.col("path").alias("p"),
-                F.col("directive").alias("d"),
+    )
+    hits = F.filter(
+        F.col("__rules"),
+        lambda r: F.when(
+            r["w"], F.regexp_like(F.col("__path"), r["re"])
+        ).otherwise(F.col("__path").startswith(r["p"])),
+    )
+    best = F.array_max(
+        F.transform(
+            hits,
+            lambda r: F.struct(
+                r["l"].alias("l"),
+                r["a"].alias("a"),
+                r["p"].alias("p"),
+                r["d"].alias("d"),
             ),
-        ),
+        )
     )
-    best = cand.groupBy(*[F.col(c) for c in urls.columns]).agg(
-        F.max("__hit").alias("__best")
-    )
-    return best.select(
+    return joined.withColumn("__best", best).select(
         *urls.columns,
         F.col("__best.p").alias("matched_path"),
         F.col("__best.d").alias("matched_directive"),

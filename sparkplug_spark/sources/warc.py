@@ -205,12 +205,22 @@ def _read_uri_bytes(uri: str) -> bytes:
         return fh.read()
 
 
+def _auto_via_binary(path: str) -> bool:
+    """Lane router for ``via_binary=None``: the kernel-side ``open()``
+    only works for local files, so any non-local scheme (s3/hdfs/…)
+    must ship bytes through binaryFile's content column instead —
+    decided driver-side from the user's path string, before listing."""
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme not in ("", "file")
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
     on_error: str = "raise",
     record_types: Iterable[str] | None = None,
-    via_binary: bool = False,
+    via_binary: bool | None = None,
 ) -> DataFrame:
     """Read WARC file(s) at ``path`` (glob ok; ``.warc`` and
     ``.warc.gz``) into a DataFrame of :data:`WARC_SCHEMA` rows.
@@ -220,16 +230,22 @@ def read_warc(
     metadata triples, and dropping them before Arrow serialization
     saves 2/3 of the transfer).
 
-    Default plan shape: list paths via ``binaryFile`` with the content
-    column PRUNED, repartition the path strings (so a handful of fixture
-    files still fan out — at ~64k archives/snapshot the shuffle moves
-    only ~64k strings, never bytes), then open each archive inside the
-    Arrow kernel.  ``via_binary=True`` instead ships bytes through the
-    ``binaryFile`` content column with NO repartition (binaryFile already
-    yields >= one partition per large file) — the path for non-local
-    filesystems where the kernel has no client."""
+    Plan shape for local paths: list paths via ``binaryFile`` with the
+    content column PRUNED, repartition the path strings (so a handful
+    of fixture files still fan out — at ~64k archives/snapshot the
+    shuffle moves only ~64k strings, never bytes), then open each
+    archive inside the Arrow kernel.  ``via_binary=True`` instead
+    ships bytes through the ``binaryFile`` content column with NO
+    repartition (binaryFile already yields >= one partition per large
+    file) — works on ANY Hadoop-supported filesystem.  The default
+    (``None``) picks automatically: a non-local ``path`` scheme
+    (s3/hdfs/…, where the kernel has no filesystem client) routes to
+    the bytes lane, anything local to the path lane; pass an explicit
+    bool to override."""
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
+    if via_binary is None:
+        via_binary = _auto_via_binary(path)
     wanted = tuple(record_types) if record_types is not None else None
 
     def recs_of(data: bytes, source: str) -> list[dict]:
@@ -272,7 +288,7 @@ def read_wet(
     spark: SparkSession,
     path: str,
     on_error: str = "raise",
-    via_binary: bool = False,
+    via_binary: bool | None = None,
 ) -> DataFrame:
     """Read WET-shape archives (Common Crawl's pre-extracted-text
     companion: ``conversion`` records whose block is the page text) into

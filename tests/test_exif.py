@@ -72,3 +72,12 @@ class TestImageExif:
         assert out[1]["orientation"] == 6 and out[1]["make"] == "ACME"
         assert out[2]["orientation"] is None
         assert out[3]["orientation"] is None
+
+    def test_empty_input_never_raises(self, spark):
+        # a zero-row Arrow batch must not KeyError in the kernel
+        df = spark.createDataFrame([], "doc_id long, payload binary")
+        out = image_exif(df)
+        assert out.collect() == []
+        assert [f.name for f in out.schema.fields][:2] == [
+            "doc_id", "orientation",
+        ]

@@ -153,6 +153,83 @@ class TestMatchRobots:
         # the * group's /private/ok/ allow does NOT apply to trainbot
         assert not v[3]["allowed"]
 
+    def test_wildcard_longest_pattern_wins(self, spark):
+        # trainbot's /glob/*.json (12 octets) outranks Disallow: / and
+        # Allow: /open/ — and without a trailing-$ anchor it matches as
+        # a PREFIX pattern (x.json5 still trips it)
+        rules = parse_robots_txt(
+            spark.createDataFrame(
+                [("e.com", ROBOTS)], "host string, robots_txt string"
+            )
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "e.com", "http://e.com/glob/x.json"),
+                (2, "e.com", "http://e.com/glob/x.json5"),
+                (3, "e.com", "http://e.com/glob/x.txt"),
+            ],
+            "doc_id long, host string, url string",
+        )
+        v = {
+            r["doc_id"]: r
+            for r in match_robots(urls, rules, agent="trainbot").collect()
+        }
+        assert not v[1]["allowed"]
+        assert v[1]["matched_path"] == "/glob/*.json"
+        assert not v[2]["allowed"]  # unanchored pattern = prefix match
+        assert v[2]["matched_path"] == "/glob/*.json"
+        assert not v[3]["allowed"]  # falls back to Disallow: /
+        assert v[3]["matched_path"] == "/"
+
+    def test_dollar_anchor_and_mid_dollar_literal(self, spark):
+        body = (
+            "User-agent: *\n"
+            "Disallow: /*.pdf$\n"
+            "Disallow: /cash/$$/\n"
+        )
+        rules = parse_robots_txt(
+            spark.createDataFrame(
+                [("e.com", body)], "host string, robots_txt string"
+            )
+        )
+        urls = spark.createDataFrame(
+            [
+                (1, "e.com", "http://e.com/docs/a.pdf"),
+                (2, "e.com", "http://e.com/docs/a.pdfx"),  # $ anchors
+                (3, "e.com", "http://e.com/cash/$$/x"),  # mid-$ literal
+                (4, "e.com", "http://e.com/cash/ab/x"),
+            ],
+            "doc_id long, host string, url string",
+        )
+        v = {
+            r["doc_id"]: r
+            for r in match_robots(urls, rules).collect()
+        }
+        assert not v[1]["allowed"] and v[1]["matched_path"] == "/*.pdf$"
+        assert v[2]["allowed"] and v[2]["matched_path"] is None
+        assert not v[3]["allowed"] and v[3]["matched_path"] == "/cash/$$/"
+        assert v[4]["allowed"]
+
+    def test_duplicate_rows_preserved_and_map_columns_ok(self, spark):
+        # the verdict is a per-row projection: duplicate URL rows stay
+        # duplicated, and non-groupable column types (maps) pass through
+        rules = parse_robots_txt(
+            spark.createDataFrame(
+                [("e.com", ROBOTS)], "host string, robots_txt string"
+            )
+        )
+        urls = spark.createDataFrame(
+            [
+                ("e.com", "http://e.com/private/doc", {"k": "v1"}),
+                ("e.com", "http://e.com/private/doc", {"k": "v2"}),
+            ],
+            "host string, url string, meta map<string,string>",
+        )
+        rows = match_robots(urls, rules).collect()
+        assert len(rows) == 2
+        assert all(not r["allowed"] for r in rows)
+        assert sorted(r["meta"]["k"] for r in rows) == ["v1", "v2"]
+
 
 class TestCrawlFrontier:
     def test_discover_dedupe_cap(self, spark):

@@ -236,3 +236,21 @@ class TestReadWarcSpark:
             key=key,
         )
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_scheme_auto_routes_lanes(self, spark, warc_dir):
+        # r9 ADVICE: a non-local scheme must auto-route to the bytes
+        # lane instead of raising inside the kernel. file: and bare
+        # paths take the path-string lane; both read identically.
+        from sparkplug_spark.sources.warc import _auto_via_binary
+
+        key = lambda r: (r["warc_file"], r["record_id"])
+        bare = sorted(read_warc(spark, warc_dir + "/*").collect(), key=key)
+        filed = sorted(
+            read_warc(spark, "file:" + warc_dir + "/*").collect(), key=key
+        )
+        assert len(bare) == len(filed) > 0
+        assert not _auto_via_binary(warc_dir + "/*")
+        assert not _auto_via_binary("file:" + warc_dir + "/*")
+        assert _auto_via_binary("s3://bucket/crawl/*.warc.gz")
+        assert _auto_via_binary("hdfs://nn:8020/crawl/*.warc.gz")
+        assert _auto_via_binary("s3a://bucket/crawl/CC-MAIN-*.warc.gz")
