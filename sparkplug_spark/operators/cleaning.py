@@ -64,6 +64,7 @@ __all__ = [
     "importance_weights",
     "trim_by_quantile",
     "mixture_report",
+    "length_buckets",
     "assign_splits",
     "build_training_blocks",
 ]
@@ -857,6 +858,55 @@ def trim_by_quantile(
             (F.col(col) >= F.col("__lo")) & (F.col(col) <= F.col("__hi"))
         ).drop("__lo", "__hi")
     raise ValueError("mode must be 'exact' or 'approx'")
+
+
+def length_buckets(
+    df: DataFrame,
+    len_col: str = "n_tokens",
+    caps: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096, 8192),
+) -> DataFrame:
+    """Sequence-length bucketing report: assign every row to the
+    smallest cap >= its length and report, per bucket, ``(bucket_cap,
+    n_docs, sum_len, padded_len, pad_waste_ppm)`` — the padding-waste
+    audit run before batching variable-length sequences for training
+    (a batch padded to its bucket cap wastes ``padded - sum`` token
+    slots; choosing cap boundaries IS choosing that waste).
+
+    Rows longer than the largest cap land in a ``bucket_cap IS NULL``
+    overflow bucket (padded/waste NULL) — the signal to chunk first,
+    not a silent drop.  ``pad_waste_ppm`` is exact integer
+    parts-per-million via BIGINT ``div`` (both operands non-negative,
+    so Spark's truncate and any floor-division engine agree); exactness
+    holds while ``padded_len·10^6 < 2^63`` — ~1.1e9 docs per bucket at
+    cap 8192.  Beyond that, bucket per source shard first.
+
+    Caps are driver-held literals compiled into one CASE chain — the
+    whole report is a single map-side-combined aggregate (one shuffle
+    of ~len(caps) partial rows per task, never the corpus)."""
+    caps = tuple(sorted(set(int(c) for c in caps)))
+    if not caps or caps[0] <= 0:
+        raise ValueError("caps must be positive integers")
+    length = F.col(len_col).cast("long")
+    bucket = F.lit(None).cast("long")
+    for c in reversed(caps):
+        bucket = F.when(length <= c, F.lit(c)).otherwise(bucket)
+    grouped = (
+        df.select(bucket.alias("bucket_cap"), length.alias("__len"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__len").alias("sum_len"),
+        )
+    )
+    return grouped.select(
+        "bucket_cap",
+        "n_docs",
+        "sum_len",
+        (F.col("bucket_cap") * F.col("n_docs")).alias("padded_len"),
+    ).withColumn(
+        "pad_waste_ppm",
+        F.expr("(padded_len - sum_len) * 1000000L div padded_len"),
+    )
 
 
 def mixture_report(

@@ -1,0 +1,265 @@
+"""Structured extraction from HTML/markdown: tables, heading outlines,
+fenced code blocks, and schema.org JSON-LD islands.
+
+These are the "keep the structure" complement of the prose lane
+(:mod:`.html`'s jusText-shape main-content extractor flattens a page to
+paragraphs; this module pulls out the parts whose VALUE is their
+structure): data tables become relational rows for table-QA /
+table-to-text corpora, heading outlines give section paths for
+retrieval chunking, fenced code blocks feed code-data lanes with a
+language tag, and JSON-LD gives typed page entities (Product, Article,
+Recipe…) without NLP.
+
+Scale shape shared by all four: one ``regexp_extract_all`` explodes
+bounded match lists per document, per-field regexes project the
+children — zero UDF, zero shuffle beyond the explode (output rows are
+collocated with their document), whole-stage codegen throughout.  No
+counterpart in the reference engine (indix/sparkplug is a rules
+engine); the operators follow the public crawl-pipeline shape
+(Common Crawl table corpora, The Stack's fence extraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..partitioning import spread
+from .html import _clean_text, _strip_noise
+
+__all__ = [
+    "extract_tables",
+    "extract_headings",
+    "extract_code_blocks",
+    "extract_jsonld",
+]
+
+_TABLE_PAT = r"(?is)<table\b[^>]*>.*?</table\s*>"
+_TR_PAT = r"(?is)<tr\b[^>]*>.*?</tr\s*>"
+_CELL_PAT = r"(?is)<t[dh]\b[^>]*>.*?</t[dh]\s*>"
+_HEADING_PAT = r"(?is)<h[1-6]\b[^>]*>.*?</h[1-6]\s*>"
+_FENCE_PAT = r"(?s)```[^\n]*\n.*?```"
+_JSONLD_PAT = (
+    r"(?is)<script\b[^>]*type\s*=\s*[\"']application/ld\+json[\"']"
+    r"[^>]*>.*?</script\s*>"
+)
+
+
+def _pos_blocks(
+    df: DataFrame, src: Column, id_col: str, pattern: str, pos: str
+) -> DataFrame:
+    """Explode regex matches of ``pattern`` over ``src`` with their
+    in-document order — the shared skeleton of every extractor here."""
+    return spread(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(src, F.lit("")), F.lit(pattern), F.lit(0)
+            )
+        ).alias(pos, "__blk"),
+    )
+
+
+def extract_tables(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode every ``<table>`` into relational cells: ``(id_col,
+    table_pos, row_pos, col_pos, cell_text, is_header)`` — the shape
+    table-QA / table-to-text corpora train on, and the input to
+    "does this page carry DATA" quality signals (cells per table,
+    header coverage).
+
+    ``is_header`` marks ``<th>`` cells; ``cell_text`` is tag-stripped,
+    entity-decoded and whitespace-collapsed (empty cells NULL).
+    Script/style/comment bodies are removed BEFORE block matching so a
+    ``<table`` inside a script string or comment can't phantom-match.
+    Nested tables: the non-greedy block match truncates an outer table
+    at its inner ``</table>`` — inner cells still extract (under the
+    outer table's index, rows in document order), a documented
+    flattening, not silent loss.  Rowspan/colspan are NOT expanded:
+    ``col_pos`` is the CELL index in its row, not the visual grid
+    column."""
+    tables = _pos_blocks(
+        df, _strip_noise(F.col(html_col)), id_col, _TABLE_PAT, "table_pos"
+    )
+    rows = tables.select(
+        id_col,
+        "table_pos",
+        F.posexplode(
+            F.regexp_extract_all("__blk", F.lit(_TR_PAT), F.lit(0))
+        ).alias("row_pos", "__row"),
+    )
+    cells = rows.select(
+        id_col,
+        "table_pos",
+        "row_pos",
+        F.posexplode(
+            F.regexp_extract_all("__row", F.lit(_CELL_PAT), F.lit(0))
+        ).alias("col_pos", "__cell"),
+    )
+    return cells.select(
+        id_col,
+        F.col("table_pos").cast("long").alias("table_pos"),
+        F.col("row_pos").cast("long").alias("row_pos"),
+        F.col("col_pos").cast("long").alias("col_pos"),
+        F.nullif(_clean_text(F.col("__cell")), F.lit("")).alias(
+            "cell_text"
+        ),
+        F.lower(F.col("__cell")).startswith("<th").alias("is_header"),
+    )
+
+
+def extract_headings(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document heading outline: ``(id_col, heading_pos, level,
+    text, section_path)`` where ``section_path`` joins the NEAREST
+    preceding heading of each shallower level with `` > `` — the
+    breadcrumb retrieval chunkers attach to every section ("Setup >
+    Install > Linux") so a chunk keeps its context after splitting.
+
+    Levels are 1–6 from the tag; heading text is cleaned like table
+    cells; empty headings are kept (NULL text) so positions stay
+    stable.  Script/style/comment bodies are removed before matching.
+    The path windows run over HEADING rows only (a handful per
+    document), partitioned by document — one narrow shuffle of the
+    outline rows, never the pages."""
+    heads = _pos_blocks(
+        df, _strip_noise(F.col(html_col)), id_col, _HEADING_PAT,
+        "heading_pos",
+    )
+    heads = heads.select(
+        id_col,
+        F.col("heading_pos").cast("long").alias("heading_pos"),
+        F.regexp_extract("__blk", r"(?i)^<h([1-6])", 1)
+        .cast("int")
+        .alias("level"),
+        F.nullif(_clean_text(F.col("__blk")), F.lit("")).alias("text"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("heading_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # nearest preceding ancestor per level: last_value(text at level l),
+    # but only while no heading of level <= l has appeared SINCE it —
+    # track (heading_pos, text) pairs and keep the max-pos candidate
+    # whose position beats every shallower reset
+    lvl_last = {
+        lv: F.max(
+            F.when(
+                F.col("level") == lv,
+                F.struct(F.col("heading_pos"), F.col("text")),
+            )
+        ).over(w)
+        for lv in range(1, 7)
+    }
+    out = heads
+    for lv in range(1, 7):
+        out = out.withColumn(f"__a{lv}", lvl_last[lv])
+    # ancestor level l is valid for a level-L row iff l < L and its pos
+    # is after every ancestor of level < l (monotone chain)
+    path_parts = []
+    prev_pos = F.lit(-1).cast("long")
+    for lv in range(1, 6):
+        a = F.col(f"__a{lv}")
+        valid = (
+            (F.col("level") > lv)
+            & a.isNotNull()
+            & (a["heading_pos"] > prev_pos)
+            & (a["heading_pos"] < F.col("heading_pos"))
+        )
+        part = F.when(valid, a["text"])
+        path_parts.append(part)
+        prev_pos = F.when(valid, a["heading_pos"]).otherwise(prev_pos)
+    section_path = F.concat_ws(
+        " > ", *path_parts, F.col("text")
+    )
+    return out.select(
+        id_col,
+        "heading_pos",
+        "level",
+        "text",
+        F.nullif(section_path, F.lit("")).alias("section_path"),
+    )
+
+
+def extract_code_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Markdown fenced code blocks: ``(id_col, block_pos, lang,
+    n_lines, n_chars, code)`` — the extraction step of every
+    code-data lane over crawled markdown/README corpora (The Stack v2
+    shape): the fence's info string becomes ``lang`` (lowercased first
+    token, NULL when bare), the body keeps its bytes verbatim (code is
+    whitespace-sensitive — no cleaning), ``n_lines`` counts newline-
+    delimited lines of the body.
+
+    Only triple-backtick fences are matched (indented code blocks are
+    ambiguous against quoted text in crawled data and are skipped by
+    most production extractors too).  An unclosed fence never matches
+    (the non-greedy pattern requires the closing fence), so truncated
+    documents yield fewer blocks, not garbage."""
+    blocks = _pos_blocks(df, F.col(text_col), id_col, _FENCE_PAT, "block_pos")
+    info = F.regexp_extract("__blk", r"^```([^\n]*)\n", 1)
+    lang = F.lower(
+        F.nullif(F.regexp_extract(F.trim(info), r"^(\S+)", 1), F.lit(""))
+    )
+    body = F.regexp_replace(
+        F.regexp_replace("__blk", r"^```[^\n]*\n", ""), r"```$", ""
+    )
+    return blocks.select(
+        id_col,
+        F.col("block_pos").cast("long").alias("block_pos"),
+        lang.alias("lang"),
+        (
+            F.length(body)
+            - F.length(F.regexp_replace(body, r"\n", ""))
+        ).cast("long").alias("n_lines"),
+        F.length(body).cast("long").alias("n_chars"),
+        body.alias("code"),
+    )
+
+
+def extract_jsonld(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """schema.org JSON-LD islands (``<script type="application/
+    ld+json">``): ``(id_col, block_pos, jsonld_type, name, item_url,
+    raw)`` — the typed-entity layer (Product/Article/Recipe/FAQ…)
+    publishers embed for search engines, and the cheapest page-level
+    metadata a crawl pipeline gets for free (no NLP, no rendering).
+
+    ``jsonld_type``/``name``/``item_url`` are pulled with JSON-path
+    projection (``@type``, ``name``, ``url``), tolerating a top-level
+    array by falling back to the first element; malformed JSON yields
+    NULL fields with the raw block preserved for quarantine."""
+    blocks = _pos_blocks(df, F.col(html_col), id_col, _JSONLD_PAT, "block_pos")
+    raw = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("__blk", r"(?is)^<script\b[^>]*>", ""),
+            r"(?is)</script\s*>$",
+            "",
+        )
+    )
+    blocks = blocks.withColumn("raw", raw)
+    pick = lambda field: F.coalesce(  # noqa: E731
+        F.get_json_object("raw", f"$['{field}']"),
+        F.get_json_object("raw", f"$[0]['{field}']"),
+    )
+    return blocks.select(
+        id_col,
+        F.col("block_pos").cast("long").alias("block_pos"),
+        pick("@type").alias("jsonld_type"),
+        pick("name").alias("name"),
+        pick("url").alias("item_url"),
+        "raw",
+    )

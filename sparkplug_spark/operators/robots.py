@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["parse_robots_txt", "match_robots", "robots_sitemaps"]
+__all__ = [
+    "parse_robots_txt",
+    "match_robots",
+    "robots_sitemaps",
+    "parse_sitemaps",
+    "frontier_schedule",
+]
 
 _DIRECTIVE_PAT = (
     r"(?i)^(user-agent|allow|disallow|crawl-delay|sitemap)\s*:\s*(.*)$"
@@ -149,6 +155,133 @@ def robots_sitemaps(
     return (
         lines.select("host", url.alias("sitemap_url"))
         .where(F.col("sitemap_url") != "")
+    )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    host_col: str = "host",
+    url_col: str = "url",
+    default_delay: int = 1,
+) -> DataFrame:
+    """Turn a crawl frontier into a POLITE fetch plan: every URL gets a
+    per-host ``fetch_slot`` (0, 1, 2, … in deterministic md5-race order
+    — reproducible across runs/engines, no hot-page bias) and
+    ``eta_seconds = fetch_slot · crawl_delay(host)``, the earliest
+    offset a crawler honoring the host's ``Crawl-delay`` may issue the
+    request.  Sorting the plan by ``eta_seconds`` interleaves hosts
+    automatically — the slow 10-second-delay host's queue drains in
+    parallel with thousands of fast hosts instead of blocking a worker.
+
+    ``delays`` is an optional ``(host, crawl_delay)`` table (e.g. the
+    ``crawl-delay`` rows of :func:`parse_robots_txt`, cast to long);
+    hosts without a row use ``default_delay`` seconds.  Non-positive
+    delays clamp to ``default_delay`` (a ``Crawl-delay: 0`` still means
+    "be polite", not "hammer").
+
+    One shuffle on the host (inherent: per-host sequencing IS a
+    grouping); the delay table is KB-scale and broadcasts."""
+    from pyspark.sql import Window
+
+    if default_delay <= 0:
+        raise ValueError("default_delay must be positive")
+    w = Window.partitionBy(host_col).orderBy(
+        F.md5(F.col(url_col)), F.col(url_col)
+    )
+    out = spread(frontier).withColumn(
+        "fetch_slot", (F.row_number().over(w) - 1).cast("long")
+    )
+    if delays is not None:
+        d = delays.select(
+            F.col(host_col),
+            F.col("crawl_delay").cast("long").alias("__delay"),
+        )
+        out = out.join(F.broadcast(d), [host_col], "left")
+    else:
+        out = out.withColumn("__delay", F.lit(None).cast("long"))
+    delay = F.when(
+        F.col("__delay") > 0, F.col("__delay")
+    ).otherwise(F.lit(int(default_delay)))
+    return out.withColumn(
+        "eta_seconds", (F.col("fetch_slot") * delay).cast("long")
+    ).drop("__delay")
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse sitemap XML bodies (the documents :func:`robots_sitemaps`
+    points at — sitemaps.org protocol) into one row per entry:
+    ``(host_col, entry_pos, kind, loc, lastmod, changefreq,
+    priority_milli)``.
+
+    Both document shapes are handled: ``<urlset>`` page entries
+    (``kind='url'``) and ``<sitemapindex>`` child-sitemap entries
+    (``kind='sitemap'`` — feed their ``loc`` back through the fetcher;
+    big sites nest one level of index over ~50k-URL leaf files).
+    ``<loc>`` values are trimmed and the five XML built-in entities
+    decoded (``&amp;`` last, so ``&amp;lt;`` stays ``&lt;`` — the
+    standard double-escape rule); ``priority`` (``0.0``–``1.0`` per
+    spec) is returned as INTEGER milli-units via string math — never a
+    float cast, so any engine reproduces it bit-for-bit; absent
+    optional fields are NULL.
+
+    Pure relational work — ``regexp_extract_all`` explodes entry blocks,
+    per-field regexes project the children — zero UDF, zero shuffle,
+    parallel over whatever partitioning the sitemap table already has."""
+    entry_pat = r"(?s)<(?:url|sitemap)\b[^>]*>.*?</(?:url|sitemap)\s*>"
+    blocks = spread(df).select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(xml_col), F.lit("")), F.lit(entry_pat),
+                F.lit(0),
+            )
+        ).alias("entry_pos", "__blk"),
+    )
+    field = lambda tag: F.nullif(  # noqa: E731
+        F.trim(
+            F.regexp_extract(
+                "__blk", rf"(?s)<{tag}\b[^>]*>(.*?)</{tag}\s*>", 1
+            )
+        ),
+        F.lit(""),
+    )
+    loc = field("loc")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST (double-escape rule)
+    ):
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    pr = field("priority")
+    pr_int = F.coalesce(
+        F.nullif(F.regexp_extract(pr, r"^(\d+)", 1), F.lit("")),
+        F.lit("0"),
+    ).cast("long")
+    pr_frac = F.rpad(
+        F.regexp_extract(pr, r"^\d*\.(\d+)$", 1), 3, "0"
+    )
+    priority_milli = F.when(
+        pr.rlike(r"^\d*(\.\d+)?$") & (pr != ""),
+        pr_int * 1000
+        + F.coalesce(
+            F.nullif(pr_frac, F.lit("")).substr(1, 3).cast("long"),
+            F.lit(0),
+        ),
+    )
+    return blocks.select(
+        "host",
+        F.col("entry_pos").cast("long").alias("entry_pos"),
+        F.when(F.col("__blk").startswith("<url"), F.lit("url"))
+        .otherwise(F.lit("sitemap"))
+        .alias("kind"),
+        loc.alias("loc"),
+        field("lastmod").alias("lastmod"),
+        F.lower(field("changefreq")).alias("changefreq"),
+        priority_milli.alias("priority_milli"),
     )
 
 

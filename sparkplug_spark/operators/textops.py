@@ -47,7 +47,71 @@ __all__ = [
     "lexical_diversity",
     "token_fertility",
     "readability_scores",
+    "extract_entities",
+    "ENTITY_PATTERNS",
 ]
+
+#: (entity_type, RE2∩Java-safe regex) — deliberately frozen and ordered
+#: so Spark and any SQL oracle extract identical matches.  Specific
+#: before general: a money match consumes its digits before the bare
+#: number tier could (each tier extracts independently; overlap between
+#: tiers is possible and expected — iso_date digits also match number).
+ENTITY_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("iso_date", r"\b\d{4}-\d{2}-\d{2}\b"),
+    ("time", r"\b\d{1,2}:\d{2}(?::\d{2})?\b"),
+    ("money", r"[$€£]\d+(?:,\d{3})*(?:\.\d+)?"),
+    ("percent", r"\b\d+(?:\.\d+)?%"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s<>\"']+"),
+)
+
+
+def extract_entities(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple[tuple[str, str], ...] = ENTITY_PATTERNS,
+) -> DataFrame:
+    """Regex-typed entity extraction: one row per match, ``(id_col,
+    entity_type, match_pos, value)`` — the metadata layer cheap enough
+    to run on 100 TB (dates, times, money, percents, emails, URLs) that
+    feeds temporal filtering ("docs mentioning 2024 dates"), factuality
+    slices, and structured-signal quality scores, without any model.
+
+    Each pattern tier extracts independently (``match_pos`` is the
+    match index WITHIN its tier, document order); a span may match two
+    tiers (an iso_date is also digits) — dedup across tiers is the
+    caller's policy, not silently imposed here.  Patterns are RE2∩Java
+    safe (no lookaround/backrefs) so SQL oracles replay them verbatim.
+
+    Plan: one ``regexp_extract_all`` per tier over the same projected
+    text, unioned via a literal-array explode — zero UDF, zero joins;
+    output rows stay collocated with their document."""
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("t"),
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")), F.lit(pat),
+                    F.lit(0),
+                ).alias("ms"),
+            )
+            for name, pat in patterns
+        ]
+    )
+    exploded = spread(df).select(
+        F.col(id_col), F.explode(tiers).alias("__tier")
+    )
+    return exploded.select(
+        id_col,
+        F.col("__tier.t").alias("entity_type"),
+        F.posexplode(F.col("__tier.ms")).alias("match_pos", "value"),
+    ).select(
+        id_col,
+        "entity_type",
+        F.col("match_pos").cast("long").alias("match_pos"),
+        "value",
+    )
 
 
 def distinctive_tokens(

@@ -40,6 +40,7 @@ __all__ = [
     "filter_urls",
     "cap_per_domain",
     "canonicalize_urls",
+    "surt_keys",
 ]
 
 #: Query parameters that never change page content — stripped during
@@ -233,6 +234,55 @@ def canonicalize_urls(
     return df.withColumn(
         out_col, F.when((scheme != "") & (host != ""), canon)
     )
+
+
+def surt_keys(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "urlkey",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Add ``out_col`` with the SURT key (Sort-friendly URI Reordering
+    Transform — the key format of every CDX crawl index, pywb and the
+    Common Crawl index included): host labels REVERSED and comma-joined,
+    then ``)`` + lowercased path (``/`` when absent) + ``?`` + the
+    alphabetically sorted query — ``http://www.Example.co.uk/A?b=2&a=1``
+    → ``uk,co,example)/a?a=1&b=2``.
+
+    Reversing the host makes one registered domain's captures a single
+    CONTIGUOUS key range, so a sorted index answers "everything under
+    example.com" with one range scan instead of a full pass — the same
+    reason to feed ``out_col`` to :func:`~..sources.write_sorted` when
+    persisting a capture table.  Scheme, port, userinfo and fragment are
+    dropped (SURT folds protocol/port variants of one resource);
+    ``strip_www`` additionally folds the ``www.`` alias like
+    :func:`canonicalize_urls` does.  Unparseable URLs key to NULL.  Pure
+    zero-shuffle projection, expressible identically in ANSI SQL."""
+    url = F.col(url_col)
+    host = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(
+        F.coalesce(
+            F.nullif(F.regexp_extract(url, _PATH_RE, 1), F.lit("")),
+            F.lit("/"),
+        )
+    )
+    query = F.lower(F.regexp_extract(url, _QUERY_RE, 1))
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")),
+        "&",
+    )
+    key = F.concat(
+        rev_host,
+        F.lit(")"),
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
+    return df.withColumn(out_col, F.when(host != "", key))
 
 
 def cap_per_domain(

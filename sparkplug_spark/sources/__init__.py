@@ -40,6 +40,9 @@ __all__ = [
     "read_store",
     "read_warc",
     "read_wet",
+    "read_cdx",
+    "cdxj_line",
+    "CDX_SCHEMA",
     "warcinfo_metadata",
     "parse_warc_records",
     "warc_record",
@@ -49,6 +52,11 @@ __all__ = [
     "WARC_SCHEMA",
 ]
 
+from .cdx import (  # noqa: E402  (facade re-export)
+    CDX_SCHEMA,
+    cdxj_line,
+    read_cdx,
+)
 from .warc import (  # noqa: E402  (facade re-export)
     WARC_SCHEMA,
     gzip_member,

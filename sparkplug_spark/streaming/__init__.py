@@ -42,6 +42,7 @@ __all__ = [
     "streaming_language_route",
     "streaming_dhash_flags",
     "streaming_enrich",
+    "streaming_reservoir",
 ]
 
 
@@ -936,3 +937,76 @@ def streaming_enrich(
         out.write.mode("append").parquet(out_path)
 
     return stream_df.writeStream.foreachBatch(_process)
+
+
+def streaming_reservoir(
+    stream_df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 8,
+) -> DataFrame:
+    """Deterministic streaming sample-of-exactly-n: the streaming tier of
+    :func:`~..operators.cleaning.sample_exact_n` (same md5 race — the n
+    globally smallest ``md5(salt ‖ id)`` win), maintained incrementally
+    so "give me the same 10k-doc eval subset the batch job picks" works
+    on an unbounded stream without reprocessing.
+
+    Two-level shape (the single-key global-top-n state store would
+    serialize every row through one task): rows hash into ``buckets``
+    state groups, each keeping its n smallest keys; a row is EMITTED the
+    batch it enters its bucket's current top-n.  Any global winner has
+    < n smaller keys globally, hence < n smaller in its bucket, so it
+    always enters (and is never silently lost); later evictions don't
+    retract sink rows, so the sink holds a small candidate SUPERSET
+    (≤ n per bucket alive at any time) and the consumer finishes with
+    one batch-side "n smallest by sample_key" over ≤ buckets·n rows —
+    that final pick equals the batch tier bit-for-bit regardless of
+    batch boundaries or arrival order (the min-n of a set is
+    fold-order-free).
+
+    State per bucket is one array of ≤ n ``key|id`` strings; no
+    timeout, no watermark needed (the race is insertion-only)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, sample_key string"
+    keyed = stream_df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.md5(
+            F.concat(F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("__key"),
+        (
+            F.crc32(F.col(id_col).cast("string")) % int(buckets)
+        ).alias("__bucket"),
+    )
+
+    def fn(key, pdfs, state):
+        fresh = []
+        for pdf in pdfs:
+            fresh.extend(
+                f"{k}|{i}" for k, i in zip(pdf["__key"], pdf["__id"])
+            )
+        old = list(state.get[0]) if state.exists else []
+        merged = sorted(set(old) | set(fresh))[: int(n)]
+        state.update((merged,))
+        old_set = set(old)
+        winners = [e for e in merged if e not in old_set]
+        if not winners:
+            return
+        ks, ids = zip(*[e.split("|", 1) for e in winners])
+        out = pd.DataFrame({id_col: ids, "sample_key": ks})
+        yield out
+
+    return (
+        keyed.groupBy("__bucket")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="cand array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

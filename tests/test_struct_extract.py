@@ -1,0 +1,421 @@
+"""Round-10 batch: structured HTML extraction (tables/headings/code/
+JSON-LD), charset detection+decoding, sitemap parsing, SURT keys, CDX
+index source, frontier scheduling, length bucketing, entity extraction,
+streaming reservoir."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    detect_charset,
+    decode_payload,
+    extract_code_blocks,
+    extract_entities,
+    extract_headings,
+    extract_jsonld,
+    extract_tables,
+    frontier_schedule,
+    length_buckets,
+    parse_sitemaps,
+    surt_keys,
+)
+
+
+def _one(spark, html):
+    return spark.createDataFrame([(1, html)], "doc_id long, html string")
+
+
+class TestExtractTables:
+    def test_cells_headers_positions(self, spark):
+        html = (
+            "<p>before</p><table><tr><th>Name</th><th>Qty</th></tr>"
+            "<tr><td>apple &amp; pear</td><td>3</td></tr>"
+            "<tr><td></td><td>4</td></tr></table>"
+            "<TABLE class='x'><tr><td>second</td></tr></TABLE>"
+        )
+        rows = extract_tables(_one(spark, html)).collect()
+        by = {(r.table_pos, r.row_pos, r.col_pos): r for r in rows}
+        assert by[(0, 0, 0)].cell_text == "Name"
+        assert by[(0, 0, 0)].is_header
+        assert by[(0, 1, 0)].cell_text == "apple & pear"
+        assert not by[(0, 1, 0)].is_header
+        assert by[(0, 2, 0)].cell_text is None  # empty cell -> NULL
+        assert by[(1, 0, 0)].cell_text == "second"
+        assert len(rows) == 7
+
+    def test_script_table_never_phantom_matches(self, spark):
+        html = (
+            "<script>var t = '<table><tr><td>ghost</td></tr></table>';"
+            "</script><table><tr><td>real</td></tr></table>"
+        )
+        rows = extract_tables(_one(spark, html)).collect()
+        assert [r.cell_text for r in rows] == ["real"]
+
+
+class TestExtractHeadings:
+    def test_levels_and_section_path(self, spark):
+        html = (
+            "<h1>Setup</h1><p>x</p><h2>Install</h2><h3>Linux</h3>"
+            "<h2>Configure</h2><h3>Paths</h3><h1>Usage</h1><h3>CLI</h3>"
+        )
+        rows = sorted(
+            extract_headings(_one(spark, html)).collect(),
+            key=lambda r: r.heading_pos,
+        )
+        assert [r.level for r in rows] == [1, 2, 3, 2, 3, 1, 3]
+        paths = [r.section_path for r in rows]
+        assert paths[2] == "Setup > Install > Linux"
+        assert paths[4] == "Setup > Configure > Paths"
+        # after the second h1, the old h2s must NOT leak into the path
+        assert paths[6] == "Usage > CLI"
+
+    def test_empty_heading_kept(self, spark):
+        rows = extract_headings(_one(spark, "<h2> </h2><h1>A</h1>")).collect()
+        assert len(rows) == 2
+        assert {r.text for r in rows} == {None, "A"}
+
+
+class TestExtractCodeBlocks:
+    def test_fences(self, spark):
+        text = (
+            "intro\n```python\nimport os\nprint(1)\n```\n"
+            "mid\n```\nplain\n```\ntail ```not closed"
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            extract_code_blocks(df).collect(), key=lambda r: r.block_pos
+        )
+        assert len(rows) == 2
+        assert rows[0].lang == "python"
+        assert rows[0].code == "import os\nprint(1)\n"
+        assert rows[0].n_lines == 2
+        assert rows[1].lang is None
+        assert rows[1].code == "plain\n"
+
+    def test_info_string_first_token(self, spark):
+        df = spark.createDataFrame(
+            [(1, "```Rust title=x\nfn main(){}\n```")],
+            "doc_id long, text string",
+        )
+        r = extract_code_blocks(df).collect()[0]
+        assert r.lang == "rust"
+
+
+class TestExtractJsonld:
+    def test_object_and_array(self, spark):
+        html = (
+            '<script type="application/ld+json">'
+            '{"@type": "Product", "name": "Widget", "url": "/w"}'
+            "</script>"
+            "<script type='application/ld+json'>"
+            '[{"@type": "Article", "name": "Post"}]'
+            "</script>"
+            "<script>var x = 1;</script>"
+        )
+        rows = sorted(
+            extract_jsonld(_one(spark, html)).collect(),
+            key=lambda r: r.block_pos,
+        )
+        assert len(rows) == 2
+        assert (rows[0].jsonld_type, rows[0].name, rows[0].item_url) == (
+            "Product", "Widget", "/w",
+        )
+        assert (rows[1].jsonld_type, rows[1].name) == ("Article", "Post")
+
+    def test_malformed_json_quarantined(self, spark):
+        html = '<script type="application/ld+json">{oops</script>'
+        r = extract_jsonld(_one(spark, html)).collect()[0]
+        assert r.jsonld_type is None and r.raw == "{oops"
+
+
+class TestCharset:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, payload binary, content_type string"
+        )
+
+    def test_precedence_bom_header_meta_default(self, spark):
+        rows = [
+            (1, b"\xef\xbb\xbfhello", "text/html; charset=latin1"),
+            (2, b"\xff\xfeh\x00i\x00", None),
+            (3, b"\xfe\xff\x00h\x00i", None),
+            (4, b"<html>x</html>", "text/html; charset=Latin1"),
+            (5, b"<meta charset='GB2312'><p>x</p>", None),
+            (6, b'<meta http-equiv="Content-Type" '
+                b'content="text/html; charset=Shift_JIS">', None),
+            (7, b"plain bytes", "text/plain"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in detect_charset(
+                self._df(spark, rows), header_col="content_type"
+            ).collect()
+        }
+        assert (out[1].charset, out[1].charset_source) == ("utf-8", "bom")
+        assert (out[2].charset, out[2].charset_source) == ("utf-16le", "bom")
+        assert (out[3].charset, out[3].charset_source) == ("utf-16be", "bom")
+        assert (out[4].charset, out[4].charset_source) == (
+            "iso-8859-1", "header",
+        )
+        assert (out[5].charset, out[5].charset_source) == ("gbk", "meta")
+        assert (out[6].charset, out[6].charset_source) == (
+            "shift_jis", "meta",
+        )
+        assert (out[7].charset, out[7].charset_source) == (
+            "utf-8", "default",
+        )
+
+    def test_decode_payload(self, spark):
+        rows = [
+            (1, "café".encode("utf-8"), None),
+            (2, b"\xef\xbb\xbf" + "bom".encode("utf-8"), None),
+            (3, "café".encode("iso-8859-1"),
+             "text/html; charset=latin1"),
+            (4, "こん".encode("shift_jis"),
+             "text/html; charset=shift_jis"),
+            (5, b"\xff\xfe" + "hi".encode("utf-16le"), None),
+            (6, None, None),
+            (7, b"\xff bad utf8 \xfa", None),
+        ]
+        det = detect_charset(self._df(spark, rows), header_col="content_type")
+        out = {r.doc_id: r.text for r in decode_payload(det).collect()}
+        assert out[1] == "café"
+        assert out[2] == "bom"  # BOM stripped
+        assert out[3] == "café"
+        assert out[4] == "こん"
+        assert out[5] == "hi"
+        assert out[6] is None
+        assert "bad utf8" in out[7] and "�" in out[7]
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> http://e.com/a?x=1&amp;y=2 </loc>
+    <lastmod>2024-01-05</lastmod><changefreq>Daily</changefreq>
+    <priority>0.8</priority></url>
+  <url><loc>http://e.com/b</loc><priority>1.0</priority></url>
+  <url><loc>http://e.com/c</loc></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>http://e.com/sitemap-1.xml</loc>
+    <lastmod>2024-02-01</lastmod></sitemap>
+  <sitemap><loc>http://e.com/sitemap-2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+class TestParseSitemaps:
+    def test_urlset(self, spark):
+        df = spark.createDataFrame(
+            [("e.com", SITEMAP)], "host string, sitemap_xml string"
+        )
+        rows = sorted(
+            parse_sitemaps(df).collect(), key=lambda r: r.entry_pos
+        )
+        assert [r.kind for r in rows] == ["url"] * 3
+        assert rows[0].loc == "http://e.com/a?x=1&y=2"  # trimmed + decoded
+        assert rows[0].lastmod == "2024-01-05"
+        assert rows[0].changefreq == "daily"
+        assert rows[0].priority_milli == 800
+        assert rows[1].priority_milli == 1000
+        assert rows[2].priority_milli is None
+        assert rows[2].changefreq is None
+
+    def test_index(self, spark):
+        df = spark.createDataFrame(
+            [("e.com", SITEMAP_INDEX)], "host string, sitemap_xml string"
+        )
+        rows = sorted(
+            parse_sitemaps(df).collect(), key=lambda r: r.entry_pos
+        )
+        assert [r.kind for r in rows] == ["sitemap", "sitemap"]
+        assert rows[0].loc == "http://e.com/sitemap-1.xml"
+        assert rows[1].lastmod is None
+
+
+class TestSurtKeys:
+    def test_shapes(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "http://www.Example.co.uk/A/B?b=2&a=1"),
+                (2, "https://sub.e.com:8443/p#frag"),
+                (3, "http://e.com"),
+                (4, "not a url"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r.doc_id: r.urlkey for r in surt_keys(df).collect()}
+        assert out[1] == "uk,co,example)/a/b?a=1&b=2"
+        assert out[2] == "com,e,sub)/p"
+        assert out[3] == "com,e)/"
+        assert out[4] is None
+
+    def test_domain_range_contiguity(self, spark):
+        # the point of SURT: one domain's keys sort contiguously
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate([
+                "http://a.example.com/x",
+                "http://zz-other.com/1",
+                "http://example.com/y",
+                "http://b.example.com/z",
+            ])],
+            "doc_id long, url string",
+        )
+        keys = sorted(r.urlkey for r in surt_keys(df).collect())
+        ex = [k for k in keys if k.startswith("com,example")]
+        i = keys.index(ex[0])
+        assert keys[i : i + len(ex)] == ex
+
+
+class TestReadCdx:
+    @pytest.fixture()
+    def cdx_dir(self, spark, tmp_path):
+        lines = [
+            'com,example)/a 20240101000000 {"url": "http://example.com/a",'
+            ' "mime": "text/html", "status": "200", "digest": "AAA",'
+            ' "length": "512", "offset": "0", "filename": "f1.warc.gz"}',
+            'com,example)/b 20240102120000 {"url": "http://example.com/b",'
+            ' "mime": "application/pdf", "status": "404", "digest": "BBB",'
+            ' "length": "9", "offset": "512", "filename": "f1.warc.gz"}',
+            "garbage line without timestamp",
+            'com,bad)/x notats {"url": "http://bad.com/x"}',
+        ]
+        p = tmp_path / "index-00000.cdxj"
+        p.write_text("\n".join(lines) + "\n")
+        return str(tmp_path)
+
+    def test_skip_and_keep(self, spark, cdx_dir):
+        from sparkplug_spark.sources import read_cdx
+
+        ok = read_cdx(spark, cdx_dir + "/*.cdxj").collect()
+        assert len(ok) == 2
+        by = {r.urlkey: r for r in ok}
+        a = by["com,example)/a"]
+        assert (a.status, a.warc_length, a.warc_offset) == (200, 512, 0)
+        assert a.mime == "text/html" and a.capture_ts == "20240101000000"
+        kept = read_cdx(spark, cdx_dir + "/*.cdxj", on_error="keep").collect()
+        assert len(kept) == 4
+        bad = [r for r in kept if r.url is None]
+        assert len(bad) == 2
+        assert {r.urlkey for r in bad} == {"garbage", "com,bad)/x"}
+
+
+class TestFrontierSchedule:
+    def test_slots_and_eta(self, spark):
+        urls = spark.createDataFrame(
+            [("a.com", f"http://a.com/{i}") for i in range(5)]
+            + [("b.com", "http://b.com/1")],
+            "host string, url string",
+        )
+        delays = spark.createDataFrame(
+            [("a.com", 3)], "host string, crawl_delay long"
+        )
+        rows = frontier_schedule(urls, delays).collect()
+        a = sorted(
+            [r for r in rows if r.host == "a.com"],
+            key=lambda r: r.fetch_slot,
+        )
+        assert [r.fetch_slot for r in a] == [0, 1, 2, 3, 4]
+        assert [r.eta_seconds for r in a] == [0, 3, 6, 9, 12]
+        b = [r for r in rows if r.host == "b.com"][0]
+        assert (b.fetch_slot, b.eta_seconds) == (0, 0)  # default delay
+        # deterministic across runs
+        again = frontier_schedule(urls, delays).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_nonpositive_delay_clamps(self, spark):
+        urls = spark.createDataFrame(
+            [("c.com", "http://c.com/1"), ("c.com", "http://c.com/2")],
+            "host string, url string",
+        )
+        delays = spark.createDataFrame(
+            [("c.com", 0)], "host string, crawl_delay long"
+        )
+        rows = frontier_schedule(urls, delays, default_delay=2).collect()
+        assert sorted(r.eta_seconds for r in rows) == [0, 2]
+
+
+class TestLengthBuckets:
+    def test_buckets_and_overflow(self, spark):
+        df = spark.createDataFrame(
+            [(10,), (64,), (65,), (100,), (9000,)], "n_tokens long"
+        )
+        rows = {
+            r.bucket_cap: r
+            for r in length_buckets(df, caps=(64, 128, 8192)).collect()
+        }
+        assert rows[64].n_docs == 2 and rows[64].sum_len == 74
+        assert rows[64].padded_len == 128
+        assert rows[64].pad_waste_ppm == (128 - 74) * 1000000 // 128
+        assert rows[128].n_docs == 2
+        assert rows[None].n_docs == 1  # overflow
+        assert rows[None].padded_len is None
+
+    def test_exact_boundary(self, spark):
+        df = spark.createDataFrame([(64,)], "n_tokens long")
+        r = length_buckets(df, caps=(64, 128)).collect()[0]
+        assert r.bucket_cap == 64 and r.pad_waste_ppm == 0
+
+
+class TestExtractEntities:
+    def test_tiers(self, spark):
+        text = (
+            "Due 2024-03-05 at 14:30, pay $1,234.56 (late fee 2.5%) "
+            "to billing@example.com via https://pay.example.com/x?id=1 ok"
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = extract_entities(df).collect()
+        got = {(r.entity_type, r.value) for r in rows}
+        assert ("iso_date", "2024-03-05") in got
+        assert ("time", "14:30") in got
+        assert ("money", "$1,234.56") in got
+        assert ("percent", "2.5%") in got
+        assert ("email", "billing@example.com") in got
+        assert ("url", "https://pay.example.com/x?id=1") in got
+
+    def test_match_pos_per_tier(self, spark):
+        df = spark.createDataFrame(
+            [(1, "9% then 10% then 11%")], "doc_id long, text string"
+        )
+        rows = sorted(
+            extract_entities(df).collect(), key=lambda r: r.match_pos
+        )
+        assert [(r.match_pos, r.value) for r in rows] == [
+            (0, "9%"), (1, "10%"), (2, "11%"),
+        ]
+
+
+class TestStreamingReservoir:
+    def test_matches_batch_sample(self, spark):
+        import hashlib
+
+        from sparkplug_spark.streaming.replay import replay_file_stream
+        from sparkplug_spark.streaming import streaming_reservoir
+
+        ids = list(range(40))
+        batches = [
+            spark.createDataFrame(
+                [(i,) for i in ids[k * 10 : (k + 1) * 10]], "doc_id long"
+            )
+            for k in range(4)
+        ]
+        out = replay_file_stream(
+            spark,
+            batches,
+            lambda s: streaming_reservoir(s, n=7, salt="rsv"),
+            shuffle_partitions=8,
+        )
+        cand = out.collect()
+        # candidates are a superset; the final pick is the n smallest
+        final = sorted(cand, key=lambda r: (r.sample_key, r.doc_id))[:7]
+        expect = sorted(
+            ids,
+            key=lambda i: hashlib.md5(f"rsv{i}".encode()).hexdigest(),
+        )[:7]
+        assert sorted(r.doc_id for r in final) == sorted(expect)
+        # every candidate carries its true key
+        for r in cand:
+            assert (
+                r.sample_key
+                == hashlib.md5(f"rsv{r.doc_id}".encode()).hexdigest()
+            )
