@@ -4467,6 +4467,419 @@ def q_image_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_exif(imgs)
 
 
+def q_cdx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index source (E254): documents become spec-shaped CDXJ lines
+    (urlkey / 14-digit timestamp / JSON attributes — every field doc_id
+    arithmetic), written as REAL text files, parsed back through
+    read_cdx's zero-UDF projection; the oracle rebuilds each parsed
+    field arithmetically — a field-split, JSON-path, or cast bug breaks
+    the value hash."""
+    import tempfile
+
+    from sparkplug_spark.sources import cdxj_line, read_cdx
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    line = cdxj_line(
+        urlkey=F.concat(F.lit("com,corpus)/doc/"), sid),
+        capture_ts=F.concat(
+            F.lit("2024"),
+            F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("000000"),
+        ),
+        url=F.concat(F.lit("http://corpus.com/doc/"), sid),
+        mime=F.when(F.col("doc_id") % 3 == 0, F.lit("text/html")).otherwise(
+            F.lit("text/plain")
+        ),
+        status=F.when(F.col("doc_id") % 7 == 0, F.lit(404)).otherwise(
+            F.lit(200)
+        ),
+        digest=F.md5(sid),
+        filename=F.concat(
+            F.lit("part-"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(".warc.gz"),
+        ),
+        offset=F.col("doc_id") * 1000,
+        length=F.col("n_chars"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkplug_cdx_")
+    docs.select(line.alias("value")).coalesce(4).write.mode(
+        "overwrite"
+    ).text(tmp)
+    return read_cdx(spark, tmp).select(
+        "urlkey", "capture_ts", "url", "mime", "status", "digest",
+        "warc_filename", "warc_offset", "warc_length",
+    )
+
+
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical index keys (E255): four URL shapes per corpus
+    (www + mixed case + unsorted query, subdomain + multi-label suffix
+    + port + fragment, bare host, unparseable) — the oracle derives the
+    expected key per shape arithmetically."""
+    from sparkplug_spark.operators import surt_keys
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("http://WWW."), F.col("source"),
+                F.lit(".com/Page/"), sid, F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://sub."), F.col("source"),
+                F.lit(".co.uk:8443/x/"), sid, F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".com")),
+        )
+        .otherwise(F.lit("not a url"))
+    )
+    return surt_keys(docs.select("doc_id", url.alias("url"))).select(
+        "doc_id", "url", "urlkey"
+    )
+
+
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (E256): each source aggregates its docs into
+    one urlset document (entries in doc_id order — lastmod/changefreq/
+    priority all arithmetic, every 10th entry a <sitemap> index row, the
+    &amp; entity planted in one loc per source); the oracle rebuilds
+    every entry field and position from the recipe."""
+    from sparkplug_spark.operators import parse_sitemaps
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    entry = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.lit("<sitemap><loc>http://"), F.col("source"),
+            F.lit(".com/child-"), sid, F.lit(".xml</loc><lastmod>2024-02-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></sitemap>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<url><loc> http://"), F.col("source"),
+            F.lit(".com/p/"), sid,
+            F.when(F.col("doc_id") % 5 == 1, F.lit("?a=1&amp;b=2")).otherwise(
+                F.lit("")
+            ),
+            F.lit(" </loc><lastmod>2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod><changefreq>"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Daily")).otherwise(
+                F.lit("weekly")
+            ),
+            F.lit("</changefreq>"),
+            F.when(
+                F.col("doc_id") % 5 != 2,
+                F.concat(
+                    F.lit("<priority>0."),
+                    (F.col("doc_id") % 10).cast("string"),
+                    F.lit("</priority>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+    )
+    hosts = (
+        docs.select(
+            F.concat(F.col("source"), F.lit(".com")).alias("host"),
+            F.struct(F.col("doc_id"), entry.alias("e")).alias("se"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("se")), lambda x: x["e"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return parse_sitemaps(hosts).select(
+        "host", "entry_pos", "kind", "loc", "lastmod", "changefreq",
+        "priority_milli",
+    )
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table extraction (E257): every doc carries a header+data
+    table (one cell entity-encoded, one empty every 5th doc, a second
+    single-cell table every 3rd doc, a decoy table inside a script that
+    must NOT match); the oracle emits the expected cell rows
+    arithmetically."""
+    from sparkplug_spark.operators import extract_tables
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<script>var t='<table><tr><td>ghost</td></tr></table>';"
+              "</script>"),
+        F.lit("<table><tr><th>Key</th><th>Val</th></tr><tr><td>"),
+        F.col("source"), F.lit(" &amp; co</td><td>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(sid),
+        F.lit("</td></tr></table>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<TABLE class="x"><tr><td>extra '), sid,
+                F.lit("</td></tr></TABLE>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return extract_tables(docs.select("doc_id", html.alias("html"))).select(
+        "doc_id", "table_pos", "row_pos", "col_pos", "cell_text",
+        "is_header",
+    )
+
+
+def q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading outline + section paths (E258): a fixed h1/h2 skeleton
+    with arithmetic variants (an h3 under the first h2 on even docs, a
+    trailing h1+h3 on %4 docs — whose path must NOT leak the earlier
+    h2); the oracle states every row and breadcrumb directly."""
+    from sparkplug_spark.operators import extract_headings
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<h1>Alpha "), F.col("source"), F.lit("</h1><p>x</p><h2>Beta"
+        "</h2>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<h3>Gamma "), sid, F.lit("</h3>")),
+        ).otherwise(F.lit("")),
+        F.lit("<h2>Delta</h2>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("<h1>Omega</h1><h3>Tail</h3>"),
+        ).otherwise(F.lit("")),
+    )
+    return extract_headings(
+        docs.select("doc_id", html.alias("html"))
+    ).select("doc_id", "heading_pos", "level", "text", "section_path")
+
+
+def q_code_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown fence extraction (E259): a python fence with an
+    arithmetic body per doc, a bare fence on even docs, an UNCLOSED
+    fence tail that must not match; bodies verified by md5 so the
+    verbatim-bytes contract is value-hashed."""
+    from sparkplug_spark.operators import extract_code_blocks
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("intro\n```python\nx = "), sid,
+        F.lit("\nprint(x)\n```\nmid\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("```\ny = "), sid, F.lit("\n```\n")),
+        ).otherwise(F.lit("")),
+        F.lit("tail\n```lost\nnever closed"),
+    )
+    out = extract_code_blocks(docs.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id", "block_pos", "lang", "n_lines", "n_chars",
+        F.md5("code").alias("code_md5"),
+    )
+
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD island extraction (E260): a Product object per doc (name/
+    url arithmetic), an Article ARRAY island on %3 docs (first-element
+    fallback), a malformed island on %9 docs (NULL fields, raw
+    preserved — pinned by md5), and a plain script decoy."""
+    from sparkplug_spark.operators import extract_jsonld
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<script>var x=1;</script>"),
+        F.lit('<script type="application/ld+json">'),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("{oops")).otherwise(
+            F.concat(
+                F.lit('{"@type": "Product", "name": "Widget '), sid,
+                F.lit('", "url": "/w/'), sid, F.lit('"}'),
+            )
+        ),
+        F.lit("</script>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("<script type='application/ld+json'>"),
+                F.lit('[{"@type": "Article", "name": "Post '), sid,
+                F.lit('"}]</script>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = extract_jsonld(docs.select("doc_id", html.alias("html")))
+    return out.select(
+        "doc_id", "block_pos", "jsonld_type", "name", "item_url",
+        F.md5("raw").alias("raw_md5"),
+    )
+
+
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing (E261): five payload shapes per corpus (UTF-8
+    BOM, UTF-16LE BOM, meta charset=latin1, transport-header shift_jis,
+    bare default) exercise the full precedence chain; the oracle states
+    the expected (charset, source) per shape."""
+    from sparkplug_spark.operators import detect_charset
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    payload = (
+        F.when(
+            m == 0,
+            F.concat(F.lit(b"\xef\xbb\xbf"), F.encode(F.col("text"), "utf-8")),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit(b"\xff\xfe"), F.encode(F.lit("hi"), "utf-16le")
+            ),
+        )
+        .when(
+            m == 2,
+            F.encode(
+                F.concat(
+                    F.lit("<meta charset='latin1'><p>"), F.col("text"),
+                    F.lit("</p>"),
+                ),
+                "utf-8",
+            ),
+        )
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+    )
+    header = F.when(
+        m == 3, F.lit("text/html; charset=Shift_JIS")
+    ).otherwise(F.lit("text/plain"))
+    src = docs.select(
+        "doc_id", payload.alias("payload"), header.alias("content_type")
+    )
+    return detect_charset(src, header_col="content_type").select(
+        "doc_id", "charset", "charset_source"
+    )
+
+
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (E262): per-host fetch slots by md5 race ×
+    per-host crawl delays (one host has no delay row → default); the
+    oracle replays the identical window arithmetic with DuckDB's md5."""
+    from sparkplug_spark.operators import frontier_schedule
+
+    docs = _read(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.col("source"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    delays = (
+        docs.select("source").distinct()
+        .where(F.col("source") != "src0")  # src0 exercises the default
+        .select(
+            F.concat(F.col("source"), F.lit(".com")).alias("host"),
+            ((F.ascii(F.substring(F.col("source"), -1, 1)) % 3) + 2)
+            .cast("long")
+            .alias("crawl_delay"),
+        )
+    )
+    return frontier_schedule(urls, delays).select(
+        "host", "url", "fetch_slot", "eta_seconds"
+    )
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste bucketing (E263): documents bucketed by n_chars
+    into power-of-two caps; exact integer ppm waste per bucket."""
+    from sparkplug_spark.operators import length_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_buckets(
+        docs.select(F.col("n_chars").alias("n_tokens")),
+        caps=(64, 128, 256, 512),
+    ).select(
+        "bucket_cap", "n_docs", "sum_len", "padded_len", "pad_waste_ppm"
+    )
+
+
+def q_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed entity extraction (E264): six entity tiers planted per doc
+    with arithmetic values over the digit-free corpus text (so every
+    match is recipe-derived); the oracle emits the expected (type, pos,
+    value) rows directly."""
+    from sparkplug_spark.operators import extract_entities
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" pay $"), ((F.col("doc_id") % 90) + 1).cast("string"),
+        F.lit(".50 on 2024-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit(" at 14:30 rate "),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit(".5% mail a"), sid,
+        F.lit("@ex.com see https://ex.com/p/"), sid,
+    )
+    return extract_entities(docs.select("doc_id", text.alias("text"))).select(
+        "doc_id", "entity_type", "match_pos", "value"
+    )
+
+
+def q_streaming_reservoir_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming deterministic sample (E265), ORACLE-checked via replay:
+    200 docs arrive in 4 micro-batches through the bucketed keep-n-
+    smallest state op; the candidate sink's final n-smallest pick must
+    equal the batch md5 race exactly (batch boundaries cannot move the
+    min-n of a set)."""
+    from sparkplug_spark.streaming import streaming_reservoir
+    from sparkplug_spark.streaming.replay import replay_file_stream
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50))
+        for lo in (0, 50, 100, 150)
+    ]
+    cand = replay_file_stream(
+        spark,
+        batches,
+        lambda s: streaming_reservoir(s, n=25, salt="rsv", buckets=4),
+        mode="append",
+        shuffle_partitions=8,
+    )
+    return (
+        cand.orderBy("sample_key", "doc_id")
+        .limit(25)
+        .select("doc_id", "sample_key")
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14138,6 +14551,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chat_render": q_chat_render,
         "streaming_policy_replay": q_streaming_policy_replay,
         "image_exif": q_image_exif,
+        "cdx_ingest": q_cdx_ingest,
+        "surt_keys": q_surt_keys,
+        "sitemap_ingest": q_sitemap_ingest,
+        "html_tables": q_html_tables,
+        "html_outline": q_html_outline,
+        "code_blocks": q_code_blocks,
+        "jsonld_extract": q_jsonld_extract,
+        "charset_detect": q_charset_detect,
+        "frontier_schedule": q_frontier_schedule,
+        "length_buckets": q_length_buckets,
+        "entity_extract": q_entity_extract,
+        "streaming_reservoir_replay": q_streaming_reservoir_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -14259,6 +14684,234 @@ def oracle_sql() -> dict[str, str]:
                     THEN '2026:01:' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
                          || ' 12:00:00' END AS datetime_original
         FROM documents WHERE doc_id < 300
+    """
+
+    out["cdx_ingest"] = """
+        SELECT 'com,corpus)/doc/' || doc_id::VARCHAR AS urlkey,
+               '2024' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                      || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                      || '000000' AS capture_ts,
+               'http://corpus.com/doc/' || doc_id::VARCHAR AS url,
+               CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+                    ELSE 'text/plain' END AS mime,
+               (CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END)::BIGINT
+                 AS status,
+               md5(doc_id::VARCHAR) AS digest,
+               'part-' || (doc_id % 8)::VARCHAR || '.warc.gz'
+                 AS warc_filename,
+               (doc_id * 1000)::BIGINT AS warc_offset,
+               n_chars::BIGINT AS warc_length
+        FROM documents
+    """
+
+    out["surt_keys"] = """
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'http://WWW.' || source || '.com/Page/'
+                             || doc_id::VARCHAR || '?b=2&a=1'
+                 WHEN 1 THEN 'https://sub.' || source || '.co.uk:8443/x/'
+                             || doc_id::VARCHAR || '#frag'
+                 WHEN 2 THEN 'http://' || source || '.com'
+                 ELSE 'not a url' END AS url,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'com,' || source || ')/page/'
+                             || doc_id::VARCHAR || '?a=1&b=2'
+                 WHEN 1 THEN 'uk,co,' || source || ',sub)/x/'
+                             || doc_id::VARCHAR
+                 WHEN 2 THEN 'com,' || source || ')/'
+               END AS urlkey
+        FROM documents
+    """
+
+    out["sitemap_ingest"] = """
+        WITH sm AS (
+          SELECT source, doc_id,
+                 source || '.com' AS host,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id
+                 ) - 1 AS entry_pos,
+                 doc_id % 10 AS m10, doc_id % 5 AS m5, doc_id % 3 AS m3,
+                 lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS dd
+          FROM documents
+        )
+        SELECT host, entry_pos::BIGINT AS entry_pos,
+               CASE WHEN m10 = 0 THEN 'sitemap' ELSE 'url' END AS kind,
+               CASE WHEN m10 = 0
+                    THEN 'http://' || source || '.com/child-'
+                         || doc_id::VARCHAR || '.xml'
+                    ELSE 'http://' || source || '.com/p/'
+                         || doc_id::VARCHAR
+                         || CASE WHEN m5 = 1 THEN '?a=1&b=2' ELSE '' END
+               END AS loc,
+               CASE WHEN m10 = 0 THEN '2024-02-' || dd
+                    ELSE '2024-01-' || dd END AS lastmod,
+               CASE WHEN m10 = 0 THEN NULL
+                    WHEN m3 = 0 THEN 'daily' ELSE 'weekly'
+               END AS changefreq,
+               CASE WHEN m10 <> 0 AND m5 <> 2
+                    THEN ((doc_id % 10) * 100)::BIGINT
+               END AS priority_milli
+        FROM sm
+    """
+
+    out["html_tables"] = """
+        SELECT doc_id, 0::BIGINT AS table_pos, 0::BIGINT AS row_pos,
+               0::BIGINT AS col_pos, 'Key' AS cell_text,
+               true AS is_header FROM documents
+        UNION ALL
+        SELECT doc_id, 0, 0, 1, 'Val', true FROM documents
+        UNION ALL
+        SELECT doc_id, 0, 1, 0, source || ' & co', false FROM documents
+        UNION ALL
+        SELECT doc_id, 0, 1, 1,
+               CASE WHEN doc_id % 5 = 0 THEN NULL
+                    ELSE doc_id::VARCHAR END, false
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 0, 0, 'extra ' || doc_id::VARCHAR, false
+        FROM documents WHERE doc_id % 3 = 0
+    """
+
+    out["html_outline"] = """
+        SELECT doc_id, 0::BIGINT AS heading_pos, 1::INT AS level,
+               'Alpha ' || source AS text,
+               'Alpha ' || source AS section_path FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 2, 'Beta', 'Alpha ' || source || ' > Beta'
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 3, 'Gamma ' || doc_id::VARCHAR,
+               'Alpha ' || source || ' > Beta > Gamma ' || doc_id::VARCHAR
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END, 2,
+               'Delta', 'Alpha ' || source || ' > Delta' FROM documents
+        UNION ALL
+        SELECT doc_id, 4, 1, 'Omega', 'Omega' FROM documents
+        WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT doc_id, 5, 3, 'Tail', 'Omega > Tail' FROM documents
+        WHERE doc_id % 4 = 0
+    """
+
+    out["code_blocks"] = """
+        SELECT doc_id, 0::BIGINT AS block_pos, 'python' AS lang,
+               2::BIGINT AS n_lines,
+               (14 + length(doc_id::VARCHAR))::BIGINT AS n_chars,
+               md5('x = ' || doc_id::VARCHAR || chr(10)
+                   || 'print(x)' || chr(10)) AS code_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1, NULL, 1,
+               (5 + length(doc_id::VARCHAR))::BIGINT,
+               md5('y = ' || doc_id::VARCHAR || chr(10))
+        FROM documents WHERE doc_id % 2 = 0
+    """
+
+    out["jsonld_extract"] = """
+        SELECT doc_id, 0::BIGINT AS block_pos,
+               CASE WHEN doc_id % 9 <> 0 THEN 'Product' END AS jsonld_type,
+               CASE WHEN doc_id % 9 <> 0
+                    THEN 'Widget ' || doc_id::VARCHAR END AS name,
+               CASE WHEN doc_id % 9 <> 0
+                    THEN '/w/' || doc_id::VARCHAR END AS item_url,
+               CASE WHEN doc_id % 9 = 0 THEN md5('{oops')
+                    ELSE md5('{"@type": "Product", "name": "Widget '
+                             || doc_id::VARCHAR || '", "url": "/w/'
+                             || doc_id::VARCHAR || '"}')
+               END AS raw_md5
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 'Article', 'Post ' || doc_id::VARCHAR, NULL,
+               md5('[{"@type": "Article", "name": "Post '
+                   || doc_id::VARCHAR || '"}]')
+        FROM documents WHERE doc_id % 3 = 0
+    """
+
+    out["charset_detect"] = """
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'utf-8'
+                 WHEN 1 THEN 'utf-16le'
+                 WHEN 2 THEN 'iso-8859-1'
+                 WHEN 3 THEN 'shift_jis'
+                 ELSE 'utf-8' END AS charset,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'bom'
+                 WHEN 1 THEN 'bom'
+                 WHEN 2 THEN 'meta'
+                 WHEN 3 THEN 'header'
+                 ELSE 'default' END AS charset_source
+        FROM documents
+    """
+
+    out["frontier_schedule"] = """
+        WITH fs AS (
+          SELECT source, source || '.com' AS host,
+                 'http://' || source || '.com/p/' || doc_id::VARCHAR AS url
+          FROM documents
+        ),
+        fr AS (
+          SELECT host, url, source,
+                 row_number() OVER (
+                   PARTITION BY host ORDER BY md5(url), url
+                 ) - 1 AS fetch_slot
+          FROM fs
+        )
+        SELECT host, url, fetch_slot::BIGINT AS fetch_slot,
+               (fetch_slot * CASE WHEN source = 'src0' THEN 1
+                   ELSE (ascii(substr(source, -1, 1)) % 3) + 2 END
+               )::BIGINT AS eta_seconds
+        FROM fr
+    """
+
+    out["length_buckets"] = """
+        WITH lb AS (
+          SELECT CASE WHEN n_chars <= 64 THEN 64
+                      WHEN n_chars <= 128 THEN 128
+                      WHEN n_chars <= 256 THEN 256
+                      WHEN n_chars <= 512 THEN 512 END AS bucket_cap,
+                 n_chars
+          FROM documents
+        ),
+        lg AS (
+          SELECT bucket_cap, count(*)::BIGINT AS n_docs,
+                 sum(n_chars)::BIGINT AS sum_len
+          FROM lb GROUP BY bucket_cap
+        )
+        SELECT bucket_cap::BIGINT AS bucket_cap, n_docs, sum_len,
+               (bucket_cap * n_docs)::BIGINT AS padded_len,
+               ((bucket_cap * n_docs - sum_len) * 1000000
+                // (bucket_cap * n_docs))::BIGINT AS pad_waste_ppm
+        FROM lg
+    """
+
+    out["entity_extract"] = """
+        SELECT doc_id, 'money' AS entity_type, 0::BIGINT AS match_pos,
+               '$' || (doc_id % 90 + 1)::VARCHAR || '.50' AS value
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'iso_date', 0,
+               '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+               || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'time', 0, '14:30' FROM documents
+        UNION ALL
+        SELECT doc_id, 'percent', 0,
+               (doc_id % 9 + 1)::VARCHAR || '.5%' FROM documents
+        UNION ALL
+        SELECT doc_id, 'email', 0,
+               'a' || doc_id::VARCHAR || '@ex.com' FROM documents
+        UNION ALL
+        SELECT doc_id, 'url', 0,
+               'https://ex.com/p/' || doc_id::VARCHAR FROM documents
+    """
+
+    out["streaming_reservoir_replay"] = """
+        SELECT doc_id, md5('rsv' || doc_id::VARCHAR) AS sample_key
+        FROM documents WHERE doc_id < 200
+        ORDER BY sample_key LIMIT 25
     """
 
     # WAT round-trip (E246): envelope fields derive from the documents
