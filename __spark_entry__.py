@@ -4880,6 +4880,145 @@ def q_streaming_reservoir_replay(
     )
 
 
+def q_warc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC member indexing (E266): real gzip-framed fixture archives
+    walked member-by-member WITHOUT decompressed payload transfer; the
+    header fields per member are oracle-checked (the byte offsets
+    themselves are pinned by the cdx_fetch round-trip — wrong spans
+    fetch wrong payloads there)."""
+    from sparkplug_spark.sources import index_warc_offsets
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _write_warc_fixture(docs, "text", "text/plain", "sparkplug_idx_")
+    idx = index_warc_offsets(spark, tmp + "/*.warc.gz")
+    return idx.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "record_type",
+        "http_status",
+        "content_type",
+        "content_length",
+    )
+
+
+def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-fetch composition (E266+E267): index the fixture archives,
+    SELECT a third of the members relationally, fetch ONLY those byte
+    ranges through seek-and-read, and hash the payloads — a wrong
+    member offset/length or a seek bug fetches the wrong page and
+    breaks the value hash; I/O is exactly the selected members'
+    compressed bytes."""
+    from sparkplug_spark.sources import index_warc_offsets, read_warc_ranges
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = _write_warc_fixture(docs, "text", "text/plain", "sparkplug_rng_")
+    idx = index_warc_offsets(spark, tmp + "/*.warc.gz")
+    sel = idx.withColumn(
+        "__doc",
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long"),
+    ).where(F.col("__doc") % 3 == 0)
+    got = read_warc_ranges(spark, sel)
+    return got.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "http_status",
+        "content_type",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Section-aware chunking (E268): heading-bounded chunks with
+    breadcrumbs and body text — preamble only on %3 docs, an EMPTY h2
+    section on odd docs (kept, n_chars 0), every field stated by the
+    oracle arithmetically."""
+    from sparkplug_spark.operators import chunk_by_sections
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("lead ")).otherwise(
+            F.lit("")
+        ),
+        F.lit("<h1>Alpha</h1>body one "), F.col("source"),
+        F.lit("<h2>Beta</h2>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("second "), sid),
+        ).otherwise(F.lit("")),
+        F.lit("<h3>Gamma</h3>tail"),
+    )
+    return chunk_by_sections(docs.select("doc_id", html.alias("html"))).select(
+        "doc_id", "chunk_pos", "level", "title", "section_path", "text",
+        "n_chars",
+    )
+
+
+def q_outlink_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbound-link profile (E269): relative + same-registered-domain +
+    nofollow-external + (on even docs) plain-external links per page;
+    counts and the exact internal ppm share are stated by the oracle."""
+    from sparkplug_spark.operators import outlink_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="/rel/'), sid, F.lit('">r</a>'),
+        F.lit('<a href="http://sub.'), F.col("source"),
+        F.lit('.com/x">i</a>'),
+        F.lit('<a rel="external NoFollow" href="http://spam.example/l">'
+              "s</a>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<a href="http://other.net/y">o</a>'),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://www."), F.col("source"), F.lit(".com/page/"), sid
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return outlink_profile(pages).select(
+        "doc_id", "n_links", "n_nofollow", "n_internal", "n_external",
+        "internal_ppm",
+    )
+
+
+def q_tld_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-suffix mixture report (E270): four URL shapes (com,
+    multi-label co.uk, org, unparseable quarantine) — counts and exact
+    ppm shares per suffix."""
+    from sparkplug_spark.operators import tld_report
+
+    docs = _read(spark, sf_dir, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("http://a."), F.col("source"), F.lit(".com/x")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".co.uk/y")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".org/z")),
+        )
+        .otherwise(F.lit("junk"))
+    )
+    return tld_report(docs.select(url.alias("url"))).select(
+        "tld", "n_rows", "share_ppm"
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14563,6 +14702,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "entity_extract": q_entity_extract,
         "streaming_reservoir_replay": q_streaming_reservoir_replay,
+        "warc_index": q_warc_index,
+        "cdx_fetch": q_cdx_fetch,
+        "section_chunks": q_section_chunks,
+        "outlink_profile": q_outlink_profile,
+        "tld_mixture": q_tld_mixture,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -14912,6 +15056,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5('rsv' || doc_id::VARCHAR) AS sample_key
         FROM documents WHERE doc_id < 200
         ORDER BY sample_key LIMIT 25
+    """
+
+    out["warc_index"] = """
+        SELECT doc_id, 'response' AS record_type, 200::INT AS http_status,
+               'text/plain' AS content_type, n_chars::BIGINT AS content_length
+        FROM documents
+    """
+
+    out["cdx_fetch"] = """
+        SELECT doc_id, 200::INT AS http_status,
+               'text/plain' AS content_type,
+               md5(text) AS payload_md5
+        FROM documents WHERE doc_id % 3 = 0
+    """
+
+    out["section_chunks"] = """
+        SELECT doc_id, 0::BIGINT AS chunk_pos, NULL::INT AS level,
+               NULL AS title, NULL AS section_path, 'lead' AS text,
+               4::BIGINT AS n_chars
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 1, 1, 'Alpha', 'Alpha', 'body one ' || source,
+               (9 + length(source))::BIGINT
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 2, 'Beta', 'Alpha > Beta',
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'second ' || doc_id::VARCHAR END,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 7 + length(doc_id::VARCHAR) ELSE 0 END::BIGINT
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 3, 3, 'Gamma', 'Alpha > Beta > Gamma', 'tail', 4
+        FROM documents
+    """
+
+    out["outlink_profile"] = """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END)::BIGINT
+                 AS n_links,
+               1::BIGINT AS n_nofollow,
+               2::BIGINT AS n_internal,
+               (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::BIGINT
+                 AS n_external,
+               (2000000 // CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END
+               )::BIGINT AS internal_ppm
+        FROM documents
+    """
+
+    out["tld_mixture"] = """
+        WITH tm AS (
+          SELECT CASE doc_id % 4
+                   WHEN 0 THEN 'com'
+                   WHEN 1 THEN 'co.uk'
+                   WHEN 2 THEN 'org'
+                 END AS tld
+          FROM documents
+        ),
+        tg AS (
+          SELECT tld, count(*)::BIGINT AS n_rows FROM tm GROUP BY tld
+        )
+        SELECT tld, n_rows,
+               (n_rows * 1000000 // (SELECT sum(n_rows) FROM tg))::BIGINT
+                 AS share_ppm
+        FROM tg
     """
 
     # WAT round-trip (E246): envelope fields derive from the documents

@@ -47,6 +47,7 @@ __all__ = [
     "extract_image_refs",
     "image_text_pairs",
     "extract_links",
+    "outlink_profile",
     "crawl_frontier",
     "filter_by_policy",
     "drop_repeated_blocks",
@@ -634,6 +635,85 @@ def extract_links(
             ),
         )
         .where(F.col("href") != "")
+    )
+
+
+def outlink_profile(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-page outbound-link profile: ``(id_col, n_links, n_nofollow,
+    n_internal, n_external, internal_ppm)`` — the link-spam / SEO-farm
+    signal quality pipelines gate on (a page whose links are ~100%
+    cross-domain nofollow spray reads like a link farm; thousands of
+    ~100% internal links read like tag-cloud chrome).
+
+    ``internal`` means the href resolves within the page's REGISTERED
+    domain (eTLD+1 via the shared suffix table): relative hrefs and
+    same-domain absolute hrefs both count; ``n_nofollow`` counts rel
+    TOKENS (``rel="external nofollow"`` counts, ``nofollowish``
+    doesn't).  Pages with zero links keep a row of zeros — "no links
+    at all" is a signal too.  ``internal_ppm`` is exact BIGINT div
+    (NULL on link-less pages, never 0/0).
+
+    Plan: the page domain is computed ONCE per page and rides the
+    anchor explode, so the whole profile is explode → id-keyed
+    aggregate — no join back to the page table, pages never shuffle
+    (only id+counter rows do)."""
+    from .urls import MULTI_LABEL_SUFFIXES, _registered_domain
+    from .urls import _HOST_RE as _U_HOST_RE
+
+    page_host = F.lower(F.regexp_extract(F.col(url_col), _U_HOST_RE, 1))
+    page_dom = F.when(
+        page_host != "", _registered_domain(page_host, MULTI_LABEL_SUFFIXES)
+    )
+    pre = _strip_noise(F.col(html_col))
+    exploded = spread(df).select(
+        F.col(id_col),
+        page_dom.alias("__pdom"),
+        F.explode_outer(
+            F.regexp_extract_all(pre, F.lit(_A_ELEMENT_PAT), F.lit(0))
+        ).alias("__el"),
+    )
+    href = _attr(F.col("__el"), "href")
+    rel = F.lower(_attr(F.col("__el"), "rel"))
+    href_host = F.lower(F.regexp_extract(href, _U_HOST_RE, 1))
+    is_relative = ~href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+    href_dom = F.when(
+        href_host != "",
+        _registered_domain(href_host, MULTI_LABEL_SUFFIXES),
+    )
+    is_link = F.col("__el").isNotNull() & (href != "")
+    internal = F.when(
+        is_relative, F.lit(True)
+    ).otherwise(href_dom.eqNullSafe(F.col("__pdom")))
+    nofollow = F.coalesce(
+        F.array_contains(F.split(rel, r"[ ,]+"), "nofollow"),
+        F.lit(False),
+    )
+    per_link = exploded.select(
+        id_col,
+        F.when(is_link, 1).otherwise(0).alias("__n"),
+        F.when(is_link & nofollow, 1).otherwise(0).alias("__nf"),
+        F.when(is_link & internal, 1).otherwise(0).alias("__int"),
+    )
+    agg = per_link.groupBy(id_col).agg(
+        F.sum("__n").alias("n_links"),
+        F.sum("__nf").alias("n_nofollow"),
+        F.sum("__int").alias("n_internal"),
+    )
+    return agg.select(
+        id_col,
+        "n_links",
+        "n_nofollow",
+        "n_internal",
+        (F.col("n_links") - F.col("n_internal")).alias("n_external"),
+        F.expr(
+            "CASE WHEN n_links > 0 "
+            "THEN n_internal * 1000000L div n_links END"
+        ).alias("internal_ppm"),
     )
 
 

@@ -30,6 +30,7 @@ from .html import _clean_text, _strip_noise
 __all__ = [
     "extract_tables",
     "extract_headings",
+    "chunk_by_sections",
     "extract_code_blocks",
     "extract_jsonld",
 ]
@@ -140,27 +141,41 @@ def extract_headings(
         .alias("level"),
         F.nullif(_clean_text(F.col("__blk")), F.lit("")).alias("text"),
     )
+    return _with_section_paths(heads, id_col, "heading_pos").select(
+        id_col, "heading_pos", "level", "text", "section_path"
+    )
+
+
+def _with_section_paths(
+    heads: DataFrame, id_col: str, pos_col: str
+) -> DataFrame:
+    """Append ``section_path`` to heading-shaped rows ``(id_col,
+    pos_col, level, text)``: the nearest preceding heading of each
+    shallower level joined with `` > `` — shared by
+    :func:`extract_headings` and :func:`chunk_by_sections` (which
+    builds its heading rows from the chunk split instead of re-parsing
+    the page).  Rows with NULL ``level`` (preamble chunks) pass through
+    with a NULL path."""
     w = (
         Window.partitionBy(id_col)
-        .orderBy("heading_pos")
+        .orderBy(pos_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # nearest preceding ancestor per level: last_value(text at level l),
     # but only while no heading of level <= l has appeared SINCE it —
-    # track (heading_pos, text) pairs and keep the max-pos candidate
-    # whose position beats every shallower reset
-    lvl_last = {
-        lv: F.max(
-            F.when(
-                F.col("level") == lv,
-                F.struct(F.col("heading_pos"), F.col("text")),
-            )
-        ).over(w)
-        for lv in range(1, 7)
-    }
+    # track (pos, text) pairs and keep the max-pos candidate whose
+    # position beats every shallower reset
     out = heads
     for lv in range(1, 7):
-        out = out.withColumn(f"__a{lv}", lvl_last[lv])
+        out = out.withColumn(
+            f"__a{lv}",
+            F.max(
+                F.when(
+                    F.col("level") == lv,
+                    F.struct(F.col(pos_col).alias("p"), F.col("text")),
+                )
+            ).over(w),
+        )
     # ancestor level l is valid for a level-L row iff l < L and its pos
     # is after every ancestor of level < l (monotone chain)
     path_parts = []
@@ -170,21 +185,96 @@ def extract_headings(
         valid = (
             (F.col("level") > lv)
             & a.isNotNull()
-            & (a["heading_pos"] > prev_pos)
-            & (a["heading_pos"] < F.col("heading_pos"))
+            & (a["p"] > prev_pos)
+            & (a["p"] < F.col(pos_col))
         )
-        part = F.when(valid, a["text"])
-        path_parts.append(part)
-        prev_pos = F.when(valid, a["heading_pos"]).otherwise(prev_pos)
-    section_path = F.concat_ws(
-        " > ", *path_parts, F.col("text")
+        path_parts.append(F.when(valid, a["text"]))
+        prev_pos = F.when(valid, a["p"]).otherwise(prev_pos)
+    section_path = F.when(
+        F.col("level").isNotNull(),
+        F.nullif(
+            F.concat_ws(" > ", *path_parts, F.col("text")), F.lit("")
+        ),
     )
-    return out.select(
+    return out.withColumn("section_path", section_path).drop(
+        *[f"__a{lv}" for lv in range(1, 7)]
+    )
+
+
+def chunk_by_sections(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Section-aware chunking: split the page at heading boundaries into
+    ``(id_col, chunk_pos, level, title, section_path, text, n_chars)``
+    rows — the RAG-shape chunker where each chunk keeps its breadcrumb
+    ("Setup > Install > Linux") instead of a blind fixed-size window
+    cutting mid-topic.
+
+    Chunk 0 is the preamble before the first heading (NULL level/title/
+    path; emitted only when it has text); chunk i>0 starts at heading i
+    and carries that heading's cleaned text as ``title``, the breadcrumb
+    as ``section_path`` (same ancestor chain as
+    :func:`extract_headings`, computed here WITHOUT re-parsing the
+    page), and the cleaned body text between this heading and the next.
+    Sentinel-proof: the split sentinel (U+0001) is stripped from input
+    first, so pages can't forge boundaries.  One explode + one window
+    over chunk rows — pages themselves never shuffle twice."""
+    sent = "\x01"
+    src = F.regexp_replace(
+        _strip_noise(F.col(html_col)), "[\x01]", " "
+    )
+    marked = F.regexp_replace(src, r"(?i)<h([1-6])\b", sent + "<h$1")
+    chunks = spread(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, sent)).alias("chunk_pos", "__c"),
+    )
+    head_elem = F.regexp_extract(
+        "__c", r"(?is)^(<h[1-6]\b[^>]*>.*?</h[1-6]\s*>)", 1
+    )
+    level = F.nullif(
+        F.regexp_extract("__c", r"(?i)^<h([1-6])", 1), F.lit("")
+    ).cast("int")
+    body_raw = F.when(
+        F.col("chunk_pos") == 0, F.col("__c")
+    ).otherwise(F.expr("substring(__c, length(__h) + 1)"))
+    chunks = (
+        chunks.withColumn("__h", head_elem)
+        .withColumn("level", level)
+        .withColumn(
+            "text", F.nullif(_clean_text(body_raw), F.lit(""))
+        )
+        .withColumn(
+            "title",
+            F.when(
+                level.isNotNull(),
+                F.nullif(_clean_text(F.col("__h")), F.lit("")),
+            ),
+        )
+    )
+    # drop empty preambles (pos 0 with no text); keep empty SECTIONS
+    # (a heading with no body is still a real section)
+    chunks = chunks.where(
+        (F.col("chunk_pos") > 0) | F.col("text").isNotNull()
+    )
+    pathed = _with_section_paths(
+        chunks.withColumnRenamed("title", "text2").withColumnRenamed(
+            "text", "body"
+        ).withColumnRenamed("text2", "text"),
         id_col,
-        "heading_pos",
+        "chunk_pos",
+    )
+    return pathed.select(
+        id_col,
+        F.col("chunk_pos").cast("long").alias("chunk_pos"),
         "level",
-        "text",
-        F.nullif(section_path, F.lit("")).alias("section_path"),
+        F.col("text").alias("title"),
+        "section_path",
+        F.col("body").alias("text"),
+        F.coalesce(F.length("body"), F.lit(0)).cast("long").alias(
+            "n_chars"
+        ),
     )
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "cap_per_domain",
     "canonicalize_urls",
     "surt_keys",
+    "tld_report",
 ]
 
 #: Query parameters that never change page content — stripped during
@@ -316,4 +317,40 @@ def cap_per_domain(
     return (
         out.withColumn("domain_rank", F.row_number().over(w))
         .filter(F.col("domain_rank") <= cap)
+    )
+
+
+def tld_report(
+    df: DataFrame,
+    url_col: str = "url",
+    suffixes: Sequence[str] = MULTI_LABEL_SUFFIXES,
+) -> DataFrame:
+    """Corpus composition by public suffix: ``(tld, n_rows, share_ppm)``
+    — the geography/registry audit run before fixing a corpus mixture
+    (a crawl that's 40% ``.ru`` when the target is English-web needs
+    rebalancing BEFORE quality filtering hides the skew).
+
+    ``tld`` is the public suffix under the same table
+    :func:`extract_url_parts` uses (``co.uk`` counts as one suffix, not
+    ``uk``); unparseable URLs land in a ``tld IS NULL`` quarantine row
+    so the share column always sums to 1e6.  ``share_ppm`` is exact
+    BIGINT div.  One map-side-combined aggregate over ≤ |registry|
+    partial rows + a 1-row broadcast total — the corpus never
+    shuffles."""
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    dom = F.when(host != "", _registered_domain(host, suffixes))
+    # suffix = registered domain minus its first label
+    tld = F.nullif(
+        F.regexp_extract(dom, r"^[^.]+\.(.+)$", 1), F.lit("")
+    )
+    counts = (
+        df.select(tld.alias("tld"))
+        .groupBy("tld")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "tld",
+        "n_rows",
+        F.expr("n_rows * 1000000L div __total").alias("share_ppm"),
     )

@@ -40,6 +40,8 @@ __all__ = [
     "read_store",
     "read_warc",
     "read_wet",
+    "index_warc_offsets",
+    "read_warc_ranges",
     "read_cdx",
     "cdxj_line",
     "CDX_SCHEMA",
@@ -60,6 +62,8 @@ from .cdx import (  # noqa: E402  (facade re-export)
 from .warc import (  # noqa: E402  (facade re-export)
     WARC_SCHEMA,
     gzip_member,
+    index_warc_offsets,
+    read_warc_ranges,
     parse_warc_records,
     read_warc,
     read_wet,

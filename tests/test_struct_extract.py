@@ -419,3 +419,154 @@ class TestStreamingReservoir:
                 r.sample_key
                 == hashlib.md5(f"rsv{r.doc_id}".encode()).hexdigest()
             )
+
+
+class TestChunkBySections:
+    def test_chunks_titles_paths(self, spark):
+        html = (
+            "lead text<h1>Setup</h1>intro<h2>Install</h2>apt steps"
+            "<h2>Config</h2><h3>Paths</h3>set paths"
+        )
+        rows = sorted(
+            __import__("sparkplug_spark.operators", fromlist=["x"])
+            .chunk_by_sections(_one(spark, html))
+            .collect(),
+            key=lambda r: r.chunk_pos,
+        )
+        assert [r.title for r in rows] == [
+            None, "Setup", "Install", "Config", "Paths",
+        ]
+        assert rows[0].text == "lead text" and rows[0].level is None
+        assert rows[1].text == "intro"
+        assert rows[2].section_path == "Setup > Install"
+        assert rows[4].section_path == "Setup > Config > Paths"
+        assert rows[4].text == "set paths"
+        assert rows[3].text is None  # empty section kept
+        assert rows[3].n_chars == 0
+
+    def test_empty_preamble_dropped_and_sentinel_proof(self, spark):
+        html = "<h1>A</h1>\x01forged<h2>B</h2>x"
+        rows = sorted(
+            __import__("sparkplug_spark.operators", fromlist=["x"])
+            .chunk_by_sections(_one(spark, html))
+            .collect(),
+            key=lambda r: r.chunk_pos,
+        )
+        assert [r.title for r in rows] == ["A", "B"]
+        assert rows[0].text == "forged"
+
+
+class TestOutlinkProfile:
+    def test_counts(self, spark):
+        from sparkplug_spark.operators import outlink_profile
+
+        html1 = (
+            '<a href="/rel">r</a>'
+            '<a href="http://sub.e.com/in">i</a>'
+            '<a rel="external NoFollow" href="http://other.com/x">o</a>'
+            '<a href="http://other.com/y">o2</a>'
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "http://www.e.com/page", html1),
+                (2, "http://e.com/empty", "<p>no links</p>"),
+            ],
+            "doc_id long, url string, html string",
+        )
+        out = {r.doc_id: r for r in outlink_profile(df).collect()}
+        r1 = out[1]
+        assert (r1.n_links, r1.n_nofollow, r1.n_internal, r1.n_external) == (
+            4, 1, 2, 2,
+        )
+        assert r1.internal_ppm == 500000
+        r2 = out[2]
+        assert (r2.n_links, r2.internal_ppm) == (0, None)
+
+
+class TestTldReport:
+    def test_shares(self, spark):
+        from sparkplug_spark.operators import tld_report
+
+        urls = (
+            ["http://a.example.com/x"] * 5
+            + ["http://b.co.uk/y"] * 3
+            + ["http://c.org/z"] * 1
+            + ["garbage"] * 1
+        )
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        out = {r.tld: r for r in tld_report(df).collect()}
+        assert out["com"].n_rows == 5 and out["com"].share_ppm == 500000
+        assert out["co.uk"].n_rows == 3  # multi-label suffix intact
+        assert out["org"].share_ppm == 100000
+        assert out[None].n_rows == 1  # quarantine row
+        assert sum(r.share_ppm for r in out.values()) == 1000000
+
+
+class TestWarcRangeIndex:
+    @pytest.fixture()
+    def archive(self, spark, tmp_path):
+        from sparkplug_spark.sources import (
+            gzip_member,
+            warc_response_record,
+        )
+
+        path = tmp_path / "fix.warc.gz"
+        blob = b""
+        spans = []
+        for i in range(6):
+            rec = gzip_member(
+                warc_response_record(
+                    f"http://e.com/{i}",
+                    f"payload-{i}".encode() * (i + 1),
+                    record_id=f"<urn:r:{i}>",
+                )
+            )
+            spans.append((len(blob), len(rec)))
+            blob += rec
+        path.write_bytes(blob)
+        return str(path), spans
+
+    def test_index_matches_written_spans(self, spark, archive):
+        from sparkplug_spark.sources import index_warc_offsets
+
+        path, spans = archive
+        rows = sorted(
+            index_warc_offsets(spark, path).collect(),
+            key=lambda r: r.member_offset,
+        )
+        assert [(r.member_offset, r.member_length) for r in rows] == spans
+        assert [r.target_uri for r in rows] == [
+            f"http://e.com/{i}" for i in range(6)
+        ]
+        assert all(r.payload is None for r in []) or True
+        # index rows never carry payload bytes
+        assert "payload" not in rows[0].asDict()
+
+    def test_range_fetch_selected_members(self, spark, archive):
+        from sparkplug_spark.sources import (
+            index_warc_offsets,
+            read_warc_ranges,
+        )
+
+        path, spans = archive
+        idx = index_warc_offsets(spark, path)
+        sel = idx.where(F.col("target_uri").rlike("/[24]$"))
+        got = sorted(
+            read_warc_ranges(spark, sel).collect(),
+            key=lambda r: r.target_uri,
+        )
+        assert [r.target_uri for r in got] == [
+            "http://e.com/2", "http://e.com/4",
+        ]
+        assert bytes(got[0].payload) == b"payload-2" * 3
+
+    def test_plain_warc_rejected_for_indexing(self, spark, tmp_path):
+        from sparkplug_spark.sources import (
+            index_warc_offsets,
+            warc_response_record,
+        )
+
+        p = tmp_path / "plain.warc"
+        p.write_bytes(warc_response_record("http://e.com/a", b"x"))
+        with pytest.raises(Exception, match="gzip-framed|member"):
+            index_warc_offsets(spark, str(p)).collect()
