@@ -5019,6 +5019,59 @@ def q_tld_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard sink/source (E271): every doc becomes a
+    two-modality sample (.txt = the text bytes, .json = an arithmetic
+    metadata blob), written as REAL pinned-metadata tar shards and read
+    back entry-by-entry; the oracle states both rows per doc with the
+    payload md5 — a tar-header, grouping, or byte-fidelity bug breaks
+    the hash."""
+    import tempfile
+
+    from sparkplug_spark.sources import read_webdataset, write_webdataset
+
+    docs = _read(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit('{"id": '), F.col("doc_id").cast("string"),
+            F.lit(', "n": '), F.col("n_chars").cast("string"), F.lit("}"),
+        ).alias("meta"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sparkplug_wds_")
+    write_webdataset(
+        src, tmp, key_col="doc_id",
+        ext_cols={"txt": "text", "json": "meta"}, num_shards=8,
+    )
+    back = read_webdataset(spark, tmp + "/*.tar")
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "ext",
+        F.md5("data").alias("data_md5"),
+        F.length("data").cast("long").alias("n_bytes"),
+    )
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aspect training buckets (E272): arithmetic (w, h) per doc
+    assigned to the frozen SDXL-style grid by exact integer ppm
+    distance; the oracle replays the argmin over a VALUES list of the
+    same buckets."""
+    from sparkplug_spark.operators import aspect_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (640 + (F.col("doc_id") * 37) % 1400).alias("image_width"),
+        (480 + (F.col("doc_id") * 53) % 1200).alias("image_height"),
+    )
+    return aspect_buckets(dims).select(
+        "doc_id", "image_width", "image_height", "aspect_ppm",
+        "bucket_w", "bucket_h",
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14707,6 +14760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_chunks": q_section_chunks,
         "outlink_profile": q_outlink_profile,
         "tld_mixture": q_tld_mixture,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "aspect_buckets": q_aspect_buckets,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -15121,6 +15176,48 @@ def oracle_sql() -> dict[str, str]:
                (n_rows * 1000000 // (SELECT sum(n_rows) FROM tg))::BIGINT
                  AS share_ppm
         FROM tg
+    """
+
+    out["webdataset_roundtrip"] = """
+        SELECT doc_id, 'txt' AS ext, md5(text) AS data_md5,
+               length(text)::BIGINT AS n_bytes
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'json',
+               md5('{"id": ' || doc_id::VARCHAR || ', "n": '
+                   || n_chars::VARCHAR || '}'),
+               length('{"id": ' || doc_id::VARCHAR || ', "n": '
+                      || n_chars::VARCHAR || '}')::BIGINT
+        FROM documents
+    """
+
+    out["aspect_buckets"] = """
+        WITH ab_dims AS (
+          SELECT doc_id,
+                 (640 + (doc_id * 37) % 1400)::BIGINT AS image_width,
+                 (480 + (doc_id * 53) % 1200)::BIGINT AS image_height
+          FROM documents
+        ),
+        ab_b(i, bw, bh) AS (VALUES
+          (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+          (3, 1216, 832), (4, 832, 1216), (5, 1344, 768),
+          (6, 768, 1344), (7, 1536, 640), (8, 640, 1536)),
+        ab_j AS (
+          SELECT d.doc_id, d.image_width, d.image_height,
+                 d.image_width * 1000000 // d.image_height AS aspect_ppm,
+                 b.i, b.bw, b.bh,
+                 abs(d.image_width * 1000000 // d.image_height
+                     - b.bw * 1000000 // b.bh) AS dist
+          FROM ab_dims d CROSS JOIN ab_b b
+        )
+        SELECT doc_id, image_width, image_height,
+               aspect_ppm::BIGINT AS aspect_ppm,
+               bw::INT AS bucket_w, bh::INT AS bucket_h
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY dist, i) AS rn
+          FROM ab_j
+        ) WHERE rn = 1
     """
 
     # WAT round-trip (E246): envelope fields derive from the documents

@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "ASPECT_BUCKETS",
+    "aspect_buckets",
     "MEDIA_META_SCHEMA",
     "attach_media_meta",
     "repartition_for_media",
@@ -1956,4 +1958,62 @@ def scene_keyframes(
         "dhash_hi",
         "dhash_lo",
         F.col("__n").cast("long").alias("scene_n_frames"),
+    )
+
+
+#: SDXL-style training resolution grid (~1 Mpx each): the buckets a
+#: variable-aspect image corpus batches into so same-shape images share
+#: a batch without destructive center-crops.  Frozen so SQL oracles can
+#: embed the identical list.
+ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536),
+)
+
+
+def aspect_buckets(
+    df,
+    width_col: str = "image_width",
+    height_col: str = "image_height",
+    buckets: tuple[tuple[int, int], ...] = ASPECT_BUCKETS,
+):
+    """Assign every image to the aspect bucket nearest its shape:
+    appends ``(aspect_ppm, bucket_w, bucket_h)`` — the batching step of
+    multi-aspect image training (SDXL-style): images resize to their
+    BUCKET's resolution, so bucket choice decides how much gets cropped
+    or squashed, and per-bucket counts decide batch packing.
+
+    Nearness is exact integer arithmetic: ``aspect_ppm = w·10^6 div h``
+    compared against each bucket's precomputed ppm, smallest absolute
+    difference wins, ties to the earlier bucket in the (frozen) list —
+    any engine reproduces the assignment bit-for-bit, no log-space
+    float.  NULL/non-positive dimensions get NULL buckets (quarantine).
+    Zero-shuffle codegen projection: the bucket table is a literal
+    array sorted per row (|buckets| ≈ 10 structs)."""
+    from pyspark.sql import functions as F
+
+    w = F.col(width_col).cast("long")
+    h = F.col(height_col).cast("long")
+    aspect = F.expr(
+        f"CASE WHEN {height_col} > 0 AND {width_col} > 0 "
+        f"THEN {width_col} * 1000000L div {height_col} END"
+    )
+    cands = F.array(
+        *[
+            F.struct(
+                F.abs(aspect - F.lit(bw * 1_000_000 // bh)).alias("d"),
+                F.lit(i).alias("i"),
+                F.lit(bw).alias("w"),
+                F.lit(bh).alias("h"),
+            )
+            for i, (bw, bh) in enumerate(buckets)
+        ]
+    )
+    best = F.array_sort(cands)[0]
+    ok = aspect.isNotNull()
+    return df.select(
+        "*",
+        aspect.alias("aspect_ppm"),
+        F.when(ok, best["w"]).alias("bucket_w"),
+        F.when(ok, best["h"]).alias("bucket_h"),
     )

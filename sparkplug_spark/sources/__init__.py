@@ -45,6 +45,8 @@ __all__ = [
     "read_cdx",
     "cdxj_line",
     "CDX_SCHEMA",
+    "write_webdataset",
+    "read_webdataset",
     "warcinfo_metadata",
     "parse_warc_records",
     "warc_record",
@@ -54,6 +56,10 @@ __all__ = [
     "WARC_SCHEMA",
 ]
 
+from .webdataset import (  # noqa: E402  (facade re-export)
+    read_webdataset,
+    write_webdataset,
+)
 from .cdx import (  # noqa: E402  (facade re-export)
     CDX_SCHEMA,
     cdxj_line,
