@@ -5072,6 +5072,83 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (E273): each source aggregates its docs
+    into one feed — RSS or Atom by a source-char parity, channel/feed
+    titles planted as decoys, one Atom variant missing <published> (the
+    <updated> fallback) — every entry field stated by the oracle."""
+    from sparkplug_spark.operators import parse_feeds
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    is_rss = F.ascii(F.substring(F.col("source"), -1, 1)) % 2 == 0
+    rss_item = F.concat(
+        F.lit("<item><title>Doc &amp; "), sid,
+        F.lit("</title><link>http://"), F.col("source"),
+        F.lit(".com/p/"), sid, F.lit("</link><guid>g-"), sid,
+        F.lit("</guid><pubDate>2024-01-"), dd,
+        F.lit("</pubDate></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><title>Doc &amp; "), sid,
+        F.lit('</title><link rel="alternate" href="http://'),
+        F.col("source"), F.lit(".com/p/"), sid,
+        F.lit('"/><id>urn:'), sid, F.lit("</id>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<updated>2024-02-"), dd, F.lit("</updated>")),
+        ).otherwise(
+            F.concat(
+                F.lit("<published>2024-01-"), dd,
+                F.lit("</published><updated>2024-09-01</updated>"),
+            )
+        ),
+        F.lit("</entry>"),
+    )
+    entry = F.when(is_rss, rss_item).otherwise(atom_entry)
+    feeds = (
+        docs.select(
+            F.concat(F.col("source"), F.lit(".com")).alias("host"),
+            is_rss.alias("__rss"),
+            F.struct(F.col("doc_id"), entry.alias("e")).alias("se"),
+        )
+        .groupBy("host", "__rss")
+        .agg(
+            F.concat(
+                F.when(
+                    F.col("__rss"),
+                    F.lit("<rss><channel><title>chan</title>"),
+                ).otherwise(F.lit("<feed><title>decoy</title>")),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("se")), lambda x: x["e"]
+                    ),
+                    "",
+                ),
+                F.when(F.col("__rss"), F.lit("</channel></rss>")).otherwise(
+                    F.lit("</feed>")
+                ),
+            ).alias("feed_xml")
+        )
+    )
+    return parse_feeds(feeds).select(
+        "host", "entry_pos", "kind", "title", "link", "guid", "published"
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (E274): the full boundary/assembly
+    pipeline replayed by the oracle bit-for-bit — gram hashes, cut
+    positions, max-token sub-splits, chunk text md5s."""
+    from sparkplug_spark.operators import chunk_content_defined
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_content_defined(
+        docs, window=4, divisor=8, max_tokens=64
+    ).select("doc_id", "chunk_pos", "first_pos", "n_tokens", "chunk_md5")
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14762,6 +14839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tld_mixture": q_tld_mixture,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "aspect_buckets": q_aspect_buckets,
+        "feed_ingest": q_feed_ingest,
+        "cdc_chunks": q_cdc_chunks,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -15218,6 +15297,86 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY doc_id ORDER BY dist, i) AS rn
           FROM ab_j
         ) WHERE rn = 1
+    """
+
+    out["feed_ingest"] = """
+        WITH fi AS (
+          SELECT source, doc_id,
+                 source || '.com' AS host,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id
+                 ) - 1 AS entry_pos,
+                 (ascii(substr(source, -1, 1)) % 2 = 0) AS is_rss,
+                 lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS dd
+          FROM documents
+        )
+        SELECT host, entry_pos::BIGINT AS entry_pos,
+               CASE WHEN is_rss THEN 'rss' ELSE 'atom' END AS kind,
+               'Doc & ' || doc_id::VARCHAR AS title,
+               'http://' || source || '.com/p/' || doc_id::VARCHAR
+                 AS link,
+               CASE WHEN is_rss THEN 'g-' || doc_id::VARCHAR
+                    ELSE 'urn:' || doc_id::VARCHAR END AS guid,
+               CASE WHEN is_rss THEN '2024-01-' || dd
+                    WHEN doc_id % 4 = 0 THEN '2024-02-' || dd
+                    ELSE '2024-01-' || dd END AS published
+        FROM fi
+    """
+
+    out["cdc_chunks"] = """
+        WITH cc_tok AS (
+          SELECT doc_id, unnest(ws) AS tok,
+                 unnest(range(len(ws))) AS pos
+          FROM (
+            SELECT doc_id,
+                   list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+            FROM documents
+          )
+        ),
+        cc_gram AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN pos >= 3 THEN
+                   lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w
+                   || ' ' || lag(tok, 1) OVER w || ' ' || tok
+                 END AS gram
+          FROM cc_tok
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        cc_b AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN gram IS NOT NULL AND
+                      ('0x' || substr(md5(gram), 1, 15))::BIGINT % 8 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM cc_gram
+        ),
+        cc_id AS (
+          SELECT doc_id, pos, tok,
+                 coalesce(sum(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cid
+          FROM cc_b
+        ),
+        cc_sub AS (
+          SELECT *, (row_number() OVER (
+                   PARTITION BY doc_id, cid ORDER BY pos) - 1) // 64
+                 AS sub
+          FROM cc_id
+        ),
+        cc_agg AS (
+          SELECT doc_id, cid, sub, min(pos) AS first_pos,
+                 count(*)::BIGINT AS n_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+          FROM cc_sub GROUP BY doc_id, cid, sub
+        )
+        SELECT doc_id,
+               (row_number() OVER (
+                  PARTITION BY doc_id ORDER BY first_pos) - 1)::BIGINT
+                 AS chunk_pos,
+               first_pos::BIGINT AS first_pos, n_tokens, chunk_md5
+        FROM cc_agg
     """
 
     # WAT round-trip (E246): envelope fields derive from the documents

@@ -65,6 +65,7 @@ __all__ = [
     "trim_by_quantile",
     "mixture_report",
     "length_buckets",
+    "chunk_content_defined",
     "assign_splits",
     "build_training_blocks",
 ]
@@ -906,6 +907,103 @@ def length_buckets(
     ).withColumn(
         "pad_waste_ppm",
         F.expr("(padded_len - sum_len) * 1000000L div padded_len"),
+    )
+
+
+def chunk_content_defined(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 16,
+    max_tokens: int = 256,
+) -> DataFrame:
+    """Content-defined chunking over TOKENS (the CDC idea — FastCDC/
+    rsync — lifted to text and made fully relational): a chunk boundary
+    falls AFTER any token whose trailing ``window``-gram hashes to
+    ``0 mod divisor``, so boundaries depend only on LOCAL content —
+    insert a sentence at the top of a document and every later chunk
+    still re-aligns and re-hashes identically, which fixed-size
+    chunking (E43) can never do.  That makes chunk-level md5 dedup
+    across near-identical documents (mirrors, templated pages, edited
+    re-uploads) actually fire.
+
+    Output per chunk: ``(id_col, chunk_pos, first_pos, n_tokens,
+    chunk_md5)`` — ``chunk_md5`` is md5 of the space-joined tokens, the
+    cross-document dedup key.  Expected chunk length is ``divisor``
+    tokens (geometric); ``max_tokens`` splits pathological runs with a
+    deterministic fixed-offset post-pass (a min-size gate would need a
+    sequential scan — deliberately omitted to stay window-expressible).
+
+    Fully relational: tokenize once → fixed ``lag`` columns build the
+    trailing gram (no per-element recompute) → boundary flag → two
+    window sums assign chunk ids → one aggregate rebuilds chunk text in
+    token order.  Everything is md5/hash60 arithmetic, so a SQL oracle
+    replays every boundary and hash bit-for-bit.  Shuffles: one window
+    partition + one aggregate, both keyed on the document id."""
+    from pyspark.sql import Window
+
+    from ..functions.text import hash60, tokens_pd
+
+    if window < 1 or divisor < 1 or max_tokens < 1:
+        raise ValueError("window, divisor, max_tokens must be positive")
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col),
+            F.posexplode(tokens_pd(F.col(text_col))).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        *[F.lag("tok", window - 1 - i).over(w) for i in range(window - 1)],
+        F.col("tok"),
+    )
+    # the boundary needs a FULL trailing gram: the first window-1 tokens
+    # of a doc never cut (their gram would be shorter — and concat_ws
+    # silently skips the NULL lags, so gate on position explicitly)
+    boundary = (
+        (F.row_number().over(w) >= window)
+        & (hash60(gram) % divisor == 0)
+    ).cast("long")
+    cums = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = toks.select(
+        id_col,
+        "pos",
+        "tok",
+        F.coalesce(F.sum(boundary).over(cums), F.lit(0)).alias("__cdc"),
+    )
+    in_chunk = Window.partitionBy(id_col, "__cdc").orderBy("pos")
+    marked = marked.withColumn(
+        "__sub",
+        F.floor((F.row_number().over(in_chunk) - 1) / max_tokens),
+    )
+    agg = marked.groupBy(id_col, "__cdc", "__sub").agg(
+        F.min("pos").alias("first_pos"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
+    rank = Window.partitionBy(id_col).orderBy("first_pos")
+    return agg.select(
+        id_col,
+        (F.row_number().over(rank) - 1).cast("long").alias("chunk_pos"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        "n_tokens",
+        "chunk_md5",
     )
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "match_robots",
     "robots_sitemaps",
     "parse_sitemaps",
+    "parse_feeds",
     "frontier_schedule",
 ]
 
@@ -282,6 +283,76 @@ def parse_sitemaps(
         field("lastmod").alias("lastmod"),
         F.lower(field("changefreq")).alias("changefreq"),
         priority_milli.alias("priority_milli"),
+    )
+
+
+def parse_feeds(
+    df: DataFrame,
+    xml_col: str = "feed_xml",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse RSS 2.0 / Atom feed bodies into one row per entry:
+    ``(host_col, entry_pos, kind, title, link, guid, published)`` —
+    the third crawl-seed surface next to robots' Sitemap lines (E248)
+    and sitemap documents (E256): feeds announce NEW urls with
+    timestamps, which is how an incremental crawl finds fresh content
+    without re-walking a site.
+
+    Both dialects in one pass (feeds in the wild mislabel constantly):
+    ``<item>`` blocks parse RSS-style (``<link>url</link>``, ``<guid>``,
+    ``<pubDate>``), ``<entry>`` blocks Atom-style (``<link href=…/>``,
+    ``<id>``, ``<published>``/``<updated>`` — published preferred);
+    ``kind`` records which.  Titles are entity-decoded like sitemap
+    locs; absent fields are NULL.  Same zero-UDF explode + per-field
+    regex shape as :func:`parse_sitemaps`."""
+    entry_pat = r"(?is)<(?:item|entry)\b[^>]*>.*?</(?:item|entry)\s*>"
+    blocks = spread(df).select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(xml_col), F.lit("")), F.lit(entry_pat),
+                F.lit(0),
+            )
+        ).alias("entry_pos", "__blk"),
+    )
+    field = lambda tag: F.nullif(  # noqa: E731
+        F.trim(
+            F.regexp_extract(
+                "__blk", rf"(?is)<{tag}\b[^>]*>(.*?)</{tag}\s*>", 1
+            )
+        ),
+        F.lit(""),
+    )
+    is_rss = F.lower(F.col("__blk")).startswith("<item")
+    title = field("title")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST (double-escape rule)
+    ):
+        title = F.replace(title, F.lit(ent), F.lit(ch))
+    atom_href = F.nullif(
+        F.regexp_extract(
+            "__blk",
+            r"(?is)<link\b[^>]*href\s*=\s*[\"']([^\"']*)[\"']",
+            1,
+        ),
+        F.lit(""),
+    )
+    link = F.when(is_rss, field("link")).otherwise(atom_href)
+    guid = F.when(is_rss, field("guid")).otherwise(field("id"))
+    published = F.when(is_rss, field("pubDate")).otherwise(
+        F.coalesce(field("published"), field("updated"))
+    )
+    return blocks.select(
+        "host",
+        F.col("entry_pos").cast("long").alias("entry_pos"),
+        F.when(is_rss, F.lit("rss")).otherwise(F.lit("atom")).alias(
+            "kind"
+        ),
+        title.alias("title"),
+        link.alias("link"),
+        guid.alias("guid"),
+        published.alias("published"),
     )
 
 

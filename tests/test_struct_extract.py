@@ -692,3 +692,88 @@ class TestAspectBuckets:
             df2, "w", "h", buckets=((2, 1), (1, 2))
         ).collect()[0]
         assert (out2.bucket_w, out2.bucket_h) == (2, 1)
+
+
+class TestParseFeeds:
+    RSS = (
+        "<rss><channel><title>chan</title>"
+        "<item><title>First &amp; best</title>"
+        "<link>http://e.com/1</link><guid>g-1</guid>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title>Second</title><link>http://e.com/2</link></item>"
+        "</channel></rss>"
+    )
+    ATOM = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<title>feed</title>"
+        "<entry><title>A1</title>"
+        '<link rel="alternate" href="http://a.com/1"/>'
+        "<id>urn:1</id><updated>2024-02-01T00:00:00Z</updated></entry>"
+        "<entry><title>A2</title><link href='http://a.com/2'/>"
+        "<published>2024-03-01T00:00:00Z</published>"
+        "<updated>2024-03-02T00:00:00Z</updated><id>urn:2</id></entry>"
+        "</feed>"
+    )
+
+    def test_rss_and_atom(self, spark):
+        from sparkplug_spark.operators import parse_feeds
+
+        df = spark.createDataFrame(
+            [("e.com", self.RSS), ("a.com", self.ATOM)],
+            "host string, feed_xml string",
+        )
+        rows = {
+            (r.host, r.entry_pos): r for r in parse_feeds(df).collect()
+        }
+        r0 = rows[("e.com", 0)]
+        assert (r0.kind, r0.title, r0.link, r0.guid) == (
+            "rss", "First & best", "http://e.com/1", "g-1",
+        )
+        assert r0.published.startswith("Mon, 01 Jan")
+        r1 = rows[("e.com", 1)]
+        assert r1.guid is None and r1.published is None
+        a0 = rows[("a.com", 0)]
+        assert (a0.kind, a0.link, a0.guid) == ("atom", "http://a.com/1", "urn:1")
+        assert a0.published == "2024-02-01T00:00:00Z"  # updated fallback
+        a1 = rows[("a.com", 1)]
+        assert a1.published == "2024-03-01T00:00:00Z"  # published preferred
+        # the channel/feed <title> must not leak into entries
+        assert all(r.title not in ("chan", "feed") for r in rows.values())
+
+
+class TestChunkContentDefined:
+    def _chunks(self, spark, rows, **kw):
+        from sparkplug_spark.operators import chunk_content_defined
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return chunk_content_defined(df, **kw).collect()
+
+    def test_shift_robustness(self, spark):
+        # the CDC property: prepending tokens re-aligns later chunks
+        base = " ".join(f"tok{i % 97} word{i % 53}" for i in range(200))
+        rows = [(1, base), (2, "a brand new intro sentence " + base)]
+        out = self._chunks(spark, rows, divisor=8)
+        by_doc = {1: set(), 2: set()}
+        for r in out:
+            by_doc[r.doc_id].add(r.chunk_md5)
+        shared = by_doc[1] & by_doc[2]
+        # all but the first chunk (or two) of doc 2 re-align with doc 1
+        assert len(shared) >= len(by_doc[1]) - 2
+        assert len(shared) >= 3  # the docs are long enough to chunk a lot
+
+    def test_deterministic_and_covering(self, spark):
+        text = " ".join(f"w{i}" for i in range(100))
+        a = self._chunks(spark, [(1, text)], divisor=8)
+        b = self._chunks(spark, [(1, text)], divisor=8)
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert sum(r.n_tokens for r in a) == 100  # every token in a chunk
+        poss = sorted(r.chunk_pos for r in a)
+        assert poss == list(range(len(a)))
+
+    def test_max_tokens_splits(self, spark):
+        text = " ".join(["same"] * 60)  # identical grams: 0 or all cuts
+        out = self._chunks(spark, [(1, text)], divisor=1 << 40,
+                           max_tokens=16)
+        # astronomically unlikely any content cut fires -> fixed splits
+        assert [r.n_tokens for r in sorted(out, key=lambda r: r.chunk_pos)] \
+            == [16, 16, 16, 12]
