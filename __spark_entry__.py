@@ -5149,6 +5149,69 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "chunk_pos", "first_pos", "n_tokens", "chunk_md5")
 
 
+def q_cdc_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC near-dup pairs (E275): every 5th doc under 150 gets a clone
+    with a NEW intro sentence prepended — the edit that defeats
+    fixed-window chunking; shared re-aligned chunks must pair original
+    and clone with high containment.  The oracle replays chunking,
+    boilerplate df-gate, self-join, and containment arithmetic."""
+    from sparkplug_spark.operators import cdc_near_dup_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    clones = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("a fresh new intro sentence here "), F.col("text")
+        ).alias("text"),
+    )
+    src = docs.select("doc_id", "text").unionByName(clones)
+    return cdc_near_dup_pairs(
+        src, divisor=8, min_shared=2, max_chunk_df=6
+    ).select(
+        "id_a", "id_b", "n_shared", "containment_a_ppm",
+        "containment_b_ppm",
+    )
+
+
+def q_streaming_per_key_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming per-key cap (E276), ORACLE-checked via replay: 200
+    docs in 4 micro-batches through the per-key keep-cap-smallest
+    state op; the sink's per-key 5-smallest pick must equal the batch
+    sample_per_key race exactly."""
+    from pyspark.sql import Window
+
+    from sparkplug_spark.streaming import streaming_sample_per_key
+    from sparkplug_spark.streaming.replay import replay_file_stream
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "source")
+    )
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50))
+        for lo in (0, 50, 100, 150)
+    ]
+    cand = replay_file_stream(
+        spark,
+        batches,
+        lambda st: streaming_sample_per_key(
+            st, cap=5, key_col="source", id_col="doc_id"
+        ),
+        mode="append",
+        shuffle_partitions=8,
+    )
+    w = Window.partitionBy("source").orderBy("race_key", "doc_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", F.col("doc_id").cast("long").alias("doc_id"),
+                "race_key")
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14841,6 +14904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "feed_ingest": q_feed_ingest,
         "cdc_chunks": q_cdc_chunks,
+        "cdc_dup_pairs": q_cdc_dup_pairs,
+        "streaming_per_key_replay": q_streaming_per_key_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -15377,6 +15442,104 @@ def oracle_sql() -> dict[str, str]:
                  AS chunk_pos,
                first_pos::BIGINT AS first_pos, n_tokens, chunk_md5
         FROM cc_agg
+    """
+
+    out["cdc_dup_pairs"] = """
+        WITH cdp_src AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 150
+          UNION ALL
+          SELECT doc_id + 100000,
+                 'a fresh new intro sentence here ' || text
+          FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0
+        ),
+        cdp_tok AS (
+          SELECT doc_id, unnest(ws) AS tok,
+                 unnest(range(len(ws))) AS pos
+          FROM (
+            SELECT doc_id,
+                   list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+            FROM cdp_src
+          )
+        ),
+        cdp_gram AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN pos >= 3 THEN
+                   lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w
+                   || ' ' || lag(tok, 1) OVER w || ' ' || tok
+                 END AS gram
+          FROM cdp_tok
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        cdp_b AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN gram IS NOT NULL AND
+                      ('0x' || substr(md5(gram), 1, 15))::BIGINT % 8 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM cdp_gram
+        ),
+        cdp_id AS (
+          SELECT doc_id, pos, tok,
+                 coalesce(sum(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cid
+          FROM cdp_b
+        ),
+        cdp_sub AS (
+          SELECT *, (row_number() OVER (
+                   PARTITION BY doc_id, cid ORDER BY pos) - 1) // 256
+                 AS sub
+          FROM cdp_id
+        ),
+        cdp_agg AS (
+          SELECT doc_id, cid, sub,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+          FROM cdp_sub GROUP BY doc_id, cid, sub
+        ),
+        cdp_d AS MATERIALIZED (
+          SELECT DISTINCT doc_id, chunk_md5 FROM cdp_agg
+        ),
+        cdp_n AS MATERIALIZED (
+          SELECT doc_id, count(*) AS n FROM cdp_d GROUP BY doc_id
+        ),
+        cdp_keep AS MATERIALIZED (
+          SELECT d.doc_id, d.chunk_md5
+          FROM cdp_d d
+          JOIN (
+            SELECT chunk_md5 FROM cdp_d GROUP BY chunk_md5
+            HAVING count(*) <= 6
+          ) k USING (chunk_md5)
+        ),
+        cdp_pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*)::BIGINT AS n_shared
+          FROM cdp_keep a JOIN cdp_keep b USING (chunk_md5)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT p.id_a, p.id_b, p.n_shared,
+               (p.n_shared * 1000000 // na.n)::BIGINT
+                 AS containment_a_ppm,
+               (p.n_shared * 1000000 // nb.n)::BIGINT
+                 AS containment_b_ppm
+        FROM cdp_pairs p
+        JOIN cdp_n na ON na.doc_id = p.id_a
+        JOIN cdp_n nb ON nb.doc_id = p.id_b
+    """
+
+    out["streaming_per_key_replay"] = """
+        SELECT source, doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                 AS race_key
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15)
+                            )::BIGINT, doc_id) AS rn
+          FROM documents WHERE doc_id < 200
+        ) WHERE rn <= 5
     """
 
     # WAT round-trip (E246): envelope fields derive from the documents

@@ -40,6 +40,7 @@ from ..metrics import observe_dropped
 from ..partitioning import spread
 
 __all__ = [
+    "cdc_near_dup_pairs",
     "dedup_exact",
     "exact_duplicate_groups",
     "content_digests",
@@ -1158,3 +1159,88 @@ def dedup_threshold_curve(
     from ..caching import materialize_release
 
     return materialize_release(out, matched)
+
+
+def cdc_near_dup_pairs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 8,
+    max_tokens: int = 256,
+    min_shared: int = 2,
+    max_chunk_df: int = 8,
+):
+    """Near-duplicate pairs by SHARED content-defined chunks: the dedup
+    tier E274's chunking exists for — two documents sharing >=
+    ``min_shared`` distinct chunk md5s pair up with exact containment
+    shares: ``(id_a, id_b, n_shared, containment_a_ppm,
+    containment_b_ppm)`` where containment_x = shared·10^6 div
+    n_chunks_x.  Because CDC boundaries re-align after edits, a mirror
+    with a new header/footer still shares almost all interior chunks —
+    the case shingle-window MinHash needs many bands to catch and
+    fixed-window chunking misses entirely.
+
+    Scale discipline (same as the shingle operators): chunk hashes in
+    more than ``max_chunk_df`` documents are BOILERPLATE (template
+    chrome — E238's job) and are dropped before the self-join, bounding
+    the hot-key blowup; the distinct (id, chunk) table is persisted
+    because BOTH self-join arms alias it.  One chunk-keyed shuffle for
+    the join, one id-pair aggregate."""
+    from pyspark.sql import functions as F
+
+    from .cleaning import chunk_content_defined
+    from ..caching import materialize_release
+
+    chunks = chunk_content_defined(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        window=window,
+        divisor=divisor,
+        max_tokens=max_tokens,
+    ).select(F.col(id_col).alias("__id"), "chunk_md5")
+    d = chunks.distinct().persist()
+    per_doc = d.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    df_counts = d.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    keep = d.join(
+        df_counts.where(F.col("__df") <= max_chunk_df).select("chunk_md5"),
+        "chunk_md5",
+    ).persist()
+    a = keep.select(
+        F.col("__id").alias("__ida"), F.col("chunk_md5")
+    )
+    b = keep.select(
+        F.col("__id").alias("__idb"), F.col("chunk_md5")
+    )
+    pairs = (
+        a.join(b, "chunk_md5")
+        .where(F.col("__ida") < F.col("__idb"))
+        .groupBy("__ida", "__idb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= int(min_shared))
+    )
+    na = per_doc.select(
+        F.col("__id").alias("__ida"), F.col("__n").alias("__na")
+    )
+    nb = per_doc.select(
+        F.col("__id").alias("__idb"), F.col("__n").alias("__nb")
+    )
+    out = (
+        pairs.join(na, "__ida")
+        .join(nb, "__idb")
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            "n_shared",
+            F.expr("n_shared * 1000000L div __na").alias(
+                "containment_a_ppm"
+            ),
+            F.expr("n_shared * 1000000L div __nb").alias(
+                "containment_b_ppm"
+            ),
+        )
+    )
+    return materialize_release(out, d, keep)

@@ -43,6 +43,7 @@ __all__ = [
     "streaming_dhash_flags",
     "streaming_enrich",
     "streaming_reservoir",
+    "streaming_sample_per_key",
 ]
 
 
@@ -1009,4 +1010,77 @@ def streaming_reservoir(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_sample_per_key(
+    stream_df: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-key deterministic cap on a stream — the streaming tier of
+    :func:`~..operators.cleaning.sample_per_key` (same hash60 race:
+    the ``cap`` smallest ``hash60(id)`` per key win): domain/language
+    capping at INGEST time, so one mirror farm can't flood the corpus
+    store no matter how long the stream runs.
+
+    Same candidate-superset contract as :func:`streaming_reservoir`:
+    a row is emitted the batch it enters its key's current top-``cap``
+    (any final winner always does; evictions never retract), and the
+    consumer's per-key ``cap``-smallest pick over the sink equals the
+    batch operator bit-for-bit regardless of batch boundaries.  State
+    is one ≤ ``cap``-entry array per DISTINCT key, partitioned across
+    executors by the key — the natural shard for per-key state.  Race
+    keys are zero-padded so string order == numeric hash60 order (ties
+    broken by the id's string form — identical to the batch tier up to
+    hash60 collisions, ~2^-60/pair)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    id_type = stream_df.schema[id_col].dataType.simpleString()
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {id_col} {id_type}, race_key long"
+    )
+    keyed = stream_df.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col).cast("string").alias("__id"),
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("__rk"),
+    )
+
+    def fn(key, pdfs, state):
+        fresh = []
+        for pdf in pdfs:
+            fresh.extend(
+                f"{int(rk):019d}|{i}"
+                for rk, i in zip(pdf["__rk"], pdf["__id"])
+            )
+        old = list(state.get[0]) if state.exists else []
+        merged = sorted(set(old) | set(fresh))[: int(cap)]
+        state.update((merged,))
+        old_set = set(old)
+        winners = [e for e in merged if e not in old_set]
+        if not winners:
+            return
+        rks, ids = zip(*[e.split("|", 1) for e in winners])
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(winners),
+                id_col: ids,
+                "race_key": [int(r) for r in rks],
+            }
+        )
+
+    return keyed.groupBy("__k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="cand array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -777,3 +777,85 @@ class TestChunkContentDefined:
         # astronomically unlikely any content cut fires -> fixed splits
         assert [r.n_tokens for r in sorted(out, key=lambda r: r.chunk_pos)] \
             == [16, 16, 16, 12]
+
+
+class TestCdcNearDupPairs:
+    def test_mirror_with_new_header_pairs_up(self, spark):
+        from sparkplug_spark.operators import cdc_near_dup_pairs
+
+        base = " ".join(f"tok{i % 89} fill{i % 31}" for i in range(150))
+        other = " ".join(f"zed{i % 83} qux{i % 29}" for i in range(150))
+        df = spark.createDataFrame(
+            [
+                (1, base),
+                (2, "totally new header line here " + base),
+                (3, other),
+            ],
+            "doc_id long, text string",
+        )
+        out = cdc_near_dup_pairs(df, divisor=8).collect()
+        pairs = {(r.id_a, r.id_b): r for r in out}
+        assert (1, 2) in pairs
+        p = pairs[(1, 2)]
+        assert p.n_shared >= 3
+        assert p.containment_a_ppm > 500000  # most of doc1 re-aligns
+        assert all(k == (1, 2) for k in pairs)  # doc3 pairs with nobody
+
+    def test_boilerplate_chunks_dropped(self, spark):
+        from sparkplug_spark.operators import cdc_near_dup_pairs
+
+        # one hot chunk shared by 10 docs + unique tails: with
+        # max_chunk_df=4 the hot chunk can't create pairs on its own
+        hot = " ".join(f"same{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [
+                (i, hot + " " + " ".join(f"u{i}x{j}" for j in range(40)))
+                for i in range(10)
+            ],
+            "doc_id long, text string",
+        )
+        out = cdc_near_dup_pairs(
+            df, divisor=8, max_chunk_df=4, min_shared=1
+        ).collect()
+        # the shared prefix chunks have df=10 > 4 -> dropped; unique
+        # tails share nothing
+        assert out == []
+
+
+class TestStreamingSamplePerKey:
+    def test_matches_batch_cap(self, spark):
+        from sparkplug_spark.operators.cleaning import sample_per_key
+        from sparkplug_spark.streaming import streaming_sample_per_key
+        from sparkplug_spark.streaming.replay import replay_file_stream
+
+        rows = [(i, f"src{i % 3}") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        batches = [
+            spark.createDataFrame(rows[k * 15 : (k + 1) * 15],
+                                  "doc_id long, source string")
+            for k in range(4)
+        ]
+        cand = replay_file_stream(
+            spark,
+            batches,
+            lambda s: streaming_sample_per_key(
+                s, cap=5, key_col="source", id_col="doc_id"
+            ),
+            shuffle_partitions=8,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy("race_key", "doc_id")
+        final = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .select("source", "doc_id")
+        )
+        got = {(r.source, r.doc_id) for r in final.collect()}
+        want = {
+            (r.source, r.doc_id)
+            for r in sample_per_key(df, "source", 5).select(
+                "source", "doc_id"
+            ).collect()
+        }
+        assert got == want and len(want) == 15
