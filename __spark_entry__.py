@@ -5212,6 +5212,31 @@ def q_streaming_per_key_replay(
     )
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC dedup capstone (E275 composition): chunk-shared pairs →
+    connected components → keep the longest text per component (ties
+    smallest id) — on the clone fixture the prefixed clone BEATS its
+    original; the oracle replays chunking, pairing, the CC recursion,
+    and the keep-best window."""
+    from sparkplug_spark.operators import cdc_near_dup_pairs, dedup_keep_best
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    clones = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("a fresh new intro sentence here "), F.col("text")
+        ).alias("text"),
+    )
+    src = docs.select("doc_id", "text").unionByName(clones)
+    pairs = cdc_near_dup_pairs(
+        src, divisor=8, min_shared=2, max_chunk_df=6
+    ).select("id_a", "id_b")
+    kept = dedup_keep_best(src, pairs, quality=F.length("text"))
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars_kept")
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14906,6 +14931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_pairs": q_cdc_dup_pairs,
         "streaming_per_key_replay": q_streaming_per_key_replay,
+        "cdc_dedup": q_cdc_dedup,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -14924,6 +14950,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "calibrate_isotonic": q_calibrate_isotonic,
     }
+
+
+def _cdc_fixture_ctes() -> str:
+    """Shared CTE chain for the E275 fixture oracles (cdc_dup_pairs /
+    cdc_dedup): the doc<150 + prefixed-clone source, the full CDC
+    boundary replay (4-gram hash60 ≡ 0 mod 8, 256-token sub-splits),
+    the distinct (doc, chunk_md5) table, per-doc chunk counts, and the
+    boilerplate df-gate.  Returned WITHOUT the leading WITH so callers
+    can prepend RECURSIVE.  MATERIALIZED where multiple arms reference
+    one CTE (the r8 basket_itemsets plan-explosion class)."""
+    return """cdp_src AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 150
+          UNION ALL
+          SELECT doc_id + 100000,
+                 'a fresh new intro sentence here ' || text
+          FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0
+        ),
+        cdp_tok AS (
+          SELECT doc_id, unnest(ws) AS tok,
+                 unnest(range(len(ws))) AS pos
+          FROM (
+            SELECT doc_id,
+                   list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+            FROM cdp_src
+          )
+        ),
+        cdp_gram AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN pos >= 3 THEN
+                   lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w
+                   || ' ' || lag(tok, 1) OVER w || ' ' || tok
+                 END AS gram
+          FROM cdp_tok
+          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        cdp_b AS (
+          SELECT doc_id, pos, tok,
+                 CASE WHEN gram IS NOT NULL AND
+                      ('0x' || substr(md5(gram), 1, 15))::BIGINT % 8 = 0
+                      THEN 1 ELSE 0 END AS b
+          FROM cdp_gram
+        ),
+        cdp_id AS (
+          SELECT doc_id, pos, tok,
+                 coalesce(sum(b) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cid
+          FROM cdp_b
+        ),
+        cdp_sub AS (
+          SELECT *, (row_number() OVER (
+                   PARTITION BY doc_id, cid ORDER BY pos) - 1) // 256
+                 AS sub
+          FROM cdp_id
+        ),
+        cdp_agg AS (
+          SELECT doc_id, cid, sub,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+          FROM cdp_sub GROUP BY doc_id, cid, sub
+        ),
+        cdp_d AS MATERIALIZED (
+          SELECT DISTINCT doc_id, chunk_md5 FROM cdp_agg
+        ),
+        cdp_n AS MATERIALIZED (
+          SELECT doc_id, count(*) AS n FROM cdp_d GROUP BY doc_id
+        ),
+        cdp_keep AS MATERIALIZED (
+          SELECT d.doc_id, d.chunk_md5
+          FROM cdp_d d
+          JOIN (
+            SELECT chunk_md5 FROM cdp_d GROUP BY chunk_md5
+            HAVING count(*) <= 6
+          ) k USING (chunk_md5)
+        )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -15444,74 +15547,8 @@ def oracle_sql() -> dict[str, str]:
         FROM cc_agg
     """
 
-    out["cdc_dup_pairs"] = """
-        WITH cdp_src AS (
-          SELECT doc_id, text FROM documents WHERE doc_id < 150
-          UNION ALL
-          SELECT doc_id + 100000,
-                 'a fresh new intro sentence here ' || text
-          FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0
-        ),
-        cdp_tok AS (
-          SELECT doc_id, unnest(ws) AS tok,
-                 unnest(range(len(ws))) AS pos
-          FROM (
-            SELECT doc_id,
-                   list_filter(
-                     string_split_regex(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS ws
-            FROM cdp_src
-          )
-        ),
-        cdp_gram AS (
-          SELECT doc_id, pos, tok,
-                 CASE WHEN pos >= 3 THEN
-                   lag(tok, 3) OVER w || ' ' || lag(tok, 2) OVER w
-                   || ' ' || lag(tok, 1) OVER w || ' ' || tok
-                 END AS gram
-          FROM cdp_tok
-          WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        ),
-        cdp_b AS (
-          SELECT doc_id, pos, tok,
-                 CASE WHEN gram IS NOT NULL AND
-                      ('0x' || substr(md5(gram), 1, 15))::BIGINT % 8 = 0
-                      THEN 1 ELSE 0 END AS b
-          FROM cdp_gram
-        ),
-        cdp_id AS (
-          SELECT doc_id, pos, tok,
-                 coalesce(sum(b) OVER (
-                   PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS cid
-          FROM cdp_b
-        ),
-        cdp_sub AS (
-          SELECT *, (row_number() OVER (
-                   PARTITION BY doc_id, cid ORDER BY pos) - 1) // 256
-                 AS sub
-          FROM cdp_id
-        ),
-        cdp_agg AS (
-          SELECT doc_id, cid, sub,
-                 md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
-          FROM cdp_sub GROUP BY doc_id, cid, sub
-        ),
-        cdp_d AS MATERIALIZED (
-          SELECT DISTINCT doc_id, chunk_md5 FROM cdp_agg
-        ),
-        cdp_n AS MATERIALIZED (
-          SELECT doc_id, count(*) AS n FROM cdp_d GROUP BY doc_id
-        ),
-        cdp_keep AS MATERIALIZED (
-          SELECT d.doc_id, d.chunk_md5
-          FROM cdp_d d
-          JOIN (
-            SELECT chunk_md5 FROM cdp_d GROUP BY chunk_md5
-            HAVING count(*) <= 6
-          ) k USING (chunk_md5)
-        ),
+    out["cdc_dup_pairs"] = (
+        "WITH " + _cdc_fixture_ctes() + """,
         cdp_pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  count(*)::BIGINT AS n_shared
@@ -15528,6 +15565,43 @@ def oracle_sql() -> dict[str, str]:
         JOIN cdp_n na ON na.doc_id = p.id_a
         JOIN cdp_n nb ON nb.doc_id = p.id_b
     """
+    )
+
+    out["cdc_dedup"] = (
+        "WITH RECURSIVE " + _cdc_fixture_ctes() + """,
+        cdp_pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM cdp_keep a JOIN cdp_keep b USING (chunk_md5)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        cdp_edges AS (
+          SELECT id_a AS src, id_b AS dst FROM cdp_pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM cdp_pairs
+        ),
+        cdp_nodes AS (SELECT DISTINCT src AS id FROM cdp_edges),
+        cdp_walk(id, label) AS (
+          SELECT id, id FROM cdp_nodes
+          UNION
+          SELECT e.src, w.label
+          FROM cdp_edges e JOIN cdp_walk w ON e.dst = w.id
+        ),
+        cdp_grp AS (
+          SELECT id, min(label) AS group_id FROM cdp_walk GROUP BY id
+        ),
+        cdp_j AS (
+          SELECT s.doc_id, length(s.text)::BIGINT AS q,
+                 coalesce(g.group_id, s.doc_id) AS g
+          FROM cdp_src s LEFT JOIN cdp_grp g ON g.id = s.doc_id
+        )
+        SELECT doc_id, q AS n_chars_kept FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY g ORDER BY q DESC, doc_id) AS rn
+          FROM cdp_j
+        ) WHERE rn = 1
+    """
+    )
 
     out["streaming_per_key_replay"] = """
         SELECT source, doc_id,
