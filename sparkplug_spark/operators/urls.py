@@ -348,9 +348,16 @@ def tld_report(
         .groupBy("tld")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    total = counts.agg(F.sum("n_rows").alias("__total"))
-    return counts.crossJoin(F.broadcast(total)).select(
-        "tld",
-        "n_rows",
-        F.expr("n_rows * 1000000L div __total").alias("share_ppm"),
+    # total via a single-partition window over the ≤|registry| count
+    # rows — NOT crossJoin(broadcast(counts.agg(...))), which would
+    # re-execute the full corpus aggregate a second time
+    return (
+        counts.withColumn(
+            "__total", F.sum("n_rows").over(Window.partitionBy())
+        )
+        .select(
+            "tld",
+            "n_rows",
+            F.expr("n_rows * 1000000L div __total").alias("share_ppm"),
+        )
     )
