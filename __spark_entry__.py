@@ -5237,6 +5237,67 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph card extraction (E277): og metas planted in BOTH
+    attribute orders with entities, a non-og decoy meta, and absent
+    fields per arithmetic case; the oracle states every field."""
+    from sparkplug_spark.operators import extract_opengraph
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<meta property="og:title" content="Page &amp; '), sid,
+        F.lit('">'),
+        F.lit("<meta content='http://img."), F.col("source"),
+        F.lit(".com/"), sid, F.lit(".jpg' property='og:image'>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<meta property="og:type" content="article">'),
+        ).otherwise(
+            F.lit("<meta content='website' property='og:type'>")
+        ),
+        F.when(
+            F.col("doc_id") % 5 != 1,
+            F.concat(
+                F.lit('<meta property="og:description" content="about '),
+                F.col("source"), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<meta name="description" content="not og">'),
+    )
+    return extract_opengraph(docs.select("doc_id", html.alias("html"))).select(
+        "doc_id", "og_title", "og_description", "og_image", "og_type",
+        "og_url",
+    )
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table data profile (E278): the html_tables fixture grid
+    profiled — header coverage, body counts, numeric share in exact
+    ppm (the id cell is numeric except when planted empty)."""
+    from sparkplug_spark.operators import table_profile
+
+    docs = _read(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<table><tr><th>Key</th><th>Val</th></tr><tr><td>"),
+        F.col("source"), F.lit(" &amp; co</td><td>"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(sid),
+        F.lit("</td></tr></table>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<TABLE class="x"><tr><td>extra '), sid,
+                F.lit("</td></tr></TABLE>"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return table_profile(docs.select("doc_id", html.alias("html"))).select(
+        "doc_id", "table_pos", "n_rows", "n_cols", "n_cells", "n_header",
+        "n_body", "n_numeric", "numeric_ppm",
+    )
+
+
 def q_wordlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style banned-wordlist gate (E219): token-level matches against
     a broadcast term array plus a multi-word phrase matched as a
@@ -14932,6 +14993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_pairs": q_cdc_dup_pairs,
         "streaming_per_key_replay": q_streaming_per_key_replay,
         "cdc_dedup": q_cdc_dedup,
+        "opengraph": q_opengraph,
+        "table_profile": q_table_profile,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -15614,6 +15677,35 @@ def oracle_sql() -> dict[str, str]:
                             )::BIGINT, doc_id) AS rn
           FROM documents WHERE doc_id < 200
         ) WHERE rn <= 5
+    """
+
+    out["opengraph"] = """
+        SELECT doc_id,
+               'Page & ' || doc_id::VARCHAR AS og_title,
+               CASE WHEN doc_id % 5 <> 1
+                    THEN 'about ' || source END AS og_description,
+               'http://img.' || source || '.com/' || doc_id::VARCHAR
+                 || '.jpg' AS og_image,
+               CASE WHEN doc_id % 2 = 0 THEN 'article'
+                    ELSE 'website' END AS og_type,
+               NULL AS og_url
+        FROM documents
+    """
+
+    out["table_profile"] = """
+        SELECT doc_id, 0::BIGINT AS table_pos, 2::BIGINT AS n_rows,
+               2::BIGINT AS n_cols, 4::BIGINT AS n_cells,
+               2::BIGINT AS n_header,
+               (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END)::BIGINT
+                 AS n_body,
+               (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END)::BIGINT
+                 AS n_numeric,
+               (CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 500000 END)::BIGINT
+                 AS numeric_ppm
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1, 1, 1, 1, 0, 1, 0, 0
+        FROM documents WHERE doc_id % 3 = 0
     """
 
     # WAT round-trip (E246): envelope fields derive from the documents

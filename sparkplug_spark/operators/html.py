@@ -48,6 +48,7 @@ __all__ = [
     "image_text_pairs",
     "extract_links",
     "outlink_profile",
+    "extract_opengraph",
     "crawl_frontier",
     "filter_by_policy",
     "drop_repeated_blocks",
@@ -636,6 +637,51 @@ def extract_links(
         )
         .where(F.col("href") != "")
     )
+
+
+def extract_opengraph(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    properties: tuple[str, ...] = (
+        "title", "description", "image", "type", "url",
+    ),
+) -> DataFrame:
+    """OpenGraph card fields per page: ``(id_col, og_title,
+    og_description, og_image, og_type, og_url)`` — publishers curate
+    these for link previews, so they're routinely the CLEANEST
+    title/summary/image a crawl gets (feeds E242's image–text pairing
+    with an editor-written caption candidate and E237's routing with a
+    canonical-ish url).
+
+    Each ``<meta property="og:x" content=…>`` is matched in BOTH
+    attribute orders (first non-empty wins, like the E237 battery),
+    values entity-decoded the standard way; absent properties are NULL.
+    One zero-shuffle codegen projection, Java∩RE2 patterns."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+
+    def prop(name: str):
+        pc = F.regexp_extract(
+            h,
+            "(?is)<meta\\s[^>]*property\\s*=\\s*[\"']og:" + name
+            + "[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)",
+            1,
+        )
+        cp = F.regexp_extract(
+            h,
+            "(?is)<meta\\s[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']"
+            "[^>]*property\\s*=\\s*[\"']og:" + name + "[\"']",
+            1,
+        )
+        val = F.coalesce(F.nullif(pc, F.lit("")), F.nullif(cp, F.lit("")))
+        for ent, ch in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&#39;", "'"), ("&amp;", "&"),
+        ):
+            val = F.replace(val, F.lit(ent), F.lit(ch))
+        return val.alias(f"og_{name}")
+
+    return df.select(F.col(id_col), *[prop(n) for n in properties])
 
 
 def outlink_profile(

@@ -33,6 +33,8 @@ __all__ = [
     "chunk_by_sections",
     "extract_code_blocks",
     "extract_jsonld",
+    "table_profile",
+    "NUMERIC_CELL_PAT",
 ]
 
 _TABLE_PAT = r"(?is)<table\b[^>]*>.*?</table\s*>"
@@ -352,4 +354,47 @@ def extract_jsonld(
         pick("name").alias("name"),
         pick("url").alias("item_url"),
         "raw",
+    )
+
+
+#: what counts as a numeric cell for :func:`table_profile` — integers /
+#: decimals with optional sign and ,/. separators; frozen so SQL twins
+#: embed the identical pattern.
+NUMERIC_CELL_PAT = r"^[-+]?[0-9]+([.,][0-9]+)*$"
+
+
+def table_profile(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-table data-quality profile: ``(id_col, table_pos, n_rows,
+    n_cols, n_cells, n_header, n_body, n_numeric, numeric_ppm)`` — the
+    "does this page carry DATA" signal over :func:`extract_tables`
+    output: a high numeric share across a header-covered grid reads
+    like a real data table worth keeping for table corpora; a 1-column
+    text grid reads like layout chrome.
+
+    ``n_body`` counts non-header cells with text; ``n_numeric`` counts
+    body cells matching :data:`NUMERIC_CELL_PAT`; ``numeric_ppm`` is
+    exact BIGINT div over the body (NULL when no body text).  One
+    id+table-keyed aggregate over the cell rows — pages themselves
+    never shuffle twice."""
+    cells = extract_tables(df, html_col, id_col)
+    is_body = ~F.col("is_header") & F.col("cell_text").isNotNull()
+    is_num = is_body & F.col("cell_text").rlike(NUMERIC_CELL_PAT)
+    agg = cells.groupBy(id_col, "table_pos").agg(
+        (F.max("row_pos") + 1).alias("n_rows"),
+        (F.max("col_pos") + 1).alias("n_cols"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.col("is_header").cast("long")).alias("n_header"),
+        F.sum(is_body.cast("long")).alias("n_body"),
+        F.sum(is_num.cast("long")).alias("n_numeric"),
+    )
+    return agg.withColumn(
+        "numeric_ppm",
+        F.expr(
+            "CASE WHEN n_body > 0 "
+            "THEN n_numeric * 1000000L div n_body END"
+        ),
     )

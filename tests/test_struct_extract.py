@@ -859,3 +859,49 @@ class TestStreamingSamplePerKey:
             ).collect()
         }
         assert got == want and len(want) == 15
+
+
+class TestOpengraph:
+    def test_both_orders_and_entities(self, spark):
+        from sparkplug_spark.operators import extract_opengraph
+
+        html = (
+            '<meta property="og:title" content="Big &amp; Bold">'
+            "<meta content='http://e.com/i.jpg' property='og:image'>"
+            '<meta property="og:type" content="article">'
+            '<meta name="description" content="not og">'
+        )
+        r = extract_opengraph(_one(spark, html)).collect()[0]
+        assert r.og_title == "Big & Bold"
+        assert r.og_image == "http://e.com/i.jpg"
+        assert r.og_type == "article"
+        assert r.og_description is None and r.og_url is None
+
+
+class TestTableProfile:
+    def test_profile(self, spark):
+        from sparkplug_spark.operators import table_profile
+
+        html = (
+            "<table><tr><th>k</th><th>v</th></tr>"
+            "<tr><td>alpha</td><td>1,234.5</td></tr>"
+            "<tr><td>-42</td><td></td></tr></table>"
+            "<table><tr><td>words only</td></tr></table>"
+        )
+        out = {
+            r.table_pos: r
+            for r in table_profile(_one(spark, html)).collect()
+        }
+        t0 = out[0]
+        assert (t0.n_rows, t0.n_cols, t0.n_cells) == (3, 2, 6)
+        assert (t0.n_header, t0.n_body, t0.n_numeric) == (2, 3, 2)
+        assert t0.numeric_ppm == 2 * 1000000 // 3
+        t1 = out[1]
+        assert (t1.n_body, t1.n_numeric, t1.numeric_ppm) == (1, 0, 0)
+
+    def test_all_header_table_null_ppm(self, spark):
+        from sparkplug_spark.operators import table_profile
+
+        html = "<table><tr><th>only</th></tr></table>"
+        r = table_profile(_one(spark, html)).collect()[0]
+        assert r.n_body == 0 and r.numeric_ppm is None
