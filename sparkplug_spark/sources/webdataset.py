@@ -53,7 +53,15 @@ def write_webdataset(
     shards.  Returns the (collected-size) manifest as a DataFrame
     ``(shard, n_samples, n_bytes)``; one task writes one shard, so
     ``num_shards`` is the write parallelism AND the reader's file-level
-    parallelism."""
+    parallelism.
+
+    ``path`` must be a filesystem every executor can reach (local mode,
+    NFS, a fuse-mounted object store) — the shard writer is a plain
+    task-side ``open()``, the standard WebDataset production pattern of
+    writing shards locally/mounted and syncing to object storage after;
+    for direct ``s3://``-style output, point ``path`` at a mount or
+    copy the finished shards with your uploader.  Byte-determinism
+    makes the post-copy verifiable by md5."""
     if not ext_cols:
         raise ValueError("ext_cols must be non-empty")
     if num_shards <= 0:
