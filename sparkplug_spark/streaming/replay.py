@@ -97,7 +97,10 @@ def replay_file_stream(
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
         )
-    tmp = tempfile.mkdtemp(prefix="sparkplug_replay_")
+    # pid-scoped prefix: concurrent test processes each replaying must
+    # be able to reason about THEIR scratch dirs (a bare shared prefix
+    # made "all scratch removed" assertions flake under parallel runs)
+    tmp = tempfile.mkdtemp(prefix=f"sparkplug_replay_{os.getpid()}_")
     sink = os.path.join(tmp, "sink")
     chk = os.path.join(tmp, "chk")
     try:

@@ -332,7 +332,12 @@ class TestReplayFileStream:
         from sparkplug_spark.streaming import streaming_dedup_exact
         from sparkplug_spark.streaming.replay import replay_file_stream
 
-        before = set(glob.glob("/tmp/sparkplug_replay_*"))
+        import os as _os
+
+        # pid-scoped glob: other test PROCESSES replay concurrently in
+        # parallel suite runs; only THIS process's scratch is ours
+        _pat = f"/tmp/sparkplug_replay_{_os.getpid()}_*"
+        before = set(glob.glob(_pat))
         mk = lambda rows: spark.createDataFrame(rows, "id long, text string, ts timestamp")
         import datetime as dt
 
@@ -352,7 +357,7 @@ class TestReplayFileStream:
         )
         assert sorted(r.id for r in kept.collect()) == [1, 2, 4, 6]
         # scratch space fully removed even though the result is still live
-        assert set(glob.glob("/tmp/sparkplug_replay_*")) == before
+        assert set(glob.glob(_pat)) == before
 
     def test_complete_mode_matches_batch_aggregate(self, spark):
         from pyspark.sql import functions as F
