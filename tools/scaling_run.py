@@ -269,6 +269,16 @@ def main() -> None:
             "main_content", "crawl_extract", "robots_gate", "crawl_frontier",
         ],
         "sft_text": ["pack_transcripts", "chunk_sentences"],
+        # round 10: structured extraction + CDC chunking + the
+        # index-then-fetch WARC lane + WebDataset round-trip — all
+        # scale with the documents table (the per-round fixtures that
+        # filter doc_id<k are deliberately excluded: they are
+        # constant-size at any sf)
+        "r10_crawl_struct": [
+            "cdc_chunks", "html_tables", "section_chunks",
+            "entity_extract", "warc_index", "cdx_fetch",
+            "webdataset_roundtrip", "frontier_schedule",
+        ],
     }
     if ONLY_FAMILIES:
         families = {k: v for k, v in families.items() if k in ONLY_FAMILIES}
