@@ -984,7 +984,7 @@ def streaming_reservoir(
         ).alias("__bucket"),
     )
 
-    def fn(key, pdfs, state):
+    def fn(key: tuple, pdfs: "Iterable[pd.DataFrame]", state) -> "Iterable[pd.DataFrame]":
         fresh = []
         for pdf in pdfs:
             fresh.extend(
@@ -1054,7 +1054,7 @@ def streaming_sample_per_key(
         .alias("__rk"),
     )
 
-    def fn(key, pdfs, state):
+    def fn(key: tuple, pdfs: "Iterable[pd.DataFrame]", state) -> "Iterable[pd.DataFrame]":
         fresh = []
         for pdf in pdfs:
             fresh.extend(
