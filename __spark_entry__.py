@@ -5599,10 +5599,19 @@ def q_delegated_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle SQL builders (shared constants with the Spark implementations)
 # ---------------------------------------------------------------------------
 
+from sparkplug_spark.functions.text import CJK_CLASS as _CJK_SQL
+
+#: the SAME literal-char class the Spark-side normalize compiles (no
+#: braces, so oracle templates that later run through str.format are
+#: unaffected): both engines keep/pad identical codepoints.
 _SQL_NORM = (
-    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower({c}),"
+    " '[^a-z0-9 " + _CJK_SQL + "]', ' ', 'g'),"
+    " '([" + _CJK_SQL + "])', ' \\1 ', 'g'),"
     " ' +', ' ', 'g'))"
 )
+#: pre-formatted c='text' instance for plain-string oracle bodies
+_SQL_NORM_TEXT = _SQL_NORM.format(c="text")
 
 
 def _sql_tokens(c: str) -> str:
@@ -5765,10 +5774,8 @@ def _bpe_oracle_sql() -> str:
         + " ".join(f"WHEN '{a}|{b}' THEN {i}" for i, (a, b) in enumerate(merges))
         + " END"
     )
-    norm = (
-        "string_split(trim(regexp_replace(regexp_replace(lower(coalesce("
-        "text,'')), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"
-    )
+    _nc = _SQL_NORM.format(c="coalesce(text,'')")
+    norm = f"string_split({_nc}, ' ')"
     sql = f"""
         WITH RECURSIVE
         winst AS (
@@ -5842,10 +5849,8 @@ def _wordpiece_oracle_sql() -> str:
     # contents are [a-z0-9]+ — no quoting hazards in the literals
     s_lit = "[" + ", ".join(f"'{p}'" for p in starts) + "]"
     c_lit = "[" + ", ".join(f"'{p}'" for p in conts) + "]"
-    norm = (
-        "string_split(trim(regexp_replace(regexp_replace(lower(coalesce("
-        "text,'')), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"
-    )
+    _nc = _SQL_NORM.format(c="coalesce(text,'')")
+    norm = f"string_split({_nc}, ' ')"
     sql = f"""
         WITH RECURSIVE
         winst AS (
@@ -5965,10 +5970,8 @@ def _unigram_oracle_sql() -> str:
         + " ".join(f"WHEN '{p}' THEN {c * mult + 1}" for p, c in vocab)
         + " END"
     )
-    norm = (
-        "string_split(trim(regexp_replace(regexp_replace(lower(coalesce("
-        "text,'')), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')"
-    )
+    _nc = _SQL_NORM.format(c="coalesce(text,'')")
+    norm = f"string_split({_nc}, ' ')"
     sql = f"""
         WITH RECURSIVE
         winst AS (
@@ -10586,15 +10589,14 @@ def _extension_oracles() -> dict[str, str]:
                    {_sql_simhash(toks)} AS simhash
             FROM documents
         """,
-        "text_token_counts": r"""
+        "text_token_counts": rf"""
             SELECT doc_id,
-                   len(string_split(trim(regexp_replace(regexp_replace(lower(text),
-                       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_tokens_ws,
+                   len(string_split({_SQL_NORM_TEXT}, ' ')) AS n_tokens_ws,
                    len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_bpe
             FROM documents
         """,
-        "text_winnowing": """
-        WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nm FROM documents),
+        "text_winnowing": f"""
+        WITH n AS (SELECT doc_id, {_SQL_NORM_TEXT} AS nm FROM documents),
         g AS (
           SELECT doc_id,
                  CASE WHEN length(nm) < 8 THEN [nm]
@@ -14678,6 +14680,74 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: fixed 512-ideograph block (U+4E00..U+4FFF) both engines index into to
+#: derive a deterministic CJK corpus from the latin documents table
+_HAN_LIT = "".join(chr(0x4E00 + i) for i in range(512))
+
+
+def _cjk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixed-script corpus derived from ``documents``: each
+    latin token maps to a Han ideograph (md5-indexed into a fixed
+    512-char block), concatenated WITHOUT separators — like real CJK
+    text, no word boundaries — then prefixed to the first 60 chars of
+    the original latin text.  Exercises the script-aware normalize
+    (CJK chars become standalone single-char tokens) end-to-end with a
+    corpus both engines rebuild bit-identically."""
+    from sparkplug_spark.functions.text import hash32, tokens_pd
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(tokens_pd(F.col("text")), lambda t: t != F.lit(""))
+    wt = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("__t"),
+        toks.alias("__toks"),
+    )
+    # per-element md5 is inherent (depends on the token); the token array
+    # itself is materialized once above, not re-derived per element
+    han = F.array_join(
+        F.transform(
+            F.col("__toks"),
+            lambda t: F.substring(
+                F.lit(_HAN_LIT), (hash32(t) % 512 + 1).cast("int"), 1
+            ),
+        ),
+        "",
+    )
+    return wt.select(
+        "doc_id",
+        F.concat(han, F.lit(" "), F.substring(F.col("__t"), 1, 60)).alias(
+            "text"
+        ),
+    )
+
+
+def q_vocab_top_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary over the derived CJK corpus: the script-aware tokenizer
+    splits each ideograph into its own token (plus the latin tail
+    tokens), so the vocab is dominated by single Han chars — the
+    behavior a CJK corpus needs from every token-count tier."""
+    from sparkplug_spark.operators import build_vocab
+
+    return build_vocab(_cjk_corpus(spark, sf_dir), max_size=100, min_count=2)
+
+
+def q_dedup_jaccard_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs over the derived CJK corpus
+    (planted clones with two appended ideographs): shingles over
+    char-unit tokens are char-n-grams, so MinHash/Jaccard dedup fires on
+    CJK text exactly as it does on latin."""
+    from sparkplug_spark.operators import jaccard_ngram_pairs
+
+    base = _cjk_corpus(spark, sf_dir)
+    clones = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" 丙丁")).alias("text"),
+    )
+    return jaccard_ngram_pairs(
+        base.unionByName(clones), n=3, threshold=0.6, max_key_freq=100
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rules engine over sf0.001 part with audit details."""
     return q_plug_audit(spark, "/root/testdata/sf0.001")
@@ -14995,6 +15065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "opengraph": q_opengraph,
         "table_profile": q_table_profile,
+        "vocab_top_cjk": q_vocab_top_cjk,
+        "dedup_jaccard_cjk": q_dedup_jaccard_cjk,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -15736,6 +15808,71 @@ def oracle_sql() -> dict[str, str]:
     # the relational tier trains (integer equality pinned by pytest), so
     # its replayed union rides the language_id_trained oracle
     out["streaming_lid_replay"] = out["language_id_trained"]
+
+    # --- script-aware tokenizer tier (CJK/Kana/Hangul/Thai) -----------
+    # the derived corpus CTE: latin tokens -> Han ideographs (md5-indexed
+    # into the same fixed 512-char block the Spark side embeds),
+    # concatenated without separators + the latin 60-char tail
+    _cjk_toks = f"list_filter({_sql_tokens('text')}, x -> x != '')"
+    _cjk_cte = f"""
+        cjk_base AS (
+          SELECT doc_id,
+                 concat(
+                   array_to_string(list_transform({_cjk_toks}, tk ->
+                     substr('{_HAN_LIT}',
+                            ((('0x' || substr(md5(tk),1,8))::BIGINT % 512)
+                             + 1)::INT, 1)), ''),
+                   ' ', substr(coalesce(text, ''), 1, 60)) AS text
+          FROM documents
+        )"""
+    out["vocab_top_cjk"] = f"""
+        WITH {_cjk_cte},
+        e AS (SELECT unnest({_sql_tokens('text')}) AS token FROM cjk_base),
+        c AS (
+          SELECT token, count(*) AS n FROM e
+          WHERE token != '' GROUP BY token HAVING count(*) >= 2
+        )
+        SELECT token, n, rank FROM (
+          SELECT token, n,
+                 row_number() OVER (ORDER BY n DESC, token) AS rank
+          FROM c
+        ) WHERE rank <= 100
+    """
+    out["dedup_jaccard_cjk"] = f"""
+        WITH {_cjk_cte},
+        cjk_corpus AS (
+          SELECT doc_id, text FROM cjk_base
+          UNION ALL
+          SELECT doc_id + 10000000, text || ' 丙丁'
+          FROM cjk_base WHERE doc_id % 7 = 0
+        ),
+        cjk_d AS (
+          SELECT doc_id, {_sql_shingles('t', 3)} AS sh
+          FROM (SELECT doc_id, {_sql_tokens('text')} AS t FROM cjk_corpus)
+        ),
+        cjk_e0 AS (
+          SELECT doc_id,
+                 unnest(list_transform(sh,
+                   x -> (('0x' || substr(md5(x),1,15))::BIGINT))) AS s
+          FROM cjk_d
+        ),
+        cjk_keys AS (SELECT s FROM cjk_e0 GROUP BY s HAVING count(*) <= 100),
+        cjk_e AS MATERIALIZED (
+          SELECT cjk_e0.* FROM cjk_e0 JOIN cjk_keys USING (s)
+        ),
+        cjk_sz AS (SELECT doc_id, count(*) AS sz FROM cjk_e GROUP BY doc_id),
+        cjk_inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM cjk_e a JOIN cjk_e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               inter::DOUBLE / (sa.sz + sb.sz - inter) AS jaccard
+        FROM cjk_inter
+        JOIN cjk_sz sa ON sa.doc_id = id_a
+        JOIN cjk_sz sb ON sb.doc_id = id_b
+        WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
+    """
     return out
 
 

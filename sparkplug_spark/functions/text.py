@@ -40,21 +40,68 @@ __all__ = [
 ]
 
 
+#: Codepoint ranges of the no-whitespace scripts the canonical normalize
+#: keeps AND splits into standalone single-char tokens (Chinese/Japanese
+#: text has no word spaces; each Han ideograph / Kana syllable / Hangul
+#: syllable / Thai character becomes its own token, so shingles over the
+#: token stream are char-n-grams — the standard IR fallback when no
+#: segmenter dictionary is available).  Explicit ranges, NOT \\p{Script=}
+#: properties: Java regex, RE2 (DuckDB) and Python ``re`` disagree on
+#: script-property coverage, but all three treat literal hex ranges
+#: identically, which is what keeps the SQL oracle bit-equal.
+#: Thai combining vowels/tone marks split off their base consonant under
+#: char-splitting — linguistically crude but deterministic, and shingle
+#: windows recombine the context downstream.
+CJK_RANGES: tuple[tuple[int, int], ...] = (
+    (0x0E00, 0x0E7F),  # Thai
+    (0x3040, 0x309F),  # Hiragana
+    (0x30A0, 0x30FF),  # Katakana
+    (0x31F0, 0x31FF),  # Katakana phonetic extensions
+    (0x3400, 0x4DBF),  # CJK unified ideographs extension A
+    (0x4E00, 0x9FFF),  # CJK unified ideographs
+    (0xAC00, 0xD7AF),  # Hangul syllables
+    (0xF900, 0xFAFF),  # CJK compatibility ideographs
+)
+
+#: The ranges as LITERAL range endpoints (actual codepoints, not \x{h}
+#: escapes): Java regex (Spark), RE2 (DuckDB) and Python ``re`` all parse
+#: literal-char ranges identically, and the string contains no braces —
+#: safe to splice into SQL templates that later run through str.format.
+CJK_CLASS: str = "".join(f"{chr(a)}-{chr(b)}" for a, b in CJK_RANGES)
+
+#: the strip/pad passes as engine-portable pattern strings
+KEEP_PATTERN: str = f"[^a-z0-9 {CJK_CLASS}]"
+PAD_PATTERN: str = f"([{CJK_CLASS}])"
+
 #: compiled pieces of the canonical normalize, shared by every Python-side
 #: kernel so tokenization can never drift between operators
-_STRIP = re.compile(r"[^a-z0-9 ]")
+_STRIP = re.compile(KEEP_PATTERN)
+_PAD = re.compile(PAD_PATTERN)
 _SQUASH = re.compile(r" +")
+
+
+def norm_py(text: str | None) -> str:
+    """Python twin of :func:`normalize_text`: lowercase → strip everything
+    outside [a-z0-9 space + CJK/Kana/Hangul/Thai] → space-pad each kept
+    no-whitespace-script char into its own token → squash/trim."""
+    return _SQUASH.sub(
+        " ", _PAD.sub(r" \1 ", _STRIP.sub(" ", (text or "").lower()))
+    ).strip()
 
 
 def norm_tokens_py(text: str | None) -> list[str]:
     """Python twin of ``tokens``: normalize + whitespace-split one string."""
-    return _SQUASH.sub(" ", _STRIP.sub(" ", (text or "").lower())).strip().split(" ")
+    return norm_py(text).split(" ")
 
 
 def normalize_text(col: Column) -> Column:
-    """lowercase, strip non-alphanumerics, collapse whitespace."""
+    """lowercase, strip non-alphanumerics (keeping CJK/Kana/Hangul/Thai),
+    split no-whitespace-script chars into standalone tokens, collapse
+    whitespace.  Latin-only text is byte-identical to the historical
+    two-pass normalize (the pad pass only fires on the kept ranges)."""
     c = F.lower(col)
-    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, KEEP_PATTERN, " ")
+    c = F.regexp_replace(c, PAD_PATTERN, " $1 ")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
 
@@ -85,14 +132,12 @@ def word_shingles_pd(col: Column | str, n: int = 3) -> Column:
     output (same normalize → split → distinct-first-occurrence n-grams),
     but the text is tokenized exactly once per row in vectorized Python.
     ~20× faster per core than the JVM lambda form on real documents."""
-    strip = re.compile(r"[^a-z0-9 ]")
-    squash = re.compile(r" +")
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _shingles(s: pd.Series) -> pd.Series:
         out = []
         for text in s:
-            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            norm = norm_py(text)
             toks = norm.split(" ")
             if len(toks) <= n:
                 out.append([" ".join(toks)])
@@ -132,8 +177,6 @@ def shingles_minhash_pd(
     A = np.array([a for a, _ in perms], dtype=np.uint64)[:, None]
     B = np.array([b for _, b in perms], dtype=np.uint64)[:, None]
     P = np.uint64(MINHASH_PRIME)
-    strip = re.compile(r"[^a-z0-9 ]")
-    squash = re.compile(r" +")
 
     @F.pandas_udf(
         T.StructType(
@@ -146,7 +189,7 @@ def shingles_minhash_pd(
     def _k(s: pd.Series) -> pd.DataFrame:
         sh_lists = []
         for text in s:
-            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            norm = norm_py(text)
             toks = norm.split(" ")
             if len(toks) <= n:
                 sh_lists.append([" ".join(toks)])
@@ -198,8 +241,6 @@ def hashed_shingles_pd(col: Column | str, n: int = 3) -> Column:
     UDF boundary or the downstream explode."""
     import hashlib
 
-    strip = re.compile(r"[^a-z0-9 ]")
-    squash = re.compile(r" +")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _hs(s: pd.Series) -> pd.Series:
@@ -207,7 +248,7 @@ def hashed_shingles_pd(col: Column | str, n: int = 3) -> Column:
         md5 = hashlib.md5
         out = []
         for text in s:
-            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            norm = norm_py(text)
             toks = norm.split(" ")
             if len(toks) <= n:
                 grams = [" ".join(toks)]
@@ -270,14 +311,12 @@ def unicode_normalize_pd(
 def tokens_pd(col: Column | str) -> Column:
     """Arrow-batched pandas equivalent of :func:`tokens` (same normalize +
     split), tokenizing once per row."""
-    strip = re.compile(r"[^a-z0-9 ]")
-    squash = re.compile(r" +")
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _tokens(s: pd.Series) -> pd.Series:
         return pd.Series(
             [
-                squash.sub(" ", strip.sub(" ", (t or "").lower())).strip().split(" ")
+                norm_py(t).split(" ")
                 for t in s
             ]
         )
@@ -432,8 +471,6 @@ def simhash32_pd(col: Column | str) -> Column:
 
     import numpy as np
 
-    strip = re.compile(r"[^a-z0-9 ]")
-    squash = re.compile(r" +")
     bit_idx = np.arange(32)
 
     @F.pandas_udf(T.LongType())
@@ -450,7 +487,7 @@ def simhash32_pd(col: Column | str) -> Column:
 
         out = []
         for text in s:
-            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            norm = norm_py(text)
             hs = np.fromiter(
                 (h32(t) for t in norm.split(" ")), dtype=np.int64
             )
@@ -481,8 +518,6 @@ def simhash64_pd(col: Column | str) -> Column:
 
     import numpy as np
 
-    strip = re.compile(r"[^a-z0-9 ]")
-    squash = re.compile(r" +")
     bit_idx = np.arange(64, dtype=np.uint64)
 
     @F.pandas_udf(T.LongType())
@@ -500,7 +535,7 @@ def simhash64_pd(col: Column | str) -> Column:
 
         out = []
         for text in s:
-            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            norm = norm_py(text)
             hs = np.fromiter(
                 (h64(t) for t in norm.split(" ")), dtype=np.uint64
             )
@@ -619,8 +654,6 @@ def winnowing_fingerprints(
 
     import numpy as np
 
-    strip = re.compile(r"[^a-z0-9 ]")
-    squash = re.compile(r" +")
     swv = np.lib.stride_tricks.sliding_window_view
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -631,7 +664,7 @@ def winnowing_fingerprints(
         md5 = hashlib.md5
         out = []
         for text in s:
-            norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+            norm = norm_py(text)
             if len(norm) < k:
                 grams = [norm]
             else:

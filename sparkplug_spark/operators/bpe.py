@@ -20,7 +20,6 @@ implementation.
 
 from __future__ import annotations
 
-import re
 from collections import Counter
 
 import pandas as pd
@@ -43,16 +42,17 @@ __all__ = [
     "UNIGRAM_COMBINED_MULT",
 ]
 
-_STRIP = re.compile(r"[^a-z0-9 ]")
-_SQUASH = re.compile(r" +")
-
 _EOW = "</w>"  # end-of-word marker (standard BPE)
 
 
 def _words(text: str) -> list[str]:
-    """Shared normalization (same as ``functions.text.tokens``): lowercase,
-    strip non-alphanumerics, split on whitespace."""
-    return _SQUASH.sub(" ", _STRIP.sub(" ", (text or "").lower())).strip().split(" ")
+    """Shared normalization (same as ``functions.text.tokens``, via the
+    canonical ``norm_tokens_py`` twin — CJK/Kana/Hangul/Thai chars arrive
+    as standalone single-char words, so BPE merges treat each as an
+    atomic symbol pair with its </w> marker)."""
+    from ..functions.text import norm_tokens_py
+
+    return norm_tokens_py(text)
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:

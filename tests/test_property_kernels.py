@@ -92,13 +92,26 @@ def test_simhash64_matches_reference_fold(spark, docs):
     """simhash64_pd against an independent pure-Python reimplementation
     (no numpy, no caching) — guards the vectorized bit math."""
     import hashlib
-    import re as _re
 
-    strip = _re.compile(r"[^a-z0-9 ]")
-    squash = _re.compile(r" +")
+    from sparkplug_spark.functions.text import CJK_RANGES
+
+    def ref_norm(text):
+        # independent char-loop reimplementation of the canonical
+        # normalize (keep latin/digit/space, pad no-whitespace-script
+        # chars into standalone tokens, drop the rest, squash spaces)
+        out = []
+        for ch in (text or "").lower():
+            o = ord(ch)
+            if "a" <= ch <= "z" or "0" <= ch <= "9" or ch == " ":
+                out.append(ch)
+            elif any(a <= o <= b for a, b in CJK_RANGES):
+                out.append(f" {ch} ")
+            else:
+                out.append(" ")
+        return " ".join(p for p in "".join(out).split(" ") if p)
 
     def ref(text):
-        norm = squash.sub(" ", strip.sub(" ", (text or "").lower())).strip()
+        norm = ref_norm(text)
         votes = [0] * 64
         for tok in norm.split(" "):
             hx = hashlib.md5(tok.encode()).hexdigest()
