@@ -14748,6 +14748,46 @@ def q_dedup_jaccard_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (library-free codec-lane tier): deterministic
+    multi-page PDFs built per doc — page count, FlateDecode vs raw
+    streams, literal/hex/TJ-array show operators and escaped parens all
+    doc_id functions; doc%7==0 plants a malformed file (NULL quarantine).
+    The oracle derives every page line arithmetically from the documents
+    table, so an object-walk, inflate, escape or page-order bug breaks
+    the hash."""
+    from sparkplug_spark.operators import pdf_text
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    @F.pandas_udf("binary")
+    def make_pdf(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        from sparkplug_spark.operators.pdf import build_pdf
+
+        out = []
+        for d, tx in zip(ids, texts):
+            d = int(d)
+            tx = tx or ""
+            if d % 7 == 0:
+                out.append(b"%PDF-1.4\ngarbage")
+                continue
+            n_p = d % 3 + 1
+            pages = []
+            for i in range(n_p):
+                mode = "hex" if d % 5 == 0 else ("tj" if d % 4 == 0 else "lit")
+                pages.append(
+                    [
+                        ("lit", tx[30 * i : 30 * i + 30] + f" ({i + 1})"),
+                        (mode, f"doc {d} page {i + 1} of {n_p}"),
+                    ]
+                )
+            out.append(build_pdf(pages, compress=(d % 3 != 0)))
+        return pd.Series(out)
+
+    pdfs = docs.select("doc_id", make_pdf("doc_id", "text").alias("payload"))
+    return pdf_text(pdfs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: rules engine over sf0.001 part with audit details."""
     return q_plug_audit(spark, "/root/testdata/sf0.001")
@@ -15067,6 +15107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "vocab_top_cjk": q_vocab_top_cjk,
         "dedup_jaccard_cjk": q_dedup_jaccard_cjk,
+        "pdf_text": q_pdf_text,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -15872,6 +15913,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN cjk_sz sa ON sa.doc_id = id_a
         JOIN cjk_sz sb ON sb.doc_id = id_b
         WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.6
+    """
+    out["pdf_text"] = """
+        WITH pd_docs AS (
+          SELECT doc_id, text, doc_id % 3 + 1 AS p
+          FROM documents WHERE doc_id < 240
+        ),
+        pd_pages AS (
+          SELECT doc_id, p, i,
+                 substr(text, 30*i + 1, 30) || ' (' || (i+1)::VARCHAR || ')'
+                 || chr(10) || 'doc ' || doc_id::VARCHAR || ' page '
+                 || (i+1)::VARCHAR || ' of ' || p::VARCHAR AS ptext
+          FROM pd_docs, (SELECT unnest([0, 1, 2]) AS i)
+          WHERE i < p
+        ),
+        pd_txt AS (
+          SELECT doc_id, p, string_agg(ptext, chr(10) ORDER BY i) AS text
+          FROM pd_pages GROUP BY doc_id, p
+        )
+        SELECT d.doc_id,
+               (CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE t.p END)::BIGINT
+                 AS n_pages,
+               CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE t.text END AS text
+        FROM pd_docs d JOIN pd_txt t USING (doc_id)
     """
     return out
 
