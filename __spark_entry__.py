@@ -14748,6 +14748,46 @@ def q_dedup_jaccard_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank maintenance (E281): batch 1 of a
+    customer→merchant + customer→customer graph ranks cold (8
+    iterations), then batch 2 folds into the canonical edge store
+    (batch-sized anti-join, store never re-deduped) and re-ranks with a
+    warm-started 4-iteration schedule seeded from the stored vector
+    (new nodes seed at unit).  All-BIGINT fixed schedules, so the
+    DuckDB twin replays BOTH phases — cold recursion, init-vector
+    mapping, dangling-mass redistribution — bit-for-bit."""
+    from sparkplug_spark.operators import (
+        fold_edges,
+        pagerank_incremental,
+        pagerank_integer,
+    )
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    merch = orders.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("o_orderkey") % 200 + 10000000).alias("dst"),
+        "o_orderkey",
+    )
+    refer = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 997 + 1).alias(
+            "dst"
+        ),
+        "o_orderkey",
+    )
+    ed = merch.unionByName(refer)
+    b1 = ed.filter(F.col("o_orderkey") % 5 != 0).select("src", "dst")
+    b2 = ed.filter(F.col("o_orderkey") % 5 == 0).select("src", "dst")
+    # the canonical store feeds BOTH the cold rank and the fold
+    # (fan-out): persist it once
+    store = fold_edges(None, b1).persist()
+    ranks1 = pagerank_integer(store, iterations=8, assume_canonical=True)
+    return pagerank_incremental(ranks1, store, b2, iterations=4)
+
+
 def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (library-free codec-lane tier): deterministic
     multi-page PDFs built per doc — page count, FlateDecode vs raw
@@ -15108,6 +15148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_cjk": q_vocab_top_cjk,
         "dedup_jaccard_cjk": q_dedup_jaccard_cjk,
         "pdf_text": q_pdf_text,
+        "pagerank_incremental": q_pagerank_incremental,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -15936,6 +15977,138 @@ def oracle_sql() -> dict[str, str]:
                  AS n_pages,
                CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE t.text END AS text
         FROM pd_docs d JOIN pd_txt t USING (doc_id)
+    """
+    out["pagerank_incremental"] = """
+        WITH RECURSIVE
+        pri_e1 AS (
+          SELECT DISTINCT s, d FROM (
+            SELECT o_custkey AS s, o_orderkey % 200 + 10000000 AS d
+            FROM orders WHERE o_orderkey % 5 <> 0
+            UNION ALL
+            SELECT o_custkey, (o_custkey * 7 + o_orderkey) % 997 + 1
+            FROM orders WHERE o_orderkey % 5 <> 0
+          )
+        ),
+        pri_e2 AS (
+          SELECT DISTINCT s, d FROM (
+            SELECT o_custkey AS s, o_orderkey % 200 + 10000000 AS d
+            FROM orders WHERE o_orderkey % 5 = 0
+            UNION ALL
+            SELECT o_custkey, (o_custkey * 7 + o_orderkey) % 997 + 1
+            FROM orders WHERE o_orderkey % 5 = 0
+          )
+        ),
+        pri_em AS MATERIALIZED (
+          -- NOT `a UNION b`: inside WITH RECURSIVE, DuckDB gives ANY
+          -- cte whose body is a top-level UNION the recursive-union
+          -- treatment, and a non-self-referencing second branch
+          -- appends WITHOUT dedup against the first (observed 1.0.0).
+          -- Explicit DISTINCT over UNION ALL sidesteps it.
+          SELECT DISTINCT s, d FROM (
+            SELECT s, d FROM pri_e1 UNION ALL SELECT s, d FROM pri_e2
+          )
+        ),
+        pri_o1 AS MATERIALIZED (
+          SELECT v, row_number() OVER (ORDER BY v) AS idx
+          FROM (SELECT s AS v FROM pri_e1 UNION SELECT d FROM pri_e1)
+        ),
+        pri_a1p AS (
+          SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+          FROM pri_e1 e
+          JOIN pri_o1 o1 ON e.s = o1.v JOIN pri_o1 o2 ON e.d = o2.v
+          GROUP BY o2.idx
+        ),
+        pri_d1 AS (
+          SELECT o.idx, coalesce(t.c, 0) AS odeg
+          FROM pri_o1 o
+          LEFT JOIN (SELECT s, count(*) AS c FROM pri_e1 GROUP BY s) t
+            ON o.v = t.s
+        ),
+        pri_r1 AS MATERIALIZED (
+          SELECT list(coalesce(p.nb, CAST([] AS BIGINT[])) ORDER BY o.idx)
+                   AS A,
+                 list(d.odeg ORDER BY o.idx) AS odeg
+          FROM pri_o1 o
+          LEFT JOIN pri_a1p p ON p.i = o.idx
+          JOIN pri_d1 d ON d.idx = o.idx
+        ),
+        pri_it1 AS (
+          SELECT 0 AS k,
+                 list_transform(range(1, len(odeg) + 1),
+                                i -> CAST(1000000000 AS BIGINT)) AS m
+          FROM pri_r1
+          UNION ALL
+          SELECT k + 1,
+                 list_transform(range(1, len(m) + 1), i -> CAST(
+                   150000000 + 85 * (
+                     coalesce(list_sum(list_transform(a.A[i],
+                       j -> m[j] // a.odeg[j])), 0)
+                     + ds) // 100 AS BIGINT))
+          FROM (
+            SELECT k, m,
+                   coalesce(list_sum(list_transform(
+                     range(1, len(m) + 1),
+                     j -> CASE WHEN a0.odeg[j] = 0 THEN m[j]
+                               ELSE CAST(0 AS BIGINT) END)), 0)
+                     // len(m) AS ds
+            FROM pri_it1, pri_r1 a0 WHERE k < 8
+          ), pri_r1 a
+        ),
+        pri_f1 AS (SELECT m FROM pri_it1 ORDER BY k DESC LIMIT 1),
+        pri_rank1 AS MATERIALIZED (
+          SELECT o.v AS node, f.m[o.idx] AS r FROM pri_o1 o, pri_f1 f
+        ),
+        pri_om AS MATERIALIZED (
+          SELECT v, row_number() OVER (ORDER BY v) AS idx
+          FROM (SELECT s AS v FROM pri_em UNION SELECT d FROM pri_em)
+        ),
+        pri_amp AS (
+          SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+          FROM pri_em e
+          JOIN pri_om o1 ON e.s = o1.v JOIN pri_om o2 ON e.d = o2.v
+          GROUP BY o2.idx
+        ),
+        pri_dm AS (
+          SELECT o.idx, coalesce(t.c, 0) AS odeg
+          FROM pri_om o
+          LEFT JOIN (SELECT s, count(*) AS c FROM pri_em GROUP BY s) t
+            ON o.v = t.s
+        ),
+        pri_rm AS MATERIALIZED (
+          SELECT list(coalesce(p.nb, CAST([] AS BIGINT[])) ORDER BY o.idx)
+                   AS A,
+                 list(d.odeg ORDER BY o.idx) AS odeg
+          FROM pri_om o
+          LEFT JOIN pri_amp p ON p.i = o.idx
+          JOIN pri_dm d ON d.idx = o.idx
+        ),
+        pri_init AS MATERIALIZED (
+          SELECT list(CAST(coalesce(r.r, 1000000000) AS BIGINT)
+                      ORDER BY o.idx) AS m0
+          FROM pri_om o LEFT JOIN pri_rank1 r ON o.v = r.node
+        ),
+        pri_itm AS (
+          SELECT 0 AS k, m0 AS m FROM pri_init
+          UNION ALL
+          SELECT k + 1,
+                 list_transform(range(1, len(m) + 1), i -> CAST(
+                   150000000 + 85 * (
+                     coalesce(list_sum(list_transform(a.A[i],
+                       j -> m[j] // a.odeg[j])), 0)
+                     + ds) // 100 AS BIGINT))
+          FROM (
+            SELECT k, m,
+                   coalesce(list_sum(list_transform(
+                     range(1, len(m) + 1),
+                     j -> CASE WHEN a0.odeg[j] = 0 THEN m[j]
+                               ELSE CAST(0 AS BIGINT) END)), 0)
+                     // len(m) AS ds
+            FROM pri_itm, pri_rm a0 WHERE k < 4
+          ), pri_rm a
+        ),
+        pri_fm AS (SELECT m FROM pri_itm ORDER BY k DESC LIMIT 1)
+        SELECT o.v AS node, CAST(f.m[o.idx] AS BIGINT) AS rank_nano
+        FROM pri_om o, pri_fm f
     """
     return out
 

@@ -585,6 +585,8 @@ def pagerank_integer(
     unit: int = 10**9,
     checkpoint_every: int = 3,
     assume_no_dangling: bool = False,
+    init_ranks: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """PageRank in EXACT integer nano-units — the oracle-checkable tier
     of :func:`pagerank`.  Every quantity is a BIGINT: initial mass
@@ -610,19 +612,31 @@ def pagerank_integer(
     skips even the one-time dangling count when the caller KNOWS every
     node has out-edges — true by construction for symmetrized graphs;
     the dangling share is exactly zero there, so results are
-    identical."""
+    identical.
+
+    ``init_ranks`` (node, rank_nano) warm-starts iteration 0 from a
+    PREVIOUS run's vector instead of ``unit`` everywhere (nodes absent
+    from it seed at ``unit``) — the incremental-maintenance tier
+    (:func:`pagerank_incremental`); with dangling nodes, the initial
+    redistributable mass is the exact integer sum of the init vector
+    over the dangling set (one bounded 1-row action on a checkpointed
+    table — never a lazy broadcast subquery).  ``assume_canonical=True``
+    skips the null-filter + dropDuplicates pre-pass when the caller
+    KNOWS the edge table is already canonical (true by construction for
+    a maintained edge store) — at corpus scale that pre-pass is a full
+    edge shuffle per batch."""
     from ..caching import checkpoint_tracked, unpersist_ids
 
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .dropDuplicates(["src", "dst"])
-        .persist()
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if not assume_canonical:
+        e = e.where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ).dropDuplicates(["src", "dst"])
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -683,9 +697,32 @@ def pagerank_integer(
         .persist()
     )
     marked = marked.repartition("node").persist()
-    m = marked.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
-    dm = n_dang * int(unit)  # initial state: `unit` mass on every node
     live: set[int] = set()
+    if init_ranks is None:
+        m = marked.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
+        dm = n_dang * int(unit)  # initial state: `unit` mass per node
+    else:
+        m = marked.join(
+            init_ranks.select("node", F.col("rank_nano").alias("__init")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            "__dang",
+            F.coalesce(F.col("__init"), F.lit(int(unit)))
+            .cast("long")
+            .alias("rank_nano"),
+        )
+        dm = 0
+        if has_dang:
+            # the initial redistributable mass is data-dependent now:
+            # checkpoint the init join ONCE, then take the 1-row total
+            # as an eager action (the r5 lazy-broadcast lesson)
+            m, live = checkpoint_tracked(m)
+            dm = int(
+                m.where(F.col("__dang")).agg(F.sum("rank_nano")).first()[0]
+                or 0
+            )
     for i in range(int(iterations)):
         ds = dm // n_nodes if has_dang else 0  # ranks >= 0: // == div
         incoming = (
@@ -728,6 +765,82 @@ def pagerank_integer(
     for df_ in (e, nodes, outdeg, we, marked):
         df_.unpersist()
     return m.select("node", "rank_nano")
+
+
+def fold_edges(
+    edges: DataFrame | None,
+    new_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fold a raw edge batch into a canonical (src, dst) edge store:
+    null-filter + dedup the BATCH, anti-join it against the store, union
+    the survivors — the store itself is never re-canonicalized or
+    re-deduplicated (it is canonical by construction), so per-batch prep
+    cost scales with the batch, not the graph.  ``edges=None`` builds
+    the initial store from the first batch."""
+    fresh = (
+        new_edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    if edges is None:
+        return fresh
+    store = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    return store.unionByName(fresh.join(store, ["src", "dst"], "left_anti"))
+
+
+def pagerank_incremental(
+    ranks: DataFrame,
+    edges: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 4,
+    damping_pct: int = 85,
+    unit: int = 10**9,
+    checkpoint_every: int = 3,
+    assume_no_dangling: bool = False,
+) -> DataFrame:
+    """Incremental integer-PageRank maintenance (the E154
+    incremental-CC discipline applied to E199): fold a NEW edge batch
+    into an existing canonical edge store and re-rank with a BOUNDED
+    warm-start schedule — ``iterations`` fixed steps seeded from the
+    stored rank vector (nodes first seen in this batch seed at
+    ``unit``) instead of a full cold restart.  Everything stays exact
+    BIGINT arithmetic on a fixed schedule, so the result is a
+    deterministic integer function of (stored ranks, merged edges) that
+    a SQL twin replays bit-for-bit — the oracle-checkable tier of
+    incremental ranking, not an unpinned approximation.
+
+    Why warm start is the right maintenance tier: PageRank's power
+    iteration contracts at the damping factor per step, so from an
+    already-converged vector a handful of steps re-absorbs a small edge
+    delta; a cold recompute pays the full 8-10 step schedule per batch.
+    Per-batch cost: batch-sized canonicalization + one anti-join against
+    the store (:func:`fold_edges`), then ``iterations`` × two exchanges
+    — the crawl-cadence path for E247's link graph, where each day adds
+    ~1% new edges.
+
+    Returns (node, rank_nano) over the MERGED graph.  Callers
+    maintaining a store persist :func:`fold_edges`' output as the next
+    edge version alongside this vector (manifest-publish discipline).
+    """
+    merged = fold_edges(edges, new_edges, src_col=src_col, dst_col=dst_col)
+    return pagerank_integer(
+        merged,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        unit=unit,
+        checkpoint_every=checkpoint_every,
+        assume_no_dangling=assume_no_dangling,
+        init_ranks=ranks,
+        assume_canonical=True,
+    )
 
 
 def hits_integer(
