@@ -14748,6 +14748,84 @@ def q_dedup_jaccard_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HITS maintenance (E283, E281's sibling): batch 1 of
+    the customer→part purchase graph scores cold (8 iterations), batch 2
+    folds into the canonical store and re-scores with a warm-started
+    3-iteration schedule seeded from the stored hub vector (new nodes at
+    the uniform share, one integer L1 re-normalization).  Fixed BIGINT
+    schedules — the twin replays both phases exactly."""
+    from sparkplug_spark.operators import (
+        fold_edges,
+        hits_incremental,
+        hits_integer,
+    )
+
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    ed = j.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_partkey") + 10000000).alias("dst"),
+        "o_orderkey",
+    )
+    b1 = ed.filter(F.col("o_orderkey") % 4 != 0).select("src", "dst")
+    b2 = ed.filter(F.col("o_orderkey") % 4 == 0).select("src", "dst")
+    store = fold_edges(None, b1).persist()
+    h1 = hits_integer(store, iterations=8, assume_canonical=True)
+    return hits_incremental(
+        h1.select("node", "hub_units"), store, b2, iterations=3
+    )
+
+
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-image extraction from PDFs (E282): per-doc image
+    XObjects with count/size/codec/payload all doc_id arithmetic
+    (ASCII payloads so the oracle recomputes every md5 itself — the
+    round-trip proves stream framing, inflate and verbatim-DCT
+    extraction); doc%7==0 plants a malformed file (zero rows), doc%3==0
+    carries no images."""
+    from sparkplug_spark.operators import pdf_images
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+
+    @F.pandas_udf("binary")
+    def make_pdf(ids: pd.Series) -> pd.Series:
+        from sparkplug_spark.operators.pdf import build_pdf
+
+        out = []
+        for d in ids:
+            d = int(d)
+            if d % 7 == 0:
+                out.append(b"%PDF-1.4\ngarbage")
+                continue
+            imgs = []
+            alpha = "IMG" + str(d % 10)
+            for i in range(d % 3):
+                w = 4 + (d + i) % 5
+                h = 3 + d % 4
+                ln = w * h * 3
+                payload = (alpha * ((ln + 3) // 4))[:ln].encode()
+                mode = "jpeg" if (d + i) % 2 == 0 else "raw"
+                imgs.append((mode, w, h, payload))
+            out.append(build_pdf([[("lit", f"doc {d}")]], images=imgs))
+        return pd.Series(out)
+
+    pdfs = docs.select("doc_id", make_pdf("doc_id").alias("payload"))
+    return pdf_images(pdfs).select(
+        "doc_id",
+        "image_idx",
+        "width",
+        "height",
+        "codec",
+        F.md5(F.col("image")).alias("payload_md5"),
+    )
+
+
 def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental PageRank maintenance (E281): batch 1 of a
     customer→merchant + customer→customer graph ranks cold (8
@@ -15149,6 +15227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_cjk": q_dedup_jaccard_cjk,
         "pdf_text": q_pdf_text,
         "pagerank_incremental": q_pagerank_incremental,
+        "pdf_images": q_pdf_images,
+        "hits_incremental": q_hits_incremental,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -16109,6 +16189,177 @@ def oracle_sql() -> dict[str, str]:
         pri_fm AS (SELECT m FROM pri_itm ORDER BY k DESC LIMIT 1)
         SELECT o.v AS node, CAST(f.m[o.idx] AS BIGINT) AS rank_nano
         FROM pri_om o, pri_fm f
+    """
+    out["pdf_images"] = """
+        WITH pim_docs AS (
+          SELECT doc_id FROM documents
+          WHERE doc_id < 200 AND doc_id % 7 <> 0
+        ),
+        pim_rows AS (
+          SELECT doc_id, i AS image_idx,
+                 4 + (doc_id + i) % 5 AS width,
+                 3 + doc_id % 4 AS height,
+                 CASE WHEN (doc_id + i) % 2 = 0 THEN 'jpeg' ELSE 'raw' END
+                   AS codec
+          FROM pim_docs, (SELECT unnest([0, 1]) AS i)
+          WHERE i < doc_id % 3
+        )
+        SELECT doc_id, image_idx::BIGINT AS image_idx,
+               width::BIGINT AS width, height::BIGINT AS height, codec,
+               md5(substr(repeat('IMG' || (doc_id % 10)::VARCHAR,
+                                 ((width*height*3 + 3) // 4)::INT),
+                          1, (width*height*3)::INT)) AS payload_md5
+        FROM pim_rows
+    """
+
+    _hi_step1 = """          SELECT k + 1,
+                 list_transform(hraw, x -> CAST(x * 1000000 //
+                   greatest(hsum, 1) AS BIGINT)) AS h,
+                 an AS a
+          FROM (
+            SELECT k, an, hraw, list_sum(hraw) AS hsum
+            FROM (
+              SELECT k, an,
+                     list_transform(range(1, len(an) + 1), j ->
+                       coalesce(list_sum(list_transform(r.OUT_A[j],
+                                                        i -> an[i])), 0)) AS hraw
+              FROM (
+                  SELECT hi_it1.k,
+                         list_transform(range(1, len(hi_it1.h) + 1), i ->
+                           coalesce(list_sum(list_transform(r0.IN_A[i],
+                                                            j -> hi_it1.h[j])), 0))
+                           AS an
+                  FROM hi_it1, hi_r1 r0 WHERE hi_it1.k < 8
+              ), hi_r1 r
+            )
+          )"""
+    _hi_stepm = """          SELECT k + 1,
+                 list_transform(hraw, x -> CAST(x * 1000000 //
+                   greatest(hsum, 1) AS BIGINT)) AS h,
+                 an AS a
+          FROM (
+            SELECT k, an, hraw, list_sum(hraw) AS hsum
+            FROM (
+              SELECT k, an,
+                     list_transform(range(1, len(an) + 1), j ->
+                       coalesce(list_sum(list_transform(r.OUT_A[j],
+                                                        i -> an[i])), 0)) AS hraw
+              FROM (
+                  SELECT hi_itm.k,
+                         list_transform(range(1, len(hi_itm.h) + 1), i ->
+                           coalesce(list_sum(list_transform(r0.IN_A[i],
+                                                            j -> hi_itm.h[j])), 0))
+                           AS an
+                  FROM hi_itm, hi_rm r0 WHERE hi_itm.k < 3
+              ), hi_rm r
+            )
+          )"""
+    out["hits_incremental"] = f"""
+        WITH RECURSIVE
+        hi_e1 AS (
+          SELECT DISTINCT o_custkey AS s, l_partkey + 10000000 AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderkey % 4 <> 0
+        ),
+        hi_e2 AS (
+          SELECT DISTINCT o_custkey AS s, l_partkey + 10000000 AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderkey % 4 = 0
+        ),
+        hi_em AS MATERIALIZED (
+          SELECT DISTINCT s, d FROM (
+            SELECT s, d FROM hi_e1 UNION ALL SELECT s, d FROM hi_e2
+          )
+        ),
+        hi_o1 AS MATERIALIZED (
+          SELECT v, row_number() OVER (ORDER BY v) AS idx FROM (
+            SELECT s AS v FROM hi_e1 UNION SELECT d FROM hi_e1)
+        ),
+        hi_in1 AS (
+          SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+          FROM hi_e1 e JOIN hi_o1 o1 ON e.s = o1.v JOIN hi_o1 o2 ON e.d = o2.v
+          GROUP BY o2.idx
+        ),
+        hi_out1 AS (
+          SELECT o1.idx AS i, list(o2.idx ORDER BY o2.idx) AS nb
+          FROM hi_e1 e JOIN hi_o1 o1 ON e.s = o1.v JOIN hi_o1 o2 ON e.d = o2.v
+          GROUP BY o1.idx
+        ),
+        hi_r1 AS MATERIALIZED (
+          SELECT (SELECT list(coalesce(ia.nb, CAST([] AS BIGINT[]))
+                              ORDER BY o.idx)
+                  FROM hi_o1 o LEFT JOIN hi_in1 ia ON ia.i = o.idx) AS IN_A,
+                 (SELECT list(coalesce(oa.nb, CAST([] AS BIGINT[]))
+                              ORDER BY o.idx)
+                  FROM hi_o1 o LEFT JOIN hi_out1 oa ON oa.i = o.idx) AS OUT_A,
+                 (SELECT count(*) FROM hi_o1) AS n
+        ),
+        hi_it1 AS (
+          SELECT 0 AS k,
+                 list_transform(range(1, n + 1),
+                                i -> CAST(1000000 // n AS BIGINT)) AS h,
+                 list_transform(range(1, n + 1), i -> CAST(0 AS BIGINT)) AS a
+          FROM hi_r1
+          UNION ALL
+{_hi_step1}
+        ),
+        hi_f1 AS (SELECT h FROM hi_it1 ORDER BY k DESC LIMIT 1),
+        hi_hub1 AS MATERIALIZED (
+          SELECT o.v AS node, f.h[o.idx] AS hub FROM hi_o1 o, hi_f1 f
+        ),
+        hi_om AS MATERIALIZED (
+          SELECT v, row_number() OVER (ORDER BY v) AS idx FROM (
+            SELECT s AS v FROM hi_em UNION SELECT d FROM hi_em)
+        ),
+        hi_inm AS (
+          SELECT o2.idx AS i, list(o1.idx ORDER BY o1.idx) AS nb
+          FROM hi_em e JOIN hi_om o1 ON e.s = o1.v JOIN hi_om o2 ON e.d = o2.v
+          GROUP BY o2.idx
+        ),
+        hi_outm AS (
+          SELECT o1.idx AS i, list(o2.idx ORDER BY o2.idx) AS nb
+          FROM hi_em e JOIN hi_om o1 ON e.s = o1.v JOIN hi_om o2 ON e.d = o2.v
+          GROUP BY o1.idx
+        ),
+        hi_rm AS MATERIALIZED (
+          SELECT (SELECT list(coalesce(ia.nb, CAST([] AS BIGINT[]))
+                              ORDER BY o.idx)
+                  FROM hi_om o LEFT JOIN hi_inm ia ON ia.i = o.idx) AS IN_A,
+                 (SELECT list(coalesce(oa.nb, CAST([] AS BIGINT[]))
+                              ORDER BY o.idx)
+                  FROM hi_om o LEFT JOIN hi_outm oa ON oa.i = o.idx) AS OUT_A,
+                 (SELECT count(*) FROM hi_om) AS n
+        ),
+        hi_h0 AS MATERIALIZED (
+          SELECT list_transform(h0raw, x -> CAST(x * 1000000 //
+                   greatest(tot, 1) AS BIGINT)) AS h0
+          FROM (
+            SELECT h0raw, list_sum(h0raw) AS tot FROM (
+              SELECT (SELECT list(CAST(coalesce(h1.hub, 1000000 // r.n)
+                                       AS BIGINT) ORDER BY o.idx)
+                      FROM hi_om o LEFT JOIN hi_hub1 h1 ON o.v = h1.node)
+                       AS h0raw
+              FROM hi_rm r
+            )
+          )
+        ),
+        hi_itm AS (
+          SELECT 0 AS k, h0 AS h,
+                 list_transform(range(1, len(h0) + 1),
+                                i -> CAST(0 AS BIGINT)) AS a
+          FROM hi_h0
+          UNION ALL
+{_hi_stepm}
+        ),
+        hi_fm AS (SELECT h, a FROM hi_itm ORDER BY k DESC LIMIT 1),
+        hi_fn AS (
+          SELECT h, list_transform(a, x -> CAST(x * 1000000 //
+                   greatest(asum, 1) AS BIGINT)) AS a
+          FROM (SELECT h, a, list_sum(a) AS asum FROM hi_fm)
+        )
+        SELECT o.v AS node, CAST(f.h[o.idx] AS BIGINT) AS hub_units,
+               CAST(f.a[o.idx] AS BIGINT) AS auth_units
+        FROM hi_om o, hi_fn f
     """
     return out
 

@@ -35,6 +35,7 @@ __all__ = [
     "coreness",
     "hits",
     "hits_integer",
+    "hits_incremental",
     "label_propagation",
     "pagerank_personalized_integer",
     "pagerank_weighted_integer",
@@ -843,12 +844,43 @@ def pagerank_incremental(
     )
 
 
+def hits_incremental(
+    hubs: DataFrame,
+    edges: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    unit: int = 10**6,
+) -> DataFrame:
+    """Incremental HITS maintenance — :func:`pagerank_incremental`'s
+    sibling: fold a NEW edge batch into the canonical edge store
+    (:func:`fold_edges`, batch-sized prep only) and re-run a BOUNDED
+    warm-start schedule seeded from the stored hub vector (nodes first
+    seen in this batch seed at the uniform share, then one integer L1
+    normalization restores the sum(hub) <= unit headroom invariant).
+    All-BIGINT fixed schedule: the result is a deterministic integer
+    function of (stored hubs, merged edges) a SQL twin replays exactly.
+
+    Returns (node, hub_units, auth_units) over the MERGED graph."""
+    merged = fold_edges(edges, new_edges, src_col=src_col, dst_col=dst_col)
+    return hits_integer(
+        merged,
+        iterations=iterations,
+        unit=unit,
+        init_hubs=hubs,
+        assume_canonical=True,
+    )
+
+
 def hits_integer(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     iterations: int = 8,
     unit: int = 10**6,
+    init_hubs: DataFrame | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """HITS with L1 normalization in EXACT integers — the
     oracle-checkable tier of :func:`hits`.  The INITIAL hub vector is
@@ -888,14 +920,14 @@ def hits_integer(
 
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = (
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-        )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .dropDuplicates(["src", "dst"])
-        .persist()
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    if not assume_canonical:
+        e = e.where(
+            F.col("src").isNotNull() & F.col("dst").isNotNull()
+        ).dropDuplicates(["src", "dst"])
+    e = e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -953,10 +985,27 @@ def hits_integer(
     # iteration-0 L1 normalization of the constant start vector: floor
     # of unit·unit/(n·unit) per node — guarantees Σhub ≤ unit before the
     # first gather (the ADVICE r5 headroom fix)
-    hub = nodes.withColumn(
-        "hub_units", F.lit(int(unit) // n_nodes).cast("long")
-    )
-    prev_ids: set[int] = set()  # blocks backing hub_{i-1}
+    if init_hubs is None:
+        hub = nodes.withColumn(
+            "hub_units", F.lit(int(unit) // n_nodes).cast("long")
+        )
+        prev_ids: set[int] = set()  # blocks backing hub_{i-1}
+    else:
+        # warm start (:func:`hits_incremental`): stored hubs for old
+        # nodes, the uniform share for nodes first seen in this batch,
+        # then ONE integer L1 normalization so the headroom invariant
+        # (sum(hub) <= unit before the first gather) still holds
+        hub0 = nodes.join(
+            init_hubs.select("node", F.col("hub_units").alias("__h")),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.coalesce(F.col("__h"), F.lit(int(unit) // n_nodes))
+            .cast("long")
+            .alias("hub_units"),
+        )
+        hub, prev_ids = _l1_normalize(hub0, "hub_units")
     auth = None
     for i in range(int(iterations)):
         araw = (
@@ -999,8 +1048,10 @@ def hits_integer(
             final_prev = prev_ids
             prev_ids = ids
     auth, _auth_ids = _l1_normalize(auth, "auth_units")
-    if int(iterations) > 1:
-        unpersist_ids(spark, final_prev)
+    # the auth checkpoint above was hub_{k-1}'s last consumer; freeing it
+    # unconditionally also covers the warm-start init blocks when
+    # iterations == 1 (final_prev is empty only on a cold 1-iteration run)
+    unpersist_ids(spark, final_prev)
     out = hub.join(auth, "node").select("node", "hub_units", "auth_units")
     for df_ in (e, nodes):
         df_.unpersist()

@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pdf_text", "parse_pdf_text", "build_pdf"]
+__all__ = [
+    "pdf_text",
+    "parse_pdf_text",
+    "build_pdf",
+    "pdf_images",
+    "parse_pdf_images",
+]
 
 
 _HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
@@ -377,6 +383,109 @@ def pdf_text(
     )
 
 
+_SUBTYPE_IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)\b")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)\b")
+_DCT_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/DCTDecode\b")
+
+
+def parse_pdf_images(
+    buf: bytes,
+) -> list[tuple[int, int | None, int | None, str, bytes | None]]:
+    """Embedded image XObjects of one PDF as
+    ``(image_idx, width, height, codec, payload)`` — never raises.
+
+    ``codec`` is ``jpeg`` for /DCTDecode (payload = the raw JFIF bytes,
+    exactly as stored — PDF embeds whole JPEG files, so they feed the
+    E122 baseline decoder / dHash lane directly), ``raw`` for
+    /FlateDecode or unfiltered sample streams (payload = the inflated
+    sample bytes), and ``unsupported`` (NULL payload) for other filters
+    (JPXDecode/CCITT...).  ``image_idx`` orders by object number —
+    deterministic under any partitioning.  Malformed files yield no
+    rows (document-level quarantine is :func:`parse_pdf_text`'s job)."""
+    try:
+        if not buf.startswith(b"%PDF"):
+            return []
+        objs = _walk_objects(buf)
+        out = []
+        idx = 0
+        for num in sorted(objs):
+            head, data = objs[num]
+            if data is None or not _SUBTYPE_IMAGE_RE.search(head):
+                continue
+            wm = _WIDTH_RE.search(head)
+            hm = _HEIGHT_RE.search(head)
+            w = int(wm.group(1)) if wm else None
+            h = int(hm.group(1)) if hm else None
+            if _DCT_RE.search(head):
+                out.append((idx, w, h, "jpeg", data))
+            elif _FLATE_RE.search(head):
+                try:
+                    out.append((idx, w, h, "raw", zlib.decompress(data)))
+                except Exception:
+                    out.append((idx, w, h, "unsupported", None))
+            elif b"/Filter" in head:
+                out.append((idx, w, h, "unsupported", None))
+            else:
+                out.append((idx, w, h, "raw", data))
+            idx += 1
+        return out
+    except Exception:
+        return []
+
+
+def pdf_images(
+    df: DataFrame,
+    pdf_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Embedded images of every PDF: ``(id_col, image_idx, width,
+    height, codec, image)`` rows — the bridge from the document lane
+    into the multimodal lane (``jpeg`` payloads go straight to the E122
+    decoder → E177 dHash → E178 near-dup pairs; figure/chart corpora
+    and PDF image-text pairs start here).  One Arrow pass over
+    byte-sized partitions; malformed documents contribute no rows."""
+    from .multimodal import repartition_for_media
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("image_idx", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("codec", T.StringType()),
+            T.StructField("image", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            recs = []
+            for _, row in pdf.iterrows():
+                p = row.iloc[1]
+                for idx, w, h, codec, payload in parse_pdf_images(
+                    bytes(p) if p is not None else b""
+                ):
+                    recs.append((row.iloc[0], idx, w, h, codec, payload))
+            out = pd.DataFrame(
+                recs,
+                columns=["id", "image_idx", "width", "height", "codec", "image"],
+            )
+            out["image_idx"] = out["image_idx"].astype("Int64")
+            out["width"] = out["width"].astype("Int64")
+            out["height"] = out["height"].astype("Int64")
+            yield out
+
+    return (
+        repartition_for_media(df.select(F.col(id_col), F.col(pdf_col)))
+        .mapInPandas(batches, schema=schema)
+        .withColumnRenamed("id", id_col)
+    )
+
+
 # --- writer helper (fixtures, tests, arithmetic oracles) -----------------
 
 
@@ -389,12 +498,20 @@ def _esc_literal(s: bytes) -> bytes:
 def build_pdf(
     pages: list[list[tuple[str, str]]],
     compress: bool = True,
+    images: list[tuple[str, int, int, bytes]] | None = None,
 ) -> bytes:
     """Serialize a minimal valid PDF: one content stream per page, each
     line a ``(mode, text)`` pair with mode ``lit`` (escaped literal +
     Tj), ``hex`` (hex string + Tj) or ``tj`` (two-part TJ array with a
     kerning number between) — deterministic bytes for fixtures and
-    round-trip oracles (the EXIF ``build_exif_jpeg`` pattern)."""
+    round-trip oracles (the EXIF ``build_exif_jpeg`` pattern).
+
+    ``images`` appends image XObjects ``(mode, width, height, payload)``
+    with mode ``jpeg`` (/DCTDecode, payload stored verbatim), ``raw``
+    (/FlateDecode over the samples) or ``rawplain`` (no filter).  They
+    are standalone objects (not drawn by any page's content stream) —
+    the extractor is object-driven, which matches how it must behave on
+    real files whose draw operators it does not rasterize."""
     objs: list[bytes] = []  # bodies, 1-indexed
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -439,6 +556,19 @@ def build_pdf(
             head = f"<< /Length {len(data)} >>".encode()
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for mode, w, h, payload in images or []:
+        if mode == "jpeg":
+            data, filt = payload, " /Filter /DCTDecode"
+        elif mode == "raw":
+            data, filt = zlib.compress(payload, 6), " /Filter /FlateDecode"
+        else:
+            data, filt = payload, ""
+        head = (
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8"
+            f"{filt} /Length {len(data)} >>"
+        ).encode()
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
 
     buf = bytearray(b"%PDF-1.4\n")
     offsets = [0]

@@ -107,6 +107,57 @@ class TestWarmStart:
         }
         assert cold == warm
 
+    def test_hits_incremental_matches_python_referee(self, spark):
+        from sparkplug_spark.operators import hits_incremental, hits_integer
+
+        UNIT_H = 10**6
+
+        def py_hits(edges, init, iterations):
+            nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+            n = len(nodes)
+            inn, out = {}, {}
+            for s, d in edges:
+                inn.setdefault(d, []).append(s)
+                out.setdefault(s, []).append(d)
+            if init is None:
+                h = {v: UNIT_H // n for v in nodes}
+            else:
+                h = {v: init.get(v, UNIT_H // n) for v in nodes}
+                tot = max(sum(h.values()), 1)
+                h = {v: x * UNIT_H // tot for v, x in h.items()}
+            a = {}
+            for _ in range(iterations):
+                a = {
+                    v: sum(h[u] for u in inn.get(v, [])) for v in nodes
+                }
+                hraw = {
+                    v: sum(a[d] for d in out.get(v, [])) for v in nodes
+                }
+                tot = max(sum(hraw.values()), 1)
+                h = {v: x * UNIT_H // tot for v, x in hraw.items()}
+            atot = max(sum(a.values()), 1)
+            a = {v: x * UNIT_H // atot for v, x in a.items()}
+            return h, a
+
+        e1 = [(1, 10), (2, 10), (2, 11), (3, 11), (3, 12)]
+        e2 = [(4, 12), (4, 13), (1, 11), (2, 10)]  # (2,10) dup; 4,13 new
+        store = fold_edges(None, self._df(spark, e1)).persist()
+        h1 = hits_integer(store, iterations=5, assume_canonical=True)
+        got = {
+            r["node"]: (r["hub_units"], r["auth_units"])
+            for r in hits_incremental(
+                h1.select("node", "hub_units"),
+                store,
+                self._df(spark, e2),
+                iterations=2,
+            ).collect()
+        }
+        init_h, _ = py_hits(e1, None, 5)
+        merged = sorted(set(e1) | set(e2))
+        want_h, want_a = py_hits(merged, init_h, 2)
+        assert got == {v: (want_h[v], want_a[v]) for v in want_h}
+        assert 13 in got  # brand-new node seeded and scored
+
     def test_no_dangling_path(self, spark):
         # symmetrized graph: every node has out-edges; warm start with a
         # skewed init still matches the referee

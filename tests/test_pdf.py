@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 from sparkplug_spark.operators.pdf import (
     _extract_lines,
     build_pdf,
+    parse_pdf_images,
     parse_pdf_text,
+    pdf_images,
     pdf_text,
 )
 
@@ -126,6 +128,58 @@ class TestPageTree:
             buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
         buf += b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
         assert parse_pdf_text(bytes(buf)) == (2, "one\ntwo")
+
+
+class TestImages:
+    def test_real_jpeg_stored_verbatim(self):
+        # a REAL (EXIF-bearing) JPEG must come back byte-identical —
+        # PDF embeds whole JPEG files under /DCTDecode
+        from sparkplug_spark.operators.exif import build_exif_jpeg
+
+        jpg = build_exif_jpeg(orientation=3, width=32, height=16)
+        buf = build_pdf(
+            [[("lit", "fig 1")]], images=[("jpeg", 32, 16, jpg)]
+        )
+        (row,) = parse_pdf_images(buf)
+        assert row == (0, 32, 16, "jpeg", jpg)
+
+    def test_flate_and_plain_raw(self):
+        samples = bytes(range(48))
+        buf = build_pdf(
+            [],
+            images=[("raw", 4, 4, samples), ("rawplain", 2, 2, b"RGBRGBRGBRGB")],
+        )
+        got = parse_pdf_images(buf)
+        assert got[0] == (0, 4, 4, "raw", samples)
+        assert got[1] == (1, 2, 2, "raw", b"RGBRGBRGBRGB")
+
+    def test_unsupported_filter_null_payload(self):
+        buf = build_pdf([], images=[("rawplain", 1, 1, b"x")])
+        patched = buf.replace(
+            b"/BitsPerComponent 8 /Length",
+            b"/BitsPerComponent 8 /Filter /JPXDecode /Length",
+        )
+        (row,) = parse_pdf_images(patched)
+        assert row[3] == "unsupported" and row[4] is None
+
+    def test_malformed_yields_no_rows(self):
+        assert parse_pdf_images(b"%PDF-1.4\ngarbage") == []
+        assert parse_pdf_images(b"") == []
+
+    def test_operator(self, spark):
+        buf = build_pdf(
+            [[("lit", "t")]],
+            images=[("jpeg", 3, 2, b"JJ"), ("raw", 1, 1, b"abc")],
+        )
+        df = spark.createDataFrame(
+            [(1, buf), (2, b"junk")], "doc_id long, payload binary"
+        )
+        rows = sorted(
+            pdf_images(df).collect(), key=lambda r: r["image_idx"]
+        )
+        assert len(rows) == 2
+        assert rows[0]["codec"] == "jpeg" and bytes(rows[0]["image"]) == b"JJ"
+        assert rows[1]["codec"] == "raw" and bytes(rows[1]["image"]) == b"abc"
 
 
 class TestOperator:
