@@ -14841,6 +14841,21 @@ def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_integer,
     )
 
+    b1, b2 = _pri_edge_batches(spark, sf_dir)
+    # the canonical store feeds BOTH the cold rank and the fold
+    # (fan-out): persist it once
+    store = fold_edges(None, b1).persist()
+    ranks1 = pagerank_integer(store, iterations=8, assume_canonical=True)
+    return pagerank_incremental(ranks1, store, b2, iterations=4)
+
+
+def _pri_edge_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The two deterministic edge batches (customer→merchant bipartite
+    with dangling merchants + customer→customer referral cycles) shared
+    by `pagerank_incremental` and its streaming replay — one recipe, so
+    the two queries can never drift from the shared oracle."""
     orders = _read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
@@ -14857,13 +14872,37 @@ def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     ed = merch.unionByName(refer)
-    b1 = ed.filter(F.col("o_orderkey") % 5 != 0).select("src", "dst")
-    b2 = ed.filter(F.col("o_orderkey") % 5 == 0).select("src", "dst")
-    # the canonical store feeds BOTH the cold rank and the fold
-    # (fan-out): persist it once
-    store = fold_edges(None, b1).persist()
-    ranks1 = pagerank_integer(store, iterations=8, assume_canonical=True)
-    return pagerank_incremental(ranks1, store, b2, iterations=4)
+    return (
+        ed.filter(F.col("o_orderkey") % 5 != 0).select("src", "dst"),
+        ed.filter(F.col("o_orderkey") % 5 == 0).select("src", "dst"),
+    )
+
+
+def q_streaming_pagerank_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming link-graph rank maintenance (E284), ORACLE-checked via
+    deterministic replay: the two E281 edge batches arrive as pinned
+    micro-batches through the REAL foreachBatch path (replay guard,
+    edges-then-ranks manifest publishes), batch 1 ranking cold and
+    batch 2 warm-starting from the stored vector.  The final ranks
+    store equals the batch two-phase run bit-for-bit, so this rides the
+    `pagerank_incremental` oracle."""
+    import tempfile
+
+    from sparkplug_spark.sources import read_store
+    from sparkplug_spark.streaming import streaming_pagerank_store
+    from sparkplug_spark.streaming.replay import replay_foreach_batch
+
+    b1, b2 = _pri_edge_batches(spark, sf_dir)
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="sparkplug_spr_"), "store"
+    )
+    replay_foreach_batch(
+        spark,
+        [b1, b2],
+        lambda s: streaming_pagerank_store(s, store),
+        shuffle_partitions=8,
+    )
+    return read_store(spark, store + "/ranks").select("node", "rank_nano")
 
 
 def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15229,6 +15268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_incremental": q_pagerank_incremental,
         "pdf_images": q_pdf_images,
         "hits_incremental": q_hits_incremental,
+        "streaming_pagerank_replay": q_streaming_pagerank_replay,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -16361,6 +16401,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(f.a[o.idx] AS BIGINT) AS auth_units
         FROM hi_om o, hi_fn f
     """
+    # the streaming rank store replays the SAME two batches through the
+    # SAME cold-then-warm integer schedules (pinned order), so its final
+    # ranks equal the batch two-phase run bit-for-bit
+    out["streaming_pagerank_replay"] = out["pagerank_incremental"]
     return out
 
 

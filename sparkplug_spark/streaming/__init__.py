@@ -44,6 +44,7 @@ __all__ = [
     "streaming_enrich",
     "streaming_reservoir",
     "streaming_sample_per_key",
+    "streaming_pagerank_store",
 ]
 
 
@@ -1084,3 +1085,110 @@ def streaming_sample_per_key(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_pagerank_store(
+    stream_df: DataFrame,
+    store_path: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cold_iterations: int = 8,
+    warm_iterations: int = 4,
+    damping_pct: int = 85,
+    unit: int = 10**9,
+):
+    """Streaming link-graph rank maintenance — E281 made continuous:
+    each micro-batch of raw edges folds into a canonical edge store
+    (batch-sized anti-join prep, the store is never re-canonicalized)
+    and the rank vector re-converges with a BOUNDED warm-start schedule
+    (``warm_iterations`` fixed integer steps from the stored vector; the
+    very first batch ranks cold with ``cold_iterations``).  The
+    crawl-discovery shape end to end: frontier batches arrive, the
+    graph store grows, ranks stay current without a cold restart per
+    trigger.
+
+    Store layout: ``<path>/edges`` (canonical src/dst) and
+    ``<path>/ranks`` (node, rank_nano, __last_batch) — both
+    manifest-published.  Edges publish FIRST, the ``__last_batch``
+    replay guard rides the ranks store: a crash between the two
+    publishes replays the batch, whose edge fold is then an anti-join
+    no-op and whose warm rerank from the still-previous ranks produces
+    the identical vector — at-least-once delivery converges to the
+    exactly-once result.  Returns the ``DataStreamWriter``."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_pagerank_batch(
+            batch_df,
+            batch_id,
+            store_path,
+            src_col,
+            dst_col,
+            cold_iterations,
+            warm_iterations,
+            damping_pct,
+            unit,
+        )
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _merge_pagerank_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    src_col: str,
+    dst_col: str,
+    cold_iterations: int,
+    warm_iterations: int,
+    damping_pct: int,
+    unit: int,
+) -> None:
+    """One micro-batch fold of :func:`streaming_pagerank_store`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.graphs import fold_edges, pagerank_integer
+
+    spark = batch_df.sparkSession
+    base = store_path.rstrip("/")
+    edges_path = base + "/edges"
+    ranks_path = base + "/ranks"
+    batch = batch_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if _store_exists(spark, ranks_path):
+        ranks = _store_read(spark, ranks_path)
+        applied = ranks.select(F.max("__last_batch")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-merged batch
+        edges = _store_read(spark, edges_path)
+        # merged feeds BOTH the rank run and the edge publish (fan-out)
+        merged = fold_edges(edges, batch).persist()
+        new_ranks = pagerank_integer(
+            merged,
+            iterations=warm_iterations,
+            damping_pct=damping_pct,
+            unit=unit,
+            init_ranks=ranks.select("node", "rank_nano"),
+            assume_canonical=True,
+        )
+    else:
+        merged = fold_edges(None, batch).persist()
+        new_ranks = pagerank_integer(
+            merged,
+            iterations=cold_iterations,
+            damping_pct=damping_pct,
+            unit=unit,
+            assume_canonical=True,
+        )
+    # pagerank_integer's internal checkpoints materialized `merged` and
+    # detached `new_ranks` from the old store versions, so the publishes
+    # below cannot invalidate a plan they still feed.  Edges FIRST; the
+    # guarded ranks table LAST (see the crash analysis in the docstring).
+    _swap_publish(merged, spark, edges_path)
+    _swap_publish(
+        new_ranks.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("long")
+        ),
+        spark,
+        ranks_path,
+    )
+    merged.unpersist()

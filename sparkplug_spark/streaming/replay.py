@@ -37,7 +37,7 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["replay_file_stream"]
+__all__ = ["replay_file_stream", "replay_foreach_batch"]
 
 
 def _write_batches(tmp: str, name: str, batches: Sequence[DataFrame]) -> str:
@@ -142,6 +142,51 @@ def replay_file_stream(
         result = spark.read.parquet(sink)
         # detach from the scratch files before deleting them
         return result.localCheckpoint(eager=True)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def replay_foreach_batch(
+    spark: SparkSession,
+    batches: Sequence[DataFrame],
+    attach: Callable[[DataFrame], "object"],
+    shuffle_partitions: int | None = None,
+) -> None:
+    """Replay ``batches`` (one micro-batch each, pinned mtime order)
+    through a foreachBatch MAINTENANCE writer: ``attach(stream_df)``
+    returns the ``DataStreamWriter`` (e.g.
+    ``streaming_pagerank_store(stream, path)``), which runs with
+    ``availableNow`` until the source drains.  The sibling of
+    :func:`replay_file_stream` for store-maintenance tiers whose output
+    IS the store: nothing is returned; scratch (source files +
+    checkpoint) is removed, the maintained store — which lives wherever
+    the caller pointed it — is not touched."""
+    if not batches:
+        raise ValueError("need at least one batch")
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        if shuffle_partitions < 1:
+            raise ValueError("shuffle_partitions must be >= 1")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(int(shuffle_partitions))
+        )
+    tmp = tempfile.mkdtemp(prefix=f"sparkplug_replay_{os.getpid()}_")
+    try:
+        src = _write_batches(tmp, "src", batches)
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            attach(stream)
+            .option("checkpointLocation", os.path.join(tmp, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)

@@ -1,0 +1,104 @@
+"""Streaming PageRank store (E284): replay equality with the batch
+two-phase chain, the at-least-once replay guard, and crash-between-
+publishes idempotence."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkplug_spark.operators import (
+    fold_edges,
+    pagerank_incremental,
+    pagerank_integer,
+)
+from sparkplug_spark.sources import read_store
+from sparkplug_spark.streaming import streaming_pagerank_store
+from sparkplug_spark.streaming import _merge_pagerank_batch
+from sparkplug_spark.streaming.replay import replay_foreach_batch
+
+E1 = [(1, 2), (2, 3), (3, 1), (1, 4)]
+E2 = [(4, 5), (5, 1), (2, 3)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _batch_chain(spark):
+    store = fold_edges(None, _df(spark, E1)).persist()
+    r1 = pagerank_integer(store, iterations=8, assume_canonical=True)
+    return {
+        r["node"]: r["rank_nano"]
+        for r in pagerank_incremental(
+            r1, store, _df(spark, E2), iterations=4
+        ).collect()
+    }
+
+
+class TestStreamingPagerankStore:
+    def test_replay_equals_batch_chain(self, spark):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sparkplug_spr_test_"), "store"
+        )
+        replay_foreach_batch(
+            spark,
+            [_df(spark, E1), _df(spark, E2)],
+            lambda s: streaming_pagerank_store(s, path),
+            shuffle_partitions=4,
+        )
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in read_store(spark, path + "/ranks").collect()
+        }
+        want = _batch_chain(spark)
+        assert got == {**want, **got}  # same keys first
+        assert got == want
+        # the edge store holds the canonical merged graph
+        edges = {
+            (r["src"], r["dst"])
+            for r in read_store(spark, path + "/edges").collect()
+        }
+        assert edges == set(E1) | set(E2)
+
+    def test_replayed_batch_is_noop(self, spark):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sparkplug_spr_test_"), "store"
+        )
+        args = (path, "src", "dst", 8, 4, 85, 10**9)
+        _merge_pagerank_batch(_df(spark, E1), 0, *args)
+        _merge_pagerank_batch(_df(spark, E2), 1, *args)
+        before = {
+            r["node"]: r["rank_nano"]
+            for r in read_store(spark, path + "/ranks").collect()
+        }
+        # at-least-once redelivery of batch 1 must not move the store
+        _merge_pagerank_batch(_df(spark, E2), 1, *args)
+        after = {
+            r["node"]: r["rank_nano"]
+            for r in read_store(spark, path + "/ranks").collect()
+        }
+        assert after == before
+
+    def test_crash_between_publishes_converges(self, spark):
+        # simulate: edges store already advanced to batch 1's fold, but
+        # the ranks publish never landed (crash window) — the re-run must
+        # produce the exact crashless result
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sparkplug_spr_test_"), "store"
+        )
+        args = (path, "src", "dst", 8, 4, 85, 10**9)
+        _merge_pagerank_batch(_df(spark, E1), 0, *args)
+        from sparkplug_spark.streaming import _swap_publish
+
+        merged = fold_edges(
+            read_store(spark, path + "/edges"), _df(spark, E2)
+        )
+        _swap_publish(merged, spark, path + "/edges")  # crash after this
+        _merge_pagerank_batch(_df(spark, E2), 1, *args)  # redelivery
+        got = {
+            r["node"]: r["rank_nano"]
+            for r in read_store(spark, path + "/ranks").collect()
+        }
+        assert got == _batch_chain(spark)
