@@ -14748,6 +14748,73 @@ def q_dedup_jaccard_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-code corpus derived from ``documents``:
+    tokens wrap into 6-token lines with arithmetic comment/indent
+    prefixes (i%4==0 → '# ', elif i%5==4 → tab, elif i%3==0 → 4
+    spaces) under a doc_id%7-selected license header — both engines
+    rebuild the text bit-identically, so the code-screening tier is
+    value-hash checkable end-to-end."""
+    from sparkplug_spark.functions.text import tokens_pd
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.filter(tokens_pd(F.col("text")), lambda t: t != F.lit(""))
+    wt = docs.select("doc_id", toks.alias("__toks"))
+    n_l = F.expr("greatest((size(__toks) + 5) div 6, 1)")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_l - 1),
+        lambda i: F.concat(
+            F.when(i % 4 == 0, F.lit("# "))
+            .when(i % 5 == 4, F.lit("\t"))
+            .when(i % 3 == 0, F.lit("    "))
+            .otherwise(F.lit("")),
+            F.array_join(F.slice(F.col("__toks"), i * 6 + 1, 6), " "),
+        ),
+    )
+    header = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("# Permission is hereby granted, free of charge\n"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.lit("// Licensed under the Apache License, Version 2.0\n"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.lit("-- under the GNU General Public License v3\n"),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.lit("# SPDX-License-Identifier: BSD-3-Clause\n"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return wt.select(
+        "doc_id",
+        F.concat(header, F.array_join(lines, "\n")).alias("text"),
+    )
+
+
+def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-shape screening stats (E285): line counts, comment density,
+    line-length shape, identifier counts, alpha fraction, indent mix —
+    the StarCoder-style gate inputs, exact integer ppm/milli over the
+    derived pseudo-code corpus."""
+    from sparkplug_spark.operators import code_stats
+
+    return code_stats(_code_corpus(spark, sf_dir))
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License screening (E286): SPDX tag verbatim when present, else a
+    fixed-precedence phrase guess over the lowercased header; NULL when
+    neither fires — The-Stack-style allowlist input."""
+    from sparkplug_spark.operators import detect_license
+
+    return detect_license(_code_corpus(spark, sf_dir))
+
+
 def q_hits_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental HITS maintenance (E283, E281's sibling): batch 1 of
     the customer→part purchase graph scores cold (8 iterations), batch 2
@@ -15269,6 +15336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_images": q_pdf_images,
         "hits_incremental": q_hits_incremental,
         "streaming_pagerank_replay": q_streaming_pagerank_replay,
+        "code_stats": q_code_stats,
+        "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
         # inside the graded window
@@ -16405,6 +16474,92 @@ def oracle_sql() -> dict[str, str]:
     # SAME cold-then-warm integer schedules (pinned order), so its final
     # ranks equal the batch two-phase run bit-for-bit
     out["streaming_pagerank_replay"] = out["pagerank_incremental"]
+    _cc_lines = """list_transform(range(1, greatest((len(ctoks) + 5) // 6, 1) + 1),
+              i -> (CASE WHEN (i-1) % 4 = 0 THEN '# '
+                         WHEN (i-1) % 5 = 4 THEN chr(9)
+                         WHEN (i-1) % 3 = 0 THEN '    '
+                         ELSE '' END)
+                   || array_to_string(ctoks[(i-1)*6+1:(i-1)*6+6], ' '))"""
+    _cc_cte = f"""
+        cc_toks AS (
+          SELECT doc_id,
+                 list_filter({_sql_tokens('text')}, x -> x != '') AS ctoks
+          FROM documents
+        ),
+        cc_corpus AS (
+          SELECT doc_id,
+                 (CASE doc_id % 7
+                    WHEN 0 THEN '# Permission is hereby granted, free of charge' || chr(10)
+                    WHEN 1 THEN '// Licensed under the Apache License, Version 2.0' || chr(10)
+                    WHEN 2 THEN '-- under the GNU General Public License v3' || chr(10)
+                    WHEN 3 THEN '# SPDX-License-Identifier: BSD-3-Clause' || chr(10)
+                    ELSE '' END)
+                 || array_to_string({_cc_lines}, chr(10)) AS text
+          FROM cc_toks
+        )"""
+    out["code_stats"] = f"""
+        WITH {_cc_cte},
+        cc_ln AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM cc_corpus
+        ),
+        cc_st AS (
+          SELECT doc_id, text, lines,
+                 list_transform(lines,
+                   l -> regexp_replace(l, '^[ ' || chr(9) || ']+', ''))
+                   AS stripped
+          FROM cc_ln
+        )
+        SELECT doc_id,
+               len(lines)::BIGINT AS n_lines,
+               len(list_filter(stripped,
+                 s -> regexp_matches(s, '^(#|//|--|\\*|/\\*)')))::BIGINT
+                 AS n_comment_lines,
+               (len(list_filter(stripped,
+                  s -> regexp_matches(s, '^(#|//|--|\\*|/\\*)')))
+                * 1000000 // greatest(len(lines), 1))::BIGINT AS comment_ppm,
+               list_max(list_transform(lines, l -> length(l)))::BIGINT
+                 AS max_line_len,
+               ((length(text) - (len(lines) - 1)) * 1000
+                // greatest(len(lines), 1))::BIGINT AS mean_line_len_milli,
+               len(regexp_extract_all(text,
+                 '[A-Za-z_][A-Za-z0-9_]*'))::BIGINT AS n_identifiers,
+               (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                * 1000000 // greatest(length(text), 1))::BIGINT AS alpha_ppm,
+               len(list_filter(lines, l -> l LIKE chr(9) || '%'))::BIGINT
+                 AS tab_indent_lines,
+               len(list_filter(lines, l -> l LIKE '    %'))::BIGINT
+                 AS space_indent_lines
+        FROM cc_st
+    """
+    out["license_detect"] = f"""
+        WITH {_cc_cte},
+        cc_h AS (
+          SELECT doc_id, text, lower(substr(text, 1, 400)) AS head,
+                 nullif(regexp_extract(text,
+                   'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '')
+                   AS spdx_tag
+          FROM cc_corpus
+        ),
+        cc_g AS (
+          SELECT doc_id, spdx_tag,
+                 CASE WHEN contains(head, 'permission is hereby granted')
+                        THEN 'MIT'
+                      WHEN contains(head, 'apache license') THEN 'Apache-2.0'
+                      WHEN contains(head, 'gnu general public license')
+                        THEN 'GPL'
+                      WHEN contains(head,
+                        'redistribution and use in source and binary forms')
+                        THEN 'BSD'
+                      WHEN contains(head, 'mozilla public license')
+                        THEN 'MPL-2.0'
+                      END AS license_guess
+          FROM cc_h
+        )
+        SELECT doc_id, spdx_tag, license_guess,
+               coalesce(spdx_tag, license_guess) AS license
+        FROM cc_g
+    """
     return out
 
 

@@ -116,7 +116,9 @@ def build_fixture(spark) -> None:
         os.path.join(X10_DIR, "documents.parquet")
     )
 
-    if ONLY_FAMILIES and "iterative_graph" not in ONLY_FAMILIES:
+    if ONLY_FAMILIES and not (
+        {"iterative_graph", "incremental_graph"} & ONLY_FAMILIES
+    ):
         return
     li = spark.read.parquet(os.path.join(BASE_DIR, "lineitem.parquet"))
     cols = li.columns
@@ -140,6 +142,81 @@ def build_fixture(spark) -> None:
     lout.repartition(32).write.mode("overwrite").parquet(
         os.path.join(X10_DIR, "lineitem.parquet")
     )
+    ensure_orders(spark)
+
+
+def ensure_orders(spark) -> None:
+    """10x orders (round 10, incremental-graph family): o_orderkey rides
+    ORD_OFF (staying join-aligned with the lineitem copies) and
+    o_custkey rides KEY_OFF — disjoint customer populations.  The
+    derived merchant (% 200) and referral (% 997) target spaces are
+    deliberately SHARED across copies: hubs gain 10x in-degree, the
+    skew shape a 10x crawl actually produces."""
+    from pyspark.sql import functions as F
+
+    out_path = os.path.join(X10_DIR, "orders.parquet")
+    if os.path.exists(out_path):
+        return
+    orders = spark.read.parquet(os.path.join(BASE_DIR, "orders.parquet"))
+    cols = orders.columns
+    parts = []
+    for c in range(COPIES):
+        parts.append(
+            orders.select(
+                *[
+                    (F.col(x) + c * ORD_OFF).alias(x)
+                    if x == "o_orderkey"
+                    else (F.col(x) + c * KEY_OFF).alias(x)
+                    if x == "o_custkey"
+                    else F.col(x)
+                    for x in cols
+                ]
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    out.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
+def incremental_graph_probe(spark, sf_dir) -> dict:
+    """The E281 claim MEASURED: per-batch maintenance (warm-start fold +
+    4 fixed iterations) vs the cold full recompute (8 iterations) on the
+    SAME merged graph.  The warm/cold wall ratio should track the
+    iteration ratio plus batch-sized prep — the number that says a crawl
+    cadence can afford to re-rank per batch."""
+    import time as _t
+
+    import __spark_entry__ as entry
+    from sparkplug_spark.operators import (
+        fold_edges,
+        pagerank_incremental,
+        pagerank_integer,
+    )
+
+    b1, b2 = entry._pri_edge_batches(spark, sf_dir)
+    store = fold_edges(None, b1).persist()
+    ranks1 = pagerank_integer(store, iterations=8, assume_canonical=True)
+    n_base = ranks1.count()  # materialize the warm-start input
+    merged = fold_edges(store, b2).persist()
+    t0 = _t.perf_counter()
+    n_cold = pagerank_integer(
+        merged, iterations=8, assume_canonical=True
+    ).count()
+    cold_s = round(_t.perf_counter() - t0, 2)
+    t0 = _t.perf_counter()
+    n_warm = pagerank_incremental(ranks1, store, b2, iterations=4).count()
+    warm_s = round(_t.perf_counter() - t0, 2)
+    store.unpersist()
+    merged.unpersist()
+    return {
+        "nodes_batch1": int(n_base),
+        "nodes_merged": int(n_cold),
+        "cold_full_8it_s": cold_s,
+        "warm_incremental_4it_s": warm_s,
+        "warm_over_cold": round(warm_s / max(cold_s, 1e-9), 2),
+        "_check_same_nodes": int(n_warm) == int(n_cold),
+    }
 
 
 def _timed(fn, spark, sf_dir, passes=2):
@@ -274,6 +351,9 @@ def main() -> None:
         # scale with the documents table (the per-round fixtures that
         # filter doc_id<k are deliberately excluded: they are
         # constant-size at any sf)
+        # round 10 (late): incremental graph maintenance — the two-phase
+        # queries scale with the orders-derived edge batches
+        "incremental_graph": ["pagerank_incremental", "hits_incremental"],
         "r10_crawl_struct": [
             "cdc_chunks", "html_tables", "section_chunks",
             "entity_extract", "warc_index", "cdx_fetch",
@@ -291,6 +371,8 @@ def main() -> None:
         "copies": COPIES,
         "families": {},
     }
+    if "incremental_graph" in families:
+        ensure_orders(spark)
     for fam, names in families.items():
         fam_out: dict = {"queries": {}}
         for name in names:
@@ -307,6 +389,11 @@ def main() -> None:
             }
         report["families"][fam] = fam_out
 
+    if "incremental_graph" in families:
+        report["families"]["incremental_graph"]["warm_vs_cold"] = {
+            "base": incremental_graph_probe(spark, BASE_DIR),
+            "x10": incremental_graph_probe(spark, X10_DIR),
+        }
     if "lsh_near_dup" in families:
         report["families"]["lsh_near_dup"]["knob_math"] = {
             "base": lsh_knob_math(spark, BASE_DIR),
