@@ -14796,6 +14796,63 @@ def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_notebook_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook ingestion (E287): deterministic nbformat-4 JSON built
+    per doc (cell count/type/source fragments/execution counts/outputs
+    all doc_id+token functions; doc%11==0 plants corrupt JSON → zero
+    rows), parsed back relationally through the typed from_json path;
+    the oracle derives every cell field arithmetically from the
+    documents table — the E235/E280 round-trip pattern."""
+    import json as _json
+
+    from sparkplug_spark.operators import parse_notebooks
+
+    docs = _read(spark, sf_dir, "documents")
+
+    @F.pandas_udf("string")
+    def make_nb(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        from sparkplug_spark.functions.text import norm_tokens_py
+
+        out = []
+        for d, tx in zip(ids, texts):
+            d = int(d)
+            if d % 11 == 0:
+                out.append("{not json")
+                continue
+            toks = [t for t in norm_tokens_py(tx or "") if t]
+            cells = []
+            for j in range(d % 4 + 1):
+                seg = toks[j * 8 : j * 8 + 8]
+                src = [" ".join(seg[:4]) + "\n", " ".join(seg[4:8])]
+                code = (d + j) % 3 != 0
+                cell = {
+                    "cell_type": "code" if code else "markdown",
+                    "source": src,
+                    "metadata": {},
+                }
+                if code:
+                    cell["execution_count"] = j + 1
+                    cell["outputs"] = [
+                        {"output_type": "stream"}
+                    ] * ((d + j) % 2)
+                cells.append(cell)
+            nb = {
+                "cells": cells,
+                "metadata": {
+                    "kernelspec": {"language": "python", "name": "py3"}
+                },
+                "nbformat": 4,
+                "nbformat_minor": 5,
+            }
+            out.append(_json.dumps(nb, sort_keys=True))
+        return pd.Series(out)
+
+    nbs = docs.select(
+        "doc_id", make_nb("doc_id", "text").alias("payload")
+    )
+    return parse_notebooks(nbs)
+
+
 def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-shape screening stats (E285): line counts, comment density,
     line-length shape, identifier counts, alpha fraction, indent mix —
@@ -15337,6 +15394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_incremental": q_hits_incremental,
         "streaming_pagerank_replay": q_streaming_pagerank_replay,
         "code_stats": q_code_stats,
+        "notebook_cells": q_notebook_cells,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
@@ -16559,6 +16617,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, spdx_tag, license_guess,
                coalesce(spdx_tag, license_guess) AS license
         FROM cc_g
+    """
+    out["notebook_cells"] = f"""
+        WITH nb_t AS (
+          SELECT doc_id,
+                 list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+          FROM documents WHERE doc_id % 11 <> 0
+        ),
+        nb_c AS (
+          SELECT doc_id, toks, unnest(range(doc_id % 4 + 1)) AS j
+          FROM nb_t
+        )
+        SELECT doc_id, j::BIGINT AS cell_idx,
+               CASE WHEN (doc_id + j) % 3 <> 0 THEN 'code'
+                    ELSE 'markdown' END AS cell_type,
+               coalesce(array_to_string(toks[j*8+1 : j*8+4], ' '), '')
+                 || chr(10)
+                 || coalesce(array_to_string(toks[j*8+5 : j*8+8], ' '), '')
+                 AS source,
+               2::BIGINT AS n_source_lines,
+               (CASE WHEN (doc_id + j) % 3 <> 0 THEN j + 1 END)::BIGINT
+                 AS execution_count,
+               (CASE WHEN (doc_id + j) % 3 <> 0 THEN (doc_id + j) % 2
+                     ELSE 0 END)::BIGINT AS n_outputs,
+               'python' AS language, 4::BIGINT AS nbformat
+        FROM nb_c
     """
     return out
 
