@@ -14796,6 +14796,27 @@ def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repo_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-context packing (E288): documents become files of 40
+    synthetic repositories (path = doc_id function), packed greedily in
+    path order into ≤200-token blocks with file headers; the oracle
+    replays the per-repo greedy walk as a recursive CTE — a fold, sort,
+    header or accounting bug breaks the hash."""
+    from sparkplug_spark.operators import pack_repo_context
+
+    docs = _read(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(
+            F.lit("repo-"), (F.col("doc_id") % 40).cast("string")
+        ).alias("repo"),
+        F.concat(
+            F.lit("src/f"), F.col("doc_id").cast("string"), F.lit(".py")
+        ).alias("path"),
+        "text",
+    )
+    return pack_repo_context(files, block_tokens=200)
+
+
 def q_notebook_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Notebook ingestion (E287): deterministic nbformat-4 JSON built
     per doc (cell count/type/source fragments/execution counts/outputs
@@ -15395,6 +15416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pagerank_replay": q_streaming_pagerank_replay,
         "code_stats": q_code_stats,
         "notebook_cells": q_notebook_cells,
+        "repo_blocks": q_repo_blocks,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
@@ -16642,6 +16664,42 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0 END)::BIGINT AS n_outputs,
                'python' AS language, 4::BIGINT AS nbformat
         FROM nb_c
+    """
+    out["repo_blocks"] = """
+        WITH RECURSIVE
+        rb_f AS (
+          SELECT 'repo-' || (doc_id % 40)::VARCHAR AS repo,
+                 'src/f' || doc_id::VARCHAR || '.py' AS path,
+                 text,
+                 len(list_filter(string_split_regex(text,
+                   '[ ' || chr(9) || chr(10) || ']+'), x -> x != ''))::BIGINT
+                   AS n
+          FROM documents
+        ),
+        rb_ord AS MATERIALIZED (
+          SELECT repo, path, text, n,
+                 row_number() OVER (PARTITION BY repo ORDER BY path) AS i
+          FROM rb_f
+        ),
+        rb_w AS (
+          SELECT repo, i, n, CAST(0 AS BIGINT) AS blk, n AS used
+          FROM rb_ord WHERE i = 1
+          UNION ALL
+          SELECT o.repo, o.i, o.n,
+                 CASE WHEN w.used = 0 OR w.used + o.n <= 200
+                      THEN w.blk ELSE w.blk + 1 END,
+                 CASE WHEN w.used = 0 OR w.used + o.n <= 200
+                      THEN w.used + o.n ELSE o.n END
+          FROM rb_w w
+          JOIN rb_ord o ON o.repo = w.repo AND o.i = w.i + 1
+        )
+        SELECT o.repo, w.blk::BIGINT AS block_idx,
+               count(*)::BIGINT AS n_files,
+               sum(o.n)::BIGINT AS n_block_tokens,
+               string_agg('<<<FILE: ' || o.path || '>>>' || chr(10)
+                          || o.text, chr(10) ORDER BY o.i) AS text
+        FROM rb_w w JOIN rb_ord o ON o.repo = w.repo AND o.i = w.i
+        GROUP BY 1, 2
     """
     return out
 

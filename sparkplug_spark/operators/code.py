@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..partitioning import spread
 
-__all__ = ["code_stats", "detect_license"]
+__all__ = ["code_stats", "detect_license", "pack_repo_context"]
 
 #: a trimmed line starting with one of these reads as a comment in the
 #: big language families: #(py/sh/rb), //(c/js/go/rust), --(sql/lua/hs),
@@ -146,4 +146,136 @@ def detect_license(
         spdx.alias("spdx_tag"),
         guess.alias("license_guess"),
         F.coalesce(spdx, guess).alias("license"),
+    )
+
+
+def pack_repo_context(
+    df: DataFrame,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    text_col: str = "text",
+    block_tokens: int = 2048,
+) -> DataFrame:
+    """Repo-context training blocks (the StarCoder2-style sample shape:
+    a model that sees whole-repository context learns cross-file
+    structure a file-shuffled corpus destroys): files group by
+    repository, order by path, and pack greedily in that order into
+    blocks of at most ``block_tokens`` whitespace tokens — an
+    over-budget file forms its own block, never split.  Each file is
+    rendered under a ``<<<FILE: path>>>`` header; blocks join files
+    with newlines.
+
+    Returns ``(repo_col, block_idx, n_files, n_block_tokens, text)``,
+    blocks numbered from 0 in path order.  Token accounting covers file
+    CONTENT only (headers are sentinel tokens a tokenizer maps to
+    specials; documented).
+
+    Scale shape: ONE shuffle groups each repository's files (they must
+    co-locate — that is the semantics), then the same all-integer
+    ``F.aggregate`` greedy fold as sentence chunking (E251) assigns
+    blocks with no window and no Python, and one (repo, block) groupBy
+    reassembles.  Repositories are the natural unit of parallelism; a
+    monorepo bigger than executor memory is the caller's cue to
+    pre-split by top-level directory."""
+    if block_tokens < 1:
+        raise ValueError("block_tokens must be >= 1")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = spread(df).select(
+        F.col(repo_col).alias("__repo"),
+        F.col(path_col).alias("__path"),
+        txt.alias("__text"),
+        F.size(
+            F.filter(
+                F.split(txt, "[ \t\n]+"), lambda t: t != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("__n"),
+    )
+    # one row per repo: files in path order (struct sort = field order,
+    # path first), token counts materialized alongside
+    per_repo = base.groupBy("__repo").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__path", "__text", "__n"))
+        ).alias("__files")
+    )
+    per_repo = per_repo.select(
+        "__repo",
+        "__files",
+        F.transform(F.col("__files"), lambda f: f["__n"]).alias(
+            "__counts"
+        ),
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("idx"),
+        F.lit(0).cast("long").alias("used"),
+        F.array().cast("array<long>").alias("out"),
+    )
+    budget = int(block_tokens)
+    assigned = per_repo.select(
+        "__repo",
+        "__files",
+        F.aggregate(
+            F.col("__counts"),
+            zero,
+            lambda acc, c: F.when(
+                (acc["used"] == 0) | (acc["used"] + c <= budget),
+                F.struct(
+                    acc["idx"].alias("idx"),
+                    (acc["used"] + c).alias("used"),
+                    F.array_append(acc["out"], acc["idx"]).alias("out"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (acc["idx"] + 1).alias("idx"),
+                    c.alias("used"),
+                    F.array_append(acc["out"], acc["idx"] + 1).alias(
+                        "out"
+                    ),
+                )
+            ),
+            lambda acc: acc["out"],
+        ).alias("__assign"),
+    )
+    rows = assigned.select(
+        "__repo",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("__files").alias("f"), F.col("__assign").alias("g")
+            )
+        ).alias("__pos", "__z"),
+    ).select(
+        "__repo",
+        "__pos",
+        F.col("__z.g").alias("block_idx"),
+        F.col("__z.f.__n").alias("__n"),
+        F.concat(
+            F.lit("<<<FILE: "),
+            F.col("__z.f.__path"),
+            F.lit(">>>\n"),
+            F.col("__z.f.__text"),
+        ).alias("__rendered"),
+    )
+    return (
+        rows.groupBy("__repo", "block_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("__n").cast("long").alias("n_block_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__rendered"))
+                    ),
+                    lambda x: x["__rendered"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        .select(
+            F.col("__repo").alias(repo_col),
+            F.col("block_idx").cast("long").alias("block_idx"),
+            "n_files",
+            "n_block_tokens",
+            "text",
+        )
     )

@@ -83,3 +83,40 @@ class TestDetectLicense:
         df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
         (r,) = detect_license(df).collect()
         assert r["license_guess"] == "MIT"
+
+
+class TestPackRepoContext:
+    def test_greedy_fold_and_headers(self, spark):
+        from sparkplug_spark.operators import pack_repo_context
+
+        rows = [
+            ("r1", "a.py", "one two three"),        # 3 tokens
+            ("r1", "b.py", "four five"),            # 2 -> fits (5 <= 5)
+            ("r1", "c.py", "six seven eight"),      # 3 -> new block
+            ("r1", "d.py", " ".join(["t"] * 9)),    # 9 > 5: own block
+            ("r2", "z.py", "only file"),
+        ]
+        df = spark.createDataFrame(rows, "repo string, path string, text string")
+        out = {
+            (r["repo"], r["block_idx"]): r
+            for r in pack_repo_context(df, block_tokens=5).collect()
+        }
+        b0 = out[("r1", 0)]
+        assert b0["n_files"] == 2 and b0["n_block_tokens"] == 5
+        assert b0["text"] == (
+            "<<<FILE: a.py>>>\none two three\n<<<FILE: b.py>>>\nfour five"
+        )
+        assert out[("r1", 1)]["n_files"] == 1
+        assert out[("r1", 2)]["n_block_tokens"] == 9  # over-budget file
+        assert out[("r2", 0)]["n_files"] == 1
+        assert len(out) == 4
+
+    def test_path_order_not_input_order(self, spark):
+        from sparkplug_spark.operators import pack_repo_context
+
+        df = spark.createDataFrame(
+            [("r", "z.py", "zz"), ("r", "a.py", "aa")],
+            "repo string, path string, text string",
+        )
+        (b,) = pack_repo_context(df, block_tokens=100).collect()
+        assert b["text"].index("a.py") < b["text"].index("z.py")
