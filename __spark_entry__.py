@@ -14796,6 +14796,38 @@ def _code_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar grid radius join (E289): customers and suppliers get
+    md5-derived micro-degree coordinates inside a 2°x2° region; the
+    grid 3x3-neighborhood join must return EXACTLY the pairs the
+    oracle's brute-force cross join finds — a completeness hole in the
+    cell scheme (not just a distance bug) breaks the hash."""
+    from sparkplug_spark.functions.text import hash32
+    from sparkplug_spark.operators import radius_join
+
+    def pts(table: str, key: str) -> DataFrame:
+        t = _read(spark, sf_dir, table)
+        return t.select(
+            key,
+            (
+                hash32(F.concat(F.lit("glat"), F.col(key).cast("string")))
+                % 2000001
+            ).alias("lat_udeg"),
+            (
+                hash32(F.concat(F.lit("glon"), F.col(key).cast("string")))
+                % 2000001
+            ).alias("lon_udeg"),
+        )
+
+    return radius_join(
+        pts("customer", "c_custkey"),
+        pts("supplier", "s_suppkey"),
+        id_left="c_custkey",
+        id_right="s_suppkey",
+        radius_udeg=100000,
+    )
+
+
 def q_repo_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-context packing (E288): documents become files of 40
     synthetic repositories (path = doc_id function), packed greedily in
@@ -15417,6 +15449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": q_code_stats,
         "notebook_cells": q_notebook_cells,
         "repo_blocks": q_repo_blocks,
+        "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
         # caps its entry count, every oracle-checked query above stays
@@ -16700,6 +16733,30 @@ def oracle_sql() -> dict[str, str]:
                           || o.text, chr(10) ORDER BY o.i) AS text
         FROM rb_w w JOIN rb_ord o ON o.repo = w.repo AND o.i = w.i
         GROUP BY 1, 2
+    """
+    out["radius_join"] = """
+        WITH rj_c AS (
+          SELECT c_custkey,
+                 ('0x' || substr(md5('glat' || c_custkey::VARCHAR),1,8))::BIGINT
+                   % 2000001 AS lat,
+                 ('0x' || substr(md5('glon' || c_custkey::VARCHAR),1,8))::BIGINT
+                   % 2000001 AS lon
+          FROM customer
+        ),
+        rj_s AS (
+          SELECT s_suppkey,
+                 ('0x' || substr(md5('glat' || s_suppkey::VARCHAR),1,8))::BIGINT
+                   % 2000001 AS lat,
+                 ('0x' || substr(md5('glon' || s_suppkey::VARCHAR),1,8))::BIGINT
+                   % 2000001 AS lon
+          FROM supplier
+        )
+        SELECT c.c_custkey, s.s_suppkey,
+               ((c.lat - s.lat) * (c.lat - s.lat)
+                + (c.lon - s.lon) * (c.lon - s.lon))::BIGINT AS d2_udeg2
+        FROM rj_c c, rj_s s
+        WHERE (c.lat - s.lat) * (c.lat - s.lat)
+              + (c.lon - s.lon) * (c.lon - s.lon) <= 10000000000
     """
     return out
 

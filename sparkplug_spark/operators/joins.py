@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..caching import materialize_release
 from ..metrics import observe_dropped
+from ..partitioning import spread
 
 __all__ = [
     "asof_join",
@@ -26,6 +27,7 @@ __all__ = [
     "blocked_link",
     "bloom_semi_join",
     "edit_distance_pairs",
+    "radius_join",
 ]
 
 
@@ -529,3 +531,96 @@ def edit_distance_pairs(
         .select("id_a", "id_b", "distance")
     )
     return materialize_release(out, grams, prefix, release=release)
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str = "id_a",
+    id_right: str = "id_b",
+    lat_col: str = "lat_udeg",
+    lon_col: str = "lon_udeg",
+    radius_udeg: int = 100_000,
+) -> DataFrame:
+    """Planar radius join over integer micro-degree points — the
+    spatial join Spark lacks, in the exact-integer house style:
+    ``(id_left, id_right, d2_udeg2)`` for every cross pair within
+    ``radius_udeg`` of each other, where ``d2_udeg2`` is the EXACT
+    integer squared planar distance ``dlat² + dlon²``.
+
+    Semantics are planar micro-degrees (the grid-file approximation
+    every cell-based spatial join makes at city/regional scale);
+    callers needing great-circle truth at continental radii should
+    post-filter with haversine on the surviving (already tiny) pair
+    set — documented boundary, matching how the banded-LSH tiers hand
+    exact verification a bounded candidate set.
+
+    Plan: coordinates shift non-negative (lat+90e6, lon+180e6) so
+    integer division floors identically in Spark and DuckDB, each
+    point maps to a radius-sized grid cell, the LEFT side fans out to
+    its 3x3 cell neighborhood (9x|L| candidate rows — the standard
+    grid trade) and equi-joins the right side's single home cell, so
+    every qualifying pair surfaces EXACTLY once (no dedup pass); the
+    exact integer filter then decides.  Only (id, two coords, two cell
+    ints) shuffle; dlat,dlon <= 360e6 keep d2 < 2^63.  Skewed cells
+    (a city) are AQE's skew-join case, same as any hot join key."""
+    if radius_udeg < 1:
+        raise ValueError("radius_udeg must be >= 1")
+    r = int(radius_udeg)
+
+    def prep(df: DataFrame, id_col: str, tag: str) -> DataFrame:
+        lat = F.col(lat_col).cast("long")
+        lon = F.col(lon_col).cast("long")
+        return (
+            df.where(lat.isNotNull() & lon.isNotNull())
+            .select(
+                F.col(id_col).alias(f"__id{tag}"),
+                lat.alias(f"__lat{tag}"),
+                lon.alias(f"__lon{tag}"),
+                F.expr(
+                    f"({lat_col} + 90000000L) div {r}"
+                ).alias(f"__cy{tag}"),
+                F.expr(
+                    f"({lon_col} + 180000000L) div {r}"
+                ).alias(f"__cx{tag}"),
+            )
+        )
+
+    l = prep(spread(left), id_left, "l")
+    rt = prep(right, id_right, "r")
+    # 3x3 neighborhood fan-out on the LEFT only: each right point keeps
+    # its single home cell, so a pair can match through exactly one cell
+    lx = l.select(
+        "__idl",
+        "__latl",
+        "__lonl",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dy ->"
+                " transform(sequence(-1, 1), dx ->"
+                " struct(__cyl + dy AS cy, __cxl + dx AS cx))))"
+            )
+        ).alias("__c"),
+    ).select(
+        "__idl",
+        "__latl",
+        "__lonl",
+        F.col("__c.cy").alias("__cy"),
+        F.col("__c.cx").alias("__cx"),
+    )
+    d2 = F.expr(
+        "(__latl - __latr) * (__latl - __latr)"
+        " + (__lonl - __lonr) * (__lonl - __lonr)"
+    )
+    return (
+        lx.join(
+            rt.withColumnsRenamed({"__cyr": "__cy", "__cxr": "__cx"}),
+            ["__cy", "__cx"],
+        )
+        .where(d2 <= F.lit(r * r))
+        .select(
+            F.col("__idl").alias(id_left),
+            F.col("__idr").alias(id_right),
+            d2.cast("long").alias("d2_udeg2"),
+        )
+    )
