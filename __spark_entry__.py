@@ -14828,6 +14828,44 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_notebook_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook→script conversion (The Stack's nb2script shape, the
+    E287 capstone): parsed cells reassemble per document in cell order
+    — code sources verbatim, markdown commented line-wise with '# ' —
+    joined by blank lines; plus code/markdown cell counts.  Pure
+    relational composition over `parse_notebooks` output; the oracle
+    derives the whole script arithmetically."""
+    cells = q_notebook_cells(spark, sf_dir)
+    rendered = F.when(
+        F.col("cell_type") == "markdown",
+        F.concat(
+            F.lit("# "),
+            F.expr("replace(source, '\n', concat('\n', '# '))"),
+        ),
+    ).otherwise(F.col("source"))
+    rows = cells.select(
+        "doc_id",
+        "cell_idx",
+        "cell_type",
+        rendered.alias("__r"),
+    )
+    return rows.groupBy("doc_id").agg(
+        F.sum((F.col("cell_type") == "code").cast("long"))
+        .cast("long")
+        .alias("n_code_cells"),
+        F.sum((F.col("cell_type") == "markdown").cast("long"))
+        .cast("long")
+        .alias("n_markdown_cells"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cell_idx", "__r"))),
+                lambda x: x["__r"],
+            ),
+            "\n\n",
+        ).alias("script"),
+    )
+
+
 def q_repo_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-context packing (E288): documents become files of 40
     synthetic repositories (path = doc_id function), packed greedily in
@@ -15449,6 +15487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": q_code_stats,
         "notebook_cells": q_notebook_cells,
         "repo_blocks": q_repo_blocks,
+        "notebook_scripts": q_notebook_scripts,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -16757,6 +16796,42 @@ def oracle_sql() -> dict[str, str]:
         FROM rj_c c, rj_s s
         WHERE (c.lat - s.lat) * (c.lat - s.lat)
               + (c.lon - s.lon) * (c.lon - s.lon) <= 10000000000
+    """
+    out["notebook_scripts"] = f"""
+        WITH nbs_t AS (
+          SELECT doc_id,
+                 list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+          FROM documents WHERE doc_id % 11 <> 0
+        ),
+        nbs_c AS (
+          SELECT doc_id, toks, unnest(range(doc_id % 4 + 1)) AS j
+          FROM nbs_t
+        ),
+        nbs_r AS (
+          SELECT doc_id, j,
+                 (doc_id + j) % 3 <> 0 AS is_code,
+                 coalesce(array_to_string(toks[j*8+1 : j*8+4], ' '), '')
+                   || chr(10)
+                   || coalesce(array_to_string(toks[j*8+5 : j*8+8], ' '), '')
+                   AS source
+          FROM nbs_c
+        ),
+        nbs_x AS (
+          SELECT doc_id, j, is_code,
+                 CASE WHEN is_code THEN source
+                      ELSE '# ' || replace(source, chr(10),
+                                           chr(10) || '# ')
+                 END AS r
+          FROM nbs_r
+        )
+        SELECT doc_id,
+               sum(CASE WHEN is_code THEN 1 ELSE 0 END)::BIGINT
+                 AS n_code_cells,
+               sum(CASE WHEN is_code THEN 0 ELSE 1 END)::BIGINT
+                 AS n_markdown_cells,
+               string_agg(r, chr(10) || chr(10) ORDER BY j) AS script
+        FROM nbs_x
+        GROUP BY doc_id
     """
     return out
 
