@@ -14828,6 +14828,39 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_confusable_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homoglyph-evasion dedup (E291): every 9th document gets an
+    adversarial clone with latin→Cyrillic lookalike substitutions —
+    invisible to raw exact dedup (raw md5 groups stay singletons), but
+    folding confusables back makes each clone collide with its
+    original (group_size 2) and the fold count itself flags the
+    evasive copies.  The oracle replays clone construction, folding,
+    and both group sizes."""
+    from pyspark.sql import Window
+
+    from sparkplug_spark.operators import fold_confusables
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.translate(F.col("text"), "aeopcx", "аеорсх").alias("text"),
+    )
+    corpus = docs.unionByName(clones)
+    folded = fold_confusables(corpus)
+    m = folded.select(
+        "doc_id", "n_folded", F.md5(F.col("text")).alias("content_md5")
+    )
+    return m.select(
+        "doc_id",
+        "content_md5",
+        "n_folded",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("content_md5"))
+        .cast("long")
+        .alias("group_size"),
+    )
+
+
 def q_notebook_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Notebook→script conversion (The Stack's nb2script shape, the
     E287 capstone): parsed cells reassemble per document in cell order
@@ -15488,6 +15521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notebook_cells": q_notebook_cells,
         "repo_blocks": q_repo_blocks,
         "notebook_scripts": q_notebook_scripts,
+        "confusable_dedup": q_confusable_dedup,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -16832,6 +16866,31 @@ def oracle_sql() -> dict[str, str]:
                string_agg(r, chr(10) || chr(10) ORDER BY j) AS script
         FROM nbs_x
         GROUP BY doc_id
+    """
+    from sparkplug_spark.operators.cleaning import CONFUSABLES as _CF
+
+    _cf_from = _CF[0]
+    _cf_to = _CF[1].replace("'", "''")
+    out["confusable_dedup"] = f"""
+        WITH cf_all AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 20000000,
+                 translate(text, 'aeopcx', 'аеорсх')
+          FROM documents WHERE doc_id % 9 = 0
+        ),
+        cf_m AS (
+          SELECT doc_id,
+                 (length(text) - length(regexp_replace(text,
+                    '[{_cf_from}]', '', 'g')))::BIGINT AS n_folded,
+                 md5(translate(text, '{_cf_from}', '{_cf_to}'))
+                   AS content_md5
+          FROM cf_all
+        )
+        SELECT doc_id, content_md5, n_folded,
+               (count(*) OVER (PARTITION BY content_md5))::BIGINT
+                 AS group_size
+        FROM cf_m
     """
     return out
 

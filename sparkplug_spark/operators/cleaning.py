@@ -53,6 +53,8 @@ __all__ = [
     "deterministic_shuffle",
     "strip_markup",
     "normalize_unicode",
+    "fold_confusables",
+    "CONFUSABLES",
     "MARKUP_ENTITIES",
     "oversample_by_key",
     "pack_token_budget",
@@ -2450,4 +2452,58 @@ def split_leak_audit(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+    )
+
+
+#: curated homoglyph map (Unicode confusables, the high-frequency
+#: dedup-evasion subset): Cyrillic and Greek letters that render
+#: identically to latin in most fonts, plus the fullwidth latin and
+#: digit blocks.  Codepoint-for-codepoint (translate semantics) — both
+#: columns MUST stay equal length and order-aligned.
+_CYR_GREEK_FROM = "\u0430\u0435\u043e\u0440\u0441\u0445\u0456\u0455\u0443\u0458\u04bb\u0391\u0392\u0395\u0397\u0399\u039a\u039c\u039d\u039f\u03a1\u03a4\u03a5\u03a7\u03bf\u0410\u0412\u0415\u041a\u041c\u041d\u041e\u0420\u0421\u0422\u0425"
+_CYR_GREEK_TO = "aeopcxisyjhABEHIKMNOPTYXoABEKMHOPCTX"
+_FULLWIDTH_FROM = "".join(chr(0xFF01 + i) for i in range(0x5E))  # ！..～
+_FULLWIDTH_TO = "".join(chr(0x21 + i) for i in range(0x5E))  # !..~
+
+CONFUSABLES: tuple[str, str] = (
+    _CYR_GREEK_FROM + _FULLWIDTH_FROM,
+    _CYR_GREEK_TO + _FULLWIDTH_TO,
+)
+
+
+def fold_confusables(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Homoglyph folding — the dedup-evasion countermeasure: spam farms
+    dodge exact/line/MinHash dedup by swapping latin letters for
+    identical-looking Cyrillic/Greek/fullwidth codepoints (a classic
+    spam-SEO and benchmark-contamination trick); folding them back
+    BEFORE hashing makes the evasive copy collide with its original
+    again.  Returns ``(id_col, text, n_folded)`` — the folded text plus
+    how many codepoints changed (the evasion signal itself: a latin
+    document with hundreds of folded chars was adversarially encoded).
+
+    One codepoint-wise ``translate`` + one length diff — zero-shuffle,
+    engine-exact (Spark ``translate`` and DuckDB ``translate`` share
+    per-codepoint semantics; pytest pins the map columns equal-length).
+    Compose upstream of E1/E173/E4: ``dedup_exact(fold_confusables(df)
+    ...)``.  UAX#15 canonical equivalence (``normalize_unicode``) is
+    the orthogonal pass — confusables are DIFFERENT canonical
+    characters that merely look alike, which NFC/NFKC never folds."""
+    from ..partitioning import spread
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    folded = F.translate(txt, CONFUSABLES[0], CONFUSABLES[1])
+    conf_class = "[" + CONFUSABLES[0] + "]"
+    return spread(df).select(
+        F.col(id_col),
+        folded.alias("text"),
+        (
+            F.length(txt)
+            - F.length(F.regexp_replace(txt, conf_class, ""))
+        )
+        .cast("long")
+        .alias("n_folded"),
     )

@@ -396,3 +396,52 @@ class TestWordlistFilter:
         )
         r = wordlist_filter(df, ["scunt", "horpe is"]).collect()[0]
         assert (r["n_term_hits"], r["wordlist_flagged"]) == (0, False)
+
+
+class TestFoldConfusables:
+    def test_fold_and_count(self, spark):
+        from sparkplug_spark.operators import fold_confusables
+
+        rows = [
+            (1, "привет"),            # Cyrillic: only lookalikes fold
+            (2, "sрам with сyrillic"), # р,с are Cyrillic homoglyphs
+            (3, "ｆｕｌｌｗｉｄｔｈ １２３"),
+            (4, "plain ascii"),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in fold_confusables(df).collect()}
+        # only the curated lookalikes fold (п,в,и,т stay Cyrillic)
+        assert out[1]["text"] == "пpивeт"
+        assert out[1]["n_folded"] == 2  # р->p, е->e
+        assert out[2]["text"] == "spaм with cyrillic"
+        assert out[2]["n_folded"] == 3
+        assert out[3]["text"] == "fullwidth 123"
+        assert out[3]["n_folded"] == 12
+        assert out[4]["text"] == "plain ascii" and out[4]["n_folded"] == 0
+        assert out[5]["text"] == "" and out[5]["n_folded"] == 0
+
+    def test_map_columns_aligned(self):
+        from sparkplug_spark.operators.cleaning import CONFUSABLES
+
+        src, dst = CONFUSABLES
+        assert len(src) == len(dst)
+        assert len(set(src)) == len(src)  # no duplicate source codepoint
+        assert all(ord(c) < 128 for c in dst)  # folds land in ASCII
+
+    def test_evasive_clone_collides_after_fold(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparkplug_spark.operators import fold_confusables
+
+        orig = "the quick brown fox"
+        evasive = orig.replace("o", "о").replace("e", "е")  # Cyrillic
+        assert evasive != orig
+        df = spark.createDataFrame(
+            [(1, orig), (2, evasive)], "doc_id long, text string"
+        )
+        folded = fold_confusables(df).select(
+            "doc_id", F.md5("text").alias("h")
+        ).collect()
+        hs = {r["doc_id"]: r["h"] for r in folded}
+        assert hs[1] == hs[2]
