@@ -14828,6 +14828,34 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance (E292): batch 1 builds the
+    postings store, batch 2 folds in the remaining docs PLUS revisions
+    of every 10th batch-1 doc (stale postings must drop); ranking over
+    the folded index must equal ranking over a from-scratch build of
+    the final corpus — which is exactly what the oracle computes."""
+    from sparkplug_spark.operators import (
+        append_to_term_index,
+        bm25_search,
+        build_term_index,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 6 != 0)
+    revised = docs.filter(
+        (F.col("doc_id") % 6 != 0) & (F.col("doc_id") % 10 == 0)
+    ).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" updated corpus revision")).alias(
+            "text"
+        ),
+    )
+    b2 = docs.filter(F.col("doc_id") % 6 == 0).unionByName(revised)
+    idx1 = build_term_index(b1)
+    merged = append_to_term_index(idx1, b2)
+    return bm25_search(docs, SEARCH_QUERIES, k=10, index=merged)
+
+
 def q_confusable_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homoglyph-evasion dedup (E291): every 9th document gets an
     adversarial clone with latin→Cyrillic lookalike substitutions —
@@ -15522,6 +15550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_blocks": q_repo_blocks,
         "notebook_scripts": q_notebook_scripts,
         "confusable_dedup": q_confusable_dedup,
+        "bm25_incremental": q_bm25_incremental,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -16892,6 +16921,21 @@ def oracle_sql() -> dict[str, str]:
                  AS group_size
         FROM cf_m
     """
+    # incremental BM25: the folded index equals a rebuild over the FINAL
+    # corpus state, so the oracle is the standard BM25 replay with the
+    # final text substituted per doc
+    _bmi_inner = BM25_ORACLE_SQL.replace("FROM documents", "FROM bmi_final")
+    assert _bmi_inner.lstrip().startswith("WITH")
+    out["bm25_incremental"] = (
+        """WITH bmi_final AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 6 <> 0 AND doc_id % 10 = 0
+                      THEN text || ' updated corpus revision'
+                      ELSE text END AS text
+          FROM documents
+        ), """
+        + _bmi_inner.lstrip()[len("WITH"):].lstrip()
+    )
     return out
 
 

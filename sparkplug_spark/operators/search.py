@@ -34,6 +34,7 @@ from ..partitioning import spread
 __all__ = [
     "bm25_search",
     "build_term_index",
+    "append_to_term_index",
     "keyword_search",
     "reciprocal_rank_fusion",
     "ranking_metrics",
@@ -71,6 +72,34 @@ def build_term_index(
             F.first("dl").alias("dl"),
         )
     )
+
+
+def append_to_term_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental inverted-index maintenance (the E64 append
+    discipline brought to the search lane): fold a batch of new or
+    RE-CRAWLED documents into a stored postings table — only the batch
+    tokenizes; ids present in the batch drop their stale postings via
+    one anti-join (a revised page must not keep old terms), then the
+    fresh postings union in.  Postings are per-document facts, so the
+    merged table equals a from-scratch build over the final corpus
+    state bit-for-bit — and because :func:`keyword_search` /
+    :func:`bm25_search` derive N/avgdl/df FROM the index at query
+    time, ranking over the folded index is exactly ranking over the
+    rebuilt one.
+
+    Per-batch cost: batch tokenize + one id anti-join against the
+    store; the corpus is never re-tokenized.  Persist the result with
+    ``write_bucketed`` on term, same as the cold build."""
+    fresh = build_term_index(new_docs, id_col=id_col, text_col=text_col)
+    kept = index.join(
+        fresh.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    return kept.unionByName(fresh)
 
 
 def keyword_search(

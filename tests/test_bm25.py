@@ -115,3 +115,41 @@ class TestBm25Search:
             bm25_search(docs, {"q": ["x"]}, k=0)
         with pytest.raises(ValueError):
             bm25_search(docs, {"q": ["x"]}, b_x4=5)
+
+
+class TestAppendToTermIndex:
+    def test_fold_equals_rebuild_with_revisions(self, spark):
+        from sparkplug_spark.operators import (
+            append_to_term_index,
+            build_term_index,
+        )
+
+        b1 = spark.createDataFrame(
+            [(1, "old text about cats"), (2, "dogs bark loudly")],
+            "doc_id long, text string",
+        )
+        # doc 1 re-crawled with DIFFERENT terms + doc 3 brand new
+        b2 = spark.createDataFrame(
+            [(1, "fresh page on birds"), (3, "fish swim")],
+            "doc_id long, text string",
+        )
+        final = spark.createDataFrame(
+            [
+                (1, "fresh page on birds"),
+                (2, "dogs bark loudly"),
+                (3, "fish swim"),
+            ],
+            "doc_id long, text string",
+        )
+        folded = {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in append_to_term_index(build_term_index(b1), b2).collect()
+        }
+        rebuilt = {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in build_term_index(final).collect()
+        }
+        assert folded == rebuilt
+        # stale posting gone: doc 1 no longer matches 'cats'
+        assert ("cats", 1) not in folded
+        assert ("birds", 1) in folded
