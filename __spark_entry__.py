@@ -14856,6 +14856,44 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, SEARCH_QUERIES, k=10, index=merged)
 
 
+def q_streaming_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance (E293), ORACLE-checked via
+    deterministic replay: the two E292 document batches (including the
+    re-crawled revisions whose stale postings must drop) arrive as
+    pinned micro-batches through the REAL foreachBatch path; BM25 over
+    the final store must equal ranking over a from-scratch rebuild of
+    the final corpus — the `bm25_incremental` oracle."""
+    import tempfile
+
+    from sparkplug_spark.operators import bm25_search
+    from sparkplug_spark.sources import read_store
+    from sparkplug_spark.streaming import streaming_term_index_store
+    from sparkplug_spark.streaming.replay import replay_foreach_batch
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 6 != 0)
+    revised = docs.filter(
+        (F.col("doc_id") % 6 != 0) & (F.col("doc_id") % 10 == 0)
+    ).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" updated corpus revision")).alias(
+            "text"
+        ),
+    )
+    b2 = docs.filter(F.col("doc_id") % 6 == 0).unionByName(revised)
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="sparkplug_sidx_"), "store"
+    )
+    replay_foreach_batch(
+        spark,
+        [b1, b2],
+        lambda s: streaming_term_index_store(s, store),
+        shuffle_partitions=8,
+    )
+    idx = read_store(spark, store).drop("__last_batch")
+    return bm25_search(docs, SEARCH_QUERIES, k=10, index=idx)
+
+
 def q_confusable_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homoglyph-evasion dedup (E291): every 9th document gets an
     adversarial clone with latin→Cyrillic lookalike substitutions —
@@ -15551,6 +15589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "notebook_scripts": q_notebook_scripts,
         "confusable_dedup": q_confusable_dedup,
         "bm25_incremental": q_bm25_incremental,
+        "streaming_index_replay": q_streaming_index_replay,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -16936,6 +16975,9 @@ def oracle_sql() -> dict[str, str]:
         ), """
         + _bmi_inner.lstrip()[len("WITH"):].lstrip()
     )
+    # the pinned two-batch replay folds the SAME batches through the
+    # SAME idempotent merge, so the streamed store ranks identically
+    out["streaming_index_replay"] = out["bm25_incremental"]
     return out
 
 

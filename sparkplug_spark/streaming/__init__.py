@@ -45,6 +45,7 @@ __all__ = [
     "streaming_reservoir",
     "streaming_sample_per_key",
     "streaming_pagerank_store",
+    "streaming_term_index_store",
 ]
 
 
@@ -1192,3 +1193,61 @@ def _merge_pagerank_batch(
         ranks_path,
     )
     merged.unpersist()
+
+
+def streaming_term_index_store(
+    stream_df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous inverted-index maintenance — E292 made streaming:
+    each micro-batch of new/re-crawled documents folds into the stored
+    postings table (batch tokenize + one id anti-join; stale postings
+    of re-crawled ids drop, the corpus never re-tokenizes), so
+    keyword/BM25 ranking over the store always equals a from-scratch
+    rebuild of the current corpus state.
+
+    The fold is IDEMPOTENT by construction (re-applying a batch drops
+    then re-adds identical postings), so the ``__last_batch`` guard is
+    a short-circuit, not a correctness crutch — at-least-once delivery
+    cannot corrupt the store even across a crash window.  One
+    manifest-published table.  Returns the ``DataStreamWriter``."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_term_index_batch(
+            batch_df, batch_id, store_path, id_col, text_col
+        )
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def _merge_term_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """One micro-batch fold of :func:`streaming_term_index_store`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.search import append_to_term_index, build_term_index
+
+    spark = batch_df.sparkSession
+    if _store_exists(spark, store_path):
+        idx = _store_read(spark, store_path)
+        applied = idx.select(F.max("__last_batch")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-merged batch
+        merged = append_to_term_index(
+            idx.drop("__last_batch"), batch_df, id_col, text_col
+        )
+    else:
+        merged = build_term_index(batch_df, id_col, text_col)
+    _swap_publish(
+        merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("long")
+        ),
+        spark,
+        store_path,
+    )

@@ -102,3 +102,54 @@ class TestStreamingPagerankStore:
             for r in read_store(spark, path + "/ranks").collect()
         }
         assert got == _batch_chain(spark)
+
+
+class TestStreamingTermIndexStore:
+    def test_replay_and_idempotence(self, spark):
+        from sparkplug_spark.operators import build_term_index
+        from sparkplug_spark.streaming import (
+            _merge_term_index_batch,
+            streaming_term_index_store,
+        )
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sparkplug_sidx_test_"), "store"
+        )
+        b1 = spark.createDataFrame(
+            [(1, "old cats doc"), (2, "dogs doc")],
+            "doc_id long, text string",
+        )
+        b2 = spark.createDataFrame(
+            [(1, "new birds doc"), (3, "fish doc")],
+            "doc_id long, text string",
+        )
+        replay_foreach_batch(
+            spark,
+            [b1, b2],
+            lambda s: streaming_term_index_store(s, path),
+            shuffle_partitions=4,
+        )
+        final = spark.createDataFrame(
+            [(1, "new birds doc"), (2, "dogs doc"), (3, "fish doc")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in read_store(spark, path)
+            .drop("__last_batch")
+            .collect()
+        }
+        want = {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in build_term_index(final).collect()
+        }
+        assert got == want
+        # redelivery of batch 1 is a no-op (guard) AND harmless anyway
+        _merge_term_index_batch(b2, 1, path, "doc_id", "text")
+        after = {
+            (r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in read_store(spark, path)
+            .drop("__last_batch")
+            .collect()
+        }
+        assert after == want
