@@ -96,8 +96,13 @@ def append_to_term_index(
     store; the corpus is never re-tokenized.  Persist the result with
     ``write_bucketed`` on term, same as the cold build."""
     fresh = build_term_index(new_docs, id_col=id_col, text_col=text_col)
+    # anti-join on the BATCH ids, not the fresh postings' ids: a doc
+    # re-crawled to empty/NULL text has no fresh postings at all, but
+    # its stale postings must still drop (the page is gone)
     kept = index.join(
-        fresh.select("doc_id").distinct(), "doc_id", "left_anti"
+        new_docs.select(F.col(id_col).alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
     )
     return kept.unionByName(fresh)
 

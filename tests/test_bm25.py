@@ -153,3 +153,20 @@ class TestAppendToTermIndex:
         # stale posting gone: doc 1 no longer matches 'cats'
         assert ("cats", 1) not in folded
         assert ("birds", 1) in folded
+
+    def test_recrawl_to_empty_drops_stale_postings(self, spark):
+        from sparkplug_spark.operators import (
+            append_to_term_index,
+            build_term_index,
+        )
+
+        b1 = spark.createDataFrame(
+            [(1, "cats everywhere"), (2, "dogs")],
+            "doc_id long, text string",
+        )
+        # doc 1 re-crawled as GONE (null text): postings must vanish
+        b2 = spark.createDataFrame(
+            [(1, None)], "doc_id long, text string"
+        )
+        folded = append_to_term_index(build_term_index(b1), b2).collect()
+        assert {r["doc_id"] for r in folded} == {2}
