@@ -14894,6 +14894,16 @@ def q_streaming_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, SEARCH_QUERIES, k=10, index=idx)
 
 
+def q_augment_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation (E294): md5-coin token dropout (3%)
+    + duplication (2%) over the documents table — the coin is a pure
+    function of (seed, doc, position), so the oracle regenerates every
+    edited text bit-for-bit."""
+    from sparkplug_spark.operators import augment_token_edits
+
+    return augment_token_edits(_read(spark, sf_dir, "documents"))
+
+
 def q_confusable_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homoglyph-evasion dedup (E291): every 9th document gets an
     adversarial clone with latin→Cyrillic lookalike substitutions —
@@ -15590,6 +15600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusable_dedup": q_confusable_dedup,
         "bm25_incremental": q_bm25_incremental,
         "streaming_index_replay": q_streaming_index_replay,
+        "augment_edits": q_augment_edits,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -16978,6 +16989,32 @@ def oracle_sql() -> dict[str, str]:
     # the pinned two-batch replay folds the SAME batches through the
     # SAME idempotent merge, so the streamed store ranks identically
     out["streaming_index_replay"] = out["bm25_incremental"]
+    out["augment_edits"] = f"""
+        WITH ag_t AS (
+          SELECT doc_id,
+                 list_filter({_sql_tokens('text')}, x -> x != '') AS toks
+          FROM documents
+        ),
+        ag_c AS (
+          SELECT doc_id, toks,
+                 list_transform(toks, (x, i) ->
+                   ('0x' || substr(md5('aug1:' || doc_id::VARCHAR || ':'
+                      || i::VARCHAR), 1, 15))::BIGINT % 1000000) AS coins
+          FROM ag_t
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(flatten(list_transform(toks,
+                 (x, i) -> CASE WHEN coins[i] < 30000
+                                  THEN CAST([] AS VARCHAR[])
+                                WHEN coins[i] >= 980000 THEN [x, x]
+                                ELSE [x] END)), ' '), '') AS text,
+               len(toks)::BIGINT AS n_tokens,
+               len(list_filter(coins, c -> c < 30000))::BIGINT
+                 AS n_dropped,
+               len(list_filter(coins, c -> c >= 980000))::BIGINT
+                 AS n_dupped
+        FROM ag_c
+    """
     return out
 
 

@@ -55,6 +55,7 @@ __all__ = [
     "normalize_unicode",
     "fold_confusables",
     "CONFUSABLES",
+    "augment_token_edits",
     "MARKUP_ENTITIES",
     "oversample_by_key",
     "pack_token_budget",
@@ -2506,4 +2507,80 @@ def fold_confusables(
         )
         .cast("long")
         .alias("n_folded"),
+    )
+
+
+def augment_token_edits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dropout_ppm: int = 30000,
+    dup_ppm: int = 20000,
+    seed: str = "aug1",
+) -> DataFrame:
+    """Deterministic token-edit augmentation (the EDA/UDA recipe made
+    reproducible): per token position an md5 coin decides drop /
+    duplicate / keep, so consistency-training pairs and robustness
+    evals regenerate bit-identically on any cluster, any partitioning —
+    no RNG state, the coin IS a pure function of (seed, doc, position).
+
+    coin(doc, pos) = hash60(seed:doc:pos) % 1e6; drop when
+    coin < ``dropout_ppm``, duplicate when coin >= 1e6 - ``dup_ppm``
+    (disjoint bands — validated), keep otherwise.  Returns ``(id_col,
+    text, n_tokens, n_dropped, n_dupped)`` with the augmented text
+    whitespace-joined.
+
+    Zero-shuffle per-row projection; coins materialize ONCE per row and
+    feed both the edit construction and the counts (per-element
+    re-evaluation discipline).  Positions are 1-based in the coin so
+    the DuckDB twin's indexed lambda replays it directly."""
+    from ..functions.text import hash60, tokens_pd
+
+    if dropout_ppm < 0 or dup_ppm < 0 or dropout_ppm + dup_ppm >= 10**6:
+        raise ValueError(
+            "dropout_ppm and dup_ppm must be non-negative and sum < 1e6"
+        )
+    d = int(dropout_ppm)
+    u = int(dup_ppm)
+    toks = F.filter(tokens_pd(F.col(text_col)), lambda t: t != F.lit(""))
+    base = spread(df).select(F.col(id_col), toks.alias("__toks"))
+    base = base.select(
+        id_col,
+        "__toks",
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: (
+                hash60(
+                    F.concat(
+                        F.lit(f"{seed}:"),
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        (i + 1).cast("string"),
+                    )
+                )
+                % F.lit(1000000)
+            ),
+        ).alias("__coins"),
+    )
+    aug = F.flatten(
+        F.zip_with(
+            F.col("__toks"),
+            F.col("__coins"),
+            lambda t, c: F.when(c < F.lit(d), F.array().cast("array<string>"))
+            .when(c >= F.lit(1000000 - u), F.array(t, t))
+            .otherwise(F.array(t)),
+        )
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(aug, " ").alias("text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("__coins"), lambda c: c < F.lit(d)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.size(
+            F.filter(F.col("__coins"), lambda c: c >= F.lit(1000000 - u))
+        )
+        .cast("long")
+        .alias("n_dupped"),
     )

@@ -563,7 +563,10 @@ def radius_join(
     every qualifying pair surfaces EXACTLY once (no dedup pass); the
     exact integer filter then decides.  Only (id, two coords, two cell
     ints) shuffle; dlat,dlon <= 360e6 keep d2 < 2^63.  Skewed cells
-    (a city) are AQE's skew-join case, same as any hot join key."""
+    (a city) are AQE's skew-join case, same as any hot join key.
+    Self-joining one table: persist the frame BEFORE passing it as
+    both sides (the r7 un-persisted-self-join rule — both arms would
+    otherwise re-execute and race its chain)."""
     if radius_udeg < 1:
         raise ValueError("radius_udeg must be >= 1")
     r = int(radius_udeg)

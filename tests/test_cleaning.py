@@ -445,3 +445,42 @@ class TestFoldConfusables:
         ).collect()
         hs = {r["doc_id"]: r["h"] for r in folded}
         assert hs[1] == hs[2]
+
+
+class TestAugmentTokenEdits:
+    def test_deterministic_and_counted(self, spark):
+        from sparkplug_spark.operators import augment_token_edits
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog " * 10)],
+            "doc_id long, text string",
+        )
+        a = augment_token_edits(df, dropout_ppm=200000, dup_ppm=100000)
+        r1, r2 = a.collect()[0], augment_token_edits(
+            df, dropout_ppm=200000, dup_ppm=100000
+        ).collect()[0]
+        assert r1 == r2  # bit-identical regeneration
+        assert r1["n_tokens"] == 90
+        out_tokens = len(r1["text"].split(" "))
+        assert out_tokens == 90 - r1["n_dropped"] + r1["n_dupped"]
+        assert r1["n_dropped"] > 0 and r1["n_dupped"] > 0
+
+    def test_seed_changes_edits(self, spark):
+        from sparkplug_spark.operators import augment_token_edits
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta " * 25)],
+            "doc_id long, text string",
+        )
+        a = augment_token_edits(df, dropout_ppm=300000, seed="s1").collect()[0]
+        b = augment_token_edits(df, dropout_ppm=300000, seed="s2").collect()[0]
+        assert a["text"] != b["text"]
+
+    def test_band_validation(self, spark):
+        from sparkplug_spark.operators import augment_token_edits
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            augment_token_edits(df, dropout_ppm=600000, dup_ppm=500000)
