@@ -14894,6 +14894,27 @@ def q_streaming_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, SEARCH_QUERIES, k=10, index=idx)
 
 
+def q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (E295): the directed referral
+    graph (customer → (custkey·7+orderkey)%997+1, cycles in the 1..997
+    core, pure sources above) decomposes by deterministic min-pivot
+    FW-BW peeling; the oracle computes each node's SCC id from the full
+    reachability closure (min over mutual-reach partners) — completely
+    independent of the peeling mechanics."""
+    from sparkplug_spark.operators import strongly_connected_components
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 997 + 1).alias(
+            "dst"
+        ),
+    )
+    return strongly_connected_components(edges)
+
+
 def q_augment_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic augmentation (E294): md5-coin token dropout (3%)
     + duplication (2%) over the documents table — the coin is a pure
@@ -15601,6 +15622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_incremental": q_bm25_incremental,
         "streaming_index_replay": q_streaming_index_replay,
         "augment_edits": q_augment_edits,
+        "scc_parts": q_scc_parts,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -17014,6 +17036,28 @@ def oracle_sql() -> dict[str, str]:
                len(list_filter(coins, c -> c >= 980000))::BIGINT
                  AS n_dupped
         FROM ag_c
+    """
+    out["scc_parts"] = """
+        WITH RECURSIVE
+        scc_e AS (
+          SELECT DISTINCT o_custkey AS s,
+                 (o_custkey * 7 + o_orderkey) % 997 + 1 AS d
+          FROM orders
+        ),
+        scc_n AS (SELECT s AS v FROM scc_e UNION SELECT d FROM scc_e),
+        scc_r AS (
+          SELECT s AS a, d AS b FROM scc_e
+          UNION
+          SELECT r.a, e.d FROM scc_r r JOIN scc_e e ON r.b = e.s
+        ),
+        scc_mut AS (
+          SELECT r1.b AS node, r1.a AS partner
+          FROM scc_r r1 JOIN scc_r r2 ON r1.a = r2.b AND r1.b = r2.a
+        )
+        SELECT n.v AS node,
+               least(n.v, coalesce(min(m.partner), n.v))::BIGINT AS scc_id
+        FROM scc_n n LEFT JOIN scc_mut m ON m.node = n.v
+        GROUP BY n.v
     """
     return out
 

@@ -1,0 +1,58 @@
+"""Strongly connected components (E295): hand graphs with known
+decompositions, soundness of the min-pivot peeling, and the failure
+contract."""
+
+import pytest
+
+from sparkplug_spark.operators import strongly_connected_components
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(df, **kw).collect()
+    }
+
+
+class TestSCC:
+    def test_bow_tie(self, spark):
+        # IN tendril 9 -> core {1,2,3} -> mid SCC {5,6} -> OUT sink 7
+        edges = [(1, 2), (2, 3), (3, 1), (3, 5), (5, 6), (6, 5), (6, 7), (9, 1)]
+        assert _run(spark, edges) == {
+            1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 9: 9,
+        }
+
+    def test_self_loop_and_isolated_edge(self, spark):
+        edges = [(4, 4), (10, 11)]
+        assert _run(spark, edges) == {4: 4, 10: 10, 11: 11}
+
+    def test_two_disjoint_cycles(self, spark):
+        edges = [(1, 2), (2, 1), (7, 8), (8, 9), (9, 7)]
+        assert _run(spark, edges) == {1: 1, 2: 1, 7: 7, 8: 7, 9: 7}
+
+    def test_scc_chain_needs_multiple_rounds(self, spark):
+        # chain of 3 SCCs: {1,2} -> {3,4} -> {5,6}; min-pivot peels the
+        # whole weak component's min SCC each round, so this converges
+        # within the cap and assigns everything
+        edges = [
+            (1, 2), (2, 1), (2, 3),
+            (3, 4), (4, 3), (4, 5),
+            (5, 6), (6, 5),
+        ]
+        assert _run(spark, edges) == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5}
+
+    def test_round_cap_raises(self, spark):
+        # chain of 2 SCCs where the downstream SCC has the SMALLER ids:
+        # round 1 peels only {1,2} (the weak-component min), so a cap of
+        # 1 must raise rather than return partial output
+        edges = [(5, 6), (6, 5), (6, 1), (1, 2), (2, 1)]
+        with pytest.raises(ValueError, match="max_rounds"):
+            _run(spark, edges, max_rounds=1)
+        assert _run(spark, edges, max_rounds=4) == {
+            1: 1, 2: 1, 5: 5, 6: 5,
+        }
+
+    def test_deterministic_rerun(self, spark):
+        edges = [(i, (i * 3) % 11) for i in range(11)]
+        assert _run(spark, edges) == _run(spark, edges)
