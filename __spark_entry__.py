@@ -14894,6 +14894,24 @@ def q_streaming_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, SEARCH_QUERIES, k=10, index=idx)
 
 
+def q_bow_tie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (E296): the referral graph's nodes
+    classified CORE/IN/OUT/OTHER around the largest SCC; the oracle
+    derives regions from the reachability closure alone."""
+    from sparkplug_spark.operators import bow_tie_report
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 997 + 1).alias(
+            "dst"
+        ),
+    )
+    return bow_tie_report(edges)
+
+
 def q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (E295): the directed referral
     graph (customer → (custkey·7+orderkey)%997+1, cycles in the 1..997
@@ -15623,6 +15641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_index_replay": q_streaming_index_replay,
         "augment_edits": q_augment_edits,
         "scc_parts": q_scc_parts,
+        "bow_tie": q_bow_tie,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -17058,6 +17077,52 @@ def oracle_sql() -> dict[str, str]:
                least(n.v, coalesce(min(m.partner), n.v))::BIGINT AS scc_id
         FROM scc_n n LEFT JOIN scc_mut m ON m.node = n.v
         GROUP BY n.v
+    """
+    out["bow_tie"] = """
+        WITH RECURSIVE
+        bt_e AS (
+          SELECT DISTINCT o_custkey AS s,
+                 (o_custkey * 7 + o_orderkey) % 997 + 1 AS d
+          FROM orders
+        ),
+        bt_n AS (SELECT s AS v FROM bt_e UNION SELECT d FROM bt_e),
+        bt_r AS (
+          SELECT s AS a, d AS b FROM bt_e
+          UNION
+          SELECT r.a, e.d FROM bt_r r JOIN bt_e e ON r.b = e.s
+        ),
+        bt_mut AS (
+          SELECT r1.b AS node, r1.a AS partner
+          FROM bt_r r1 JOIN bt_r r2 ON r1.a = r2.b AND r1.b = r2.a
+        ),
+        bt_scc AS MATERIALIZED (
+          SELECT n.v AS node,
+                 least(n.v, coalesce(min(m.partner), n.v))::BIGINT
+                   AS scc_id
+          FROM bt_n n LEFT JOIN bt_mut m ON m.node = n.v
+          GROUP BY n.v
+        ),
+        bt_core AS MATERIALIZED (
+          SELECT scc_id FROM (
+            SELECT scc_id, count(*) AS n FROM bt_scc GROUP BY scc_id
+            ORDER BY n DESC, scc_id LIMIT 1
+          )
+        ),
+        bt_mem AS MATERIALIZED (
+          SELECT s.node FROM bt_scc s, bt_core c
+          WHERE s.scc_id = c.scc_id
+        )
+        SELECT s.node, s.scc_id,
+               CASE WHEN s.scc_id = (SELECT scc_id FROM bt_core)
+                      THEN 'CORE'
+                    WHEN EXISTS (SELECT 1 FROM bt_r r
+                                 JOIN bt_mem m ON r.b = m.node
+                                 WHERE r.a = s.node) THEN 'IN'
+                    WHEN EXISTS (SELECT 1 FROM bt_r r
+                                 JOIN bt_mem m ON r.a = m.node
+                                 WHERE r.b = s.node) THEN 'OUT'
+                    ELSE 'OTHER' END AS region
+        FROM bt_scc s
     """
     return out
 

@@ -37,6 +37,7 @@ __all__ = [
     "hits_integer",
     "hits_incremental",
     "strongly_connected_components",
+    "bow_tie_report",
     "label_propagation",
     "pagerank_personalized_integer",
     "pagerank_weighted_integer",
@@ -1014,6 +1015,66 @@ def strongly_connected_components(
     for p_ in done_parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+def bow_tie_report(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+    max_hops: int = 64,
+) -> DataFrame:
+    """Web bow-tie decomposition (Broder et al., WWW'00) — the E295
+    capstone: every node classified as ``CORE`` (member of the largest
+    SCC; ties on size break to the smallest scc_id), ``IN`` (reaches
+    the core but is not in it — pages that link toward the crawlable
+    center), ``OUT`` (reachable from the core — where frontier budget
+    drains), or ``OTHER`` (tendrils/tubes/disconnected).  The structure
+    audit that tells a crawl operator how much of the link graph a
+    core-seeded frontier can ever see.
+
+    Returns ``(node, scc_id, region)``.  Composition: E295 SCC → one
+    size aggregate picks the core → two multi-source BFS sweeps
+    (forward for OUT, reversed for IN) from the core members — all
+    integer/set-exact, so the closure-based oracle replays the regions
+    without referencing any of this machinery."""
+    scc = strongly_connected_components(
+        edges, src_col=src_col, dst_col=dst_col, max_rounds=max_rounds
+    ).persist()
+    core_row = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("scc_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    core_id = core_row["scc_id"]
+    core = scc.where(F.col("scc_id") == F.lit(core_id)).select("node")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    fwd = bfs_distances(e, core, max_hops=max_hops).select("node")
+    rev = bfs_distances(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        core,
+        max_hops=max_hops,
+    ).select("node")
+    out = (
+        scc.join(fwd.withColumn("__out", F.lit(True)), "node", "left")
+        .join(rev.withColumn("__in", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            "scc_id",
+            F.when(F.col("scc_id") == F.lit(core_id), F.lit("CORE"))
+            .when(F.col("__in").isNotNull(), F.lit("IN"))
+            .when(F.col("__out").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("region"),
+        )
+    )
+    from ..caching import materialize_release
+
+    return materialize_release(out, scc)
 
 
 def hits_integer(

@@ -56,3 +56,38 @@ class TestSCC:
     def test_deterministic_rerun(self, spark):
         edges = [(i, (i * 3) % 11) for i in range(11)]
         assert _run(spark, edges) == _run(spark, edges)
+
+
+class TestBowTie:
+    def test_regions(self, spark):
+        from sparkplug_spark.operators import bow_tie_report
+
+        edges = [
+            (1, 2), (2, 3), (3, 1),   # core (largest SCC)
+            (9, 1),                   # IN
+            (3, 5), (5, 6), (6, 5),   # OUT (smaller SCC downstream)
+            (6, 7),                   # OUT sink
+            (20, 21),                 # disconnected -> OTHER
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["scc_id"], r["region"])
+            for r in bow_tie_report(df).collect()
+        }
+        assert got == {
+            1: (1, "CORE"), 2: (1, "CORE"), 3: (1, "CORE"),
+            9: (9, "IN"),
+            5: (5, "OUT"), 6: (5, "OUT"), 7: (7, "OUT"),
+            20: (20, "OTHER"), 21: (21, "OTHER"),
+        }
+
+    def test_core_tie_breaks_to_smallest_scc_id(self, spark):
+        from sparkplug_spark.operators import bow_tie_report
+
+        # two 2-cycles, equal size: the smaller scc_id is the core
+        edges = [(10, 11), (11, 10), (3, 4), (4, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["region"] for r in bow_tie_report(df).collect()
+        }
+        assert got == {3: "CORE", 4: "CORE", 10: "OTHER", 11: "OTHER"}
