@@ -14894,6 +14894,46 @@ def q_streaming_index_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(docs, SEARCH_QUERIES, k=10, index=idx)
 
 
+def q_streaming_frontier_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frontier discovery (E297): the E249 fixture pages
+    arrive as two pinned micro-batches (split by page parity) folding
+    per-URL discovery aggregates into the manifest store — commutative
+    counts + min-struct first-discoverer, so serving the store with the
+    same crawled set and cap equals the one-shot `crawl_frontier` run
+    bit-for-bit (that oracle)."""
+    import tempfile
+
+    from sparkplug_spark.operators import frontier_from_store
+    from sparkplug_spark.sources import read_store
+    from sparkplug_spark.streaming import streaming_frontier_store
+    from sparkplug_spark.streaming.replay import replay_foreach_batch
+
+    pages = _page_links_pages(spark, sf_dir)
+    b1 = pages.filter(F.col("doc_id") % 2 == 0)
+    b2 = pages.filter(F.col("doc_id") % 2 == 1)
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="sparkplug_sfro_"), "store"
+    )
+    replay_foreach_batch(
+        spark,
+        [b1, b2],
+        lambda s: streaming_frontier_store(s, store),
+        shuffle_partitions=8,
+    )
+    crawled = (
+        spark.range(40)
+        .where(F.col("id") % 4 != 3)
+        .select(
+            F.concat(
+                F.lit("http://corpus.example/page/"),
+                F.col("id").cast("string"),
+            ).alias("url")
+        )
+    )
+    targets = read_store(spark, store).drop("__last_batch")
+    return frontier_from_store(targets, crawled, per_domain_cap=7)
+
+
 def q_bow_tie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bow-tie decomposition (E296): the referral graph's nodes
     classified CORE/IN/OUT/OTHER around the largest SCC; the oracle
@@ -15642,6 +15682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment_edits": q_augment_edits,
         "scc_parts": q_scc_parts,
         "bow_tie": q_bow_tie,
+        "streaming_frontier_replay": q_streaming_frontier_replay,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -15819,6 +15860,10 @@ def oracle_sql() -> dict[str, str]:
     out["link_graph"] = _link_graph_oracle_sql()
     out["robots_gate"] = _robots_gate_oracle_sql()
     out["crawl_frontier"] = _crawl_frontier_oracle_sql()
+    # the streaming store folds commutative per-URL aggregates (counts
+    # add, first-discoverer = min struct): any batching equals the
+    # one-shot frontier run
+    out["streaming_frontier_replay"] = out["crawl_frontier"]
     out["anchor_terms"] = _anchor_terms_oracle_sql()
     out["chunk_sentences"] = _chunk_sentences_oracle_sql(budget=12)
     out["chat_render"] = _chat_render_oracle_sql()

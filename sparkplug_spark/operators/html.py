@@ -763,6 +763,108 @@ def outlink_profile(
     )
 
 
+def discovered_targets(
+    pages: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    drop_rel: Sequence[str] = ("nofollow", "sponsored", "ugc"),
+) -> DataFrame:
+    """The per-URL discovery aggregate :func:`crawl_frontier` is built
+    on — ``(url, n_refs, first_doc, first_pos)`` from one batch of
+    fetched pages: followable links, canonical targets, reference
+    counts and the deterministic min-(page, position) discoverer.
+
+    Both aggregates are COMMUTATIVE (count adds, first = min struct),
+    which is what makes the streaming frontier store's merge-on-write
+    fold exact: folding per-batch aggregates equals aggregating all
+    pages at once, independent of batch order or boundaries."""
+    links = extract_links(pages, html_col=html_col, id_col=id_col)
+    if drop_rel:
+        drop_arr = F.array(*[F.lit(t.lower()) for t in drop_rel])
+        toks = F.filter(
+            F.split(F.coalesce(F.col("rel"), F.lit("")), " "),
+            lambda t: t != "",
+        )
+        links = links.where(F.size(F.array_intersect(toks, drop_arr)) == 0)
+    from .urls import canonicalize_urls
+
+    return (
+        canonicalize_urls(links, url_col="href", out_col="url")
+        .where(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("link_pos").alias("p")
+                )
+            ).alias("__first"),
+        )
+        .select(
+            "url",
+            "n_refs",
+            F.col("__first.d").alias("first_doc"),
+            F.col("__first.p").alias("first_pos"),
+        )
+    )
+
+
+def merge_frontier_targets(
+    stored: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Fold a batch's discovery aggregates into stored ones: counts
+    ADD, the first-discoverer takes the min (page, position) struct —
+    both commutative, so any batching reproduces the one-shot
+    aggregate."""
+    return (
+        stored.unionByName(batch)
+        .groupBy("url")
+        .agg(
+            F.sum("n_refs").cast("long").alias("n_refs"),
+            F.min(
+                F.struct(
+                    F.col("first_doc").alias("d"),
+                    F.col("first_pos").alias("p"),
+                )
+            ).alias("__first"),
+        )
+        .select(
+            "url",
+            "n_refs",
+            F.col("__first.d").alias("first_doc"),
+            F.col("__first.p").alias("first_pos"),
+        )
+    )
+
+
+def frontier_from_store(
+    targets: DataFrame,
+    crawled: DataFrame,
+    url_col: str = "url",
+    per_domain_cap: int = 1000,
+) -> DataFrame:
+    """Serve the crawl frontier from a maintained discovery store:
+    anti-join the already-crawled set and apply the per-domain md5-race
+    cap AT SERVE TIME (the store itself stays uncapped and un-filtered,
+    so a growing crawled set or a retuned cap never needs a store
+    rebuild).  Output schema matches :func:`crawl_frontier`."""
+    from .urls import canonicalize_urls, cap_per_domain
+
+    seen = (
+        canonicalize_urls(crawled, url_col=url_col, out_col="__canon")
+        .where(F.col("__canon").isNotNull())
+        .select(F.col("__canon").alias("url"))
+        .distinct()
+    )
+    fresh = targets.join(seen, "url", "left_anti")
+    return cap_per_domain(
+        fresh, url_col="url", cap=per_domain_cap, id_col="url"
+    ).select(
+        "url", "n_refs", "first_doc", "first_pos", "url_domain",
+        "domain_rank",
+    )
+
+
 def crawl_frontier(
     pages: DataFrame,
     crawled: DataFrame,
@@ -790,34 +892,10 @@ def crawl_frontier(
     (both sides are url+count tuples, never page bytes), and the domain
     cap is one bounded window — the standard frontier shape at ~10^11
     discovered URLs per snapshot."""
-    links = extract_links(pages, html_col=html_col, id_col=id_col)
-    if drop_rel:
-        drop_arr = F.array(*[F.lit(t.lower()) for t in drop_rel])
-        toks = F.filter(
-            F.split(F.coalesce(F.col("rel"), F.lit("")), " "),
-            lambda t: t != "",
-        )
-        links = links.where(F.size(F.array_intersect(toks, drop_arr)) == 0)
     from .urls import canonicalize_urls
 
-    targets = (
-        canonicalize_urls(links, url_col="href", out_col="url")
-        .where(F.col("url").isNotNull())
-        .groupBy("url")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_refs"),
-            F.min(
-                F.struct(
-                    F.col(id_col).alias("d"), F.col("link_pos").alias("p")
-                )
-            ).alias("__first"),
-        )
-        .select(
-            "url",
-            "n_refs",
-            F.col("__first.d").alias("first_doc"),
-            F.col("__first.p").alias("first_pos"),
-        )
+    targets = discovered_targets(
+        pages, html_col=html_col, id_col=id_col, drop_rel=drop_rel
     )
     seen = (
         canonicalize_urls(crawled, url_col=url_col, out_col="__canon")

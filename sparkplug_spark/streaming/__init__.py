@@ -46,6 +46,7 @@ __all__ = [
     "streaming_sample_per_key",
     "streaming_pagerank_store",
     "streaming_term_index_store",
+    "streaming_frontier_store",
 ]
 
 
@@ -1244,6 +1245,69 @@ def _merge_term_index_batch(
         )
     else:
         merged = build_term_index(batch_df, id_col, text_col)
+    _swap_publish(
+        merged.withColumn(
+            "__last_batch", F.lit(int(batch_id)).cast("long")
+        ),
+        spark,
+        store_path,
+    )
+
+
+def streaming_frontier_store(
+    stream_pages: DataFrame,
+    store_path: str,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    drop_rel=("nofollow", "sponsored", "ugc"),
+):
+    """Continuous crawl-frontier discovery — E249 made streaming: each
+    micro-batch of fetched pages folds its per-URL discovery aggregate
+    (followable-link counts + min-(page, position) first discoverer)
+    into the manifest-published store.  Both folds are COMMUTATIVE
+    (counts add, first = min struct), so the store equals the one-shot
+    aggregate over all pages regardless of batch order/boundaries; the
+    ``__last_batch`` guard makes at-least-once delivery exact (counts
+    add, so a replayed batch must be a no-op — the E155 discipline).
+    Serve with ``operators.html.frontier_from_store`` (crawled anti-join
+    and domain cap applied at SERVE time, so a growing crawled set or a
+    retuned cap never rebuilds the store).  Returns the
+    ``DataStreamWriter``."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        _merge_frontier_batch(
+            batch_df, batch_id, store_path, html_col, id_col, drop_rel
+        )
+
+    return stream_pages.writeStream.foreachBatch(_process)
+
+
+def _merge_frontier_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_path: str,
+    html_col: str,
+    id_col: str,
+    drop_rel,
+) -> None:
+    """One micro-batch fold of :func:`streaming_frontier_store`,
+    module-level so the replay guard is directly testable."""
+    from ..operators.html import discovered_targets, merge_frontier_targets
+
+    spark = batch_df.sparkSession
+    batch_t = discovered_targets(
+        batch_df, html_col=html_col, id_col=id_col, drop_rel=drop_rel
+    )
+    if _store_exists(spark, store_path):
+        stored = _store_read(spark, store_path)
+        applied = stored.select(F.max("__last_batch")).collect()[0][0]
+        if applied is not None and batch_id <= applied:
+            return  # at-least-once replay of an already-merged batch
+        merged = merge_frontier_targets(
+            stored.drop("__last_batch"), batch_t
+        )
+    else:
+        merged = batch_t
     _swap_publish(
         merged.withColumn(
             "__last_batch", F.lit(int(batch_id)).cast("long")

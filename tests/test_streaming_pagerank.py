@@ -153,3 +153,73 @@ class TestStreamingTermIndexStore:
             .collect()
         }
         assert after == want
+
+
+class TestStreamingFrontierStore:
+    def test_fold_equals_one_shot_and_guard(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparkplug_spark.operators import (
+            discovered_targets,
+            frontier_from_store,
+        )
+        from sparkplug_spark.streaming import (
+            _merge_frontier_batch,
+            streaming_frontier_store,
+        )
+
+        def page(i, links):
+            body = "".join(
+                f'<a href="{h}" {rel}>x</a>'
+                for h, rel in links
+            )
+            return (i, f"http://s.example/p{i}", f"<html><body>{body}</body></html>")
+
+        rows = [
+            page(0, [("http://t.example/a", ""), ("http://t.example/b", 'rel="nofollow"')]),
+            page(1, [("http://t.example/a", ""), ("http://t.example/c", "")]),
+            page(2, [("http://t.example/a", "")]),
+        ]
+        schema = "doc_id long, url string, html string"
+        all_pages = spark.createDataFrame(rows, schema)
+        b1 = all_pages.filter(F.col("doc_id") < 2)
+        b2 = all_pages.filter(F.col("doc_id") >= 2)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="sparkplug_sfro_test_"), "store"
+        )
+        replay_foreach_batch(
+            spark,
+            [b1, b2],
+            lambda s: streaming_frontier_store(s, path),
+            shuffle_partitions=4,
+        )
+        crawled = spark.createDataFrame(
+            [("http://t.example/c",)], "url string"
+        )
+        stored = read_store(spark, path).drop("__last_batch")
+        got = {
+            r["url"]: (r["n_refs"], r["first_doc"])
+            for r in frontier_from_store(stored, crawled, per_domain_cap=10).collect()
+        }
+        # a: referenced by pages 0,1,2 (3 refs, first page 0);
+        # b: nofollow-dropped; c: crawled -> anti-joined away
+        assert got == {"http://t.example/a": (3, 0)}
+        # one-shot equivalence of the raw aggregates
+        one = {
+            (r["url"], r["n_refs"], r["first_doc"], r["first_pos"])
+            for r in discovered_targets(all_pages).collect()
+        }
+        folded = {
+            (r["url"], r["n_refs"], r["first_doc"], r["first_pos"])
+            for r in stored.collect()
+        }
+        assert folded == one
+        # at-least-once redelivery of batch 1 must not double-count
+        _merge_frontier_batch(
+            b2, 1, path, "html", "doc_id", ("nofollow", "sponsored", "ugc")
+        )
+        after = {
+            (r["url"], r["n_refs"])
+            for r in read_store(spark, path).drop("__last_batch").collect()
+        }
+        assert after == {(u, n) for u, n, _, _ in folded}
