@@ -14952,6 +14952,26 @@ def q_bow_tie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bow_tie_report(edges)
 
 
+def q_bow_tie_detailed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Broder taxonomy (E296 detailed tier): OTHER refines into
+    TUBE (IN→OUT bypassing the core), TENDRIL (one-sided), and
+    DISCONNECTED via two more BFS sweeps; the oracle extends the
+    closure logic with reach-from-IN and reach-to-OUT existence
+    checks."""
+    from sparkplug_spark.operators import bow_tie_report
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = orders.select(
+        F.col("o_custkey").alias("src"),
+        ((F.col("o_custkey") * 7 + F.col("o_orderkey")) % 997 + 1).alias(
+            "dst"
+        ),
+    )
+    return bow_tie_report(edges, detailed=True)
+
+
 def q_scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (E295): the directed referral
     graph (customer → (custkey·7+orderkey)%997+1, cycles in the 1..997
@@ -15683,6 +15703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_parts": q_scc_parts,
         "bow_tie": q_bow_tie,
         "streaming_frontier_replay": q_streaming_frontier_replay,
+        "bow_tie_detailed": q_bow_tie_detailed,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -17168,6 +17189,78 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE r.b = s.node) THEN 'OUT'
                     ELSE 'OTHER' END AS region
         FROM bt_scc s
+    """
+    out["bow_tie_detailed"] = """
+        WITH RECURSIVE
+        btd_e AS (
+          SELECT DISTINCT o_custkey AS s,
+                 (o_custkey * 7 + o_orderkey) % 997 + 1 AS d
+          FROM orders
+        ),
+        btd_n AS (SELECT s AS v FROM btd_e UNION SELECT d FROM btd_e),
+        btd_r AS (
+          SELECT s AS a, d AS b FROM btd_e
+          UNION
+          SELECT r.a, e.d FROM btd_r r JOIN btd_e e ON r.b = e.s
+        ),
+        btd_mut AS (
+          SELECT r1.b AS node, r1.a AS partner
+          FROM btd_r r1 JOIN btd_r r2 ON r1.a = r2.b AND r1.b = r2.a
+        ),
+        btd_scc AS MATERIALIZED (
+          SELECT n.v AS node,
+                 least(n.v, coalesce(min(m.partner), n.v))::BIGINT
+                   AS scc_id
+          FROM btd_n n LEFT JOIN btd_mut m ON m.node = n.v
+          GROUP BY n.v
+        ),
+        btd_core AS MATERIALIZED (
+          SELECT scc_id FROM (
+            SELECT scc_id, count(*) AS n FROM btd_scc GROUP BY scc_id
+            ORDER BY n DESC, scc_id LIMIT 1
+          )
+        ),
+        btd_mem AS MATERIALIZED (
+          SELECT s.node FROM btd_scc s, btd_core c
+          WHERE s.scc_id = c.scc_id
+        ),
+        btd_coarse AS MATERIALIZED (
+          SELECT s.node, s.scc_id,
+                 CASE WHEN s.scc_id = (SELECT scc_id FROM btd_core)
+                        THEN 'CORE'
+                      WHEN EXISTS (SELECT 1 FROM btd_r r
+                                   JOIN btd_mem m ON r.b = m.node
+                                   WHERE r.a = s.node) THEN 'IN'
+                      WHEN EXISTS (SELECT 1 FROM btd_r r
+                                   JOIN btd_mem m ON r.a = m.node
+                                   WHERE r.b = s.node) THEN 'OUT'
+                      ELSE 'OTHER' END AS region
+          FROM btd_scc s
+        ),
+        btd_in AS MATERIALIZED (
+          SELECT node FROM btd_coarse WHERE region = 'IN'
+        ),
+        btd_out AS MATERIALIZED (
+          SELECT node FROM btd_coarse WHERE region = 'OUT'
+        )
+        SELECT c.node, c.scc_id,
+               CASE WHEN c.region <> 'OTHER' THEN c.region
+                    WHEN EXISTS (SELECT 1 FROM btd_r r
+                                 JOIN btd_in i ON r.a = i.node
+                                 WHERE r.b = c.node)
+                         AND EXISTS (SELECT 1 FROM btd_r r
+                                     JOIN btd_out o ON r.b = o.node
+                                     WHERE r.a = c.node)
+                      THEN 'TUBE'
+                    WHEN EXISTS (SELECT 1 FROM btd_r r
+                                 JOIN btd_in i ON r.a = i.node
+                                 WHERE r.b = c.node)
+                         OR EXISTS (SELECT 1 FROM btd_r r
+                                    JOIN btd_out o ON r.b = o.node
+                                    WHERE r.a = c.node)
+                      THEN 'TENDRIL'
+                    ELSE 'DISCONNECTED' END AS region
+        FROM btd_coarse c
     """
     return out
 

@@ -1023,6 +1023,7 @@ def bow_tie_report(
     dst_col: str = "dst",
     max_rounds: int = 16,
     max_hops: int = 64,
+    detailed: bool = False,
 ) -> DataFrame:
     """Web bow-tie decomposition (Broder et al., WWW'00) — the E295
     capstone: every node classified as ``CORE`` (member of the largest
@@ -1037,7 +1038,12 @@ def bow_tie_report(
     size aggregate picks the core → two multi-source BFS sweeps
     (forward for OUT, reversed for IN) from the core members — all
     integer/set-exact, so the closure-based oracle replays the regions
-    without referencing any of this machinery."""
+    without referencing any of this machinery.
+
+    ``detailed=True`` refines OTHER into the full Broder taxonomy with
+    two more sweeps (forward from IN, backward from OUT): ``TUBE``
+    (an IN→OUT path that bypasses the core), ``TENDRIL`` (hangs off IN
+    or feeds OUT, one-sided), ``DISCONNECTED`` (touches none of it)."""
     scc = strongly_connected_components(
         edges, src_col=src_col, dst_col=dst_col, max_rounds=max_rounds
     ).persist()
@@ -1074,7 +1080,37 @@ def bow_tie_report(
     )
     from ..caching import materialize_release
 
-    return materialize_release(out, scc)
+    if not detailed:
+        return materialize_release(out, scc)
+    base = out.persist()
+    in_nodes = base.where(F.col("region") == "IN").select("node")
+    out_nodes = base.where(F.col("region") == "OUT").select("node")
+    from_in = bfs_distances(e, in_nodes, max_hops=max_hops).select("node")
+    to_out = bfs_distances(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        out_nodes,
+        max_hops=max_hops,
+    ).select("node")
+    refined = (
+        base.join(from_in.withColumn("__fi", F.lit(True)), "node", "left")
+        .join(to_out.withColumn("__to", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            "scc_id",
+            F.when(F.col("region") != "OTHER", F.col("region"))
+            .when(
+                F.col("__fi").isNotNull() & F.col("__to").isNotNull(),
+                F.lit("TUBE"),
+            )
+            .when(
+                F.col("__fi").isNotNull() | F.col("__to").isNotNull(),
+                F.lit("TENDRIL"),
+            )
+            .otherwise(F.lit("DISCONNECTED"))
+            .alias("region"),
+        )
+    )
+    return materialize_release(refined, scc, base)
 
 
 def hits_integer(

@@ -91,3 +91,23 @@ class TestBowTie:
             r["node"]: r["region"] for r in bow_tie_report(df).collect()
         }
         assert got == {3: "CORE", 4: "CORE", 10: "OTHER", 11: "OTHER"}
+
+    def test_detailed_taxonomy(self, spark):
+        from sparkplug_spark.operators import bow_tie_report
+
+        # core {1,2,3}; IN 9; OUT 7; TUBE 30 (9->30->7 bypasses core);
+        # TENDRIL 40 (hangs off IN); DISCONNECTED 20,21
+        edges = [
+            (1, 2), (2, 3), (3, 1), (9, 1), (3, 7),
+            (9, 30), (30, 7), (9, 40), (20, 21),
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["region"]
+            for r in bow_tie_report(df, detailed=True).collect()
+        }
+        assert got == {
+            1: "CORE", 2: "CORE", 3: "CORE", 9: "IN", 7: "OUT",
+            30: "TUBE", 40: "TENDRIL", 20: "DISCONNECTED",
+            21: "DISCONNECTED",
+        }
