@@ -2782,6 +2782,32 @@ def q_language_id_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id_trained(docs)
 
 
+def q_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language mixture (E298): the trained-LID predictions
+    (E201) aggregated to per-language doc counts and exact BIGINT-div
+    ppm shares — the report a multilingual corpus recipe balances
+    against before fixing sampling weights."""
+    from pyspark.sql import Window
+
+    lid = q_language_id_trained(spark, sf_dir)
+    counts = lid.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # corpus total via a tiny all-rows window (≤ |langs| rows — the
+    # tld_report trick; never a crossJoin(broadcast(agg)) re-run)
+    w = Window.partitionBy()
+    return counts.select(
+        "lang_pred",
+        "n_docs",
+        F.expr("n_docs * 1000000L").cast("long").alias("__num"),
+        F.sum("n_docs").over(w).cast("long").alias("__tot"),
+    ).select(
+        "lang_pred",
+        "n_docs",
+        F.expr("__num div __tot").cast("long").alias("share_ppm"),
+    )
+
+
 def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto-front) shortlist: suppliers not dominated on
     (total quantity max, cheapest item min, best discount max).  All
@@ -15704,6 +15730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bow_tie": q_bow_tie,
         "streaming_frontier_replay": q_streaming_frontier_replay,
         "bow_tie_detailed": q_bow_tie_detailed,
+        "language_mixture": q_language_mixture,
         "radius_join": q_radius_join,
         "license_detect": q_license_detect,
         # rows-only (recall-gated) queries LAST: if the driver's check ever
@@ -16451,6 +16478,15 @@ def oracle_sql() -> dict[str, str]:
     # the relational tier trains (integer equality pinned by pytest), so
     # its replayed union rides the language_id_trained oracle
     out["streaming_lid_replay"] = out["language_id_trained"]
+    # per-language mixture: wrap the LID replay as a subquery and
+    # aggregate with an exact BIGINT-div ppm share
+    out["language_mixture"] = (
+        "SELECT lang_pred, count(*)::BIGINT AS n_docs, "
+        "(count(*) * 1000000 // (sum(count(*)) OVER ()))::BIGINT"
+        " AS share_ppm FROM ("
+        + out["language_id_trained"]
+        + ") GROUP BY lang_pred"
+    )
 
     # --- script-aware tokenizer tier (CJK/Kana/Hangul/Thai) -----------
     # the derived corpus CTE: latin tokens -> Han ideographs (md5-indexed
