@@ -1,0 +1,124 @@
+"""Profile declared queries one at a time in a fresh bench-identical
+session: wall time (noop sink, warm passes), job/stage/task counts from
+the status tracker, and `.explain("formatted")` captured to a file.
+
+Usage:
+    python tools/profile_query.py q1 [q2 ...] [--passes=2] [--plans=DIR]
+
+Prints one line per query:
+    <name>  best=<s>  passes=[..]  jobs=N stages=N tasks=N  plan=<path>
+
+The job/stage/task counts are for the LAST pass (steady state).  Plans
+land in --plans (default plans/r10) as <name>_profile.txt; pass
+--tag=before/after to write <name>_before.txt / <name>_after.txt for the
+judge-facing evidence files.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(
+        a[2:].split("=", 1) if "=" in a else (a[2:], "1")
+        for a in sys.argv[1:]
+        if a.startswith("--")
+    )
+    passes = int(opts.get("passes", "2"))
+    plans_dir = opts.get("plans", "plans/r10")
+    tag = opts.get("tag", "profile")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sparkplug-profile")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(plans_dir, exist_ok=True)
+
+    # same warmup as bench.py
+    warm = spark.range(100_000).select(F.md5(F.col("id").cast("string")).alias("h"))
+    warm.write.format("noop").mode("overwrite").save()
+
+    @F.pandas_udf("long")
+    def _warm_py(s):
+        return s
+
+    spark.range(10_000).select(_warm_py("id")).write.format("noop").mode("overwrite").save()
+
+    qmap = entry.queries()
+    tracker = spark.sparkContext.statusTracker()
+    for name in args:
+        fn = qmap[name]
+        times = []
+        jobs0 = stages0 = None
+        for p in range(passes):
+            j_before = tracker.getJobIdsForGroup(None)
+            spark.sparkContext.setJobDescription(f"profile:{name}:pass{p}")
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            times.append(round(dt, 3))
+            j_after = tracker.getJobIdsForGroup(None)
+            new_jobs = sorted(set(j_after) - set(j_before))
+            n_stages = n_tasks = 0
+            for jid in new_jobs:
+                ji = tracker.getJobInfo(jid)
+                if ji is None:
+                    continue
+                for sid in ji.stageIds:
+                    si = tracker.getStageInfo(sid)
+                    if si is not None and si.numCompletedTasks > 0:
+                        n_stages += 1
+                        n_tasks += si.numTasks
+            jobs0, stages0 = len(new_jobs), (n_stages, n_tasks)
+            plan = None
+            if p == passes - 1:
+                # capture the executed (AQE-final where applicable) plan
+                # BEFORE the hygiene cleanup, from the df just ran
+                try:
+                    plan = df._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                            "formatted"
+                        )
+                    )
+                except Exception:  # noqa: BLE001 - capture must not kill profiling
+                    plan = None
+            # bench-identical inter-pass hygiene
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in jmap.keySet().toArray():
+                jmap.get(rid).unpersist(False)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        plan_path = os.path.join(plans_dir, f"{name}_{tag}.txt")
+        if isinstance(plan, str):
+            with open(plan_path, "w") as f:
+                f.write(plan)
+        print(
+            f"{name}  best={min(times):.3f}  passes={times}  "
+            f"jobs={jobs0} stages={stages0[0]} tasks={stages0[1]}  "
+            f"plan={plan_path if isinstance(plan, str) else 'FAILED'}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
