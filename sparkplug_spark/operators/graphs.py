@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..caching import checkpoint_tracked, unpersist_ids
+from ..partitioning import loop_partitions, shuffle_scope
 
 __all__ = [
     "pagerank",
@@ -102,99 +103,120 @@ def pagerank(
     spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # weight each edge once; partition by src so every iteration's rank
-    # join lands on a stable edge partitioning
-    weighted = (
-        e.join(deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
-        .repartition("src")
-    )
-    weighted, w_ids = checkpoint_tracked(weighted, reliable=reliable_checkpoint)
-    n_df = nodes.select(F.count(F.lit(1)).cast("long").alias("__n"))
-    # static dangling flag: a node with no out-edges keeps its mass, which
-    # next iteration redistributes uniformly.  Flagging nodes once lets
-    # each checkpoint action ALSO observe the mass for the next step.
-    base = (
-        nodes.join(deg.select(F.col("src").alias("node"), "__deg"), "node", "left")
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "node",
-            (F.lit(1.0) / F.col("__n")).alias("rank"),
-            "__n",
-            F.col("__deg").isNull().alias("__dang"),
+    ).distinct().persist()
+    n_edges = e.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-    )
-    obs0 = Observation()
-    base = base.observe(
-        obs0, F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm")
-    )
-    ranks, prev_ids = checkpoint_tracked(base, reliable=reliable_checkpoint)
-    if ranks.isEmpty():
-        # no nodes: the loop's observations would never fire (zero tasks
-        # can mean no metrics), so return the empty result directly.
-        # prev_ids stays persisted — those blocks back the RETURNED
-        # DataFrame (a local checkpoint cannot be recomputed once freed)
-        unpersist_ids(spark, w_ids)
-        return ranks.select("node", "rank")
-    dangling_mass = float(obs0.get["dm"] or 0.0)
-    has_dangling = dangling_mass != 0.0
-    cadence = 1 if has_dangling else max(1, int(checkpoint_every))
-    d = float(damping)
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        # weight each edge once; partition by src so every iteration's
+        # rank join lands on a stable edge partitioning (at an
+        # edge-count-derived partition count — cached/checkpointed
+        # layouts pin the loop's joins, so AQE alone cannot coalesce
+        # them; no-op at production scale)
+        weighted = (
+            e.join(deg, "src")
+            .select(
+                "src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w")
+            )
+            .repartition("src")
+        )
+        weighted, w_ids = checkpoint_tracked(
+            weighted, reliable=reliable_checkpoint
+        )
+        n_df = nodes.select(F.count(F.lit(1)).cast("long").alias("__n"))
+        # static dangling flag: a node with no out-edges keeps its mass,
+        # which next iteration redistributes uniformly.  Flagging nodes
+        # once lets each checkpoint action ALSO observe the mass for the
+        # next step.
+        base = (
+            nodes.join(
+                deg.select(F.col("src").alias("node"), "__deg"),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (F.lit(1.0) / F.col("__n")).alias("rank"),
+                "__n",
+                F.col("__deg").isNull().alias("__dang"),
+            )
+        )
+        obs0 = Observation()
+        base = base.observe(
+            obs0, F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm")
+        )
+        ranks, prev_ids = checkpoint_tracked(
+            base, reliable=reliable_checkpoint
+        )
+        if ranks.isEmpty():
+            # no nodes: the loop's observations would never fire (zero
+            # tasks can mean no metrics), so return the empty result
+            # directly.  prev_ids stays persisted — those blocks back the
+            # RETURNED DataFrame (a local checkpoint cannot be recomputed
+            # once freed)
+            unpersist_ids(spark, w_ids)
+            e.unpersist()
+            return ranks.select("node", "rank")
+        dangling_mass = float(obs0.get["dm"] or 0.0)
+        has_dangling = dangling_mass != 0.0
+        cadence = 1 if has_dangling else max(1, int(checkpoint_every))
+        d = float(damping)
 
-    def step(r: DataFrame) -> DataFrame:
-        contribs = (
-            weighted.join(r.select(F.col("node").alias("src"), "rank"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
-        )
-        return r.join(contribs, "node", "left").select(
-            "node",
-            (
-                (1.0 - d) / F.col("__n")
-                + d
-                * (
-                    F.coalesce(F.col("__in"), F.lit(0.0))
-                    + F.lit(dangling_mass) / F.col("__n")
+        def step(r: DataFrame) -> DataFrame:
+            contribs = (
+                weighted.join(
+                    r.select(F.col("node").alias("src"), "rank"), "src"
                 )
-            ).alias("rank"),
-            F.col("rank").alias("__prev"),
-            "__n",
-            "__dang",
-        )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
+            )
+            return r.join(contribs, "node", "left").select(
+                "node",
+                (
+                    (1.0 - d) / F.col("__n")
+                    + d
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.lit(dangling_mass) / F.col("__n")
+                    )
+                ).alias("rank"),
+                F.col("rank").alias("__prev"),
+                "__n",
+                "__dang",
+            )
 
-    done = 0
-    while done < iterations:
-        steps = min(cadence, iterations - done)
-        stepped = ranks
-        for _ in range(steps):
-            stepped = step(stepped.drop("__prev"))
-        obs = Observation()
-        stepped = stepped.observe(
-            obs,
-            F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm"),
-            # delta of the chain's LAST sub-step: a per-checkpoint
-            # convergence probe (the tightest of the chained steps)
-            F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("l1"),
-        ).drop("__prev")
-        ranks, new_ids = checkpoint_tracked(
-            stepped, reliable=reliable_checkpoint
-        )
-        unpersist_ids(spark, prev_ids)
-        prev_ids = new_ids
-        done += steps
-        got = obs.get
-        dangling_mass = float(got["dm"] or 0.0)
-        if tol is not None and float(got["l1"] or 0.0) < tol:
-            break
-    unpersist_ids(spark, w_ids)
-    return ranks.select("node", "rank")
+        done = 0
+        while done < iterations:
+            steps = min(cadence, iterations - done)
+            stepped = ranks
+            for _ in range(steps):
+                stepped = step(stepped.drop("__prev"))
+            obs = Observation()
+            stepped = stepped.observe(
+                obs,
+                F.sum(F.when(F.col("__dang"), F.col("rank"))).alias("dm"),
+                # delta of the chain's LAST sub-step: a per-checkpoint
+                # convergence probe (the tightest of the chained steps)
+                F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("l1"),
+            ).drop("__prev")
+            ranks, new_ids = checkpoint_tracked(
+                stepped, reliable=reliable_checkpoint
+            )
+            unpersist_ids(spark, prev_ids)
+            prev_ids = new_ids
+            done += steps
+            got = obs.get
+            dangling_mass = float(got["dm"] or 0.0)
+            if tol is not None and float(got["l1"] or 0.0) < tol:
+                break
+        unpersist_ids(spark, w_ids)
+        e.unpersist()
+        return ranks.select("node", "rank")
 
 
 def bfs_distances(
@@ -413,58 +435,75 @@ def coreness(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-    )
-    adj = (
-        e.select(F.col("a").alias("v"), F.col("b").alias("u"))
-        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("u")))
         .persist()
     )
-    deg = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    cores, ids = checkpoint_tracked(
-        deg.select("v", F.col("deg").alias("c"))
-    )
-    degrees = deg.persist()
-    degrees.count()
-    w = Window.partitionBy("v").orderBy(F.desc("cu"))
-    for _ in range(max_iterations):
-        nbr = adj.join(
-            cores.withColumnsRenamed({"v": "u", "c": "cu"}), "u"
-        ).select("v", "cu")
-        h = (
-            nbr.withColumn("r", F.row_number().over(w))
-            .groupBy("v")
-            .agg(F.max(F.least(F.col("cu"), F.col("r"))).alias("h"))
+    n_edges = e.count()
+    with shuffle_scope(spark, loop_partitions(spark, 2 * n_edges)):
+        # symmetric adjacency partitioned on u — the key every round's
+        # neighbor join uses (unpartitioned, the full adjacency
+        # re-exchanged per round); count derived from the working set
+        adj = (
+            e.select(F.col("a").alias("v"), F.col("b").alias("u"))
+            .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("u")))
+            .repartition("u")
+            .persist()
         )
-        nxt = (
-            cores.join(h, "v", "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("c"), F.coalesce(F.col("h"), F.lit(0))
-                ).alias("c"),
+        deg = adj.groupBy("v").agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        cores, ids = checkpoint_tracked(
+            deg.select("v", F.col("deg").alias("c"))
+        )
+        degrees = deg.persist()
+        degrees.count()
+        e.unpersist()
+        w = Window.partitionBy("v").orderBy(F.desc("cu"))
+        for _ in range(max_iterations):
+            nbr = adj.join(
+                cores.withColumnsRenamed({"v": "u", "c": "cu"}), "u"
+            ).select("v", "cu")
+            h = (
+                nbr.withColumn("r", F.row_number().over(w))
+                .groupBy("v")
+                .agg(F.max(F.least(F.col("cu"), F.col("r"))).alias("h"))
             )
+            # carry the previous value through the checkpoint so the
+            # convergence count rides the materialization as an observe
+            # metric — no separate nxt-vs-cores join+count job per round
+            obs = Observation()
+            nxt = (
+                cores.join(h, "v", "left")
+                .select(
+                    "v",
+                    F.col("c").alias("__old"),
+                    F.least(
+                        F.col("c"), F.coalesce(F.col("h"), F.lit(0))
+                    ).alias("c"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("c") != F.col("__old"), 1).otherwise(0)
+                    ).alias("chg"),
+                )
+                .select("v", "c")
+            )
+            nxt, new_ids = checkpoint_tracked(nxt)
+            changed = int(obs.get["chg"] or 0)
+            unpersist_ids(spark, ids)
+            cores, ids = nxt, new_ids
+            if changed == 0:
+                break
+        out = degrees.join(cores, "v").select(
+            F.col("v").alias("item"),
+            F.col("deg").alias("degree"),
+            F.col("c").alias("core"),
         )
-        nxt, new_ids = checkpoint_tracked(nxt)
-        changed = (
-            nxt.withColumnRenamed("c", "cn")
-            .join(cores.withColumnRenamed("c", "co"), "v")
-            .filter(F.col("cn") != F.col("co"))
-            .count()
-        )
-        unpersist_ids(spark, ids)
-        cores, ids = nxt, new_ids
-        if changed == 0:
-            break
-    out = degrees.join(cores, "v").select(
-        F.col("v").alias("item"),
-        F.col("deg").alias("degree"),
-        F.col("c").alias("core"),
-    )
-    from ..caching import materialize_release
+        from ..caching import materialize_release
 
-    out = materialize_release(out, adj, degrees)
-    unpersist_ids(spark, ids)
-    return out
+        out = materialize_release(out, adj, degrees)
+        unpersist_ids(spark, ids)
+        return out
 
 
 def hits(
@@ -505,78 +544,88 @@ def hits(
     spark = edges.sparkSession
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
-    e_src, src_ids = checkpoint_tracked(
-        e.repartition("src"), reliable=reliable_checkpoint
-    )
-    if e_src.isEmpty():
-        unpersist_ids(spark, src_ids)
+    ).distinct().persist()
+    n_edges = e.count()
+    if n_edges == 0:
+        e.unpersist()
         return spark.createDataFrame(
             [], "node long, hub double, authority double"
         )
-    e_dst, dst_ids = checkpoint_tracked(
-        e_src.repartition("dst"), reliable=reliable_checkpoint
-    )
-    state = (
-        e_src.select(F.col("src").alias("node"))
-        .unionByName(e_src.select(F.col("dst").alias("node")))
-        .distinct()
-        .select("node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
-    )
-    prev_ids: set[int] = set()
-    pending: list[DataFrame] = []
-    done = 0
-    while done < iterations:
-        steps = min(checkpoint_every, iterations - done)
-        st = state
-        for _ in range(steps):
-            a = (
-                e_src.join(
-                    st.select(F.col("node").alias("src"), "hub"), "src"
-                )
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum("hub").alias("auth"))
-                .persist()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        e_src, src_ids = checkpoint_tracked(
+            e.repartition("src"), reliable=reliable_checkpoint
+        )
+        e_dst, dst_ids = checkpoint_tracked(
+            e_src.repartition("dst"), reliable=reliable_checkpoint
+        )
+        e.unpersist()
+        state = (
+            e_src.select(F.col("src").alias("node"))
+            .unionByName(e_src.select(F.col("dst").alias("node")))
+            .distinct()
+            .select(
+                "node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub")
             )
-            pending.append(a)
-            h = (
-                e_dst.join(
-                    a.select(F.col("node").alias("dst"), "auth"), "dst"
+        )
+        prev_ids: set[int] = set()
+        pending: list[DataFrame] = []
+        done = 0
+        while done < iterations:
+            steps = min(checkpoint_every, iterations - done)
+            st = state
+            for _ in range(steps):
+                a = (
+                    e_src.join(
+                        st.select(F.col("node").alias("src"), "hub"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("hub").alias("auth"))
+                    .persist()
                 )
-                .groupBy(F.col("src").alias("node"))
-                .agg(F.sum("auth").alias("hub"))
+                pending.append(a)
+                h = (
+                    e_dst.join(
+                        a.select(F.col("node").alias("dst"), "auth"), "dst"
+                    )
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.sum("auth").alias("hub"))
+                )
+                # full outer: only-out-edge nodes miss from a,
+                # only-in-edge nodes miss from h; together they cover
+                # every node
+                st = a.join(h, "node", "full").select(
+                    "node",
+                    F.coalesce("auth", F.lit(0.0)).alias("auth"),
+                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                )
+            obs = Observation()
+            st = st.observe(
+                obs,
+                F.sum(F.col("auth") * F.col("auth")).alias("a2"),
+                F.sum(F.col("hub") * F.col("hub")).alias("h2"),
             )
-            # full outer: only-out-edge nodes miss from a, only-in-edge
-            # nodes miss from h; together they cover every node
-            st = a.join(h, "node", "full").select(
+            ck, new_ids = checkpoint_tracked(
+                st, reliable=reliable_checkpoint
+            )
+            unpersist_ids(spark, prev_ids)
+            prev_ids = new_ids
+            for c in pending:
+                c.unpersist()
+            pending = []
+            got = obs.get
+            an = float(got["a2"] or 0.0) ** 0.5 or 1.0
+            hn = float(got["h2"] or 0.0) ** 0.5 or 1.0
+            state = ck.select(
                 "node",
-                F.coalesce("auth", F.lit(0.0)).alias("auth"),
-                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                (F.col("auth") / F.lit(an)).alias("auth"),
+                (F.col("hub") / F.lit(hn)).alias("hub"),
             )
-        obs = Observation()
-        st = st.observe(
-            obs,
-            F.sum(F.col("auth") * F.col("auth")).alias("a2"),
-            F.sum(F.col("hub") * F.col("hub")).alias("h2"),
+            done += steps
+        unpersist_ids(spark, src_ids)
+        unpersist_ids(spark, dst_ids)
+        return state.select(
+            "node", "hub", F.col("auth").alias("authority")
         )
-        ck, new_ids = checkpoint_tracked(st, reliable=reliable_checkpoint)
-        unpersist_ids(spark, prev_ids)
-        prev_ids = new_ids
-        for c in pending:
-            c.unpersist()
-        pending = []
-        got = obs.get
-        an = float(got["a2"] or 0.0) ** 0.5 or 1.0
-        hn = float(got["h2"] or 0.0) ** 0.5 or 1.0
-        state = ck.select(
-            "node",
-            (F.col("auth") / F.lit(an)).alias("auth"),
-            (F.col("hub") / F.lit(hn)).alias("hub"),
-        )
-        done += steps
-    unpersist_ids(spark, src_ids)
-    unpersist_ids(spark, dst_ids)
-    return state.select("node", "hub", F.col("auth").alias("authority"))
 
 
 def pagerank_integer(
@@ -629,6 +678,7 @@ def pagerank_integer(
     a maintained edge store) — at corpus scale that pre-pass is a full
     edge shuffle per batch."""
     from ..caching import checkpoint_tracked, unpersist_ids
+    from ..partitioning import loop_partitions, shuffle_scope
 
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
@@ -686,88 +736,101 @@ def pagerank_integer(
     else:
         marked = nodes.withColumn("__dang", F.lit(False))
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
-    # out-degree folded INTO the edge table once, hash-partitioned on
-    # src (the float tier's `weighted` shape): each iteration then costs
-    # exactly TWO exchanges — the node-sized rank table to hash(src) and
-    # the dst aggregation — instead of re-joining m with outdeg and e
-    # separately (~5 exchanges/iteration; on bench-scale graphs the
-    # exchange count IS the wall clock).  `rank_nano div outdeg` per
-    # edge equals the per-src share joined onto each edge: identical
-    # integer arithmetic, identical sums.
-    we = (
-        e.join(outdeg.select(F.col("node").alias("src"), "outdeg"), "src")
-        .repartition("src")
-        .persist()
-    )
-    marked = marked.repartition("node").persist()
-    live: set[int] = set()
-    if init_ranks is None:
-        m = marked.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
-        dm = n_dang * int(unit)  # initial state: `unit` mass per node
-    else:
-        m = marked.join(
-            init_ranks.select("node", F.col("rank_nano").alias("__init")),
-            "node",
-            "left",
-        ).select(
-            "node",
-            "__dang",
-            F.coalesce(F.col("__init"), F.lit(int(unit)))
-            .cast("long")
-            .alias("rank_nano"),
+    n_edges = e.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        # out-degree folded INTO the edge table once, hash-partitioned on
+        # src (the float tier's `weighted` shape): each iteration then
+        # costs exactly TWO exchanges — the node-sized rank table to
+        # hash(src) and the dst aggregation — instead of re-joining m with
+        # outdeg and e separately (~5 exchanges/iteration; on bench-scale
+        # graphs the exchange count IS the wall clock).  `rank_nano div
+        # outdeg` per edge equals the per-src share joined onto each edge:
+        # identical integer arithmetic, identical sums.  The loop runs at
+        # an edge-count-derived partition count (cached layouts pin every
+        # join, so AQE cannot coalesce these; no-op at production scale).
+        we = (
+            e.join(
+                outdeg.select(F.col("node").alias("src"), "outdeg"), "src"
+            )
+            .repartition("src")
+            .persist()
         )
-        dm = 0
-        if has_dang:
-            # the initial redistributable mass is data-dependent now:
-            # checkpoint the init join ONCE, then take the 1-row total
-            # as an eager action (the r5 lazy-broadcast lesson)
-            m, live = checkpoint_tracked(m)
-            dm = int(
-                m.where(F.col("__dang")).agg(F.sum("rank_nano")).first()[0]
-                or 0
+        marked = marked.repartition("node").persist()
+        live: set[int] = set()
+        if init_ranks is None:
+            m = marked.withColumn(
+                "rank_nano", F.lit(int(unit)).cast("long")
             )
-    for i in range(int(iterations)):
-        ds = dm // n_nodes if has_dang else 0  # ranks >= 0: // == div
-        incoming = (
-            we.join(
-                m.select(F.col("node").alias("src"), "rank_nano"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(F.expr("rank_nano div outdeg"))
+            dm = n_dang * int(unit)  # initial state: `unit` mass per node
+        else:
+            m = marked.join(
+                init_ranks.select(
+                    "node", F.col("rank_nano").alias("__init")
+                ),
+                "node",
+                "left",
+            ).select(
+                "node",
+                "__dang",
+                F.coalesce(F.col("__init"), F.lit(int(unit)))
                 .cast("long")
-                .alias("inc")
+                .alias("rank_nano"),
             )
-        )
-        m = marked.join(incoming, "node", "left").select(
-            "node",
-            "__dang",
-            (
-                F.lit(int(base))
-                + F.expr(
-                    f"{int(damping_pct)}L * (coalesce(inc, 0L) + {int(ds)}L)"
-                    " div 100"
-                )
-            ).cast("long").alias("rank_nano"),
-        )
-        if (i + 1) % cadence == 0 or i == iterations - 1:
-            obs = None
+            dm = 0
             if has_dang:
-                obs = Observation()
-                m = m.observe(
-                    obs,
-                    F.sum(
-                        F.when(F.col("__dang"), F.col("rank_nano"))
-                    ).alias("dm"),
+                # the initial redistributable mass is data-dependent now:
+                # checkpoint the init join ONCE, then take the 1-row total
+                # as an eager action (the r5 lazy-broadcast lesson)
+                m, live = checkpoint_tracked(m)
+                dm = int(
+                    m.where(F.col("__dang"))
+                    .agg(F.sum("rank_nano"))
+                    .first()[0]
+                    or 0
                 )
-            m, ids = checkpoint_tracked(m)
-            unpersist_ids(spark, live)
-            live = ids
-            if obs is not None:
-                dm = int(obs.get["dm"] or 0)
-    for df_ in (e, nodes, outdeg, we, marked):
-        df_.unpersist()
-    return m.select("node", "rank_nano")
+        for i in range(int(iterations)):
+            ds = dm // n_nodes if has_dang else 0  # ranks >= 0: // == div
+            incoming = (
+                we.join(
+                    m.select(F.col("node").alias("src"), "rank_nano"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.sum(F.expr("rank_nano div outdeg"))
+                    .cast("long")
+                    .alias("inc")
+                )
+            )
+            m = marked.join(incoming, "node", "left").select(
+                "node",
+                "__dang",
+                (
+                    F.lit(int(base))
+                    + F.expr(
+                        f"{int(damping_pct)}L * (coalesce(inc, 0L)"
+                        f" + {int(ds)}L) div 100"
+                    )
+                ).cast("long").alias("rank_nano"),
+            )
+            if (i + 1) % cadence == 0 or i == iterations - 1:
+                obs = None
+                if has_dang:
+                    obs = Observation()
+                    m = m.observe(
+                        obs,
+                        F.sum(
+                            F.when(F.col("__dang"), F.col("rank_nano"))
+                        ).alias("dm"),
+                    )
+                m, ids = checkpoint_tracked(m)
+                unpersist_ids(spark, live)
+                live = ids
+                if obs is not None:
+                    dm = int(obs.get["dm"] or 0)
+        for df_ in (e, nodes, outdeg, we, marked):
+            df_.unpersist()
+        return m.select("node", "rank_nano")
 
 
 def fold_edges(
@@ -1147,16 +1210,25 @@ def hits_integer(
     Returns (node, hub_units, auth_units) — integer shares of ``unit``.
 
     Plan per iteration: two partition-aligned shuffles (src gather, dst
-    gather) + ONE eager local checkpoint (the raw hub table) + one
-    1-row L1 total.  The raw table must be materialized before its
-    total is taken — the total rides a broadcast whose subplan would
-    otherwise recompute the whole un-checkpointed upstream chain once
-    per nesting level (measured 68 s for 8 iterations at sf0.1 without
-    it).  Round N-1's blocks are freed as soon as round N's checkpoint
-    lands (the only consumers — this round's gathers — have run); the
-    final round keeps its predecessor alive until the output authority
-    vector is itself checkpointed."""
-    from ..caching import checkpoint_tracked, unpersist_ids
+    gather — the edge table is persisted TWICE, hash-partitioned by src
+    and by dst, so only node-sized vectors ever re-exchange) + ONE eager
+    local checkpoint (the raw hub table) whose materialization ALSO
+    carries the L1 total as an ``observe`` metric — no broadcast-total
+    job per iteration (the lazy-broadcast subplan was the r5 68 s
+    regression class; the observation is strictly cheaper than even the
+    checkpointed broadcast).  Zero-fill of nodes missing from a gather
+    is DEFERRED to the output join: a missing row contributes exactly
+    what an explicit 0 contributes to every downstream integer sum
+    (gather sums and L1 totals alike), so the per-iteration
+    nodes-join zero-fill bought nothing but two node-sized joins per
+    round.  Loop shuffles run at a partition count derived from the
+    edge count (:func:`~..partitioning.loop_partitions`) — a cached
+    table's layout pins every downstream join, so AQE alone cannot
+    coalesce these; at production scale the derivation clamps to the
+    session's configured partitions and is a no-op.  Round N-1's blocks
+    are freed as soon as round N's checkpoint lands."""
+    from ..caching import checkpoint_tracked, materialize_release, unpersist_ids
+    from ..partitioning import loop_partitions, shuffle_scope
 
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -1204,98 +1276,109 @@ def hits_integer(
             f"{outdeg_max}*{unit}^2 >= 2^63; pass a smaller unit "
             f"(<= {int((2**63 / outdeg_max) ** 0.5) - 1})"
         )
+    n_edges = e.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        e_src = e.repartition("src").persist()
+        e_dst = e.repartition("dst").persist()
 
-    def _l1_normalize(df, col):
-        # EAGER local checkpoint: the total below must not recompute the
-        # upstream join chain (lazy persist still races the broadcast
-        # subplan at materialization time)
-        df, ids = checkpoint_tracked(df)
-        tot = df.agg(
-            F.greatest(F.sum(col), F.lit(1)).cast("long").alias("__t")
-        )
-        return (
-            df.crossJoin(F.broadcast(tot))
+        def _l1_normalize(df, col):
+            # EAGER local checkpoint; the L1 total rides its
+            # materialization as an observe metric and enters the next
+            # step as an int literal (a lazy broadcast subplan would
+            # recompute the un-checkpointed chain — the r5 class)
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.greatest(F.sum(col), F.lit(1)).cast("long").alias("__t"),
+            )
+            df, ids = checkpoint_tracked(df)
+            tot = int(obs.get["__t"])
+            return (
+                df.select(
+                    "node",
+                    F.expr(f"{col} * {int(unit)}L div {tot}L").alias(col),
+                ),
+                ids,
+            )
+
+        # iteration-0 L1 normalization of the constant start vector: floor
+        # of unit·unit/(n·unit) per node — guarantees Σhub ≤ unit before
+        # the first gather (the ADVICE r5 headroom fix)
+        if init_hubs is None:
+            hub = nodes.withColumn(
+                "hub_units", F.lit(int(unit) // n_nodes).cast("long")
+            )
+            prev_ids: set[int] = set()  # blocks backing hub_{i-1}
+        else:
+            # warm start (:func:`hits_incremental`): stored hubs for old
+            # nodes, the uniform share for nodes first seen in this batch,
+            # then ONE integer L1 normalization so the headroom invariant
+            # (sum(hub) <= unit before the first gather) still holds
+            hub0 = nodes.join(
+                init_hubs.select("node", F.col("hub_units").alias("__h")),
+                "node",
+                "left",
+            ).select(
+                "node",
+                F.coalesce(F.col("__h"), F.lit(int(unit) // n_nodes))
+                .cast("long")
+                .alias("hub_units"),
+            )
+            hub, prev_ids = _l1_normalize(hub0, "hub_units")
+        araw = None
+        for i in range(int(iterations)):
+            # nodes absent from a gather (no in-/out-edges) would carry 0
+            # through every sum and total — rows omitted until the output
+            araw = (
+                e_src.join(
+                    hub.select(F.col("node").alias("src"), "hub_units"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub_units").cast("long").alias("auth_units"))
+            )
+            hraw = (
+                e_dst.join(
+                    araw.select(F.col("node").alias("dst"), "auth_units"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("auth_units").cast("long").alias("hub_units"))
+            )
+            hub, ids = _l1_normalize(hraw, "hub_units")
+            # round i's checkpoint has consumed auth_i and hub_{i-1}; free
+            # R_{i-1} — EXCEPT on the final round, where the output
+            # authority vector still reads hub_{i-1}'s blocks until
+            # normalized below
+            if i < int(iterations) - 1:
+                unpersist_ids(spark, prev_ids)
+                prev_ids = ids
+            else:
+                final_prev = prev_ids
+                prev_ids = ids
+        auth, _auth_ids = _l1_normalize(araw, "auth_units")
+        # the auth checkpoint above was hub_{k-1}'s last consumer; freeing
+        # it unconditionally also covers the warm-start init blocks when
+        # iterations == 1 (final_prev is empty only on a cold 1-iteration
+        # run)
+        unpersist_ids(spark, final_prev)
+        out = (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
             .select(
                 "node",
-                F.expr(f"{col} * {int(unit)}L div __t").alias(col),
-            ),
-            ids,
-        )
-
-    # iteration-0 L1 normalization of the constant start vector: floor
-    # of unit·unit/(n·unit) per node — guarantees Σhub ≤ unit before the
-    # first gather (the ADVICE r5 headroom fix)
-    if init_hubs is None:
-        hub = nodes.withColumn(
-            "hub_units", F.lit(int(unit) // n_nodes).cast("long")
-        )
-        prev_ids: set[int] = set()  # blocks backing hub_{i-1}
-    else:
-        # warm start (:func:`hits_incremental`): stored hubs for old
-        # nodes, the uniform share for nodes first seen in this batch,
-        # then ONE integer L1 normalization so the headroom invariant
-        # (sum(hub) <= unit before the first gather) still holds
-        hub0 = nodes.join(
-            init_hubs.select("node", F.col("hub_units").alias("__h")),
-            "node",
-            "left",
-        ).select(
-            "node",
-            F.coalesce(F.col("__h"), F.lit(int(unit) // n_nodes))
-            .cast("long")
-            .alias("hub_units"),
-        )
-        hub, prev_ids = _l1_normalize(hub0, "hub_units")
-    auth = None
-    for i in range(int(iterations)):
-        araw = (
-            e.join(
-                hub.select(F.col("node").alias("src"), "hub_units"), "src"
+                F.coalesce("hub_units", F.lit(0))
+                .cast("long")
+                .alias("hub_units"),
+                F.coalesce("auth_units", F.lit(0))
+                .cast("long")
+                .alias("auth_units"),
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hub_units").cast("long").alias("auth_units"))
         )
-        auth = nodes.join(araw, "node", "left").select(
-            "node",
-            F.coalesce("auth_units", F.lit(0)).cast("long").alias(
-                "auth_units"
-            ),
-        )
-        hraw = (
-            e.join(
-                auth.select(F.col("node").alias("dst"), "auth_units"),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("auth_units").cast("long").alias("hub_units"))
-        )
-        hub, ids = _l1_normalize(
-            nodes.join(hraw, "node", "left").select(
-                "node",
-                F.coalesce("hub_units", F.lit(0)).cast("long").alias(
-                    "hub_units"
-                ),
-            ),
-            "hub_units",
-        )
-        # round i's checkpoint has consumed auth_i and hub_{i-1}; free
-        # R_{i-1} — EXCEPT on the final round, where the output authority
-        # vector still reads hub_{i-1}'s blocks until normalized below
-        if i < int(iterations) - 1:
-            unpersist_ids(spark, prev_ids)
-            prev_ids = ids
-        else:
-            final_prev = prev_ids
-            prev_ids = ids
-    auth, _auth_ids = _l1_normalize(auth, "auth_units")
-    # the auth checkpoint above was hub_{k-1}'s last consumer; freeing it
-    # unconditionally also covers the warm-start init blocks when
-    # iterations == 1 (final_prev is empty only on a cold 1-iteration run)
-    unpersist_ids(spark, final_prev)
-    out = hub.join(auth, "node").select("node", "hub_units", "auth_units")
-    for df_ in (e, nodes):
-        df_.unpersist()
-    return out
+        # the deferred zero-fill reads `nodes`: materialize before the
+        # persisted inputs are released (and before the scope lifts, so
+        # nothing plans against the restored partition count)
+        return materialize_release(out, e, nodes, e_src, e_dst)
 
 
 def label_propagation(
@@ -1334,35 +1417,49 @@ def label_propagation(
         raise ValueError("iterations must be >= 1")
     spark = edges.sparkSession
     fwd = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    e = (
+    e0 = (
         fwd.unionByName(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .repartition("s")
+        .persist()
     )
-    e, e_ids = checkpoint_tracked(e, reliable=reliable_checkpoint)
-    labels = e.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    labels, l_ids = checkpoint_tracked(labels, reliable=reliable_checkpoint)
-    w = Window.partitionBy("node").orderBy(
-        F.desc("__c"), F.asc("label")
-    )
-    for _ in range(iterations):
-        counts = (
-            e.join(labels.withColumnRenamed("node", "d"), "d")
-            .groupBy(F.col("s").alias("node"), "label")
-            .agg(F.count(F.lit(1)).alias("__c"))
+    n_edges = e0.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        # partitioned on d — the key every round's label join uses (the
+        # old hash(s) layout re-exchanged the full edge set per round);
+        # partition count derived from the edge count (no-op at scale)
+        e, e_ids = checkpoint_tracked(
+            e0.repartition("d"), reliable=reliable_checkpoint
         )
-        nxt = (
-            counts.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("node", "label")
+        e0.unpersist()
+        labels = e.select(F.col("s").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
         )
-        nxt, n_ids = checkpoint_tracked(nxt, reliable=reliable_checkpoint)
-        unpersist_ids(spark, l_ids)
-        labels, l_ids = nxt, n_ids
-    unpersist_ids(spark, e_ids)
-    return labels.select("node", F.col("label").cast("long").alias("label"))
+        labels, l_ids = checkpoint_tracked(
+            labels, reliable=reliable_checkpoint
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("__c"), F.asc("label")
+        )
+        for _ in range(iterations):
+            counts = (
+                e.join(labels.withColumnRenamed("node", "d"), "d")
+                .groupBy(F.col("s").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            nxt = (
+                counts.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select("node", "label")
+            )
+            nxt, n_ids = checkpoint_tracked(
+                nxt, reliable=reliable_checkpoint
+            )
+            unpersist_ids(spark, l_ids)
+            labels, l_ids = nxt, n_ids
+        unpersist_ids(spark, e_ids)
+        return labels.select(
+            "node", F.col("label").cast("long").alias("label")
+        )
 
 
 def pagerank_personalized_integer(
@@ -1453,69 +1550,76 @@ def pagerank_personalized_integer(
         n_dang, n_dang_seeds = int(_c["nd"]), int(_c["nds"])
     has_dang = n_dang > 0
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
-    # out-degree folded into a src-partitioned persisted edge table —
-    # two exchanges per iteration (see pagerank_integer)
-    we = (
-        e.join(outdeg.select(F.col("node").alias("src"), "outdeg"), "src")
-        .repartition("src")
-        .persist()
-    )
-    m = marked.select(
-        "node",
-        "__dang",
-        F.when(is_seed, F.lit(int(init_share)))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("rank_nano"),
-    )
-    # initial state: init_share on every seed, 0 elsewhere
-    dm = n_dang_seeds * int(init_share)
-    live: set[int] = set()
-    for i in range(int(iterations)):
-        ds = dm // n_seeds if has_dang else 0
-        incoming = (
-            we.join(
-                m.select(F.col("node").alias("src"), "rank_nano"), "src"
+    n_edges = e.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        # out-degree folded into a src-partitioned persisted edge table —
+        # two exchanges per iteration, at an edge-count-derived partition
+        # count (see pagerank_integer)
+        we = (
+            e.join(
+                outdeg.select(F.col("node").alias("src"), "outdeg"), "src"
             )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(F.expr("rank_nano div outdeg"))
-                .cast("long")
-                .alias("inc")
-            )
+            .repartition("src")
+            .persist()
         )
-        m = marked.join(incoming, "node", "left").select(
+        marked_p = marked.repartition("node").persist()
+        m = marked_p.select(
             "node",
             "__dang",
-            (
-                F.when(is_seed, F.lit(int(seed_base)))
-                .otherwise(F.lit(0))
-                .cast("long")
-                + F.expr(
-                    f"{int(damping_pct)}L * (coalesce(inc, 0L)"
-                    f" + CASE WHEN __s IS NOT NULL THEN {int(ds)}L"
-                    " ELSE 0L END) div 100"
-                )
-            ).cast("long").alias("rank_nano"),
+            F.when(is_seed, F.lit(int(init_share)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_nano"),
         )
-        if (i + 1) % cadence == 0 or i == iterations - 1:
-            obs = None
-            if has_dang:
-                obs = Observation()
-                m = m.observe(
-                    obs,
-                    F.sum(
-                        F.when(F.col("__dang"), F.col("rank_nano"))
-                    ).alias("dm"),
+        # initial state: init_share on every seed, 0 elsewhere
+        dm = n_dang_seeds * int(init_share)
+        live: set[int] = set()
+        for i in range(int(iterations)):
+            ds = dm // n_seeds if has_dang else 0
+            incoming = (
+                we.join(
+                    m.select(F.col("node").alias("src"), "rank_nano"),
+                    "src",
                 )
-            m, ids = checkpoint_tracked(m)
-            unpersist_ids(spark, live)
-            live = ids
-            if obs is not None:
-                dm = int(obs.get["dm"] or 0)
-    for df_ in (e, sd, nodes, outdeg, marked, we):
-        df_.unpersist()
-    return m.select("node", "rank_nano")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.sum(F.expr("rank_nano div outdeg"))
+                    .cast("long")
+                    .alias("inc")
+                )
+            )
+            m = marked_p.join(incoming, "node", "left").select(
+                "node",
+                "__dang",
+                (
+                    F.when(is_seed, F.lit(int(seed_base)))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr(
+                        f"{int(damping_pct)}L * (coalesce(inc, 0L)"
+                        f" + CASE WHEN __s IS NOT NULL THEN {int(ds)}L"
+                        " ELSE 0L END) div 100"
+                    )
+                ).cast("long").alias("rank_nano"),
+            )
+            if (i + 1) % cadence == 0 or i == iterations - 1:
+                obs = None
+                if has_dang:
+                    obs = Observation()
+                    m = m.observe(
+                        obs,
+                        F.sum(
+                            F.when(F.col("__dang"), F.col("rank_nano"))
+                        ).alias("dm"),
+                    )
+                m, ids = checkpoint_tracked(m)
+                unpersist_ids(spark, live)
+                live = ids
+                if obs is not None:
+                    dm = int(obs.get["dm"] or 0)
+        for df_ in (e, sd, nodes, outdeg, marked, marked_p, we):
+            df_.unpersist()
+        return m.select("node", "rank_nano")
 
 
 def pagerank_weighted_integer(
@@ -1595,56 +1699,60 @@ def pagerank_weighted_integer(
     else:
         marked = nodes.withColumn("__dang", F.lit(False))
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
-    # out-weight folded into a src-partitioned persisted edge table —
-    # two exchanges per iteration (see pagerank_integer)
-    we = (
-        e.join(outw.select(F.col("node").alias("src"), "outw"), "src")
-        .repartition("src")
-        .persist()
-    )
-    marked = marked.repartition("node").persist()
-    m = marked.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
-    dm = n_dang * int(unit)
-    live: set[int] = set()
-    for i in range(int(iterations)):
-        ds = dm // n_nodes if has_dang else 0
-        incoming = (
-            we.join(
-                m.select(F.col("node").alias("src"), "rank_nano"), "src"
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(F.expr("rank_nano * w div outw"))
-                .cast("long")
-                .alias("inc")
-            )
+    n_edges = e.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        # out-weight folded into a src-partitioned persisted edge table —
+        # two exchanges per iteration, at an edge-count-derived partition
+        # count (see pagerank_integer)
+        we = (
+            e.join(outw.select(F.col("node").alias("src"), "outw"), "src")
+            .repartition("src")
+            .persist()
         )
-        m = marked.join(incoming, "node", "left").select(
-            "node",
-            "__dang",
-            (
-                F.lit(int(base))
-                + F.expr(
-                    f"{int(damping_pct)}L * (coalesce(inc, 0L) + {int(ds)}L)"
-                    " div 100"
+        marked = marked.repartition("node").persist()
+        m = marked.withColumn("rank_nano", F.lit(int(unit)).cast("long"))
+        dm = n_dang * int(unit)
+        live: set[int] = set()
+        for i in range(int(iterations)):
+            ds = dm // n_nodes if has_dang else 0
+            incoming = (
+                we.join(
+                    m.select(F.col("node").alias("src"), "rank_nano"),
+                    "src",
                 )
-            ).cast("long").alias("rank_nano"),
-        )
-        if (i + 1) % cadence == 0 or i == iterations - 1:
-            obs = None
-            if has_dang:
-                obs = Observation()
-                m = m.observe(
-                    obs,
-                    F.sum(
-                        F.when(F.col("__dang"), F.col("rank_nano"))
-                    ).alias("dm"),
+                .groupBy(F.col("dst").alias("node"))
+                .agg(
+                    F.sum(F.expr("rank_nano * w div outw"))
+                    .cast("long")
+                    .alias("inc")
                 )
-            m, ids = checkpoint_tracked(m)
-            unpersist_ids(spark, live)
-            live = ids
-            if obs is not None:
-                dm = int(obs.get["dm"] or 0)
-    for df_ in (e, nodes, outw, we, marked):
-        df_.unpersist()
-    return m.select("node", "rank_nano")
+            )
+            m = marked.join(incoming, "node", "left").select(
+                "node",
+                "__dang",
+                (
+                    F.lit(int(base))
+                    + F.expr(
+                        f"{int(damping_pct)}L * (coalesce(inc, 0L)"
+                        f" + {int(ds)}L) div 100"
+                    )
+                ).cast("long").alias("rank_nano"),
+            )
+            if (i + 1) % cadence == 0 or i == iterations - 1:
+                obs = None
+                if has_dang:
+                    obs = Observation()
+                    m = m.observe(
+                        obs,
+                        F.sum(
+                            F.when(F.col("__dang"), F.col("rank_nano"))
+                        ).alias("dm"),
+                    )
+                m, ids = checkpoint_tracked(m)
+                unpersist_ids(spark, live)
+                live = ids
+                if obs is not None:
+                    dm = int(obs.get["dm"] or 0)
+        for df_ in (e, nodes, outw, we, marked):
+            df_.unpersist()
+        return m.select("node", "rank_nano")

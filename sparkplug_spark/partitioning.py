@@ -14,9 +14,18 @@ cluster utilization of everything downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+from contextlib import contextmanager
 
-__all__ = ["spread", "global_row_numbers", "global_prefix_sums"]
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "spread",
+    "global_row_numbers",
+    "global_prefix_sums",
+    "loop_partitions",
+    "shuffle_scope",
+]
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -47,6 +56,55 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if n < target:
         return df.repartition(target)
     return df
+
+
+def loop_partitions(
+    spark: SparkSession, n_rows: int, rows_per_partition: int = 32768
+) -> int:
+    """Shuffle-partition count DERIVED from an iterative loop's working-set
+    size: ``ceil(n_rows / rows_per_partition)`` clamped to
+    ``[1, spark.sql.shuffle.partitions]``.
+
+    Why: an iterative operator persists/checkpoints loop-invariant tables,
+    and a cached table's partitioning PINS every downstream join to its
+    partition count — AQE cannot coalesce a shuffle that must co-partition
+    with an InMemory/LogicalRDD scan, so a node-sized rank table inherits
+    the session's batch-tuned count and every iteration pays
+    ``partitions × iterations`` near-empty task launches (measured 2x wall
+    on the integer-PageRank loop at bench scale).  Deriving the count from
+    the data instead (guide: "make partitioning scale-adaptive — derive
+    from input size") keeps tiny loops tiny while staying a NO-OP at
+    production scale: once ``n_rows / rows_per_partition`` exceeds the
+    configured ``spark.sql.shuffle.partitions`` the clamp returns the
+    session value unchanged, so clusters keep their tuned parallelism."""
+    hi = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_rows <= 0:
+        return 1
+    return max(1, min(hi, math.ceil(n_rows / int(rows_per_partition))))
+
+
+@contextmanager
+def shuffle_scope(spark: SparkSession, n_partitions: int):
+    """Temporarily set ``spark.sql.shuffle.partitions`` (restored on exit)
+    — the replay_file_stream override discipline generalized to iterative
+    batch loops.  Callers must materialize (checkpoint) every result they
+    return WITHIN the scope, so nothing plans against the override after
+    it is lifted.  Session-scoped: don't run concurrent queries on the
+    same session while a scope is active.  Kill-switch:
+    ``spark.sparkplug.loopparts.enabled=false`` makes this a no-op (for
+    A/B audits of the derived-partitioning behavior)."""
+    if (
+        spark.conf.get("spark.sparkplug.loopparts.enabled", "true")
+        == "false"
+    ):
+        yield
+        return
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n_partitions)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def _global_running(
