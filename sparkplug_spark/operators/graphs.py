@@ -973,7 +973,21 @@ def strongly_connected_components(
     remaining edge set + a dst min-aggregate (two exchanges), with the
     CC/PageRank checkpoint-and-release lineage discipline; per outer
     round two semi-joins shrink the edge set.  Labels are node-sized;
-    nothing is driver-resident."""
+    nothing is driver-resident.
+
+    Action dieting (the loop's wall clock at bench scale is job-launch
+    count, and at cluster scale every saved exchange is a saved shuffle):
+    min-propagation sub-steps chain TWO per checkpoint — the monotone
+    fold makes observing only the LAST sub-step's change count sound
+    (zero changes in the last sub-step means F(x)=x, a fixpoint
+    certificate; any extra chained sub-step recomputes identical labels);
+    the remaining edge set is checkpointed per round in BOTH directions,
+    hash-partitioned on the gather key, so inner steps re-exchange only
+    node-sized labels; the per-round (assigned, new remainder) pair is
+    ONE checkpoint of the f=b comparison with the remainder count riding
+    it as an observe metric (three actions per round become one); loop
+    shuffles run at an edge-count-derived partition count
+    (:func:`~..partitioning.loop_partitions`, no-op at scale)."""
     from ..caching import checkpoint_tracked, unpersist_ids
 
     if max_rounds < 1 or max_inner < 1:
@@ -985,99 +999,149 @@ def strongly_connected_components(
         .dropDuplicates(["src", "dst"])
     )
     e0, e0_ids = checkpoint_tracked(e0)
-    rem = (
-        e0.select(F.col("src").alias("node"))
-        .unionByName(e0.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    rem, rem_ids = checkpoint_tracked(rem)
-    sube, sube_ids = e0, set()
-    done_parts: list[DataFrame] = []
-    done_part_ids: list[set[int]] = []
+    n_edges = e0.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        rem = (
+            e0.select(F.col("src").alias("node"))
+            .unionByName(e0.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        rem, rem_ids = checkpoint_tracked(rem)
+        n_rem = rem.count()
+        sube, sube_ids = e0, set()
+        sube_is_partitioned = False
+        done_parts: list[DataFrame] = []
+        done_part_ids: list[set[int]] = []
 
-    def _min_fixpoint(edges_dir: DataFrame, nodes: DataFrame) -> tuple:
-        """labels (node, lab) after propagating min over in-edges of
-        ``edges_dir`` to fixpoint; returns (labels, live_block_ids)."""
-        lab = nodes.withColumn("lab", F.col("node"))
-        lab, live = checkpoint_tracked(lab)
-        for _ in range(int(max_inner)):
-            contrib = (
-                edges_dir.join(
-                    lab.select(F.col("node").alias("src"), F.col("lab")),
-                    "src",
+        def _min_fixpoint(edges_dir: DataFrame, nodes: DataFrame) -> tuple:
+            """labels (node, lab) after propagating min over in-edges of
+            ``edges_dir`` to fixpoint; returns (labels, live_block_ids).
+            Two sub-steps chain per checkpoint; the observed change count
+            of the LAST sub-step being zero certifies the fixpoint."""
+            lab = nodes.withColumn("lab", F.col("node"))
+            lab, live = checkpoint_tracked(lab)
+
+            def _step(cur: DataFrame) -> DataFrame:
+                contrib = (
+                    edges_dir.join(
+                        cur.select(
+                            F.col("node").alias("src"), F.col("lab")
+                        ),
+                        "src",
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.min("lab").alias("__lin"))
                 )
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.min("lab").alias("__lin"))
-            )
+                return (
+                    cur.withColumnRenamed("lab", "__old")
+                    .join(contrib, "node", "left")
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("__old"), F.coalesce("__lin", "__old")
+                        ).alias("lab"),
+                        "__old",
+                    )
+                )
+            done_steps = 0
+            while done_steps < int(max_inner):
+                steps = min(2, int(max_inner) - done_steps)
+                new = lab
+                for _ in range(steps):
+                    new = _step(new.select("node", "lab"))
+                obs = Observation()
+                new = new.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("lab") < F.col("__old"), 1).otherwise(
+                            0
+                        )
+                    ).alias("chg"),
+                ).select("node", "lab")
+                new, ids = checkpoint_tracked(new)
+                unpersist_ids(spark, live)
+                live = ids
+                lab = new
+                done_steps += steps
+                if int(obs.get["chg"] or 0) == 0:
+                    break
+            else:
+                raise ValueError(
+                    f"min-label propagation did not converge in "
+                    f"{max_inner} steps; raise max_inner"
+                )
+            return lab, live
+
+        for _ in range(int(max_rounds)):
+            if n_rem == 0:
+                break
+            if not sube_is_partitioned:
+                # both gather directions, hash-partitioned on the gather
+                # key, so each inner step re-exchanges only labels
+                sube_fwd, sf_ids = checkpoint_tracked(
+                    sube.repartition("src")
+                )
+                sube_rev, sr_ids = checkpoint_tracked(
+                    sube.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ).repartition("src")
+                )
+                unpersist_ids(spark, sube_ids)
+                sube_is_partitioned = True
+            f_lab, f_ids = _min_fixpoint(sube_fwd, rem)
+            b_lab, b_ids = _min_fixpoint(sube_rev, rem)
+            # ONE checkpoint holds both the round's assignments and the
+            # remainder; the remainder count rides it as an observation
             obs = Observation()
-            new = (
-                lab.withColumnRenamed("lab", "__old")
-                .join(contrib, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("__old"), F.coalesce("__lin", "__old")
-                    ).alias("lab"),
-                    "__old",
-                )
+            both = (
+                f_lab.join(b_lab.withColumnRenamed("lab", "__b"), "node")
                 .observe(
                     obs,
                     F.sum(
-                        F.when(F.col("lab") < F.col("__old"), 1).otherwise(0)
-                    ).alias("chg"),
+                        F.when(F.col("lab") != F.col("__b"), 1).otherwise(0)
+                    ).alias("n_rem"),
                 )
-                .select("node", "lab")
             )
-            new, ids = checkpoint_tracked(new)
-            unpersist_ids(spark, live)
-            live = ids
-            lab = new
-            if int(obs.get["chg"] or 0) == 0:
+            both, both_ids = checkpoint_tracked(both)
+            n_rem = int(obs.get["n_rem"] or 0)
+            assigned = both.where(F.col("lab") == F.col("__b")).select(
+                "node", F.col("lab").alias("scc_id")
+            )
+            done_parts.append(assigned)
+            done_part_ids.append(both_ids)
+            new_rem = both.where(F.col("lab") != F.col("__b")).select(
+                "node"
+            )
+            unpersist_ids(spark, f_ids | b_ids | rem_ids)
+            rem, rem_ids = new_rem, set()
+            if n_rem == 0:
+                unpersist_ids(spark, sf_ids | sr_ids)
                 break
+            new_sube = sube_fwd.join(
+                new_rem.withColumnRenamed("node", "src"), "src", "semi"
+            ).join(new_rem.withColumnRenamed("node", "dst"), "dst", "semi")
+            sube_fwd2, sf2_ids = checkpoint_tracked(
+                new_sube.repartition("src")
+            )
+            sube_rev2, sr2_ids = checkpoint_tracked(
+                new_sube.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ).repartition("src")
+            )
+            unpersist_ids(spark, sf_ids | sr_ids)
+            sube_fwd, sf_ids = sube_fwd2, sf2_ids
+            sube_rev, sr_ids = sube_rev2, sr2_ids
         else:
-            raise ValueError(
-                f"min-label propagation did not converge in {max_inner}"
-                " steps; raise max_inner"
-            )
-        return lab, live
-
-    for _ in range(int(max_rounds)):
-        if rem.isEmpty():
-            break
-        f_lab, f_ids = _min_fixpoint(sube, rem)
-        rev = sube.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
-        b_lab, b_ids = _min_fixpoint(rev, rem)
-        both = f_lab.join(
-            b_lab.withColumnRenamed("lab", "__b"), "node"
-        )
-        assigned = both.where(F.col("lab") == F.col("__b")).select(
-            "node", F.col("lab").alias("scc_id")
-        )
-        assigned, a_ids = checkpoint_tracked(assigned)
-        done_parts.append(assigned)
-        done_part_ids.append(a_ids)
-        new_rem = both.where(F.col("lab") != F.col("__b")).select("node")
-        new_rem, nr_ids = checkpoint_tracked(new_rem)
-        new_sube = sube.join(
-            new_rem.withColumnRenamed("node", "src"), "src", "semi"
-        ).join(new_rem.withColumnRenamed("node", "dst"), "dst", "semi")
-        new_sube, ns_ids = checkpoint_tracked(new_sube)
-        unpersist_ids(spark, f_ids | b_ids | rem_ids | sube_ids)
-        rem, rem_ids = new_rem, nr_ids
-        sube, sube_ids = new_sube, ns_ids
-    else:
-        if not rem.isEmpty():
-            raise ValueError(
-                f"SCC peeling did not finish in {max_rounds} rounds;"
-                " raise max_rounds"
-            )
-    unpersist_ids(spark, e0_ids)
-    out = done_parts[0]
-    for p_ in done_parts[1:]:
-        out = out.unionByName(p_)
-    return out
+            if n_rem != 0:
+                raise ValueError(
+                    f"SCC peeling did not finish in {max_rounds} rounds;"
+                    " raise max_rounds"
+                )
+        unpersist_ids(spark, e0_ids)
+        out = done_parts[0]
+        for p_ in done_parts[1:]:
+            out = out.unionByName(p_)
+        return out
 
 
 def bow_tie_report(

@@ -92,7 +92,14 @@ def shuffle_scope(spark: SparkSession, n_partitions: int):
     it is lifted.  Session-scoped: don't run concurrent queries on the
     same session while a scope is active.  Kill-switch:
     ``spark.sparkplug.loopparts.enabled=false`` makes this a no-op (for
-    A/B audits of the derived-partitioning behavior)."""
+    A/B audits of the derived-partitioning behavior).
+
+    AQE stays untouched inside the scope: an interleaved min-of-3 A/B
+    over the graph loops showed adaptive execution (runtime join
+    re-planning, partition coalescing of the loop-external stages) wins
+    or ties on every operator once the partition count is right-sized —
+    the one-job-per-exchange driver overhead it adds is smaller than
+    what its re-planning saves."""
     if (
         spark.conf.get("spark.sparkplug.loopparts.enabled", "true")
         == "false"
