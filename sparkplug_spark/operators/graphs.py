@@ -242,45 +242,66 @@ def bfs_distances(
     the src-partitioned checkpointed edge list, anti-join out nodes
     already visited, checkpoint the new frontier and release the old one
     (the CC/PageRank lineage discipline).  Each round shuffles only
-    frontier-sized data; the loop exits EARLY via a cheap ``isEmpty`` on
-    the checkpointed frontier when the graph is exhausted before
-    ``max_hops``."""
+    frontier-sized data.  ONE action per hop: the new frontier's
+    checkpoint, with its row count riding the materialization as an
+    ``observe`` metric (the early-exit probe); the visited set is the
+    lazy union of the per-hop frontier checkpoints — re-materializing it
+    per hop bought nothing (the anti-join reads the ≤max_hops pieces
+    directly).  Loop shuffles run at an edge-count-derived partition
+    count (no-op at production scale)."""
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     spark = edges.sparkSession
-    e = edges.select(
+    e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().repartition("src")
-    e, e_ids = checkpoint_tracked(e, reliable=reliable_checkpoint)
-    frontier = sources.select(F.col(node_col).alias("node")).distinct()
-    frontier, f_ids = checkpoint_tracked(
-        frontier, reliable=reliable_checkpoint
-    )
-    visited = frontier.withColumn("distance", F.lit(0).cast("long"))
-    visited, v_ids = checkpoint_tracked(visited, reliable=reliable_checkpoint)
-    for hop in range(1, max_hops + 1):
-        if frontier.isEmpty():
-            break
-        nxt = (
-            e.join(frontier.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+    ).distinct().persist()
+    n_edges = e0.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        e, e_ids = checkpoint_tracked(
+            e0.repartition("src"), reliable=reliable_checkpoint
         )
-        nxt, n_ids = checkpoint_tracked(nxt, reliable=reliable_checkpoint)
-        unpersist_ids(spark, f_ids)
-        frontier, f_ids = nxt, n_ids
-        new_visited = visited.unionByName(
-            frontier.withColumn("distance", F.lit(hop).cast("long"))
+        e0.unpersist()
+        frontier = sources.select(F.col(node_col).alias("node")).distinct()
+        obs = Observation()
+        frontier, f_ids = checkpoint_tracked(
+            frontier.observe(obs, F.count(F.lit(1)).alias("n")),
+            reliable=reliable_checkpoint,
         )
-        new_visited, nv_ids = checkpoint_tracked(
-            new_visited, reliable=reliable_checkpoint
-        )
-        unpersist_ids(spark, v_ids)
-        visited, v_ids = new_visited, nv_ids
-    unpersist_ids(spark, e_ids)
-    unpersist_ids(spark, f_ids)
-    return visited
+        n_frontier = int(obs.get["n"] or 0)
+        # the visited set is the union of the per-hop frontier pieces;
+        # every piece's checkpoint blocks back the returned DataFrame and
+        # stay persisted (a local checkpoint is the blocks' only copy)
+        pieces = [frontier.withColumn("distance", F.lit(0).cast("long"))]
+        visited_nodes = frontier.select("node")
+        for hop in range(1, max_hops + 1):
+            if n_frontier == 0:
+                break
+            nxt = (
+                e.join(frontier.withColumnRenamed("node", "src"), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited_nodes, "node", "left_anti")
+            )
+            obs = Observation()
+            nxt, f_ids = checkpoint_tracked(
+                nxt.observe(obs, F.count(F.lit(1)).alias("n")),
+                reliable=reliable_checkpoint,
+            )
+            n_frontier = int(obs.get["n"] or 0)
+            frontier = nxt
+            if n_frontier == 0:
+                break
+            pieces.append(
+                frontier.withColumn("distance", F.lit(hop).cast("long"))
+            )
+            visited_nodes = visited_nodes.unionByName(
+                frontier.select("node")
+            )
+        unpersist_ids(spark, e_ids)
+        visited = pieces[0]
+        for p in pieces[1:]:
+            visited = visited.unionByName(p)
+        return visited
 
 
 def triangle_counts(

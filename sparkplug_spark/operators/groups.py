@@ -14,10 +14,11 @@ not expressible as one SQL query (driver records the rows-only check).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..caching import checkpoint_tracked, unpersist_ids
+from ..partitioning import loop_partitions, shuffle_scope
 
 __all__ = [
     "near_dup_groups",
@@ -57,62 +58,74 @@ def connected_components_star(
         reliable=reliable_checkpoint,
     )
     spark = pairs.sparkSession
+    n_edges = e.count()
 
-    # convergence probe: one cheap scan per round instead of a shuffle join.
-    # (count, hash-sum, hash-xor) of the edge set changing ⟹ not converged;
-    # matching stats trigger ONE exact exceptAll confirmation, so a hash
-    # collision can never end the loop early with wrong components.
-    def _stats(df: DataFrame):
-        h = F.xxhash64("u", "v")
-        # decimal sum: a LONG sum of 64-bit hashes overflows under ANSI
-        return tuple(
-            df.agg(
-                F.count(F.lit(1)), F.sum(h.cast("decimal(38,0)")), F.bit_xor(h)
-            ).first()
-        )
-
-    prev = _stats(e)
+    # convergence probe: (count, hash-sum, hash-xor) of the edge set
+    # changing ⟹ not converged; matching stats trigger ONE exact exceptAll
+    # confirmation, so a hash collision can never end the loop early with
+    # wrong components.  The stats ride each round's checkpoint
+    # materialization as observe metrics — no separate scan job per round.
+    h = F.xxhash64("u", "v")
+    # decimal sum: a LONG sum of 64-bit hashes overflows under ANSI
+    _stat_aggs = (
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h.cast("decimal(38,0)")).alias("hs"),
+        F.bit_xor(h).alias("hx"),
+    )
+    prev = tuple(e.agg(*_stat_aggs).first())
     prev_ids = e_ids
     converged = False
-    for _ in range(max_iterations):
-        # large-star: every node x links its LARGER neighbors to
-        # min(N(x) ∪ {x})
-        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = adj.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        ls = (
-            adj.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-        )
-        # small-star: direct edges at the larger endpoint x; link every
-        # smaller neighbor (and x itself) to min(N(x))
-        directed = ls.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).filter(F.col("u") != F.col("v"))
-        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (
-            directed.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(smins.select(F.col("u"), F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .select(F.least("u", "v").alias("l"), F.greatest("u", "v").alias("g"))
-            .select(F.col("g").alias("u"), F.col("l").alias("v"))
-            .distinct()
-        )
-        new_e, new_ids = checkpoint_tracked(ss, reliable=reliable_checkpoint)
-        cur = _stats(new_e)
-        same = cur == prev and new_e.exceptAll(e).limit(1).count() == 0
-        # round N-1's blocks are dead once round N is materialized and the
-        # exceptAll probe above has consumed them (the final round's blocks
-        # back the returned DataFrame and must stay)
-        unpersist_ids(spark, prev_ids)
-        e, prev, prev_ids = new_e, cur, new_ids
-        if same:
-            converged = True
-            break
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        for _ in range(max_iterations):
+            # large-star: every node x links its LARGER neighbors to
+            # min(N(x) ∪ {x})
+            adj = e.union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            mins = adj.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            ls = (
+                adj.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .distinct()
+            )
+            # small-star: direct edges at the larger endpoint x; link every
+            # smaller neighbor (and x itself) to min(N(x))
+            directed = ls.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            ).filter(F.col("u") != F.col("v"))
+            smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+            ss = (
+                directed.join(smins, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(smins.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .select(
+                    F.least("u", "v").alias("l"),
+                    F.greatest("u", "v").alias("g"),
+                )
+                .select(F.col("g").alias("u"), F.col("l").alias("v"))
+                .distinct()
+            )
+            obs = Observation()
+            new_e, new_ids = checkpoint_tracked(
+                ss.observe(obs, *_stat_aggs), reliable=reliable_checkpoint
+            )
+            got = obs.get
+            cur = (got["n"], got["hs"], got["hx"])
+            same = (
+                cur == prev and new_e.exceptAll(e).limit(1).count() == 0
+            )
+            # round N-1's blocks are dead once round N is materialized and
+            # the exceptAll probe above has consumed them (the final
+            # round's blocks back the returned DataFrame and must stay)
+            unpersist_ids(spark, prev_ids)
+            e, prev, prev_ids = new_e, cur, new_ids
+            if same:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge within "
@@ -150,60 +163,88 @@ def near_dup_groups(
 
     spark = pairs.sparkSession
     # eager: the upstream pair pipeline runs exactly once, before the loop
-    edges, edge_ids = checkpoint_tracked(
+    edges0, edge0_ids = checkpoint_tracked(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct(),
         reliable=reliable_checkpoint,
     )
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__m"))
-        .select(F.col("src").alias("id"), F.least("src", "__m").alias("label"))
-    )
-    changed = -1
-    prev_ids: set[int] = set()
-    for _ in range(max_iterations):
-        # candidate labels: own label + each neighbor's label; adopt the min
-        nbr = (
-            edges.join(labels.withColumnsRenamed({"id": "dst", "label": "nbr_label"}), "dst")
-            .groupBy("src")
-            .agg(F.min("nbr_label").alias("nbr_label"))
+    n_edges = edges0.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_edges)):
+        # hash-partitioned on dst — the key every round's label join uses
+        # (the un-partitioned layout re-exchanged the edge set per round);
+        # partition count derived from the edge count (no-op at scale)
+        edges, edge_ids = checkpoint_tracked(
+            edges0.repartition("dst"), reliable=reliable_checkpoint
         )
-        # carry the previous label through the checkpoint: convergence is
-        # then a scan-with-early-exit over the materialized partitions, not
-        # a second shuffle join of new vs old labels
-        staged, new_ids = checkpoint_tracked(
-            labels.join(nbr.withColumnsRenamed({"src": "id"}), "id", "left")
+        unpersist_ids(spark, edge0_ids)
+        labels = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("__m"))
             .select(
-                "id",
-                F.col("label").alias("__old"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            ),
-            reliable=reliable_checkpoint,
+                F.col("src").alias("id"), F.least("src", "__m").alias("label")
+            )
         )
-        changed = (
-            staged.filter(F.col("label") != F.col("__old")).limit(1).count()
-        )
-        # free round N-1's label blocks (the current round's blocks back
-        # `staged`, which the next round — or the returned DataFrame — reads)
-        unpersist_ids(spark, prev_ids)
-        prev_ids = new_ids
-        labels = staged.select("id", "label")
-        if changed == 0:
-            break
-    # the edge blocks are dead once the loop has converged: the returned
-    # DataFrame reads only the final round's checkpoint
-    unpersist_ids(spark, edge_ids)
-    if changed != 0:
-        raise RuntimeError(
-            f"near_dup_groups did not converge within {max_iterations} "
-            "iterations — component diameter exceeds the cap; raise "
-            "max_iterations"
-        )
-    return labels.select("id", F.col("label").alias("group_id"))
+        changed = -1
+        prev_ids: set[int] = set()
+        for _ in range(max_iterations):
+            # candidate labels: own label + each neighbor's label; adopt
+            # the min
+            nbr = (
+                edges.join(
+                    labels.withColumnsRenamed(
+                        {"id": "dst", "label": "nbr_label"}
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nbr_label").alias("nbr_label"))
+            )
+            # carry the previous label through the checkpoint and let the
+            # convergence count ride its materialization as an observe
+            # metric — no separate scan job per round
+            obs = Observation()
+            staged, new_ids = checkpoint_tracked(
+                labels.join(
+                    nbr.withColumnsRenamed({"src": "id"}), "id", "left"
+                )
+                .select(
+                    "id",
+                    F.col("label").alias("__old"),
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    ).alias("label"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("label") != F.col("__old"), 1
+                        ).otherwise(0)
+                    ).alias("chg"),
+                ),
+                reliable=reliable_checkpoint,
+            )
+            changed = int(obs.get["chg"] or 0)
+            # free round N-1's label blocks (the current round's blocks
+            # back `staged`, which the next round — or the returned
+            # DataFrame — reads)
+            unpersist_ids(spark, prev_ids)
+            prev_ids = new_ids
+            labels = staged.select("id", "label")
+            if changed == 0:
+                break
+        # the edge blocks are dead once the loop has converged: the
+        # returned DataFrame reads only the final round's checkpoint
+        unpersist_ids(spark, edge_ids)
+        if changed != 0:
+            raise RuntimeError(
+                f"near_dup_groups did not converge within {max_iterations} "
+                "iterations — component diameter exceeds the cap; raise "
+                "max_iterations"
+            )
+        return labels.select("id", F.col("label").alias("group_id"))
 
 
 def dedup_keep_best(
