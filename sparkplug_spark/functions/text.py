@@ -390,6 +390,24 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def cutoff_bucket(u: Column, cutoffs: "list[int]") -> Column:
+    """0-based index of the FIRST element of ascending ``cutoffs`` that is
+    strictly greater than ``u``; -1 when none is (unreachable when the
+    table ends at 2^60 and ``u`` is a :func:`hash60` coin).  Semantically
+    ``array_position(transform(cutoffs, c -> u < c), true) - 1``, but as
+    a flat CASE WHEN chain: the higher-order-function form allocates and
+    scans a per-row array OUTSIDE whole-stage codegen, which measured
+    ~10x slower under an aggregate (7.7 s vs 0.8 s on the 7.5M-row
+    bootstrap explode) for identical values."""
+    expr = None
+    for i, c in enumerate(cutoffs):
+        branch = u < F.lit(int(c))
+        expr = F.when(branch, F.lit(i)) if expr is None else expr.when(
+            branch, F.lit(i)
+        )
+    return expr.otherwise(F.lit(-1)).cast("long")
+
+
 #: MinHash universal-hash family h_i(x) = (a_i * x + b_i) mod p over the
 #: 32-bit hash space.  Constants from a fixed LCG so the oracle SQL embeds
 #: the same family (deterministic, engine-independent).

@@ -2337,17 +2337,23 @@ def select_max_coverage(
     units this pick added, covered_total = running distinct-unit
     count).  Stops early when no document adds anything.
 
-    Plan: the (doc, token) DISTINCT table is computed once, persisted,
-    and anti-joined against the growing covered-token set each round
-    (k rounds × one agg + one 1-row argmax broadcast; the covered set
-    is token-vocabulary-bounded, eagerly checkpointed per round so the
-    lazy chain never replays — the iterative-loop discipline of the
-    graph family).  k is small by construction (you are choosing a
-    coreset, not ranking the corpus)."""
+    Plan: the (doc, token) DISTINCT table is computed once, then the
+    working set SHRINKS: each round picks the argmax over the remaining
+    (doc, token) table and anti-joins the pick's remaining tokens out of
+    it (tok-partitioned checkpoint, so the anti-join never re-exchanges
+    the table), rather than re-anti-joining the FULL table against a
+    growing covered-token set — per-round cost is the remainder, which
+    only decreases, and no covered table is materialized at all (the
+    remainder is definitionally the uncovered slice).  Two actions per
+    round (argmax collect + remainder checkpoint), run at a
+    working-set-derived partition count (no-op at production scale).
+    k is small by construction (you are choosing a coreset, not ranking
+    the corpus)."""
     from pyspark.storagelevel import StorageLevel
 
     from ..caching import checkpoint_tracked, unpersist_ids
     from ..functions.text import tokens_pd
+    from ..partitioning import loop_partitions, shuffle_scope
 
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -2375,31 +2381,40 @@ def select_max_coverage(
             ).alias("tok"),
         )
     dt = items.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    covered = dt.select("tok").limit(0)
-    covered, cov_ids = checkpoint_tracked(covered)
+    n_items = dt.count()
     chosen: list = []
     total = 0
-    remaining = dt
-    for step in range(1, int(k) + 1):
-        gains = (
-            remaining.groupBy("id")
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-        )
-        top = gains.orderBy(F.desc("gain"), F.asc("id")).limit(1).collect()
-        if not top or top[0]["gain"] == 0:
-            break
-        pick, gain = top[0]["id"], int(top[0]["gain"])
-        total += gain
-        chosen.append((step, pick, gain, total))
-        new_cov = covered.unionByName(
-            remaining.filter(F.col("id") == pick).select("tok")
-        )
-        new_cov, nc_ids = checkpoint_tracked(new_cov)
-        unpersist_ids(spark, cov_ids)
-        covered, cov_ids = new_cov, nc_ids
-        remaining = dt.join(covered, "tok", "left_anti")
-    dt.unpersist()
-    unpersist_ids(spark, cov_ids)
+    with shuffle_scope(spark, loop_partitions(spark, n_items)):
+        # remaining_n = dt minus every already-covered token, maintained
+        # directly: anti-join the pick's REMAINING tokens out per round
+        # (they are exactly the newly covered ones — disjoint from all
+        # earlier picks' by construction)
+        remaining, rem_ids = checkpoint_tracked(dt.repartition("tok"))
+        dt.unpersist()
+        for step in range(1, int(k) + 1):
+            gains = (
+                remaining.groupBy("id")
+                .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            )
+            top = (
+                gains.orderBy(F.desc("gain"), F.asc("id")).limit(1).collect()
+            )
+            if not top or top[0]["gain"] == 0:
+                break
+            pick, gain = top[0]["id"], int(top[0]["gain"])
+            total += gain
+            chosen.append((step, pick, gain, total))
+            if step == int(k):
+                break  # the remainder has no further consumer
+            nxt = remaining.join(
+                remaining.filter(F.col("id") == pick).select("tok"),
+                "tok",
+                "left_anti",
+            ).repartition("tok")
+            nxt, n_ids = checkpoint_tracked(nxt)
+            unpersist_ids(spark, rem_ids)
+            remaining, rem_ids = nxt, n_ids
+        unpersist_ids(spark, rem_ids)
     id_type = df.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         chosen, f"step long, id {id_type}, gain long, covered_total long"
