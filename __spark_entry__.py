@@ -4045,18 +4045,30 @@ def _image_text_images(spark: SparkSession) -> DataFrame:
     from sparkplug_spark.sources import read_warc
 
     base = spark.range(40).select(F.col("id").alias("doc_id"))
-    g = F.col("doc_id") % 20
-    cells = []
-    for y in range(16):
-        for x in range(18):
-            v = (g * 7 + F.lit(3 * y + 5 * x)) % 57 + 1
-            if y < 2 and x < 2:
-                v = v + F.when(
-                    F.col("doc_id") >= 20, F.lit(60)
-                ).otherwise(F.lit(0))
-            cells.append(F.chr(v.cast("int")))
-    payload = F.concat(F.lit("P5\n18 16\n255\n"), *cells)
-    imgs = base.select("doc_id", payload.alias("img"))
+
+    # numpy kernel, not a 288-cell chr()/concat Catalyst expression (the
+    # analyzer/codegen cost of that tree dwarfed the 40-row data — see
+    # _dhash_test_images); string payload keeps _write_warc_fixture's
+    # utf-8 encode byte-identical (all pixel chars < 0x80)
+    @F.pandas_udf("string")
+    def make_pgm_str(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        y, x = np.mgrid[0:16, 0:18]
+        cell_base = (3 * y + 5 * x).astype(np.int64)
+        out = []
+        for d in ids:
+            d = int(d)
+            px = ((d % 20) * 7 + cell_base) % 57 + 1
+            if d >= 20:
+                px[:2, :2] += 60
+            out.append(
+                "P5\n18 16\n255\n"
+                + "".join(chr(int(v)) for v in px.ravel())
+            )
+        return pd.Series(out)
+
+    imgs = base.select("doc_id", make_pgm_str("doc_id").alias("img"))
     tmp = _write_warc_fixture(
         imgs, "img", "image/x-portable-graymap", "sparkplug_imgtext_"
     )
@@ -13857,17 +13869,27 @@ def _dhash_test_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 25 pattern groups holds exact duplicates within a half and
     hamming<=2 near-dups across halves."""
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    did = F.col("doc_id")
-    g = did % 25
-    cells = []
-    for y in range(16):
-        for x in range(18):
-            v = (g * 7 + F.lit(3 * y + 5 * x)) % 57 + 1
-            if y < 2 and x < 2:
-                v = v + F.when(did >= 100, F.lit(60)).otherwise(F.lit(0))
-            cells.append(F.chr(v.cast("int")))
-    payload = F.encode(F.concat(F.lit("P5\n18 16\n255\n"), *cells), "utf-8")
-    return docs.select("doc_id", payload.alias("payload"))
+
+    # one numpy kernel, NOT a 288-cell chr()/concat Catalyst expression:
+    # the expression-tree form costs seconds of analyzer/codegen time per
+    # pass (a ~3000-node Project) while the data is 200 tiny rows; bytes
+    # are identical (chr(v<128) utf-8-encodes to the single byte v)
+    @F.pandas_udf("binary")
+    def make_pgm(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        y, x = np.mgrid[0:16, 0:18]
+        base = (3 * y + 5 * x).astype(np.int64)
+        out = []
+        for d in ids:
+            d = int(d)
+            px = ((d % 25) * 7 + base) % 57 + 1
+            if d >= 100:
+                px[:2, :2] += 60
+            out.append(b"P5\n18 16\n255\n" + px.astype(np.uint8).tobytes())
+        return pd.Series(out)
+
+    return docs.select("doc_id", make_pgm("doc_id").alias("payload"))
 
 
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
