@@ -886,6 +886,9 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
         .join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        # consumed TWICE by the directed union below: without persist the
+        # Σf² bucket join + both size joins execute once per branch
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     directed = inter.select(
         F.col("id_a").alias("id_sub"),
@@ -903,7 +906,7 @@ def containment_pairs(
         )
     )
     out = directed.filter(F.col("containment") >= threshold)
-    return materialize_release(out, sh, release=release)
+    return materialize_release(out, sh, inter, release=release)
 
 
 def tfidf_cosine_pairs(

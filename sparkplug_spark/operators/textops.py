@@ -1547,31 +1547,39 @@ def textrank_scores(
     Returns (token, rank_nano BIGINT) for every graph node; take the
     top-k downstream (ties deterministic on the integer rank + token).
 
-    Scale shape: one Arrow tokenize pass, one per-doc window (adjacent
-    pair), one vocabulary²-bounded pair count (min_pair_count prunes
-    the long tail before the graph); PageRank then iterates over a
-    vocab-sized edge list — corpus size only enters the ONE pair-count
-    shuffle."""
-    from pyspark.sql import Window
-
+    Scale shape: one Arrow tokenize pass (adjacent pairs zipped from the
+    token array in the same stage — no window, no token-stream sort),
+    one vocabulary²-bounded pair count (min_pair_count prunes the long
+    tail before the graph); PageRank then iterates over a vocab-sized
+    edge list — corpus size only enters the ONE pair-count shuffle."""
     from .graphs import pagerank_integer
 
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
-    toks = spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokens_pd(F.col(text_col))).alias("__pos", "__t"),
-    ).filter(F.col("__t") != "")
-    w = Window.partitionBy("__id").orderBy("__pos")
+    # adjacent pairs straight off the token ARRAY (zip t[i] with t[i+1])
+    # instead of posexplode + a per-doc lead() window: the window form
+    # hash-exchanges and sorts the entire exploded token stream just to
+    # recover an order the array already has.  Equivalence with the old
+    # explode+filter(__t != "") form: the normalizer emits "" only as the
+    # lone token of an empty document (never mid-array), and a 1-token
+    # array yields no pairs either way.
+    t = F.col("__toks")
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs_arr = F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda p, q: F.struct(
+            F.least(p, q).alias("a"),
+            F.greatest(p, q).alias("b"),
+            (p != q).alias("keep"),
+        ),
+    )
     adj = (
-        toks.withColumn("__nxt", F.lead("__t").over(w))
-        .filter(
-            F.col("__nxt").isNotNull() & (F.col("__t") != F.col("__nxt"))
-        )
-        .select(
-            F.least("__t", "__nxt").alias("a"),
-            F.greatest("__t", "__nxt").alias("b"),
-        )
+        spread(df)
+        .select(tokens_pd(F.col(text_col)).alias("__toks"))
+        .select(F.explode(pairs_arr).alias("__p"))
+        .filter(F.col("__p.keep"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
     )
     pairs = adj.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("__n")

@@ -182,3 +182,17 @@ def test_keyword_search_inline_no_token_explode_shuffle(spark):
     # the corpus token stream itself never shuffles: no explode feeding
     # an exchange
     assert "Generate explode(filter(pythonUDF" not in plan
+
+
+def test_textrank_adjacency_has_no_window(spark):
+    from sparkplug_spark.operators import textrank_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c d b c")], ["doc_id", "text"]
+    )
+    out = textrank_scores(docs, min_pair_count=1, iterations=1)
+    plan = _plan(out)
+    # adjacent token pairs come off the token ARRAY (zip of slices), not
+    # a posexplode + per-doc lead() window: there must be no Window node
+    # and no sort of the exploded token stream anywhere in the plan
+    assert "Window" not in plan
