@@ -289,134 +289,34 @@ def language_id_trained(
     Documents with no in-vocabulary grams (e.g. shorter than
     ``min(gram_sizes)``) are dropped — no evidence to classify.
 
-    Scale shape (100 TB): ONE Arrow gram pass per corpus (all sizes in
-    one kernel eval), persisted and shared by train + apply when
-    self-training, released on return; the weight table is |vocab| ×
-    |langs| — alphabet-bounded, orders of magnitude smaller than the
-    corpus (AQE broadcasts it under the apply join when it fits); the
-    only wide ops are the training count groupBy and the per-doc score
-    sum.  The argmax window partitions by document over ≤|langs| rows —
-    never a global window."""
-    from pyspark.sql import Window
-
-    from ..functions.text import char_multi_ngrams_pd
-
-    micros = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
-        "long"
+    Scale shape (100 TB): training is relational — one Arrow gram pass
+    over the LABELED sample, one count groupBy, and a |vocab| × |langs|
+    weight table (alphabet-bounded, orders of magnitude smaller than
+    the corpus) collected into a model dict
+    (:func:`train_language_id`); scoring is the stateless closure tier
+    (:func:`apply_language_id`) — ONE Arrow pass over the corpus with
+    the weights riding the closure, no gram explode, no per-document
+    shuffle, no argmax window.  The two tiers compute identical
+    integers (pinned by test), so delegating here changed no output;
+    the old relational apply joined every (doc, gram) occurrence
+    against the weight table and re-aggregated per document — two
+    corpus-sized exchanges the closure pass does not pay.  ``release``
+    is accepted for API compatibility; the closure path holds no
+    persisted intermediates (training releases its own)."""
+    model = train_language_id(
+        train_df if train_df is not None else df,
+        text_col=text_col,
+        label_col=label_col,
+        gram_sizes=gram_sizes,
     )
-    grams = lambda d: char_multi_ngrams_pd(  # noqa: E731
-        d[text_col], gram_sizes
+    target = (
+        df
+        if train_df is not None
+        else df.where(F.col(label_col).isNotNull())
     )
-    intermediates: list[DataFrame] = []
-    if train_df is None:
-        pos = (
-            spread(df)
-            .where(F.col(label_col).isNotNull())
-            .select(
-                F.col(id_col).alias("__id"),
-                F.col(label_col).alias("__l"),
-                F.explode(grams(df)).alias("__g"),
-            )
-        )
-        if release:
-            pos = pos.persist()
-            intermediates.append(pos)
-        train = pos.select("__l", "__g")
-        train_docs = df.where(F.col(label_col).isNotNull()).groupBy(
-            F.col(label_col).alias("__l")
-        ).agg(F.count(F.lit(1)).alias("__d"))
-        apply_pos = pos.select("__id", "__g")
-    else:
-        train = (
-            spread(train_df)
-            .where(F.col(label_col).isNotNull())
-            .select(
-                F.col(label_col).alias("__l"),
-                F.explode(
-                    char_multi_ngrams_pd(F.col(text_col), gram_sizes)
-                ).alias("__g"),
-            )
-        )
-        if release:
-            train = train.persist()
-            intermediates.append(train)
-        train_docs = train_df.where(F.col(label_col).isNotNull()).groupBy(
-            F.col(label_col).alias("__l")
-        ).agg(F.count(F.lit(1)).alias("__d"))
-        apply_pos = spread(df).select(
-            F.col(id_col).alias("__id"),
-            F.explode(grams(df)).alias("__g"),
-        )
-    counts = train.groupBy("__g", "__l").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
+    return apply_language_id(
+        target, model, text_col=text_col, id_col=id_col
     )
-    if release:
-        counts = counts.persist()
-        intermediates.append(counts)
-    totals = counts.groupBy("__l").agg(F.sum("__c").alias("__t"))
-    v = counts.agg(
-        F.countDistinct("__g").cast("long").alias("__v")
-    )
-    vocab = counts.select("__g").distinct()
-    langs = totals.select("__l")
-    # dense |vocab| x |langs| weight table: unseen (gram, lang) cells get
-    # the smoothed floor ln(1) - ln(T_l + V)
-    weights = (
-        vocab.crossJoin(F.broadcast(langs))
-        .join(counts, ["__g", "__l"], "left")
-        .join(F.broadcast(totals), "__l")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "__g",
-            "__l",
-            micros(
-                F.log(F.coalesce(F.col("__c"), F.lit(0)) + 1)
-                - F.log(F.col("__t") + F.col("__v"))
-            ).alias("__w"),
-        )
-    )
-    priors = train_docs.select(
-        "__l", micros(F.log(F.col("__d") + 1)).alias("__p")
-    )
-    # pre-aggregate gram multiplicity per document BEFORE the weight
-    # join: char-gram streams repeat heavily, so (id, gram, cnt) rows are
-    # several times fewer than occurrences — less join input, and the
-    # count-weighted sum is exact integer arithmetic either way
-    apply_cnt = apply_pos.groupBy("__id", "__g").agg(
-        F.count(F.lit(1)).cast("long").alias("__cnt")
-    )
-    scored = (
-        apply_cnt.join(weights, "__g")
-        .groupBy("__id", "__l")
-        .agg(F.sum(F.col("__cnt") * F.col("__w")).cast("long").alias("__s"))
-        .join(F.broadcast(priors), "__l")
-        .select(
-            "__id", "__l", (F.col("__s") + F.col("__p")).alias("__score")
-        )
-    )
-    win = Window.partitionBy("__id").orderBy(
-        F.desc("__score"), F.asc("__l")
-    )
-    out = (
-        scored.select(
-            "__id",
-            "__l",
-            "__score",
-            F.row_number().over(win).alias("__rn"),
-            F.lead("__score").over(win).alias("__second"),
-        )
-        .where(F.col("__rn") == 1)
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("__l").alias("lang_pred"),
-            F.col("__score").alias("score_micros"),
-            (
-                F.col("__score")
-                - F.coalesce(F.col("__second"), F.col("__score"))
-            ).cast("long").alias("margin_micros"),
-        )
-    )
-    return materialize_release(out, *intermediates, release=release)
 
 
 def text_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1522,6 +1422,35 @@ def apply_language_id(
     )
 
 
+def _adjacent_token_pairs(df: DataFrame, text_col: str) -> DataFrame:
+    """Unordered adjacent-token pairs (a ≤ b, self-pairs dropped)
+    straight off the token ARRAY (zip t[i] with t[i+1]) instead of
+    posexplode + a per-doc lead() window: the window form
+    hash-exchanges and sorts the entire exploded token stream just to
+    recover an order the array already has.  Equivalence with the old
+    explode+filter(tok != "") form: the normalizer emits "" only as the
+    lone token of an empty document (never mid-array), and a 1-token
+    array yields no pairs either way."""
+    t = F.col("__toks")
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs_arr = F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda p, q: F.struct(
+            F.least(p, q).alias("a"),
+            F.greatest(p, q).alias("b"),
+            (p != q).alias("keep"),
+        ),
+    )
+    return (
+        spread(df)
+        .select(tokens_pd(F.col(text_col)).alias("__toks"))
+        .select(F.explode(pairs_arr).alias("__p"))
+        .filter(F.col("__p.keep"))
+        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
+    )
+
+
 def textrank_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -1556,31 +1485,7 @@ def textrank_scores(
 
     if min_pair_count < 1:
         raise ValueError("min_pair_count must be >= 1")
-    # adjacent pairs straight off the token ARRAY (zip t[i] with t[i+1])
-    # instead of posexplode + a per-doc lead() window: the window form
-    # hash-exchanges and sorts the entire exploded token stream just to
-    # recover an order the array already has.  Equivalence with the old
-    # explode+filter(__t != "") form: the normalizer emits "" only as the
-    # lone token of an empty document (never mid-array), and a 1-token
-    # array yields no pairs either way.
-    t = F.col("__toks")
-    n1 = F.greatest(F.size(t) - 1, F.lit(0))
-    pairs_arr = F.zip_with(
-        F.slice(t, 1, n1),
-        F.slice(t, 2, n1),
-        lambda p, q: F.struct(
-            F.least(p, q).alias("a"),
-            F.greatest(p, q).alias("b"),
-            (p != q).alias("keep"),
-        ),
-    )
-    adj = (
-        spread(df)
-        .select(tokens_pd(F.col(text_col)).alias("__toks"))
-        .select(F.explode(pairs_arr).alias("__p"))
-        .filter(F.col("__p.keep"))
-        .select(F.col("__p.a").alias("a"), F.col("__p.b").alias("b"))
-    )
+    adj = _adjacent_token_pairs(df, text_col)
     pairs = adj.groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("__n")
     ).filter(F.col("__n") >= int(min_pair_count))

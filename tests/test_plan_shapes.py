@@ -185,14 +185,14 @@ def test_keyword_search_inline_no_token_explode_shuffle(spark):
 
 
 def test_textrank_adjacency_has_no_window(spark):
-    from sparkplug_spark.operators import textrank_scores
+    # the final textrank frame is checkpoint-truncated, so assert on the
+    # adjacency stage itself: pairs come off the token ARRAY (zip of
+    # slices) — no Window node, no exchange of the exploded token stream
+    from sparkplug_spark.operators.textops import _adjacent_token_pairs
 
     docs = spark.createDataFrame(
         [(1, "a b c a b"), (2, "b c d b c")], ["doc_id", "text"]
     )
-    out = textrank_scores(docs, min_pair_count=1, iterations=1)
-    plan = _plan(out)
-    # adjacent token pairs come off the token ARRAY (zip of slices), not
-    # a posexplode + per-doc lead() window: there must be no Window node
-    # and no sort of the exploded token stream anywhere in the plan
+    plan = _plan(_adjacent_token_pairs(docs, "text"))
     assert "Window" not in plan
+    assert "Exchange hashpartitioning" not in plan
