@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from ..caching import checkpoint_tracked, unpersist_ids
 from ..partitioning import loop_partitions, shuffle_scope
 
+#: min-propagation sub-steps chained per checkpoint in the SCC peeler's
+#: inner fixpoint.  Soundness is chain-length-independent (monotone fold:
+#: zero changes in the LAST chained sub-step certifies F(x)=x, and extra
+#: sub-steps past the fixpoint recompute identical labels), so the knob
+#: trades wasted node-sized exchanges past the fixpoint for fewer
+#: checkpoint actions.  Measured (sf0.1, min-of-3 interleaved, noop):
+#: chain=2 7.39 s / 139 jobs, chain=4 10.42 s / 143 jobs, chain=6
+#: 11.38 s / 115 jobs — each peel round's fixpoint converges in ~2-3
+#: sub-steps, so longer chains mostly re-propagate already-stable labels
+#: through the full edge set and LOSE despite fewer jobs.  2 is the
+#: sweet spot; left as a named constant with the evidence so the next
+#: tuner doesn't re-derive it.
+_SCC_CHAIN = 2
+
 __all__ = [
     "pagerank",
     "pagerank_integer",
@@ -1066,7 +1080,7 @@ def strongly_connected_components(
                 )
             done_steps = 0
             while done_steps < int(max_inner):
-                steps = min(2, int(max_inner) - done_steps)
+                steps = min(int(_SCC_CHAIN), int(max_inner) - done_steps)
                 new = lab
                 for _ in range(steps):
                     new = _step(new.select("node", "lab"))
