@@ -15237,11 +15237,14 @@ def q_hits_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey"
     )
     j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    # both batch filters consume the same lineitem⋈orders join: persist
+    # it once instead of executing the join per batch (the CLAUDE.md
+    # self-join/fan-out class)
     ed = j.select(
         F.col("o_custkey").alias("src"),
         (F.col("l_partkey") + 10000000).alias("dst"),
         "o_orderkey",
-    )
+    ).persist()
     b1 = ed.filter(F.col("o_orderkey") % 4 != 0).select("src", "dst")
     b2 = ed.filter(F.col("o_orderkey") % 4 == 0).select("src", "dst")
     store = fold_edges(None, b1).persist()
@@ -15342,7 +15345,10 @@ def _pri_edge_batches(
         ),
         "o_orderkey",
     )
-    ed = merch.unionByName(refer)
+    # both batch filters (and, in the streaming replay, both micro-batch
+    # writes) consume the same union: persist it once instead of
+    # re-scanning orders twice per batch
+    ed = merch.unionByName(refer).persist()
     return (
         ed.filter(F.col("o_orderkey") % 5 != 0).select("src", "dst"),
         ed.filter(F.col("o_orderkey") % 5 == 0).select("src", "dst"),

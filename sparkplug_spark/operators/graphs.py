@@ -758,11 +758,15 @@ def pagerank_integer(
     # this step's metric), which is exactly the eager-every-iteration
     # fix; with no dangling nodes the share is identically zero and the
     # lazy `checkpoint_every` chaining stays.
-    n_dang = (
-        0
-        if assume_no_dangling
-        else nodes.join(outdeg, "node", "left_anti").count()
-    )
+    # one node-sized aggregate over the persisted out-degree table
+    # yields the dangling count (n_nodes - #distinct src) AND the edge
+    # count (Σ outdeg) — replacing a nodes⟕outdeg anti-join count job
+    # plus a separate e.count() rescan of the edge table
+    od_row = outdeg.agg(
+        F.count(F.lit(1)).alias("__c"), F.sum("outdeg").alias("__n")
+    ).first()
+    n_edges = int(od_row["__n"] or 0)
+    n_dang = 0 if assume_no_dangling else n_nodes - int(od_row["__c"])
     has_dang = n_dang > 0
     if has_dang:
         marked = nodes.join(
@@ -771,7 +775,6 @@ def pagerank_integer(
     else:
         marked = nodes.withColumn("__dang", F.lit(False))
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
-    n_edges = e.count()
     with shuffle_scope(spark, loop_partitions(spark, n_edges)):
         # out-degree folded INTO the edge table once, hash-partitioned on
         # src (the float tier's `weighted` shape): each iteration then
@@ -1362,20 +1365,24 @@ def hits_integer(
             "to zero; pass a larger unit (respecting the degree headroom "
             "bound below)"
         )
-    outdeg_max = int(
+    # one pass over the cached edge table yields both preflight facts:
+    # max out-degree (headroom check) and the edge count (Σ per-src
+    # degrees) — the separate e.count() job re-scanned e for a number
+    # this aggregate already holds
+    deg_row = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).alias("__d"))
-        .agg(F.max("__d").alias("__m"))
-        .first()["__m"]
-        or 1
+        .agg(F.max("__d").alias("__m"), F.sum("__d").alias("__n"))
+        .first()
     )
+    outdeg_max = int(deg_row["__m"] or 1)
+    n_edges = int(deg_row["__n"] or 0)
     if outdeg_max * int(unit) * int(unit) >= 2**63:
         raise ValueError(
             f"int64 headroom exceeded: outdeg_max*unit^2 = "
             f"{outdeg_max}*{unit}^2 >= 2^63; pass a smaller unit "
             f"(<= {int((2**63 / outdeg_max) ** 0.5) - 1})"
         )
-    n_edges = e.count()
     with shuffle_scope(spark, loop_partitions(spark, n_edges)):
         e_src = e.repartition("src").persist()
         e_dst = e.repartition("dst").persist()
