@@ -241,6 +241,7 @@ def bfs_distances(
     dst_col: str = "dst",
     node_col: str = "node",
     reliable_checkpoint: bool = False,
+    _pre: tuple[DataFrame, int] | None = None,
 ) -> DataFrame:
     """Multi-source BFS: minimum hop count from ANY source node to every
     reachable node within ``max_hops`` — the influence-radius /
@@ -266,15 +267,24 @@ def bfs_distances(
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     spark = edges.sparkSession
-    e0 = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().persist()
-    n_edges = e0.count()
+    if _pre is not None:
+        # caller-managed canonical edge table (already distinct,
+        # src-partitioned, checkpointed) + its row count: a multi-sweep
+        # composition like :func:`bow_tie_report` canonicalizes ONCE
+        # instead of per sweep; the caller owns the blocks' lifetime
+        e, n_edges = _pre
+        e_ids: set[int] = set()
+    else:
+        e0 = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        ).distinct().persist()
+        n_edges = e0.count()
     with shuffle_scope(spark, loop_partitions(spark, n_edges)):
-        e, e_ids = checkpoint_tracked(
-            e0.repartition("src"), reliable=reliable_checkpoint
-        )
-        e0.unpersist()
+        if _pre is None:
+            e, e_ids = checkpoint_tracked(
+                e0.repartition("src"), reliable=reliable_checkpoint
+            )
+            e0.unpersist()
         frontier = sources.select(F.col(node_col).alias("node")).distinct()
         obs = Observation()
         frontier, f_ids = checkpoint_tracked(
@@ -1224,11 +1234,30 @@ def bow_tie_report(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    fwd = bfs_distances(e, core, max_hops=max_hops).select("node")
+    # canonicalize the edge table ONCE for every sweep (2 plain, 4
+    # detailed): each bfs_distances call otherwise re-runs the distinct
+    # + count + src-partitioned checkpoint over the full edge set.  Both
+    # gather directions are checkpointed; blocks released after the last
+    # sweep (the BFS outputs are eager checkpoints of their own).
+    from ..caching import checkpoint_tracked, unpersist_ids
+    from ..partitioning import loop_partitions, shuffle_scope
+
+    spark = edges.sparkSession
+    e0 = e.distinct().persist()
+    n_e = e0.count()
+    with shuffle_scope(spark, loop_partitions(spark, n_e)):
+        e_fwd, ef_ids = checkpoint_tracked(e0.repartition("src"))
+        e_rev, er_ids = checkpoint_tracked(
+            e0.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).repartition("src")
+        )
+    e0.unpersist()
+    fwd = bfs_distances(
+        e_fwd, core, max_hops=max_hops, _pre=(e_fwd, n_e)
+    ).select("node")
     rev = bfs_distances(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        core,
-        max_hops=max_hops,
+        e_rev, core, max_hops=max_hops, _pre=(e_rev, n_e)
     ).select("node")
     out = (
         scc.join(fwd.withColumn("__out", F.lit(True)), "node", "left")
@@ -1246,16 +1275,38 @@ def bow_tie_report(
     from ..caching import materialize_release
 
     if not detailed:
-        return materialize_release(out, scc)
+        res = materialize_release(out, scc)
+        unpersist_ids(spark, ef_ids | er_ids)
+        return res
     base = out.persist()
     in_nodes = base.where(F.col("region") == "IN").select("node")
     out_nodes = base.where(F.col("region") == "OUT").select("node")
-    from_in = bfs_distances(e, in_nodes, max_hops=max_hops).select("node")
-    to_out = bfs_distances(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        out_nodes,
-        max_hops=max_hops,
+    # seed the refinement sweeps with the reach sets already computed:
+    # when IN is non-empty every IN node reaches the core, so
+    # reach(core) = fwd ⊆ reach(IN) and reach(IN ∪ fwd) = reach(IN) —
+    # identical result, but the sweep explores only past the known
+    # region (tubes/tendrils) instead of re-walking the core's whole
+    # forward cone; symmetrically rev ⊆ reverse-reach(OUT) when OUT is
+    # non-empty.  Empty region ⇒ seed unaugmented (reach must be empty).
+    region_n = {
+        r["region"]: r["n"]
+        for r in base.groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fi_seeds = (
+        in_nodes.unionByName(fwd) if region_n.get("IN") else in_nodes
+    )
+    to_seeds = (
+        out_nodes.unionByName(rev) if region_n.get("OUT") else out_nodes
+    )
+    from_in = bfs_distances(
+        e_fwd, fi_seeds, max_hops=max_hops, _pre=(e_fwd, n_e)
     ).select("node")
+    to_out = bfs_distances(
+        e_rev, to_seeds, max_hops=max_hops, _pre=(e_rev, n_e)
+    ).select("node")
+    unpersist_ids(spark, ef_ids | er_ids)
     refined = (
         base.join(from_in.withColumn("__fi", F.lit(True)), "node", "left")
         .join(to_out.withColumn("__to", F.lit(True)), "node", "left")
