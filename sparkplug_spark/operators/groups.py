@@ -419,6 +419,10 @@ def consensus_records(
         raise ValueError("attr_cols must be non-empty")
     comp = connected_components_star(pairs, id_a=id_a, id_b=id_b)
     ents = df.select(F.col(id_col).alias("__eid"), *attr_cols)
+    # lab feeds the member count plus one cnt aggregate PER attribute,
+    # and base one per attribute — un-persisted, each consumer re-runs
+    # the entity scan and the comp join (the fan-out-intermediates
+    # invariant); both are narrow (id/attr columns only)
     lab = (
         ents.select("__eid")
         .distinct()
@@ -427,8 +431,9 @@ def consensus_records(
             "__eid",
             F.coalesce("group_id", F.col("__eid")).alias("cluster_id"),
         )
+        .persist()
     )
-    base = ents.join(lab, "__eid")
+    base = ents.join(lab, "__eid").persist()
     out = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
@@ -446,4 +451,6 @@ def consensus_records(
             )["b"].alias(attr)
         )
         out = out.join(best, "cluster_id", "left")
-    return out
+    from ..caching import materialize_release
+
+    return materialize_release(out, lab, base)
