@@ -1829,7 +1829,13 @@ def pagerank_weighted_integer(
         .persist()
     )
     n_nodes = nodes.count()
-    max_w = e.agg(F.max("w")).first()[0] or 1
+    # one pass over the cached edge table yields the max weight
+    # (headroom check) and the edge count (loop partition sizing)
+    mw_row = e.agg(
+        F.max("w").alias("__mw"), F.count(F.lit(1)).alias("__ne")
+    ).first()
+    max_w = mw_row["__mw"] or 1
+    n_edges = int(mw_row["__ne"] or 0)
     if int(damping_pct) * n_nodes * int(unit) * int(max_w) >= 2**63:
         safe = 2**63 // (int(damping_pct) * n_nodes * int(max_w)) - 1
         raise ValueError(
@@ -1841,12 +1847,14 @@ def pagerank_weighted_integer(
     ).persist()
     spark = edges.sparkSession
     base = ((100 - damping_pct) * unit) // 100
+    # dangling count = n_nodes minus the out-weight table's row count —
+    # a node-sized aggregate instead of an anti-join count job; the
     # dangling mass rides the checkpoint's `observe` metric as an int
     # literal for the next step (see pagerank_integer for the rationale)
     n_dang = (
         0
         if assume_no_dangling
-        else nodes.join(outw, "node", "left_anti").count()
+        else n_nodes - int(outw.count())
     )
     has_dang = n_dang > 0
     if has_dang:
@@ -1856,7 +1864,6 @@ def pagerank_weighted_integer(
     else:
         marked = nodes.withColumn("__dang", F.lit(False))
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
-    n_edges = e.count()
     with shuffle_scope(spark, loop_partitions(spark, n_edges)):
         # out-weight folded into a src-partitioned persisted edge table —
         # two exchanges per iteration, at an edge-count-derived partition
