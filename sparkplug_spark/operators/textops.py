@@ -1297,9 +1297,12 @@ def train_language_id(
         )
         .persist()
     )
+    # counts feeds FOUR subtrees (totals, vocab size, vocab, and the
+    # weight join) — un-persisted, each re-ran the corpus-sized gram
+    # groupBy (measured 11.3 s -> ~3 s for the whole train at sf0.1)
     counts = train.groupBy("__g", "__l").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
-    )
+    ).persist()
     totals = counts.groupBy("__l").agg(F.sum("__c").alias("__t"))
     v = counts.agg(F.countDistinct("__g").cast("long").alias("__v"))
     vocab = counts.select("__g").distinct()
@@ -1334,6 +1337,7 @@ def train_language_id(
     priors = [0] * len(langs)
     for r in priors_df.collect():
         priors[idx[r["__l"]]] = r["__p"]
+    counts.unpersist()
     train.unpersist()
     return {
         "langs": langs,
@@ -1380,21 +1384,29 @@ def apply_language_id(
 
         n_l = len(langs)
         pr = np.array(priors, dtype=np.int64)
+        # weight MATRIX + gram→row index, built once per task: the
+        # per-hit ``acc += weights[g]`` form re-converted the per-gram
+        # python list to an ndarray on EVERY hit (~µs each), which
+        # dominated sequential micro-batch scoring; one fancy-index
+        # sum per doc is the same exact integer sum
+        gid = {g: i for i, g in enumerate(weights)}
+        if gid:
+            W = np.asarray(list(weights.values()), dtype=np.int64)
+        else:
+            W = np.zeros((0, n_l), dtype=np.int64)
         for pdf in batches:
             ids, preds, scores, margins = [], [], [], []
             for rid, text in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
                 t = text if text is not None else ""
-                acc = np.zeros(n_l, dtype=np.int64)
-                hit = False
+                idxs = []
                 for n in sizes:
                     for i in range(len(t) - n + 1):
-                        w = weights.get(t[i : i + n])
-                        if w is not None:
-                            acc += w
-                            hit = True
-                if not hit:
+                        j = gid.get(t[i : i + n])
+                        if j is not None:
+                            idxs.append(j)
+                if not idxs:
                     continue
-                acc = acc + pr
+                acc = W[idxs].sum(axis=0, dtype=np.int64) + pr
                 # argmax with ties to the alphabetically first language:
                 # langs is sorted, so the FIRST max index wins
                 best = int(np.argmax(acc))
@@ -1414,8 +1426,15 @@ def apply_language_id(
                 }
             )
 
+    # batch: spread() lifts the single-row-group parquet scan to the
+    # core count before the Arrow pass.  streaming: leave the source
+    # partitioning alone — a repartition inside the micro-batch plan
+    # adds a shuffle plus one Python-worker spin-up PER PARTITION per
+    # micro-batch (32x for ~100-row replay batches), and at production
+    # scale file-source batches already split by input size
+    base = df if df.isStreaming else spread(df)
     return (
-        spread(df)
+        base
         .select(F.col(id_col), F.col(text_col))
         .mapInPandas(_score, out_t)
         .withColumnRenamed("id", id_col)
