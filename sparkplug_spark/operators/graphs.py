@@ -358,6 +358,10 @@ def triangle_counts(
     both joins, released on return."""
     from ..caching import materialize_release
 
+    # e feeds the degree union (twice) AND the orientation join; deg
+    # feeds both orientation sides AND the output join — un-persisted,
+    # each consumer re-ran the upstream edge build and the distinct
+    # shuffle (the fan-out-intermediates invariant)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -365,12 +369,14 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("n").alias("a"), F.col("deg").alias("__da"))
     db = deg.select(F.col("n").alias("b"), F.col("deg").alias("__db"))
@@ -431,7 +437,7 @@ def triangle_counts(
             .alias("clustering_ppm"),
         )
     )
-    return materialize_release(out, oriented, release=release)
+    return materialize_release(out, e, deg, oriented, release=release)
 
 
 def coreness(
