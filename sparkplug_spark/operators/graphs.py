@@ -42,6 +42,26 @@ from ..partitioning import loop_partitions, shuffle_scope
 #: tuner doesn't re-derive it.
 _SCC_CHAIN = 2
 
+#: Rank-loop iteration chaining was MEASURED AND REJECTED in r11
+#: (tools/chain_ab.py, bit-identical outputs at every depth): letting
+#: 2-4 HITS/PageRank iterations share one checkpoint, with the
+#: per-iteration scalar (L1 total / dangling mass) entering as a
+#: broadcast 1-row subquery, LOST or tied at every depth — AQE does not
+#: stage-cache-reuse the subquery's subtree against the main chain, so
+#: each inner step re-executed its edge joins (hits_exact jobs
+#: 70→86→116 at depth 1/2/3; pagerank_incremental wall 11.1→12.6→15.9s).
+#: A node-sized identity for the HITS total (Σ hraw_i = Σ hub_{i-1}·W,
+#: W(s)=Σ_{d∈out(s)} indeg(d)) fixed the re-execution but still only
+#: tied (10.6 vs 11.3/10.4s; jobs 70→78→97): the saved driver round
+#: trip ≈ the added subquery materialization, and iteration-count
+#: probes show the per-iteration marginal cost is ~0.27 s against a
+#: multi-second setup floor — the loop was never the bottleneck at
+#: sf0.1, and at scale the W build is an edge-sized pass traded for
+#: node-sized checkpoint writes, a net loss.  Both loops therefore keep
+#: ONE eager checkpoint per iteration wherever a scalar must feed
+#: forward (dangling mass / L1 total) and lazy `checkpoint_every`
+#: chaining where none does.
+
 __all__ = [
     "pagerank",
     "pagerank_integer",
@@ -708,10 +728,12 @@ def pagerank_integer(
     src-partitioned persisted edge table + one dst aggregation (two
     exchanges total); when dangling nodes exist their mass total rides
     each checkpoint action as an ``observe`` metric and enters the next
-    step as an int literal (never a lazy broadcast subquery, whose
-    re-execution of the un-checkpointed chain was the r5 hits_integer
-    regression class), which forces the cadence to 1; with none, lazy
-    steps chain at ``checkpoint_every``.  ``assume_no_dangling=True``
+    step as an int literal (never a lazy broadcast subquery: the r11
+    chain A/B measured that alternative and it lost — AQE does not
+    stage-cache-reuse the subquery's subtree, so it re-executes the
+    edge join per inner step; see the cadence comment), which forces
+    the cadence to 1; with none, lazy steps chain at
+    ``checkpoint_every``.  ``assume_no_dangling=True``
     skips even the one-time dangling count when the caller KNOWS every
     node has out-edges — true by construction for symmetrized graphs;
     the dangling share is exactly zero there, so results are
@@ -769,11 +791,8 @@ def pagerank_integer(
     # is non-empty, each iteration's mass total rides the checkpoint
     # action as an `observe` metric and feeds the NEXT step as a Python
     # int literal — NOT a lazy crossJoin(broadcast(agg)) whose subquery
-    # re-executes the un-checkpointed chain once per nesting level (the
-    # r5 hits_integer class).  That forces cadence 1 (the next plan needs
-    # this step's metric), which is exactly the eager-every-iteration
-    # fix; with no dangling nodes the share is identically zero and the
-    # lazy `checkpoint_every` chaining stays.
+    # re-executes the chain (the r5 hits_integer class; re-confirmed by
+    # the r11 chain A/B, where the subquery form lost at every depth).
     # one node-sized aggregate over the persisted out-degree table
     # yields the dangling count (n_nodes - #distinct src) AND the edge
     # count (Σ outdeg) — replacing a nodes⟕outdeg anti-join count job
@@ -790,6 +809,17 @@ def pagerank_integer(
         ).select("node", F.col("__o").isNull().alias("__dang"))
     else:
         marked = nodes.withColumn("__dang", F.lit(False))
+    # dangling mass forces cadence 1: the r11 chain A/B measured the
+    # alternative — inner steps taking the mass from a broadcast 1-row
+    # aggregate over the lazy previous step — and it LOST (pagerank_
+    # incremental 11.1 s → 12.6 s at chain 2, 15.9 s at chain 3, jobs
+    # 101 → 122 → 157): AQE does NOT stage-cache-reuse the aggregate's
+    # subtree against the main chain, so every inner step re-executed
+    # the full edge join just to sum the dangling slice.  Unlike HITS
+    # (whose L1 total reduces to a NODE-sized static-weight aggregate,
+    # see hits_integer), the dangling sum needs the per-node floor of
+    # the incoming mass — no node-sized identity exists, so eager every
+    # iteration stays the right schedule.
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
     with shuffle_scope(spark, loop_partitions(spark, n_edges)):
         # out-degree folded INTO the edge table once, hash-partitioned on
@@ -1374,8 +1404,13 @@ def hits_integer(
     local checkpoint (the raw hub table) whose materialization ALSO
     carries the L1 total as an ``observe`` metric — no broadcast-total
     job per iteration (the lazy-broadcast subplan was the r5 68 s
-    regression class; the observation is strictly cheaper than even the
-    checkpointed broadcast).  Zero-fill of nodes missing from a gather
+    regression class; the r11 chain A/B re-measured every chaining
+    alternative and none beat one observe-riding checkpoint per
+    iteration — see the module note above _SCC_CHAIN).  The FINAL
+    iteration checkpoints the authority gather first (its L1 total
+    riding that materialization), so the output authority vector is a
+    projection of blocks the loop computed anyway instead of a second
+    execution of the last gather.  Zero-fill of nodes missing from a gather
     is DEFERRED to the output join: a missing row contributes exactly
     what an explicit 0 contributes to every downstream integer sum
     (gather sums and L1 totals alike), so the per-iteration
@@ -1490,6 +1525,7 @@ def hits_integer(
             hub, prev_ids = _l1_normalize(hub0, "hub_units")
         araw = None
         for i in range(int(iterations)):
+            final = i == int(iterations) - 1
             # nodes absent from a gather (no in-/out-edges) would carry 0
             # through every sum and total — rows omitted until the output
             araw = (
@@ -1500,6 +1536,26 @@ def hits_integer(
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum("hub_units").cast("long").alias("auth_units"))
             )
+            if final:
+                # the last gather feeds BOTH the final hub step and the
+                # output authority vector: checkpoint it ONCE with its
+                # L1 total riding the materialization (the old shape
+                # re-executed this whole gather inside the separate auth
+                # normalization checkpoint)
+                obs_a = Observation()
+                araw = araw.observe(
+                    obs_a,
+                    F.greatest(F.sum("auth_units"), F.lit(1))
+                    .cast("long")
+                    .alias("__t"),
+                )
+                araw, _a_ids = checkpoint_tracked(araw)
+                tot_a = int(obs_a.get["__t"])
+                # araw's materialization was the last consumer of the
+                # previous segment's checkpoint blocks (covers the
+                # warm-start init blocks when iterations == 1)
+                unpersist_ids(spark, prev_ids)
+                prev_ids = set()
             hraw = (
                 e_dst.join(
                     araw.select(F.col("node").alias("dst"), "auth_units"),
@@ -1508,23 +1564,19 @@ def hits_integer(
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.sum("auth_units").cast("long").alias("hub_units"))
             )
+            # one checkpoint+observe per iteration: the r11 chain A/B
+            # measured every lazy-chaining alternative (subquery totals,
+            # node-sized identity totals) and none beat this — see the
+            # module-level note above _SCC_CHAIN
             hub, ids = _l1_normalize(hraw, "hub_units")
-            # round i's checkpoint has consumed auth_i and hub_{i-1}; free
-            # R_{i-1} — EXCEPT on the final round, where the output
-            # authority vector still reads hub_{i-1}'s blocks until
-            # normalized below
-            if i < int(iterations) - 1:
-                unpersist_ids(spark, prev_ids)
-                prev_ids = ids
-            else:
-                final_prev = prev_ids
-                prev_ids = ids
-        auth, _auth_ids = _l1_normalize(araw, "auth_units")
-        # the auth checkpoint above was hub_{k-1}'s last consumer; freeing
-        # it unconditionally also covers the warm-start init blocks when
-        # iterations == 1 (final_prev is empty only on a cold 1-iteration
-        # run)
-        unpersist_ids(spark, final_prev)
+            unpersist_ids(spark, prev_ids)
+            prev_ids = ids
+        auth = araw.select(
+            "node",
+            F.expr(f"auth_units * {int(unit)}L div {tot_a}L").alias(
+                "auth_units"
+            ),
+        )
         out = (
             nodes.join(hub, "node", "left")
             .join(auth, "node", "left")
@@ -1665,9 +1717,6 @@ def pagerank_personalized_integer(
         .persist()
     )
     sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
-    n_seeds = sd.count()
-    if n_seeds == 0:
-        raise ValueError("seeds must be non-empty")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -1675,45 +1724,56 @@ def pagerank_personalized_integer(
         .distinct()
         .persist()
     )
-    n_nodes = nodes.count()
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).persist()
+    spark = edges.sparkSession
+    is_seed = F.col("__s").isNotNull()
+    # seed + out-degree flags in ONE node-sized frame whose single
+    # aggregate yields every preflight fact — n_nodes, n_seeds, both
+    # dangling counts, and the edge count (Σ outdeg) — replacing four
+    # separate preflight jobs (sd.count, nodes.count, the dangling
+    # aggregate, and an e.count rescan of the edge table)
+    marked0 = (
+        nodes.join(
+            sd.select(F.col("node"), F.lit(1).alias("__s")), "node", "left"
+        )
+        .join(outdeg, "node", "left")
+        .persist()
+    )
+    stats = marked0.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.count("__s").alias("ns"),
+        F.count(F.when(F.col("outdeg").isNull(), 1)).alias("nd"),
+        F.count(F.when(F.col("outdeg").isNull() & is_seed, 1)).alias("nds"),
+        F.sum("outdeg").alias("ne"),
+    ).first()
+    n_seeds = int(stats["ns"])
+    if n_seeds == 0:
+        raise ValueError("seeds must be non-empty")
+    n_nodes = int(stats["nn"])
     if int(damping_pct) * n_nodes * int(unit) >= 2**63:
         raise ValueError(
             f"int64 headroom exceeded: damping_pct*n_nodes*unit = "
             f"{damping_pct}*{n_nodes}*{unit} >= 2^63; pass a smaller unit"
         )
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).persist()
-    spark = edges.sparkSession
     # teleport total = (100-d)% of n*unit, split over seeds; the full
     # n*unit starts on the seeds
     seed_total = n_nodes * int(unit)
     seed_base = ((100 - damping_pct) * seed_total // 100) // n_seeds
     init_share = seed_total // n_seeds
-    is_seed = F.col("__s").isNotNull()
-    # static seed + dangling flags in one node-sized frame; the dangling
-    # mass total rides each checkpoint's `observe` metric and enters the
-    # next step as an int literal (see pagerank_integer for the why —
-    # the lazy broadcast-subquery replay this replaces)
-    marked = (
-        nodes.join(
-            sd.select(F.col("node"), F.lit(1).alias("__s")), "node", "left"
-        )
-        .join(outdeg.select("node", F.lit(1).alias("__o")), "node", "left")
-        .select("node", "__s", F.col("__o").isNull().alias("__dang"))
-        .persist()
+    marked = marked0.select(
+        "node", "__s", F.col("outdeg").isNull().alias("__dang")
     )
     if assume_no_dangling:
         n_dang, n_dang_seeds = 0, 0
     else:
-        _c = marked.agg(
-            F.count(F.when(F.col("__dang"), 1)).alias("nd"),
-            F.count(F.when(F.col("__dang") & is_seed, 1)).alias("nds"),
-        ).first()
-        n_dang, n_dang_seeds = int(_c["nd"]), int(_c["nds"])
+        n_dang, n_dang_seeds = int(stats["nd"]), int(stats["nds"])
     has_dang = n_dang > 0
+    # cadence 1 with dangling mass — the broadcast-subquery chaining
+    # alternative measured slower (see pagerank_integer's cadence note)
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
-    n_edges = e.count()
+    n_edges = int(stats["ne"] or 0)
     with shuffle_scope(spark, loop_partitions(spark, n_edges)):
         # out-degree folded into a src-partitioned persisted edge table —
         # two exchanges per iteration, at an edge-count-derived partition
@@ -1780,7 +1840,7 @@ def pagerank_personalized_integer(
                 live = ids
                 if obs is not None:
                     dm = int(obs.get["dm"] or 0)
-        for df_ in (e, sd, nodes, outdeg, marked, marked_p, we):
+        for df_ in (e, sd, nodes, outdeg, marked0, marked_p, we):
             df_.unpersist()
         return m.select("node", "rank_nano")
 
@@ -1869,6 +1929,8 @@ def pagerank_weighted_integer(
         ).select("node", F.col("__o").isNull().alias("__dang"))
     else:
         marked = nodes.withColumn("__dang", F.lit(False))
+    # cadence 1 with dangling mass — the broadcast-subquery chaining
+    # alternative measured slower (see pagerank_integer's cadence note)
     cadence = 1 if has_dang else max(1, int(checkpoint_every))
     with shuffle_scope(spark, loop_partitions(spark, n_edges)):
         # out-weight folded into a src-partitioned persisted edge table —

@@ -411,18 +411,23 @@ def consensus_records(
     ``attr_cols``).
 
     Plan: components via the O(log² n) star-contraction CC (chain-shaped
-    typo clusters converge round-bounded); each attribute costs one
-    (cluster, value) count (vocab-bounded per cluster) + a struct-min
-    argmax; consensus tables join back cluster-keyed — no wide rows in
-    any shuffle."""
+    typo clusters converge round-bounded); ALL attributes ride one
+    melted (cluster, attr, value) pass over the entity table — one
+    count aggregate + one struct-min argmax pivoted back to columns —
+    instead of one count + one argmax + one join PER attribute (the
+    §2.3 combine-aggregates shape: A passes over the entity scan melt
+    to a single pass, 2·A exchanges to 2).  Values keep their ORIGINAL
+    Spark type through per-type slot columns (stacking mixed-type
+    attributes into one string column would reorder numeric ties), so
+    the deterministic mode/tie semantics — and the value hash — are
+    bit-identical to the per-attribute form."""
     if not attr_cols:
         raise ValueError("attr_cols must be non-empty")
     comp = connected_components_star(pairs, id_a=id_a, id_b=id_b)
     ents = df.select(F.col(id_col).alias("__eid"), *attr_cols)
-    # lab feeds the member count plus one cnt aggregate PER attribute,
-    # and base one per attribute — un-persisted, each consumer re-runs
-    # the entity scan and the comp join (the fan-out-intermediates
-    # invariant); both are narrow (id/attr columns only)
+    # lab feeds the member count plus the melted pass — persisted so
+    # neither consumer re-runs the entity scan + comp join (the fan-out
+    # invariant); base now has exactly ONE consumer and stays lazy
     lab = (
         ents.select("__eid")
         .distinct()
@@ -433,24 +438,66 @@ def consensus_records(
         )
         .persist()
     )
-    base = ents.join(lab, "__eid").persist()
-    out = lab.groupBy("cluster_id").agg(
+    base = ents.join(lab, "__eid")
+    members = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
+    # one typed value slot per DISTINCT attribute type; within a melted
+    # (cluster, attr) group every other slot is constant NULL, so the
+    # struct-min tiebreak falls through to the attribute's own slot —
+    # exactly the old per-attribute (−count, value) ordering
+    slot_types: list = []
+    slot_of: dict[str, int] = {}
     for attr in attr_cols:
-        cnt = (
-            base.filter(F.col(attr).isNotNull())
-            .groupBy("cluster_id", attr)
-            .agg(F.count(F.lit(1)).alias("__n"))
+        key = ents.schema[attr].dataType.simpleString()
+        if key not in slot_of:
+            slot_of[key] = len(slot_types)
+            slot_types.append(ents.schema[attr].dataType)
+    slot_cols = [f"__v{j}" for j in range(len(slot_types))]
+    entries = []
+    for attr in attr_cols:
+        s = slot_of[ents.schema[attr].dataType.simpleString()]
+        entries.append(
+            F.struct(
+                F.lit(attr).alias("__attr"),
+                F.col(attr).isNotNull().alias("__nn"),
+                *[
+                    (
+                        F.col(attr)
+                        if j == s
+                        else F.lit(None).cast(slot_types[j])
+                    ).alias(slot_cols[j])
+                    for j in range(len(slot_types))
+                ],
+            )
         )
-        best = cnt.groupBy("cluster_id").agg(
-            F.min(
-                F.struct(
-                    (-F.col("__n")).alias("a"), F.col(attr).alias("b")
-                )
-            )["b"].alias(attr)
+    melted = (
+        base.select("cluster_id", F.explode(F.array(*entries)).alias("__m"))
+        .select("cluster_id", "__m.*")
+        .filter(F.col("__nn"))
+        .drop("__nn")
+    )
+    cnt = melted.groupBy("cluster_id", "__attr", *slot_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    best = cnt.groupBy("cluster_id").pivot("__attr", list(attr_cols)).agg(
+        F.min(
+            F.struct(
+                (-F.col("__n")).alias("a"),
+                *[F.col(c).alias(c) for c in slot_cols],
+            )
         )
-        out = out.join(best, "cluster_id", "left")
+    )
+    out = members.join(best, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        *[
+            F.col(attr)[
+                slot_cols[slot_of[ents.schema[attr].dataType.simpleString()]]
+            ].alias(attr)
+            for attr in attr_cols
+        ],
+    )
     from ..caching import materialize_release
 
-    return materialize_release(out, lab, base)
+    return materialize_release(out, lab)
