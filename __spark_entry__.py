@@ -2129,7 +2129,10 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: streaming_dedup_exact(
             s, text_col="text", time_col="ts", watermark_delay="1 day"
         ),
-        mode="append", shuffle_partitions=8,)
+        # ~100 fingerprint state keys: 2 partitions halve the per-batch
+        # state-store open/commit floor (r11 A/B 2.97→2.68 s min-of-4,
+        # output fingerprint identical at 2 vs 8)
+        mode="append", shuffle_partitions=2,)
     return kept.select("doc_id", "text")
 
 
@@ -2176,7 +2179,10 @@ def q_streaming_impact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             plugged, "ts", window_duration="1 day", watermark_delay="60 days"
         )
 
-    counts = replay_file_stream(spark, batches, build, mode="complete", shuffle_partitions=8)
+    # 60 (day, rule) state rows: 2 partitions cut the complete-mode
+    # state-store floor (r11 A/B 3.91→3.53 s min-of-4, fingerprint
+    # identical at 2 vs 8)
+    counts = replay_file_stream(spark, batches, build, mode="complete", shuffle_partitions=2)
     return counts.select(
         F.col("window_start").cast("long").alias("window_s"),
         "rule_name",
@@ -2210,13 +2216,17 @@ def q_streaming_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     # via gap logic (in-batch successor or the sentinel), never by a
     # batch-boundary timeout splitting a session that a later batch would
     # have extended
+    # ~25k user keys × python-state groups: unlike the tiny-state
+    # replays this one WANTS parallel state workers — 16 beat both 8
+    # (10.0→8.5 s min-of-4) and 2 (20.6 s) in the r11 A/B; output
+    # fingerprint identical at 2/8/16/32
     sessions = replay_file_stream(
         spark,
         batches + [flush],
         lambda s: sessionize_stream(
             s, gap_seconds=1800, watermark_delay="90 days"
         ),
-        mode="append", shuffle_partitions=8,)
+        mode="append", shuffle_partitions=16,)
     cutoff = 1709251200  # 2024-03-01: sentinel sessions start after this
     return sessions.select(
         "user_id",
@@ -2262,7 +2272,10 @@ def q_streaming_decontam_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         _doc_batches(spark, sf_dir),
         lambda s: streaming_decontaminate(s, eval_df, n=5, method="exact"),
-        mode="append", shuffle_partitions=8,)
+        # stream-static join holds no keyed state: 2 partitions drop the
+        # per-batch sink/commit floor (r11 A/B 6.12→5.52 s min-of-4,
+        # fingerprint identical at 2 vs 8)
+        mode="append", shuffle_partitions=2,)
     return kept.select("doc_id", "source")
 
 
@@ -2332,7 +2345,10 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             within_seconds=3600, watermark_delay="90 days",
         ),
         mode="append",
-        batches2=pb, shuffle_partitions=8,)
+        # join state buffers a few thousand rows per side: 2 partitions
+        # halve the two-source state-store open/commit floor (r11 A/B
+        # 4.17→3.45 s min-of-4, fingerprint identical at 2 vs 8)
+        batches2=pb, shuffle_partitions=2,)
     return matches.select(
         "user_id",
         F.col("event_id").alias("view_id"),
