@@ -1050,6 +1050,9 @@ def jaccard_prefix_pairs(
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__f"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("id").orderBy(F.asc("__f"), F.asc("sh"))
+    # BOTH self-join arms alias this frame: persisted so the freq join +
+    # per-doc rank window run once, not once per arm (the r7 ED-Join
+    # prefix-table class)
     prefix = (
         sh.join(freq, "sh")
         .withColumn("__pos", F.row_number().over(w))
@@ -1059,6 +1062,7 @@ def jaccard_prefix_pairs(
             <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
         )
         .select("id", "sh", "sz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -1078,7 +1082,13 @@ def jaccard_prefix_pairs(
         )
         .distinct()
     )
-    sets = sh.groupBy("id").agg(F.collect_list("sh").alias("arr"))
+    # verify-set table feeds both candidate-side joins: persisted so the
+    # per-doc collect_list aggregation runs once, not once per side
+    sets = (
+        sh.groupBy("id")
+        .agg(F.collect_list("sh").alias("arr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     out = (
         cand.join(sets.withColumnsRenamed({"id": "id_a", "arr": "arr_a"}), "id_a")
         .join(sets.withColumnsRenamed({"id": "id_b", "arr": "arr_b"}), "id_b")
@@ -1093,7 +1103,7 @@ def jaccard_prefix_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return materialize_release(out, sh, release=release)
+    return materialize_release(out, sh, prefix, sets, release=release)
 
 
 def dedup_threshold_curve(

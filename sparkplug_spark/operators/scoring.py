@@ -728,10 +728,13 @@ def source_influence(
             "coarser — LOO valuation is for dozens of sources, not "
             "per-document attribution"
         )
+    # per_src feeds BOTH the global roll-up and the LOO join — persisted
+    # so the corpus-sized (token, source) aggregation runs once, not once
+    # per consumer (the fan-out-intermediates invariant)
     per_src = tok_train.groupBy("__t", "__src").agg(
         F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("__cps"),
         F.sum(F.when(pos, 0).otherwise(1)).cast("long").alias("__cns"),
-    )
+    ).persist()
     glob = per_src.groupBy("__t").agg(
         F.sum("__cps").alias("__cp"), F.sum("__cns").alias("__cn")
     )
@@ -861,4 +864,4 @@ def source_influence(
         "accuracy_ppm",
         (F.col("accuracy_ppm") - F.col("__full_acc")).alias("delta_ppm"),
     )
-    return materialize_release(out, tok_train, tok_eval)
+    return materialize_release(out, tok_train, tok_eval, per_src)
