@@ -106,6 +106,26 @@ def shuffle_scope(spark: SparkSession, n_partitions: int):
     ):
         yield
         return
+    # Guard: the override is session-global, so a streaming query running
+    # micro-batches on THIS session while a scope is active would be a
+    # silent hazard for any concurrent batch job submitted on it.  The
+    # one legitimate overlap — rank loops inside a foreachBatch writer —
+    # passes naturally: Structured Streaming hands foreachBatch a frame
+    # bound to a PER-BATCH CLONED session (own SQLConf, empty
+    # streams.active — verified empirically in r11), so operators using
+    # the batch frame's own session never see the outer query here.
+    try:
+        active = list(spark.streams.active)
+    except Exception:  # noqa: BLE001 - Connect backends may lack .streams
+        active = []
+    if active:
+        raise RuntimeError(
+            "shuffle_scope: this session has active streaming queries; "
+            "the scope would mutate session-global "
+            "spark.sql.shuffle.partitions under them.  Inside "
+            "foreachBatch, build the operator from the BATCH frame's own "
+            "session (the per-batch clone), not the outer session."
+        )
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(int(n_partitions)))
     try:
