@@ -117,7 +117,8 @@ def build_fixture(spark) -> None:
     )
 
     if ONLY_FAMILIES and not (
-        {"iterative_graph", "incremental_graph"} & ONLY_FAMILIES
+        {"iterative_graph", "incremental_graph", "r11_persist_discipline"}
+        & ONLY_FAMILIES
     ):
         return
     li = spark.read.parquet(os.path.join(BASE_DIR, "lineitem.parquet"))
@@ -177,6 +178,68 @@ def ensure_orders(spark) -> None:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     out.repartition(32).write.mode("overwrite").parquet(out_path)
+
+
+def ensure_customer(spark) -> None:
+    """10x customer (r11, golden-records family): c_custkey rides
+    KEY_OFF; names and nations stay VERBATIM, so every name now exists
+    in 10 copies — same-nation fuzzy clusters grow 10x denser, which is
+    exactly the duplicate-rate shape a consolidated 10x CRM extract
+    has (disjoint keys, repeated identities)."""
+    from pyspark.sql import functions as F
+
+    out_path = os.path.join(X10_DIR, "customer.parquet")
+    if os.path.exists(out_path):
+        return
+    cust = spark.read.parquet(os.path.join(BASE_DIR, "customer.parquet"))
+    cols = cust.columns
+    parts = []
+    for c in range(COPIES):
+        parts.append(
+            cust.select(
+                *[
+                    (F.col(x) + c * KEY_OFF).alias(x)
+                    if x == "c_custkey"
+                    else F.col(x)
+                    for x in cols
+                ]
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    out.repartition(8).write.mode("overwrite").parquet(out_path)
+
+
+def loop_clamp_probe(spark, sf_dir) -> dict:
+    """The loop_partitions at-scale claim MEASURED: the derived loop
+    shuffle-partition count must CLAMP to the session setting (a no-op)
+    once the edge working set outgrows rows_per_partition x session
+    partitions — i.e. the local right-sizing vanishes at scale instead
+    of pinning a production cluster to tiny loop shuffles."""
+    from pyspark.sql import functions as F
+
+    from sparkplug_spark.partitioning import loop_partitions
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n_edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + 10_000_000).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .count()
+    )
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived = loop_partitions(spark, n_edges)
+    return {
+        "n_edges": int(n_edges),
+        "session_partitions": sess,
+        "loop_partitions": int(derived),
+        "clamped_noop": int(derived) == sess,
+    }
 
 
 def incremental_graph_probe(spark, sf_dir) -> dict:
@@ -359,6 +422,14 @@ def main() -> None:
             "entity_extract", "warc_index", "cdx_fetch",
             "webdataset_roundtrip", "frontier_schedule",
         ],
+        # round 11: the scale-motivated persists (triangle edge/degree
+        # tables, golden-records lab/base, prefix-join prefix/sets) and
+        # the loop_partitions clamp, measured at 10x per the r10
+        # verdict's item 8
+        "r11_persist_discipline": [
+            "triangle_counts", "golden_records", "hits_exact",
+            "dedup_threshold_curve",
+        ],
     }
     if ONLY_FAMILIES:
         families = {k: v for k, v in families.items() if k in ONLY_FAMILIES}
@@ -373,6 +444,9 @@ def main() -> None:
     }
     if "incremental_graph" in families:
         ensure_orders(spark)
+    if "r11_persist_discipline" in families:
+        ensure_orders(spark)
+        ensure_customer(spark)
     for fam, names in families.items():
         fam_out: dict = {"queries": {}}
         for name in names:
@@ -393,6 +467,11 @@ def main() -> None:
         report["families"]["incremental_graph"]["warm_vs_cold"] = {
             "base": incremental_graph_probe(spark, BASE_DIR),
             "x10": incremental_graph_probe(spark, X10_DIR),
+        }
+    if "r11_persist_discipline" in families:
+        report["families"]["r11_persist_discipline"]["loop_clamp"] = {
+            "base": loop_clamp_probe(spark, BASE_DIR),
+            "x10": loop_clamp_probe(spark, X10_DIR),
         }
     if "lsh_near_dup" in families:
         report["families"]["lsh_near_dup"]["knob_math"] = {
