@@ -314,12 +314,17 @@ def blocked_link(
         null_free_cond = null_free_cond & b.isNotNull()
     null_free = df.filter(null_free_cond)
     # three consumers (sizes + join left/right): persist the narrow
-    # projection once instead of re-scanning the input per consumer
-    base = null_free.select(
+    # projection once instead of re-scanning the input per consumer.
+    # spread() first: the block self-join broadcasts its build side, so
+    # the O(Σ block²) candidate filter + levenshtein DP inherit the
+    # SCAN's partitioning — a single-row-group input would run the whole
+    # quadratic stage on one core (the CLAUDE.md 1-partition invariant;
+    # no-op on well-split production inputs)
+    base = spread(null_free.select(
         F.struct(*blocks).alias("__blk"),
         F.col(id_col).alias("__id"),
         F.col(name_col).alias("__name"),
-    ).persist()
+    )).persist()
     sizes = base.groupBy("__blk").agg(F.count(F.lit(1)).alias("__sz"))
     oversized = sizes.filter(F.col("__sz") > max_block_size)
     if metrics is not None:
@@ -457,6 +462,10 @@ def edit_distance_pairs(
     prefix_len = q * k + 1
     min_long_len = q * k + q  # longer side shorter than this -> short pass
 
+    # NOTE: deliberately NOT spread() here (r11 A/B: +0.4 s at sf0.1,
+    # flat for golden_records) — the rank-window exchange right below
+    # already redistributes before every expensive stage, unlike
+    # blocked_link where the quadratic DP inherits the scan layout
     base = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
